@@ -1,0 +1,197 @@
+"""Quantization: continuous values -> small-int symbols (SURVEY F1-F7).
+
+Reference semantics (``patternly/detection.py:272-308``):
+
+- ``simple``        : first difference along time, fillna(0), then
+                      1 if diff > 0 else 0                       (F1+F2)
+- ``simple-second`` : difference twice (fillna(0) between), then sign (F3)
+- ``complex``       : entropy-max quantile binning — cut-points chosen so
+                      bins are equi-probable (``tex/ms.tex:293-294``),
+                      optional detrend first                     (F4)
+- passthrough       : cast to tinyint                            (F5)
+
+All hot-path math is built-in column expressions (JVM-side, whole-stage
+codegen); the only driver action is the tiny exact-percentile fit.
+Cut-point fitting uses Spark SQL ``percentile`` (exact, interpolated) so
+results hash-match a DuckDB ``quantile_cont`` oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _diff_sign(diff: Column) -> Column:
+    # reference: `1 if n > 0 else 0` (detection.py:292) — NaN/None -> 0
+    return F.when(diff > 0, F.lit(1)).otherwise(F.lit(0)).cast("tinyint")
+
+
+def quantize_simple_long(
+    df: DataFrame,
+    value_col: str = "value",
+    *,
+    partition_cols: list[str] | None = None,
+    order_col: str = "t",
+    out_col: str = "symbol",
+    second: bool = False,
+) -> DataFrame:
+    """F1/F2/F3 on the long layout (seq_id, t, value).
+
+    symbol = sign(first or second difference) along the time axis within
+    each sequence; first element(s) quantize to 0 exactly as the
+    reference's fillna(0) does.
+    """
+    parts = partition_cols or ["seq_id"]
+    w = Window.partitionBy(*parts).orderBy(order_col)
+    d1 = F.col(value_col).cast("double") - F.lag(F.col(value_col).cast("double"), 1, None).over(w)
+    d1 = F.coalesce(d1, F.lit(0.0))
+    if not second:
+        return df.withColumn(out_col, _diff_sign(d1))
+    df2 = df.withColumn("__d1", d1)
+    d2 = F.col("__d1") - F.lag("__d1", 1, None).over(w)
+    d2 = F.coalesce(d2, F.lit(0.0))
+    return df2.withColumn(out_col, _diff_sign(d2)).drop("__d1")
+
+
+def quantize_simple_array(
+    df: DataFrame,
+    values_col: str = "values",
+    *,
+    out_col: str = "symbols",
+    second: bool = False,
+) -> DataFrame:
+    """F1/F2/F3 on the array layout (seq_id, values array<double>).
+
+    Pure array expressions — zero shuffle, codegen-friendly:
+    diff via zip_with(values, shifted, -); first element -> 0.
+    """
+    v = F.col(values_col)
+    # shifted = [v0, v0, v1, ..., v_{n-2}]  => diff_i = v_i - shifted_i (diff_0 = 0)
+    def diff(col: Column) -> Column:
+        shifted = F.concat(F.slice(col, 1, 1), F.slice(col, 1, F.greatest(F.size(col) - 1, F.lit(0))))
+        return F.zip_with(col, shifted, lambda a, b: a - b)
+
+    d = diff(v)
+    if second:
+        d = diff(d)
+    syms = F.transform(d, lambda x: F.when(x > 0, F.lit(1)).otherwise(F.lit(0)).cast("tinyint"))
+    return df.withColumn(out_col, syms)
+
+
+def fit_complex_cutpoints(
+    df: DataFrame,
+    value_col: str = "value",
+    *,
+    n_symbols: int = 2,
+    detrend: bool = False,
+    partition_cols: list[str] | None = None,
+    order_col: str = "t",
+) -> list[float]:
+    """F4 fit: exact equi-probable cut-points (entropy maximization —
+    ``tex/ms.tex:293-294``).  k-1 interior quantiles at i/k via Spark SQL
+    ``percentile`` (exact, linear interpolation -> deterministic and
+    DuckDB-``quantile_cont``-compatible)."""
+    work = df
+    if detrend:
+        work = quantize_detrend_long(df, value_col, partition_cols=partition_cols, order_col=order_col)
+        value_col = "__detrended"
+    probs = [i / n_symbols for i in range(1, n_symbols)]
+    arr = ", ".join(f"{p!r}D" for p in probs)
+    row = work.select(F.expr(f"percentile({value_col}, array({arr}))").alias("cuts")).first()
+    return [float(c) for c in row["cuts"]]
+
+
+def quantize_detrend_long(
+    df: DataFrame,
+    value_col: str = "value",
+    *,
+    partition_cols: list[str] | None = None,
+    order_col: str = "t",
+) -> DataFrame:
+    parts = partition_cols or ["seq_id"]
+    w = Window.partitionBy(*parts).orderBy(order_col)
+    d1 = F.col(value_col).cast("double") - F.lag(F.col(value_col).cast("double"), 1, None).over(w)
+    return df.withColumn("__detrended", F.coalesce(d1, F.lit(0.0)))
+
+
+def symbol_from_cutpoints(value: Column, cutpoints: list[float]) -> Column:
+    """value < p1 -> 0, [p_i, p_{i+1}) -> i, >= p_{k-1} -> k-1
+    (``tex/ms.tex`` partition definition).  Expressed as a sum of
+    comparisons — branch-free, codegen-friendly."""
+    sym = F.lit(0)
+    for c in cutpoints:
+        sym = sym + F.when(value >= F.lit(c), 1).otherwise(0)
+    return sym.cast("tinyint")
+
+
+def apply_complex_cutpoints_long(
+    df: DataFrame,
+    cutpoints: list[float],
+    value_col: str = "value",
+    *,
+    out_col: str = "symbol",
+    detrend: bool = False,
+    partition_cols: list[str] | None = None,
+    order_col: str = "t",
+) -> DataFrame:
+    work = df
+    col = F.col(value_col).cast("double")
+    if detrend:
+        work = quantize_detrend_long(df, value_col, partition_cols=partition_cols, order_col=order_col)
+        col = F.col("__detrended")
+    out = work.withColumn(out_col, symbol_from_cutpoints(col, cutpoints))
+    return out.drop("__detrended") if detrend else out
+
+
+def alphabet_size_col(symbols_col: str = "symbols") -> Column:
+    """F6 — reference quirk preserved: alphabet_size = max(symbol)+1
+    (``np.bincount(row).size``, detection.py:133-136), NOT the distinct
+    count."""
+    return (F.array_max(F.col(symbols_col)).cast("int") + F.lit(1)).alias("alphabet_size")
+
+
+@dataclass
+class Quantizer:
+    """Fitted quantizer state (mirrors the reference's persisted Quantizer
+    params, ``detection.py:189-190,:223-226``): mode + cut-points."""
+
+    quantize_type: str = "complex"  # simple | simple-second | complex | none
+    n_symbols: int = 2
+    detrend: bool = False
+    cutpoints: list[float] = field(default_factory=list)
+    fitted: bool = False
+
+    def fit(self, df: DataFrame, value_col: str = "value", **kw) -> "Quantizer":
+        if self.quantize_type == "complex":
+            self.cutpoints = fit_complex_cutpoints(
+                df, value_col, n_symbols=self.n_symbols, detrend=self.detrend, **kw
+            )
+        self.fitted = True
+        return self
+
+    def transform_long(self, df: DataFrame, value_col: str = "value", **kw) -> DataFrame:
+        if self.quantize_type == "none":
+            return df.withColumn("symbol", F.col(value_col).cast("tinyint"))
+        if self.quantize_type in ("simple", "simple-second"):
+            return quantize_simple_long(
+                df, value_col, second=(self.quantize_type == "simple-second"), **kw
+            )
+        if not self.fitted:
+            raise ValueError("complex quantizer must be fit first")
+        return apply_complex_cutpoints_long(df, self.cutpoints, value_col, detrend=self.detrend, **kw)
+
+    def to_dict(self) -> dict:
+        return {
+            "quantize_type": self.quantize_type,
+            "n_symbols": self.n_symbols,
+            "detrend": self.detrend,
+            "cutpoints": list(self.cutpoints),
+            "fitted": self.fitted,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Quantizer":
+        return cls(**d)

@@ -1,0 +1,322 @@
+"""GenESeSS — PFSA structure + parameter inference (reference operator X1).
+
+Reimplements the published algorithm (``tex/ms.tex:299-338``; invoked by the
+reference at ``patternly/detection.py:372-393``) in pure numpy:
+
+  Step 1  approximate epsilon-synchronizing sequence: build the derivative
+          heap {phi_hat^x_y : |y| <= L}, L = ceil(log_|S| 1/eps); pick the
+          most frequent subsequence whose follower distribution is a vertex
+          of the heap's convex hull.
+  Step 2  BFS state discovery: states carry a sequence identifier and its
+          follower distribution; delta(q,s) merges into an existing state
+          when the inf-norm distance < eps, else mints a new state; finally
+          restrict to the largest strongly-connected subgraph.
+  Step 3  transition probabilities: one pass over the data counting
+          (state, symbol) visits; rows normalized (light Laplace smoothing
+          so fitted models assign nonzero mass to every symbol).
+
+Validation is by simulation-recovery (SURVEY §5.2 — the M2.cfg pattern),
+not bit-parity with the closed-source zedsuite binary.
+
+Spark surface: ``fit_cluster_pfsas`` fits one PFSA per cluster with
+``applyInPandas`` over ``groupBy('cluster')`` — model fits are per-group
+and each cluster's windowed data fits in executor memory (SURVEY §4.3.2).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from patternly_spark.pfsa.model import PFSA
+
+_MAX_STATES = 64
+_MIN_COUNT = 5
+
+
+def _follower_counts(seqs_b: list[bytes], pattern: bytes, k: int) -> np.ndarray:
+    """Counts of the symbol immediately following each occurrence of
+    ``pattern`` across all sequences (no cross-sequence matches)."""
+    counts = np.zeros(k, dtype=np.int64)
+    plen = len(pattern)
+    for sb in seqs_b:
+        if plen == 0:
+            # empty pattern: every position's symbol counts
+            arr = np.frombuffer(sb, dtype=np.uint8)
+            counts += np.bincount(arr, minlength=k)[:k]
+            continue
+        start = 0
+        end = len(sb)
+        while True:
+            i = sb.find(pattern, start)
+            if i < 0:
+                break
+            j = i + plen
+            if j < end:
+                counts[sb[j]] += 1
+            start = i + 1
+    return counts
+
+
+def _hull_vertices(points: np.ndarray, seed: int = 42) -> np.ndarray:
+    """Indices of approximate convex-hull vertices of distribution points
+    (rows on the probability simplex).  Exact for |Sigma|=2 (1-D hull);
+    for larger alphabets uses a fixed direction set (coordinate axes +
+    seeded random directions) — adequate because the selection is only a
+    heuristic for a well-synchronizing prefix."""
+    n, k = points.shape
+    if n == 1:
+        return np.array([0])
+    dirs = []
+    for j in range(k):
+        e = np.zeros(k)
+        e[j] = 1.0
+        dirs.append(e)
+        dirs.append(-e)
+    rng = np.random.default_rng(seed)
+    for _ in range(4 * k):
+        v = rng.normal(size=k)
+        dirs.append(v / np.linalg.norm(v))
+    verts: set[int] = set()
+    for d in dirs:
+        verts.add(int(np.argmax(points @ d)))
+    return np.array(sorted(verts))
+
+
+def _tarjan_scc(n: int, edges: dict[int, set[int]]) -> list[list[int]]:
+    """Iterative Tarjan SCC (standard — the reference's stack-pop quirk at
+    ``patternly/_utils.py:157-160`` is consciously NOT replicated; SURVEY
+    §2.5 A7 flags it as an internal bug)."""
+    index = [0]
+    idx = [-1] * n
+    low = [0] * n
+    on_stack = [False] * n
+    stack: list[int] = []
+    sccs: list[list[int]] = []
+
+    for root in range(n):
+        if idx[root] != -1:
+            continue
+        work = [(root, iter(sorted(edges.get(root, ()))))]
+        idx[root] = low[root] = index[0]
+        index[0] += 1
+        stack.append(root)
+        on_stack[root] = True
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if idx[w] == -1:
+                    idx[w] = low[w] = index[0]
+                    index[0] += 1
+                    stack.append(w)
+                    on_stack[w] = True
+                    work.append((w, iter(sorted(edges.get(w, ())))))
+                    advanced = True
+                    break
+                elif on_stack[w]:
+                    low[v] = min(low[v], idx[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == idx[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(comp)
+    return sccs
+
+
+def genesess(
+    sequences: Iterable[Sequence[int]],
+    eps: float = 0.1,
+    alphabet_size: int | None = None,
+    pfsa_id: int = 0,
+    smoothing: float = 0.5,
+) -> PFSA:
+    """Infer a PFSA from symbol sequences.  Deterministic given input order."""
+    seqs = [np.asarray(s, dtype=np.uint8) for s in sequences if len(s) > 0]
+    if not seqs:
+        raise ValueError("genesess: no non-empty sequences")
+    k = alphabet_size if alphabet_size is not None else int(max(int(s.max()) for s in seqs)) + 1
+    k = max(k, 2)
+    seqs_b = [s.tobytes() for s in seqs]
+    total_len = sum(len(s) for s in seqs)
+
+    # global symbol frequencies (%SYM_FRQ)
+    sym_frq = np.zeros(k)
+    for s in seqs:
+        sym_frq += np.bincount(s, minlength=k)[:k]
+    sym_frq = sym_frq / max(sym_frq.sum(), 1)
+
+    # ---- Step 1: derivative heap over subsequences of length <= L -------
+    L = max(1, math.ceil(math.log(1.0 / max(eps, 1e-9), k)))
+    L = min(L, 8)  # bound the n-gram space; longer prefixes add nothing at eps >= 1e-5
+    cand_patterns: list[bytes] = [b""]
+    for length in range(1, L + 1):
+        if k ** length > 4096:
+            break
+        from itertools import product
+
+        for tup in product(range(k), repeat=length):
+            cand_patterns.append(bytes(tup))
+
+    pats: list[bytes] = []
+    dists: list[np.ndarray] = []
+    freqs: list[int] = []
+    for p in cand_patterns:
+        c = _follower_counts(seqs_b, p, k)
+        tot = int(c.sum())
+        if tot >= _MIN_COUNT:
+            pats.append(p)
+            dists.append(c / tot)
+            freqs.append(tot)
+    if not pats:
+        pats, dists, freqs = [b""], [sym_frq.copy()], [total_len]
+
+    pts = np.vstack(dists)
+    verts = _hull_vertices(pts)
+    # vertex with the highest frequency in x (ms.tex GenSyncSeq line)
+    best = max(verts, key=lambda i: (freqs[i], -len(pats[i])))
+    x0 = pats[best]
+
+    # ---- Step 2: BFS state discovery ------------------------------------
+    state_ids: list[bytes] = [x0]
+    state_dists: list[np.ndarray] = [dists[best]]
+    delta: dict[tuple[int, int], int] = {}
+    frontier = [0]
+    while frontier:
+        new_states: list[int] = []
+        for q in frontier:
+            for sigma in range(k):
+                y = state_ids[q] + bytes([sigma])
+                c = _follower_counts(seqs_b, y, k)
+                tot = int(c.sum())
+                if tot < _MIN_COUNT:
+                    # insufficient evidence: fall back to nearest existing state
+                    d = state_dists[q]
+                    j = int(np.argmin([np.max(np.abs(d - sd)) for sd in state_dists]))
+                    delta[(q, sigma)] = j
+                    continue
+                d = c / tot
+                gaps = [np.max(np.abs(d - sd)) for sd in state_dists]
+                j = int(np.argmin(gaps))
+                if gaps[j] < eps or len(state_ids) >= _MAX_STATES or len(y) > L + 8:
+                    delta[(q, sigma)] = j
+                else:
+                    state_ids.append(y)
+                    state_dists.append(d)
+                    nid = len(state_ids) - 1
+                    delta[(q, sigma)] = nid
+                    new_states.append(nid)
+        frontier = new_states
+
+    # ---- largest strongly-connected subgraph ----------------------------
+    n = len(state_ids)
+    adj: dict[int, set[int]] = {q: set() for q in range(n)}
+    for (q, _s), q2 in delta.items():
+        adj[q].add(q2)
+    sccs = _tarjan_scc(n, adj)
+    keep = max(sccs, key=len)
+    keep_sorted = sorted(keep)
+    remap = {old: new for new, old in enumerate(keep_sorted)}
+    kept_dists = [state_dists[q] for q in keep_sorted]
+    m = len(keep_sorted)
+    connx = np.zeros((m, k), dtype=np.int32)
+    for new_q, old_q in enumerate(keep_sorted):
+        for sigma in range(k):
+            tgt = delta[(old_q, sigma)]
+            if tgt in remap:
+                connx[new_q, sigma] = remap[tgt]
+            else:
+                # edge leaves the SCC: redirect to the in-SCC state whose
+                # follower distribution is nearest the dangling target's
+                d = state_dists[tgt]
+                j = int(np.argmin([np.max(np.abs(d - kd)) for kd in kept_dists]))
+                connx[new_q, sigma] = j
+
+    # ---- Step 3: transition probabilities by one counting pass ----------
+    counts = np.zeros((m, k), dtype=np.int64)
+    for s in seqs:
+        q = 0
+        for sigma in s:
+            counts[q, sigma] += 1
+            q = connx[q, sigma]
+    pit = (counts + smoothing) / (counts + smoothing).sum(axis=1, keepdims=True)
+
+    ann_err = float(np.mean([np.max(np.abs(pit[q] - kept_dists[q])) for q in range(m)]))
+    return PFSA(
+        pitilde=pit,
+        connx=connx,
+        pfsa_id=pfsa_id,
+        ann_err=ann_err,
+        mrg_eps=eps,
+        syn_str=list(x0),
+        sym_frq=sym_frq,
+    )
+
+
+_FIT_SCHEMA = T.StructType(
+    [
+        T.StructField("cluster", T.IntegerType(), False),
+        T.StructField("pfsa_id", T.IntegerType(), False),
+        T.StructField("ann_err", T.DoubleType(), True),
+        T.StructField("mrg_eps", T.DoubleType(), True),
+        T.StructField("syn_str", T.ArrayType(T.IntegerType()), True),
+        T.StructField("sym_frq", T.ArrayType(T.DoubleType()), True),
+        T.StructField("pitilde", T.ArrayType(T.ArrayType(T.DoubleType())), False),
+        T.StructField("connx", T.ArrayType(T.ArrayType(T.IntegerType())), False),
+    ]
+)
+
+
+def fit_cluster_pfsas(
+    seq_df: DataFrame,
+    eps: float = 0.1,
+    alphabet_size: int | None = None,
+    *,
+    cluster_col: str = "cluster",
+    seq_col: str = "symbols",
+    id_col: str = "seq_id",
+) -> DataFrame:
+    """One GenESeSS fit per cluster (SURVEY X1 Spark mapping).
+
+    groupBy(cluster).applyInPandas — each group's sequences are sorted by
+    seq_id inside the UDF so the fit is deterministic under any shuffle
+    partitioning.  Returns a PFSA-library DataFrame with a ``cluster``
+    column; pfsa_id == cluster label.
+    """
+
+    def fit(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col)
+        cluster = int(pdf[cluster_col].iloc[0])
+        model = genesess(pdf[seq_col].tolist(), eps=eps, alphabet_size=alphabet_size, pfsa_id=cluster)
+        return pd.DataFrame(
+            [
+                {
+                    "cluster": cluster,
+                    "pfsa_id": cluster,
+                    "ann_err": model.ann_err,
+                    "mrg_eps": model.mrg_eps,
+                    "syn_str": model.syn_str,
+                    "sym_frq": model.sym_frq.tolist(),
+                    "pitilde": model.pitilde.tolist(),
+                    "connx": [[int(v) for v in row] for row in model.connx],
+                }
+            ]
+        )
+
+    return seq_df.select(cluster_col, id_col, seq_col).groupBy(cluster_col).applyInPandas(fit, schema=_FIT_SCHEMA)

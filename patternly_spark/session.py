@@ -1,0 +1,46 @@
+"""SparkSession factory with deterministic, scale-aware defaults.
+
+Test/bench runs use ``local[$SPARK_GRAFT_CPUS]`` (default local[*]); on a
+real cluster the same conf applies unchanged — AQE handles partition
+coalescing and skew joins at any scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "patternly-spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    Deterministic settings required by the DuckDB-oracle correctness
+    harness: UTC session timezone, fixed shuffle partition count, Arrow
+    enabled for pandas-UDF kernels.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # keep broadcast threshold generous: PFSA libraries / dimension
+        # tables are tiny relative to the fact side at any scale factor
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def testdata_dir(sf: str = "0.001") -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{sf}")
