@@ -184,7 +184,15 @@ class AnomalyDetection:
         from pyspark.ml.functions import array_to_vector
 
         vec = feats.select("seq_id", array_to_vector("feat").alias("features"))
-        if self.clustering_alg is not None:
+        if self.clustering_alg is not None and callable(self.clustering_alg) and not hasattr(self.clustering_alg, "fit"):
+            # pluggable clustering, Spark idiom of the reference's any
+            # `.fit(X).labels_` duck-typing (detection.py:21,:337-338):
+            # a callable (features_df(seq_id, feat), n_clusters) ->
+            # DataFrame(seq_id, cluster)
+            pred = self.clustering_alg(feats, n_clusters).select(
+                "seq_id", F.col("cluster").cast("int").alias("cluster")
+            )
+        elif self.clustering_alg is not None:
             est = self.clustering_alg
             model = est.fit(vec)
             pred = model.transform(vec).select("seq_id", F.col(model.getOrDefault(model.predictionCol)).cast("int").alias("cluster"))

@@ -191,36 +191,102 @@ def genesess(
     best = max(verts, key=lambda i: (freqs[i], -len(pats[i])))
     x0 = pats[best]
 
-    # ---- Step 2: BFS state discovery ------------------------------------
-    state_ids: list[bytes] = [x0]
-    state_dists: list[np.ndarray] = [dists[best]]
+    # ---- Step 2: state discovery over the full L-context set ------------
+    # Contexts longer than L are statistically indistinguishable at
+    # resolution eps (that is what L = ceil(log_|Sigma| 1/eps) encodes, the
+    # ms.tex GenL line), so the state space is built from ALL length-L
+    # contexts at once: cluster contexts whose follower distributions are
+    # within eps in inf-norm (greedy, by descending support — merging into
+    # the count-weighted state mean), then derive delta by count-weighted
+    # majority over context successors.  Unlike a greedy BFS over growing
+    # sequence identifiers, this construction is total and keeps the graph
+    # recurrent, so the strongly-connected restriction does not degenerate.
+    Lc = L
+    while Lc > 1 and k ** Lc > 4096:
+        Lc -= 1
+
+    def _context_stats(Lc: int):
+        ctxs: list[bytes] = []
+        cdists: list[np.ndarray] = []
+        ccounts: list[int] = []
+        from itertools import product as _product
+
+        for tup in _product(range(k), repeat=Lc):
+            p = bytes(tup)
+            c = _follower_counts(seqs_b, p, k)
+            tot = int(c.sum())
+            if tot >= _MIN_COUNT:
+                ctxs.append(p)
+                cdists.append(c / tot)
+                ccounts.append(tot)
+        return ctxs, cdists, ccounts
+
+    ctxs, cdists, ccounts = _context_stats(Lc)
+    while not ctxs and Lc > 1:
+        Lc -= 1
+        ctxs, cdists, ccounts = _context_stats(Lc)
+    if not ctxs:
+        # degenerate input: single uniform-ish state from global frequencies
+        pit = (sym_frq + 1e-12) / (sym_frq + 1e-12).sum()
+        return PFSA(
+            pitilde=pit.reshape(1, k),
+            connx=np.zeros((1, k), dtype=np.int32),
+            pfsa_id=pfsa_id,
+            ann_err=0.0,
+            mrg_eps=eps,
+            syn_str=list(x0),
+            sym_frq=sym_frq,
+        )
+
+    # greedy eps-clustering of contexts, seeded by the sync context's
+    # cluster; order by descending support for determinism
+    order = sorted(range(len(ctxs)), key=lambda i: (-ccounts[i], ctxs[i]))
+    ctx_state: dict[bytes, int] = {}
+    state_sum: list[np.ndarray] = []  # count-weighted sums of follower dists
+    state_cnt: list[int] = []
+    for i in order:
+        d = cdists[i]
+        jbest, gbest = -1, np.inf
+        for j in range(len(state_sum)):
+            g = float(np.max(np.abs(d - state_sum[j] / state_cnt[j])))
+            if g < gbest:
+                jbest, gbest = j, g
+        if jbest >= 0 and (gbest < eps or len(state_sum) >= _MAX_STATES):
+            ctx_state[ctxs[i]] = jbest
+            state_sum[jbest] = state_sum[jbest] + d * ccounts[i]
+            state_cnt[jbest] += ccounts[i]
+        else:
+            ctx_state[ctxs[i]] = len(state_sum)
+            state_sum.append(d * ccounts[i])
+            state_cnt.append(ccounts[i])
+    n_states0 = len(state_sum)
+    state_dists = [state_sum[j] / state_cnt[j] for j in range(n_states0)]
+
+    # transition structure: count-weighted majority vote over successors
+    votes: dict[tuple[int, int], dict[int, float]] = {}
+    for i, y in enumerate(ctxs):
+        q = ctx_state[y]
+        for sigma in range(k):
+            succ = (y + bytes([sigma]))[-Lc:]
+            if succ not in ctx_state:
+                continue
+            w = ccounts[i] * cdists[i][sigma]
+            votes.setdefault((q, sigma), {}).setdefault(ctx_state[succ], 0.0)
+            votes[(q, sigma)][ctx_state[succ]] += w
     delta: dict[tuple[int, int], int] = {}
-    frontier = [0]
-    while frontier:
-        new_states: list[int] = []
-        for q in frontier:
-            for sigma in range(k):
-                y = state_ids[q] + bytes([sigma])
-                c = _follower_counts(seqs_b, y, k)
-                tot = int(c.sum())
-                if tot < _MIN_COUNT:
-                    # insufficient evidence: fall back to nearest existing state
-                    d = state_dists[q]
-                    j = int(np.argmin([np.max(np.abs(d - sd)) for sd in state_dists]))
-                    delta[(q, sigma)] = j
-                    continue
-                d = c / tot
-                gaps = [np.max(np.abs(d - sd)) for sd in state_dists]
-                j = int(np.argmin(gaps))
-                if gaps[j] < eps or len(state_ids) >= _MAX_STATES or len(y) > L + 8:
-                    delta[(q, sigma)] = j
-                else:
-                    state_ids.append(y)
-                    state_dists.append(d)
-                    nid = len(state_ids) - 1
-                    delta[(q, sigma)] = nid
-                    new_states.append(nid)
-        frontier = new_states
+    fallback = int(np.argmax(state_cnt))
+    for q in range(n_states0):
+        for sigma in range(k):
+            v = votes.get((q, sigma))
+            if v:
+                delta[(q, sigma)] = max(sorted(v), key=lambda s: v[s])
+            else:
+                delta[(q, sigma)] = fallback
+
+    state_ids = [b"" for _ in range(n_states0)]
+    for y, q in ctx_state.items():
+        if not state_ids[q]:
+            state_ids[q] = y
 
     # ---- largest strongly-connected subgraph ----------------------------
     n = len(state_ids)

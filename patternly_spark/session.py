@@ -19,6 +19,14 @@ def get_spark(app_name: str = "patternly-spark", *, shuffle_partitions: int | No
     harness: UTC session timezone, fixed shuffle partition count, Arrow
     enabled for pandas-UDF kernels.
     """
+    # make the package importable by spawned Python workers regardless of
+    # the consumer's cwd (pandas-UDF kernels unpickle patternly_spark on
+    # executors; PYTHONPATH is inherited by worker processes)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + existing if existing else "")
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:

@@ -1,0 +1,169 @@
+"""End-to-end pipeline tests modeled on the reference's golden notebooks
+(SURVEY §5.3): an example0-style batch (normal regimes + 23 anomalous
+sequences at known positions) and the continuous stream detector minting a
+new PFSA at a regime boundary."""
+
+import numpy as np
+import pytest
+
+from patternly_spark.detection import AnomalyDetection, StreamingDetection, ContinuousStreamingDetection
+from patternly_spark.pfsa.model import PFSA
+from patternly_spark.pfsa.simulate import simulate
+
+# three well-separated 2-state binary machines
+MACHINE_A = PFSA(pitilde=[[0.8, 0.2], [0.3, 0.7]], connx=[[0, 1], [0, 1]])
+MACHINE_B = PFSA(pitilde=[[0.2, 0.8], [0.7, 0.3]], connx=[[0, 1], [0, 1]])
+MACHINE_C = PFSA(pitilde=[[0.05, 0.95], [0.95, 0.05]], connx=[[0, 1], [0, 1]])
+# IID-uniform source: high cross-entropy under BOTH structured regimes, so
+# it is anomalous w.r.t. every library PFSA (the A6 all-above criterion)
+MACHINE_U = PFSA(pitilde=[[0.5, 0.5], [0.5, 0.5]], connx=[[0, 1], [0, 1]])
+
+
+def _seq_df(spark, groups, length=200):
+    """groups: list of (machine, count, seed). seq_ids assigned in order."""
+    rows = []
+    sid = 0
+    for machine, count, seed in groups:
+        for s in simulate(machine, length, count, seed=seed):
+            rows.append((sid, [int(v) for v in s]))
+            sid += 1
+    return spark.createDataFrame(rows, "seq_id long, symbols array<int>")
+
+
+def test_single_cluster_detects_injected_anomalies(spark):
+    # minimum end-to-end slice (SURVEY §7): k=1, pre-quantized, golden outcome
+    df = _seq_df(spark, [(MACHINE_A, 120, 1), (MACHINE_C, 5, 2)])
+    model = AnomalyDetection(spark, n_clusters=1, quantize=False, anomaly_sensitivity=4, eps=0.2)
+    model.fit(df)
+    preds = model.predict().toPandas().sort_values("seq_id")
+    anomalous = preds[preds.anomaly].seq_id.tolist()
+    assert anomalous == [120, 121, 122, 123, 124]
+
+
+def test_example0_style_two_clusters(spark):
+    # 2 normal regimes fit with k=2; prediction on a batch with 23 anomalous
+    # sequences at known tail positions flags exactly those (example0 golden
+    # shape: 23 anomalies at rows 2000-2022)
+    train = _seq_df(spark, [(MACHINE_A, 200, 3), (MACHINE_B, 200, 4)])
+    model = AnomalyDetection(
+        spark, n_clusters=2, quantize=False, anomaly_sensitivity=4, reduce_clusters=False, eps=0.2
+    )
+    model.fit(train)
+    assert model.n_clusters == 2
+    assert len(model.library) == 2
+    full = _seq_df(spark, [(MACHINE_A, 200, 3), (MACHINE_B, 200, 4), (MACHINE_U, 23, 5)])
+    preds = model.predict(full).toPandas().sort_values("seq_id")
+    anomalous = preds[preds.anomaly].seq_id.tolist()
+    assert anomalous == list(range(400, 423))
+    # closest_match maps normal sequences onto their own regime's PFSA
+    normal = preds[~preds.anomaly]
+    assert normal.closest_match.nunique() == 2
+
+
+def test_cluster_reduction_merges_similar_regimes(spark):
+    # clusters over data from ONE machine must merge (example1 pattern:
+    # k too high -> reduced).  An arbitrary partitioner (the pluggable
+    # clustering_alg surface, reference detection.py:21,:337-338) yields
+    # near-identical per-cluster fits, so the confusion fractions spread,
+    # the 0.2-threshold digraph connects, and X7 reduces 3 -> 1.
+    from pyspark.sql import functions as F
+
+    df = _seq_df(spark, [(MACHINE_A, 200, 7)], length=60)
+    partitioner = lambda feats, n: feats.select(
+        "seq_id", (F.col("seq_id") % n).cast("int").alias("cluster")
+    )
+    model = AnomalyDetection(
+        spark, n_clusters=3, quantize=False, anomaly_sensitivity=3,
+        reduce_clusters=True, clustering_alg=partitioner, eps=0.2,
+    )
+    model.fit(df)
+    assert model.n_clusters == 1
+    preds = model.predict().toPandas()
+    # in-sample false positives at 3 sigma over 200 draws: ~Binomial tail
+    assert preds.anomaly.sum() <= 2
+
+
+def test_no_reduction_when_regimes_distinct(spark):
+    # genuinely distinct regimes must NOT merge
+    df = _seq_df(spark, [(MACHINE_A, 100, 7), (MACHINE_B, 100, 8)], length=100)
+    model = AnomalyDetection(
+        spark, n_clusters=2, quantize=False, anomaly_sensitivity=4, reduce_clusters=True, eps=0.2
+    )
+    model.fit(df)
+    assert model.n_clusters == 2
+
+
+def test_quantize_complex_pipeline(spark):
+    # continuous values: regime A ~ N(0,1) random walk vs anomaly ~ big jumps
+    # normal = momentum random walk (sticky diff signs -> structured
+    # symbols); anomaly = alternating jumps (anti-sticky diff signs)
+    rng = np.random.default_rng(42)
+    rows = []
+    for sid in range(60):
+        noise = rng.normal(0, 1.0, 150)
+        steps = np.empty(150)
+        s = 0.0
+        for t in range(150):
+            s = 0.85 * s + noise[t]
+            steps[t] = s
+        rows.append((sid, np.cumsum(steps).tolist()))
+    for sid in range(60, 64):
+        steps = 4.0 * ((-1.0) ** np.arange(150)) + rng.normal(0, 0.5, 150)
+        rows.append((sid, np.cumsum(steps).tolist()))
+    df = spark.createDataFrame(rows, "seq_id long, values array<double>")
+    model = AnomalyDetection(
+        spark, n_clusters=1, quantize=True, quantize_type="simple", anomaly_sensitivity=3, eps=0.2
+    )
+    model.fit(df)
+    preds = model.predict().toPandas()
+    flagged = set(preds[preds.anomaly].seq_id)
+    assert flagged.issuperset({60, 61, 62, 63})
+    assert len(flagged) <= 8
+
+
+def test_save_load_roundtrip(tmp_path, spark):
+    df = _seq_df(spark, [(MACHINE_A, 50, 9)])
+    model = AnomalyDetection(spark, n_clusters=1, quantize=False, anomaly_sensitivity=4, eps=0.2)
+    model.fit(df)
+    model.save_model(str(tmp_path / "m"))
+    loaded = AnomalyDetection.load_model(str(tmp_path / "m"), spark)
+    assert loaded.fitted and len(loaded.library) == 1
+    np.testing.assert_allclose(loaded.library[0].pitilde, model.library[0].pitilde)
+    preds = loaded.predict(df).toPandas()
+    assert preds.anomaly.sum() == 0
+
+
+def test_streaming_detection_windows(spark):
+    # one long stream from machine A, chopped into tumbling windows
+    stream = simulate(MACHINE_A, 20000, 1, seed=11)[0]
+    df = spark.createDataFrame(
+        [(i, int(s)) for i, s in enumerate(stream)], "offset long, symbol int"
+    )
+    model = StreamingDetection(
+        spark, window_size=500, window_overlap=0, n_clusters=1, quantize=False,
+        anomaly_sensitivity=4, eps=0.2,
+    )
+    model.fit(df)
+    preds = model.predict().toPandas()
+    assert len(preds) == 40  # 20000 // 500 complete windows
+    assert preds.anomaly.sum() == 0
+
+
+def test_continuous_streaming_mints_pfsa_at_regime_change(spark):
+    # segment A (20 windows) then segment C (10 windows): detector must
+    # cold-start PFSA 0 and mint a new PFSA at the A->C boundary (ST1/ST2)
+    a = simulate(MACHINE_A, 10000, 1, seed=13)[0]
+    c = simulate(MACHINE_C, 5000, 1, seed=14)[0]
+    stream = np.concatenate([a, c])
+    df = spark.createDataFrame(
+        [(i, int(s)) for i, s in enumerate(stream)], "offset long, symbol int"
+    )
+    model = ContinuousStreamingDetection(
+        spark, window_size=500, window_overlap=0, n_clusters=1, quantize=False,
+        anomaly_sensitivity=4, eps=0.2,
+    )
+    model.fit_stream(df)
+    assert len(model.library) >= 2
+    assert model.pattern_emergence_times[0] == 0
+    # the first mint after cold start happens at the regime boundary window
+    assert any(19 <= t <= 21 for t in model.pattern_emergence_times[1:])
