@@ -1,38 +1,798 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship anomaly-discovery pipeline on
+sf0.001.  ``queries()`` exposes every implemented operator family from
+SURVEY.md §2 (+ the training-data-pipeline operators); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for each deterministic relational query.
+
+Numeric-parity conventions (so value hashes match across engines):
+- money/quantity aggregates are summed as DECIMAL (exact) and cast to
+  DOUBLE at the end; both engines round the same doubles to the same
+  decimals, so the result is bit-identical regardless of partial-agg
+  ordering.
+- stddev is computed from exact decimal sums via the closed form.
+- counts/sums of integers are cast to BIGINT (DuckDB SUM(int) is
+  HUGEINT otherwise).
+- timestamps are surfaced as epoch seconds (BIGINT).
+- hashes/minhashes are md5-derived (identical hex in both engines).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is TIMESTAMP(NANOS) in the parquet; with
+    # spark.sql.legacy.parquet.nanosAsLong it arrives as long nanoseconds.
+    # The generator emits whole microseconds, so the conversion is lossless.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def _dec(col, scale="18,2"):
+    return F.col(col).cast(f"decimal({scale})") if isinstance(col, str) else col.cast(f"decimal({scale})")
+
+
+# ---------------------------------------------------------------------------
+# relational surface (SURVEY §2.11)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-shaped aggregation: scans one fact table, map-side partial
+    aggs, single shuffle on the tiny group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _dec("l_discount", "4,2")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def q02_top_customers(spark, sf_dir):
+    """Join + agg + deterministic top-k (sort with unique tiebreak)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q03_region_activity(spark, sf_dir):
+    """Star-join rollup: dimension chain broadcast into the orders scan."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+            F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+        )
+    )
+
+
+def q04_priority_semijoin(spark, sf_dir):
+    """Left-semi join (EXISTS)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+def q05_customers_without_orders(spark, sf_dir):
+    """Left-anti join (NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+def q06_window_rank(spark, sf_dir):
+    """Window function: top-3 orders per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def q07_lag_delta(spark, sf_dir):
+    """W2: per-stream lag/diff (the quantization primitive)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+def q08_events_tumbling(spark, sf_dir):
+    """ST5 tumbling window (batch expression of window(ts, 1 day))."""
+    e = _t(spark, sf_dir, "events")
+    win = F.window("ts", "86400 seconds")
+    return (
+        e.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(24,10)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def q09_events_sliding(spark, sf_dir):
+    """ST5 sliding window: 24h windows every 12h — each event in exactly 2."""
+    e = _t(spark, sf_dir, "events")
+    win = F.window("ts", "86400 seconds", "43200 seconds")
+    return (
+        e.groupBy(win.alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"), "n")
+    )
+
+
+def q10_setops(spark, sf_dir):
+    """Union-all + distinct (J4)."""
+    e = _t(spark, sf_dir, "events").select(F.col("event_type").alias("val"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("val"))
+    return e.unionByName(o).distinct()
+
+
+def q11_minmax_by(spark, sf_dir):
+    """A3-shaped argmin/argmax: min_by/max_by."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.max_by("event_id", "value").cast("long").alias("max_value_event"),
+        F.min_by("event_id", "value").cast("long").alias("min_value_event"),
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+    )
+
+
+def q12_filter_predicates(spark, sf_dir):
+    """P2-P4: comparison/boolean/range/in predicates pushed to the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount").between(0.02, 0.08))
+            & (F.col("l_returnflag").isin("R", "A"))
+            & (F.col("l_tax") != 0.0)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total"),
+        )
+    )
+
+
+def q13_distinct_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.countDistinct("l_suppkey").cast("long").alias("n_supps"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quantization / windowing (SURVEY F1-F7, W1)
+# ---------------------------------------------------------------------------
+
+def q14_quantize_simple(spark, sf_dir):
+    """F1+F2 first-difference sign quantization on the events stream."""
+    from patternly_spark.functions.quantize import quantize_simple_long
+
+    e = _t(spark, sf_dir, "events")
+    out = quantize_simple_long(
+        e, "value", partition_cols=["user_id"], order_col=["ts", "event_id"], out_col="symbol"
+    )
+    return out.select("event_id", "user_id", F.col("symbol").cast("int").alias("symbol"))
+
+
+def q15_quantize_complex(spark, sf_dir):
+    """F4 entropy-max quantile quantization (4 equi-probable bins)."""
+    e = _t(spark, sf_dir, "events")
+    cuts = e.select(
+        F.expr("percentile(value, array(0.25D, 0.5D, 0.75D))").alias("cuts")
+    )
+    sym = (
+        F.when(F.col("value") >= F.col("cuts")[2], 3)
+        .when(F.col("value") >= F.col("cuts")[1], 2)
+        .when(F.col("value") >= F.col("cuts")[0], 1)
+        .otherwise(0)
+    )
+    return e.crossJoin(F.broadcast(cuts)).select(
+        "event_id", sym.cast("int").alias("symbol")
+    )
+
+
+def q16_alphabet_size(spark, sf_dir):
+    """F6 quirk: alphabet_size = max(symbol) + 1 per stream (NOT distinct
+    count) — reference detection.py:133-136."""
+    sym = q15_quantize_complex(spark, sf_dir)
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    return (
+        sym.join(e, "event_id")
+        .groupBy("user_id")
+        .agg((F.max("symbol") + F.lit(1)).cast("int").alias("alphabet_size"))
+    )
+
+
+def q17_window_chop(spark, sf_dir):
+    """W1 split_streams parity: size=100, overlap=40 sliding chop over the
+    globally-ordered event stream; incomplete windows dropped."""
+    from patternly_spark.functions.windowing import split_stream
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "value", F.struct("ts", "event_id").alias("__ord")
+    )
+    chopped = split_stream(e, window_size=100, window_overlap=40, order_col="__ord")
+    return chopped.groupBy("window_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(24,10)")).cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+def q18_token_stats(spark, sf_dir):
+    from patternly_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    n_tok = token_count("text")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("int").alias("n_distinct"),
+        ((F.length("text") - (n_tok - 1)).cast("double") / n_tok.cast("double")).alias("mean_token_len"),
+    )
+
+
+def q19_quality_langid(spark, sf_dir):
+    from patternly_spark.functions.text import langid, quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        langid("text").alias("lang_pred"),
+    )
+
+
+def q20_exact_dedup(spark, sf_dir):
+    from patternly_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d)
+
+
+def q21_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (unigram shingles, 4 portable hash functions)."""
+    from patternly_spark.operators.dedup import minhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_signatures(d, shingle_size=1, num_hashes=4)
+
+
+def q22_minhash_buckets(spark, sf_dir):
+    """LSH banding census: bucket sizes of the first signature row."""
+    sigs = q21_minhash_signatures(spark, sf_dir)
+    return sigs.groupBy(F.col("minhash_0").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def q23_ngram_jaccard(spark, sf_dir):
+    """Exact unigram-set Jaccard on adjacent-id document pairs."""
+    d = _t(spark, sf_dir, "documents")
+    sets = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = sets.select((F.col("doc_id") - 1).alias("doc_a"), F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    return a.join(b, "doc_a").select(
+        "doc_a",
+        "doc_b",
+        (
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+            / F.size(F.array_union("toks_a", "toks_b")).cast("double")
+        ).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def q24_cosine_topk(spark, sf_dir):
+    """Brute-force exact top-3 cosine neighbors for the first 20 vectors."""
+    from patternly_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    out = cosine_topk(emb, queries_df, k=3)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# stats / anomaly reductions (SURVEY A1, A6)
+# ---------------------------------------------------------------------------
+
+def q25_llk_stats_shape(spark, sf_dir):
+    """A1-shaped per-group mean/stddev via exact decimal sums (stddev
+    closed form => bit-identical across engines)."""
+    # decimal(12,3): keeps sum(v*v) below 2^53 scaled units so the
+    # decimal->double conversion is exact in BOTH engines (a (18,6) cast
+    # produced a 1-ulp divergence from int128->double rounding)
+    e = _t(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(12,3)")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("double").alias("sx"),
+        F.sum(v * v).cast("double").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("sx") / n
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    return agg.select("event_type", "n", mean.alias("mean_value"), F.sqrt(var).alias("std_value"))
+
+
+def q26_anomaly_flag_shape(spark, sf_dir):
+    """A6-shaped ALL-above/below reduction: bool_and per group."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.bool_and(F.col("value") < 450.0).alias("all_below"),
+        F.bool_and(F.col("value") > 50.0).alias("all_above"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible domain operators (rows-only driver check)
+# ---------------------------------------------------------------------------
+
+def q90_pfsa_llk_scores(spark, sf_dir):
+    """X2: llk of per-user event symbol sequences under 2 fixed PFSAs."""
+    from patternly_spark.pfsa.llk import score_sequences
+    from patternly_spark.pfsa.model import PFSA
+
+    seqs = _user_symbol_sequences(spark, sf_dir)
+    m0 = PFSA(pitilde=[[0.6, 0.4], [0.3, 0.7]], connx=[[0, 1], [0, 1]], pfsa_id=0)
+    m1 = PFSA(pitilde=[[0.5, 0.5], [0.5, 0.5]], connx=[[0, 1], [0, 1]], pfsa_id=1)
+    return score_sequences(seqs, [m0, m1])
+
+
+def q91_anomaly_pipeline(spark, sf_dir):
+    """Flagship: full fit+predict anomaly discovery on per-user event
+    sequences (quantize -> PFSA fit -> llk -> threshold)."""
+    from patternly_spark.detection import AnomalyDetection
+
+    seqs = _user_symbol_sequences(spark, sf_dir)
+    model = AnomalyDetection(
+        spark, n_clusters=1, quantize=False, anomaly_sensitivity=3, eps=0.2
+    )
+    model.fit(seqs)
+    return model.predict()
+
+
+def q92_simhash(spark, sf_dir):
+    from patternly_spark.operators.dedup import simhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_signatures(d, bits=16)
+
+
+def q93_lsh_candidates(spark, sf_dir):
+    from patternly_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, shingle_size=3, num_hashes=8)
+    return lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+
+
+def q94_embedding_neardup(spark, sf_dir):
+    from patternly_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.8)
+
+
+def q95_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: documents' bytes as opaque media payloads ->
+    Arrow-batched feature extraction (codec stubbed, plumbing real)."""
+    from patternly_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return extract_features(media, dim=8)
+
+
+def q96_lsh_topk(spark, sf_dir):
+    from patternly_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+def _user_symbol_sequences(spark, sf_dir):
+    """(seq_id=user_id, symbols): diff-sign symbols of each user's event
+    value stream ordered by (ts, event_id)."""
+    from patternly_spark.functions.quantize import quantize_simple_long
+
+    e = _t(spark, sf_dir, "events")
+    q = quantize_simple_long(
+        e, "value", partition_cols=["user_id"], order_col=["ts", "event_id"], out_col="symbol"
+    )
+    return (
+        q.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("symbol").alias("s")))
+            ).alias("pairs")
+        )
+        .select(
+            F.col("user_id").alias("seq_id"),
+            F.transform("pairs", lambda p: p["s"].cast("int")).alias("symbols"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q91_anomaly_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_top_customers": q02_top_customers,
+        "q03_region_activity": q03_region_activity,
+        "q04_priority_semijoin": q04_priority_semijoin,
+        "q05_customers_without_orders": q05_customers_without_orders,
+        "q06_window_rank": q06_window_rank,
+        "q07_lag_delta": q07_lag_delta,
+        "q08_events_tumbling": q08_events_tumbling,
+        "q09_events_sliding": q09_events_sliding,
+        "q10_setops": q10_setops,
+        "q11_minmax_by": q11_minmax_by,
+        "q12_filter_predicates": q12_filter_predicates,
+        "q13_distinct_agg": q13_distinct_agg,
+        "q14_quantize_simple": q14_quantize_simple,
+        "q15_quantize_complex": q15_quantize_complex,
+        "q16_alphabet_size": q16_alphabet_size,
+        "q17_window_chop": q17_window_chop,
+        "q18_token_stats": q18_token_stats,
+        "q19_quality_langid": q19_quality_langid,
+        "q20_exact_dedup": q20_exact_dedup,
+        "q21_minhash_signatures": q21_minhash_signatures,
+        "q22_minhash_buckets": q22_minhash_buckets,
+        "q23_ngram_jaccard": q23_ngram_jaccard,
+        "q24_cosine_topk": q24_cosine_topk,
+        "q25_llk_stats_shape": q25_llk_stats_shape,
+        "q26_anomaly_flag_shape": q26_anomaly_flag_shape,
+        "q90_pfsa_llk_scores": q90_pfsa_llk_scores,
+        "q91_anomaly_pipeline": q91_anomaly_pipeline,
+        "q92_simhash": q92_simhash,
+        "q93_lsh_candidates": q93_lsh_candidates,
+        "q94_embedding_neardup": q94_embedding_neardup,
+        "q95_multimodal_features": q95_multimodal_features,
+        "q96_lsh_topk": q96_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_top_customers": """
+            SELECT c_custkey, c_name,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 10
+        """,
+        "q03_region_activity": """
+            SELECT r_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+                   CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q04_priority_semijoin": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+            GROUP BY o_orderpriority
+        """,
+        "q05_customers_without_orders": """
+            SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "q06_window_rank": """
+            SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+                FROM orders
+            ) WHERE rnk <= 3
+        """,
+        "q07_lag_delta": """
+            SELECT event_id, user_id,
+                   value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+            FROM events
+        """,
+        "q08_events_tumbling": """
+            SELECT CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT) AS window_start,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(24,10))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q09_events_sliding": """
+            WITH assigned AS (
+                SELECT CAST(FLOOR(epoch(ts) / 43200) * 43200 - off AS BIGINT) AS window_start
+                FROM events, (VALUES (0), (43200)) offs(off)
+            )
+            SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n
+            FROM assigned GROUP BY 1
+        """,
+        "q10_setops": """
+            SELECT DISTINCT val FROM (
+                SELECT event_type AS val FROM events
+                UNION ALL
+                SELECT o_orderstatus AS val FROM orders
+            )
+        """,
+        "q11_minmax_by": """
+            SELECT event_type,
+                   CAST(arg_max(event_id, value) AS BIGINT) AS max_value_event,
+                   CAST(arg_min(event_id, value) AS BIGINT) AS min_value_event,
+                   MAX(value) AS max_value,
+                   MIN(value) AS min_value
+            FROM events GROUP BY event_type
+        """,
+        "q12_filter_predicates": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM lineitem
+            WHERE l_discount BETWEEN 0.02 AND 0.08
+              AND l_returnflag IN ('R', 'A')
+              AND l_tax <> 0.0
+            GROUP BY l_returnflag
+        """,
+        "q13_distinct_agg": """
+            SELECT l_returnflag,
+                   CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q14_quantize_simple": """
+            SELECT event_id, user_id,
+                   CAST(CASE WHEN value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 0
+                             THEN 1 ELSE 0 END AS INTEGER) AS symbol
+            FROM events
+        """,
+        "q15_quantize_complex": """
+            WITH cuts AS (
+                SELECT quantile_cont(value, 0.25) AS c1,
+                       quantile_cont(value, 0.5) AS c2,
+                       quantile_cont(value, 0.75) AS c3
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(CASE WHEN value >= c3 THEN 3
+                             WHEN value >= c2 THEN 2
+                             WHEN value >= c1 THEN 1
+                             ELSE 0 END AS INTEGER) AS symbol
+            FROM events, cuts
+        """,
+        "q16_alphabet_size": """
+            WITH cuts AS (
+                SELECT quantile_cont(value, 0.25) AS c1,
+                       quantile_cont(value, 0.5) AS c2,
+                       quantile_cont(value, 0.75) AS c3
+                FROM events
+            ), sym AS (
+                SELECT user_id,
+                       CASE WHEN value >= c3 THEN 3
+                            WHEN value >= c2 THEN 2
+                            WHEN value >= c1 THEN 1
+                            ELSE 0 END AS symbol
+                FROM events, cuts
+            )
+            SELECT user_id, CAST(MAX(symbol) + 1 AS INTEGER) AS alphabet_size
+            FROM sym GROUP BY user_id
+        """,
+        "q17_window_chop": """
+            WITH ordered AS (
+                SELECT value, ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rn FROM events
+            ), assigned AS (
+                SELECT value, CAST(FLOOR(rn / 60) AS BIGINT) - off AS window_id, rn
+                FROM ordered, (VALUES (0), (1)) offs(off)
+                WHERE CAST(FLOOR(rn / 60) AS BIGINT) - off >= 0
+                  AND rn >= (CAST(FLOOR(rn / 60) AS BIGINT) - off) * 60
+                  AND rn < (CAST(FLOOR(rn / 60) AS BIGINT) - off) * 60 + 100
+            )
+            SELECT window_id, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(24,10))) AS DOUBLE) AS sum_value
+            FROM assigned GROUP BY window_id HAVING COUNT(*) = 100
+        """,
+        "q18_token_stats": """
+            SELECT doc_id,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+                   CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
+                       / (length(text) - length(replace(text, ' ', '')) + 1) AS mean_token_len
+            FROM documents
+        """,
+        "q19_quality_langid": """
+            WITH toks AS (
+                SELECT doc_id, text,
+                       string_split(trim(text), ' ') AS t,
+                       length(text) - length(replace(text, ' ', '')) + 1 AS n_tok
+                FROM documents
+            ), feats AS (
+                SELECT doc_id,
+                       CAST(length(text) AS DOUBLE) / n_tok AS mean_len,
+                       CAST(len(list_distinct(t)) AS DOUBLE) / n_tok AS ttr,
+                       len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS hits_en,
+                       len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS hits_de,
+                       len(list_filter(t, x -> x IN ('le','la','les','et','est'))) AS hits_fr,
+                       len(list_filter(t, x -> x IN ('el','la','los','y','es'))) AS hits_es
+                FROM toks
+            )
+            SELECT doc_id,
+                   (CASE WHEN mean_len >= 3.0 AND mean_len <= 12.0 THEN 0.4 ELSE 0.0 END)
+                   + (CASE WHEN ttr < 1.0 THEN ttr ELSE 1.0 END) * 0.3
+                   + (CASE WHEN hits_en > 0 THEN 0.3 ELSE 0.0 END) AS quality,
+                   CASE WHEN hits_en = 0 AND hits_de = 0 AND hits_fr = 0 AND hits_es = 0 THEN 'und'
+                        WHEN hits_fr >= hits_es AND hits_fr >= hits_en AND hits_fr >= hits_de THEN 'fr'
+                        WHEN hits_es >= hits_en AND hits_es >= hits_de THEN 'es'
+                        WHEN hits_en >= hits_de THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM feats
+        """,
+        "q20_exact_dedup": """
+            WITH hashed AS (
+                SELECT doc_id,
+                       substr(md5(array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' ')), 1, 32) AS content_hash
+                FROM documents
+            )
+            SELECT doc_id, content_hash,
+                   MIN(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+                   doc_id <> MIN(doc_id) OVER (PARTITION BY content_hash) AS is_dup
+            FROM hashed
+        """,
+        "q21_minhash_signatures": """
+            WITH sh AS (
+                SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS shingles FROM documents
+            )
+            SELECT doc_id,
+                   list_min(list_transform(shingles, x -> ((('0x' || substr(md5(x),1,8))::BIGINT % 2147483647) * 1103515245 + 12345) % 2147483647)) AS minhash_0,
+                   list_min(list_transform(shingles, x -> ((('0x' || substr(md5(x),1,8))::BIGINT % 2147483647) * 1140671486 + 12820164) % 2147483647)) AS minhash_1,
+                   list_min(list_transform(shingles, x -> ((('0x' || substr(md5(x),1,8))::BIGINT % 2147483647) * 214015 + 2531013) % 2147483647)) AS minhash_2,
+                   list_min(list_transform(shingles, x -> ((('0x' || substr(md5(x),1,8))::BIGINT % 2147483647) * 22695480 + 4) % 2147483647)) AS minhash_3
+            FROM sh
+        """,
+        "q22_minhash_buckets": """
+            WITH sh AS (
+                SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS shingles FROM documents
+            ), sig AS (
+                SELECT list_min(list_transform(shingles, x -> ((('0x' || substr(md5(x),1,8))::BIGINT % 2147483647) * 1103515245 + 12345) % 2147483647)) AS bucket
+                FROM sh
+            )
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs FROM sig GROUP BY bucket
+        """,
+        "q23_ngram_jaccard": """
+            WITH sets AS (
+                SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS toks FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+            FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+        """,
+        "q24_cosine_topk": """
+            WITH sims AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+                                              list_transform(c.embedding, x -> x::DOUBLE))
+                             / (sqrt(list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+                                                      list_transform(q.embedding, x -> x::DOUBLE)))
+                                * sqrt(list_dot_product(list_transform(c.embedding, x -> x::DOUBLE),
+                                                        list_transform(c.embedding, x -> x::DOUBLE)))), 6) AS sim
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+            )
+            SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+                FROM sims
+            ) WHERE rnk <= 3
+        """,
+        "q25_llk_stats_shape": """
+            WITH agg AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(12,3))) AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(value AS DECIMAL(12,3)) * CAST(value AS DECIMAL(12,3))) AS DOUBLE) AS sxx
+                FROM events GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   sx / n AS mean_value,
+                   sqrt((sxx - sx * sx / n) / (n - 1)) AS std_value
+            FROM agg
+        """,
+        "q26_anomaly_flag_shape": """
+            SELECT user_id,
+                   bool_and(value < 450.0) AS all_below,
+                   bool_and(value > 50.0) AS all_above
+            FROM events GROUP BY user_id
+        """,
+    }

@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a cheap count() (no driver-side materialization
+of result rows); timings are per-query wall clock after a warm-up of the
+session + file listing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from patternly_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_top_customers",
+    "q03_region_activity",
+    "q06_window_rank",
+    "q08_events_tumbling",
+    "q14_quantize_simple",
+    "q17_window_chop",
+    "q18_token_stats",
+    "q20_exact_dedup",
+    "q21_minhash_signatures",
+    "q24_cosine_topk",
+    "q25_llk_stats_shape",
+    "q90_pfsa_llk_scores",
+    "q91_anomaly_pipeline",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("patternly-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM + parquet footers (excluded from per-query timings)
+    for t in entrymod.TABLES:
+        entrymod._t(spark, sf_dir, t).count()
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        start = time.perf_counter()
+        queries[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -45,7 +45,8 @@ def quantize_simple_long(
     reference's fillna(0) does.
     """
     parts = partition_cols or ["seq_id"]
-    w = Window.partitionBy(*parts).orderBy(order_col)
+    order = order_col if isinstance(order_col, list) else [order_col]
+    w = Window.partitionBy(*parts).orderBy(*order)
     d1 = F.col(value_col).cast("double") - F.lag(F.col(value_col).cast("double"), 1, None).over(w)
     d1 = F.coalesce(d1, F.lit(0.0))
     if not second:

@@ -1,0 +1,113 @@
+"""Text analytics for large-scale training-data pipelines.
+
+All functions are pure Spark column expressions (JVM-side, whole-stage
+codegen, no Python in the hot path) so they survive a 100 TB scan: a
+document row is processed entirely within its partition — no shuffle.
+
+Functions: token counting, quality scoring, language-ID heuristic,
+document fingerprinting, shingling (the substrate for MinHash dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small function-word marker sets for the language-ID heuristic
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    """Number of whitespace-separated tokens.  Expressed with length
+    arithmetic so it is engine-portable bit-for-bit (SQL oracle uses the
+    identical formula)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (F.length(c) - F.length(F.replace(c, F.lit(" "), F.lit(""))) + 1).cast("int")
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def type_token_ratio(text: Column | str) -> Column:
+    """Lexical diversity: distinct tokens / tokens (quality signal)."""
+    return distinct_token_count(text).cast("double") / token_count(text).cast("double")
+
+
+def stopword_count(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or _LANG_MARKERS["en"]
+    toks = tokens(text)
+    arr = F.array(*[F.lit(w) for w in sw])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality heuristic in [0, ~1]: mean token length band +
+    lexical diversity + stopword presence.  Deterministic, portable."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c).cast("double")
+    mean_len = F.length(c).cast("double") / n_tok
+    len_ok = F.when((mean_len >= 3.0) & (mean_len <= 12.0), F.lit(0.4)).otherwise(F.lit(0.0))
+    diversity = F.least(type_token_ratio(c), F.lit(1.0)) * 0.3
+    has_sw = F.when(stopword_count(c) > 0, F.lit(0.3)).otherwise(F.lit(0.0))
+    return len_ok + diversity + has_sw
+
+
+def langid(text: Column | str) -> Column:
+    """Marker-token language-ID heuristic: the language whose function
+    words occur most often; 'und' (undetermined) when no marker hits.
+    Ties break by language code order (deterministic)."""
+    toks = tokens(text)
+    scores = []
+    for lang in sorted(_LANG_MARKERS):
+        arr = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # max by (hits, reversed-lang) so higher hits win; equal hits -> first code
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column | str, n_chars: int = 16) -> Column:
+    """Content fingerprint: md5 of the whitespace-normalized document,
+    truncated.  Engine-portable (md5 hex is identical everywhere); the
+    normalization makes it robust to spacing variants."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.concat_ws(" ", F.split(F.lower(F.trim(c)), r"\s+"))
+    return F.substring(F.md5(normalized), 1, n_chars)
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """n-token shingles as an array<string> (distinct).  Pure array
+    expressions: transform over an index sequence — no explode, no
+    shuffle."""
+    toks = tokens(text)
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def shingle_hash(shingle: Column) -> Column:
+    """Portable 32-bit hash of a shingle: first 8 hex chars of md5 as an
+    integer.  Matches DuckDB's ('0x' || substr(md5(s),1,8))::BIGINT."""
+    return F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long")

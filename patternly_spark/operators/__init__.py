@@ -1,0 +1,22 @@
+from patternly_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    simhash_signatures,
+    ngram_jaccard_pairs,
+    embedding_neardup_pairs,
+)
+from patternly_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "minhash_dedup",
+    "simhash_signatures",
+    "ngram_jaccard_pairs",
+    "embedding_neardup_pairs",
+    "cosine_topk",
+    "lsh_bucketed_topk",
+]

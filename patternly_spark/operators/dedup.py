@@ -1,0 +1,322 @@
+"""Deduplication operators for training-data pipelines at 100 TB scale.
+
+Five families (each has a queries() entry on the documents table):
+
+- exact          : md5-normalized hash groupBy — one shuffle on a 16-byte
+                   key, the canonical-id join is a map-side broadcast at
+                   small dup rates.
+- MinHash + LSH  : shingle -> k portable hash functions -> banded
+                   signatures -> self-join on (band_id, band_hash).  The
+                   join key space is huge, so the shuffle fans out evenly;
+                   only candidate pairs (hash-equal bands) are compared.
+- SimHash        : 64-bit weighted-bit fingerprint; near-dups differ in
+                   few bits — bucket by 4 16-bit sub-keys (Hamming <= 3
+                   guarantee via pigeonhole) and verify within buckets.
+- n-gram Jaccard : exact verification metric on candidate pairs.
+- embedding near-dup : cosine over an embedding column above threshold,
+                   LSH-bucketed by random hyperplane signs.
+
+Everything is built-in column expressions (no Python UDFs): hashes are
+md5-derived so an external SQL oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from patternly_spark.functions.text import fingerprint, shingle_hash, shingles
+
+_MERSENNE = 2147483647  # 2^31 - 1
+# fixed affine hash-family parameters (seeded, public): (a, b) pairs.
+# All a < 2^31 so (h % M) * a stays below 2^62 (no long overflow).
+_HASH_PARAMS = [
+    (1103515245, 12345),
+    (1140671485, 12820163),
+    (214013, 2531011),
+    (22695477, 1),
+    (1664525, 1013904223),
+    (69069, 362437),
+    (1181783497, 7919),
+    (1597334677, 851723965),
+]
+
+
+def exact_dedup(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate detection by normalized content hash.
+
+    Output: (doc_id, content_hash, canonical_id, is_dup) — canonical is
+    the minimum doc_id per hash group.  Plan: one hash-partitioned
+    groupBy (map-side partial min) + one equi-join back; both stages
+    prune to (id, 16-byte hash) columns before shuffling.
+    """
+    hashed = docs.select(F.col(id_col), fingerprint(text_col, 32).alias("content_hash"))
+    canon = hashed.groupBy("content_hash").agg(F.min(id_col).alias("canonical_id"))
+    return (
+        hashed.join(canon, "content_hash")
+        .select(
+            id_col,
+            "content_hash",
+            "canonical_id",
+            (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
+        )
+    )
+
+
+def _minhash_cols(sh: Column, num_hashes: int) -> list[Column]:
+    cols = []
+    for j in range(num_hashes):
+        a, b = _HASH_PARAMS[j % len(_HASH_PARAMS)]
+        a, b = a + j, b + j  # distinct beyond the base family
+        cols.append(
+            F.array_min(
+                F.transform(sh, lambda s: ((shingle_hash(s) % _MERSENNE) * a + b) % _MERSENNE)
+            ).alias(f"minhash_{j}")
+        )
+    return cols
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """(doc_id, minhash_0..k-1): per-document MinHash signature.
+
+    Pure narrow map — shingling, hashing, and the min-reduction are array
+    expressions inside the scan; zero shuffle at any scale.
+    """
+    sh = shingles(text_col, shingle_size)
+    return docs.select(F.col(id_col), *_minhash_cols(sh, num_hashes))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded LSH: docs agreeing on all rows of any band become a
+    candidate pair.  Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
+
+    Plan: explode to (band_id, band_hash, doc_id) and self-join on the
+    band key — the classic shuffle-bounded LSH join.  Band keys are
+    md5-combined so bucket skew matches hash uniformity.
+    """
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"minhash_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("band_hash"))
+        )
+    exploded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures -> LSH candidates -> exact
+    n-gram Jaccard verification -> (doc_a, doc_b, jaccard) above
+    threshold."""
+    sigs = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, shingle_size=shingle_size, num_hashes=num_hashes
+    )
+    cand = lsh_candidate_pairs(sigs, id_col=id_col, num_hashes=num_hashes, bands=bands)
+    sh = docs.select(F.col(id_col), shingles(text_col, shingle_size).alias("sh"))
+    verified = (
+        cand.join(sh.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    shingle_size: int = 1,
+) -> DataFrame:
+    """SimHash: sign of the per-bit sum of shingle-hash bits.
+
+    (doc_id, simhash long).  Bit i of the signature is 1 iff more
+    shingles have bit i set than unset in their 64-bit md5-derived hash.
+    Pure array expressions (transform + aggregate over a bit sequence).
+    """
+    sh = shingles(text_col, shingle_size)
+    # 64-bit portable hash: two 32-bit md5 words
+    h_lo = F.transform(sh, lambda s: shingle_hash(s))
+    h_hi = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long"))
+    hashes = F.zip_with(h_lo, h_hi, lambda lo, hi: F.shiftleft(hi, 32) + lo)
+
+    def bit_vote(i: int) -> Column:
+        # +1 per hash with bit i set, -1 otherwise; bit set in the
+        # signature when the vote is positive
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(F.shiftright(h, i) % 2 != 0, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.shiftleft(bit_vote(i), i)
+    return docs.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-<=3 pairs via the pigeonhole trick: split the 64-bit key
+    into 4 16-bit blocks; any pair within distance 3 agrees on >= 1
+    block, so a 4-way block-keyed self-join finds all of them without a
+    quadratic comparison."""
+    blocks = [
+        (F.shiftright(F.col("simhash"), 16 * b) % 65536).alias(f"block_{b}") for b in range(4)
+    ]
+    keyed = signatures.select(id_col, "simhash", *blocks)
+    pairs = None
+    for b in range(4):
+        l = keyed.alias("l")
+        r = keyed.alias("r")
+        p = l.join(
+            r,
+            (F.col(f"l.block_{b}") == F.col(f"r.block_{b}"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        ).select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.col("l.simhash").alias("sim_a"),
+            F.col("r.simhash").alias("sim_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given (doc_a, doc_b) pairs."""
+    sh = docs.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    return (
+        pairs.join(sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicates: cosine >= threshold, LSH-bucketed by
+    random-hyperplane sign signature so the self-join is keyed (shuffle
+    O(N), compare only within buckets).  High-cosine pairs agree on most
+    hyperplane signs; we bucket on the full signature and on signatures
+    with one flipped bit to keep recall at the 0.95 regime."""
+    import numpy as np
+
+    from patternly_spark.functions.vectors import cosine
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(num_planes, dim))
+
+    def signature() -> Column:
+        bits = []
+        for p in planes:
+            arr = F.array(*[F.lit(float(v)) for v in p])
+            d = F.aggregate(
+                F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)))
+        sig = F.lit(0)
+        for i, b in enumerate(bits):
+            sig = sig + F.shiftleft(b, i)
+        return sig
+
+    keyed = embeddings.select(id_col, vec_col, signature().alias("sig"))
+    # probe buckets: exact signature + each 1-bit flip (multi-probe LSH)
+    probes = F.array(*([F.col("sig")] + [F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)]))
+    probed = keyed.select(id_col, vec_col, F.col("sig"), F.explode(probes).alias("bucket"))
+    l = probed.alias("l")
+    r = keyed.alias("r")
+    cand = (
+        l.join(r, (F.col("l.bucket") == F.col("r.sig")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(
+            F.col(f"l.{id_col}").alias("vec_a"),
+            F.col(f"r.{id_col}").alias("vec_b"),
+            F.col(f"l.{vec_col}").alias("va"),
+            F.col(f"r.{vec_col}").alias("vb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )

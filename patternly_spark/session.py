@@ -40,6 +40,9 @@ def get_spark(app_name: str = "patternly-spark", *, shuffle_partitions: int | No
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # driver testdata stores event time as TIMESTAMP(NANOS), which the
+        # vectorized parquet reader rejects; read as long (ns) and convert
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # keep broadcast threshold generous: PFSA libraries / dimension
         # tables are tiny relative to the fact side at any scale factor
