@@ -1,0 +1,146 @@
+"""Stateful continuous PFSA discovery over Structured Streaming (ST1-ST3).
+
+The live-stream counterpart of ``ContinuousStreamingDetection``
+(reference ``patternly/detection.py:616-734``): windows arrive as rows of
+a streaming DataFrame; per stream key the processor keeps the PFSA
+library + per-model llk stats in ``applyInPandasWithState`` state, scores
+each window against the current library, and mints a new PFSA (with
+Prun-style bootstrap stats, ST3) when a window is anomalous under every
+model.  Emergence events are emitted inline (A8).
+
+Ordering: the reference is strictly sequential over one stream; a single
+state key per stream preserves that (SURVEY ST1 note) — windows within a
+micro-batch are processed in window_id order, and cross-batch order
+follows micro-batch order.  Multiple independent streams parallelize
+across keys.
+
+State is a JSON blob (library is tiny: tens of models x k^2 doubles);
+payload size is independent of stream length.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from patternly_spark.pfsa.genesess import genesess
+from patternly_spark.pfsa.llk import llk_batch
+from patternly_spark.pfsa.model import PFSA
+from patternly_spark.pfsa.simulate import simulate
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("stream_id", T.StringType(), False),
+        T.StructField("window_id", T.LongType(), False),
+        T.StructField("anomaly", T.BooleanType(), False),
+        T.StructField("minted_pfsa", T.IntegerType(), True),
+        T.StructField("closest_match", T.IntegerType(), False),
+        T.StructField("n_models", T.IntegerType(), False),
+    ]
+)
+
+STATE_SCHEMA = T.StructType([T.StructField("blob", T.StringType(), True)])
+
+
+def _process_factory(eps: float, sensitivity: float, seed: int, bootstrap_sims: int):
+    def process(key, pdfs, state: GroupState):
+        if state.exists:
+            blob = json.loads(state.get[0])
+        else:
+            blob = {"models": [], "means": [], "stds": []}
+        models = [PFSA.from_dict(d) for d in blob["models"]]
+        means: list[float] = blob["means"]
+        stds: list[float] = blob["stds"]
+
+        def mint(syms: np.ndarray) -> None:
+            m = genesess([syms], eps=eps, pfsa_id=len(models))
+            models.append(m)
+            sims = simulate(m, len(syms), bootstrap_sims, seed=seed + len(models))
+            llks = llk_batch([syms] + sims, m)
+            finite = llks[np.isfinite(llks)]
+            means.append(float(np.mean(finite)))
+            stds.append(float(np.std(finite, ddof=1)) if len(finite) > 1 else 0.0)
+
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("window_id")
+            for _, row in pdf.iterrows():
+                syms = np.asarray(row["symbols"], dtype=np.int8)
+                minted = None
+                if not models:
+                    mint(syms)  # ST2 cold start
+                    minted = 0
+                llks = np.array([llk_batch([syms], m)[0] for m in models])
+                bounds = np.array(means) + np.array(stds) * sensitivity
+                anomaly = bool(np.all(llks > bounds))
+                if anomaly and minted is None:
+                    mint(syms)
+                    minted = len(models) - 1
+                    llks = np.append(llks, llk_batch([syms], models[-1])[0])
+                closest = int(np.argmin(llks))
+                out_rows.append(
+                    (str(key[0]), int(row["window_id"]), anomaly, minted, closest, len(models))
+                )
+
+        state.update((json.dumps({"models": [m.to_dict() for m in models], "means": means, "stds": stds}),))
+        yield pd.DataFrame(
+            out_rows,
+            columns=["stream_id", "window_id", "anomaly", "minted_pfsa", "closest_match", "n_models"],
+        )
+
+    return process
+
+
+class StreamingPFSADetector:
+    """Wire a (stream_id, window_id, symbols) streaming DataFrame through
+    the stateful processor.  Works identically on batch DataFrames (Spark
+    runs applyInPandasWithState in batch mode too), which is how the
+    batch/stream equivalence test pins the semantics."""
+
+    def __init__(self, *, eps: float = 0.2, anomaly_sensitivity: float = 3.0, seed: int = 42, bootstrap_sims: int = 100) -> None:
+        self.eps = eps
+        self.anomaly_sensitivity = anomaly_sensitivity
+        self.seed = seed
+        self.bootstrap_sims = bootstrap_sims
+
+    def apply(self, windows: DataFrame) -> DataFrame:
+        proc = _process_factory(self.eps, self.anomaly_sensitivity, self.seed, self.bootstrap_sims)
+        if windows.isStreaming:
+            return windows.groupBy("stream_id").applyInPandasWithState(
+                proc,
+                outputStructType=OUTPUT_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+
+        # batch fallback: Spark does not allow applyInPandasWithState on a
+        # batch DataFrame — run the identical processor with an ephemeral
+        # per-group state (the whole history IS the one micro-batch)
+        class _EphemeralState:
+            def __init__(self):
+                self._val = None
+
+            @property
+            def exists(self):
+                return self._val is not None
+
+            @property
+            def get(self):
+                return self._val
+
+            def update(self, v):
+                self._val = v
+
+        def batch_fn(key, pdf):
+            frames = list(proc(key, iter([pdf]), _EphemeralState()))
+            return pd.concat(frames, ignore_index=True)
+
+        return windows.groupBy("stream_id").applyInPandas(
+            lambda key, pdf: batch_fn(key, pdf), schema=OUTPUT_SCHEMA
+        )

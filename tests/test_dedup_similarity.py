@@ -1,0 +1,151 @@
+"""Semantics tests for dedup / similarity / text / multimodal operators
+with constructed duplicates and near-duplicates (validated against plain
+Python reference computations)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from patternly_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+    simhash_neardup_pairs,
+    embedding_neardup_pairs,
+)
+from patternly_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the birds sing in the tall green trees outside"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(42)
+    vocab = BASE.split()
+    rows = []
+    for i in range(40):
+        toks = rng.choice(vocab, size=30).tolist()
+        rows.append((i, " ".join(toks)))
+    # 40,41: exact duplicates of 0;  42: near-dup of 1 (one token changed)
+    rows.append((40, rows[0][1]))
+    rows.append((41, rows[0][1]))
+    t1 = rows[1][1].split()
+    t1[5] = "zebra"
+    rows.append((42, " ".join(t1)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs).toPandas().sort_values("doc_id")
+    dups = out[out.is_dup]
+    assert set(dups.doc_id) == {40, 41}
+    assert set(dups.canonical_id) == {0}
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    found = minhash_dedup(docs, shingle_size=3, num_hashes=8, bands=4, jaccard_threshold=0.5)
+    pairs = {(int(a), int(b)) for a, b in found.select("doc_a", "doc_b").collect()}
+    # exact dups always collide on every band
+    assert (0, 40) in pairs and (0, 41) in pairs and (40, 41) in pairs
+    # the near-dup pair must be found (high jaccard -> some band agrees)
+    assert (1, 42) in pairs
+
+
+def test_minhash_signature_matches_python_reference(docs):
+    import hashlib
+
+    sigs = minhash_signatures(docs, shingle_size=1, num_hashes=2).toPandas().set_index("doc_id")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    M = 2147483647
+    for doc_id in (0, 5, 42):
+        toks = list(dict.fromkeys(texts[doc_id].split()))
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % M for t in toks]
+        exp0 = min((h * 1103515245 + 12345) % M for h in hs)
+        exp1 = min((h * 1140671486 + 12820164) % M for h in hs)
+        assert sigs.loc[doc_id, "minhash_0"] == exp0
+        assert sigs.loc[doc_id, "minhash_1"] == exp1
+
+
+def test_ngram_jaccard(docs, spark):
+    pairs = spark.createDataFrame([(1, 42), (0, 40)], "doc_a long, doc_b long")
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, pairs, n=3).collect()}
+    assert out[(0, 40)] == 1.0
+    assert 0.5 < out[(1, 42)] < 1.0
+
+
+def test_simhash_near_dups(docs):
+    sigs = simhash_signatures(docs, bits=64, shingle_size=1)
+    pairs = simhash_neardup_pairs(sigs, max_hamming=3)
+    got = {(int(a), int(b)) for a, b in pairs.select("doc_a", "doc_b").collect()}
+    assert {(0, 40), (0, 41), (40, 41)}.issubset(got)
+    # hamming 0 for exact dups
+    hm = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+    assert hm[(0, 40)] == 0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 16)).astype(np.float32)
+    vecs[50] = vecs[3] + rng.normal(0, 0.01, 16).astype(np.float32)  # near-dup of 3
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_matches_numpy(emb):
+    vecs = np.array([r["embedding"] for r in emb.orderBy("vec_id").collect()])
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3).toPandas()
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    for q in range(5):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        expected = np.argsort(np.round(-s, 6), kind="stable")[:3]
+        got = out[out.query_id == q].sort_values("rank").neighbor_id.tolist()
+        assert got == expected.tolist(), f"query {q}: {got} vs {expected}"
+
+
+def test_embedding_neardup(emb):
+    pairs = embedding_neardup_pairs(emb, threshold=0.95, num_planes=8)
+    got = {(int(a), int(b)) for a, b in pairs.select("vec_a", "vec_b").collect()}
+    assert (3, 50) in got
+
+
+def test_lsh_topk_recall(emb):
+    exact = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=3).toPandas()
+    approx = lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, num_planes=4).toPandas()
+    # rank-1 neighbor recall with multi-probe at 16-dim should be high
+    hits = 0
+    for q in range(10):
+        e1 = exact[(exact.query_id == q) & (exact["rank"] == 1)].neighbor_id.iloc[0]
+        a = approx[approx.query_id == q].neighbor_id.tolist()
+        hits += int(e1 in a)
+    assert hits >= 7
+
+
+def test_multimodal_plumbing(spark):
+    from patternly_spark.operators.multimodal import extract_features, sample_frames, resize_images
+
+    rows = [(i, "image", bytes([i] * (100 + i)), "image/fake", 10, 10, None) for i in range(5)]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string, width int, height int, duration_ms int"
+    )
+    feats = extract_features(media, dim=4).toPandas().sort_values("media_id")
+    assert len(feats) == 5
+    assert feats.n_bytes.tolist() == [100, 101, 102, 103, 104]
+    assert all(len(f) == 4 for f in feats.features)
+    # deterministic across runs
+    feats2 = extract_features(media, dim=4).toPandas().sort_values("media_id")
+    assert all((np.array(a) == np.array(b)).all() for a, b in zip(feats.features, feats2.features))
+
+    frames = sample_frames(media, every_n_bytes=30, max_frames=4).toPandas()
+    assert frames.groupby("media_id").size().max() <= 4
+    resized = resize_images(media, width=64, height=48).toPandas()
+    assert (resized.width == 64).all() and (resized.height == 48).all()

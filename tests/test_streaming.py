@@ -1,0 +1,125 @@
+"""Structured Streaming parity (SURVEY §5.5): the streaming pipeline must
+agree with the batch pipeline on the same data — windowed aggregations
+(ST5) and the stateful continuous detector (ST1-ST3)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from patternly_spark.pfsa.model import PFSA
+from patternly_spark.pfsa.simulate import simulate
+from patternly_spark.streaming.windows import (
+    run_stream_to_memory,
+    streaming_sliding_counts,
+    streaming_tumbling_counts,
+)
+from patternly_spark.streaming.continuous import StreamingPFSADetector
+
+MACHINE_A = PFSA(pitilde=[[0.85, 0.15], [0.25, 0.75]], connx=[[0, 1], [0, 1]])
+MACHINE_U = PFSA(pitilde=[[0.5, 0.5], [0.5, 0.5]], connx=[[0, 1], [0, 1]])
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    """events-like table written as parquet with micro timestamps so both
+    batch read and readStream consume the identical file."""
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    src.write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_tumbling_batch_stream_equivalence(spark, events_path):
+    batch_df = spark.read.parquet(events_path)
+    batch = (
+        batch_df.groupBy(F.window("ts", "86400 seconds").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.unix_timestamp("w.start").cast("long").alias("window_start"), "event_type", "n")
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    stream_src = spark.readStream.schema(batch_df.schema).parquet(events_path)
+    result = streaming_tumbling_counts(stream_src)
+    got = (
+        run_stream_to_memory(result, "tumbling_test", output_mode="complete")
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(batch)
+
+
+def test_sliding_batch_stream_equivalence(spark, events_path):
+    batch_df = spark.read.parquet(events_path)
+    batch = (
+        batch_df.groupBy(F.window("ts", "86400 seconds", "43200 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.unix_timestamp("w.start").cast("long").alias("window_start"), "n")
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    stream_src = spark.readStream.schema(batch_df.schema).parquet(events_path)
+    got = (
+        run_stream_to_memory(streaming_sliding_counts(stream_src), "sliding_test", output_mode="complete")
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    assert got.equals(batch)
+
+
+@pytest.fixture(scope="module")
+def window_rows():
+    a = simulate(MACHINE_A, 10000, 1, seed=13)[0]
+    u = simulate(MACHINE_U, 5000, 1, seed=14)[0]
+    stream = np.concatenate([a, u])
+    size = 500
+    return [
+        ("s1", i, [int(v) for v in stream[i * size : (i + 1) * size]])
+        for i in range(len(stream) // size)
+    ]
+
+
+def test_continuous_detector_streaming(spark, window_rows, tmp_path):
+    """The stateful streaming detector mints a model at the regime
+    boundary, matching the batch ContinuousStreamingDetection behavior."""
+    detector = StreamingPFSADetector(eps=0.2, anomaly_sensitivity=4.0)
+
+    # batch-mode application (same code path Spark uses per micro-batch)
+    win_df = spark.createDataFrame(window_rows, "stream_id string, window_id long, symbols array<int>")
+    out = detector.apply(win_df).toPandas().sort_values("window_id")
+    assert len(out) == 30
+    minted = out[out.minted_pfsa.notna()]
+    assert list(minted.window_id)[0] == 0  # ST2 cold start
+    assert any(19 <= w <= 21 for w in minted.window_id[1:])  # regime boundary
+    assert out.n_models.iloc[-1] >= 2
+    # closest_match follows the active regime
+    tail = out[out.window_id >= 25]
+    assert (tail.closest_match > 0).all()
+
+
+def test_continuous_detector_true_stream(spark, window_rows, tmp_path):
+    """Same detector through an actual streaming query (parquet source ->
+    availableNow -> memory sink)."""
+    win_df = spark.createDataFrame(window_rows, "stream_id string, window_id long, symbols array<int>")
+    path = str(tmp_path / "windows")
+    # single file => single micro-batch => strict window order within key
+    win_df.coalesce(1).write.mode("overwrite").parquet(path)
+    src = spark.readStream.schema(win_df.schema).parquet(path)
+    detector = StreamingPFSADetector(eps=0.2, anomaly_sensitivity=4.0)
+    result = detector.apply(src)
+    q = (
+        result.writeStream.format("memory")
+        .queryName("continuous_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM continuous_test").toPandas().sort_values("window_id")
+    batch = StreamingPFSADetector(eps=0.2, anomaly_sensitivity=4.0).apply(win_df).toPandas().sort_values("window_id")
+    assert got.reset_index(drop=True).equals(batch.reset_index(drop=True))
