@@ -269,9 +269,12 @@ def q17_window_chop(spark, sf_dir):
     from patternly_spark.functions.windowing import split_stream
 
     e = _t(spark, sf_dir, "events").select(
-        "event_id", "value", F.struct("ts", "event_id").alias("__ord")
+        "event_id", "value", F.struct("ts", "event_id").alias("__ord"),
+        F.col("ts").cast("double").alias("__rk_ts"),
     )
-    chopped = split_stream(e, window_size=100, window_overlap=40, order_col="__ord")
+    chopped = split_stream(
+        e, window_size=100, window_overlap=40, order_col="__ord", range_col="__rk_ts"
+    )
     return chopped.groupBy("window_id").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("value").cast("decimal(24,10)")).cast("double").alias("sum_value"),

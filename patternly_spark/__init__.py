@@ -25,6 +25,7 @@ from patternly_spark.detection import (
     AnomalyDetection,
     StreamingDetection,
     ContinuousStreamingDetection,
+    MultiChannelDetection,
 )
 
 __version__ = "0.1.0"
@@ -34,4 +35,5 @@ __all__ = [
     "AnomalyDetection",
     "StreamingDetection",
     "ContinuousStreamingDetection",
+    "MultiChannelDetection",
 ]

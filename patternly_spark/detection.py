@@ -342,6 +342,18 @@ class AnomalyDetection:
         )
 
     # ------------------------------------------------------------------
+    def _extra_user_params(self) -> dict:
+        """Constructor kwargs a subclass adds (persisted alongside the
+        base params so ``load_model`` reconstructs the same windowing)."""
+        return {}
+
+    def _extra_state(self) -> dict:
+        """Fitted state a subclass adds beyond the base attributes."""
+        return {}
+
+    def _restore_extra_state(self, state: dict) -> None:
+        pass
+
     def save_model(self, path: str) -> None:
         """S4: params JSON + library (MLlib save convention, no dill)."""
         os.makedirs(path, exist_ok=True)
@@ -355,7 +367,9 @@ class AnomalyDetection:
                 "n_symbols": self.n_symbols,
                 "eps": self.eps,
                 "seed": self.seed,
+                **self._extra_user_params(),
             },
+            "extra_state": self._extra_state(),
             "fitted": self.fitted,
             "quantizer": None if self.quantizer is None else self.quantizer.to_dict(),
             "library": [m.to_dict() for m in self.library],
@@ -379,6 +393,7 @@ class AnomalyDetection:
         inst.pfsa_llk_stds = np.array(blob["pfsa_llk_stds"]) if blob["pfsa_llk_stds"] else None
         inst.alphabet_size = blob["alphabet_size"]
         inst.cluster_counts = blob["cluster_counts"]
+        inst._restore_extra_state(blob.get("extra_state", {}))
         return inst
 
 
@@ -390,6 +405,9 @@ class StreamingDetection(AnomalyDetection):
         super().__init__(spark, **kwargs)
         self.window_size = int(window_size)
         self.window_overlap = int(window_overlap)
+
+    def _extra_user_params(self) -> dict:
+        return {"window_size": self.window_size, "window_overlap": self.window_overlap}
 
     def _split(self, df: DataFrame) -> DataFrame:
         """(offset long, value double|symbol int) -> (seq_id, values|symbols)."""
@@ -418,6 +436,43 @@ class StreamingDetection(AnomalyDetection):
         return super().predict(self._split(df))
 
 
+class MultiChannelDetection:
+    """J5 / Satellite-notebook pattern: one independent detector per
+    channel of a multivariate stream (``examples/Satellite Analysis.ipynb``
+    cell 4 fits one StreamingDetection per energy band).
+
+    Input layout: (channel string, offset long, value double).  Channels
+    are fitted independently — the per-channel pipelines are driver-
+    orchestrated but each one's heavy lifting is distributed, and
+    channels could be dispatched concurrently from multiple threads.
+    """
+
+    def __init__(self, spark: SparkSession | None = None, **kwargs) -> None:
+        self.spark = spark
+        self.kwargs = kwargs
+        self.models: dict[str, StreamingDetection] = {}
+
+    def fit(self, df: DataFrame) -> "MultiChannelDetection":
+        self.spark = self.spark or df.sparkSession
+        channels = [r["channel"] for r in df.select("channel").distinct().orderBy("channel").collect()]
+        for ch in channels:
+            sub = df.filter(F.col("channel") == ch).select("offset", "value")
+            m = StreamingDetection(self.spark, **self.kwargs)
+            m.fit(sub)
+            self.models[ch] = m
+        return self
+
+    def predict(self, df: DataFrame | None = None) -> DataFrame:
+        """-> (channel, seq_id, anomaly, closest_match): union of the
+        per-channel verdicts."""
+        out: DataFrame | None = None
+        for ch, m in self.models.items():
+            sub = None if df is None else df.filter(F.col("channel") == ch).select("offset", "value")
+            preds = m.predict(sub).withColumn("channel", F.lit(ch))
+            out = preds if out is None else out.unionByName(preds)
+        return out.select("channel", "seq_id", "anomaly", "closest_match")
+
+
 class ContinuousStreamingDetection(StreamingDetection):
     """Online library growth over an ordered stream (detection.py:616-734).
 
@@ -437,6 +492,18 @@ class ContinuousStreamingDetection(StreamingDetection):
         self.pattern_emergence_times: list[int] = []
         self._means: list[float] = []
         self._stds: list[float] = []
+
+    def _extra_state(self) -> dict:
+        return {
+            "pattern_emergence_times": self.pattern_emergence_times,
+            "means": self._means,
+            "stds": self._stds,
+        }
+
+    def _restore_extra_state(self, state: dict) -> None:
+        self.pattern_emergence_times = list(state.get("pattern_emergence_times", []))
+        self._means = list(state.get("means", []))
+        self._stds = list(state.get("stds", []))
 
     def _mint(self, window_syms: np.ndarray) -> None:
         model = genesess([window_syms], eps=self.eps, alphabet_size=self.alphabet_size, pfsa_id=len(self.library))

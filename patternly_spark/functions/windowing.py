@@ -23,6 +23,58 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def add_dense_offset(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    out_col: str = "__rn",
+    range_col=None,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Scalable global 0-based row numbering by ``order_cols``.
+
+    A bare ``Window.orderBy`` collapses the whole table into ONE task —
+    fine at sf0.1, fatal at 100 TB.  Scheme: (1) take approximate
+    quantiles of a numeric prefix of the ordering (``range_col``, default
+    order_cols[0]) ONCE on the driver and bake them in as literal bucket
+    boundaries — unlike ``repartitionByRange``, whose sampled boundaries
+    change per job and would scramble the numbering across actions;
+    (2) rank within each bucket (windowed, parallel across buckets);
+    (3) add per-bucket offsets from one tiny count pass.
+
+    ``range_col`` must be a numeric expression that is a prefix of the
+    ordering (bucket boundaries must respect the global order).  Ties on
+    ``range_col`` land in one bucket; heavy ties skew that bucket.
+    """
+    spark = df.sparkSession
+    n_b = num_buckets or min(int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4, 256)
+    rc = F.col(range_col) if isinstance(range_col, str) else range_col
+    if rc is None:
+        rc = F.col(order_cols[0])
+    keyed = df.withColumn("__rk", rc.cast("double"))
+    probs = [i / n_b for i in range(1, n_b)]
+    cuts = sorted(set(keyed.stat.approxQuantile("__rk", probs, 0.001)))
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(F.col("__rk") > F.lit(float(c)), 1).otherwise(0)
+    keyed = keyed.withColumn("__bucket", bucket)
+    counts = {
+        r["__bucket"]: r["cnt"]
+        for r in keyed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_expr = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("__bucket").orderBy(*order_cols)
+    return (
+        keyed.withColumn(out_col, (F.row_number().over(w) - 1 + off_expr[F.col("__bucket")]).cast("long"))
+        .drop("__rk", "__bucket")
+    )
+
+
 def split_stream(
     df: DataFrame,
     *,
@@ -31,6 +83,7 @@ def split_stream(
     order_col: str = "offset",
     stream_cols: list[str] | None = None,
     row_number_is_offset: bool = False,
+    range_col=None,
 ) -> DataFrame:
     """Assign rows of an ordered stream to (possibly overlapping) windows.
 
@@ -44,9 +97,13 @@ def split_stream(
 
     if row_number_is_offset:
         work = df.withColumn("__rn", F.col(order_col).cast("long"))
+    elif parts:
+        w = Window.partitionBy(*parts).orderBy(order_col)
+        work = df.withColumn("__rn", (F.row_number().over(w) - 1).cast("long"))
     else:
-        w = Window.partitionBy(*parts).orderBy(order_col) if parts else Window.orderBy(order_col)
-        work = df.withColumn("__rn", F.row_number().over(w) - 1)
+        # global ordering: quantile-bucketed dense offset, never a
+        # single-task global sort
+        work = add_dense_offset(df, [order_col], out_col="__rn", range_col=range_col)
 
     # windows containing row rn:  i in [ceil((rn-size+1)/stride), floor(rn/stride)]
     lo = F.greatest(F.lit(0).cast("long"), F.ceil((F.col("__rn") - F.lit(window_size) + 1) / F.lit(stride)))

@@ -50,16 +50,17 @@ def exact_dedup(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "tex
     groupBy (map-side partial min) + one equi-join back; both stages
     prune to (id, 16-byte hash) columns before shuffling.
     """
+    from pyspark.sql import Window
+
     hashed = docs.select(F.col(id_col), fingerprint(text_col, 32).alias("content_hash"))
-    canon = hashed.groupBy("content_hash").agg(F.min(id_col).alias("canonical_id"))
-    return (
-        hashed.join(canon, "content_hash")
-        .select(
-            id_col,
-            "content_hash",
-            "canonical_id",
-            (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
-        )
+    # single shuffle: windowed min over the hash partition (vs the naive
+    # groupBy + join-back, which shuffles the same data twice)
+    w = Window.partitionBy("content_hash")
+    return hashed.select(
+        id_col,
+        "content_hash",
+        F.min(id_col).over(w).alias("canonical_id"),
+        (F.col(id_col) != F.min(id_col).over(w)).alias("is_dup"),
     )
 
 

@@ -1,0 +1,19 @@
+from patternly_spark.sources.loaders import (
+    read_sequence_csv,
+    read_symbol_stream,
+    clean_sentinels,
+    save_pfsa_library,
+    load_pfsa_library,
+    export_pfsa_text,
+    import_pfsa_text,
+)
+
+__all__ = [
+    "read_sequence_csv",
+    "read_symbol_stream",
+    "clean_sentinels",
+    "save_pfsa_library",
+    "load_pfsa_library",
+    "export_pfsa_text",
+    "import_pfsa_text",
+]

@@ -1,0 +1,142 @@
+"""Sources/sinks (S1/S3/S4/S7) and physical-plan quality checks: the
+scale mandate is that filters reach the parquet scan, small sides
+broadcast, and hot paths stay inside WholeStageCodegen — assert it."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from patternly_spark.pfsa.model import PFSA
+from patternly_spark.pfsa.simulate import simulate
+from patternly_spark.sources.loaders import (
+    clean_sentinels,
+    export_pfsa_text,
+    import_pfsa_text,
+    load_pfsa_library,
+    read_sequence_csv,
+    read_symbol_stream,
+    save_pfsa_library,
+)
+
+M2 = PFSA(pitilde=[[0.6, 0.4], [0.3, 0.7]], connx=[[0, 1], [0, 1]], pfsa_id=0,
+          ann_err=0.01, mrg_eps=0.1, syn_str=[0], sym_frq=[0.45, 0.55])
+
+
+def test_read_sequence_csv(spark, tmp_path):
+    p = tmp_path / "seqs.csv"
+    # trailing separator -> reference drops the resulting all-null column
+    p.write_text("0 1 1 0 \n1 0 0 1 \n0 0 1 1 \n")
+    df = read_sequence_csv(spark, str(p)).toPandas()
+    assert len(df) == 3
+    assert all(len(s) == 4 for s in df.symbols)
+    assert sorted(df.symbols.iloc[0]) == [0, 0, 1, 1]
+
+
+def test_read_symbol_stream(spark, tmp_path):
+    p = tmp_path / "data1"
+    syms = simulate(M2, 500, 1, seed=3)[0]
+    p.write_text("\n".join(str(int(s)) for s in syms) + "\n")
+    df = read_symbol_stream(spark, str(p)).orderBy("offset").toPandas()
+    assert len(df) == 500
+    assert df.offset.tolist() == list(range(500))
+    assert (df.symbol.to_numpy() == syms).all()
+
+
+def test_clean_sentinels(spark):
+    df = spark.createDataFrame(
+        [(1, -1e31, 2.0), (2, 3.0, 4.0), (3, 5.0, -1e31)], "id long, a double, b double"
+    )
+    out = clean_sentinels(df, ["a", "b"]).toPandas()
+    assert out.id.tolist() == [2]
+
+
+def test_pfsa_parquet_roundtrip(spark, tmp_path):
+    other = PFSA(pitilde=[[0.2, 0.8], [0.7, 0.3]], connx=[[0, 1], [0, 1]], pfsa_id=1)
+    save_pfsa_library(spark, [M2, other], str(tmp_path / "lib"))
+    loaded = load_pfsa_library(spark, str(tmp_path / "lib"))
+    assert len(loaded) == 2
+    np.testing.assert_allclose(loaded[0].pitilde, M2.pitilde)
+    assert (loaded[1].connx == other.connx).all()
+
+
+def test_pfsa_text_roundtrip_dir(tmp_path):
+    paths = export_pfsa_text([M2], str(tmp_path / "txt"))
+    models = import_pfsa_text(str(tmp_path / "txt"))
+    assert len(paths) == 1 and len(models) == 1
+    np.testing.assert_allclose(models[0].pitilde, M2.pitilde)
+
+
+def test_m2_cfg_style_parse():
+    cfg = """#PITILDE: [[0.6, 0.4], [0.3, 0.7]]
+#DATA_LENGTH: 500000
+"""
+    m = PFSA.from_text(cfg)
+    np.testing.assert_allclose(m.pitilde, [[0.6, 0.4], [0.3, 0.7]])
+    assert (m.connx == [[0, 1], [0, 1]]).all()
+
+
+# ---------------------------------------------------------------------------
+# physical plan quality (SURVEY §4.2: Catalyst must be doing its job)
+# ---------------------------------------------------------------------------
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    q = df.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    explained = df.sparkSession._jsparkSession.sessionState().executePlan(
+        q._jdf.queryExecution().logical(), q._jdf.queryExecution().mode()
+    ).executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in explained
+    # column pruning: only the two selected columns in ReadSchema
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in explained
+
+
+def test_broadcast_join_for_dimensions(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q03_region_activity(spark, "/root/testdata/sf0.01"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_llk_scoring_plan_has_no_shuffle(spark):
+    from patternly_spark.pfsa.llk import score_sequences
+
+    seqs = spark.createDataFrame(
+        [(i, [0, 1, 0]) for i in range(10)], "seq_id long, symbols array<int>"
+    )
+    plan = _plan(score_sequences(seqs, [M2]))
+    assert "Exchange" not in plan  # broadcast-in-closure: zero shuffle
+
+
+def test_quantize_stays_jvm_side(spark):
+    # the whole quantization path must be JVM expressions (scan + window +
+    # project) — any Python eval node here would be a 10-100x scale bug
+    import __spark_entry__ as e
+
+    plan = _plan(e.q14_quantize_simple(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan and "FileScan parquet" in plan
+
+
+def test_multichannel_detection(spark):
+    a = simulate(M2, 4000, 1, seed=1)[0]
+    b = simulate(M2, 4000, 1, seed=2)[0]
+    rows = [("ch1", i, float(v)) for i, v in enumerate(a)] + [
+        ("ch2", i, float(v)) for i, v in enumerate(b)
+    ]
+    df = spark.createDataFrame(rows, "channel string, offset long, value double")
+    from patternly_spark.detection import MultiChannelDetection
+
+    m = MultiChannelDetection(
+        spark, window_size=400, window_overlap=0, n_clusters=1, quantize=False,
+        anomaly_sensitivity=4, eps=0.2,
+    )
+    m.fit(df)
+    preds = m.predict().toPandas()
+    assert set(preds.channel) == {"ch1", "ch2"}
+    assert len(preds) == 20
+    assert preds.anomaly.sum() == 0
