@@ -268,12 +268,15 @@ def q17_window_chop(spark, sf_dir):
     globally-ordered event stream; incomplete windows dropped."""
     from patternly_spark.functions.windowing import split_stream
 
-    e = _t(spark, sf_dir, "events").select(
-        "event_id", "value", F.struct("ts", "event_id").alias("__ord"),
-        F.col("ts").cast("double").alias("__rk_ts"),
-    )
+    # event_id is the dense 0-based position in (ts, event_id) order (the
+    # stream's native offset), so the chop needs NO global ordering pass at
+    # all — window membership is pure per-row arithmetic, fully parallel.
+    # For streams without a dense offset, split_stream's range_col path
+    # does quantile-bucketed parallel numbering instead.
+    e = _t(spark, sf_dir, "events").select("event_id", "value")
     chopped = split_stream(
-        e, window_size=100, window_overlap=40, order_col="__ord", range_col="__rk_ts"
+        e, window_size=100, window_overlap=40, order_col="event_id",
+        row_number_is_offset=True,
     )
     return chopped.groupBy("window_id").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -441,7 +444,8 @@ def q94_embedding_neardup(spark, sf_dir):
     from patternly_spark.operators.dedup import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.8)
+    out = embedding_neardup_pairs(emb, threshold=0.3)
+    return out.select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
 
 
 def q95_multimodal_features(spark, sf_dir):
@@ -798,4 +802,142 @@ def oracle_sql() -> dict[str, str]:
                    bool_and(value > 50.0) AS all_above
             FROM events GROUP BY user_id
         """,
+        "q92_simhash": _simhash_oracle(bits=16),
+        "q93_lsh_candidates": _lsh_candidates_oracle(num_hashes=8, bands=4),
+        "q94_embedding_neardup": _embedding_neardup_oracle(
+            threshold=0.3, num_planes=8, seed=42, dim=64
+        ),
     }
+
+
+def _simhash_oracle(bits: int) -> str:
+    """DuckDB replica of simhash_signatures(bits<=32, shingle_size=1).
+
+    For bit index i < 32, bit_i((hi<<32)+lo) == bit_i(lo), so only the
+    low md5 word participates — the SQL skips the 64-bit assembly (which
+    would overflow DuckDB's checked BIGINT shift)."""
+    terms = " + ".join(
+        "(CASE WHEN list_sum(list_transform(hashes, h -> CASE WHEN (h >> {i}) & 1 = 1 "
+        "THEN 1 ELSE -1 END)) > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {i})".format(i=i)
+        for i in range(bits)
+    )
+    return f"""
+        WITH sh AS (
+            SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+            FROM documents
+        ), hs AS (
+            SELECT doc_id,
+                   list_transform(toks, s -> ('0x' || substr(md5(s),1,8))::BIGINT) AS hashes
+            FROM sh
+        )
+        SELECT doc_id, {terms} AS simhash FROM hs
+    """
+
+
+# same affine family as patternly_spark.operators.dedup._HASH_PARAMS
+_ORACLE_HASH_PARAMS = [
+    (1103515245, 12345),
+    (1140671485, 12820163),
+    (214013, 2531011),
+    (22695477, 1),
+    (1664525, 1013904223),
+    (69069, 362437),
+    (1181783497, 7919),
+    (1597334677, 851723965),
+]
+
+
+def _lsh_candidates_oracle(num_hashes: int, bands: int) -> str:
+    """DuckDB replica of minhash_signatures(shingle_size=3) +
+    lsh_candidate_pairs: same md5-affine hashes, same banded self-join."""
+    mh_cols = []
+    for j in range(num_hashes):
+        a, b = _ORACLE_HASH_PARAMS[j % len(_ORACLE_HASH_PARAMS)]
+        a, b = a + j, b + j
+        mh_cols.append(
+            f"list_min(list_transform(shingles, s -> "
+            f"((('0x' || substr(md5(s),1,8))::BIGINT % 2147483647) * {a} + {b}) % 2147483647"
+            f")) AS mh_{j}"
+        )
+    rows_per_band = num_hashes // bands
+    band_selects = []
+    for b_i in range(bands):
+        parts = " || '_' || ".join(
+            f"mh_{b_i * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b_i} AS band_id, md5({parts}) AS band_hash FROM sigs"
+        )
+    exploded = " UNION ALL ".join(band_selects)
+    return f"""
+        WITH toks_t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                   ELSE [array_to_string(toks, ' ')] END AS shingles
+            FROM toks_t
+        ), sigs AS (
+            SELECT doc_id, {', '.join(mh_cols)} FROM sh
+        ), ex AS (
+            {exploded}
+        )
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM ex l JOIN ex r
+          ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+    """
+
+
+def _embedding_neardup_oracle(threshold: float, num_planes: int, seed: int, dim: int) -> str:
+    """DuckDB replica of embedding_neardup_pairs: identical numpy-seeded
+    hyperplanes baked in as literals; every float reduction written as the
+    same left-fold (list_prepend 0.0 + list_reduce) so doubles are
+    bit-identical to Spark's F.aggregate."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).normal(size=(num_planes, dim))
+    plane_rows = ", ".join(
+        "({i}, [{vals}]::DOUBLE[])".format(
+            i=i, vals=", ".join(repr(float(v)) for v in p)
+        )
+        for i, p in enumerate(planes)
+    )
+
+    def fold(expr: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(1, {dim + 1}), i -> {expr})), (acc, x) -> acc + x)"
+        )
+
+    return f"""
+        WITH planes(pid, p) AS (VALUES {plane_rows}),
+        dots AS (
+            SELECT e.vec_id, p.pid,
+                   {fold('e.embedding[i]::DOUBLE * p.p[i]')} AS d
+            FROM embeddings e CROSS JOIN planes p
+        ), sig AS (
+            SELECT vec_id,
+                   sum(CASE WHEN d >= 0 THEN 1 << pid ELSE 0 END)::BIGINT AS sig
+            FROM dots GROUP BY vec_id
+        ), keyed AS (
+            SELECT s.vec_id, s.sig, e.embedding FROM sig s JOIN embeddings e USING (vec_id)
+        ), probes AS (
+            SELECT vec_id, embedding, sig AS bucket FROM keyed
+            UNION ALL
+            SELECT vec_id, embedding, xor(sig, (1 << i)::BIGINT) AS bucket
+            FROM keyed, range({num_planes}) t(i)
+        ), cand AS (
+            SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b,
+                            l.embedding AS va, r.embedding AS vb
+            FROM probes l JOIN keyed r ON l.bucket = r.sig AND l.vec_id < r.vec_id
+        ), scored AS (
+            SELECT vec_a, vec_b,
+                   {fold('va[i]::DOUBLE * vb[i]::DOUBLE')}
+                   / (sqrt({fold('va[i]::DOUBLE * va[i]::DOUBLE')})
+                      * sqrt({fold('vb[i]::DOUBLE * vb[i]::DOUBLE')})) AS cos
+            FROM cand
+        )
+        SELECT vec_a, vec_b, round(cos, 6) AS cos FROM scored WHERE cos >= {threshold}
+    """
