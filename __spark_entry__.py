@@ -312,6 +312,15 @@ def q19_quality_langid(spark, sf_dir):
     )
 
 
+def q27_winnow_candidates(spark, sf_dir):
+    """Winnowing (rolling min-hash) fingerprints -> shared-fingerprint
+    candidate pairs (SIGMOD'03 document fingerprinting)."""
+    from patternly_spark.functions.text import fingerprint_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return fingerprint_candidate_pairs(d, kgram=5, window=4)
+
+
 def q20_exact_dedup(spark, sf_dir):
     from patternly_spark.operators.dedup import exact_dedup
 
@@ -466,7 +475,8 @@ def q96_lsh_topk(spark, sf_dir):
     from patternly_spark.operators.similarity import lsh_bucketed_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+    out = lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 def _user_symbol_sequences(spark, sf_dir):
@@ -522,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_token_stats": q18_token_stats,
         "q19_quality_langid": q19_quality_langid,
         "q20_exact_dedup": q20_exact_dedup,
+        "q27_winnow_candidates": q27_winnow_candidates,
         "q21_minhash_signatures": q21_minhash_signatures,
         "q22_minhash_buckets": q22_minhash_buckets,
         "q23_ngram_jaccard": q23_ngram_jaccard,
@@ -802,12 +813,52 @@ def oracle_sql() -> dict[str, str]:
                    bool_and(value > 50.0) AS all_above
             FROM events GROUP BY user_id
         """,
+        "q27_winnow_candidates": _winnow_candidates_oracle(kgram=5, window=4),
         "q92_simhash": _simhash_oracle(bits=16),
         "q93_lsh_candidates": _lsh_candidates_oracle(num_hashes=8, bands=4),
         "q94_embedding_neardup": _embedding_neardup_oracle(
             threshold=0.3, num_planes=8, seed=42, dim=64
         ),
+        "q96_lsh_topk": _lsh_topk_oracle(
+            k=3, num_planes=6, seed=42, dim=64, query_max=10
+        ),
     }
+
+
+def _winnow_candidates_oracle(kgram: int, window: int) -> str:
+    """DuckDB replica of winnow_fingerprints + fingerprint_candidate_pairs:
+    positional k-grams, md5-word hashes, min over each length-``window``
+    sliding window, distinct-sorted, explode + self-join."""
+    gram_parts = ", ".join(f"toks[i+{j}]" for j in range(kgram))
+    return f"""
+        WITH toks_t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+        ), grams_t AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= {kgram} THEN
+                       list_transform(range(1, len(toks) - {kgram} + 2),
+                                      i -> concat_ws(' ', {gram_parts}))
+                   ELSE [array_to_string(toks, ' ')] END AS grams
+            FROM toks_t
+        ), hs AS (
+            SELECT doc_id,
+                   list_transform(grams, s -> ('0x' || substr(md5(s),1,8))::BIGINT) AS hashes
+            FROM grams_t
+        ), fps AS (
+            SELECT doc_id,
+                   list_sort(list_distinct(list_transform(
+                       range(1, greatest(len(hashes) - {window} + 1, 1) + 1),
+                       i -> list_min(hashes[i : i + {window} - 1])
+                   ))) AS fingerprints
+            FROM hs
+        ), ex AS (
+            SELECT doc_id, unnest(fingerprints) AS fp FROM fps
+        )
+        SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+        FROM ex l JOIN ex r ON l.fp = r.fp AND l.doc_id < r.doc_id
+        GROUP BY 1, 2
+    """
 
 
 def _simhash_oracle(bits: int) -> str:
@@ -887,6 +938,65 @@ def _lsh_candidates_oracle(num_hashes: int, bands: int) -> str:
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
         FROM ex l JOIN ex r
           ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+    """
+
+
+def _plane_literals(num_planes: int, seed: int, dim: int) -> str:
+    import numpy as np
+
+    planes = np.random.default_rng(seed).normal(size=(num_planes, dim))
+    return ", ".join(
+        "({i}, [{vals}]::DOUBLE[])".format(i=i, vals=", ".join(repr(float(v)) for v in p))
+        for i, p in enumerate(planes)
+    )
+
+
+def _fold_sql(expr: str, dim: int) -> str:
+    """Left-fold sum with 0.0 init — bit-identical to Spark F.aggregate."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {dim + 1}), i -> {expr})), (acc, x) -> acc + x)"
+    )
+
+
+def _lsh_topk_oracle(k: int, num_planes: int, seed: int, dim: int, query_max: int) -> str:
+    """DuckDB replica of lsh_bucketed_topk (same planes, probes, rounding,
+    rank tiebreak)."""
+    return f"""
+        WITH planes(pid, p) AS (VALUES {_plane_literals(num_planes, seed, dim)}),
+        dots AS (
+            SELECT e.vec_id, p.pid,
+                   {_fold_sql('e.embedding[i]::DOUBLE * p.p[i]', dim)} AS d
+            FROM embeddings e CROSS JOIN planes p
+        ), sig AS (
+            SELECT vec_id, sum(CASE WHEN d >= 0 THEN 1 << pid ELSE 0 END)::BIGINT AS sig
+            FROM dots GROUP BY vec_id
+        ), corpus AS (
+            SELECT s.vec_id AS neighbor_id, e.embedding AS corpus_vec, s.sig AS bucket
+            FROM sig s JOIN embeddings e USING (vec_id)
+        ), q AS (
+            SELECT s.vec_id AS query_id, e.embedding AS query_vec, s.sig AS qsig
+            FROM sig s JOIN embeddings e USING (vec_id) WHERE vec_id < {query_max}
+        ), q_probed AS (
+            SELECT query_id, query_vec, qsig AS bucket FROM q
+            UNION ALL
+            SELECT query_id, query_vec, xor(qsig, (1 << i)::BIGINT) AS bucket
+            FROM q, range({num_planes}) t(i)
+        ), scored AS (
+            SELECT DISTINCT query_id, neighbor_id,
+                   round({_fold_sql('query_vec[i]::DOUBLE * corpus_vec[i]::DOUBLE', dim)}
+                         / (sqrt({_fold_sql('query_vec[i]::DOUBLE * query_vec[i]::DOUBLE', dim)})
+                            * sqrt({_fold_sql('corpus_vec[i]::DOUBLE * corpus_vec[i]::DOUBLE', dim)})),
+                         6) AS cosine_sim
+            FROM corpus JOIN q_probed USING (bucket)
+            WHERE neighbor_id <> query_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS BIGINT) AS rank FROM (
+            SELECT query_id, neighbor_id, cosine_sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= {k}
     """
 
 

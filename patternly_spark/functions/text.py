@@ -107,6 +107,67 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def winnow_fingerprints(
+    text: Column | str,
+    *,
+    kgram: int = 5,
+    window: int = 4,
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    hash every k-gram of tokens, then keep the minimum hash of each
+    sliding window of ``window`` consecutive k-gram hashes.  Robust to
+    local edits: two documents sharing a long-enough run of tokens share
+    a fingerprint.
+
+    Output: sorted distinct array<bigint>.  Pure array expressions over
+    the token list (rolling "hash" = the portable md5-derived k-gram
+    hash), so a 100 TB corpus fingerprints with zero shuffle; candidate
+    pairs then come from one explode + equi-join on fingerprint.
+    """
+    toks = tokens(text)
+    # positional k-grams (no dedup — winnowing windows are positional)
+    idx_k = F.sequence(F.lit(0), F.greatest(F.size(toks) - kgram, F.lit(0)))
+    grams = F.when(
+        F.size(toks) >= kgram,
+        F.transform(
+            idx_k,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(kgram)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    hashes = F.transform(grams, lambda s: shingle_hash(s))
+    n_win = F.greatest(F.size(hashes) - window + 1, F.lit(1))
+    idx = F.sequence(F.lit(0), n_win - 1)
+    mins = F.transform(idx, lambda i: F.array_min(F.slice(hashes, i + 1, window)))
+    return F.array_sort(F.array_distinct(mins))
+
+
+def fingerprint_candidate_pairs(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    kgram: int = 5,
+    window: int = 4,
+):
+    """Near-dup candidates: documents sharing >= 1 winnowing fingerprint,
+    with the share count.  explode -> equi-join on the fingerprint key
+    (shuffle bounded by total fingerprint count, never N^2)."""
+    fp = docs.select(
+        F.col(id_col), F.explode(winnow_fingerprints(text_col, kgram=kgram, window=window)).alias("fp")
+    )
+    l, r = fp.alias("l"), fp.alias("r")
+    return (
+        l.join(r, (F.col("l.fp") == F.col("r.fp")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .groupBy(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fingerprints"))
+    )
+
+
 def shingle_hash(shingle: Column) -> Column:
     """Portable 32-bit hash of a shingle: first 8 hex chars of md5 as an
     integer.  Matches DuckDB's ('0x' || substr(md5(s),1,8))::BIGINT."""
