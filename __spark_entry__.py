@@ -844,15 +844,19 @@ def _winnow_candidates_oracle(kgram: int, window: int) -> str:
             SELECT doc_id,
                    list_transform(grams, s -> ('0x' || substr(md5(s),1,8))::BIGINT) AS hashes
             FROM grams_t
-        ), fps AS (
-            SELECT doc_id,
-                   list_sort(list_distinct(list_transform(
-                       range(1, greatest(len(hashes) - {window} + 1, 1) + 1),
-                       i -> list_min(hashes[i : i + {window} - 1])
-                   ))) AS fingerprints
+        ), pos AS (
+            SELECT doc_id, len(hashes) AS n,
+                   unnest(list_transform(range(1, len(hashes) + 1),
+                                         i -> {{'i': i, 'h': hashes[i]}})) AS u
             FROM hs
+        ), wins AS (
+            SELECT doc_id, u.i AS i, n,
+                   min(u.h) OVER (PARTITION BY doc_id ORDER BY u.i
+                                  ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS wmin
+            FROM pos
         ), ex AS (
-            SELECT doc_id, unnest(fingerprints) AS fp FROM fps
+            SELECT DISTINCT doc_id, wmin AS fp
+            FROM wins WHERE i <= greatest(n - {window} + 1, 1)
         )
         SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
                CAST(COUNT(*) AS BIGINT) AS shared_fingerprints

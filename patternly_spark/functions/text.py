@@ -10,6 +10,7 @@ document fingerprinting, shingling (the substrate for MinHash dedup).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -119,28 +120,52 @@ def winnow_fingerprints(
     local edits: two documents sharing a long-enough run of tokens share
     a fingerprint.
 
-    Output: sorted distinct array<bigint>.  Pure array expressions over
-    the token list (rolling "hash" = the portable md5-derived k-gram
-    hash), so a 100 TB corpus fingerprints with zero shuffle; candidate
-    pairs then come from one explode + equi-join on fingerprint.
+    Output: sorted distinct array<bigint>.
+
+    Implementation is an Arrow-batched pandas UDF, NOT a column-expression
+    pipeline: a higher-order-function lambda re-evaluates its non-lambda
+    subexpressions per array element (CollapseProject re-inlines aliases
+    referenced once), so the expression form of "min over each sliding
+    window of the k-gram hash array" degenerates to O(n_grams^2) md5
+    evaluations per document (~75 s at sf0.01 vs ~1 s for the UDF).  The
+    UDF is still a narrow map — zero shuffle at any corpus scale — and
+    reproduces the portable md5-word hash bit-for-bit (the DuckDB oracle
+    _winnow_candidates_oracle hash-matches it); candidate pairs then come
+    from one explode + equi-join on the fingerprint key.
     """
-    toks = tokens(text)
-    # positional k-grams (no dedup — winnowing windows are positional)
-    idx_k = F.sequence(F.lit(0), F.greatest(F.size(toks) - kgram, F.lit(0)))
-    grams = F.when(
-        F.size(toks) >= kgram,
-        F.transform(
-            idx_k,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(kgram)]
-            ),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    hashes = F.transform(grams, lambda s: shingle_hash(s))
-    n_win = F.greatest(F.size(hashes) - window + 1, F.lit(1))
-    idx = F.sequence(F.lit(0), n_win - 1)
-    mins = F.transform(idx, lambda i: F.array_min(F.slice(hashes, i + 1, window)))
-    return F.array_sort(F.array_distinct(mins))
+    import hashlib
+    import re
+
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            # .strip(' ') / re.split(r'\s+') mirror Spark trim()/split()
+            # exactly, including leading-empty-token behavior
+            toks = re.split(r"\s+", (s or "").strip(" "))
+            if len(toks) >= kgram:
+                grams = [" ".join(toks[i : i + kgram]) for i in range(len(toks) - kgram + 1)]
+            else:
+                grams = [" ".join(toks)]
+            h = np.fromiter(
+                (int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) for g in grams),
+                dtype=np.int64,
+                count=len(grams),
+            )
+            if len(h) >= window:
+                mins = sliding_window_view(h, window).min(axis=1)
+            else:
+                mins = h.min(keepdims=True)
+            out.append(np.unique(mins).tolist())
+        return pd.Series(out)
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _winnow(c)
 
 
 def fingerprint_candidate_pairs(
