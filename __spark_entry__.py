@@ -479,6 +479,17 @@ def q96_lsh_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q97_ivf_topk(spark, sf_dir):
+    """IVF ANN: MLlib-KMeans coarse quantizer + n_probe cell scan.
+    Rows-only check (centroids are not SQL-replicable); recall vs exact
+    top-k is asserted in tests/test_dedup_similarity.py."""
+    from patternly_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, n_lists=8, n_probe=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -546,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_embedding_neardup": q94_embedding_neardup,
         "q95_multimodal_features": q95_multimodal_features,
         "q96_lsh_topk": q96_lsh_topk,
+        "q97_ivf_topk": q97_ivf_topk,
     }
 
 

@@ -333,6 +333,30 @@ class AnomalyDetection:
         )
         return out
 
+    def print_PFSAs(self) -> None:
+        """Print each cluster PFSA (parity: AnomalyDetection.print_PFSAs,
+        ``patternly/detection.py:245-253``)."""
+        if not self.fitted:
+            raise ValueError("Model has not been fit yet.")
+        for m in self.library:
+            print(f"Cluster {m.pfsa_id} PFSA:")
+            print(m.to_text())
+
+    def generate_PFSA_dots(self, directory: str) -> list[str]:
+        """Write one graphviz .dot per cluster PFSA; returns paths (S6
+        parity with generate_PFSA_pngs, ``patternly/detection.py:256-269``
+        — rendering to PNG is graphviz's job, not the engine's)."""
+        if not self.fitted:
+            raise ValueError("Model has not been fit yet.")
+        os.makedirs(directory, exist_ok=True)
+        paths = []
+        for m in self.library:
+            p = os.path.join(directory, f"pfsa_{m.pfsa_id}.dot")
+            with open(p, "w") as f:
+                f.write(m.to_dot())
+            paths.append(p)
+        return paths
+
     def predicted_active_pfsas(self, predictions: DataFrame) -> DataFrame:
         """A5: inverted index {pfsa -> sorted [seq_id]}."""
         return (

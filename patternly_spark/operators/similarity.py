@@ -112,3 +112,77 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse KMeans quantizer
+    partitions the corpus into ``n_lists`` cells; each query scans only
+    its ``n_probe`` nearest cells.
+
+    Scale shape: centroids are fit once (MLlib KMeans, distributed) and
+    broadcast as literals; corpus cell assignment is a narrow map; the
+    probe join is an equi-join on cell id, so per-query work is
+    n_probe/n_lists of the corpus instead of all of it.  At 100 TB the
+    corpus side would additionally be written bucketed by cell id so
+    repeated query batches skip the assignment scan.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vec = corpus.select(F.col(id_col), array_to_vector(F.col(vec_col)).alias("features"))
+    km = KMeans(k=n_lists, seed=seed, maxIter=20, initMode="k-means||")
+    model = km.fit(vec)
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+
+    def nearest_cells(vcol, n: int):
+        """array of the n nearest centroid ids by squared L2 (literal
+        centroid arrays -> pure column expressions, no UDF)."""
+        dists = []
+        for ci, cvec in enumerate(centroids):
+            arr = F.array(*[F.lit(float(x)) for x in cvec])
+            d = F.aggregate(
+                F.zip_with(vcol, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            dists.append(F.struct(d.alias("d"), F.lit(ci).alias("cell")))
+        ranked = F.array_sort(F.array(*dists))
+        return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("corpus_vec"),
+        F.element_at(nearest_cells(F.col(vec_col), 1), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.explode(nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("query_vec"), F.col("corpus_vec")), 6).alias("cosine_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

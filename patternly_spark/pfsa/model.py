@@ -166,6 +166,25 @@ class PFSA:
             lines.append(" ".join(str(int(v)) for v in row) + " ")
         return "\n".join(lines) + "\n"
 
+    def to_dot(self, name: str | None = None) -> str:
+        """Graphviz source for the automaton (S6 parity with the
+        reference's ``print_graph`` / DrawPFSA PNG sink,
+        ``patternly/detection.py:257-269``) — driver-side, no engine
+        involvement.  Edges are labeled "symbol / probability"."""
+        title = name or f"pfsa_{self.pfsa_id}"
+        lines = [f'digraph "{title}" {{', "  rankdir=LR;", "  node [shape=circle];"]
+        for q in range(self.n_states):
+            lines.append(f'  q{q} [label="{q}"];')
+        for q in range(self.n_states):
+            for s in range(self.alphabet_size):
+                p = float(self.pitilde[q, s])
+                if p > 0.0:
+                    lines.append(
+                        f'  q{q} -> q{int(self.connx[q, s])} [label="{s} / {p:.4g}"];'
+                    )
+        lines.append("}")
+        return "\n".join(lines) + "\n"
+
     @classmethod
     def from_text(cls, text: str, pfsa_id: int = 0) -> "PFSA":
         """Parse the %-sectioned automaton format (also accepts the

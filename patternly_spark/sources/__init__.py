@@ -1,4 +1,5 @@
 from patternly_spark.sources.loaders import (
+    read_edf,
     read_sequence_csv,
     read_symbol_stream,
     clean_sentinels,
@@ -9,6 +10,7 @@ from patternly_spark.sources.loaders import (
 )
 
 __all__ = [
+    "read_edf",
     "read_sequence_csv",
     "read_symbol_stream",
     "clean_sentinels",

@@ -118,3 +118,29 @@ def import_pfsa_text(directory_or_file: str) -> list[PFSA]:
         with open(p) as f:
             models.append(PFSA.from_text(f.read(), pfsa_id=i))
     return models
+
+
+def read_edf(spark: SparkSession, path: str, *, channels: list[str] | None = None) -> DataFrame:
+    """S7: EDF (European Data Format) biosignal loader -> long layout
+    (channel string, offset long, value double).
+
+    The reference loads EDF via ``mne`` (examples/SleepAnalysis.ipynb
+    cell 0).  ``mne`` is not available in this environment, so the decode
+    step is gated behind an import-try; the Spark-side layout contract is
+    what the detection pipelines consume (MultiChannelDetection)."""
+    try:
+        import mne  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - mne absent here
+        raise NotImplementedError(
+            "EDF decoding requires the 'mne' package, which is not "
+            "installed in this environment. The engine-side contract is: "
+            "a DataFrame (channel string, offset long, value double), "
+            "fed to MultiChannelDetection / StreamingDetection."
+        ) from exc
+    raw = mne.io.read_raw_edf(path, preload=True)  # pragma: no cover
+    picks = channels or raw.ch_names  # pragma: no cover
+    rows = []  # pragma: no cover
+    for ch in picks:  # pragma: no cover
+        data = raw.get_data(picks=[ch])[0]
+        rows.extend((ch, i, float(v)) for i, v in enumerate(data))
+    return spark.createDataFrame(rows, "channel string, offset long, value double")  # pragma: no cover

@@ -130,6 +130,19 @@ def test_lsh_topk_recall(emb):
     assert hits >= 7
 
 
+def test_ivf_topk_recall(emb):
+    from patternly_spark.operators.similarity import ivf_topk
+
+    exact = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=3).toPandas()
+    approx = ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, n_lists=4, n_probe=2).toPandas()
+    hits = 0
+    for q in range(10):
+        e1 = exact[(exact.query_id == q) & (exact["rank"] == 1)].neighbor_id.iloc[0]
+        a = approx[approx.query_id == q].neighbor_id.tolist()
+        hits += int(e1 in a)
+    assert hits >= 7
+
+
 def test_multimodal_plumbing(spark):
     from patternly_spark.operators.multimodal import extract_features, sample_frames, resize_images
 
