@@ -34,8 +34,11 @@ BENCH_QUERIES = [
     "q21_minhash_signatures",
     "q24_cosine_topk",
     "q25_llk_stats_shape",
+    "q27_winnow_candidates",
     "q90_pfsa_llk_scores",
     "q91_anomaly_pipeline",
+    "q93_lsh_candidates",
+    "q96_lsh_topk",
 ]
 
 
