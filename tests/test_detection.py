@@ -83,6 +83,23 @@ def test_cluster_reduction_merges_similar_regimes(spark):
     assert preds.anomaly.sum() <= 2
 
 
+def test_pluggable_mllib_estimator_example3_style(spark):
+    # example3 golden shape (reference examples/example3.ipynb): a pluggable
+    # clustering estimator (FeatureAgglomeration there; any MLlib Estimator
+    # with fit/transform here) instead of KMeans, 0 anomalies in-sample
+    from pyspark.ml.clustering import BisectingKMeans
+
+    df = _seq_df(spark, [(MACHINE_A, 120, 11), (MACHINE_B, 120, 12)], length=120)
+    model = AnomalyDetection(
+        spark, n_clusters=2, quantize=False, anomaly_sensitivity=4,
+        reduce_clusters=False, clustering_alg=BisectingKMeans(k=2, seed=42), eps=0.2,
+    )
+    model.fit(df)
+    assert len(model.library) == 2
+    preds = model.predict().toPandas()
+    assert preds.anomaly.sum() == 0
+
+
 def test_no_reduction_when_regimes_distinct(spark):
     # genuinely distinct regimes must NOT merge
     df = _seq_df(spark, [(MACHINE_A, 100, 7), (MACHINE_B, 100, 8)], length=100)

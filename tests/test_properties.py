@@ -1,0 +1,172 @@
+"""Property-based tests (hypothesis) for the deterministic kernels:
+windowing arithmetic, quantization, llk math, winnowing.
+
+These check INVARIANTS rather than fixed examples — the window-chop
+coverage law from the reference's split_streams (detection.py:596-613),
+symbol-domain laws for quantizers, and the llk probability bound.
+Driver-side replicas of the column expressions are validated once against
+Spark in tests/test_sources_and_plans.py & test_oracle_parity.py; here
+hypothesis explores the parameter space cheaply (no Spark job per case:
+one shared DataFrame per property, parameters drive plain-Python
+replicas of the same arithmetic where exact equivalence is already
+pinned elsewhere).
+"""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from patternly_spark.pfsa.llk import llk_batch, llk_one
+from patternly_spark.pfsa.model import PFSA
+from patternly_spark.pfsa.simulate import simulate
+
+
+# ---------------------------------------------------------------------------
+# W1 window arithmetic: windows containing row rn are
+# i in [ceil((rn-size+1)/stride), floor(rn/stride)], capped to full windows.
+# Invariants (matching the reference's split_streams):
+#   - window i covers rows [i*stride, i*stride + size)
+#   - the set of (row -> windows) assignments from the per-row formula is
+#     exactly the set from the per-window definition
+#   - only windows fully inside the stream survive (trailing drop)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    length=st.integers(1, 500),
+    size=st.integers(1, 60),
+    overlap_frac=st.floats(0.0, 0.95),
+)
+def test_window_assignment_law(length, size, overlap_frac):
+    overlap = min(int(size * overlap_frac), size - 1)
+    stride = size - overlap
+    n_windows = 0 if length < size else (length - size) // stride + 1
+
+    # per-window definition
+    member = {}
+    for i in range(n_windows):
+        for rn in range(i * stride, i * stride + size):
+            member.setdefault(rn, set()).add(i)
+
+    # per-row formula (what split_stream computes)
+    for rn in range(length):
+        lo = max(0, math.ceil((rn - size + 1) / stride))
+        hi = rn // stride
+        wins = {i for i in range(lo, hi + 1) if i < n_windows}
+        assert wins == member.get(rn, set()), (rn, size, stride)
+
+
+# ---------------------------------------------------------------------------
+# F1/F2 simple quantizer law: diff+sign of any real sequence is in {0,1},
+# first symbol is 0 (diff fillna(0) -> not > 0), and the symbol at t>0 is
+# 1 iff x[t] > x[t-1] (replicating detection.py:291-296).
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=100))
+def test_simple_quantizer_law(values):
+    x = np.asarray(values)
+    d = np.diff(x, prepend=x[0])
+    syms = (d > 0).astype(np.int8)
+    assert syms[0] == 0
+    assert set(np.unique(syms)) <= {0, 1}
+    for t in range(1, len(x)):
+        assert syms[t] == (1 if x[t] > x[t - 1] else 0)
+
+
+# ---------------------------------------------------------------------------
+# F4 complex quantizer: equi-probable cut-points produce all symbols in
+# [0, n_symbols) and are monotone in the input.
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.floats(-1e3, 1e3, allow_nan=False), min_size=20, max_size=300, unique=True),
+    st.integers(2, 6),
+)
+def test_complex_quantizer_law(values, n_symbols):
+    from patternly_spark.functions.quantize import Quantizer
+
+    x = np.asarray(values)
+    probs = [i / n_symbols for i in range(1, n_symbols)]
+    cuts = np.quantile(x, probs, method="lower").tolist()
+    q = Quantizer(quantize_type="complex", n_symbols=n_symbols, cutpoints=cuts, fitted=True)
+    syms = np.array([sum(v > c for c in cuts) for v in x])
+    assert syms.min() >= 0 and syms.max() < n_symbols
+    order = np.argsort(x)
+    assert (np.diff(syms[order]) >= 0).all(), "quantization must be monotone"
+
+
+# ---------------------------------------------------------------------------
+# X2 llk laws: for any PFSA and any symbol sequence over its alphabet,
+# the per-symbol negative log-likelihood is >= 0 (probabilities <= 1),
+# finite when every row of pitilde is strictly positive, and equals the
+# closed form -log(p^T pitilde)[s] for length-1 sequences.
+# ---------------------------------------------------------------------------
+
+pfsa_strategy = st.builds(
+    lambda rows, flip: PFSA(
+        pitilde=[[r, 1.0 - r] for r in rows],
+        connx=[[0, 1], [1, 0]] if flip else [[0, 1], [0, 1]],
+    ),
+    st.lists(st.floats(0.05, 0.95), min_size=2, max_size=2),
+    st.booleans(),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    pfsa_strategy,
+    st.lists(st.integers(0, 1), min_size=1, max_size=50),
+)
+def test_llk_bounds_and_singleton_closed_form(model, symbols):
+    nll = llk_one(symbols, model)
+    assert nll >= -1e-12
+    assert math.isfinite(nll)
+    p = model.stationary()
+    expected_first = -math.log((p @ model.pitilde)[symbols[0]])
+    if len(symbols) == 1:
+        assert abs(nll - expected_first) < 1e-9
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_llk_separation_property(seed):
+    """Sequences simulated from G score better (lower nll) under G than
+    under a far-away H, on average (SLD theorem, tex/ms.tex:157-164)."""
+    G = PFSA(pitilde=[[0.9, 0.1], [0.1, 0.9]], connx=[[0, 1], [1, 0]])
+    H = PFSA(pitilde=[[0.3, 0.7], [0.7, 0.3]], connx=[[0, 1], [1, 0]])
+    seqs = simulate(G, 300, 5, seed=seed)
+    under_g = llk_batch(seqs, G).mean()
+    under_h = llk_batch(seqs, H).mean()
+    assert under_g < under_h
+
+
+# ---------------------------------------------------------------------------
+# Winnowing guarantee (Schleimer et al.): every window of `window`
+# consecutive k-grams contributes its min hash, so any two documents
+# sharing a run of window+kgram-1 tokens share >= 1 fingerprint.
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.sampled_from("ab"), min_size=12, max_size=40),
+    st.integers(0, 5),
+)
+def test_winnow_shared_run_shares_fingerprint(core, pad):
+    import hashlib
+
+    kgram, window = 3, 4
+
+    def fps(tokens):
+        grams = [" ".join(tokens[i:i + kgram]) for i in range(max(len(tokens) - kgram + 1, 1))] \
+            if len(tokens) >= kgram else [" ".join(tokens)]
+        h = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        n_win = max(len(h) - window + 1, 1)
+        return {min(h[i:i + window]) for i in range(n_win)}
+
+    run = list(core)  # shared token run, len >= window + kgram - 1 = 6
+    doc_a = ["x%d" % i for i in range(pad)] + run
+    doc_b = run + ["y%d" % i for i in range(pad)]
+    assert fps(doc_a) & fps(doc_b), "shared long run must share a fingerprint"
