@@ -459,7 +459,9 @@ def q94_embedding_neardup(spark, sf_dir):
 
 def q95_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: documents' bytes as opaque media payloads ->
-    Arrow-batched feature extraction (codec stubbed, plumbing real)."""
+    Arrow-batched feature extraction (codec stubbed, plumbing real).
+    Features are flattened to (media_id, n_bytes, pos, feature) scalars so
+    the deterministic fake-codec output is oracle-checkable in SQL."""
     from patternly_spark.operators.multimodal import extract_features
 
     d = _t(spark, sf_dir, "documents")
@@ -468,7 +470,10 @@ def q95_multimodal_features(spark, sf_dir):
         F.lit("image").alias("kind"),
         F.encode("text", "UTF-8").alias("payload"),
     )
-    return extract_features(media, dim=8)
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id", "n_bytes", F.posexplode("features").alias("pos", "feature")
+    )
 
 
 def q96_lsh_topk(spark, sf_dir):
@@ -834,7 +839,28 @@ def oracle_sql() -> dict[str, str]:
         "q96_lsh_topk": _lsh_topk_oracle(
             k=3, num_planes=6, seed=42, dim=64, query_max=10
         ),
+        "q95_multimodal_features": _multimodal_oracle(dim=8),
     }
+
+
+def _multimodal_oracle(dim: int) -> str:
+    """DuckDB replica of the deterministic fake codec in
+    operators/multimodal.py: feature f = sum(payload bytes 4f+1..4f+4,
+    zero-padded) / 1020.0 as float32.  documents.text is pure ASCII at
+    every sf (verified), so byte j == ascii(char j); n/1020 has no
+    f64->f32 double-rounding mismatch anywhere in its domain (verified
+    over all 1021 values)."""
+    byte_sum = " + ".join(
+        f"(CASE WHEN 4*f.i+{k} <= length(text) THEN ascii(substr(text, CAST(4*f.i+{k} AS INTEGER), 1)) ELSE 0 END)"
+        for k in range(1, 5)
+    )
+    return f"""
+        SELECT doc_id AS media_id,
+               CAST(length(text) AS INTEGER) AS n_bytes,
+               CAST(f.i AS INTEGER) AS pos,
+               CAST(({byte_sum}) / 1020.0 AS FLOAT) AS feature
+        FROM documents, range(0, {dim}) f(i)
+    """
 
 
 def _winnow_candidates_oracle(kgram: int, window: int) -> str:
