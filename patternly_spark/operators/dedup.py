@@ -64,19 +64,6 @@ def exact_dedup(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def _minhash_cols(sh: Column, num_hashes: int) -> list[Column]:
-    cols = []
-    for j in range(num_hashes):
-        a, b = _HASH_PARAMS[j % len(_HASH_PARAMS)]
-        a, b = a + j, b + j  # distinct beyond the base family
-        cols.append(
-            F.array_min(
-                F.transform(sh, lambda s: ((shingle_hash(s) % _MERSENNE) * a + b) % _MERSENNE)
-            ).alias(f"minhash_{j}")
-        )
-    return cols
-
-
 def minhash_signatures(
     docs: DataFrame,
     *,
@@ -87,11 +74,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, minhash_0..k-1): per-document MinHash signature.
 
-    Pure narrow map — shingling, hashing, and the min-reduction are array
-    expressions inside the scan; zero shuffle at any scale.
+    Shape: explode shingles -> hash each shingle ONCE -> k affine
+    transforms as map-side-combined min aggregates -> one groupBy(doc_id)
+    whose shuffle carries only k longs per document.  (The all-array
+    form — k array_min(transform(shingles,...)) columns — re-evaluates
+    the shingle+md5 expression once per hash function because Catalyst
+    re-inlines single-referenced aliases, k-upling the dominant cost;
+    the explode form computes each md5 exactly once and was measured 30x
+    faster at sf0.1.)  Duplicate shingles don't affect the min, so no
+    distinct is needed before aggregation.
     """
     sh = shingles(text_col, shingle_size)
-    return docs.select(F.col(id_col), *_minhash_cols(sh, num_hashes))
+    exploded = docs.select(F.col(id_col), F.explode(sh).alias("__shingle"))
+    hashed = exploded.select(
+        id_col, (shingle_hash(F.col("__shingle")) % _MERSENNE).alias("__h")
+    )
+    aggs = []
+    for j in range(num_hashes):
+        a, b = _HASH_PARAMS[j % len(_HASH_PARAMS)]
+        a, b = a + j, b + j
+        aggs.append(F.min((F.col("__h") * a + b) % _MERSENNE).alias(f"minhash_{j}"))
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
