@@ -180,28 +180,34 @@ def simhash_signatures(
 
     (doc_id, simhash long).  Bit i of the signature is 1 iff more
     shingles have bit i set than unset in their 64-bit md5-derived hash.
-    Pure array expressions (transform + aggregate over a bit sequence).
+
+    Shape: explode the (already-distinct) shingle array, build the 64-bit
+    hash ONCE per shingle, then reduce with ``bits`` conditional-sum
+    aggregates — one map-side-combined groupBy(doc_id) shuffle carrying
+    ``bits`` ints per document.  (The all-array form re-evaluates the
+    md5 pipeline once per bit — 64x the dominant cost at the default
+    width; see minhash_signatures for the same Catalyst re-inlining
+    rationale.)
     """
-    sh = shingles(text_col, shingle_size)
-    # 64-bit portable hash: two 32-bit md5 words
-    h_lo = F.transform(sh, lambda s: shingle_hash(s))
-    h_hi = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long"))
-    hashes = F.zip_with(h_lo, h_hi, lambda lo, hi: F.shiftleft(hi, 32) + lo)
+    sh = shingles(text_col, shingle_size)  # distinct within each doc
+    exploded = docs.select(F.col(id_col), F.explode(sh).alias("__shingle"))
+    h_lo = shingle_hash(F.col("__shingle"))
+    h_hi = F.conv(F.substring(F.md5(F.col("__shingle")), 9, 8), 16, 10).cast("long")
+    hashed = exploded.select(id_col, (F.shiftleft(h_hi, 32) + h_lo).alias("__h"))
 
-    def bit_vote(i: int) -> Column:
-        # +1 per hash with bit i set, -1 otherwise; bit set in the
-        # signature when the vote is positive
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(F.shiftright(h, i) % 2 != 0, 1).otherwise(-1),
-        )
-        return F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), i) % 2 != 0, 1).otherwise(-1)
+        ).alias(f"__v{i}")
+        for i in range(bits)
+    ]
+    voted = hashed.groupBy(id_col).agg(*votes)
     sig = F.lit(0).cast("long")
     for i in range(bits):
-        sig = sig + F.shiftleft(bit_vote(i), i)
-    return docs.select(F.col(id_col), sig.alias("simhash"))
+        sig = sig + F.shiftleft(
+            F.when(F.col(f"__v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), i
+        )
+    return voted.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_neardup_pairs(
