@@ -93,11 +93,14 @@ def fingerprint(text: Column | str, n_chars: int = 16) -> Column:
     return F.substring(F.md5(normalized), 1, n_chars)
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """n-token shingles as an array<string> (distinct).  Pure array
-    expressions: transform over an index sequence — no explode, no
-    shuffle."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """n-token shingles (distinct) from an already-materialized token
+    array column.  ``toks`` MUST be a bound column (not the raw
+    ``tokens(text)`` expression): it is referenced n+2 times here, which
+    keeps CollapseProject from re-inlining the split into every
+    element_at — inlined, the tokenizer re-runs per shingle element
+    (measured 7x slower at sf0.1).  Use ``with_shingles`` for the
+    correctly-staged DataFrame form."""
     if n == 1:
         return F.array_distinct(toks)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
@@ -106,6 +109,25 @@ def shingles(text: Column | str, n: int = 3) -> Column:
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
     )
     return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def with_shingles(df, text_col: str, n: int = 3, out_col: str = "shingles"):
+    """df + (out_col array<string>): tokens materialized as a real column
+    first so the tokenizer runs exactly once per row."""
+    return (
+        df.withColumn("__toks", tokens(text_col))
+        .withColumn(out_col, shingles_from_tokens(F.col("__toks"), n))
+        .drop("__toks")
+    )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """n-token shingles as an array<string> (distinct).  Pure array
+    expressions: transform over an index sequence — no explode, no
+    shuffle.  NOTE: inline form; in a projection pipeline prefer
+    ``with_shingles`` (tokenizer evaluated once, see
+    shingles_from_tokens)."""
+    return shingles_from_tokens(tokens(text), n)
 
 
 def winnow_fingerprints(

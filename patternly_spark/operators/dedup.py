@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from patternly_spark.functions.text import fingerprint, shingle_hash, shingles
+from patternly_spark.functions.text import fingerprint, shingle_hash, shingles, with_shingles
 
 _MERSENNE = 2147483647  # 2^31 - 1
 # fixed affine hash-family parameters (seeded, public): (a, b) pairs.
@@ -84,8 +84,12 @@ def minhash_signatures(
     faster at sf0.1.)  Duplicate shingles don't affect the min, so no
     distinct is needed before aggregation.
     """
-    sh = shingles(text_col, shingle_size)
-    exploded = docs.select(F.col(id_col), F.explode(sh).alias("__shingle"))
+    staged = with_shingles(docs.select(id_col, text_col), text_col, shingle_size)
+    # explode_outer, not explode: InferFiltersFromGenerate would inline a
+    # size(shingles)>0 predicate that re-evaluates the whole tokenizer
+    # pipeline per row (measured 7x cost); shingle arrays are never empty
+    # (with_shingles emits [""] for empty text), so outer == inner here.
+    exploded = staged.select(F.col(id_col), F.explode_outer("shingles").alias("__shingle"))
     hashed = exploded.select(
         id_col, (shingle_hash(F.col("__shingle")) % _MERSENNE).alias("__h")
     )
@@ -153,7 +157,7 @@ def minhash_dedup(
         docs, id_col=id_col, text_col=text_col, shingle_size=shingle_size, num_hashes=num_hashes
     )
     cand = lsh_candidate_pairs(sigs, id_col=id_col, num_hashes=num_hashes, bands=bands)
-    sh = docs.select(F.col(id_col), shingles(text_col, shingle_size).alias("sh"))
+    sh = with_shingles(docs.select(id_col, text_col), text_col, shingle_size, out_col="sh").drop(text_col)
     verified = (
         cand.join(sh.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -189,8 +193,12 @@ def simhash_signatures(
     width; see minhash_signatures for the same Catalyst re-inlining
     rationale.)
     """
-    sh = shingles(text_col, shingle_size)  # distinct within each doc
-    exploded = docs.select(F.col(id_col), F.explode(sh).alias("__shingle"))
+    staged = with_shingles(docs.select(id_col, text_col), text_col, shingle_size)
+    # explode_outer, not explode: InferFiltersFromGenerate would inline a
+    # size(shingles)>0 predicate that re-evaluates the whole tokenizer
+    # pipeline per row (measured 7x cost); shingle arrays are never empty
+    # (with_shingles emits [""] for empty text), so outer == inner here.
+    exploded = staged.select(F.col(id_col), F.explode_outer("shingles").alias("__shingle"))
     h_lo = shingle_hash(F.col("__shingle"))
     h_hi = F.conv(F.substring(F.md5(F.col("__shingle")), 9, 8), 16, 10).cast("long")
     hashed = exploded.select(id_col, (F.shiftleft(h_hi, 32) + h_lo).alias("__h"))
@@ -257,7 +265,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard for given (doc_a, doc_b) pairs."""
-    sh = docs.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    sh = with_shingles(docs.select(id_col, text_col), text_col, n, out_col="sh").drop(text_col)
     return (
         pairs.join(sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
