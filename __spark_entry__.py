@@ -123,6 +123,37 @@ def q05_customers_without_orders(spark, sf_dir):
     )
 
 
+def q28_left_outer_coalesce(spark, sf_dir):
+    """J1-shaped left OUTER join + coalesce padding: every customer kept,
+    missing aggregates padded (the realign+inf-pad pattern of
+    detection.py:142-144 in relational form)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("spend"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("spend", F.lit(0.0)).alias("spend"),
+        F.coalesce("n_orders", F.lit(0).cast("long")).alias("n_orders"),
+        F.col("spend").isNull().alias("no_orders"),
+    )
+
+
+def q29_sorted_collect(spark, sf_dir):
+    """A5-shaped inverted index: sorted collect_list per group, emitted
+    as a joined string for engine-portable comparison."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return e.groupBy("event_type").agg(
+        F.concat_ws(
+            ",",
+            F.transform(F.array_sort(F.collect_list("event_id")), lambda x: x.cast("string")),
+        ).alias("event_ids"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
 def q06_window_rank(spark, sf_dir):
     """Window function: top-3 orders per customer."""
     o = _t(spark, sf_dir, "orders")
@@ -549,6 +580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_quality_langid": q19_quality_langid,
         "q20_exact_dedup": q20_exact_dedup,
         "q27_winnow_candidates": q27_winnow_candidates,
+        "q28_left_outer_coalesce": q28_left_outer_coalesce,
+        "q29_sorted_collect": q29_sorted_collect,
         "q21_minhash_signatures": q21_minhash_signatures,
         "q22_minhash_buckets": q22_minhash_buckets,
         "q23_ngram_jaccard": q23_ngram_jaccard,
@@ -831,6 +864,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "q27_winnow_candidates": _winnow_candidates_oracle(kgram=5, window=4),
+        "q28_left_outer_coalesce": """
+            WITH per_cust AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+                       CAST(COUNT(*) AS BIGINT) AS n_orders
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT c_custkey,
+                   COALESCE(spend, 0.0) AS spend,
+                   COALESCE(n_orders, 0) AS n_orders,
+                   spend IS NULL AS no_orders
+            FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+        """,
+        "q29_sorted_collect": """
+            SELECT event_type,
+                   array_to_string(list(event_id ORDER BY event_id), ',') AS event_ids,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events WHERE user_id < 50 GROUP BY event_type
+        """,
         "q92_simhash": _simhash_oracle(bits=16),
         "q93_lsh_candidates": _lsh_candidates_oracle(num_hashes=8, bands=4),
         "q94_embedding_neardup": _embedding_neardup_oracle(
