@@ -425,13 +425,29 @@ class StreamingDetection(AnomalyDetection):
     """Single-stream detection: chop into (overlapping) windows, then run
     the batch pipeline (detection.py:550-613)."""
 
-    def __init__(self, spark: SparkSession | None = None, *, window_size: int = 1000, window_overlap: int = 0, **kwargs) -> None:
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        *,
+        window_size: int = 1000,
+        window_overlap: int = 0,
+        offsets_are_positions: bool = False,
+        **kwargs,
+    ) -> None:
         super().__init__(spark, **kwargs)
         self.window_size = int(window_size)
         self.window_overlap = int(window_overlap)
+        # True => the offset column is already the dense 0-based stream
+        # position (e.g. a log offset): window assignment becomes pure
+        # per-row arithmetic, skipping the distributed ranking pass
+        self.offsets_are_positions = bool(offsets_are_positions)
 
     def _extra_user_params(self) -> dict:
-        return {"window_size": self.window_size, "window_overlap": self.window_overlap}
+        return {
+            "window_size": self.window_size,
+            "window_overlap": self.window_overlap,
+            "offsets_are_positions": self.offsets_are_positions,
+        }
 
     def _split(self, df: DataFrame) -> DataFrame:
         """(offset long, value double|symbol int) -> (seq_id, values|symbols)."""
@@ -441,7 +457,7 @@ class StreamingDetection(AnomalyDetection):
             window_size=self.window_size,
             window_overlap=self.window_overlap,
             order_col="offset",
-            row_number_is_offset=False,
+            row_number_is_offset=self.offsets_are_positions,
         )
         seqs = windows_to_sequences(windowed, symbol_col=value_col)
         if value_col == "value":
