@@ -459,13 +459,13 @@ class StreamingDetection(AnomalyDetection):
             order_col="offset",
             row_number_is_offset=self.offsets_are_positions,
         )
-        seqs = windows_to_sequences(windowed, symbol_col=value_col)
         if value_col == "value":
-            # keep continuous values; quantization happens downstream
-            seqs = seqs.select(
-                "seq_id", F.transform("symbols", lambda x: x.cast("double")).alias("values")
-            )
-        return seqs
+            # keep continuous doubles end-to-end; quantization happens
+            # downstream (a tinyint cast here would overflow/corrupt raw
+            # values — caught by the streaming save/load regression test)
+            seqs = windows_to_sequences(windowed, symbol_col=value_col, element_type="double")
+            return seqs.withColumnRenamed("symbols", "values")
+        return windows_to_sequences(windowed, symbol_col=value_col)
 
     def fit(self, df: DataFrame, y=None) -> "StreamingDetection":
         return super().fit(self._split(df))

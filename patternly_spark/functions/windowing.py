@@ -130,10 +130,13 @@ def windows_to_sequences(
     *,
     symbol_col: str = "symbol",
     stream_cols: list[str] | None = None,
+    element_type: str = "tinyint",
 ) -> DataFrame:
     """Collapse the long windowed layout into the compact sequence layout
-    (seq_id, symbols array<tinyint>) — symbols sorted by within-window
-    position so the result is deterministic under any partitioning."""
+    (seq_id, symbols array<element_type>) — symbols sorted by
+    within-window position so the result is deterministic under any
+    partitioning.  Pass element_type='double' for raw (pre-quantization)
+    value streams: casting those to tinyint would overflow/corrupt."""
     parts = (stream_cols or []) + ["window_id"]
     agg = (
         windowed.groupBy(*parts)
@@ -142,7 +145,7 @@ def windows_to_sequences(
                 F.collect_list(F.struct(F.col("t"), F.col(symbol_col).alias("s")))
             ).alias("__pairs")
         )
-        .withColumn("symbols", F.transform(F.col("__pairs"), lambda p: p["s"].cast("tinyint")))
+        .withColumn("symbols", F.transform(F.col("__pairs"), lambda p: p["s"].cast(element_type)))
         .drop("__pairs")
     )
     return agg.withColumnRenamed("window_id", "seq_id")

@@ -150,6 +150,28 @@ def test_save_load_roundtrip(tmp_path, spark):
     assert preds.anomaly.sum() == 0
 
 
+def test_streaming_save_load_preserves_windowing_and_quantizer(tmp_path, spark):
+    # regression: subclass params (window_size/overlap) and fitted
+    # quantizer state must survive save/load — a loaded model must emit
+    # byte-identical verdicts (caught live: defaults silently re-chopped
+    # the stream after load)
+    vals = np.cumsum(np.asarray(simulate(MACHINE_A, 3000, 1, seed=21)[0], dtype=float) * 2 - 1)
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(vals)], "offset long, value double")
+    m = StreamingDetection(
+        spark, window_size=250, window_overlap=50, n_clusters=1,
+        quantize=True, quantize_type="complex", n_symbols=3, anomaly_sensitivity=3,
+    )
+    m.fit(df)
+    before = m.predict(df).orderBy("seq_id").toPandas()
+    m.save_model(str(tmp_path / "sm"))
+    loaded = StreamingDetection.load_model(str(tmp_path / "sm"), spark)
+    assert loaded.window_size == 250 and loaded.window_overlap == 50
+    assert loaded.quantizer is not None and loaded.quantizer.cutpoints == m.quantizer.cutpoints
+    after = loaded.predict(df).orderBy("seq_id").toPandas()
+    assert before.anomaly.tolist() == after.anomaly.tolist()
+    assert before.closest_match.tolist() == after.closest_match.tolist()
+
+
 def test_streaming_detection_windows(spark):
     # one long stream from machine A, chopped into tumbling windows
     stream = simulate(MACHINE_A, 20000, 1, seed=11)[0]
