@@ -188,6 +188,26 @@ def test_streaming_detection_windows(spark):
     assert preds.anomaly.sum() == 0
 
 
+def test_continuous_streaming_with_quantization(spark):
+    # regime change in a CONTINUOUS-VALUED stream: random-walk steps from
+    # machine A then machine C; complex quantizer symbolizes, detector
+    # mints a second model at/after the boundary
+    steps_a = np.asarray(simulate(MACHINE_A, 4000, 1, seed=31)[0], dtype=float) * 2 - 1
+    steps_c = np.asarray(simulate(MACHINE_C, 2000, 1, seed=32)[0], dtype=float) * 2 - 1
+    vals = np.cumsum(np.concatenate([steps_a, steps_c])) * 10.0  # wide range
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "offset long, value double"
+    )
+    c = ContinuousStreamingDetection(
+        spark, window_size=400, window_overlap=0, quantize=True,
+        quantize_type="simple", anomaly_sensitivity=3,
+    )
+    c.fit_stream(df)
+    boundary_window = 4000 // 400
+    assert len(c.pattern_emergence_times) >= 2
+    assert any(t >= boundary_window - 1 for t in c.pattern_emergence_times[1:])
+
+
 def test_continuous_streaming_mints_pfsa_at_regime_change(spark):
     # segment A (20 windows) then segment C (10 windows): detector must
     # cold-start PFSA 0 and mint a new PFSA at the A->C boundary (ST1/ST2)
