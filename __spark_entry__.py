@@ -465,6 +465,23 @@ def q91_anomaly_pipeline(spark, sf_dir):
     return model.predict()
 
 
+def q98_cluster_discovery(spark, sf_dir):
+    """Full multi-cluster discovery path: SLD featurization -> seeded
+    KMeans(k=2) -> per-cluster GenESeSS -> X7 reduction loop -> stats ->
+    predict.  (Homogeneous event sequences reduce 2 -> 1 — exercising
+    the confusion/SCC machinery — and the verdicts are seeded-
+    deterministic.)"""
+    from patternly_spark.detection import AnomalyDetection
+
+    seqs = _user_symbol_sequences(spark, sf_dir)
+    model = AnomalyDetection(
+        spark, n_clusters=2, quantize=False, anomaly_sensitivity=3,
+        reduce_clusters=True, eps=0.2,
+    )
+    model.fit(seqs)
+    return model.predict()
+
+
 def q92_simhash(spark, sf_dir):
     from patternly_spark.operators.dedup import simhash_signatures
 
@@ -596,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_multimodal_features": q95_multimodal_features,
         "q96_lsh_topk": q96_lsh_topk,
         "q97_ivf_topk": q97_ivf_topk,
+        "q98_cluster_discovery": q98_cluster_discovery,
     }
 
 
