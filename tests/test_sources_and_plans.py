@@ -122,6 +122,30 @@ def test_quantize_stays_jvm_side(spark):
     assert "Window" in plan and "FileScan parquet" in plan
 
 
+def test_minhash_plan_evaluates_tokenizer_once(spark):
+    # regression guards for two Catalyst traps (see operators/dedup.py):
+    # 1. the tokenizer split must appear exactly once in the physical plan
+    #    (with_shingles stages it as a multiply-referenced column so
+    #    CollapseProject cannot re-inline it into every element_at);
+    # 2. no InferFiltersFromGenerate-synthesized size() predicate may
+    #    re-evaluate the shingle pipeline (explode_outer dodges the rule).
+    from patternly_spark.operators.dedup import minhash_signatures
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(minhash_signatures(d, shingle_size=3, num_hashes=8))
+    assert plan.count("split(") == 1, f"tokenizer re-inlined:\n{plan[:2000]}"
+    # map-side partial aggregation before the doc_id shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_simhash_plan_evaluates_hash_once(spark):
+    from patternly_spark.operators.dedup import simhash_signatures
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(simhash_signatures(d, bits=16))
+    assert plan.count("md5(") <= 2, "md5 must not be replicated per bit"
+
+
 def test_multichannel_detection(spark):
     a = simulate(M2, 4000, 1, seed=1)[0]
     b = simulate(M2, 4000, 1, seed=2)[0]
