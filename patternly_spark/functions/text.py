@@ -199,18 +199,19 @@ def fingerprint_candidate_pairs(
     window: int = 4,
 ):
     """Near-dup candidates: documents sharing >= 1 winnowing fingerprint,
-    with the share count.  explode -> equi-join on the fingerprint key
-    (shuffle bounded by total fingerprint count, never N^2)."""
+    with the share count.  explode -> one shuffle into per-fingerprint id
+    sets -> pair emission (collect-then-emit: evaluates the fingerprint
+    UDF once, where a self-join would run it twice; shuffle bounded by
+    total fingerprint count, never N^2)."""
+    from patternly_spark.operators.dedup import _pairs_in_buckets
+
     fp = docs.select(
-        F.col(id_col), F.explode(winnow_fingerprints(text_col, kgram=kgram, window=window)).alias("fp")
+        F.col(id_col),
+        F.explode_outer(winnow_fingerprints(text_col, kgram=kgram, window=window)).alias("fp"),
     )
-    l, r = fp.alias("l"), fp.alias("r")
     return (
-        l.join(r, (F.col("l.fp") == F.col("r.fp")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-        .groupBy(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
-        )
+        _pairs_in_buckets(fp, ["fp"], id_col)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fingerprints"))
     )
 

@@ -101,6 +101,42 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def _pairs_in_buckets(
+    keyed: DataFrame, bucket_cols: list[str], id_col: str,
+    out_a: str = "doc_a", out_b: str = "doc_b",
+) -> DataFrame:
+    """All ordered pairs (a < b) of ids sharing a bucket.
+
+    collect-then-emit instead of a bucket-keyed self-join: a self-join
+    evaluates the (possibly expensive) upstream subtree twice and
+    shuffles it twice; this shape shuffles it once into sorted per-bucket
+    id arrays and emits the pairs with array expressions.  Per-bucket
+    work is quadratic in bucket size under EITHER shape — bucket keys
+    are hashes, so sizes stay near-uniform.
+    """
+    grouped = (
+        keyed.groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_set(id_col)).alias("__ids"))
+        .filter(F.size("__ids") > 1)
+    )
+    idx = F.sequence(F.lit(0), F.size("__ids") - 2)
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(F.col("__ids"), (i + 2).cast("int"), F.size("__ids")),
+                lambda b: F.struct(
+                    F.element_at(F.col("__ids"), (i + 1).cast("int")).alias("a"),
+                    b.alias("b"),
+                ),
+            ),
+        )
+    )
+    return grouped.select(F.explode_outer(pairs).alias("p")).select(
+        F.col("p.a").alias(out_a), F.col("p.b").alias(out_b)
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     *,
@@ -111,9 +147,9 @@ def lsh_candidate_pairs(
     """Banded LSH: docs agreeing on all rows of any band become a
     candidate pair.  Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
 
-    Plan: explode to (band_id, band_hash, doc_id) and self-join on the
-    band key — the classic shuffle-bounded LSH join.  Band keys are
-    md5-combined so bucket skew matches hash uniformity.
+    Plan: explode to (band_id, band_hash, doc_id), one shuffle into
+    per-bucket id sets, emit pairs (see _pairs_in_buckets).  Band keys
+    are md5-combined so bucket skew matches hash uniformity.
     """
     rows_per_band = num_hashes // bands
     band_structs = []
@@ -123,21 +159,9 @@ def lsh_candidate_pairs(
             F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("band_hash"))
         )
     exploded = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+        F.col(id_col), F.explode_outer(F.array(*band_structs)).alias("band")
     ).select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
-    left = exploded.alias("l")
-    right = exploded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
-        .distinct()
-    )
-    return pairs
+    return _pairs_in_buckets(exploded, ["band_id", "band_hash"], id_col).distinct()
 
 
 def minhash_dedup(
