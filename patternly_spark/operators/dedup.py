@@ -250,30 +250,33 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """Hamming-<=3 pairs via the pigeonhole trick: split the 64-bit key
     into 4 16-bit blocks; any pair within distance 3 agrees on >= 1
-    block, so a 4-way block-keyed self-join finds all of them without a
-    quadratic comparison."""
-    blocks = [
-        (F.shiftright(F.col("simhash"), 16 * b) % 65536).alias(f"block_{b}") for b in range(4)
-    ]
-    keyed = signatures.select(id_col, "simhash", *blocks)
-    pairs = None
-    for b in range(4):
-        l = keyed.alias("l")
-        r = keyed.alias("r")
-        p = l.join(
-            r,
-            (F.col(f"l.block_{b}") == F.col(f"r.block_{b}"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        ).select(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
-            F.col("l.simhash").alias("sim_a"),
-            F.col("r.simhash").alias("sim_b"),
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
+    block.  Shape: explode to (block_id, block_value, doc_id) — ONE
+    evaluation of the signature pipeline — emit per-bucket pairs
+    (collect-then-emit, see _pairs_in_buckets), then re-attach the two
+    signatures with equi-joins for the exact Hamming verify."""
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block_id"),
+                (F.shiftright(F.col("simhash"), 16 * b) % 65536).alias("block_value"),
+            )
+            for b in range(4)
+        ]
+    )
+    exploded = signatures.select(
+        F.col(id_col), F.explode_outer(block_structs).alias("blk")
+    ).select(
+        id_col,
+        F.col("blk.block_id").alias("block_id"),
+        F.col("blk.block_value").alias("block_value"),
+    )
+    cand = _pairs_in_buckets(exploded, ["block_id", "block_value"], id_col).distinct()
+    sa = signatures.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"))
+    sb = signatures.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"))
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        pairs.distinct()
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
