@@ -104,6 +104,7 @@ def minhash_signatures(
 def _pairs_in_buckets(
     keyed: DataFrame, bucket_cols: list[str], id_col: str,
     out_a: str = "doc_a", out_b: str = "doc_b",
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """All ordered pairs (a < b) of ids sharing a bucket.
 
@@ -113,11 +114,19 @@ def _pairs_in_buckets(
     id arrays and emits the pairs with array expressions.  Per-bucket
     work is quadratic in bucket size under EITHER shape — bucket keys
     are hashes, so sizes stay near-uniform.
+
+    ``max_bucket_size`` guards the one way this shape is weaker than the
+    join: a degenerate bucket (e.g. millions of byte-identical documents
+    landing in one LSH band) would materialize its quadratic pair array
+    inside a single row.  Buckets above the cap are dropped — at that
+    size the membership itself already says "these are all duplicates";
+    handle such groups by bucket key, not pairwise.  2000 ids cap the
+    per-row pair array at ~2M structs (~32 MB).
     """
     grouped = (
         keyed.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_set(id_col)).alias("__ids"))
-        .filter(F.size("__ids") > 1)
+        .filter((F.size("__ids") > 1) & (F.size("__ids") <= max_bucket_size))
     )
     idx = F.sequence(F.lit(0), F.size("__ids") - 2)
     pairs = F.flatten(
