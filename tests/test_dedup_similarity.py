@@ -99,6 +99,27 @@ def emb(spark):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
+def test_pairs_bucket_cap(spark):
+    # degenerate bucket: byte-identical docs all share every fingerprint;
+    # above the cap the bucket is dropped (no quadratic pair array), below
+    # it pairs emit normally
+    from patternly_spark.functions.text import fingerprint_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the same exact sentence repeated for every document here") for i in range(8)],
+        "doc_id long, text string",
+    )
+    normal = fingerprint_candidate_pairs(docs)
+    assert normal.count() == 8 * 7 // 2
+
+    from patternly_spark.operators.dedup import _pairs_in_buckets
+    from pyspark.sql import functions as F
+
+    keyed = docs.select("doc_id", F.lit(1).alias("bucket"))
+    capped = _pairs_in_buckets(keyed, ["bucket"], "doc_id", max_bucket_size=5)
+    assert capped.count() == 0  # bucket of 8 > cap 5 -> dropped, no blowup
+
+
 def test_cosine_topk_matches_numpy(emb):
     vecs = np.array([r["embedding"] for r in emb.orderBy("vec_id").collect()])
     out = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3).toPandas()
