@@ -492,14 +492,26 @@ class MultiChannelDetection:
         self.kwargs = kwargs
         self.models: dict[str, StreamingDetection] = {}
 
-    def fit(self, df: DataFrame) -> "MultiChannelDetection":
+    def fit(self, df: DataFrame, *, max_parallel: int = 4) -> "MultiChannelDetection":
+        """Channels are independent, so their fits are dispatched from a
+        driver thread pool — Spark job submission is thread-safe, and the
+        scheduler interleaves the per-channel stages across the cluster
+        instead of running them serially (the reference fits channels in
+        a Python for-loop, Satellite nb cell 4)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         self.spark = self.spark or df.sparkSession
         channels = [r["channel"] for r in df.select("channel").distinct().orderBy("channel").collect()]
-        for ch in channels:
+
+        def fit_one(ch: str):
             sub = df.filter(F.col("channel") == ch).select("offset", "value")
             m = StreamingDetection(self.spark, **self.kwargs)
             m.fit(sub)
-            self.models[ch] = m
+            return ch, m
+
+        with ThreadPoolExecutor(max_workers=min(max_parallel, max(len(channels), 1))) as pool:
+            for ch, m in pool.map(fit_one, channels):
+                self.models[ch] = m
         return self
 
     def predict(self, df: DataFrame | None = None) -> DataFrame:
