@@ -320,7 +320,7 @@ def q17_window_chop(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q18_token_stats(spark, sf_dir):
-    from patternly_spark.functions.text import token_count
+    from patternly_spark.functions.text import bpe_ish_token_count, token_count
 
     d = _t(spark, sf_dir, "documents")
     n_tok = token_count("text")
@@ -329,6 +329,7 @@ def q18_token_stats(spark, sf_dir):
         n_tok.alias("n_tokens"),
         F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("int").alias("n_distinct"),
         ((F.length("text") - (n_tok - 1)).cast("double") / n_tok.cast("double")).alias("mean_token_len"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
     )
 
 
@@ -774,7 +775,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER) AS n_tokens,
                    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
                    CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
-                       / (length(text) - length(replace(text, ' ', '')) + 1) AS mean_token_len
+                       / (length(text) - length(replace(text, ' ', '')) + 1) AS mean_token_len,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
             FROM documents
         """,
         "q19_quality_langid": """

@@ -37,6 +37,18 @@ def token_count(text: Column | str) -> Column:
     return (F.length(c) - F.length(F.replace(c, F.lit(" "), F.lit(""))) + 1).cast("int")
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(text: Column | str, pattern: str = BPE_ISH_PATTERN) -> Column:
+    """BPE-flavored token count: letter runs, single digits, and single
+    punctuation marks each count as one token (the GPT-2 pre-tokenizer
+    shape, minus lookaheads so the pattern runs identically on Java
+    regex and RE2 — an external SQL oracle reproduces it exactly)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0))).cast("int")
+
+
 def distinct_token_count(text: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(text)))
 
