@@ -67,8 +67,17 @@ def _process_factory(eps: float, sensitivity: float, seed: int, bootstrap_sims: 
             stds.append(float(np.std(finite, ddof=1)) if len(finite) > 1 else 0.0)
 
         out_rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("window_id")
+        # Arrow hands the micro-batch over as an iterator of chunks;
+        # sorting per chunk would break window order across chunk
+        # boundaries, so concatenate first (windows per micro-batch are
+        # bounded; state stays tiny either way)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        whole = (
+            pd.concat(chunks, ignore_index=True).sort_values("window_id")
+            if chunks
+            else pd.DataFrame(columns=["window_id", "symbols"])
+        )
+        for pdf in ([whole] if len(whole) else []):
             for _, row in pdf.iterrows():
                 syms = np.asarray(row["symbols"], dtype=np.int8)
                 minted = None
