@@ -47,7 +47,7 @@ OUTPUT_SCHEMA = T.StructType(
 STATE_SCHEMA = T.StructType([T.StructField("blob", T.StringType(), True)])
 
 
-def _process_factory(eps: float, sensitivity: float, seed: int, bootstrap_sims: int):
+def _process_factory(eps: float, sensitivity: float, seed: int, bootstrap_sims: int, alphabet_size=None):
     def process(key, pdfs, state: GroupState):
         if state.exists:
             blob = json.loads(state.get[0])
@@ -58,7 +58,7 @@ def _process_factory(eps: float, sensitivity: float, seed: int, bootstrap_sims: 
         stds: list[float] = blob["stds"]
 
         def mint(syms: np.ndarray) -> None:
-            m = genesess([syms], eps=eps, pfsa_id=len(models))
+            m = genesess([syms], eps=eps, alphabet_size=alphabet_size, pfsa_id=len(models))
             models.append(m)
             sims = simulate(m, len(syms), bootstrap_sims, seed=seed + len(models))
             llks = llk_batch([syms] + sims, m)
@@ -111,14 +111,18 @@ class StreamingPFSADetector:
     runs applyInPandasWithState in batch mode too), which is how the
     batch/stream equivalence test pins the semantics."""
 
-    def __init__(self, *, eps: float = 0.2, anomaly_sensitivity: float = 3.0, seed: int = 42, bootstrap_sims: int = 100) -> None:
+    def __init__(self, *, eps: float = 0.2, anomaly_sensitivity: float = 3.0, seed: int = 42, bootstrap_sims: int = 100, alphabet_size: int | None = None) -> None:
         self.eps = eps
         self.anomaly_sensitivity = anomaly_sensitivity
         self.seed = seed
         self.bootstrap_sims = bootstrap_sims
+        # fix the symbol alphabet up front when known: a window missing the
+        # top symbol would otherwise mint an under-sized model that later
+        # windows are unscorable under (P3 inf-guard kicks in)
+        self.alphabet_size = alphabet_size
 
     def apply(self, windows: DataFrame) -> DataFrame:
-        proc = _process_factory(self.eps, self.anomaly_sensitivity, self.seed, self.bootstrap_sims)
+        proc = _process_factory(self.eps, self.anomaly_sensitivity, self.seed, self.bootstrap_sims, self.alphabet_size)
         if windows.isStreaming:
             return windows.groupBy("stream_id").applyInPandasWithState(
                 proc,
