@@ -60,6 +60,22 @@ def test_example0_style_two_clusters(spark):
     assert normal.closest_match.nunique() == 2
 
 
+def test_alphabet_incompatible_sequences_flagged(spark):
+    # P3 -> A6: a sequence using symbols outside the fitted alphabet is
+    # unscorable (llk = inf) under every model, hence anomalous — the
+    # reference realigns with inf-padding (detection.py:142-144)
+    train = _seq_df(spark, [(MACHINE_A, 80, 13)])
+    model = AnomalyDetection(spark, n_clusters=1, quantize=False, anomaly_sensitivity=4, eps=0.2)
+    model.fit(train)
+    typical = [int(v) for v in simulate(MACHINE_A, 200, 1, seed=14)[0]]
+    probe = spark.createDataFrame(
+        [(0, typical), (1, [0, 2, 1, 0])], "seq_id long, symbols array<int>"
+    )
+    preds = {r["seq_id"]: r["anomaly"] for r in model.predict(probe).collect()}
+    assert preds[1] is True, "3-symbol sequence must be anomalous under a binary library"
+    assert preds[0] is False
+
+
 def test_cluster_reduction_merges_similar_regimes(spark):
     # clusters over data from ONE machine must merge (example1 pattern:
     # k too high -> reduced).  An arbitrary partitioner (the pluggable
