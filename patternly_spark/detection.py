@@ -123,6 +123,7 @@ class AnomalyDetection:
         self.cluster_counts: list[int] = []
         self.library: list[PFSA] = []
         self.pfsa_llk_means: np.ndarray | None = None
+        self._sld_cache = None
         self.pfsa_llk_stds: np.ndarray | None = None
         self.alphabet_size: int | None = None
 
@@ -159,12 +160,13 @@ class AnomalyDetection:
         return df.select("seq_id", syms.alias("symbols"))
 
     # ------------------------------------------------------------------
-    def _cluster_labels(self, seq_df: DataFrame, n_clusters: int) -> DataFrame:
-        """-> (seq_id, cluster int), frequency-relabeled.  SLD featurization
-        + seeded MLlib KMeans (SURVEY §4.3.1 replacing X3/X6)."""
-        if n_clusters == 1:
-            return seq_df.select("seq_id", F.lit(0).cast("int").alias("cluster"))
-
+    def _sld_features(self, seq_df: DataFrame) -> DataFrame:
+        """SLD featurization (llk vector against the fixed base library),
+        persisted: the X7 reduction loop re-clusters with shrinking k but
+        identical sequences, so features are computed exactly once per
+        fit."""
+        if self._sld_cache is not None:
+            return self._sld_cache
         base = _base_models(self.alphabet_size or 2)
         scored = score_sequences(seq_df, base)
         feats = (
@@ -180,6 +182,16 @@ class AnomalyDetection:
                 ).alias("feat"),
             )
         )
+        self._sld_cache = feats.persist()
+        return self._sld_cache
+
+    def _cluster_labels(self, seq_df: DataFrame, n_clusters: int) -> DataFrame:
+        """-> (seq_id, cluster int), frequency-relabeled.  SLD featurization
+        + seeded MLlib KMeans (SURVEY §4.3.1 replacing X3/X6)."""
+        if n_clusters == 1:
+            return seq_df.select("seq_id", F.lit(0).cast("int").alias("cluster"))
+
+        feats = self._sld_features(seq_df)
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -247,6 +259,9 @@ class AnomalyDetection:
     # ------------------------------------------------------------------
     def fit(self, df: DataFrame, y=None) -> "AnomalyDetection":
         self.spark = self.spark or df.sparkSession
+        if self._sld_cache is not None:
+            self._sld_cache.unpersist()
+            self._sld_cache = None
         seq_df = self._quantize(df)
         seq_df = seq_df.persist()
         self.alphabet_size = int(
