@@ -7,7 +7,9 @@ from patternly_spark.operators.dedup import (
     ngram_jaccard_pairs,
     embedding_neardup_pairs,
 )
-from patternly_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+from patternly_spark.operators.dedup import simhash_neardup_pairs
+from patternly_spark.operators.similarity import cosine_topk, ivf_topk, lsh_bucketed_topk
+from patternly_spark.operators.multimodal import extract_features, sample_frames, resize_images
 
 __all__ = [
     "exact_dedup",
@@ -19,4 +21,9 @@ __all__ = [
     "embedding_neardup_pairs",
     "cosine_topk",
     "lsh_bucketed_topk",
+    "ivf_topk",
+    "simhash_neardup_pairs",
+    "extract_features",
+    "sample_frames",
+    "resize_images",
 ]
