@@ -122,6 +122,28 @@ def test_quantize_stays_jvm_side(spark):
     assert "Window" in plan and "FileScan parquet" in plan
 
 
+def test_dense_offset_matches_global_sort(spark):
+    # quantile-bucketed parallel numbering must equal a single-partition
+    # global row_number, including on duplicate range keys
+    import random
+
+    from pyspark.sql import Window
+    from patternly_spark.functions.windowing import add_dense_offset
+
+    random.seed(7)
+    rows = [(random.randint(0, 50), i) for i in range(2000)]  # heavy ties on key
+    df = spark.createDataFrame(rows, "key long, uid long")
+    got = add_dense_offset(df, ["key", "uid"], out_col="rn", range_col="key", num_buckets=16)
+    w = Window.orderBy("key", "uid")
+    expected = df.withColumn("rn", (F.row_number().over(w) - 1).cast("long"))
+    mismatches = (
+        got.select("key", "uid", "rn")
+        .exceptAll(expected.select("key", "uid", "rn"))
+        .count()
+    )
+    assert mismatches == 0
+
+
 def test_minhash_plan_evaluates_tokenizer_once(spark):
     # regression guards for two Catalyst traps (see operators/dedup.py):
     # 1. the tokenizer split must appear exactly once in the physical plan
