@@ -776,7 +776,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
                    CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
                        / (length(text) - length(replace(text, ' ', '')) + 1) AS mean_token_len,
-                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens
             FROM documents
         """,
         "q19_quality_langid": """
