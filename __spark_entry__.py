@@ -265,6 +265,22 @@ def q14_quantize_simple(spark, sf_dir):
     return out.select("event_id", "user_id", F.col("symbol").cast("int").alias("symbol"))
 
 
+def q30_quantize_second(spark, sf_dir):
+    """F3: sign of the second difference per user stream (simple-second
+    quantizer), counted per symbol."""
+    from patternly_spark.functions.quantize import quantize_simple_long
+
+    e = _t(spark, sf_dir, "events")
+    q = quantize_simple_long(
+        e, "value", partition_cols=["user_id"], order_col=["ts", "event_id"],
+        out_col="symbol", second=True,
+    )
+    return q.groupBy("user_id").agg(
+        F.sum(F.col("symbol").cast("long")).alias("n_ones"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
 def q15_quantize_complex(spark, sf_dir):
     """F4 entropy-max quantile quantization (4 equi-probable bins)."""
     e = _t(spark, sf_dir, "events")
@@ -592,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_distinct_agg": q13_distinct_agg,
         "q14_quantize_simple": q14_quantize_simple,
         "q15_quantize_complex": q15_quantize_complex,
+        "q30_quantize_second": q30_quantize_second,
         "q16_alphabet_size": q16_alphabet_size,
         "q17_window_chop": q17_window_chop,
         "q18_token_stats": q18_token_stats,
@@ -902,6 +919,22 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list(event_id ORDER BY event_id), ',') AS event_ids,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events WHERE user_id < 50 GROUP BY event_type
+        """,
+        "q30_quantize_second": """
+            WITH d1_t AS (
+                SELECT user_id,
+                       COALESCE(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS d1,
+                       ts, event_id
+                FROM events
+            ), d2_t AS (
+                SELECT user_id,
+                       COALESCE(d1 - lag(d1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS d2
+                FROM d1_t
+            )
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN d2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ones,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM d2_t GROUP BY user_id
         """,
         "q92_simhash": _simhash_oracle(bits=16),
         "q93_lsh_candidates": _lsh_candidates_oracle(num_hashes=8, bands=4),
