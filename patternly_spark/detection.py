@@ -539,6 +539,26 @@ class MultiChannelDetection:
             out = preds if out is None else out.unionByName(preds)
         return out.select("channel", "seq_id", "anomaly", "closest_match")
 
+    def save_model(self, path: str) -> None:
+        """One model dir per channel + a channel manifest."""
+        os.makedirs(path, exist_ok=True)
+        manifest = {"channels": sorted(self.models), "kwargs": self.kwargs}
+        with open(os.path.join(path, "channels.json"), "w") as f:
+            json.dump(manifest, f)
+        for ch, m in self.models.items():
+            m.save_model(os.path.join(path, f"channel_{ch}"))
+
+    @classmethod
+    def load_model(cls, path: str, spark: SparkSession | None = None) -> "MultiChannelDetection":
+        with open(os.path.join(path, "channels.json")) as f:
+            manifest = json.load(f)
+        inst = cls(spark, **manifest["kwargs"])
+        for ch in manifest["channels"]:
+            inst.models[ch] = StreamingDetection.load_model(
+                os.path.join(path, f"channel_{ch}"), spark
+            )
+        return inst
+
 
 class ContinuousStreamingDetection(StreamingDetection):
     """Online library growth over an ordered stream (detection.py:616-734).

@@ -168,6 +168,24 @@ def test_simhash_plan_evaluates_hash_once(spark):
     assert plan.count("md5(") <= 2, "md5 must not be replicated per bit"
 
 
+def test_multichannel_save_load(tmp_path, spark):
+    from patternly_spark.detection import MultiChannelDetection
+
+    a = simulate(M2, 2000, 1, seed=5)[0]
+    rows = [("c1", i, float(v)) for i, v in enumerate(a)] + [
+        ("c2", i, float(v)) for i, v in enumerate(a)
+    ]
+    df = spark.createDataFrame(rows, "channel string, offset long, value double")
+    m = MultiChannelDetection(spark, window_size=500, window_overlap=0, n_clusters=1,
+                              quantize=False, anomaly_sensitivity=3)
+    m.fit(df)
+    before = m.predict(df).orderBy("channel", "seq_id").collect()
+    m.save_model(str(tmp_path / "mc"))
+    loaded = MultiChannelDetection.load_model(str(tmp_path / "mc"), spark)
+    after = loaded.predict(df).orderBy("channel", "seq_id").collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+
+
 def test_multichannel_detection(spark):
     a = simulate(M2, 4000, 1, seed=1)[0]
     b = simulate(M2, 4000, 1, seed=2)[0]
