@@ -21,6 +21,7 @@ Layout
 """
 
 from patternly_spark.pfsa.model import PFSA
+from patternly_spark.analysis import embed_library
 from patternly_spark.detection import (
     AnomalyDetection,
     StreamingDetection,
@@ -31,6 +32,7 @@ from patternly_spark.detection import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "embed_library",
     "PFSA",
     "AnomalyDetection",
     "StreamingDetection",

@@ -242,3 +242,17 @@ def test_continuous_streaming_mints_pfsa_at_regime_change(spark):
     assert model.pattern_emergence_times[0] == 0
     # the first mint after cold start happens at the regime boundary window
     assert any(19 <= t <= 21 for t in model.pattern_emergence_times[1:])
+
+
+def test_x8_embed_library_merges_near_identical_models(spark):
+    # X8 recipe: two near-identical machines land near each other in the
+    # 2-D embedding and merge under DBSCAN; a distinct machine stays apart
+    from patternly_spark.analysis import embed_library
+
+    a1 = PFSA(pitilde=[[0.8, 0.2], [0.3, 0.7]], connx=[[0, 1], [0, 1]], pfsa_id=0)
+    a2 = PFSA(pitilde=[[0.79, 0.21], [0.31, 0.69]], connx=[[0, 1], [0, 1]], pfsa_id=1)
+    b = PFSA(pitilde=[[0.05, 0.95], [0.95, 0.05]], connx=[[0, 1], [0, 1]], pfsa_id=2)
+    out = embed_library(spark, [a1, a2, b], seq_len=400, n_reps=10, merge_eps=0.05)
+    groups = {r["pfsa_id"]: r["merged_group"] for r in out}
+    assert groups[0] == groups[1], f"near-identical models must merge: {out}"
+    assert groups[2] != groups[0], f"distinct model must not merge: {out}"
