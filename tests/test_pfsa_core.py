@@ -115,3 +115,21 @@ def test_score_sequences_spark(spark):
     local0 = llk_batch(seqs, M2)
     got0 = out[out.pfsa_id == 0].sort_values("seq_id")["llk"].to_numpy()
     assert np.allclose(got0, local0, rtol=1e-10)
+
+
+def test_genesess_recovers_ternary_machine():
+    # X1 beyond the binary alphabet: a 3-symbol 2-state machine
+    from patternly_spark.pfsa.model import PFSA
+
+    t = PFSA(
+        pitilde=[[0.7, 0.2, 0.1], [0.1, 0.3, 0.6]],
+        connx=[[0, 1, 1], [0, 0, 1]],
+    )
+    seqs = simulate(t, 12000, 5, seed=17)
+    model = genesess(seqs, eps=0.15, alphabet_size=3)
+    assert model.alphabet_size == 3
+    test_seqs = simulate(t, 2000, 4, seed=19)
+    fitted = llk_batch(test_seqs, model)
+    truth = llk_batch(test_seqs, t)
+    assert np.all(np.isfinite(fitted))
+    assert np.all(np.abs(fitted - truth) < 0.03), (fitted, truth)
