@@ -499,6 +499,23 @@ def q98_cluster_discovery(spark, sf_dir):
     return model.predict()
 
 
+def q99_pfsa_simulation(spark, sf_dir):
+    """X4: distributed seeded PFSA simulation -> per-sequence symbol
+    histogram.  Deterministic for any partitioning (RNG streams derive
+    from (seed, seq_id)); rows-only check (numpy RNG is not
+    SQL-replicable)."""
+    from patternly_spark.pfsa.model import PFSA
+    from patternly_spark.pfsa.simulate import simulate_df
+
+    m = PFSA(pitilde=[[0.6, 0.4], [0.3, 0.7]], connx=[[0, 1], [0, 1]], pfsa_id=0)
+    seqs = simulate_df(spark, m, data_len=1000, num_repeats=64, seed=7)
+    return seqs.select(
+        "seq_id",
+        F.aggregate("symbols", F.lit(0), lambda a, s: a + s.cast("int")).alias("n_ones"),
+        F.size("symbols").alias("n"),
+    )
+
+
 def q92_simhash(spark, sf_dir):
     from patternly_spark.operators.dedup import simhash_signatures
 
@@ -632,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_lsh_topk": q96_lsh_topk,
         "q97_ivf_topk": q97_ivf_topk,
         "q98_cluster_discovery": q98_cluster_discovery,
+        "q99_pfsa_simulation": q99_pfsa_simulation,
     }
 
 
