@@ -104,6 +104,7 @@ class AnomalyDetection:
         eps: float = 0.1,
         seed: int = 42,
         verbose: bool = False,
+        genesess_mode: str = "memory",  # memory | distributed
     ) -> None:
         self.spark = spark
         self.anomaly_sensitivity = float(anomaly_sensitivity)
@@ -116,6 +117,7 @@ class AnomalyDetection:
         self.eps = float(eps)
         self.seed = int(seed)
         self.verbose = bool(verbose)
+        self.genesess_mode = genesess_mode
 
         self.fitted = False
         self.quantizer: Quantizer | None = None
@@ -218,6 +220,22 @@ class AnomalyDetection:
 
     # ------------------------------------------------------------------
     def _fit_library(self, clustered: DataFrame, n_clusters: int) -> list[PFSA]:
+        if self.genesess_mode == "distributed":
+            # SURVEY §4.3.2 fallback: per-cluster distributed n-gram
+            # GenESeSS — no cluster's sequences are ever collected to one
+            # process.  Produces the identical machine the in-memory path
+            # would (tests/test_pfsa_core.py pins exact equality).
+            from patternly_spark.pfsa.genesess import genesess_distributed
+
+            models = []
+            for i in range(n_clusters):
+                sub = clustered.filter(F.col("cluster") == i).select("symbols")
+                models.append(
+                    genesess_distributed(
+                        sub, eps=self.eps, alphabet_size=self.alphabet_size, pfsa_id=i
+                    )
+                )
+            return models
         lib_df = fit_cluster_pfsas(clustered, eps=self.eps, alphabet_size=self.alphabet_size)
         rows = lib_df.orderBy("pfsa_id").collect()
         return [PFSA.from_row(r) for r in rows]

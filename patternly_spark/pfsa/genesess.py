@@ -160,6 +160,45 @@ def genesess(
         sym_frq += np.bincount(s, minlength=k)[:k]
     sym_frq = sym_frq / max(sym_frq.sum(), 1)
 
+    get_counts = lambda p: _follower_counts(seqs_b, p, k)  # noqa: E731
+    x0, connx, kept_dists, degenerate = _structure_from_counts(
+        get_counts, k, eps, sym_frq, total_len
+    )
+    if degenerate:
+        pit = (sym_frq + 1e-12) / (sym_frq + 1e-12).sum()
+        return PFSA(
+            pitilde=pit.reshape(1, k), connx=connx, pfsa_id=pfsa_id,
+            ann_err=0.0, mrg_eps=eps, syn_str=list(x0), sym_frq=sym_frq,
+        )
+    m = connx.shape[0]
+
+    # ---- Step 3: transition probabilities by one counting pass ----------
+    counts = np.zeros((m, k), dtype=np.int64)
+    for s in seqs:
+        q = 0
+        for sigma in s:
+            counts[q, sigma] += 1
+            q = connx[q, sigma]
+    pit = (counts + smoothing) / (counts + smoothing).sum(axis=1, keepdims=True)
+
+    ann_err = float(np.mean([np.max(np.abs(pit[q] - kept_dists[q])) for q in range(m)]))
+    return PFSA(
+        pitilde=pit,
+        connx=connx,
+        pfsa_id=pfsa_id,
+        ann_err=ann_err,
+        mrg_eps=eps,
+        syn_str=list(x0),
+        sym_frq=sym_frq,
+    )
+
+
+def _structure_from_counts(get_counts, k: int, eps: float, sym_frq: np.ndarray, total_len: int):
+    """Steps 1-2 of GenESeSS driven purely by a follower-count oracle
+    ``get_counts(pattern: bytes) -> np.ndarray(k)`` — shared by the
+    in-memory path (scan the sequence list) and the distributed path
+    (one Spark n-gram aggregation).  Returns (sync_string, connx,
+    per-state follower dists, degenerate_flag)."""
     # ---- Step 1: derivative heap over subsequences of length <= L -------
     L = max(1, math.ceil(math.log(1.0 / max(eps, 1e-9), k)))
     L = min(L, 8)  # bound the n-gram space; longer prefixes add nothing at eps >= 1e-5
@@ -176,7 +215,7 @@ def genesess(
     dists: list[np.ndarray] = []
     freqs: list[int] = []
     for p in cand_patterns:
-        c = _follower_counts(seqs_b, p, k)
+        c = get_counts(p)
         tot = int(c.sum())
         if tot >= _MIN_COUNT:
             pats.append(p)
@@ -213,7 +252,7 @@ def genesess(
 
         for tup in _product(range(k), repeat=Lc):
             p = bytes(tup)
-            c = _follower_counts(seqs_b, p, k)
+            c = get_counts(p)
             tot = int(c.sum())
             if tot >= _MIN_COUNT:
                 ctxs.append(p)
@@ -227,16 +266,7 @@ def genesess(
         ctxs, cdists, ccounts = _context_stats(Lc)
     if not ctxs:
         # degenerate input: single uniform-ish state from global frequencies
-        pit = (sym_frq + 1e-12) / (sym_frq + 1e-12).sum()
-        return PFSA(
-            pitilde=pit.reshape(1, k),
-            connx=np.zeros((1, k), dtype=np.int32),
-            pfsa_id=pfsa_id,
-            ann_err=0.0,
-            mrg_eps=eps,
-            syn_str=list(x0),
-            sym_frq=sym_frq,
-        )
+        return x0, np.zeros((1, k), dtype=np.int32), [sym_frq.copy()], True
 
     # greedy eps-clustering of contexts, seeded by the sync context's
     # cluster; order by descending support for determinism
@@ -312,25 +342,7 @@ def genesess(
                 j = int(np.argmin([np.max(np.abs(d - kd)) for kd in kept_dists]))
                 connx[new_q, sigma] = j
 
-    # ---- Step 3: transition probabilities by one counting pass ----------
-    counts = np.zeros((m, k), dtype=np.int64)
-    for s in seqs:
-        q = 0
-        for sigma in s:
-            counts[q, sigma] += 1
-            q = connx[q, sigma]
-    pit = (counts + smoothing) / (counts + smoothing).sum(axis=1, keepdims=True)
-
-    ann_err = float(np.mean([np.max(np.abs(pit[q] - kept_dists[q])) for q in range(m)]))
-    return PFSA(
-        pitilde=pit,
-        connx=connx,
-        pfsa_id=pfsa_id,
-        ann_err=ann_err,
-        mrg_eps=eps,
-        syn_str=list(x0),
-        sym_frq=sym_frq,
-    )
+    return x0, connx, kept_dists, False
 
 
 _FIT_SCHEMA = T.StructType(
@@ -386,3 +398,129 @@ def fit_cluster_pfsas(
         )
 
     return seq_df.select(cluster_col, id_col, seq_col).groupBy(cluster_col).applyInPandas(fit, schema=_FIT_SCHEMA)
+
+
+def genesess_distributed(
+    seq_df,
+    eps: float = 0.1,
+    alphabet_size: int | None = None,
+    pfsa_id: int = 0,
+    smoothing: float = 0.5,
+    seq_col: str = "symbols",
+) -> PFSA:
+    """GenESeSS over a (seq_id, symbols) DataFrame without collecting the
+    sequences (SURVEY §4.3.2 fallback for clusters that exceed one
+    executor's memory).
+
+    Two Spark passes, both narrow-then-one-shuffle:
+      1. follower-count aggregation — every (n-gram <= L, next-symbol)
+         pair is pre-aggregated per partition in a mapInPandas kernel
+         (output bounded by the pattern space, <= 4096 x k rows per
+         partition regardless of data size), then summed in one tiny
+         groupBy;
+      2. automaton-walk counting — each sequence walks the (broadcast)
+         fitted structure independently; per-partition (|Q| x k) count
+         matrices are summed on the driver.
+    The structure inference between the passes is the identical
+    ``_structure_from_counts`` code the in-memory path runs, so both
+    paths produce the same machine from the same data.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    spark = seq_df.sparkSession
+    if alphabet_size is None:
+        alphabet_size = int(
+            seq_df.select(F.max(F.array_max(F.col(seq_col).cast("array<int>")))).first()[0]
+        ) + 1
+    k = max(int(alphabet_size), 2)
+    L = max(1, math.ceil(math.log(1.0 / max(eps, 1e-9), k)))
+    L = min(L, 8)
+    while L > 1 and k ** L > 4096:
+        L -= 1
+
+    count_schema = T.StructType(
+        [
+            T.StructField("pattern", T.BinaryType(), False),
+            T.StructField("next_sym", T.IntegerType(), False),
+            T.StructField("cnt", T.LongType(), False),
+        ]
+    )
+
+    def count_partition(batches):
+        acc: dict[tuple[bytes, int], int] = {}
+        for pdf in batches:
+            for symbols in pdf[seq_col]:
+                s = np.asarray(symbols, dtype=np.uint8)
+                n = len(s)
+                for t in range(n):
+                    nxt = int(s[t])
+                    for l in range(0, L + 1):
+                        if t - l < 0:
+                            break
+                        key = (s[t - l : t].tobytes(), nxt)
+                        acc[key] = acc.get(key, 0) + 1
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "pattern": [p for p, _ in acc],
+                    "next_sym": [x for _, x in acc],
+                    "cnt": list(acc.values()),
+                }
+            )
+
+    agg = (
+        seq_df.select(seq_col)
+        .mapInPandas(count_partition, schema=count_schema)
+        .groupBy("pattern", "next_sym")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    counts: dict[bytes, np.ndarray] = {}
+    for r in agg:
+        p = bytes(r["pattern"])
+        counts.setdefault(p, np.zeros(k))[int(r["next_sym"])] += int(r["cnt"])
+
+    empty = counts.get(b"", np.zeros(k))
+    total_len = int(empty.sum())
+    if total_len == 0:
+        raise ValueError("genesess_distributed: no symbols")
+    sym_frq = empty / max(empty.sum(), 1)
+
+    get_counts = lambda p: counts.get(p, np.zeros(k))  # noqa: E731
+    x0, connx, kept_dists, degenerate = _structure_from_counts(
+        get_counts, k, eps, sym_frq, total_len
+    )
+    if degenerate:
+        pit = (sym_frq + 1e-12) / (sym_frq + 1e-12).sum()
+        return PFSA(
+            pitilde=pit.reshape(1, k), connx=connx, pfsa_id=pfsa_id,
+            ann_err=0.0, mrg_eps=eps, syn_str=list(x0), sym_frq=sym_frq,
+        )
+
+    m = connx.shape[0]
+    connx_b = spark.sparkContext.broadcast(connx)
+
+    walk_schema = T.StructType([T.StructField("flat", T.ArrayType(T.LongType()), False)])
+
+    def walk_partition(batches):
+        cx = connx_b.value
+        mat = np.zeros((m, k), dtype=np.int64)
+        for pdf in batches:
+            for symbols in pdf[seq_col]:
+                q = 0
+                for sigma in np.asarray(symbols, dtype=np.uint8):
+                    mat[q, sigma] += 1
+                    q = cx[q, sigma]
+        yield pd.DataFrame({"flat": [mat.reshape(-1).tolist()]})
+
+    walked = seq_df.select(seq_col).mapInPandas(walk_partition, schema=walk_schema).collect()
+    wcounts = np.zeros((m, k), dtype=np.int64)
+    for r in walked:
+        wcounts += np.asarray(r["flat"], dtype=np.int64).reshape(m, k)
+    pit = (wcounts + smoothing) / (wcounts + smoothing).sum(axis=1, keepdims=True)
+    ann_err = float(np.mean([np.max(np.abs(pit[q] - kept_dists[q])) for q in range(m)]))
+    return PFSA(
+        pitilde=pit, connx=connx, pfsa_id=pfsa_id, ann_err=ann_err,
+        mrg_eps=eps, syn_str=list(x0), sym_frq=sym_frq,
+    )

@@ -256,3 +256,16 @@ def test_x8_embed_library_merges_near_identical_models(spark):
     groups = {r["pfsa_id"]: r["merged_group"] for r in out}
     assert groups[0] == groups[1], f"near-identical models must merge: {out}"
     assert groups[2] != groups[0], f"distinct model must not merge: {out}"
+
+
+def test_fit_with_distributed_genesess_matches_memory_mode(spark):
+    df = _seq_df(spark, [(MACHINE_A, 60, 41), (MACHINE_B, 60, 42)], length=150)
+    kw = dict(n_clusters=2, quantize=False, anomaly_sensitivity=4, reduce_clusters=False, eps=0.2)
+    m_mem = AnomalyDetection(spark, **kw).fit(df)
+    m_dist = AnomalyDetection(spark, genesess_mode="distributed", **kw).fit(df)
+    for a, b in zip(m_mem.library, m_dist.library):
+        np.testing.assert_array_equal(a.connx, b.connx)
+        np.testing.assert_allclose(a.pitilde, b.pitilde)
+    pm = m_mem.predict(df).orderBy("seq_id").collect()
+    pd_ = m_dist.predict(df).orderBy("seq_id").collect()
+    assert [r["anomaly"] for r in pm] == [r["anomaly"] for r in pd_]

@@ -133,3 +133,22 @@ def test_genesess_recovers_ternary_machine():
     truth = llk_batch(test_seqs, t)
     assert np.all(np.isfinite(fitted))
     assert np.all(np.abs(fitted - truth) < 0.03), (fitted, truth)
+
+
+def test_genesess_distributed_matches_in_memory(spark):
+    # the distributed n-gram path must produce the IDENTICAL machine the
+    # in-memory path does from the same data (same counts -> same
+    # structure -> same walk counts)
+    from patternly_spark.pfsa.genesess import genesess_distributed
+
+    seqs = simulate(M2, 3000, 6, seed=23)
+    df = spark.createDataFrame(
+        [(i, [int(v) for v in s]) for i, s in enumerate(seqs)],
+        "seq_id long, symbols array<int>",
+    )
+    dist = genesess_distributed(df, eps=0.2, alphabet_size=2)
+    mem = genesess(seqs, eps=0.2, alphabet_size=2)
+    np.testing.assert_array_equal(dist.connx, mem.connx)
+    np.testing.assert_allclose(dist.pitilde, mem.pitilde, rtol=0, atol=0)
+    np.testing.assert_allclose(dist.sym_frq, mem.sym_frq)
+    assert list(dist.syn_str or []) == list(mem.syn_str or [])
