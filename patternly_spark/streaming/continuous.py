@@ -157,3 +157,57 @@ class StreamingPFSADetector:
         return windows.groupBy("stream_id").applyInPandas(
             lambda key, pdf: batch_fn(key, pdf), schema=OUTPUT_SCHEMA
         )
+
+
+class PFSAStatefulProcessor:
+    """transformWithStateInPandas variant of the detector (Spark 4's
+    successor to applyInPandasWithState): the PFSA library + stats live
+    in a ValueState of one JSON string per stream key.  Same semantics as
+    ``StreamingPFSADetector`` — shared per-window scoring/minting logic —
+    exposed for pipelines standardizing on the new state API.  NOTE:
+    the TWS Python runtime imports google.protobuf; environments without
+    it (like this container) should use StreamingPFSADetector.
+
+    Usage:
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+        windows.groupBy("stream_id").transformWithStateInPandas(
+            PFSAStatefulProcessor.build(eps=0.2, anomaly_sensitivity=3.0),
+            outputStructType=OUTPUT_SCHEMA, outputMode="Append",
+            timeMode="None",
+        )
+    """
+
+    @staticmethod
+    def build(*, eps: float = 0.2, anomaly_sensitivity: float = 3.0, seed: int = 42, bootstrap_sims: int = 100, alphabet_size: int | None = None):
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        step = _process_factory(eps, anomaly_sensitivity, seed, bootstrap_sims, alphabet_size)
+
+        class _Proc(StatefulProcessor):
+            def init(self, handle) -> None:
+                self._state = handle.getValueState("pfsa_lib", STATE_SCHEMA)
+
+            def handleInputRows(self, key, rows, timerValues):
+                class _Adapter:
+                    """ValueState -> the GroupState duck-type _process_factory uses."""
+
+                    def __init__(self, vs):
+                        self._vs = vs
+
+                    @property
+                    def exists(self):
+                        return self._vs.exists()
+
+                    @property
+                    def get(self):
+                        return self._vs.get()
+
+                    def update(self, v):
+                        self._vs.update(v)
+
+                yield from step(key, rows, _Adapter(self._state))
+
+            def close(self) -> None:
+                pass
+
+        return _Proc()

@@ -123,3 +123,35 @@ def test_continuous_detector_true_stream(spark, window_rows, tmp_path):
     got = spark.sql("SELECT * FROM continuous_test").toPandas().sort_values("window_id")
     batch = StreamingPFSADetector(eps=0.2, anomaly_sensitivity=4.0).apply(win_df).toPandas().sort_values("window_id")
     assert got.reset_index(drop=True).equals(batch.reset_index(drop=True))
+
+
+def test_transform_with_state_processor_matches(spark, window_rows, tmp_path):
+    """The transformWithStateInPandas variant must emit the same verdicts
+    as the applyInPandasWithState detector on the same stream.  The TWS
+    runtime needs google.protobuf in the Python env — skip where absent
+    (this container has no protobuf; the applyInPandasWithState path is
+    the one exercised everywhere else)."""
+    pytest.importorskip("google.protobuf")
+    from patternly_spark.streaming.continuous import OUTPUT_SCHEMA, PFSAStatefulProcessor
+
+    win_df = spark.createDataFrame(window_rows, "stream_id string, window_id long, symbols array<int>")
+    path = str(tmp_path / "windows_tws")
+    win_df.coalesce(1).write.mode("overwrite").parquet(path)
+    src = spark.readStream.schema(win_df.schema).parquet(path)
+    result = src.groupBy("stream_id").transformWithStateInPandas(
+        PFSAStatefulProcessor.build(eps=0.2, anomaly_sensitivity=4.0),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
+    q = (
+        result.writeStream.format("memory")
+        .queryName("tws_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM tws_test").toPandas().sort_values("window_id")
+    batch = StreamingPFSADetector(eps=0.2, anomaly_sensitivity=4.0).apply(win_df).toPandas().sort_values("window_id")
+    assert got.reset_index(drop=True).equals(batch.reset_index(drop=True))
