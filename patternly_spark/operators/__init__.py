@@ -8,7 +8,7 @@ from patternly_spark.operators.dedup import (
     embedding_neardup_pairs,
 )
 from patternly_spark.operators.dedup import simhash_neardup_pairs
-from patternly_spark.operators.similarity import cosine_topk, ivf_topk, lsh_bucketed_topk
+from patternly_spark.operators.similarity import cosine_topk, ivf_topk, lsh_bucketed_topk, lsh_index_topk, save_lsh_index
 from patternly_spark.operators.multimodal import extract_features, sample_frames, resize_images
 
 __all__ = [
@@ -22,6 +22,8 @@ __all__ = [
     "cosine_topk",
     "lsh_bucketed_topk",
     "ivf_topk",
+    "lsh_index_topk",
+    "save_lsh_index",
     "simhash_neardup_pairs",
     "extract_features",
     "sample_frames",

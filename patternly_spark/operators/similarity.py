@@ -186,3 +186,106 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def _plane_sig_expr(planes, vec_col: str):
+    sig = F.lit(0)
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(v)) for v in p])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.shiftleft(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)), i)
+    return sig
+
+
+def save_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    seed: int = 42,
+) -> None:
+    """Materialize an ANN index: the corpus written PARTITIONED BY its
+    LSH signature, so repeated query batches prune the scan to their
+    probe buckets (Hive-style partition pruning — at 100 TB a query
+    batch touching 7 of 64 buckets reads ~11% of the data and computes
+    zero corpus signatures).  Plane set derives from (seed, num_planes,
+    dim) and is re-derived at query time — nothing to store."""
+    import numpy as np
+
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = np.random.default_rng(seed).normal(size=(num_planes, dim))
+    (
+        corpus.select(id_col, vec_col, _plane_sig_expr(planes, vec_col).alias("sig"))
+        .write.mode("overwrite")
+        .partitionBy("sig")
+        .parquet(path)
+    )
+
+
+def lsh_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Query a saved LSH index.  Query vectors are collected (the query
+    batch is the small/broadcast side by construction), their probe
+    buckets (signature + 1-bit flips) computed driver-side, and the index
+    scan filtered to exactly those partitions — check .explain for
+    PartitionFilters.  Results match lsh_bucketed_topk on the same
+    corpus/params (pinned by test)."""
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        raise ValueError("lsh_index_topk: empty query batch")
+    dim = len(q_rows[0][vec_col])
+    planes = np.random.default_rng(seed).normal(size=(num_planes, dim))
+
+    probe_rows = []
+    all_buckets: set[int] = set()
+    for r in q_rows:
+        v = np.asarray(r[vec_col], dtype=np.float64)
+        sig = 0
+        for i, p in enumerate(planes):
+            # same left-fold the Spark expression uses -> identical sign
+            acc = 0.0
+            for a, b in zip(v, p):
+                acc += float(a) * float(b)
+            sig += (1 if acc >= 0 else 0) << i
+        probes = [sig] + [sig ^ (1 << i) for i in range(num_planes)]
+        all_buckets.update(probes)
+        for b in probes:
+            probe_rows.append((int(r[id_col]), list(map(float, r[vec_col])), int(b)))
+
+    probed = spark.createDataFrame(
+        probe_rows, f"query_id long, query_vec array<double>, sig int"
+    )
+    index = spark.read.parquet(path).filter(F.col("sig").isin(sorted(all_buckets)))
+    scored = (
+        index.join(F.broadcast(probed), "sig")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("query_vec"), F.col(vec_col)), 6).alias("cosine_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -183,3 +183,21 @@ def test_multimodal_plumbing(spark):
     assert frames.groupby("media_id").size().max() <= 4
     resized = resize_images(media, width=64, height=48).toPandas()
     assert (resized.width == 64).all() and (resized.height == 48).all()
+
+
+def test_lsh_index_partition_pruning(emb, spark, tmp_path):
+    from patternly_spark.operators.similarity import (
+        lsh_bucketed_topk, lsh_index_topk, save_lsh_index,
+    )
+
+    path = str(tmp_path / "ann_index")
+    save_lsh_index(emb, path, num_planes=4)
+    queries = emb.filter(F.col("vec_id") < 8)
+    got = lsh_index_topk(spark, path, queries, k=3, num_planes=4)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "sig" in plan.split("PartitionFilters")[1][:120], \
+        "probe filter must prune index partitions"
+    want = lsh_bucketed_topk(emb, queries, k=3, num_planes=4).toPandas()
+    gp = got.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    wp = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert gp.equals(wp), "index query must match the direct LSH top-k"
