@@ -35,9 +35,14 @@ BENCH_QUERIES = [
     "q24_cosine_topk",
     "q25_llk_stats_shape",
     "q27_winnow_candidates",
+    "q28_left_outer_coalesce",
+    "q30_quantize_second",
     "q90_pfsa_llk_scores",
     "q91_anomaly_pipeline",
+    "q92_simhash",
     "q93_lsh_candidates",
+    "q94_embedding_neardup",
+    "q95_multimodal_features",
     "q96_lsh_topk",
 ]
 
