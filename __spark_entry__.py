@@ -31,13 +31,45 @@ TABLES = [
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is TIMESTAMP(NANOS) in the parquet; with
-    # spark.sql.legacy.parquet.nanosAsLong it arrives as long nanoseconds.
-    # The generator emits whole microseconds, so the conversion is lossless.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    return df
+    # events.ts is TIMESTAMP(NANOS) in the parquet, which a vanilla Spark
+    # session rejects (PARQUET_TYPE_ILLEGAL).  The conf below is
+    # runtime-settable and makes it arrive as long nanoseconds instead;
+    # the generator emits whole microseconds, so converting back to a
+    # timestamp is lossless.
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf removed in some future Spark: fall through to pyarrow
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        except Exception:
+            return _read_events_via_arrow(spark, sf_dir)
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer `div` keeps the truncation exact (double division
+            # would round 19-digit nanos)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _read_events_via_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-flag-free fallback: read events.parquet with pyarrow and hand
+    Spark microsecond timestamps.  Only used if the nanosAsLong conf is
+    rejected; sf0.001/sf0.01 events fit comfortably in driver memory, and the
+    driver's correctness gate runs at those scales."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    fields = [
+        pa.field(f.name, pa.timestamp("us") if pa.types.is_timestamp(f.type) else f.type)
+        for f in tbl.schema
+    ]
+    # safe=False truncates sub-microsecond nanos — same semantics as the
+    # conf path's `ts div 1000`.
+    tbl = tbl.cast(pa.schema(fields), safe=False)
+    return spark.createDataFrame(tbl.to_pandas())
 
 
 def _dec(col, scale="18,2"):

@@ -204,3 +204,28 @@ def test_multichannel_detection(spark):
     assert set(preds.channel) == {"ch1", "ch2"}
     assert len(preds) == 20
     assert preds.anomaly.sum() == 0
+
+
+def test_events_read_on_vanilla_session_conf(spark, sf_dir):
+    """Driver contract: _t must self-heal when the session lacks the
+    nanosAsLong conf (the verify driver hands in a vanilla session)."""
+    import importlib
+    entry = importlib.import_module("__spark_entry__")
+    try:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        pass
+    df = entry._t(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.limit(5).count() > 0
+
+
+def test_events_read_via_arrow_fallback(spark, sf_dir):
+    """The pyarrow fallback path must produce microsecond timestamps with
+    the same row count as the conf-based path."""
+    import importlib
+    entry = importlib.import_module("__spark_entry__")
+    via_arrow = entry._read_events_via_arrow(spark, sf_dir)
+    assert dict(via_arrow.dtypes)["ts"].startswith("timestamp")
+    normal = entry._t(spark, sf_dir, "events")
+    assert via_arrow.count() == normal.count()
