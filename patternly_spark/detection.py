@@ -72,9 +72,15 @@ def _relabel_by_frequency(labels_df: DataFrame) -> tuple[DataFrame, list[int], i
     counts_rows = labels_df.filter(F.col("cluster") >= 0).groupBy("cluster").count().collect()
     raw = {int(r["cluster"]): int(r["count"]) for r in counts_rows}
     n = len(raw)
-    counts = np.array([raw.get(i, 0) for i in range(n)], dtype=np.int64)
+    # rank over the labels actually present (a pluggable clustering_alg or an
+    # empty KMeans cluster can yield non-contiguous labels); for contiguous
+    # 0..n-1 labels this is byte-identical to the reference's double-argsort,
+    # including its tie-break (equal counts -> higher label ranks first).
+    labels = sorted(raw)
+    counts = np.array([raw[l] for l in labels], dtype=np.int64)
     rank = np.full(n, n - 1, dtype=np.int64) - np.argsort(np.argsort(counts))
-    mapping = {i: int(rank[i]) for i in range(n)}
+    mapping = {labels[i]: int(rank[i]) for i in range(n)}
+    mapping[-1] = -1  # DBSCAN-style noise passes through
     map_expr = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
     out = labels_df.withColumn("cluster", map_expr[F.col("cluster")].cast("int"))
     counts_desc = sorted(counts.tolist(), reverse=True)

@@ -269,3 +269,51 @@ def test_fit_with_distributed_genesess_matches_memory_mode(spark):
     pm = m_mem.predict(df).orderBy("seq_id").collect()
     pd_ = m_dist.predict(df).orderBy("seq_id").collect()
     assert [r["anomaly"] for r in pm] == [r["anomaly"] for r in pd_]
+
+
+def test_relabel_handles_noncontiguous_labels(spark):
+    from patternly_spark.detection import _relabel_by_frequency
+
+    # labels {0, 2, 5} with counts {0: 1, 2: 3, 5: 2} plus DBSCAN noise -1
+    rows = ([(i, 2) for i in range(3)] + [(10 + i, 5) for i in range(2)]
+            + [(20, 0)] + [(30, -1)])
+    df = spark.createDataFrame(rows, "seq_id long, cluster int")
+    out, counts, n = _relabel_by_frequency(df)
+    got = {r.seq_id: r.cluster for r in out.collect()}
+    assert n == 3
+    assert counts == [3, 2, 1]
+    assert got[0] == 0 and got[10] == 1 and got[20] == 2  # by frequency
+    assert got[30] == -1  # noise passes through, never NULL
+    assert None not in got.values()
+
+
+def test_relabel_tie_break_matches_reference_double_argsort(spark):
+    from patternly_spark.detection import _relabel_by_frequency
+
+    # equal counts: reference double-argsort gives the HIGHER raw label the
+    # LOWER new rank (stable argsort quirk) — pin it
+    rows = [(0, 0), (1, 0), (2, 1), (3, 1)]
+    df = spark.createDataFrame(rows, "seq_id long, cluster int")
+    out, counts, n = _relabel_by_frequency(df)
+    got = {r.seq_id: r.cluster for r in out.collect()}
+    assert got[0] == 1 and got[2] == 0
+
+
+def test_pluggable_clustering_noncontiguous_labels_end_to_end(spark):
+    """A pluggable clustering_alg emitting labels {1, 3} must not crash fit
+    (previously mapped out-of-range labels to NULL)."""
+    from pyspark.sql import functions as F
+
+    def alg(feats, n_clusters):
+        # split on seq_id parity with deliberately non-contiguous labels
+        return feats.select(
+            "seq_id", F.when(F.col("seq_id") % 2 == 0, 1).otherwise(3).alias("cluster")
+        )
+
+    df = _seq_df(spark, [(MACHINE_A, 10, 1), (MACHINE_B, 10, 2)], length=300)
+    m = AnomalyDetection(spark, n_clusters=2, clustering_alg=alg, quantize=False,
+                         reduce_clusters=False, anomaly_sensitivity=3)
+    m.fit(df)
+    preds = m.predict(df).toPandas()
+    assert len(preds) == 20
+    assert m.cluster_counts == [10, 10]
