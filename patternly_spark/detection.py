@@ -36,7 +36,12 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from patternly_spark.functions.quantize import Quantizer, symbol_from_cutpoints
+from patternly_spark.functions.quantize import (
+    Quantizer,
+    array_diff,
+    percentile_expr,
+    symbol_from_cutpoints,
+)
 from patternly_spark.functions.windowing import split_stream, windows_to_sequences
 from patternly_spark.pfsa.genesess import _tarjan_scc, fit_cluster_pfsas, genesess
 from patternly_spark.pfsa.llk import llk_batch, score_sequences
@@ -107,6 +112,8 @@ class AnomalyDetection:
         quantize: bool = True,
         quantize_type: str = "complex",
         n_symbols: int = 2,
+        detrend: bool = False,
+        quantize_exact: bool = True,
         eps: float = 0.1,
         seed: int = 42,
         verbose: bool = False,
@@ -120,6 +127,12 @@ class AnomalyDetection:
         self.quantize = bool(quantize)
         self.quantize_type = quantize_type
         self.n_symbols = int(n_symbols)
+        # detrend: first-difference before complex quantization (reference
+        # Quantizer option, detection.py:297-306 composing F1 then F4)
+        self.detrend = bool(detrend)
+        # exact percentile for oracle parity; approx sketch is the
+        # documented at-scale default (functions/quantize.percentile_expr)
+        self.quantize_exact = bool(quantize_exact)
         self.eps = float(eps)
         self.seed = int(seed)
         self.verbose = bool(verbose)
@@ -156,15 +169,22 @@ class AnomalyDetection:
             syms = F.transform(d, lambda x: F.when(x > 0, F.lit(1)).otherwise(F.lit(0)).cast("tinyint"))
             return df.select("seq_id", syms.alias("symbols"))
 
-        # complex: entropy-max equi-probable cut-points over ALL values
+        # complex: entropy-max equi-probable cut-points over ALL values,
+        # optionally detrended first (F1 then F4)
+        vals = array_diff(v) if self.detrend else v
         if self.quantizer is None or not self.quantizer.fitted:
-            flat = df.select(F.explode("values").alias("value"))
+            flat = df.select(F.explode(vals).alias("value"))
             probs = [i / self.n_symbols for i in range(1, self.n_symbols)]
-            arr = ", ".join(f"{p!r}D" for p in probs)
-            cuts = flat.select(F.expr(f"percentile(value, array({arr}))").alias("c")).first()["c"]
-            self.quantizer = Quantizer(quantize_type="complex", n_symbols=self.n_symbols, cutpoints=[float(c) for c in cuts], fitted=True)
+            cuts = flat.select(
+                percentile_expr("value", probs, exact=self.quantize_exact).alias("c")
+            ).first()["c"]
+            self.quantizer = Quantizer(
+                quantize_type="complex", n_symbols=self.n_symbols,
+                detrend=self.detrend, exact=self.quantize_exact,
+                cutpoints=[float(c) for c in cuts], fitted=True,
+            )
         cutpoints = self.quantizer.cutpoints
-        syms = F.transform(v, lambda x: symbol_from_cutpoints(x, cutpoints))
+        syms = F.transform(vals, lambda x: symbol_from_cutpoints(x, cutpoints))
         return df.select("seq_id", syms.alias("symbols"))
 
     # ------------------------------------------------------------------
@@ -428,6 +448,8 @@ class AnomalyDetection:
                 "quantize": self.quantize,
                 "quantize_type": self.quantize_type,
                 "n_symbols": self.n_symbols,
+                "detrend": self.detrend,
+                "quantize_exact": self.quantize_exact,
                 "eps": self.eps,
                 "seed": self.seed,
                 **self._extra_user_params(),

@@ -57,6 +57,14 @@ def quantize_simple_long(
     return df2.withColumn(out_col, _diff_sign(d2)).drop("__d1")
 
 
+def array_diff(col: Column) -> Column:
+    """First difference along an array with fillna(0) semantics for the
+    first element: shifted = [v0, v0, v1, ..., v_{n-2}], diff_i = v_i -
+    shifted_i (so diff_0 = 0).  Pure array expression — zero shuffle."""
+    shifted = F.concat(F.slice(col, 1, 1), F.slice(col, 1, F.greatest(F.size(col) - 1, F.lit(0))))
+    return F.zip_with(col, shifted, lambda a, b: a - b)
+
+
 def quantize_simple_array(
     df: DataFrame,
     values_col: str = "values",
@@ -66,20 +74,37 @@ def quantize_simple_array(
 ) -> DataFrame:
     """F1/F2/F3 on the array layout (seq_id, values array<double>).
 
-    Pure array expressions — zero shuffle, codegen-friendly:
-    diff via zip_with(values, shifted, -); first element -> 0.
+    Pure array expressions — zero shuffle, codegen-friendly.
     """
-    v = F.col(values_col)
-    # shifted = [v0, v0, v1, ..., v_{n-2}]  => diff_i = v_i - shifted_i (diff_0 = 0)
-    def diff(col: Column) -> Column:
-        shifted = F.concat(F.slice(col, 1, 1), F.slice(col, 1, F.greatest(F.size(col) - 1, F.lit(0))))
-        return F.zip_with(col, shifted, lambda a, b: a - b)
-
-    d = diff(v)
+    d = array_diff(F.col(values_col))
     if second:
-        d = diff(d)
+        d = array_diff(d)
     syms = F.transform(d, lambda x: F.when(x > 0, F.lit(1)).otherwise(F.lit(0)).cast("tinyint"))
     return df.withColumn(out_col, syms)
+
+
+#: relative-error target for the approx percentile path; 1/APPROX_ACCURACY
+#: is the rank error bound of the underlying KLL/GK sketch.
+APPROX_ACCURACY = 1_000_000
+
+
+def percentile_expr(value_col: str, probs: list[float], *, exact: bool = True) -> Column:
+    """Equi-probable cut-point aggregate.
+
+    exact=True  -> Spark SQL ``percentile`` (interpolated; hash-matches a
+                   DuckDB ``quantile_cont`` oracle) — collects every value
+                   into one aggregation buffer, so it is a single-executor
+                   memory hazard beyond ~10^8 rows.
+    exact=False -> ``approx_percentile`` with accuracy pinned at
+                   APPROX_ACCURACY: a bounded-memory mergeable sketch, the
+                   documented default at 100 TB scale.  Cut-points land
+                   within 1/APPROX_ACCURACY rank error of exact; downstream
+                   symbols can differ only for values inside that band.
+    """
+    arr = ", ".join(f"{p!r}D" for p in probs)
+    if exact:
+        return F.expr(f"percentile({value_col}, array({arr}))")
+    return F.expr(f"approx_percentile({value_col}, array({arr}), {APPROX_ACCURACY})")
 
 
 def fit_complex_cutpoints(
@@ -88,20 +113,19 @@ def fit_complex_cutpoints(
     *,
     n_symbols: int = 2,
     detrend: bool = False,
+    exact: bool = True,
     partition_cols: list[str] | None = None,
     order_col: str = "t",
 ) -> list[float]:
-    """F4 fit: exact equi-probable cut-points (entropy maximization —
-    ``tex/ms.tex:293-294``).  k-1 interior quantiles at i/k via Spark SQL
-    ``percentile`` (exact, linear interpolation -> deterministic and
-    DuckDB-``quantile_cont``-compatible)."""
+    """F4 fit: equi-probable cut-points (entropy maximization —
+    ``tex/ms.tex:293-294``): k-1 interior quantiles at i/k.  See
+    ``percentile_expr`` for the exact-vs-approx scale trade."""
     work = df
     if detrend:
         work = quantize_detrend_long(df, value_col, partition_cols=partition_cols, order_col=order_col)
         value_col = "__detrended"
     probs = [i / n_symbols for i in range(1, n_symbols)]
-    arr = ", ".join(f"{p!r}D" for p in probs)
-    row = work.select(F.expr(f"percentile({value_col}, array({arr}))").alias("cuts")).first()
+    row = work.select(percentile_expr(value_col, probs, exact=exact).alias("cuts")).first()
     return [float(c) for c in row["cuts"]]
 
 
@@ -162,13 +186,17 @@ class Quantizer:
     quantize_type: str = "complex"  # simple | simple-second | complex | none
     n_symbols: int = 2
     detrend: bool = False
+    #: exact percentile for oracle bit-parity; False = approx_percentile
+    #: sketch, the bounded-memory choice at scale (see percentile_expr)
+    exact: bool = True
     cutpoints: list[float] = field(default_factory=list)
     fitted: bool = False
 
     def fit(self, df: DataFrame, value_col: str = "value", **kw) -> "Quantizer":
         if self.quantize_type == "complex":
             self.cutpoints = fit_complex_cutpoints(
-                df, value_col, n_symbols=self.n_symbols, detrend=self.detrend, **kw
+                df, value_col, n_symbols=self.n_symbols, detrend=self.detrend,
+                exact=self.exact, **kw
             )
         self.fitted = True
         return self
@@ -189,6 +217,7 @@ class Quantizer:
             "quantize_type": self.quantize_type,
             "n_symbols": self.n_symbols,
             "detrend": self.detrend,
+            "exact": self.exact,
             "cutpoints": list(self.cutpoints),
             "fitted": self.fitted,
         }
