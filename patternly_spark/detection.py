@@ -654,21 +654,36 @@ class ContinuousStreamingDetection(StreamingDetection):
         seqs = self._split(df)
         quantized = super()._quantize(seqs)
         if self.alphabet_size is None:
-            self.alphabet_size = int(quantized.select(F.max(F.array_max("symbols"))).first()[0]) + 1
-        rows = quantized.orderBy("seq_id").collect()
-        windows = [(int(r["seq_id"]), np.asarray(r["symbols"], dtype=np.int8)) for r in rows]
-
-        if not self.fitted:
-            self.fitted = True
-            self._mint(windows[0][1])
-            self.pattern_emergence_times.append(0)
-
-        for i, (wid, syms) in enumerate(windows):
+            max_sym = quantized.select(F.max(F.array_max("symbols"))).first()[0]
+            if max_sym is None:
+                raise ValueError(
+                    "stream shorter than window_size: no complete windows to fit"
+                )
+            self.alphabet_size = int(max_sym) + 1
+        # The per-window loop is sequentially dependent by reference
+        # semantics (models minted at window <= i score window i+1), so it
+        # runs on the driver — but only one sorted partition of tiny
+        # windows is resident at a time (toLocalIterator), not the whole
+        # stream: chop + quantize + sort stay distributed, and the driver's
+        # memory footprint is bounded regardless of stream length.
+        it = quantized.orderBy("seq_id").toLocalIterator(prefetchPartitions=True)
+        i = -1
+        for i, r in enumerate(it):
+            syms = np.asarray(r["symbols"], dtype=np.int8)
+            if not self.fitted:
+                # first window ever seen: mint, then score it like any other
+                self.fitted = True
+                self._mint(syms)
+                self.pattern_emergence_times.append(0)
             llks = np.array([llk_batch([syms], m)[0] for m in self.library])
             bounds = np.array(self._means) + np.array(self._stds) * self.anomaly_sensitivity
             if np.all(llks > bounds):
                 self.pattern_emergence_times.append(i)
                 self._mint(syms)
+        if i < 0:
+            raise ValueError(
+                "stream shorter than window_size: no complete windows to fit"
+            )
 
         self.n_clusters = len(self.library)
         self.pfsa_llk_means = np.array(self._means)
