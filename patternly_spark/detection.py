@@ -585,23 +585,37 @@ class MultiChannelDetection:
             out = preds if out is None else out.unionByName(preds)
         return out.select("channel", "seq_id", "anomaly", "closest_match")
 
+    @staticmethod
+    def _channel_dir(ch: str) -> str:
+        """Path-safe directory component for a channel name: percent-encode
+        everything outside [A-Za-z0-9_-] so names with '/', '..', spaces,
+        etc. cannot escape or collide; the original name lives in the
+        manifest."""
+        from urllib.parse import quote
+
+        return "channel_" + quote(str(ch), safe="")
+
     def save_model(self, path: str) -> None:
         """One model dir per channel + a channel manifest."""
         os.makedirs(path, exist_ok=True)
-        manifest = {"channels": sorted(self.models), "kwargs": self.kwargs}
+        dirs = {ch: self._channel_dir(ch) for ch in self.models}
+        manifest = {"channels": sorted(self.models), "channel_dirs": dirs,
+                    "kwargs": self.kwargs}
         with open(os.path.join(path, "channels.json"), "w") as f:
             json.dump(manifest, f)
         for ch, m in self.models.items():
-            m.save_model(os.path.join(path, f"channel_{ch}"))
+            m.save_model(os.path.join(path, dirs[ch]))
 
     @classmethod
     def load_model(cls, path: str, spark: SparkSession | None = None) -> "MultiChannelDetection":
         with open(os.path.join(path, "channels.json")) as f:
             manifest = json.load(f)
         inst = cls(spark, **manifest["kwargs"])
+        # older saves predate channel_dirs and used the raw name
+        dirs = manifest.get("channel_dirs") or {ch: f"channel_{ch}" for ch in manifest["channels"]}
         for ch in manifest["channels"]:
             inst.models[ch] = StreamingDetection.load_model(
-                os.path.join(path, f"channel_{ch}"), spark
+                os.path.join(path, dirs[ch]), spark
             )
         return inst
 

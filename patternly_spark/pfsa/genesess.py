@@ -146,7 +146,19 @@ def genesess(
     smoothing: float = 0.5,
 ) -> PFSA:
     """Infer a PFSA from symbol sequences.  Deterministic given input order."""
-    seqs = [np.asarray(s, dtype=np.uint8) for s in sequences if len(s) > 0]
+    seqs = []
+    for s in sequences:
+        if len(s) == 0:
+            continue
+        a = np.asarray(s)
+        # the byte-level n-gram machinery packs symbols into uint8; a larger
+        # alphabet would silently wrap modulo 256 and fit a wrong machine
+        if int(a.max()) > 255 or int(a.min()) < 0:
+            raise ValueError(
+                f"genesess: symbols must be in [0, 255], got range "
+                f"[{int(a.min())}, {int(a.max())}]"
+            )
+        seqs.append(a.astype(np.uint8))
     if not seqs:
         raise ValueError("genesess: no non-empty sequences")
     k = alphabet_size if alphabet_size is not None else int(max(int(s.max()) for s in seqs)) + 1

@@ -407,3 +407,27 @@ def test_continuous_fit_stream_many_windows_bounded_driver(spark):
     cd.fit_stream(df)
     assert cd.pattern_emergence_times[0] == 0
     assert len(cd.library) == len(cd.pattern_emergence_times) == len(cd._means)
+
+
+def test_multichannel_save_load_path_hostile_channel_names(tmp_path, spark):
+    from patternly_spark.detection import MultiChannelDetection
+    from patternly_spark.pfsa.simulate import simulate as _sim
+
+    a = _sim(MACHINE_A, 2000, 1, seed=5)[0]
+    hostile = ["lead/I", "../up", "a b.c"]
+    rows = [(ch, i, float(v)) for ch in hostile for i, v in enumerate(a)]
+    df = spark.createDataFrame(rows, "channel string, offset long, value double")
+    m = MultiChannelDetection(spark, window_size=500, window_overlap=0, n_clusters=1,
+                              quantize=False, anomaly_sensitivity=3)
+    m.fit(df)
+    m.save_model(str(tmp_path / "mc"))
+    # nothing escaped the save root
+    import os as _os
+    entries = set(_os.listdir(tmp_path / "mc"))
+    assert "channels.json" in entries and len(entries) == 4
+    assert not (tmp_path / "up").exists()
+    loaded = MultiChannelDetection.load_model(str(tmp_path / "mc"), spark)
+    assert set(loaded.models) == set(hostile)
+    before = m.predict(df).orderBy("channel", "seq_id").collect()
+    after = loaded.predict(df).orderBy("channel", "seq_id").collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]

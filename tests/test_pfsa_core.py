@@ -152,3 +152,14 @@ def test_genesess_distributed_matches_in_memory(spark):
     np.testing.assert_allclose(dist.pitilde, mem.pitilde, rtol=0, atol=0)
     np.testing.assert_allclose(dist.sym_frq, mem.sym_frq)
     assert list(dist.syn_str or []) == list(mem.syn_str or [])
+
+
+def test_genesess_rejects_oversized_alphabet():
+    import numpy as np
+    import pytest
+    from patternly_spark.pfsa.genesess import genesess
+
+    with pytest.raises(ValueError, match=r"\[0, 255\]"):
+        genesess([np.array([0, 1, 300, 2])])
+    with pytest.raises(ValueError, match=r"\[0, 255\]"):
+        genesess([np.array([-1, 0, 1])])
