@@ -7,6 +7,8 @@ linearly with partitions.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -42,3 +44,81 @@ def l2_distance(a: Column, b: Column) -> Column:
             lambda acc, x: acc + x,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hyperplane / centroid application with a literal-size budget
+# ---------------------------------------------------------------------------
+
+#: above this many embedded literals (num_planes*dim or n_lists*dim) the
+#: plan bloats — constant-fold time, plan serialization, and codegen all
+#: degrade — so we switch from literal column expressions to a broadcast
+#: numpy matrix applied in an Arrow-batched pandas UDF.
+LITERAL_BUDGET = 4096
+
+
+def hyperplane_signature(vec: Column, planes) -> Column:
+    """LSH sign signature: bit i = (vec . planes[i] >= 0).
+
+    Small plane sets inline as literal expressions (JVM-side, zero Python);
+    past LITERAL_BUDGET the planes ship once per executor as an Arrow-batched
+    pandas UDF closure and the signature is one numpy matmul per batch.
+    Both paths produce identical bits except for dot products within float
+    rounding of zero.
+    """
+    planes = np.asarray(planes, dtype=np.float64)
+    if planes.size <= LITERAL_BUDGET:
+        sig = F.lit(0)
+        for i, p in enumerate(planes):
+            arr = F.array(*[F.lit(float(v)) for v in p])
+            d = F.aggregate(
+                F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sig = sig + F.shiftleft(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)), i)
+        return sig
+
+    from pyspark.sql.functions import pandas_udf
+
+    bits = (1 << np.arange(planes.shape[0], dtype=np.int64))
+
+    @pandas_udf("int")
+    def _sig(vs: pd.Series) -> pd.Series:
+        m = np.vstack(vs.to_numpy())
+        dots = m.astype(np.float64) @ planes.T
+        return pd.Series(((dots >= 0) * bits).sum(axis=1).astype("int32"))
+
+    return _sig(vec)
+
+
+def nearest_centroids(vec: Column, centroids, n: int) -> Column:
+    """array<int> of the n nearest centroid ids by squared L2, ascending
+    (ties break on centroid id — same order as sorting (dist, id) structs).
+    Literal expressions under LITERAL_BUDGET, broadcast + pandas UDF above.
+    """
+    centroids = np.asarray(centroids, dtype=np.float64)
+    if centroids.size <= LITERAL_BUDGET:
+        dists = []
+        for ci, cvec in enumerate(centroids):
+            arr = F.array(*[F.lit(float(x)) for x in cvec])
+            d = F.aggregate(
+                F.zip_with(vec, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            dists.append(F.struct(d.alias("d"), F.lit(ci).alias("cell")))
+        ranked = F.array_sort(F.array(*dists))
+        return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _cells(vs: pd.Series) -> pd.Series:
+        m = np.vstack(vs.to_numpy()).astype(np.float64)
+        # ||x-c||^2 expanded: one (batch x lists) matmul, no 3-D broadcast
+        d = (m * m).sum(1, keepdims=True) - 2.0 * (m @ centroids.T) + (centroids * centroids).sum(1)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    return _cells(vec)

@@ -332,26 +332,16 @@ def embedding_neardup_pairs(
     with one flipped bit to keep recall at the 0.95 regime."""
     import numpy as np
 
-    from patternly_spark.functions.vectors import cosine
+    from patternly_spark.functions.vectors import cosine, hyperplane_signature
 
     dim = len(embeddings.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(num_planes, dim))
 
     def signature() -> Column:
-        bits = []
-        for p in planes:
-            arr = F.array(*[F.lit(float(v)) for v in p])
-            d = F.aggregate(
-                F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)))
-        sig = F.lit(0)
-        for i, b in enumerate(bits):
-            sig = sig + F.shiftleft(b, i)
-        return sig
+        # literal expressions for small plane sets, broadcast+pandas-UDF
+        # beyond LITERAL_BUDGET (functions/vectors.py)
+        return hyperplane_signature(F.col(vec_col), planes)
 
     keyed = embeddings.select(id_col, vec_col, signature().alias("sig"))
     # probe buckets: exact signature + each 1-bit flip (multi-probe LSH)

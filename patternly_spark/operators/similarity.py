@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from patternly_spark.functions.vectors import cosine
+from patternly_spark.functions.vectors import (
+    cosine,
+    hyperplane_signature,
+    nearest_centroids,
+)
 
 
 def cosine_topk(
@@ -75,16 +79,9 @@ def lsh_bucketed_topk(
     planes = rng.normal(size=(num_planes, dim))
 
     def sig_col(vec):
-        sig = F.lit(0)
-        for i, p in enumerate(planes):
-            arr = F.array(*[F.lit(float(v)) for v in p])
-            d = F.aggregate(
-                F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            sig = sig + F.shiftleft(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)), i)
-        return sig
+        # literal expressions for small plane sets, broadcast+pandas-UDF
+        # beyond LITERAL_BUDGET (functions/vectors.py)
+        return hyperplane_signature(vec, planes)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -146,19 +143,10 @@ def ivf_topk(
     centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
 
     def nearest_cells(vcol, n: int):
-        """array of the n nearest centroid ids by squared L2 (literal
-        centroid arrays -> pure column expressions, no UDF)."""
-        dists = []
-        for ci, cvec in enumerate(centroids):
-            arr = F.array(*[F.lit(float(x)) for x in cvec])
-            d = F.aggregate(
-                F.zip_with(vcol, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            dists.append(F.struct(d.alias("d"), F.lit(ci).alias("cell")))
-        ranked = F.array_sort(F.array(*dists))
-        return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
+        """array of the n nearest centroid ids by squared L2 — literal
+        column expressions under LITERAL_BUDGET, broadcast+pandas-UDF
+        above (functions/vectors.py)."""
+        return nearest_centroids(vcol, centroids, n)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -189,16 +177,7 @@ def ivf_topk(
 
 
 def _plane_sig_expr(planes, vec_col: str):
-    sig = F.lit(0)
-    for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(v)) for v in p])
-        d = F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.shiftleft(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)), i)
-    return sig
+    return hyperplane_signature(F.col(vec_col), planes)
 
 
 def save_lsh_index(
@@ -253,16 +232,23 @@ def lsh_index_topk(
     dim = len(q_rows[0][vec_col])
     planes = np.random.default_rng(seed).normal(size=(num_planes, dim))
 
+    from patternly_spark.functions.vectors import LITERAL_BUDGET
+
+    use_matmul = planes.size > LITERAL_BUDGET
     probe_rows = []
     all_buckets: set[int] = set()
     for r in q_rows:
         v = np.asarray(r[vec_col], dtype=np.float64)
         sig = 0
         for i, p in enumerate(planes):
-            # same left-fold the Spark expression uses -> identical sign
-            acc = 0.0
-            for a, b in zip(v, p):
-                acc += float(a) * float(b)
+            if use_matmul:
+                # index was written by the pandas-UDF path -> numpy dot
+                acc = float(v @ p)
+            else:
+                # same left-fold the Spark expression uses -> identical sign
+                acc = 0.0
+                for a, b in zip(v, p):
+                    acc += float(a) * float(b)
             sig += (1 if acc >= 0 else 0) << i
         probes = [sig] + [sig ^ (1 << i) for i in range(num_planes)]
         all_buckets.update(probes)

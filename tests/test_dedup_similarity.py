@@ -201,3 +201,54 @@ def test_lsh_index_partition_pruning(emb, spark, tmp_path):
     gp = got.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     wp = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert gp.equals(wp), "index query must match the direct LSH top-k"
+
+
+def test_hyperplane_udf_path_matches_literal_path(emb, spark, monkeypatch):
+    """VERDICT #8: past LITERAL_BUDGET the signature computation switches
+    to a broadcast+pandas-UDF; forcing the switch at a small dim must give
+    the same signatures as the literal path (same planes, same bits)."""
+    import patternly_spark.functions.vectors as V
+    from patternly_spark.functions.vectors import hyperplane_signature
+
+    rng = np.random.default_rng(3)
+    planes = rng.normal(size=(6, 16))
+    lit = emb.select("vec_id", hyperplane_signature(F.col("embedding"), planes).alias("sig")).toPandas()
+    monkeypatch.setattr(V, "LITERAL_BUDGET", 0)
+    udf = emb.select("vec_id", hyperplane_signature(F.col("embedding"), planes).alias("sig")).toPandas()
+    assert lit.sort_values("vec_id").sig.tolist() == udf.sort_values("vec_id").sig.tolist()
+
+
+def test_nearest_centroids_udf_path_matches_literal_path(emb, spark, monkeypatch):
+    import patternly_spark.functions.vectors as V
+    from patternly_spark.functions.vectors import nearest_centroids
+
+    rng = np.random.default_rng(4)
+    cents = rng.normal(size=(8, 16))
+    lit = emb.select("vec_id", nearest_centroids(F.col("embedding"), cents, 3).alias("cells")).toPandas()
+    monkeypatch.setattr(V, "LITERAL_BUDGET", 0)
+    udf = emb.select("vec_id", nearest_centroids(F.col("embedding"), cents, 3).alias("cells")).toPandas()
+    a = [list(x) for x in lit.sort_values("vec_id").cells]
+    b = [list(x) for x in udf.sort_values("vec_id").cells]
+    assert a == b
+
+
+def test_high_dim_ann_plan_stays_small(spark):
+    """At dim=1024 x 8 planes (8192 literals > LITERAL_BUDGET) the plan
+    must not embed the plane matrix; operators stay usable end-to-end."""
+    from patternly_spark.operators.similarity import lsh_bucketed_topk
+    from patternly_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(40, 1024)).astype(np.float32)
+    vecs[30] = vecs[2] + rng.normal(0, 0.001, 1024).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    topk = lsh_bucketed_topk(df, df.filter(F.col("vec_id") < 4), k=3, num_planes=8)
+    plan = topk._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 200_000, f"plan embeds the plane matrix: {len(plan)} chars"
+    assert "ArrowEvalPython" in topk._jdf.queryExecution().executedPlan().toString()
+    assert topk.count() > 0
+
+    pairs = embedding_neardup_pairs(df, threshold=0.99, num_planes=8).toPandas()
+    assert {(2, 30)} == set(zip(pairs.vec_a, pairs.vec_b))
