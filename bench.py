@@ -25,17 +25,32 @@ BENCH_QUERIES = [
     "q01_pricing_summary",
     "q02_top_customers",
     "q03_region_activity",
+    "q04_priority_semijoin",
+    "q05_customers_without_orders",
     "q06_window_rank",
+    "q07_lag_delta",
     "q08_events_tumbling",
+    "q09_events_sliding",
+    "q10_setops",
+    "q11_minmax_by",
+    "q12_filter_predicates",
+    "q13_distinct_agg",
     "q14_quantize_simple",
+    "q15_quantize_complex",
+    "q16_alphabet_size",
     "q17_window_chop",
     "q18_token_stats",
+    "q19_quality_langid",
     "q20_exact_dedup",
     "q21_minhash_signatures",
+    "q22_minhash_buckets",
+    "q23_ngram_jaccard",
     "q24_cosine_topk",
     "q25_llk_stats_shape",
+    "q26_anomaly_flag_shape",
     "q27_winnow_candidates",
     "q28_left_outer_coalesce",
+    "q29_sorted_collect",
     "q30_quantize_second",
     "q90_pfsa_llk_scores",
     "q91_anomaly_pipeline",
@@ -44,6 +59,9 @@ BENCH_QUERIES = [
     "q94_embedding_neardup",
     "q95_multimodal_features",
     "q96_lsh_topk",
+    "q97_ivf_topk",
+    "q98_cluster_discovery",
+    "q99_pfsa_simulation",
 ]
 
 
