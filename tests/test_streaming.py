@@ -155,3 +155,12 @@ def test_transform_with_state_processor_matches(spark, window_rows, tmp_path):
     got = spark.sql("SELECT * FROM tws_test").toPandas().sort_values("window_id")
     batch = StreamingPFSADetector(eps=0.2, anomaly_sensitivity=4.0).apply(win_df).toPandas().sort_values("window_id")
     assert got.reset_index(drop=True).equals(batch.reset_index(drop=True))
+
+
+def test_stateful_processor_importable_without_protobuf():
+    """The transformWithStateInPandas variant must stay importable even
+    where google.protobuf (its runtime dep) is absent; only invoking it
+    requires the dep. The applyInPandasWithState path is canonical."""
+    from patternly_spark.streaming.continuous import PFSAStatefulProcessor
+
+    assert hasattr(PFSAStatefulProcessor, "build")
