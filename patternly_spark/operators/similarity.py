@@ -111,6 +111,34 @@ def lsh_bucketed_topk(
     )
 
 
+def _lloyd_kmeans(X, k: int, seed: int, iters: int = 20):
+    """Seeded k-means++ init + Lloyd iterations on a driver-side sample.
+    Deterministic for a fixed sample; empty cells re-seed to the farthest
+    point so exactly k centroids come back."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = X.shape[0]
+    # k-means++ seeding
+    centroids = [X[rng.integers(n)]]
+    d2 = ((X - centroids[0]) ** 2).sum(1)
+    for _ in range(1, k):
+        probs = d2 / max(d2.sum(), 1e-300)
+        centroids.append(X[rng.choice(n, p=probs)])
+        d2 = np.minimum(d2, ((X - centroids[-1]) ** 2).sum(1))
+    C = np.array(centroids)
+    for _ in range(iters):
+        d = (X * X).sum(1, keepdims=True) - 2.0 * (X @ C.T) + (C * C).sum(1)
+        assign = d.argmin(1)
+        for ci in range(k):
+            members = X[assign == ci]
+            if len(members):
+                C[ci] = members.mean(0)
+            else:
+                C[ci] = X[d.min(1).argmax()]
+    return C
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -121,26 +149,34 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 3,
     seed: int = 42,
+    train_sample: int = 100_000,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: a coarse KMeans quantizer
+    """IVF (inverted-file) approximate top-k: a coarse quantizer
     partitions the corpus into ``n_lists`` cells; each query scans only
     its ``n_probe`` nearest cells.
 
-    Scale shape: centroids are fit once (MLlib KMeans, distributed) and
-    broadcast as literals; corpus cell assignment is a narrow map; the
-    probe join is an equi-join on cell id, so per-query work is
+    Scale shape (FAISS-style): the coarse quantizer trains on a bounded
+    deterministic hash-sample of at most ``train_sample`` vectors — a
+    coarse quantizer does not improve past ~256 x n_lists training points,
+    so a full-corpus distributed KMeans would be pure waste at 100 TB.
+    Centroids broadcast to executors (literal or pandas-UDF per
+    LITERAL_BUDGET); corpus cell assignment is a narrow map; the probe
+    join is an equi-join on cell id, so per-query work is
     n_probe/n_lists of the corpus instead of all of it.  At 100 TB the
     corpus side would additionally be written bucketed by cell id so
     repeated query batches skip the assignment scan.
     """
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    vec = corpus.select(F.col(id_col), array_to_vector(F.col(vec_col)).alias("features"))
-    km = KMeans(k=n_lists, seed=seed, maxIter=20, initMode="k-means||")
-    model = km.fit(vec)
-    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+    total = corpus.count()
+    sample = corpus.select(vec_col)
+    if total > train_sample:
+        # deterministic, partitioning-invariant sample: keep ids whose
+        # 32-bit hash falls under the target fraction
+        frac_mod = max(int(total / train_sample), 1)
+        sample = corpus.filter(F.pmod(F.hash(F.col(id_col)), F.lit(frac_mod)) == 0).select(vec_col)
+    X = np.array([r[0] for r in sample.collect()], dtype=np.float64)
+    centroids = _lloyd_kmeans(X, n_lists, seed)
 
     def nearest_cells(vcol, n: int):
         """array of the n nearest centroid ids by squared L2 — literal
