@@ -440,6 +440,36 @@ def q23_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q89_dedup_clusters(spark, sf_dir):
+    """Dedup cluster formation: unigram-Jaccard edges between docs at id
+    distance 1 and 2 (threshold 0.8) -> connected components (alternating
+    large-star/small-star) -> (doc_id, cluster_id, is_canonical) with
+    singletons as their own cluster.  Oracle: recursive-CTE reachability."""
+    from patternly_spark.operators.graph import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    sets = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    jac = (
+        F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+        / F.size(F.array_union("toks_a", "toks_b")).cast("double")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    edges = None
+    for gap in (1, 2):
+        b = sets.select(
+            (F.col("doc_id") - gap).alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("toks").alias("toks_b"),
+        )
+        e = a.join(b, "doc_a").filter(jac >= 0.8).select("doc_a", "doc_b")
+        edges = e if edges is None else edges.unionByName(e)
+    return dedup_clusters(edges, docs=d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "is_canonical",
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -669,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_minhash_signatures": q21_minhash_signatures,
         "q22_minhash_buckets": q22_minhash_buckets,
         "q23_ngram_jaccard": q23_ngram_jaccard,
+        "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
         "q26_anomaly_flag_shape": q26_anomaly_flag_shape,
@@ -912,6 +943,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                        / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
             FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+        """,
+        "q89_dedup_clusters": """
+            WITH RECURSIVE sets AS (
+                SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS toks FROM documents
+            ),
+            pairs AS (
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+                WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+                UNION ALL
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 2
+                WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+            ),
+            und AS (
+                SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT u AS node, u AS r FROM und
+                UNION
+                SELECT reach.node, und.v AS r FROM reach JOIN und ON und.u = reach.r
+            ),
+            comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+                   d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_canonical
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
         """,
         "q24_cosine_topk": """
             WITH sims AS (

@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "q21_minhash_signatures",
     "q22_minhash_buckets",
     "q23_ngram_jaccard",
+    "q89_dedup_clusters",
     "q24_cosine_topk",
     "q25_llk_stats_shape",
     "q26_anomaly_flag_shape",

@@ -1,0 +1,137 @@
+"""Connected components over candidate-pair graphs — the cluster-formation
+step of a dedup pipeline (pairs -> dup groups -> canonical representative).
+
+The reference engine has no graph step (its dedup surface stops at pairs);
+a training-data pipeline needs the grouping, so this is a first-class
+extension (builder brief: dedup operators).
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+O(log n) rounds on any graph, each round two shuffles (one per star), so
+a 100 TB edge set needs ~log(n) passes instead of the O(diameter) passes
+of naive label propagation.  Each round is expressed as window-min +
+filter over the edge DataFrame (no UDFs, no driver-side graph), and the
+edge set is localCheckpoint-ed per round to keep lineage flat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """(u, v) undirected-unique with u > v, self-loops dropped."""
+    return (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to the
+    minimum of N(u) + {u}."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    w = Window.partitionBy("u")
+    m = F.least(F.min("v").over(w), F.col("u"))
+    return (
+        sym.withColumn("m", m)
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient u > v; for each node u: connect u and all its (smaller)
+    neighbors to the minimum neighbor."""
+    oriented = _canon(edges)
+    w = Window.partitionBy("u")
+    m = F.min("v").over(w)  # all neighbors are < u after orientation
+    withm = oriented.withColumn("m", m)
+    out = withm.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+        withm.select("u", F.col("m").alias("v"))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """-> (node, component) for every node appearing in ``edges``; the
+    component id is the smallest node id in the component.
+
+    Nodes with no edges don't appear (the caller unions singletons —
+    see ``dedup_clusters``).  Raises if the star sequence hasn't
+    converged after ``max_iterations`` rounds (needs ~log2(n) in the
+    worst case, so 50 covers any realistic graph).
+    """
+    cur = _canon(
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # converged when the canonical edge set is unchanged
+        if (
+            nxt.count() == cur.count()
+            and nxt.exceptAll(cur).isEmpty()
+        ):
+            cur = nxt
+            break
+        cur = nxt
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+
+    # fixpoint is a star forest: every non-root points at its component min
+    nodes = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = (
+        cur.select(F.col("v").alias("node"))
+        .distinct()
+        .join(cur.select(F.col("u").alias("node")).distinct(), "node", "left_anti")
+        .withColumn("component", F.col("node"))
+    )
+    return nodes.union(roots)
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dup-pair graph -> (doc_id, cluster_id, is_canonical).
+
+    ``cluster_id`` is the smallest doc id in the duplicate group — the
+    canonical survivor a dedup pass keeps.  If ``docs`` is given, docs
+    without any dup pair appear as their own singleton cluster, so the
+    output is a total map over the corpus (what a keep/drop filter
+    joins against).
+    """
+    cc = connected_components(pairs, a_col, b_col).select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+    )
+    if docs is not None:
+        all_ids = docs.select(F.col(id_col).cast("long").alias(id_col))
+        cc = (
+            all_ids.join(cc, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            )
+        )
+    return cc.withColumn(
+        "is_canonical", (F.col(id_col) == F.col("cluster_id"))
+    )
