@@ -440,6 +440,53 @@ def q23_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q31_asof_join(spark, sf_dir):
+    """As-of (point-in-time) join: each click matched to the user's
+    latest purchase at-or-before it.  Union-merge + running last over one
+    (user, time) sort — one shuffle, no range-join blow-up.  Oracle:
+    DuckDB ASOF LEFT JOIN.  Times compared as epoch micros in both
+    engines (micros are exact under the nanos->micros truncation)."""
+    from patternly_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", us.alias("ts_us")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("ts_us"), "value", "event_id")
+        # unique right row per (user, instant): keep the max-event_id value
+        .groupBy("user_id", "ts_us")
+        .agg(F.max_by("value", "event_id").alias("purchase_value"))
+    )
+    out = asof_join(
+        clicks, purchases, on="ts_us", by="user_id",
+        right_cols=["purchase_value"], direction="backward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        F.col("ts_us_matched").alias("purchase_ts_us"),
+        F.col("purchase_value_matched").alias("purchase_value"),
+    )
+
+
+def q32_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) via the built-in
+    session_window; oracle is the classic gaps-and-islands SQL.  Session
+    start surfaced as epoch micros; end = last event + gap is Spark's
+    convention, so only start/n_events are compared."""
+    from patternly_spark.operators.temporal import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, ts_col="ts", by="user_id", gap="30 minutes")
+    return s.select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        "n_events",
+    )
+
+
 def q89_dedup_clusters(spark, sf_dir):
     """Dedup cluster formation: unigram-Jaccard edges between docs at id
     distance 1 and 2 (threshold 0.8) -> connected components (alternating
@@ -699,6 +746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_minhash_signatures": q21_minhash_signatures,
         "q22_minhash_buckets": q22_minhash_buckets,
         "q23_ngram_jaccard": q23_ngram_jaccard,
+        "q31_asof_join": q31_asof_join,
+        "q32_sessionize": q32_sessionize,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -943,6 +992,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                        / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
             FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+        """,
+        "q31_asof_join": """
+            WITH c AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                FROM events WHERE event_type = 'click'
+            ),
+            p AS (
+                SELECT user_id, epoch_us(ts) AS ts_us,
+                       arg_max(value, event_id) AS purchase_value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, epoch_us(ts)
+            )
+            SELECT c.event_id, c.user_id, c.ts_us,
+                   p.ts_us AS purchase_ts_us,
+                   p.purchase_value AS purchase_value
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND p.ts_us <= c.ts_us
+        """,
+        "q32_sessionize": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS ts_us FROM events
+            ),
+            m AS (
+                SELECT user_id, ts_us,
+                       -- session_window merges inclusively (next.start <=
+                       -- prev.end), so a new session needs a gap STRICTLY
+                       -- greater than 30 min
+                       CASE WHEN lag(ts_us) OVER w IS NULL
+                                 OR ts_us - lag(ts_us) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+            ),
+            s AS (
+                SELECT user_id, ts_us,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m
+            )
+            SELECT user_id, MIN(ts_us) AS session_start_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "q89_dedup_clusters": """
             WITH RECURSIVE sets AS (

@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "q28_left_outer_coalesce",
     "q29_sorted_collect",
     "q30_quantize_second",
+    "q31_asof_join",
+    "q32_sessionize",
     "q90_pfsa_llk_scores",
     "q91_anomaly_pipeline",
     "q92_simhash",

@@ -1,0 +1,137 @@
+"""Temporal joins & sessionization over event streams.
+
+Operators Spark's join syntax lacks but time-series pipelines need:
+
+- ``asof_join``  : point-in-time join — for each left row, the latest
+                   right row with the same key and time <= left time
+                   (direction="backward"; "forward" mirrors it).  NOT a
+                   range join: implemented as a union-merge + running
+                   last-non-null over a single (key, time) sort, so one
+                   shuffle on the key, O(n log n) per key, no candidate
+                   blow-up — the at-scale shape (a naive t2<=t1 range
+                   join is quadratic in events-per-key).
+- ``sessionize`` : gap-based session assignment via the built-in
+                   ``session_window`` (Structured-Streaming-compatible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "ts",
+    by: str | list[str] = "user_id",
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: int | None = None,
+    suffix: str = "_matched",
+) -> DataFrame:
+    """For each left row: the most recent right row at-or-before it
+    (direction="backward") or the earliest at-or-after it ("forward"),
+    per key.  Right-side ties at the same instant must be pre-deduped by
+    the caller (one right row per (key, time)) so the match is unique.
+
+    Columns out: every left column, plus ``on + suffix`` (matching right
+    time, null if none) and each of ``right_cols + suffix``.
+
+    ``tolerance``: max allowed |left.on - right.on| (same units as
+    ``on``); matches farther away become null.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = [by] if isinstance(by, str) else list(by)
+    right_cols = list(right_cols or [])
+
+    matched_on = on + suffix
+    # union-merge: right rows carry payload, left rows carry nulls; at
+    # equal times the right row must sort on the matching side of the
+    # left row so "at-or-before/after" includes the same instant.
+    l_tag, r_tag = (1, 0) if direction == "backward" else (0, 1)
+    l = left.select(
+        *keys,
+        F.col(on).alias("__t"),
+        F.lit(l_tag).alias("__tag"),
+        F.struct(*left.columns).alias("__lrow"),
+        F.lit(None).cast(dict(right.dtypes)[on]).alias(matched_on),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c + suffix) for c in right_cols],
+    )
+    r = right.select(
+        *keys,
+        F.col(on).alias("__t"),
+        F.lit(r_tag).alias("__tag"),
+        F.lit(None).cast(l.schema["__lrow"].dataType).alias("__lrow"),
+        F.col(on).alias(matched_on),
+        *[F.col(c).alias(c + suffix) for c in right_cols],
+    )
+    unioned = l.unionByName(r)
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.asc("__t"), F.asc("__tag"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.asc("__t"), F.asc("__tag"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+    pick = F.last if direction == "backward" else F.first
+    filled = unioned.select(
+        "__tag",
+        "__lrow",
+        "__t",
+        pick(F.col(matched_on), ignorenulls=True).over(w).alias(matched_on),
+        *[pick(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix) for c in right_cols],
+    )
+    out = filled.filter(F.col("__tag") == l_tag)
+    if tolerance is not None:
+        # for timestamp columns the long cast is epoch seconds; pass a
+        # numeric `on` (e.g. epoch micros) for finer tolerances
+        in_tol = F.abs(F.col("__t").cast("long") - F.col(matched_on).cast("long")) <= tolerance
+        out = out.select(
+            "__lrow",
+            F.when(in_tol, F.col(matched_on)).alias(matched_on),
+            *[F.when(in_tol, F.col(c + suffix)).alias(c + suffix) for c in right_cols],
+        )
+    return out.select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
+        matched_on,
+        *[c + suffix for c in right_cols],
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    by: str | list[str] = "user_id",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessions: events of the same key belong to one session
+    while each is at most ``gap`` after the previous — the merge is
+    INCLUSIVE at exactly ``gap`` (built-in ``session_window`` merges
+    windows with next.start <= prev.end; identical semantics under
+    Structured Streaming).
+
+    -> one row per session: keys, session_start (first event time),
+    session_end (last event time + gap), n_events.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        events.groupBy(*keys, sw.alias("session"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            *keys,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+        )
+    )

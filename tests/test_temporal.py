@@ -1,0 +1,112 @@
+"""asof_join / sessionize (operators/temporal.py): direction semantics,
+same-instant inclusivity, tolerance, and session gap strictness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from patternly_spark.operators.temporal import asof_join, sessionize
+
+
+@pytest.fixture()
+def streams(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 7, "d")],
+        "user_id long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 15, 2.0), (2, 9, 3.0)],
+        "user_id long, ts long, v double",
+    )
+    return left, right
+
+
+def test_asof_backward_includes_same_instant(streams):
+    left, right = streams
+    out = asof_join(left, right, on="ts", by="user_id", right_cols=["v"]).toPandas()
+    got = {r.tag: (r.ts_matched, r.v_matched) for r in out.itertuples()}
+    assert got["a"] == (10, 1.0)   # same instant matches
+    assert got["b"] == (15, 2.0)   # latest at-or-before
+    assert got["c"][0] is None or got["c"][0] != got["c"][0]  # nothing before ts=5
+    assert got["d"][0] is None or got["d"][0] != got["d"][0]  # user 2: right at 9 > 7
+
+
+def test_asof_forward(streams):
+    left, right = streams
+    out = asof_join(
+        left, right, on="ts", by="user_id", right_cols=["v"], direction="forward"
+    ).toPandas()
+    got = {r.tag: (r.ts_matched, r.v_matched) for r in out.itertuples()}
+    assert got["a"] == (10, 1.0)   # same instant matches forward too
+    assert got["c"] == (10, 1.0)   # earliest at-or-after 5
+    assert got["d"] == (9, 3.0)
+    assert got["b"][0] is None or got["b"][0] != got["b"][0]  # nothing after 20
+
+
+def test_asof_tolerance(streams):
+    left, right = streams
+    out = asof_join(
+        left, right, on="ts", by="user_id", right_cols=["v"], tolerance=3
+    ).toPandas()
+    got = {r.tag: r.v_matched for r in out.itertuples()}
+    assert got["a"] == 1.0          # |10-10| = 0
+    assert got["b"] != got["b"] or got["b"] is None  # |20-15| = 5 > 3 -> null
+
+
+def test_asof_preserves_left_row_count(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    left = spark.createDataFrame(
+        [(int(rng.integers(5)), int(t)) for t in rng.integers(0, 1000, 300)],
+        "user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(int(rng.integers(5)), int(t), float(t)) for t in rng.integers(0, 1000, 100)],
+        "user_id long, ts long, v double",
+    ).groupBy("user_id", "ts").agg(F.max("v").alias("v"))
+    out = asof_join(left, right, on="ts", by="user_id", right_cols=["v"])
+    assert out.count() == left.count()
+    # every match is at-or-before and is the max such time
+    pdf = out.toPandas()
+    rp = right.toPandas()
+    for row in pdf.itertuples():
+        cands = rp[(rp.user_id == row.user_id) & (rp.ts <= row.ts)]
+        if len(cands) == 0:
+            assert row.ts_matched != row.ts_matched or row.ts_matched is None
+        else:
+            assert row.ts_matched == cands.ts.max()
+
+
+def test_sessionize_gap_inclusive_at_boundary(spark):
+    # session_window merges INCLUSIVELY at exactly the gap (next.start <=
+    # prev.end): with gap=10s, +9s and +10s both merge, +11s does not
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:00:10"),   # exactly the gap -> merges
+        (1, "2024-01-01 00:00:21"),   # 11s after previous -> new session
+        (2, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.to_timestamp("ts").alias("ts")
+    )
+    s = sessionize(df, ts_col="ts", by="user_id", gap="10 seconds").toPandas()
+    u1 = s[s.user_id == 1].sort_values("session_start")
+    assert len(u1) == 2 and u1.n_events.tolist() == [2, 1]
+    assert len(s[s.user_id == 2]) == 1
+
+
+def test_asof_join_plan_single_shuffle(spark, streams=None):
+    """Scale shape: union-merge as-of join = ONE hash exchange on the key
+    (for the window sort), never a range/nested-loop join."""
+    left = spark.range(100).select(
+        F.col("id").alias("user_id"), (F.col("id") * 7 % 50).alias("ts")
+    )
+    right = spark.range(40).select(
+        F.col("id").alias("user_id"), (F.col("id") * 3 % 50).alias("ts"),
+        F.rand(1).alias("v"),
+    )
+    out = asof_join(left, right, on="ts", by="user_id", right_cols=["v"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}:\n{plan[:2000]}"
