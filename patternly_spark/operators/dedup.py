@@ -332,7 +332,7 @@ def embedding_neardup_pairs(
     with one flipped bit to keep recall at the 0.95 regime."""
     import numpy as np
 
-    from patternly_spark.functions.vectors import cosine, hyperplane_signature
+    from patternly_spark.functions.vectors import dot, hyperplane_signature, norm
 
     dim = len(embeddings.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
@@ -343,24 +343,30 @@ def embedding_neardup_pairs(
         # beyond LITERAL_BUDGET (functions/vectors.py)
         return hyperplane_signature(F.col(vec_col), planes)
 
-    keyed = embeddings.select(id_col, vec_col, signature().alias("sig"))
+    # norm computed ONCE per vector here, not once per candidate pair —
+    # cos = dot/(norm_l*norm_r) is the identical IEEE expression cosine()
+    # folds, so results (and oracle hashes) are bit-equal
+    keyed = embeddings.select(
+        id_col, vec_col, signature().alias("sig"), norm(F.col(vec_col)).alias("nrm")
+    )
     # probe buckets: exact signature + each 1-bit flip (multi-probe LSH)
     probes = F.array(*([F.col("sig")] + [F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)]))
-    probed = keyed.select(id_col, vec_col, F.col("sig"), F.explode(probes).alias("bucket"))
+    probed = keyed.select(id_col, vec_col, "nrm", F.col("sig"), F.explode(probes).alias("bucket"))
     l = probed.alias("l")
     r = keyed.alias("r")
-    # cosine BEFORE the multi-probe dedup: duplicate probe hits produce
-    # identical cos, so distinct on (vec_a, vec_b, cos) is equivalent —
-    # and the dedup shuffle then carries 3 scalars per row instead of two
-    # 64-float arrays (measured 3x faster at sf0.1; same result set)
+    cos = dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")) / (F.col("l.nrm") * F.col("r.nrm"))
+    # threshold BEFORE the multi-probe dedup (deterministic per-row filter
+    # commutes with distinct), so the dedup shuffle carries only the
+    # surviving near-dup pairs — 3 scalars each — instead of every
+    # candidate pair
     return (
         l.join(r, (F.col("l.bucket") == F.col("r.sig")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
         .select(
             F.col(f"l.{id_col}").alias("vec_a"),
             F.col(f"r.{id_col}").alias("vec_b"),
-            cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cos"),
+            cos.alias("cos"),
         )
-        .distinct()
         .filter(F.col("cos") >= threshold)
+        .distinct()
         .select("vec_a", "vec_b", "cos")
     )

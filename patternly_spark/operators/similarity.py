@@ -19,9 +19,20 @@ from pyspark.sql import functions as F
 
 from patternly_spark.functions.vectors import (
     cosine,
+    dot,
     hyperplane_signature,
     nearest_centroids,
+    norm,
 )
+
+
+def _cos_precomputed() -> "F.Column":
+    """cosine with per-vector norms hoisted out of the pair loop: the
+    caller attaches ``qn``/``cn`` norm columns once per vector, so each
+    candidate pair costs one dot fold instead of dot + two norms.
+    dot/(qn*cn) is the identical IEEE expression ``cosine()`` folds, so
+    results are bit-equal."""
+    return dot(F.col("query_vec"), F.col("corpus_vec")) / (F.col("qn") * F.col("cn"))
 
 
 def cosine_topk(
@@ -39,10 +50,16 @@ def cosine_topk(
     excluded.  Ranking ties break on neighbor_id (deterministic).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("corpus_vec"))
-    sim = cosine(F.col("query_vec"), F.col("corpus_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("corpus_vec"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    sim = _cos_precomputed()
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (
@@ -86,20 +103,24 @@ def lsh_bucketed_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("corpus_vec"),
+        norm(F.col(vec_col)).alias("cn"),
         sig_col(F.col(vec_col)).alias("bucket"),
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"), sig_col(F.col(vec_col)).alias("qsig")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("qn"),
+        sig_col(F.col(vec_col)).alias("qsig"),
     )
     probes = F.array(*([F.col("qsig")] + [F.col("qsig").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)]))
-    q_probed = q.select("query_id", "query_vec", F.explode(probes).alias("bucket"))
+    q_probed = q.select("query_id", "query_vec", "qn", F.explode(probes).alias("bucket"))
     scored = (
         c.join(F.broadcast(q_probed), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("query_vec"), F.col("corpus_vec")), 6).alias("cosine_sim"),
+            F.round(_cos_precomputed(), 6).alias("cosine_sim"),
         )
         .distinct()
     )
@@ -187,11 +208,13 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("corpus_vec"),
+        norm(F.col(vec_col)).alias("cn"),
         F.element_at(nearest_cells(F.col(vec_col), 1), 1).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("qn"),
         F.explode(nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
     )
     scored = (
@@ -200,7 +223,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("query_vec"), F.col("corpus_vec")), 6).alias("cosine_sim"),
+            F.round(_cos_precomputed(), 6).alias("cosine_sim"),
         )
         .distinct()
     )
@@ -236,7 +259,13 @@ def save_lsh_index(
     dim = len(corpus.select(vec_col).first()[0])
     planes = np.random.default_rng(seed).normal(size=(num_planes, dim))
     (
-        corpus.select(id_col, vec_col, _plane_sig_expr(planes, vec_col).alias("sig"))
+        corpus.select(
+            id_col,
+            vec_col,
+            # persist the norm so query time pays one dot per pair
+            norm(F.col(vec_col)).alias("nrm"),
+            _plane_sig_expr(planes, vec_col).alias("sig"),
+        )
         .write.mode("overwrite")
         .partitionBy("sig")
         .parquet(path)
@@ -295,13 +324,19 @@ def lsh_index_topk(
         probe_rows, f"query_id long, query_vec array<double>, sig int"
     )
     index = spark.read.parquet(path).filter(F.col("sig").isin(sorted(all_buckets)))
+    # older indexes predate the persisted norm column
+    corpus_nrm = F.col("nrm") if "nrm" in index.columns else norm(F.col(vec_col))
     scored = (
         index.join(F.broadcast(probed), "sig")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("query_vec"), F.col(vec_col)), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("query_vec"), F.col(vec_col))
+                / (norm(F.col("query_vec")) * corpus_nrm),
+                6,
+            ).alias("cosine_sim"),
         )
         .distinct()
     )
