@@ -74,20 +74,29 @@ def connected_components(
     converged after ``max_iterations`` rounds (needs ~log2(n) in the
     worst case, so 50 covers any realistic graph).
     """
+    def _checksum(df: DataFrame):
+        # one job per round: (count, order-invariant hash-sum).  A round
+        # is only DECLARED converged after an exact exceptAll confirm, so
+        # a (vanishingly unlikely) checksum collision can't end the loop
+        # early — it only costs one extra comparison.
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
     cur = _canon(
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
     ).localCheckpoint(eager=True)
+    cur_sum = _checksum(cur)
 
     for _ in range(max_iterations):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        # converged when the canonical edge set is unchanged
-        if (
-            nxt.count() == cur.count()
-            and nxt.exceptAll(cur).isEmpty()
-        ):
+        nxt_sum = _checksum(nxt)
+        if nxt_sum == cur_sum and nxt.exceptAll(cur).isEmpty():
             cur = nxt
             break
-        cur = nxt
+        cur, cur_sum = nxt, nxt_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds"
