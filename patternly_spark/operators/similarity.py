@@ -160,6 +160,31 @@ def _lloyd_kmeans(X, k: int, seed: int, iters: int = 20):
     return C
 
 
+def _train_coarse_quantizer(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int,
+    seed: int,
+    train_sample: int,
+):
+    """Bounded deterministic hash-sample of the corpus -> driver-side
+    seeded Lloyd.  Deterministic for a fixed corpus regardless of its
+    partitioning."""
+    import numpy as np
+
+    total = corpus.count()
+    sample = corpus.select(vec_col)
+    if total > train_sample:
+        # keep ids whose 32-bit hash falls under the target fraction
+        frac_mod = max(int(total / train_sample), 1)
+        sample = corpus.filter(
+            F.pmod(F.hash(F.col(id_col)), F.lit(frac_mod)) == 0
+        ).select(vec_col)
+    X = np.array([r[0] for r in sample.collect()], dtype=np.float64)
+    return _lloyd_kmeans(X, n_lists, seed)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -187,17 +212,9 @@ def ivf_topk(
     corpus side would additionally be written bucketed by cell id so
     repeated query batches skip the assignment scan.
     """
-    import numpy as np
-
-    total = corpus.count()
-    sample = corpus.select(vec_col)
-    if total > train_sample:
-        # deterministic, partitioning-invariant sample: keep ids whose
-        # 32-bit hash falls under the target fraction
-        frac_mod = max(int(total / train_sample), 1)
-        sample = corpus.filter(F.pmod(F.hash(F.col(id_col)), F.lit(frac_mod)) == 0).select(vec_col)
-    X = np.array([r[0] for r in sample.collect()], dtype=np.float64)
-    centroids = _lloyd_kmeans(X, n_lists, seed)
+    centroids = _train_coarse_quantizer(
+        corpus, id_col, vec_col, n_lists, seed, train_sample
+    )
 
     def nearest_cells(vcol, n: int):
         """array of the n nearest centroid ids by squared L2 — literal
@@ -328,6 +345,107 @@ def lsh_index_topk(
     corpus_nrm = F.col("nrm") if "nrm" in index.columns else norm(F.col(vec_col))
     scored = (
         index.join(F.broadcast(probed), "sig")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                dot(F.col("query_vec"), F.col(vec_col))
+                / (norm(F.col("query_vec")) * corpus_nrm),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+    train_sample: int = 100_000,
+) -> None:
+    """Materialize an IVF index: train the coarse quantizer (bounded
+    sample + driver Lloyd), then write the corpus PARTITIONED BY its cell
+    id with the per-vector norm precomputed.  Repeated query batches then
+    prune the scan to their n_probe cells (Hive-style partition pruning)
+    and pay one dot per candidate — the at-scale complement to the
+    per-call ``ivf_topk``.  Centroids are persisted next to the data so
+    query time re-derives nothing."""
+    import json as _json
+
+    centroids = _train_coarse_quantizer(
+        corpus, id_col, vec_col, n_lists, seed, train_sample
+    )
+    (
+        corpus.select(
+            id_col,
+            vec_col,
+            norm(F.col(vec_col)).alias("nrm"),
+            F.element_at(nearest_centroids(F.col(vec_col), centroids, 1), 1).alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    with open(f"{path}/_ivf_centroids.json", "w") as f:
+        _json.dump({"seed": seed, "centroids": centroids.tolist()}, f)
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 3,
+) -> DataFrame:
+    """Query a saved IVF index.  Query vectors are collected (the query
+    batch is the small side by construction), their n_probe nearest cells
+    computed driver-side from the persisted centroids, and the index scan
+    filtered to exactly those partitions (check .explain for
+    PartitionFilters).  Results match ``ivf_topk`` with the same
+    (n_lists, seed, train_sample) on the same corpus."""
+    import json as _json
+
+    import numpy as np
+
+    with open(f"{path}/_ivf_centroids.json") as f:
+        centroids = np.asarray(_json.load(f)["centroids"], dtype=np.float64)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        raise ValueError("ivf_index_topk: empty query batch")
+
+    probe_rows = []
+    all_cells: set[int] = set()
+    for r in q_rows:
+        v = np.asarray(r[vec_col], dtype=np.float64)
+        d = ((centroids - v) ** 2).sum(1)
+        cells = np.argsort(d, kind="stable")[:n_probe]
+        all_cells.update(int(c) for c in cells)
+        for c in cells:
+            probe_rows.append((int(r[id_col]), list(map(float, r[vec_col])), int(c)))
+
+    probed = spark.createDataFrame(
+        probe_rows, "query_id long, query_vec array<double>, cell int"
+    )
+    index = spark.read.parquet(path).filter(F.col("cell").isin(sorted(all_cells)))
+    corpus_nrm = F.col("nrm") if "nrm" in index.columns else norm(F.col(vec_col))
+    scored = (
+        index.join(F.broadcast(probed), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",

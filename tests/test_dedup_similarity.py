@@ -252,3 +252,21 @@ def test_high_dim_ann_plan_stays_small(spark):
 
     pairs = embedding_neardup_pairs(df, threshold=0.99, num_planes=8).toPandas()
     assert {(2, 30)} == set(zip(pairs.vec_a, pairs.vec_b))
+
+
+def test_ivf_index_partition_pruning_and_parity(emb, spark, tmp_path):
+    from patternly_spark.operators.similarity import (
+        ivf_index_topk, ivf_topk, save_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    save_ivf_index(emb, path, n_lists=8)
+    queries = emb.filter(F.col("vec_id") < 8)
+    got = ivf_index_topk(spark, path, queries, k=3, n_probe=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters")[1][:120], \
+        "probe filter must prune index partitions"
+    want = ivf_topk(emb, queries, k=3, n_lists=8, n_probe=3).toPandas()
+    gp = got.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    wp = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert gp.equals(wp), "index query must match the direct IVF top-k"
