@@ -66,3 +66,32 @@ def run_stream_to_memory(result: DataFrame, name: str, *, output_mode: str = "ap
     )
     q.awaitTermination()
     return result.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def streaming_session_counts(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    by: str = "user_id",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Gap-based sessions over a streaming DataFrame — the streaming twin
+    of ``operators.temporal.sessionize`` (same ``session_window``
+    expression, so batch and stream agree row-for-row; proven by the
+    equivalence test).
+
+    Append mode only emits a session once the watermark passes its end,
+    so on a finite replay the session holding the globally-latest event
+    never closes (its end = last ts + gap > any achievable watermark).
+    Live streams don't care; finite replays append a far-future sentinel
+    event to flush (see the equivalence test)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col(by), F.session_window(F.col("ts"), gap).alias("session"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            by,
+            F.unix_micros(F.col("session.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )

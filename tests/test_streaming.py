@@ -164,3 +164,50 @@ def test_stateful_processor_importable_without_protobuf():
     from patternly_spark.streaming.continuous import PFSAStatefulProcessor
 
     assert hasattr(PFSAStatefulProcessor, "build")
+
+
+def test_session_batch_stream_equivalence(spark, events_path):
+    from patternly_spark.operators.temporal import sessionize
+    from patternly_spark.streaming.windows import streaming_session_counts
+
+    batch_df = spark.read.parquet(events_path)
+    batch = (
+        sessionize(batch_df, ts_col="ts", by="user_id", gap="30 minutes")
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            "n_events",
+        )
+        .toPandas()
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+    # append mode can only emit a session once the watermark passes its
+    # end, and the session holding the globally-latest event never closes
+    # on a finite file. A far-future sentinel event (excluded from the
+    # comparison) advances the watermark past every real session — the
+    # standard flush trick for finite replays.
+    import tempfile, os as _os
+    flush_dir = tempfile.mkdtemp()
+    sentinel = batch_df.limit(1).select(
+        *[F.lit(None).cast(t).alias(c) if c not in ("ts", "user_id")
+          else F.col(c) for c, t in batch_df.dtypes]
+    ).select(
+        *[c for c, _ in batch_df.dtypes if c not in ("ts", "user_id")],
+        (F.to_timestamp(F.lit("2100-01-01"))).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+    ).select(*[c for c, _ in batch_df.dtypes])
+    src_plus = batch_df.unionByName(sentinel)
+    src_path = _os.path.join(flush_dir, "events")
+    src_plus.write.mode("overwrite").parquet(src_path)
+    stream_src = spark.readStream.schema(batch_df.schema).parquet(src_path)
+    got = (
+        run_stream_to_memory(
+            streaming_session_counts(stream_src), "session_test", output_mode="append"
+        )
+        .filter(F.col("user_id") >= 0)
+        .toPandas()
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(batch), f"stream {len(got)} rows vs batch {len(batch)}"
