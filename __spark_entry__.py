@@ -487,6 +487,22 @@ def q32_sessionize(spark, sf_dir):
     )
 
 
+def q33_stratified_sample(spark, sf_dir):
+    """Deterministic stratified hash-sampling of events by type (keep all
+    purchases, half the clicks, 10%% of views; drop the rest) — the
+    corpus-curation primitive.  md5-prefix fraction is engine-portable, so
+    the oracle selects the exact same rows."""
+    from patternly_spark.operators.sampling import stratified_hash_sample
+
+    e = _t(spark, sf_dir, "events")
+    out = stratified_hash_sample(
+        e, "event_id", "event_type",
+        {"purchase": 1.0, "click": 0.5, "view": 0.1},
+        default_rate=0.0,
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
 def q89_dedup_clusters(spark, sf_dir):
     """Dedup cluster formation: unigram-Jaccard edges between docs at id
     distance 1 and 2 (threshold 0.8) -> connected components (alternating
@@ -748,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_ngram_jaccard": q23_ngram_jaccard,
         "q31_asof_join": q31_asof_join,
         "q32_sessionize": q32_sessionize,
+        "q33_stratified_sample": q33_stratified_sample,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1033,6 +1050,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, MIN(ts_us) AS session_start_us,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "q33_stratified_sample": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  / 4294967296.0
+                < CASE event_type
+                    WHEN 'purchase' THEN 1.0
+                    WHEN 'click' THEN 0.5
+                    WHEN 'view' THEN 0.1
+                    ELSE 0.0 END
         """,
         "q89_dedup_clusters": """
             WITH RECURSIVE sets AS (

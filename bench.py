@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "q30_quantize_second",
     "q31_asof_join",
     "q32_sessionize",
+    "q33_stratified_sample",
     "q90_pfsa_llk_scores",
     "q91_anomaly_pipeline",
     "q92_simhash",

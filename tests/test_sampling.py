@@ -1,0 +1,44 @@
+"""Deterministic hash sampling (operators/sampling.py): rate accuracy,
+partitioning invariance, nested-sample property, per-stratum rates."""
+
+from pyspark.sql import functions as F
+
+from patternly_spark.operators.sampling import (
+    hash_sample,
+    stratified_hash_sample,
+)
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    df = spark.range(20000).select(F.col("id").alias("k"))
+    kept = hash_sample(df, "k", 0.3)
+    n = kept.count()
+    assert abs(n / 20000 - 0.3) < 0.02
+    # partitioning-invariant: same rows regardless of layout
+    ids_a = {r.k for r in kept.collect()}
+    ids_b = {r.k for r in hash_sample(df.repartition(17), "k", 0.3).collect()}
+    assert ids_a == ids_b
+
+
+def test_hash_sample_nested(spark):
+    # a smaller-rate sample is a subset of a larger-rate one (same seed) —
+    # the property that makes re-sampling a grown corpus stable
+    df = spark.range(5000).select(F.col("id").alias("k"))
+    small = {r.k for r in hash_sample(df, "k", 0.1).collect()}
+    big = {r.k for r in hash_sample(df, "k", 0.5).collect()}
+    assert small <= big
+    # a different seed draws an independent sample
+    other = {r.k for r in hash_sample(df, "k", 0.1, seed="b").collect()}
+    assert other != small
+
+
+def test_stratified_rates(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(10000)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    out = stratified_hash_sample(df, "k", "s", {"a": 1.0, "b": 0.2}).toPandas()
+    a, b = (out.s == "a").sum(), (out.s == "b").sum()
+    assert a == 5000
+    assert abs(b / 5000 - 0.2) < 0.03
+    # unlisted strata use default_rate=0.0
+    df2 = spark.createDataFrame([(1, "zz")], "k long, s string")
+    assert stratified_hash_sample(df2, "k", "s", {"a": 1.0}).count() == 0
