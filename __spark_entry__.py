@@ -382,13 +382,22 @@ def q18_token_stats(spark, sf_dir):
 
 
 def q19_quality_langid(spark, sf_dir):
-    from patternly_spark.functions.text import langid, quality_score
+    from patternly_spark.functions.text import (
+        langid,
+        quality_score,
+        repeated_ngram_fraction,
+        tokens,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        quality_score("text").alias("quality"),
-        langid("text").alias("lang_pred"),
+    return (
+        d.withColumn("__toks", tokens("text"))
+        .select(
+            "doc_id",
+            quality_score("text").alias("quality"),
+            langid("text").alias("lang_pred"),
+            repeated_ngram_fraction(F.col("__toks"), 3).alias("rep3"),
+        )
     )
 
 
@@ -959,7 +968,7 @@ def oracle_sql() -> dict[str, str]:
                        len(list_filter(t, x -> x IN ('el','la','los','y','es'))) AS hits_es
                 FROM toks
             )
-            SELECT doc_id,
+            SELECT f.doc_id,
                    (CASE WHEN mean_len >= 3.0 AND mean_len <= 12.0 THEN 0.4 ELSE 0.0 END)
                    + (CASE WHEN ttr < 1.0 THEN ttr ELSE 1.0 END) * 0.3
                    + (CASE WHEN hits_en > 0 THEN 0.3 ELSE 0.0 END) AS quality,
@@ -967,8 +976,20 @@ def oracle_sql() -> dict[str, str]:
                         WHEN hits_fr >= hits_es AND hits_fr >= hits_en AND hits_fr >= hits_de THEN 'fr'
                         WHEN hits_es >= hits_en AND hits_es >= hits_de THEN 'es'
                         WHEN hits_en >= hits_de THEN 'en'
-                        ELSE 'de' END AS lang_pred
-            FROM feats
+                        ELSE 'de' END AS lang_pred,
+                   r.rep3
+            FROM feats f JOIN (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 3 THEN
+                           CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g)
+                       ELSE 0.0 END AS rep3
+                FROM (
+                    SELECT doc_id, t,
+                           list_transform(range(0, len(t) - 2),
+                                          i -> array_to_string(t[i+1:i+3], ' ')) AS g
+                    FROM toks
+                )
+            ) r ON r.doc_id = f.doc_id
         """,
         "q20_exact_dedup": """
             WITH hashed AS (

@@ -232,3 +232,26 @@ def shingle_hash(shingle: Column) -> Column:
     """Portable 32-bit hash of a shingle: first 8 hex chars of md5 as an
     integer.  Matches DuckDB's ('0x' || substr(md5(s),1,8))::BIGINT."""
     return F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long")
+
+
+def repeated_ngram_fraction(toks: Column, n: int = 3) -> Column:
+    """Gopher-style repetition signal: the fraction of n-gram occurrences
+    that are repeats, 1 - distinct/total (0.0 for docs shorter than n
+    tokens).  High values flag boilerplate/spam for quality filtering.
+
+    ``toks`` must be a bound token-array column (same CollapseProject
+    caution as ``shingles_from_tokens``)."""
+    if n == 1:
+        sh = toks
+    else:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        sh = F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+        )
+        sh = F.when(F.size(toks) >= n, sh).otherwise(F.array())
+    total = F.size(sh)
+    distinct = F.size(F.array_distinct(sh))
+    return F.when(
+        total > 0, (total - distinct).cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))

@@ -229,3 +229,24 @@ def test_events_read_via_arrow_fallback(spark, sf_dir):
     assert dict(via_arrow.dtypes)["ts"].startswith("timestamp")
     normal = entry._t(spark, sf_dir, "events")
     assert via_arrow.count() == normal.count()
+
+
+def test_repeated_ngram_fraction(spark):
+    from patternly_spark.functions.text import repeated_ngram_fraction, tokens
+
+    rows = [
+        (0, "a b c a b c a b c"),      # 7 trigrams, 3 distinct -> 4/7
+        (1, "all words different here totally"),  # 3 trigrams, all distinct -> 0
+        (2, "x y"),                     # shorter than n -> 0.0
+        (3, "w w w w"),                 # 2 trigrams, 1 distinct -> 0.5
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        df.withColumn("__toks", tokens("text"))
+        .select("doc_id", repeated_ngram_fraction(F.col("__toks"), 3).alias("rep3"))
+        .toPandas().set_index("doc_id").rep3
+    )
+    assert abs(out[0] - 4 / 7) < 1e-12
+    assert out[1] == 0.0
+    assert out[2] == 0.0
+    assert out[3] == 0.5
