@@ -110,3 +110,44 @@ def test_asof_join_plan_single_shuffle(spark, streams=None):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}:\n{plan[:2000]}"
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Independent-implementation cross-check: pandas merge_asof computes
+    the same backward at-or-before semantics."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    left_pd = pd.DataFrame({
+        "user_id": rng.integers(0, 6, 400),
+        "ts": rng.integers(0, 5000, 400),
+    }).sort_values("ts").reset_index(drop=True)
+    right_pd = (
+        pd.DataFrame({
+            "user_id": rng.integers(0, 6, 150),
+            "ts": rng.integers(0, 5000, 150),
+            "v": rng.normal(size=150),
+        })
+        .drop_duplicates(["user_id", "ts"])
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left_pd, right_pd, on="ts", by="user_id",
+        direction="backward", suffixes=("", "_matched"),
+    )
+
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    got = (
+        asof_join(left, right, on="ts", by="user_id", right_cols=["v"])
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    want = want.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    vg, vw = got.v_matched.to_numpy(), want.v.to_numpy()
+    both_nan = np.isnan(vg) & np.isnan(vw)
+    assert ((vg == vw) | both_nan).all()
