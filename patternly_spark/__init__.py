@@ -13,7 +13,10 @@ Layout
 - ``pfsa``       : PFSA model type, text codec, log-likelihood, simulator,
                    GenESeSS structure/parameter inference
 - ``functions``  : quantization, stream windowing, text analytics, vector math
-- ``operators``  : dedup, similarity search, multimodal plumbing
+- ``operators``  : dedup (pairs + connected-component clusters), similarity
+                   search (exact/LSH/IVF + persisted indexes), temporal
+                   (as-of join, sessionization), deterministic sampling,
+                   multimodal plumbing
 - ``detection``  : AnomalyDetection / StreamingDetection /
                    ContinuousStreamingDetection (sklearn-style fit/predict
                    over Spark DataFrames — mirrors patternly/detection.py API)

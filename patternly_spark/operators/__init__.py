@@ -4,12 +4,31 @@ from patternly_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_dedup,
     simhash_signatures,
+    simhash_neardup_pairs,
     ngram_jaccard_pairs,
     embedding_neardup_pairs,
 )
-from patternly_spark.operators.dedup import simhash_neardup_pairs
-from patternly_spark.operators.similarity import cosine_topk, ivf_topk, lsh_bucketed_topk, lsh_index_topk, save_lsh_index
-from patternly_spark.operators.multimodal import extract_features, sample_frames, resize_images
+from patternly_spark.operators.graph import connected_components, dedup_clusters
+from patternly_spark.operators.multimodal import (
+    extract_features,
+    resize_images,
+    sample_frames,
+)
+from patternly_spark.operators.sampling import (
+    hash_fraction,
+    hash_sample,
+    stratified_hash_sample,
+)
+from patternly_spark.operators.similarity import (
+    cosine_topk,
+    ivf_index_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+    lsh_index_topk,
+    save_ivf_index,
+    save_lsh_index,
+)
+from patternly_spark.operators.temporal import asof_join, sessionize
 
 __all__ = [
     "exact_dedup",
@@ -17,14 +36,23 @@ __all__ = [
     "lsh_candidate_pairs",
     "minhash_dedup",
     "simhash_signatures",
+    "simhash_neardup_pairs",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
+    "connected_components",
+    "dedup_clusters",
     "cosine_topk",
     "lsh_bucketed_topk",
     "ivf_topk",
     "lsh_index_topk",
     "save_lsh_index",
-    "simhash_neardup_pairs",
+    "ivf_index_topk",
+    "save_ivf_index",
+    "hash_fraction",
+    "hash_sample",
+    "stratified_hash_sample",
+    "asof_join",
+    "sessionize",
     "extract_features",
     "sample_frames",
     "resize_images",
