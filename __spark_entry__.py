@@ -512,6 +512,37 @@ def q33_stratified_sample(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type")
 
 
+def q34_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C style): every document
+    scored by the fraction of its distinct trigram shingles that occur in
+    the 'benchmark' subset (doc_id % 41 == 0).  Corpus explodes against a
+    BROADCAST benchmark-shingle set; the only shuffle is the one-row-per-doc
+    rollup (map-side combine collapses shingles before the exchange)."""
+    from patternly_spark.operators.decontam import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    out = decontaminate(d, bench, shingle_size=3, threshold=0.2)
+    return out.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        "n_hits",
+        "contamination",
+        "contaminated",
+    )
+
+
+def q35_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing: per-document block coordinates
+    (block id, offset, blocks spanned) for a 512-token budget over 16
+    deterministic shards.  One hash exchange on the shard key; the window
+    runs per shard — no global sort.  Oracle: identical window SQL."""
+    from patternly_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=512, n_shards=16)
+
+
 def q89_dedup_clusters(spark, sf_dir):
     """Dedup cluster formation: unigram-Jaccard edges between docs at id
     distance 1 and 2 (threshold 0.8) -> connected components (alternating
@@ -774,6 +805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_asof_join": q31_asof_join,
         "q32_sessionize": q32_sessionize,
         "q33_stratified_sample": q33_stratified_sample,
+        "q34_decontaminate": q34_decontaminate,
+        "q35_pack_sequences": q35_pack_sequences,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1081,6 +1114,54 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 'click' THEN 0.5
                     WHEN 'view' THEN 0.1
                     ELSE 0.0 END
+        """,
+        "q34_decontaminate": """
+            WITH toks_t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3 THEN
+                           list_distinct(list_transform(range(1, len(toks) - 1),
+                               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                       ELSE [array_to_string(toks, ' ')] END AS shingles
+                FROM toks_t
+            ), bench AS (
+                SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 41 = 0
+            ), ex AS (
+                SELECT doc_id, unnest(shingles) AS s FROM sh
+            ), agg AS (
+                SELECT ex.doc_id,
+                       COUNT(*) AS n_shingles,
+                       SUM(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+                FROM ex LEFT JOIN bench ON ex.s = bench.s
+                GROUP BY ex.doc_id
+            )
+            SELECT doc_id,
+                   CAST(n_shingles AS BIGINT) AS n_shingles,
+                   CAST(n_hits AS BIGINT) AS n_hits,
+                   CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination,
+                   CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.2 AS contaminated
+            FROM agg
+        """,
+        "q35_pack_sequences": """
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(doc_id % 16 AS INT) AS shard,
+                       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_tokens
+                FROM documents
+            ), s AS (
+                SELECT doc_id, shard, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+                FROM base
+            )
+            SELECT doc_id, shard, n_tokens,
+                   CAST(FLOOR(start / 512) * 16 + shard AS BIGINT) AS bin_id,
+                   CAST(start % 512 AS BIGINT) AS offset_in_bin,
+                   CAST(FLOOR((start + GREATEST(n_tokens - 1, 0)) / 512)
+                        - FLOOR(start / 512) + 1 AS BIGINT) AS n_bins_spanned
+            FROM s
         """,
         "q89_dedup_clusters": """
             WITH RECURSIVE sets AS (

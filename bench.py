@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "q31_asof_join",
     "q32_sessionize",
     "q33_stratified_sample",
+    "q34_decontaminate",
+    "q35_pack_sequences",
     "q90_pfsa_llk_scores",
     "q91_anomaly_pipeline",
     "q92_simhash",

@@ -8,12 +8,14 @@ from patternly_spark.operators.dedup import (
     ngram_jaccard_pairs,
     embedding_neardup_pairs,
 )
+from patternly_spark.operators.decontam import benchmark_shingle_set, decontaminate
 from patternly_spark.operators.graph import connected_components, dedup_clusters
 from patternly_spark.operators.multimodal import (
     extract_features,
     resize_images,
     sample_frames,
 )
+from patternly_spark.operators.packing import pack_sequences
 from patternly_spark.operators.sampling import (
     hash_fraction,
     hash_sample,
@@ -41,6 +43,9 @@ __all__ = [
     "embedding_neardup_pairs",
     "connected_components",
     "dedup_clusters",
+    "benchmark_shingle_set",
+    "decontaminate",
+    "pack_sequences",
     "cosine_topk",
     "lsh_bucketed_topk",
     "ivf_topk",

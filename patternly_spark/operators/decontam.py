@@ -1,0 +1,94 @@
+"""Benchmark decontamination for training corpora.
+
+A training corpus must not contain the eval set it will be judged
+against.  The standard defense is n-gram collision decontamination
+(GPT-3 appendix C / PaLM style): a corpus document is contaminated when
+a large enough fraction of its n-gram shingles also occur in any
+benchmark document.
+
+Scale shape, for a 100 TB corpus vs an MB-scale benchmark:
+
+- the benchmark side collapses to its distinct-shingle set — tiny by
+  definition (eval suites are megabytes) — and is BROADCAST, so the
+  corpus is never shuffled to meet it;
+- corpus shingles explode and probe the broadcast set with a LEFT join
+  (a map-side hash lookup, no exchange);
+- the per-document roll-up is a single ``groupBy(doc_id)`` whose
+  map-side partial aggregation collapses each document's exploded
+  shingles back to ONE row before the exchange (all of a row's shingles
+  live in its own partition), so the only shuffle carries ~1 row per
+  document — three scalars, not shingle arrays.
+
+Everything is built-in expressions; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from patternly_spark.functions.text import with_shingles
+
+
+def benchmark_shingle_set(
+    benchmark: DataFrame, *, text_col: str = "text", shingle_size: int = 3
+) -> DataFrame:
+    """Distinct n-gram shingles of the benchmark corpus: one ``sh``
+    string column.  This is the (small) broadcast side of
+    ``decontaminate``."""
+    # explode_outer, not explode: InferFiltersFromGenerate would inline a
+    # size(__sh)>0 predicate that re-runs the whole shingle pipeline per
+    # row (the trap measured 7-30x in minhash_signatures); shingle arrays
+    # are never empty (with_shingles emits [""] for empty text).
+    return (
+        with_shingles(benchmark, text_col, shingle_size, out_col="__sh")
+        .select(F.explode_outer("__sh").alias("sh"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Flag corpus documents whose shingle overlap with the benchmark
+    reaches ``threshold``.
+
+    Returns one row per corpus document:
+    (id_col, n_shingles int, n_hits bigint, contamination double,
+    contaminated boolean).  Shingles are DISTINCT per document (set
+    semantics), so ``contamination`` is the fraction of the document's
+    distinct n-grams that appear anywhere in the benchmark.
+
+    Mirrors the reference pipeline's corpus-hygiene role; no direct
+    reference counterpart (the reference predates decontamination
+    practice) — semantics follow the published n-gram collision recipe.
+    """
+    bench = benchmark_shingle_set(
+        benchmark, text_col=text_col, shingle_size=shingle_size
+    ).withColumn("__hit", F.lit(1))
+    exploded = (
+        with_shingles(corpus, text_col, shingle_size, out_col="__sh")
+        .select(id_col, F.explode_outer("__sh").alias("sh"))
+    )
+    per_doc = (
+        exploded.join(F.broadcast(bench), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+    )
+    contamination = F.col("n_hits").cast("double") / F.col("n_shingles").cast("double")
+    return per_doc.select(
+        id_col,
+        "n_shingles",
+        "n_hits",
+        contamination.alias("contamination"),
+        (contamination >= F.lit(float(threshold))).alias("contaminated"),
+    )

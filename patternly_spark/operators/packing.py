@@ -1,0 +1,77 @@
+"""Sequence packing: lay documents end-to-end into fixed token budgets.
+
+Pretraining pipelines concatenate tokenized documents and chop the
+stream into fixed-length blocks ("concat-and-chunk").  This operator
+assigns every document its block coordinates WITHOUT materializing the
+token stream: a running token offset per document is enough to know
+which block a document starts in, at what offset, and how many block
+boundaries it straddles.
+
+Scale shape: a single global ordering would be one giant sort, so the
+corpus is first split into ``n_shards`` deterministic shards
+(``id % n_shards``) and packed independently within each — the window
+runs per shard, the one exchange is hash-partitioned on the shard key,
+and shards are balanced by construction.  Real pipelines pack
+per-output-file exactly like this; cross-shard block ids never collide
+(``bin_id = bin_in_shard * n_shards + shard``).
+
+Determinism: ordering is (shard, id), token counts are the portable
+whitespace formula — identical output on any engine/partitioning, and
+replicable in plain window SQL (the DuckDB oracle runs the same
+arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from patternly_spark.functions.text import token_count
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens: Column | None = None,
+    budget: int = 2048,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Concat-and-chunk block coordinates for every document.
+
+    Returns (id_col, shard int, n_tokens int, bin_id long,
+    offset_in_bin long, n_bins_spanned long): the document's tokens
+    occupy ``bin_id`` starting at ``offset_in_bin`` and spill into the
+    next ``n_bins_spanned - 1`` blocks of the same shard.
+
+    ``n_tokens`` defaults to the whitespace token count of ``text_col``;
+    pass a Column to pack by a precomputed tokenizer's counts instead.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    toks = token_count(text_col) if n_tokens is None else n_tokens.cast("int")
+    base = docs.select(
+        id_col,
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        toks.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    bin_in_shard = F.floor(start / budget)
+    # last token's offset; empty docs (n_tokens=0) span their start bin
+    end = start + F.greatest(F.col("n_tokens").cast("long") - 1, F.lit(0))
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (bin_in_shard * n_shards + F.col("shard")).cast("long").alias("bin_id"),
+        F.pmod(start, F.lit(budget)).cast("long").alias("offset_in_bin"),
+        (F.floor(end / budget) - bin_in_shard + 1).cast("long").alias("n_bins_spanned"),
+    )
