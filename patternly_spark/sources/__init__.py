@@ -1,3 +1,4 @@
+from patternly_spark.sources.bucketed import read_bucketed, save_bucketed
 from patternly_spark.sources.loaders import (
     read_edf,
     read_sequence_csv,
@@ -10,6 +11,8 @@ from patternly_spark.sources.loaders import (
 )
 
 __all__ = [
+    "read_bucketed",
+    "save_bucketed",
     "read_edf",
     "read_sequence_csv",
     "read_symbol_stream",

@@ -250,3 +250,60 @@ def test_repeated_ngram_fraction(spark):
     assert out[1] == 0.0
     assert out[2] == 0.0
     assert out[3] == 0.5
+
+
+def test_bucketed_join_skips_corpus_exchange(spark, tmp_path):
+    """S-extension: a table bucketed on the join key joins without
+    re-shuffling — the persisted bucket layout replaces the Exchange.
+    Two same-bucketed tables: NO exchange at all; bucketed x fresh:
+    only the fresh (small) side shuffles."""
+    from patternly_spark.sources.bucketed import read_bucketed, save_bucketed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    save_bucketed(
+        docs, "corpus_b", bucket_by="doc_id", n_buckets=4, sort_by="doc_id",
+        path=str(tmp_path / "corpus_b"),
+    )
+    save_bucketed(
+        docs.selectExpr("doc_id", "n_chars AS len_chars"), "feats_b",
+        bucket_by="doc_id", n_buckets=4, sort_by="doc_id",
+        path=str(tmp_path / "feats_b"),
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = read_bucketed(spark, "corpus_b")
+        right = read_bucketed(spark, "feats_b")
+        both = _plan(left.join(right, "doc_id").select(left.doc_id, "lang", "len_chars"))
+        assert "SortMergeJoin" in both
+        assert "Exchange" not in both, f"bucketed x bucketed still shuffles:\n{both[:1500]}"
+        # bucketed groupBy on the bucket key: no exchange either
+        agg = _plan(left.groupBy("doc_id").count())
+        assert "Exchange" not in agg
+        # bucketed x fresh: exactly ONE exchange, and it's on the fresh side
+        fresh = spark.range(50).withColumnRenamed("id", "doc_id")
+        mixed = _plan(left.join(fresh, "doc_id").select("doc_id", "lang"))
+        assert "SortMergeJoin" in mixed
+        assert mixed.count("Exchange") == 1, f"corpus side re-shuffled:\n{mixed[:1500]}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS corpus_b")
+        spark.sql("DROP TABLE IF EXISTS feats_b")
+
+
+def test_bucketed_roundtrip_values(spark, tmp_path):
+    from patternly_spark.sources.bucketed import read_bucketed, save_bucketed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    save_bucketed(
+        docs, "corpus_rt", bucket_by="doc_id", n_buckets=3,
+        path=str(tmp_path / "corpus_rt"),
+    )
+    try:
+        back = read_bucketed(spark, "corpus_rt")
+        assert back.count() == docs.count()
+        a = docs.orderBy("doc_id").toPandas()
+        b = back.orderBy("doc_id").toPandas()[a.columns.tolist()]
+        assert a.equals(b)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS corpus_rt")
