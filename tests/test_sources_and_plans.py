@@ -307,3 +307,38 @@ def test_bucketed_roundtrip_values(spark, tmp_path):
         assert a.equals(b)
     finally:
         spark.sql("DROP TABLE IF EXISTS corpus_rt")
+
+
+def test_aqe_splits_pathological_skew_join(spark):
+    """Skew story at 100 TB: a hot key owning half the fact side must not
+    serialize the join into one straggler task.  The session enables AQE
+    skew-join; this pins that a pathological key actually gets split
+    (SortMergeJoin(skew=true) + a skewed AQEShuffleRead) so a conf
+    regression can't silently bring stragglers back.  Thresholds are
+    lowered only to make sf-tiny data look like 100 TB partitions."""
+    big = spark.range(2_000_000).select(
+        F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 1000).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        agg = big.join(small, "k").agg(F.count(F.lit(1)).alias("n"))
+        assert agg.collect()[0]["n"] == 2_000_000
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, f"skew not split:\n{plan[:1500]}"
+        assert "skewed" in plan  # AQEShuffleRead on the hot side
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
