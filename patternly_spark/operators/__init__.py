@@ -1,5 +1,6 @@
 from patternly_spark.operators.dedup import (
     exact_dedup,
+    incremental_exact_dedup,
     minhash_signatures,
     lsh_candidate_pairs,
     minhash_dedup,
@@ -34,6 +35,7 @@ from patternly_spark.operators.temporal import asof_join, sessionize
 
 __all__ = [
     "exact_dedup",
+    "incremental_exact_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "minhash_dedup",

@@ -64,6 +64,48 @@ def exact_dedup(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    canon: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup a new ingestion batch against an existing canon AND itself.
+
+    ``canon`` is (content_hash, canonical_id) — the accumulated corpus
+    registry.  At scale, materialize it with
+    ``sources.bucketed.save_bucketed(..., bucket_by='content_hash')``:
+    the canon (the 100 TB side) then joins WITHOUT re-shuffling — only
+    the day's batch shuffles into the bucket layout (plan pinned in
+    tests/test_dedup_similarity.py).
+
+    Output: (doc_id, content_hash, canonical_id, is_dup,
+    is_new_canonical).  canonical_id prefers the canon's id; a hash new
+    to the canon gets the batch's min id, with ``is_new_canonical``
+    marking the rows to append to the registry.
+    """
+    batch = exact_dedup(new_docs, id_col=id_col, text_col=text_col).withColumnRenamed(
+        "canonical_id", "__batch_canonical"
+    )
+    joined = batch.join(
+        canon.select("content_hash", F.col("canonical_id").alias("__existing")),
+        "content_hash",
+        "left",
+    )
+    canonical = F.coalesce(F.col("__existing"), F.col("__batch_canonical"))
+    return joined.select(
+        id_col,
+        "content_hash",
+        canonical.alias("canonical_id"),
+        (F.col(id_col) != canonical).alias("is_dup"),
+        (
+            F.col("__existing").isNull()
+            & (F.col(id_col) == F.col("__batch_canonical"))
+        ).alias("is_new_canonical"),
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     *,

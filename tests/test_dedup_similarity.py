@@ -270,3 +270,71 @@ def test_ivf_index_partition_pruning_and_parity(emb, spark, tmp_path):
     gp = got.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     wp = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert gp.equals(wp), "index query must match the direct IVF top-k"
+
+
+def test_incremental_exact_dedup_resolves_against_canon(spark):
+    from patternly_spark.operators.dedup import exact_dedup, incremental_exact_dedup
+
+    canon_docs = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "lorem ipsum dolor")],
+        "doc_id long, text string",
+    )
+    canon = (
+        exact_dedup(canon_docs)
+        .filter(~F.col("is_dup"))
+        .select("content_hash", "canonical_id")
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox"),   # dup of canon id 0
+            (11, "brand new document"),    # new hash, batch canonical
+            (12, "brand new document"),    # in-batch dup of 11
+            (13, "another new one"),       # new hash
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in incremental_exact_dedup(batch, canon).collect()
+    }
+    assert out[10]["canonical_id"] == 0 and out[10]["is_dup"] is True
+    assert out[10]["is_new_canonical"] is False
+    assert out[11]["canonical_id"] == 11 and out[11]["is_new_canonical"] is True
+    assert out[12]["canonical_id"] == 11 and out[12]["is_dup"] is True
+    assert out[12]["is_new_canonical"] is False
+    assert out[13]["is_new_canonical"] is True
+    # appending the flagged rows reproduces a consistent registry
+    assert sum(r["is_new_canonical"] for r in out.values()) == 2
+
+
+def test_incremental_dedup_bucketed_canon_skips_canon_shuffle(spark, tmp_path):
+    """The canon side (the 100 TB side) must not re-shuffle when it is
+    bucketed by content_hash: the join plan carries exactly one Exchange
+    (the new batch) plus the batch's own dedup-window exchange."""
+    from patternly_spark.operators.dedup import exact_dedup, incremental_exact_dedup
+    from patternly_spark.sources.bucketed import read_bucketed, save_bucketed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    registry = (
+        exact_dedup(docs).filter(~F.col("is_dup")).select("content_hash", "canonical_id")
+    )
+    save_bucketed(
+        registry, "canon_b", bucket_by="content_hash", n_buckets=4,
+        path=str(tmp_path / "canon_b"),
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch = spark.createDataFrame(
+            [(9001, "fresh batch doc")], "doc_id long, text string"
+        )
+        out = incremental_exact_dedup(batch, read_bucketed(spark, "canon_b"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # exchanges: batch-side window partitioning + batch-side join
+        # repartition into the canon's bucket layout — none on the scan
+        assert "SortMergeJoin" in plan
+        n_exchanges = plan.count("Exchange")
+        assert n_exchanges <= 2, f"canon side re-shuffled:\n{plan[:2000]}"
+        assert out.count() == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS canon_b")

@@ -211,3 +211,33 @@ def test_session_batch_stream_equivalence(spark, events_path):
         .reset_index(drop=True)
     )
     assert got.equals(batch), f"stream {len(got)} rows vs batch {len(batch)}"
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """First-seen streaming dedup must keep exactly one row per content
+    hash (same fingerprint normalization as batch exact_dedup), with
+    state bounded by the watermark horizon."""
+    from patternly_spark.operators.dedup import exact_dedup
+    from patternly_spark.streaming.dedup import streaming_exact_dedup
+
+    rows = [
+        (i, f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}", f"doc body {i % 7}")
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts_s string, text string").select(
+        "doc_id", F.to_timestamp("ts_s").alias("ts"), "text"
+    )
+    path = str(tmp_path / "docs_stream")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    src = spark.readStream.schema(df.schema).parquet(path)
+    kept = run_stream_to_memory(
+        streaming_exact_dedup(src, watermark="10 minutes"), "dedup_test"
+    ).toPandas()
+
+    batch_hashes = set(
+        r["content_hash"]
+        for r in exact_dedup(df).filter(~F.col("is_dup")).collect()
+    )
+    assert len(kept) == 7  # one survivor per distinct body
+    assert set(kept.content_hash) == batch_hashes
