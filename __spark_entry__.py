@@ -30,7 +30,42 @@ TABLES = [
 ]
 
 
+_PKG_SHIPPED = False
+
+
+def _ensure_pkg_on_executors(spark: SparkSession) -> None:
+    """Make ``patternly_spark`` importable by Python workers even when the
+    driver session was built without the repo on PYTHONPATH (a vanilla
+    harness session launched from any cwd).  ``addPyFile`` is
+    runtime-settable: it ships a zip of the package to every executor and
+    prepends it to the workers' sys.path.  Harmless when the package is
+    already importable."""
+    global _PKG_SHIPPED
+    if _PKG_SHIPPED:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "patternly_spark")
+    try:
+        zpath = os.path.join(tempfile.mkdtemp(prefix="patternly_ship"), "patternly_spark.zip")
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. no write access to tmp; workers may import via PYTHONPATH
+    _PKG_SHIPPED = True
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_pkg_on_executors(spark)
     # events.ts is TIMESTAMP(NANOS) in the parquet, which a vanilla Spark
     # session rejects (PARQUET_TYPE_ILLEGAL).  The conf below is
     # runtime-settable and makes it arrive as long nanoseconds instead;

@@ -31,7 +31,12 @@ from patternly_spark.operators.similarity import (
     save_ivf_index,
     save_lsh_index,
 )
-from patternly_spark.operators.temporal import asof_join, sessionize
+from patternly_spark.operators.temporal import (
+    asof_intervals,
+    asof_join,
+    sessionize,
+    streaming_asof_join,
+)
 
 __all__ = [
     "exact_dedup",
@@ -59,6 +64,8 @@ __all__ = [
     "hash_sample",
     "stratified_hash_sample",
     "asof_join",
+    "asof_intervals",
+    "streaming_asof_join",
     "sessionize",
     "extract_features",
     "sample_frames",

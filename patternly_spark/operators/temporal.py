@@ -107,6 +107,73 @@ def asof_join(
     )
 
 
+def asof_intervals(
+    right: DataFrame,
+    *,
+    on: str = "ts",
+    by: str | list[str] = "user_id",
+) -> DataFrame:
+    """Each right row's validity interval: from its own time (inclusive)
+    to the key's next right time (exclusive; null = open-ended).  Turns
+    a backward as-of match into a plain interval-containment join — the
+    form a STATELESS stream-static join can express."""
+    keys = [by] if isinstance(by, str) else list(by)
+    w = Window.partitionBy(*keys).orderBy(on)
+    return right.select(
+        "*",
+        F.col(on).alias("__valid_from"),
+        F.lead(on).over(w).alias("__valid_to"),
+    )
+
+
+def streaming_asof_join(
+    left: DataFrame,
+    right_static: DataFrame,
+    *,
+    on: str = "ts",
+    by: str | list[str] = "user_id",
+    right_cols: list[str] | None = None,
+    suffix: str = "_matched",
+) -> DataFrame:
+    """Backward as-of join usable under Structured Streaming: ``left``
+    may be a streaming DataFrame, ``right_static`` a static snapshot
+    (dimension/history table).
+
+    The snapshot precomputes validity intervals (``asof_intervals``) so
+    the match is a stateless LEFT join on key + interval containment —
+    every micro-batch joins like a batch, no streaming state, and Spark
+    broadcasts the (small) snapshot side.  Semantics match
+    ``asof_join(direction="backward")`` exactly (inclusive at equal
+    times; right rows must be unique per (key, time) — pre-dedup ties).
+    Batch/stream equivalence is pinned in tests/test_temporal.py.
+
+    For two genuinely unbounded sides, chop the right stream into
+    static snapshots (e.g. hourly compactions) and union the residue —
+    a true stream-stream as-of needs watermark-delayed emission and is
+    deliberately out of scope.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    right_cols = list(right_cols or [])
+    iv = asof_intervals(right_static, on=on, by=by).select(
+        *keys,
+        "__valid_from",
+        "__valid_to",
+        *[F.col(c).alias(c + suffix) for c in right_cols],
+    )
+    l, r = left.alias("__l"), iv.alias("__r")
+    cond = [F.col(f"__l.{k}") == F.col(f"__r.{k}") for k in keys]
+    cond.append(F.col(f"__l.{on}") >= F.col("__r.__valid_from"))
+    cond.append(
+        F.col("__r.__valid_to").isNull() | (F.col(f"__l.{on}") < F.col("__r.__valid_to"))
+    )
+    joined = l.join(r, cond, "left")
+    return joined.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        F.col("__r.__valid_from").alias(on + suffix),
+        *[F.col(f"__r.{c}{suffix}") for c in right_cols],
+    )
+
+
 def sessionize(
     events: DataFrame,
     *,

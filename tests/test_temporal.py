@@ -151,3 +151,51 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     vg, vw = got.v_matched.to_numpy(), want.v.to_numpy()
     both_nan = np.isnan(vg) & np.isnan(vw)
     assert ((vg == vw) | both_nan).all()
+
+
+def test_streaming_asof_matches_batch_asof(spark, streams):
+    """streaming_asof_join (interval-containment form) must agree with
+    asof_join(direction=backward) row-for-row on the same batch data."""
+    from patternly_spark.operators.temporal import streaming_asof_join
+
+    left, right = streams
+    a = (
+        asof_join(left, right, on="ts", by="user_id", right_cols=["v"])
+        .orderBy("user_id", "ts")
+        .toPandas()
+    )
+    b = (
+        streaming_asof_join(left, right, on="ts", by="user_id", right_cols=["v"])
+        .select(a.columns.tolist())
+        .orderBy("user_id", "ts")
+        .toPandas()
+    )
+    assert a.equals(b)
+
+
+def test_streaming_asof_true_stream(spark, streams, tmp_path):
+    """Same operator through an actual streaming query: parquet source ->
+    availableNow -> memory sink, joined against the static snapshot."""
+    from patternly_spark.operators.temporal import streaming_asof_join
+    from patternly_spark.streaming.windows import run_stream_to_memory
+
+    left, right = streams
+    path = str(tmp_path / "left_stream")
+    left.write.mode("overwrite").parquet(path)
+    src = spark.readStream.schema(left.schema).parquet(path)
+
+    got = (
+        run_stream_to_memory(
+            streaming_asof_join(src, right, on="ts", by="user_id", right_cols=["v"]),
+            "asof_stream_test",
+        )
+        .orderBy("user_id", "ts")
+        .toPandas()
+    )
+    want = (
+        asof_join(left, right, on="ts", by="user_id", right_cols=["v"])
+        .select(got.columns.tolist())
+        .orderBy("user_id", "ts")
+        .toPandas()
+    )
+    assert got.equals(want)
