@@ -578,6 +578,19 @@ def q35_pack_sequences(spark, sf_dir):
     return pack_sequences(d, budget=512, n_shards=16)
 
 
+def q36_neardup_corpus(spark, sf_dir):
+    """End-to-end near-dup removal: MinHash -> banded LSH -> exact
+    Jaccard verify (>= 0.7) -> connected components -> total
+    (doc_id, cluster_id, is_canonical) keep/drop map.  Oracle replays
+    the identical hash family + banding + recursive reachability."""
+    from patternly_spark.operators.dedup import neardup_dedup_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return neardup_dedup_corpus(
+        d, shingle_size=3, num_hashes=8, bands=4, jaccard_threshold=0.7
+    )
+
+
 def q89_dedup_clusters(spark, sf_dir):
     """Dedup cluster formation: unigram-Jaccard edges between docs at id
     distance 1 and 2 (threshold 0.8) -> connected components (alternating
@@ -842,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_stratified_sample": q33_stratified_sample,
         "q34_decontaminate": q34_decontaminate,
         "q35_pack_sequences": q35_pack_sequences,
+        "q36_neardup_corpus": q36_neardup_corpus,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1198,6 +1212,7 @@ def oracle_sql() -> dict[str, str]:
                         - FLOOR(start / 512) + 1 AS BIGINT) AS n_bins_spanned
             FROM s
         """,
+        "q36_neardup_corpus": _neardup_corpus_oracle(8, 4, 0.7),
         "q89_dedup_clusters": """
             WITH RECURSIVE sets AS (
                 SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS toks FROM documents
@@ -1393,6 +1408,69 @@ def _simhash_oracle(bits: int) -> str:
             FROM sh
         )
         SELECT doc_id, {terms} AS simhash FROM hs
+    """
+
+
+def _neardup_corpus_oracle(
+    num_hashes: int, bands: int, threshold: float
+) -> str:
+    """DuckDB replica of neardup_dedup_corpus: LSH candidates (same hash
+    family/banding as _lsh_candidates_oracle) -> exact shingle Jaccard
+    >= threshold -> recursive-CTE connected components -> total corpus
+    map with singleton clusters."""
+    mh_cols = []
+    for j in range(num_hashes):
+        a, b = _ORACLE_HASH_PARAMS[j % len(_ORACLE_HASH_PARAMS)]
+        a, b = a + j, b + j
+        mh_cols.append(
+            f"list_min(list_transform(shingles, s -> "
+            f"((('0x' || substr(md5(s),1,8))::BIGINT % 2147483647) * {a} + {b}) % 2147483647"
+            f")) AS mh_{j}"
+        )
+    rows_per_band = num_hashes // bands
+    band_selects = []
+    for b_i in range(bands):
+        parts = " || '_' || ".join(
+            f"mh_{b_i * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b_i} AS band_id, md5({parts}) AS band_hash FROM sigs"
+        )
+    exploded = " UNION ALL ".join(band_selects)
+    return f"""
+        WITH RECURSIVE toks_t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                   ELSE [array_to_string(toks, ' ')] END AS shingles
+            FROM toks_t
+        ), sigs AS (
+            SELECT doc_id, {', '.join(mh_cols)} FROM sh
+        ), ex AS (
+            {exploded}
+        ), cand AS (
+            SELECT DISTINCT l.doc_id AS u, r.doc_id AS v
+            FROM ex l JOIN ex r
+              ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+        ), verified AS (
+            SELECT c.u, c.v
+            FROM cand c JOIN sh a ON a.doc_id = c.u JOIN sh b ON b.doc_id = c.v
+            WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.shingles, b.shingles))) >= {threshold}
+        ), und AS (
+            SELECT u, v FROM verified UNION SELECT v AS u, u AS v FROM verified
+        ), reach(node, r) AS (
+            SELECT u AS node, u AS r FROM und
+            UNION
+            SELECT reach.node, und.v AS r FROM reach JOIN und ON und.u = reach.r
+        ), comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+               d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_canonical
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
     """
 
 

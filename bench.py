@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "q33_stratified_sample",
     "q34_decontaminate",
     "q35_pack_sequences",
+    "q36_neardup_corpus",
     "q90_pfsa_llk_scores",
     "q91_anomaly_pipeline",
     "q92_simhash",

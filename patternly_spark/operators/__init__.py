@@ -4,6 +4,7 @@ from patternly_spark.operators.dedup import (
     minhash_signatures,
     lsh_candidate_pairs,
     minhash_dedup,
+    neardup_dedup_corpus,
     simhash_signatures,
     simhash_neardup_pairs,
     ngram_jaccard_pairs,
@@ -44,6 +45,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "minhash_dedup",
+    "neardup_dedup_corpus",
     "simhash_signatures",
     "simhash_neardup_pairs",
     "ngram_jaccard_pairs",

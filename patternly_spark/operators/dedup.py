@@ -247,6 +247,39 @@ def minhash_dedup(
     return verified
 
 
+def neardup_dedup_corpus(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """The whole near-dup removal pass as one call: MinHash -> banded LSH
+    -> exact Jaccard verification -> connected components -> a TOTAL
+    (doc_id, cluster_id, is_canonical) map over the corpus.  Filtering
+    ``is_canonical`` is the dedup; joining back on cluster_id recovers
+    each group.  Every stage is the scale-shaped operator documented on
+    its own function; nothing new is materialized between them, so
+    Catalyst plans the pipeline end-to-end."""
+    from patternly_spark.operators.graph import dedup_clusters
+
+    pairs = minhash_dedup(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_size=shingle_size,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    )
+    return dedup_clusters(
+        pairs.select("doc_a", "doc_b"), docs.select(id_col), id_col=id_col
+    )
+
+
 def simhash_signatures(
     docs: DataFrame,
     *,
