@@ -591,6 +591,33 @@ def q36_neardup_corpus(spark, sf_dir):
     )
 
 
+def q37_curation_pipeline(spark, sf_dir):
+    """Flagship training-data curation pipeline in ONE declarative plan:
+    quality gate (token count + mean token length) -> exact dedup (keep
+    canonical) -> benchmark decontamination (drop docs sharing >= 50% of
+    trigrams with the doc_id%41 benchmark) -> concat-and-chunk packing
+    of the survivors.  Each stage is the oracle-proven operator; Catalyst
+    fuses the whole pipeline (filters push into the scan, the broadcast
+    benchmark probe stays map-side)."""
+    from patternly_spark.functions.text import token_count
+    from patternly_spark.operators.decontam import decontaminate
+    from patternly_spark.operators.dedup import exact_dedup
+    from patternly_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    n_tok = token_count("text")
+    mean_len = F.length("text").cast("double") / n_tok.cast("double")
+    quality = d.filter((n_tok >= 8) & (mean_len <= 12.0))
+    canon = exact_dedup(quality).filter(~F.col("is_dup")).select("doc_id")
+    kept = quality.join(canon, "doc_id")
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    flags = decontaminate(kept, bench, shingle_size=3, threshold=0.5)
+    clean = kept.join(
+        flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    return pack_sequences(clean, budget=512, n_shards=16)
+
+
 def q89_dedup_clusters(spark, sf_dir):
     """Dedup cluster formation: unigram-Jaccard edges between docs at id
     distance 1 and 2 (threshold 0.8) -> connected components (alternating
@@ -856,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_decontaminate": q34_decontaminate,
         "q35_pack_sequences": q35_pack_sequences,
         "q36_neardup_corpus": q36_neardup_corpus,
+        "q37_curation_pipeline": q37_curation_pipeline,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1213,6 +1241,68 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "q36_neardup_corpus": _neardup_corpus_oracle(8, 4, 0.7),
+        "q37_curation_pipeline": """
+            WITH q AS (
+                SELECT doc_id, text,
+                       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_tokens
+                FROM documents
+                WHERE (length(text) - length(replace(text, ' ', '')) + 1) >= 8
+                  AND CAST(length(text) AS DOUBLE)
+                      / (length(text) - length(replace(text, ' ', '')) + 1) <= 12.0
+            ), hashed AS (
+                SELECT doc_id, text, n_tokens,
+                       substr(md5(array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' ')), 1, 32) AS h
+                FROM q
+            ), canon AS (
+                SELECT doc_id, text, n_tokens FROM (
+                    SELECT doc_id, text, n_tokens,
+                           doc_id = MIN(doc_id) OVER (PARTITION BY h) AS keep
+                    FROM hashed
+                ) WHERE keep
+            ), toks_t AS (
+                SELECT doc_id, n_tokens, string_split_regex(trim(text), '\\s+') AS toks FROM canon
+            ), sh AS (
+                SELECT doc_id, n_tokens,
+                       CASE WHEN len(toks) >= 3 THEN
+                           list_distinct(list_transform(range(1, len(toks) - 1),
+                               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                       ELSE [array_to_string(toks, ' ')] END AS shingles
+                FROM toks_t
+            ), btoks AS (
+                SELECT string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents WHERE doc_id % 41 = 0
+            ), bench AS (
+                SELECT DISTINCT unnest(
+                    CASE WHEN len(toks) >= 3 THEN
+                        list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                    ELSE [array_to_string(toks, ' ')] END) AS s
+                FROM btoks
+            ), ex AS (
+                SELECT doc_id, n_tokens, unnest(shingles) AS s FROM sh
+            ), agg AS (
+                SELECT ex.doc_id, ANY_VALUE(ex.n_tokens) AS n_tokens,
+                       COUNT(*) AS n_sh,
+                       SUM(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+                FROM ex LEFT JOIN bench ON ex.s = bench.s
+                GROUP BY ex.doc_id
+            ), clean AS (
+                SELECT doc_id, n_tokens FROM agg
+                WHERE CAST(n_hits AS DOUBLE) / CAST(n_sh AS DOUBLE) < 0.5
+            ), s AS (
+                SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY doc_id % 16 ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+                FROM clean
+            )
+            SELECT doc_id, shard, n_tokens,
+                   CAST(FLOOR(start / 512) * 16 + shard AS BIGINT) AS bin_id,
+                   CAST(start % 512 AS BIGINT) AS offset_in_bin,
+                   CAST(FLOOR((start + GREATEST(n_tokens - 1, 0)) / 512)
+                        - FLOOR(start / 512) + 1 AS BIGINT) AS n_bins_spanned
+            FROM s
+        """,
         "q89_dedup_clusters": """
             WITH RECURSIVE sets AS (
                 SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS toks FROM documents

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "q34_decontaminate",
     "q35_pack_sequences",
     "q36_neardup_corpus",
+    "q37_curation_pipeline",
     "q90_pfsa_llk_scores",
     "q91_anomaly_pipeline",
     "q92_simhash",
