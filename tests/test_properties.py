@@ -170,3 +170,32 @@ def test_winnow_shared_run_shares_fingerprint(core, pad):
     doc_a = ["x%d" % i for i in range(pad)] + run
     doc_b = run + ["y%d" % i for i in range(pad)]
     assert fps(doc_a) & fps(doc_b), "shared long run must share a fingerprint"
+
+
+# ---------------------------------------------------------------------------
+# C3 sequence-packing arithmetic: the closed-form block coordinates must
+# equal a token-at-a-time simulation of laying documents into blocks.
+# (Spark/SQL equivalence of the same formulas is pinned in
+# test_curation.py and the q35/q37 oracles; hypothesis explores the
+# arithmetic's edge cases: empty docs, budget=1, exact-boundary fits.)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=300, deadline=None)
+@given(
+    toks=st.lists(st.integers(0, 40), min_size=1, max_size=80),
+    budget=st.integers(1, 50),
+)
+def test_packing_block_arithmetic_law(toks, budget):
+    pos = 0
+    for n in toks:
+        start = pos
+        bin_id = start // budget
+        offset = start % budget
+        end = start + max(n - 1, 0)
+        spans = end // budget - bin_id + 1
+        # independent reference: which blocks do this doc's tokens touch?
+        touched = {(start + j) // budget for j in range(n)} or {start // budget}
+        assert bin_id == min(touched)
+        assert spans == len(touched) == max(touched) - min(touched) + 1
+        assert 0 <= offset < budget and offset == start - bin_id * budget
+        pos += n
