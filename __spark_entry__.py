@@ -618,6 +618,24 @@ def q37_curation_pipeline(spark, sf_dir):
     return pack_sequences(clean, budget=512, n_shards=16)
 
 
+def q38_ngram_census(spark, sf_dir):
+    """Corpus boilerplate census: the 20 trigram shingles appearing in
+    the most documents (shingles are distinct per doc, so the count IS
+    document frequency).  Shape: explode -> one map-side-combined
+    groupBy -> tiny global top-k; total order (df desc, shingle) makes
+    the LIMIT deterministic."""
+    from patternly_spark.functions.text import with_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = with_shingles(d.select("doc_id", "text"), "text", 3)
+    counts = (
+        sh.select(F.explode_outer("shingles").alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    return counts.orderBy(F.desc("df"), "sh").limit(20)
+
+
 def q89_dedup_clusters(spark, sf_dir):
     """Dedup cluster formation: unigram-Jaccard edges between docs at id
     distance 1 and 2 (threshold 0.8) -> connected components (alternating
@@ -884,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_pack_sequences": q35_pack_sequences,
         "q36_neardup_corpus": q36_neardup_corpus,
         "q37_curation_pipeline": q37_curation_pipeline,
+        "q38_ngram_census": q38_ngram_census,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1241,6 +1260,21 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "q36_neardup_corpus": _neardup_corpus_oracle(8, 4, 0.7),
+        "q38_ngram_census": """
+            WITH toks_t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3 THEN
+                           list_distinct(list_transform(range(1, len(toks) - 1),
+                               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                       ELSE [array_to_string(toks, ' ')] END AS shingles
+                FROM toks_t
+            )
+            SELECT s AS sh, CAST(COUNT(*) AS BIGINT) AS df
+            FROM (SELECT unnest(shingles) AS s FROM sh)
+            GROUP BY s ORDER BY df DESC, s LIMIT 20
+        """,
         "q37_curation_pipeline": """
             WITH q AS (
                 SELECT doc_id, text,

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "q35_pack_sequences",
     "q36_neardup_corpus",
     "q37_curation_pipeline",
+    "q38_ngram_census",
     "q90_pfsa_llk_scores",
     "q91_anomaly_pipeline",
     "q92_simhash",
