@@ -636,6 +636,17 @@ def q38_ngram_census(spark, sf_dir):
     return counts.orderBy(F.desc("df"), "sh").limit(20)
 
 
+def q39_chunk_documents(spark, sf_dir):
+    """Embedding/RAG prep: overlapping token-window chunks (32-token
+    windows sliding by 24).  Per-row array expressions only — chunks are
+    born in their document's partition, zero shuffle; pure-integer
+    arithmetic replayed exactly by the oracle."""
+    from patternly_spark.operators.packing import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=32, overlap=8)
+
+
 def q89_dedup_clusters(spark, sf_dir):
     """Dedup cluster formation: unigram-Jaccard edges between docs at id
     distance 1 and 2 (threshold 0.8) -> connected components (alternating
@@ -903,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_neardup_corpus": q36_neardup_corpus,
         "q37_curation_pipeline": q37_curation_pipeline,
         "q38_ngram_census": q38_ngram_census,
+        "q39_chunk_documents": q39_chunk_documents,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1260,6 +1272,22 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "q36_neardup_corpus": _neardup_corpus_oracle(8, 4, 0.7),
+        "q39_chunk_documents": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+            ), c AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       GREATEST(1, (len(toks) - 8 + 24 - 1) // 24) AS n_chunks
+                FROM t
+            ), ex AS (
+                SELECT doc_id, toks, n, unnest(range(n_chunks)) AS chunk_id FROM c
+            )
+            SELECT doc_id,
+                   CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(LEAST(32, n - chunk_id * 24) AS INT) AS n_chunk_tokens,
+                   array_to_string(toks[(chunk_id * 24 + 1):(chunk_id * 24 + 32)], ' ') AS chunk_text
+            FROM ex
+        """,
         "q38_ngram_census": """
             WITH toks_t AS (
                 SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "q36_neardup_corpus",
     "q37_curation_pipeline",
     "q38_ngram_census",
+    "q39_chunk_documents",
     "q90_pfsa_llk_scores",
     "q91_anomaly_pipeline",
     "q92_simhash",

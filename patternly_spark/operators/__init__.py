@@ -17,7 +17,7 @@ from patternly_spark.operators.multimodal import (
     resize_images,
     sample_frames,
 )
-from patternly_spark.operators.packing import pack_sequences
+from patternly_spark.operators.packing import chunk_documents, pack_sequences
 from patternly_spark.operators.sampling import (
     hash_fraction,
     hash_sample,
@@ -55,6 +55,7 @@ __all__ = [
     "benchmark_shingle_set",
     "decontaminate",
     "pack_sequences",
+    "chunk_documents",
     "cosine_topk",
     "lsh_bucketed_topk",
     "ivf_topk",

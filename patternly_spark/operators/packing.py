@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from patternly_spark.functions.text import token_count
+from patternly_spark.functions.text import token_count, tokens
 
 
 def pack_sequences(
@@ -74,4 +74,53 @@ def pack_sequences(
         (bin_in_shard * n_shards + F.col("shard")).cast("long").alias("bin_id"),
         F.pmod(start, F.lit(budget)).cast("long").alias("offset_in_bin"),
         (F.floor(end / budget) - bin_in_shard + 1).cast("long").alias("n_bins_spanned"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    embedding/RAG prep step (a long doc becomes several ``chunk_tokens``
+    windows sliding by ``chunk_tokens - overlap``).
+
+    Output: (id_col, chunk_id long, n_chunk_tokens int, chunk_text
+    string).  A chunk starts at every stride multiple that still
+    contributes tokens beyond the previous chunk's coverage
+    (``start < n - overlap``; a doc shorter than one chunk yields
+    exactly one).  All per-row array expressions — zero shuffle, chunks
+    are born in their document's partition; arithmetic is pure-integer
+    so an external SQL oracle replays it exactly.
+    """
+    if overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    stride = chunk_tokens - overlap
+    staged = (
+        docs.withColumn("__toks", tokens(text_col))
+        .withColumn("__n", F.size("__toks"))
+        .withColumn(
+            "__c",
+            F.greatest(F.lit(1), F.expr(f"(__n - {overlap} + {stride} - 1) div {stride}")),
+        )
+    )
+    # explode_outer: InferFiltersFromGenerate would re-inline the
+    # sequence (and its __c subtree) into a size() predicate; the
+    # sequence is never empty (__c >= 1)
+    ex = staged.select(
+        id_col,
+        "__toks",
+        "__n",
+        F.explode_outer(F.sequence(F.lit(0), F.col("__c") - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    return ex.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - start).cast("int").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.slice("__toks", start + 1, F.lit(chunk_tokens))).alias("chunk_text"),
     )

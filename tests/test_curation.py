@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from patternly_spark.operators.decontam import benchmark_shingle_set, decontaminate
-from patternly_spark.operators.packing import pack_sequences
+from patternly_spark.operators.packing import chunk_documents, pack_sequences
 
 
 def _plan(df) -> str:
@@ -166,3 +166,42 @@ def test_pack_sequences_plan_has_single_shard_exchange(spark):
     assert plan.count("Exchange") == 1
     assert "hashpartitioning(shard" in plan
     assert "SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# document chunking
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(10))),  # 10 toks, 3 chunks
+         (1, "a b"),                                  # shorter than a chunk
+         (2, " ".join(f"x{i}" for i in range(4)))],  # exactly one chunk
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"])
+         for r in out.collect())
+    )
+    assert rows == [
+        (0, 0, 4, "w0 w1 w2 w3"),
+        (0, 1, 4, "w3 w4 w5 w6"),   # stride 3: one-token overlap
+        (0, 2, 4, "w6 w7 w8 w9"),
+        (1, 0, 2, "a b"),           # short doc -> single partial chunk
+        (2, 0, 4, "x0 x1 x2 x3"),   # exact fit -> no redundant tail chunk
+    ]
+    # every token of doc 0 appears in some chunk (coverage)
+    covered = set()
+    for _, _, _, text in rows[:3]:
+        covered.update(text.split())
+    assert covered == {f"w{i}" for i in range(10)}
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_plan_stays_narrow(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(chunk_documents(docs))
+    assert "Exchange" not in plan       # chunks stay in the doc's partition
+    assert plan.count("split(") == 1    # tokenizer staged once
