@@ -205,3 +205,21 @@ def test_chunk_documents_plan_stays_narrow(spark):
     plan = _plan(chunk_documents(docs))
     assert "Exchange" not in plan       # chunks stay in the doc's partition
     assert plan.count("split(") == 1    # tokenizer staged once
+
+
+def test_decontaminate_empty_benchmark(spark, corpora):
+    corpus, _ = corpora
+    empty_bench = spark.createDataFrame([], "doc_id long, text string")
+    out = decontaminate(corpus, empty_bench).collect()
+    assert len(out) == 4
+    assert all(r["n_hits"] == 0 and r["contaminated"] is False for r in out)
+
+
+def test_pack_sequences_more_shards_than_docs(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "c d e")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(docs, budget=8, n_shards=64).collect()}
+    assert len(rows) == 2
+    # each doc alone in its shard: offset 0, bin encodes the shard
+    assert all(r["offset_in_bin"] == 0 and r["bin_id"] == r["shard"] for r in rows.values())

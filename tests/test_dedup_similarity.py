@@ -338,3 +338,17 @@ def test_incremental_dedup_bucketed_canon_skips_canon_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS canon_b")
+
+
+def test_incremental_dedup_empty_canon_first_ingestion(spark):
+    from patternly_spark.operators.dedup import incremental_exact_dedup
+
+    canon = spark.createDataFrame([], "content_hash string, canonical_id long")
+    batch = spark.createDataFrame(
+        [(1, "first doc"), (2, "first doc"), (3, "other doc")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_exact_dedup(batch, canon).collect()}
+    assert out[1]["is_new_canonical"] is True and out[1]["canonical_id"] == 1
+    assert out[2]["is_dup"] is True and out[2]["canonical_id"] == 1
+    assert out[3]["is_new_canonical"] is True
