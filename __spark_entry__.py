@@ -647,6 +647,52 @@ def q39_chunk_documents(spark, sf_dir):
     return chunk_documents(d, chunk_tokens=32, overlap=8)
 
 
+def q40_range_join(spark, sf_dir):
+    """Range (interval) join: clicks within ±10 min of a purchase by the
+    same user.  Bucketed into 10-min axis buckets and equi-joined on
+    (user, bucket) with a residual BETWEEN filter — a hash join, not a
+    BroadcastNestedLoopJoin (plan-pinned in tests/test_ranges_rollup.py).
+    Oracle: the plain range-predicate join (DuckDB IEJoin)."""
+    from patternly_spark.operators.ranges import range_join
+
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", us.alias("ts_us")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        (us - 600_000_000).alias("w_start_us"),
+        (us + 600_000_000).alias("w_end_us"),
+    )
+    out = range_join(
+        clicks, purchases,
+        left_point="ts_us", right_start="w_start_us", right_end="w_end_us",
+        by="user_id", bucket_width=600_000_000,
+    )
+    return out.select("event_id", "user_id", "ts_us", "purchase_event_id", "w_start_us")
+
+
+def q41_hypertable_rollup(spark, sf_dir):
+    """Hypertable rollup (continuous aggregate): per-event-type value
+    stats at 1 h / 6 h / 24 h resolutions in one cascade — raw events are
+    shuffled ONCE (finest level); coarser levels merge the fine decimal
+    partials, so they'd aggregate a ~10⁶×-smaller table at 100 TB.
+    Oracle computes every level directly from raw; decimal sums make the
+    cascade bit-identical to the direct form."""
+    from patternly_spark.operators.rollup import hypertable_rollup
+
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        F.unix_micros(F.col("ts")).alias("ts_us"), "event_type", "value"
+    )
+    return hypertable_rollup(
+        base, axis="ts_us", value="value", by="event_type",
+        widths=[3_600_000_000, 21_600_000_000, 86_400_000_000],
+    )
+
+
 def q89_dedup_clusters(spark, sf_dir):
     """Dedup cluster formation: unigram-Jaccard edges between docs at id
     distance 1 and 2 (threshold 0.8) -> connected components (alternating
@@ -915,6 +961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_curation_pipeline": q37_curation_pipeline,
         "q38_ngram_census": q38_ngram_census,
         "q39_chunk_documents": q39_chunk_documents,
+        "q40_range_join": q40_range_join,
+        "q41_hypertable_rollup": q41_hypertable_rollup,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1287,6 +1335,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(LEAST(32, n - chunk_id * 24) AS INT) AS n_chunk_tokens,
                    array_to_string(toks[(chunk_id * 24 + 1):(chunk_id * 24 + 32)], ' ') AS chunk_text
             FROM ex
+        """,
+        "q40_range_join": """
+            WITH c AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                FROM events WHERE event_type = 'click'
+            ),
+            p AS (
+                SELECT event_id AS purchase_event_id, user_id,
+                       epoch_us(ts) - 600000000 AS w_start_us,
+                       epoch_us(ts) + 600000000 AS w_end_us
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.event_id, c.user_id, c.ts_us, p.purchase_event_id, p.w_start_us
+            FROM c JOIN p
+              ON c.user_id = p.user_id
+             AND c.ts_us BETWEEN p.w_start_us AND p.w_end_us
+        """,
+        "q41_hypertable_rollup": """
+            WITH e AS (
+                SELECT epoch_us(ts) AS ts_us, event_type, value FROM events
+            ),
+            l AS (
+                SELECT CAST(3600000000 AS BIGINT) AS level,
+                       ts_us - ts_us % 3600000000 AS window_start, event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(value AS DECIMAL(24,10))) AS s,
+                       MIN(value) AS vmin, MAX(value) AS vmax
+                FROM e GROUP BY 2, 3
+                UNION ALL
+                SELECT CAST(21600000000 AS BIGINT),
+                       ts_us - ts_us % 21600000000, event_type,
+                       CAST(COUNT(*) AS BIGINT),
+                       SUM(CAST(value AS DECIMAL(24,10))), MIN(value), MAX(value)
+                FROM e GROUP BY 2, 3
+                UNION ALL
+                SELECT CAST(86400000000 AS BIGINT),
+                       ts_us - ts_us % 86400000000, event_type,
+                       CAST(COUNT(*) AS BIGINT),
+                       SUM(CAST(value AS DECIMAL(24,10))), MIN(value), MAX(value)
+                FROM e GROUP BY 2, 3
+            )
+            SELECT level, window_start, event_type, n,
+                   CAST(s AS DOUBLE) AS total, vmin, vmax,
+                   CAST(s AS DOUBLE) / n AS avg
+            FROM l
         """,
         "q38_ngram_census": """
             WITH toks_t AS (

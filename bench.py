@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "q37_curation_pipeline",
     "q38_ngram_census",
     "q39_chunk_documents",
+    "q40_range_join",
+    "q41_hypertable_rollup",
     "q90_pfsa_llk_scores",
     "q91_anomaly_pipeline",
     "q92_simhash",

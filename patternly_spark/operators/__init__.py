@@ -32,6 +32,8 @@ from patternly_spark.operators.similarity import (
     save_ivf_index,
     save_lsh_index,
 )
+from patternly_spark.operators.ranges import range_join
+from patternly_spark.operators.rollup import hypertable_rollup
 from patternly_spark.operators.temporal import (
     asof_intervals,
     asof_join,
@@ -70,6 +72,8 @@ __all__ = [
     "asof_intervals",
     "streaming_asof_join",
     "sessionize",
+    "range_join",
+    "hypertable_rollup",
     "extract_features",
     "sample_frames",
     "resize_images",
