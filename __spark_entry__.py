@@ -693,6 +693,21 @@ def q41_hypertable_rollup(spark, sf_dir):
     )
 
 
+def q42_bm25_retrieval(spark, sf_dir):
+    """BM25 lexical retrieval: score every document matching a 4-term
+    query in ONE filter+project pass over the corpus (term frequencies
+    are array expressions; per-term IDF weights are driver-side literals
+    from a single stats aggregate).  IDFs are quantized to 2^-20 (exact
+    power-of-two scaling) so the engines' last-ulp ``ln`` differences
+    cannot leak into the hash; all other arithmetic is IEEE +,*,/ with
+    identical association in both engines."""
+    from patternly_spark.operators.retrieval import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    terms = ["hash", "join", "vector", "stream"]
+    return bm25_scores(d, terms, idf_quantize_bits=20)
+
+
 def q89_dedup_clusters(spark, sf_dir):
     """Dedup cluster formation: unigram-Jaccard edges between docs at id
     distance 1 and 2 (threshold 0.8) -> connected components (alternating
@@ -963,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_chunk_documents": q39_chunk_documents,
         "q40_range_join": q40_range_join,
         "q41_hypertable_rollup": q41_hypertable_rollup,
+        "q42_bm25_retrieval": q42_bm25_retrieval,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1351,6 +1367,44 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN p
               ON c.user_id = p.user_id
              AND c.ts_us BETWEEN p.w_start_us AND p.w_end_us
+        """,
+        "q42_bm25_retrieval": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+            ),
+            base AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS DOUBLE) AS dl,
+                       CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf0,
+                       CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf1,
+                       CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf2,
+                       CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE) AS tf3
+                FROM t
+            ),
+            c AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(dl AS BIGINT)) AS BIGINT) AS sdl,
+                       CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                       CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                       CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+                       CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+                FROM base
+            ),
+            k AS (
+                SELECT CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl,
+                       FLOOR(ln(1.0 + (CAST(n - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5)) * 1048576.0) / 1048576.0 AS idf0,
+                       FLOOR(ln(1.0 + (CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)) * 1048576.0) / 1048576.0 AS idf1,
+                       FLOOR(ln(1.0 + (CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)) * 1048576.0) / 1048576.0 AS idf2,
+                       FLOOR(ln(1.0 + (CAST(n - df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5)) * 1048576.0) / 1048576.0 AS idf3
+                FROM c
+            )
+            SELECT doc_id,
+                   idf0 * ((tf0 * (CAST(1.2 AS DOUBLE) + 1.0)) / (tf0 + CAST(1.2 AS DOUBLE) * (0.25 + (0.75 * dl) / avgdl)))
+                 + idf1 * ((tf1 * (CAST(1.2 AS DOUBLE) + 1.0)) / (tf1 + CAST(1.2 AS DOUBLE) * (0.25 + (0.75 * dl) / avgdl)))
+                 + idf2 * ((tf2 * (CAST(1.2 AS DOUBLE) + 1.0)) / (tf2 + CAST(1.2 AS DOUBLE) * (0.25 + (0.75 * dl) / avgdl)))
+                 + idf3 * ((tf3 * (CAST(1.2 AS DOUBLE) + 1.0)) / (tf3 + CAST(1.2 AS DOUBLE) * (0.25 + (0.75 * dl) / avgdl))) AS bm25
+            FROM base, k
+            WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0 OR tf3 > 0
         """,
         "q41_hypertable_rollup": """
             WITH e AS (

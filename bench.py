@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "q39_chunk_documents",
     "q40_range_join",
     "q41_hypertable_rollup",
+    "q42_bm25_retrieval",
     "q90_pfsa_llk_scores",
     "q91_anomaly_pipeline",
     "q92_simhash",

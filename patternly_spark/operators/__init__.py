@@ -33,6 +33,12 @@ from patternly_spark.operators.similarity import (
     save_lsh_index,
 )
 from patternly_spark.operators.ranges import range_join
+from patternly_spark.operators.retrieval import (
+    bm25_retrieve,
+    bm25_scores,
+    corpus_stats,
+    tfidf_scores,
+)
 from patternly_spark.operators.rollup import hypertable_rollup
 from patternly_spark.operators.temporal import (
     asof_intervals,
@@ -74,6 +80,10 @@ __all__ = [
     "sessionize",
     "range_join",
     "hypertable_rollup",
+    "bm25_scores",
+    "bm25_retrieve",
+    "tfidf_scores",
+    "corpus_stats",
     "extract_features",
     "sample_frames",
     "resize_images",

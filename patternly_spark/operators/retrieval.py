@@ -1,0 +1,169 @@
+"""Lexical retrieval over a document corpus: TF-IDF / BM25.
+
+Scale shape (the Lucene-style inverted index, relationalized):
+
+- corpus statistics (N, avg doc length, per-term document frequency)
+  are ONE aggregate over the corpus — and for a repeatedly-queried
+  corpus they are a tiny table you compute once and reuse
+  (``corpus_stats``), exactly like an index's term dictionary.
+- scoring a query is then a single narrow projection over the corpus:
+  per-document term frequencies are array expressions (JVM-side,
+  whole-stage codegen, zero shuffle), the per-term IDF weights are
+  driver-side scalars folded into the plan as literals (a query has a
+  handful of terms).  Only the final top-k (if requested) aggregates.
+
+No explode, no per-term shuffle: a 100 TB corpus is scored in one
+filter+project pass.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _toks(text_col: str):
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def _tf(text_col: str, term: str):
+    return F.size(F.filter(_toks(text_col), lambda t: t == F.lit(term)))
+
+
+def corpus_stats(docs: DataFrame, terms: list[str], *, text_col: str = "text") -> dict:
+    """One aggregate pass: corpus size, total token count, and each
+    term's document frequency.  Returns plain Python scalars (the "term
+    dictionary" for these terms)."""
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(_toks(text_col))).alias("total_dl"),
+        *[
+            F.sum((_tf(text_col, t) > 0).cast("long")).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).collect()[0]
+    return {
+        "n": int(row["n"]),
+        "total_dl": int(row["total_dl"]),
+        "df": {t: int(row[f"df_{i}"]) for i, t in enumerate(terms)},
+    }
+
+
+def _quantize_idf(x: float, bits: int | None) -> float:
+    """floor(x * 2^bits) / 2^bits: multiplying/dividing by a power of two
+    is EXACT in binary floating point, so two engines whose ``ln`` differs
+    in the last ulp (measured: DuckDB vs CPython libm on ~3% of inputs)
+    still agree after quantization — the knob that makes log-based scores
+    reproducible across engines."""
+    if bits is None:
+        return x
+    scale = float(1 << bits)
+    return math.floor(x * scale) / scale
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    stats: dict | None = None,
+    idf_quantize_bits: int | None = None,
+) -> DataFrame:
+    """BM25 score of every document matching >=1 query term.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5))   (Lucene's non-negative form)
+    tf-part = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    IDFs are computed on the driver from integer stats, so the
+    distributed pass is pure +,*,/ over doubles — deterministic and
+    engine-portable.  Pass a precomputed ``stats`` (from
+    ``corpus_stats``) to skip the statistics scan;
+    ``idf_quantize_bits`` makes the idf cross-engine exact (see
+    ``_quantize_idf``).
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    st = stats or corpus_stats(docs, terms, text_col=text_col)
+    n, avgdl = st["n"], st["total_dl"] / st["n"]
+    idf = {
+        t: _quantize_idf(
+            math.log(1.0 + (n - st["df"][t] + 0.5) / (st["df"][t] + 0.5)),
+            idf_quantize_bits,
+        )
+        for t in terms
+    }
+
+    dl = F.size(_toks(text_col)).cast("double")
+    parts = []
+    for t in terms:
+        tf = _tf(text_col, t).cast("double")
+        parts.append(
+            F.lit(idf[t]) * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+        )
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    any_hit = None
+    for t in terms:
+        hit = _tf(text_col, t) > 0
+        any_hit = hit if any_hit is None else (any_hit | hit)
+    return docs.filter(any_hit).select(F.col(id_col), score.alias("bm25"))
+
+
+def bm25_retrieve(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Top-k BM25 retrieval (score desc, id asc tie-break)."""
+    scored = bm25_scores(
+        docs, terms, text_col=text_col, id_col=id_col, k1=k1, b=b, stats=stats
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "bm25", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def tfidf_scores(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stats: dict | None = None,
+    idf_quantize_bits: int | None = None,
+) -> DataFrame:
+    """Classic TF-IDF (ltc-ish, unnormalized): sum over query terms of
+    tf * ln(N/df).  Same one-pass scale shape as ``bm25_scores``."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    st = stats or corpus_stats(docs, terms, text_col=text_col)
+    idf = {
+        t: _quantize_idf(math.log(st["n"] / st["df"][t]), idf_quantize_bits)
+        if st["df"][t]
+        else 0.0
+        for t in terms
+    }
+    score = None
+    any_hit = None
+    for t in terms:
+        tf = _tf(text_col, t).cast("double")
+        p = tf * F.lit(idf[t])
+        score = p if score is None else (score + p)
+        hit = _tf(text_col, t) > 0
+        any_hit = hit if any_hit is None else (any_hit | hit)
+    return docs.filter(any_hit).select(F.col(id_col), score.alias("tfidf"))

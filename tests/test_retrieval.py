@@ -1,0 +1,93 @@
+"""BM25 / TF-IDF retrieval operator semantics."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from patternly_spark.operators.retrieval import (
+    bm25_retrieve,
+    bm25_scores,
+    corpus_stats,
+    tfidf_scores,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "spark spark spark join"),          # high tf for 'spark'
+        (1, "spark join"),                      # short, one hit each
+        (2, "join join hash hash hash filter"),  # no 'spark'
+        (3, "filter scan sort merge window group agg"),  # no query terms
+        (4, "spark " + "pad " * 50),            # long doc: length-penalized
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_corpus_stats(spark, corpus):
+    st = corpus_stats(corpus, ["spark", "join", "zzz"])
+    assert st["n"] == 5
+    assert st["df"] == {"spark": 3, "join": 3, "zzz": 0}
+    assert st["total_dl"] == 4 + 2 + 6 + 7 + 51
+
+
+def test_bm25_scores_and_ordering(spark, corpus):
+    out = {r["doc_id"]: r["bm25"] for r in bm25_scores(corpus, ["spark"]).collect()}
+    # only docs containing 'spark'
+    assert set(out) == {0, 1, 4}
+    # higher tf beats lower tf at comparable length
+    assert out[0] > out[1]
+    # long doc with single hit scores below the short single-hit doc
+    assert out[4] < out[1]
+    # all scores positive (non-negative idf form)
+    assert all(v > 0 for v in out.values())
+
+
+def test_bm25_retrieve_topk(spark, corpus):
+    top = bm25_retrieve(corpus, ["spark", "join"], k=2).collect()
+    assert [r["rank"] for r in top] == [1, 2]
+    assert top[0]["bm25"] >= top[1]["bm25"]
+
+
+def test_bm25_accepts_precomputed_stats(spark, corpus):
+    terms = ["spark", "join"]
+    st = corpus_stats(corpus, terms)
+    a = sorted(map(tuple, bm25_scores(corpus, terms).collect()))
+    b = sorted(map(tuple, bm25_scores(corpus, terms, stats=st).collect()))
+    assert a == b
+
+
+def test_idf_quantization_close_to_exact(spark, corpus):
+    terms = ["spark", "join"]
+    exact = {r["doc_id"]: r["bm25"] for r in bm25_scores(corpus, terms).collect()}
+    quant = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(corpus, terms, idf_quantize_bits=20).collect()
+    }
+    for d in exact:
+        assert math.isclose(exact[d], quant[d], rel_tol=1e-5)
+
+
+def test_tfidf_matches_closed_form(spark, corpus):
+    st = corpus_stats(corpus, ["spark"])
+    idf = math.log(st["n"] / st["df"]["spark"])
+    out = {r["doc_id"]: r["tfidf"] for r in tfidf_scores(corpus, ["spark"]).collect()}
+    assert out == {0: 3 * idf, 1: 1 * idf, 4: 1 * idf}
+
+
+def test_empty_terms_raise(spark, corpus):
+    with pytest.raises(ValueError):
+        bm25_scores(corpus, [])
+    with pytest.raises(ValueError):
+        tfidf_scores(corpus, [])
+
+
+def test_bm25_plan_has_no_explode_or_python(spark, corpus):
+    # scoring is a single filter+project pass: no Generate (explode), no
+    # Python evaluation, no join/exchange beyond the stats collect
+    out = bm25_scores(corpus, ["spark"], stats=corpus_stats(corpus, ["spark"]))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan
+    assert "Python" not in plan
+    assert "Exchange" not in plan
