@@ -708,6 +708,23 @@ def q42_bm25_retrieval(spark, sf_dir):
     return bm25_scores(d, terms, idf_quantize_bits=20)
 
 
+def q43_gopher_quality(spark, sf_dir):
+    """Gopher rule-suite quality filter (word-count band, mean word
+    length, symbol ratio, bullet/ellipsis line fractions, alpha-word
+    fraction, stopword presence) — one boolean per rule + keep, as a
+    single zero-shuffle scan of pure column expressions.  Every ratio is
+    an integer count divided as double, so the oracle reproduces each
+    flag bit-for-bit."""
+    from patternly_spark.functions.text import gopher_quality_flags
+
+    d = _t(spark, sf_dir, "documents")
+    # stopword list adapted to the synthetic corpus vocabulary so the
+    # rule discriminates (true Gopher defaults live on the operator)
+    return gopher_quality_flags(
+        d.select("doc_id", "text"), stopwords=["the", "a", "of", "and", "to"]
+    ).drop("text")
+
+
 def q89_dedup_clusters(spark, sf_dir):
     """Dedup cluster formation: unigram-Jaccard edges between docs at id
     distance 1 and 2 (threshold 0.8) -> connected components (alternating
@@ -979,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_range_join": q40_range_join,
         "q41_hypertable_rollup": q41_hypertable_rollup,
         "q42_bm25_retrieval": q42_bm25_retrieval,
+        "q43_gopher_quality": q43_gopher_quality,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1367,6 +1385,46 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN p
               ON c.user_id = p.user_id
              AND c.ts_us BETWEEN p.w_start_us AND p.w_end_us
+        """,
+        "q43_gopher_quality": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       string_split_regex(trim(text), '\\s+') AS toks,
+                       string_split(text, chr(10)) AS lines
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       len(toks) AS n_words,
+                       list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS swl,
+                       length(text) - length(replace(text, '#', '')) AS hash_chars,
+                       (length(text) - length(replace(text, '...', ''))) / 3 AS ellipsis_runs,
+                       len(lines) AS n_lines,
+                       len(list_filter(lines, l -> starts_with(l, '-') OR starts_with(l, '*') OR starts_with(l, '•'))) AS bullet_lines,
+                       len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS ellipsis_lines,
+                       len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+                       len(list_intersect(list_distinct(toks),
+                           ['the','a','of','and','to'])) AS sw_hits
+                FROM t
+            )
+            SELECT doc_id,
+                   n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+                   CAST(swl AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+                       AND CAST(swl AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0 AS ok_mean_word_len,
+                   CAST(hash_chars + ellipsis_runs AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1 AS ok_symbol_ratio,
+                   CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.9 AS ok_bullet_lines,
+                   CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.3 AS ok_ellipsis_lines,
+                   CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8 AS ok_alpha_words,
+                   sw_hits >= 2 AS ok_stopwords,
+                   (n_words >= 50 AND n_words <= 100000)
+                   AND (CAST(swl AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+                        AND CAST(swl AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0)
+                   AND (CAST(hash_chars + ellipsis_runs AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1)
+                   AND (CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.9)
+                   AND (CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.3)
+                   AND (CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8)
+                   AND (sw_hits >= 2) AS keep
+            FROM m
         """,
         "q42_bm25_retrieval": """
             WITH t AS (

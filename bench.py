@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "q40_range_join",
     "q41_hypertable_rollup",
     "q42_bm25_retrieval",
+    "q43_gopher_quality",
     "q90_pfsa_llk_scores",
     "q91_anomaly_pipeline",
     "q92_simhash",

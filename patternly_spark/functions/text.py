@@ -255,3 +255,111 @@ def repeated_ngram_fraction(toks: Column, n: int = 3) -> Column:
     return F.when(
         total > 0, (total - distinct).cast("double") / total.cast("double")
     ).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# rule-based quality suites (Gopher / C4 heuristics, public rule sets)
+# ---------------------------------------------------------------------------
+
+# the high-frequency English function words Gopher's "stop word" rule keys
+# on (Rae et al. 2021, appendix A1.1)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    stopwords: list[str] | None = None,
+):
+    """Gopher-style document-quality rule suite (Rae et al. 2021 §A1.1),
+    one boolean column per rule plus the conjunction ``keep``.
+
+    Pure per-row JVM column expressions — a 100 TB quality pass is a
+    single scan+project, no shuffle, filters pushable past it.  Every
+    ratio is an integer-exact count divided as double, so an external
+    SQL oracle reproduces each flag bit-for-bit.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_words = F.size(toks)
+    sum_word_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    mean_word_len = sum_word_len.cast("double") / n_words.cast("double")
+
+    hash_chars = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    ellipsis_runs = (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+    symbol_ratio = (hash_chars + ellipsis_runs).cast("double") / n_words.cast("double")
+
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"))
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda l: l.endswith("...") | l.endswith("…")))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+
+    sw = stopwords or GOPHER_STOPWORDS
+    sw_hits = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in sw])))
+
+    rules = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len),
+        "ok_symbol_ratio": symbol_ratio <= max_symbol_word_ratio,
+        "ok_bullet_lines": bullet_lines.cast("double") / n_lines.cast("double")
+        <= max_bullet_line_frac,
+        "ok_ellipsis_lines": ellipsis_lines.cast("double") / n_lines.cast("double")
+        <= max_ellipsis_line_frac,
+        "ok_alpha_words": alpha_words.cast("double") / n_words.cast("double")
+        >= min_alpha_word_frac,
+        "ok_stopwords": sw_hits >= min_stopword_hits,
+    }
+    out = df
+    for name, col in rules.items():
+        out = out.withColumn(name, col)
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else (keep & F.col(name))
+    return out.withColumn("keep", keep)
+
+
+def c4_clean_lines(
+    df,
+    text_col: str = "text",
+    *,
+    min_words_per_line: int = 5,
+    out_col: str = "clean_text",
+):
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that end in terminal punctuation AND have at least
+    ``min_words_per_line`` words; drop the whole document if it mentions
+    "lorem ipsum" or contains a curly brace (code).  Adds ``out_col``
+    (kept lines re-joined, NULL for dropped docs) and ``n_kept_lines``.
+
+    Same zero-shuffle scan shape as ``gopher_quality_flags``."""
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    line_words = lambda l: F.size(F.split(F.trim(l), r"\s+"))  # noqa: E731
+    kept = F.filter(
+        lines,
+        lambda l: (
+            (l.endswith(".") | l.endswith("!") | l.endswith("?") | l.endswith('"'))
+            & (line_words(l) >= min_words_per_line)
+        ),
+    )
+    doc_ok = (~F.lower(c).contains("lorem ipsum")) & (~c.contains("{"))
+    return df.withColumn(
+        "n_kept_lines", F.when(doc_ok, F.size(kept)).otherwise(F.lit(0)).cast("int")
+    ).withColumn(
+        out_col,
+        F.when(doc_ok & (F.size(kept) > 0), F.array_join(kept, "\n")).otherwise(F.lit(None)),
+    )

@@ -1,0 +1,76 @@
+"""Gopher rule-suite and C4 line-cleaning semantics on crafted docs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from patternly_spark.functions.text import c4_clean_lines, gopher_quality_flags
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs off with "
+    "great speed because that is what foxes have always done in stories "
+    "told over many generations of people who have time to tell them "
+    "again and again until everyone knows them well enough to repeat them"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, GOOD),                                        # passes all rules
+        (1, "too short to keep"),                         # word count
+        (2, " ".join(["a"] * 60)),                        # mean word len < 3
+        (3, GOOD + " " + "#" * 40),                       # symbol ratio
+        (4, "\n".join(["- item one here"] * 10)),         # bullet lines
+        (5, "\n".join([GOOD, "to be continued...", "more coming...", "end..."])),  # ellipsis
+        (6, GOOD.replace("fox", "12345")),                # still alpha-heavy: keeps
+        (7, " ".join(["123 456 789"] * 30)),              # alpha-word frac = 0
+        (8, " ".join(["zig zag zip"] * 30)),              # no stopwords
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gopher_rules_fire_individually(spark, docs):
+    out = {r["doc_id"]: r.asDict() for r in gopher_quality_flags(docs).collect()}
+    assert out[0]["keep"] is True
+    assert out[1]["ok_word_count"] is False
+    assert out[2]["ok_mean_word_len"] is False
+    assert out[3]["ok_symbol_ratio"] is False
+    assert out[4]["ok_bullet_lines"] is False
+    assert out[5]["ok_ellipsis_lines"] is False
+    assert out[7]["ok_alpha_words"] is False
+    assert out[8]["ok_stopwords"] is False
+    # each failing doc is dropped
+    for d in (1, 2, 3, 4, 5, 7, 8):
+        assert out[d]["keep"] is False, d
+
+
+def test_gopher_custom_thresholds(spark, docs):
+    loose = gopher_quality_flags(docs, min_words=2, min_stopword_hits=0,
+                                 min_mean_word_len=0.0, min_alpha_word_frac=0.0)
+    kept = {r["doc_id"] for r in loose.filter("keep").collect()}
+    assert 1 in kept and 2 in kept and 7 in kept
+
+
+def test_gopher_plan_is_zero_shuffle(spark, docs):
+    out = gopher_quality_flags(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_c4_clean_lines(spark):
+    rows = [
+        (0, "This is a proper sentence with enough words.\nshort.\nno terminal punct here at all\nAnother good long sentence ends right here!"),
+        (1, "contains lorem ipsum so the whole doc dies. with many words here."),
+        (2, "code { return 1; } with many words in this line."),
+        (3, "no punctuation anywhere in this doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in c4_clean_lines(df).collect()}
+    assert out[0]["n_kept_lines"] == 2
+    assert out[0]["clean_text"] == (
+        "This is a proper sentence with enough words.\n"
+        "Another good long sentence ends right here!"
+    )
+    assert out[1]["n_kept_lines"] == 0 and out[1]["clean_text"] is None
+    assert out[2]["n_kept_lines"] == 0 and out[2]["clean_text"] is None
+    assert out[3]["n_kept_lines"] == 0 and out[3]["clean_text"] is None
