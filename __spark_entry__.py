@@ -725,6 +725,24 @@ def q43_gopher_quality(spark, sf_dir):
     ).drop("text")
 
 
+def q44_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the embeddings table:
+    hyperplane-signature cells (within-cell comparison only), cosine >=
+    0.3 edges (the synthetic embeddings are near-orthogonal, so 0.3 is
+    the near-dup regime here), connected components, min-id canonical per group — a
+    total keep/drop map.  Oracle replays the planes as literals, the
+    identical left-fold dot products, and a recursive-CTE reachability."""
+    from patternly_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, threshold=0.3, num_planes=4, seed=42)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "is_canonical",
+    )
+
+
 def q89_dedup_clusters(spark, sf_dir):
     """Dedup cluster formation: unigram-Jaccard edges between docs at id
     distance 1 and 2 (threshold 0.8) -> connected components (alternating
@@ -997,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_hypertable_rollup": q41_hypertable_rollup,
         "q42_bm25_retrieval": q42_bm25_retrieval,
         "q43_gopher_quality": q43_gopher_quality,
+        "q44_semantic_dedup": q44_semantic_dedup,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1677,6 +1696,9 @@ def oracle_sql() -> dict[str, str]:
         "q94_embedding_neardup": _embedding_neardup_oracle(
             threshold=0.3, num_planes=8, seed=42, dim=64
         ),
+        "q44_semantic_dedup": _semantic_dedup_oracle(
+            threshold=0.3, num_planes=4, seed=42, dim=64
+        ),
         "q96_lsh_topk": _lsh_topk_oracle(
             k=3, num_planes=6, seed=42, dim=64, query_max=10
         ),
@@ -1943,6 +1965,62 @@ def _lsh_topk_oracle(k: int, num_planes: int, seed: int, dim: int, query_max: in
                                       ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
             FROM scored
         ) WHERE rnk <= {k}
+    """
+
+
+def _semantic_dedup_oracle(threshold: float, num_planes: int, seed: int, dim: int) -> str:
+    """DuckDB replica of semantic_dedup: identical numpy-seeded planes,
+    identical left-fold dot products (see _embedding_neardup_oracle),
+    within-cell pairs, then recursive-CTE reachability with min-id
+    components (the q89 pattern)."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).normal(size=(num_planes, dim))
+    plane_rows = ", ".join(
+        "({i}, [{vals}]::DOUBLE[])".format(
+            i=i, vals=", ".join(repr(float(v)) for v in p)
+        )
+        for i, p in enumerate(planes)
+    )
+
+    def fold(expr: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(1, {dim + 1}), i -> {expr})), (acc, x) -> acc + x)"
+        )
+
+    return f"""
+        WITH RECURSIVE planes(pid, p) AS (VALUES {plane_rows}),
+        dots AS (
+            SELECT e.vec_id, p.pid,
+                   {fold('e.embedding[i]::DOUBLE * p.p[i]')} AS d
+            FROM embeddings e CROSS JOIN planes p
+        ), sig AS (
+            SELECT vec_id,
+                   sum(CASE WHEN d >= 0 THEN 1 << pid ELSE 0 END)::BIGINT AS sig
+            FROM dots GROUP BY vec_id
+        ), keyed AS (
+            SELECT s.vec_id, s.sig, e.embedding,
+                   sqrt({fold('e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE')}) AS nrm
+            FROM sig s JOIN embeddings e USING (vec_id)
+        ), pairs AS (
+            SELECT l.vec_id AS u, r.vec_id AS v
+            FROM keyed l JOIN keyed r ON l.sig = r.sig AND l.vec_id < r.vec_id
+            WHERE {fold('l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE')}
+                  / (l.nrm * r.nrm) >= {threshold}
+        ), und AS (
+            SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+        ), reach(node, r) AS (
+            SELECT u AS node, u AS r FROM und
+            UNION
+            SELECT reach.node, und.v AS r FROM reach JOIN und ON und.u = reach.r
+        ), comp AS (
+            SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+        )
+        SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+               CAST(COALESCE(c.cluster_id, e.vec_id) AS BIGINT) AS cluster_id,
+               e.vec_id = COALESCE(c.cluster_id, e.vec_id) AS is_canonical
+        FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
     """
 
 

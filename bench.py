@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "q41_hypertable_rollup",
     "q42_bm25_retrieval",
     "q43_gopher_quality",
+    "q44_semantic_dedup",
     "q90_pfsa_llk_scores",
     "q91_anomaly_pipeline",
     "q92_simhash",

@@ -9,6 +9,7 @@ from patternly_spark.operators.dedup import (
     simhash_neardup_pairs,
     ngram_jaccard_pairs,
     embedding_neardup_pairs,
+    semantic_dedup,
 )
 from patternly_spark.operators.decontam import benchmark_shingle_set, decontaminate
 from patternly_spark.operators.graph import connected_components, dedup_clusters
@@ -58,6 +59,7 @@ __all__ = [
     "simhash_neardup_pairs",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
+    "semantic_dedup",
     "connected_components",
     "dedup_clusters",
     "benchmark_shingle_set",

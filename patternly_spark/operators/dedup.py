@@ -445,3 +445,61 @@ def embedding_neardup_pairs(
         .distinct()
         .select("vec_a", "vec_b", "cos")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every embedding to a cell, compare ONLY within cells, link pairs with
+    cosine >= threshold, keep one representative per connected group.
+
+    The cell assignment is a random-hyperplane sign signature (the same
+    deterministic, SQL-replicable primitive as ``embedding_neardup_pairs``)
+    standing in for SemDeDup's k-means cells: within-cell-only comparison
+    is the approximation that makes the pass O(sum of cell^2) instead of
+    O(N^2).  Size ``num_planes`` so cells stay bounded at the target
+    corpus (~N / 2^num_planes vectors per cell); the per-cell self-join
+    shuffles once on the signature.
+
+    Returns a TOTAL map over the corpus: (id, cluster_id, is_canonical)
+    with cluster_id = min id of the duplicate group; singletons are their
+    own cluster — filter ``is_canonical`` to materialize the kept set.
+    """
+    import numpy as np
+
+    from patternly_spark.functions.vectors import dot, hyperplane_signature, norm
+    from patternly_spark.operators.graph import dedup_clusters
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = np.random.default_rng(seed).normal(size=(num_planes, dim))
+
+    keyed = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_signature(F.col(vec_col), planes).alias("sig"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    l, r = keyed.alias("l"), keyed.alias("r")
+    cos = dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")) / (F.col("l.nrm") * F.col("r.nrm"))
+    edges = (
+        l.join(
+            r,
+            (F.col("l.sig") == F.col("r.sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    return dedup_clusters(edges, docs=embeddings, id_col=id_col)

@@ -352,3 +352,35 @@ def test_incremental_dedup_empty_canon_first_ingestion(spark):
     assert out[1]["is_new_canonical"] is True and out[1]["canonical_id"] == 1
     assert out[2]["is_dup"] is True and out[2]["canonical_id"] == 1
     assert out[3]["is_new_canonical"] is True
+
+
+def test_semantic_dedup_groups_and_canonicals(spark):
+    from patternly_spark.operators.dedup import semantic_dedup
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base_a = rng.normal(size=16)
+    base_b = rng.normal(size=16)
+    rows = []
+    # duplicate groups as scalar multiples: scaling preserves every
+    # hyperplane sign (same cell guaranteed) and cosine exactly 1 —
+    # additive noise could flip a sign near a plane boundary, which is
+    # precisely the within-cell-only approximation this operator makes
+    for i, s in enumerate((1.0, 1.1, 0.9)):           # group A: ids 0,1,2
+        rows.append((i, (base_a * s).tolist()))
+    for i, s in zip((3, 4), (1.0, 1.2)):              # group B: ids 3,4
+        rows.append((i, (base_b * s).tolist()))
+    for i in range(5, 10):
+        rows.append((i, rng.normal(size=16).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, threshold=0.99).collect()}
+    # total map over the corpus
+    assert set(out) == set(range(10))
+    # identical-direction vectors share a cell, link, and take min id
+    assert out[1]["cluster_id"] == 0 and out[2]["cluster_id"] == 0
+    assert out[4]["cluster_id"] == 3
+    assert out[0]["is_canonical"] and out[3]["is_canonical"]
+    assert not out[1]["is_canonical"] and not out[4]["is_canonical"]
+    # random vectors at dim 16 stay singletons at 0.99
+    for i in range(5, 10):
+        assert out[i]["cluster_id"] == i and out[i]["is_canonical"]
