@@ -743,6 +743,22 @@ def q44_semantic_dedup(spark, sf_dir):
     )
 
 
+def q45_sketch_profile(spark, sf_dir):
+    """Per-event-type profile: count, distinct users, value quantiles in
+    ONE aggregation pass.  exact=True here for DuckDB bit-parity
+    (interpolated percentile == quantile_cont, the q15 precedent); the
+    operator's default is the mergeable-sketch path (HLL++ +
+    approx_percentile) — the bounded-memory 100 TB shape, pinned against
+    exact within tolerance in tests/test_sketches.py."""
+    from patternly_spark.operators.sketches import sketch_profile
+
+    e = _t(spark, sf_dir, "events")
+    return sketch_profile(
+        e, by="event_type", distinct_cols=["user_id"], quantile_cols=["value"],
+        quantile_probs=[0.5, 0.9, 0.99], exact=True,
+    )
+
+
 def q89_dedup_clusters(spark, sf_dir):
     """Dedup cluster formation: unigram-Jaccard edges between docs at id
     distance 1 and 2 (threshold 0.8) -> connected components (alternating
@@ -1016,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_bm25_retrieval": q42_bm25_retrieval,
         "q43_gopher_quality": q43_gopher_quality,
         "q44_semantic_dedup": q44_semantic_dedup,
+        "q45_sketch_profile": q45_sketch_profile,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1404,6 +1421,15 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN p
               ON c.user_id = p.user_id
              AND c.ts_us BETWEEN p.w_start_us AND p.w_end_us
+        """,
+        "q45_sketch_profile": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_user_id,
+                   CAST(quantile_cont(value, 0.5) AS DOUBLE) AS q50_value,
+                   CAST(quantile_cont(value, 0.9) AS DOUBLE) AS q90_value,
+                   CAST(quantile_cont(value, 0.99) AS DOUBLE) AS q99_value
+            FROM events GROUP BY event_type
         """,
         "q43_gopher_quality": """
             WITH t AS (

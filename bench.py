@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "q42_bm25_retrieval",
     "q43_gopher_quality",
     "q44_semantic_dedup",
+    "q45_sketch_profile",
     "q90_pfsa_llk_scores",
     "q91_anomaly_pipeline",
     "q92_simhash",

@@ -19,6 +19,7 @@ from patternly_spark.operators.multimodal import (
     sample_frames,
 )
 from patternly_spark.operators.packing import chunk_documents, pack_sequences
+from patternly_spark.operators.sketches import sketch_profile
 from patternly_spark.operators.sampling import (
     hash_fraction,
     hash_sample,
@@ -60,6 +61,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
     "semantic_dedup",
+    "sketch_profile",
     "connected_components",
     "dedup_clusters",
     "benchmark_shingle_set",

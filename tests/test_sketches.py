@@ -1,0 +1,63 @@
+"""Sketch-profile operator: approx sketches vs exact ground truth."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from patternly_spark.operators.sketches import sketch_profile
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    # 3 groups with known-distinct users and a known value distribution
+    rows = []
+    for g, (n_users, n_rows) in enumerate([(50, 2000), (200, 3000), (7, 500)]):
+        for i in range(n_rows):
+            rows.append((f"g{g}", i % n_users, float(i % 1000)))
+    return spark.createDataFrame(rows, "grp string, user long, value double")
+
+
+def test_exact_profile(spark, data):
+    out = {
+        r["grp"]: r
+        for r in sketch_profile(
+            data, by="grp", distinct_cols=["user"], quantile_cols=["value"],
+            quantile_probs=[0.5, 0.9], exact=True,
+        ).collect()
+    }
+    assert out["g0"]["n"] == 2000 and out["g0"]["nd_user"] == 50
+    assert out["g1"]["nd_user"] == 200
+    assert out["g2"]["nd_user"] == 7
+    # g2 values are 0..499 uniform: exact interpolated median = 249.5
+    assert out["g2"]["q50_value"] == 249.5
+
+
+def test_approx_within_tolerance_of_exact(spark, data):
+    kw = dict(by="grp", distinct_cols=["user"], quantile_cols=["value"],
+              quantile_probs=[0.5, 0.9, 0.99])
+    exact = {r["grp"]: r for r in sketch_profile(data, exact=True, **kw).collect()}
+    approx = {r["grp"]: r for r in sketch_profile(data, exact=False, **kw).collect()}
+    for g in exact:
+        # HLL++ at rsd=0.02: allow 3 sigma
+        assert abs(approx[g]["nd_user"] - exact[g]["nd_user"]) <= max(
+            3, 0.06 * exact[g]["nd_user"]
+        ), g
+        # approx_percentile at accuracy 10k: rank error <= n/10k -> value
+        # error bounded by a few adjacent values (values are 0..999 ints)
+        for c in ("q50_value", "q90_value", "q99_value"):
+            assert abs(approx[g][c] - exact[g][c]) <= 2.0, (g, c)
+        assert approx[g]["n"] == exact[g]["n"]
+
+
+def test_global_profile_without_keys(spark, data):
+    row = sketch_profile(data, distinct_cols=["user"], exact=True).collect()[0]
+    assert row["n"] == 5500
+    assert row["nd_user"] == 200  # user ids overlap across groups
+
+
+def test_single_aggregation_pass(spark, data):
+    out = sketch_profile(
+        data, by="grp", distinct_cols=["user"], quantile_cols=["value"], exact=False
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one hash-partitioning exchange for the groupBy; sketches merge in it
+    assert plan.count("Exchange hashpartitioning") == 1
