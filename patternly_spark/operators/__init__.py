@@ -46,6 +46,7 @@ from patternly_spark.operators.temporal import (
     asof_intervals,
     asof_join,
     sessionize,
+    stream_stream_asof_join,
     streaming_asof_join,
 )
 
@@ -81,6 +82,7 @@ __all__ = [
     "asof_join",
     "asof_intervals",
     "streaming_asof_join",
+    "stream_stream_asof_join",
     "sessionize",
     "range_join",
     "hypertable_rollup",

@@ -16,6 +16,8 @@ Operators Spark's join syntax lacks but time-series pipelines need:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -147,10 +149,10 @@ def streaming_asof_join(
     times; right rows must be unique per (key, time) — pre-dedup ties).
     Batch/stream equivalence is pinned in tests/test_temporal.py.
 
-    For two genuinely unbounded sides, chop the right stream into
-    static snapshots (e.g. hourly compactions) and union the residue —
-    a true stream-stream as-of needs watermark-delayed emission and is
-    deliberately out of scope.
+    For two genuinely unbounded sides use
+    ``stream_stream_asof_join`` (watermark-delayed emission, bounded
+    lookback); this static-snapshot form remains the cheaper shape when
+    the right side compacts slowly.
     """
     keys = [by] if isinstance(by, str) else list(by)
     right_cols = list(right_cols or [])
@@ -201,4 +203,81 @@ def sessionize(
             F.col("session.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+def stream_stream_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "ts",
+    by: str | list[str] = "user_id",
+    right_cols: list[str] | None = None,
+    tolerance: str = "10 minutes",
+    watermark_delay: str = "0 seconds",
+    suffix: str = "_matched",
+) -> DataFrame:
+    """Backward as-of join where BOTH sides are unbounded streams.
+
+    A stream-stream as-of must bound its lookback: right-side state can
+    only be evicted once no older match can matter, so ``tolerance``
+    (max left.ts − right.ts) is part of the semantics — the same
+    contract ``asof_join(tolerance=...)`` expresses in batch.  Matches
+    farther back come out null.
+
+    Shape: stream-stream LEFT OUTER join on key + the time-range
+    ``[left.ts − tolerance, left.ts]`` (both watermarked, so Spark can
+    bound join state), then a per-left-row streaming aggregation
+    ``max_by(right payload, right time)`` grouped on the left row (its
+    event-time column is the streaming group key) — the
+    chained-stateful-operators pattern.  Every
+    result row is emitted only when the global watermark passes its
+    event time (the join's time-interval condition additionally delays
+    the downstream watermark by ``tolerance``): watermark-delayed
+    emission is what makes the result deterministic under arbitrary
+    arrival order and micro-batching — and why the newest ``tolerance``
+    of the stream is still in state when a bounded run drains (it
+    finalizes in the next incremental run).
+
+    Contracts: left rows must be unique across their full column tuple
+    (group-by collapses exact duplicates — carry an event id); right
+    rows unique per (key, instant) as in ``asof_join``.  The same call
+    works on batch frames (``withWatermark`` is a no-op there) — pinned
+    equal to ``asof_join(tolerance=...)`` in tests/test_temporal.py.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    right_cols = list(right_cols or [])
+    l = left.withWatermark(on, watermark_delay).alias("l")
+    r = (
+        right.select(
+            *keys,
+            F.col(on).alias("__rts"),
+            *[F.col(c).alias(c + suffix) for c in right_cols],
+        )
+        .withWatermark("__rts", watermark_delay)
+        .alias("r")
+    )
+    cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys]
+    cond.append(F.col("r.__rts") <= F.col(f"l.{on}"))
+    cond.append(F.col("r.__rts") >= F.col(f"l.{on}") - F.expr(f"INTERVAL {tolerance}"))
+    joined = l.join(r, reduce(lambda a, b: a & b, cond), "leftOuter")
+
+    matched = F.max_by(
+        F.struct(
+            F.col("r.__rts").alias("t"),
+            *[F.col(f"r.{c}{suffix}").alias(c + suffix) for c in right_cols],
+        ),
+        F.col("r.__rts"),
+    ).alias("__m")
+    # the left event-time column itself is the streaming group key (a
+    # second event-time column — e.g. window(l.ts) — is rejected: "at
+    # most one event time column per stream"); state for a group is
+    # dropped once the watermark passes its timestamp
+    agg = joined.groupBy(
+        *[F.col(f"l.{c}").alias(c) for c in left.columns],
+    ).agg(matched)
+    return agg.select(
+        *left.columns,
+        F.col("__m.t").alias(on + suffix),
+        *[F.col(f"__m.{c}{suffix}") for c in right_cols],
     )

@@ -199,3 +199,130 @@ def test_streaming_asof_true_stream(spark, streams, tmp_path):
         .toPandas()
     )
     assert got.equals(want)
+
+
+@pytest.fixture(scope="module")
+def ts_streams(spark):
+    from datetime import datetime
+
+    t0 = datetime(2025, 6, 1, 12, 0, 0)
+
+    def at(mins, secs=0):
+        return t0.replace(minute=0, second=0) + __import__("datetime").timedelta(
+            minutes=mins, seconds=secs
+        )
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, at(10)),   # matches right at minute 8
+            (2, 10, at(30)),   # right at 8 is 22 min back: outside 10-min tolerance
+            (3, 10, at(45)),   # matches right at 41
+            (4, 20, at(5)),    # no right rows for user 20 yet -> null
+            (5, 20, at(50)),   # matches right at 49
+            (6, 10, at(41)),   # exact-instant match (inclusive)
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, at(8), 1.0),
+            (10, at(41), 2.0),
+            (20, at(49), 3.0),
+            (20, at(55), 4.0),  # after every left event for user 20
+        ],
+        "user_id long, ts timestamp, v double",
+    )
+    return left, right
+
+
+def test_stream_stream_asof_batch_semantics(spark, ts_streams):
+    from patternly_spark.operators.temporal import stream_stream_asof_join
+
+    left, right = ts_streams
+    out = {
+        r["event_id"]: r
+        for r in stream_stream_asof_join(
+            left, right, on="ts", by="user_id", right_cols=["v"],
+            tolerance="10 minutes",
+        ).collect()
+    }
+    assert len(out) == 6
+    assert out[1]["v_matched"] == 1.0
+    assert out[2]["v_matched"] is None          # beyond lookback
+    assert out[3]["v_matched"] == 2.0
+    assert out[4]["v_matched"] is None          # cold start
+    assert out[5]["v_matched"] == 3.0           # not the later 4.0
+    assert out[6]["v_matched"] == 2.0           # inclusive at the instant
+    assert out[6]["ts_matched"] == out[6]["ts"]
+
+
+def test_stream_stream_asof_matches_tolerant_asof_join(spark, ts_streams):
+    """On batch data the stream-stream form must agree with
+    asof_join(tolerance=600s) row-for-row."""
+    from patternly_spark.operators.temporal import stream_stream_asof_join
+
+    left, right = ts_streams
+    a = (
+        asof_join(left, right, on="ts", by="user_id", right_cols=["v"], tolerance=600)
+        .orderBy("event_id")
+        .toPandas()
+    )
+    b = (
+        stream_stream_asof_join(
+            left, right, on="ts", by="user_id", right_cols=["v"], tolerance="10 minutes"
+        )
+        .select(a.columns.tolist())
+        .orderBy("event_id")
+        .toPandas()
+    )
+    assert a.equals(b)
+
+
+def test_stream_stream_asof_true_stream(spark, ts_streams, tmp_path):
+    """Both sides as real streaming sources; watermark-delayed append
+    emission must reproduce the batch result exactly."""
+    from patternly_spark.operators.temporal import stream_stream_asof_join
+    from patternly_spark.streaming.windows import run_stream_to_memory
+
+    left, right = ts_streams
+    # append watermark-advancing sentinels far past every real event:
+    # a row only FINALIZES once the global watermark passes its event
+    # time plus the join's tolerance correction, so without later data
+    # the stream tail stays in state (correct streaming semantics —
+    # it would emit in the next incremental run)
+    from datetime import datetime
+    sentinel_t = datetime(2025, 6, 1, 14, 0, 0)
+    left_s = left.unionByName(
+        spark.createDataFrame([(999, 999, sentinel_t)], left.schema)
+    )
+    right_s = right.unionByName(
+        spark.createDataFrame([(999, sentinel_t, 0.0)], right.schema)
+    )
+    lpath, rpath = str(tmp_path / "l"), str(tmp_path / "r")
+    left_s.write.mode("overwrite").parquet(lpath)
+    right_s.write.mode("overwrite").parquet(rpath)
+    lsrc = spark.readStream.schema(left.schema).parquet(lpath)
+    rsrc = spark.readStream.schema(right.schema).parquet(rpath)
+
+    got = (
+        run_stream_to_memory(
+            stream_stream_asof_join(
+                lsrc, rsrc, on="ts", by="user_id", right_cols=["v"],
+                tolerance="10 minutes",
+            ),
+            "ss_asof_test",
+        )
+        .filter("event_id < 900")
+        .orderBy("event_id")
+        .toPandas()
+    )
+    want = (
+        stream_stream_asof_join(
+            left, right, on="ts", by="user_id", right_cols=["v"],
+            tolerance="10 minutes",
+        )
+        .select(got.columns.tolist())
+        .orderBy("event_id")
+        .toPandas()
+    )
+    assert got.equals(want)
