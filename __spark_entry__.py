@@ -676,11 +676,12 @@ def q40_range_join(spark, sf_dir):
 
 def q41_hypertable_rollup(spark, sf_dir):
     """Hypertable rollup (continuous aggregate): per-event-type value
-    stats at 1 h / 6 h / 24 h resolutions in one cascade — raw events are
-    shuffled ONCE (finest level); coarser levels merge the fine decimal
-    partials, so they'd aggregate a ~10⁶×-smaller table at 100 TB.
-    Oracle computes every level directly from raw; decimal sums make the
-    cascade bit-identical to the direct form."""
+    stats at 1 h / 6 h / 24 h resolutions.  Default strategy scans the
+    raw events ONCE, explodes each row to its (level, bucket) pairs, and
+    aggregates all levels in a single map-side-combined shuffle (plan
+    pinned: 1 Exchange); the mergeable-partial cascade remains available
+    for incremental refresh.  Oracle computes every level directly from
+    raw; decimal sums make both forms bit-identical to it."""
     from patternly_spark.operators.rollup import hypertable_rollup
 
     e = _t(spark, sf_dir, "events")

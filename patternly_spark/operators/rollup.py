@@ -1,30 +1,39 @@
 """Hypertable-style multi-resolution rollups (continuous aggregates).
 
 TimescaleDB's hypertable rollup / materialized continuous aggregate,
-re-expressed as a Spark aggregation cascade:
+re-expressed Spark-first.  Two strategies, identical output:
 
-- ONE pass over the raw events computes the finest level's partial
-  aggregates (count / decimal sum / min / max) — the only shuffle that
-  ever touches raw data.
-- every coarser level re-aggregates the previous level's PARTIALS
-  (all four aggregates are mergeable), so a 1-hour level at 100 TB
-  aggregates the 1-minute partial table (~6 orders of magnitude
-  smaller), not the events.
+- ``explode`` (default): each event emits one (level, bucket) pair per
+  resolution, then ONE groupBy aggregates every level in a single
+  shuffle.  The raw table is scanned exactly once, the fan-out is
+  per-row/narrow, and map-side partial aggregation collapses the
+  exploded rows to (levels × buckets × keys) before the exchange —
+  the right batch-query plan at 100 TB.
+- ``cascade``: the finest level's partials (count / decimal sum /
+  min / max — all mergeable) are aggregated first and every coarser
+  level merges the previous level's PARTIALS.  This is the
+  incremental-refresh shape (a coarse bucket refreshes from the tiny
+  fine-partial table, not the events), but as a single batch plan each
+  union branch re-derives its inputs — persist/materialize the fine
+  level when using it, exactly like a real continuous aggregate.
 
-Exactness: sums are carried as DECIMAL through the cascade, so the
-cascaded coarse sums are bit-identical to a direct one-level
-aggregation regardless of partial ordering (decimal addition is
-associative); means are derived at the very end as double/bigint.
-This is also why the cascade is safe to materialize incrementally:
-refreshing a coarse bucket only needs the fine partials it covers.
+Exactness: sums are carried as DECIMAL (associative), so both
+strategies are bit-identical to each other and to a direct per-level
+aggregation; means are derived at the very end as double/bigint.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from patternly_spark.operators.ranges import _bucket
+
+
+def _fdiv(c: Column, w: Column) -> Column:
+    """Exact floor-division on longs (see ranges._bucket; this variant
+    takes a column divisor for the exploded level width)."""
+    return ((c - F.pmod(c, w)) / w).cast("long")
 
 
 def hypertable_rollup(
@@ -34,6 +43,7 @@ def hypertable_rollup(
     value: str,
     by: str | list[str] | None = None,
     widths: list[int],
+    strategy: str = "explode",
 ) -> DataFrame:
     """Rollup ``value`` over a long-typed time axis at several bucket
     widths at once (finest first; each width must divide the next so
@@ -51,9 +61,38 @@ def hypertable_rollup(
     for a, b in zip(widths, widths[1:]):
         if b % a != 0:
             raise ValueError(f"each width must divide the next: {a} !| {b}")
+    if strategy not in ("explode", "cascade"):
+        raise ValueError(f"strategy must be explode|cascade, got {strategy!r}")
     keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
-
     v = F.col(value)
+
+    if strategy == "explode":
+        lv = F.explode(F.array(*[F.lit(int(w)).cast("long") for w in widths])).alias("level")
+        exploded = df.select(*keys, F.col(axis), v.alias("__v"), lv)
+        return (
+            exploded.groupBy(
+                "level",
+                (_fdiv(F.col(axis), F.col("level")) * F.col("level")).alias("window_start"),
+                *keys,
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("__v").cast("decimal(24,10)")).cast("decimal(30,10)").alias("__sum"),
+                F.min("__v").alias("vmin"),
+                F.max("__v").alias("vmax"),
+            )
+            .select(
+                "level",
+                "window_start",
+                *keys,
+                "n",
+                F.col("__sum").cast("double").alias("total"),
+                "vmin",
+                "vmax",
+                (F.col("__sum").cast("double") / F.col("n")).alias("avg"),
+            )
+        )
+
     partials = df.groupBy(*keys, _bucket(F.col(axis), widths[0]).alias("__b")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(v.cast("decimal(24,10)")).cast("decimal(30,10)").alias("__sum"),

@@ -151,3 +151,19 @@ def test_rollup_width_validation(spark, ticks):
         hypertable_rollup(ticks, axis="t", value="v", widths=[100, 10])
     with pytest.raises(ValueError, match="divide"):
         hypertable_rollup(ticks, axis="t", value="v", widths=[10, 25])
+
+
+def test_rollup_strategies_identical(spark, ticks):
+    kw = dict(axis="t", value="v", by="k", widths=[10, 50, 100])
+    a = hypertable_rollup(ticks, strategy="explode", **kw)
+    b = hypertable_rollup(ticks, strategy="cascade", **kw)
+    cols = ["level", "window_start", "k", "n", "total", "vmin", "vmax", "avg"]
+    assert _rows(a, cols) == _rows(b, cols)
+    with pytest.raises(ValueError, match="explode|cascade"):
+        hypertable_rollup(ticks, strategy="nope", **kw)
+
+
+def test_rollup_explode_is_single_scan_single_shuffle(spark, ticks):
+    out = hypertable_rollup(ticks, axis="t", value="v", widths=[10, 100])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
