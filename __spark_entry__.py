@@ -760,6 +760,73 @@ def q45_sketch_profile(spark, sf_dir):
     )
 
 
+def q46_chunk_ann(spark, sf_dir):
+    """RAG-prep composition end-to-end: overlapping token chunks (q39's
+    operator) -> deterministic hash embeddings (±1 by md5-hash bit,
+    integer-exact in any engine) -> top-3 cosine neighbors per query
+    chunk among other documents' chunks (broadcast queries × one corpus
+    scan).  Cosine here is exactly reproducible cross-engine: integer
+    dots, correctly-rounded sqrt, IEEE division — no ln anywhere."""
+    from patternly_spark.functions.text import shingle_hash
+    from patternly_spark.functions.vectors import dot, hash_embedding, norm
+    from patternly_spark.operators.packing import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+
+    def embed_chunks(docs):
+        return (
+            chunk_documents(docs, chunk_tokens=32, overlap=8)
+            .withColumn("__toks", F.split("chunk_text", " "))
+            .withColumn("__hashes", F.transform("__toks", shingle_hash))
+            .withColumn("emb", hash_embedding(F.col("__hashes"), 16))
+            .select(
+                (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("cid"),
+                "doc_id",
+                "emb",
+                norm(F.col("emb")).alias("nrm"),
+            )
+            .filter(F.col("nrm") > 0)
+        )
+
+    ch = embed_chunks(d)
+    # the query side re-derives from a PRE-FILTERED scan: the doc_id
+    # predicate pushes down to parquet, so the tiny query set never pays
+    # the full chunk+embed pipeline a second time
+    chq = embed_chunks(d.filter(F.col("doc_id") % 97 == 0))
+    # expand the 16 components into scalar columns: the per-pair dot then
+    # runs as a flat multiply-add chain inside whole-stage codegen (no
+    # per-pair array allocation — measured 20x on the pair scan).  A
+    # left fold seeded with 0.0 equals this scalar chain bit-for-bit
+    # (0.0 + x == x), so the oracle's list_reduce form is unchanged.
+    dim = 16
+    flat = ch.select(
+        "cid", "doc_id", "nrm", *[F.col("emb").getItem(i).alias(f"e{i}") for i in range(dim)]
+    )
+    q = chq.select(
+        F.col("cid").alias("query_cid"),
+        F.col("doc_id").alias("qdoc"),
+        F.col("nrm").alias("qnrm"),
+        *[F.col("emb").getItem(i).alias(f"q{i}") for i in range(dim)],
+    )
+    prods = [F.col(f"e{i}") * F.col(f"q{i}") for i in range(dim)]
+    acc = prods[0]
+    for p in prods[1:]:
+        acc = acc + p
+    cos = acc / (F.col("qnrm") * F.col("nrm"))
+    ranked = (
+        flat.join(F.broadcast(q), F.col("doc_id") != F.col("qdoc"))
+        .select("query_cid", F.col("cid").alias("neighbor_cid"), cos.alias("cos"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_cid").orderBy(F.desc("cos"), F.asc("neighbor_cid"))
+            ),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+    return ranked.select("query_cid", "neighbor_cid", F.col("rank").cast("long").alias("rank"), "cos")
+
+
 def q89_dedup_clusters(spark, sf_dir):
     """Dedup cluster formation: unigram-Jaccard edges between docs at id
     distance 1 and 2 (threshold 0.8) -> connected components (alternating
@@ -1034,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_gopher_quality": q43_gopher_quality,
         "q44_semantic_dedup": q44_semantic_dedup,
         "q45_sketch_profile": q45_sketch_profile,
+        "q46_chunk_ann": q46_chunk_ann,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1422,6 +1490,48 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN p
               ON c.user_id = p.user_id
              AND c.ts_us BETWEEN p.w_start_us AND p.w_end_us
+        """,
+        "q46_chunk_ann": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+            ), c AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       GREATEST(1, (len(toks) - 8 + 24 - 1) // 24) AS n_chunks
+                FROM t
+            ), ex AS (
+                SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_id FROM c
+            ), chunks AS (
+                SELECT doc_id, chunk_id,
+                       toks[(chunk_id * 24 + 1):(chunk_id * 24 + 32)] AS ctoks
+                FROM ex
+            ), emb AS (
+                SELECT doc_id * 10000 + chunk_id AS cid, doc_id,
+                       list_transform(range(0, 16), i ->
+                           CAST(list_aggregate(list_transform(ctoks, t ->
+                               ((CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) >> i) % 2) * 2 - 1
+                           ), 'sum') AS DOUBLE)) AS emb
+                FROM chunks
+            ), nn AS (
+                SELECT cid, doc_id, emb,
+                       sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(range(1, 17), i -> emb[i] * emb[i])), (acc, x) -> acc + x)) AS nrm
+                FROM emb
+            ), keyed AS (
+                SELECT * FROM nn WHERE nrm > 0
+            ), scored AS (
+                SELECT q.cid AS query_cid, c.cid AS neighbor_cid,
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(range(1, 17), i -> q.emb[i] * c.emb[i])), (acc, x) -> acc + x)
+                       / (q.nrm * c.nrm) AS cos
+                FROM keyed q JOIN keyed c ON c.doc_id <> q.doc_id
+                WHERE q.doc_id % 97 = 0
+            )
+            SELECT query_cid, neighbor_cid, CAST(rnk AS BIGINT) AS rank, cos FROM (
+                SELECT query_cid, neighbor_cid, cos,
+                       ROW_NUMBER() OVER (PARTITION BY query_cid
+                                          ORDER BY cos DESC, neighbor_cid ASC) AS rnk
+                FROM scored
+            ) WHERE rnk <= 3
         """,
         "q45_sketch_profile": """
             SELECT event_type,

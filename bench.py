@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "q43_gopher_quality",
     "q44_semantic_dedup",
     "q45_sketch_profile",
+    "q46_chunk_ann",
     "q90_pfsa_llk_scores",
     "q91_anomaly_pipeline",
     "q92_simhash",

@@ -122,3 +122,33 @@ def nearest_centroids(vec: Column, centroids, n: int) -> Column:
         return pd.Series([row.astype("int32").tolist() for row in idx])
 
     return _cells(vec)
+
+
+def hash_embedding(hashes: Column, dim: int = 16) -> Column:
+    """Deterministic bag-of-words embedding from 32-bit token hashes:
+    component i is the sum over tokens of ±1 by bit i of the token's
+    hash (a random-projection / feature-hashing sketch).  All-integer
+    arithmetic → bit-identical in any engine, which makes downstream
+    cosine math exactly reproducible (sqrt and / are correctly-rounded
+    IEEE ops, unlike ln).
+
+    ``hashes`` MUST be a materialized array<bigint> column (e.g.
+    ``F.transform(toks, shingle_hash)`` bound via withColumn): it is
+    referenced ``dim`` times here, and a bound reference keeps
+    CollapseProject from re-inlining the md5s per component (the
+    tokenizer-once trap, see functions/text.py).
+    """
+    # ONE fold over the hash array with an array accumulator — per-dim
+    # aggregates (16 separate folds) re-walk the hashes per component,
+    # measured ~10x slower at sf0.1
+    zero = F.array_repeat(F.lit(0).cast("long"), dim)
+    summed = F.aggregate(
+        hashes,
+        zero,
+        # call_function: the SQL shiftright accepts a column shift amount
+        # (the python F.shiftright wrapper insists on a literal int)
+        lambda acc, h: F.transform(
+            acc, lambda x, i: x + (F.call_function("shiftright", h, i) % 2) * 2 - 1
+        ),
+    )
+    return F.transform(summed, lambda x: x.cast("double"))

@@ -91,3 +91,42 @@ def test_bm25_plan_has_no_explode_or_python(spark, corpus):
     assert "Generate" not in plan
     assert "Python" not in plan
     assert "Exchange" not in plan
+
+
+def test_hash_embedding_closed_form(spark):
+    import hashlib
+
+    from patternly_spark.functions.text import shingle_hash
+    from patternly_spark.functions.vectors import hash_embedding
+
+    toks = ["alpha", "beta", "alpha"]
+    df = spark.createDataFrame([(0, toks)], "id long, toks array<string>")
+    out = (
+        df.withColumn("h", F.transform("toks", shingle_hash))
+        .select(hash_embedding(F.col("h"), 8).alias("emb"))
+        .collect()[0]["emb"]
+    )
+    want = [0.0] * 8
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        for i in range(8):
+            want[i] += ((h >> i) % 2) * 2 - 1
+    assert out == want
+
+
+def test_hash_embedding_norm_positive_for_odd_token_counts(spark):
+    # each token contributes ±1 per dim, so an odd token count can never
+    # sum to zero in any component -> norm > 0 guaranteed
+    from patternly_spark.functions.text import shingle_hash
+    from patternly_spark.functions.vectors import hash_embedding, norm
+
+    df = spark.createDataFrame(
+        [(i, [f"t{i}", f"u{i}", f"v{i}"]) for i in range(50)],
+        "id long, toks array<string>",
+    )
+    rows = (
+        df.withColumn("h", F.transform("toks", shingle_hash))
+        .select(norm(hash_embedding(F.col("h"), 16)).alias("n"))
+        .collect()
+    )
+    assert all(r["n"] > 0 for r in rows)
