@@ -827,6 +827,17 @@ def q46_chunk_ann(spark, sf_dir):
     return ranked.select("query_cid", "neighbor_cid", F.col("rank").cast("long").alias("rank"), "cos")
 
 
+def q47_collocations(spark, sf_dir):
+    """Bigram collocation mining with PMI-on-exp-scale lift: one bigram
+    groupBy (the big shuffle, map-side combined), marginals via keyed
+    equi-joins, totals as literal scalars.  Lift is integer counts +
+    IEEE division only — ln-free, so it hash-matches SQL exactly."""
+    from patternly_spark.operators.retrieval import collocations
+
+    d = _t(spark, sf_dir, "documents")
+    return collocations(d, min_count=5)
+
+
 def q89_dedup_clusters(spark, sf_dir):
     """Dedup cluster formation: unigram-Jaccard edges between docs at id
     distance 1 and 2 (threshold 0.8) -> connected components (alternating
@@ -1102,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_semantic_dedup": q44_semantic_dedup,
         "q45_sketch_profile": q45_sketch_profile,
         "q46_chunk_ann": q46_chunk_ann,
+        "q47_collocations": q47_collocations,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1490,6 +1502,37 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN p
               ON c.user_id = p.user_id
              AND c.ts_us BETWEEN p.w_start_us AND p.w_end_us
+        """,
+        "q47_collocations": """
+            WITH t AS (
+                SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents
+            ),
+            big AS (
+                SELECT toks[i] AS a, toks[i + 1] AS b
+                FROM t, unnest(range(1, len(toks))) AS u(i)
+                WHERE len(toks) >= 2
+            ),
+            nab AS (
+                SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab FROM big GROUP BY a, b
+            ),
+            na AS (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+                FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+            ),
+            tot AS (
+                SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM na) AS nu,
+                       (SELECT CAST(SUM(n_ab) AS BIGINT) FROM nab) AS nb
+            )
+            SELECT nab.a, nab.b, nab.n_ab,
+                   ua.c AS n_a, ub.c AS n_b,
+                   (CAST(nab.n_ab AS DOUBLE) / CAST(tot.nb AS DOUBLE))
+                   / ((CAST(ua.c AS DOUBLE) / CAST(tot.nu AS DOUBLE))
+                      * (CAST(ub.c AS DOUBLE) / CAST(tot.nu AS DOUBLE))) AS lift
+            FROM nab
+            JOIN na ua ON ua.w = nab.a
+            JOIN na ub ON ub.w = nab.b
+            CROSS JOIN tot
+            WHERE nab.n_ab >= 5
         """,
         "q46_chunk_ann": """
             WITH t AS (

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "q44_semantic_dedup",
     "q45_sketch_profile",
     "q46_chunk_ann",
+    "q47_collocations",
     "q90_pfsa_llk_scores",
     "q91_anomaly_pipeline",
     "q92_simhash",

@@ -38,6 +38,7 @@ from patternly_spark.operators.ranges import range_join
 from patternly_spark.operators.retrieval import (
     bm25_retrieve,
     bm25_scores,
+    collocations,
     corpus_stats,
     tfidf_scores,
 )
@@ -90,6 +91,7 @@ __all__ = [
     "bm25_retrieve",
     "tfidf_scores",
     "corpus_stats",
+    "collocations",
     "extract_features",
     "sample_frames",
     "resize_images",

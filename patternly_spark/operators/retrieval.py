@@ -167,3 +167,70 @@ def tfidf_scores(
         hit = _tf(text_col, t) > 0
         any_hit = hit if any_hit is None else (any_hit | hit)
     return docs.filter(any_hit).select(F.col(id_col), score.alias("tfidf"))
+
+
+def collocations(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Bigram collocation mining: every adjacent token pair with its
+    count, the marginal token counts, and the association ``lift``
+    P(ab) / (P(a)·P(b)) — pointwise mutual information on the exp scale
+    (pmi = ln(lift); keeping the ratio makes the result pure integer
+    counts + IEEE division, exactly reproducible in an external SQL
+    engine — no ``ln`` cross-engine hazard).
+
+    Scale shape: bigram emission is a narrow per-row explode; the big
+    shuffle is one map-side-combined groupBy on the bigram; marginals
+    attach via two equi-joins on the token key (vocabulary-sized — a
+    keyed shuffle, NOT a broadcast, since a 100 TB corpus's vocabulary
+    need not fit on one executor).  Corpus totals are two scalar
+    aggregates folded in as literals.
+    """
+    c = F.col(text_col)
+    toks = F.split(F.trim(c), r"\s+")
+    t = docs.select(toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    pair_idx = F.sequence(F.lit(0), n - 2)
+    pairs = t.filter(n >= 2).select(
+        F.explode(
+            F.transform(
+                pair_idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("__toks"), (i + 1).cast("int")).alias("a"),
+                    F.element_at(F.col("__toks"), (i + 2).cast("int")).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    nab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    uni = (
+        t.select(F.explode(F.col("__toks")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n_tokens = uni.agg(F.sum("c")).collect()[0][0]
+    n_bigrams = nab.agg(F.sum("n_ab")).collect()[0][0]
+    na = uni.select(F.col("w").alias("a"), F.col("c").alias("n_a"))
+    nb = uni.select(F.col("w").alias("b"), F.col("c").alias("n_b"))
+    lift = (
+        F.col("n_ab").cast("double") / F.lit(float(n_bigrams))
+    ) / (
+        (F.col("n_a").cast("double") / F.lit(float(n_tokens)))
+        * (F.col("n_b").cast("double") / F.lit(float(n_tokens)))
+    )
+    return (
+        nab.filter(F.col("n_ab") >= min_count)
+        .join(na, "a")
+        .join(nb, "b")
+        .select("a", "b", "n_ab", "n_a", "n_b", lift.alias("lift"))
+    )
+
+
+def pmi(lift_col) -> "F.Column":
+    """ln of the lift ratio — classic PMI, for API consumers who want
+    the log scale (cross-engine last-ulp caveat applies to ln)."""
+    c = F.col(lift_col) if isinstance(lift_col, str) else lift_col
+    return F.log(c)

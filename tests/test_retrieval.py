@@ -130,3 +130,47 @@ def test_hash_embedding_norm_positive_for_odd_token_counts(spark):
         .collect()
     )
     assert all(r["n"] > 0 for r in rows)
+
+
+def test_collocations_closed_form(spark):
+    import math
+
+    from patternly_spark.operators.retrieval import collocations, pmi
+
+    # "new york" 3x; "york new" 1x (from "york new york"); tokens: 12
+    rows = [
+        (0, "new york new york"),
+        (1, "new york is big"),
+        (2, "big is big win"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["a"], r["b"]): r for r in collocations(df, min_count=2).collect()}
+    ny = out[("new", "york")]
+    # counts: bigrams total = 3+3+3 = 9; tokens total = 12
+    assert ny["n_ab"] == 3 and ny["n_a"] == 3 and ny["n_b"] == 3
+    want_lift = (3 / 9) / ((3 / 12) * (3 / 12))
+    assert ny["lift"] == want_lift
+    # min_count filters the 1x pairs
+    assert ("york", "new") not in out
+    # pmi helper is ln(lift)
+    got_pmi = (
+        collocations(df, min_count=2)
+        .select(pmi("lift").alias("p"), "a", "b")
+        .filter("a = 'new'")
+        .collect()[0]["p"]
+    )
+    assert abs(got_pmi - math.log(want_lift)) < 1e-12
+
+
+def test_collocations_single_token_docs_ignored(spark):
+    from patternly_spark.operators.retrieval import collocations
+
+    df = spark.createDataFrame(
+        [(0, "solo"), (1, "a b a b a b")], "doc_id long, text string"
+    )
+    out = collocations(df, min_count=1).collect()
+    pairs = {(r["a"], r["b"]) for r in out}
+    assert pairs == {("a", "b"), ("b", "a")}
+    # 'solo' still counts toward the unigram total
+    ab = next(r for r in out if (r["a"], r["b"]) == ("a", "b"))
+    assert ab["n_a"] == 3 and ab["n_ab"] == 3
