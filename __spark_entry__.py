@@ -838,6 +838,18 @@ def q47_collocations(spark, sf_dir):
     return collocations(d, min_count=5)
 
 
+def q49_span_dedup(spark, sf_dir):
+    """C4-style span-level corpus dedup: 3-token blocks, keep the
+    globally first occurrence of each distinct span, reassemble docs.
+    First-occurrence is an AGGREGATION on the span hash (map-side combine
+    absorbs boilerplate hot spans), not a window — see
+    operators/dedup.py::span_dedup for the skew rationale."""
+    from patternly_spark.operators.dedup import span_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return span_dedup(d, block_tokens=3)
+
+
 def q89_dedup_clusters(spark, sf_dir):
     """Dedup cluster formation: unigram-Jaccard edges between docs at id
     distance 1 and 2 (threshold 0.8) -> connected components (alternating
@@ -1114,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_sketch_profile": q45_sketch_profile,
         "q46_chunk_ann": q46_chunk_ann,
         "q47_collocations": q47_collocations,
+        "q49_span_dedup": q49_span_dedup,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1533,6 +1546,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN na ub ON ub.w = nab.b
             CROSS JOIN tot
             WHERE nab.n_ab >= 5
+        """,
+        "q49_span_dedup": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+            ), b AS (
+                SELECT doc_id, CAST(i AS INT) AS pos,
+                       array_to_string(toks[(i*3+1):(i*3+3)], ' ') AS span
+                FROM t, unnest(range((len(toks)+2)//3)) AS u(i)
+            ), f AS (
+                SELECT doc_id, pos, span, md5(span) AS h FROM b WHERE span <> ''
+            ), r AS (
+                SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) = 1 AS kept
+                FROM f
+            ), agg AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                       COALESCE(string_agg(span, ' ' ORDER BY pos) FILTER (WHERE kept), '')
+                           AS text_deduped
+                FROM r GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(n_spans, 0) AS n_spans,
+                   COALESCE(n_kept, 0) AS n_kept,
+                   COALESCE(text_deduped, '') AS text_deduped
+            FROM documents d LEFT JOIN agg USING (doc_id)
         """,
         "q46_chunk_ann": """
             WITH t AS (

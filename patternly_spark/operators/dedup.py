@@ -503,3 +503,95 @@ def semantic_dedup(
         .select("doc_a", "doc_b")
     )
     return dedup_clusters(edges, docs=embeddings, id_col=id_col)
+
+
+def span_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str | None = "\n",
+    block_tokens: int | None = None,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Span-level corpus deduplication (C4-style): split every document
+    into spans, keep only the globally FIRST occurrence of each distinct
+    span (ordered by (doc_id, position)), and reassemble documents from
+    their surviving spans.
+
+    Span definition: ``delimiter`` mode splits on a literal delimiter
+    (lines, sentences); ``block_tokens=k`` mode uses non-overlapping
+    k-token blocks (the C4 paper's "three-sentence span" analog for
+    unstructured text).  Exactly one of the two applies (block mode wins
+    when both are set).
+
+    Output is TOTAL over the input ids: (id, n_spans, n_kept,
+    text_deduped); a document whose every span first appeared in an
+    earlier document survives with n_kept = 0 and empty text.
+
+    Scale plan (the skew question is the whole design):
+
+    - first-occurrence per span = ``min(struct(id, pos))`` AGGREGATION on
+      the span hash, NOT a window over it.  A window must materialize
+      each hash partition in one task, and span dedup is precisely the
+      workload with pathological hot keys (boilerplate lines repeated
+      billions of times); partial aggregation collapses a hot span to
+      one row per map task before the shuffle.
+    - the join back (lines x firsts on the 16-byte hash) is AQE
+      skew-splittable, unlike a window.
+    - reassembly is one groupBy(id) carrying (pos, span, kept); the
+      kept-only collect uses collect_list(when(kept, ...)) null-skipping
+      so n_spans/n_kept/text come out of a single shuffle.
+
+    Spans are hashed with md5 so an external SQL oracle reproduces the
+    keep-set bit-for-bit (driver query q49).
+    """
+    if block_tokens is None and delimiter is None:
+        raise ValueError("span_dedup: need delimiter or block_tokens")
+
+    if block_tokens is not None:
+        k = int(block_tokens)
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        n_blocks = F.greatest(F.ceil(F.size(toks) / k), F.lit(1)).cast("int")
+        spans = F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, (i * k + 1).cast("int"), k)),
+        )
+        join_delim = " "
+    else:
+        import re as _re
+
+        spans = F.split(F.col(text_col), _re.escape(delimiter))
+        join_delim = delimiter
+
+    lines = docs.select(F.col(id_col), F.posexplode(spans).alias("pos", "span"))
+    if drop_empty:
+        lines = lines.filter(F.col("span") != "")
+    lines = lines.withColumn("h", F.md5("span"))
+
+    firsts = lines.groupBy("h").agg(F.min(F.struct(id_col, "pos")).alias("first"))
+    flagged = lines.join(firsts, "h").withColumn(
+        "kept",
+        (F.col(id_col) == F.col("first")[id_col]) & (F.col("pos") == F.col("first")["pos"]),
+    )
+    agg = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.concat_ws(
+            join_delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.when(F.col("kept"), F.struct("pos", "span")))),
+                lambda x: x["span"],
+            ),
+        ).alias("text_deduped"),
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        )
+    )

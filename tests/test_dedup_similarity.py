@@ -384,3 +384,45 @@ def test_semantic_dedup_groups_and_canonicals(spark):
     # random vectors at dim 16 stay singletons at 0.99
     for i in range(5, 10):
         assert out[i]["cluster_id"] == i and out[i]["is_canonical"]
+
+
+def test_span_dedup_delimiter_keep_first(spark):
+    """Keep-first is global in (doc_id, pos) order; reassembly preserves
+    each doc's surviving-span order; fully-deduped docs survive with
+    empty text (TOTAL output).  Reference semantics: C4 span dedup
+    (Raffel et al. 2020, sec 2.2)."""
+    from patternly_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nalpha"),      # in-doc dup: second 'alpha' drops
+            (2, "beta\ngamma"),             # 'beta' seen in doc 1 -> drops
+            (3, "alpha\nbeta"),             # everything seen -> empty
+            (4, ""),                        # no spans at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_dedup(docs, delimiter="\n").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["text_deduped"] == "alpha\nbeta" and out[1]["n_kept"] == 2
+    assert out[1]["n_spans"] == 3
+    assert out[2]["text_deduped"] == "gamma" and out[2]["n_kept"] == 1
+    assert out[3]["text_deduped"] == "" and out[3]["n_kept"] == 0 and out[3]["n_spans"] == 2
+    assert out[4]["text_deduped"] == "" and out[4]["n_spans"] == 0
+
+
+def test_span_dedup_block_mode_covers_all_tokens(spark):
+    """Block mode: non-overlapping k-token spans tile the doc (last block
+    may be short); a unique doc keeps everything verbatim."""
+    from patternly_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c x y z")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_dedup(docs, block_tokens=3).collect()}
+    assert out[1]["text_deduped"] == "a b c d e f g"
+    assert out[1]["n_spans"] == 3  # 'a b c', 'd e f', 'g'
+    # doc 2 loses its first block ('a b c', first seen in doc 1)
+    assert out[2]["text_deduped"] == "x y z"
+    assert out[2]["n_kept"] == 1 and out[2]["n_spans"] == 2
