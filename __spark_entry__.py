@@ -838,6 +838,33 @@ def q47_collocations(spark, sf_dir):
     return collocations(d, min_count=5)
 
 
+def q48_pii_scrub(spark, sf_dir):
+    """PII detection + redaction over the corpus.  The synthetic corpus
+    has no PII, so the query injects one deterministic email / phone /
+    IPv4 per document (a function of doc_id, replayed identically in the
+    oracle) and then counts + scrubs them.  Pure JVM regex projection —
+    zero shuffle at any corpus size."""
+    from patternly_spark.functions.text import with_pii_scrubbed
+
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            F.concat(
+                F.lit("+1 555 123 "),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+            F.concat(F.lit("10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+        ).alias("text"),
+    )
+    return with_pii_scrubbed(injected).select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4", "scrubbed_text"
+    )
+
+
 def q49_span_dedup(spark, sf_dir):
     """C4-style span-level corpus dedup: 3-token blocks, keep the
     globally first occurrence of each distinct span, reassemble docs.
@@ -1126,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_sketch_profile": q45_sketch_profile,
         "q46_chunk_ann": q46_chunk_ann,
         "q47_collocations": q47_collocations,
+        "q48_pii_scrub": q48_pii_scrub,
         "q49_span_dedup": q49_span_dedup,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
@@ -1546,6 +1574,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN na ub ON ub.w = nab.b
             CROSS JOIN tot
             WHERE nab.n_ab >= 5
+        """,
+        "q48_pii_scrub": """
+            WITH inj AS (
+                SELECT doc_id,
+                       text || ' user' || doc_id || '@example.com' ||
+                       ' +1 555 123 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                       ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                        '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+                   CAST(len(regexp_extract_all(text,
+                        '\\+\\d{1,2}[ -]?\\(?\\d{3}\\)?[ -]?\\d{3}[ -]?\\d{4}\\b')) AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(text,
+                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(text,
+                                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                   '[EMAIL]', 'g'),
+                               '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
+                           '\\+\\d{1,2}[ -]?\\(?\\d{3}\\)?[ -]?\\d{3}[ -]?\\d{4}\\b',
+                           '[PHONE]', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IPV4]', 'g')
+                       AS scrubbed_text
+            FROM inj
         """,
         "q49_span_dedup": """
             WITH t AS (

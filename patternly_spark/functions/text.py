@@ -363,3 +363,47 @@ def c4_clean_lines(
         out_col,
         F.when(doc_ok & (F.size(kept) > 0), F.array_join(kept, "\n")).otherwise(F.lit(None)),
     )
+
+
+# PII patterns chosen to behave identically under Java regex (Spark,
+# leftmost-first backtracking) and RE2 (DuckDB, leftmost-longest): greedy
+# quantifiers and optionals only — no alternation whose branch choice
+# could differ between the two matching disciplines.  Conservative by
+# design; precision over recall (a scrub pass at 100 TB should not
+# mangle non-PII text).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\+\d{1,2}[ -]?\(?\d{3}\)?[ -]?\d{3}[ -]?\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_count(text: Column | str, kind: str) -> Column:
+    """Number of non-overlapping matches of one PII pattern.  JVM
+    regexp_count — zero shuffle, stays inside whole-stage codegen."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(PII_PATTERNS[kind])).cast("long")
+
+
+def pii_scrub(text: Column | str, kinds: list[str] | None = None) -> Column:
+    """Redact PII in-place: each match replaced by a typed token
+    ("[EMAIL]", "[SSN]", ...).  Patterns apply in PII_PATTERNS order
+    (email before ipv4, so a dotted hostname inside an address is
+    consumed by the email rule first).  Pure sequential regexp_replace —
+    one JVM scan, no Python, no shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind in kinds or list(PII_PATTERNS):
+        c = F.regexp_replace(c, F.lit(PII_PATTERNS[kind]), F.lit(f"[{kind.upper()}]"))
+    return c
+
+
+def with_pii_scrubbed(df, text_col: str = "text", *, out_col: str = "scrubbed_text"):
+    """df + per-kind match counts (``n_email`` ...) + ``out_col`` with
+    every match replaced by its typed token.  A single zero-shuffle
+    projection; the redaction and the counts share one pass over the
+    column at the parquet-scan stage."""
+    out = df
+    for kind in PII_PATTERNS:
+        out = out.withColumn(f"n_{kind}", pii_count(F.col(text_col), kind))
+    return out.withColumn(out_col, pii_scrub(F.col(text_col)))

@@ -74,3 +74,28 @@ def test_c4_clean_lines(spark):
     assert out[1]["n_kept_lines"] == 0 and out[1]["clean_text"] is None
     assert out[2]["n_kept_lines"] == 0 and out[2]["clean_text"] is None
     assert out[3]["n_kept_lines"] == 0 and out[3]["clean_text"] is None
+
+
+def test_pii_scrub_and_counts(spark):
+    """PII pass: typed redaction tokens, per-kind counts, email-before-ip
+    precedence (a dotted mailbox host is consumed by the email rule)."""
+    from patternly_spark.functions.text import with_pii_scrubbed
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d@e-f.org now"),
+            (2, "ssn 123-45-6789 phone +1 555 123 4567"),
+            (3, "host 192.168.0.1 and 10.0.0.7 up"),
+            (4, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in with_pii_scrubbed(docs).collect()}
+    assert out[1]["n_email"] == 2
+    assert out[1]["scrubbed_text"] == "mail [EMAIL] and [EMAIL] now"
+    assert out[2]["n_ssn"] == 1 and out[2]["n_phone"] == 1
+    assert out[2]["scrubbed_text"] == "ssn [SSN] phone [PHONE]"
+    assert out[3]["n_ipv4"] == 2
+    assert out[3]["scrubbed_text"] == "host [IPV4] and [IPV4] up"
+    assert out[4]["scrubbed_text"] == "clean text only"
+    assert all(out[4][f"n_{k}"] == 0 for k in ("email", "ssn", "phone", "ipv4"))
