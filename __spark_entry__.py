@@ -838,6 +838,17 @@ def q47_collocations(spark, sf_dir):
     return collocations(d, min_count=5)
 
 
+def q50_containment(spark, sf_dir):
+    """Near-containment pairs on winnowing fingerprints: asymmetric
+    containment coefficients over the shared-fingerprint candidates
+    (q27's machinery + per-doc sketch sizes carried through the bucket
+    pairing — the winnow UDF runs once)."""
+    from patternly_spark.functions.text import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs(d, kgram=5, window=4)
+
+
 def q48_pii_scrub(spark, sf_dir):
     """PII detection + redaction over the corpus.  The synthetic corpus
     has no PII, so the query injects one deterministic email / phone /
@@ -1155,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_collocations": q47_collocations,
         "q48_pii_scrub": q48_pii_scrub,
         "q49_span_dedup": q49_span_dedup,
+        "q50_containment": q50_containment,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1931,6 +1943,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "q27_winnow_candidates": _winnow_candidates_oracle(kgram=5, window=4),
+        "q50_containment": _containment_oracle(kgram=5, window=4),
         "q28_left_outer_coalesce": """
             WITH per_cust AS (
                 SELECT o_custkey,
@@ -2001,10 +2014,9 @@ def _multimodal_oracle(dim: int) -> str:
     """
 
 
-def _winnow_candidates_oracle(kgram: int, window: int) -> str:
-    """DuckDB replica of winnow_fingerprints + fingerprint_candidate_pairs:
-    positional k-grams, md5-word hashes, min over each length-``window``
-    sliding window, distinct-sorted, explode + self-join."""
+def _winnow_fp_cte(kgram: int, window: int) -> str:
+    """Shared DuckDB CTE chain replicating winnow_fingerprints: ends in
+    ``ex`` = (doc_id, fp) distinct winnowed fingerprints per document."""
     gram_parts = ", ".join(f"toks[i+{j}]" for j in range(kgram))
     return f"""
         WITH toks_t AS (
@@ -2034,10 +2046,43 @@ def _winnow_candidates_oracle(kgram: int, window: int) -> str:
             SELECT DISTINCT doc_id, wmin AS fp
             FROM wins WHERE i <= greatest(n - {window} + 1, 1)
         )
+    """
+
+
+def _winnow_candidates_oracle(kgram: int, window: int) -> str:
+    """DuckDB replica of winnow_fingerprints + fingerprint_candidate_pairs:
+    positional k-grams, md5-word hashes, min over each length-``window``
+    sliding window, distinct-sorted, explode + self-join."""
+    return f"""
+        {_winnow_fp_cte(kgram, window)}
         SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
                CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
         FROM ex l JOIN ex r ON l.fp = r.fp AND l.doc_id < r.doc_id
         GROUP BY 1, 2
+    """
+
+
+def _containment_oracle(kgram: int, window: int) -> str:
+    """DuckDB replica of functions.text.containment_pairs."""
+    return f"""
+        {_winnow_fp_cte(kgram, window)}
+        , cnt AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM ex GROUP BY doc_id
+        ), pairs AS (
+            SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+            FROM ex l JOIN ex r ON l.fp = r.fp AND l.doc_id < r.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT p.doc_a, p.doc_b, p.shared_fingerprints,
+               ca.n_fp AS n_fp_a, cb.n_fp AS n_fp_b,
+               CAST(p.shared_fingerprints AS DOUBLE) / CAST(ca.n_fp AS DOUBLE)
+                   AS containment_a_in_b,
+               CAST(p.shared_fingerprints AS DOUBLE) / CAST(cb.n_fp AS DOUBLE)
+                   AS containment_b_in_a
+        FROM pairs p
+        JOIN cnt ca ON ca.doc_id = p.doc_a
+        JOIN cnt cb ON cb.doc_id = p.doc_b
     """
 
 

@@ -228,6 +228,63 @@ def fingerprint_candidate_pairs(
     )
 
 
+def containment_pairs(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    kgram: int = 5,
+    window: int = 4,
+    min_containment: float = 0.0,
+):
+    """Near-containment detection (is document A substantially contained
+    in document B?) via winnowing-fingerprint overlap: for every pair
+    sharing >= 1 fingerprint, containment(A in B) = |FP(A) cap FP(B)| /
+    |FP(A)| (Broder 1997's containment coefficient on the winnowed
+    sketch).  Catches quote-inclusion / boilerplate-wrapping cases that
+    symmetric Jaccard under-scores.
+
+    Output: (doc_a, doc_b, shared_fingerprints, n_fp_a, n_fp_b,
+    containment_a_in_b, containment_b_in_a), doc_a < doc_b, filtered to
+    max(containments) >= min_containment.
+
+    Plan: the winnow UDF runs ONCE — the per-doc fingerprint count rides
+    through the bucket pairing inside the id struct (ids are unique, so
+    struct ordering == id ordering), avoiding a second corpus scan +
+    count join.  One shuffle into fingerprint buckets, one pair groupBy.
+    """
+    from patternly_spark.operators.dedup import _pairs_in_buckets
+
+    sel = docs.select(
+        F.col(id_col),
+        winnow_fingerprints(text_col, kgram=kgram, window=window).alias("fps"),
+    )
+    fp = sel.select(
+        F.struct(F.col(id_col).alias("id"), F.size("fps").alias("n")).alias("idn"),
+        F.explode("fps").alias("fp"),
+    )
+    shared = F.col("shared_fingerprints").cast("double")
+    out = (
+        _pairs_in_buckets(fp, ["fp"], "idn")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fingerprints"))
+        .select(
+            F.col("doc_a.id").alias("doc_a"),
+            F.col("doc_b.id").alias("doc_b"),
+            "shared_fingerprints",
+            F.col("doc_a.n").cast("long").alias("n_fp_a"),
+            F.col("doc_b.n").cast("long").alias("n_fp_b"),
+            (shared / F.col("doc_a.n")).alias("containment_a_in_b"),
+            (shared / F.col("doc_b.n")).alias("containment_b_in_a"),
+        )
+    )
+    if min_containment > 0.0:
+        out = out.filter(
+            F.greatest("containment_a_in_b", "containment_b_in_a") >= min_containment
+        )
+    return out
+
+
 def shingle_hash(shingle: Column) -> Column:
     """Portable 32-bit hash of a shingle: first 8 hex chars of md5 as an
     integer.  Matches DuckDB's ('0x' || substr(md5(s),1,8))::BIGINT."""

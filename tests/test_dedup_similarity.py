@@ -426,3 +426,28 @@ def test_span_dedup_block_mode_covers_all_tokens(spark):
     # doc 2 loses its first block ('a b c', first seen in doc 1)
     assert out[2]["text_deduped"] == "x y z"
     assert out[2]["n_kept"] == 1 and out[2]["n_spans"] == 2
+
+
+def test_containment_pairs_detects_inclusion(spark):
+    """A short doc quoted verbatim inside a longer doc: containment of
+    the short one approaches 1 while the long one's stays well below —
+    the asymmetry symmetric Jaccard misses."""
+    from patternly_spark.functions.text import containment_pairs
+
+    inner = "the quick brown fox jumps over the lazy dog again and again today"
+    outer = (
+        "unrelated preamble words here padding the front matter considerably "
+        + inner
+        + " and a long trailing section of other content follows with many extra words"
+    )
+    docs = spark.createDataFrame(
+        [(1, inner), (2, outer), (3, "completely different content about spark plans")],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(docs, kgram=5, window=4).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r["containment_a_in_b"] >= 0.8          # inner mostly inside outer
+    assert r["containment_b_in_a"] < r["containment_a_in_b"]
+    assert all(3 not in p for p in pairs)
