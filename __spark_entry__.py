@@ -838,6 +838,16 @@ def q47_collocations(spark, sf_dir):
     return collocations(d, min_count=5)
 
 
+def q51_mixture_weights(spark, sf_dir):
+    """Domain-reweighting preprocessing: per-source sampling rates that
+    realize a 50/30/20 target token mixture over src0/src1/src2 by pure
+    downsampling (largest feasible corpus; binding source keeps rate 1)."""
+    from patternly_spark.operators.sampling import mixture_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_weights(d, {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+
+
 def q50_containment(spark, sf_dir):
     """Near-containment pairs on winnowing fingerprints: asymmetric
     containment coefficients over the shared-fingerprint candidates
@@ -1167,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_pii_scrub": q48_pii_scrub,
         "q49_span_dedup": q49_span_dedup,
         "q50_containment": q50_containment,
+        "q51_mixture_weights": q51_mixture_weights,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1586,6 +1597,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN na ub ON ub.w = nab.b
             CROSS JOIN tot
             WHERE nab.n_ab >= 5
+        """,
+        "q51_mixture_weights": """
+            WITH agg AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                           AS n_tokens
+                FROM documents GROUP BY source
+            ), t AS (
+                SELECT *,
+                       CASE source
+                           WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+                           WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+                           WHEN 'src2' THEN CAST(0.2 AS DOUBLE)
+                       END AS target_share
+                FROM agg
+            ), wnd AS (
+                SELECT *,
+                       CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)
+                           AS actual_share,
+                       min(CASE WHEN target_share IS NOT NULL
+                                THEN CAST(n_tokens AS DOUBLE) / target_share END) OVER ()
+                           AS achievable
+                FROM t
+            )
+            SELECT source, n_docs, n_tokens, actual_share,
+                   COALESCE(target_share, CAST(0 AS DOUBLE)) AS target_share,
+                   COALESCE(target_share * achievable / CAST(n_tokens AS DOUBLE),
+                            CAST(0 AS DOUBLE)) AS sampling_rate,
+                   COALESCE(target_share * achievable, CAST(0 AS DOUBLE)) AS expected_tokens
+            FROM wnd
         """,
         "q48_pii_scrub": """
             WITH inj AS (

@@ -62,3 +62,73 @@ def stratified_hash_sample(
     for value, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == F.lit(value), F.lit(float(r))).otherwise(rate)
     return df.filter(hash_fraction(F.col(key_col), seed=seed) < rate)
+
+
+def mixture_weights(
+    docs: DataFrame,
+    targets: dict[str, float],
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source downsampling rates that realize a target token mixture
+    (the DoReMi / Pile-style domain-reweighting preprocessing step).
+
+    Given target shares over sources, find the LARGEST corpus achievable
+    by pure downsampling (no source may be upsampled):
+
+        achievable_total = min over targeted s of  n_tokens_s / share_s
+        rate_s           = share_s * achievable_total / n_tokens_s
+
+    so the binding source keeps rate 1.0 and every other targeted source
+    is downsampled to hit its share exactly; untargeted sources get rate
+    0.  Feed the rates to ``stratified_hash_sample`` for the actual
+    deterministic row selection.
+
+    Output per source: (source, n_docs, n_tokens, actual_share,
+    target_share, sampling_rate, expected_tokens).
+
+    Plan: one map-side-combined groupBy on source (the only big-data
+    pass); the mixture arithmetic runs over the k-row aggregate via a
+    partition-less window — k = number of sources, trivially tiny.  All
+    arithmetic is single IEEE ops on exact integer counts, so an external
+    SQL oracle hash-matches it bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    total = float(sum(targets.values()))
+    share = F.lit(None).cast("double")
+    for value, s in sorted(targets.items()):
+        share = F.when(F.col(source_col) == F.lit(value), F.lit(s / total)).otherwise(share)
+
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    agg = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    nt = F.col("n_tokens").cast("double")
+    achievable = F.min(
+        F.when(F.col("target_share").isNotNull(), nt / F.col("target_share"))
+    ).over(w)
+    return (
+        agg.withColumn("target_share", share)
+        .withColumn("actual_share", nt / F.sum("n_tokens").over(w).cast("double"))
+        .withColumn(
+            "sampling_rate",
+            F.coalesce(F.col("target_share") * achievable / nt, F.lit(0.0)),
+        )
+        .withColumn(
+            "expected_tokens",
+            F.coalesce((F.col("target_share") * achievable), F.lit(0.0)),
+        )
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            "actual_share",
+            F.coalesce("target_share", F.lit(0.0)).alias("target_share"),
+            "sampling_rate",
+            "expected_tokens",
+        )
+    )

@@ -42,3 +42,25 @@ def test_stratified_rates(spark):
     # unlisted strata use default_rate=0.0
     df2 = spark.createDataFrame([(1, "zz")], "k long, s string")
     assert stratified_hash_sample(df2, "k", "s", {"a": 1.0}).count() == 0
+
+
+def test_mixture_weights_math(spark):
+    """Binding source keeps rate 1.0; realized token mixture equals the
+    target shares exactly; untargeted sources get rate 0."""
+    from patternly_spark.operators.sampling import mixture_weights
+
+    docs = spark.createDataFrame(
+        # src_a: 4 tokens/doc x 5 docs = 20 tokens; src_b: 40; src_c: 100
+        [(i, "a b c d", "src_a") for i in range(5)]
+        + [(100 + i, "a b c d e f g h", "src_b") for i in range(5)]
+        + [(200 + i, " ".join(["w"] * 20), "src_c") for i in range(5)],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in mixture_weights(docs, {"src_a": 0.5, "src_b": 0.5}).collect()}
+    # achievable = min(20/0.5, 40/0.5) = 40 -> src_a binds at rate 1.0
+    assert out["src_a"]["sampling_rate"] == 1.0
+    assert out["src_b"]["sampling_rate"] == 0.5
+    assert out["src_a"]["expected_tokens"] == 20.0
+    assert out["src_b"]["expected_tokens"] == 20.0
+    assert out["src_c"]["sampling_rate"] == 0.0 and out["src_c"]["target_share"] == 0.0
+    assert out["src_c"]["n_tokens"] == 100
