@@ -128,3 +128,62 @@ def hypertable_rollup(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def streaming_hypertable_rollup(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value: str = "value",
+    by: str | list[str] | None = None,
+    widths_seconds: list[int] = (3600, 86400),
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming twin of ``hypertable_rollup``: the continuous-aggregate
+    form TimescaleDB materializes, expressed as Structured Streaming —
+    one watermarked tumbling-window aggregation per resolution, unioned.
+
+    Each level is its own stateful operator over the SAME source scan
+    (Spark runs the branches off one micro-batch), so a 100 TB/day
+    stream maintains all resolutions in one query with per-level state
+    bounded by (watermark / width) x keys.  Output schema matches the
+    batch rollup with the axis in epoch MICROSECONDS (``level`` = bucket
+    width in micros, ``window_start`` = bucket start in micros), so
+    batch-vs-stream equivalence is a direct DataFrame comparison against
+    ``hypertable_rollup(axis=unix_micros(ts), widths=[w*1e6 ...])`` —
+    pinned in tests/test_streaming.py.
+
+    Append-mode caveat (same as every watermarked agg here): windows
+    newer than max(event time) - watermark are still open at
+    end-of-stream; use complete mode (or a watermark-advancing sentinel)
+    when every window must drain.
+    """
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    widths = [int(w) for w in widths_seconds]
+    if sorted(widths) != widths or len(set(widths)) != len(widths):
+        raise ValueError(f"widths_seconds must be strictly ascending, got {widths}")
+    v = F.col(value)
+    out = None
+    for w in widths:
+        branch = (
+            events.withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, f"{w} seconds").alias("__w"), *keys)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(v.cast("decimal(24,10)")).cast("decimal(30,10)").alias("__sum"),
+                F.min(v).alias("vmin"),
+                F.max(v).alias("vmax"),
+            )
+            .select(
+                F.lit(w * 1_000_000).cast("long").alias("level"),
+                F.unix_micros(F.col("__w.start")).alias("window_start"),
+                *keys,
+                "n",
+                F.col("__sum").cast("double").alias("total"),
+                "vmin",
+                "vmax",
+                (F.col("__sum").cast("double") / F.col("n")).alias("avg"),
+            )
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out

@@ -241,3 +241,40 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
     )
     assert len(kept) == 7  # one survivor per distinct body
     assert set(kept.content_hash) == batch_hashes
+
+
+def test_streaming_hypertable_rollup_matches_batch(spark, events_path):
+    """The streaming continuous-aggregate twin produces exactly the batch
+    hypertable_rollup rows at every resolution (epoch-micros axis)."""
+    from patternly_spark.operators.rollup import (
+        hypertable_rollup,
+        streaming_hypertable_rollup,
+    )
+
+    batch_df = spark.read.parquet(events_path)
+    widths_s = [43200, 86400]
+    batch = (
+        hypertable_rollup(
+            batch_df.select(
+                F.unix_micros("ts").alias("ts_us"), "value", "event_type"
+            ),
+            axis="ts_us",
+            value="value",
+            by="event_type",
+            widths=[w * 1_000_000 for w in widths_s],
+        )
+        .toPandas()
+        .sort_values(["level", "window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    src = spark.readStream.schema(batch_df.schema).parquet(events_path)
+    result = streaming_hypertable_rollup(
+        src, ts_col="ts", value="value", by="event_type", widths_seconds=widths_s
+    )
+    got = (
+        run_stream_to_memory(result, "rollup_stream_test", output_mode="complete")
+        .toPandas()
+        .sort_values(["level", "window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(batch)
