@@ -979,14 +979,22 @@ def q26_anomaly_flag_shape(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q90_pfsa_llk_scores(spark, sf_dir):
-    """X2: llk of per-user event symbol sequences under 2 fixed PFSAs."""
+    """X2: llk of per-user event symbol sequences under 2 fixed PFSAs.
+
+    Scored with 20-bit log quantization (pfsa/llk.py::llk_batch): each
+    per-step log-prob floors to the 2^-20 grid, making the accumulation
+    EXACT in float64 and therefore order-independent — which is what lets
+    the DuckDB oracle replay the score as transition-counts x quantized
+    log literals and hash-match bit-for-bit (the machines' connx makes
+    state == previous symbol, so the forward distribution collapses to a
+    delta after step one)."""
     from patternly_spark.pfsa.llk import score_sequences
     from patternly_spark.pfsa.model import PFSA
 
     seqs = _user_symbol_sequences(spark, sf_dir)
     m0 = PFSA(pitilde=[[0.6, 0.4], [0.3, 0.7]], connx=[[0, 1], [0, 1]], pfsa_id=0)
     m1 = PFSA(pitilde=[[0.5, 0.5], [0.5, 0.5]], connx=[[0, 1], [0, 1]], pfsa_id=1)
-    return score_sequences(seqs, [m0, m1])
+    return score_sequences(seqs, [m0, m1], log_quantize_bits=20)
 
 
 def q91_anomaly_pipeline(spark, sf_dir):
@@ -1985,6 +1993,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q27_winnow_candidates": _winnow_candidates_oracle(kgram=5, window=4),
         "q50_containment": _containment_oracle(kgram=5, window=4),
+        "q90_pfsa_llk_scores": _llk_scores_oracle(bits=20),
         "q28_left_outer_coalesce": """
             WITH per_cust AS (
                 SELECT o_custkey,
@@ -2052,6 +2061,68 @@ def _multimodal_oracle(dim: int) -> str:
                CAST(f.i AS INTEGER) AS pos,
                CAST(({byte_sum}) / 1020.0 AS FLOAT) AS feature
         FROM documents, range(0, {dim}) f(i)
+    """
+
+
+def _llk_scores_oracle(bits: int = 20) -> str:
+    """DuckDB replica of q90: for symbol-indexed-state machines
+    (connx[q][s] == s) the forward state distribution is a delta after
+    the first emission, so llk = -(L0[s_0] + sum_ij n_ij * L[i][j]) / n
+    with L = floor(log(prob) * 2^bits) / 2^bits.  The quantized terms
+    are dyadic rationals, so Spark's step-ordered accumulation and this
+    counts-x-literals form are the SAME float64 — injected as
+    round-trip string literals (no DuckDB ln involved)."""
+    import numpy as np
+
+    from patternly_spark.pfsa.model import PFSA
+
+    machines = [
+        PFSA(pitilde=[[0.6, 0.4], [0.3, 0.7]], connx=[[0, 1], [0, 1]], pfsa_id=0),
+        PFSA(pitilde=[[0.5, 0.5], [0.5, 0.5]], connx=[[0, 1], [0, 1]], pfsa_id=1),
+    ]
+    scale = float(1 << bits)
+
+    def q(x: float) -> str:
+        v = float(np.floor(np.log(x) * scale) / scale)
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    selects = []
+    for m in machines:
+        pit = np.asarray(m.pitilde, dtype=float)
+        phi0 = m.stationary() @ pit  # first-step emission probs
+        selects.append(f"""
+            SELECT user_id AS seq_id, CAST({m.pfsa_id} AS INT) AS pfsa_id,
+                   (0.0 - (CASE WHEN s0 = 0 THEN {q(phi0[0])} ELSE {q(phi0[1])} END)
+                        - (n00 * {q(pit[0][0])} + n01 * {q(pit[0][1])}
+                           + n10 * {q(pit[1][0])} + n11 * {q(pit[1][1])})) / n AS llk
+            FROM agg""")
+    body = "\n            UNION ALL\n".join(selects)
+    return f"""
+        WITH base AS (
+            SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(value AS DOUBLE) AS v
+            FROM events
+        ), sym AS (
+            SELECT user_id, ts_us, event_id,
+                   CASE WHEN v - lag(v) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 0
+                        THEN 1 ELSE 0 END AS s
+            FROM base
+        ), tr AS (
+            SELECT user_id, s,
+                   lag(s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS sp,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+            FROM sym
+        ), agg AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(CASE WHEN rn = 1 THEN s END) AS s0,
+                   SUM(CASE WHEN sp = 0 AND s = 0 THEN 1 ELSE 0 END) AS n00,
+                   SUM(CASE WHEN sp = 0 AND s = 1 THEN 1 ELSE 0 END) AS n01,
+                   SUM(CASE WHEN sp = 1 AND s = 0 THEN 1 ELSE 0 END) AS n10,
+                   SUM(CASE WHEN sp = 1 AND s = 1 THEN 1 ELSE 0 END) AS n11
+            FROM tr GROUP BY user_id
+        )
+        {body}
     """
 
 

@@ -59,12 +59,26 @@ def llk_one(symbols: Sequence[int], model: PFSA) -> float:
     return float(L / n)
 
 
-def llk_batch(sequences: Iterable[Sequence[int]], model: PFSA) -> np.ndarray:
+def llk_batch(
+    sequences: Iterable[Sequence[int]],
+    model: PFSA,
+    *,
+    log_quantize_bits: int | None = None,
+) -> np.ndarray:
     """Vectorized negative log-likelihood of many sequences under one model.
 
     Sequences may have unequal length; they are packed into a padded
     int16 matrix with -1 padding.  Returns float64 array of length N
     (inf for empty / alphabet-incompatible / zero-probability sequences).
+
+    ``log_quantize_bits``: floor each per-step log-probability to the
+    2^-bits grid before accumulating.  Quantized terms are dyadic
+    rationals, so their sum is EXACT in float64 and order-independent —
+    which makes the score reproducible bit-for-bit by an external SQL
+    oracle (the same cross-engine-ln trick as BM25's idf quantization,
+    operators/retrieval.py::_quantize_idf).  At 20 bits the perturbation
+    per step is < 1e-6 — far below the anomaly thresholds — while the
+    default (None) keeps full-precision semantics.
     """
     seq_list = [np.asarray(s, dtype=np.int16) for s in sequences]
     n_seq = len(seq_list)
@@ -114,7 +128,11 @@ def llk_batch(sequences: Iterable[Sequence[int]], model: PFSA) -> np.ndarray:
             alive[act[dead]] = False
             act = act[~dead]
             pr = pr[~dead]
-        L[act] -= np.log(pr)
+        step = np.log(pr)
+        if log_quantize_bits is not None:
+            scale = float(1 << log_quantize_bits)
+            step = np.floor(step * scale) / scale
+        L[act] -= step
         # advance state distributions: group rows by emitted symbol
         P_new = np.zeros_like(P)
         for s in range(k):
@@ -151,7 +169,14 @@ LLK_SCHEMA = T.StructType(
 )
 
 
-def score_sequences(seq_df: DataFrame, models: list[PFSA], *, seq_col: str = "symbols", id_col: str = "seq_id") -> DataFrame:
+def score_sequences(
+    seq_df: DataFrame,
+    models: list[PFSA],
+    *,
+    seq_col: str = "symbols",
+    id_col: str = "seq_id",
+    log_quantize_bits: int | None = None,
+) -> DataFrame:
     """Score every sequence under every library PFSA.
 
     Input: DataFrame (seq_id bigint, symbols array<tinyint|int>).
@@ -173,7 +198,7 @@ def score_sequences(seq_df: DataFrame, models: list[PFSA], *, seq_col: str = "sy
             ids = pdf[id_col].to_numpy()
             frames = []
             for m in mdl:
-                vals = llk_batch(seqs, m)
+                vals = llk_batch(seqs, m, log_quantize_bits=log_quantize_bits)
                 frames.append(
                     pd.DataFrame(
                         {

@@ -163,3 +163,25 @@ def test_genesess_rejects_oversized_alphabet():
         genesess([np.array([0, 1, 300, 2])])
     with pytest.raises(ValueError, match=r"\[0, 255\]"):
         genesess([np.array([-1, 0, 1])])
+
+
+def test_llk_log_quantization_tight_and_exact():
+    """20-bit log quantization perturbs each score by < 2^-20 per step
+    and makes the accumulated sum a dyadic rational (exactly
+    representable, order-independent) — the property the q90 SQL oracle
+    relies on."""
+    import numpy as np
+
+    from patternly_spark.pfsa.llk import llk_batch
+    from patternly_spark.pfsa.model import PFSA
+
+    m = PFSA(pitilde=[[0.6, 0.4], [0.3, 0.7]], connx=[[0, 1], [0, 1]], pfsa_id=0)
+    rng = np.random.default_rng(5)
+    seqs = [rng.integers(0, 2, size=n).tolist() for n in (1, 2, 17, 400)]
+    full = llk_batch(seqs, m)
+    quant = llk_batch(seqs, m, log_quantize_bits=20)
+    assert np.all(np.abs(full - quant) < 2.0**-20 + 1e-12)
+    # every quantized score times its length is a multiple of 2^-20
+    for s, v in zip(seqs, quant):
+        scaled = v * len(s) * (1 << 20)
+        assert scaled == round(scaled)
