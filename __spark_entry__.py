@@ -838,6 +838,39 @@ def q47_collocations(spark, sf_dir):
     return collocations(d, min_count=5)
 
 
+def q53_intradoc_dedup(spark, sf_dir):
+    """Within-document span dedup (3-token blocks): repeats inside a doc
+    drop, first occurrences stay.  Pure array expressions — zero shuffle
+    at any corpus size."""
+    from patternly_spark.operators.dedup import intradoc_span_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return intradoc_span_dedup(d, block_tokens=3)
+
+
+def q52_domain_cap(spark, sf_dir):
+    """Per-domain document cap (RefinedWeb-style): extract the domain
+    from each doc's URL (injected deterministically — the synthetic
+    corpus has none), hash-rank docs within domain, keep the first 30.
+    Deterministic, partitioning-invariant, append-stable."""
+    from patternly_spark.functions.text import extract_domain
+    from patternly_spark.operators.sampling import per_key_cap
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    with_domain = d.withColumn("domain", extract_domain("url"))
+    return per_key_cap(with_domain, "domain", 30).select(
+        "doc_id", "domain", "key_rank", "kept"
+    )
+
+
 def q51_mixture_weights(spark, sf_dir):
     """Domain-reweighting preprocessing: per-source sampling rates that
     realize a 50/30/20 target token mixture over src0/src1/src2 by pure
@@ -1186,6 +1219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_span_dedup": q49_span_dedup,
         "q50_containment": q50_containment,
         "q51_mixture_weights": q51_mixture_weights,
+        "q52_domain_cap": q52_domain_cap,
+        "q53_intradoc_dedup": q53_intradoc_dedup,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1605,6 +1640,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN na ub ON ub.w = nab.b
             CROSS JOIN tot
             WHERE nab.n_ab >= 5
+        """,
+        "q53_intradoc_dedup": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+            ), b AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(range((len(toks)+2)//3),
+                                          i -> array_to_string(toks[(i*3+1):(i*3+3)], ' ')),
+                           x -> x <> '') AS sp
+                FROM t
+            ), k AS (
+                SELECT doc_id, sp,
+                       list_filter(sp, (x, i) -> list_position(sp, x) = i) AS kept
+                FROM b
+            )
+            SELECT doc_id,
+                   CAST(len(sp) AS BIGINT) AS n_spans,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   array_to_string(kept, ' ') AS text_deduped
+            FROM k
+        """,
+        "q52_domain_cap": """
+            WITH inj AS (
+                SELECT doc_id,
+                       'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+                       '.example/p/' || CAST(doc_id AS VARCHAR) AS url
+                FROM documents
+            ), d AS (
+                SELECT doc_id,
+                       regexp_extract(url, 'https?://([^/ ]+)', 1) AS domain,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                           / 4294967296.0 AS hf
+                FROM inj
+            )
+            SELECT doc_id, domain,
+                   CAST(row_number() OVER (PARTITION BY domain ORDER BY hf, doc_id)
+                        AS BIGINT) AS key_rank,
+                   row_number() OVER (PARTITION BY domain ORDER BY hf, doc_id) <= 30 AS kept
+            FROM d
         """,
         "q51_mixture_weights": """
             WITH agg AS (

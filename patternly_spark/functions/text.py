@@ -422,6 +422,14 @@ def c4_clean_lines(
     )
 
 
+def extract_domain(url: Column | str) -> Column:
+    """Registrable host from a URL: the authority part after the scheme,
+    up to the first '/' or space; empty string when no scheme matches.
+    Pattern is alternation-free so Java regex and RE2 agree."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(c, r"https?://([^/ ]+)", 1)
+
+
 # PII patterns chosen to behave identically under Java regex (Spark,
 # leftmost-first backtracking) and RE2 (DuckDB, leftmost-longest): greedy
 # quantifiers and optionals only — no alternation whose branch choice

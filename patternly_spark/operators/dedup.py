@@ -505,6 +505,64 @@ def semantic_dedup(
     return dedup_clusters(edges, docs=embeddings, id_col=id_col)
 
 
+def _spans_expr(text_col: str, delimiter: str | None, block_tokens: int | None):
+    """Span array + rejoin delimiter shared by the corpus-level and
+    intra-document dedup operators."""
+    if block_tokens is None and delimiter is None:
+        raise ValueError("need delimiter or block_tokens")
+    if block_tokens is not None:
+        k = int(block_tokens)
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        n_blocks = F.greatest(F.ceil(F.size(toks) / k), F.lit(1)).cast("int")
+        spans = F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, (i * k + 1).cast("int"), k)),
+        )
+        return spans, " "
+    import re as _re
+
+    return F.split(F.col(text_col), _re.escape(delimiter)), delimiter
+
+
+def intradoc_span_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str | None = "\n",
+    block_tokens: int | None = None,
+) -> DataFrame:
+    """WITHIN-document span dedup: drop every repeat of a span inside the
+    same document (in-page boilerplate / template repetition — the
+    Gopher repetition filters' surgical cousin: remove the repeats, keep
+    the document).  Corpus-global keep-first is ``span_dedup``.
+
+    Pure array expressions — a narrow projection with ZERO shuffle at
+    any corpus size (the dedup never leaves the row).  Keep-first is
+    positional: span at index i survives iff its first occurrence in the
+    doc is at i.  Per-row cost is O(spans^2) string compares (JVM,
+    codegen) — fine for real documents; chop pathological span counts
+    upstream.
+
+    Output: (id, n_spans, n_kept, text_deduped).
+    """
+    spans, join_delim = _spans_expr(text_col, delimiter, block_tokens)
+    sp = F.filter(spans, lambda x: x != F.lit(""))
+    # bind the cleaned span array once so array_position scans the
+    # materialized array, not a re-evaluated subtree
+    with_sp = docs.select(F.col(id_col), sp.alias("__sp"))
+    kept = F.filter(
+        F.col("__sp"),
+        lambda x, i: F.array_position(F.col("__sp"), x) == (i + 1).cast("long"),
+    )
+    return with_sp.select(
+        id_col,
+        F.size("__sp").cast("long").alias("n_spans"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, join_delim).alias("text_deduped"),
+    )
+
+
 def span_dedup(
     docs: DataFrame,
     *,
@@ -546,24 +604,7 @@ def span_dedup(
     Spans are hashed with md5 so an external SQL oracle reproduces the
     keep-set bit-for-bit (driver query q49).
     """
-    if block_tokens is None and delimiter is None:
-        raise ValueError("span_dedup: need delimiter or block_tokens")
-
-    if block_tokens is not None:
-        k = int(block_tokens)
-        toks = F.split(F.trim(F.col(text_col)), r"\s+")
-        n_blocks = F.greatest(F.ceil(F.size(toks) / k), F.lit(1)).cast("int")
-        spans = F.transform(
-            F.sequence(F.lit(0), n_blocks - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, (i * k + 1).cast("int"), k)),
-        )
-        join_delim = " "
-    else:
-        import re as _re
-
-        spans = F.split(F.col(text_col), _re.escape(delimiter))
-        join_delim = delimiter
-
+    spans, join_delim = _spans_expr(text_col, delimiter, block_tokens)
     lines = docs.select(F.col(id_col), F.posexplode(spans).alias("pos", "span"))
     if drop_empty:
         lines = lines.filter(F.col("span") != "")

@@ -64,6 +64,40 @@ def stratified_hash_sample(
     return df.filter(hash_fraction(F.col(key_col), seed=seed) < rate)
 
 
+def per_key_cap(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    *,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic per-key document cap (RefinedWeb-style per-domain
+    limit): within each key, rank rows by (hash_fraction(id), id) and
+    keep the first ``cap``.  The hash ranking makes the kept set a
+    uniform, reproducible, partitioning-invariant sample of each key —
+    append-only corpora keep previously-kept rows kept as long as their
+    rank holds.
+
+    Output: df + ``key_rank`` (1-based) + ``kept``.
+
+    Scale note: ranking is a window over ``key_col`` — a pathologically
+    hot key materializes in one task (windows are not AQE-splittable).
+    For the keep-decision alone at extreme skew, prefer a two-pass
+    threshold: count per key, then keep hash_fraction < cap/count
+    (approximate cap, no window); this operator keeps the exact-rank
+    form because per-domain caps are small and domain cardinality high.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        hash_fraction(F.col(id_col), seed=seed).asc(), F.col(id_col).asc()
+    )
+    return df.withColumn("key_rank", F.row_number().over(w).cast("long")).withColumn(
+        "kept", F.col("key_rank") <= F.lit(int(cap))
+    )
+
+
 def mixture_weights(
     docs: DataFrame,
     targets: dict[str, float],

@@ -451,3 +451,21 @@ def test_containment_pairs_detects_inclusion(spark):
     assert r["containment_a_in_b"] >= 0.8          # inner mostly inside outer
     assert r["containment_b_in_a"] < r["containment_a_in_b"]
     assert all(3 not in p for p in pairs)
+
+
+def test_intradoc_span_dedup_zero_shuffle(spark):
+    """In-doc repeats drop, first occurrences stay, cross-doc repeats are
+    untouched; and the plan contains no Exchange (pure projection)."""
+    from patternly_spark.operators.dedup import intradoc_span_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "menu\nbody one\nmenu\nbody two\nmenu"), (2, "menu\nother")],
+        "doc_id long, text string",
+    )
+    out = intradoc_span_dedup(docs, delimiter="\n")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["text_deduped"] == "menu\nbody one\nbody two"
+    assert rows[1]["n_spans"] == 5 and rows[1]["n_kept"] == 3
+    assert rows[2]["text_deduped"] == "menu\nother"  # cross-doc repeat kept
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
