@@ -70,6 +70,12 @@ BENCH_QUERIES = [
     "q45_sketch_profile",
     "q46_chunk_ann",
     "q47_collocations",
+    "q48_pii_scrub",
+    "q49_span_dedup",
+    "q50_containment",
+    "q51_mixture_weights",
+    "q52_domain_cap",
+    "q53_intradoc_dedup",
     "q90_pfsa_llk_scores",
     "q91_anomaly_pipeline",
     "q92_simhash",
