@@ -838,6 +838,17 @@ def q47_collocations(spark, sf_dir):
     return collocations(d, min_count=5)
 
 
+def q54_lm_perplexity(spark, sf_dir):
+    """Bigram-LM quality scoring (CCNet/KenLM-shaped filter): train add-k
+    bigram counts on the corpus (one scan, cascaded aggs), score each doc's
+    average negative log-likelihood.  Per-bigram ln is floor-quantized to
+    2^-20 so the dyadic per-doc sums hash-match SQL exactly."""
+    from patternly_spark.operators.lm import bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(d, k=0.5)
+
+
 def q53_intradoc_dedup(spark, sf_dir):
     """Within-document span dedup (3-token blocks): repeats inside a doc
     drop, first occurrences stay.  Pure array expressions — zero shuffle
@@ -1221,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_mixture_weights": q51_mixture_weights,
         "q52_domain_cap": q52_domain_cap,
         "q53_intradoc_dedup": q53_intradoc_dedup,
+        "q54_lm_perplexity": q54_lm_perplexity,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1640,6 +1652,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN na ub ON ub.w = nab.b
             CROSS JOIN tot
             WHERE nab.n_ab >= 5
+        """,
+        "q54_lm_perplexity": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+            ), bi AS (
+                SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                FROM toks, LATERAL unnest(generate_series(1, len(t)-1)) AS u(i)
+                WHERE len(t) >= 2
+            ), doc_bi AS (
+                SELECT doc_id, w1, w2, COUNT(*) AS occ FROM bi GROUP BY ALL
+            ), bc AS (
+                SELECT w1, w2, SUM(occ) AS cb FROM doc_bi GROUP BY w1, w2
+            ), ctx AS (
+                SELECT w1, SUM(cb) AS cc FROM bc GROUP BY w1
+            ), vocab AS (
+                SELECT COUNT(DISTINCT tok) AS v
+                FROM toks, LATERAL unnest(t) AS z(tok)
+            )
+            SELECT doc_bi.doc_id,
+                   CAST(SUM(occ) AS BIGINT) AS n_bigrams,
+                   -SUM(occ * (floor(ln((CAST(cb AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                                        / (CAST(cc AS DOUBLE) + CAST(0.5 AS DOUBLE) * CAST(v AS DOUBLE)))
+                                     * 1048576.0) / 1048576.0))
+                       / SUM(occ) AS avg_nll
+            FROM doc_bi
+            JOIN bc USING (w1, w2)
+            JOIN ctx USING (w1)
+            CROSS JOIN vocab
+            GROUP BY doc_bi.doc_id
         """,
         "q53_intradoc_dedup": """
             WITH t AS (

@@ -1,0 +1,150 @@
+"""N-gram language-model scoring — the CCNet/KenLM-shaped quality filter
+of a training-data pipeline (score each document by how surprising its
+token stream is under a corpus LM; filter or bucket by the score).
+
+The reference engine has no text-LM surface (its likelihood machinery is
+the PFSA llk kernel, reference patternly/_utils.py:111-161); this is a
+first-class extension from the builder brief (text analysis / quality
+scoring).  The model here is a bigram LM with add-k smoothing — the same
+shape KenLM-based filters use (CCNet, Gopher), minus Kneser-Ney backoff,
+which needs no distributed machinery beyond what's here.
+
+Scale shape (the whole point):
+  - ONE scan of the corpus -> explode to bigrams -> ONE map-side-combined
+    shuffle to (doc_id, w1, w2) counts.  The corpus-level bigram table and
+    the context-marginal table are cascaded aggregations of that first
+    result (each strictly smaller), not re-scans.
+  - Scoring joins the per-doc DISTINCT-bigram table (not the raw token
+    stream) against the count tables: join cardinality is `distinct
+    bigrams per doc`, ~5-10x smaller than token count on natural text.
+  - Everything is built-in column expressions; no Python in the hot path.
+
+Cross-engine exactness: log() differs between engines in the last ulp, so
+per-bigram log-probabilities are quantized to 2^-20 (floor(ln(p)*2^20)/2^20
+— power-of-two scaling is exact in binary FP).  Quantized values are
+dyadic rationals with 20 fractional bits, so double-precision summation is
+EXACT regardless of order — the per-doc sum is reproducible across engines
+and across partitionings.  See q42's idf treatment for the precedent.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["BigramLM", "train_bigram_lm", "bigram_lm_scores"]
+
+
+def _doc_bigrams(docs: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """-> (id, w1, w2, occ): per-document bigram multiset, pre-aggregated.
+
+    Docs with <2 tokens emit no rows (no bigram exists).  The explode is
+    immediately collapsed by a map-side-combinable count, so the shuffle
+    carries distinct (doc, bigram) triples, not the token stream.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+    )
+    return (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "__id",
+            F.explode(
+                F.expr("transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+            ).alias("b"),
+        )
+        .select("__id", "b.w1", "b.w2")
+        .groupBy("__id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+
+
+@dataclass
+class BigramLM:
+    """Corpus bigram counts + context marginals + vocab size.
+
+    ``bigram_counts``: (w1, w2, cb long); ``context_counts``: (w1, cc long);
+    ``vocab_size``: |V| over all tokens.  Both DataFrames are lazily
+    defined — persist them (or write them out) when scoring many batches
+    against one trained model.
+    """
+
+    bigram_counts: DataFrame
+    context_counts: DataFrame
+    vocab_size: int
+
+
+def train_bigram_lm(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> BigramLM:
+    """Count bigrams and context marginals over the corpus.
+
+    The marginal c(w1) is the number of bigrams starting with w1 (the
+    standard conditional-MLE denominator), derived from the bigram table
+    — a second tiny aggregation, not a second corpus scan.
+    """
+    doc_bi = _doc_bigrams(docs, id_col=id_col, text_col=text_col)
+    bigram_counts = doc_bi.groupBy("w1", "w2").agg(F.sum("occ").alias("cb"))
+    context_counts = bigram_counts.groupBy("w1").agg(F.sum("cb").alias("cc"))
+    vocab_size = (
+        docs.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+        .agg(F.countDistinct("tok"))
+        .first()[0]
+    )
+    return BigramLM(bigram_counts, context_counts, int(vocab_size))
+
+
+def _quantized_logp(cb: Column, cc: Column, k: float, vocab_size: int, bits: int) -> Column:
+    # P(w2|w1) = (c(w1,w2)+k) / (c(w1)+k|V|), add-k smoothed; ln then
+    # floor-quantized to 2^-bits so both engines agree bit-for-bit
+    scale = float(2**bits)
+    p = (cb + F.lit(float(k))) / (cc + F.lit(float(k)) * F.lit(float(vocab_size)))
+    return F.floor(F.log(p) * F.lit(scale)) / F.lit(scale)
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    lm: BigramLM | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    quant_bits: int = 20,
+) -> DataFrame:
+    """-> (id_col, n_bigrams, avg_nll): per-document average negative
+    log-likelihood in nats under the bigram LM (lower = more typical of
+    the corpus; a quality filter drops the top tail).
+
+    ``lm=None`` trains on ``docs`` itself (the self-perplexity filter of
+    CCNet).  Unseen bigrams/contexts (scoring fresh docs against a
+    trained model) back off to the smoothed floor via coalesce(·, 0).
+
+    Perplexity is exp(avg_nll); exp() is last-ulp engine-dependent, so the
+    operator reports nats and leaves exponentiation to the consumer.
+    """
+    if lm is None:
+        lm = train_bigram_lm(docs, id_col=id_col, text_col=text_col)
+    doc_bi = _doc_bigrams(docs, id_col=id_col, text_col=text_col)
+    logp = _quantized_logp(
+        F.coalesce(F.col("cb"), F.lit(0)).cast("double"),
+        F.coalesce(F.col("cc"), F.lit(0)).cast("double"),
+        k,
+        lm.vocab_size,
+        quant_bits,
+    )
+    scored = (
+        doc_bi.join(lm.bigram_counts, ["w1", "w2"], "left")
+        .join(lm.context_counts, ["w1"], "left")
+        .select("__id", "occ", logp.alias("q"))
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.sum("occ").alias("n_bigrams"),
+            (-F.sum(F.col("occ") * F.col("q")) / F.sum("occ")).alias("avg_nll"),
+        )
+        .select(F.col("__id").alias(id_col), "n_bigrams", "avg_nll")
+    )

@@ -1,0 +1,73 @@
+"""Bigram-LM perplexity scoring: hand-computed values, trained-model
+scoring of fresh docs (unseen bigrams back off), and filter semantics."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from patternly_spark.operators.lm import BigramLM, bigram_lm_scores, train_bigram_lm
+
+
+def _q(x: float, bits: int = 20) -> float:
+    s = float(2**bits)
+    return math.floor(math.log(x) * s) / s
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "z")],
+        "doc_id long, text string",
+    )
+
+
+def test_train_counts(spark, corpus):
+    lm = train_bigram_lm(corpus)
+    bc = {(r["w1"], r["w2"]): r["cb"] for r in lm.bigram_counts.collect()}
+    assert bc == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    cc = {r["w1"]: r["cc"] for r in lm.context_counts.collect()}
+    assert cc == {"a": 3, "b": 2}
+    assert lm.vocab_size == 4  # a b c z
+
+
+def test_hand_computed_scores(spark, corpus):
+    out = {r["doc_id"]: r for r in bigram_lm_scores(corpus, k=0.5).collect()}
+    # doc 3 has a single token -> no bigram -> no row
+    assert set(out) == {1, 2}
+    v = 4
+    p_ab = (3 + 0.5) / (3 + 0.5 * v)
+    p_ba = (1 + 0.5) / (2 + 0.5 * v)
+    p_bc = (1 + 0.5) / (2 + 0.5 * v)
+    exp1 = -(2 * _q(p_ab) + 1 * _q(p_ba)) / 3
+    exp2 = -(1 * _q(p_ab) + 1 * _q(p_bc)) / 2
+    assert out[1]["n_bigrams"] == 3 and out[2]["n_bigrams"] == 2
+    assert out[1]["avg_nll"] == pytest.approx(exp1, abs=0)
+    assert out[2]["avg_nll"] == pytest.approx(exp2, abs=0)
+
+
+def test_unseen_bigrams_back_off(spark, corpus):
+    lm = train_bigram_lm(corpus)
+    fresh = spark.createDataFrame([(10, "c c c")], "doc_id long, text string")
+    row = bigram_lm_scores(fresh, lm, k=0.5).first()
+    # (c,c) never seen, context c never seen: P = k / (0 + k|V|) = 1/|V|
+    assert row["avg_nll"] == pytest.approx(-_q(0.5 / (0.5 * 4)), abs=0)
+
+
+def test_typical_docs_score_lower_than_rare(spark):
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    rows.append((99, "zyx wvu tsr qpo nml kji hgf edc ba"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["avg_nll"] for r in bigram_lm_scores(docs).collect()}
+    typical = out[0]
+    rare = out[99]
+    assert rare > typical  # quality filter drops the high-nll tail
+
+
+def test_lm_is_reusable_dataframes(spark, corpus):
+    lm = train_bigram_lm(corpus)
+    assert isinstance(lm, BigramLM)
+    # scoring twice against the same trained model is deterministic
+    a = bigram_lm_scores(corpus, lm).orderBy("doc_id").collect()
+    b = bigram_lm_scores(corpus, lm).orderBy("doc_id").collect()
+    assert a == b
