@@ -849,6 +849,28 @@ def q54_lm_perplexity(spark, sf_dir):
     return bigram_lm_scores(d, k=0.5)
 
 
+def q55_zorder_values(spark, sf_dir):
+    """Z-order (Morton) clustering keys over events(user_id, value):
+    min/max-normalize each dimension to 8 bits, interleave.  Pure
+    shift/and/add column expressions — the layout key a clustered
+    parquet write range-partitions on (operators/layout.zorder_write).
+    All-IEEE affine + integer bit math, so it hash-matches SQL exactly."""
+    from patternly_spark.operators.layout import normalize_to_bits, zorder_value
+
+    e = _t(spark, sf_dir, "events")
+    row = e.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    nx = normalize_to_bits("user_id", row[0], row[1], bits=8)
+    ny = normalize_to_bits("value", row[2], row[3], bits=8)
+    return e.select(
+        "event_id",
+        nx.alias("bx"),
+        ny.alias("by"),
+        zorder_value([nx, ny], bits=8).alias("z"),
+    )
+
+
 def q53_intradoc_dedup(spark, sf_dir):
     """Within-document span dedup (3-token blocks): repeats inside a doc
     drop, first occurrences stay.  Pure array expressions — zero shuffle
@@ -1233,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_domain_cap": q52_domain_cap,
         "q53_intradoc_dedup": q53_intradoc_dedup,
         "q54_lm_perplexity": q54_lm_perplexity,
+        "q55_zorder_values": q55_zorder_values,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1652,6 +1675,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN na ub ON ub.w = nab.b
             CROSS JOIN tot
             WHERE nab.n_ab >= 5
+        """,
+        "q55_zorder_values": """
+            WITH s AS (
+                SELECT CAST(min(user_id) AS DOUBLE) AS lox, CAST(max(user_id) AS DOUBLE) AS hix,
+                       min(value) AS lov, max(value) AS hiv
+                FROM events
+            ), n AS (
+                SELECT event_id,
+                       CAST(least(greatest(floor((CAST(user_id AS DOUBLE) - lox) * 255.0 / (hix - lox)), 0), 255) AS BIGINT) AS bx,
+                       CAST(least(greatest(floor((CAST(value AS DOUBLE) - lov) * 255.0 / (hiv - lov)), 0), 255) AS BIGINT) AS by
+                FROM events, s
+            )
+            SELECT event_id, bx, by,
+                   CAST(list_sum(list_transform(range(0, 8), b ->
+                        (((bx >> b) & 1) << (2 * b)) + (((by >> b) & 1) << (2 * b + 1)))) AS BIGINT) AS z
+            FROM n
         """,
         "q54_lm_perplexity": """
             WITH toks AS (
