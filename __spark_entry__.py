@@ -871,6 +871,36 @@ def q55_zorder_values(spark, sf_dir):
     )
 
 
+def q56_interval_overlap(spark, sf_dir):
+    """Interval x interval overlap join: ±30-min windows around error
+    events vs trailing 60-min windows before purchases, same user.  Both
+    sides explode onto axis buckets, equi-join on (user, bucket), and the
+    max-start-bucket rule emits each qualifying pair exactly once — a
+    hash join with zero distinct, vs the oracle's plain IEJoin."""
+    from patternly_spark.operators.ranges import range_join
+
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    errs = e.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        (us - 1_800_000_000).alias("ls"),
+        (us + 1_800_000_000).alias("le"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        (us - 3_600_000_000).alias("rs"),
+        us.alias("re"),
+    )
+    out = range_join(
+        errs, purch,
+        left_start="ls", left_end="le", right_start="rs", right_end="re",
+        by="user_id", bucket_width=600_000_000,
+    )
+    return out.select("event_id", "user_id", "ls", "purchase_event_id", "rs", "re")
+
+
 def q53_intradoc_dedup(spark, sf_dir):
     """Within-document span dedup (3-token blocks): repeats inside a doc
     drop, first occurrences stay.  Pure array expressions — zero shuffle
@@ -1256,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_intradoc_dedup": q53_intradoc_dedup,
         "q54_lm_perplexity": q54_lm_perplexity,
         "q55_zorder_values": q55_zorder_values,
+        "q56_interval_overlap": q56_interval_overlap,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1675,6 +1706,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN na ub ON ub.w = nab.b
             CROSS JOIN tot
             WHERE nab.n_ab >= 5
+        """,
+        "q56_interval_overlap": """
+            WITH errs AS (
+                SELECT event_id, user_id,
+                       epoch_us(ts) - 1800000000 AS ls,
+                       epoch_us(ts) + 1800000000 AS le
+                FROM events WHERE event_type = 'error'
+            ), p AS (
+                SELECT event_id AS purchase_event_id, user_id,
+                       epoch_us(ts) - 3600000000 AS rs,
+                       epoch_us(ts) AS re
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT e.event_id, e.user_id, e.ls, p.purchase_event_id, p.rs, p.re
+            FROM errs e
+            JOIN p ON e.user_id = p.user_id AND e.ls <= p.re AND p.rs <= e.le
         """,
         "q55_zorder_values": """
             WITH s AS (
