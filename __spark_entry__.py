@@ -1201,6 +1201,25 @@ def q97_ivf_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q57_pq_topk(spark, sf_dir):
+    """PQ-compressed ANN: per-subspace codebooks (8 x 16), tinyint codes,
+    asymmetric-distance top-k via per-query lookup tables — the scan reads
+    codes only (32x memory compression at dim=64).  Rows-only check
+    (k-means codebooks are not SQL-replicable); recall vs exact top-k is
+    asserted in tests/test_dedup_similarity.py."""
+    from patternly_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = train_pq_codebooks(emb, m=8, n_codes=16)
+    codes = pq_encode(emb, cb)
+    out = pq_topk(codes, emb.filter(F.col("vec_id") < 10), cb, k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -1287,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_lm_perplexity": q54_lm_perplexity,
         "q55_zorder_values": q55_zorder_values,
         "q56_interval_overlap": q56_interval_overlap,
+        "q57_pq_topk": q57_pq_topk,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,

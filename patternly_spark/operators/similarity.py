@@ -464,3 +464,141 @@ def ivf_index_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-compression scale path for ANN.
+# A 64-dim float vector is 256 bytes; its PQ code is m bytes (m=8 here) —
+# a 100 TB embedding corpus becomes ~3 TB of codes that fit hot storage,
+# and the ADC scan reads ONLY the code column (column pruning does the
+# rest).  FAISS's IVF-PQ = ivf_topk's cell routing + these codes; both
+# compose (filter the code scan by cell id).
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_sample: int = 100_000,
+):
+    """Per-subspace k-means codebooks: (m, n_codes, dim/m) ndarray.
+
+    Trains on a bounded deterministic hash-sample (same policy as the IVF
+    coarse quantizer: codebooks don't improve past ~256 x n_codes points,
+    so full-corpus training would be waste).  dim must divide by m.
+    """
+    import numpy as np
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    total = corpus.count()
+    sample = corpus.select(vec_col)
+    if total > train_sample:
+        frac_mod = max(int(total / train_sample), 1)
+        sample = corpus.filter(
+            F.pmod(F.hash(F.col(id_col)), F.lit(frac_mod)) == 0
+        ).select(vec_col)
+    X = np.array([r[0] for r in sample.collect()], dtype=np.float64)
+    dsub = dim // m
+    return np.stack(
+        [
+            _lloyd_kmeans(X[:, j * dsub : (j + 1) * dsub], n_codes, seed + j)
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (id_col, codes array<int> length m): nearest codeword per
+    subspace.  Encoding is a narrow map (nearest_centroids literal
+    expressions per subspace, pandas-UDF past LITERAL_BUDGET); at scale
+    this runs once per corpus and the codes are persisted, so queries
+    never touch the float vectors again.
+    """
+    import numpy as np
+
+    codebooks = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = codebooks.shape
+    code_cols = [
+        F.element_at(
+            nearest_centroids(
+                F.slice(F.col(vec_col), j * dsub + 1, dsub), codebooks[j], 1
+            ),
+            1,
+        )
+        for j in range(m)
+    ]
+    return corpus.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes.
+
+    Per query the driver precomputes the (m x n_codes) table of squared
+    L2 distances from the query's subvectors to every codeword; the scan
+    then scores each corpus row with m array lookups — no float vectors
+    read, no shuffle until the final per-query top-k window.
+
+    Output: (query_id, neighbor_id, approx_dist, rank) — approx_dist is
+    the ADC estimate of squared L2 distance (lower = closer).
+    """
+    import numpy as np
+
+    codebooks = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = codebooks.shape
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    spark = codes.sparkSession
+    tables = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        tab = [
+            ((codebooks[j] - qv[j * dsub : (j + 1) * dsub]) ** 2).sum(1).tolist()
+            for j in range(m)
+        ]
+        tables.append((int(r[0]), tab))
+    qdf = spark.createDataFrame(
+        tables, f"query_id long, tbl array<array<double>>"
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("tbl"), j + 1), F.element_at(F.col("codes"), j + 1) + 1
+        ),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qdf))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            dist.alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )

@@ -469,3 +469,54 @@ def test_intradoc_span_dedup_zero_shuffle(spark):
     assert rows[2]["text_deduped"] == "menu\nother"  # cross-doc repeat kept
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pq_encode_codes_shape(emb):
+    from patternly_spark.operators.similarity import pq_encode, train_pq_codebooks
+
+    cb = train_pq_codebooks(emb, m=8, n_codes=16)
+    assert cb.shape == (8, 16, 2)
+    codes = pq_encode(emb, cb).toPandas().sort_values("vec_id")
+    assert len(codes) == 60
+    assert all(len(c) == 8 for c in codes.codes)
+    assert all(0 <= v < 16 for c in codes.codes for v in c)
+    # deterministic re-encode
+    codes2 = pq_encode(emb, cb).toPandas().sort_values("vec_id")
+    assert [list(c) for c in codes.codes] == [list(c) for c in codes2.codes]
+
+
+def test_pq_topk_recall_vs_exact_l2(emb):
+    from patternly_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    X = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    cb = train_pq_codebooks(emb, m=8, n_codes=16)
+    codes = pq_encode(emb, cb)
+    approx = pq_topk(codes, emb.filter(F.col("vec_id") < 10), cb, k=3).toPandas()
+    hits = 0
+    for q in range(10):
+        d2 = ((X - X[q]) ** 2).sum(1)
+        d2[q] = np.inf
+        exact_nn = int(d2.argmin())
+        got = approx[approx.query_id == q].neighbor_id.tolist()
+        assert len(got) == 3
+        hits += int(exact_nn in got)
+    assert hits >= 7, hits
+
+
+def test_pq_finds_planted_near_dup(emb):
+    from patternly_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    cb = train_pq_codebooks(emb, m=8, n_codes=16)
+    codes = pq_encode(emb, cb)
+    out = pq_topk(codes, emb.filter(F.col("vec_id") == 3), cb, k=1).toPandas()
+    assert out.neighbor_id.tolist() == [50]
