@@ -188,6 +188,29 @@ def _pairs_in_buckets(
     )
 
 
+def lsh_band_keys(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band_id, band_hash): one row per (doc, band).  Band keys are
+    md5-combined so bucket skew matches hash uniformity.  Shared by the
+    batch candidate-pair path and the incremental/streaming registry
+    (streaming/dedup.py), so both agree on what collides."""
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"minhash_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("band_hash"))
+        )
+    return signatures.select(
+        F.col(id_col), F.explode_outer(F.array(*band_structs)).alias("band")
+    ).select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     *,
@@ -199,19 +222,11 @@ def lsh_candidate_pairs(
     candidate pair.  Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
 
     Plan: explode to (band_id, band_hash, doc_id), one shuffle into
-    per-bucket id sets, emit pairs (see _pairs_in_buckets).  Band keys
-    are md5-combined so bucket skew matches hash uniformity.
+    per-bucket id sets, emit pairs (see _pairs_in_buckets).
     """
-    rows_per_band = num_hashes // bands
-    band_structs = []
-    for b in range(bands):
-        cols = [F.col(f"minhash_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_structs.append(
-            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("band_hash"))
-        )
-    exploded = signatures.select(
-        F.col(id_col), F.explode_outer(F.array(*band_structs)).alias("band")
-    ).select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    exploded = lsh_band_keys(
+        signatures, id_col=id_col, num_hashes=num_hashes, bands=bands
+    )
     return _pairs_in_buckets(exploded, ["band_id", "band_hash"], id_col).distinct()
 
 

@@ -15,6 +15,7 @@ as a duplicate (equivalence pinned in tests/test_streaming.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from patternly_spark.functions.text import fingerprint
 
@@ -38,3 +39,159 @@ def streaming_exact_dedup(
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+
+
+def incremental_neardup_dedup(
+    new_docs: DataFrame,
+    registry: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+):
+    """Near-dup dedup of an ingestion batch against an accumulated LSH
+    band registry AND against itself — the foreachBatch/daily-compaction
+    shape of streaming MinHash dedup.
+
+    ``registry``: (band_id, band_hash, canonical_id) — every band key
+    ever seen, mapped to the surviving (canonical) document that owns it.
+    At scale, materialize it bucketed by (band_id, band_hash) (see
+    ``sources.bucketed``) so the 100 TB side never re-shuffles; only the
+    batch's band keys move.
+
+    Returns ``(result, new_registry_rows)``:
+
+    - ``result``: (id_col, canonical_id, is_dup, is_new_canonical) over
+      the batch — candidate-level semantics (band collision == dup),
+      matching ``lsh_candidate_pairs`` + ``dedup_clusters`` on a batch.
+    - ``new_registry_rows``: the batch's band keys mapped to their final
+      canonical ids — append these to the registry for the next batch.
+
+    Batch-internal transitivity is handled by connected components over
+    the batch's own collisions, seeded with registry matches; a component
+    inherits the smallest matched canonical, else its own min doc id.
+    Known divergence from a full batch re-run: a later doc that collides
+    with TWO already-registered canonicals does not merge their clusters
+    (it joins the smaller-id one) — online dedup can't rewrite history;
+    a periodic batch ``neardup_dedup_corpus`` compaction heals this.
+    """
+    from patternly_spark.operators.dedup import lsh_band_keys, minhash_signatures
+    from patternly_spark.operators.graph import connected_components
+
+    sigs = minhash_signatures(
+        new_docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_size=shingle_size,
+        num_hashes=num_hashes,
+    )
+    bk = lsh_band_keys(sigs, id_col=id_col, num_hashes=num_hashes, bands=bands)
+
+    # external matches: batch doc -> smallest already-registered canonical
+    ext = (
+        bk.join(registry, ["band_id", "band_hash"])
+        .groupBy(id_col)
+        .agg(F.min("canonical_id").alias("__ext"))
+    )
+
+    # batch-internal collision edges via per-bucket min doc (star edges
+    # carry the same connectivity as all pairs, linear not quadratic)
+    bucket_min = bk.groupBy("band_id", "band_hash").agg(F.min(id_col).alias("__root"))
+    edges = (
+        bk.join(bucket_min, ["band_id", "band_hash"])
+        .filter(F.col(id_col) != F.col("__root"))
+        .select(F.col(id_col).alias("src"), F.col("__root").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(edges, "src", "dst").select(
+        F.col("node").alias(id_col), F.col("component")
+    )
+
+    ids = new_docs.select(F.col(id_col).cast("long").alias(id_col))
+    labeled = (
+        ids.join(comp, id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+        .join(ext, id_col, "left")
+    )
+    # component canonical: smallest external canonical seen by ANY member,
+    # else the component's own min doc id (= the component label)
+    comp_canon = labeled.groupBy("component").agg(
+        F.min("__ext").alias("__comp_ext")
+    )
+    result = (
+        labeled.join(comp_canon, "component")
+        .withColumn(
+            "canonical_id", F.coalesce("__comp_ext", F.col("component"))
+        )
+        .select(
+            id_col,
+            "canonical_id",
+            (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
+            (
+                F.col("__comp_ext").isNull() & (F.col(id_col) == F.col("component"))
+            ).alias("is_new_canonical"),
+        )
+    )
+    new_registry_rows = (
+        bk.join(result.select(id_col, "canonical_id"), id_col)
+        .groupBy("band_id", "band_hash")
+        .agg(F.min("canonical_id").alias("canonical_id"))
+    )
+    return result, new_registry_rows
+
+
+def streaming_neardup_dedup(
+    stream_docs: DataFrame,
+    registry_path: str,
+    output_path: str,
+    *,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    trigger_once: bool = False,
+):
+    """foreachBatch wrapper: each microbatch runs
+    ``incremental_neardup_dedup`` against the parquet registry at
+    ``registry_path``, appends the flagged batch to ``output_path`` and
+    the new band keys to the registry.  Microbatches are sequential, so
+    registry read-then-append is race-free by construction.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    reg_schema = StructType(
+        [
+            StructField("band_id", LongType()),
+            StructField("band_hash", StringType()),
+            StructField("canonical_id", LongType()),
+        ]
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            registry = spark.read.parquet(registry_path)
+        except Exception:
+            registry = spark.createDataFrame([], reg_schema)
+        result, new_rows = incremental_neardup_dedup(
+            batch_df,
+            registry,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_size=shingle_size,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+        result.write.mode("append").parquet(output_path)
+        new_rows.write.mode("append").parquet(registry_path)
+
+    writer = stream_docs.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

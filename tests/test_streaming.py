@@ -278,3 +278,120 @@ def test_streaming_hypertable_rollup_matches_batch(spark, events_path):
         .reset_index(drop=True)
     )
     assert got.equals(batch)
+
+
+def _neardup_corpus():
+    rng = np.random.default_rng(11)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(rng.choice(vocab, size=25).tolist())))
+    # 30,31 exact dups of 0 and 2; 32 near-dup of 5 (one token changed)
+    rows.append((30, rows[0][1]))
+    rows.append((31, rows[2][1]))
+    t = rows[5][1].split()
+    t[3] = "omega"
+    rows.append((32, " ".join(t)))
+    # 33: dup of the dup (chains through 30 back to 0)
+    rows.append((33, rows[0][1]))
+    return rows
+
+
+def test_incremental_neardup_matches_batch(spark):
+    from patternly_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+    from patternly_spark.operators.graph import dedup_clusters
+    from patternly_spark.streaming.dedup import incremental_neardup_dedup
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    rows = _neardup_corpus()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = minhash_signatures(docs)
+    batch_map = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(lsh_candidate_pairs(sigs), docs).collect()
+    }
+
+    reg_schema = StructType(
+        [
+            StructField("band_id", LongType()),
+            StructField("band_hash", StringType()),
+            StructField("canonical_id", LongType()),
+        ]
+    )
+    registry = spark.createDataFrame([], reg_schema)
+    inc_map = {}
+    for lo, hi in [(0, 12), (12, 24), (24, 34)]:
+        chunk = spark.createDataFrame(rows[lo:hi], "doc_id long, text string")
+        result, new_rows = incremental_neardup_dedup(chunk, registry)
+        for r in result.collect():
+            inc_map[r["doc_id"]] = r["canonical_id"]
+        registry = registry.union(new_rows).localCheckpoint(eager=True)
+
+    assert inc_map == batch_map
+    # the planted dups actually collapsed
+    assert inc_map[30] == 0 and inc_map[33] == 0 and inc_map[31] == 2
+
+
+def test_incremental_neardup_flags(spark):
+    from patternly_spark.streaming.dedup import incremental_neardup_dedup
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    rows = _neardup_corpus()
+    reg_schema = StructType(
+        [
+            StructField("band_id", LongType()),
+            StructField("band_hash", StringType()),
+            StructField("canonical_id", LongType()),
+        ]
+    )
+    registry = spark.createDataFrame([], reg_schema)
+    first = spark.createDataFrame(rows[:30], "doc_id long, text string")
+    r1, new1 = incremental_neardup_dedup(first, registry)
+    p1 = {r["doc_id"]: r for r in r1.collect()}
+    assert not p1[0]["is_dup"] and p1[0]["is_new_canonical"]
+    registry = registry.union(new1)
+
+    second = spark.createDataFrame(rows[30:], "doc_id long, text string")
+    r2, _ = incremental_neardup_dedup(second, registry)
+    p2 = {r["doc_id"]: r for r in r2.collect()}
+    assert p2[30]["is_dup"] and p2[30]["canonical_id"] == 0
+    assert not p2[30]["is_new_canonical"]
+    # 33 chains through 30 (same batch) back to canonical 0
+    assert p2[33]["is_dup"] and p2[33]["canonical_id"] == 0
+
+
+def test_streaming_neardup_dedup_end_to_end(spark, tmp_path):
+    from patternly_spark.streaming.dedup import streaming_neardup_dedup
+
+    rows = _neardup_corpus()
+    src = str(tmp_path / "src")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.repartition(2).write.parquet(src)
+
+    q = streaming_neardup_dedup(
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src),
+        registry_path=str(tmp_path / "registry"),
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == len(rows)
+    pdf = out.toPandas().set_index("doc_id")
+    # file-arrival order is not id order, so the canonical is the FIRST
+    # ARRIVAL of its cluster, not the min id — assert order-independent
+    # invariants: dups point at a non-dup survivor, never themselves
+    dups = pdf.loc[pdf.is_dup]
+    assert (dups.canonical_id != dups.index).all()
+    survivors = set(pdf.loc[~pdf.is_dup].index)
+    assert set(dups.canonical_id).issubset(survivors)
+    # the planted clusters collapsed regardless of arrival order
+    canon = pdf.canonical_id.to_dict()
+    canon = {d: (c if pdf.loc[d, "is_dup"] else d) for d, c in canon.items()}
+    assert canon[0] == canon[30] == canon[33]
+    assert canon[2] == canon[31]
+    registry = spark.read.parquet(str(tmp_path / "registry"))
+    assert registry.count() > 0
