@@ -1201,6 +1201,20 @@ def q97_ivf_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q58_top_tokens(spark, sf_dir):
+    """Exact per-source top-10 tokens: two cascaded map-side-combinable
+    counts, window rank over distinct (source, token) rows only.  The
+    exact baseline the Misra-Gries sketch (operators/sketches.
+    frequent_items) approximates with bounded memory at 100 TB."""
+    from patternly_spark.operators.sketches import top_items_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    return top_items_per_group(toks, "source", "token", k=10)
+
+
 def q57_pq_topk(spark, sf_dir):
     """PQ-compressed ANN: per-subspace codebooks (8 x 16), tinyint codes,
     asymmetric-distance top-k via per-query lookup tables — the scan reads
@@ -1307,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_zorder_values": q55_zorder_values,
         "q56_interval_overlap": q56_interval_overlap,
         "q57_pq_topk": q57_pq_topk,
+        "q58_top_tokens": q58_top_tokens,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1726,6 +1741,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN na ub ON ub.w = nab.b
             CROSS JOIN tot
             WHERE nab.n_ab >= 5
+        """,
+        "q58_top_tokens": """
+            WITH toks AS (
+                SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS token
+                FROM documents
+            ), c AS (
+                SELECT source, token, COUNT(*) AS cnt FROM toks GROUP BY source, token
+            )
+            SELECT source, token, CAST(cnt AS BIGINT) AS cnt, rank
+            FROM (
+                SELECT source, token, cnt,
+                       ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, token ASC) AS rank
+                FROM c
+            )
+            WHERE rank <= 10
         """,
         "q56_interval_overlap": """
             WITH errs AS (

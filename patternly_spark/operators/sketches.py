@@ -59,3 +59,123 @@ def sketch_profile(
             aggs.append(F.element_at(q, i + 1).cast("double").alias(label))
     grouped = df.groupBy(*keys) if keys else df.groupBy()
     return grouped.agg(*aggs)
+
+
+def top_items_per_group(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Exact per-group top-k items by count: (group, item, cnt, rank).
+
+    Two map-side-combinable aggregations collapse the data before
+    anything wide happens; the rank window then runs over distinct
+    (group, item) rows only.  Ties break on item value (deterministic).
+    This is the exact baseline ``frequent_items`` approximates.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col, item_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("cnt"), F.asc(item_col))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, item_col, "cnt", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def frequent_items(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    capacity: int = 64,
+) -> DataFrame:
+    """Misra-Gries heavy hitters per group — the bounded-memory scale
+    path when the item domain is too large to count exactly (URLs,
+    n-grams, user ids at 100 TB).
+
+    Shape: every partition builds an MG summary of at most ``capacity``
+    counters per group (mapInPandas, Arrow-batched, O(capacity) memory
+    regardless of partition size), then ONE aggregation merges summaries
+    and accumulates each partition's decrement bound.  Output per
+    (group, item): ``count_lo`` (sum of retained counters — never above
+    the true count) and ``count_hi`` (count_lo + summed decrements —
+    never below it).  Guarantee: every item with true count >
+    total_rows(group)/capacity survives; the exact top-k
+    (``top_items_per_group``) is a subset of these survivors whenever k
+    <= capacity and counts are separated by the error bound (pinned in
+    tests/test_sketches.py).
+    """
+    import pandas as pd
+
+    out_schema = f"{group_col} string, {item_col} string, w long, dec long"
+
+    def mg_partition(batches):
+        # per-group counters + per-group decrement total for this partition.
+        # Each Arrow batch is first collapsed to (group, item) weights by a
+        # vectorized value-count, so the Python loop runs over DISTINCT
+        # pairs per batch, not rows.  Weighted-MG insertion: every
+        # decrement unit removes >= capacity+1 units of total weight, so
+        # the classic (true - lo) <= decrements bound survives weighting.
+        counters: dict[str, dict[str, int]] = {}
+        decs: dict[str, int] = {}
+
+        def add(c: dict, g: str, it: str, w: int) -> None:
+            if it in c:
+                c[it] += w
+                return
+            while w > 0 and len(c) >= capacity:
+                delta = min(min(c.values()), w)
+                decs[g] = decs.get(g, 0) + delta
+                for key in list(c):
+                    c[key] -= delta
+                    if c[key] == 0:
+                        del c[key]
+                w -= delta
+            if w > 0:
+                c[it] = w
+
+        for pdf in batches:
+            weights = (
+                pdf.assign(
+                    __g=pdf[group_col].astype(str), __i=pdf[item_col].astype(str)
+                )
+                .groupby(["__g", "__i"], sort=False)
+                .size()
+            )
+            for (g, it), w in weights.items():
+                add(counters.setdefault(g, {}), g, it, int(w))
+        rows = []
+        for g, c in counters.items():
+            d = decs.get(g, 0)
+            first = True
+            for it, w in c.items():
+                # attach the partition's decrement total to one row per
+                # group (not every row) so the merge can sum it exactly
+                rows.append((g, it, w, d if first else 0))
+                first = False
+            if not c and d:
+                rows.append((g, "", 0, d))
+        yield pd.DataFrame(rows, columns=[group_col, item_col, "w", "dec"])
+
+    summaries = df.select(
+        F.col(group_col).cast("string"), F.col(item_col).cast("string")
+    ).mapInPandas(mg_partition, schema=out_schema)
+
+    merged = summaries.groupBy(group_col, item_col).agg(
+        F.sum("w").alias("count_lo"), F.sum("dec").alias("__dec_here")
+    )
+    group_err = merged.groupBy(group_col).agg(F.sum("__dec_here").alias("__err"))
+    return (
+        merged.filter(F.col("count_lo") > 0)
+        .join(group_err, group_col)
+        .select(
+            group_col,
+            item_col,
+            "count_lo",
+            (F.col("count_lo") + F.col("__err")).alias("count_hi"),
+        )
+    )

@@ -61,3 +61,64 @@ def test_single_aggregation_pass(spark, data):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # one hash-partitioning exchange for the groupBy; sketches merge in it
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_top_items_per_group_exact(spark):
+    from patternly_spark.operators.sketches import top_items_per_group
+
+    rows = [("g1", "a")] * 5 + [("g1", "b")] * 3 + [("g1", "c")] * 1 + [("g2", "x")] * 2
+    df = spark.createDataFrame(rows, "g string, item string")
+    out = top_items_per_group(df, "g", "item", k=2).collect()
+    got = {(r["g"], r["item"]): (r["cnt"], r["rank"]) for r in out}
+    assert got == {("g1", "a"): (5, 1), ("g1", "b"): (3, 2), ("g2", "x"): (2, 1)}
+
+
+def _skewed(spark, n_groups=3, heavy=200, tail=400, seed=5):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for g in range(n_groups):
+        for h in range(4):  # 4 heavy items per group
+            rows += [(f"g{g}", f"heavy{h}")] * (heavy - 10 * h)
+        for t in range(tail):  # long tail of singletons
+            rows.append((f"g{g}", f"tail{rng.integers(10_000)}"))
+    rng.shuffle(rows)
+    return spark.createDataFrame(rows, "g string, item string").repartition(8)
+
+
+def test_frequent_items_bounds_contain_truth(spark):
+    from patternly_spark.operators.sketches import frequent_items
+
+    df = _skewed(spark)
+    truth = {
+        (r["g"], r["item"]): r["cnt"]
+        for r in df.groupBy("g", "item").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    got = frequent_items(df, "g", "item", capacity=32).collect()
+    assert got, "sketch returned nothing"
+    for r in got:
+        true = truth[(r["g"], r["item"])]
+        assert r["count_lo"] <= true <= r["count_hi"], (r, true)
+
+
+def test_frequent_items_superset_of_exact_topk(spark):
+    from patternly_spark.operators.sketches import frequent_items, top_items_per_group
+
+    df = _skewed(spark)
+    exact = top_items_per_group(df, "g", "item", k=4).collect()
+    kept = {
+        (r["g"], r["item"])
+        for r in frequent_items(df, "g", "item", capacity=32).collect()
+    }
+    for r in exact:
+        assert (r["g"], r["item"]) in kept, r
+
+
+def test_frequent_items_bounded_output(spark):
+    from patternly_spark.operators.sketches import frequent_items
+
+    df = _skewed(spark)
+    out = frequent_items(df, "g", "item", capacity=16).toPandas()
+    # <= capacity survivors per (group, partition); far fewer than the domain
+    assert out.groupby("g").size().max() <= 16 * 8
