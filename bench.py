@@ -76,6 +76,11 @@ BENCH_QUERIES = [
     "q51_mixture_weights",
     "q52_domain_cap",
     "q53_intradoc_dedup",
+    "q54_lm_perplexity",
+    "q55_zorder_values",
+    "q56_interval_overlap",
+    "q57_pq_topk",
+    "q58_top_tokens",
     "q90_pfsa_llk_scores",
     "q91_anomaly_pipeline",
     "q92_simhash",

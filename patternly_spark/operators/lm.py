@@ -77,6 +77,23 @@ class BigramLM:
     vocab_size: int
 
 
+def _counts_from(doc_bi: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Cascade the per-doc bigram table into corpus counts + context
+    marginals — each strictly smaller (vocabulary-scale, not corpus-
+    scale), so every shuffle after the first moves bounded data."""
+    bigram_counts = doc_bi.groupBy("w1", "w2").agg(F.sum("occ").alias("cb"))
+    context_counts = bigram_counts.groupBy("w1").agg(F.sum("cb").alias("cc"))
+    return bigram_counts, context_counts
+
+
+def _vocab_size(docs: DataFrame, text_col: str) -> int:
+    return int(
+        docs.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+        .agg(F.countDistinct("tok"))
+        .first()[0]
+    )
+
+
 def train_bigram_lm(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> BigramLM:
@@ -86,15 +103,10 @@ def train_bigram_lm(
     standard conditional-MLE denominator), derived from the bigram table
     — a second tiny aggregation, not a second corpus scan.
     """
-    doc_bi = _doc_bigrams(docs, id_col=id_col, text_col=text_col)
-    bigram_counts = doc_bi.groupBy("w1", "w2").agg(F.sum("occ").alias("cb"))
-    context_counts = bigram_counts.groupBy("w1").agg(F.sum("cb").alias("cc"))
-    vocab_size = (
-        docs.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
-        .agg(F.countDistinct("tok"))
-        .first()[0]
+    bigram_counts, context_counts = _counts_from(
+        _doc_bigrams(docs, id_col=id_col, text_col=text_col)
     )
-    return BigramLM(bigram_counts, context_counts, int(vocab_size))
+    return BigramLM(bigram_counts, context_counts, _vocab_size(docs, text_col))
 
 
 def _quantized_logp(cb: Column, cc: Column, k: float, vocab_size: int, bits: int) -> Column:
@@ -126,8 +138,14 @@ def bigram_lm_scores(
     operator reports nats and leaves exponentiation to the consumer.
     """
     if lm is None:
-        lm = train_bigram_lm(docs, id_col=id_col, text_col=text_col)
-    doc_bi = _doc_bigrams(docs, id_col=id_col, text_col=text_col)
+        # self-scoring: the count cascade AND the scoring probe both read
+        # the per-doc bigram table, so persist it once — without this the
+        # corpus-scale scan+explode+shuffle executes twice
+        doc_bi = _doc_bigrams(docs, id_col=id_col, text_col=text_col).persist()
+        bigram_counts, context_counts = _counts_from(doc_bi)
+        lm = BigramLM(bigram_counts, context_counts, _vocab_size(docs, text_col))
+    else:
+        doc_bi = _doc_bigrams(docs, id_col=id_col, text_col=text_col)
     logp = _quantized_logp(
         F.coalesce(F.col("cb"), F.lit(0)).cast("double"),
         F.coalesce(F.col("cc"), F.lit(0)).cast("double"),
