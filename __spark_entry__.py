@@ -1215,6 +1215,44 @@ def q58_top_tokens(spark, sf_dir):
     return top_items_per_group(toks, "source", "token", k=10)
 
 
+def q59_shard_assignment(spark, sf_dir):
+    """Token-weight-balanced shard assignment: serpentine round-robin
+    over the weight rank, so every shard draws one document per weight
+    stratum.  One rank window (range-partitioned by Spark); the output
+    is the doc->shard map a writer joins against."""
+    from patternly_spark.operators.packing import assign_shards
+
+    d = _t(spark, sf_dir, "documents")
+    return assign_shards(d, n_shards=8)
+
+
+def q60_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss projection 64 -> 16 dims: literal-expression
+    dot folds (JVM-side, zero Python, zero shuffle), emitted long-form
+    via posexplode so the fold evaluates once per vector.  Left-fold
+    order makes it bit-reproducible in SQL (q94/q96 precedent)."""
+    import numpy as np
+
+    from patternly_spark.functions.vectors import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = np.random.default_rng(21).normal(size=(16, 64))
+    proj = random_projection(F.col("embedding"), planes, scale=0.25)
+    return emb.withColumn("p", proj).select(
+        "vec_id", F.posexplode("p").alias("pos", "val")
+    )
+
+
+def q61_winsorize(spark, sf_dir):
+    """Per-event-type winsorization at the [5%, 95%] quantiles: one tiny
+    cut-point aggregation, broadcast join back, pure-map clip.  Exact
+    interpolated percentile (== DuckDB quantile_cont, q15 precedent)."""
+    from patternly_spark.operators.normalize import winsorize
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return winsorize(e, "value", by="event_type")
+
+
 def q57_pq_topk(spark, sf_dir):
     """PQ-compressed ANN: per-subspace codebooks (8 x 16), tinyint codes,
     asymmetric-distance top-k via per-query lookup tables — the scan reads
@@ -1322,6 +1360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_interval_overlap": q56_interval_overlap,
         "q57_pq_topk": q57_pq_topk,
         "q58_top_tokens": q58_top_tokens,
+        "q59_shard_assignment": q59_shard_assignment,
+        "q60_random_projection": q60_random_projection,
+        "q61_winsorize": q61_winsorize,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1741,6 +1782,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN na ub ON ub.w = nab.b
             CROSS JOIN tot
             WHERE nab.n_ab >= 5
+        """,
+        "q59_shard_assignment": """
+            WITH w AS (
+                SELECT doc_id,
+                       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS weight
+                FROM documents
+            ), r AS (
+                SELECT doc_id, weight,
+                       ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id ASC) - 1 AS rk
+                FROM w
+            )
+            SELECT doc_id, weight,
+                   CAST(CASE WHEN (rk // 8) % 2 = 1 THEN 7 - (rk % 8) ELSE rk % 8 END AS INTEGER) AS shard
+            FROM r
+        """,
+        "q60_random_projection": _random_projection_oracle(16, 21, 64),
+        "q61_winsorize": """
+            WITH q AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.05) AS lo,
+                       quantile_cont(value, 0.95) AS hi
+                FROM events GROUP BY event_type
+            )
+            SELECT event_id, e.event_type, value,
+                   least(greatest(value, lo), hi) AS value_w
+            FROM events e JOIN q USING (event_type)
         """,
         "q58_top_tokens": """
             WITH toks AS (
@@ -2590,6 +2657,26 @@ def _lsh_candidates_oracle(num_hashes: int, bands: int) -> str:
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
         FROM ex l JOIN ex r
           ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+    """
+
+
+def _random_projection_oracle(num_planes: int, seed: int, dim: int) -> str:
+    """DuckDB replica of q60: identical numpy-seeded planes as literals,
+    identical power-of-two scale, and — the part that matters — an
+    EXPLICIT left-associated `+` chain for the dot product.  DuckDB's
+    ``list_reduce`` is a pairwise (tree) reduction, NOT a left fold, so
+    ``_fold_sql`` diverges from Spark's ``F.aggregate`` in the last ulp
+    on ~2% of raw sums (invisible to the sign/round(6) consumers that
+    use it, fatal to raw-value parity).  SQL's own ``a + b + c`` is
+    guaranteed left-to-right."""
+    chain = " + ".join(
+        f"e.embedding[{i}]::DOUBLE * p.p[{i}]" for i in range(1, dim + 1)
+    )
+    return f"""
+        WITH planes(pid, p) AS (VALUES {_plane_literals(num_planes, seed, dim)})
+        SELECT e.vec_id, CAST(p.pid AS INTEGER) AS pos,
+               (0.0::DOUBLE + {chain}) * 0.25 AS val
+        FROM embeddings e CROSS JOIN planes p
     """
 
 

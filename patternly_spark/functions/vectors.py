@@ -152,3 +152,40 @@ def hash_embedding(hashes: Column, dim: int = 16) -> Column:
         ),
     )
     return F.transform(summed, lambda x: x.cast("double"))
+
+
+def random_projection(vec: Column, planes, *, scale: float | None = None) -> Column:
+    """Johnson-Lindenstrauss projection: array<double> of vec . planes[i]
+    (optionally x ``scale``, canonically 1/sqrt(k)) — the cheap
+    dimensionality reduction in front of clustering / dedup / ANN when
+    the raw embedding width is the cost driver.
+
+    Literal-expression dot folds under LITERAL_BUDGET (JVM-side, zero
+    Python), one Arrow-batched matmul per batch above it.  The literal
+    path's left-fold order is bit-reproducible cross-engine (the q94/q96
+    oracle precedent); the UDF path matches within SIMD re-association.
+    """
+    planes = np.asarray(planes, dtype=np.float64)
+    if planes.size <= LITERAL_BUDGET:
+        comps = []
+        for p in planes:
+            arr = F.array(*[F.lit(float(v)) for v in p])
+            d = F.aggregate(
+                F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            comps.append(d * F.lit(float(scale)) if scale is not None else d)
+        return F.array(*comps)
+
+    from pyspark.sql.functions import pandas_udf
+
+    s = 1.0 if scale is None else float(scale)
+
+    @pandas_udf("array<double>")
+    def _proj(vs: pd.Series) -> pd.Series:
+        m = np.vstack(vs.to_numpy()).astype(np.float64)
+        out = (m @ planes.T) * s
+        return pd.Series([row.tolist() for row in out])
+
+    return _proj(vec)

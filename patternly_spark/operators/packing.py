@@ -124,3 +124,48 @@ def chunk_documents(
         F.least(F.lit(chunk_tokens), F.col("__n") - start).cast("int").alias("n_chunk_tokens"),
         F.concat_ws(" ", F.slice("__toks", start + 1, F.lit(chunk_tokens))).alias("chunk_text"),
     )
+
+
+def assign_shards(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str | None = None,
+    text_col: str = "text",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Weight-balanced shard assignment: (id_col, weight, shard).
+
+    Serpentine (boustrophedon) round-robin over documents ranked by
+    descending weight: rank r goes to shard ``r % n`` on even passes and
+    ``n-1 - (r % n)`` on odd passes, so every shard gets one document
+    from each weight stratum — shard totals differ by at most one
+    stratum's spread, without the sequential greedy bin-packing loop
+    that can't distribute.  Deterministic (ties rank by id).
+
+    The rank is one global sort — at 100 TB use ``repartitionByRange``
+    semantics (Spark's rank window already range-partitions); the output
+    is the (doc -> shard) map a writer joins against, not moved data.
+
+    ``weight_col=None`` weighs by whitespace token count of ``text_col``.
+    """
+    from pyspark.sql import Window
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    w = (
+        F.col(weight_col)
+        if weight_col is not None
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    )
+    ranked = docs.select(
+        F.col(id_col), w.cast("long").alias("weight")
+    ).withColumn(
+        "__r",
+        F.row_number().over(Window.orderBy(F.desc("weight"), F.asc(id_col))) - 1,
+    )
+    n = F.lit(int(n_shards))
+    pos = F.col("__r") % n
+    odd_pass = (F.floor(F.col("__r") / n) % 2) == 1
+    shard = F.when(odd_pass, n - 1 - pos).otherwise(pos)
+    return ranked.select(id_col, "weight", shard.cast("int").alias("shard"))
