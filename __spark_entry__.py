@@ -66,24 +66,36 @@ def _ensure_pkg_on_executors(spark: SparkSession) -> None:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_pkg_on_executors(spark)
-    # events.ts is TIMESTAMP(NANOS) in the parquet, which a vanilla Spark
-    # session rejects (PARQUET_TYPE_ILLEGAL).  The conf below is
-    # runtime-settable and makes it arrive as long nanoseconds instead;
-    # the generator emits whole microseconds, so converting back to a
-    # timestamp is lossless.
+    # events.ts is TIMESTAMP(NANOS) in the parquet.  How it arrives depends
+    # on the Spark version: <=4.0 vanilla sessions reject it
+    # (PARQUET_TYPE_ILLEGAL) unless spark.sql.legacy.parquet.nanosAsLong
+    # makes it a long; 4.1+ reads it natively as TIMESTAMP_NTZ (the conf is
+    # inert).  Normalize every arrival shape to a plain TIMESTAMP holding
+    # the same UTC instant so downstream unix_micros/date_trunc/window
+    # calls behave identically on any driver-provided session.
     if name == "events":
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
-            pass  # conf removed in some future Spark: fall through to pyarrow
+            pass  # conf removed in some future Spark: fall through
         try:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         except Exception:
             return _read_events_via_arrow(spark, sf_dir)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer `div` keeps the truncation exact (double division
             # would round 19-digit nanos)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # NTZ -> instant via session tz; pin it to UTC (runtime-settable)
+            # so the wall-clock in the file IS the UTC instant — matches
+            # what DuckDB computes and what the bigint branch produced.
+            try:
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
+            except Exception:
+                pass
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -1253,6 +1265,18 @@ def q61_winsorize(spark, sf_dir):
     return winsorize(e, "value", by="event_type")
 
 
+def q62_exactsubstr_spans(spark, sf_dir):
+    """ExactSubstr dedup (Lee et al. 2022) without the suffix array:
+    duplicated-L-window position coverage == duplicated-substring
+    position coverage, so md5 every 8-token window, keep-first on
+    (doc_id, pos), gaps-and-islands merge into maximal spans.  One
+    skew-collapsing groupBy on the gram hash + per-doc island windows."""
+    from patternly_spark.operators.dedup import exact_substring_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_substring_spans(docs, min_tokens=8)
+
+
 def q57_pq_topk(spark, sf_dir):
     """PQ-compressed ANN: per-subspace codebooks (8 x 16), tinyint codes,
     asymmetric-distance top-k via per-query lookup tables — the scan reads
@@ -1363,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_shard_assignment": q59_shard_assignment,
         "q60_random_projection": q60_random_projection,
         "q61_winsorize": q61_winsorize,
+        "q62_exactsubstr_spans": q62_exactsubstr_spans,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1798,6 +1823,40 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         """,
         "q60_random_projection": _random_projection_oracle(16, 21, 64),
+        "q62_exactsubstr_spans": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id, CAST(i AS INT) AS pos,
+                       md5(array_to_string(toks[(i+1):(i+8)], CHR(31))) AS h
+                FROM t, unnest(range(len(toks) - 8 + 1)) AS u(i)
+                WHERE len(toks) >= 8
+            ), d AS (
+                SELECT doc_id, pos FROM (
+                    SELECT doc_id, pos,
+                           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+                           COUNT(*) OVER (PARTITION BY h) AS cnt
+                    FROM g
+                ) WHERE cnt > 1 AND rn > 1
+            ), m AS (
+                SELECT doc_id, pos,
+                       MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+                FROM d
+            ), s AS (
+                SELECT doc_id, pos,
+                       SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM m
+            )
+            SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+                   CAST(MAX(pos) + 8 AS INT) AS span_end,
+                   CAST(MAX(pos) + 8 - MIN(pos) AS INT) AS span_tokens
+            FROM s GROUP BY doc_id, island
+        """,
         "q61_winsorize": """
             WITH q AS (
                 SELECT event_type,
@@ -2685,9 +2744,17 @@ def _plane_literals(num_planes: int, seed: int, dim: int) -> str:
 
     planes = np.random.default_rng(seed).normal(size=(num_planes, dim))
     return ", ".join(
-        "({i}, [{vals}]::DOUBLE[])".format(i=i, vals=", ".join(repr(float(v)) for v in p))
+        "({i}, [{vals}]::DOUBLE[])".format(i=i, vals=", ".join(_dlit(v) for v in p))
         for i, p in enumerate(planes)
     )
+
+
+def _dlit(v: float) -> str:
+    """Exact DOUBLE literal for DuckDB.  A bare decimal literal (repr)
+    is parsed as DECIMAL first and cast after — a double-rounding that
+    moves ~20% of normal() values by one ulp (DuckDB >= 1.0).  E-notation
+    parses directly as DOUBLE: %.17e round-trips every finite double."""
+    return "%.17e" % float(v)
 
 
 def _fold_sql(expr: str, dim: int) -> str:
@@ -2749,7 +2816,7 @@ def _semantic_dedup_oracle(threshold: float, num_planes: int, seed: int, dim: in
     planes = np.random.default_rng(seed).normal(size=(num_planes, dim))
     plane_rows = ", ".join(
         "({i}, [{vals}]::DOUBLE[])".format(
-            i=i, vals=", ".join(repr(float(v)) for v in p)
+            i=i, vals=", ".join(_dlit(v) for v in p)
         )
         for i, p in enumerate(planes)
     )
@@ -2805,7 +2872,7 @@ def _embedding_neardup_oracle(threshold: float, num_planes: int, seed: int, dim:
     planes = np.random.default_rng(seed).normal(size=(num_planes, dim))
     plane_rows = ", ".join(
         "({i}, [{vals}]::DOUBLE[])".format(
-            i=i, vals=", ".join(repr(float(v)) for v in p)
+            i=i, vals=", ".join(_dlit(v) for v in p)
         )
         for i, p in enumerate(planes)
     )

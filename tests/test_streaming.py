@@ -24,8 +24,11 @@ def events_path(spark, tmp_path_factory):
     """events-like table written as parquet with micro timestamps so both
     batch read and readStream consume the identical file."""
     src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    if dict(src.dtypes).get("ts") == "bigint":
+    ts_type = dict(src.dtypes).get("ts")
+    if ts_type == "bigint":
         src = src.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    elif ts_type == "timestamp_ntz":  # Spark 4.1+ reads TIMESTAMP(NANOS) as NTZ
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
     path = str(tmp_path_factory.mktemp("stream") / "events")
     src.write.mode("overwrite").parquet(path)
     return path
