@@ -651,3 +651,135 @@ def span_dedup(
             F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
         )
     )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Corpus-global exact-substring duplication spans — the Spark-first
+    answer to suffix-array ExactSubstr dedup (Lee et al. 2022,
+    arXiv:2107.06499 §4.1; reference has no corpus dedup at all).
+
+    The suffix array is unnecessary for POSITION COVERAGE: a token
+    position lies inside some duplicated substring of >= L tokens iff it
+    lies inside some duplicated L-token window (any duplicated substring
+    of length >= L is tiled by duplicated L-windows; a duplicated
+    L-window IS such a substring).  So:
+
+    1. hash every L-token window (md5 over a 0x1f-joined slice — an
+       external SQL oracle reproduces it bit-for-bit),
+    2. keep-first: a window's globally first occurrence by (doc_id, pos)
+       stays; every other occurrence of a repeated window marks its L
+       positions duplicated,
+    3. merge overlapping duplicated windows per document into maximal
+       spans (gaps-and-islands).
+
+    Output: (doc_id, span_start, span_end, span_tokens) with half-open
+    token coordinates [start, end).
+
+    Scale shape: the gram relation is ~one row per corpus token but each
+    row is (id, int, 16-byte hash) — the same fan-out MinHash shingling
+    already pays.  First-occurrence is a partial-aggregating groupBy on
+    the hash (hot boilerplate grams collapse map-side; never a window
+    over the hash), the join back is AQE-skew-splittable, and the island
+    merge windows over doc_id — per-document data, never a global sort.
+    """
+    L = int(min_tokens)
+    if L < 2:
+        raise ValueError("min_tokens must be >= 2")
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    with_t = docs.select(F.col(id_col), toks.alias("__t"))
+    n = F.size("__t")
+    grams = with_t.select(
+        id_col,
+        F.posexplode(
+            F.when(
+                n >= L,
+                F.transform(
+                    F.sequence(F.lit(0), n - L),
+                    lambda i: F.md5(F.concat_ws("\x1f", F.slice("__t", i + 1, L))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "h"),
+    )
+    firsts = grams.groupBy("h").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct(id_col, "pos")).alias("__first"),
+    )
+    dup = (
+        grams.join(firsts, "h")
+        .filter(
+            (F.col("__cnt") > 1)
+            & ~(
+                (F.col(id_col) == F.col("__first")[id_col])
+                & (F.col("pos") == F.col("__first")["pos"])
+            )
+        )
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + L).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dup.withColumn(
+        "__new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    ).withColumn(
+        "__island", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + L).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Remove every ``exact_substring_spans`` span from its document and
+    reassemble the survivors (whitespace-normalized).  Output is TOTAL
+    over input ids: (doc_id, n_tokens, n_removed, text_deduped).
+
+    One extra shuffle beyond the span computation: spans collapse to one
+    row per affected doc (groupBy id), then a left join back to the
+    token arrays; the position filter is a per-row array expression.
+    """
+    spans = exact_substring_spans(
+        docs, id_col=id_col, text_col=text_col, min_tokens=min_tokens
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    with_t = docs.select(F.col(id_col), toks.alias("__t"))
+    joined = with_t.join(per_doc, id_col, "left")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"), lambda s: (i >= s["span_start"]) & (i < s["span_end"])
+    )
+    kept = F.when(F.col("__spans").isNull(), F.col("__t")).otherwise(
+        F.filter(F.col("__t"), lambda x, i: ~covered(i))
+    )
+    return joined.select(
+        id_col,
+        F.size("__t").cast("long").alias("n_tokens"),
+        (F.size("__t") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("text_deduped"),
+    )

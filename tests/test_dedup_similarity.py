@@ -520,3 +520,53 @@ def test_pq_finds_planted_near_dup(emb):
     codes = pq_encode(emb, cb)
     out = pq_topk(codes, emb.filter(F.col("vec_id") == 3), cb, k=1).toPandas()
     assert out.neighbor_id.tolist() == [50]
+
+
+def test_exactsubstr_spans_planted_duplicate(spark):
+    from patternly_spark.operators.dedup import exact_substring_spans
+
+    # doc 0 and doc 1 share a 12-token run; everything else is unique
+    shared = " ".join(f"s{i}" for i in range(12))
+    a = "a0 a1 a2 " + shared + " a3 a4"
+    b = "b0 " + shared + " b1 b2 b3"
+    c = "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"
+    docs = spark.createDataFrame([(0, a), (1, b), (2, c)], "doc_id long, text string")
+    spans = exact_substring_spans(docs, min_tokens=8).collect()
+    # keep-first: doc 0 (first occurrence) keeps its copy; only doc 1 marked
+    assert len(spans) == 1
+    (r,) = spans
+    # shared run sits at token positions 1..12 in doc 1
+    assert (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"]) == (1, 1, 13, 12)
+
+
+def test_exactsubstr_spans_islands_merge_overlaps(spark):
+    from patternly_spark.operators.dedup import exact_substring_spans
+
+    # two duplicated 8-gram regions in one doc separated by unique tokens:
+    # two distinct maximal spans, not one merged blob
+    r1 = " ".join(f"x{i}" for i in range(8))
+    r2 = " ".join(f"y{i}" for i in range(8))
+    src = r1 + " " + r2  # doc 0 holds the first occurrences contiguously
+    tgt = r1 + " gap0 gap1 gap2 " + r2
+    docs = spark.createDataFrame([(0, src), (1, tgt)], "doc_id long, text string")
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in exact_substring_spans(docs, min_tokens=8).collect()
+    }
+    assert spans == {(1, 0, 8), (1, 11, 19)}
+
+
+def test_exactsubstr_dedup_removes_only_covered_tokens(spark):
+    from patternly_spark.operators.dedup import exact_substring_dedup
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(0, "a0 " + shared + " a1"), (1, "b0 b1 " + shared), (2, "c0 c1 c2")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in exact_substring_dedup(docs, min_tokens=8).collect()}
+    assert out[0]["n_removed"] == 0  # first occurrence survives intact
+    assert out[1]["n_removed"] == 10
+    assert out[1]["text_deduped"] == "b0 b1"
+    assert out[2]["n_removed"] == 0 and out[2]["text_deduped"] == "c0 c1 c2"
+    assert out[1]["n_tokens"] == 12
