@@ -1277,6 +1277,23 @@ def q62_exactsubstr_spans(spark, sf_dir):
     return exact_substring_spans(docs, min_tokens=8)
 
 
+def q63_gapfill(spark, sf_dir):
+    """time_bucket_gapfill + linear interpolation (TimescaleDB semantics)
+    over hourly max(value) per event_type.  One aggregation shuffle, one
+    lead() window over the aggregated buckets, then each known bucket
+    explodes into itself + its trailing gap — the fill values ride along,
+    so no spine aggregation, join-back, or post-explode window."""
+    from patternly_spark.operators.rollup import gapfill
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    return gapfill(
+        e, axis="ts_us", value="value", width=3_600_000_000,
+        by="event_type", agg="max", method="linear",
+    )
+
+
 def q57_pq_topk(spark, sf_dir):
     """PQ-compressed ANN: per-subspace codebooks (8 x 16), tinyint codes,
     asymmetric-distance top-k via per-query lookup tables — the scan reads
@@ -1388,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_random_projection": q60_random_projection,
         "q61_winsorize": q61_winsorize,
         "q62_exactsubstr_spans": q62_exactsubstr_spans,
+        "q63_gapfill": q63_gapfill,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1856,6 +1874,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(pos) + 8 AS INT) AS span_end,
                    CAST(MAX(pos) + 8 - MIN(pos) AS INT) AS span_tokens
             FROM s GROUP BY doc_id, island
+        """,
+        "q63_gapfill": """
+            WITH b AS (
+                SELECT event_type,
+                       epoch_us(ts) - epoch_us(ts) % 3600000000 AS ws,
+                       CAST(COUNT(*) AS BIGINT) AS n, MAX(value) AS val
+                FROM events GROUP BY 1, 2
+            ), l AS (
+                SELECT *,
+                       LEAD(ws) OVER (PARTITION BY event_type ORDER BY ws) AS next_ws,
+                       LEAD(val) OVER (PARTITION BY event_type ORDER BY ws) AS next_val
+                FROM b
+            )
+            SELECT event_type, CAST(ws2 AS BIGINT) AS window_start,
+                   CASE WHEN ws2 = ws THEN n ELSE 0 END AS n,
+                   CASE WHEN ws2 = ws THEN val END AS val,
+                   CASE WHEN ws2 = ws THEN val
+                        ELSE val + (next_val - val) *
+                             (CAST(ws2 - ws AS DOUBLE) / CAST(next_ws - ws AS DOUBLE))
+                   END AS val_filled
+            FROM l, unnest(range(ws,
+                     CASE WHEN next_ws IS NULL THEN ws + 1 ELSE next_ws END,
+                     3600000000)) AS u(ws2)
         """,
         "q61_winsorize": """
             WITH q AS (

@@ -187,3 +187,93 @@ def streaming_hypertable_rollup(
         )
         out = branch if out is None else out.unionByName(branch)
     return out
+
+
+def gapfill(
+    df: DataFrame,
+    *,
+    axis: str,
+    value: str,
+    width: int,
+    by: str | list[str] | None = None,
+    agg: str = "max",
+    method: str = "locf",
+) -> DataFrame:
+    """TimescaleDB-style ``time_bucket_gapfill`` + fill: bucket ``axis``
+    (long units) by ``width``, aggregate ``value`` per bucket, then emit
+    every missing interior bucket per group with the chosen fill.
+
+    ``agg``: ``max`` | ``min`` | ``count`` | ``avg`` (max/min/count are
+    bit-exact cross-engine; avg depends on distributed sum order — fine
+    for use, excluded from exact oracles).  ``method``: ``none`` (gaps
+    stay NULL), ``locf`` (last observation carried forward), ``linear``
+    (interpolate between the surrounding known buckets on the bucket-
+    start axis; formula written to be IEEE-identical in SQL).
+
+    Output: (keys..., window_start, n, val, val_filled) — ``n`` = 0 and
+    ``val`` NULL on generated gap rows; total over [first, last] known
+    bucket per group (TimescaleDB fills the query range instead; pass a
+    pre-unioned range frame if you need leading/trailing fill).
+
+    Scale shape — the whole point of the formulation: ONE aggregation
+    shuffle + one small window (lead) over the aggregated buckets, then
+    each known bucket row explodes into itself plus its trailing gap
+    (``sequence(ws, next_ws - width, width)``).  The fill values ride
+    along from the pre-explode row, so there is NO spine aggregation,
+    NO join back, and NO post-explode window; per-row array size is
+    bounded by the individual gap length, not the group's time extent.
+    """
+    from pyspark.sql import Window
+
+    keys = [by] if isinstance(by, str) else list(by or [])
+    if agg not in ("max", "min", "count", "avg"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    if method not in ("none", "locf", "linear"):
+        raise ValueError(f"unsupported method {method!r}")
+    w_lit = F.lit(int(width)).cast("long")
+    a = F.col(axis).cast("long")
+    bucket = (a - F.pmod(a, w_lit)).alias("ws")
+    aggc = {
+        "max": F.max(value),
+        "min": F.min(value),
+        "count": F.count(value).cast("long"),
+        "avg": F.avg(value),
+    }[agg]
+    b = df.groupBy(*keys, bucket).agg(
+        F.count(F.lit(1)).cast("long").alias("n"), aggc.alias("val")
+    )
+    w = Window.partitionBy(*keys).orderBy("ws") if keys else Window.orderBy("ws")
+    led = b.withColumn("next_ws", F.lead("ws").over(w)).withColumn(
+        "next_val", F.lead("val").over(w)
+    )
+    spine = led.select(
+        *keys,
+        "ws",
+        "n",
+        "val",
+        "next_ws",
+        "next_val",
+        F.explode(
+            F.sequence(F.col("ws"), F.coalesce(F.col("next_ws") - w_lit, F.col("ws")), w_lit)
+        ).alias("ws2"),
+    )
+    known = F.col("ws2") == F.col("ws")
+    if method == "none":
+        filled = F.when(known, F.col("val"))
+    elif method == "locf":
+        # the carried value IS the pre-explode row's val
+        filled = F.col("val")
+    else:
+        frac = (F.col("ws2") - F.col("ws")).cast("double") / (
+            F.col("next_ws") - F.col("ws")
+        ).cast("double")
+        filled = F.when(known, F.col("val")).otherwise(
+            F.col("val") + (F.col("next_val") - F.col("val")) * frac
+        )
+    return spine.select(
+        *keys,
+        F.col("ws2").alias("window_start"),
+        F.when(known, F.col("n")).otherwise(F.lit(0)).cast("long").alias("n"),
+        F.when(known, F.col("val")).alias("val"),
+        filled.alias("val_filled"),
+    )

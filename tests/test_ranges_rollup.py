@@ -167,3 +167,55 @@ def test_rollup_explode_is_single_scan_single_shuffle(spark, ticks):
     out = hypertable_rollup(ticks, axis="t", value="v", widths=[10, 100])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_gapfill_locf_and_linear(spark):
+    from patternly_spark.operators.rollup import gapfill
+
+    # group g: buckets 0, 30, 40 present (width 10) -> gaps at 10, 20
+    rows = [("g", 3, 1.0), ("g", 34, 4.0), ("g", 45, 10.0), ("h", 7, 2.0)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+
+    out = {
+        (r["k"], r["window_start"]): r
+        for r in gapfill(df, axis="t", value="v", width=10, by="k", agg="max", method="linear").collect()
+    }
+    assert set(out) == {("g", 0), ("g", 10), ("g", 20), ("g", 30), ("g", 40), ("h", 0)}
+    assert out[("g", 0)]["val"] == 1.0 and out[("g", 0)]["n"] == 1
+    assert out[("g", 10)]["val"] is None and out[("g", 10)]["n"] == 0
+    # linear between (0, 1.0) and (30, 4.0): 10 -> 2.0, 20 -> 3.0
+    assert out[("g", 10)]["val_filled"] == 2.0
+    assert out[("g", 20)]["val_filled"] == 3.0
+    assert out[("g", 40)]["val_filled"] == 10.0
+    assert out[("h", 0)]["val_filled"] == 2.0
+
+    locf = {
+        (r["k"], r["window_start"]): r["val_filled"]
+        for r in gapfill(df, axis="t", value="v", width=10, by="k", agg="max", method="locf").collect()
+    }
+    assert locf[("g", 10)] == 1.0 and locf[("g", 20)] == 1.0 and locf[("g", 30)] == 4.0
+
+    none = {
+        (r["k"], r["window_start"]): r["val_filled"]
+        for r in gapfill(df, axis="t", value="v", width=10, by="k", agg="max", method="none").collect()
+    }
+    assert none[("g", 10)] is None and none[("g", 0)] == 1.0
+
+
+def test_gapfill_no_gaps_is_identity_shape(spark):
+    from patternly_spark.operators.rollup import gapfill
+
+    df = spark.createDataFrame(
+        [("g", 1, 5.0), ("g", 11, 6.0), ("g", 21, 7.0)], "k string, t long, v double"
+    )
+    rows = gapfill(df, axis="t", value="v", width=10, by="k", agg="count", method="linear").collect()
+    assert len(rows) == 3
+    assert all(r["n"] == 1 and r["val"] == 1 and r["val_filled"] == 1 for r in rows)
+
+
+def test_gapfill_single_shuffle_no_join(spark):
+    from patternly_spark.operators.rollup import gapfill
+
+    df = spark.createDataFrame([("g", 1, 5.0)], "k string, t long, v double")
+    plan = gapfill(df, axis="t", value="v", width=10, by="k")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
