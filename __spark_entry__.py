@@ -1294,6 +1294,61 @@ def q63_gapfill(spark, sf_dir):
     )
 
 
+def q64_funnel(spark, sf_dir):
+    """Ordered view->click->purchase funnel per user: one groupBy(user)
+    + a single F.aggregate fold over the sorted event array — no joins,
+    no UDFs.  Greedy earliest matching == the chained-min SQL
+    formulation (strictly-after chaining keeps ties identical)."""
+    from patternly_spark.operators.behavior import funnel
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    out = funnel(e, steps=["view", "click", "purchase"])
+    sc = F.col("steps_completed")
+    return out.select(
+        "user_id",
+        sc,
+        F.when(sc >= 1, F.element_at("step_ts", 1)).alias("t1"),
+        F.when(sc >= 2, F.element_at("step_ts", 2)).alias("t2"),
+        F.when(sc >= 3, F.element_at("step_ts", 3)).alias("t3"),
+    )
+
+
+def q65_cohort_retention(spark, sf_dir):
+    """Weekly signup-cohort retention triangle: two partial-aggregating
+    passes (cohort week per user, distinct activity weeks) + one
+    user-key equi-join."""
+    from patternly_spark.operators.behavior import cohort_retention
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    return cohort_retention(e)
+
+
+def q66_mad_outliers(spark, sf_dir):
+    """Median/MAD robust outlier fences per event_type: two one-row-per-
+    group cut-point aggregations broadcast back, pure-map flagging.
+    Exact interpolated percentile == DuckDB quantile_cont."""
+    from patternly_spark.operators.normalize import mad_outliers
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return mad_outliers(e, "value", by="event_type", k=3.0)
+
+
+def q67_quality_bins(spark, sf_dir):
+    """Curriculum decile binning per source: rank-exact ntile over a
+    (score, doc_id) total order — positions, not values, so no FP
+    comparability concerns."""
+    from patternly_spark.operators.sampling import quality_bins
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("score")
+    )
+    return quality_bins(d, "score", n_bins=10, by="source")
+
+
 def q57_pq_topk(spark, sf_dir):
     """PQ-compressed ANN: per-subspace codebooks (8 x 16), tinyint codes,
     asymmetric-distance top-k via per-query lookup tables — the scan reads
@@ -1406,6 +1461,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_winsorize": q61_winsorize,
         "q62_exactsubstr_spans": q62_exactsubstr_spans,
         "q63_gapfill": q63_gapfill,
+        "q64_funnel": q64_funnel,
+        "q65_cohort_retention": q65_cohort_retention,
+        "q66_mad_outliers": q66_mad_outliers,
+        "q67_quality_bins": q67_quality_bins,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -1897,6 +1956,66 @@ def oracle_sql() -> dict[str, str]:
             FROM l, unnest(range(ws,
                      CASE WHEN next_ws IS NULL THEN ws + 1 ELSE next_ws END,
                      3600000000)) AS u(ws2)
+        """,
+        "q64_funnel": """
+            WITH e AS (
+                SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+            ), u AS (
+                SELECT DISTINCT user_id FROM e
+            ), s1 AS (
+                SELECT user_id, MIN(t) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id, MIN(t) AS t2 FROM e JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND t > t1 GROUP BY 1
+            ), s3 AS (
+                SELECT e.user_id, MIN(t) AS t3 FROM e JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase' AND t > t2 GROUP BY 1
+            )
+            SELECT u.user_id,
+                   CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                             WHEN t2 IS NOT NULL THEN 2
+                             WHEN t1 IS NOT NULL THEN 1
+                             ELSE 0 END AS INT) AS steps_completed,
+                   t1, t2, t3
+            FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+                   LEFT JOIN s3 USING (user_id)
+        """,
+        "q65_cohort_retention": """
+            WITH e AS (
+                SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+            ), c AS (
+                SELECT user_id, MIN(t // 604800000000) AS cohort_week FROM e
+                WHERE event_type = 'signup' GROUP BY 1
+            ), a AS (
+                SELECT DISTINCT user_id, t // 604800000000 AS week FROM e
+            )
+            SELECT cohort_week, week - cohort_week AS week_offset,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM a JOIN c USING (user_id)
+            WHERE week >= cohort_week GROUP BY 1, 2
+        """,
+        "q66_mad_outliers": """
+            WITH med AS (
+                SELECT event_type, quantile_cont(value, 0.5) AS med
+                FROM events GROUP BY 1
+            ), d AS (
+                SELECT event_id, e.event_type, value, med,
+                       ABS(value - med) AS dev
+                FROM events e JOIN med USING (event_type)
+            ), m AS (
+                SELECT event_type, quantile_cont(dev, 0.5) AS mad
+                FROM d GROUP BY 1
+            )
+            SELECT event_id, d.event_type, value, med, mad,
+                   dev > CAST(3.0 AS DOUBLE) * mad AS is_outlier
+            FROM d JOIN m USING (event_type)
+        """,
+        "q67_quality_bins": """
+            SELECT doc_id, source, CAST(length(text) AS BIGINT) AS score,
+                   CAST(NTILE(10) OVER (PARTITION BY source
+                        ORDER BY length(text) ASC, doc_id ASC) AS INT) AS bin
+            FROM documents
         """,
         "q61_winsorize": """
             WITH q AS (

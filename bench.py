@@ -81,6 +81,11 @@ BENCH_QUERIES = [
     "q56_interval_overlap",
     "q57_pq_topk",
     "q58_top_tokens",
+    "q59_shard_assignment",
+    "q60_random_projection",
+    "q61_winsorize",
+    "q62_exactsubstr_spans",
+    "q63_gapfill",
     "q90_pfsa_llk_scores",
     "q91_anomaly_pipeline",
     "q92_simhash",

@@ -1,0 +1,142 @@
+"""Behavioral / event-sequence analytics: ordered funnels and cohort
+retention.
+
+Both are classic event-table OLAP surfaces (the reference engine's query
+set stops at windowing; these are the standard next step for an events
+table) expressed as single-shuffle DataFrame plans:
+
+- ``funnel``: per-user ordered step matching.  The per-user event list
+  is folded ONCE with ``F.aggregate`` over a sorted struct array — all
+  JVM column expressions, one groupBy(user) shuffle, no joins, no UDFs,
+  any number of steps.  Greedy earliest matching is exact for
+  reachability (a step subsequence exists iff the greedy walk finds
+  one); the optional ``within`` budget constrains the span from the
+  matched first step and is greedy from the earliest feasible start —
+  see the docstring caveat.
+- ``cohort_retention``: distinct-user counts per (cohort week, week
+  offset) — two small aggregations and one equi-join on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICROS_PER_WEEK = 7 * 86_400 * 1_000_000
+
+
+def funnel(
+    df: DataFrame,
+    *,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    within: int | None = None,
+) -> DataFrame:
+    """Ordered funnel: how far along ``steps`` each user progressed.
+
+    An event advances the funnel iff its type matches the next expected
+    step AND its timestamp is STRICTLY after the previously matched
+    event (simultaneous events cannot chain — keeps the fold identical
+    to the chained-min SQL formulation).  With ``within`` set, the whole
+    funnel must complete within ``within`` axis units of the matched
+    first step; matching restarts greedily at the next step-1 event
+    when the budget is blown.
+
+    Output: (user, steps_completed int, step_ts array<long> — the
+    matched timestamps, length = steps_completed).
+
+    Plan: groupBy(user) -> array_sort(collect_list(struct(ts, type)))
+    -> one F.aggregate fold.  One shuffle; per-user memory is the
+    user's event count (the same bound every sessionization carries).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    evs = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("tp")))
+    )
+
+    def advance(acc, e):
+        stage = acc["stage"]
+        hits = acc["hits"]
+        want = F.element_at(step_arr, stage + 1)
+        after = F.when(stage == 0, F.lit(True)).otherwise(e["t"] > F.element_at(hits, -1))
+        budget = (
+            F.lit(True)
+            if within is None
+            else F.when(stage == 0, F.lit(True)).otherwise(
+                e["t"] - F.element_at(hits, 1) <= F.lit(int(within))
+            )
+        )
+        matched = (stage < k) & (e["tp"] == want) & after & budget
+        # budget blown on a step-1 candidate: restart the attempt there
+        restart = (
+            F.lit(False)
+            if within is None
+            else (stage > 0) & (stage < k) & (e["tp"] == F.lit(steps[0])) & ~matched
+        )
+        return (
+            F.when(
+                matched,
+                F.struct(
+                    (stage + 1).alias("stage"),
+                    F.concat(hits, F.array(e["t"])).alias("hits"),
+                ),
+            )
+            .when(restart, F.struct(F.lit(1).alias("stage"), F.array(e["t"]).alias("hits")))
+            .otherwise(acc)
+        )
+
+    init = F.struct(
+        F.lit(0).alias("stage"), F.array().cast("array<long>").alias("hits")
+    )
+    state = F.aggregate(evs, init, advance)
+    return (
+        df.groupBy(user_col)
+        .agg(state.alias("__s"))
+        .select(
+            user_col,
+            F.col("__s.stage").alias("steps_completed"),
+            F.col("__s.hits").alias("step_ts"),
+        )
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    cohort_event: str = "signup",
+    week_micros: int = MICROS_PER_WEEK,
+) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their first
+    ``cohort_event``, counted distinct in every later activity week.
+
+    Output: (cohort_week long — epoch-week index, week_offset long >= 0,
+    n_users long).  Users without a cohort event are excluded; activity
+    before the cohort event is excluded (negative offsets dropped).
+
+    Plan: one groupBy(user) for cohorts, one distinct over (user, week)
+    for activity — both partial-aggregating — then an equi-join on
+    user_id (broadcast when the user dimension is small) and a final
+    small groupBy.
+    """
+    wk = F.lit(int(week_micros))
+    week = (F.col(ts_col) - F.pmod(F.col(ts_col), wk)) / wk
+    cohorts = (
+        df.filter(F.col(type_col) == cohort_event)
+        .groupBy(user_col)
+        .agg(F.min(week.cast("long")).alias("cohort_week"))
+    )
+    activity = df.select(F.col(user_col), week.cast("long").alias("week")).distinct()
+    return (
+        activity.join(cohorts, user_col)
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct(user_col).cast("long").alias("n_users"))
+    )

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from patternly_spark.operators.sketches import APPROX_QUANTILE_ACCURACY
 
-__all__ = ["winsorize"]
+__all__ = ["winsorize", "mad_outliers"]
 
 
 def winsorize(
@@ -54,3 +54,44 @@ def winsorize(
     )
     clipped = F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi"))
     return joined.withColumn(out_col, clipped).drop("__lo", "__hi")
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: str | list[str] | None = None,
+    k: float = 3.0,
+    exact: bool = True,
+) -> DataFrame:
+    """Robust outlier flagging by median absolute deviation: flag rows
+    where ``|x - median| > k * MAD`` within their group.
+
+    Two tiny cut-point aggregations (median, then MAD — each one row per
+    group) broadcast back; the flag itself is a pure map.  MAD is the
+    breakdown-point-0.5 robust scale — unlike mean/stddev thresholds, a
+    contaminated tail cannot drag the fence.  ``exact`` as in
+    ``winsorize`` (interpolated percentile == DuckDB quantile_cont for
+    the oracle; mergeable approx sketch at scale).
+
+    Appends ``med``, ``mad``, ``is_outlier``; a zero-MAD group (>= half
+    the values identical) flags exactly the non-median values iff k*0 <
+    their deviation — i.e. every x != med.
+    """
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {APPROX_QUANTILE_ACCURACY}"
+
+    def _median_of(col_sql: str) -> F.Column:
+        return F.expr(f"{fn}({col_sql}, 0.5{acc})")
+
+    g1 = df.groupBy(*keys) if keys else df.groupBy()
+    med = g1.agg(_median_of(value_col).alias("med"))
+    with_med = df.join(F.broadcast(med), keys) if keys else df.crossJoin(F.broadcast(med))
+    dev = with_med.withColumn("__dev", F.abs(F.col(value_col) - F.col("med")))
+    g2 = dev.groupBy(*keys) if keys else dev.groupBy()
+    mad = g2.agg(_median_of("__dev").alias("mad"))
+    out = dev.join(F.broadcast(mad), keys) if keys else dev.crossJoin(F.broadcast(mad))
+    return out.withColumn(
+        "is_outlier", F.col("__dev") > F.lit(float(k)) * F.col("mad")
+    ).drop("__dev")

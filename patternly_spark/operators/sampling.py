@@ -166,3 +166,31 @@ def mixture_weights(
             "expected_tokens",
         )
     )
+
+
+def quality_bins(
+    df: DataFrame,
+    score_col: str,
+    *,
+    n_bins: int = 10,
+    by: str | list[str] | None = None,
+    id_col: str = "doc_id",
+    out_col: str = "bin",
+) -> DataFrame:
+    """Curriculum binning: rank-exact ``ntile`` buckets of ``score_col``
+    (bin 1 = lowest scores), deterministic via an (score, id) total
+    order.  Rank-based, so no floating-point comparability concerns —
+    the bin boundaries are positions, not values.
+
+    At scale prefer per-group binning (``by``): a global ntile is a
+    single total order (range-partitioned sort — workable but a full
+    sort); per-group ntile windows sort only within partitions.
+    Appends ``out_col``; all input columns pass through.
+    """
+    from pyspark.sql import Window
+
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    w = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    return df.withColumn(out_col, F.ntile(int(n_bins)).over(w))

@@ -1,0 +1,83 @@
+"""Funnel and cohort-retention semantics on constructed event streams."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from patternly_spark.operators.behavior import cohort_retention, funnel
+
+SCHEMA = "user_id long, event_type string, ts_us long"
+
+
+def test_funnel_counts_ordered_steps(spark):
+    rows = [
+        # user 1 completes view -> click -> purchase in order
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # user 2: click before view — only reaches step 1 (view at 50)
+        (2, "click", 40), (2, "view", 50),
+        # user 3: no relevant events
+        (3, "error", 5),
+        # user 4: view then purchase (skips click) — stops at 1
+        (4, "view", 10), (4, "purchase", 20),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {r["user_id"]: r for r in funnel(df, steps=["view", "click", "purchase"]).collect()}
+    assert out[1]["steps_completed"] == 3 and out[1]["step_ts"] == [10, 20, 30]
+    assert out[2]["steps_completed"] == 1 and out[2]["step_ts"] == [50]
+    assert out[3]["steps_completed"] == 0 and out[3]["step_ts"] == []
+    assert out[4]["steps_completed"] == 1
+
+
+def test_funnel_greedy_takes_earliest(spark):
+    rows = [(1, "view", 10), (1, "view", 15), (1, "click", 12)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    (r,) = funnel(df, steps=["view", "click"]).collect()
+    # earliest view (10) chains to click (12); the later view is ignored
+    assert r["steps_completed"] == 2 and r["step_ts"] == [10, 12]
+
+
+def test_funnel_simultaneous_events_do_not_chain(spark):
+    df = spark.createDataFrame([(1, "view", 10), (1, "click", 10)], SCHEMA)
+    (r,) = funnel(df, steps=["view", "click"]).collect()
+    assert r["steps_completed"] == 1
+
+
+def test_funnel_within_budget_restarts(spark):
+    rows = [
+        (1, "view", 0), (1, "click", 100),          # blown budget for within=50
+        (1, "view", 110), (1, "click", 120),        # fresh attempt succeeds
+        (2, "view", 0), (2, "click", 100),          # user 2 never retries
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {r["user_id"]: r for r in funnel(df, steps=["view", "click"], within=50).collect()}
+    assert out[1]["steps_completed"] == 2 and out[1]["step_ts"] == [110, 120]
+    assert out[2]["steps_completed"] == 1  # stuck waiting, budget blown
+
+
+def test_funnel_single_shuffle_no_join(spark):
+    df = spark.createDataFrame([(1, "view", 10)], SCHEMA)
+    plan = funnel(df, steps=["view", "click"])._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+WEEK = 7 * 86_400 * 1_000_000
+
+
+def test_cohort_retention_offsets(spark):
+    rows = [
+        (1, "signup", 0), (1, "click", 1 * WEEK + 5), (1, "view", 2 * WEEK + 5),
+        (2, "signup", 0), (2, "click", 2),            # active only in week 0
+        (3, "signup", 1 * WEEK), (3, "click", 2 * WEEK),
+        (4, "click", 3),                              # never signed up: excluded
+        (5, "click", 0), (5, "signup", 1 * WEEK),     # pre-signup activity dropped
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(df).collect()
+    }
+    # cohort 0 = users 1,2 (both active week 0); user 1 also offsets 1 and 2
+    assert out[(0, 0)] == 2 and out[(0, 1)] == 1 and out[(0, 2)] == 1
+    # cohort 1 = users 3,5; user 3 active at offset 1 too
+    assert out[(1, 0)] == 2 and out[(1, 1)] == 1
+    assert (1, 2) not in out and all(k[1] >= 0 for k in out)
