@@ -1349,6 +1349,54 @@ def q67_quality_bins(spark, sf_dir):
     return quality_bins(d, "score", n_bins=10, by="source")
 
 
+def q68_grouping_sets(spark, sf_dir):
+    """ROLLUP(region, nation) customer summary in one pass: Spark's
+    rollup emits all grouping sets from a single scan with partial
+    aggregation; decimal sums keep every level bit-exact."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+        .select("r_name", "n_name", "gid", "n_cust", "total_acctbal")
+    )
+
+
+def q69_edit_distance(spark, sf_dir):
+    """Edit-distance verification of the MinHash-LSH candidate pairs:
+    Levenshtein runs ONLY on the bucketed candidate list, never corpus
+    x corpus — the composition that keeps an O(|a|x|b|) verifier sane
+    at scale.  JVM built-in distance, two id equi-joins."""
+    from patternly_spark.operators.dedup import (
+        edit_distance_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, shingle_size=3, num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+    return edit_distance_pairs(docs, pairs)
+
+
+def q70_histogram(spark, sf_dir):
+    """Exact equi-width histogram of value per event_type: extent agg ->
+    broadcast -> pure-map bucket arithmetic (identical double ops in any
+    engine) -> one partial-aggregating count shuffle."""
+    from patternly_spark.operators.sketches import histogram
+
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    return histogram(e, "value", by="event_type", bins=20)
+
+
 def q57_pq_topk(spark, sf_dir):
     """PQ-compressed ANN: per-subspace codebooks (8 x 16), tinyint codes,
     asymmetric-distance top-k via per-query lookup tables — the scan reads
@@ -1465,6 +1513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_cohort_retention": q65_cohort_retention,
         "q66_mad_outliers": q66_mad_outliers,
         "q67_quality_bins": q67_quality_bins,
+        "q68_grouping_sets": q68_grouping_sets,
+        "q69_edit_distance": q69_edit_distance,
+        "q70_histogram": q70_histogram,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -2016,6 +2067,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NTILE(10) OVER (PARTITION BY source
                         ORDER BY length(text) ASC, doc_id ASC) AS INT) AS bin
             FROM documents
+        """,
+        "q68_grouping_sets": """
+            SELECT r_name, n_name,
+                   CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS gid,
+                   CAST(COUNT(*) AS BIGINT) AS n_cust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "q70_histogram": """
+            WITH ext AS (
+                SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+                FROM events GROUP BY 1
+            ), b AS (
+                SELECT e.event_type,
+                       CASE WHEN hi = lo THEN 0
+                            ELSE LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / CAST(20 AS DOUBLE))) AS INT), 19)
+                       END AS bucket,
+                       lo, hi
+                FROM events e JOIN ext USING (event_type)
+            )
+            SELECT event_type, bucket, lo, hi, CAST(COUNT(*) AS BIGINT) AS n
+            FROM b GROUP BY 1, 2, 3, 4
         """,
         "q61_winsorize": """
             WITH q AS (
@@ -2569,6 +2645,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q92_simhash": _simhash_oracle(bits=16),
         "q93_lsh_candidates": _lsh_candidates_oracle(num_hashes=8, bands=4),
+        "q69_edit_distance": _edit_distance_oracle(num_hashes=8, bands=4),
         "q94_embedding_neardup": _embedding_neardup_oracle(
             threshold=0.3, num_planes=8, seed=42, dim=64
         ),
@@ -2834,6 +2911,24 @@ _ORACLE_HASH_PARAMS = [
     (1181783497, 7919),
     (1597334677, 851723965),
 ]
+
+
+def _edit_distance_oracle(num_hashes: int, bands: int) -> str:
+    """Levenshtein verification over the exact q93 candidate list (the
+    LSH replica SQL embeds as a CTE)."""
+    cand = _lsh_candidates_oracle(num_hashes=num_hashes, bands=bands)
+    return f"""
+        WITH cand AS ({cand})
+        SELECT c.doc_a, c.doc_b,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+               CASE WHEN GREATEST(length(a.text), length(b.text)) = 0 THEN 1.0
+                    ELSE 1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                         / CAST(GREATEST(length(a.text), length(b.text)) AS DOUBLE)
+               END AS sim
+        FROM cand c
+        JOIN documents a ON a.doc_id = c.doc_a
+        JOIN documents b ON b.doc_id = c.doc_b
+    """
 
 
 def _lsh_candidates_oracle(num_hashes: int, bands: int) -> str:

@@ -86,6 +86,13 @@ BENCH_QUERIES = [
     "q61_winsorize",
     "q62_exactsubstr_spans",
     "q63_gapfill",
+    "q64_funnel",
+    "q65_cohort_retention",
+    "q66_mad_outliers",
+    "q67_quality_bins",
+    "q68_grouping_sets",
+    "q69_edit_distance",
+    "q70_histogram",
     "q90_pfsa_llk_scores",
     "q91_anomaly_pipeline",
     "q92_simhash",

@@ -179,3 +179,39 @@ def frequent_items(
             (F.col("count_lo") + F.col("__err")).alias("count_hi"),
         )
     )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: str | list[str] | None = None,
+    bins: int = 20,
+) -> DataFrame:
+    """Exact equi-width histogram per group: one tiny (lo, hi) extent
+    aggregation broadcast back, then a pure-map bucket assignment and a
+    partial-aggregating count shuffle on (keys, bucket).
+
+    Bucket i covers [lo + i*w, lo + (i+1)*w) with w = (hi-lo)/bins; the
+    top edge folds into the last bucket.  The assignment is plain
+    double arithmetic (sub/div/floor — each correctly rounded, so the
+    same boundaries in any engine); a degenerate group (hi == lo) lands
+    everything in bucket 0.
+
+    Output: (keys..., bucket int, lo, hi, n long).
+    """
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    g = df.groupBy(*keys) if keys else df.groupBy()
+    ext = g.agg(F.min(value_col).alias("lo"), F.max(value_col).alias("hi"))
+    j = df.join(F.broadcast(ext), keys) if keys else df.crossJoin(F.broadcast(ext))
+    nb = F.lit(int(bins))
+    w = (F.col("hi") - F.col("lo")) / nb.cast("double")
+    raw = F.floor((F.col(value_col) - F.col("lo")) / w).cast("int")
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(raw, nb - 1)
+    )
+    return (
+        j.select(*keys, bucket.alias("bucket"), "lo", "hi")
+        .groupBy(*keys, "bucket", "lo", "hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -570,3 +570,28 @@ def test_exactsubstr_dedup_removes_only_covered_tokens(spark):
     assert out[1]["text_deduped"] == "b0 b1"
     assert out[2]["n_removed"] == 0 and out[2]["text_deduped"] == "c0 c1 c2"
     assert out[1]["n_tokens"] == 12
+
+
+def test_mad_outliers_fences(spark):
+    from patternly_spark.operators.normalize import mad_outliers
+
+    # group a: median 5, MAD 1; 100.0 is the only point beyond 3*MAD
+    vals = [3.0, 4.0, 5.0, 6.0, 7.0, 100.0]
+    df = spark.createDataFrame([("a", v) for v in vals], "k string, v double")
+    out = {r["v"]: r for r in mad_outliers(df, "v", by="k", k=3.0).collect()}
+    assert out[100.0]["is_outlier"] and not out[7.0]["is_outlier"]
+    assert out[5.0]["med"] == 5.5 and out[5.0]["mad"] == 1.5
+
+
+def test_edit_distance_pairs_levenshtein(spark):
+    from patternly_spark.operators.dedup import edit_distance_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting"), (3, ""), (4, "")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+    out = {(r["doc_a"], r["doc_b"]): r for r in edit_distance_pairs(docs, pairs).collect()}
+    assert out[(1, 2)]["lev"] == 3
+    assert abs(out[(1, 2)]["sim"] - (1 - 3 / 7)) < 1e-12
+    assert out[(3, 4)]["lev"] == 0 and out[(3, 4)]["sim"] == 1.0

@@ -64,3 +64,15 @@ def test_mixture_weights_math(spark):
     assert out["src_b"]["expected_tokens"] == 20.0
     assert out["src_c"]["sampling_rate"] == 0.0 and out["src_c"]["target_share"] == 0.0
     assert out["src_c"]["n_tokens"] == 100
+
+
+def test_quality_bins_rank_exact(spark):
+    from patternly_spark.operators.sampling import quality_bins
+
+    df = spark.createDataFrame(
+        [(i, "s", float(i)) for i in range(20)], "doc_id long, source string, score double"
+    )
+    out = {r["doc_id"]: r["bin"] for r in quality_bins(df, "score", n_bins=4, by="source").collect()}
+    assert out[0] == 1 and out[4] == 1  # lowest 5 scores -> bin 1
+    assert out[19] == 4 and out[15] == 4
+    assert sorted(set(out.values())) == [1, 2, 3, 4]

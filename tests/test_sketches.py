@@ -122,3 +122,20 @@ def test_frequent_items_bounded_output(spark):
     out = frequent_items(df, "g", "item", capacity=16).toPandas()
     # <= capacity survivors per (group, partition); far fewer than the domain
     assert out.groupby("g").size().max() <= 16 * 8
+
+
+def test_histogram_buckets_and_edges(spark):
+    from patternly_spark.operators.sketches import histogram
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(11)] + [("b", 5.0), ("b", 5.0)],
+        "k string, v double",
+    )
+    out = {(r["k"], r["bucket"]): r for r in histogram(df, "v", by="k", bins=5).collect()}
+    # group a: lo=0 hi=10, w=2 -> buckets 0..4, the top edge (10.0) folds into 4
+    assert {k[1] for k in out if k[0] == "a"} == {0, 1, 2, 3, 4}
+    assert out[("a", 0)]["n"] == 2 and out[("a", 4)]["n"] == 3
+    assert out[("a", 0)]["lo"] == 0.0 and out[("a", 0)]["hi"] == 10.0
+    # degenerate group: everything in bucket 0
+    assert out[("b", 0)]["n"] == 2
+    assert sum(r["n"] for r in out.values()) == 13
