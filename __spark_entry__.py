@@ -1397,6 +1397,44 @@ def q70_histogram(spark, sf_dir):
     return histogram(e, "value", by="event_type", bins=20)
 
 
+def q71_active_users(spark, sf_dir):
+    """DAU/WAU/MAU from one events scan: per-row (level, bucket) fan-out,
+    then a two-stage exact distinct (map-side-collapsing dedup + count).
+    The approx variant (HLL++ partials, single shuffle) is the documented
+    scale default; exact here for the oracle."""
+    from patternly_spark.operators.rollup import rollup_distinct
+
+    e = _t(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("ts_us"), "user_id"
+    )
+    day = 86_400_000_000
+    return rollup_distinct(e, axis="ts_us", entity="user_id", widths=[day, 7 * day, 28 * day])
+
+
+def q72_pagerank(spark, sf_dir):
+    """PageRank over the customer->supplier purchase graph (who buys
+    from whom, via orders x lineitem): fixed 8-iteration power method as
+    join+groupBy rounds with dangling-mass correction and periodic
+    lineage cuts.  Iterative and FP-order-dependent -> rows-only check;
+    semantics pinned by closed-form tests (cycle, star, numpy parity)."""
+    from patternly_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            # offset suppliers into their own id space so the bipartite
+            # graph's node ids never collide
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iterations=8)
+    return pr.select("node", F.round("rank", 9).alias("rank_r"))
+
+
 def q57_pq_topk(spark, sf_dir):
     """PQ-compressed ANN: per-subspace codebooks (8 x 16), tinyint codes,
     asymmetric-distance top-k via per-query lookup tables — the scan reads
@@ -1516,6 +1554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_grouping_sets": q68_grouping_sets,
         "q69_edit_distance": q69_edit_distance,
         "q70_histogram": q70_histogram,
+        "q71_active_users": q71_active_users,
+        "q72_pagerank": q72_pagerank,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -2092,6 +2132,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, bucket, lo, hi, CAST(COUNT(*) AS BIGINT) AS n
             FROM b GROUP BY 1, 2, 3, 4
+        """,
+        "q71_active_users": """
+            WITH e AS (SELECT epoch_us(ts) AS t, user_id FROM events),
+            l AS (
+                SELECT CAST(86400000000 AS BIGINT) AS level,
+                       t - t % 86400000000 AS window_start, user_id FROM e
+                UNION ALL
+                SELECT CAST(604800000000 AS BIGINT),
+                       t - t % 604800000000, user_id FROM e
+                UNION ALL
+                SELECT CAST(2419200000000 AS BIGINT),
+                       t - t % 2419200000000, user_id FROM e
+            )
+            SELECT level, window_start,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities
+            FROM l GROUP BY 1, 2
         """,
         "q61_winsorize": """
             WITH q AS (

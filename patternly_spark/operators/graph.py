@@ -144,3 +144,91 @@ def dedup_clusters(
     return cc.withColumn(
         "is_canonical", (F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — link-quality
+    scoring for web-graph corpus curation (harmonic/PageRank centrality
+    is a standard Common-Crawl document-quality signal).
+
+    Power iteration as DataFrame joins: rank_{t+1}(v) = (1-d)/N +
+    d * (sum of rank_t(u)/outdeg(u) over in-neighbors u + dangling mass
+    / N).  Each iteration is one equi-join ranks-x-edges on src plus one
+    groupBy(dst) — both hash-partitioned on the same key pattern, and
+    AQE handles the hub skew.  Dangling nodes' mass is redistributed
+    uniformly (the standard correction), so ranks sum to 1 every
+    iteration (asserted in tests).  Lineage is cut every
+    ``checkpoint_every`` rounds (localCheckpoint, the connected-
+    components pattern) — without it the 10-join plan tree blows up
+    Catalyst analysis time long before data size matters.
+
+    Returns (node, rank double).  Iterative and FP-order-dependent, so
+    no SQL oracle (rows-only query); semantics pinned by closed-form
+    unit tests (cycle == uniform, star hub formula).
+    """
+    # the edge relation feeds three consumers (nodes, out-degrees, the
+    # per-iteration join) — pin it once instead of recomputing upstream
+    # scans/joins per consumer
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e.cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes.cache()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    links = e.join(out_deg, "src")
+    links.cache()
+    d = float(damping)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    pending: list[DataFrame] = []
+    for it in range(int(iterations)):
+        contribs = (
+            links.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
+        )
+        # cached because both the dangling aggregate and the rank join
+        # consume it; dropped as soon as a checkpoint materializes them
+        contribs.cache()
+        pending.append(contribs)
+        # total emitted contribution == rank mass held by nodes WITH
+        # out-edges, so dangling mass = 1 - sum(__in) — a 1-row lazy
+        # broadcast aggregate REUSING contribs, not a separate join or a
+        # per-iteration driver action: each iteration is exactly two
+        # shuffles (ranks x links equi-join, groupBy dst) plus the
+        # nodes join, and rounds compile into one plan per checkpoint
+        # interval
+        dang = contribs.agg(
+            (F.lit(1.0) - F.coalesce(F.sum("__in"), F.lit(0.0))).alias("__dm")
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d) * F.col("__dm") / F.lit(float(n))
+                    + F.lit(d) * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % int(checkpoint_every) == 0 or it == int(iterations) - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+            for c in pending:
+                c.unpersist(False)
+            pending = []
+    return ranks

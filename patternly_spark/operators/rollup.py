@@ -277,3 +277,46 @@ def gapfill(
         F.when(known, F.col("val")).alias("val"),
         filled.alias("val_filled"),
     )
+
+
+def rollup_distinct(
+    df: DataFrame,
+    *,
+    axis: str,
+    entity: str,
+    widths: list[int],
+    by: str | list[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Multi-resolution distinct-entity counts — the DAU/WAU/MAU query —
+    from ONE scan of the fact table.
+
+    Each row fans out to one (level, bucket) per width (the
+    ``hypertable_rollup`` explode shape), then a two-stage distinct:
+    dedup on (level, window, keys, entity) — partial aggregation
+    collapses a hot entity's repeats map-side — followed by the count.
+    ``exact=False`` swaps the dedup for per-bucket HLL++ partials
+    (``approx_count_distinct``): one shuffle instead of two and a
+    mergeable sketch, the scale default when +-2% is fine; the
+    distinct-count identity (an entity counts once per bucket it
+    appears in) is what makes the exact path need its own shuffle.
+
+    Output: (level, window_start, keys..., n_entities long).
+    """
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    if not widths:
+        raise ValueError("widths must be non-empty")
+    lv = F.explode(F.array(*[F.lit(int(w)).cast("long") for w in widths])).alias("level")
+    exploded = df.select(*keys, F.col(axis), F.col(entity), lv)
+    win = (_fdiv(F.col(axis), F.col("level")) * F.col("level")).alias("window_start")
+    if not exact:
+        return (
+            exploded.groupBy("level", win, *keys)
+            .agg(F.approx_count_distinct(entity).cast("long").alias("n_entities"))
+        )
+    return (
+        exploded.select("level", win, *keys, entity)
+        .distinct()
+        .groupBy("level", "window_start", *keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_entities"))
+    )

@@ -79,3 +79,54 @@ def test_connected_components_empty_edges(spark):
     empty_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     out = dedup_clusters(empty_pairs, docs=docs).toPandas()
     assert (out.doc_id == out.cluster_id).all() and out.is_canonical.all()
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    from patternly_spark.operators.graph import pagerank
+
+    # 5-cycle: stationary distribution is exactly uniform at every iteration
+    edges = spark.createDataFrame([(i, (i + 1) % 5) for i in range(5)], "src long, dst long")
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    assert all(abs(v - 0.2) < 1e-12 for v in ranks.values())
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_star_hub_dominates_and_mass_conserved(spark):
+    from patternly_spark.operators.graph import pagerank
+
+    # 4 leaves -> hub; hub is dangling (mass redistributed uniformly)
+    edges = spark.createDataFrame([(i, 0) for i in range(1, 5)], "src long, dst long")
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iterations=20).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    leaf = ranks[1]
+    assert all(abs(ranks[i] - leaf) < 1e-12 for i in range(2, 5))
+    assert ranks[0] > 3 * leaf  # hub gathers the lion's share
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+    from patternly_spark.operators.graph import pagerank
+
+    rng = np.random.default_rng(5)
+    n, m = 12, 40
+    pairs = {(int(a), int(b)) for a, b in rng.integers(0, n, size=(m, 2)) if a != b}
+    edges = spark.createDataFrame(sorted(pairs), "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=15).collect()}
+
+    nodes = sorted({u for e in pairs for u in e})
+    idx = {u: i in range(len(nodes)) for i, u in enumerate(nodes)}  # overwritten below
+    idx = {u: i for i, u in enumerate(nodes)}
+    N = len(nodes)
+    deg = np.zeros(N)
+    for a, _ in pairs:
+        deg[idx[a]] += 1
+    r = np.full(N, 1.0 / N)
+    d = 0.85
+    for _ in range(15):
+        nxt = np.zeros(N)
+        for a, b in pairs:
+            nxt[idx[b]] += r[idx[a]] / deg[idx[a]]
+        dangling = r[deg == 0].sum()
+        r = (1 - d) / N + d * dangling / N + d * nxt
+    for u in nodes:
+        assert abs(got[u] - r[idx[u]]) < 1e-9, u

@@ -219,3 +219,26 @@ def test_gapfill_single_shuffle_no_join(spark):
     df = spark.createDataFrame([("g", 1, 5.0)], "k string, t long, v double")
     plan = gapfill(df, axis="t", value="v", width=10, by="k")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_rollup_distinct_counts_entities_once_per_bucket(spark):
+    from patternly_spark.operators.rollup import rollup_distinct
+
+    rows = [  # (t, user): user 1 appears twice in bucket 0 -> counts once
+        (1, 1), (5, 1), (12, 2), (15, 1), (25, 3),
+    ]
+    df = spark.createDataFrame(rows, "t long, u long")
+    out = {
+        (r["level"], r["window_start"]): r["n_entities"]
+        for r in rollup_distinct(df, axis="t", entity="u", widths=[10, 20]).collect()
+    }
+    assert out[(10, 0)] == 1 and out[(10, 10)] == 2 and out[(10, 20)] == 1
+    assert out[(20, 0)] == 2 and out[(20, 20)] == 1
+
+    approx = {
+        (r["level"], r["window_start"]): r["n_entities"]
+        for r in rollup_distinct(df, axis="t", entity="u", widths=[10, 20], exact=False).collect()
+    }
+    assert set(approx) == set(out)
+    for k in out:  # tiny cardinalities: HLL++ is exact here
+        assert approx[k] == out[k]
