@@ -1435,6 +1435,58 @@ def q72_pagerank(spark, sf_dir):
     return pr.select("node", F.round("rank", 9).alias("rank_r"))
 
 
+def q73_importance_sample(spark, sf_dir):
+    """Deterministic per-row Bernoulli keep with row-specific probability
+    (length-proportional here): the resampling half of importance-
+    weighted selection.  Pure map, zero shuffle, same md5 coin as q33."""
+    from patternly_spark.operators.sampling import importance_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    p = F.least(F.lit(1.0), F.length("text").cast("double") / F.lit(800.0))
+    return importance_sample(d, p, key_col="doc_id", keep_col="kept").select(
+        "doc_id", F.length("text").cast("long").alias("text_len"), "kept"
+    )
+
+
+def q74_dsir_weights(spark, sf_dir):
+    """DSIR data selection: bigram-LM log-ratio of a 2-source target
+    domain vs the raw corpus.  One corpus scan feeds both the raw-LM
+    cascade and the scoring probe (persisted bigram table); the target
+    LM broadcasts.  2^-20 log quantization keeps the ratio dyadic-exact
+    cross-engine."""
+    from patternly_spark.operators.lm import dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.filter(F.col("source").isin("src0", "src1"))
+    return dsir_weights(d, target, k=0.5)
+
+
+def q75_merge_upsert(spark, sf_dir):
+    """CDC latest-wins MERGE: a synthetic update batch (every 10th order
+    re-priced, version 2) upserts into the orders snapshot (version 1) in
+    ONE key shuffle — rank over the union, no anti-join double-shuffle.
+    Version ties break toward the updates side."""
+    from patternly_spark.operators.merge import merge_upsert
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        _dec("o_totalprice").alias("price"),
+        F.lit(1).alias("version"),
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("price") * F.lit(2).cast("decimal(4,2)")).cast("decimal(18,2)").alias("price"),
+            F.lit(2).alias("version"),
+        )
+    )
+    merged = merge_upsert(o, updates, key_cols="o_orderkey", version_col="version")
+    return merged.select(
+        "o_orderkey", F.col("price").cast("double").alias("price"), "version"
+    )
+
+
 def q57_pq_topk(spark, sf_dir):
     """PQ-compressed ANN: per-subspace codebooks (8 x 16), tinyint codes,
     asymmetric-distance top-k via per-query lookup tables — the scan reads
@@ -1556,6 +1608,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_histogram": q70_histogram,
         "q71_active_users": q71_active_users,
         "q72_pagerank": q72_pagerank,
+        "q73_importance_sample": q73_importance_sample,
+        "q74_dsir_weights": q74_dsir_weights,
+        "q75_merge_upsert": q75_merge_upsert,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -2148,6 +2203,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT level, window_start,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities
             FROM l GROUP BY 1, 2
+        """,
+        "q73_importance_sample": """
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       / 4294967296.0
+                     < LEAST(GREATEST(CAST(length(text) AS DOUBLE) / CAST(800.0 AS DOUBLE),
+                                      CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS kept
+            FROM documents
+        """,
+        "q74_dsir_weights": """
+            WITH toks AS (
+                SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t FROM documents
+            ), bi AS (
+                SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2
+                FROM toks, LATERAL unnest(generate_series(1, len(t)-1)) AS u(i)
+                WHERE len(t) >= 2
+            ), doc_bi AS (
+                SELECT doc_id, w1, w2, COUNT(*) AS occ FROM bi GROUP BY ALL
+            ), bc AS (
+                SELECT w1, w2, SUM(occ) AS cb FROM doc_bi GROUP BY 1, 2
+            ), ctx AS (
+                SELECT w1, SUM(cb) AS cc FROM bc GROUP BY 1
+            ), vocab AS (
+                SELECT COUNT(DISTINCT tok) AS v FROM toks, LATERAL unnest(t) AS z(tok)
+            ), tbi AS (
+                SELECT w1, w2, COUNT(*) AS tb FROM bi
+                WHERE source IN ('src0', 'src1') GROUP BY 1, 2
+            ), tctx AS (
+                SELECT w1, SUM(tb) AS tc FROM tbi GROUP BY 1
+            ), tvocab AS (
+                SELECT COUNT(DISTINCT tok) AS tv
+                FROM toks, LATERAL unnest(t) AS z(tok)
+                WHERE source IN ('src0', 'src1')
+            )
+            SELECT doc_bi.doc_id, CAST(SUM(occ) AS BIGINT) AS n_bigrams,
+                   SUM(occ * (
+                       floor(ln((COALESCE(tb, 0) + CAST(0.5 AS DOUBLE))
+                                / (COALESCE(tc, 0) + CAST(0.5 AS DOUBLE) * CAST(tv AS DOUBLE)))
+                             * 1048576.0) / 1048576.0
+                     - floor(ln((CAST(cb AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                                / (CAST(cc AS DOUBLE) + CAST(0.5 AS DOUBLE) * CAST(v AS DOUBLE)))
+                             * 1048576.0) / 1048576.0
+                   )) / SUM(occ) AS log_ratio
+            FROM doc_bi
+            JOIN bc USING (w1, w2)
+            JOIN ctx USING (w1)
+            LEFT JOIN tbi USING (w1, w2)
+            LEFT JOIN tctx USING (w1)
+            CROSS JOIN vocab CROSS JOIN tvocab
+            GROUP BY doc_bi.doc_id
+        """,
+        "q75_merge_upsert": """
+            WITH o AS (
+                SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                       1 AS version FROM orders
+            ), u AS (
+                SELECT o_orderkey,
+                       CAST(price * CAST(2 AS DECIMAL(4,2)) AS DECIMAL(18,2)) AS price,
+                       2 AS version
+                FROM o WHERE o_orderkey % 10 = 0
+            ), m AS (
+                SELECT o.*, 0 AS side FROM o
+                UNION ALL
+                SELECT u.*, 1 AS side FROM u
+            ), r AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                          ORDER BY version DESC, side DESC) AS rn
+                FROM m
+            )
+            SELECT o_orderkey, CAST(price AS DOUBLE) AS price,
+                   CAST(version AS INT) AS version
+            FROM r WHERE rn = 1
         """,
         "q61_winsorize": """
             WITH q AS (

@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     "q69_edit_distance",
     "q70_histogram",
     "q71_active_users",
+    "q73_importance_sample",
+    "q74_dsir_weights",
+    "q75_merge_upsert",
     # q72_pagerank intentionally unbenched: fixed-iteration power method is
     # job-latency-bound on local[32] (~1s/round overhead), which would mask
     # the data-path signal the bench tracks; plans audited in test_graph.py

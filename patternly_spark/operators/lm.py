@@ -34,7 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["BigramLM", "train_bigram_lm", "bigram_lm_scores"]
+__all__ = ["BigramLM", "train_bigram_lm", "bigram_lm_scores", "dsir_weights"]
 
 
 def _doc_bigrams(docs: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
@@ -165,4 +165,71 @@ def bigram_lm_scores(
             (-F.sum(F.col("occ") * F.col("q")) / F.sum("occ")).alias("avg_nll"),
         )
         .select(F.col("__id").alias(id_col), "n_bigrams", "avg_nll")
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    quant_bits: int = 20,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    per-document importance weight log p_target(x) - log p_raw(x) under
+    two bigram LMs — one trained on the small ``target`` exemplar set,
+    one on the raw corpus itself.  Documents with high log-ratio look
+    like the target domain; resample proportionally (feed the exp of
+    the ratio, or a rank cut, into ``importance_sample``).
+
+    Output: (id, n_bigrams, log_ratio) — per-bigram average in nats, so
+    lengths don't bias the weight.
+
+    Scale shape: the raw corpus is scanned ONCE into the per-doc bigram
+    table (persisted: it feeds the raw-LM count cascade AND the scoring
+    joins); the target LM's tables come from the (small) target scan and
+    broadcast-join onto the probe.  Both per-bigram log-probabilities
+    use the same 2^-20 floor quantization as ``bigram_lm_scores`` — the
+    per-doc sums are dyadic-exact, so the ratio is bit-reproducible in
+    external SQL.
+    """
+    doc_bi = _doc_bigrams(docs, id_col=id_col, text_col=text_col).persist()
+    raw_b, raw_c = _counts_from(doc_bi)
+    raw_v = _vocab_size(docs, text_col)
+    lm_t = train_bigram_lm(target, id_col=id_col, text_col=text_col)
+
+    q_raw = _quantized_logp(
+        F.coalesce(F.col("cb"), F.lit(0)).cast("double"),
+        F.coalesce(F.col("cc"), F.lit(0)).cast("double"),
+        k, raw_v, quant_bits,
+    )
+    q_tgt = _quantized_logp(
+        F.coalesce(F.col("tb"), F.lit(0)).cast("double"),
+        F.coalesce(F.col("tc"), F.lit(0)).cast("double"),
+        k, lm_t.vocab_size, quant_bits,
+    )
+    scored = (
+        doc_bi.join(raw_b, ["w1", "w2"], "left")
+        .join(raw_c, ["w1"], "left")
+        .join(
+            F.broadcast(lm_t.bigram_counts.withColumnRenamed("cb", "tb")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            F.broadcast(lm_t.context_counts.withColumnRenamed("cc", "tc")),
+            ["w1"],
+            "left",
+        )
+        .select("__id", "occ", (q_tgt - q_raw).alias("__d"))
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.sum("occ").alias("n_bigrams"),
+            (F.sum(F.col("occ") * F.col("__d")) / F.sum("occ")).alias("log_ratio"),
+        )
+        .select(F.col("__id").alias(id_col), "n_bigrams", "log_ratio")
     )

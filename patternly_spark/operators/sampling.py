@@ -194,3 +194,30 @@ def quality_bins(
         F.col(score_col).asc(), F.col(id_col).asc()
     )
     return df.withColumn(out_col, F.ntile(int(n_bins)).over(w))
+
+
+def importance_sample(
+    df: DataFrame,
+    prob_col: Column | str,
+    *,
+    key_col: str = "doc_id",
+    seed: str = "",
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Per-row Bernoulli keep with row-specific probability — the
+    deterministic resampling half of importance-weighted data selection
+    (DSIR-style: feed a normalized weight in as ``prob_col``).
+
+    Keep iff hash_fraction(key) < clamp(prob, 0, 1): deterministic,
+    partitioning-invariant, engine-portable (same md5 coin as
+    ``hash_sample``), and independent draws per ``seed``.  With
+    ``keep_col`` set, appends the boolean instead of filtering (the
+    audit/debug shape); default filters.  Pure map either way — zero
+    shuffle at any corpus size.
+    """
+    p = F.col(prob_col) if isinstance(prob_col, str) else prob_col
+    clamped = F.least(F.greatest(p.cast("double"), F.lit(0.0)), F.lit(1.0))
+    keep = hash_fraction(F.col(key_col), seed=seed) < clamped
+    if keep_col is not None:
+        return df.withColumn(keep_col, keep)
+    return df.filter(keep)

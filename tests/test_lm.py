@@ -71,3 +71,18 @@ def test_lm_is_reusable_dataframes(spark, corpus):
     a = bigram_lm_scores(corpus, lm).orderBy("doc_id").collect()
     b = bigram_lm_scores(corpus, lm).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    from patternly_spark.operators.lm import dsir_weights
+
+    # target domain: "alpha beta" docs 1..4; off-domain: "x y z" noise
+    target_rows = [(i, "alpha beta alpha beta alpha beta") for i in range(1, 5)]
+    noise_rows = [(i, "x y z w q r s t u v") for i in range(10, 14)]
+    probe = [(100, "alpha beta alpha beta"), (101, "x y z w")]
+    docs = spark.createDataFrame(target_rows + noise_rows + probe, "doc_id long, text string")
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["log_ratio"] for r in dsir_weights(docs, target).collect()}
+    # target-like probe scores strictly higher than off-domain probe
+    assert out[100] > out[101]
+    assert out[100] > 0  # more likely under target LM than raw LM

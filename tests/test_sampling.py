@@ -76,3 +76,24 @@ def test_quality_bins_rank_exact(spark):
     assert out[0] == 1 and out[4] == 1  # lowest 5 scores -> bin 1
     assert out[19] == 4 and out[15] == 4
     assert sorted(set(out.values())) == [1, 2, 3, 4]
+
+
+def test_importance_sample_rates_and_determinism(spark):
+    from pyspark.sql import functions as F
+    from patternly_spark.operators.sampling import importance_sample
+
+    df = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    # p = 0 keeps nothing, p = 1 keeps everything
+    assert importance_sample(df, F.lit(0.0)).count() == 0
+    assert importance_sample(df, F.lit(1.0)).count() == 4000
+    # p = 0.3 keeps ~30%, deterministically
+    kept1 = importance_sample(df, F.lit(0.3)).collect()
+    kept2 = importance_sample(df, F.lit(0.3)).collect()
+    assert sorted(r["doc_id"] for r in kept1) == sorted(r["doc_id"] for r in kept2)
+    assert 0.25 < len(kept1) / 4000 < 0.35
+    # different seed draws an independent sample
+    kept3 = importance_sample(df, F.lit(0.3), seed="b").collect()
+    assert sorted(r["doc_id"] for r in kept3) != sorted(r["doc_id"] for r in kept1)
+    # out-of-range probabilities clamp instead of misbehaving
+    assert importance_sample(df, F.lit(7.5)).count() == 4000
+    assert importance_sample(df, F.lit(-2.0)).count() == 0
