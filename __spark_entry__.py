@@ -1487,6 +1487,18 @@ def q75_merge_upsert(spark, sf_dir):
     )
 
 
+def q76_bpe_merges(spark, sf_dir):
+    """BPE tokenizer-vocabulary induction: ONE corpus scan collapses to a
+    (word, count) table, then every merge round iterates on vocabulary-
+    sized data (pair-count shuffle + argmax scalar + array-fold merge).
+    Iterative/argmax-driven -> rows-only; pinned against a plain-Python
+    reference BPE in tests/test_tokenizer.py."""
+    from patternly_spark.operators.tokenizer import bpe_merges_df
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_merges_df(spark, d, num_merges=12)
+
+
 def q57_pq_topk(spark, sf_dir):
     """PQ-compressed ANN: per-subspace codebooks (8 x 16), tinyint codes,
     asymmetric-distance top-k via per-query lookup tables — the scan reads
@@ -1611,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_importance_sample": q73_importance_sample,
         "q74_dsir_weights": q74_dsir_weights,
         "q75_merge_upsert": q75_merge_upsert,
+        "q76_bpe_merges": q76_bpe_merges,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,

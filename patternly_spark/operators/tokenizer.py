@@ -1,0 +1,142 @@
+"""BPE tokenizer-vocabulary induction (Sennrich et al. 2016) — learning
+the merge table itself, distributed.
+
+The scale observation that makes BPE Spark-friendly: after ONE corpus
+scan collapses the text to a (word, count) vocabulary table, every merge
+iteration runs on that table — vocabulary-sized (10^5-10^6 rows for any
+corpus, regardless of corpus bytes), not corpus-sized.  So 100 TB of
+text costs one distributed word count; the K merge rounds then iterate
+over megabytes.
+
+Each round:
+  1. weighted adjacent-pair counts over the symbol arrays (explode +
+     map-side-combined sum — one small shuffle),
+  2. argmax pair with a total-order tie-break (count desc, then lexical)
+     — a 1-row driver scalar, the only per-round action,
+  3. apply the merge to every word's symbol array with a pure array
+     fold (greedy left-to-right, the classic semantics).
+
+Iterative and argmax-driven, so no SQL oracle (rows-only query q76);
+semantics are pinned against a plain-Python reference BPE in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bpe_merges", "word_vocabulary"]
+
+END_OF_WORD = "</w>"
+
+
+def word_vocabulary(
+    docs: DataFrame, *, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """(word, count) over whitespace-split text — the one corpus-sized
+    pass.  The end-of-word marker is appended as a distinct final symbol
+    (standard BPE: word-boundary information survives merging)."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    words = docs.select(F.explode(toks).alias("word")).groupBy("word").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    if min_count > 1:
+        words = words.filter(F.col("count") >= int(min_count))
+    return words
+
+
+def _initial_symbols() -> F.Column:
+    """word -> [c1, c2, ..., cn, </w>]"""
+    chars = F.split(F.col("word"), "")
+    return F.concat(
+        F.filter(chars, lambda c: c != F.lit("")), F.array(F.lit(END_OF_WORD))
+    )
+
+
+def _merge_expr(left: str, right: str):
+    """Greedy left-to-right merge of (left, right) in a symbol array via
+    one fold: append x unless the running tail is `left` and x is
+    `right`, in which case replace the tail with the joined token."""
+    joined = left + right
+
+    def step(acc, x):
+        can = (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(left)) & (
+            x == F.lit(right)
+        )
+        return F.when(
+            can,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(joined))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(
+        F.col("symbols"), F.array().cast("array<string>"), step
+    )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    num_merges: int = 20,
+    min_count: int = 1,
+    checkpoint_every: int = 5,
+) -> list[tuple[str, str, int]]:
+    """Learn the top-``num_merges`` BPE merges.  Returns the ordered
+    merge table [(left, right, pair_count), ...] — rank i is the i-th
+    merge learned.  Ties break (count desc, left asc, right asc) so the
+    table is deterministic for any partitioning.
+    """
+    vocab = word_vocabulary(docs, text_col=text_col, min_count=min_count)
+    words = vocab.select("count", _initial_symbols().alias("symbols"))
+    words = words.localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str, int]] = []
+    for it in range(int(num_merges)):
+        pairs = words.select(
+            "count",
+            F.explode(
+                F.when(
+                    F.size("symbols") >= 2,
+                    F.zip_with(
+                        F.slice("symbols", 1, F.size("symbols") - 1),
+                        F.slice("symbols", 2, F.size("symbols") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    ),
+                ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p")
+            .agg(F.sum("count").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("p.l").asc(), F.col("p.r").asc())
+            .first()
+        )
+        if best is None:
+            break
+        left, right, n = best["p"]["l"], best["p"]["r"], int(best["n"])
+        merges.append((left, right, n))
+        words = words.select("count", _merge_expr(left, right).alias("symbols"))
+        if (it + 1) % int(checkpoint_every) == 0:
+            words = words.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_merges_df(
+    spark,
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    num_merges: int = 20,
+    min_count: int = 1,
+) -> DataFrame:
+    """DataFrame form of the merge table: (rank int, left, right,
+    pair_count long) — the queries() surface."""
+    merges = bpe_merges(
+        docs, text_col=text_col, num_merges=num_merges, min_count=min_count
+    )
+    return spark.createDataFrame(
+        [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
+        "rank int, left string, right string, pair_count long",
+    )

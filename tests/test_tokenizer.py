@@ -1,0 +1,63 @@
+"""BPE merge induction vs a plain-Python reference implementation."""
+
+import collections
+
+from patternly_spark.operators.tokenizer import END_OF_WORD, bpe_merges, word_vocabulary
+
+
+def _ref_bpe(texts, num_merges):
+    """Sennrich-style reference: word counts, then greedy pair merges
+    with (count desc, left asc, right asc) tie-break."""
+    vocab = collections.Counter()
+    for t in texts:
+        for w in t.split():
+            vocab[w] += 1
+    words = {w: list(w) + [END_OF_WORD] for w in vocab}
+    merges = []
+    for _ in range(num_merges):
+        pair_counts = collections.Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += vocab[w]
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (l, r), n = best
+        merges.append((l, r, n))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def test_bpe_matches_reference(spark):
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest newest newest newest",
+        "widest widest widest",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = bpe_merges(docs, num_merges=8)
+    want = _ref_bpe(texts, 8)
+    assert got == want
+
+
+def test_bpe_overlapping_run_merges_left_to_right(spark):
+    # "aaaa": merge (a,a) counts 3 overlapping pairs but must apply greedily
+    docs = spark.createDataFrame([(0, "aaaa aaaa")], "doc_id long, text string")
+    got = bpe_merges(docs, num_merges=2)
+    want = _ref_bpe(["aaaa aaaa"], 2)
+    assert got == want
+
+
+def test_word_vocabulary_counts(spark):
+    docs = spark.createDataFrame([(0, "x y x"), (1, "x  z")], "doc_id long, text string")
+    v = {r["word"]: r["count"] for r in word_vocabulary(docs).collect()}
+    assert v == {"x": 3, "y": 1, "z": 1}
