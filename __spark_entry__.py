@@ -1499,6 +1499,43 @@ def q76_bpe_merges(spark, sf_dir):
     return bpe_merges_df(spark, d, num_merges=12)
 
 
+def q77_rrf_hybrid(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion: BM25 top-20 fused
+    with a term-density top-20 (two genuinely different orderings of the
+    same matched set).  Rank-based, so the FP scores never cross the
+    engine boundary — only positions do; the fused 1/(60+r) sums are
+    per-list columns added in fixed order."""
+    from pyspark.sql import Window
+
+    from patternly_spark.operators.retrieval import bm25_scores, rrf_fuse
+
+    d = _t(spark, sf_dir, "documents")
+    terms = ["hash", "join", "vector", "stream"]
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit(""))
+
+    def _match(term):
+        return lambda x: x == F.lit(term)
+
+    tf_total = None
+    for t in terms:
+        c = F.size(F.filter(toks, _match(t)))
+        tf_total = c if tf_total is None else tf_total + c
+    density = d.select(
+        "doc_id",
+        (tf_total.cast("double") / F.size(toks).cast("double")).alias("density"),
+    ).filter(F.col("density") > 0)
+
+    top = lambda df, col: (  # noqa: E731
+        df.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col(col).desc(), F.col("doc_id").asc())),
+        ).filter(F.col("rank") <= 20)
+    )
+    bm25 = top(bm25_scores(d, terms, idf_quantize_bits=20), "bm25")
+    dens = top(density, "density")
+    return rrf_fuse([bm25, dens], k=60.0)
+
+
 def q57_pq_topk(spark, sf_dir):
     """PQ-compressed ANN: per-subspace codebooks (8 x 16), tinyint codes,
     asymmetric-distance top-k via per-query lookup tables — the scan reads
@@ -1624,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_dsir_weights": q74_dsir_weights,
         "q75_merge_upsert": q75_merge_upsert,
         "q76_bpe_merges": q76_bpe_merges,
+        "q77_rrf_hybrid": q77_rrf_hybrid,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -2288,6 +2326,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, CAST(price AS DOUBLE) AS price,
                    CAST(version AS INT) AS version
             FROM r WHERE rn = 1
+        """,
+        "q77_rrf_hybrid": """
+            WITH t AS (
+                SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                           x -> x <> '') AS toks
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS DOUBLE) AS dl,
+                       CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf0,
+                       CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf1,
+                       CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf2,
+                       CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE) AS tf3
+                FROM t
+            ),
+            c AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(dl AS BIGINT)) AS BIGINT) AS sdl,
+                       CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                       CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                       CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+                       CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+                FROM base
+            ),
+            k AS (
+                SELECT CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl,
+                       FLOOR(ln(1.0 + (CAST(n - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5)) * 1048576.0) / 1048576.0 AS idf0,
+                       FLOOR(ln(1.0 + (CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)) * 1048576.0) / 1048576.0 AS idf1,
+                       FLOOR(ln(1.0 + (CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)) * 1048576.0) / 1048576.0 AS idf2,
+                       FLOOR(ln(1.0 + (CAST(n - df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5)) * 1048576.0) / 1048576.0 AS idf3
+                FROM c
+            ),
+            bm AS (
+                SELECT doc_id,
+                       idf0 * ((tf0 * (CAST(1.2 AS DOUBLE) + 1.0)) / (tf0 + CAST(1.2 AS DOUBLE) * (0.25 + (0.75 * dl) / avgdl)))
+                     + idf1 * ((tf1 * (CAST(1.2 AS DOUBLE) + 1.0)) / (tf1 + CAST(1.2 AS DOUBLE) * (0.25 + (0.75 * dl) / avgdl)))
+                     + idf2 * ((tf2 * (CAST(1.2 AS DOUBLE) + 1.0)) / (tf2 + CAST(1.2 AS DOUBLE) * (0.25 + (0.75 * dl) / avgdl)))
+                     + idf3 * ((tf3 * (CAST(1.2 AS DOUBLE) + 1.0)) / (tf3 + CAST(1.2 AS DOUBLE) * (0.25 + (0.75 * dl) / avgdl))) AS bm25
+                FROM base, k
+                WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0 OR tf3 > 0
+            ),
+            r1 AS (
+                SELECT doc_id, rank FROM (
+                    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank FROM bm
+                ) WHERE rank <= 20
+            ),
+            dens AS (
+                SELECT doc_id, (tf0 + tf1 + tf2 + tf3) / dl AS density
+                FROM base WHERE (tf0 + tf1 + tf2 + tf3) / dl > 0
+            ),
+            r2 AS (
+                SELECT doc_id, rank FROM (
+                    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY density DESC, doc_id ASC) AS rank FROM dens
+                ) WHERE rank <= 20
+            ),
+            u AS (
+                SELECT doc_id, 0 AS l, rank FROM r1
+                UNION ALL
+                SELECT doc_id, 1 AS l, rank FROM r2
+            ),
+            g AS (
+                SELECT doc_id,
+                       COALESCE(MAX(CASE WHEN l = 0 THEN 1.0 / (CAST(60.0 AS DOUBLE) + CAST(rank AS DOUBLE)) END), 0.0) AS c0,
+                       COALESCE(MAX(CASE WHEN l = 1 THEN 1.0 / (CAST(60.0 AS DOUBLE) + CAST(rank AS DOUBLE)) END), 0.0) AS c1
+                FROM u GROUP BY 1
+            )
+            SELECT doc_id, c0 + c1 AS rrf_score,
+                   CAST(ROW_NUMBER() OVER (ORDER BY c0 + c1 DESC, doc_id ASC) AS INT) AS fused_rank
+            FROM g
         """,
         "q61_winsorize": """
             WITH q AS (

@@ -234,3 +234,55 @@ def pmi(lift_col) -> "F.Column":
     the log scale (cross-engine last-ulp caveat applies to ln)."""
     c = F.col(lift_col) if isinstance(lift_col, str) else lift_col
     return F.log(c)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: float = 60.0,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid
+    of lexical + vector retrieval: score(d) = sum over lists of
+    1 / (k + rank_i(d)), refusing to compare raw scores across signal
+    types (ranks are the only cross-list comparable).
+
+    Output: (id, rrf_score, fused_rank).  A doc absent from a list
+    contributes 0; a doc repeated within one list counts its best rank.
+
+    Exactness: each list's contribution lands in its OWN aggregate
+    column and the final sum is a fixed left-to-right expression — no
+    order-dependent FP aggregation, so an external SQL replica hash-
+    matches.  Inputs are top-k lists (tiny); the fused-rank window is a
+    single total order over at most sum(k_i) rows.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    from pyspark.sql import Window
+
+    tagged = None
+    for i, r in enumerate(rankings):
+        t = r.select(
+            F.col(id_col), F.lit(i).alias("__list"), F.col(rank_col).alias("__rank")
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    contribs = [
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("__list") == i,
+                    F.lit(1.0) / (F.lit(float(k)) + F.col("__rank").cast("double")),
+                )
+            ),
+            F.lit(0.0),
+        ).alias(f"__c{i}")
+        for i in range(len(rankings))
+    ]
+    g = tagged.groupBy(id_col).agg(*contribs)
+    score = F.col("__c0")
+    for i in range(1, len(rankings)):
+        score = score + F.col(f"__c{i}")
+    scored = g.select(F.col(id_col), score.alias("rrf_score"))
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return scored.withColumn("fused_rank", F.row_number().over(w).cast("int"))

@@ -174,3 +174,26 @@ def test_collocations_single_token_docs_ignored(spark):
     # 'solo' still counts toward the unigram total
     ab = next(r for r in out if (r["a"], r["b"]) == ("a", "b"))
     assert ab["n_a"] == 3 and ab["n_ab"] == 3
+
+
+def test_rrf_fuse_scores_and_ranks(spark):
+    from patternly_spark.operators.retrieval import rrf_fuse
+
+    r1 = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    r2 = spark.createDataFrame([(3, 1), (4, 2)], "doc_id long, rank long")
+    out = {r["doc_id"]: r for r in rrf_fuse([r1, r2], k=60.0).collect()}
+    # doc 3: in both lists -> 1/63 + 1/61; doc 1 only r1 -> 1/61
+    assert abs(out[3]["rrf_score"] - (1 / 63 + 1 / 61)) < 1e-15
+    assert abs(out[1]["rrf_score"] - 1 / 61) < 1e-15
+    assert abs(out[4]["rrf_score"] - 1 / 62) < 1e-15
+    # doc 3 beats everything; tie between doc 1 (1/61) and nothing else
+    assert out[3]["fused_rank"] == 1 and out[1]["fused_rank"] == 2
+    assert out[2]["fused_rank"] == 4 and out[4]["fused_rank"] == 3
+
+
+def test_rrf_fuse_repeated_doc_counts_best_rank(spark):
+    from patternly_spark.operators.retrieval import rrf_fuse
+
+    r1 = spark.createDataFrame([(1, 5), (1, 2)], "doc_id long, rank long")
+    (row,) = rrf_fuse([r1], k=60.0).collect()
+    assert abs(row["rrf_score"] - 1 / 62) < 1e-15
