@@ -188,7 +188,8 @@ def test_rrf_fuse_scores_and_ranks(spark):
     assert abs(out[4]["rrf_score"] - 1 / 62) < 1e-15
     # doc 3 beats everything; tie between doc 1 (1/61) and nothing else
     assert out[3]["fused_rank"] == 1 and out[1]["fused_rank"] == 2
-    assert out[2]["fused_rank"] == 4 and out[4]["fused_rank"] == 3
+    # docs 2 and 4 tie at 1/62: the id tiebreak puts doc 2 first
+    assert out[2]["fused_rank"] == 3 and out[4]["fused_rank"] == 4
 
 
 def test_rrf_fuse_repeated_doc_counts_best_rank(spark):
