@@ -1536,6 +1536,20 @@ def q77_rrf_hybrid(spark, sf_dir):
     return rrf_fuse([bm25, dens], k=60.0)
 
 
+def q78_normalize_dedup(spark, sf_dir):
+    """Normalization-then-dedup composition: canonicalize text (lower,
+    strip punct, collapse whitespace) and hash-dedup the NORMALIZED
+    form — the pass that catches formatting-only duplicates exact_dedup
+    misses.  Zero-shuffle normalization + the one-shuffle dedup."""
+    from patternly_spark.functions.text import normalize_text
+    from patternly_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text("text").alias("text")
+    )
+    return exact_dedup(d).select("doc_id", "content_hash", "canonical_id", "is_dup")
+
+
 def q57_pq_topk(spark, sf_dir):
     """PQ-compressed ANN: per-subspace codebooks (8 x 16), tinyint codes,
     asymmetric-distance top-k via per-query lookup tables — the scan reads
@@ -1662,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_merge_upsert": q75_merge_upsert,
         "q76_bpe_merges": q76_bpe_merges,
         "q77_rrf_hybrid": q77_rrf_hybrid,
+        "q78_normalize_dedup": q78_normalize_dedup,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -2396,6 +2411,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, c0 + c1 AS rrf_score,
                    CAST(ROW_NUMBER() OVER (ORDER BY c0 + c1 DESC, doc_id ASC) AS INT) AS fused_rank
             FROM g
+        """,
+        "q78_normalize_dedup": """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                           regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                           '\\s+', ' ', 'g')) AS text
+                FROM documents
+            ), hashed AS (
+                SELECT doc_id,
+                       substr(md5(array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' ')), 1, 32) AS content_hash
+                FROM norm
+            )
+            SELECT doc_id, content_hash,
+                   MIN(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+                   doc_id <> MIN(doc_id) OVER (PARTITION BY content_hash) AS is_dup
+            FROM hashed
         """,
         "q61_winsorize": """
             WITH q AS (

@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "q73_importance_sample",
     "q74_dsir_weights",
     "q75_merge_upsert",
+    "q77_rrf_hybrid",
+    "q78_normalize_dedup",
     # q72_pagerank intentionally unbenched: fixed-iteration power method is
     # job-latency-bound on local[32] (~1s/round overhead), which would mask
     # the data-path signal the bench tracks; plans audited in test_graph.py

@@ -472,3 +472,32 @@ def with_pii_scrubbed(df, text_col: str = "text", *, out_col: str = "scrubbed_te
     for kind in PII_PATTERNS:
         out = out.withColumn(f"n_{kind}", pii_count(F.col(text_col), kind))
     return out.withColumn(out_col, pii_scrub(F.col(text_col)))
+
+
+def normalize_text(
+    text: Column | str,
+    *,
+    lowercase: bool = True,
+    strip_punct: bool = True,
+    collapse_ws: bool = True,
+) -> Column:
+    """Canonical text normalization ahead of hashing/dedup — the step
+    that makes "Hello,  World!" and "hello world" collide in
+    ``exact_dedup``/MinHash instead of surviving as distinct strings.
+
+    Conservative, engine-portable pieces only (Java regex and RE2 agree
+    on these character classes): lowercase, strip everything outside
+    [a-z0-9\\s] (after lowercasing), collapse whitespace runs to single
+    spaces, trim.  Unicode NFC/NFKC folding needs ICU and is therefore
+    NOT attempted here — at scale run it in the ingest decoder, not the
+    engine (documented limitation, same stance as the multimodal
+    codecs).  Pure column expressions, zero shuffle.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        c = F.lower(c)
+    if strip_punct:
+        c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
+    if collapse_ws:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c

@@ -99,3 +99,16 @@ def test_pii_scrub_and_counts(spark):
     assert out[3]["scrubbed_text"] == "host [IPV4] and [IPV4] up"
     assert out[4]["scrubbed_text"] == "clean text only"
     assert all(out[4][f"n_{k}"] == 0 for k in ("email", "ssn", "phone", "ipv4"))
+
+
+def test_normalize_text_canonicalizes(spark):
+    from pyspark.sql import functions as F
+    from patternly_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(0, "  Hello,   WORLD!! "), (1, "hello world"), (2, "a-b c_d")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n"] for r in df.select("doc_id", normalize_text("text").alias("n")).collect()}
+    assert out[0] == "hello world" == out[1]
+    assert out[2] == "ab cd"  # hyphen and underscore both stripped
