@@ -398,3 +398,72 @@ def test_streaming_neardup_dedup_end_to_end(spark, tmp_path):
     assert canon[2] == canon[31]
     registry = spark.read.parquet(str(tmp_path / "registry"))
     assert registry.count() > 0
+
+
+def test_streaming_upsert_latest_wins(spark, tmp_path):
+    from patternly_spark.streaming.merge import streaming_upsert
+
+    # three CDC files arriving in order: insert, update, stale-late-arrival
+    schema = "k long, v string, version long"
+    src = str(tmp_path / "cdc")
+    spark.createDataFrame([(1, "a1", 1), (2, "b1", 1)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame([(1, "a2", 2), (3, "c1", 1)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame([(1, "a0-stale", 0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("k long, v string, version long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_upsert(
+        stream,
+        str(tmp_path / "snap"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        key_cols="k",
+        version_col="version",
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    snap = {r["k"]: r for r in spark.read.parquet(str(tmp_path / "snap")).collect()}
+    assert len(snap) == 3
+    assert snap[1]["v"] == "a2" and snap[1]["version"] == 2  # stale update lost
+    assert snap[2]["v"] == "b1" and snap[3]["v"] == "c1"
+
+
+def test_streaming_upsert_partitioned_snapshot(spark, tmp_path):
+    from patternly_spark.streaming.merge import streaming_upsert
+
+    schema = "k long, v string, version long"
+    src = str(tmp_path / "cdc")
+    spark.createDataFrame(
+        [(i, f"v{i}", 1) for i in range(20)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([(3, "updated", 2)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = streaming_upsert(
+        stream,
+        str(tmp_path / "snap"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        key_cols="k",
+        version_col="version",
+        num_key_partitions=4,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    snap = {r["k"]: r for r in spark.read.parquet(str(tmp_path / "snap")).collect()}
+    assert len(snap) == 20
+    assert snap[3]["v"] == "updated" and snap[3]["version"] == 2
+    assert snap[5]["v"] == "v5"
