@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_merges", "word_vocabulary"]
+__all__ = ["bpe_merges", "bpe_merges_df", "bpe_encode", "word_vocabulary"]
 
 END_OF_WORD = "</w>"
 
@@ -139,4 +139,50 @@ def bpe_merges_df(
     return spark.createDataFrame(
         [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
         "rank int, left string, right string, pair_count long",
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize text with a learned BPE merge table (the apply half of
+    ``bpe_merges``).
+
+    The scale trick mirrors training: the merge cascade runs over the
+    batch's DISTINCT words (vocabulary-sized), and the tokenization
+    broadcast-joins back onto the corpus by word — so the K chained
+    array folds execute |vocab| times, not |corpus tokens| times.
+    Output: input columns + ``out_col`` (array<string> of subword
+    units, end-of-word markers attached).
+    """
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    with_words = docs.select(F.col(id_col), toks.alias("__words"))
+    vocab = with_words.select(F.explode("__words").alias("word")).distinct()
+    symbols = _initial_symbols()
+    enc = vocab.select("word", symbols.alias("symbols"))
+    for m in merges:
+        left, right = m[0], m[1]
+        enc = enc.select("word", _merge_expr(left, right).alias("symbols"))
+    enc = enc.withColumnRenamed("symbols", "__enc")
+    exploded = with_words.select(
+        F.col(id_col), F.posexplode("__words").alias("__pos", "word")
+    )
+    joined = exploded.join(F.broadcast(enc), "word")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__pos"), F.col("__enc")))
+                    ),
+                    lambda s: s["__enc"],
+                )
+            ).alias(out_col)
+        )
     )

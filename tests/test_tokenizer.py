@@ -61,3 +61,31 @@ def test_word_vocabulary_counts(spark):
     docs = spark.createDataFrame([(0, "x y x"), (1, "x  z")], "doc_id long, text string")
     v = {r["word"]: r["count"] for r in word_vocabulary(docs).collect()}
     assert v == {"x": 3, "y": 1, "z": 1}
+
+
+def test_bpe_encode_matches_reference_apply(spark):
+    texts = ["low lower lowest", "new newer newest newest"]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    merges = bpe_merges(docs, num_merges=6)
+
+    # reference apply: same greedy left-to-right merge cascade per word
+    def apply_ref(word):
+        syms = list(word) + [END_OF_WORD]
+        for l, r, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    from patternly_spark.operators.tokenizer import bpe_encode
+
+    got = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(docs, merges).collect()}
+    for i, t in enumerate(texts):
+        want = [s for w in t.split() for s in apply_ref(w)]
+        assert got[i] == want, (i, got[i], want)
