@@ -1550,6 +1550,52 @@ def q78_normalize_dedup(spark, sf_dir):
     return exact_dedup(d).select("doc_id", "content_hash", "canonical_id", "is_dup")
 
 
+def q79_sequence_match(spark, sf_dir):
+    """ClickHouse-style sequenceMatch: per-user time-ordered event-type
+    string vs a regex — "view then purchase with no error between"
+    (v[^e]*p).  One groupBy(user); (ts, event_id) sort key pins
+    simultaneous events; portable regex constructs only."""
+    from patternly_spark.operators.behavior import sequence_match
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    return sequence_match(e, "v[^e]*p")
+
+
+def q80_snapshot_diff(spark, sf_dir):
+    """Snapshot diff audit: orders vs a deterministically perturbed copy
+    (every 7th key removed, every 5th re-priced, a shifted-key block
+    added).  Full-outer key join + null-safe per-column change fold —
+    pure map over the join."""
+    from patternly_spark.operators.merge import snapshot_diff
+
+    old = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", _dec("o_totalprice").alias("price"), "o_orderstatus"
+    )
+    survivors = old.filter(F.col("o_orderkey") % 7 != 0)
+    new = survivors.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0,
+            (F.col("price") * F.lit(2).cast("decimal(4,2)")).cast("decimal(18,2)"),
+        )
+        .otherwise(F.col("price"))
+        .alias("price"),
+        "o_orderstatus",
+    ).unionByName(
+        old.filter(F.col("o_orderkey") % 97 == 0).select(
+            (F.col("o_orderkey") + F.lit(100_000_000)).alias("o_orderkey"),
+            "price",
+            "o_orderstatus",
+        )
+    )
+    out = snapshot_diff(old, new, key_cols="o_orderkey")
+    return out.select(
+        "o_orderkey", "status", F.array_join("changed_cols", ",").alias("changed")
+    )
+
+
 def q57_pq_topk(spark, sf_dir):
     """PQ-compressed ANN: per-subspace codebooks (8 x 16), tinyint codes,
     asymmetric-distance top-k via per-query lookup tables — the scan reads
@@ -1677,6 +1723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_bpe_merges": q76_bpe_merges,
         "q77_rrf_hybrid": q77_rrf_hybrid,
         "q78_normalize_dedup": q78_normalize_dedup,
+        "q79_sequence_match": q79_sequence_match,
+        "q80_snapshot_diff": q80_snapshot_diff,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -2428,6 +2476,52 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
                    doc_id <> MIN(doc_id) OVER (PARTITION BY content_hash) AS is_dup
             FROM hashed
+        """,
+        "q79_sequence_match": """
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS t,
+                       substr(event_type, 1, 1) AS c
+                FROM events
+            ), g AS (
+                SELECT user_id, string_agg(c, '' ORDER BY t, event_id) AS events
+                FROM e GROUP BY 1
+            )
+            SELECT user_id, events, regexp_matches(events, 'v[^e]*p') AS matched
+            FROM g
+        """,
+        "q80_snapshot_diff": """
+            WITH old AS (
+                SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                       o_orderstatus
+                FROM orders
+            ), new AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 5 = 0
+                            THEN CAST(price * CAST(2 AS DECIMAL(4,2)) AS DECIMAL(18,2))
+                            ELSE price END AS price,
+                       o_orderstatus
+                FROM old WHERE o_orderkey % 7 <> 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, price, o_orderstatus
+                FROM old WHERE o_orderkey % 97 = 0
+            ), j AS (
+                SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                       o.o_orderkey IS NOT NULL AS in_old,
+                       n.o_orderkey IS NOT NULL AS in_new,
+                       list_sort(list_filter(
+                           [CASE WHEN o.price IS DISTINCT FROM n.price THEN 'price' END,
+                            CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'o_orderstatus' END],
+                           x -> x IS NOT NULL)) AS ch
+                FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+            )
+            SELECT o_orderkey,
+                   CASE WHEN NOT in_old THEN 'added'
+                        WHEN NOT in_new THEN 'removed'
+                        WHEN len(ch) > 0 THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   CASE WHEN in_old AND in_new AND len(ch) > 0
+                        THEN array_to_string(ch, ',') ELSE '' END AS changed
+            FROM j
         """,
         "q61_winsorize": """
             WITH q AS (

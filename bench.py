@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "q75_merge_upsert",
     "q77_rrf_hybrid",
     "q78_normalize_dedup",
+    "q79_sequence_match",
+    "q80_snapshot_diff",
     # q72_pagerank intentionally unbenched: fixed-iteration power method is
     # job-latency-bound on local[32] (~1s/round overhead), which would mask
     # the data-path signal the bench tracks; plans audited in test_graph.py

@@ -140,3 +140,50 @@ def cohort_retention(
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count_distinct(user_col).cast("long").alias("n_users"))
     )
+
+
+def sequence_match(
+    df: DataFrame,
+    pattern: str,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+    alphabet: dict[str, str] | None = None,
+) -> DataFrame:
+    """ClickHouse-style ``sequenceMatch``: does each user's event-type
+    stream, in time order, match a regex ``pattern``?
+
+    Event types map to single characters (``alphabet``: type -> char;
+    default = first letter) and the per-user ordered concatenation is
+    matched with the regex — so any ordered pattern expressible as a
+    regex over the event alphabet works ("signup then eventually
+    purchase with no error between": ``s[^e]*p``).  Keep patterns to
+    portable constructs (literals, classes, ``.*``, anchors): Java
+    regex and RE2 agree on those.
+
+    Output: (user, events string, matched boolean).  One groupBy(user)
+    shuffle; the (ts, id) sort key makes simultaneous events
+    deterministic.  Per-user string length = event count — the
+    sessionize/funnel state bound.
+    """
+    if alphabet is None:
+        mapped = F.substring(F.col(type_col), 1, 1)
+    else:
+        mapped = None
+        for k, v in alphabet.items():
+            c = F.when(F.col(type_col) == k, F.lit(v))
+            mapped = c if mapped is None else mapped.when(F.col(type_col) == k, F.lit(v))
+        mapped = mapped.otherwise(F.lit("?"))
+    evs = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(ts_col).alias("t"), F.col(id_col).alias("i"), mapped.alias("c"))
+        )
+    )
+    s = F.array_join(F.transform(evs, lambda e: e["c"]), "")
+    return (
+        df.groupBy(user_col)
+        .agg(s.alias("events"))
+        .withColumn("matched", F.col("events").rlike(pattern))
+    )

@@ -56,3 +56,62 @@ def merge_upsert(
         .filter(F.col("__rn") == 1)
         .select(*cols)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key_cols: str | list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Table-version diff: classify every key as added / removed /
+    changed / unchanged between two snapshots, with the exact set of
+    changed columns — the audit query behind every CDC pipeline and
+    the regression gate for reproducible rebuilds.
+
+    One full-outer equi-join on the keys (AQE-skew-safe, both sides
+    prune to keys + compared columns); change detection is null-safe
+    per-column equality folded into an array expression, so the whole
+    classification is a pure map over the join.
+
+    Output: (keys..., status string, changed_cols array<string>).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    cols = compare_cols or [c for c in old.columns if c not in keys]
+    missing = [c for c in cols if c not in new.columns]
+    if missing:
+        raise ValueError(f"compare columns absent from new snapshot: {missing}")
+    o = old.select(*keys, *[F.col(c).alias(f"__o_{c}") for c in cols]).withColumn(
+        "__in_old", F.lit(True)
+    )
+    n = new.select(*keys, *[F.col(c).alias(f"__n_{c}") for c in cols]).withColumn(
+        "__in_new", F.lit(True)
+    )
+    j = o.join(n, keys, "full_outer")
+    changed = F.sort_array(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)
+                    )
+                    for c in cols
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.size(changed) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *keys,
+        status.alias("status"),
+        F.when(status == "changed", changed)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("changed_cols"),
+    )

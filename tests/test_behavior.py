@@ -81,3 +81,27 @@ def test_cohort_retention_offsets(spark):
     # cohort 1 = users 3,5; user 3 active at offset 1 too
     assert out[(1, 0)] == 2 and out[(1, 1)] == 1
     assert (1, 2) not in out and all(k[1] >= 0 for k in out)
+
+
+def test_sequence_match_pattern_and_order(spark):
+    from patternly_spark.operators.behavior import sequence_match
+
+    rows = [  # (user, event_id, type, ts)
+        (1, 1, "view", 10), (1, 2, "click", 20), (1, 3, "purchase", 30),
+        (2, 4, "view", 10), (2, 5, "error", 20), (2, 6, "purchase", 30),
+        (3, 7, "purchase", 10), (3, 8, "view", 20),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, event_type string, ts_us long")
+    out = {r["user_id"]: r for r in sequence_match(df, "v[^e]*p").collect()}
+    assert out[1]["matched"] and out[1]["events"] == "vcp"
+    assert not out[2]["matched"] and out[2]["events"] == "vep"
+    assert not out[3]["matched"] and out[3]["events"] == "pv"
+
+
+def test_sequence_match_tie_breaks_by_event_id(spark):
+    from patternly_spark.operators.behavior import sequence_match
+
+    rows = [(1, 2, "b_type", 10), (1, 1, "a_type", 10)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, event_type string, ts_us long")
+    (r,) = sequence_match(df, "ab").collect()
+    assert r["events"] == "ab" and r["matched"]

@@ -41,3 +41,31 @@ def test_merge_upsert_schema_mismatch_raises(spark):
     updates = spark.createDataFrame([(1, "u")], "k long, v string")
     with pytest.raises(ValueError, match="schema mismatch"):
         merge_upsert(target, updates, key_cols="k")
+
+
+def test_snapshot_diff_classification(spark):
+    from patternly_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 25.0), (4, "now-set", 40.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    out = {r["k"]: r for r in snapshot_diff(old, new, key_cols="k").collect()}
+    assert out[1]["status"] == "unchanged" and out[1]["changed_cols"] == []
+    assert out[2]["status"] == "changed" and out[2]["changed_cols"] == ["s", "v"]
+    assert out[3]["status"] == "removed"
+    assert out[4]["status"] == "changed" and out[4]["changed_cols"] == ["s"]  # null -> value
+    assert out[5]["status"] == "added" and out[5]["changed_cols"] == []
+
+
+def test_snapshot_diff_compare_subset(spark):
+    from patternly_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, "x", 1.0)], "k long, s string, v double")
+    new = spark.createDataFrame([(1, "y", 1.0)], "k long, s string, v double")
+    (r,) = snapshot_diff(old, new, key_cols="k", compare_cols=["v"]).collect()
+    assert r["status"] == "unchanged"  # s ignored
