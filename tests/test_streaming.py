@@ -467,3 +467,80 @@ def test_streaming_upsert_partitioned_snapshot(spark, tmp_path):
     assert len(snap) == 20
     assert snap[3]["v"] == "updated" and snap[3]["version"] == 2
     assert snap[5]["v"] == "v5"
+
+
+def test_streaming_gapfill_matches_batch_on_closed_prefix(spark, tmp_path):
+    from patternly_spark.operators.rollup import gapfill
+    from patternly_spark.streaming.gapfill import streaming_gapfill
+
+    # key g: buckets 0, 30, 40 (width 10s) with interior gaps at 10, 20.
+    # Sentinel keys advance the GLOBAL watermark across batches so g's
+    # buckets close without more g events (append-mode finalization).
+    src = str(tmp_path / "src")
+    batches = [
+        [("g", 5.0, 1.0)],
+        [("g", 35.0, 4.0), ("g", 45.0, 10.0)],
+        [("z", 1000.0, 0.0)],
+        [("z", 2000.0, 0.0)],
+    ]
+    for rows in batches:
+        df = spark.createDataFrame(rows, "k string, secs double, value double").select(
+            "k", F.timestamp_micros((F.col("secs") * 1_000_000).cast("long")).alias("ts"), "value"
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_path = str(tmp_path / "out")
+    q = (
+        streaming_gapfill(
+            stream, key_col="k", width_secs=10, watermark="5 seconds",
+            agg="max", method="locf",
+        )
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["key"], r["window_start"]): r
+        for r in spark.read.parquet(out_path).collect()
+    }
+    g_rows = {k[1]: v for k, v in got.items() if k[0] == "g"}
+    assert set(g_rows) == {0, 10_000_000, 20_000_000, 30_000_000, 40_000_000}
+    assert g_rows[0]["n"] == 1 and g_rows[0]["val_filled"] == 1.0
+    assert g_rows[10_000_000]["n"] == 0 and g_rows[10_000_000]["val"] is None
+    assert g_rows[10_000_000]["val_filled"] == 1.0 == g_rows[20_000_000]["val_filled"]
+    assert g_rows[30_000_000]["val_filled"] == 4.0
+    assert g_rows[40_000_000]["val_filled"] == 10.0
+
+    # batch parity on the closed prefix: identical rows from the batch op
+    batch_g = spark.createDataFrame(
+        [("g", 5_000_000, 1.0), ("g", 35_000_000, 4.0), ("g", 45_000_000, 10.0)],
+        "k string, t long, v double",
+    )
+    want = {
+        r["window_start"]: r
+        for r in gapfill(
+            batch_g, axis="t", value="v", width=10_000_000, by="k",
+            agg="max", method="locf",
+        ).collect()
+    }
+    assert set(want) == set(g_rows)
+    for ws, w in want.items():
+        assert (w["n"], w["val"], w["val_filled"]) == (
+            g_rows[ws]["n"], g_rows[ws]["val"], g_rows[ws]["val_filled"]
+        ), ws
+    # the final (empty) availableNow trigger advanced the watermark to
+    # 1995s: z's first bucket closed (known), the 1010s..1990s gaps became
+    # interior (locf 0.0), and the 2000s bucket stayed open -> held back
+    z_rows = {k[1]: v for k, v in got.items() if k[0] == "z"}
+    assert z_rows[1_000_000_000]["n"] == 1 and z_rows[1_000_000_000]["val"] == 0.0
+    assert 2_000_000_000 not in z_rows
+    assert z_rows[1_500_000_000]["n"] == 0 and z_rows[1_500_000_000]["val_filled"] == 0.0
