@@ -1596,6 +1596,32 @@ def q80_snapshot_diff(spark, sf_dir):
     )
 
 
+def q81_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement: top-30
+    docs by quantized ln(u)/w with md5 uniforms and length weights —
+    inclusion proportional to weight, deterministic on any engine or
+    partitioning (dyadic ln + exact division + (key,id) tie-break)."""
+    from patternly_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("double").alias("w")
+    )
+    return weighted_sample(d, "w", 30, key_col="doc_id")
+
+
+def q82_chi2_keywords(spark, sf_dir):
+    """Chi-squared domain-characteristic terms: per-source top-3 tokens
+    by 2x2 document-incidence association vs the rest of the corpus.
+    Integer counts + a fixed shape of correctly-rounded double ops ->
+    bit-exact cross-engine; one (group, token) shuffle + marginal join
+    + per-group rank."""
+    from patternly_spark.operators.retrieval import chi2_keywords
+
+    d = _t(spark, sf_dir, "documents")
+    out = chi2_keywords(d, group_col="source", top_k=3, min_df=2)
+    return out.select("source", "token", "chi2", "rank")
+
+
 def q57_pq_topk(spark, sf_dir):
     """PQ-compressed ANN: per-subspace codebooks (8 x 16), tinyint codes,
     asymmetric-distance top-k via per-query lookup tables — the scan reads
@@ -1725,6 +1751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_normalize_dedup": q78_normalize_dedup,
         "q79_sequence_match": q79_sequence_match,
         "q80_snapshot_diff": q80_snapshot_diff,
+        "q81_weighted_sample": q81_weighted_sample,
+        "q82_chi2_keywords": q82_chi2_keywords,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -2522,6 +2550,62 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN in_old AND in_new AND len(ch) > 0
                         THEN array_to_string(ch, ',') ELSE '' END AS changed
             FROM j
+        """,
+        "q81_weighted_sample": """
+            WITH w AS (
+                SELECT doc_id, CAST(length(text) AS DOUBLE) AS w,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                           / 4294967296.0 + 1.16415321826934814e-10 AS u
+                FROM documents
+            ), keyed AS (
+                SELECT doc_id, w,
+                       (FLOOR(ln(u) * 1048576.0) / 1048576.0) / w AS es_key
+                FROM w WHERE w > 0
+            )
+            SELECT doc_id, w FROM (
+                SELECT doc_id, w,
+                       ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id ASC) AS rn
+                FROM keyed
+            ) WHERE rn <= 30
+        """,
+        "q82_chi2_keywords": """
+            WITH t AS (
+                SELECT source, doc_id,
+                       list_distinct(list_filter(
+                           string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS toks
+                FROM documents
+            ), inc AS (
+                SELECT source AS grp, unnest(toks) AS token, doc_id FROM t
+            ), gt AS (
+                SELECT grp, token, COUNT(*) AS a FROM inc GROUP BY 1, 2
+            ), tok_df AS (
+                SELECT token, SUM(a) AS df_all FROM gt GROUP BY 1
+            ), grp_n AS (
+                SELECT source AS grp, COUNT(*) AS n_grp FROM documents GROUP BY 1
+            ), tot AS (
+                SELECT COUNT(*) AS n FROM documents
+            ), j AS (
+                SELECT grp, token,
+                       CAST(a AS DOUBLE) AS a,
+                       CAST(n_grp - a AS DOUBLE) AS b,
+                       CAST(df_all - a AS DOUBLE) AS c,
+                       CAST(n - n_grp - df_all + a AS DOUBLE) AS d,
+                       CAST(n AS DOUBLE) AS nd
+                FROM gt JOIN grp_n USING (grp) JOIN tok_df USING (token)
+                CROSS JOIN tot
+                WHERE df_all >= 2
+            ), scored AS (
+                SELECT grp AS source, token,
+                       (nd * (a * d - b * c) * (a * d - b * c))
+                           / ((a + b) * (c + d) * (a + c) * (b + d)) AS chi2
+                FROM j WHERE a * (c + d) > c * (a + b)
+            )
+            SELECT source, token, chi2, rank FROM (
+                SELECT source, token, chi2,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY chi2 DESC, token ASC) AS INT) AS rank
+                FROM scored
+            ) WHERE rank <= 3
         """,
         "q61_winsorize": """
             WITH q AS (

@@ -286,3 +286,69 @@ def rrf_fuse(
     scored = g.select(F.col(id_col), score.alias("rrf_score"))
     w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
     return scored.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+
+
+def chi2_keywords(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Group-characteristic terms by chi-squared association — "which
+    tokens distinguish THIS source from the rest of the corpus" (the
+    domain-profiling view a mixture-weighting pass reads before deciding
+    rates).
+
+    Per (group, token) 2x2 document-incidence table (a = docs in group
+    with token, b = group docs without, c = other docs with, d = other
+    docs without): chi2 = n*(ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)), rank
+    top_k per group (chi2 desc, token asc) among tokens that are
+    over-represented (a*(c+d) > c*(a+b)) and pass ``min_df``.
+
+    All counts are integers; the statistic is a fixed shape of correctly-
+    rounded double ops, so an external SQL replica is bit-exact.  Plan:
+    doc-distinct token explode -> one (group, token) count shuffle, a
+    broadcast-sized token-marginal join, and a per-group rank window.
+    """
+    toks = F.array_distinct(
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    )
+    incidence = docs.select(
+        F.col(group_col).alias("grp"), F.explode(toks).alias("token")
+    )
+    gt = incidence.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("a"))
+    tok_df = gt.groupBy("token").agg(F.sum("a").alias("df_all"))
+    grp_n = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_grp")
+    )
+    n_total = docs.count()
+
+    j = (
+        gt.join(F.broadcast(grp_n), "grp")
+        .join(tok_df, "token")
+        .filter(F.col("df_all") >= int(min_df))
+    )
+    a = F.col("a").cast("double")
+    b = (F.col("n_grp") - F.col("a")).cast("double")
+    c = (F.col("df_all") - F.col("a")).cast("double")
+    d = (F.lit(n_total) - F.col("n_grp") - F.col("df_all") + F.col("a")).cast("double")
+    num = (a * d - b * c)
+    chi2 = (F.lit(float(n_total)) * num * num) / (
+        (a + b) * (c + d) * (a + c) * (b + d)
+    )
+    over = a * (c + d) > c * (a + b)  # over-represented in the group
+    scored = j.filter(over).select(
+        F.col("grp").alias(group_col), "token", chi2.alias("chi2")
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("chi2").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= int(top_k))
+    )

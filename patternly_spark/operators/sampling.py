@@ -221,3 +221,50 @@ def importance_sample(
     if keep_col is not None:
         return df.withColumn(keep_col, keep)
     return df.filter(keep)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: Column | str,
+    k: int,
+    *,
+    key_col: str = "doc_id",
+    by: str | list[str] | None = None,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): rank every row by ln(u)/w with u = the md5 uniform
+    of its key and keep the top k — inclusion probability proportional
+    to weight, no replacement, one pass, no sequential reservoir.
+
+    Engine-portable determinism: ln(u) is floor-quantized to 2^-20 (the
+    dyadic-exact trick), the /w division is a single correctly-rounded
+    IEEE op, and the (key, id) sort breaks ties — so the SAME k rows
+    come back from any engine or partitioning.  Non-positive weights
+    are excluded (zero weight = never sampled).
+
+    With ``by``, samples k per group (window rank); globally it is a
+    top-k sort — both rank-based, no full materialization of the sort.
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # nudge u off zero (a 2^-32 event that WILL happen at corpus scale:
+    # ln(0) is -inf/null depending on engine); the +2^-33 is exact and
+    # identical cross-engine
+    u = hash_fraction(F.col(key_col), seed=seed) + F.lit(2.0 ** -33)
+    # u in (0,1]: ln(u) <= 0; larger key = better.  floor-quantize the
+    # ln so both engines agree bit-for-bit, then one exact division.
+    scale = float(1 << 20)
+    lnu_q = F.floor(F.log(u) * F.lit(scale)) / F.lit(scale)
+    rank_key = lnu_q / w.cast("double")
+    filtered = df.filter(w.cast("double") > 0).withColumn("__es_key", rank_key)
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    win = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(
+        F.col("__es_key").desc(), F.col(key_col).asc()
+    )
+    return (
+        filtered.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= int(k))
+        .drop("__es_key", "__rn")
+    )

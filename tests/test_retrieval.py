@@ -198,3 +198,18 @@ def test_rrf_fuse_repeated_doc_counts_best_rank(spark):
     r1 = spark.createDataFrame([(1, 5), (1, 2)], "doc_id long, rank long")
     (row,) = rrf_fuse([r1], k=60.0).collect()
     assert abs(row["rrf_score"] - 1 / 62) < 1e-15
+
+
+def test_chi2_keywords_finds_group_marker(spark):
+    from patternly_spark.operators.retrieval import chi2_keywords
+
+    # 'marker' appears in every A doc and no B doc; 'common' everywhere
+    rows = [(i, "A", "common marker filler%d" % i) for i in range(10)]
+    rows += [(100 + i, "B", "common other filler%d" % i) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = chi2_keywords(df, top_k=2, min_df=2)
+    top = {r["source"]: r["token"] for r in out.collect() if r["rank"] == 1}
+    assert top["A"] == "marker" and top["B"] == "other"
+    # 'common' (everywhere) never ranks above the group markers
+    chi = {(r["source"], r["token"]): r["chi2"] for r in out.collect()}
+    assert ("A", "common") not in chi

@@ -97,3 +97,34 @@ def test_importance_sample_rates_and_determinism(spark):
     # out-of-range probabilities clamp instead of misbehaving
     assert importance_sample(df, F.lit(7.5)).count() == 4000
     assert importance_sample(df, F.lit(-2.0)).count() == 0
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from pyspark.sql import functions as F
+    from patternly_spark.operators.sampling import weighted_sample
+
+    # two weight classes: weight 10 vs weight 1 — heavy rows should
+    # dominate the sample
+    rows = [(i, 10.0 if i < 500 else 1.0) for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, "w", 200, key_col="doc_id").collect()
+    assert len(got) == 200
+    heavy = sum(1 for r in got if r["w"] == 10.0)
+    # E[heavy] ~ 200 * (500*10)/(500*10+4500*1) ~ 105; demand clear dominance
+    assert heavy > 70
+    again = weighted_sample(df, "w", 200, key_col="doc_id").collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in again)
+    # zero/negative weights never sampled
+    df2 = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 1.0)], "doc_id long, w double")
+    assert [r["doc_id"] for r in weighted_sample(df2, "w", 10).collect()] == [3]
+
+
+def test_weighted_sample_per_group(spark):
+    from patternly_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b", 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    got = weighted_sample(df, "w", 5, key_col="doc_id", by="g").collect()
+    from collections import Counter
+
+    assert Counter(r["g"] for r in got) == {"a": 5, "b": 5}
