@@ -544,3 +544,70 @@ def test_streaming_gapfill_matches_batch_on_closed_prefix(spark, tmp_path):
     assert z_rows[1_000_000_000]["n"] == 1 and z_rows[1_000_000_000]["val"] == 0.0
     assert 2_000_000_000 not in z_rows
     assert z_rows[1_500_000_000]["n"] == 0 and z_rows[1_500_000_000]["val_filled"] == 0.0
+
+
+def test_streaming_funnel_matches_batch_on_closed_prefix(spark, tmp_path):
+    from patternly_spark.operators.behavior import funnel
+    from patternly_spark.streaming.funnel import streaming_funnel
+
+    # user 1 completes all three steps; user 2's click arrives OUT OF
+    # ORDER (later file, earlier event time) but within the watermark,
+    # so the stream must still see view -> click in event-time order.
+    batches = [
+        [(1, "view", 10.0), (2, "view", 10.0)],
+        [(1, "click", 20.0), (2, "purchase", 30.0)],
+        [(2, "click", 20.0), (1, "purchase", 40.0)],   # 2's click is late
+        [(9, "view", 1000.0)],                          # watermark sentinel
+        [(9, "view", 2000.0)],                          # close everything
+    ]
+    src = str(tmp_path / "src")
+    for rows in batches:
+        spark.createDataFrame(rows, "user_id long, event_type string, secs double").select(
+            "user_id", "event_type",
+            F.timestamp_micros((F.col("secs") * 1_000_000).cast("long")).alias("ts"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_path = str(tmp_path / "out")
+    q = (
+        streaming_funnel(
+            stream, steps=["view", "click", "purchase"], watermark="15 seconds"
+        )
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_path).collect()
+    # latest advance per user = current funnel position
+    latest = {}
+    for r in got:
+        cur = latest.get(r["user_id"])
+        if cur is None or r["advanced_at_us"] > cur["advanced_at_us"]:
+            latest[r["user_id"]] = r
+    assert latest["1"]["steps_completed"] == 3
+    assert latest["1"]["step_ts"] == [10_000_000, 20_000_000, 40_000_000]
+    # user 2: despite arrival order view/purchase/click, event-time order
+    # is view(10) click(20) purchase(30) -> full completion
+    assert latest["2"]["steps_completed"] == 3
+
+    # batch parity on the same closed events
+    closed = [(1, "view", 10), (2, "view", 10), (1, "click", 20), (2, "purchase", 30),
+              (2, "click", 20), (1, "purchase", 40)]
+    bdf = spark.createDataFrame(
+        [(u, t, s * 1_000_000) for u, t, s in closed],
+        "user_id long, event_type string, ts_us long",
+    )
+    want = {
+        str(r["user_id"]): r["steps_completed"]
+        for r in funnel(bdf, steps=["view", "click", "purchase"]).collect()
+    }
+    for u in ("1", "2"):
+        assert latest[u]["steps_completed"] == want[u]
