@@ -1622,6 +1622,26 @@ def q82_chi2_keywords(spark, sf_dir):
     return out.select("source", "token", "chi2", "rank")
 
 
+def q83_json_extract(spark, sf_dir):
+    """Semi-structured path: parse the events' JSON props column, pull a
+    typed field, and aggregate it per event_type — the JSON-in-parquet
+    access pattern (JVM-side json path evaluation, one scan + one small
+    shuffle, integer sums exact)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("total"),
+            F.min("k").cast("long").alias("kmin"),
+            F.max("k").cast("long").alias("kmax"),
+            F.count_distinct("k").cast("long").alias("ndv"),
+        )
+    )
+
+
 def q57_pq_topk(spark, sf_dir):
     """PQ-compressed ANN: per-subspace codebooks (8 x 16), tinyint codes,
     asymmetric-distance top-k via per-query lookup tables — the scan reads
@@ -1753,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_snapshot_diff": q80_snapshot_diff,
         "q81_weighted_sample": q81_weighted_sample,
         "q82_chi2_keywords": q82_chi2_keywords,
+        "q83_json_extract": q83_json_extract,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -2606,6 +2627,20 @@ def oracle_sql() -> dict[str, str]:
                             ORDER BY chi2 DESC, token ASC) AS INT) AS rank
                 FROM scored
             ) WHERE rank <= 3
+        """,
+        "q83_json_extract": """
+            WITH k AS (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(COUNT(k) AS BIGINT) AS n,
+                   CAST(SUM(k) AS BIGINT) AS total,
+                   CAST(MIN(k) AS BIGINT) AS kmin,
+                   CAST(MAX(k) AS BIGINT) AS kmax,
+                   CAST(COUNT(DISTINCT k) AS BIGINT) AS ndv
+            FROM k GROUP BY 1
         """,
         "q61_winsorize": """
             WITH q AS (
