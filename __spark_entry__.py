@@ -1642,6 +1642,56 @@ def q83_json_extract(spark, sf_dir):
     )
 
 
+def q84_pivot(spark, sf_dir):
+    """PIVOT: order counts and decimal-exact revenue by priority x year.
+    Spark's groupBy().pivot() with explicit values compiles to the same
+    single-scan conditional aggregation the SQL spells out."""
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    base = o.select(
+        "o_orderpriority", yr.alias("yr"), _dec("o_totalprice").alias("price")
+    )
+    years = [1992, 1993, 1994, 1995]
+    p = (
+        base.groupBy("o_orderpriority")
+        .pivot("yr", years)
+        .agg(F.sum("price"))
+    )
+    cols = [F.col("o_orderpriority")]
+    for y in years:
+        cols.append(
+            F.coalesce(F.col(str(y)), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias(f"rev_{y}")
+        )
+    return p.select(*cols)
+
+
+def q85_range_frame(spark, sf_dir):
+    """RANGE-frame rolling window: per event_type, the count and exact
+    integer sum of the JSON k field over the trailing hour (RANGE
+    BETWEEN 3600s PRECEDING AND CURRENT ROW on the microsecond axis) —
+    the window-frame variant none of the other queries exercise."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    base = e.select(
+        "event_id", "event_type", F.unix_micros("ts").alias("ts_us"), k.alias("k")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return base.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.sum("k").over(w).cast("long").alias("k_1h"),
+    )
+
+
 def q57_pq_topk(spark, sf_dir):
     """PQ-compressed ANN: per-subspace codebooks (8 x 16), tinyint codes,
     asymmetric-distance top-k via per-query lookup tables — the scan reads
@@ -1774,6 +1824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_weighted_sample": q81_weighted_sample,
         "q82_chi2_keywords": q82_chi2_keywords,
         "q83_json_extract": q83_json_extract,
+        "q84_pivot": q84_pivot,
+        "q85_range_frame": q85_range_frame,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -2641,6 +2693,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(k) AS BIGINT) AS kmax,
                    CAST(COUNT(DISTINCT k) AS BIGINT) AS ndv
             FROM k GROUP BY 1
+        """,
+        "q84_pivot": """
+            SELECT o_orderpriority,
+                   CAST(COALESCE(SUM(CASE WHEN year(o_orderdate) = 1992
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS rev_1992,
+                   CAST(COALESCE(SUM(CASE WHEN year(o_orderdate) = 1993
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS rev_1993,
+                   CAST(COALESCE(SUM(CASE WHEN year(o_orderdate) = 1994
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS rev_1994,
+                   CAST(COALESCE(SUM(CASE WHEN year(o_orderdate) = 1995
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS rev_1995
+            FROM orders GROUP BY 1
+        """,
+        "q85_range_frame": """
+            WITH b AS (
+                SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            SELECT event_id, event_type,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+                   CAST(SUM(k) OVER w AS BIGINT) AS k_1h
+            FROM b
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         """,
         "q61_winsorize": """
             WITH q AS (
