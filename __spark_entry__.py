@@ -1692,6 +1692,39 @@ def q85_range_frame(spark, sf_dir):
     )
 
 
+def q86_unpivot(spark, sf_dir):
+    """UNPIVOT/melt: part attributes (size, retailprice) to long form —
+    the schema-normalization inverse of q84's pivot, single narrow scan."""
+    p = _t(spark, sf_dir, "part")
+    base = p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    )
+    return base.unpivot(
+        ["p_partkey"], ["size", "retailprice"], "attr", "val"
+    )
+
+
+def q87_percentile_ranks(spark, sf_dir):
+    """percent_rank + cume_dist of customer balances within nation —
+    rank-based positions with exact (rank-1)/(n-1) arithmetic, the
+    distribution-function window pair."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
 def q57_pq_topk(spark, sf_dir):
     """PQ-compressed ANN: per-subspace codebooks (8 x 16), tinyint codes,
     asymmetric-distance top-k via per-query lookup tables — the scan reads
@@ -1826,6 +1859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_json_extract": q83_json_extract,
         "q84_pivot": q84_pivot,
         "q85_range_frame": q85_range_frame,
+        "q86_unpivot": q86_unpivot,
+        "q87_percentile_ranks": q87_percentile_ranks,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -2718,6 +2753,19 @@ def oracle_sql() -> dict[str, str]:
             FROM b
             WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
+        "q86_unpivot": """
+            SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+            UNION ALL
+            SELECT p_partkey, 'retailprice', CAST(p_retailprice AS DOUBLE) FROM part
+        """,
+        "q87_percentile_ranks": """
+            SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+                   percent_rank() OVER w AS pr,
+                   cume_dist() OVER w AS cd
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal ASC, c_custkey ASC)
         """,
         "q61_winsorize": """
             WITH q AS (
