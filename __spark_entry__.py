@@ -1725,6 +1725,20 @@ def q87_percentile_ranks(spark, sf_dir):
     )
 
 
+def q88_quantile_normalize(spark, sf_dir):
+    """Cross-source score calibration: per-source document lengths
+    rank-mapped onto the global length distribution via a broadcast
+    101-point quantile grid + linear interpolation — integer-rank
+    arithmetic and fixed-shape double ops end to end."""
+    from patternly_spark.operators.normalize import quantile_normalize
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("double").alias("score")
+    )
+    out = quantile_normalize(d, "score", by="source", id_col="doc_id")
+    return out.select("doc_id", "source", "score", "score_qn")
+
+
 def q57_pq_topk(spark, sf_dir):
     """PQ-compressed ANN: per-subspace codebooks (8 x 16), tinyint codes,
     asymmetric-distance top-k via per-query lookup tables — the scan reads
@@ -1861,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_range_frame": q85_range_frame,
         "q86_unpivot": q86_unpivot,
         "q87_percentile_ranks": q87_percentile_ranks,
+        "q88_quantile_normalize": q88_quantile_normalize,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q24_cosine_topk": q24_cosine_topk,
         "q25_llk_stats_shape": q25_llk_stats_shape,
@@ -2766,6 +2781,27 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WINDOW w AS (PARTITION BY c_nationkey
                          ORDER BY c_acctbal ASC, c_custkey ASC)
+        """,
+        "q88_quantile_normalize": """
+            WITH d AS (
+                SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS score
+                FROM documents
+            ), grid AS (
+                SELECT quantile_cont(score, [0.0, 0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07, 0.08, 0.09, 0.1, 0.11, 0.12, 0.13, 0.14, 0.15, 0.16, 0.17, 0.18, 0.19, 0.2, 0.21, 0.22, 0.23, 0.24, 0.25, 0.26, 0.27, 0.28, 0.29, 0.3, 0.31, 0.32, 0.33, 0.34, 0.35, 0.36, 0.37, 0.38, 0.39, 0.4, 0.41, 0.42, 0.43, 0.44, 0.45, 0.46, 0.47, 0.48, 0.49, 0.5, 0.51, 0.52, 0.53, 0.54, 0.55, 0.56, 0.57, 0.58, 0.59, 0.6, 0.61, 0.62, 0.63, 0.64, 0.65, 0.66, 0.67, 0.68, 0.69, 0.7, 0.71, 0.72, 0.73, 0.74, 0.75, 0.76, 0.77, 0.78, 0.79, 0.8, 0.81, 0.82, 0.83, 0.84, 0.85, 0.86, 0.87, 0.88, 0.89, 0.9, 0.91, 0.92, 0.93, 0.94, 0.95, 0.96, 0.97, 0.98, 0.99, 1.0]) AS g FROM d
+            ), pr AS (
+                SELECT doc_id, source, score,
+                       percent_rank() OVER (PARTITION BY source
+                           ORDER BY score ASC, doc_id ASC) AS p
+                FROM d
+            )
+            SELECT doc_id, source, score,
+                   CASE WHEN CAST(FLOOR(p * 100.0) AS INT) >= 100 THEN g[101]
+                        ELSE g[CAST(FLOOR(p * 100.0) AS INT) + 1]
+                             + (p * 100.0 - CAST(CAST(FLOOR(p * 100.0) AS INT) AS DOUBLE))
+                               * (g[LEAST(CAST(FLOOR(p * 100.0) AS INT) + 2, 101)]
+                                  - g[CAST(FLOOR(p * 100.0) AS INT) + 1])
+                   END AS score_qn
+            FROM pr CROSS JOIN grid
         """,
         "q61_winsorize": """
             WITH q AS (

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "q85_range_frame",
     "q86_unpivot",
     "q87_percentile_ranks",
+    "q88_quantile_normalize",
     # q72_pagerank intentionally unbenched: fixed-iteration power method is
     # job-latency-bound on local[32] (~1s/round overhead), which would mask
     # the data-path signal the bench tracks; plans audited in test_graph.py

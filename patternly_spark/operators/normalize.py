@@ -95,3 +95,59 @@ def mad_outliers(
     return out.withColumn(
         "is_outlier", F.col("__dev") > F.lit(float(k)) * F.col("mad")
     ).drop("__dev")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: str | list[str],
+    id_col: str,
+    grid_points: int = 100,
+    exact: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Map each group's value distribution onto the GLOBAL distribution
+    — the cross-source score calibration step of mixture curation (a
+    quality score of "p50 within src7" becomes the corpus-wide p50
+    value, so thresholds mean the same thing in every source).
+
+    Rank-based: within-group percent_rank (deterministic (value, id)
+    total order), then linear interpolation into a broadcast
+    ``grid_points``-point global quantile grid.  Every step is either
+    integer-rank arithmetic or a fixed shape of correctly-rounded
+    double ops, so an external SQL replica is bit-exact (``exact=True``
+    uses interpolated ``percentile`` == DuckDB quantile_cont; the
+    approx sketch is the at-scale default, same trade as
+    ``sketch_profile``).
+
+    Appends ``out_col`` (default ``<value_col>_qn``).  Single-member
+    groups have percent_rank 0 and map to the global minimum — the
+    standard convention.
+    """
+    from pyspark.sql import Window
+
+    keys = [by] if isinstance(by, str) else list(by)
+    out_col = out_col or f"{value_col}_qn"
+    g = int(grid_points)
+    probs = [i / g for i in range(g + 1)]
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {APPROX_QUANTILE_ACCURACY}"
+    arr = ", ".join(repr(float(p)) for p in probs)
+    grid = df.select(
+        F.expr(f"{fn}({value_col}, array({arr}){acc})").alias("__grid")
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    with_pr = df.withColumn("__pr", F.percent_rank().over(w))
+    j = with_pr.crossJoin(F.broadcast(grid))
+    idx = F.col("__pr") * F.lit(float(g))
+    lo = F.floor(idx).cast("int")
+    frac = idx - lo.cast("double")
+    g_lo = F.element_at("__grid", lo + 1)
+    g_hi = F.element_at("__grid", F.least(lo + 2, F.lit(g + 1)))
+    mapped = F.when(lo >= g, F.element_at("__grid", g + 1)).otherwise(
+        g_lo + frac * (g_hi - g_lo)
+    )
+    return j.withColumn(out_col, mapped).drop("__pr", "__grid")

@@ -128,3 +128,21 @@ def test_weighted_sample_per_group(spark):
     from collections import Counter
 
     assert Counter(r["g"] for r in got) == {"a": 5, "b": 5}
+
+
+def test_quantile_normalize_maps_group_onto_global(spark):
+    from patternly_spark.operators.normalize import quantile_normalize
+
+    # group a: 1..10; group b: 101..110 — after normalization both groups
+    # span the GLOBAL distribution (min..max), erasing the group shift
+    rows = [(i, "a", float(i)) for i in range(1, 11)]
+    rows += [(100 + i, "b", float(100 + i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, v double")
+    out = {r["doc_id"]: r["v_qn"] for r in quantile_normalize(df, "v", by="g", id_col="doc_id").collect()}
+    lo, hi = min(out.values()), max(out.values())
+    assert lo == 1.0 and hi == 110.0
+    # within-group rank 0 -> global min; rank 1 -> global max, both groups
+    assert out[1] == 1.0 and out[10] == 110.0
+    assert out[101] == 1.0 and out[110] == 110.0
+    # the same within-group rank maps to the same global value
+    assert out[5] == out[105]
