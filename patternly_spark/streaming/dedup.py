@@ -195,3 +195,92 @@ def streaming_neardup_dedup(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_semantic_dedup(
+    new_vecs: DataFrame,
+    registry: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 4,
+    seed: int = 42,
+):
+    """Semantic (embedding-cosine) dedup of an ingestion batch against an
+    accumulated registry of kept representatives AND against itself —
+    the third member of the incremental family (exact hashes:
+    ``incremental_exact_dedup``; MinHash bands:
+    ``incremental_neardup_dedup``; this one: SemDeDup cells).
+
+    ``registry``: (sig long, canonical_id, embedding) — one row per KEPT
+    representative, keyed by its hyperplane cell.  The batch assigns
+    cells with the SAME seeded planes, resolves within-batch duplicate
+    groups (`semantic_dedup` on the batch), then each surviving batch
+    canonical checks its cell's registry representatives by cosine; a
+    hit re-canonicalizes the whole batch group onto the registry owner.
+    At scale, materialize the registry bucketed by ``sig``
+    (``sources.bucketed``) so only the batch's cells shuffle.
+
+    Returns ``(result, new_registry_rows)``:
+
+    - ``result``: (id, canonical_id, is_dup, is_new_canonical) — TOTAL
+      over the batch.
+    - ``new_registry_rows``: (sig, canonical_id, embedding) for batch
+      canonicals that matched nothing — append to the registry.
+    """
+    import numpy as np
+
+    from patternly_spark.functions.vectors import dot, hyperplane_signature, norm
+    from patternly_spark.operators.dedup import semantic_dedup
+
+    dim = len(new_vecs.select(vec_col).first()[0])
+    planes = np.random.default_rng(seed).normal(size=(num_planes, dim))
+
+    batch = semantic_dedup(
+        new_vecs, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        num_planes=num_planes, seed=seed,
+    ).withColumnRenamed("cluster_id", "__batch_canonical")
+
+    reps = batch.filter(F.col("is_canonical")).join(
+        new_vecs.select(F.col(id_col), F.col(vec_col)), id_col
+    ).select(
+        F.col(id_col).alias("__bc"),
+        F.col(vec_col).alias("__bvec"),
+        hyperplane_signature(F.col(vec_col), planes).alias("sig"),
+        norm(F.col(vec_col)).alias("__bn"),
+    )
+    reg = registry.select(
+        "sig",
+        F.col("canonical_id").alias("__existing"),
+        F.col(vec_col).alias("__rvec"),
+        norm(F.col(vec_col)).alias("__rn"),
+    )
+    cos = dot(F.col("__bvec"), F.col("__rvec")) / (F.col("__bn") * F.col("__rn"))
+    hits = (
+        reps.join(reg, "sig")
+        .filter(cos >= threshold)
+        .groupBy("__bc")
+        .agg(F.min("__existing").alias("__owner"))
+    )
+    resolved = reps.join(hits, "__bc", "left").select(
+        "__bc", "sig", "__bvec", F.col("__owner")
+    )
+    mapped = batch.join(
+        resolved.withColumnRenamed("__bc", "__batch_canonical"),
+        "__batch_canonical",
+        "left",
+    )
+    canonical = F.coalesce(F.col("__owner"), F.col("__batch_canonical"))
+    result = mapped.select(
+        id_col,
+        canonical.alias("canonical_id"),
+        (F.col(id_col) != canonical).alias("is_dup"),
+        (
+            F.col("__owner").isNull() & (F.col(id_col) == F.col("__batch_canonical"))
+        ).alias("is_new_canonical"),
+    )
+    new_rows = resolved.filter(F.col("__owner").isNull()).select(
+        "sig", F.col("__bc").alias("canonical_id"), F.col("__bvec").alias(vec_col)
+    )
+    return result, new_rows

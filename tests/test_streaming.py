@@ -611,3 +611,55 @@ def test_streaming_funnel_matches_batch_on_closed_prefix(spark, tmp_path):
     }
     for u in ("1", "2"):
         assert latest[u]["steps_completed"] == want[u]
+
+
+def test_incremental_semantic_dedup_batches_match_global(spark):
+    """Two-batch incremental semantic dedup must agree with one global
+    semantic_dedup over the union, for groups that land intact."""
+    import numpy as np
+
+    from patternly_spark.operators.dedup import semantic_dedup
+    from patternly_spark.streaming.dedup import incremental_semantic_dedup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(6, 16))
+
+    def jitter(v, eps=1e-3):
+        return (v + eps * rng.normal(size=16)).tolist()
+
+    # batch 1: vectors 0..5 plus a near-dup of 0
+    b1 = [(i, base[i].tolist()) for i in range(6)] + [(10, jitter(base[0]))]
+    # batch 2: near-dups of 1 and 3, one fresh vector, an internal dup pair
+    fresh = rng.normal(size=16)
+    b2 = [(20, jitter(base[1])), (21, jitter(base[3])), (22, fresh.tolist()),
+          (23, jitter(fresh)), (24, jitter(fresh))]
+    schema = "vec_id long, embedding array<double>"
+    df1 = spark.createDataFrame(b1, schema)
+    df2 = spark.createDataFrame(b2, schema)
+    reg_schema = "sig long, canonical_id long, embedding array<double>"
+    empty = spark.createDataFrame([], reg_schema)
+
+    r1, n1 = incremental_semantic_dedup(df1, empty, threshold=0.99)
+    reg = empty.unionByName(n1)
+    r2, n2 = incremental_semantic_dedup(df2, reg, threshold=0.99)
+
+    got = {r["vec_id"]: r for r in r1.collect() + r2.collect()}
+    # batch 1: 10 collapses onto 0
+    assert got[10]["is_dup"] and got[10]["canonical_id"] == 0
+    assert got[0]["is_new_canonical"] and not got[0]["is_dup"]
+    # batch 2: 20/21 collapse onto the REGISTRY owners 1 and 3
+    assert got[20]["canonical_id"] == 1 and got[20]["is_dup"]
+    assert got[21]["canonical_id"] == 3 and got[21]["is_dup"]
+    # fresh group: 22 survives, 23/24 collapse within-batch
+    assert got[22]["is_new_canonical"]
+    assert got[23]["canonical_id"] == 22 and got[24]["canonical_id"] == 22
+
+    # global agreement on the union
+    want = {
+        r["vec_id"]: r["cluster_id"]
+        for r in semantic_dedup(df1.unionByName(df2), threshold=0.99).collect()
+    }
+    for vid, row in got.items():
+        assert row["canonical_id"] == want[vid], vid
+    # registry grew only by true new canonicals
+    assert {r["canonical_id"] for r in n2.collect()} == {22}
