@@ -284,3 +284,63 @@ def incremental_semantic_dedup(
         "sig", F.col("__bc").alias("canonical_id"), F.col("__bvec").alias(vec_col)
     )
     return result, new_rows
+
+
+def streaming_semantic_dedup(
+    stream_vecs: DataFrame,
+    registry_path: str,
+    output_path: str,
+    *,
+    checkpoint_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 4,
+    seed: int = 42,
+    trigger_once: bool = False,
+):
+    """foreachBatch wrapper for ``incremental_semantic_dedup``: each
+    microbatch resolves against the parquet representative registry at
+    ``registry_path``, appends the flagged batch to ``output_path`` and
+    the new representatives to the registry.  Sequential microbatches
+    make read-then-append race-free (the neardup-registry precedent)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    reg_schema = StructType(
+        [
+            StructField("sig", LongType()),
+            StructField("canonical_id", LongType()),
+            StructField(vec_col, ArrayType(DoubleType())),
+        ]
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            registry = spark.read.parquet(registry_path)
+        except Exception:
+            registry = spark.createDataFrame([], reg_schema)
+        result, new_rows = incremental_semantic_dedup(
+            batch_df,
+            registry,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            num_planes=num_planes,
+            seed=seed,
+        )
+        result.write.mode("append").parquet(output_path)
+        new_rows.write.mode("append").parquet(registry_path)
+
+    writer = stream_vecs.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -663,3 +663,40 @@ def test_incremental_semantic_dedup_batches_match_global(spark):
         assert row["canonical_id"] == want[vid], vid
     # registry grew only by true new canonicals
     assert {r["canonical_id"] for r in n2.collect()} == {22}
+
+
+def test_streaming_semantic_dedup_end_to_end(spark, tmp_path):
+    import numpy as np
+
+    from patternly_spark.streaming.dedup import streaming_semantic_dedup
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(4, 16))
+    j = lambda v: (v + 1e-3 * rng.normal(size=16)).tolist()  # noqa: E731
+    src = str(tmp_path / "src")
+    schema = "vec_id long, embedding array<double>"
+    # file 1: originals; file 2: near-dups arriving later
+    spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(4)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(10, j(base[0])), (11, j(base[2])), (12, rng.normal(size=16).tolist())], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_semantic_dedup(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        registry_path=str(tmp_path / "reg"),
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        threshold=0.99,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    out = {r["vec_id"]: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert len(out) == 7
+    assert out[10]["is_dup"] and out[10]["canonical_id"] == 0
+    assert out[11]["is_dup"] and out[11]["canonical_id"] == 2
+    assert out[12]["is_new_canonical"]
+    reg = {r["canonical_id"] for r in spark.read.parquet(str(tmp_path / "reg")).collect()}
+    assert reg == {0, 1, 2, 3, 12}
