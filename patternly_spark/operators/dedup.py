@@ -160,18 +160,24 @@ def _pairs_in_buckets(
     ``max_bucket_size`` guards the one way this shape is weaker than the
     join: a degenerate bucket (e.g. millions of byte-identical documents
     landing in one LSH band) would materialize its quadratic pair array
-    inside a single row.  Buckets above the cap are dropped — at that
-    size the membership itself already says "these are all duplicates";
-    handle such groups by bucket key, not pairwise.  2000 ids cap the
-    per-row pair array at ~2M structs (~32 MB).
+    inside a single row.  Buckets above the cap degrade to STAR edges
+    ``min(id) -> member`` — O(n) rows instead of O(n^2) — which keep the
+    whole bucket connected through downstream verification + connected
+    components (a mega-duplicate cluster must still reach the CC input;
+    dropping it would leave exactly the MOST-duplicated content un-deduped
+    at corpus scale).  Pairwise semantics are unchanged for buckets at or
+    under the cap, so small-scale results (and oracle hashes) are
+    identical.  2000 ids cap the per-row pair array at ~2M structs
+    (~32 MB); the star path's only per-row cost is the O(n) sorted id
+    array every collect-shape bucket already materializes.
     """
     grouped = (
         keyed.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_set(id_col)).alias("__ids"))
-        .filter((F.size("__ids") > 1) & (F.size("__ids") <= max_bucket_size))
+        .filter(F.size("__ids") > 1)
     )
     idx = F.sequence(F.lit(0), F.size("__ids") - 2)
-    pairs = F.flatten(
+    all_pairs = F.flatten(
         F.transform(
             idx,
             lambda i: F.transform(
@@ -183,6 +189,12 @@ def _pairs_in_buckets(
             ),
         )
     )
+    # over-cap fallback: connect every member to the bucket minimum
+    star = F.transform(
+        F.slice(F.col("__ids"), 2, F.size("__ids")),
+        lambda b: F.struct(F.element_at(F.col("__ids"), 1).alias("a"), b.alias("b")),
+    )
+    pairs = F.when(F.size("__ids") <= max_bucket_size, all_pairs).otherwise(star)
     return grouped.select(F.explode_outer(pairs).alias("p")).select(
         F.col("p.a").alias(out_a), F.col("p.b").alias(out_b)
     )
@@ -468,7 +480,9 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    num_planes: int = 4,
+    num_planes: int | None = 4,
+    target_cell_size: int = 1024,
+    max_cell_size: int = 4096,
     seed: int = 42,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
@@ -479,18 +493,38 @@ def semantic_dedup(
     deterministic, SQL-replicable primitive as ``embedding_neardup_pairs``)
     standing in for SemDeDup's k-means cells: within-cell-only comparison
     is the approximation that makes the pass O(sum of cell^2) instead of
-    O(N^2).  Size ``num_planes`` so cells stay bounded at the target
-    corpus (~N / 2^num_planes vectors per cell); the per-cell self-join
-    shuffles once on the signature.
+    O(N^2).
+
+    Cell sizing is the engine's job, not the caller's:
+    ``num_planes=None`` derives the plane count from the corpus count so
+    the EXPECTED cell holds ~``target_cell_size`` vectors
+    (ceil(log2(N / target)); one count() driver action on a column-pruned
+    scan).  An explicit ``num_planes`` pins the cell grid (needed by the
+    incremental/registry path, where signatures must be stable across
+    batches).
+
+    Cells that overflow ``max_cell_size`` anyway (a hot region of
+    embedding space — e.g. millions of boilerplate pages embedding to the
+    same point) degrade from the O(cell^2) pairwise join to STAR
+    comparisons against the cell's min-id representative: O(cell) work,
+    and a mega-duplicate cell still reaches connected components as one
+    group instead of stalling the stage.  Pairwise semantics are
+    unchanged for cells at or under the cap.
 
     Returns a TOTAL map over the corpus: (id, cluster_id, is_canonical)
     with cluster_id = min id of the duplicate group; singletons are their
     own cluster — filter ``is_canonical`` to materialize the kept set.
     """
+    import math
+
     import numpy as np
 
     from patternly_spark.functions.vectors import dot, hyperplane_signature, norm
     from patternly_spark.operators.graph import dedup_clusters
+
+    if num_planes is None:
+        n_total = embeddings.select(id_col).count()
+        num_planes = max(1, min(24, math.ceil(math.log2(max(n_total, 1) / target_cell_size)))) if n_total > target_cell_size else 1
 
     dim = len(embeddings.select(vec_col).first()[0])
     planes = np.random.default_rng(seed).normal(size=(num_planes, dim))
@@ -501,10 +535,20 @@ def semantic_dedup(
         hyperplane_signature(F.col(vec_col), planes).alias("sig"),
         norm(F.col(vec_col)).alias("nrm"),
     )
-    l, r = keyed.alias("l"), keyed.alias("r")
+    # per-cell count + min id, joined back on the same sig key the
+    # pairwise join shuffles on (one extra cells-sized aggregate)
+    cells = keyed.groupBy("sig").agg(
+        F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__cmin")
+    )
+    kl = keyed.join(cells, "sig")
+    l, r = kl.alias("l"), keyed.alias("r")
     cos = dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")) / (F.col("l.nrm") * F.col("r.nrm"))
-    edges = (
-        l.join(
+    # under-cap cells: exact pairwise within the cell (the __n predicate
+    # references only the left child, so Catalyst pushes it below the
+    # join — over-cap cells never enter the quadratic path)
+    pairwise = (
+        l.filter(F.col("l.__n") <= max_cell_size)
+        .join(
             r,
             (F.col("l.sig") == F.col("r.sig"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
@@ -517,7 +561,18 @@ def semantic_dedup(
         .filter(F.col("cos") >= threshold)
         .select("doc_a", "doc_b")
     )
-    return dedup_clusters(edges, docs=embeddings, id_col=id_col)
+    # over-cap cells: every member vs the cell's min-id representative
+    reps = kl.filter((F.col("__n") > max_cell_size) & (F.col(id_col) == F.col("__cmin"))).select(
+        "sig", F.col(id_col).alias("doc_a"), F.col(vec_col).alias("__rvec"), F.col("nrm").alias("__rn")
+    )
+    members = kl.filter((F.col("__n") > max_cell_size) & (F.col(id_col) != F.col("__cmin")))
+    star_cos = dot(F.col(vec_col), F.col("__rvec")) / (F.col("nrm") * F.col("__rn"))
+    star = (
+        members.join(reps, "sig")
+        .filter(star_cos >= threshold)
+        .select("doc_a", F.col(id_col).alias("doc_b"))
+    )
+    return dedup_clusters(pairwise.unionByName(star), docs=embeddings, id_col=id_col)
 
 
 def _spans_expr(text_col: str, delimiter: str | None, block_tokens: int | None):

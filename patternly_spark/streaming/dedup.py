@@ -41,6 +41,46 @@ def streaming_exact_dedup(
     )
 
 
+def empty_band_registry(spark) -> DataFrame:
+    """Zero-row (band_id, band_hash, canonical_id) frame — the seed
+    registry for ``incremental_neardup_dedup`` before any batch ran."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    return spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("band_id", LongType()),
+                StructField("band_hash", StringType()),
+                StructField("canonical_id", LongType()),
+            ]
+        ),
+    )
+
+
+def empty_semantic_registry(spark, *, vec_col: str = "embedding") -> DataFrame:
+    """Zero-row (sig, canonical_id, <vec_col>) frame — the seed registry
+    for ``incremental_semantic_dedup`` before any batch ran."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    return spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("sig", LongType()),
+                StructField("canonical_id", LongType()),
+                StructField(vec_col, ArrayType(DoubleType())),
+            ]
+        ),
+    )
+
+
 def incremental_neardup_dedup(
     new_docs: DataFrame,
     registry: DataFrame,
@@ -161,22 +201,13 @@ def streaming_neardup_dedup(
     the new band keys to the registry.  Microbatches are sequential, so
     registry read-then-append is race-free by construction.
     """
-    from pyspark.sql.types import LongType, StringType, StructField, StructType
-
-    reg_schema = StructType(
-        [
-            StructField("band_id", LongType()),
-            StructField("band_hash", StringType()),
-            StructField("canonical_id", LongType()),
-        ]
-    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         try:
             registry = spark.read.parquet(registry_path)
         except Exception:
-            registry = spark.createDataFrame([], reg_schema)
+            registry = empty_band_registry(spark)
         result, new_rows = incremental_neardup_dedup(
             batch_df,
             registry,
@@ -233,6 +264,34 @@ def incremental_semantic_dedup(
 
     from patternly_spark.functions.vectors import dot, hyperplane_signature, norm
     from patternly_spark.operators.dedup import semantic_dedup
+
+    if num_planes is None:
+        # auto-sizing would re-derive the cell grid per batch, making
+        # registry signatures incomparable across batches
+        raise ValueError(
+            "incremental_semantic_dedup needs an explicit num_planes: "
+            "registry signatures must use the same cell grid every batch"
+        )
+    if new_vecs.isEmpty():
+        # an empty microbatch has no first row to infer the vector dim
+        # from; short-circuit with empty, correctly-typed results so the
+        # foreachBatch wrapper survives idle triggers
+        from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+        spark = new_vecs.sparkSession
+        id_type = new_vecs.schema[id_col].dataType
+        result = spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(id_col, id_type),
+                    StructField("canonical_id", id_type),
+                    StructField("is_dup", BooleanType()),
+                    StructField("is_new_canonical", BooleanType()),
+                ]
+            ),
+        )
+        return result, empty_semantic_registry(spark, vec_col=vec_col)
 
     dim = len(new_vecs.select(vec_col).first()[0])
     planes = np.random.default_rng(seed).normal(size=(num_planes, dim))
@@ -304,28 +363,13 @@ def streaming_semantic_dedup(
     ``registry_path``, appends the flagged batch to ``output_path`` and
     the new representatives to the registry.  Sequential microbatches
     make read-then-append race-free (the neardup-registry precedent)."""
-    from pyspark.sql.types import (
-        ArrayType,
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
-    reg_schema = StructType(
-        [
-            StructField("sig", LongType()),
-            StructField("canonical_id", LongType()),
-            StructField(vec_col, ArrayType(DoubleType())),
-        ]
-    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         try:
             registry = spark.read.parquet(registry_path)
         except Exception:
-            registry = spark.createDataFrame([], reg_schema)
+            registry = empty_semantic_registry(spark, vec_col=vec_col)
         result, new_rows = incremental_semantic_dedup(
             batch_df,
             registry,

@@ -101,8 +101,8 @@ def emb(spark):
 
 def test_pairs_bucket_cap(spark):
     # degenerate bucket: byte-identical docs all share every fingerprint;
-    # above the cap the bucket is dropped (no quadratic pair array), below
-    # it pairs emit normally
+    # above the cap the bucket degrades to min-id star edges (O(n) rows,
+    # no quadratic pair array), below it pairs emit normally
     from patternly_spark.functions.text import fingerprint_candidate_pairs
 
     docs = spark.createDataFrame(
@@ -117,7 +117,49 @@ def test_pairs_bucket_cap(spark):
 
     keyed = docs.select("doc_id", F.lit(1).alias("bucket"))
     capped = _pairs_in_buckets(keyed, ["bucket"], "doc_id", max_bucket_size=5)
-    assert capped.count() == 0  # bucket of 8 > cap 5 -> dropped, no blowup
+    # bucket of 8 > cap 5 -> star edges 0->1..7, keeping the bucket
+    # connected without the quadratic blowup
+    got = sorted((r["doc_a"], r["doc_b"]) for r in capped.collect())
+    assert got == [(0, i) for i in range(1, 8)]
+
+
+def test_overcap_megacluster_single_cluster(spark):
+    # the 100 TB failure mode: thousands of byte-identical boilerplate
+    # docs land in ONE LSH bucket per band, far above max_bucket_size.
+    # Star edges must carry them through verification + connected
+    # components as a single cluster with one canonical survivor.
+    from patternly_spark.operators.dedup import neardup_dedup_corpus
+
+    n = 5000
+    docs = spark.createDataFrame(
+        [(i, "exactly the same boilerplate text shared by every page") for i in range(n)],
+        "doc_id long, text string",
+    )
+    out = neardup_dedup_corpus(docs).toPandas()
+    assert len(out) == n
+    assert out["cluster_id"].nunique() == 1
+    assert int(out["is_canonical"].sum()) == 1
+    canon = out[out["is_canonical"]]["doc_id"].iloc[0]
+    assert canon == 0  # min id is canonical
+
+
+def test_overcap_megacluster_incremental(spark):
+    # same planted mega-cluster through the incremental/streaming registry
+    # path (streaming/dedup.py) — over-cap band buckets must still link
+    # every batch member to one canonical.
+    from patternly_spark.streaming.dedup import empty_band_registry, incremental_neardup_dedup
+
+    n = 3000
+    docs = spark.createDataFrame(
+        [(i, "exactly the same boilerplate text shared by every page") for i in range(n)],
+        "doc_id long, text string",
+    )
+    result, _new_rows = incremental_neardup_dedup(docs, empty_band_registry(spark))
+    out = result.toPandas()
+    assert len(out) == n
+    assert set(out["canonical_id"]) == {0}
+    assert int(out["is_new_canonical"].sum()) == 1
+    assert int(out["is_dup"].sum()) == n - 1
 
 
 def test_cosine_topk_matches_numpy(emb):
@@ -384,6 +426,71 @@ def test_semantic_dedup_groups_and_canonicals(spark):
     # random vectors at dim 16 stay singletons at 0.99
     for i in range(5, 10):
         assert out[i]["cluster_id"] == i and out[i]["is_canonical"]
+
+
+def test_semantic_dedup_autosize_planes(spark):
+    # num_planes=None: the engine derives the cell grid from the corpus
+    # count (target_cell_size bound), instead of trusting a caller
+    # constant; result is still a TOTAL map with the planted group linked
+    import numpy as np
+
+    from patternly_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=16)
+    rows = [(i, (base * (1.0 + 0.01 * i)).tolist()) for i in range(3)]
+    rows += [(i, rng.normal(size=16).tolist()) for i in range(3, 40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # target_cell_size=8 over 40 vectors -> ceil(log2(40/8)) = 3 planes
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            emb, threshold=0.99, num_planes=None, target_cell_size=8
+        ).collect()
+    }
+    assert set(out) == set(range(40))
+    assert out[1]["cluster_id"] == 0 and out[2]["cluster_id"] == 0
+    assert int(sum(out[i]["is_canonical"] for i in range(3))) == 1
+
+
+def test_semantic_dedup_overcap_cell_star(spark):
+    # a cell above max_cell_size degrades to star comparisons against the
+    # min-id representative: identical vectors still collapse to ONE
+    # cluster, with O(cell) not O(cell^2) comparisons
+    import numpy as np
+
+    from patternly_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=16)
+    n = 50
+    rows = [(i, base.tolist()) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = (
+        semantic_dedup(emb, threshold=0.99, num_planes=2, max_cell_size=10)
+        .toPandas()
+    )
+    assert len(out) == n
+    assert out["cluster_id"].nunique() == 1
+    assert int(out["is_canonical"].sum()) == 1
+    assert out[out["is_canonical"]]["vec_id"].iloc[0] == 0
+
+
+def test_incremental_semantic_rejects_autosize(spark):
+    import pytest as _pytest
+
+    from patternly_spark.streaming.dedup import (
+        empty_semantic_registry,
+        incremental_semantic_dedup,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 4)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="num_planes"):
+        incremental_semantic_dedup(
+            emb, empty_semantic_registry(spark), num_planes=None
+        )
 
 
 def test_span_dedup_delimiter_keep_first(spark):
