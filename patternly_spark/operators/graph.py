@@ -231,4 +231,8 @@ def pagerank(
             for c in pending:
                 c.unpersist(False)
             pending = []
+    # the final ranks are checkpointed (no lineage into the cached
+    # relations), so release them instead of leaking in a long session
+    for df_ in (links, nodes, e):
+        df_.unpersist(False)
     return ranks

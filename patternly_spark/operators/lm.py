@@ -137,7 +137,8 @@ def bigram_lm_scores(
     Perplexity is exp(avg_nll); exp() is last-ulp engine-dependent, so the
     operator reports nats and leaves exponentiation to the consumer.
     """
-    if lm is None:
+    self_scoring = lm is None
+    if self_scoring:
         # self-scoring: the count cascade AND the scoring probe both read
         # the per-doc bigram table, so persist it once — without this the
         # corpus-scale scan+explode+shuffle executes twice
@@ -158,7 +159,7 @@ def bigram_lm_scores(
         .join(lm.context_counts, ["w1"], "left")
         .select("__id", "occ", logp.alias("q"))
     )
-    return (
+    result = (
         scored.groupBy("__id")
         .agg(
             F.sum("occ").alias("n_bigrams"),
@@ -166,6 +167,13 @@ def bigram_lm_scores(
         )
         .select(F.col("__id").alias(id_col), "n_bigrams", "avg_nll")
     )
+    if self_scoring:
+        # materialize the (per-doc, 3-scalar) result so the much larger
+        # per-bigram cache can be released NOW instead of leaking until
+        # the caller's action in a long-lived session
+        result = result.localCheckpoint(eager=True)
+        doc_bi.unpersist(False)
+    return result
 
 
 def dsir_weights(
@@ -225,11 +233,16 @@ def dsir_weights(
         )
         .select("__id", "occ", (q_tgt - q_raw).alias("__d"))
     )
-    return (
+    result = (
         scored.groupBy("__id")
         .agg(
             F.sum("occ").alias("n_bigrams"),
             (F.sum(F.col("occ") * F.col("__d")) / F.sum("occ")).alias("log_ratio"),
         )
         .select(F.col("__id").alias(id_col), "n_bigrams", "log_ratio")
+        # materialized so the per-bigram cache releases immediately (see
+        # bigram_lm_scores)
+        .localCheckpoint(eager=True)
     )
+    doc_bi.unpersist(False)
+    return result

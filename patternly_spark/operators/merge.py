@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["merge_upsert"]
+__all__ = ["merge_upsert", "snapshot_diff"]
 
 
 def merge_upsert(

@@ -60,7 +60,8 @@ def _process_factory(width_us: int, agg: str, method: str):
                 b = str(int(ts_us) - int(ts_us) % width_us)
                 cur = pend.get(b)
                 if cur is None:
-                    pend[b] = [1, float(v)]
+                    # count's val is the running n, not the event's value
+                    pend[b] = [1, 1.0 if agg == "count" else float(v)]
                 elif agg == "max":
                     cur[0] += 1
                     cur[1] = max(cur[1], float(v))

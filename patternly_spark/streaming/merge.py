@@ -70,8 +70,16 @@ def streaming_upsert(
             merged = merge_upsert(
                 snap_p.select(*cols), batch, key_cols=keys, version_col=version_col
             ).withColumn("__kp", kp)
+            # same read-while-overwrite hazard as the full rewrite: pin the
+            # merged rows before deleting the partitions they were read from
+            # (a task retry after commit begins must not rescan dead files)
+            merged = merged.localCheckpoint(eager=True)
+            prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            merged.write.partitionBy("__kp").mode("overwrite").parquet(snapshot_path)
+            try:
+                merged.write.partitionBy("__kp").mode("overwrite").parquet(snapshot_path)
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
             return
         merged = (
             merge_upsert(snap, batch, key_cols=keys, version_col=version_col)

@@ -546,6 +546,43 @@ def test_streaming_gapfill_matches_batch_on_closed_prefix(spark, tmp_path):
     assert z_rows[1_500_000_000]["n"] == 0 and z_rows[1_500_000_000]["val_filled"] == 0.0
 
 
+def test_streaming_gapfill_count_single_event_bucket():
+    # ADVICE r2: a single-event bucket under agg='count' must emit val=1.0
+    # (the running count), not the event's value — kernel-level check with
+    # a stub state so the fix is pinned without a full stream run
+    import pandas as pd
+
+    from patternly_spark.streaming.gapfill import _process_factory
+
+    class StubState:
+        exists = False
+
+        def __init__(self, wm_ms):
+            self._wm = wm_ms
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+        def update(self, v):
+            self.blob = v
+
+        def setTimeoutTimestamp(self, ts):
+            pass
+
+    width_us = 10_000_000
+    # bucket 0: one event val=42; bucket 10s: three events; watermark
+    # closes both
+    pdf = pd.DataFrame(
+        {"ts_us": [5_000_000, 11_000_000, 12_000_000, 13_000_000],
+         "value": [42.0, 7.0, 8.0, 9.0]}
+    )
+    process = _process_factory(width_us, "count", "none")
+    out = pd.concat(list(process(("k",), [pdf], StubState(wm_ms=30_000))))
+    rows = {int(r.window_start): r for r in out.itertuples()}
+    assert rows[0].n == 1 and rows[0].val == 1.0  # was 42.0 before the fix
+    assert rows[10_000_000].n == 3 and rows[10_000_000].val == 3.0
+
+
 def test_streaming_funnel_matches_batch_on_closed_prefix(spark, tmp_path):
     from patternly_spark.operators.behavior import funnel
     from patternly_spark.streaming.funnel import streaming_funnel
