@@ -1758,6 +1758,93 @@ def q57_pq_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q100_frequent_items(spark, sf_dir):
+    """Misra-Gries heavy hitters with a DETERMINISTIC verified surface:
+    MG survivor sets depend on partitioning, but every item whose exact
+    count exceeds total/capacity is GUARANTEED to survive (classic MG
+    bound; summed per-partition decrements <= N/(capacity+1) < N/capacity
+    < exact count => count_lo > 0).  Emitting exactly that guaranteed
+    set, with the lo <= exact <= hi sandwich evaluated in Spark, makes
+    the output partition-invariant and hash-oracle-checkable: the oracle
+    recomputes the exact counts and asserts bounds_ok literally TRUE."""
+    from patternly_spark.operators.sketches import frequent_items
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit(""))
+    items = d.select("lang", F.explode(words).alias("word"))
+    mg = frequent_items(items, "lang", "word", capacity=32)
+    exact = items.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    totals = items.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        mg.join(exact, ["lang", "word"])
+        .join(totals, "lang")
+        .filter(F.col("exact_cnt") * 32 > F.col("tot"))
+        .select(
+            "lang",
+            "word",
+            "exact_cnt",
+            (
+                (F.col("count_lo") <= F.col("exact_cnt"))
+                & (F.col("exact_cnt") <= F.col("count_hi"))
+            ).alias("bounds_ok"),
+        )
+    )
+
+
+# the pinned merge table for q101: the composition query applies a KNOWN
+# vocab (bpe_encode) so the oracle can replay the identical greedy fold;
+# vocab LEARNING is q76 (rows-only, Python-reference-pinned).  Includes a
+# chained merge (t+h then th+e) and an end-of-word merge.
+_Q101_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("e", "r"),
+    ("a", "n"),
+    ("e", "</w>"),
+]
+
+
+def _bpe_cascade_sql(merges: list[tuple[str, str]]) -> str:
+    """DuckDB expression replaying bpe_encode's greedy left-to-right
+    merge fold over one `word`: nested list_reduce with a chr(31)-joined
+    string accumulator (list_reduce seeds with the first element —
+    identical to the empty-seed append fold, since the first symbol can
+    never be a merge target)."""
+    expr = "list_append(regexp_split_to_array(word, ''), '</w>')"
+    for left, right in merges:
+        joined = left + right
+        lam = (
+            "(acc, x) -> CASE WHEN x = '{r}' AND (acc = '{l}' OR ends_with(acc, chr(31) || '{l}')) "
+            "THEN CASE WHEN acc = '{l}' THEN '{j}' "
+            "ELSE substr(acc, 1, length(acc) - {ll}) || '{j}' END "
+            "ELSE acc || chr(31) || x END"
+        ).format(r=right, l=left, j=joined, ll=len(left))
+        expr = f"list_reduce({expr}, {lam})"
+        expr = f"string_split({expr}, chr(31))"
+    return f"len({expr})"
+
+
+def q101_bpe_encode_pack(spark, sf_dir):
+    """The last end-to-end LLM-pipeline composition: tokenize the corpus
+    with a BPE merge table (vocabulary-sized cascade, broadcast join back
+    by word — operators/tokenizer.bpe_encode) and pack the resulting
+    PER-DOCUMENT BPE TOKEN COUNTS into fixed 256-token training blocks
+    (operators/packing.pack_sequences, n_tokens override).  One corpus
+    scan feeds the encode; packing shuffles once on the shard key.
+    Oracle: the identical greedy merge fold replayed per word in DuckDB
+    (nested list_reduce), then the identical window arithmetic."""
+    from patternly_spark.operators.packing import pack_sequences
+    from patternly_spark.operators.tokenizer import bpe_encode
+
+    d = _t(spark, sf_dir, "documents")
+    enc = bpe_encode(d, _Q101_MERGES)
+    counted = enc.select("doc_id", F.size("bpe_tokens").alias("n_bpe"))
+    return pack_sequences(
+        counted, n_tokens=F.col("n_bpe"), text_col="n_bpe", budget=256, n_shards=8
+    ).withColumnRenamed("n_tokens", "n_bpe_tokens")
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -1890,6 +1977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_ivf_topk": q97_ivf_topk,
         "q98_cluster_discovery": q98_cluster_discovery,
         "q99_pfsa_simulation": q99_pfsa_simulation,
+        "q100_frequent_items": q100_frequent_items,
+        "q101_bpe_encode_pack": q101_bpe_encode_pack,
     }
 
 
@@ -3366,6 +3455,50 @@ def oracle_sql() -> dict[str, str]:
             k=3, num_planes=6, seed=42, dim=64, query_max=10
         ),
         "q95_multimodal_features": _multimodal_oracle(dim=8),
+        "q100_frequent_items": """
+            WITH items AS (
+                SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS word
+                FROM documents
+            ), it AS (
+                SELECT lang, word FROM items WHERE word <> ''
+            ), exact AS (
+                SELECT lang, word, COUNT(*) AS exact_cnt FROM it GROUP BY lang, word
+            ), tot AS (
+                SELECT lang, COUNT(*) AS tot FROM it GROUP BY lang
+            )
+            -- the MG survival guarantee makes this exact set the sketch's
+            -- deterministic surface; bounds_ok is literally TRUE iff the
+            -- Spark sketch's lo <= exact <= hi sandwich held
+            SELECT e.lang, e.word, CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+                   TRUE AS bounds_ok
+            FROM exact e JOIN tot t ON e.lang = t.lang
+            WHERE e.exact_cnt * 32 > t.tot
+        """,
+        "q101_bpe_encode_pack": f"""
+            WITH words AS (
+                SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+                FROM documents
+            ), w AS (
+                SELECT doc_id, word FROM words WHERE word <> ''
+            ), wc AS (
+                SELECT doc_id, {_bpe_cascade_sql(_Q101_MERGES)} AS n_tok FROM w
+            ), counts AS (
+                SELECT doc_id, CAST(SUM(n_tok) AS INT) AS n_bpe_tokens
+                FROM wc GROUP BY doc_id
+            ), s AS (
+                SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard, n_bpe_tokens,
+                       CAST(COALESCE(SUM(n_bpe_tokens) OVER (
+                           PARTITION BY doc_id % 8 ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+                FROM counts
+            )
+            SELECT doc_id, shard, n_bpe_tokens,
+                   CAST(FLOOR(start / 256) * 8 + shard AS BIGINT) AS bin_id,
+                   CAST(start % 256 AS BIGINT) AS offset_in_bin,
+                   CAST(FLOOR((start + GREATEST(n_bpe_tokens - 1, 0)) / 256)
+                        - FLOOR(start / 256) + 1 AS BIGINT) AS n_bins_spanned
+            FROM s
+        """,
     }
 
 

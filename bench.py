@@ -109,9 +109,6 @@ BENCH_QUERIES = [
     "q86_unpivot",
     "q87_percentile_ranks",
     "q88_quantile_normalize",
-    # q72_pagerank intentionally unbenched: fixed-iteration power method is
-    # job-latency-bound on local[32] (~1s/round overhead), which would mask
-    # the data-path signal the bench tracks; plans audited in test_graph.py
     "q90_pfsa_llk_scores",
     "q91_anomaly_pipeline",
     "q92_simhash",
@@ -122,7 +119,51 @@ BENCH_QUERIES = [
     "q97_ivf_topk",
     "q98_cluster_discovery",
     "q99_pfsa_simulation",
+    "q100_frequent_items",
+    "q101_bpe_encode_pack",
 ]
+
+
+def _q72_pagerank_2rounds(spark, sf_dir):
+    """Time-budgeted variant of q72: the full 8-iteration run is
+    job-latency-bound on local[32] (~1 s/round overhead masks the
+    data-path signal), so the bench tracks a fixed 2-round run — same
+    per-round plan (join + groupBy + dangling-mass broadcast), so
+    regressions in the iterative shape still move this number."""
+    from pyspark.sql import functions as F
+
+    from patternly_spark.operators.graph import pagerank
+
+    o = entrymod._t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = entrymod._t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=2)
+
+
+def _q76_bpe_2merges(spark, sf_dir):
+    """Time-budgeted variant of q76: merge learning is argmax-per-round
+    (driver round trip each merge), so the bench tracks 2 rounds; the
+    corpus-sized cost — the one vocabulary scan — dominates and is fully
+    inside this number."""
+    from patternly_spark.operators.tokenizer import bpe_merges_df
+
+    d = entrymod._t(spark, sf_dir, "documents")
+    return bpe_merges_df(spark, d, num_merges=2)
+
+
+# iterative family, benched with a fixed round budget (full-depth runs are
+# round-latency-bound locally; see the variant docstrings)
+BENCH_BUDGETED = {
+    "q72_pagerank_2rounds": _q72_pagerank_2rounds,
+    "q76_bpe_2merges": _q76_bpe_2merges,
+}
 
 
 def main() -> None:
@@ -135,9 +176,9 @@ def main() -> None:
     for t in entrymod.TABLES:
         entrymod._t(spark, sf_dir, t).count()
 
-    queries = entrymod.queries()
+    queries = dict(entrymod.queries(), **BENCH_BUDGETED)
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES + list(BENCH_BUDGETED):
         # best-of-2: the first run of a query pays one-time costs (Python
         # worker spin-up, broadcast build) that a steady-state deployment
         # amortizes; min over two runs reports the steady-state time
