@@ -1758,6 +1758,22 @@ def q57_pq_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _compat_fold_sql(expr: str) -> str:
+    """DuckDB expression replaying functions/text.unicode_compat_fold:
+    one translate (with delete semantics for the zero-width chars — both
+    engines drop source chars beyond the replacement string) + the
+    ligature/ellipsis replace chain, built from the SAME tables."""
+    from patternly_spark.functions.text import FOLD_1TO1_DST, FOLD_1TO1_SRC, FOLD_MULTI
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    out = f"translate({expr}, '{q(FOLD_1TO1_SRC)}', '{q(FOLD_1TO1_DST)}')"
+    for src, dst in FOLD_MULTI:
+        out = f"replace({out}, '{q(src)}', '{q(dst)}')"
+    return out
+
+
 def q100_frequent_items(spark, sf_dir):
     """Misra-Gries heavy hitters with a DETERMINISTIC verified surface:
     MG survivor sets depend on partitioning, but every item whose exact
@@ -2700,11 +2716,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY c0 + c1 DESC, doc_id ASC) AS INT) AS fused_rank
             FROM g
         """,
-        "q78_normalize_dedup": """
+        "q78_normalize_dedup": f"""
             WITH norm AS (
                 SELECT doc_id,
                        trim(regexp_replace(
-                           regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                           regexp_replace(lower({_compat_fold_sql('text')}), '[^a-z0-9\\s]', '', 'g'),
                            '\\s+', ' ', 'g')) AS text
                 FROM documents
             ), hashed AS (

@@ -474,26 +474,76 @@ def with_pii_scrubbed(df, text_col: str = "text", *, out_col: str = "scrubbed_te
     return out.withColumn(out_col, pii_scrub(F.col(text_col)))
 
 
+# --- Unicode compat folding (no ICU) -------------------------------------
+# The NFKC-compat Latin/punctuation plane that actually breaks dedup keys,
+# as a 1:1 translate table + a short 1:N replace chain.  Built from the
+# published NFKC decompositions (fullwidth forms, compat spaces,
+# ligatures, ellipsis) plus the quote/dash canonicalizations dedup wants
+# beyond NFKC (curly quotes -> ASCII; NFKC leaves those untouched).
+# Parity with Python's unicodedata.normalize("NFKC") on the NFKC-claimed
+# subset is pinned in tests/test_text_functions.py.
+_FOLD_QUOTES_1 = "\u2018\u2019\u201a\u201b\u2032\u2035"  # curly/low-9/prime singles -> '
+_FOLD_QUOTES_2 = "\u201c\u201d\u201e\u201f\u2033\u2036"  # doubles -> "
+_FOLD_DASHES = "\u2010\u2011\u2012\u2013\u2014\u2015\u2212"  # hyphens/dashes/minus -> -
+# NBSP, en/em/figure/thin/hair spaces, narrow NBSP, math space, ideographic
+_FOLD_SPACES = "\u00a0" + "".join(chr(0x2000 + i) for i in range(11)) + "\u202f\u205f\u3000"
+_FOLD_FULLWIDTH_SRC = "".join(chr(0xFF01 + i) for i in range(94))  # -> ASCII !..~
+_FOLD_FULLWIDTH_DST = "".join(chr(0x21 + i) for i in range(94))
+_FOLD_DELETE = "\u200b\u200c\u200d\ufeff"  # zero-width: removed
+FOLD_1TO1_SRC = (
+    _FOLD_QUOTES_1 + _FOLD_QUOTES_2 + _FOLD_DASHES + _FOLD_SPACES
+    + _FOLD_FULLWIDTH_SRC + _FOLD_DELETE
+)
+FOLD_1TO1_DST = (
+    "'" * len(_FOLD_QUOTES_1) + '"' * len(_FOLD_QUOTES_2)
+    + "-" * len(_FOLD_DASHES) + " " * len(_FOLD_SPACES)
+    + _FOLD_FULLWIDTH_DST  # _FOLD_DELETE has no image: translate deletes
+)
+FOLD_MULTI: list[tuple[str, str]] = [
+    ("\ufb00", "ff"), ("\ufb01", "fi"), ("\ufb02", "fl"),
+    ("\ufb03", "ffi"), ("\ufb04", "ffl"), ("\ufb05", "st"), ("\ufb06", "st"),
+    ("\u2026", "..."),
+]
+
+def unicode_compat_fold(text: Column | str) -> Column:
+    """Fold NFKC-compat Latin/punctuation to ASCII without ICU: fullwidth
+    forms, compat spaces, ligatures, ellipsis (true NFKC mappings), plus
+    curly quotes/dashes -> ASCII (the dedup-key canonicalization NFKC
+    itself doesn't do).  One ``translate`` + a short ``replace`` chain —
+    pure column expressions, zero shuffle.  Full NFC composition of
+    combining marks still needs ICU and stays a decoder responsibility.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.translate(c, FOLD_1TO1_SRC, FOLD_1TO1_DST)
+    for src, dst in FOLD_MULTI:
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    return c
+
+
 def normalize_text(
     text: Column | str,
     *,
     lowercase: bool = True,
     strip_punct: bool = True,
     collapse_ws: bool = True,
+    compat_fold: bool = True,
 ) -> Column:
     """Canonical text normalization ahead of hashing/dedup — the step
     that makes "Hello,  World!" and "hello world" collide in
     ``exact_dedup``/MinHash instead of surviving as distinct strings.
 
-    Conservative, engine-portable pieces only (Java regex and RE2 agree
-    on these character classes): lowercase, strip everything outside
-    [a-z0-9\\s] (after lowercasing), collapse whitespace runs to single
-    spaces, trim.  Unicode NFC/NFKC folding needs ICU and is therefore
-    NOT attempted here — at scale run it in the ingest decoder, not the
-    engine (documented limitation, same stance as the multimodal
-    codecs).  Pure column expressions, zero shuffle.
+    Engine-portable pieces only (Java regex and RE2 agree on these
+    character classes): Unicode compat folding (see
+    ``unicode_compat_fold`` — fullwidth/ligature/space/quote/dash to
+    ASCII, so "ﬁle" and "ＦＩＬＥ" collide with "file"), lowercase,
+    strip everything outside [a-z0-9\\s] (after lowercasing), collapse
+    whitespace runs to single spaces, trim.  Full NFC/NFKC of combining
+    marks needs ICU — at scale run that in the ingest decoder, not the
+    engine.  Pure column expressions, zero shuffle.
     """
     c = F.col(text) if isinstance(text, str) else text
+    if compat_fold:
+        c = unicode_compat_fold(c)
     if lowercase:
         c = F.lower(c)
     if strip_punct:

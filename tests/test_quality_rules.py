@@ -112,3 +112,97 @@ def test_normalize_text_canonicalizes(spark):
     out = {r["doc_id"]: r["n"] for r in df.select("doc_id", normalize_text("text").alias("n")).collect()}
     assert out[0] == "hello world" == out[1]
     assert out[2] == "ab cd"  # hyphen and underscore both stripped
+
+
+def test_unicode_compat_fold_matches_nfkc(spark):
+    """The NFKC-claimed subset of the fold (fullwidth forms, compat
+    spaces, ligatures, ellipsis) must agree with Python's
+    unicodedata.normalize('NFKC'); quotes/dashes/zero-width are the
+    documented beyond-NFKC dedup canonicalizations."""
+    import unicodedata
+
+    from pyspark.sql import functions as F
+
+    from patternly_spark.functions.text import (
+        FOLD_MULTI,
+        unicode_compat_fold,
+    )
+
+    nfkc_chars = (
+        [chr(0xFF01 + i) for i in range(94)]                 # fullwidth
+        + ["\u00a0"] + [chr(0x2000 + i) for i in range(11)]  # compat spaces
+        + ["\u202f", "\u205f", "\u3000"]
+        + [src for src, _ in FOLD_MULTI]                     # ligatures, ellipsis
+    )
+    rows = [(i, f"x{c}y") for i, c in enumerate(nfkc_chars)]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {
+        r["i"]: r["f"]
+        for r in df.select("i", unicode_compat_fold("text").alias("f")).collect()
+    }
+    for i, c in enumerate(nfkc_chars):
+        want = unicodedata.normalize("NFKC", f"x{c}y")
+        assert got[i] == want, f"U+{ord(c):04X}: {got[i]!r} != NFKC {want!r}"
+
+    # beyond-NFKC canonicalizations: quotes/dashes -> ASCII, zero-width dropped
+    extra = spark.createDataFrame(
+        [(0, "\u201chi\u201d \u2018there\u2019 \u2014 a\u200bb")],
+        "i long, text string",
+    )
+    folded = extra.select(unicode_compat_fold("text").alias("f")).first()["f"]
+    assert folded == '"hi" \'there\' - ab'
+
+
+def test_compat_fold_cross_engine(spark):
+    """The q78 oracle's DuckDB fold expression must agree with Spark's
+    unicode_compat_fold on text that actually CONTAINS fold characters
+    (the sf test tables are pure ASCII, so the driver gate never
+    exercises the fold — this pins the cross-engine contract)."""
+    import duckdb
+
+    from __spark_entry__ import _compat_fold_sql
+    from patternly_spark.functions.text import unicode_compat_fold
+
+    rows = [
+        (0, "plain ascii stays put"),
+        (1, "curly ‘quotes’ and “doubles”"),
+        (2, "dash – and — and minus −"),
+        (3, "nbsp\u00a0and thin\u2009space and ideo\u3000space"),
+        (4, "fullｗｉｄｔｈ ＡＢＣ 123"),
+        (5, "ligature ﬁle and oﬀ and ﬃx"),
+        (6, "zero\u200bwidth\u200cgone\ufeff"),
+        (7, "ellipsis…done"),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got_spark = {
+        r["i"]: r["f"]
+        for r in df.select("i", unicode_compat_fold("text").alias("f")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    got_duck = dict(
+        con.execute(f"SELECT i, {_compat_fold_sql('text')} FROM t").fetchall()
+    )
+    assert got_spark == got_duck
+
+
+def test_normalize_text_folds_dedup_keys(spark):
+    """Formatting variants that NFKC-or-quote folding should collapse
+    onto the same dedup key."""
+    from patternly_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (0, "the file is here"),
+            (1, "The \ufb01le is here"),        # fi ligature
+            (2, "the \uff26\uff29\uff2c\uff25 is here"),  # fullwidth FILE
+            (3, "the\u00a0file is here"),       # NBSP (was deleted pre-fold)
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", normalize_text("text").alias("n")).collect()
+    }
+    assert out[0] == out[1] == out[2] == out[3] == "the file is here"
