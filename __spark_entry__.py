@@ -1861,6 +1861,114 @@ def q101_bpe_encode_pack(spark, sf_dir):
     ).withColumnRenamed("n_tokens", "n_bpe_tokens")
 
 
+def q102_repetition_filter(spark, sf_dir):
+    """Gopher repetition-removal suite (Rae et al. 2021 Table A2): dup
+    line/paragraph fractions, dup line/paragraph char fractions, top
+    2/3/4-gram char coverage, dup 5..10-gram char coverage, per-rule
+    flags and the conjunction — per-row sorted-array folds, zero
+    shuffle.  Oracle recomputes every metric with explode+GROUP BY SQL
+    (different shape, same integer-exact arithmetic)."""
+    from patternly_spark.functions.text import gopher_repetition_flags
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_repetition_flags(d.select("doc_id", "text")).drop("text")
+
+
+def _repetition_oracle() -> str:
+    """DuckDB replica of gopher_repetition_flags at default thresholds."""
+    top_ns = {2: 0.20, 3: 0.18, 4: 0.16}
+    dup_ns = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+    ctes = [
+        """base AS (
+            SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS tc,
+                   string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+        )"""
+    ]
+    metric_joins, metric_cols = [], []
+    for unit, split_expr in (
+        ("line", "string_split(text, chr(10))"),
+        ("para", "string_split_regex(text, chr(10) || chr(10) || '+')"),
+    ):
+        ctes.append(f"""{unit}_e AS (
+            SELECT doc_id, unnest(list_filter({split_expr}, x -> trim(x) <> '')) AS u
+            FROM base
+        ), {unit}_c AS (
+            SELECT doc_id, u, COUNT(*) AS cnt FROM {unit}_e GROUP BY doc_id, u
+        ), {unit}_m AS (
+            SELECT doc_id,
+                   CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt) AS dup_{unit}_frac,
+                   CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(u) ELSE 0 END) AS DOUBLE) AS dupchars_{unit}
+            FROM {unit}_c GROUP BY doc_id
+        )""")
+        metric_joins.append(f"LEFT JOIN {unit}_m USING (doc_id)")
+        metric_cols.append(
+            f"COALESCE(dup_{unit}_frac, 0.0) AS dup_{unit}_frac"
+        )
+        metric_cols.append(
+            f"CASE WHEN tc > 0 THEN LEAST(COALESCE(dupchars_{unit}, 0.0) / tc, 1.0) ELSE 0.0 END AS dup_{unit}_char_frac"
+        )
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        ctes.append(f"""g{n}_e AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(toks) - {n} + 2, 1)),
+                       i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS g
+            FROM base
+        ), g{n}_c AS (
+            SELECT doc_id, g, COUNT(*) AS cnt FROM g{n}_e GROUP BY doc_id, g
+        )""")
+        if n in top_ns:
+            ctes.append(f"""g{n}_top AS (
+                SELECT doc_id, CAST(cnt * length(g) AS DOUBLE) AS topchars_{n}
+                FROM (SELECT doc_id, g, cnt,
+                             row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn
+                      FROM g{n}_c) WHERE rn = 1
+            )""")
+            metric_joins.append(f"LEFT JOIN g{n}_top USING (doc_id)")
+            metric_cols.append(
+                f"CASE WHEN tc > 0 THEN LEAST(COALESCE(topchars_{n}, 0.0) / tc, 1.0) ELSE 0.0 END AS top_{n}gram_char_frac"
+            )
+        if n in dup_ns:
+            ctes.append(f"""g{n}_dup AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS DOUBLE) AS dupchars_g{n}
+                FROM g{n}_c GROUP BY doc_id
+            )""")
+            metric_joins.append(f"LEFT JOIN g{n}_dup USING (doc_id)")
+            metric_cols.append(
+                f"CASE WHEN tc > 0 THEN LEAST(COALESCE(dupchars_g{n}, 0.0) / tc, 1.0) ELSE 0.0 END AS dup_{n}gram_char_frac"
+            )
+    thresholds = {
+        "dup_line_frac": 0.30,
+        "dup_para_frac": 0.30,
+        "dup_line_char_frac": 0.20,
+        "dup_para_char_frac": 0.20,
+        **{f"top_{n}gram_char_frac": v for n, v in top_ns.items()},
+        **{f"dup_{n}gram_char_frac": v for n, v in dup_ns.items()},
+    }
+    flag_cols = [f"m.{name} <= {thr} AS ok_{name}" for name, thr in thresholds.items()]
+    keep = " AND ".join(f"m.{name} <= {thr}" for name, thr in thresholds.items())
+    # column order mirrors gopher_repetition_flags: metrics (line/para
+    # interleaved, then top by n, then dup by n), then flags, then keep
+    ordered_metrics = (
+        ["dup_line_frac", "dup_line_char_frac", "dup_para_frac", "dup_para_char_frac"]
+        + [f"top_{n}gram_char_frac" for n in sorted(top_ns)]
+        + [f"dup_{n}gram_char_frac" for n in sorted(dup_ns)]
+    )
+    return f"""
+        WITH {', '.join(ctes)},
+        m AS (
+            SELECT doc_id, tc, {', '.join(metric_cols)}
+            FROM base {' '.join(metric_joins)}
+        )
+        SELECT doc_id, {', '.join('m.' + c for c in ordered_metrics)},
+               {', '.join(flag_cols)},
+               ({keep}) AS keep_repetition
+        FROM m
+    """
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -1995,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_pfsa_simulation": q99_pfsa_simulation,
         "q100_frequent_items": q100_frequent_items,
         "q101_bpe_encode_pack": q101_bpe_encode_pack,
+        "q102_repetition_filter": q102_repetition_filter,
     }
 
 
@@ -3515,6 +3624,7 @@ def oracle_sql() -> dict[str, str]:
                         - FLOOR(start / 256) + 1 AS BIGINT) AS n_bins_spanned
             FROM s
         """,
+        "q102_repetition_filter": _repetition_oracle(),
     }
 
 

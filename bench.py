@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "q99_pfsa_simulation",
     "q100_frequent_items",
     "q101_bpe_encode_pack",
+    "q102_repetition_filter",
 ]
 
 

@@ -389,6 +389,158 @@ def gopher_quality_flags(
     return out.withColumn("keep", keep)
 
 
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams (WITH repeats — repetition metrics need
+    multiplicity, unlike ``shingles_from_tokens``); empty array for docs
+    shorter than n tokens."""
+    if n == 1:
+        return toks
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _top_run_chars(sorted_arr: Column) -> Column:
+    """chars covered by the MODAL element of a SORTED array (max
+    run-length x that element's length; count ties keep the
+    lexicographically smallest element — strict-greater update over the
+    sorted order).  One linear fold, no map state."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best_run"),
+        F.lit(0).alias("best_chars"),
+    )
+    def step(st, x):
+        run = F.when(x == st["prev"], st["run"] + 1).otherwise(F.lit(1))
+        better = run > st["best_run"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(st["best_run"]).alias("best_run"),
+            F.when(better, run * F.length(x)).otherwise(st["best_chars"]).alias("best_chars"),
+        )
+    return F.aggregate(sorted_arr, init, step, lambda st: st["best_chars"])
+
+
+def _dup_run_chars(sorted_arr: Column) -> Column:
+    """chars covered by ALL occurrences of elements appearing more than
+    once in a SORTED array (count x length summed per duplicated
+    element): one linear fold — on the 2nd occurrence both the 1st and
+    2nd contribute, each later occurrence adds itself."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(1).alias("run"),
+        F.lit(0).alias("acc"),
+    )
+    def step(st, x):
+        cont = x == st["prev"]
+        run = F.when(cont, st["run"] + 1).otherwise(F.lit(1))
+        add = F.when(
+            cont,
+            F.when(st["run"] == 1, F.length(x) * 2).otherwise(F.length(x)),
+        ).otherwise(F.lit(0))
+        return F.struct(x.alias("prev"), run.alias("run"), (st["acc"] + add).alias("acc"))
+    return F.aggregate(sorted_arr, init, step, lambda st: st["acc"])
+
+
+def gopher_repetition_flags(
+    df,
+    text_col: str = "text",
+    *,
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_char_frac: float = 0.20,
+    max_top_ngram_char_frac: dict[int, float] | None = None,
+    max_dup_ngram_char_frac: dict[int, float] | None = None,
+):
+    """Gopher repetition-removal suite (Rae et al. 2021 §A1.1 Table A2):
+    the boilerplate/spam filters ``gopher_quality_flags`` doesn't cover.
+
+    Per document:
+    - ``dup_line_frac`` / ``dup_para_frac``: fraction of non-empty lines
+      (paragraphs = blank-line-separated blocks) that are repeats of an
+      earlier one, (total - distinct) / total.
+    - ``dup_line_char_frac`` / ``dup_para_char_frac``: fraction of text
+      characters inside duplicated lines/paragraphs (count x length per
+      duplicated element / total text length).
+    - ``top_{n}gram_char_frac`` (default n = 2, 3, 4): characters covered
+      by all occurrences of the single most frequent word n-gram /
+      total text length.
+    - ``dup_{n}gram_char_frac`` (default n = 5..10): characters covered
+      by all occurrences of every word n-gram appearing more than once /
+      total text length.  Occurrence char masses are summed (overlapping
+      occurrences counted per occurrence) — the standard published
+      approximation; gram length counts the single joining spaces.
+    Plus one ``ok_*`` boolean per metric at the Table A2 thresholds and
+    the conjunction ``keep_repetition``.
+
+    Scale shape: every metric is a per-row array fold over sorted
+    line/gram arrays — pure JVM expressions, ZERO shuffle at any corpus
+    size, pushed-filter-compatible.  Per-row cost is O(tokens log tokens)
+    per n (the array_sort); chop pathological documents upstream
+    (``chunk_documents``) as with every per-row text pass.
+    """
+    top_ns = max_top_ngram_char_frac or {2: 0.20, 3: 0.18, 4: 0.16}
+    dup_ns = max_dup_ngram_char_frac or {
+        5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10
+    }
+    c = F.col(text_col)
+    total_chars = F.length(c).cast("double")
+
+    def frac(num):
+        # capped at 1.0: overlapping gram occurrences are summed (the
+        # published approximation), which can overshoot the text length
+        return F.when(
+            total_chars > 0,
+            F.least(num.cast("double") / total_chars, F.lit(1.0)),
+        ).otherwise(F.lit(0.0))
+
+    out = df.withColumn("__toks", tokens(c))
+    metrics: dict[str, Column] = {}
+    for unit, splitter in (("line", "\n"), ("para", "\n\n+")):
+        arr = F.array_sort(
+            F.filter(F.split(c, splitter), lambda x: F.trim(x) != F.lit(""))
+        )
+        total = F.size(arr)
+        distinct = F.size(F.array_distinct(arr))
+        metrics[f"dup_{unit}_frac"] = F.when(
+            total > 0, (total - distinct).cast("double") / total.cast("double")
+        ).otherwise(F.lit(0.0))
+        metrics[f"dup_{unit}_char_frac"] = frac(_dup_run_chars(arr))
+    for n in sorted(top_ns):
+        metrics[f"top_{n}gram_char_frac"] = frac(
+            _top_run_chars(F.array_sort(_word_ngrams(F.col("__toks"), n)))
+        )
+    for n in sorted(dup_ns):
+        metrics[f"dup_{n}gram_char_frac"] = frac(
+            _dup_run_chars(F.array_sort(_word_ngrams(F.col("__toks"), n)))
+        )
+
+    for name, col in metrics.items():
+        out = out.withColumn(name, col)
+    thresholds = {
+        "dup_line_frac": max_dup_line_frac,
+        "dup_para_frac": max_dup_para_frac,
+        "dup_line_char_frac": max_dup_line_char_frac,
+        "dup_para_char_frac": max_dup_para_char_frac,
+        **{f"top_{n}gram_char_frac": v for n, v in top_ns.items()},
+        **{f"dup_{n}gram_char_frac": v for n, v in dup_ns.items()},
+    }
+    keep = None
+    for name, thr in thresholds.items():
+        flag = F.col(name) <= F.lit(float(thr))
+        out = out.withColumn(f"ok_{name}", flag)
+        keep = flag if keep is None else (keep & flag)
+    return out.withColumn("keep_repetition", keep).drop("__toks")
+
+
 def c4_clean_lines(
     df,
     text_col: str = "text",

@@ -101,6 +101,65 @@ def test_pii_scrub_and_counts(spark):
     assert all(out[4][f"n_{k}"] == 0 for k in ("email", "ssn", "phone", "ipv4"))
 
 
+def test_gopher_repetition_metrics(spark):
+    """Hand-computed repetition metrics on crafted docs (Table A2
+    semantics: dup fractions over non-empty lines/paragraphs, char
+    coverage of modal and duplicated word n-grams)."""
+    from patternly_spark.functions.text import gopher_repetition_flags
+
+    rows = [
+        # 3 lines, one duplicated pair: dup_line_frac = 1/3,
+        # dup_line_char_frac = 2*5/17; top-2gram "a b" (count 2, ties
+        # to smallest) -> 6/17; 5-grams all distinct -> 0
+        (0, "a b c\na b c\nx y z"),
+        # clean doc: everything 0 except top-2gram coverage
+        (1, "the quick brown fox jumps over the lazy dog"),
+        # mega-repetitive: "spam ham " x 40 -> dup 5-gram coverage ~ 1
+        (2, ("spam ham " * 40).strip()),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in gopher_repetition_flags(df).collect()}
+
+    d0 = out[0]
+    assert abs(d0["dup_line_frac"] - 1 / 3) < 1e-12
+    assert abs(d0["dup_line_char_frac"] - 10 / 17) < 1e-12
+    assert abs(d0["top_2gram_char_frac"] - 6 / 17) < 1e-12
+    assert d0["dup_5gram_char_frac"] == 0.0
+    assert d0["keep_repetition"] is False  # line-char 0.59 > 0.20
+
+    d1 = out[1]
+    assert d1["dup_line_frac"] == 0.0 and d1["dup_para_frac"] == 0.0
+    assert d1["dup_5gram_char_frac"] == 0.0
+    # all 2-grams count 1 -> tie resolves to sort-first "brown fox"
+    # (9 chars) over the 43-char text
+    assert abs(d1["top_2gram_char_frac"] - 9 / 43) < 1e-12
+    # 0.209 > 0.20 threshold: short docs trip top-2gram coverage by
+    # construction (Gopher applies these to long documents)
+    assert d1["ok_dup_line_frac"] is True and d1["ok_dup_5gram_char_frac"] is True
+
+    d2 = out[2]
+    assert d2["dup_5gram_char_frac"] == 1.0  # overlap sum capped at 1.0
+    assert d2["top_2gram_char_frac"] > 0.4
+    assert d2["keep_repetition"] is False
+
+    d3 = out[3]
+    assert all(
+        d3[k] == 0.0
+        for k in d3
+        if k.endswith("_frac") and not k.startswith("ok_")
+    )
+    assert d3["keep_repetition"] is True
+
+
+def test_gopher_repetition_zero_shuffle(spark):
+    from patternly_spark.functions.text import gopher_repetition_flags
+
+    df = spark.createDataFrame([(0, "a b\na b")], "doc_id long, text string")
+    plan = gopher_repetition_flags(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
 def test_normalize_text_canonicalizes(spark):
     from pyspark.sql import functions as F
     from patternly_spark.functions.text import normalize_text
