@@ -1,4 +1,5 @@
 from patternly_spark.sources.bucketed import read_bucketed, save_bucketed
+from patternly_spark.sources.reference_model import load_reference_model, read_reference_blob
 from patternly_spark.sources.loaders import (
     read_edf,
     read_sequence_csv,
@@ -11,6 +12,8 @@ from patternly_spark.sources.loaders import (
 )
 
 __all__ = [
+    "load_reference_model",
+    "read_reference_blob",
     "read_bucketed",
     "save_bucketed",
     "read_edf",
