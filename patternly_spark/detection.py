@@ -403,8 +403,7 @@ class AnomalyDetection:
 
     def generate_PFSA_dots(self, directory: str) -> list[str]:
         """Write one graphviz .dot per cluster PFSA; returns paths (S6
-        parity with generate_PFSA_pngs, ``patternly/detection.py:256-269``
-        — rendering to PNG is graphviz's job, not the engine's)."""
+        parity with generate_PFSA_pngs, ``patternly/detection.py:256-269``)."""
         if not self.fitted:
             raise ValueError("Model has not been fit yet.")
         os.makedirs(directory, exist_ok=True)
@@ -415,6 +414,21 @@ class AnomalyDetection:
                 f.write(m.to_dot())
             paths.append(p)
         return paths
+
+    def generate_PFSA_pngs(self, directory: str, *, size: int = 480) -> list[str]:
+        """Render one PNG per cluster PFSA; returns paths (full parity
+        with ``generate_PFSA_pngs``, ``patternly/detection.py:256-269`` —
+        the reference shells out to DrawPFSA/graphviz; this renderer is
+        self-contained numpy + stdlib-zlib, see pfsa/draw.py)."""
+        from patternly_spark.pfsa.draw import draw_pfsa_png
+
+        if not self.fitted:
+            raise ValueError("Model has not been fit yet.")
+        os.makedirs(directory, exist_ok=True)
+        return [
+            draw_pfsa_png(m, os.path.join(directory, f"pfsa_{m.pfsa_id}.png"), size=size)
+            for m in self.library
+        ]
 
     def predicted_active_pfsas(self, predictions: DataFrame) -> DataFrame:
         """A5: inverted index {pfsa -> sorted [seq_id]}."""

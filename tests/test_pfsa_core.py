@@ -185,3 +185,51 @@ def test_llk_log_quantization_tight_and_exact():
     for s, v in zip(seqs, quant):
         scaled = v * len(s) * (1 << 20)
         assert scaled == round(scaled)
+
+
+def test_draw_pfsa_png(tmp_path):
+    """Self-contained PNG rendering: valid signature/IHDR, deterministic
+    bytes, decodable zlib payload of the right raster size."""
+    import struct
+    import zlib
+
+    from patternly_spark.pfsa.draw import draw_pfsa_png
+    from patternly_spark.pfsa.model import PFSA
+
+    m = PFSA(
+        pitilde=[[0.7, 0.3], [0.4, 0.6]],
+        connx=[[0, 1], [1, 0]],
+        pfsa_id=0,
+    )
+    p1 = draw_pfsa_png(m, str(tmp_path / "a.png"), size=200)
+    p2 = draw_pfsa_png(m, str(tmp_path / "b.png"), size=200)
+    b1, b2 = open(p1, "rb").read(), open(p2, "rb").read()
+    assert b1 == b2  # deterministic
+    assert b1[:8] == b"\x89PNG\r\n\x1a\n"
+    # IHDR: 200x200, 8-bit RGB
+    w, h, depth, ctype = struct.unpack(">IIBB", b1[16:26])
+    assert (w, h, depth, ctype) == (200, 200, 8, 2)
+    # IDAT decompresses to H * (1 + W*3) filter-0 scanlines
+    idat_off = b1.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", b1[idat_off - 8:idat_off - 4])[0]
+    raw = zlib.decompress(b1[idat_off:idat_off + idat_len])
+    assert len(raw) == 200 * (1 + 200 * 3)
+    # something was actually drawn (not a blank canvas)
+    assert raw.count(b"\xff") < len(raw)
+
+
+def test_generate_pfsa_pngs(spark, tmp_path):
+    from patternly_spark.detection import StreamingDetection
+    from patternly_spark.pfsa.model import PFSA
+    from patternly_spark.pfsa.simulate import simulate
+
+    machine = PFSA(pitilde=[[0.9, 0.1], [0.1, 0.9]], connx=[[0, 1], [1, 0]])
+    seq = simulate(machine, 3000, 1, seed=2)[0]
+    df = spark.createDataFrame(
+        [(i, int(s)) for i, s in enumerate(seq)], "offset long, symbol int"
+    )
+    det = StreamingDetection(spark, window_size=300, quantize=False).fit(df)
+    paths = det.generate_PFSA_pngs(str(tmp_path / "pngs"))
+    assert len(paths) == len(det.library)
+    for p in paths:
+        assert open(p, "rb").read(8) == b"\x89PNG\r\n\x1a\n"
