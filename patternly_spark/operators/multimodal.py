@@ -2,12 +2,17 @@
 with typed metadata.
 
 The Spark-side machinery — schemas, batch iteration, partition-preserving
-mapInPandas, metadata propagation — is real and tested.  The actual
-codec work (JPEG decode, resampling, frame extraction) requires image /
-audio libraries that are NOT in this container, so the codec kernels are
-deterministic fakes behind ``_HAVE_CODECS`` (clearly marked); swapping in
-Pillow/torchaudio/pyav changes only the inner function body, not the
-Spark plumbing.
+mapInPandas, metadata propagation — is real and tested.  Codec status:
+
+- **PNG: REAL** — ``operators/imaging.py`` decodes/resizes/pools PNG
+  payloads with stdlib zlib + numpy (no Pillow needed).  Pass
+  ``codec="png"`` to ``extract_features`` / ``resize_images``.
+- JPEG / audio / video: require Pillow/torchaudio/pyav, which are NOT
+  in this container — those kernels remain deterministic fakes behind
+  ``_HAVE_CODECS`` (clearly marked); swapping real libraries in changes
+  only the inner function body, not the Spark plumbing.  The fake
+  (``codec="stub"``, the default) stays the q95 oracle surface because
+  it is SQL-replicable.
 
 Design for scale: binary payloads never pass through a shuffle — every
 operator is mapInPandas over the scan partitioning; Arrow carries the
@@ -58,16 +63,36 @@ def _fake_decode_features(payload: bytes, dim: int) -> np.ndarray:
     return (h.reshape(dim, 4).sum(axis=1).astype(np.float32) / 1020.0)
 
 
-def extract_features(media: DataFrame, *, dim: int = 16) -> DataFrame:
+def extract_features(media: DataFrame, *, dim: int = 16, codec: str = "stub") -> DataFrame:
     """(media_id, n_bytes, features array<float>): Arrow-batched feature
-    extraction over binary payloads; partition-preserving (no shuffle)."""
+    extraction over binary payloads; partition-preserving (no shuffle).
+
+    ``codec="png"`` runs the REAL pipeline for PNG payloads — stdlib
+    decode -> grid-pooled grayscale means (``dim`` must be a square,
+    e.g. 16 -> 4x4 grid); non-PNG payloads in that mode raise.  The
+    default ``codec="stub"`` keeps the deterministic byte-derived fake
+    (the SQL-replicable q95 oracle surface)."""
+    if codec not in ("stub", "png"):
+        raise ValueError(f"unknown codec {codec!r}")
+    if codec == "png":
+        grid = int(dim ** 0.5)
+        if grid * grid != dim:
+            raise ValueError(f"png codec needs a square dim, got {dim}")
+
+        def extract(p: bytes) -> list:
+            from patternly_spark.operators.imaging import decode_png, grid_features
+
+            return grid_features(decode_png(bytes(p)), grid).tolist()
+    else:
+        def extract(p: bytes) -> list:
+            return _fake_decode_features(bytes(p), dim).tolist()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {
                 "media_id": pdf["media_id"],
                 "n_bytes": pdf["payload"].map(len).astype("int32"),
-                "features": pdf["payload"].map(lambda p: _fake_decode_features(p, dim).tolist()),
+                "features": pdf["payload"].map(extract),
             }
             yield pd.DataFrame(out)
 
@@ -102,14 +127,27 @@ def sample_frames(media: DataFrame, *, every_n_bytes: int = 1024, max_frames: in
     return media.select("media_id", "payload").mapInPandas(run, schema=_FRAME_SCHEMA)
 
 
-def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
-    """Image resize plumbing (STUB codec).  Propagates metadata columns
-    and rewrites width/height; payload transformation is the fake
-    identity until real codecs are wired in."""
+def resize_images(media: DataFrame, *, width: int, height: int, codec: str = "stub") -> DataFrame:
+    """Image resize over binary payloads, metadata rewritten to the new
+    dimensions.  ``codec="png"``: REAL decode -> nearest-neighbor resize
+    -> re-encode (stdlib PNG both ways).  ``codec="stub"`` (default):
+    payload passes through untouched — the metadata-only placeholder for
+    formats whose codecs aren't in this container."""
+    if codec not in ("stub", "png"):
+        raise ValueError(f"unknown codec {codec!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
+            if codec == "png":
+                from patternly_spark.operators.imaging import decode_png, resize_nearest
+                from patternly_spark.pfsa.draw import encode_png
+
+                pdf["payload"] = pdf["payload"].map(
+                    lambda p: encode_png(
+                        np.ascontiguousarray(resize_nearest(decode_png(bytes(p)), width, height))
+                    )
+                )
             pdf["width"] = np.int32(width)
             pdf["height"] = np.int32(height)
             yield pdf

@@ -34,19 +34,30 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 queries, oracles = e.queries(), e.oracle_sql()
 bad = []
+results: dict = {}
 for name, fn in queries.items():
     sql = oracles.get(name)
+    rec = {
+        "rows_match": None, "schema_match": None, "hash_match": None,
+        "spark_rows": None, "oracle_rows": None, "err": None,
+    }
+    results[name] = rec
     try:
         spdf = fn(spark, SF_DIR).toPandas()
+        rec["spark_rows"] = len(spdf)
         if sql is None:
+            rec["err"] = "rows-only (no oracle by design)"
             print(f"ROWS-ONLY {name} {len(spdf)}", flush=True)
             continue
         opdf = con.execute(sql).df()
+        rec["oracle_rows"] = len(opdf)
         if len(spdf) != len(opdf):
             raise AssertionError(f"rows {len(spdf)} vs {len(opdf)}")
+        rec["rows_match"] = True
         s, o = normalize(spdf), normalize(opdf)
         if list(s.columns) != list(o.columns):
             raise AssertionError(f"columns {list(s.columns)} vs {list(o.columns)}")
+        rec["schema_match"] = True
         for c in s.columns:
             sv, ov = s[c].to_numpy(), o[c].to_numpy()
             if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
@@ -56,10 +67,23 @@ for name, fn in queries.items():
                 eq = np.array([a == b for a, b in zip(sv.tolist(), ov.tolist())])
             if not eq.all():
                 raise AssertionError(f"{c}: {int((~eq).sum())} value mismatches")
+        rec["hash_match"] = True  # value-exact compare, stronger than a hash
         print(f"OK {name} {len(spdf)}", flush=True)
     except Exception as ex:
+        rec["err"] = str(ex)[:300]
+        for k in ("rows_match", "schema_match", "hash_match"):
+            if rec[k] is None:
+                rec[k] = False
         bad.append((name, str(ex)[:300]))
         print(f"FAIL {name}: {str(ex)[:200]}", flush=True)
+
+out_path = os.environ.get("DRIVER_SIM_JSON")
+if out_path:
+    import json
+
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {out_path}", flush=True)
 
 print(f"checked {len(queries)} queries; failures: {len(bad)}", flush=True)
 for n, m in bad:

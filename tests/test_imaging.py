@@ -1,0 +1,131 @@
+"""Pure-stdlib PNG codec (operators/imaging.py) + real multimodal paths."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from patternly_spark.operators.imaging import (
+    UnsupportedImageError,
+    decode_png,
+    grid_features,
+    resize_nearest,
+)
+from patternly_spark.pfsa.draw import encode_png
+
+
+def _png(ihdr_fields, chunks):
+    out = b"\x89PNG\r\n\x1a\n"
+    payload = struct.pack(">IIBBBBB", *ihdr_fields)
+    for tag, body in [(b"IHDR", payload)] + chunks + [(b"IEND", b"")]:
+        out += struct.pack(">I", len(body)) + tag + body
+        out += struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    return out
+
+
+def test_rgb_roundtrip():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()
+
+
+def test_filters_1_to_4():
+    # encode with each filter type explicitly and check reconstruction
+    img = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3) * 3
+    for ftype in (1, 2, 3, 4):
+        rows = []
+        prev = np.zeros(12, dtype=np.int32)
+        for r in range(5):
+            line = img[r].reshape(-1).astype(np.int32)
+            enc = line.copy()
+            for i in range(12):
+                left = line[i - 3] if i >= 3 else 0
+                ul = prev[i - 3] if i >= 3 else 0
+                if ftype == 1:
+                    enc[i] = (line[i] - left) % 256
+                elif ftype == 2:
+                    enc[i] = (line[i] - prev[i]) % 256
+                elif ftype == 3:
+                    enc[i] = (line[i] - ((left + prev[i]) >> 1)) % 256
+                else:
+                    p = left + prev[i] - ul
+                    pa, pb, pc = abs(p - left), abs(p - prev[i]), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (prev[i] if pb <= pc else ul)
+                    enc[i] = (line[i] - pred) % 256
+            rows.append(bytes([ftype]) + bytes(enc.astype(np.uint8)))
+            prev = line
+        raw = zlib.compress(b"".join(rows))
+        png = _png((4, 5, 8, 2, 0, 0, 0), [(b"IDAT", raw)])
+        assert (decode_png(png) == img).all(), f"filter {ftype}"
+
+
+def test_gray_palette_rgba():
+    # gray (type 0)
+    gray = np.array([[0, 128], [255, 64]], dtype=np.uint8)
+    raw = zlib.compress(b"".join(b"\x00" + gray[r].tobytes() for r in range(2)))
+    png = _png((2, 2, 8, 0, 0, 0, 0), [(b"IDAT", raw)])
+    out = decode_png(png)
+    assert out.shape == (2, 2, 3) and (out[0, 1] == 128).all()
+    # palette (type 3)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    raw = zlib.compress(b"".join(b"\x00" + idx[r].tobytes() for r in range(2)))
+    png = _png((2, 2, 8, 3, 0, 0, 0), [(b"PLTE", plte), (b"IDAT", raw)])
+    out = decode_png(png)
+    assert (out[0, 0] == [255, 0, 0]).all() and (out[1, 0] == [0, 0, 255]).all()
+    # RGBA (type 6): alpha dropped
+    rgba = np.dstack([np.full((2, 2), 9, np.uint8)] * 3 + [np.full((2, 2), 7, np.uint8)])
+    raw = zlib.compress(b"".join(b"\x00" + rgba[r].tobytes() for r in range(2)))
+    png = _png((2, 2, 8, 6, 0, 0, 0), [(b"IDAT", raw)])
+    assert (decode_png(png) == 9).all()
+
+
+def test_unsupported_rejected():
+    with pytest.raises(UnsupportedImageError, match="signature"):
+        decode_png(b"JFIF not a png")
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    png16 = bytearray(encode_png(img))
+    png16[24] = 16  # bit depth byte in IHDR
+    with pytest.raises(UnsupportedImageError, match="depth"):
+        decode_png(bytes(png16))
+
+
+def test_resize_and_features():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[:, 4:] = 255  # left black, right white
+    small = resize_nearest(img, 4, 4)
+    assert small.shape == (4, 4, 3)
+    assert (small[:, :2] == 0).all() and (small[:, 2:] == 255).all()
+    f = grid_features(img, grid=2)
+    assert f.shape == (4,)
+    assert f[0] == 0.0 and f[1] == 1.0 and f[2] == 0.0 and f[3] == 1.0
+
+
+def test_spark_png_codec_paths(spark):
+    from patternly_spark.operators.multimodal import extract_features, resize_images
+
+    imgs = []
+    for mid in range(4):
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        img[:, : 2 * mid] = 255  # varying white fraction
+        imgs.append((mid, "image", encode_png(img), "image/png", 8, 8, None))
+    media = spark.createDataFrame(
+        imgs,
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    feats = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media, dim=4, codec="png").collect()
+    }
+    # mean brightness rises with media_id (2*mid white columns of 8)
+    means = [float(np.mean(feats[m])) for m in range(4)]
+    assert means == sorted(means) and means[0] == 0.0
+    assert abs(means[2] - 0.5) < 1e-6
+
+    resized = resize_images(media, width=4, height=4, codec="png").collect()
+    for r in resized:
+        assert r["width"] == 4 and r["height"] == 4
+        out = decode_png(bytes(r["payload"]))
+        assert out.shape == (4, 4, 3)
