@@ -1969,6 +1969,65 @@ def _repetition_oracle() -> str:
     """
 
 
+def _png_features_oracle() -> str:
+    """DuckDB replica of q103: pooled grayscale means computed DIRECTLY
+    from text bytes (documents are pure ASCII at every sf, verified for
+    q95) — the Spark side must reproduce them through a real PNG
+    encode->decode, proving the codec lossless.  Arithmetic: integer sum
+    of the 12 cell bytes, one double division by 12*255, cast REAL —
+    matching grid_features' integer-exact formulation."""
+    cells = []
+    for f in range(16):
+        r, c = divmod(f, 4)
+        terms = []
+        for i in (2 * r, 2 * r + 1):
+            for j in (2 * c, 2 * c + 1):
+                for k in range(3):
+                    pos = (i * 8 + j) * 3 + k + 1
+                    terms.append(
+                        f"(CASE WHEN {pos} <= length(text) THEN ascii(substr(text, {pos}, 1)) ELSE 0 END)"
+                    )
+        cells.append("CAST((" + " + ".join(terms) + ") / 3060.0 AS REAL)")
+    feats = ",\n                   ".join(cells)
+    return f"SELECT doc_id, [{feats}] AS features FROM documents"
+
+
+def q103_png_roundtrip_features(spark, sf_dir):
+    """REAL image codec inside the correctness gate: build an 8x8 RGB
+    image from each document's first 192 bytes (zero-padded), encode it
+    with the stdlib PNG writer, DECODE it with the stdlib PNG reader
+    (operators/imaging.py), and grid-pool 4x4 grayscale features.  The
+    oracle computes the same pooled means directly from the text bytes —
+    a value match therefore proves encode -> decode is lossless and the
+    pooling arithmetic exact, not just that a fake was replicated."""
+    import pandas as pd
+
+    from patternly_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+
+    def build(batches):
+        import numpy as np
+
+        from patternly_spark.pfsa.draw import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")[:192].ljust(192, b"\0")
+                img = np.frombuffer(raw, dtype=np.uint8).reshape(8, 8, 3)
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.select("doc_id", "text").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    return (
+        extract_features(media, dim=16, codec="png")
+        .select(F.col("media_id").alias("doc_id"), "features")
+    )
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -2104,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_frequent_items": q100_frequent_items,
         "q101_bpe_encode_pack": q101_bpe_encode_pack,
         "q102_repetition_filter": q102_repetition_filter,
+        "q103_png_roundtrip_features": q103_png_roundtrip_features,
     }
 
 
@@ -3625,6 +3685,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "q102_repetition_filter": _repetition_oracle(),
+        "q103_png_roundtrip_features": _png_features_oracle(),
     }
 
 

@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "q100_frequent_items",
     "q101_bpe_encode_pack",
     "q102_repetition_filter",
+    "q103_png_roundtrip_features",
 ]
 
 

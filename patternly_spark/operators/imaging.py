@@ -132,13 +132,19 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 def grid_features(img: np.ndarray, grid: int = 4) -> np.ndarray:
     """Pooled-grayscale feature vector (grid x grid cell means / 255),
-    float32 — a deterministic, content-sensitive embedding stand-in."""
-    gray = img.astype(np.float32).mean(axis=2)
-    h, w = gray.shape
+    float32 — a deterministic, content-sensitive embedding stand-in.
+
+    Arithmetic is integer-sum then ONE double division then f32 cast, so
+    an external SQL engine reproduces every feature bit-for-bit (no
+    accumulation-order or intermediate-precision ambiguity)."""
+    h, w = img.shape[:2]
     feats = np.empty(grid * grid, dtype=np.float32)
+    px = img.astype(np.int64)
     for r in range(grid):
         for c in range(grid):
-            cell = gray[r * h // grid:(r + 1) * h // grid or 1,
-                        c * w // grid:(c + 1) * w // grid or 1]
-            feats[r * grid + c] = float(cell.mean()) / 255.0 if cell.size else 0.0
+            cell = px[r * h // grid:(r + 1) * h // grid or 1,
+                      c * w // grid:(c + 1) * w // grid or 1]
+            feats[r * grid + c] = (
+                np.float32(float(cell.sum()) / (cell.size * 255.0)) if cell.size else 0.0
+            )
     return feats

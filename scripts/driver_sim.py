@@ -29,6 +29,12 @@ for t in e.TABLES:
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            # array cells (list/ndarray) -> tuples so multi-key sort can hash
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 

@@ -33,8 +33,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            # unify bytes/str and None
-            df[c] = df[c].map(lambda v: v if v is not None else None)
+            # unify None; array cells (list/ndarray) become tuples so the
+            # multi-key lexsort can hash them
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
