@@ -2028,6 +2028,63 @@ def q103_png_roundtrip_features(spark, sf_dir):
     )
 
 
+def q104_wav_roundtrip_rms(spark, sf_dir):
+    """REAL audio codec inside the correctness gate (the WAV sibling of
+    q103): each document's first 128 bytes become 64 little-endian int16
+    PCM samples, encoded as WAV (stdlib), DECODED back
+    (operators/audio.py), and reduced to 8 windowed RMS energies.  The
+    oracle rebuilds the samples from the bytes and replays the
+    integer-exact sum-of-squares -> double sqrt, so a value match proves
+    the WAV encode->decode lossless."""
+    import pandas as pd
+
+    from patternly_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+
+    def build(batches):
+        import numpy as np
+
+        from patternly_spark.operators.audio import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")[:128].ljust(128, b"\0")
+                samples = np.frombuffer(raw, dtype="<i2")
+                payloads.append(encode_wav(samples))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.select("doc_id", "text").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    return (
+        extract_features(media, dim=8, codec="wav")
+        .select(F.col("media_id").alias("doc_id"), "features")
+    )
+
+
+def _wav_rms_oracle() -> str:
+    """DuckDB replica of q104: int16 samples from text byte pairs
+    (little-endian, two's complement), 8 windows x 8 samples, RMS =
+    CAST(sqrt(sum(s^2)/8.0) AS REAL).  Byte positions beyond the text
+    are zero (the builder zero-pads)."""
+    windows = []
+    for wnd in range(8):
+        terms = []
+        for s in range(8):
+            idx = wnd * 8 + s  # sample index 0..63
+            lo, hi = 2 * idx + 1, 2 * idx + 2  # 1-based byte positions
+            b_lo = f"(CASE WHEN {lo} <= length(text) THEN ascii(substr(text, {lo}, 1)) ELSE 0 END)"
+            b_hi = f"(CASE WHEN {hi} <= length(text) THEN ascii(substr(text, {hi}, 1)) ELSE 0 END)"
+            u = f"({b_lo} + 256 * {b_hi})"
+            sv = f"CAST(CASE WHEN {u} >= 32768 THEN {u} - 65536 ELSE {u} END AS BIGINT)"
+            terms.append(f"{sv} * {sv}")
+        windows.append(f"CAST(sqrt(({' + '.join(terms)}) / 8.0) AS REAL)")
+    feats = ",\n                   ".join(windows)
+    return f"SELECT doc_id, [{feats}] AS features FROM documents"
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -2164,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_bpe_encode_pack": q101_bpe_encode_pack,
         "q102_repetition_filter": q102_repetition_filter,
         "q103_png_roundtrip_features": q103_png_roundtrip_features,
+        "q104_wav_roundtrip_rms": q104_wav_roundtrip_rms,
     }
 
 
@@ -3686,6 +3744,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q102_repetition_filter": _repetition_oracle(),
         "q103_png_roundtrip_features": _png_features_oracle(),
+        "q104_wav_roundtrip_rms": _wav_rms_oracle(),
     }
 
 

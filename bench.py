@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "q101_bpe_encode_pack",
     "q102_repetition_filter",
     "q103_png_roundtrip_features",
+    "q104_wav_roundtrip_rms",
 ]
 
 

@@ -69,10 +69,12 @@ def extract_features(media: DataFrame, *, dim: int = 16, codec: str = "stub") ->
 
     ``codec="png"`` runs the REAL pipeline for PNG payloads — stdlib
     decode -> grid-pooled grayscale means (``dim`` must be a square,
-    e.g. 16 -> 4x4 grid); non-PNG payloads in that mode raise.  The
-    default ``codec="stub"`` keeps the deterministic byte-derived fake
-    (the SQL-replicable q95 oracle surface)."""
-    if codec not in ("stub", "png"):
+    e.g. 16 -> 4x4 grid).  ``codec="wav"`` runs the REAL audio pipeline
+    for PCM WAV payloads — stdlib decode -> ``dim`` windowed RMS
+    energies.  Non-matching payloads in either mode raise.  The default
+    ``codec="stub"`` keeps the deterministic byte-derived fake (the
+    SQL-replicable q95 oracle surface)."""
+    if codec not in ("stub", "png", "wav"):
         raise ValueError(f"unknown codec {codec!r}")
     if codec == "png":
         grid = int(dim ** 0.5)
@@ -83,6 +85,12 @@ def extract_features(media: DataFrame, *, dim: int = 16, codec: str = "stub") ->
             from patternly_spark.operators.imaging import decode_png, grid_features
 
             return grid_features(decode_png(bytes(p)), grid).tolist()
+    elif codec == "wav":
+        def extract(p: bytes) -> list:
+            from patternly_spark.operators.audio import decode_wav, rms_windows
+
+            samples, _rate = decode_wav(bytes(p))
+            return rms_windows(samples, dim).tolist()
     else:
         def extract(p: bytes) -> list:
             return _fake_decode_features(bytes(p), dim).tolist()

@@ -129,3 +129,69 @@ def test_spark_png_codec_paths(spark):
         assert r["width"] == 4 and r["height"] == 4
         out = decode_png(bytes(r["payload"]))
         assert out.shape == (4, 4, 3)
+
+
+def test_wav_roundtrip_and_features():
+    from patternly_spark.operators.audio import (
+        UnsupportedAudioError,
+        decode_wav,
+        encode_wav,
+        rms_windows,
+        zero_crossing_rate,
+    )
+
+    rng = np.random.default_rng(7)
+    samples = rng.integers(-32768, 32768, size=100, dtype=np.int16)
+    payload = encode_wav(samples, sample_rate=8000)
+    got, rate = decode_wav(payload)
+    assert rate == 8000 and (got == samples.astype(np.int32)).all()
+
+    # constant-amplitude clip: RMS equals the amplitude everywhere
+    const = np.full(64, 1000, dtype=np.int16)
+    f = rms_windows(decode_wav(encode_wav(const))[0], 8)
+    assert np.allclose(f, 1000.0)
+    # alternating-sign clip: zcr = 1
+    alt = np.array([500, -500] * 32, dtype=np.int16)
+    assert zero_crossing_rate(alt.astype(np.int32)) == 1.0
+    assert zero_crossing_rate(const.astype(np.int32)) == 0.0
+
+    with pytest.raises(UnsupportedAudioError):
+        decode_wav(b"not a wav at all")
+
+
+def test_wav_stereo_to_mono():
+    import io
+    import wave
+
+    from patternly_spark.operators.audio import decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        # L=100, R=200 interleaved -> mono (100+200)//2 = 150
+        w.writeframes(np.array([100, 200] * 10, dtype="<i2").tobytes())
+    mono, rate = decode_wav(buf.getvalue())
+    assert rate == 16000 and (mono == 150).all() and len(mono) == 10
+
+
+def test_spark_wav_codec_path(spark):
+    from patternly_spark.operators.audio import encode_wav
+    from patternly_spark.operators.multimodal import extract_features
+
+    rows = []
+    for mid, amp in enumerate((0, 100, 1000, 30000)):
+        samples = np.full(64, amp, dtype=np.int16)
+        rows.append((mid, "audio", encode_wav(samples), "audio/wav", None, None, 4))
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    feats = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media, dim=8, codec="wav").collect()
+    }
+    for mid, amp in enumerate((0, 100, 1000, 30000)):
+        assert np.allclose(feats[mid], float(amp)), mid
