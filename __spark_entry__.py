@@ -2085,6 +2085,47 @@ def _wav_rms_oracle() -> str:
     return f"SELECT doc_id, [{feats}] AS features FROM documents"
 
 
+_Q105_TEMPLATE_PRE = (
+    "<html><head><title>Page</title><script type=\"text/javascript\">var x = '<p>';"
+    "</script><style>.nav { color: red; }</style></head><body>"
+    "<!-- rendered at build time --><nav>Home &amp; About &gt; Docs</nav><p>"
+)
+_Q105_TEMPLATE_POST = "</p><div>&quot;footer&quot; &#39;fine&#39;&nbsp;print</div></body></html>"
+
+
+def q105_html_extract(spark, sf_dir):
+    """HTML -> text extraction in the gate: wrap every document in a
+    hostile-but-realistic HTML template (script holding a fake tag,
+    style block, comment, entity-laden nav/footer), then extract visible
+    text with functions/text.html_to_text.  The oracle builds the SAME
+    html in SQL and replays the identical RE2-safe regex chain — a value
+    match pins cross-engine extraction semantics, tags/entities/blocks
+    included."""
+    from patternly_spark.functions.text import html_to_text
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(F.lit(_Q105_TEMPLATE_PRE), F.col("text"), F.lit(_Q105_TEMPLATE_POST))
+    return d.select("doc_id", html_to_text(html).alias("extracted"))
+
+
+def _html_extract_oracle() -> str:
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = f"'{q(_Q105_TEMPLATE_PRE)}' || text || '{q(_Q105_TEMPLATE_POST)}'"
+    expr = f"regexp_replace({expr}, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '(?s)<!--.*?-->', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '<[^>]+>', ' ', 'g')"
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        expr = f"replace({expr}, '{q(ent)}', '{q(ch)}')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return f"SELECT doc_id, {expr} AS extracted FROM documents"
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -2222,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_repetition_filter": q102_repetition_filter,
         "q103_png_roundtrip_features": q103_png_roundtrip_features,
         "q104_wav_roundtrip_rms": q104_wav_roundtrip_rms,
+        "q105_html_extract": q105_html_extract,
     }
 
 
@@ -3745,6 +3787,7 @@ def oracle_sql() -> dict[str, str]:
         "q102_repetition_filter": _repetition_oracle(),
         "q103_png_roundtrip_features": _png_features_oracle(),
         "q104_wav_roundtrip_rms": _wav_rms_oracle(),
+        "q105_html_extract": _html_extract_oracle(),
     }
 
 

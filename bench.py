@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "q102_repetition_filter",
     "q103_png_roundtrip_features",
     "q104_wav_roundtrip_rms",
+    "q105_html_extract",
 ]
 
 

@@ -389,6 +389,33 @@ def gopher_quality_flags(
     return out.withColumn("keep", keep)
 
 
+def html_to_text(text: Column | str) -> Column:
+    """HTML -> visible text: drop script/style blocks, strip tags,
+    decode the common entities, collapse whitespace — the extraction
+    step in front of every web-crawl curation pipeline.
+
+    Engine-portable by construction: only RE2-compatible regexes (no
+    backreferences — script and style get separate patterns; inline
+    (?is) flags; non-greedy block bodies), so an external SQL engine
+    replays the extraction bit-for-bit (q105).  Entity decode order
+    matters: ``&amp;`` is decoded LAST so ``&amp;lt;`` yields the
+    literal text ``&lt;`` (double-decode would corrupt it).  Pure
+    column expressions, zero shuffle.  This is tag stripping, not
+    readability scoring — boilerplate removal composes downstream
+    (``gopher_repetition_flags`` catches template repetition)."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def _word_ngrams(toks: Column, n: int) -> Column:
     """Space-joined word n-grams (WITH repeats — repetition metrics need
     multiplicity, unlike ``shingles_from_tokens``); empty array for docs

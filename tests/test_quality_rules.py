@@ -265,3 +265,29 @@ def test_normalize_text_folds_dedup_keys(spark):
         for r in df.select("doc_id", normalize_text("text").alias("n")).collect()
     }
     assert out[0] == out[1] == out[2] == out[3] == "the file is here"
+
+
+def test_html_to_text(spark):
+    """Tag stripping, block removal, entity decode order, whitespace
+    collapse on handcrafted hostile HTML."""
+    from patternly_spark.functions.text import html_to_text
+
+    rows = [
+        (0, "<p>Hello <b>world</b></p>"),
+        (1, "<script>var s = '<p>fake</p>';</script>real"),
+        (2, "<style>.x { color: red }</style>styled"),
+        (3, "A &amp; B &lt;tag&gt; &quot;q&quot; &#39;a&#39;&nbsp;end"),
+        # &amp;lt; must decode to the literal text "&lt;", not "<"
+        (4, "literal &amp;lt; stays"),
+        (5, "<!-- comment <p>gone</p> -->kept"),
+        (6, "multi\n\n  space   <br>  here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["t"] for r in df.select("doc_id", html_to_text("text").alias("t")).collect()}
+    assert out[0] == "Hello world"
+    assert out[1] == "real"
+    assert out[2] == "styled"
+    assert out[3] == 'A & B <tag> "q" \'a\' end'
+    assert out[4] == "literal &lt; stays"
+    assert out[5] == "kept"
+    assert out[6] == "multi space here"
