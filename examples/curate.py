@@ -1,7 +1,9 @@
 """End-to-end training-data curation demo over the documents table:
 
-    quality gate -> exact dedup -> near-dup clusters -> benchmark
-    decontamination -> deterministic down-sampling -> sequence packing
+    html extraction -> unicode-folded normalization -> quality gate
+    (Gopher rules + repetition filters) -> exact dedup -> near-dup
+    clusters -> benchmark decontamination -> deterministic
+    down-sampling -> sequence packing
 
 Run from anywhere:
 
@@ -21,7 +23,14 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
 
 from pyspark.sql import functions as F
 
-from patternly_spark.functions.text import langid, quality_score, token_count
+from patternly_spark.functions.text import (
+    gopher_repetition_flags,
+    html_to_text,
+    langid,
+    normalize_text,
+    quality_score,
+    token_count,
+)
 from patternly_spark.operators import (
     decontaminate,
     exact_dedup,
@@ -35,13 +44,34 @@ from patternly_spark.session import get_spark
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("patternly-curate")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n0 = docs.count()
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = raw.count()
 
-    # 1. quality gate: drop short/degenerate docs (pure JVM expressions)
-    quality = docs.filter(
-        (token_count("text") >= 8) & (quality_score("text") >= 0.5)
-    ).withColumn("lang_guess", langid("text"))
+    # 0. extraction + canonicalization: strip any markup, fold unicode
+    # compat chars (curly quotes, ligatures, fullwidth) so downstream
+    # dedup keys collide properly — zero-shuffle column expressions.
+    # CACHE the boundary: the repetition metrics reference the text
+    # column dozens of times, and without a materialization boundary
+    # Catalyst re-inlines the whole 20-regex extraction chain into every
+    # reference (plan-compilation blowup, the CollapseProject trap
+    # documented on shingles_from_tokens).
+    docs = raw.select(
+        "doc_id",
+        normalize_text(html_to_text("text"), strip_punct=False).alias("text"),
+    ).cache()
+
+    # 1. quality gate: Gopher-style rules + repetition filters + score
+    rep = gopher_repetition_flags(docs).select("doc_id", "keep_repetition")
+    quality = (
+        docs.join(rep, "doc_id")
+        .filter(
+            (token_count("text") >= 8)
+            & (quality_score("text") >= 0.5)
+            & F.col("keep_repetition")
+        )
+        .drop("keep_repetition")
+        .withColumn("lang_guess", langid("text"))
+    )
     n1 = quality.count()
 
     # 2. exact dedup: keep one canonical per normalized content hash
@@ -55,7 +85,7 @@ def main() -> None:
     n_groups = clusters.filter(~F.col("is_canonical")).count()
 
     # 4. decontamination against a held-out "benchmark" slice
-    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    bench = raw.filter(F.col("doc_id") % 41 == 0)
     flags = decontaminate(kept, bench, threshold=0.5)
     clean = kept.join(
         flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id"

@@ -518,7 +518,12 @@ def gopher_repetition_flags(
     dup_ns = max_dup_ngram_char_frac or {
         5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10
     }
-    c = F.col(text_col)
+    # bind the text column once: the 13 metrics reference it dozens of
+    # times, and a caller passing a deep derived expression (e.g.
+    # html_to_text -> normalize_text) must not have that chain re-analyzed
+    # per reference (the shingles_from_tokens staging rule)
+    df = df.withColumn("__rep_text", F.col(text_col))
+    c = F.col("__rep_text")
     total_chars = F.length(c).cast("double")
 
     def frac(num):
@@ -565,7 +570,7 @@ def gopher_repetition_flags(
         flag = F.col(name) <= F.lit(float(thr))
         out = out.withColumn(f"ok_{name}", flag)
         keep = flag if keep is None else (keep & flag)
-    return out.withColumn("keep_repetition", keep).drop("__toks")
+    return out.withColumn("keep_repetition", keep).drop("__toks", "__rep_text")
 
 
 def c4_clean_lines(
