@@ -171,18 +171,24 @@ def _train_coarse_quantizer(
 ):
     """Bounded deterministic hash-sample of the corpus -> driver-side
     seeded Lloyd.  Deterministic for a fixed corpus regardless of its
-    partitioning."""
+    partitioning: the sample is id-ORDERED before collect — without
+    that, collect() returns partition order and the seeded k-means
+    init (hence every centroid) silently depends on the physical
+    layout."""
     import numpy as np
 
     total = corpus.count()
-    sample = corpus.select(vec_col)
+    sample = corpus
     if total > train_sample:
         # keep ids whose 32-bit hash falls under the target fraction
         frac_mod = max(int(total / train_sample), 1)
         sample = corpus.filter(
             F.pmod(F.hash(F.col(id_col)), F.lit(frac_mod)) == 0
-        ).select(vec_col)
-    X = np.array([r[0] for r in sample.collect()], dtype=np.float64)
+        )
+    X = np.array(
+        [r[1] for r in sample.select(id_col, vec_col).orderBy(id_col).collect()],
+        dtype=np.float64,
+    )
     return _lloyd_kmeans(X, n_lists, seed)
 
 
@@ -477,6 +483,132 @@ def ivf_index_topk(
 # ---------------------------------------------------------------------------
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 3,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    train_sample: int = 100_000,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the FAISS ``IndexIVFPQ`` shape, and
+    the memory/scan end-point of the ANN family at 100 TB: a coarse
+    quantizer restricts each query to ``n_probe`` of ``n_lists`` cells
+    (IVF), and within cells the scan reads ``m``-byte PQ codes of the
+    RESIDUAL (vector minus its cell centroid) instead of float vectors.
+
+    Training is driver-side on one bounded deterministic hash-sample
+    (coarse centroids, then per-subspace residual codebooks — neither
+    improves past ~256x their cell/code count, so distributed training
+    would be waste).  The corpus pass is ONE Arrow-batched UDF emitting
+    (cell, codes) per vector — at scale this runs once and persists,
+    bucketed by cell.  Per query the driver builds one ADC
+    lookup-table per probed cell from the query residual; scoring is a
+    broadcast equi-join on cell + m array lookups per row — scan cost
+    n_probe/n_lists of the corpus, no float vectors read, one final
+    top-k shuffle.
+
+    Output: (query_id, neighbor_id, approx_dist, rank) — ADC estimate of
+    squared L2, lower = closer.  Approximate and centroid-dependent, so
+    verified by recall-vs-exact tests rather than a SQL oracle (the
+    q57/q97 family policy).
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    centroids = np.asarray(
+        _train_coarse_quantizer(corpus, id_col, vec_col, n_lists, seed, train_sample),
+        dtype=np.float64,
+    )
+    dim = centroids.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    # residual codebooks from the same bounded-sample policy
+    total = corpus.count()
+    sample = corpus
+    if total > train_sample:
+        frac_mod = max(int(total / train_sample), 1)
+        sample = corpus.filter(
+            F.pmod(F.hash(F.col(id_col)), F.lit(frac_mod)) == 0
+        )
+    # id-ordered collect: see _train_coarse_quantizer
+    X = np.array(
+        [r[1] for r in sample.select(id_col, vec_col).orderBy(id_col).collect()],
+        dtype=np.float64,
+    )
+    d2 = (X * X).sum(1, keepdims=True) - 2.0 * (X @ centroids.T) + (centroids * centroids).sum(1)
+    R = X - centroids[np.argmin(d2, axis=1)]
+    codebooks = np.stack(
+        [_lloyd_kmeans(R[:, j * dsub:(j + 1) * dsub], n_codes, seed + j) for j in range(m)]
+    )
+
+    @pandas_udf("cell int, codes array<int>")
+    def _assign(vs: pd.Series) -> pd.DataFrame:
+        V = np.vstack(vs.to_numpy()).astype(np.float64)
+        dc = (V * V).sum(1, keepdims=True) - 2.0 * (V @ centroids.T) + (centroids * centroids).sum(1)
+        cell = np.argmin(dc, axis=1)
+        res = V - centroids[cell]
+        cols = []
+        for j in range(m):
+            S = res[:, j * dsub:(j + 1) * dsub]
+            C = codebooks[j]
+            d = (S * S).sum(1, keepdims=True) - 2.0 * (S @ C.T) + (C * C).sum(1)
+            cols.append(np.argmin(d, axis=1))
+        codes = np.stack(cols, axis=1).astype("int32")
+        return pd.DataFrame(
+            {"cell": cell.astype("int32"), "codes": [row.tolist() for row in codes]}
+        )
+
+    encoded = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _assign(F.col(vec_col)).alias("e")
+    ).select("neighbor_id", F.col("e.cell").alias("cell"), F.col("e.codes").alias("codes"))
+
+    # driver-side probe tables: one ADC table per (query, probed cell)
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    tables = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        dcq = ((centroids - qv) ** 2).sum(1)
+        for cell in np.argsort(dcq, kind="stable")[:n_probe]:
+            rq = qv - centroids[cell]
+            tab = [
+                ((codebooks[j] - rq[j * dsub:(j + 1) * dsub]) ** 2).sum(1).tolist()
+                for j in range(m)
+            ]
+            tables.append((int(r[0]), int(cell), tab))
+    qdf = corpus.sparkSession.createDataFrame(
+        tables, "query_id long, cell int, tbl array<array<double>>"
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("tbl"), j + 1), F.element_at(F.col("codes"), j + 1) + 1
+        ),
+    )
+    scored = (
+        encoded.join(F.broadcast(qdf), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dist.alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     *,
@@ -499,13 +631,18 @@ def train_pq_codebooks(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     total = corpus.count()
-    sample = corpus.select(vec_col)
+    sample = corpus
     if total > train_sample:
         frac_mod = max(int(total / train_sample), 1)
         sample = corpus.filter(
             F.pmod(F.hash(F.col(id_col)), F.lit(frac_mod)) == 0
-        ).select(vec_col)
-    X = np.array([r[0] for r in sample.collect()], dtype=np.float64)
+        )
+    # id-ordered collect: see _train_coarse_quantizer (partition-order
+    # collects make the codebooks depend on physical layout)
+    X = np.array(
+        [r[1] for r in sample.select(id_col, vec_col).orderBy(id_col).collect()],
+        dtype=np.float64,
+    )
     dsub = dim // m
     return np.stack(
         [

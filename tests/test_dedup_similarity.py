@@ -702,3 +702,44 @@ def test_edit_distance_pairs_levenshtein(spark):
     assert out[(1, 2)]["lev"] == 3
     assert abs(out[(1, 2)]["sim"] - (1 - 3 / 7)) < 1e-12
     assert out[(3, 4)]["lev"] == 0 and out[(3, 4)]["sim"] == 1.0
+
+
+def test_ivf_pq_topk_recall_and_planted(emb):
+    """IVF-PQ: residual-coded scan restricted to probed cells must still
+    find the exact-L2 nearest neighbor for most queries and the planted
+    near-dup with high probes."""
+    from patternly_spark.operators.similarity import ivf_pq_topk
+
+    X = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    out = ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=3,
+        n_lists=4, n_probe=3, m=8, n_codes=16,
+    ).toPandas()
+    hits = 0
+    for q in range(10):
+        d2 = ((X - X[q]) ** 2).sum(1)
+        d2[q] = np.inf
+        got = out[out.query_id == q].neighbor_id.tolist()
+        assert len(got) <= 3
+        hits += int(int(d2.argmin()) in got)
+    assert hits >= 7, hits
+
+    planted = ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") == 3), k=1,
+        n_lists=4, n_probe=4, m=8, n_codes=16,
+    ).toPandas()
+    assert planted.neighbor_id.tolist() == [50]
+
+
+def test_ivf_pq_deterministic_across_partitionings(emb):
+    from patternly_spark.operators.similarity import ivf_pq_topk
+
+    q = emb.filter(F.col("vec_id") < 5)
+    a = ivf_pq_topk(emb.repartition(1), q, k=3, n_lists=4, n_probe=2).toPandas()
+    b = ivf_pq_topk(emb.repartition(13), q, k=3, n_lists=4, n_probe=2).toPandas()
+    key = ["query_id", "rank"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
