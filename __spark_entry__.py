@@ -1740,9 +1740,11 @@ def q88_quantile_normalize(spark, sf_dir):
 
 
 def q57_pq_topk(spark, sf_dir):
-    """PQ-compressed ANN: per-subspace codebooks (8 x 16), tinyint codes,
+    """PQ-compressed ANN: per-subspace codebooks (8 x 64), tinyint codes,
     asymmetric-distance top-k via per-query lookup tables — the scan reads
-    codes only (32x memory compression at dim=64).  Rows-only check
+    codes only (~21x memory compression at dim=64; 6-bit codebooks keep
+    the bench comparable to earlier rounds while staying above the 4-bit
+    recall cliff documented on train_pq_codebooks).  Rows-only check
     (k-means codebooks are not SQL-replicable); recall vs exact top-k is
     asserted in tests/test_dedup_similarity.py."""
     from patternly_spark.operators.similarity import (
@@ -1752,7 +1754,7 @@ def q57_pq_topk(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cb = train_pq_codebooks(emb, m=8, n_codes=16)
+    cb = train_pq_codebooks(emb, m=8, n_codes=64)
     codes = pq_encode(emb, cb)
     out = pq_topk(codes, emb.filter(F.col("vec_id") < 10), cb, k=3)
     return out.withColumn("rank", F.col("rank").cast("long"))

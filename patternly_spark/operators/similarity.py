@@ -141,12 +141,18 @@ def _lloyd_kmeans(X, k: int, seed: int, iters: int = 20):
 
     rng = np.random.default_rng(seed)
     n = X.shape[0]
-    # k-means++ seeding
+    # k-means++ seeding; once every point is a centroid (k >= n) the
+    # remaining mass is zero — fall back to uniform picks (duplicate
+    # centroids are fine: argmin tie-break and the empty-cell reseed
+    # both handle them)
     centroids = [X[rng.integers(n)]]
     d2 = ((X - centroids[0]) ** 2).sum(1)
     for _ in range(1, k):
-        probs = d2 / max(d2.sum(), 1e-300)
-        centroids.append(X[rng.choice(n, p=probs)])
+        total = d2.sum()
+        if total > 0:
+            centroids.append(X[rng.choice(n, p=d2 / total)])
+        else:
+            centroids.append(X[rng.integers(n)])
         d2 = np.minimum(d2, ((X - centroids[-1]) ** 2).sum(1))
     C = np.array(centroids)
     for _ in range(iters):
@@ -493,7 +499,7 @@ def ivf_pq_topk(
     n_lists: int = 16,
     n_probe: int = 3,
     m: int = 8,
-    n_codes: int = 16,
+    n_codes: int = 256,
     seed: int = 42,
     train_sample: int = 100_000,
 ) -> DataFrame:
@@ -613,7 +619,7 @@ def train_pq_codebooks(
     corpus: DataFrame,
     *,
     m: int = 8,
-    n_codes: int = 16,
+    n_codes: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -624,6 +630,15 @@ def train_pq_codebooks(
     Trains on a bounded deterministic hash-sample (same policy as the IVF
     coarse quantizer: codebooks don't improve past ~256 x n_codes points,
     so full-corpus training would be waste).  dim must divide by m.
+
+    ``n_codes`` defaults to 256 — the FAISS-standard 8 bits per
+    subquantizer.  Fewer bits matter: on near-uniform high-dimensional
+    corpora (nearest neighbor barely closer than the median pair, e.g.
+    the synthetic testdata embeddings) 4-bit codebooks put the PQ
+    reconstruction error at the scale of the inter-point spread and
+    rank-1 recall collapses to ~0; 8 bits recovers it (measured
+    0/10 -> 7/10 on the sf0.01 embeddings).  Clustered/lower-intrinsic-
+    dim data tolerates fewer bits.
     """
     import numpy as np
 

@@ -743,3 +743,35 @@ def test_ivf_pq_deterministic_across_partitionings(emb):
     assert a.sort_values(key).reset_index(drop=True).equals(
         b.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_pq_default_bits_recall_on_testdata(spark):
+    """Regression guard for the DEFAULT codebook width: on the
+    near-uniform sf0.01 testdata embeddings (nearest neighbor barely
+    closer than the median pair), 4-bit PQ collapses to ~0 rank-1
+    recall; the 8-bit default must keep it usable for both the flat and
+    IVF-restricted scans."""
+    from patternly_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    X = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def recall(df):
+        h = 0
+        for i in range(10):
+            d2 = ((X - X[i]) ** 2).sum(1)
+            d2[i] = np.inf
+            h += int(int(d2.argmin()) in df[df.query_id == i].neighbor_id.tolist())
+        return h
+
+    cb = train_pq_codebooks(emb)  # default 8-bit
+    assert recall(pq_topk(pq_encode(emb, cb), q, cb, k=3).toPandas()) >= 6
+    assert recall(ivf_pq_topk(emb, q, k=3, n_lists=8, n_probe=3).toPandas()) >= 5
