@@ -25,6 +25,7 @@ Layout
 
 from patternly_spark.pfsa.model import PFSA
 from patternly_spark.analysis import embed_library
+from patternly_spark.plans import assert_plan, plan_audit
 from patternly_spark.detection import (
     AnomalyDetection,
     StreamingDetection,
@@ -35,6 +36,8 @@ from patternly_spark.detection import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "assert_plan",
+    "plan_audit",
     "embed_library",
     "PFSA",
     "AnomalyDetection",

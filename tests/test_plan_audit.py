@@ -1,0 +1,62 @@
+"""plan_audit / assert_plan — the consolidated plan-shape guard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from patternly_spark.plans import assert_plan, plan_audit
+
+
+def test_audit_counts_exchanges_and_joins(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    region = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+
+    narrow = docs.select("doc_id", F.length("text").alias("n"))
+    a = plan_audit(narrow)
+    assert a["exchanges"] == 0 and a["python_evals"] == 0
+    assert a["scans"] and "doc_id" in a["scans"][0]["read_schema"]
+
+    joined = nation.join(region, nation.n_regionkey == region.r_regionkey)
+    aj = plan_audit(joined)
+    assert aj["broadcast_joins"] >= 1 and aj["nested_loop_joins"] == 0
+
+    agg = docs.groupBy("lang").count()
+    assert plan_audit(agg)["exchanges"] == 1
+
+
+def test_audit_sees_pushed_filters(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    filtered = docs.filter(F.col("doc_id") < 10).select("doc_id")
+    audit = assert_plan(filtered, max_exchanges=0, no_python=True,
+                        require_pushed_filter="doc_id")
+    assert "LessThan(doc_id,10)" in audit["scans"][0]["pushed_filters"]
+
+
+def test_audit_flags_python_and_cartesian(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
+    cart = docs.alias("a").crossJoin(docs.alias("b"))
+    assert plan_audit(cart)["nested_loop_joins"] >= 1
+    with pytest.raises(AssertionError, match="nested-loop"):
+        assert_plan(cart)
+
+    from patternly_spark.operators.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [(0, b"xx")], "media_id long, payload binary"
+    )
+    feats = extract_features(media, dim=4)
+    assert plan_audit(feats)["python_evals"] >= 1
+    with pytest.raises(AssertionError, match="Python"):
+        assert_plan(feats, no_python=True)
+
+
+def test_assert_plan_on_engine_operators(spark):
+    """The documented plan shapes hold through the public operators."""
+    from patternly_spark.functions.text import gopher_quality_flags
+    from patternly_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # quality pass: zero shuffle, zero python, filters still pushable
+    assert_plan(gopher_quality_flags(docs), max_exchanges=0, no_python=True)
+    # exact dedup: exactly one hash-partitioned window shuffle
+    assert_plan(exact_dedup(docs), max_exchanges=1, no_python=True)
