@@ -2128,6 +2128,80 @@ def _html_extract_oracle() -> str:
     return f"SELECT doc_id, {expr} AS extracted FROM documents"
 
 
+def q106_count_min(spark, sf_dir):
+    """Count-Min sketch point queries with an EXACT cross-engine replay:
+    build the depth=4 x width=16 counter grid (deliberately narrow so the gate exercises real collisions) over all corpus words
+    (one fan-out map + ONE partial-aggregating shuffle onto a fixed-size
+    grid — operators/sketches.count_min_counters), then probe every
+    distinct word against the broadcast counters.  The md5-prefix cell
+    hash is the same arithmetic in both engines, so cms_est (not just
+    the bound) is hash-oracle-checkable; upper_ok pins the one-sided
+    CMS guarantee est >= exact under the collisions that narrowness forces."""
+    from patternly_spark.operators.sketches import count_min_counters, count_min_lookup
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit(""))
+    items = d.select(F.explode(words).alias("word"))
+    counters = count_min_counters(items, "word", depth=4, width=16)
+    exact = items.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    est = count_min_lookup(counters, exact.select("word"), "word", depth=4, width=16)
+    return exact.join(est, "word").select(
+        "word",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("upper_ok"),
+    )
+
+
+def q107_link_graph(spark, sf_dir):
+    """Web-graph composition: wrap each document in an HTML page whose
+    nav links are derived from doc_id (a home link on the page's own
+    host, a peer link to a rotated host, a hub permalink), harvest every
+    href with functions/text.extract_links (one RE2-safe regex), reduce
+    links to hosts (extract_domain), and aggregate the host graph:
+    outgoing links per source host, incoming links + distinct referring
+    hosts per target.  Two partial-aggregating shuffles on host keys +
+    one full outer join of two tiny host tables.  Oracle builds the SAME
+    html in SQL and replays regexp_extract_all group-for-group."""
+    from patternly_spark.functions.text import extract_domain, extract_links
+
+    d = _t(spark, sf_dir, "documents")
+    s = (F.col("doc_id") % 7).cast("string")
+    dst = ((F.col("doc_id") * 3 + 1) % 7).cast("string")
+    i = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><p>"), F.col("text"),
+        F.lit('</p><nav><a href="https://site'), s,
+        F.lit('.example/home">home</a> <a class="ext" href="https://site'), dst,
+        F.lit(".example/p/"), i,
+        F.lit('">peer</a> <a href="https://hub.example/doc/'), i,
+        F.lit('">permalink</a></nav></body></html>'),
+    )
+    pages = d.select(
+        F.concat(F.lit("site"), s, F.lit(".example")).alias("src_host"),
+        extract_links(html).alias("links"),
+    )
+    edges = pages.select("src_host", F.explode("links").alias("link")).select(
+        "src_host", extract_domain(F.col("link")).alias("dst_host")
+    )
+    out_d = edges.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_links")
+    )
+    in_d = edges.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_links"),
+        F.count_distinct("src_host").cast("long").alias("nd_src_hosts"),
+    )
+    return (
+        out_d.join(in_d, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("out_links", F.lit(0)).cast("long").alias("out_links"),
+            F.coalesce("in_links", F.lit(0)).cast("long").alias("in_links"),
+            F.coalesce("nd_src_hosts", F.lit(0)).cast("long").alias("nd_src_hosts"),
+        )
+    )
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -2266,6 +2340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_png_roundtrip_features": q103_png_roundtrip_features,
         "q104_wav_roundtrip_rms": q104_wav_roundtrip_rms,
         "q105_html_extract": q105_html_extract,
+        "q106_count_min": q106_count_min,
+        "q107_link_graph": q107_link_graph,
     }
 
 
@@ -3790,6 +3866,68 @@ def oracle_sql() -> dict[str, str]:
         "q103_png_roundtrip_features": _png_features_oracle(),
         "q104_wav_roundtrip_rms": _wav_rms_oracle(),
         "q105_html_extract": _html_extract_oracle(),
+        "q106_count_min": """
+            WITH words AS (
+                SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS word
+                FROM documents
+            ),
+            counters AS (
+                SELECT j, cell, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+                    SELECT r.j AS j,
+                           CAST(('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || word), 1, 8)) AS BIGINT) % 16 AS cell
+                    FROM words CROSS JOIN range(0, 4) AS r(j)
+                ) GROUP BY j, cell
+            ),
+            exact AS (
+                SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM words GROUP BY word
+            ),
+            est AS (
+                SELECT e.word, MIN(c.cnt) AS cms_est
+                FROM exact e
+                CROSS JOIN range(0, 4) AS r(j)
+                JOIN counters c
+                  ON c.j = r.j
+                 AND c.cell = CAST(('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || e.word), 1, 8)) AS BIGINT) % 16
+                GROUP BY e.word
+            )
+            SELECT e.word, e.exact_cnt, CAST(est.cms_est AS BIGINT) AS cms_est,
+                   est.cms_est >= e.exact_cnt AS upper_ok
+            FROM exact e JOIN est USING (word)
+        """,
+        "q107_link_graph": """
+            WITH h AS (
+                SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS src_host,
+                       '<html><body><p>' || text
+                       || '</p><nav><a href="https://site' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example/home">home</a> <a class="ext" href="https://site'
+                       || CAST((doc_id * 3 + 1) % 7 AS VARCHAR)
+                       || '.example/p/' || CAST(doc_id AS VARCHAR)
+                       || '">peer</a> <a href="https://hub.example/doc/' || CAST(doc_id AS VARCHAR)
+                       || '">permalink</a></nav></body></html>' AS html
+                FROM documents
+            ),
+            e AS (
+                SELECT src_host,
+                       regexp_extract(
+                           unnest(regexp_extract_all(html, '<a [^>]*href="([^"]*)"', 1)),
+                           'https?://([^/ ]+)', 1) AS dst_host
+                FROM h
+            ),
+            out_d AS (
+                SELECT src_host AS host, CAST(COUNT(*) AS BIGINT) AS out_links
+                FROM e GROUP BY 1
+            ),
+            in_d AS (
+                SELECT dst_host AS host, CAST(COUNT(*) AS BIGINT) AS in_links,
+                       CAST(COUNT(DISTINCT src_host) AS BIGINT) AS nd_src_hosts
+                FROM e GROUP BY 1
+            )
+            SELECT host,
+                   CAST(COALESCE(out_links, 0) AS BIGINT) AS out_links,
+                   CAST(COALESCE(in_links, 0) AS BIGINT) AS in_links,
+                   CAST(COALESCE(nd_src_hosts, 0) AS BIGINT) AS nd_src_hosts
+            FROM out_d FULL OUTER JOIN in_d USING (host)
+        """,
     }
 
 

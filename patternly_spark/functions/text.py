@@ -606,6 +606,20 @@ def c4_clean_lines(
     )
 
 
+def extract_links(text: Column | str) -> Column:
+    """Every ``<a ... href="...">`` target in document order — the link
+    harvest that turns a web crawl into a host graph (outlink counts,
+    PageRank seeds, spam-hub detection) before any heavy parse.
+
+    One RE2-compatible pattern (no alternation/backreference, greedy
+    ``[^>]*`` only), so DuckDB's ``regexp_extract_all`` replays it
+    bit-for-bit (q107).  Pure column expression, zero shuffle; compose
+    with ``extract_domain`` for the host and ``html_to_text`` for the
+    body."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(r'<a [^>]*href="([^"]*)"'), 1)
+
+
 def extract_domain(url: Column | str) -> Column:
     """Registrable host from a URL: the authority part after the scheme,
     up to the first '/' or space; empty string when no scheme matches.

@@ -181,6 +181,97 @@ def frequent_items(
     )
 
 
+def _cms_cell(item: "F.Column", j: int, width: int, seed: str) -> "F.Column":
+    """Deterministic CMS cell for hash row ``j``: md5-prefix u32 of
+    "<seed><j>:<item>" mod width — the same arithmetic DuckDB replays as
+    ``('0x' || substr(md5(...), 1, 8))::BIGINT % width``, so estimates
+    are bit-equal across engines."""
+    h = F.md5(F.concat(F.lit(f"{seed}{j}:"), item.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(int(width))).alias(
+        "cell"
+    )
+
+
+def count_min_counters(
+    df: DataFrame,
+    item_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "",
+) -> DataFrame:
+    """Count-Min sketch counter table: (j, cell, cnt) with exactly
+    ``depth * width`` possible rows regardless of corpus size.
+
+    The 100 TB shape: each row fans out to ``depth`` (j, cell) pairs in
+    a pure map (one small int + one long per pair), then ONE
+    partial-aggregating shuffle collapses everything to the fixed-size
+    counter grid — the reduce side never sees more than depth*width
+    groups.  Counters are MERGEABLE by construction: sketches of two
+    corpora (or two microbatches) add cell-wise, which is just a union +
+    the same groupBy.  Unlike Misra-Gries (``frequent_items``) the
+    sketch answers point queries for ANY item after the fact, with a
+    one-sided guarantee: estimate >= true count always, and
+    estimate <= true + 2N/width with probability 1 - 2^-depth
+    (Cormode & Muthukrishnan 2005).
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("j"),
+                _cms_cell(F.col(item_col), j, width, seed).alias("cell"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("jc"))
+        .select(F.col("jc.j").alias("j"), F.col("jc.cell").alias("cell"))
+        .groupBy("j", "cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def count_min_lookup(
+    counters: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "",
+) -> DataFrame:
+    """Point-query a CMS counter table: (item, cms_est) with
+    cms_est = min over the ``depth`` hash rows (a never-touched cell
+    counts as 0, so unseen items estimate 0 absent collisions).
+
+    ``depth`` and ``width`` (and ``seed``) must match the build call.
+    The counter table is at most depth*width rows — it is BROADCAST to
+    the probe side, so lookup is a narrow map over ``items`` with no
+    shuffle on the (usually much larger) probe relation.
+    """
+    probes = items.select(
+        F.col(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("j"),
+                        _cms_cell(F.col(item_col), j, width, seed).alias("cell"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jc"),
+    ).select(item_col, F.col("jc.j").alias("j"), F.col("jc.cell").alias("cell"))
+    return (
+        probes.join(F.broadcast(counters), ["j", "cell"], "left")
+        .select(item_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .groupBy(item_col)
+        .agg(F.min("cnt").cast("long").alias("cms_est"))
+    )
+
+
 def histogram(
     df: DataFrame,
     value_col: str,

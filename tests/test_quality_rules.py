@@ -291,3 +291,51 @@ def test_html_to_text(spark):
     assert out[4] == "literal &lt; stays"
     assert out[5] == "kept"
     assert out[6] == "multi space here"
+
+
+def test_extract_links(spark):
+    from patternly_spark.functions.text import extract_domain, extract_links
+
+    html = (
+        '<html><body><a href="https://a.example/x">one</a>'
+        '<p>no link &amp; <a class="c" rel="nofollow" href="https://b.example/y?z=1">two</a></p>'
+        "<a name='no-href'>anchor</a>"
+        '<a href="/relative/path">rel</a></body></html>'
+    )
+    df = spark.createDataFrame([(html,), ("plain text, no anchors",)], "text string")
+    out = df.select(extract_links("text").alias("links")).collect()
+    # document order, attribute-tolerant, relative links included verbatim
+    assert out[0]["links"] == [
+        "https://a.example/x",
+        "https://b.example/y?z=1",
+        "/relative/path",
+    ]
+    assert out[1]["links"] == []
+    # composing with extract_domain: absolute links reduce to hosts,
+    # relative links to '' (no scheme)
+    hosts = df.select(
+        F.transform(extract_links("text"), lambda x: extract_domain(x)).alias("h")
+    ).collect()
+    assert hosts[0]["h"] == ["a.example", "b.example", ""]
+
+
+def test_extract_links_cross_engine(spark):
+    import duckdb
+
+    from patternly_spark.functions.text import extract_links
+
+    rows = [
+        ('<a href="https://x.example/1">x</a> <a data-k="v" href="https://y.example/2">y</a>',),
+        ('nested "quotes" and <a href="">empty</a>',),
+        ("no anchors at all",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r["links"] for r in df.select(extract_links("text").alias("links")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT regexp_extract_all(?, '<a [^>]*href=\"([^\"]*)\"', 1)", [t]
+        ).fetchone()[0]
+        for (t,) in rows
+    ]
+    assert got == want

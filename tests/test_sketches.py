@@ -139,3 +139,64 @@ def test_histogram_buckets_and_edges(spark):
     # degenerate group: everything in bucket 0
     assert out[("b", 0)]["n"] == 2
     assert sum(r["n"] for r in out.values()) == 13
+
+
+def test_count_min_upper_bound_and_exact_when_sparse(spark):
+    from patternly_spark.operators.sketches import count_min_counters, count_min_lookup
+
+    # 20 distinct items, width 4096 -> collision-free with overwhelming
+    # margin, so every estimate equals the exact count; a planted heavy
+    # hitter checks weighting by multiplicity.
+    rows = [(f"item{i % 20}",) for i in range(500)] + [("item3",)] * 77
+    df = spark.createDataFrame(rows, "item string")
+    counters = count_min_counters(df, "item", depth=4, width=4096)
+    items = df.select("item").distinct()
+    est = {r["item"]: r["cms_est"] for r in
+           count_min_lookup(counters, items, "item", depth=4, width=4096).collect()}
+    exact = {r["item"]: r["n"] for r in
+             df.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert est == exact
+
+
+def test_count_min_never_underestimates_under_collisions(spark):
+    from patternly_spark.operators.sketches import count_min_counters, count_min_lookup
+
+    # width 8 with 200 distinct items forces heavy collisions: the
+    # one-sided CMS guarantee (est >= exact) must still hold everywhere.
+    df = spark.createDataFrame([(f"w{i % 200}",) for i in range(2000)], "item string")
+    counters = count_min_counters(df, "item", depth=3, width=8)
+    est = {r["item"]: r["cms_est"] for r in
+           count_min_lookup(counters, df.select("item").distinct(), "item",
+                            depth=3, width=8).collect()}
+    exact = {r["item"]: r["n"] for r in
+             df.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(est[i] >= exact[i] for i in exact)
+    # total mass per hash row is conserved: sum of counters in each j == N
+    per_row = {r["j"]: r["s"] for r in
+               counters.groupBy("j").agg(F.sum("cnt").alias("s")).collect()}
+    assert set(per_row.values()) == {2000}
+
+
+def test_count_min_partition_invariant_and_mergeable(spark):
+    from patternly_spark.operators.sketches import count_min_counters, count_min_lookup
+
+    rows = [(f"t{i % 50}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "item string")
+    a = count_min_counters(df, "item", depth=4, width=64).orderBy("j", "cell")
+    b = count_min_counters(df.repartition(13), "item", depth=4, width=64).orderBy("j", "cell")
+    assert a.collect() == b.collect()
+    # merging sketches of two halves == sketch of the union (cell-wise sum)
+    from patternly_spark.operators.sampling import hash_fraction
+    left = df.filter(hash_fraction(F.col("item")) < 0.5)
+    right = df.filter(hash_fraction(F.col("item")) >= 0.5)
+    merged = (
+        count_min_counters(left, "item", depth=4, width=64)
+        .unionByName(count_min_counters(right, "item", depth=4, width=64))
+        .groupBy("j", "cell").agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert merged.orderBy("j", "cell").collect() == a.collect()
+    # unseen item probes to 0 when its cells were never touched
+    unseen = spark.createDataFrame([("never-seen-item-xyz",)], "item string")
+    est = count_min_lookup(count_min_counters(df, "item", depth=4, width=4096),
+                           unseen, "item", depth=4, width=4096).collect()
+    assert est[0]["cms_est"] == 0
