@@ -2202,6 +2202,86 @@ def q107_link_graph(spark, sf_dir):
     )
 
 
+def q108_leakage_safe_split(spark, sf_dir):
+    """Train/val/test assignment that cannot leak near-duplicates across
+    the boundary: the q89 near-dup edge set (unigram Jaccard >= 0.8 at
+    id distance 1 and 2) collapses to clusters via distributed connected
+    components, the md5 split coin is tossed on the CLUSTER id, and
+    every member inherits its cluster's split
+    (operators/sampling.leakage_safe_split).  Oracle: recursive-CTE
+    reachability + the identical md5-fraction CASE — so the gate proves
+    both the clustering AND that no cluster straddles a split."""
+    from patternly_spark.operators.sampling import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    sets = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    jac = (
+        F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+        / F.size(F.array_union("toks_a", "toks_b")).cast("double")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    edges = None
+    for gap in (1, 2):
+        b = sets.select(
+            (F.col("doc_id") - gap).alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("toks").alias("toks_b"),
+        )
+        e = a.join(b, "doc_a").filter(jac >= 0.8).select("doc_a", "doc_b")
+        edges = e if edges is None else edges.unionByName(e)
+    out = leakage_safe_split(d, edges)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "split",
+    )
+
+
+def _split_oracle() -> str:
+    """q108 DuckDB twin: the q89 reachability CTE + the same md5
+    fraction and float-accumulated boundaries assign_split uses."""
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    bounds, acc = [], 0.0
+    for _, frac in splits[:-1]:
+        acc = acc + float(frac)
+        bounds.append(acc)
+    u = "CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) / CAST(4294967296 AS DOUBLE)"
+    case = "CASE " + " ".join(
+        f"WHEN {u} < {_dlit(b)} THEN '{name}'" for (name, _), b in zip(splits[:-1], bounds)
+    ) + f" ELSE '{splits[-1][0]}' END"
+    return f"""
+        WITH RECURSIVE sets AS (
+            SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS toks FROM documents
+        ),
+        pairs AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+            WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+            UNION ALL
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 2
+            WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+        ),
+        und AS (
+            SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT u AS node, u AS r FROM und
+            UNION
+            SELECT reach.node, und.v AS r FROM reach JOIN und ON und.u = reach.r
+        ),
+        comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+        total AS (
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        )
+        SELECT doc_id, cluster_id, {case} AS split FROM total
+    """
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -2342,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_html_extract": q105_html_extract,
         "q106_count_min": q106_count_min,
         "q107_link_graph": q107_link_graph,
+        "q108_leakage_safe_split": q108_leakage_safe_split,
     }
 
 
@@ -3928,6 +4009,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(nd_src_hosts, 0) AS BIGINT) AS nd_src_hosts
             FROM out_d FULL OUTER JOIN in_d USING (host)
         """,
+        "q108_leakage_safe_split": _split_oracle(),
     }
 
 

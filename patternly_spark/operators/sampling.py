@@ -268,3 +268,64 @@ def weighted_sample(
         .filter(F.col("__rn") <= int(k))
         .drop("__es_key", "__rn")
     )
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str | Column,
+    *,
+    splits: list[tuple[str, float]] = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    seed: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the md5 fraction of
+    ``key_col`` is bucketed by cumulative split boundaries, in order.
+
+    The same guarantees as every hash sampler here: stable under
+    repartitioning, engine-portable (the boundary floats are plain
+    float sums — replay the same accumulation when writing the SQL
+    twin), and ADDITIVE — re-running on a grown corpus never moves a
+    previously assigned row.  Fractions should sum to 1; the last split
+    absorbs any rounding remainder (it is the CASE else-branch)."""
+    u = hash_fraction(F.col(key_col) if isinstance(key_col, str) else key_col, seed=seed)
+    names = [n for n, _ in splits]
+    bounds: list[float] = []
+    acc = 0.0
+    for _, frac in splits[:-1]:
+        acc = acc + float(frac)
+        bounds.append(acc)
+    expr = F.lit(names[-1])
+    for name, b in reversed(list(zip(names[:-1], bounds))):
+        expr = F.when(u < F.lit(b), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    splits: list[tuple[str, float]] = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    seed: str = "",
+) -> DataFrame:
+    """Train/val/test split that can NEVER leak a near-duplicate across
+    the boundary: duplicate pairs are collapsed to clusters (distributed
+    connected components, O(log n) rounds), the split coin is tossed on
+    the CLUSTER id, and every member inherits its cluster's split.
+
+    This is the assignment a 100 TB pretraining pipeline must make —
+    splitting on doc_id contaminates eval whenever near-duplicates of a
+    held-out doc land in train (the same failure decontamination guards
+    against for EXTERNAL benchmarks, here applied to the corpus's own
+    splits).  Output: (id_col, cluster_id, split) — a total map over
+    ``docs``; singletons are their own cluster.  One CC pass + one
+    md5-CASE map; no extra shuffle beyond the CC itself.
+    """
+    from patternly_spark.operators.graph import dedup_clusters
+
+    clusters = dedup_clusters(dup_pairs, docs=docs, a_col=a_col, b_col=b_col, id_col=id_col)
+    return assign_split(clusters, "cluster_id", splits=splits, seed=seed).select(
+        id_col, "cluster_id", "split"
+    )

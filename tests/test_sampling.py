@@ -146,3 +146,45 @@ def test_quantile_normalize_maps_group_onto_global(spark):
     assert out[101] == 1.0 and out[110] == 110.0
     # the same within-group rank maps to the same global value
     assert out[5] == out[105]
+
+
+def test_assign_split_deterministic_and_proportional(spark):
+    from patternly_spark.operators.sampling import assign_split
+
+    df = spark.range(0, 20_000).withColumnRenamed("id", "k")
+    out = assign_split(df, "k").groupBy("split").count().collect()
+    sizes = {r["split"]: r["count"] for r in out}
+    assert set(sizes) == {"train", "val", "test"}
+    # md5 uniformity: 80/10/10 within a generous tolerance at n=20k
+    assert abs(sizes["train"] / 20_000 - 0.8) < 0.02
+    assert abs(sizes["val"] / 20_000 - 0.1) < 0.01
+    assert abs(sizes["test"] / 20_000 - 0.1) < 0.01
+    # partitioning-invariant and additive: same rows, same labels
+    from patternly_spark.operators.sampling import assign_split as asg
+    a = {r["k"]: r["split"] for r in asg(df, "k").collect()}
+    b = {r["k"]: r["split"] for r in asg(df.repartition(17), "k").collect()}
+    assert a == b
+    sub = {r["k"]: r["split"] for r in asg(df.filter("k < 5000"), "k").collect()}
+    assert all(a[k] == v for k, v in sub.items())
+
+
+def test_leakage_safe_split_never_straddles(spark):
+    from pyspark.sql import functions as F
+
+    from patternly_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.range(0, 3000).select(F.col("id").alias("doc_id"))
+    # chains of 3: (0,1),(1,2), (3,4),(4,5), ... -> 1000 clusters of 3
+    base = spark.range(0, 3000).filter("id % 3 < 2")
+    pairs = base.select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    out = leakage_safe_split(docs, pairs).cache()
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.count_distinct("split").alias("n_splits"), F.count(F.lit(1)).alias("n")
+    )
+    assert per_cluster.filter("n_splits > 1").count() == 0
+    assert per_cluster.filter("n != 3").count() == 0
+    # all 3000 docs assigned exactly once
+    assert out.count() == 3000 and out.select("doc_id").distinct().count() == 3000
+    out.unpersist()
