@@ -2282,6 +2282,68 @@ def _split_oracle() -> str:
     """
 
 
+def q109_drift_monitor(spark, sf_dir):
+    """Distribution-drift monitor (operators/drift.categorical_drift):
+    each day's event_type mix scored against the corpus-wide mix —
+    Pearson chi2 and PSI over the full (day x type) reference grid, a
+    missing type counting against the day.  Per-cell terms are fixed
+    correctly-rounded double shapes floor-quantized to the 2^-20 grid
+    and summed as longs (associative => partition/engine invariant), so
+    the oracle replays the statistic BIT-for-bit, ln included (same
+    dyadic-ln convention as the retrieval/LM family).  The streaming
+    twin (streaming/drift.streaming_drift) scores each microbatch
+    against a pinned reference — batch-parity law pinned in tests."""
+    from patternly_spark.operators.drift import categorical_drift
+
+    e = _t(spark, sf_dir, "events")
+    day = 86_400_000_000
+    d = e.select(
+        (F.unix_micros("ts") - F.unix_micros("ts") % day).alias("day_start"),
+        "event_type",
+    )
+    return categorical_drift(d, "event_type", by="day_start")
+
+
+def _drift_oracle() -> str:
+    """q109 DuckDB twin: the same lifted chi2 cell, eps-clamped PSI cell,
+    2^-20 floor quantization, and long sums."""
+    s = "CAST(1048576 AS DOUBLE)"
+    dev = "(CAST(obs AS DOUBLE) * CAST(ref_n AS DOUBLE) - CAST(n AS DOUBLE) * CAST(ref_cnt AS DOUBLE))"
+    chi_term = f"({dev} * {dev}) / (CAST(n AS DOUBLE) * CAST(ref_cnt AS DOUBLE) * CAST(ref_n AS DOUBLE))"
+    from patternly_spark.operators.drift import PSI_EPS
+
+    p_obs = f"GREATEST(CAST(obs AS DOUBLE) / CAST(n AS DOUBLE), {_dlit(PSI_EPS)})"
+    p_ref = "(CAST(ref_cnt AS DOUBLE) / CAST(ref_n AS DOUBLE))"
+    lnr = f"FLOOR(LN({p_obs} / {p_ref}) * {s}) / {s}"
+    psi_term = f"((CAST(obs AS DOUBLE) / CAST(n AS DOUBLE)) - {p_ref}) * {lnr}"
+    return f"""
+        WITH d AS (
+            SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_start, event_type
+            FROM events
+        ),
+        obs AS (
+            SELECT day_start, event_type, CAST(COUNT(*) AS BIGINT) AS obs
+            FROM d GROUP BY 1, 2
+        ),
+        grp AS (SELECT day_start, CAST(SUM(obs) AS BIGINT) AS n FROM obs GROUP BY 1),
+        ref AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ref_cnt FROM d GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(ref_cnt) AS BIGINT) AS ref_n FROM ref),
+        grid AS (
+            SELECT g.day_start, g.n, r.event_type, r.ref_cnt, t.ref_n,
+                   COALESCE(o.obs, 0) AS obs
+            FROM grp g CROSS JOIN ref r CROSS JOIN tot t
+            LEFT JOIN obs o ON o.day_start = g.day_start AND o.event_type = r.event_type
+        )
+        SELECT day_start, n,
+               CAST(SUM(CAST(FLOOR({chi_term} * {s}) AS BIGINT)) AS DOUBLE) / {s} AS chi2,
+               CAST(SUM(CAST(FLOOR({psi_term} * {s}) AS BIGINT)) AS DOUBLE) / {s} AS psi,
+               CAST(n - SUM(obs) AS DOUBLE) / CAST(n AS DOUBLE) AS unseen_frac
+        FROM grid GROUP BY day_start, n
+    """
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -2423,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_count_min": q106_count_min,
         "q107_link_graph": q107_link_graph,
         "q108_leakage_safe_split": q108_leakage_safe_split,
+        "q109_drift_monitor": q109_drift_monitor,
     }
 
 
@@ -4010,6 +4073,7 @@ def oracle_sql() -> dict[str, str]:
             FROM out_d FULL OUTER JOIN in_d USING (host)
         """,
         "q108_leakage_safe_split": _split_oracle(),
+        "q109_drift_monitor": _drift_oracle(),
     }
 
 

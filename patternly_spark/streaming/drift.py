@@ -1,0 +1,66 @@
+"""Streaming drift monitor — the continuous twin of
+``operators/drift.categorical_drift``.
+
+Monitoring semantics: every microbatch is scored against a PINNED
+reference distribution (the corpus mix the pipeline was tuned on) and
+one drift row per batch is appended — "did THIS arrival window drift?".
+That is deliberately per-batch, not per-event-time-window: the alert a
+drift monitor raises is about what just arrived, and it must fire even
+when event times are skewed or replayed.  For event-time drift over
+closed history, run the batch operator with ``by=<time bucket>``.
+
+Batch-parity law (pinned in tests): the row appended for a microbatch
+equals ``categorical_drift(batch_df, cat_col, ref=ref)`` on exactly the
+rows of that batch — the statistic is stateless given the reference, so
+the streaming wrapper adds sequencing (batch_id), never new math.
+
+Scale shape: the per-batch work is one (cat) count shuffle over the
+microbatch plus a category-sized grid — the reference is read once and
+broadcast; no state store is needed at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from patternly_spark.operators.drift import categorical_drift
+
+__all__ = ["streaming_drift"]
+
+
+def streaming_drift(
+    stream_df: DataFrame,
+    ref: DataFrame,
+    cat_col: str,
+    output_path: str,
+    *,
+    checkpoint_path: str,
+    psi_eps: float | None = None,
+    trigger_once: bool = False,
+):
+    """foreachBatch wrapper: score each microbatch's ``cat_col`` mix
+    against the static ``ref`` (cat, ref_cnt) counts and append
+    (batch_id, n, chi2, psi, unseen_frac) to ``output_path``.
+
+    Empty microbatches append nothing (no distribution to score)."""
+    kwargs = {} if psi_eps is None else {"psi_eps": psi_eps}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        stats = categorical_drift(batch_df, cat_col, ref=ref, **kwargs)
+        out = stats.select(
+            F.lit(int(batch_id)).cast("long").alias("batch_id"),
+            "n",
+            "chi2",
+            "psi",
+            "unseen_frac",
+        )
+        # stats of an empty batch is an empty frame; the write is a no-op
+        out.write.mode("append").parquet(output_path)
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

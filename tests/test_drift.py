@@ -1,0 +1,143 @@
+"""Drift monitor: chi2/PSI vs a Python replica, grid semantics,
+partition invariance, and streaming batch-parity."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from patternly_spark.operators.drift import DRIFT_SCALE, PSI_EPS, categorical_drift
+
+
+def _replica(obs: dict[str, int], ref: dict[str, int], psi_eps: float = PSI_EPS):
+    """Python twin of the per-cell math: quantized term sums."""
+    n = sum(obs.values())
+    big_n = sum(ref.values())
+    chi_q = 0
+    psi_q = 0
+    seen = 0
+    for cat, c in ref.items():
+        o = obs.get(cat, 0)
+        seen += o
+        dev = float(o) * float(big_n) - float(n) * float(c)
+        chi_term = dev * dev / (float(n) * float(c) * float(big_n))
+        chi_q += math.floor(chi_term * DRIFT_SCALE)
+        p_obs = max(float(o) / float(n), psi_eps)
+        p_ref = float(c) / float(big_n)
+        lnr = math.floor(math.log(p_obs / p_ref) * DRIFT_SCALE) / DRIFT_SCALE
+        psi_q += math.floor(((float(o) / float(n)) - p_ref) * lnr * DRIFT_SCALE)
+    return {
+        "n": n,
+        "chi2": chi_q / DRIFT_SCALE,
+        "psi": psi_q / DRIFT_SCALE,
+        "unseen_frac": (n - seen) / n,
+    }
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # day 0 matches the reference mix; day 1 is heavily drifted;
+    # day 2 contains a category the reference has never seen
+    rows = []
+    mixes = {
+        0: {"a": 80, "b": 15, "c": 5},
+        1: {"a": 5, "b": 15, "c": 80},
+        2: {"a": 70, "b": 15, "c": 5, "NEW": 10},
+    }
+    for day, mix in mixes.items():
+        for cat, k in mix.items():
+            rows += [(day, cat)] * k
+    return spark.createDataFrame(rows, "day int, cat string"), mixes
+
+
+def test_drift_matches_python_replica(spark, skewed):
+    df, mixes = skewed
+    ref = spark.createDataFrame(
+        [("a", 80), ("b", 15), ("c", 5)], "cat string, ref_cnt long"
+    )
+    got = {
+        r["day"]: r
+        for r in categorical_drift(df, "cat", by="day", ref=ref).collect()
+    }
+    refd = {"a": 80, "b": 15, "c": 5}
+    for day, mix in mixes.items():
+        want = _replica(mix, refd)
+        for k, v in want.items():
+            assert got[day][k] == v, (day, k, got[day][k], v)
+    # matched day scores ~0, drifted day scores big, strictly ordered
+    assert got[0]["chi2"] == 0.0 and got[0]["psi"] <= 0.0 + 1e-9
+    assert got[1]["chi2"] > 100 and got[1]["psi"] > 1.0
+    assert got[2]["unseen_frac"] == 0.1 and got[0]["unseen_frac"] == 0.0
+
+
+def test_drift_missing_category_counts_against(spark):
+    # group never emits 'b': the b-cell must contribute its expected
+    # mass to chi2 (grid join, not inner join)
+    df = spark.createDataFrame([(0, "a")] * 50, "g int, cat string")
+    ref = spark.createDataFrame([("a", 50), ("b", 50)], "cat string, ref_cnt long")
+    row = categorical_drift(df, "cat", by="g", ref=ref).collect()[0]
+    want = _replica({"a": 50}, {"a": 50, "b": 50})
+    assert row["chi2"] == want["chi2"] and row["chi2"] > 40  # ~n for a 50% miss
+    assert row["psi"] == want["psi"]
+
+
+def test_drift_self_reference_default(spark, skewed):
+    df, _ = skewed
+    # ref=None: global mix as reference; statistics still exact vs replica
+    out = {r["day"]: r for r in categorical_drift(df, "cat", by="day").collect()}
+    glob = {"a": 155, "b": 45, "c": 90, "NEW": 10}
+    mixes = {
+        0: {"a": 80, "b": 15, "c": 5},
+        1: {"a": 5, "b": 15, "c": 80},
+        2: {"a": 70, "b": 15, "c": 5, "NEW": 10},
+    }
+    for day, mix in mixes.items():
+        want = _replica(mix, glob)
+        assert out[day]["chi2"] == want["chi2"], day
+        assert out[day]["unseen_frac"] == 0.0
+
+
+def test_drift_partition_invariant(spark, skewed):
+    df, _ = skewed
+    a = sorted(map(tuple, categorical_drift(df, "cat", by="day").collect()))
+    b = sorted(
+        map(tuple, categorical_drift(df.repartition(13), "cat", by="day").collect())
+    )
+    assert a == b
+
+
+def test_streaming_drift_batch_parity(spark, tmp_path):
+    from patternly_spark.streaming.drift import streaming_drift
+
+    schema = "cat string, v long"
+    src = str(tmp_path / "src")
+    b0 = [("a", 1)] * 40 + [("b", 1)] * 10
+    b1 = [("a", 1)] * 5 + [("b", 1)] * 55
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    ref = spark.createDataFrame([("a", 80), ("b", 20)], "cat string, ref_cnt long")
+
+    q = streaming_drift(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        ref,
+        "cat",
+        str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    assert len(out) == 2 and set(out.batch_id) == {0, 1}
+    # batch-parity law: each emitted row == the batch operator on that
+    # microbatch's rows (file-arrival order maps batch 0 -> first file)
+    by_n = {int(r.n): r for r in out.itertuples()}
+    for batch_rows in (b0, b1):
+        bdf = spark.createDataFrame(batch_rows, schema)
+        want = categorical_drift(bdf, "cat", ref=ref).collect()[0]
+        got = by_n[int(want["n"])]
+        assert (got.chi2, got.psi, got.unseen_frac) == (
+            want["chi2"],
+            want["psi"],
+            want["unseen_frac"],
+        )
