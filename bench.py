@@ -125,6 +125,10 @@ BENCH_QUERIES = [
     "q103_png_roundtrip_features",
     "q104_wav_roundtrip_rms",
     "q105_html_extract",
+    "q106_count_min",
+    "q107_link_graph",
+    "q108_leakage_safe_split",
+    "q109_drift_monitor",
 ]
 
 

@@ -1,0 +1,65 @@
+"""Streaming Count-Min sketch — the continuous twin of
+``operators/sketches.count_min_counters``.
+
+CMS counters are cell-wise ADDITIVE, so the incremental registry is the
+whole design: sketch each microbatch, add it into the persisted counter
+grid, overwrite.  The registry never exceeds ``depth * width`` rows no
+matter how much history has streamed through — the rare sketch whose
+state is exactly bounded — and after any prefix of batches it equals
+the batch sketch of every row seen so far (parity law pinned in tests).
+Point-query the registry at any time with
+``operators/sketches.count_min_lookup``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from patternly_spark.operators.sketches import count_min_counters
+
+__all__ = ["streaming_count_min"]
+
+
+def streaming_count_min(
+    stream_df: DataFrame,
+    item_col: str,
+    registry_path: str,
+    *,
+    checkpoint_path: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "",
+    trigger_once: bool = False,
+):
+    """foreachBatch wrapper: sketch each microbatch and fold it into the
+    parquet counter grid at ``registry_path`` (j, cell, cnt).
+
+    Microbatches are sequential, so read-merge-overwrite is race-free;
+    the merged grid is localCheckpoint-pinned before overwriting the
+    files it was read from (task-retry safety, same hazard as the
+    streaming upsert).  ``depth``/``width``/``seed`` must stay fixed for
+    a registry's lifetime — counters of different grids do not add."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        grid = count_min_counters(
+            batch_df, item_col, depth=depth, width=width, seed=seed
+        )
+        try:
+            existing = spark.read.parquet(registry_path)
+            grid = (
+                grid.unionByName(existing)
+                .groupBy("j", "cell")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        except Exception:
+            pass
+        grid.localCheckpoint(eager=True).write.mode("overwrite").parquet(registry_path)
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

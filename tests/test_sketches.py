@@ -200,3 +200,42 @@ def test_count_min_partition_invariant_and_mergeable(spark):
     est = count_min_lookup(count_min_counters(df, "item", depth=4, width=4096),
                            unseen, "item", depth=4, width=4096).collect()
     assert est[0]["cms_est"] == 0
+
+
+def test_streaming_count_min_equals_batch_sketch(spark, tmp_path):
+    from patternly_spark.operators.sketches import count_min_counters, count_min_lookup
+    from patternly_spark.streaming.sketches import streaming_count_min
+
+    schema = "item string"
+    src = str(tmp_path / "src")
+    b0 = [(f"x{i % 30}",) for i in range(400)]
+    b1 = [(f"x{i % 50}",) for i in range(300)] + [("hot",)] * 40
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    reg = str(tmp_path / "registry")
+    q = streaming_count_min(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        "item",
+        reg,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        depth=4,
+        width=64,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    # registry parity: counters after both batches == batch sketch of union
+    union = spark.createDataFrame(b0 + b1, schema)
+    want = count_min_counters(union, "item", depth=4, width=64).orderBy("j", "cell")
+    got = spark.read.parquet(reg).orderBy("j", "cell")
+    assert got.collect() == want.collect()
+    # and the registry answers point queries like the batch sketch
+    est = count_min_lookup(
+        spark.read.parquet(reg),
+        spark.createDataFrame([("hot",)], schema),
+        "item",
+        depth=4,
+        width=64,
+    ).collect()
+    assert est[0]["cms_est"] >= 40
