@@ -2344,6 +2344,65 @@ def _drift_oracle() -> str:
     """
 
 
+# q110 mixture: shares sum to 1, budget in tokens — src0 upsamples past
+# one epoch at sf0.01 (rate ~1.4) while src1/src2 downsample, so the gate exercises
+# both the floor(rate) epochs and the fractional md5 coin.
+_Q110_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_Q110_BUDGET = 4_000.0
+
+
+def q110_epoch_mixture(spark, sf_dir):
+    """Token-budget mixture materialization with whole-epoch upsampling
+    (operators/sampling.epoch_mixture_sample): per-source rate =
+    share * budget / n_tokens (may exceed 1), per-doc copies =
+    floor(rate) + md5-coin on the fractional part, one output row per
+    (doc, epoch).  One source-sized aggregate broadcast back + a pure
+    map explode — no data-sized shuffle.  Oracle replays the identical
+    double arithmetic and coin."""
+    from patternly_spark.operators.sampling import epoch_mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = epoch_mixture_sample(d, _Q110_TARGETS, _Q110_BUDGET)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("epoch").cast("long").alias("epoch"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+    )
+
+
+def _epoch_mixture_oracle() -> str:
+    total = float(sum(_Q110_TARGETS.values()))
+    case = "CASE source " + " ".join(
+        f"WHEN '{k}' THEN {_dlit(float(v) / total)}" for k, v in sorted(_Q110_TARGETS.items())
+    ) + " ELSE NULL END"
+    u = "CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / CAST(4294967296 AS DOUBLE)"
+    return f"""
+        WITH n AS (
+            SELECT source,
+                   CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        r AS (
+            SELECT source,
+                   {case} * CAST({_dlit(_Q110_BUDGET)} AS DOUBLE)
+                       / CAST(n_tokens AS DOUBLE) AS rate
+            FROM n
+        ),
+        sel AS (
+            SELECT d.doc_id, d.source,
+                   CAST(FLOOR(r.rate) AS BIGINT)
+                   + CASE WHEN {u} < r.rate - FLOOR(r.rate) THEN 1 ELSE 0 END AS n_copies
+            FROM documents d JOIN r USING (source)
+            WHERE r.rate IS NOT NULL
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+               CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS epoch,
+               CAST(n_copies AS BIGINT) AS n_copies
+        FROM sel WHERE n_copies >= 1
+    """
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -2486,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_link_graph": q107_link_graph,
         "q108_leakage_safe_split": q108_leakage_safe_split,
         "q109_drift_monitor": q109_drift_monitor,
+        "q110_epoch_mixture": q110_epoch_mixture,
     }
 
 
@@ -4074,6 +4134,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q108_leakage_safe_split": _split_oracle(),
         "q109_drift_monitor": _drift_oracle(),
+        "q110_epoch_mixture": _epoch_mixture_oracle(),
     }
 
 

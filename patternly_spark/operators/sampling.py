@@ -329,3 +329,58 @@ def leakage_safe_split(
     return assign_split(clusters, "cluster_id", splits=splits, seed=seed).select(
         id_col, "cluster_id", "split"
     )
+
+
+def epoch_mixture_sample(
+    docs: DataFrame,
+    targets: dict[str, float],
+    token_budget: float,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Materialize a target token mixture AT a fixed total budget,
+    upsampling by whole epochs where a source is too small — the step
+    after ``mixture_weights`` when the budget is non-negotiable (the
+    LLaMA/DoReMi recipe: rare domains repeat for multiple epochs, big
+    domains are subsampled, and every domain lands on budget*share
+    tokens in expectation).
+
+    Per source: rate_s = share_s * budget / n_tokens_s (MAY exceed 1).
+    Per doc: copies = floor(rate_s) + 1{u < frac(rate_s)} with u the
+    md5 fraction of (seed, doc id) — so expected copies = rate_s
+    exactly, selection is deterministic/engine-portable, and a doc is
+    never fractionally present.  Output: one row per (doc, epoch),
+    epoch in 1..copies, with n_copies riding along.
+
+    Plan: one map-side-combined groupBy(source) for token totals
+    (source-sized result, broadcast back), then a pure map: coin +
+    sequence-explode.  No data-sized shuffle at all — the explode is
+    the upsampling itself.  Untargeted sources rate 0 (dropped).
+    """
+    total = float(sum(targets.values()))
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    per_src = docs.groupBy(source_col).agg(F.sum(toks).alias("__n_tokens"))
+    share = F.lit(None).cast("double")
+    for value, s in sorted(targets.items()):
+        share = F.when(F.col(source_col) == F.lit(value), F.lit(float(s) / total)).otherwise(share)
+    rates = per_src.select(
+        source_col,
+        F.coalesce(
+            share * F.lit(float(token_budget)) / F.col("__n_tokens").cast("double"),
+            F.lit(0.0),
+        ).alias("__rate"),
+    )
+    u = hash_fraction(F.col(id_col), seed=seed)
+    base = F.floor("__rate").cast("long")
+    coin = (u < (F.col("__rate") - F.floor("__rate"))).cast("long")
+    out = (
+        docs.join(F.broadcast(rates), source_col)
+        .withColumn("n_copies", base + coin)
+        .filter(F.col("n_copies") >= 1)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))))
+        .drop("__rate")
+    )
+    return out

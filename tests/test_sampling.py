@@ -188,3 +188,60 @@ def test_leakage_safe_split_never_straddles(spark):
     # all 3000 docs assigned exactly once
     assert out.count() == 3000 and out.select("doc_id").distinct().count() == 3000
     out.unpersist()
+
+
+def test_epoch_mixture_sample_copies_and_budget(spark):
+    from patternly_spark.operators.sampling import epoch_mixture_sample
+
+    # 3 sources x 400 docs x 10 tokens = 4000 tokens each
+    rows = [
+        (s * 1000 + i, f"s{s}", " ".join(["tok"] * 10))
+        for s in range(3)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # budget 8000: s0 rate 1.0 (exact one epoch), s1 rate 0.75 (coin),
+    # s2 untargeted (dropped); shares 0.5/0.375
+    out = epoch_mixture_sample(
+        df, {"s0": 0.5, "s1": 0.375, "s2": 0.125}, 8000.0
+    ).cache()
+    per = {r["source"]: r for r in
+           out.groupBy("source").agg(
+               F.count(F.lit(1)).alias("rows"), F.max("epoch").alias("maxe")
+           ).collect()}
+    # s0: rate exactly 1.0 -> every doc exactly once
+    assert per["s0"]["rows"] == 400 and per["s0"]["maxe"] == 1
+    # s1: rate 0.75 -> binomial(400, .75); md5 uniformity keeps it near 300
+    assert 260 <= per["s1"]["rows"] <= 340 and per["s1"]["maxe"] == 1
+    # s2: rate 0.25 -> near 100
+    assert 70 <= per["s2"]["rows"] <= 130
+    # epochs are dense 1..n_copies per doc
+    bad = out.groupBy("doc_id", "n_copies").agg(
+        F.count(F.lit(1)).alias("k"), F.max("epoch").alias("m"), F.min("epoch").alias("lo")
+    ).filter("k != n_copies OR m != n_copies OR lo != 1").count()
+    assert bad == 0
+    # partitioning invariance
+    again = epoch_mixture_sample(
+        df.repartition(11), {"s0": 0.5, "s1": 0.375, "s2": 0.125}, 8000.0
+    )
+    assert sorted(map(tuple, out.select("doc_id", "epoch").collect())) == sorted(
+        map(tuple, again.select("doc_id", "epoch").collect())
+    )
+    out.unpersist()
+
+
+def test_epoch_mixture_upsamples_rare_source(spark):
+    from patternly_spark.operators.sampling import epoch_mixture_sample
+
+    rows = [(i, "rare", " ".join(["t"] * 10)) for i in range(10)] + [
+        (100 + i, "big", " ".join(["t"] * 10)) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # rare has 100 tokens, target 50% of a 2000-token budget -> rate 10
+    out = epoch_mixture_sample(df, {"rare": 0.5, "big": 0.5}, 2000.0)
+    rare = out.filter("source = 'rare'")
+    assert rare.count() == 100  # exactly 10 epochs x 10 docs, coin frac 0
+    assert rare.groupBy().max("epoch").collect()[0][0] == 10
+    # big: rate 0.1 -> ~100 of 1000 docs
+    nbig = out.filter("source = 'big'").count()
+    assert 60 <= nbig <= 140
