@@ -2403,6 +2403,81 @@ def _epoch_mixture_oracle() -> str:
     """
 
 
+def q111_url_canonical_dedup(spark, sf_dir):
+    """Crawl URL dedup: each doc gets one of three messy variants of its
+    page URL (uppercase scheme/host + default port + utm params | gclid
+    | fragment), functions/text.canonical_url collapses the variants to
+    one key, and a min-over-canonical window marks dups — the URL-level
+    dedup that runs before any content pass at crawl scale.  Oracle
+    rebuilds the same URLs and replays every canonicalization regex
+    (with DuckDB's 'g' flag — Spark regexp_replace is global)."""
+    from pyspark.sql import Window
+
+    from patternly_spark.functions.text import canonical_url
+
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 7).cast("string")
+    p = (F.col("doc_id") % 50).cast("string")
+    i = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 3
+    url = (
+        F.when(v == 0, F.concat(F.lit("HTTPS://Site"), k, F.lit(".Example:443/page/"), p, F.lit("?utm_source=feed&utm_medium=rss")))
+        .when(v == 1, F.concat(F.lit("https://site"), k, F.lit(".example/page/"), p, F.lit("?gclid=g"), i))
+        .otherwise(F.concat(F.lit("https://site"), k, F.lit(".example/page/"), p, F.lit("#sec"), i))
+    )
+    base = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        canonical_url(url).alias("canonical_url"),
+    )
+    w = Window.partitionBy("canonical_url")
+    return base.select(
+        "doc_id",
+        "canonical_url",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+
+
+def _url_dedup_oracle() -> str:
+    from patternly_spark.functions.text import TRACKING_PARAM_PATTERNS
+
+    url = (
+        "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '.Example:443/page/' || CAST(doc_id % 50 AS VARCHAR) || '?utm_source=feed&utm_medium=rss'"
+        " WHEN doc_id % 3 = 1 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '.example/page/' || CAST(doc_id % 50 AS VARCHAR) || '?gclid=g' || CAST(doc_id AS VARCHAR)"
+        " ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '.example/page/' || CAST(doc_id % 50 AS VARCHAR) || '#sec' || CAST(doc_id AS VARCHAR) END"
+    )
+    expr = f"trim({url})"
+    scheme = f"lower(regexp_extract({expr}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    auth0 = f"lower(regexp_extract({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+    auth = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({auth0}, ':80$', '', 'g') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({auth0}, ':443$', '', 'g') "
+        f"ELSE {auth0} END"
+    )
+    rest = f"regexp_extract({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1)"
+    rest = f"regexp_replace({rest}, '#.*', '', 'g')"
+    for pat in TRACKING_PARAM_PATTERNS:
+        rest = f"regexp_replace({rest}, '{pat}', '', 'g')"
+    rest = f"regexp_replace({rest}, '&&*', '&', 'g')"
+    rest = f"regexp_replace({rest}, '\\?&', '?', 'g')"
+    rest = f"regexp_replace({rest}, '[?&]*$', '', 'g')"
+    rest = f"CASE WHEN {rest} = '/' THEN '' ELSE {rest} END"
+    canon = f"CASE WHEN {scheme} = '' THEN {expr} ELSE {scheme} || '://' || {auth} || {rest} END"
+    return f"""
+        WITH c AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, {canon} AS canonical_url
+            FROM documents
+        )
+        SELECT doc_id, canonical_url,
+               MIN(doc_id) OVER (PARTITION BY canonical_url) AS canonical_id,
+               doc_id <> MIN(doc_id) OVER (PARTITION BY canonical_url) AS is_dup
+        FROM c
+    """
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -2546,6 +2621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_leakage_safe_split": q108_leakage_safe_split,
         "q109_drift_monitor": q109_drift_monitor,
         "q110_epoch_mixture": q110_epoch_mixture,
+        "q111_url_canonical_dedup": q111_url_canonical_dedup,
     }
 
 
@@ -4135,6 +4211,7 @@ def oracle_sql() -> dict[str, str]:
         "q108_leakage_safe_split": _split_oracle(),
         "q109_drift_monitor": _drift_oracle(),
         "q110_epoch_mixture": _epoch_mixture_oracle(),
+        "q111_url_canonical_dedup": _url_dedup_oracle(),
     }
 
 

@@ -620,6 +620,49 @@ def extract_links(text: Column | str) -> Column:
     return F.regexp_extract_all(c, F.lit(r'<a [^>]*href="([^"]*)"'), 1)
 
 
+#: tracking params stripped by canonical_url, one alternation-free
+#: regex pass each (branch-choice discipline differs between Java regex
+#: and RE2, so no alternation — same rule as PII_PATTERNS)
+TRACKING_PARAM_PATTERNS: tuple[str, ...] = (
+    r"utm_[A-Za-z0-9_]*=[^&#]*",
+    r"gclid=[^&#]*",
+    r"fbclid=[^&#]*",
+)
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Crawl-dedup URL canonicalization: lowercase scheme+authority,
+    drop default ports (http:80 / https:443), strip the fragment and
+    the tracking params (``TRACKING_PARAM_PATTERNS``), collapse the
+    separator debris that stripping leaves, and drop a bare trailing
+    "/" path.  Strings without a ``scheme://`` prefix pass through
+    trimmed — canonicalization must never invent structure.
+
+    The same URL shared via email (``?utm_source=...``), ads
+    (``gclid``), and socials (``fbclid``, ``#fragment``) collapses to
+    ONE key — without this, URL-level dedup at crawl scale keeps every
+    tracking variant as a distinct page.  Every pass is an
+    alternation-free regex or CASE on extracted parts, so a SQL engine
+    replays it byte-for-byte (q111).  Pure column expressions, zero
+    shuffle."""
+    c = F.trim(F.col(url) if isinstance(url, str) else url)
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.lower(F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    rest = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)", 1)
+    auth = F.when(scheme == "http", F.regexp_replace(auth, r":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(auth, r":443$", "")).otherwise(auth)
+    )
+    rest = F.regexp_replace(rest, r"#.*", "")
+    for pat in TRACKING_PARAM_PATTERNS:
+        rest = F.regexp_replace(rest, pat, "")
+    # stripping leaves "?&x", "&&", trailing "?"/"&": collapse in order
+    rest = F.regexp_replace(rest, r"&&*", "&")
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.regexp_replace(rest, r"[?&]*$", "")
+    rest = F.when(rest == "/", F.lit("")).otherwise(rest)
+    return F.when(scheme == "", c).otherwise(F.concat(scheme, F.lit("://"), auth, rest))
+
+
 def extract_domain(url: Column | str) -> Column:
     """Registrable host from a URL: the authority part after the scheme,
     up to the first '/' or space; empty string when no scheme matches.

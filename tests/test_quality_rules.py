@@ -339,3 +339,67 @@ def test_extract_links_cross_engine(spark):
         for (t,) in rows
     ]
     assert got == want
+
+
+def test_canonical_url(spark):
+    from patternly_spark.functions.text import canonical_url
+
+    cases = [
+        # tracking variants of one page collapse to one key
+        ("HTTPS://WWW.Example.COM:443/Path/One?utm_source=mail&id=3&utm_medium=x#frag",
+         "https://www.example.com/Path/One?id=3"),
+        ("https://www.example.com/Path/One?id=3&gclid=abc123",
+         "https://www.example.com/Path/One?id=3"),
+        ("https://www.example.com/Path/One?id=3",
+         "https://www.example.com/Path/One?id=3"),
+        # default ports only for the matching scheme
+        ("http://a.example:80/x", "http://a.example/x"),
+        ("http://a.example:443/x", "http://a.example:443/x"),
+        # bare trailing slash drops; deeper paths keep theirs
+        ("https://a.example/", "https://a.example"),
+        ("https://a.example/sub/", "https://a.example/sub/"),
+        # only-tracking query vanishes entirely
+        ("https://a.example/p?utm_campaign=x", "https://a.example/p"),
+        ("https://a.example/p?fbclid=9&utm_a=1", "https://a.example/p"),
+        # path case preserved; no scheme -> pass through trimmed
+        ("  not a url  ", "not a url"),
+        ("ftp://Mixed.Case/KeepPath", "ftp://mixed.case/KeepPath"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_canonical_url_cross_engine(spark):
+    import duckdb
+
+    from patternly_spark.functions.text import TRACKING_PARAM_PATTERNS, canonical_url
+
+    urls = [
+        "HTTPS://A.Example:443/P?utm_source=1&x=2&gclid=3#f",
+        "http://b.example:80/?utm_a=",
+        "https://c.example/p?a=1&fbclid=2&b=3",
+        "plain text",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r["c"] for r in df.select(canonical_url("url").alias("c")).collect()]
+
+    con = duckdb.connect()
+    expr = "trim(url)"
+    scheme = f"lower(regexp_extract({expr}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    auth0 = f"lower(regexp_extract({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+    auth = (f"CASE WHEN {scheme} = 'http' THEN regexp_replace({auth0}, ':80$', '', 'g') "
+            f"WHEN {scheme} = 'https' THEN regexp_replace({auth0}, ':443$', '', 'g') "
+            f"ELSE {auth0} END")
+    rest = f"regexp_extract({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1)"
+    rest = f"regexp_replace({rest}, '#.*', '', 'g')"
+    for pat in TRACKING_PARAM_PATTERNS:
+        rest = f"regexp_replace({rest}, '{pat}', '', 'g')"
+    rest = f"regexp_replace({rest}, '&&*', '&', 'g')"
+    rest = f"regexp_replace({rest}, '\\?&', '?', 'g')"
+    rest = f"regexp_replace({rest}, '[?&]*$', '', 'g')"
+    rest = f"CASE WHEN {rest} = '/' THEN '' ELSE {rest} END"
+    sql = f"SELECT CASE WHEN {scheme} = '' THEN {expr} ELSE {scheme} || '://' || {auth} || {rest} END AS c FROM u"
+    con.register("u", __import__("pandas").DataFrame({"url": urls}))
+    want = [r[0] for r in con.execute(sql).fetchall()]
+    assert got == want
