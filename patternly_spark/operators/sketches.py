@@ -86,29 +86,18 @@ def top_items_per_group(
     )
 
 
-def frequent_items(
+def mg_summaries(
     df: DataFrame,
     group_col: str,
     item_col: str,
     *,
     capacity: int = 64,
 ) -> DataFrame:
-    """Misra-Gries heavy hitters per group — the bounded-memory scale
-    path when the item domain is too large to count exactly (URLs,
-    n-grams, user ids at 100 TB).
-
-    Shape: every partition builds an MG summary of at most ``capacity``
-    counters per group (mapInPandas, Arrow-batched, O(capacity) memory
-    regardless of partition size), then ONE aggregation merges summaries
-    and accumulates each partition's decrement bound.  Output per
-    (group, item): ``count_lo`` (sum of retained counters — never above
-    the true count) and ``count_hi`` (count_lo + summed decrements —
-    never below it).  Guarantee: every item with true count >
-    total_rows(group)/capacity survives; the exact top-k
-    (``top_items_per_group``) is a subset of these survivors whenever k
-    <= capacity and counts are separated by the error bound (pinned in
-    tests/test_sketches.py).
-    """
+    """Raw per-partition Misra-Gries summaries: (group, item, w, dec)
+    with each partition's decrement total attached to ONE of its rows
+    per group.  This is the MERGEABLE form — summaries of two data sets
+    concatenate and re-merge (``mg_merge``) into a valid summary of the
+    union, which is what the streaming registry persists."""
     import pandas as pd
 
     out_schema = f"{group_col} string, {item_col} string, w long, dec long"
@@ -161,10 +150,79 @@ def frequent_items(
                 rows.append((g, "", 0, d))
         yield pd.DataFrame(rows, columns=[group_col, item_col, "w", "dec"])
 
-    summaries = df.select(
+    return df.select(
         F.col(group_col).cast("string"), F.col(item_col).cast("string")
     ).mapInPandas(mg_partition, schema=out_schema)
 
+
+def mg_merge(
+    summaries: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Merge MG summary rows (any union of ``mg_summaries`` outputs and
+    previously merged summaries) back into summary form: weights sum per
+    (group, item), decrements sum per group onto one surviving row.
+
+    With ``capacity`` set the merged summary is PRUNED back to at most
+    ``capacity`` items per group (the Agarwal et al. mergeable-summary
+    step): every weight drops by the (capacity+1)-largest weight, items
+    at or below it vanish, and the subtracted amount joins the decrement
+    total — so a registry folded over any number of batches stays
+    O(capacity) per group while the lo <= true <= hi contract holds.
+    """
+    from pyspark.sql import Window
+
+    merged = summaries.groupBy(group_col, item_col).agg(
+        F.sum("w").alias("w"), F.sum("dec").alias("__dec_here")
+    )
+    decs = merged.groupBy(group_col).agg(F.sum("__dec_here").alias("__dec"))
+    m = merged.drop("__dec_here").filter(F.col("w") > 0)
+    if capacity is not None:
+        win = Window.partitionBy(group_col).orderBy(
+            F.col("w").desc(), F.col(item_col).asc()
+        )
+        ranked = m.withColumn("__rn", F.row_number().over(win))
+        kth = ranked.filter(F.col("__rn") == capacity + 1).select(
+            group_col, F.col("w").alias("__kth")
+        )
+        m = (
+            ranked.join(kth, group_col, "left")
+            .withColumn("__kth", F.coalesce("__kth", F.lit(0)))
+            .withColumn("w", F.col("w") - F.col("__kth"))
+            .filter(F.col("w") > 0)
+        )
+        decs = (
+            decs.join(kth, group_col, "left")
+            .select(
+                group_col,
+                (F.col("__dec") + F.coalesce("__kth", F.lit(0))).alias("__dec"),
+            )
+        )
+        m = m.drop("__rn", "__kth")
+    first = Window.partitionBy(group_col).orderBy(
+        F.col("w").desc(), F.col(item_col).asc()
+    )
+    return (
+        m.withColumn("__r1", F.row_number().over(first))
+        .join(decs, group_col, "left")
+        .select(
+            group_col,
+            item_col,
+            "w",
+            F.when(F.col("__r1") == 1, F.coalesce("__dec", F.lit(0)))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dec"),
+        )
+    )
+
+
+def mg_finalize(summaries: DataFrame, group_col: str, item_col: str) -> DataFrame:
+    """Summary rows -> the query surface: (group, item, count_lo,
+    count_hi) with count_lo <= true count <= count_hi."""
     merged = summaries.groupBy(group_col, item_col).agg(
         F.sum("w").alias("count_lo"), F.sum("dec").alias("__dec_here")
     )
@@ -178,6 +236,36 @@ def frequent_items(
             "count_lo",
             (F.col("count_lo") + F.col("__err")).alias("count_hi"),
         )
+    )
+
+
+def frequent_items(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    capacity: int = 64,
+) -> DataFrame:
+    """Misra-Gries heavy hitters per group — the bounded-memory scale
+    path when the item domain is too large to count exactly (URLs,
+    n-grams, user ids at 100 TB).
+
+    Shape: every partition builds an MG summary of at most ``capacity``
+    counters per group (``mg_summaries``: mapInPandas, Arrow-batched,
+    O(capacity) memory regardless of partition size), then ONE
+    aggregation merges summaries and accumulates each partition's
+    decrement bound (``mg_finalize``).  Output per (group, item):
+    ``count_lo`` (sum of retained counters — never above the true
+    count) and ``count_hi`` (count_lo + summed decrements — never below
+    it).  Guarantee: every item with true count >
+    total_rows(group)/capacity survives; the exact top-k
+    (``top_items_per_group``) is a subset of these survivors whenever k
+    <= capacity and counts are separated by the error bound (pinned in
+    tests/test_sketches.py).  For incremental use persist the summary
+    form and fold with ``mg_merge`` (streaming/sketches).
+    """
+    return mg_finalize(
+        mg_summaries(df, group_col, item_col, capacity=capacity), group_col, item_col
     )
 
 

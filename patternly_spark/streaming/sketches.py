@@ -16,9 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from patternly_spark.operators.sketches import count_min_counters
+from patternly_spark.operators.sketches import count_min_counters, mg_merge, mg_summaries
 
-__all__ = ["streaming_count_min"]
+__all__ = ["streaming_count_min", "streaming_frequent_items"]
 
 
 def streaming_count_min(
@@ -56,6 +56,48 @@ def streaming_count_min(
         except Exception:
             pass
         grid.localCheckpoint(eager=True).write.mode("overwrite").parquet(registry_path)
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_frequent_items(
+    stream_df: DataFrame,
+    group_col: str,
+    item_col: str,
+    registry_path: str,
+    *,
+    checkpoint_path: str,
+    capacity: int = 64,
+    trigger_once: bool = False,
+):
+    """foreachBatch wrapper: fold each microbatch's Misra-Gries summary
+    into the persisted summary registry at ``registry_path`` (group,
+    item, w, dec), pruning back to ``capacity`` items per group each
+    fold (Agarwal et al. mergeable-summary merge) — so the registry
+    stays O(capacity) per group over unbounded history while the
+    lo <= true <= hi contract holds for every retained item.  Read the
+    answer any time with ``operators/sketches.mg_finalize`` on the
+    registry.  Read-merge-overwrite is sequential across microbatches;
+    the merged summary is localCheckpoint-pinned before overwriting the
+    files it was read from."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        summary = mg_summaries(batch_df, group_col, item_col, capacity=capacity)
+        try:
+            existing = spark.read.parquet(registry_path)
+            summary = summary.unionByName(existing)
+        except Exception:
+            pass
+        merged = mg_merge(summary, group_col, item_col, capacity=capacity)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            registry_path
+        )
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path

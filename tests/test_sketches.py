@@ -239,3 +239,59 @@ def test_streaming_count_min_equals_batch_sketch(spark, tmp_path):
         width=64,
     ).collect()
     assert est[0]["cms_est"] >= 40
+
+
+def test_mg_merge_preserves_bounds_and_prunes(spark):
+    from patternly_spark.operators.sketches import mg_finalize, mg_merge, mg_summaries
+
+    df = _skewed(spark)
+    truth = {
+        (r["g"], r["item"]): r["cnt"]
+        for r in df.groupBy("g", "item").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    s = mg_summaries(df, "g", "item", capacity=32)
+    merged = mg_merge(s, "g", "item", capacity=32).cache()
+    # pruned: at most capacity items per group, in summary form
+    assert merged.groupBy("g").count().agg(F.max("count")).collect()[0][0] <= 32
+    fin = mg_finalize(merged, "g", "item").collect()
+    assert fin, "merge emptied the summary"
+    for r in fin:
+        true = truth[(r["g"], r["item"])]
+        assert r["count_lo"] <= true <= r["count_hi"], (r, true)
+    # heavy items (4 per group, ~200 each vs tail singletons) survive pruning
+    kept = {(r["g"], r["item"]) for r in fin}
+    for g in ("g0", "g1", "g2"):
+        for h in range(4):
+            assert (g, f"heavy{h}") in kept
+    merged.unpersist()
+
+
+def test_streaming_frequent_items_registry(spark, tmp_path):
+    from patternly_spark.operators.sketches import mg_finalize
+    from patternly_spark.streaming.sketches import streaming_frequent_items
+
+    schema = "g string, item string"
+    src = str(tmp_path / "src")
+    b0 = [("g", "hot")] * 120 + [("g", f"t{i}") for i in range(200)]
+    b1 = [("g", "hot")] * 80 + [("g", "warm")] * 60 + [("g", f"u{i}") for i in range(200)]
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    reg = str(tmp_path / "registry")
+    q = streaming_frequent_items(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        "g",
+        "item",
+        reg,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        capacity=16,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    registry = spark.read.parquet(reg)
+    assert registry.count() <= 16  # pruned to capacity
+    fin = {r["item"]: r for r in mg_finalize(registry, "g", "item").collect()}
+    # the planted heavy hitters survive two folds and bound their truth
+    assert "hot" in fin and fin["hot"]["count_lo"] <= 200 <= fin["hot"]["count_hi"]
+    assert "warm" in fin and fin["warm"]["count_lo"] <= 60 <= fin["warm"]["count_hi"]
