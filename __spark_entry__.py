@@ -2478,6 +2478,70 @@ def _url_dedup_oracle() -> str:
     """
 
 
+def q112_bloom_decontaminate(spark, sf_dir):
+    """q34's decontamination with the benchmark side compressed to a
+    Bloom filter (operators/decontam.bloom_decontaminate): 3 md5 bit
+    positions per shingle in a deliberately small 4096-bit filter, so
+    the gate exercises REAL false positives — the oracle replays the
+    identical bit arithmetic and the one-sided contract (bloom hits >=
+    exact hits) is proven by comparison against q34's exact counts in
+    the test suite.  Probe = 3 consecutive broadcast long-key joins;
+    the only corpus shuffle is the per-doc rollup."""
+    from patternly_spark.operators.decontam import bloom_decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    out = bloom_decontaminate(
+        d, bench, shingle_size=3, threshold=0.2, num_bits=4096, num_hashes=3
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        "n_hits",
+        "contamination",
+        "contaminated",
+    )
+
+
+def _bloom_decontam_oracle() -> str:
+    pos = lambda i, col: (
+        f"CAST(('0x' || substr(md5('{i}:' || {col}), 1, 8)) AS BIGINT) % 4096"
+    )
+    return f"""
+        WITH toks_t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                   ELSE [array_to_string(toks, ' ')] END AS shingles
+            FROM toks_t
+        ), bench AS (
+            SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 41 = 0
+        ), bits AS (
+            SELECT DISTINCT unnest([{pos(0, 's')}, {pos(1, 's')}, {pos(2, 's')}]) AS bit
+            FROM bench
+        ), ex AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), agg AS (
+            SELECT ex.doc_id,
+                   COUNT(*) AS n_shingles,
+                   SUM(CASE WHEN {pos(0, 'ex.s')} IN (SELECT bit FROM bits)
+                             AND {pos(1, 'ex.s')} IN (SELECT bit FROM bits)
+                             AND {pos(2, 'ex.s')} IN (SELECT bit FROM bits)
+                            THEN 1 ELSE 0 END) AS n_hits
+            FROM ex GROUP BY ex.doc_id
+        )
+        SELECT doc_id,
+               CAST(n_shingles AS BIGINT) AS n_shingles,
+               CAST(n_hits AS BIGINT) AS n_hits,
+               CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination,
+               CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.2 AS contaminated
+        FROM agg
+    """
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -2622,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_drift_monitor": q109_drift_monitor,
         "q110_epoch_mixture": q110_epoch_mixture,
         "q111_url_canonical_dedup": q111_url_canonical_dedup,
+        "q112_bloom_decontaminate": q112_bloom_decontaminate,
     }
 
 
@@ -4212,6 +4277,7 @@ def oracle_sql() -> dict[str, str]:
         "q109_drift_monitor": _drift_oracle(),
         "q110_epoch_mixture": _epoch_mixture_oracle(),
         "q111_url_canonical_dedup": _url_dedup_oracle(),
+        "q112_bloom_decontaminate": _bloom_decontam_oracle(),
     }
 
 

@@ -92,3 +92,112 @@ def decontaminate(
         contamination.alias("contamination"),
         (contamination >= F.lit(float(threshold))).alias("contaminated"),
     )
+
+
+def benchmark_bloom_bits(
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    shingle_size: int = 3,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+    seed: str = "",
+) -> DataFrame:
+    """The SET bit positions of an m-bit Bloom filter over the
+    benchmark's distinct shingles: one ``bit`` long column, at most
+    ``num_bits`` rows (and at most shingles * num_hashes).
+
+    Position i of shingle s is the md5-prefix u32 of "<seed><i>:<s>"
+    mod num_bits — deterministic and SQL-replayable, the same hash
+    family as the Count-Min grid.  This is the broadcast side of
+    ``bloom_decontaminate``: positions are 8-byte longs regardless of
+    shingle length, so a reference set too big to broadcast as strings
+    (cross-suite contamination lists, a whole held-out corpus) still
+    fits — the classic bits-per-element trade, made engine-portable."""
+    sh = benchmark_shingle_set(
+        benchmark, text_col=text_col, shingle_size=shingle_size
+    )
+    pos = F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{seed}{i}:"), F.col("sh"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % F.lit(int(num_bits))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return sh.select(F.explode(pos).alias("bit")).distinct()
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+    seed: str = "",
+) -> DataFrame:
+    """``decontaminate`` with the benchmark side compressed to a Bloom
+    filter — the scale path when the distinct-shingle set itself is too
+    big to broadcast.
+
+    A corpus shingle counts as a hit when ALL ``num_hashes`` of its bit
+    positions are set: one-sided error, so ``contamination`` is an
+    UPPER bound on the true overlap and ``contaminated`` can only
+    over-flag (the conservative direction for corpus hygiene; size
+    ``num_bits`` for the false-positive rate you can afford:
+    fpr ~ (set_bits/num_bits)^num_hashes).
+
+    Plan shape: the probe is ``num_hashes`` consecutive BROADCAST hash
+    joins on a long key (no exchange on the corpus side), then the same
+    one-row-per-document rollup as ``decontaminate``.  Same output
+    schema as ``decontaminate``.
+    """
+    bits = benchmark_bloom_bits(
+        benchmark,
+        text_col=text_col,
+        shingle_size=shingle_size,
+        num_bits=num_bits,
+        num_hashes=num_hashes,
+        seed=seed,
+    )
+    exploded = (
+        with_shingles(corpus, text_col, shingle_size, out_col="__sh")
+        .select(id_col, F.explode_outer("__sh").alias("sh"))
+    )
+    probed = exploded
+    hit = F.lit(True)
+    for i in range(num_hashes):
+        p = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{seed}{i}:"), F.col("sh"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(int(num_bits))
+        )
+        b = bits.select(F.col("bit").alias(f"__p{i}"), F.lit(1).alias(f"__h{i}"))
+        probed = probed.withColumn(f"__p{i}", p).join(
+            F.broadcast(b), f"__p{i}", "left"
+        )
+        hit = hit & F.col(f"__h{i}").isNotNull()
+    per_doc = probed.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_shingles"),
+        F.sum(hit.cast("long")).cast("long").alias("n_hits"),
+    )
+    contamination = F.col("n_hits").cast("double") / F.col("n_shingles").cast("double")
+    return per_doc.select(
+        id_col,
+        "n_shingles",
+        "n_hits",
+        contamination.alias("contamination"),
+        (contamination >= F.lit(float(threshold))).alias("contaminated"),
+    )
