@@ -70,10 +70,14 @@ def categorical_drift(
     obs = df.groupBy(*keys, cat_col).agg(F.count(F.lit(1)).cast("long").alias("obs"))
     grp = obs.groupBy(*keys).agg(F.sum("obs").cast("long").alias("n"))
 
-    # full grid: every group x every reference category (missing -> 0)
+    # full grid: every group x every reference category (missing -> 0).
+    # Both cross-joined sides are bounded (1 row / |cats| rows) and the
+    # obs side is |groups| x |cats| — every join here is broadcast-sized,
+    # so the only data-sized shuffles in the whole operator are the two
+    # count aggregations above.
     grid = (
         grp.crossJoin(F.broadcast(refd))
-        .join(obs, [*keys, cat_col], "left")
+        .join(F.broadcast(obs), [*keys, cat_col], "left")
         .withColumn("obs", F.coalesce("obs", F.lit(0)).cast("long"))
     )
     o = F.col("obs").cast("double")

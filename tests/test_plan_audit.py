@@ -60,3 +60,50 @@ def test_assert_plan_on_engine_operators(spark):
     assert_plan(gopher_quality_flags(docs), max_exchanges=0, no_python=True)
     # exact dedup: exactly one hash-partitioned window shuffle
     assert_plan(exact_dedup(docs), max_exchanges=1, no_python=True)
+
+
+def test_epoch_mixture_plan_no_data_shuffle(spark):
+    """epoch_mixture_sample: the only exchange is the source-sized token
+    aggregate; the doc-side path is a broadcast join + explode (no
+    data-sized repartition), with everything JVM-side."""
+    from patternly_spark.operators.sampling import epoch_mixture_sample
+
+    rows = [(i, f"s{i % 3}", "a b c d") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = epoch_mixture_sample(df, {"s0": 0.6, "s1": 0.4}, 500.0)
+    audit = assert_plan(out, no_python=True, require_broadcast_join=True)
+    # one exchange pair (partial/final) for the source aggregate only
+    assert audit["exchanges"] <= 2, audit
+
+
+def test_drift_plan_grid_not_data_sized(spark):
+    """categorical_drift: shuffles touch only (group, cat) counts; the
+    grid join against the category-sized reference is broadcast."""
+    from patternly_spark.operators.drift import categorical_drift
+
+    df = spark.createDataFrame(
+        [(i % 5, f"c{i % 7}") for i in range(1000)], "g int, cat string"
+    )
+    # the two BNLJs are the INTENTIONAL bounded crosses (1-row total,
+    # |cats|-row reference grid) — assert nothing beyond them and that
+    # the grid probe itself broadcasts
+    audit = assert_plan(
+        categorical_drift(df, "cat", by="g"),
+        no_python=True,
+        no_nested_loop=False,
+        require_broadcast_join=True,
+    )
+    assert audit["nested_loop_joins"] <= 2, audit
+    assert audit["sort_merge_joins"] == 0, audit
+
+
+def test_count_min_counters_single_shuffle(spark):
+    """CMS build: fan-out map + exactly one partial-aggregating shuffle
+    onto the fixed grid."""
+    from patternly_spark.operators.sketches import count_min_counters
+
+    df = spark.createDataFrame([(f"x{i % 40}",) for i in range(500)], "item string")
+    audit = assert_plan(
+        count_min_counters(df, "item", depth=4, width=64), no_python=True
+    )
+    assert audit["exchanges"] == 1, audit
