@@ -2438,17 +2438,21 @@ def q111_url_canonical_dedup(spark, sf_dir):
     )
 
 
-def _url_dedup_oracle() -> str:
+#: the synthesized messy URL of q111/q113, as a DuckDB expression
+_MESSY_URL_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.Example:443/page/' || CAST(doc_id % 50 AS VARCHAR) || '?utm_source=feed&utm_medium=rss'"
+    " WHEN doc_id % 3 = 1 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.example/page/' || CAST(doc_id % 50 AS VARCHAR) || '?gclid=g' || CAST(doc_id AS VARCHAR)"
+    " ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.example/page/' || CAST(doc_id % 50 AS VARCHAR) || '#sec' || CAST(doc_id AS VARCHAR) END"
+)
+
+
+def _canon_url_sql(url: str) -> str:
+    """DuckDB replica of functions/text.canonical_url over ``url``."""
     from patternly_spark.functions.text import TRACKING_PARAM_PATTERNS
 
-    url = (
-        "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR)"
-        " || '.Example:443/page/' || CAST(doc_id % 50 AS VARCHAR) || '?utm_source=feed&utm_medium=rss'"
-        " WHEN doc_id % 3 = 1 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR)"
-        " || '.example/page/' || CAST(doc_id % 50 AS VARCHAR) || '?gclid=g' || CAST(doc_id AS VARCHAR)"
-        " ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR)"
-        " || '.example/page/' || CAST(doc_id % 50 AS VARCHAR) || '#sec' || CAST(doc_id AS VARCHAR) END"
-    )
     expr = f"trim({url})"
     scheme = f"lower(regexp_extract({expr}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
     auth0 = f"lower(regexp_extract({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
@@ -2465,7 +2469,11 @@ def _url_dedup_oracle() -> str:
     rest = f"regexp_replace({rest}, '\\?&', '?', 'g')"
     rest = f"regexp_replace({rest}, '[?&]*$', '', 'g')"
     rest = f"CASE WHEN {rest} = '/' THEN '' ELSE {rest} END"
-    canon = f"CASE WHEN {scheme} = '' THEN {expr} ELSE {scheme} || '://' || {auth} || {rest} END"
+    return f"CASE WHEN {scheme} = '' THEN {expr} ELSE {scheme} || '://' || {auth} || {rest} END"
+
+
+def _url_dedup_oracle() -> str:
+    canon = _canon_url_sql(_MESSY_URL_SQL)
     return f"""
         WITH c AS (
             SELECT CAST(doc_id AS BIGINT) AS doc_id, {canon} AS canonical_url
@@ -2539,6 +2547,155 @@ def _bloom_decontam_oracle() -> str:
                CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination,
                CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.2 AS contaminated
         FROM agg
+    """
+
+
+_Q113_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_Q113_BUDGET = 2_000.0
+
+
+def q113_curation_v2(spark, sf_dir):
+    """The round-3 end-to-end curation composition, chaining THIS
+    round's operators in one Catalyst plan: (1) URL-level dedup on the
+    q111 messy URLs (canonical_url + min-window), (2) Bloom-filter
+    decontamination gate at 4096 bits vs the %41 benchmark
+    (bloom_decontaminate — false positives and all), (3) the q19
+    quality-score gate at 0.5, (4) token-budget epoch mixture over the
+    survivors (epoch_mixture_sample).  Every stage's arithmetic is the
+    already-oracle-pinned kind, so the whole pipeline replays as one
+    WITH chain — the oracle proves the STAGES COMPOSE, not just that
+    each works alone."""
+    from pyspark.sql import Window
+
+    from patternly_spark.functions.text import canonical_url, quality_score
+    from patternly_spark.operators.decontam import bloom_decontaminate
+    from patternly_spark.operators.sampling import epoch_mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 7).cast("string")
+    p = (F.col("doc_id") % 50).cast("string")
+    i = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 3
+    url = (
+        F.when(v == 0, F.concat(F.lit("HTTPS://Site"), k, F.lit(".Example:443/page/"), p, F.lit("?utm_source=feed&utm_medium=rss")))
+        .when(v == 1, F.concat(F.lit("https://site"), k, F.lit(".example/page/"), p, F.lit("?gclid=g"), i))
+        .otherwise(F.concat(F.lit("https://site"), k, F.lit(".example/page/"), p, F.lit("#sec"), i))
+    )
+    w = Window.partitionBy("__canon")
+    survivors = (
+        d.withColumn("__canon", canonical_url(url))
+        .withColumn("__keep", F.col("doc_id") == F.min("doc_id").over(w))
+        .filter("__keep")
+        .drop("__canon", "__keep")
+    )
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    flags = bloom_decontaminate(
+        survivors, bench, shingle_size=3, threshold=0.2, num_bits=4096, num_hashes=3
+    )
+    clean = survivors.join(
+        flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    quality = clean.filter(quality_score(F.col("text")) >= 0.5)
+    out = epoch_mixture_sample(quality, _Q113_TARGETS, _Q113_BUDGET)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("epoch").cast("long").alias("epoch"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+    )
+
+
+def _curation_v2_oracle() -> str:
+    canon = _canon_url_sql(_MESSY_URL_SQL)
+    pos = lambda i, col: (
+        f"CAST(('0x' || substr(md5('{i}:' || {col}), 1, 8)) AS BIGINT) % 4096"
+    )
+    total = float(sum(_Q113_TARGETS.values()))
+    case = "CASE source " + " ".join(
+        f"WHEN '{k}' THEN {_dlit(float(v) / total)}" for k, v in sorted(_Q113_TARGETS.items())
+    ) + " ELSE NULL END"
+    u = "CAST(('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / CAST(4294967296 AS DOUBLE)"
+    return f"""
+        WITH c AS (
+            SELECT doc_id, text, source, {canon} AS canon FROM documents
+        ),
+        surv AS (
+            SELECT doc_id, text, source FROM (
+                SELECT *, MIN(doc_id) OVER (PARTITION BY canon) AS m FROM c
+            ) WHERE doc_id = m
+        ),
+        toks_t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+        ),
+        sh_all AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                   ELSE [array_to_string(toks, ' ')] END AS shingles
+            FROM toks_t
+        ),
+        bench AS (
+            SELECT DISTINCT unnest(shingles) AS s FROM sh_all WHERE doc_id % 41 = 0
+        ),
+        bits AS (
+            SELECT DISTINCT unnest([{pos(0, 's')}, {pos(1, 's')}, {pos(2, 's')}]) AS bit
+            FROM bench
+        ),
+        ex AS (
+            SELECT sh_all.doc_id, unnest(shingles) AS s
+            FROM sh_all JOIN surv ON surv.doc_id = sh_all.doc_id
+        ),
+        contam AS (
+            SELECT ex.doc_id,
+                   CAST(SUM(CASE WHEN {pos(0, 'ex.s')} IN (SELECT bit FROM bits)
+                             AND {pos(1, 'ex.s')} IN (SELECT bit FROM bits)
+                             AND {pos(2, 'ex.s')} IN (SELECT bit FROM bits)
+                            THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS frac
+            FROM ex GROUP BY ex.doc_id
+        ),
+        clean AS (
+            SELECT surv.* FROM surv JOIN contam ON contam.doc_id = surv.doc_id
+            WHERE NOT (frac >= 0.2)
+        ),
+        qual AS (
+            SELECT doc_id, text, source,
+                   (CASE WHEN CAST(length(text) AS DOUBLE) / (length(text) - length(replace(text, ' ', '')) + 1) >= 3.0
+                          AND CAST(length(text) AS DOUBLE) / (length(text) - length(replace(text, ' ', '')) + 1) <= 12.0
+                         THEN 0.4 ELSE 0.0 END)
+                   + (CASE WHEN CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+                                / (length(text) - length(replace(text, ' ', '')) + 1) < 1.0
+                           THEN CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+                                / (length(text) - length(replace(text, ' ', '')) + 1)
+                           ELSE 1.0 END) * 0.3
+                   + (CASE WHEN len(list_filter(string_split(trim(text), ' '),
+                                  x -> x IN ('the','a','of','and','to'))) > 0
+                           THEN 0.3 ELSE 0.0 END) AS quality
+            FROM clean
+        ),
+        q AS (SELECT doc_id, text, source FROM qual WHERE quality >= 0.5),
+        n AS (
+            SELECT source,
+                   CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+            FROM q GROUP BY source
+        ),
+        r AS (
+            SELECT source,
+                   {case} * CAST({_dlit(_Q113_BUDGET)} AS DOUBLE)
+                       / CAST(n_tokens AS DOUBLE) AS rate
+            FROM n
+        ),
+        sel AS (
+            SELECT q.doc_id, q.source,
+                   CAST(FLOOR(r.rate) AS BIGINT)
+                   + CASE WHEN {u} < r.rate - FLOOR(r.rate) THEN 1 ELSE 0 END AS n_copies
+            FROM q JOIN r USING (source)
+            WHERE r.rate IS NOT NULL
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+               CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS epoch,
+               CAST(n_copies AS BIGINT) AS n_copies
+        FROM sel WHERE n_copies >= 1
     """
 
 
@@ -2687,6 +2844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_epoch_mixture": q110_epoch_mixture,
         "q111_url_canonical_dedup": q111_url_canonical_dedup,
         "q112_bloom_decontaminate": q112_bloom_decontaminate,
+        "q113_curation_v2": q113_curation_v2,
     }
 
 
@@ -4278,6 +4436,7 @@ def oracle_sql() -> dict[str, str]:
         "q110_epoch_mixture": _epoch_mixture_oracle(),
         "q111_url_canonical_dedup": _url_dedup_oracle(),
         "q112_bloom_decontaminate": _bloom_decontam_oracle(),
+        "q113_curation_v2": _curation_v2_oracle(),
     }
 
 
