@@ -2699,6 +2699,50 @@ def _curation_v2_oracle() -> str:
     """
 
 
+def q114_ks_drift(spark, sf_dir):
+    """Numeric drift: exact two-sample Kolmogorov-Smirnov distance of
+    each event_type's value distribution vs the global value sample
+    (operators/drift.ks_drift) — both empirical CDFs evaluated at every
+    distinct pooled value via integer cumulative counts (one per-group
+    sort window), so the max|F_g - F_ref| statistic is partition- and
+    engine-invariant and the oracle matches it bit-for-bit.  Companion
+    of q109's categorical chi2/PSI for continuous columns."""
+    from patternly_spark.operators.drift import ks_drift
+
+    e = _t(spark, sf_dir, "events")
+    return ks_drift(e.select("event_type", "value"), "value", by="event_type")
+
+
+_Q114_ORACLE = """
+    WITH obs AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS v, 1 AS o, 0 AS r FROM events
+    ),
+    g AS (SELECT DISTINCT event_type FROM events),
+    refs AS (
+        SELECT g.event_type, CAST(e.value AS DOUBLE) AS v, 0 AS o, 1 AS r
+        FROM g CROSS JOIN events e
+    ),
+    u AS (SELECT * FROM obs UNION ALL SELECT * FROM refs),
+    pv AS (
+        SELECT event_type, v, SUM(o) AS oc, SUM(r) AS rc FROM u GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type,
+               SUM(oc) OVER (PARTITION BY event_type ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS co,
+               SUM(rc) OVER (PARTITION BY event_type ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+               SUM(oc) OVER (PARTITION BY event_type) AS n_obs,
+               SUM(rc) OVER (PARTITION BY event_type) AS n_ref
+        FROM pv
+    )
+    SELECT event_type, CAST(n_obs AS BIGINT) AS n_obs, CAST(n_ref AS BIGINT) AS n_ref,
+           MAX(ABS(CAST(co AS DOUBLE) / CAST(n_obs AS DOUBLE)
+                   - CAST(cr AS DOUBLE) / CAST(n_ref AS DOUBLE))) AS ks
+    FROM c GROUP BY event_type, n_obs, n_ref
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -2845,6 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_url_canonical_dedup": q111_url_canonical_dedup,
         "q112_bloom_decontaminate": q112_bloom_decontaminate,
         "q113_curation_v2": q113_curation_v2,
+        "q114_ks_drift": q114_ks_drift,
     }
 
 
@@ -4437,6 +4482,7 @@ def oracle_sql() -> dict[str, str]:
         "q111_url_canonical_dedup": _url_dedup_oracle(),
         "q112_bloom_decontaminate": _bloom_decontam_oracle(),
         "q113_curation_v2": _curation_v2_oracle(),
+        "q114_ks_drift": _Q114_ORACLE,
     }
 
 

@@ -141,3 +141,47 @@ def test_streaming_drift_batch_parity(spark, tmp_path):
             want["psi"],
             want["unseen_frac"],
         )
+
+
+def _ks_replica(a, b):
+    pts = sorted(set(a) | set(b))
+    best = 0.0
+    for v in pts:
+        fa = sum(1 for x in a if x <= v) / len(a)
+        fb = sum(1 for x in b if x <= v) / len(b)
+        best = max(best, abs(fa - fb))
+    return best
+
+
+def test_ks_drift_exact_vs_replica(spark):
+    from patternly_spark.operators.drift import ks_drift
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = [float(x) for x in rng.normal(0, 1, 300)]
+    b = [float(x) for x in rng.normal(0.7, 1, 250)]  # shifted group
+    rows = [("same", v) for v in a] + [("shift", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ref = spark.createDataFrame([(v,) for v in a], "v double")
+    got = {r["g"]: r for r in ks_drift(df, "v", by="g", ref=ref).collect()}
+    assert got["same"]["ks"] == 0.0  # identical sample vs itself
+    want = _ks_replica(b, a)
+    assert got["shift"]["ks"] == want
+    assert got["shift"]["ks"] > 0.2  # a 0.7-sigma shift is visible
+    assert (got["shift"]["n_obs"], got["shift"]["n_ref"]) == (250, 300)
+
+
+def test_ks_drift_disjoint_is_one_and_partition_invariant(spark):
+    from patternly_spark.operators.drift import ks_drift
+
+    rows = [("lo", float(i)) for i in range(100)] + [
+        ("hi", float(1000 + i)) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ref = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    got = {r["g"]: r["ks"] for r in ks_drift(df, "v", by="g", ref=ref).collect()}
+    assert got["lo"] == 0.0 and got["hi"] == 1.0
+    again = {r["g"]: r["ks"] for r in
+             ks_drift(df.repartition(9), "v", by="g", ref=ref).collect()}
+    assert got == again
