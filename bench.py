@@ -129,6 +129,11 @@ BENCH_QUERIES = [
     "q107_link_graph",
     "q108_leakage_safe_split",
     "q109_drift_monitor",
+    "q110_epoch_mixture",
+    "q111_url_canonical_dedup",
+    "q112_bloom_decontaminate",
+    "q113_curation_v2",
+    "q114_ks_drift",
 ]
 
 
