@@ -2743,6 +2743,107 @@ _Q114_ORACLE = """
 """
 
 
+def q115_boilerplate_removal(spark, sf_dir):
+    """ccnet/MassiveText-style boilerplate filtering: drop every 3-token
+    block whose corpus DOCUMENT frequency exceeds 3 from ALL documents
+    (the complement of q49's keep-first span dedup — boilerplate should
+    not survive even once).  Document frequency is a partial-aggregating
+    distinct+count on the span hash; the over-threshold vocabulary is
+    broadcast back, so the only large shuffles are the (h, id) distinct
+    and the per-doc reassembly."""
+    from patternly_spark.operators.dedup import boilerplate_removal
+
+    d = _t(spark, sf_dir, "documents")
+    return boilerplate_removal(d, block_tokens=3, max_doc_freq=3)
+
+
+_Q115_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), b AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               array_to_string(toks[(i*3+1):(i*3+3)], ' ') AS span
+        FROM t, unnest(range((len(toks)+2)//3)) AS u(i)
+    ), f AS (
+        SELECT doc_id, pos, span, md5(span) AS h FROM b WHERE span <> ''
+    ), freq AS (
+        SELECT h, COUNT(*) AS doc_freq FROM (SELECT DISTINCT h, doc_id FROM f)
+        GROUP BY h
+    ), r AS (
+        SELECT f.*, COALESCE(freq.doc_freq, 0) <= 3 AS kept
+        FROM f LEFT JOIN freq USING (h)
+    ), agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               COALESCE(string_agg(span, ' ' ORDER BY pos) FILTER (WHERE kept), '')
+                   AS text_clean
+        FROM r GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(n_spans, 0) AS n_spans,
+           COALESCE(n_kept, 0) AS n_kept,
+           COALESCE(text_clean, '') AS text_clean
+    FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+def q116_minhash_calibration(spark, sf_dir):
+    """MinHash estimator calibration: per-bin agreement of the 8-hash
+    signature estimator vs exact unigram Jaccard on the deterministic
+    adjacent-id probe pairs — the measurement that sizes num_hashes and
+    LSH band geometry before a full corpus dedup run.  All aggregates
+    are integer-exact (equal-component counts; 2^-20 dyadic-quantized
+    Jaccard), so the oracle reproduces the means bit-for-bit."""
+    from patternly_spark.operators.dedup import minhash_calibration
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_calibration(d, shingle_size=1, num_hashes=8, n_bins=8)
+
+
+def _minhash_calibration_oracle() -> str:
+    """Replays minhash_signatures' affine family (params[j] + j) for
+    k=8, the adjacent-pair probe, and the dyadic mean quantization."""
+    params = [
+        (1103515245, 12345), (1140671485, 12820163), (214013, 2531011),
+        (22695477, 1), (1664525, 1013904223), (69069, 362437),
+        (1181783497, 7919), (1597334677, 851723965),
+    ]
+    sig_cols = ",\n                   ".join(
+        "list_min(list_transform(shingles, x -> "
+        f"((('0x' || substr(md5(x),1,8))::BIGINT % 2147483647) * {a + j} + {b + j})"
+        f" % 2147483647)) AS s{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    eq_sum = " + ".join(
+        f"CASE WHEN a.s{j} = b.s{j} THEN 1 ELSE 0 END" for j in range(8)
+    )
+    return f"""
+        WITH sh AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS shingles
+            FROM documents
+        ), sig AS (
+            SELECT doc_id,
+                   {sig_cols}
+            FROM sh
+        ), sided AS (
+            SELECT s.doc_id, s.shingles AS toks, g.*
+            FROM sh s JOIN sig g USING (doc_id)
+        ), pairs AS (
+            SELECT ({eq_sum}) AS eq,
+                   CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.toks, b.toks))) AS j
+            FROM sided a JOIN sided b ON b.doc_id = a.doc_id + 1
+        ), binned AS (
+            SELECT CAST(LEAST(FLOOR(CAST(eq AS DOUBLE) / 8.0 * 8), 7) AS INT) AS bin,
+                   eq, CAST(FLOOR(j * 1048576.0) AS BIGINT) AS jq
+            FROM pairs
+        )
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(eq) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 8.0) AS mean_est,
+               (CAST(SUM(jq) AS DOUBLE) / 1048576.0) / CAST(COUNT(*) AS DOUBLE) AS mean_exact
+        FROM binned GROUP BY bin
+    """
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -2890,6 +2991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_bloom_decontaminate": q112_bloom_decontaminate,
         "q113_curation_v2": q113_curation_v2,
         "q114_ks_drift": q114_ks_drift,
+        "q115_boilerplate_removal": q115_boilerplate_removal,
+        "q116_minhash_calibration": q116_minhash_calibration,
     }
 
 
@@ -4483,6 +4586,8 @@ def oracle_sql() -> dict[str, str]:
         "q112_bloom_decontaminate": _bloom_decontam_oracle(),
         "q113_curation_v2": _curation_v2_oracle(),
         "q114_ks_drift": _Q114_ORACLE,
+        "q115_boilerplate_removal": _Q115_ORACLE,
+        "q116_minhash_calibration": _minhash_calibration_oracle(),
     }
 
 

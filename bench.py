@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "q112_bloom_decontaminate",
     "q113_curation_v2",
     "q114_ks_drift",
+    "q115_boilerplate_removal",
+    "q116_minhash_calibration",
 ]
 
 

@@ -708,6 +708,179 @@ def span_dedup(
     )
 
 
+def minhash_calibration(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 1,
+    num_hashes: int = 8,
+    n_bins: int = 8,
+    pair_offset: int = 1,
+) -> DataFrame:
+    """MinHash estimator calibration: how well does component agreement
+    of k-hash signatures track exact shingle-set Jaccard?  The answer
+    decides how many hashes (and which LSH band geometry) a corpus needs
+    BEFORE paying for a full dedup run — the measurement a 100 TB
+    pipeline does on a sample first.
+
+    Probe pairs are (id, id + pair_offset) — a fixed deterministic
+    pairing, NOT the LSH candidates, so the curve is unbiased by the
+    candidate filter (LSH pairs are conditioned on agreement).
+
+    Per pair: est = (#equal signature components)/k; exact = Jaccard of
+    the distinct shingle sets.  Pairs bucket by floor(est * n_bins)
+    (clamped) and each bin reports n_pairs, mean_est, mean_exact.
+
+    Cross-engine exactness: every aggregated quantity is an INTEGER —
+    equal-component counts sum exactly, and the per-pair exact Jaccard
+    is quantized to the 2^-20 dyadic grid (floor(j * 2^20) is a bigint)
+    before summing, so sums are order/partitioning-invariant and a SQL
+    oracle reproduces the means bit-for-bit (single final double
+    division on identical operands).
+
+    Scale shape: signatures and shingle sets come out of one corpus
+    scan + one groupBy(id); the pair join is an equi-join on id; the
+    final agg has n_bins rows.  O(sample) — meant to run on a
+    hash-sampled slice (operators/sampling.hash_sample) at full scale.
+    """
+    k = int(num_hashes)
+    if k < 1 or n_bins < 1:
+        raise ValueError("num_hashes and n_bins must be >= 1")
+    sigs = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col,
+        shingle_size=shingle_size, num_hashes=k,
+    )
+    if shingle_size == 1:
+        toks = F.array_distinct(F.split(F.col(text_col), " "))
+    else:
+        toks = F.array_distinct(shingles(F.col(text_col), shingle_size))
+    sets = docs.select(F.col(id_col), toks.alias("__toks"))
+    sided = sets.join(sigs, id_col)
+    sig_arr = F.array(*[F.col(f"minhash_{j}") for j in range(k)])
+    a = sided.select(
+        F.col(id_col).alias("__ida"), sig_arr.alias("__sa"), F.col("__toks").alias("__ta")
+    )
+    b = sided.select(
+        (F.col(id_col) - F.lit(int(pair_offset))).alias("__ida"),
+        sig_arr.alias("__sb"),
+        F.col("__toks").alias("__tb"),
+    )
+    pairs = a.join(b, "__ida").select(
+        "__ida",
+        F.size(F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda e: e))
+        .alias("__eq"),
+        (
+            F.size(F.array_intersect("__ta", "__tb")).cast("double")
+            / F.size(F.array_union("__ta", "__tb")).cast("double")
+        ).alias("__j"),
+    )
+    scale = F.lit(float(1 << 20))
+    binned = pairs.select(
+        F.least(
+            F.floor(F.col("__eq").cast("double") / F.lit(float(k)) * F.lit(int(n_bins))).cast("int"),
+            F.lit(int(n_bins) - 1),
+        ).alias("bin"),
+        "__eq",
+        F.floor(F.col("__j") * scale).cast("long").alias("__jq"),
+    )
+    n = F.count(F.lit(1))
+    return binned.groupBy("bin").agg(
+        n.cast("long").alias("n_pairs"),
+        (F.sum("__eq").cast("double") / (n.cast("double") * F.lit(float(k))))
+        .alias("mean_est"),
+        ((F.sum("__jq").cast("double") / scale) / n.cast("double")).alias("mean_exact"),
+    )
+
+
+def boilerplate_removal(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str | None = "\n",
+    block_tokens: int | None = None,
+    max_doc_freq: int = 2,
+    drop_empty: bool = True,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (ccnet / MassiveText-style
+    line filtering): drop every span whose DOCUMENT frequency exceeds
+    ``max_doc_freq`` from ALL documents.  This is the complement of
+    ``span_dedup``: keep-first dedup preserves one copy of a duplicated
+    span inside whatever document happened to come first, but nav bars /
+    cookie banners / share buttons should not survive even once inside
+    an unrelated page — a span frequent across documents is boilerplate,
+    not content, so every occurrence goes.
+
+    Span definition matches ``span_dedup`` (``delimiter`` mode or
+    non-overlapping ``block_tokens`` blocks).  Frequency is counted in
+    DOCUMENTS (a span repeated inside one page counts once), so an
+    intra-doc refrain is not mistaken for corpus boilerplate.
+
+    Output is TOTAL over the input ids: (id, n_spans, n_kept,
+    text_clean).
+
+    Scale plan:
+
+    - document frequency = distinct(h, id) then count per h.  The
+      distinct is one shuffle whose partial aggregation collapses
+      intra-doc repeats map-side; the count runs on already-distinct
+      pairs.  Never a window over the span hash (hot boilerplate keys).
+    - the over-threshold set is the DISTINCT boilerplate vocabulary —
+      even at 100 TB that is millions of 16-byte hashes (tens of MB),
+      so the flag-back join broadcasts it (``broadcast_hot=False``
+      falls back to an AQE skew-splittable shuffle join for degenerate
+      corpora where most spans are hot).
+    - reassembly is the same single groupBy(id) as ``span_dedup``.
+
+    Spans are md5-hashed so an external SQL oracle reproduces the drop
+    set bit-for-bit (driver query q115).
+    """
+    if max_doc_freq < 1:
+        raise ValueError("max_doc_freq must be >= 1")
+    spans, join_delim = _spans_expr(text_col, delimiter, block_tokens)
+    lines = docs.select(F.col(id_col), F.posexplode(spans).alias("pos", "span"))
+    if drop_empty:
+        lines = lines.filter(F.col("span") != "")
+    lines = lines.withColumn("h", F.md5("span"))
+
+    hot = (
+        lines.select("h", id_col)
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") > F.lit(int(max_doc_freq)))
+        .select("h", F.lit(True).alias("__hot"))
+    )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    flagged = lines.join(hot, "h", "left").withColumn(
+        "kept", F.col("__hot").isNull()
+    )
+    agg = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.concat_ws(
+            join_delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.when(F.col("kept"), F.struct("pos", "span")))),
+                lambda x: x["span"],
+            ),
+        ).alias("text_clean"),
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
 def exact_substring_spans(
     docs: DataFrame,
     *,

@@ -24,9 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from patternly_spark.operators.drift import categorical_drift
+from patternly_spark.operators.drift import categorical_drift, ks_drift
 
-__all__ = ["streaming_drift"]
+__all__ = ["streaming_drift", "streaming_ks_drift"]
 
 
 def streaming_drift(
@@ -56,6 +56,47 @@ def streaming_drift(
             "unseen_frac",
         )
         # stats of an empty batch is an empty frame; the write is a no-op
+        out.write.mode("append").parquet(output_path)
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_ks_drift(
+    stream_df: DataFrame,
+    ref: DataFrame,
+    value_col: str,
+    output_path: str,
+    *,
+    checkpoint_path: str,
+    trigger_once: bool = False,
+):
+    """Numeric twin of ``streaming_drift``: score each microbatch's
+    ``value_col`` sample against a PINNED one-column reference sample
+    with the exact two-sample KS statistic and append
+    (batch_id, n_obs, n_ref, ks) to ``output_path``.
+
+    Same batch-parity law: the appended row equals
+    ``ks_drift(batch_df, value_col, ref=ref)`` on exactly that batch's
+    rows — the statistic is stateless given the reference, so the
+    wrapper adds sequencing, never new math.  The reference must be
+    bounded (hash_sample it at corpus scale — see ks_drift's docstring);
+    it is broadcast per batch, no state store.
+
+    Empty microbatches append nothing."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        stats = ks_drift(batch_df, value_col, ref=ref)
+        out = stats.select(
+            F.lit(int(batch_id)).cast("long").alias("batch_id"),
+            "n_obs",
+            "n_ref",
+            "ks",
+        )
         out.write.mode("append").parquet(output_path)
 
     writer = stream_df.writeStream.foreachBatch(_process).option(

@@ -535,6 +535,83 @@ def test_span_dedup_block_mode_covers_all_tokens(spark):
     assert out[2]["n_kept"] == 1 and out[2]["n_spans"] == 2
 
 
+def test_boilerplate_removal_drops_all_occurrences(spark):
+    """Corpus-frequency boilerplate: a line whose DOCUMENT frequency
+    exceeds max_doc_freq drops from every doc, including the first one
+    (the semantic difference vs keep-first span_dedup); intra-doc
+    repeats count once toward the frequency; infrequent repeats stay."""
+    from patternly_spark.operators.dedup import boilerplate_removal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav\nnav\ncontent one"),   # 'nav' twice here counts ONCE
+            (2, "nav\ncontent two"),
+            (3, "nav\ncontent three"),      # doc_freq('nav') = 3 > 2 -> gone
+            (4, "rare\ncontent four"),
+            (5, "rare\ncontent five"),      # doc_freq('rare') = 2 <= 2 -> stays
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_removal(docs, delimiter="\n", max_doc_freq=2).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert out[1]["text_clean"] == "content one" and out[1]["n_spans"] == 3
+    assert out[1]["n_kept"] == 1
+    assert out[2]["text_clean"] == "content two"
+    assert out[3]["text_clean"] == "content three"
+    assert out[4]["text_clean"] == "rare\ncontent four" and out[4]["n_kept"] == 2
+    assert out[5]["text_clean"] == "rare\ncontent five"
+    assert out[6]["text_clean"] == "" and out[6]["n_spans"] == 0
+
+
+def test_boilerplate_removal_broadcasts_hot_set(spark):
+    """The over-threshold vocabulary joins back as a broadcast (the flag
+    join must not shuffle the full line relation twice)."""
+    from patternly_spark.operators.dedup import boilerplate_removal
+
+    docs = spark.createDataFrame(
+        [(i, "nav\nbody %d" % i) for i in range(8)],
+        "doc_id long, text string",
+    )
+    from patternly_spark.plans import assert_plan
+
+    out = boilerplate_removal(docs, delimiter="\n", max_doc_freq=2)
+    assert_plan(out, no_python=True, require_broadcast_join=True)
+
+
+def test_minhash_calibration_extremes_and_exactness(spark):
+    """Identical adjacent docs land in the top bin with mean_est =
+    mean_exact = 1.0; disjoint adjacent docs land in bin 0 with
+    mean_exact = 0.0.  A mixed pair's mean_exact equals the 2^-20
+    dyadic quantization of its true Jaccard (the cross-engine-exact
+    aggregation contract)."""
+    import math
+
+    from patternly_spark.operators.dedup import minhash_calibration
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"), (1, "a b c d"),          # identical pair
+            (10, "p q r s"), (11, "w x y z"),        # disjoint pair
+            (20, "m n o p q"), (21, "m n zz ww vv"), # jaccard = 2/8
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["bin"]: r for r in minhash_calibration(docs, num_hashes=8, n_bins=8).collect()}
+    assert rows[7]["n_pairs"] == 1 and rows[7]["mean_est"] == 1.0
+    assert rows[7]["mean_exact"] == 1.0
+    low_bins = [b for b in rows if b < 7]
+    assert sum(rows[b]["n_pairs"] for b in low_bins) == 2
+    # the disjoint pair contributes exact 0; the 2/8 pair contributes its
+    # dyadic-quantized jaccard — the weighted sum matches plain Python
+    expected = 0.0 + math.floor((2 / 8) * (1 << 20)) / (1 << 20)
+    total_exact = sum(rows[b]["mean_exact"] * rows[b]["n_pairs"] for b in low_bins)
+    assert abs(total_exact - expected) < 1e-12
+
+
 def test_containment_pairs_detects_inclusion(spark):
     """A short doc quoted verbatim inside a longer doc: containment of
     the short one approaches 1 while the long one's stays well below —

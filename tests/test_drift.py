@@ -143,6 +143,44 @@ def test_streaming_drift_batch_parity(spark, tmp_path):
         )
 
 
+def test_streaming_ks_drift_batch_parity(spark, tmp_path):
+    from patternly_spark.operators.drift import ks_drift
+    from patternly_spark.streaming.drift import streaming_ks_drift
+
+    schema = "v double"
+    src = str(tmp_path / "src")
+    b0 = [(float(x),) for x in range(50)]            # matches the reference
+    b1 = [(float(x) + 40.0,) for x in range(50)]     # shifted sample
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    ref = spark.createDataFrame([(float(x),) for x in range(50)], schema)
+
+    q = streaming_ks_drift(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        ref,
+        "v",
+        str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    assert len(out) == 2 and set(out.batch_id) == {0, 1}
+    # batch-parity law: each emitted row == the batch operator on that
+    # microbatch's rows; identify batches by their ks value ordering
+    got = {}
+    for r in out.itertuples():
+        got[int(r.batch_id)] = (int(r.n_obs), int(r.n_ref), float(r.ks))
+    for rows in (b0, b1):
+        bdf = spark.createDataFrame(rows, schema)
+        want = ks_drift(bdf, "v", ref=ref).collect()[0]
+        key = (int(want["n_obs"]), int(want["n_ref"]), float(want["ks"]))
+        assert key in got.values(), (key, got)
+    # the matched batch drifts: identical sample -> ks 0; shifted -> 0.8
+    assert sorted(v[2] for v in got.values()) == [0.0, 0.8]
+
+
 def _ks_replica(a, b):
     pts = sorted(set(a) | set(b))
     best = 0.0
