@@ -2844,6 +2844,67 @@ def _minhash_calibration_oracle() -> str:
     """
 
 
+def q117_ann_recall(spark, sf_dir):
+    """ANN acceptance metric: recall@3 of the hyperplane-LSH index vs
+    exact brute-force cosine on the same 10-query probe set, per query
+    (operators/similarity.topk_recall).  Both sides and the overlap
+    counts are deterministic, so the whole evaluation — including the
+    LSH plane signs — replays in SQL and the recall values hash-match."""
+    from patternly_spark.operators.similarity import (
+        cosine_topk,
+        lsh_bucketed_topk,
+        topk_recall,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, probes, k=3)
+    appr = lsh_bucketed_topk(emb, probes, k=3)
+    return topk_recall(exact, appr)
+
+
+def _ann_recall_oracle() -> str:
+    """Exact top-3 (q24's brute-force shape at query_max=10) vs the q96
+    LSH replica, joined into per-query recall counts."""
+    lsh = _lsh_topk_oracle(k=3, num_planes=6, seed=42, dim=64, query_max=10)
+    return f"""
+        WITH exact AS (
+            WITH sims AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+                                              list_transform(c.embedding, x -> x::DOUBLE))
+                             / (sqrt(list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+                                                      list_transform(q.embedding, x -> x::DOUBLE)))
+                                * sqrt(list_dot_product(list_transform(c.embedding, x -> x::DOUBLE),
+                                                        list_transform(c.embedding, x -> x::DOUBLE)))), 6) AS sim
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+            )
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+                FROM sims
+            ) WHERE rnk <= 3
+        ), appr AS (
+            SELECT query_id, neighbor_id FROM ({lsh})
+        ), ce AS (
+            SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact GROUP BY 1
+        ), ca AS (
+            SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx FROM appr GROUP BY 1
+        ), cc AS (
+            SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM exact e JOIN appr a
+              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+            GROUP BY 1
+        )
+        SELECT ce.query_id, ce.n_exact,
+               COALESCE(ca.n_approx, 0) AS n_approx,
+               COALESCE(cc.n_common, 0) AS n_common,
+               CAST(COALESCE(cc.n_common, 0) AS DOUBLE) / CAST(ce.n_exact AS DOUBLE) AS recall
+        FROM ce LEFT JOIN ca USING (query_id) LEFT JOIN cc USING (query_id)
+    """
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -2993,6 +3054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_ks_drift": q114_ks_drift,
         "q115_boilerplate_removal": q115_boilerplate_removal,
         "q116_minhash_calibration": q116_minhash_calibration,
+        "q117_ann_recall": q117_ann_recall,
     }
 
 
@@ -4588,6 +4650,7 @@ def oracle_sql() -> dict[str, str]:
         "q114_ks_drift": _Q114_ORACLE,
         "q115_boilerplate_removal": _Q115_ORACLE,
         "q116_minhash_calibration": _minhash_calibration_oracle(),
+        "q117_ann_recall": _ann_recall_oracle(),
     }
 
 

@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "q114_ks_drift",
     "q115_boilerplate_removal",
     "q116_minhash_calibration",
+    "q117_ann_recall",
 ]
 
 

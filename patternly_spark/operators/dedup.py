@@ -839,20 +839,56 @@ def boilerplate_removal(
     """
     if max_doc_freq < 1:
         raise ValueError("max_doc_freq must be >= 1")
-    spans, join_delim = _spans_expr(text_col, delimiter, block_tokens)
-    lines = docs.select(F.col(id_col), F.posexplode(spans).alias("pos", "span"))
-    if drop_empty:
-        lines = lines.filter(F.col("span") != "")
-    lines = lines.withColumn("h", F.md5("span"))
-
+    lines, join_delim = _span_lines(
+        docs, id_col=id_col, text_col=text_col,
+        delimiter=delimiter, block_tokens=block_tokens, drop_empty=drop_empty,
+    )
     hot = (
         lines.select("h", id_col)
         .distinct()
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .filter(F.col("doc_freq") > F.lit(int(max_doc_freq)))
-        .select("h", F.lit(True).alias("__hot"))
+        .select("h")
     )
+    return _clean_against_hot(
+        docs, lines, hot, id_col=id_col, join_delim=join_delim,
+        broadcast_hot=broadcast_hot,
+    )
+
+
+def _span_lines(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    delimiter: str | None,
+    block_tokens: int | None,
+    drop_empty: bool,
+):
+    """(id, pos, span, h=md5(span)) exploded span relation + the
+    reassembly delimiter — the shared front half of the corpus-frequency
+    operators."""
+    spans, join_delim = _spans_expr(text_col, delimiter, block_tokens)
+    lines = docs.select(F.col(id_col), F.posexplode(spans).alias("pos", "span"))
+    if drop_empty:
+        lines = lines.filter(F.col("span") != "")
+    return lines.withColumn("h", F.md5("span")), join_delim
+
+
+def _clean_against_hot(
+    docs: DataFrame,
+    lines: DataFrame,
+    hot: DataFrame,
+    *,
+    id_col: str,
+    join_delim: str,
+    broadcast_hot: bool,
+) -> DataFrame:
+    """Drop every line whose hash is in ``hot`` (one-column 'h' frame)
+    and reassemble — the shared back half of boilerplate_removal and
+    apply_boilerplate_registry."""
+    hot = hot.select("h", F.lit(True).alias("__hot"))
     if broadcast_hot:
         hot = F.broadcast(hot)
     flagged = lines.join(hot, "h", "left").withColumn(
@@ -878,6 +914,62 @@ def boilerplate_removal(
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
+    )
+
+
+def span_doc_freq(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str | None = "\n",
+    block_tokens: int | None = None,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """(h, doc_freq): per-span document frequency — the additive half of
+    boilerplate_removal, exposed so an incremental registry can fold
+    batches (doc_freq of disjoint doc sets ADDS; see
+    streaming/dedup.streaming_boilerplate_registry)."""
+    lines, _ = _span_lines(
+        docs, id_col=id_col, text_col=text_col,
+        delimiter=delimiter, block_tokens=block_tokens, drop_empty=drop_empty,
+    )
+    return (
+        lines.select("h", id_col)
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+    )
+
+
+def apply_boilerplate_registry(
+    docs: DataFrame,
+    registry: DataFrame,
+    *,
+    max_doc_freq: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str | None = "\n",
+    block_tokens: int | None = None,
+    drop_empty: bool = True,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Clean ``docs`` against an externally maintained (h, doc_freq)
+    registry (e.g. the streaming registry): drop every span whose
+    registry doc_freq exceeds ``max_doc_freq``.  Same output contract
+    and scale shape as ``boilerplate_removal`` — the only difference is
+    where the frequencies come from, so corpus-wide boilerplate learned
+    over time filters batches that never saw each other."""
+    if max_doc_freq < 1:
+        raise ValueError("max_doc_freq must be >= 1")
+    lines, join_delim = _span_lines(
+        docs, id_col=id_col, text_col=text_col,
+        delimiter=delimiter, block_tokens=block_tokens, drop_empty=drop_empty,
+    )
+    hot = registry.filter(F.col("doc_freq") > F.lit(int(max_doc_freq))).select("h")
+    return _clean_against_hot(
+        docs, lines, hot, id_col=id_col, join_delim=join_delim,
+        broadcast_hot=broadcast_hot,
     )
 
 

@@ -76,6 +76,55 @@ def cosine_topk(
     )
 
 
+def topk_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    *,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one —
+    the acceptance metric every ANN deployment needs BEFORE trading
+    brute-force for buckets: run both on a sampled query set, gate the
+    rollout on the recall this operator reports.
+
+    Inputs are two (query_id, neighbor_id, ...) top-k relations (extra
+    columns ignored).  Output per query: n_exact, n_approx, n_common
+    and recall = n_common / n_exact (ground-truth-relative, so short
+    exact lists near corpus edges don't distort the metric).  Queries
+    the approximate index returned nothing for still appear (recall 0)
+    — silent candidate starvation is exactly what this measures.
+
+    Cross-engine exact: counts are integers; recall is one double
+    division on identical operands.  Scale shape: two per-query count
+    aggregations plus one equi-join on (query, neighbor) — all keyed by
+    query_id, trivially small next to the top-k computations themselves.
+    """
+    ex = exact.select(F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n"))
+    ap = approx.select(F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n"))
+    n_exact = ex.groupBy("__q").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    n_approx = ap.groupBy("__q").agg(F.count(F.lit(1)).cast("long").alias("n_approx"))
+    n_common = (
+        ex.join(ap, ["__q", "__n"])
+        .groupBy("__q")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        n_exact.join(n_approx, "__q", "left")
+        .join(n_common, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            "n_exact",
+            F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            (
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -388,3 +388,63 @@ def streaming_semantic_dedup(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_boilerplate_registry(
+    stream_df: DataFrame,
+    registry_path: str,
+    *,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str | None = "\n",
+    block_tokens: int | None = None,
+    trigger_once: bool = False,
+):
+    """Incremental corpus-frequency registry for boilerplate detection:
+    fold each microbatch's span document-frequency table
+    (operators/dedup.span_doc_freq) into the parquet registry at
+    ``registry_path`` (h, doc_freq).
+
+    Document frequency is ADDITIVE across batches with disjoint doc
+    sets, so the parity law is exact: after any prefix of batches the
+    registry equals ``span_doc_freq`` of the union of those batches'
+    rows (pinned in tests).  A document split across two microbatches
+    would double-count — feed whole documents per batch (the same
+    contract the exact-dedup registry has for doc ids).
+
+    Clean any frame against the current registry with
+    ``operators/dedup.apply_boilerplate_registry`` — boilerplate
+    learned over the whole stream filters batches that never saw each
+    other.
+
+    Scale shape: the registry holds one row per DISTINCT span ever
+    seen (h, long) — it grows with distinct content like the LSH band
+    registry, not with traffic; the fold is one groupBy(h) over
+    registry + batch table, localCheckpoint-pinned before overwriting
+    the files it was read from (task-retry safety)."""
+    from patternly_spark.operators.dedup import span_doc_freq
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        freq = span_doc_freq(
+            batch_df, id_col=id_col, text_col=text_col,
+            delimiter=delimiter, block_tokens=block_tokens,
+        )
+        try:
+            existing = spark.read.parquet(registry_path)
+            freq = (
+                freq.unionByName(existing)
+                .groupBy("h")
+                .agg(F.sum("doc_freq").cast("long").alias("doc_freq"))
+            )
+        except Exception:
+            pass
+        freq.localCheckpoint(eager=True).write.mode("overwrite").parquet(registry_path)
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

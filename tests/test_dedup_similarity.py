@@ -612,6 +612,26 @@ def test_minhash_calibration_extremes_and_exactness(spark):
     assert abs(total_exact - expected) < 1e-12
 
 
+def test_topk_recall_perfect_partial_and_starved(spark):
+    """recall = |common| / |exact| per query; a query the approximate
+    index returned nothing for still appears with recall 0 (candidate
+    starvation is the failure the metric exists to expose)."""
+    from patternly_spark.operators.similarity import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 99)],
+        "query_id long, neighbor_id long",
+    )
+    out = {r["query_id"]: r for r in topk_recall(exact, approx).collect()}
+    assert out[1]["recall"] == 1.0 and out[1]["n_common"] == 2
+    assert out[2]["recall"] == 0.5 and out[2]["n_approx"] == 2
+    assert out[3]["recall"] == 0.0 and out[3]["n_approx"] == 0  # starved
+
+
 def test_containment_pairs_detects_inclusion(spark):
     """A short doc quoted verbatim inside a longer doc: containment of
     the short one approaches 1 while the long one's stays well below —

@@ -791,3 +791,54 @@ def test_stateless_curation_ops_run_on_streams(spark, tmp_path):
     assert streamed[1]["top_2gram_char_frac"] > 0.2
     assert "script" not in streamed[1]["text"]
     assert "&" in streamed[2]["text"] and "“" not in streamed[2]["text"]
+
+
+def test_streaming_boilerplate_registry_matches_batch(spark, tmp_path):
+    """Registry parity law: after folding two disjoint microbatches, the
+    (h, doc_freq) registry equals span_doc_freq of the union — and
+    cleaning a new batch against it equals boilerplate_removal run on
+    (union + new batch) restricted to the new batch's docs."""
+    from patternly_spark.operators.dedup import (
+        apply_boilerplate_registry,
+        boilerplate_removal,
+        span_doc_freq,
+    )
+    from patternly_spark.streaming.dedup import streaming_boilerplate_registry
+
+    b0 = [(1, "nav\ncontent one"), (2, "nav\ncontent two")]
+    b1 = [(3, "nav\ncontent three"), (4, "rare\ncontent four")]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    reg_path = str(tmp_path / "registry")
+    q = streaming_boilerplate_registry(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        reg_path,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    union = spark.createDataFrame(b0 + b1, schema)
+    want = {r["h"]: r["doc_freq"] for r in span_doc_freq(union).collect()}
+    got = {r["h"]: r["doc_freq"] for r in spark.read.parquet(reg_path).collect()}
+    assert got == want  # 'nav' -> 3, everything else -> 1
+
+    # cleaning a NEW batch against the learned registry drops the
+    # boilerplate those docs never co-occurred with
+    new = spark.createDataFrame([(9, "nav\nfresh body")], schema)
+    reg = spark.read.parquet(reg_path)
+    out = apply_boilerplate_registry(new, reg, max_doc_freq=2).collect()[0]
+    assert out["text_clean"] == "fresh body" and out["n_kept"] == 1
+
+    # equivalently: batch operator over (union + new) for the same doc
+    full = boilerplate_removal(
+        spark.createDataFrame(b0 + b1 + [(9, "nav\nfresh body")], schema),
+        max_doc_freq=2,
+    )
+    want_row = {r["doc_id"]: r for r in full.collect()}[9]
+    assert (out["n_spans"], out["n_kept"], out["text_clean"]) == (
+        want_row["n_spans"], want_row["n_kept"], want_row["text_clean"]
+    )
