@@ -2905,6 +2905,69 @@ def _ann_recall_oracle() -> str:
     """
 
 
+def q118_length_bucket_stats(spark, sf_dir):
+    """Dynamic-batching audit: rank-exact per-source length buckets,
+    deterministic fixed-size batches inside each bucket, and the padding
+    a padded-batch trainer would pay per bucket
+    (operators/packing.length_bucket_stats).  Integer aggregates + one
+    final division — the oracle replays NTILE/ROW_NUMBER/rollup
+    bit-for-bit."""
+    from patternly_spark.operators.packing import length_bucket_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return length_bucket_stats(d, n_buckets=4, batch_size=16, by="source")
+
+
+_Q118_ORACLE = """
+    WITH w AS (
+        SELECT source, doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok_len
+        FROM documents
+    ), b AS (
+        SELECT *, CAST(NTILE(4) OVER (PARTITION BY source
+                       ORDER BY tok_len ASC, doc_id ASC) AS INT) AS bucket
+        FROM w
+    ), r AS (
+        SELECT *, (ROW_NUMBER() OVER (PARTITION BY source, bucket
+                                      ORDER BY tok_len ASC, doc_id ASC) - 1) // 16 AS batch
+        FROM b
+    ), pb AS (
+        SELECT source, bucket, batch, COUNT(*) AS bn,
+               MAX(tok_len) AS bmax, SUM(tok_len) AS breal
+        FROM r GROUP BY 1, 2, 3
+    )
+    SELECT source, bucket,
+           CAST(SUM(bn) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(breal) AS BIGINT) AS real_tokens,
+           CAST(SUM(bmax * bn) AS BIGINT) AS padded_tokens,
+           1.0 - CAST(SUM(breal) AS DOUBLE) / CAST(SUM(bmax * bn) AS DOUBLE) AS waste_frac
+    FROM pb GROUP BY 1, 2
+"""
+
+
+def q119_dataset_fingerprint(spark, sf_dir):
+    """Per-source content manifest: row count, byte count and an
+    order/partitioning-invariant decimal checksum (sum of 60-bit md5
+    prefixes over id:text) — the migration/replica validation handshake
+    (operators/merge.dataset_fingerprint).  Compare manifests, not
+    corpora."""
+    from patternly_spark.operators.merge import dataset_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return dataset_fingerprint(d, by="source")
+
+
+_Q119_ORACLE = """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(length(text)) AS BIGINT) AS n_bytes,
+           CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT)
+                AS VARCHAR) AS checksum
+    FROM documents GROUP BY source
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -3055,6 +3118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_boilerplate_removal": q115_boilerplate_removal,
         "q116_minhash_calibration": q116_minhash_calibration,
         "q117_ann_recall": q117_ann_recall,
+        "q118_length_bucket_stats": q118_length_bucket_stats,
+        "q119_dataset_fingerprint": q119_dataset_fingerprint,
     }
 
 
@@ -4651,6 +4716,8 @@ def oracle_sql() -> dict[str, str]:
         "q115_boilerplate_removal": _Q115_ORACLE,
         "q116_minhash_calibration": _minhash_calibration_oracle(),
         "q117_ann_recall": _ann_recall_oracle(),
+        "q118_length_bucket_stats": _Q118_ORACLE,
+        "q119_dataset_fingerprint": _Q119_ORACLE,
     }
 
 

@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "q115_boilerplate_removal",
     "q116_minhash_calibration",
     "q117_ann_recall",
+    "q118_length_bucket_stats",
+    "q119_dataset_fingerprint",
 ]
 
 

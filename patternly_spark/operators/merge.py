@@ -18,7 +18,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["merge_upsert", "snapshot_diff"]
+__all__ = ["merge_upsert", "snapshot_diff", "dataset_fingerprint"]
+
+
+def dataset_fingerprint(
+    df: DataFrame,
+    *,
+    by: str | list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Order/partitioning-invariant content manifest per group:
+    (keys..., n_rows, n_bytes, checksum).  The checksum is the exact
+    decimal SUM of each row's 60-bit md5 prefix over ``id:text`` —
+    addition commutes, so any partitioning, any engine, any row order
+    produces the same value, and equal fingerprints mean byte-equal
+    content multisets w.h.p. (a collision needs md5-prefix sums to
+    coincide).
+
+    This is the validation handshake for migrations, CDC pipelines and
+    replica audits: fingerprint source and destination independently —
+    wherever they live — and compare manifest rows instead of moving or
+    joining 100 TB.  Companion of ``snapshot_diff`` (which finds WHICH
+    rows differ; the fingerprint is the cheap always-on check that
+    decides whether to run it).
+
+    Scale shape: one scan, one grouped aggregation; partial aggregation
+    collapses per-task, the shuffle carries one row per group."""
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    row_hash = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.col(text_col))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.length(text_col)).cast("long").alias("n_bytes"),
+        # string, not decimal: the checksum is an identity to COMPARE,
+        # and decimal columns lose exactness through some client layers
+        # (e.g. pandas lowering decimal128 to float64)
+        F.sum(row_hash).cast("decimal(38,0)").cast("string").alias("checksum"),
+    )
 
 
 def merge_upsert(

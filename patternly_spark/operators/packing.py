@@ -126,6 +126,76 @@ def chunk_documents(
     )
 
 
+def length_bucket_stats(
+    docs: DataFrame,
+    *,
+    n_buckets: int = 8,
+    batch_size: int = 32,
+    by: str | list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Length-bucketed batching audit: assign documents to rank-exact
+    length buckets (``sampling.quality_bins`` on token count), form
+    deterministic fixed-size batches inside each bucket (ascending
+    (length, id) order), and account the padding a padded-batch trainer
+    would pay: every sequence in a batch pads to the batch max.
+
+    Output per (keys..., bucket): n_docs, n_batches, real_tokens,
+    padded_tokens, waste_frac = 1 - real/padded.  The whole point of
+    length bucketing is driving waste_frac down vs one global bucket —
+    run with n_buckets=1 for the baseline and compare.
+
+    Every aggregate is an integer (token counts, batch maxima); the one
+    double division happens last, so a SQL oracle matches bit-for-bit.
+
+    Scale shape: bucket assignment is the quality_bins rank window
+    (partition by ``by`` — per-group windows at corpus scale, see that
+    docstring); batch formation is a second window WITHIN (keys,
+    bucket), i.e. ~1/n_buckets of a group per task; the stats are two
+    grouped aggregations.  No data movement beyond those windows — this
+    is an audit over a manifest-sized relation (id, length), not the
+    text."""
+    from patternly_spark.operators.sampling import quality_bins
+    from pyspark.sql import Window
+
+    if n_buckets < 1 or batch_size < 1:
+        raise ValueError("n_buckets and batch_size must be >= 1")
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    w = (
+        F.col(weight_col)
+        if weight_col is not None
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    )
+    lens = docs.select(*keys, F.col(id_col), w.cast("long").alias("tok_len"))
+    binned = quality_bins(
+        lens, "tok_len", n_bins=n_buckets, by=by or None, id_col=id_col, out_col="bucket"
+    )
+    bw = Window.partitionBy(*keys, "bucket").orderBy(
+        F.col("tok_len").asc(), F.col(id_col).asc()
+    )
+    batched = binned.withColumn(
+        "batch", F.floor((F.row_number().over(bw) - 1) / F.lit(int(batch_size)))
+    )
+    per_batch = batched.groupBy(*keys, "bucket", "batch").agg(
+        F.count(F.lit(1)).alias("bn"),
+        F.max("tok_len").alias("bmax"),
+        F.sum("tok_len").alias("breal"),
+    )
+    padded = F.sum(F.col("bmax") * F.col("bn")).cast("long")
+    return per_batch.groupBy(*keys, "bucket").agg(
+        F.sum("bn").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_batches"),
+        F.sum("breal").cast("long").alias("real_tokens"),
+        padded.alias("padded_tokens"),
+        (
+            F.lit(1.0)
+            - F.sum("breal").cast("double") / F.sum(F.col("bmax") * F.col("bn")).cast("double")
+        ).alias("waste_frac"),
+    )
+
+
 def assign_shards(
     docs: DataFrame,
     *,

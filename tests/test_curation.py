@@ -223,3 +223,31 @@ def test_pack_sequences_more_shards_than_docs(spark):
     assert len(rows) == 2
     # each doc alone in its shard: offset 0, bin encodes the shard
     assert all(r["offset_in_bin"] == 0 and r["bin_id"] == r["shard"] for r in rows.values())
+
+
+def test_length_bucket_stats_arithmetic_and_waste_reduction(spark):
+    """Per-batch padding = bn * max(len) - sum(len); bucketing by length
+    must not increase total padded tokens vs one global bucket (equal
+    batch size, same rank order)."""
+    from patternly_spark.operators.packing import length_bucket_stats
+
+    # 8 short docs (1 token) + 8 long docs (5 tokens)
+    rows = [(i, "w") for i in range(8)] + [
+        (100 + i, "a b c d e") for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    two = length_bucket_stats(docs, n_buckets=2, batch_size=8).collect()
+    by_bucket = {r["bucket"]: r for r in two}
+    # bucket 1 = the 8 shorts (max 1, real 8, padded 8); bucket 2 = longs
+    assert by_bucket[1]["real_tokens"] == 8 and by_bucket[1]["padded_tokens"] == 8
+    assert by_bucket[1]["waste_frac"] == 0.0
+    assert by_bucket[2]["real_tokens"] == 40 and by_bucket[2]["padded_tokens"] == 40
+
+    one = length_bucket_stats(docs, n_buckets=1, batch_size=8).collect()
+    padded_one = sum(r["padded_tokens"] for r in one)
+    padded_two = sum(r["padded_tokens"] for r in two)
+    # ascending-length order keeps batches homogeneous even unbucketed
+    # here, so equality is allowed — bucketing must never be worse
+    assert padded_two <= padded_one
+    assert sum(r["n_docs"] for r in two) == 16

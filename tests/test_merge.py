@@ -69,3 +69,28 @@ def test_snapshot_diff_compare_subset(spark):
     new = spark.createDataFrame([(1, "y", 1.0)], "k long, s string, v double")
     (r,) = snapshot_diff(old, new, key_cols="k", compare_cols=["v"]).collect()
     assert r["status"] == "unchanged"  # s ignored
+
+
+def test_dataset_fingerprint_invariant_and_sensitive(spark):
+    """Equal content multisets fingerprint identically under any
+    partitioning/row order; changing one byte in one row moves the
+    checksum but not n_rows."""
+    from patternly_spark.operators.merge import dataset_fingerprint
+
+    rows = [(i, f"body {i}", "s") for i in range(97)]
+    a = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    b = spark.createDataFrame(list(reversed(rows)), "doc_id long, text string, source string").repartition(13)
+
+    fa = dataset_fingerprint(a, by="source").collect()[0]
+    fb = dataset_fingerprint(b, by="source").collect()[0]
+    assert (fa["n_rows"], fa["n_bytes"], fa["checksum"]) == (
+        fb["n_rows"], fb["n_bytes"], fb["checksum"]
+    )
+
+    mutated = [(i, "body X" if i == 42 else f"body {i}", "s") for i in range(97)]
+    fc = dataset_fingerprint(
+        spark.createDataFrame(mutated, "doc_id long, text string, source string"),
+        by="source",
+    ).collect()[0]
+    assert fc["n_rows"] == fa["n_rows"]
+    assert fc["checksum"] != fa["checksum"]
