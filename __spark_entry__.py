@@ -2968,6 +2968,88 @@ _Q119_ORACLE = """
 """
 
 
+def q120_pretraining_build(spark, sf_dir):
+    """Flagship end-to-end pretraining data build, one Catalyst plan:
+    corpus-frequency boilerplate removal (q115) -> normalized exact
+    dedup keeping canonicals (q20) -> minimum-length quality gate ->
+    serpentine token-balanced shard assignment (q59) -> per-shard
+    manifest counts.  Every stage is an already-oracled operator; the
+    q120 oracle chains their SQL replicas, so the gate proves the
+    stages COMPOSE (column contracts, null/empty-doc handling, ordering
+    determinism), not just work alone."""
+    from patternly_spark.operators.dedup import boilerplate_removal, exact_dedup
+    from patternly_spark.operators.packing import assign_shards
+
+    d = _t(spark, sf_dir, "documents")
+    cleaned = boilerplate_removal(d, block_tokens=3, max_doc_freq=3)
+    nonempty = cleaned.filter(F.col("n_kept") > 0).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    dd = exact_dedup(nonempty)
+    kept = nonempty.join(
+        dd.filter(~F.col("is_dup")).select("doc_id"), "doc_id"
+    )
+    tok_len = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    gated = kept.filter(tok_len >= 8)
+    shards = assign_shards(gated, n_shards=8)
+    return shards.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("weight").cast("long").alias("tokens"),
+    )
+
+
+_Q120_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), b AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               array_to_string(toks[(i*3+1):(i*3+3)], ' ') AS span
+        FROM t, unnest(range((len(toks)+2)//3)) AS u(i)
+    ), f AS (
+        SELECT doc_id, pos, span, md5(span) AS h FROM b WHERE span <> ''
+    ), freq AS (
+        SELECT h, COUNT(*) AS doc_freq FROM (SELECT DISTINCT h, doc_id FROM f)
+        GROUP BY h
+    ), r AS (
+        SELECT f.*, COALESCE(freq.doc_freq, 0) <= 3 AS kept
+        FROM f LEFT JOIN freq USING (h)
+    ), cleaned AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               COALESCE(string_agg(span, ' ' ORDER BY pos) FILTER (WHERE kept), '')
+                   AS text
+        FROM r GROUP BY doc_id
+    ), nonempty AS (
+        SELECT doc_id, text FROM cleaned WHERE n_kept > 0
+    ), hashed AS (
+        SELECT doc_id,
+               md5(array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' ')) AS ch
+        FROM nonempty
+    ), canon AS (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY ch) AS canonical FROM hashed
+    ), kept_docs AS (
+        SELECT n.doc_id, n.text
+        FROM nonempty n JOIN canon c ON c.doc_id = n.doc_id AND c.doc_id = c.canonical
+    ), gated AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS weight
+        FROM kept_docs
+        WHERE len(string_split_regex(trim(text), '\\s+')) >= 8
+    ), ranked AS (
+        SELECT doc_id, weight,
+               ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id ASC) - 1 AS rk
+        FROM gated
+    ), sharded AS (
+        SELECT doc_id, weight,
+               CAST(CASE WHEN (rk // 8) % 2 = 1 THEN 7 - (rk % 8) ELSE rk % 8 END AS INTEGER) AS shard
+        FROM ranked
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(weight) AS BIGINT) AS tokens
+    FROM sharded GROUP BY shard
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -3120,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_ann_recall": q117_ann_recall,
         "q118_length_bucket_stats": q118_length_bucket_stats,
         "q119_dataset_fingerprint": q119_dataset_fingerprint,
+        "q120_pretraining_build": q120_pretraining_build,
     }
 
 
@@ -4718,6 +4801,7 @@ def oracle_sql() -> dict[str, str]:
         "q117_ann_recall": _ann_recall_oracle(),
         "q118_length_bucket_stats": _Q118_ORACLE,
         "q119_dataset_fingerprint": _Q119_ORACLE,
+        "q120_pretraining_build": _Q120_ORACLE,
     }
 
 

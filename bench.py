@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "q117_ann_recall",
     "q118_length_bucket_stats",
     "q119_dataset_fingerprint",
+    "q120_pretraining_build",
 ]
 
 

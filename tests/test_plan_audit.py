@@ -107,3 +107,31 @@ def test_count_min_counters_single_shuffle(spark):
         count_min_counters(df, "item", depth=4, width=64), no_python=True
     )
     assert audit["exchanges"] == 1, audit
+
+
+def test_pretraining_build_composition_plan(spark):
+    """The q120-style composition (boilerplate -> exact dedup -> gate ->
+    shards -> manifest counts) must stay one healthy Catalyst plan: no
+    Python boundary, no nested-loop join, hot-vocabulary joined as
+    broadcast."""
+    from pyspark.sql import functions as F
+
+    from patternly_spark.operators.dedup import boilerplate_removal, exact_dedup
+    from patternly_spark.operators.packing import assign_shards
+    from patternly_spark.plans import assert_plan
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(12))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    cleaned = boilerplate_removal(docs, block_tokens=3, max_doc_freq=3)
+    nonempty = cleaned.filter(F.col("n_kept") > 0).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    dd = exact_dedup(nonempty)
+    kept = nonempty.join(dd.filter(~F.col("is_dup")).select("doc_id"), "doc_id")
+    gated = kept.filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 8)
+    out = assign_shards(gated, n_shards=4).groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    assert_plan(out, no_python=True, no_nested_loop=True, require_broadcast_join=True)

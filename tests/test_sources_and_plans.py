@@ -342,3 +342,41 @@ def test_aqe_splits_pathological_skew_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_training_shards_write_verify_prune(spark, tmp_path):
+    """Shard sink contract: balanced partitioned write + manifest;
+    verify_shards passes on intact data and flags a lost shard; reading
+    one shard prunes to its partition."""
+    from patternly_spark.plans import assert_plan
+    from patternly_spark.sources.shards import (
+        read_shard,
+        verify_shards,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (5 + i % 13))) for i in range(80)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, path, n_shards=4).collect()
+    assert len(manifest) == 4
+    assert sum(r["n_rows"] for r in manifest) == 80
+    # serpentine balancing: token totals within one stratum's spread
+    weights = sorted(r["weight_tokens"] for r in manifest)
+    assert weights[-1] - weights[0] <= 13
+
+    ver = verify_shards(spark, path)
+    assert all(r["ok"] for r in ver.collect())
+
+    one = read_shard(spark, path, 2)
+    assert one.count() == next(r["n_rows"] for r in manifest if r["shard"] == 2)
+    assert_plan(one, require_partition_filter=True)
+
+    # losing a shard's files must be caught
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "shards" / "shard=3"))
+    bad = {r["shard"]: r["ok"] for r in verify_shards(spark, path).collect()}
+    assert bad[3] is False and bad[2] is True
