@@ -3050,6 +3050,50 @@ _Q120_ORACLE = """
 """
 
 
+def q121_data_card(spark, sf_dir):
+    """Release data card in one pass: CUBE(lang, source) with doc/token
+    counts, short-doc counts and dyadic-exact mean quality at every
+    granularity (cells, marginals, grand total) —
+    operators/rollup.corpus_data_card."""
+    from patternly_spark.operators.rollup import corpus_data_card
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_data_card(d, dims=("lang", "source"), short_tokens=10)
+
+
+_Q121_ORACLE = """
+    WITH toks AS (
+        SELECT lang, source, text,
+               string_split(trim(text), ' ') AS t,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tok
+        FROM documents
+    ), scored AS (
+        SELECT lang, source,
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS tok,
+               (CASE WHEN CAST(length(text) AS DOUBLE) / n_tok >= 3.0
+                          AND CAST(length(text) AS DOUBLE) / n_tok <= 12.0
+                     THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN CAST(len(list_distinct(t)) AS DOUBLE) / n_tok < 1.0
+                       THEN CAST(len(list_distinct(t)) AS DOUBLE) / n_tok
+                       ELSE 1.0 END) * 0.3
+               + (CASE WHEN len(list_filter(t, x -> x IN ('the','a','of','and','to'))) > 0
+                       THEN 0.3 ELSE 0.0 END) AS q
+        FROM toks
+    ), feats AS (
+        SELECT lang, source, tok,
+               CAST(FLOOR(q * 1048576.0) AS BIGINT) AS qq
+        FROM scored
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS tokens,
+           CAST(SUM(CASE WHEN tok < 10 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs,
+           (CAST(SUM(qq) AS DOUBLE) / 1048576.0) / CAST(COUNT(*) AS DOUBLE) AS mean_quality
+    FROM feats GROUP BY CUBE(lang, source)
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -3203,6 +3247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_length_bucket_stats": q118_length_bucket_stats,
         "q119_dataset_fingerprint": q119_dataset_fingerprint,
         "q120_pretraining_build": q120_pretraining_build,
+        "q121_data_card": q121_data_card,
     }
 
 
@@ -4802,6 +4847,7 @@ def oracle_sql() -> dict[str, str]:
         "q118_length_bucket_stats": _Q118_ORACLE,
         "q119_dataset_fingerprint": _Q119_ORACLE,
         "q120_pretraining_build": _Q120_ORACLE,
+        "q121_data_card": _Q121_ORACLE,
     }
 
 

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "q118_length_bucket_stats",
     "q119_dataset_fingerprint",
     "q120_pretraining_build",
+    "q121_data_card",
 ]
 
 

@@ -279,6 +279,54 @@ def gapfill(
     )
 
 
+def corpus_data_card(
+    docs: DataFrame,
+    *,
+    dims: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+    short_tokens: int = 10,
+) -> DataFrame:
+    """Corpus "data card": one CUBE over the dimension columns with the
+    summary every dataset release ships — document and token counts,
+    short-document counts, mean quality score — at every granularity
+    (per lang x source cell, per-lang and per-source marginals, grand
+    total) in ONE pass.
+
+    The mean quality is cross-engine exact: the per-doc composite score
+    (functions/text.quality_score, already SQL-replicated by q19) is
+    floor-quantized to the 2^-20 dyadic grid and summed as longs, so
+    the group means are identical under any partitioning/engine
+    (integer sums; one final division).
+
+    Scale shape: CUBE(d1..dk) expands each row to 2^k grouping keys
+    before ONE partial-aggregating shuffle — for the 2-3 release
+    dimensions that is a small constant fan-out, and the shuffle
+    carries only (keys, 4 longs).  Never joins, never sorts."""
+    from patternly_spark.functions.text import quality_score
+
+    scale = float(1 << 20)
+    tok = (
+        F.size(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")))
+        .cast("long")
+    )
+    base = docs.select(
+        *dims,
+        tok.alias("__tok"),
+        F.floor(quality_score(text_col) * F.lit(scale)).cast("long").alias("__qq"),
+    )
+    n = F.count(F.lit(1))
+    return base.cube(*dims).agg(
+        n.cast("long").alias("n_docs"),
+        F.sum("__tok").cast("long").alias("tokens"),
+        F.sum(F.when(F.col("__tok") < int(short_tokens), 1).otherwise(0))
+        .cast("long")
+        .alias("short_docs"),
+        ((F.sum("__qq").cast("double") / F.lit(scale)) / n.cast("double")).alias(
+            "mean_quality"
+        ),
+    )
+
+
 def rollup_distinct(
     df: DataFrame,
     *,

@@ -842,3 +842,47 @@ def test_streaming_boilerplate_registry_matches_batch(spark, tmp_path):
     assert (out["n_spans"], out["n_kept"], out["text_clean"]) == (
         want_row["n_spans"], want_row["n_kept"], want_row["text_clean"]
     )
+
+
+def test_streaming_ingest_shards_manifest_parity_and_verify(spark, tmp_path):
+    """Additive-manifest law: after two appended microbatches the
+    registry equals dataset_fingerprint of the union (hash-shard
+    assignment replayed batch-side), and verify_shards passes on the
+    accumulated files."""
+    from patternly_spark.operators.merge import dataset_fingerprint
+    from patternly_spark.sources.shards import verify_shards
+    from patternly_spark.streaming.shards import hash_shard, streaming_ingest_shards
+
+    schema = "doc_id long, text string"
+    b0 = [(i, f"body {i} alpha") for i in range(20)]
+    b1 = [(100 + i, f"body {100 + i} beta") for i in range(20)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    path = str(tmp_path / "shards")
+    q = streaming_ingest_shards(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        path,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        n_shards=4,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    union = spark.createDataFrame(b0 + b1, schema).withColumn(
+        "shard", hash_shard("doc_id", 4)
+    )
+    want = {
+        r["shard"]: (r["n_rows"], r["n_bytes"], r["checksum"])
+        for r in dataset_fingerprint(union, by="shard").collect()
+    }
+    got = {
+        r["shard"]: (r["n_rows"], r["n_bytes"], r["checksum"])
+        for r in spark.read.parquet(str(tmp_path / "shards" / "_manifest")).collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == 40
+
+    ver = verify_shards(spark, path)
+    assert all(r["ok"] for r in ver.collect())
