@@ -48,6 +48,56 @@ def read_sequence_csv(
     )
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: str | None = None,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines corpus ingestion with explicit bad-line capture — the
+    wire format most text corpora actually arrive in (one JSON doc per
+    line, a few of them broken).
+
+    PERMISSIVE mode keeps malformed lines instead of failing the job or
+    silently dropping them: a parse failure lands its raw line in
+    ``corrupt_col`` (null everywhere else), so the pipeline can count /
+    quarantine / re-parse them — at 100 TB "a few bad lines" is
+    millions of rows, and dropping them unobserved is a data bug.
+
+    ``schema``: DDL string.  Explicitly providing one skips Spark's
+    whole-corpus inference pass (2 scans -> 1) and is REQUIRED for the
+    corrupt column to populate (Spark only materializes it when it is
+    part of the declared schema) — so at scale always pass a schema;
+    ``None`` infers and adds ``corrupt_col`` to the inferred fields via
+    a sampled first pass.
+
+    Scale shape: line-splittable text scan — no shuffle; filters on
+    parsed columns push into the scan like any json source.
+
+    Caveat (SPARK-21610): a query that references ONLY ``corrupt_col``
+    is disallowed by Spark — always select a data column alongside it
+    when counting/quarantining bad lines."""
+    if schema is None:
+        inferred = spark.read.json(path).schema
+        fields = [f for f in inferred.fields if f.name != corrupt_col]
+        from pyspark.sql.types import StructField, StructType, StringType
+
+        schema_t = StructType(list(fields) + [StructField(corrupt_col, StringType())])
+    else:
+        from pyspark.sql.types import StructField, StringType, StructType
+
+        base = StructType.fromDDL(schema)
+        schema_t = base.add(StructField(corrupt_col, StringType()))
+
+    return (
+        spark.read.schema(schema_t)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
 def read_symbol_stream(spark: SparkSession, path: str) -> DataFrame:
     """One symbol per line (examples/data/data1 shape) -> (offset, symbol).
 

@@ -403,3 +403,32 @@ def test_canonical_url_cross_engine(spark):
     con.register("u", __import__("pandas").DataFrame({"url": urls}))
     want = [r[0] for r in con.execute(sql).fetchall()]
     assert got == want
+
+
+def test_compression_ratio_orders_repetitive_below_prose(spark):
+    """The zlib signal: template/repetitive text compresses far below
+    natural prose; empty text scores the neutral 1.0; values replicate
+    plain-Python zlib at the same level."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from patternly_spark.functions.text import compression_ratio
+
+    rep = "click here to subscribe " * 40
+    prose = (
+        "He folded the map along its worn creases, tracing the river "
+        "until it vanished into the blank margin where the survey ended."
+    )
+    df = spark.createDataFrame(
+        [(1, rep), (2, prose), (3, "")], "id long, text string"
+    )
+    got = {
+        r["id"]: r["ratio"]
+        for r in df.select("id", compression_ratio("text").alias("ratio")).collect()
+    }
+    assert got[1] < 0.2 < got[2]
+    assert got[3] == 1.0
+    for i, s in ((1, rep), (2, prose)):
+        want = len(zlib.compress(s.encode(), 6)) / len(s.encode())
+        assert got[i] == want

@@ -380,3 +380,36 @@ def test_training_shards_write_verify_prune(spark, tmp_path):
     shutil.rmtree(str(tmp_path / "shards" / "shard=3"))
     bad = {r["shard"]: r["ok"] for r in verify_shards(spark, path).collect()}
     assert bad[3] is False and bad[2] is True
+
+
+def test_read_jsonl_captures_corrupt_lines(spark, tmp_path):
+    """PERMISSIVE JSONL ingestion: good lines parse, malformed lines
+    land intact in _corrupt_record instead of failing or vanishing —
+    with both an explicit DDL schema (the at-scale path) and inference."""
+    from patternly_spark.sources.loaders import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "beta"}\n'
+        '{"doc_id": 3 "text": "missing comma"}\n'
+    )
+    df = read_jsonl(spark, str(p), schema="doc_id long, text string")
+    rows = df.collect()
+    assert len(rows) == 4
+    good = {r["doc_id"]: r["text"] for r in rows if r["_corrupt_record"] is None}
+    bad = [r["_corrupt_record"] for r in rows if r["_corrupt_record"] is not None]
+    assert good == {1: "alpha", 2: "beta"}
+    assert len(bad) == 2 and "not json" in bad[0] + bad[1]
+
+    inferred = read_jsonl(spark, str(p))
+    assert "_corrupt_record" in inferred.columns
+    # NB: a query referencing ONLY the corrupt column is disallowed by
+    # Spark (SPARK-21610) — select a data column alongside it
+    n_bad = sum(
+        1
+        for r in inferred.select("doc_id", "_corrupt_record").collect()
+        if r["_corrupt_record"] is not None
+    )
+    assert n_bad == 2
