@@ -3094,6 +3094,104 @@ _Q121_ORACLE = """
 """
 
 
+def q122_epoch_shuffle(spark, sf_dir):
+    """Reproducible training order: 2 epochs x 4 shards of
+    deterministic per-epoch permutations (fresh md5 key per epoch,
+    rank-within-shard positions; no global sort) —
+    operators/sampling.epoch_shuffle.  The oracle replays the md5
+    arithmetic and per-(epoch, shard) ROW_NUMBER exactly."""
+    from patternly_spark.operators.sampling import epoch_shuffle
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(d, n_epochs=2, n_shards=4)
+
+
+_Q122_ORACLE = """
+    WITH e AS (
+        SELECT doc_id, CAST(i AS INT) AS epoch
+        FROM documents, unnest(range(2)) AS u(i)
+    ), keyed AS (
+        SELECT doc_id, epoch,
+               ('0x' || substr(md5(':' || CAST(epoch AS VARCHAR) || ':'
+                               || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
+        FROM e
+    )
+    SELECT doc_id, epoch,
+           CAST(k % 4 AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY epoch, k % 4
+                                   ORDER BY k ASC, doc_id ASC) - 1 AS BIGINT) AS pos
+    FROM keyed
+"""
+
+
+def q123_contamination_report(spark, sf_dir):
+    """Release-gate contamination report: per-source document counts,
+    flagged counts/rates and dyadic-exact mean contamination against
+    the benchmark shingle set (q34's exact operator rolled up by
+    source) — the table a dataset release reviews before shipping.
+    Integer/dyadic aggregates; one final division per rate."""
+    from patternly_spark.operators.decontam import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    scored = decontaminate(d, bench, shingle_size=3, threshold=0.2)
+    joined = scored.join(d.select("doc_id", "source"), "doc_id")
+    n = F.count(F.lit(1))
+    scale = F.lit(float(1 << 20))
+    cq = F.floor(
+        (F.col("n_hits").cast("double") / F.col("n_shingles").cast("double")) * scale
+    ).cast("long")
+    return joined.select("source", "contaminated", cq.alias("__cq")).groupBy(
+        "source"
+    ).agg(
+        n.cast("long").alias("n_docs"),
+        F.sum(F.col("contaminated").cast("long")).alias("n_flagged"),
+        (F.sum(F.col("contaminated").cast("long")).cast("double") / n.cast("double"))
+        .alias("flag_rate"),
+        ((F.sum("__cq").cast("double") / scale) / n.cast("double")).alias(
+            "mean_contamination"
+        ),
+    )
+
+
+_Q123_ORACLE = """
+    WITH toks_t AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), sh AS (
+        SELECT doc_id, source,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+               ELSE [array_to_string(toks, ' ')] END AS shingles
+        FROM toks_t
+    ), bench AS (
+        SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 41 = 0
+    ), ex AS (
+        SELECT doc_id, source, unnest(shingles) AS s FROM sh
+    ), agg AS (
+        SELECT ex.doc_id, ex.source,
+               COUNT(*) AS n_shingles,
+               SUM(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+        FROM ex LEFT JOIN bench ON ex.s = bench.s
+        GROUP BY ex.doc_id, ex.source
+    ), per_doc AS (
+        SELECT source,
+               CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.2 AS contaminated,
+               CAST(FLOOR((CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE))
+                          * 1048576.0) AS BIGINT) AS cq
+        FROM agg
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS flag_rate,
+           (CAST(SUM(cq) AS DOUBLE) / 1048576.0) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_contamination
+    FROM per_doc GROUP BY source
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -3248,6 +3346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_dataset_fingerprint": q119_dataset_fingerprint,
         "q120_pretraining_build": q120_pretraining_build,
         "q121_data_card": q121_data_card,
+        "q122_epoch_shuffle": q122_epoch_shuffle,
+        "q123_contamination_report": q123_contamination_report,
     }
 
 
@@ -4848,6 +4948,8 @@ def oracle_sql() -> dict[str, str]:
         "q119_dataset_fingerprint": _Q119_ORACLE,
         "q120_pretraining_build": _Q120_ORACLE,
         "q121_data_card": _Q121_ORACLE,
+        "q122_epoch_shuffle": _Q122_ORACLE,
+        "q123_contamination_report": _Q123_ORACLE,
     }
 
 

@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "q119_dataset_fingerprint",
     "q120_pretraining_build",
     "q121_data_card",
+    "q122_epoch_shuffle",
+    "q123_contamination_report",
 ]
 
 

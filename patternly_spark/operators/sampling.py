@@ -98,6 +98,66 @@ def per_key_cap(
     )
 
 
+def epoch_shuffle(
+    docs: DataFrame,
+    *,
+    n_epochs: int = 1,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Reproducible per-epoch training order WITHOUT a global sort:
+    for each epoch, every document gets a fresh pseudo-random 60-bit
+    key (md5 of seed:epoch:id), the key's low bits pick a shard, and
+    rank-within-shard gives the read position — so each worker streams
+    its shard sequentially while the corpus-wide order is a fresh
+    deterministic permutation every epoch (same seed => same order on
+    any cluster, any partitioning: the reproducibility a training run
+    needs to resume mid-epoch).
+
+    Output: (id, epoch, shard, pos) with pos 0-based within (epoch,
+    shard).
+
+    Scale shape: the epoch fan-out is a row-local explode; shard
+    assignment is arithmetic on the key; the only ordering work is a
+    rank window PER (epoch, shard) — 1/(E*S) of the corpus per task,
+    never a global sort.  md5-derived, so an external SQL engine
+    replays the full permutation bit-for-bit."""
+    from pyspark.sql import Window
+
+    if n_epochs < 1 or n_shards < 1:
+        raise ValueError("n_epochs and n_shards must be >= 1")
+    epochs = docs.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_epochs) - 1))).alias("epoch"),
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(seed), F.col("epoch").cast("string"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = epochs.select(
+        id_col, "epoch", key.alias("__k"),
+        (key % F.lit(int(n_shards))).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy(F.col("__k").asc(), F.col(id_col).asc())
+    return keyed.select(
+        id_col,
+        "epoch",
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )
+
+
 def mixture_weights(
     docs: DataFrame,
     targets: dict[str, float],

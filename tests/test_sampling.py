@@ -245,3 +245,26 @@ def test_epoch_mixture_upsamples_rare_source(spark):
     # big: rate 0.1 -> ~100 of 1000 docs
     nbig = out.filter("source = 'big'").count()
     assert 60 <= nbig <= 140
+
+
+def test_epoch_shuffle_fresh_order_per_epoch_and_contiguous(spark):
+    """Each epoch is a fresh deterministic permutation: per-(epoch,
+    shard) positions are 0..n-1 contiguous, every doc appears once per
+    epoch, and epoch orders differ; identical under repartitioning."""
+    from patternly_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.createDataFrame([(i,) for i in range(64)], "doc_id long")
+    out = epoch_shuffle(docs, n_epochs=2, n_shards=4).toPandas()
+    assert len(out) == 128
+    for (ep, sh), grp in out.groupby(["epoch", "shard"]):
+        assert sorted(grp["pos"]) == list(range(len(grp)))
+    per_epoch = {
+        ep: grp.sort_values("doc_id")[["shard", "pos"]].to_records(index=False).tolist()
+        for ep, grp in out.groupby("epoch")
+    }
+    assert per_epoch[0] != per_epoch[1]  # fresh permutation per epoch
+
+    again = epoch_shuffle(docs.repartition(7), n_epochs=2, n_shards=4).toPandas()
+    a = out.sort_values(["epoch", "doc_id"], ignore_index=True)
+    b = again.sort_values(["epoch", "doc_id"], ignore_index=True)
+    assert a.equals(b)
