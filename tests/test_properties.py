@@ -199,3 +199,94 @@ def test_packing_block_arithmetic_law(toks, budget):
         assert spans == len(touched) == max(touched) - min(touched) + 1
         assert 0 <= offset < budget and offset == start - bin_id * budget
         pos += n
+
+
+# ---------------------------------------------------------------------------
+# Dataset fingerprint: the checksum is an integer SUM of 60-bit per-row
+# md5 prefixes, so fingerprints are ADDITIVE over a disjoint partition of
+# the rows — checksum(union) == sum of part checksums (mod nothing: the
+# decimal sum never wraps), and n_rows/n_bytes add likewise.  Replica of
+# the arithmetic in operators/merge.dataset_fingerprint.
+# ---------------------------------------------------------------------------
+
+def _fp_replica(rows):
+    import hashlib
+
+    n_bytes = sum(len(t) for _, t in rows)
+    csum = sum(
+        int(hashlib.md5(f"{i}:{t}".encode("utf-8")).hexdigest()[:15], 16)
+        for i, t in rows
+    )
+    return len(rows), n_bytes, csum
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="abc XYZ09", max_size=40), min_size=1, max_size=30),
+    cut=st.integers(0, 29),
+)
+def test_fingerprint_additivity_law(texts, cut):
+    rows = list(enumerate(texts))
+    k = min(cut, len(rows))
+    n_a, b_a, c_a = _fp_replica(rows[:k])
+    n_b, b_b, c_b = _fp_replica(rows[k:])
+    n_u, b_u, c_u = _fp_replica(rows)
+    assert (n_a + n_b, b_a + b_b, c_a + c_b) == (n_u, b_u, c_u)
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate removal law (plain replica of the span semantics): for any
+# corpus and threshold, (a) kept spans per doc never exceed total spans,
+# (b) a span's occurrences are either ALL kept or ALL dropped (the
+# frequency rule is global), and (c) raising max_doc_freq never drops
+# more.
+# ---------------------------------------------------------------------------
+
+def _boiler_replica(docs, max_doc_freq):
+    from collections import Counter
+
+    spans = {i: [s for s in t.split("\n") if s != ""] for i, t in docs}
+    df = Counter()
+    for i, ss in spans.items():
+        for s in set(ss):
+            df[s] += 1
+    kept = {i: [s for s in ss if df[s] <= max_doc_freq] for i, ss in spans.items()}
+    return spans, kept, df
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["nav", "menu", "a", "b", "c", "d"]), max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    k=st.integers(1, 4),
+)
+def test_boilerplate_replica_laws(docs, k):
+    corpus = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    spans, kept, df = _boiler_replica(corpus, k)
+    for i in spans:
+        assert len(kept[i]) <= len(spans[i])
+        dropped = [s for s in spans[i] if df[s] > k]
+        assert len(kept[i]) + len(dropped) == len(spans[i])
+    _, kept_looser, _ = _boiler_replica(corpus, k + 1)
+    for i in spans:
+        assert len(kept_looser[i]) >= len(kept[i])
+
+
+# ---------------------------------------------------------------------------
+# top-k recall bounds: 0 <= recall <= 1 and n_common <= min(n_exact,
+# n_approx) for any pair of relations (set replica of the join+count).
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(
+    exact=st.sets(st.integers(0, 20), min_size=1, max_size=10),
+    approx=st.sets(st.integers(0, 20), max_size=10),
+)
+def test_topk_recall_bounds_law(exact, approx):
+    n_common = len(exact & approx)
+    recall = n_common / len(exact)
+    assert 0.0 <= recall <= 1.0
+    assert n_common <= len(exact) and n_common <= len(approx)
