@@ -3192,6 +3192,49 @@ _Q123_ORACLE = """
 """
 
 
+def q124_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (Rabin-Karp CDC): boundaries where the
+    4-gram hash ≡ 0 (mod 8), so chunk alignment survives edits — the
+    dedup-storage/incremental-sync primitive
+    (operators/packing.content_defined_chunks).  Pure array
+    expressions, zero shuffle; the oracle replays every boundary."""
+    from patternly_spark.operators.packing import content_defined_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    return content_defined_chunks(d, kgram=4, boundary_mod=8)
+
+
+_Q124_ORACLE = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               CASE WHEN len(toks) >= 4 THEN
+                   list_transform(range(0, len(toks) - 3),
+                       i -> ('0x' || substr(md5(concat_ws(' ', toks[i+1], toks[i+2],
+                                                          toks[i+3], toks[i+4])), 1, 8))::BIGINT % 8)
+               ELSE [] END AS h
+        FROM t
+    ), b AS (
+        SELECT doc_id, toks, n,
+               list_concat(list_concat([0],
+                   list_filter(range(1, GREATEST(n - 4, 0) + 1),
+                               p -> n >= 5 AND h[p + 1] = 0)), [n]) AS bounds
+        FROM g WHERE n > 0
+    ), sp AS (
+        SELECT doc_id, toks, bounds, unnest(range(len(bounds) - 1)) AS ci FROM b
+    )
+    SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+           CAST(bounds[ci + 1] AS BIGINT) AS start_tok,
+           CAST(bounds[ci + 2] AS BIGINT) AS end_tok,
+           CAST(bounds[ci + 2] - bounds[ci + 1] AS BIGINT) AS n_tokens,
+           array_to_string(toks[(bounds[ci + 1] + 1):(bounds[ci + 2])], ' ') AS chunk_text
+    FROM sp
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -3348,6 +3391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_data_card": q121_data_card,
         "q122_epoch_shuffle": q122_epoch_shuffle,
         "q123_contamination_report": q123_contamination_report,
+        "q124_cdc_chunks": q124_cdc_chunks,
     }
 
 
@@ -4950,6 +4994,7 @@ def oracle_sql() -> dict[str, str]:
         "q121_data_card": _Q121_ORACLE,
         "q122_epoch_shuffle": _Q122_ORACLE,
         "q123_contamination_report": _Q123_ORACLE,
+        "q124_cdc_chunks": _Q124_ORACLE,
     }
 
 

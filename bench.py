@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "q121_data_card",
     "q122_epoch_shuffle",
     "q123_contamination_report",
+    "q124_cdc_chunks",
 ]
 
 

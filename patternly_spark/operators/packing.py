@@ -126,6 +126,99 @@ def chunk_documents(
     )
 
 
+def content_defined_chunks(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    kgram: int = 4,
+    boundary_mod: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (Rabin-Karp CDC, the dedup-storage /
+    incremental-sync primitive): a chunk boundary falls BEFORE every
+    token position whose k-gram hash ≡ 0 (mod ``boundary_mod``), so
+    boundaries are a function of CONTENT, not offsets — insert a
+    paragraph at the top of a document and every chunk after the edit
+    region re-aligns byte-identically (fixed-size chunking shifts every
+    subsequent chunk, defeating downstream chunk-hash dedup).  Expected
+    chunk length ≈ ``boundary_mod`` tokens.
+
+    Output: (id, chunk_idx, start_tok, end_tok, n_tokens, chunk_text)
+    with half-open token spans covering the document exactly.
+
+    Scale shape: gram hashes come out of ONE posexplode (each md5
+    evaluated exactly once, as rows — the array-expression form
+    degenerates to O(n_grams^2) md5 via CollapseProject re-inlining,
+    the same hazard winnow_fingerprints documents); only the SPARSE
+    boundary positions (~n/boundary_mod ints per doc) shuffle back
+    through a groupBy(id), and span construction is array arithmetic
+    on materialized columns.  md5-derived, so an external SQL engine
+    replays every boundary bit-for-bit (q124)."""
+    from patternly_spark.functions.text import shingle_hash
+
+    k = int(kgram)
+    mod = int(boundary_mod)
+    if k < 1 or mod < 1:
+        raise ValueError("kgram and boundary_mod must be >= 1")
+
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    staged = docs.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    n = F.size("__toks")
+    gram_idx = F.sequence(F.lit(1), F.greatest(n - k, F.lit(0)))
+    grams = F.when(
+        n >= k + 1,
+        F.transform(
+            gram_idx,
+            lambda i: F.struct(
+                i.alias("p"),
+                F.concat_ws(
+                    " ",
+                    *[F.element_at(F.col("__toks"), (i + j + 1).cast("int")) for j in range(k)],
+                ).alias("g"),
+            ),
+        ),
+    )  # null (no interior grams) -> posexplode emits nothing
+    # one generator materializes the grams as rows: each md5 runs once
+    cand = staged.select(F.col(id_col), F.explode(grams).alias("__pg")).select(
+        id_col, F.col("__pg.p").alias("__p"), F.col("__pg.g").alias("__g")
+    )
+    mids = (
+        cand.filter(shingle_hash(F.col("__g")) % mod == 0)
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("__p")).alias("__mids"))
+    )
+    joined = staged.join(mids, id_col, "left").select(
+        id_col,
+        "__toks",
+        F.concat(
+            F.array(F.lit(0)),
+            F.coalesce("__mids", F.array().cast("array<int>")),
+            F.array(F.size("__toks")),
+        ).alias("__bounds"),
+    )
+    spans = F.transform(
+        F.sequence(F.lit(0), F.size("__bounds") - 2),
+        lambda i: F.struct(
+            F.element_at(F.col("__bounds"), (i + 1).cast("int")).alias("s"),
+            F.element_at(F.col("__bounds"), (i + 2).cast("int")).alias("e"),
+        ),
+    )
+    exploded = joined.select(
+        id_col, "__toks", F.posexplode(spans).alias("chunk_idx", "__sp")
+    )
+    s, e = F.col("__sp.s"), F.col("__sp.e")
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        s.cast("long").alias("start_tok"),
+        e.cast("long").alias("end_tok"),
+        (e - s).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.slice("__toks", s + 1, e - s)).alias("chunk_text"),
+    )
+
+
 def length_bucket_stats(
     docs: DataFrame,
     *,

@@ -251,3 +251,35 @@ def test_length_bucket_stats_arithmetic_and_waste_reduction(spark):
     # here, so equality is allowed — bucketing must never be worse
     assert padded_two <= padded_one
     assert sum(r["n_docs"] for r in two) == 16
+
+
+def test_cdc_chunks_cover_and_realign_after_edit(spark):
+    """Content-defined chunking laws: spans tile each doc exactly
+    (half-open, contiguous, start 0, end n); empty docs emit no chunks;
+    sub-k-gram docs emit one whole-doc chunk; and — the CDC point — a
+    prefix insertion preserves the chunk CONTENT after the first
+    post-edit boundary, where fixed-size chunking would shift every
+    chunk."""
+    from patternly_spark.operators.packing import content_defined_chunks
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+        "nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, "INSERTED PREFIX " + base), (3, ""), (4, "tiny doc")],
+        "doc_id long, text string",
+    )
+    out = content_defined_chunks(docs, kgram=3, boundary_mod=4).toPandas()
+
+    for _, g in out.groupby("doc_id"):
+        g = g.sort_values("chunk_idx")
+        assert g.iloc[0]["start_tok"] == 0
+        assert (g["end_tok"].shift(1)[1:] == g["start_tok"][1:]).all()
+        assert (g["n_tokens"] == g["end_tok"] - g["start_tok"]).all()
+    assert 3 not in set(out.doc_id)
+    assert len(out[out.doc_id == 4]) == 1 and out[out.doc_id == 4].iloc[0]["chunk_text"] == "tiny doc"
+
+    c1 = set(out[out.doc_id == 1].chunk_text)
+    c2 = set(out[out.doc_id == 2].chunk_text)
+    assert len(c1 & c2) >= len(c1) - 2  # only chunks touching the edit change
