@@ -3235,6 +3235,37 @@ _Q124_ORACLE = """
 """
 
 
+def q125_ema(spark, sf_dir):
+    """Per-user exponential moving average of event values in
+    (ts, event_id) order with dyadic alpha=0.25
+    (operators/temporal.ema): one deterministic left fold per key, so
+    the recursive-CTE replay of the same IEEE recurrence matches
+    bit-for-bit.  Output keyed by event_id (timestamps ride inside the
+    ordering only — cross-engine timestamp render is the one thing this
+    oracle deliberately avoids)."""
+    from patternly_spark.operators.temporal import ema
+
+    e = _t(spark, sf_dir, "events")
+    out = ema(e, "value", by="user_id", order_col=["ts", "event_id"], alpha=0.25)
+    return out.select("user_id", "event_id", "value", "ema")
+
+
+_Q125_ORACLE = """
+    WITH RECURSIVE base AS (
+        SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events
+    ), r AS (
+        SELECT user_id, event_id, v, rn, v AS ema FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.user_id, b.event_id, b.v, b.rn, 0.25 * b.v + 0.75 * r.ema
+        FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, v AS value, ema FROM r
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -3392,6 +3423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_epoch_shuffle": q122_epoch_shuffle,
         "q123_contamination_report": q123_contamination_report,
         "q124_cdc_chunks": q124_cdc_chunks,
+        "q125_ema": q125_ema,
     }
 
 
@@ -4995,6 +5027,7 @@ def oracle_sql() -> dict[str, str]:
         "q122_epoch_shuffle": _Q122_ORACLE,
         "q123_contamination_report": _Q123_ORACLE,
         "q124_cdc_chunks": _Q124_ORACLE,
+        "q125_ema": _Q125_ORACLE,
     }
 
 

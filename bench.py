@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "q122_epoch_shuffle",
     "q123_contamination_report",
     "q124_cdc_chunks",
+    "q125_ema",
 ]
 
 

@@ -281,3 +281,59 @@ def stream_stream_asof_join(
         F.col("__m.t").alias(on + suffix),
         *[F.col(f"__m.{c}{suffix}") for c in right_cols],
     )
+
+
+def ema(
+    events: DataFrame,
+    value_col: str,
+    *,
+    by: str | list[str],
+    order_col: str | list[str],
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Per-key exponential moving average — the time-series smoother
+    every monitoring rollup wants next to gapfill/MAD: ema_1 = v_1,
+    ema_t = alpha * v_t + (1 - alpha) * ema_{t-1} over the key's events
+    in ``order_col`` order.
+
+    EMA is inherently sequential, so it is computed as ONE deterministic
+    left fold per key: collect the key's series sorted, fold once,
+    re-explode.  The fold order is total (order cols then values), so
+    the IEEE operation sequence is fixed — with a dyadic ``alpha``
+    (0.25, 0.5, ...) an external engine replaying the same recurrence
+    (recursive CTE) matches bit-for-bit.
+
+    Scale: one shuffle on ``by``; each key's series materializes in its
+    task (the same per-key-bounded contract as sessionize/sequence
+    ops).  For a single astronomically long key, window the key first.
+
+    Output: (keys..., order cols..., value, ema).
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
+    a = float(alpha)
+    if not (0.0 < a <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+
+    row = F.struct(*[F.col(c) for c in order], F.col(value_col).cast("double").alias("__v"))
+    seqs = events.groupBy(*keys).agg(F.array_sort(F.collect_list(row)).alias("__xs"))
+    emas = F.aggregate(
+        F.col("__xs"),
+        F.array().cast("array<double>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(
+                    F.size(acc) > 0,
+                    F.lit(a) * x["__v"] + F.lit(1.0 - a) * F.element_at(acc, -1),
+                ).otherwise(x["__v"])
+            ),
+        ),
+    )
+    zipped = seqs.select(*keys, F.posexplode(F.arrays_zip("__xs", emas.alias("__e"))).alias("__i", "__z"))
+    return zipped.select(
+        *keys,
+        *[F.col(f"__z.__xs.{c}").alias(c) for c in order],
+        F.col("__z.__xs.__v").alias("value"),
+        F.col("__z.__e").alias("ema"),
+    )

@@ -326,3 +326,24 @@ def test_stream_stream_asof_true_stream(spark, ts_streams, tmp_path):
         .toPandas()
     )
     assert got.equals(want)
+
+
+def test_ema_recurrence_and_partition_invariance(spark):
+    """ema_1 = v_1; ema_t = a*v_t + (1-a)*ema_{t-1} in order; identical
+    under repartitioning (the fold order is total)."""
+    from patternly_spark.operators.temporal import ema
+
+    rows = [("u", i, float(v)) for i, v in enumerate([4, 8, 0, 16])] + [("w", 0, 2.0)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = {(r["k"], r["t"]): r["ema"] for r in ema(df, "v", by="k", order_col="t", alpha=0.25).collect()}
+    assert out[("u", 0)] == 4.0
+    assert out[("u", 1)] == 0.25 * 8 + 0.75 * 4.0
+    assert out[("u", 2)] == 0.75 * out[("u", 1)]
+    assert out[("u", 3)] == 0.25 * 16 + 0.75 * out[("u", 2)]
+    assert out[("w", 0)] == 2.0
+
+    again = {
+        (r["k"], r["t"]): r["ema"]
+        for r in ema(df.repartition(5), "v", by="k", order_col="t", alpha=0.25).collect()
+    }
+    assert again == out
