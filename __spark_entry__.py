@@ -3266,6 +3266,64 @@ _Q125_ORACLE = """
 """
 
 
+def q126_chunk_dedup_report(spark, sf_dir):
+    """What CDC buys you: hash the content-defined chunks (q124),
+    keep-first by (doc_id, chunk_idx), and report per document how many
+    chunks — and what fraction of its tokens — already exist elsewhere
+    in the corpus.  The storage-dedup / incremental-sync accounting
+    table.  First-occurrence is a min(struct) AGGREGATION on the chunk
+    hash (hot chunks collapse map-side), never a window."""
+    from patternly_spark.operators.packing import content_defined_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    ch = content_defined_chunks(d, kgram=4, boundary_mod=8)
+    hashed = ch.select(
+        "doc_id", "chunk_idx", "n_tokens", F.md5("chunk_text").alias("h")
+    )
+    firsts = hashed.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("first")
+    )
+    flagged = hashed.join(firsts, "h").withColumn(
+        "dup",
+        ~(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("chunk_idx") == F.col("first.chunk_idx"))
+        ),
+    )
+    total = F.sum("n_tokens")
+    dup_toks = F.sum(F.when(F.col("dup"), F.col("n_tokens")).otherwise(F.lit(0)))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.col("dup").cast("long")).alias("n_dup_chunks"),
+        total.cast("long").alias("tokens"),
+        dup_toks.cast("long").alias("dup_tokens"),
+        (dup_toks.cast("double") / total.cast("double")).alias("dup_token_frac"),
+    )
+
+
+def _chunk_dedup_report_oracle() -> str:
+    return f"""
+        WITH chunks AS (
+            SELECT doc_id, chunk_idx, n_tokens, chunk_text FROM ({_Q124_ORACLE})
+        ), hashed AS (
+            SELECT doc_id, chunk_idx, n_tokens, md5(chunk_text) AS h FROM chunks
+        ), flagged AS (
+            SELECT doc_id, chunk_idx, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY h
+                                      ORDER BY doc_id ASC, chunk_idx ASC) > 1 AS dup
+            FROM hashed
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+               CAST(SUM(CASE WHEN dup THEN n_tokens ELSE 0 END) AS BIGINT) AS dup_tokens,
+               CAST(SUM(CASE WHEN dup THEN n_tokens ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(n_tokens) AS DOUBLE) AS dup_token_frac
+        FROM flagged GROUP BY doc_id
+    """
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -3424,6 +3482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_contamination_report": q123_contamination_report,
         "q124_cdc_chunks": q124_cdc_chunks,
         "q125_ema": q125_ema,
+        "q126_chunk_dedup_report": q126_chunk_dedup_report,
     }
 
 
@@ -5028,6 +5087,7 @@ def oracle_sql() -> dict[str, str]:
         "q123_contamination_report": _Q123_ORACLE,
         "q124_cdc_chunks": _Q124_ORACLE,
         "q125_ema": _Q125_ORACLE,
+        "q126_chunk_dedup_report": _chunk_dedup_report_oracle(),
     }
 
 

@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "q123_contamination_report",
     "q124_cdc_chunks",
     "q125_ema",
+    "q126_chunk_dedup_report",
 ]
 
 
