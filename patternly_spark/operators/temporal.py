@@ -290,6 +290,9 @@ def ema(
     by: str | list[str],
     order_col: str | list[str],
     alpha: float = 0.25,
+    init: DataFrame | None = None,
+    init_col: str = "ema",
+    broadcast_init: bool = True,
 ) -> DataFrame:
     """Per-key exponential moving average — the time-series smoother
     every monitoring rollup wants next to gapfill/MAD: ema_1 = v_1,
@@ -307,6 +310,12 @@ def ema(
     task (the same per-key-bounded contract as sessionize/sequence
     ops).  For a single astronomically long key, window the key first.
 
+    ``init``: optional (keys..., init_col) frame of carried-in EMA
+    state — a key present there continues its recurrence (ema_1 =
+    alpha*v_1 + (1-alpha)*init) instead of restarting, which is what
+    lets the streaming twin fold batches without re-reading history.
+    The init side is key-cardinality-sized and broadcast by default.
+
     Output: (keys..., order cols..., value, ema).
     """
     keys = [by] if isinstance(by, str) else list(by)
@@ -317,9 +326,18 @@ def ema(
 
     row = F.struct(*[F.col(c) for c in order], F.col(value_col).cast("double").alias("__v"))
     seqs = events.groupBy(*keys).agg(F.array_sort(F.collect_list(row)).alias("__xs"))
-    emas = F.aggregate(
+    if init is not None:
+        seed = init.select(
+            *[F.col(c) for c in keys], F.col(init_col).cast("double").alias("__seed")
+        )
+        seqs = seqs.join(F.broadcast(seed) if broadcast_init else seed, keys, "left")
+    else:
+        seqs = seqs.withColumn("__seed", F.lit(None).cast("double"))
+    # the seed rides as acc[0]; emitted elements are sliced off after it
+    emas_full = F.aggregate(
         F.col("__xs"),
-        F.array().cast("array<double>"),
+        F.when(F.col("__seed").isNotNull(), F.array(F.col("__seed")))
+        .otherwise(F.array().cast("array<double>")),
         lambda acc, x: F.concat(
             acc,
             F.array(
@@ -330,6 +348,9 @@ def ema(
             ),
         ),
     )
+    emas = F.when(
+        F.col("__seed").isNotNull(), F.slice(emas_full, 2, F.size("__xs"))
+    ).otherwise(emas_full)
     zipped = seqs.select(*keys, F.posexplode(F.arrays_zip("__xs", emas.alias("__e"))).alias("__i", "__z"))
     return zipped.select(
         *keys,

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from patternly_spark.operators.drift import categorical_drift, ks_drift
 
-__all__ = ["streaming_drift", "streaming_ks_drift"]
+__all__ = ["streaming_drift", "streaming_ks_drift", "streaming_ema"]
 
 
 def streaming_drift(
@@ -98,6 +98,72 @@ def streaming_ks_drift(
             "ks",
         )
         out.write.mode("append").parquet(output_path)
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_ema(
+    stream_df: DataFrame,
+    value_col: str,
+    output_path: str,
+    *,
+    by: str | list[str],
+    order_col: str | list[str],
+    checkpoint_path: str,
+    registry_path: str,
+    alpha: float = 0.25,
+    trigger_once: bool = False,
+):
+    """Stateful streaming EMA: each microbatch folds its per-key events
+    (in ``order_col`` order) CONTINUING from the carried state in the
+    parquet registry at ``registry_path`` (keys..., ema), emits the
+    per-event EMA rows to ``output_path``, and overwrites the registry
+    with each key's new last state.
+
+    Parity law (pinned in tests): when batches arrive per-key
+    time-ordered — the watermarking contract every per-key recurrence
+    needs — the concatenated emissions equal the batch ``ema`` of the
+    union, because the registry carries exactly acc[last] of the fold.
+
+    Scale shape: the registry is key-cardinality-sized (one double per
+    key), broadcast into the batch fold; read-merge-overwrite is
+    sequential across microbatches, localCheckpoint-pinned before
+    overwriting the files it was read from."""
+    from patternly_spark.operators.temporal import ema
+
+    keys = [by] if isinstance(by, str) else list(by)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        init = None
+        try:
+            init = spark.read.parquet(registry_path)
+        except Exception:
+            pass
+        out = ema(
+            batch_df, value_col, by=keys, order_col=order_col,
+            alpha=alpha, init=init,
+        ).localCheckpoint(eager=True)
+        out.write.mode("append").parquet(output_path)
+
+        order = [order_col] if isinstance(order_col, str) else list(order_col)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order])
+        last = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*keys, "ema")
+        )
+        if init is not None:
+            untouched = init.join(last.select(*keys), keys, "left_anti")
+            last = last.unionByName(untouched)
+        last.localCheckpoint(eager=True).write.mode("overwrite").parquet(registry_path)
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path

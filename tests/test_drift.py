@@ -223,3 +223,46 @@ def test_ks_drift_disjoint_is_one_and_partition_invariant(spark):
     again = {r["g"]: r["ks"] for r in
              ks_drift(df.repartition(9), "v", by="g", ref=ref).collect()}
     assert got == again
+
+
+def test_streaming_ema_continues_recurrence_across_batches(spark, tmp_path):
+    """Stateful parity law: two per-key time-ordered microbatches emit
+    exactly the batch ema() of the union — the registry carries each
+    key's last state between folds."""
+    from patternly_spark.operators.temporal import ema
+    from patternly_spark.streaming.drift import streaming_ema
+
+    schema = "k string, t long, v double"
+    b0 = [("u", 0, 4.0), ("u", 1, 8.0), ("w", 0, 2.0)]
+    b1 = [("u", 2, 0.0), ("w", 1, 6.0), ("x", 0, 1.0)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_ema(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        "v",
+        str(tmp_path / "out"),
+        by="k",
+        order_col="t",
+        checkpoint_path=str(tmp_path / "ckpt"),
+        registry_path=str(tmp_path / "reg"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["k"], r["t"]): r["ema"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    want = {
+        (r["k"], r["t"]): r["ema"]
+        for r in ema(
+            spark.createDataFrame(b0 + b1, schema), "v", by="k", order_col="t"
+        ).collect()
+    }
+    assert got == want
+    # registry holds each key's final state (incl. the batch-0-only key)
+    reg = {r["k"]: r["ema"] for r in spark.read.parquet(str(tmp_path / "reg")).collect()}
+    assert set(reg) == {"u", "w", "x"}
+    assert reg["u"] == want[("u", 2)] and reg["x"] == 1.0
