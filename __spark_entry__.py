@@ -3324,6 +3324,61 @@ def _chunk_dedup_report_oracle() -> str:
     """
 
 
+def q127_ema_residual_anomalies(spark, sf_dir):
+    """Monitoring composition: per-user EMA (q125) -> one-step-ahead
+    residual (value minus the PREVIOUS ema — the smoother's forecast)
+    -> global MAD fences (q66's operator) flag events that deviate from
+    their own stream's recent level.  First event per user has residual
+    0 (no history).  All three stages already carry exact oracles; the
+    chain proves they compose."""
+    from pyspark.sql import Window
+
+    from patternly_spark.operators.normalize import mad_outliers
+    from patternly_spark.operators.temporal import ema
+
+    e = _t(spark, sf_dir, "events")
+    base = ema(e, "value", by="user_id", order_col=["ts", "event_id"], alpha=0.25)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_resid = base.withColumn(
+        "residual",
+        F.coalesce(F.col("value") - F.lag("ema").over(w), F.lit(0.0)),
+    ).select("user_id", "event_id", "value", "residual")
+    flagged = mad_outliers(with_resid, "residual", by=None, k=3.0)
+    return flagged.select(
+        "user_id", "event_id", "value", "residual", "med", "mad", "is_outlier"
+    )
+
+
+_Q127_ORACLE = """
+    WITH RECURSIVE base AS (
+        SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events
+    ), r AS (
+        SELECT user_id, event_id, v, rn, v AS ema FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.user_id, b.event_id, b.v, b.rn, 0.25 * b.v + 0.75 * r.ema
+        FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1
+    ), resid AS (
+        SELECT user_id, event_id, v AS value,
+               COALESCE(v - LAG(ema) OVER (PARTITION BY user_id ORDER BY rn), 0.0)
+                   AS residual
+        FROM r
+    ), med AS (
+        SELECT quantile_cont(residual, 0.5) AS med FROM resid
+    ), d AS (
+        SELECT resid.*, med.med, ABS(residual - med.med) AS dev
+        FROM resid CROSS JOIN med
+    ), m AS (
+        SELECT quantile_cont(dev, 0.5) AS mad FROM d
+    )
+    SELECT user_id, event_id, value, residual, d.med, m.mad,
+           dev > CAST(3.0 AS DOUBLE) * m.mad AS is_outlier
+    FROM d CROSS JOIN m
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -3483,6 +3538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_cdc_chunks": q124_cdc_chunks,
         "q125_ema": q125_ema,
         "q126_chunk_dedup_report": q126_chunk_dedup_report,
+        "q127_ema_residual_anomalies": q127_ema_residual_anomalies,
     }
 
 
@@ -5088,6 +5144,7 @@ def oracle_sql() -> dict[str, str]:
         "q124_cdc_chunks": _Q124_ORACLE,
         "q125_ema": _Q125_ORACLE,
         "q126_chunk_dedup_report": _chunk_dedup_report_oracle(),
+        "q127_ema_residual_anomalies": _Q127_ORACLE,
     }
 
 

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "q124_cdc_chunks",
     "q125_ema",
     "q126_chunk_dedup_report",
+    "q127_ema_residual_anomalies",
 ]
 
 
