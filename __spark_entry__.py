@@ -3379,6 +3379,50 @@ _Q127_ORACLE = """
 """
 
 
+def q128_zipf_fit(spark, sf_dir):
+    """Zipf profile of the corpus vocabulary: least-squares
+    ln(freq)-vs-ln(rank) slope/intercept with integer-exact regression
+    sums (operators/lm.zipf_fit) — natural text sits near slope -1,
+    template/machine text truncates the tail."""
+    from patternly_spark.operators.lm import zipf_fit
+
+    d = _t(spark, sf_dir, "documents")
+    return zipf_fit(d)
+
+
+_Q128_ORACLE = """
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  t -> t <> '')) AS tok
+        FROM documents
+    ), vocab AS (
+        SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ), ranked AS (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank FROM vocab
+    ), pts AS (
+        SELECT CAST(FLOOR(ln(CAST(rank AS DOUBLE)) * 1048576.0) AS BIGINT) AS x,
+               CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1048576.0) AS BIGINT) AS y
+        FROM ranked
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+               SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx
+        FROM pts
+    )
+    SELECT n AS n_types,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               AS slope,
+           (CAST(sy AS DOUBLE) / 1048576.0
+            - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * (CAST(sx AS DOUBLE) / 1048576.0)) / CAST(n AS DOUBLE) AS intercept
+    FROM agg
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -3539,6 +3583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_ema": q125_ema,
         "q126_chunk_dedup_report": q126_chunk_dedup_report,
         "q127_ema_residual_anomalies": q127_ema_residual_anomalies,
+        "q128_zipf_fit": q128_zipf_fit,
     }
 
 
@@ -5145,6 +5190,7 @@ def oracle_sql() -> dict[str, str]:
         "q125_ema": _Q125_ORACLE,
         "q126_chunk_dedup_report": _chunk_dedup_report_oracle(),
         "q127_ema_residual_anomalies": _Q127_ORACLE,
+        "q128_zipf_fit": _Q128_ORACLE,
     }
 
 

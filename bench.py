@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "q125_ema",
     "q126_chunk_dedup_report",
     "q127_ema_residual_anomalies",
+    "q128_zipf_fit",
 ]
 
 

@@ -34,7 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["BigramLM", "train_bigram_lm", "bigram_lm_scores", "dsir_weights"]
+__all__ = ["BigramLM", "train_bigram_lm", "bigram_lm_scores", "dsir_weights", "zipf_fit"]
 
 
 def _doc_bigrams(docs: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
@@ -246,3 +246,66 @@ def dsir_weights(
     )
     doc_bi.unpersist(False)
     return result
+
+
+def zipf_fit(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    bits: int = 20,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: least-squares slope and
+    intercept of ln(freq) against ln(rank) — the one-row diagnostic
+    that tells you whether a corpus has the heavy-tail token profile of
+    natural text (slope near -1) or the truncated tail of template /
+    machine-generated content.
+
+    Cross-engine exactness (the interesting part): ln values are
+    floor-quantized to the 2^-bits dyadic grid as integers; the
+    regression sums S_x, S_y (longs) and S_xy, S_xx (2^-2bits-scaled
+    integer products summed as DECIMAL — exact in any order) are then
+    combined in one fixed sequence of double ops, so an external SQL
+    engine reproduces slope/intercept bit-for-bit.
+
+    Scale shape: one (token) count shuffle over the corpus; everything
+    after runs on the VOCABULARY (types, not tokens).  The rank is one
+    total-order window over the vocab — vocab is millions of rows where
+    the corpus is billions, the standard census trade (same as the
+    n-gram census q38).
+
+    Output: one row (n_types, slope, intercept).
+    """
+    scale = float(1 << bits)
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+        ).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    ranked = vocab.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("tok")))
+    )
+    x = F.floor(F.log(F.col("rank").cast("double")) * F.lit(scale)).cast("long")
+    y = F.floor(F.log(F.col("cnt").cast("double")) * F.lit(scale)).cast("long")
+    pts = ranked.select(x.alias("x"), y.alias("y"))
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy / F.lit(scale) - slope * (sx / F.lit(scale))) / n
+    return agg.select(
+        F.col("n").alias("n_types"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )

@@ -86,3 +86,37 @@ def test_dsir_weights_prefers_target_like_docs(spark):
     # target-like probe scores strictly higher than off-domain probe
     assert out[100] > out[101]
     assert out[100] > 0  # more likely under target LM than raw LM
+
+
+def test_zipf_fit_recovers_synthetic_exponent(spark):
+    """A corpus whose token frequencies follow freq ∝ rank^-1 must fit
+    slope ≈ -1; values match a plain-Python replica of the quantized
+    regression exactly."""
+    import math
+
+    from patternly_spark.operators.lm import zipf_fit
+
+    # 40 types, type i repeated round(1000 / rank) times
+    words = []
+    for i in range(1, 41):
+        words += [f"w{i:02d}"] * max(1, round(1000 / i))
+    docs = spark.createDataFrame(
+        [(j, " ".join(words[j::7])) for j in range(7)], "doc_id long, text string"
+    )
+    row = zipf_fit(docs).collect()[0]
+    assert -1.15 < row["slope"] < -0.85, row["slope"]
+
+    # replica: identical quantized sums and final op sequence
+    from collections import Counter
+
+    cnt = Counter(w for j in range(7) for w in " ".join(words[j::7]).split(" ") if w)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    S = 1 << 20
+    xs = [math.floor(math.log(float(r + 1)) * S) for r in range(len(ranked))]
+    ys = [math.floor(math.log(float(c)) * S) for _, c in ranked]
+    n, sx, sy = float(len(xs)), float(sum(xs)), float(sum(ys))
+    sxy, sxx = float(sum(x * y for x, y in zip(xs, ys))), float(sum(x * x for x in xs))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy / S - slope * (sx / S)) / n
+    assert row["slope"] == slope and row["intercept"] == intercept
+    assert row["n_types"] == len(ranked)
