@@ -3423,6 +3423,64 @@ _Q128_ORACLE = """
 """
 
 
+def q129_metric_trend(spark, sf_dir):
+    """Per-event-type drift DIRECTION: least-squares trend of value
+    over event time in hours since the corpus epoch
+    (operators/drift.linear_trend) — the complement of q109/q114's
+    distributional monitors.  Dyadic-quantized inputs + integer/DECIMAL
+    sums make the slope engine-exact."""
+    from patternly_spark.operators.drift import linear_trend
+
+    e = _t(spark, sf_dir, "events")
+    hours = (
+        F.col("ts").cast("double") / F.lit(3600.0)
+        - F.lit(float(1704067200) / 3600.0)
+    )
+    base = e.select("event_type", hours.alias("h"), "value")
+    return linear_trend(base, "h", "value", by="event_type")
+
+
+_Q129_ORACLE = """
+    WITH base AS (
+        SELECT event_type,
+               epoch(ts) / 3600.0 - 1704067200.0 / 3600.0 AS h,
+               CAST(value AS DOUBLE) AS v
+        FROM events
+    ), pts AS (
+        SELECT event_type,
+               CAST(FLOOR(h * 1048576.0) AS BIGINT) AS x,
+               CAST(FLOOR(v * 1048576.0) AS BIGINT) AS y
+        FROM base
+    ), agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+               SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx
+        FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           END AS slope,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+                THEN (CAST(sy AS DOUBLE) / 1048576.0
+                      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        * (CAST(sx AS DOUBLE) / 1048576.0)) / CAST(n AS DOUBLE)
+           END AS intercept
+    FROM agg
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -3584,6 +3642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_chunk_dedup_report": q126_chunk_dedup_report,
         "q127_ema_residual_anomalies": q127_ema_residual_anomalies,
         "q128_zipf_fit": q128_zipf_fit,
+        "q129_metric_trend": q129_metric_trend,
     }
 
 
@@ -5191,6 +5250,7 @@ def oracle_sql() -> dict[str, str]:
         "q126_chunk_dedup_report": _chunk_dedup_report_oracle(),
         "q127_ema_residual_anomalies": _Q127_ORACLE,
         "q128_zipf_fit": _Q128_ORACLE,
+        "q129_metric_trend": _Q129_ORACLE,
     }
 
 

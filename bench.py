@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "q126_chunk_dedup_report",
     "q127_ema_residual_anomalies",
     "q128_zipf_fit",
+    "q129_metric_trend",
 ]
 
 

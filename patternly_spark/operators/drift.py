@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["categorical_drift", "ks_drift"]
+__all__ = ["categorical_drift", "ks_drift", "linear_trend"]
 
 #: dyadic quantization grid for the summed statistic terms
 DRIFT_SCALE = float(1 << 20)
@@ -176,4 +176,56 @@ def ks_drift(
         cum.groupBy(*keys, "n_obs", "n_ref")
         .agg(F.max(d).alias("ks"))
         .select(*keys, F.col("n_obs").cast("long"), F.col("n_ref").cast("long"), "ks")
+    )
+
+
+def linear_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    by: str | list[str] | None = None,
+    bits: int = 20,
+) -> DataFrame:
+    """Per-group least-squares trend of ``y_col`` against ``x_col`` —
+    the "is this metric drifting over time" primitive that complements
+    the distributional monitors (chi2/PSI/KS tell you THAT a window
+    differs; the trend tells you which way a level is moving).
+
+    Exactness: both inputs are floor-quantized to the 2^-bits dyadic
+    grid as integers; S_x/S_y sum as longs and S_xy/S_xx as
+    2^-2bits-scaled integer products in DECIMAL (order-invariant), then
+    one fixed sequence of double ops yields slope (per unit x) and
+    intercept — identical under any partitioning/engine.
+
+    Scale shape: ONE grouped aggregation over the data (partial
+    aggregation collapses map-side); no window, no sort, no join.
+    Degenerate groups (n < 2 or zero x-variance) return null slope.
+
+    Output: (keys..., n, slope, intercept).
+    """
+    scale = float(1 << int(bits))
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    x = F.floor(F.col(x_col).cast("double") * F.lit(scale)).cast("long")
+    y = F.floor(F.col(y_col).cast("double") * F.lit(scale)).cast("long")
+    pts = df.select(*keys, x.alias("__x"), y.alias("__y"))
+    agg = pts.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum((F.col("__x") * F.col("__y")).cast("decimal(38,0)")).alias("__sxy"),
+        F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,0)")).alias("__sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    det = n * sxx - sx * sx
+    slope = F.when(det != 0.0, (n * sxy - sx * sy) / det)
+    intercept = F.when(
+        det != 0.0, (sy / F.lit(scale) - slope * (sx / F.lit(scale))) / n
+    )
+    return agg.select(
+        *keys, "n", slope.alias("slope"), intercept.alias("intercept")
     )

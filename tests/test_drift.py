@@ -266,3 +266,20 @@ def test_streaming_ema_continues_recurrence_across_batches(spark, tmp_path):
     reg = {r["k"]: r["ema"] for r in spark.read.parquet(str(tmp_path / "reg")).collect()}
     assert set(reg) == {"u", "w", "x"}
     assert reg["u"] == want[("u", 2)] and reg["x"] == 1.0
+
+
+def test_linear_trend_recovers_known_line(spark):
+    """y = 3x + 7 (exact dyadic points) fits slope 3, intercept 7 per
+    group; a flat group fits slope 0; single-point groups return null."""
+    from patternly_spark.operators.drift import linear_trend
+
+    rows = (
+        [("up", float(i), 3.0 * i + 7.0) for i in range(10)]
+        + [("flat", float(i), 5.0) for i in range(10)]
+        + [("one", 1.0, 2.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in linear_trend(df, "x", "y", by="g").collect()}
+    assert abs(out["up"]["slope"] - 3.0) < 1e-5 and abs(out["up"]["intercept"] - 7.0) < 1e-4
+    assert abs(out["flat"]["slope"]) < 1e-9
+    assert out["one"]["slope"] is None and out["one"]["n"] == 1
