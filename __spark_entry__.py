@@ -3481,6 +3481,45 @@ _Q129_ORACLE = """
 """
 
 
+def q130_cusum(spark, sf_dir):
+    """Per-user CUSUM changepoint monitor (operators/drift.cusum):
+    two-sided Page statistic around target 50 with dyadic slack 25 (~sigma/2) /
+    threshold 250 (~5 sigma) — catches slow persistent shifts MAD's spike fences
+    miss.  Sequential fold per key; recursive-CTE oracle replays the
+    recurrence bit-for-bit."""
+    from patternly_spark.operators.drift import cusum
+
+    e = _t(spark, sf_dir, "events")
+    out = cusum(
+        e, "value", by="user_id", order_col=["ts", "event_id"],
+        target=50.0, slack=25.0, threshold=250.0,
+    )
+    return out.select("user_id", "event_id", "value", "cusum_hi", "cusum_lo", "alarm")
+
+
+_Q130_ORACLE = """
+    WITH RECURSIVE base AS (
+        SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events
+    ), r AS (
+        SELECT user_id, event_id, v, rn,
+               GREATEST(0.0, v - 50.0 - 25.0) AS hi,
+               GREATEST(0.0, -(v - 50.0 + 25.0)) AS lo
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.user_id, b.event_id, b.v, b.rn,
+               GREATEST(0.0, r.hi + (b.v - 50.0 - 25.0)),
+               GREATEST(0.0, r.lo - (b.v - 50.0 + 25.0))
+        FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, v AS value, hi AS cusum_hi, lo AS cusum_lo,
+           hi > 250.0 OR lo > 250.0 AS alarm
+    FROM r
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -3643,6 +3682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_ema_residual_anomalies": q127_ema_residual_anomalies,
         "q128_zipf_fit": q128_zipf_fit,
         "q129_metric_trend": q129_metric_trend,
+        "q130_cusum": q130_cusum,
     }
 
 
@@ -5251,6 +5291,7 @@ def oracle_sql() -> dict[str, str]:
         "q127_ema_residual_anomalies": _Q127_ORACLE,
         "q128_zipf_fit": _Q128_ORACLE,
         "q129_metric_trend": _Q129_ORACLE,
+        "q130_cusum": _Q130_ORACLE,
     }
 
 

@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "q127_ema_residual_anomalies",
     "q128_zipf_fit",
     "q129_metric_trend",
+    "q130_cusum",
 ]
 
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["categorical_drift", "ks_drift", "linear_trend"]
+__all__ = ["categorical_drift", "ks_drift", "linear_trend", "cusum"]
 
 #: dyadic quantization grid for the summed statistic terms
 DRIFT_SCALE = float(1 << 20)
@@ -228,4 +228,74 @@ def linear_trend(
     )
     return agg.select(
         *keys, "n", slope.alias("slope"), intercept.alias("intercept")
+    )
+
+
+def cusum(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: str | list[str],
+    order_col: str | list[str],
+    target: float,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """Per-key CUSUM changepoint monitor (Page 1954): the classic
+    sequential statistic for detecting a small persistent mean shift
+    that no single-point outlier rule sees —
+
+        hi_t = max(0, hi_{t-1} + (x_t - target - slack))
+        lo_t = max(0, lo_{t-1} - (x_t - target + slack))
+
+    with an alarm when either side exceeds ``threshold``.  Completes
+    the monitoring family: MAD flags single spikes, KS/chi2 flag
+    distribution changes between windows, the trend fits a direction,
+    CUSUM catches slow drifts AS THEY ACCUMULATE.
+
+    Like ``ema``, inherently sequential: one deterministic fold per key
+    (collect sorted, fold, re-explode — per-key-bounded contract).
+    With dyadic ``target``/``slack`` the IEEE recurrence replays
+    exactly in a recursive CTE.
+
+    Output: (keys..., order cols..., value, cusum_hi, cusum_lo, alarm).
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
+    t, k, h = float(target), float(slack), float(threshold)
+
+    row = F.struct(*[F.col(c) for c in order], F.col(value_col).cast("double").alias("__v"))
+    seqs = df.groupBy(*keys).agg(F.array_sort(F.collect_list(row)).alias("__xs"))
+    folded = F.aggregate(
+        F.col("__xs"),
+        F.array().cast("array<struct<hi:double,lo:double>>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    F.greatest(
+                        F.lit(0.0),
+                        F.coalesce(F.try_element_at(acc, F.lit(-1))["hi"], F.lit(0.0))
+                        + (x["__v"] - F.lit(t) - F.lit(k)),
+                    ).alias("hi"),
+                    F.greatest(
+                        F.lit(0.0),
+                        F.coalesce(F.try_element_at(acc, F.lit(-1))["lo"], F.lit(0.0))
+                        - (x["__v"] - F.lit(t) + F.lit(k)),
+                    ).alias("lo"),
+                )
+            ),
+        ),
+    )
+    zipped = seqs.select(
+        *keys, F.posexplode(F.arrays_zip("__xs", folded.alias("__c"))).alias("__i", "__z")
+    )
+    hi, lo = F.col("__z.__c.hi"), F.col("__z.__c.lo")
+    return zipped.select(
+        *keys,
+        *[F.col(f"__z.__xs.{c}").alias(c) for c in order],
+        F.col("__z.__xs.__v").alias("value"),
+        hi.alias("cusum_hi"),
+        lo.alias("cusum_lo"),
+        ((hi > F.lit(h)) | (lo > F.lit(h))).alias("alarm"),
     )

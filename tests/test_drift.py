@@ -283,3 +283,32 @@ def test_linear_trend_recovers_known_line(spark):
     assert abs(out["up"]["slope"] - 3.0) < 1e-5 and abs(out["up"]["intercept"] - 7.0) < 1e-4
     assert abs(out["flat"]["slope"]) < 1e-9
     assert out["one"]["slope"] is None and out["one"]["n"] == 1
+
+
+def test_cusum_detects_persistent_shift_not_spike(spark):
+    """CUSUM's reason to exist: a +3 persistent shift accumulates to an
+    alarm while a single big spike (which MAD would flag) decays back —
+    and an in-control stream never alarms."""
+    from patternly_spark.operators.drift import cusum
+
+    rows = []
+    # in-control: alternating ±1 around target 10
+    rows += [("ok", t, 10.0 + (1.0 if t % 2 else -1.0)) for t in range(40)]
+    # shifted: +3 from t=20 on
+    rows += [("shift", t, 10.0 + (3.0 if t >= 20 else 0.0)) for t in range(40)]
+    # spike: one +30 excursion at t=20, otherwise on target
+    rows += [("spike", t, 40.0 if t == 20 else 10.0) for t in range(40)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = cusum(
+        df, "v", by="k", order_col="t", target=10.0, slack=1.0, threshold=20.0
+    ).toPandas()
+    by_k = {k: g.sort_values("t") for k, g in out.groupby("k")}
+    assert not by_k["ok"]["alarm"].any()
+    assert by_k["shift"]["alarm"].any()
+    assert by_k["shift"][by_k["shift"].alarm].iloc[0]["t"] >= 20
+    # the spike pushes hi to 40-10-1 = 29, then on-target values decay
+    # it by slack each step (29 - 19 = 10 at the end): briefly alarmed,
+    # decaying back under threshold — not a persistent-shift verdict
+    assert not by_k["spike"].iloc[-1]["alarm"]
+    assert by_k["spike"].iloc[-1]["cusum_hi"] == 10.0
+    assert by_k["spike"]["cusum_hi"].max() == 29.0
