@@ -240,6 +240,8 @@ def cusum(
     target: float,
     slack: float = 0.5,
     threshold: float = 5.0,
+    init: DataFrame | None = None,
+    broadcast_init: bool = True,
 ) -> DataFrame:
     """Per-key CUSUM changepoint monitor (Page 1954): the classic
     sequential statistic for detecting a small persistent mean shift
@@ -258,6 +260,11 @@ def cusum(
     With dyadic ``target``/``slack`` the IEEE recurrence replays
     exactly in a recursive CTE.
 
+    ``init``: optional (keys..., cusum_hi, cusum_lo) carried-in state —
+    a key present there continues its accumulation instead of starting
+    at zero (the streaming twin's registry hook; the seed rides as
+    acc[0] and is sliced off).  Broadcast by default.
+
     Output: (keys..., order cols..., value, cusum_hi, cusum_lo, alarm).
     """
     keys = [by] if isinstance(by, str) else list(by)
@@ -266,9 +273,23 @@ def cusum(
 
     row = F.struct(*[F.col(c) for c in order], F.col(value_col).cast("double").alias("__v"))
     seqs = df.groupBy(*keys).agg(F.array_sort(F.collect_list(row)).alias("__xs"))
+    if init is not None:
+        seed = init.select(
+            *[F.col(c) for c in keys],
+            F.struct(
+                F.col("cusum_hi").cast("double").alias("hi"),
+                F.col("cusum_lo").cast("double").alias("lo"),
+            ).alias("__seed"),
+        )
+        seqs = seqs.join(F.broadcast(seed) if broadcast_init else seed, keys, "left")
+    else:
+        seqs = seqs.withColumn(
+            "__seed", F.lit(None).cast("struct<hi:double,lo:double>")
+        )
     folded = F.aggregate(
         F.col("__xs"),
-        F.array().cast("array<struct<hi:double,lo:double>>"),
+        F.when(F.col("__seed").isNotNull(), F.array(F.col("__seed")))
+        .otherwise(F.array().cast("array<struct<hi:double,lo:double>>")),
         lambda acc, x: F.concat(
             acc,
             F.array(
@@ -287,6 +308,9 @@ def cusum(
             ),
         ),
     )
+    folded = F.when(
+        F.col("__seed").isNotNull(), F.slice(folded, 2, F.size("__xs"))
+    ).otherwise(folded)
     zipped = seqs.select(
         *keys, F.posexplode(F.arrays_zip("__xs", folded.alias("__c"))).alias("__i", "__z")
     )

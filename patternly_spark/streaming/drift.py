@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from patternly_spark.operators.drift import categorical_drift, ks_drift
 
-__all__ = ["streaming_drift", "streaming_ks_drift", "streaming_ema"]
+__all__ = ["streaming_drift", "streaming_ks_drift", "streaming_ema", "streaming_cusum"]
 
 
 def streaming_drift(
@@ -159,6 +159,70 @@ def streaming_ema(
             out.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select(*keys, "ema")
+        )
+        if init is not None:
+            untouched = init.join(last.select(*keys), keys, "left_anti")
+            last = last.unionByName(untouched)
+        last.localCheckpoint(eager=True).write.mode("overwrite").parquet(registry_path)
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_cusum(
+    stream_df: DataFrame,
+    value_col: str,
+    output_path: str,
+    *,
+    by: str | list[str],
+    order_col: str | list[str],
+    checkpoint_path: str,
+    registry_path: str,
+    target: float,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+    trigger_once: bool = False,
+):
+    """Stateful streaming CUSUM: each microbatch folds its per-key
+    events continuing from the (keys..., cusum_hi, cusum_lo) registry,
+    emits the per-event statistic + alarm rows, and overwrites the
+    registry with each key's new state — so a shift that straddles
+    microbatch boundaries accumulates exactly as the batch fold would.
+
+    Parity law (pinned in tests): per-key time-ordered batches emit
+    exactly the batch ``cusum`` of the union.  Same registry mechanics
+    as ``streaming_ema`` (key-cardinality state, localCheckpoint-pinned
+    read-merge-overwrite)."""
+    from patternly_spark.operators.drift import cusum
+
+    keys = [by] if isinstance(by, str) else list(by)
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        init = None
+        try:
+            init = spark.read.parquet(registry_path)
+        except Exception:
+            pass
+        out = cusum(
+            batch_df, value_col, by=keys, order_col=order,
+            target=target, slack=slack, threshold=threshold,
+            init=init,
+        ).localCheckpoint(eager=True)
+        out.write.mode("append").parquet(output_path)
+
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order])
+        last = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*keys, "cusum_hi", "cusum_lo")
         )
         if init is not None:
             untouched = init.join(last.select(*keys), keys, "left_anti")

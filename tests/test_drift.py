@@ -312,3 +312,52 @@ def test_cusum_detects_persistent_shift_not_spike(spark):
     assert not by_k["spike"].iloc[-1]["alarm"]
     assert by_k["spike"].iloc[-1]["cusum_hi"] == 10.0
     assert by_k["spike"]["cusum_hi"].max() == 29.0
+
+
+def test_streaming_cusum_accumulates_across_batches(spark, tmp_path):
+    """A persistent shift split across two microbatches must accumulate
+    through the registry exactly as the batch fold of the union —
+    including a key that alarms ONLY because of carried state."""
+    from pyspark.sql import functions as F
+
+    from patternly_spark.operators.drift import cusum
+    from patternly_spark.streaming.drift import streaming_cusum
+
+    schema = "k string, t long, v double"
+    # 'u' runs +2 above target in both batches: neither batch alone
+    # reaches threshold 7 (4 steps x 1 net), the union does
+    b0 = [("u", t, 12.0) for t in range(4)]
+    b1 = [("u", 4 + t, 12.0) for t in range(4)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_cusum(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        "v",
+        str(tmp_path / "out"),
+        by="k",
+        order_col="t",
+        checkpoint_path=str(tmp_path / "ckpt"),
+        registry_path=str(tmp_path / "reg"),
+        target=10.0,
+        slack=1.0,
+        threshold=7.0,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["k"], r["t"]): (r["cusum_hi"], r["alarm"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    want = {
+        (r["k"], r["t"]): (r["cusum_hi"], r["alarm"])
+        for r in cusum(
+            spark.createDataFrame(b0 + b1, schema), "v",
+            by="k", order_col="t", target=10.0, slack=1.0, threshold=7.0,
+        ).collect()
+    }
+    assert got == want
+    assert got[("u", 3)] == (4.0, False)   # end of batch 0: no alarm yet
+    assert got[("u", 7)] == (8.0, True)    # carried state crosses in batch 1
