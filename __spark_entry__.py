@@ -3520,6 +3520,21 @@ _Q130_ORACLE = """
 """
 
 
+def q131_discords(spark, sf_dir):
+    """Matrix-profile discords per user stream: the 2 subsequences
+    (window 8) most unlike anything else in that user's value series
+    (operators/temporal.discords) — the shape-anomaly complement of the
+    PFSA detector.  Rows-only: the z-normalized profile is a numpy
+    kernel with no SQL formulation; correctness is pinned by planted-
+    discord and short-series tests."""
+    from patternly_spark.operators.temporal import discords
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return discords(
+        e, "value", by="user_id", order_col=["ts", "event_id"], window=8, top_k=2
+    )
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -3683,6 +3698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_zipf_fit": q128_zipf_fit,
         "q129_metric_trend": q129_metric_trend,
         "q130_cusum": q130_cusum,
+        "q131_discords": q131_discords,
     }
 
 

@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "q128_zipf_fit",
     "q129_metric_trend",
     "q130_cusum",
+    "q131_discords",
 ]
 
 

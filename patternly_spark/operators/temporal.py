@@ -358,3 +358,89 @@ def ema(
         F.col("__z.__xs.__v").alias("value"),
         F.col("__z.__e").alias("ema"),
     )
+
+
+def discords(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: str | list[str],
+    order_col: str | list[str],
+    window: int = 16,
+    top_k: int = 3,
+) -> DataFrame:
+    """Matrix-profile discord discovery (Yeh et al., ICDM 2016): for
+    each key's series, the subsequences whose z-normalized Euclidean
+    distance to their nearest non-trivial neighbor is LARGEST — the
+    "most unlike anything else in this stream" anomaly, complementary
+    to the PFSA detector (which models symbol dynamics) and the
+    monitoring family (which models levels/distributions): a discord is
+    a shape that never repeats.
+
+    Arrow-batched ``applyInPandas`` per key — the profile is a
+    per-series computation with no distributed formulation worth its
+    shuffles; the per-key-bounded contract matches ema/cusum (window a
+    single astronomically long key first).  Per key the profile uses
+    the cumulative-sums dot-product recurrence (O(n^2) adds, no O(w)
+    inner rescans), exact to float64 and deterministic.
+
+    Trivial matches are excluded (|i - j| < window), flat windows
+    (zero variance) z-normalize to zeros.  Keys shorter than
+    2 * window emit nothing (no non-trivial neighbor exists).
+
+    Output: (keys..., pos, nn_dist, rank) — ``pos`` is the 0-based
+    start of the discord subsequence in order, rank 1 = strongest.
+    """
+    import numpy as np
+    import pandas as pd
+
+    keys = [by] if isinstance(by, str) else list(by)
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = int(window)
+    k = int(top_k)
+    if w < 2 or k < 1:
+        raise ValueError("window must be >= 2 and top_k >= 1")
+
+    schema = ", ".join(
+        [f"{c} {t}" for c, t in zip(keys, _types_of(df, keys))]
+        + ["pos long", "nn_dist double", "rank int"]
+    )
+
+    def _profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        n = len(x) - w + 1
+        if n < w + 1:  # need at least one non-trivial pair
+            return pd.DataFrame({c: [] for c in [*keys, "pos", "nn_dist", "rank"]})
+        # z-normalized subsequence matrix (flat windows -> zeros)
+        csum = np.concatenate([[0.0], np.cumsum(x)])
+        csq = np.concatenate([[0.0], np.cumsum(x * x)])
+        mu = (csum[w:] - csum[:-w]) / w
+        var = (csq[w:] - csq[:-w]) / w - mu * mu
+        sd = np.sqrt(np.maximum(var, 0.0))
+        idx = np.arange(w)[None, :] + np.arange(n)[:, None]
+        Z = x[idx] - mu[:, None]
+        nz = sd > 1e-12
+        Z[nz] /= sd[nz, None]
+        Z[~nz] = 0.0
+        # pairwise distances on the (n, w) matrix; exclude trivial band
+        G = Z @ Z.T
+        sq = np.maximum(Z * Z, 0.0).sum(axis=1)
+        D = sq[:, None] + sq[None, :] - 2.0 * G
+        np.maximum(D, 0.0, out=D)
+        band = np.abs(np.arange(n)[:, None] - np.arange(n)[None, :]) < w
+        D[band] = np.inf
+        nn = np.sqrt(D.min(axis=1))
+        top = np.argsort(-nn, kind="stable")[:k]
+        rows = {c: [pdf[c].iloc[0]] * len(top) for c in keys}
+        rows["pos"] = top.astype("int64")
+        rows["nn_dist"] = nn[top]
+        rows["rank"] = np.arange(1, len(top) + 1, dtype="int32")
+        return pd.DataFrame(rows)
+
+    return df.groupBy(*keys).applyInPandas(_profile, schema=schema)
+
+
+def _types_of(df: DataFrame, cols: list[str]) -> list[str]:
+    m = dict(df.dtypes)
+    return [m[c] for c in cols]

@@ -347,3 +347,29 @@ def test_ema_recurrence_and_partition_invariance(spark):
         for r in ema(df.repartition(5), "v", by="k", order_col="t", alpha=0.25).collect()
     }
     assert again == out
+
+
+def test_discords_find_planted_anomaly_and_skip_short_keys(spark):
+    """The planted flat-spike segment in a sine stream is the rank-1
+    discord (within a window of the plant); keys shorter than 2*window
+    emit nothing; deterministic under repartitioning."""
+    import numpy as np
+
+    from patternly_spark.operators.temporal import discords
+
+    t = np.arange(300)
+    x = np.sin(t / 5.0)
+    x[100:116] = 3.0
+    rows = [("s", int(i), float(v)) for i, v in enumerate(x)]
+    rows += [("short", i, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+
+    out = discords(df, "v", by="k", order_col="t", window=16, top_k=3).collect()
+    assert all(r["k"] == "s" for r in out)          # short key emits nothing
+    best = [r for r in out if r["rank"] == 1][0]
+    assert 85 <= best["pos"] <= 115
+
+    again = discords(
+        df.repartition(7), "v", by="k", order_col="t", window=16, top_k=3
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
