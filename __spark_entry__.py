@@ -3535,6 +3535,70 @@ def q131_discords(spark, sf_dir):
     )
 
 
+def q132_seasonal_profile(spark, sf_dir):
+    """Seasonal baseline for monitoring: per (event_type, hour-of-day)
+    mean/stddev of value with exact decimal sums (the A1 stddev
+    machinery), plus each cell's deviation from its type's all-hours
+    mean — the 24-cell profile a seasonal-aware alert compares against
+    instead of one global threshold."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.col("value").cast("double").alias("v"),
+    )
+    cell = base.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(_dec("v")).alias("__s"),
+        F.sum(_dec("v") * _dec("v")).alias("__s2"),
+    )
+    typ = cell.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("__tn"), F.sum("__s").alias("__ts")
+    )
+    joined = cell.join(F.broadcast(typ), "event_type")
+    n = F.col("n").cast("double")
+    mean = F.col("__s").cast("double") / n
+    # sample variance from exact decimal sums: (s2 - s^2/n) / (n-1)
+    var = (
+        F.col("__s2").cast("double") - (F.col("__s").cast("double") * F.col("__s").cast("double")) / n
+    ) / (n - F.lit(1.0))
+    tmean = F.col("__ts").cast("double") / F.col("__tn").cast("double")
+    return joined.select(
+        "event_type",
+        "hod",
+        "n",
+        mean.alias("mean_v"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("std_v"),
+        (mean - tmean).alias("seasonal_dev"),
+    )
+
+
+_Q132_ORACLE = """
+    WITH base AS (
+        SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+               CAST(value AS DOUBLE) AS v
+        FROM events
+    ), cell AS (
+        SELECT event_type, CAST(hod AS INT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(v AS DECIMAL(18,2))) AS s,
+               SUM(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2))) AS s2
+        FROM base GROUP BY 1, 2
+    ), typ AS (
+        SELECT event_type, SUM(n) AS tn, SUM(s) AS ts FROM cell GROUP BY 1
+    )
+    SELECT c.event_type, c.hod, c.n,
+           CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE) AS mean_v,
+           SQRT(GREATEST(
+               (CAST(c.s2 AS DOUBLE)
+                - CAST(c.s AS DOUBLE) * CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE))
+               / (CAST(c.n AS DOUBLE) - 1.0), 0.0)) AS std_v,
+           CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE)
+               - CAST(t.ts AS DOUBLE) / CAST(t.tn AS DOUBLE) AS seasonal_dev
+    FROM cell c JOIN typ t USING (event_type)
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -3699,6 +3763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_metric_trend": q129_metric_trend,
         "q130_cusum": q130_cusum,
         "q131_discords": q131_discords,
+        "q132_seasonal_profile": q132_seasonal_profile,
     }
 
 
@@ -5308,6 +5373,7 @@ def oracle_sql() -> dict[str, str]:
         "q128_zipf_fit": _Q128_ORACLE,
         "q129_metric_trend": _Q129_ORACLE,
         "q130_cusum": _Q130_ORACLE,
+        "q132_seasonal_profile": _Q132_ORACLE,
     }
 
 

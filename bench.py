@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "q129_metric_trend",
     "q130_cusum",
     "q131_discords",
+    "q132_seasonal_profile",
 ]
 
 
