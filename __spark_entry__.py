@@ -3599,6 +3599,86 @@ _Q132_ORACLE = """
 """
 
 
+def q133_knn_eval(spark, sf_dir):
+    """Embedding-quality evaluation by leave-one-out kNN: every probe
+    vector (vec_id < 50) is classified by majority label of its exact
+    top-5 cosine neighbors (ties break toward the smaller label), and
+    per true label the accuracy is reported — the standard "are these
+    embeddings any good" check before trusting them for semantic dedup
+    or ANN retrieval.  Exact top-k reuses q24's brute-force machinery;
+    the vote and accuracy are integer counts, so the whole evaluation
+    replays in SQL."""
+    from patternly_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50)
+    nn = cosine_topk(emb, probes, k=5)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("n_label"))
+    pred = (
+        votes.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("query_id", F.col("n_label").alias("pred_label"))
+    )
+    truth = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    scored = pred.join(truth, "query_id")
+    n = F.count(F.lit(1))
+    return scored.groupBy("true_label").agg(
+        n.cast("long").alias("n_probes"),
+        F.sum((F.col("pred_label") == F.col("true_label")).cast("long")).alias("n_correct"),
+        (
+            F.sum((F.col("pred_label") == F.col("true_label")).cast("long")).cast("double")
+            / n.cast("double")
+        ).alias("accuracy"),
+    )
+
+
+_Q133_ORACLE = """
+    WITH sims AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS n_label,
+               round(list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+                                      list_transform(c.embedding, x -> x::DOUBLE))
+                     / (sqrt(list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+                                              list_transform(q.embedding, x -> x::DOUBLE)))
+                        * sqrt(list_dot_product(list_transform(c.embedding, x -> x::DOUBLE),
+                                                list_transform(c.embedding, x -> x::DOUBLE)))), 6) AS sim
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id
+    ), nn AS (
+        SELECT query_id, n_label FROM (
+            SELECT query_id, n_label,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id ASC) AS rnk
+            FROM sims
+        ) WHERE rnk <= 5
+    ), votes AS (
+        SELECT query_id, n_label, COUNT(*) AS v FROM nn GROUP BY 1, 2
+    ), pred AS (
+        SELECT query_id, n_label AS pred_label FROM (
+            SELECT query_id, n_label,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY v DESC, n_label ASC) AS rk
+            FROM votes
+        ) WHERE rk = 1
+    ), scored AS (
+        SELECT p.query_id, p.pred_label, e.label AS true_label
+        FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+    )
+    SELECT true_label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS accuracy
+    FROM scored GROUP BY true_label
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -3764,6 +3844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_cusum": q130_cusum,
         "q131_discords": q131_discords,
         "q132_seasonal_profile": q132_seasonal_profile,
+        "q133_knn_eval": q133_knn_eval,
     }
 
 
@@ -5374,6 +5455,7 @@ def oracle_sql() -> dict[str, str]:
         "q129_metric_trend": _Q129_ORACLE,
         "q130_cusum": _Q130_ORACLE,
         "q132_seasonal_profile": _Q132_ORACLE,
+        "q133_knn_eval": _Q133_ORACLE,
     }
 
 

@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "q130_cusum",
     "q131_discords",
     "q132_seasonal_profile",
+    "q133_knn_eval",
 ]
 
 
