@@ -213,8 +213,11 @@ def linear_trend(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("__x").cast("long").alias("__sx"),
         F.sum("__y").cast("long").alias("__sy"),
-        F.sum((F.col("__x") * F.col("__y")).cast("decimal(38,0)")).alias("__sxy"),
-        F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,0)")).alias("__sxx"),
+        # multiply as DECIMAL, not long: quantized values of large-
+        # magnitude regressors (e.g. epoch hours) overflow a long
+        # product; decimal(19,0) x decimal(19,0) is exact to 38 digits
+        F.sum(F.col("__x").cast("decimal(19,0)") * F.col("__y").cast("decimal(19,0)")).alias("__sxy"),
+        F.sum(F.col("__x").cast("decimal(19,0)") * F.col("__x").cast("decimal(19,0)")).alias("__sxx"),
     )
     n = F.col("n").cast("double")
     sx = F.col("__sx").cast("double")

@@ -135,3 +135,33 @@ def test_pretraining_build_composition_plan(spark):
         F.count(F.lit(1)).alias("n_docs")
     )
     assert_plan(out, no_python=True, no_nested_loop=True, require_broadcast_join=True)
+
+
+def test_monitoring_family_plan_shapes(spark):
+    """Plan guards for the round-6 monitoring/analytics operators:
+    trend is ONE aggregation (no join/window); the data card is one
+    CUBE aggregation; CDC chunking crosses no Python boundary and
+    joins its sparse boundary relation without nested loops."""
+    from pyspark.sql import functions as F
+
+    from patternly_spark.operators.drift import linear_trend
+    from patternly_spark.operators.packing import content_defined_chunks
+    from patternly_spark.operators.rollup import corpus_data_card
+    from patternly_spark.plans import assert_plan, plan_audit
+
+    events = spark.createDataFrame(
+        [("a", float(i), float(i % 7)) for i in range(64)], "g string, x double, y double"
+    )
+    trend = linear_trend(events, "x", "y", by="g")
+    audit = assert_plan(trend, no_python=True, no_nested_loop=True)
+    assert audit["sort_merge_joins"] == 0 and audit["broadcast_joins"] == 0
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i + j) % 11}" for j in range(12)), "en", f"s{i % 3}") for i in range(32)],
+        "doc_id long, text string, lang string, source string",
+    )
+    card = corpus_data_card(docs)
+    assert_plan(card, no_python=True, no_nested_loop=True)
+
+    chunks = content_defined_chunks(docs, kgram=3, boundary_mod=4)
+    assert_plan(chunks, no_python=True, no_nested_loop=True)
