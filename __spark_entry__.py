@@ -3679,6 +3679,61 @@ _Q133_ORACLE = """
 """
 
 
+def q134_metric_correlation(spark, sf_dir):
+    """Multivariate monitoring: Pearson correlation between every pair
+    of event types' HOURLY value totals over shared hours
+    (operators/drift.pairwise_correlation on a q41-style rollup).
+    Dyadic-quantized inputs + integer/DECIMAL sums keep the matrix
+    engine-exact."""
+    from patternly_spark.operators.drift import pairwise_correlation
+
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(_dec("value")).cast("double").alias("v"))
+    # bits=8: hourly totals are ~1e3-scale, so 2^8 quantization keeps
+    # every regression sum below 2^53 — exactly double-representable,
+    # which is what makes the decimal->double casts engine-identical
+    return pairwise_correlation(hourly, "event_type", "h", "v", bits=8)
+
+
+_Q134_ORACLE = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ), q AS (
+        SELECT event_type, h, CAST(FLOOR(v * 256.0) AS BIGINT) AS qv FROM hourly
+    ), pairs AS (
+        SELECT a.event_type AS series_a, b.event_type AS series_b,
+               a.qv AS x, b.qv AS y
+        FROM q a JOIN q b ON a.h = b.h AND a.event_type < b.event_type
+    ), agg AS (
+        SELECT series_a, series_b,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+               SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+               SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT series_a, series_b, n,
+           CASE WHEN n >= 2
+                     AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+                     AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS corr
+    FROM agg
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -3845,6 +3900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_discords": q131_discords,
         "q132_seasonal_profile": q132_seasonal_profile,
         "q133_knn_eval": q133_knn_eval,
+        "q134_metric_correlation": q134_metric_correlation,
     }
 
 
@@ -5456,6 +5512,7 @@ def oracle_sql() -> dict[str, str]:
         "q130_cusum": _Q130_ORACLE,
         "q132_seasonal_profile": _Q132_ORACLE,
         "q133_knn_eval": _Q133_ORACLE,
+        "q134_metric_correlation": _Q134_ORACLE,
     }
 
 

@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "q131_discords",
     "q132_seasonal_profile",
     "q133_knn_eval",
+    "q134_metric_correlation",
 ]
 
 

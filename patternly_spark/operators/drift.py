@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["categorical_drift", "ks_drift", "linear_trend", "cusum"]
+__all__ = ["categorical_drift", "ks_drift", "linear_trend", "cusum", "pairwise_correlation"]
 
 #: dyadic quantization grid for the summed statistic terms
 DRIFT_SCALE = float(1 << 20)
@@ -326,3 +326,62 @@ def cusum(
         lo.alias("cusum_lo"),
         ((hi > F.lit(h)) | (lo > F.lit(h))).alias("alarm"),
     )
+
+
+def pairwise_correlation(
+    df: DataFrame,
+    series_col: str,
+    key_col: str,
+    value_col: str,
+    *,
+    bits: int = 20,
+) -> DataFrame:
+    """Pearson correlation between every pair of series over their
+    SHARED keys — the multivariate layer of the monitoring family
+    ("error rate rises when purchases fall" is a correlation question,
+    not a per-metric one).  Input is long-form (series, key, value),
+    e.g. hourly rollups per event type keyed by the hour bucket.
+
+    Exactness: values floor-quantize to the 2^-bits grid; per-pair
+    sums are longs/DECIMAL products (order-invariant), finished by one
+    fixed double-op sequence — identical under any partitioning and
+    replayable in SQL.  Pairs with fewer than 2 shared keys or zero
+    variance on either side return null.
+
+    Scale shape: the self-join is on ``key_col`` (the time bucket —
+    data-sized but co-partitioned), producing |pairs| x |shared keys|
+    rows before ONE grouped aggregation; with rolled-up inputs (series
+    x buckets, not raw events) this is dashboard-sized.  Emits each
+    unordered pair once (a < b).
+
+    Output: (series_a, series_b, n, corr).
+    """
+    scale = float(1 << int(bits))
+    q = F.floor(F.col(value_col).cast("double") * F.lit(scale)).cast("long")
+    base = df.select(F.col(series_col).alias("__s"), F.col(key_col).alias("__k"), q.alias("__q"))
+    a = base.select(F.col("__s").alias("series_a"), "__k", F.col("__q").alias("__x"))
+    b = base.select(F.col("__s").alias("series_b"), "__k", F.col("__q").alias("__y"))
+    pairs = a.join(b, "__k").filter(F.col("series_a") < F.col("series_b"))
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")
+    agg = pairs.groupBy("series_a", "series_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum(d19("__x") * d19("__y")).alias("__sxy"),
+        F.sum(d19("__x") * d19("__x")).alias("__sxx"),
+        F.sum(d19("__y") * d19("__y")).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("__sxy").cast("double"),
+        F.col("__sxx").cast("double"),
+        F.col("__syy").cast("double"),
+    )
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when(
+        (F.col("n") >= 2) & (vx > 0.0) & (vy > 0.0),
+        (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    return agg.select("series_a", "series_b", "n", corr.alias("corr"))

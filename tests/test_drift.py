@@ -361,3 +361,20 @@ def test_streaming_cusum_accumulates_across_batches(spark, tmp_path):
     assert got == want
     assert got[("u", 3)] == (4.0, False)   # end of batch 0: no alarm yet
     assert got[("u", 7)] == (8.0, True)    # carried state crosses in batch 1
+
+
+def test_pairwise_correlation_known_relationships(spark):
+    """Perfectly correlated, anti-correlated and independent series
+    over shared keys; degenerate (constant) series return null."""
+    from patternly_spark.operators.drift import pairwise_correlation
+
+    rows = []
+    for k in range(16):
+        rows += [("up", k, float(k)), ("down", k, float(-2 * k)), ("flat", k, 5.0)]
+        rows += [("alt", k, 1.0 if k % 2 else -1.0)]
+    df = spark.createDataFrame(rows, "s string, k long, v double")
+    out = {(r["series_a"], r["series_b"]): r for r in pairwise_correlation(df, "s", "k", "v").collect()}
+    assert abs(out[("down", "up")]["corr"] + 1.0) < 1e-9
+    assert out[("flat", "up")]["corr"] is None          # zero variance side
+    assert abs(out[("alt", "up")]["corr"]) < 0.2        # near-independent
+    assert out[("down", "up")]["n"] == 16
