@@ -3734,6 +3734,248 @@ _Q134_ORACLE = """
 """
 
 
+def q135_int8_ann(spark, sf_dir):
+    """Compressed-vector search: exact cosine top-k computed entirely
+    over int8 absmax-quantized codes (operators/quantized.int8_topk).
+    The per-vector scales cancel out of the cosine ratio, so the
+    similarity is integer dot / (sqrt . sqrt) — engine-exact by
+    construction (no float fold-order sensitivity), which is why this
+    4x-smaller representation can carry a full value-hash oracle."""
+    from patternly_spark.operators.quantized import int8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    return int8_topk(emb, probes, k=10)
+
+
+_Q135_ORACLE = """
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ), sc AS (
+        SELECT vec_id, v,
+               CASE WHEN amax > 0.0 THEN amax / 127.0 ELSE 1.0 END AS scale
+        FROM (SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) AS amax
+              FROM base)
+    ), qz AS (
+        SELECT vec_id,
+               list_transform(v, x -> floor(x / scale + 0.5)) AS codes
+        FROM sc
+    ), nn AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.codes, c.codes)
+                     / (sqrt(list_dot_product(q.codes, q.codes))
+                        * sqrt(list_dot_product(c.codes, c.codes))), 6) AS qcosine
+        FROM qz q, qz c
+        WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, qcosine, CAST(rank AS INT) AS rank FROM (
+        SELECT query_id, neighbor_id, qcosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY qcosine DESC, neighbor_id ASC) AS rank
+        FROM nn
+    ) WHERE rank <= 10
+"""
+
+
+def q136_hamming_rerank(spark, sf_dir):
+    """Two-stage compressed ANN: Hamming top-32 prefilter over packed
+    sign bits (xor + popcount on LONG words — the cheapest candidate
+    generator), exact cosine rerank to top-5
+    (operators/quantized.hamming_rerank_topk).  The oracle replays the
+    Hamming distance as the count of sign-disagreeing dims — the packed
+    and unpacked formulations are the same integer."""
+    from patternly_spark.operators.quantized import hamming_rerank_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    return hamming_rerank_topk(emb, probes, k=5, candidates=32)
+
+
+_Q136_ORACLE = """
+    WITH ham AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(len(list_filter(range(1, len(q.embedding) + 1),
+                        i -> (q.embedding[i] >= 0.0) <> (c.embedding[i] >= 0.0)))
+                    AS BIGINT) AS hamming,
+               round(list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+                                      list_transform(c.embedding, x -> x::DOUBLE))
+                     / (sqrt(list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+                                              list_transform(q.embedding, x -> x::DOUBLE)))
+                        * sqrt(list_dot_product(list_transform(c.embedding, x -> x::DOUBLE),
+                                                list_transform(c.embedding, x -> x::DOUBLE)))), 6)
+                   AS cosine_sim
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+    ), cand AS (
+        SELECT * FROM (
+            SELECT query_id, neighbor_id, hamming, cosine_sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY hamming ASC, neighbor_id ASC) AS c
+            FROM ham
+        ) WHERE c <= 32
+    )
+    SELECT query_id, neighbor_id, hamming, cosine_sim, CAST(rank AS INT) AS rank FROM (
+        SELECT query_id, neighbor_id, hamming, cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+        FROM cand
+    ) WHERE rank <= 5
+"""
+
+
+def q137_matryoshka_eval(spark, sf_dir):
+    """Matryoshka truncation evaluation: micro-averaged recall@10 of
+    first-d-dims cosine search against full-dim exact search, for
+    d in {8, 16, 32} (operators/quantized.matryoshka_recall) — the
+    acceptance gate before truncating an embedding column at rest.
+    recall = SUM(n_common)/SUM(n_exact): integer sums, one double
+    division, engine-exact."""
+    from patternly_spark.operators.quantized import matryoshka_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    return matryoshka_recall(emb, probes, dims=[8, 16, 32], k=10)
+
+
+def _q137_block(d: int) -> str:
+    return f"""
+        SELECT {d} AS trunc_dim, e.query_id, e.neighbor_id,
+               a.neighbor_id IS NOT NULL AS hit
+        FROM exact e LEFT JOIN (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id ASC) AS rnk
+                FROM (
+                    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                           round(list_dot_product(list_transform(q.embedding[1:{d}], x -> x::DOUBLE),
+                                                  list_transform(c.embedding[1:{d}], x -> x::DOUBLE))
+                                 / (sqrt(list_dot_product(list_transform(q.embedding[1:{d}], x -> x::DOUBLE),
+                                                          list_transform(q.embedding[1:{d}], x -> x::DOUBLE)))
+                                    * sqrt(list_dot_product(list_transform(c.embedding[1:{d}], x -> x::DOUBLE),
+                                                            list_transform(c.embedding[1:{d}], x -> x::DOUBLE)))), 6) AS sim
+                    FROM embeddings q, embeddings c
+                    WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+                )
+            ) WHERE rnk <= 10
+        ) a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    """
+
+
+_Q137_ORACLE = f"""
+    WITH exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id ASC) AS rnk
+            FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+                                              list_transform(c.embedding, x -> x::DOUBLE))
+                             / (sqrt(list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+                                                      list_transform(q.embedding, x -> x::DOUBLE)))
+                                * sqrt(list_dot_product(list_transform(c.embedding, x -> x::DOUBLE),
+                                                        list_transform(c.embedding, x -> x::DOUBLE)))), 6) AS sim
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+            )
+        ) WHERE rnk <= 10
+    ), marked AS (
+        {_q137_block(8)} UNION ALL {_q137_block(16)} UNION ALL {_q137_block(32)}
+    )
+    SELECT trunc_dim,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS recall
+    FROM marked GROUP BY trunc_dim
+"""
+
+
+_Q138_PHRASES = ["slow hash batch", "big data"]
+
+
+def q138_phrase_search(spark, sf_dir):
+    """Exact phrase queries over a positional inverted index
+    (operators/retrieval.positional_index + phrase_search): postings of
+    term i shifted by -i meet at the phrase start — m pruned index
+    scans + (m-1) co-located equi-joins, never a regex pass over the
+    text column.  Two phrases share one index build.  The oracle
+    replays each phrase as a per-doc token-array scan (the brute-force
+    semantics the index must reproduce exactly)."""
+    from patternly_spark.operators.retrieval import phrase_search, positional_index
+
+    d = _t(spark, sf_dir, "documents")
+    idx = positional_index(d)
+    out = None
+    for ph in _Q138_PHRASES:
+        r = phrase_search(d, ph, index=idx).select(
+            F.lit(ph).alias("phrase"), "doc_id", "n_matches", "first_pos"
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def _q138_block(phrase: str) -> str:
+    ws = phrase.split()
+    cond = " AND ".join(f"toks[i+{j}] = '{w}'" for j, w in enumerate(ws))
+    return f"""
+        SELECT '{phrase}' AS phrase, doc_id,
+               CAST(len(hits) AS BIGINT) AS n_matches,
+               CAST(hits[1] - 1 AS BIGINT) AS first_pos
+        FROM (
+            SELECT doc_id,
+                   list_filter(range(1, len(toks) + 2 - {len(ws)}),
+                               i -> {cond}) AS hits
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                  FROM documents)
+        ) WHERE len(hits) > 0
+    """
+
+
+_Q138_ORACLE = " UNION ALL ".join(_q138_block(p) for p in _Q138_PHRASES)
+
+
+def q139_temperature_mixture(spark, sf_dir):
+    """Temperature-smoothed source mixture (XLM/mT5 sampling rule,
+    operators/sampling.temperature_mixture): target share of each
+    source is n_tokens^0.5 normalized, rates realize the largest
+    pure-downsampling corpus.  sqrt is IEEE-exact and the powers are
+    dyadic-quantized before the normalizing sum, so every value
+    replays bit-for-bit in SQL."""
+    from patternly_spark.operators.sampling import temperature_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_mixture(d, tau=0.5)
+
+
+_Q139_ORACLE = """
+    WITH agg AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ), qd AS (
+        SELECT *, CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576.0) AS BIGINT) AS q
+        FROM agg
+    ), sh AS (
+        SELECT *,
+               CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)
+                   AS raw_share,
+               CAST(q AS DOUBLE) / CAST(SUM(q) OVER () AS DOUBLE) AS temp_share
+        FROM qd
+    ), ach AS (
+        SELECT *, MIN(CAST(n_tokens AS DOUBLE) / temp_share) OVER () AS a FROM sh
+    )
+    SELECT source, n_docs, n_tokens, raw_share, temp_share,
+           temp_share * a / CAST(n_tokens AS DOUBLE) AS sampling_rate,
+           temp_share * a AS expected_tokens
+    FROM ach
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -3901,6 +4143,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_seasonal_profile": q132_seasonal_profile,
         "q133_knn_eval": q133_knn_eval,
         "q134_metric_correlation": q134_metric_correlation,
+        "q135_int8_ann": q135_int8_ann,
+        "q136_hamming_rerank": q136_hamming_rerank,
+        "q137_matryoshka_eval": q137_matryoshka_eval,
+        "q138_phrase_search": q138_phrase_search,
+        "q139_temperature_mixture": q139_temperature_mixture,
     }
 
 
@@ -5513,6 +5760,11 @@ def oracle_sql() -> dict[str, str]:
         "q132_seasonal_profile": _Q132_ORACLE,
         "q133_knn_eval": _Q133_ORACLE,
         "q134_metric_correlation": _Q134_ORACLE,
+        "q135_int8_ann": _Q135_ORACLE,
+        "q136_hamming_rerank": _Q136_ORACLE,
+        "q137_matryoshka_eval": _Q137_ORACLE,
+        "q138_phrase_search": _Q138_ORACLE,
+        "q139_temperature_mixture": _Q139_ORACLE,
     }
 
 

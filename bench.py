@@ -154,6 +154,11 @@ BENCH_QUERIES = [
     "q132_seasonal_profile",
     "q133_knn_eval",
     "q134_metric_correlation",
+    "q135_int8_ann",
+    "q136_hamming_rerank",
+    "q137_matryoshka_eval",
+    "q138_phrase_search",
+    "q139_temperature_mixture",
 ]
 
 

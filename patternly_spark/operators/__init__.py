@@ -25,6 +25,14 @@ from patternly_spark.operators.sampling import (
     hash_sample,
     stratified_hash_sample,
 )
+from patternly_spark.operators.quantized import (
+    hamming_rerank_topk,
+    int8_quantize,
+    int8_topk,
+    matryoshka_recall,
+    sign_pack,
+    truncated_topk,
+)
 from patternly_spark.operators.similarity import (
     cosine_topk,
     ivf_index_topk,
@@ -71,6 +79,12 @@ __all__ = [
     "pack_sequences",
     "chunk_documents",
     "cosine_topk",
+    "hamming_rerank_topk",
+    "int8_quantize",
+    "int8_topk",
+    "matryoshka_recall",
+    "sign_pack",
+    "truncated_topk",
     "lsh_bucketed_topk",
     "ivf_topk",
     "lsh_index_topk",

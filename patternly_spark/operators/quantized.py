@@ -1,0 +1,345 @@
+"""Compressed-embedding search: int8 scalar quantization, binary sign
+sketches with Hamming-prefilter rerank, and matryoshka truncation
+evaluation.
+
+Why this family exists: at 100 TB an `array<float>` embedding column is
+often the single largest column in the corpus (64-dim float = 256 B/row;
+a 1e11-row corpus carries ~25 TB of floats).  Production vector search
+ships compressed representations instead:
+
+- ``int8_quantize``       : 4x smaller (absmax per-vector scalar
+                            quantization, the sentence-transformers /
+                            faiss SQ8 scheme).  Quantized cosine needs
+                            ONLY the integer codes — the per-vector
+                            scales cancel out of the ratio — so search
+                            over int8 codes is exact integer arithmetic
+                            and engine-portable bit-for-bit.
+- ``sign_pack``           : 32x smaller (1 bit/dim packed into LONGs);
+                            Hamming distance via xor+bit_count is the
+                            cheapest possible candidate generator.
+- ``hamming_rerank_topk`` : the standard two-stage ANN: Hamming top-C
+                            prefilter over packed bits, exact cosine
+                            rerank of the C candidates.  Cost per query
+                            drops from O(N·dim) float ops to O(N) xor
+                            ops + O(C·dim) float ops.
+- ``truncated_topk`` /
+  ``matryoshka_recall``   : evaluate how much recall survives keeping
+                            only the first d dims (matryoshka
+                            representation learning) — the acceptance
+                            gate before truncating a corpus's embedding
+                            column at rest.
+
+Scale notes: every search here is the broadcast-queries x corpus-scan
+shape of ``similarity.cosine_topk`` — the corpus side never shuffles;
+per-partition window rank keeps only k (or C) rows per query moving.
+Reference parity: the reference engine has no compressed-vector search;
+this extends SURVEY.md §2.12 (training-data pipeline: similarity
+search) with the standard compression ladder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from patternly_spark.functions.vectors import dot, norm
+
+__all__ = [
+    "int8_quantize",
+    "int8_topk",
+    "sign_pack",
+    "hamming_rerank_topk",
+    "truncated_topk",
+    "matryoshka_recall",
+]
+
+
+def int8_quantize(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Per-vector absmax int8 quantization: ``scale = max|x| / 127``,
+    ``code_i = floor(x_i/scale + 0.5)`` (round-half-up via floor, the
+    same closed form on every engine — no banker's/away-from-zero
+    divergence).  Output: (id, scale DOUBLE, codes ARRAY<INT>).
+
+    Codes are exactly representable in int8 (|code| <= 127 by
+    construction); they are carried as INT because integer dot products
+    of codes are the unit the search path consumes.  All-zero vectors
+    get scale=1 (codes all zero) rather than a 0/0.
+
+    One narrow projection, no shuffle: at 100 TB this is a map-only
+    column rewrite that parquet-compresses ~4x smaller than the float
+    column it replaces.
+    """
+    v = F.col(vec_col)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(absmax > 0.0, absmax / F.lit(127.0)).otherwise(F.lit(1.0))
+    cols = [F.col(id_col)] + [F.col(c) for c in (keep or [])]
+    return (
+        df.select(*cols, scale.alias("scale"), v.alias("__v"))
+        .withColumn(
+            "codes",
+            F.transform(
+                F.col("__v"),
+                lambda x: F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)).cast("int"),
+            ),
+        )
+        .drop("__v")
+    )
+
+
+def _int_dot(a, b) -> "F.Column":
+    """Integer dot product of two code arrays (exact: 64 dims x 127^2
+    stays far below 2^53, so even a DOUBLE-summing engine is exact)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact top-k by cosine **computed over int8 codes**.  The
+    per-vector scales cancel out of cosine(scale_a*qa, scale_b*qb), so
+    the similarity is ``dot_int(qa,qb) / (sqrt(dot_int(qa,qa)) *
+    sqrt(dot_int(qb,qb)))`` — integer sums + one sqrt/divide, exact on
+    every engine regardless of fold order.
+
+    Output: (query_id, neighbor_id, qcosine, rank) — the compressed
+    twin of ``similarity.cosine_topk`` (same shape: broadcast queries,
+    corpus-side scan, per-partition rank; only k rows/query shuffle).
+    """
+    qz = int8_quantize(queries, id_col=id_col, vec_col=vec_col)
+    cz = int8_quantize(corpus, id_col=id_col, vec_col=vec_col)
+    q = qz.select(
+        F.col(id_col).alias("query_id"),
+        F.col("codes").alias("qc"),
+        F.sqrt(_int_dot(F.col("codes"), F.col("codes")).cast("double")).alias("qn"),
+    )
+    c = cz.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("codes").alias("cc"),
+        F.sqrt(_int_dot(F.col("codes"), F.col("codes")).cast("double")).alias("cn"),
+    )
+    sim = _int_dot(F.col("qc"), F.col("cc")).cast("double") / (F.col("qn") * F.col("cn"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("qcosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qcosine", "rank")
+    )
+
+
+def sign_pack(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Binary sign sketch: 32 dims packed per LONG word (dim ``32w + j``
+    contributes bit ``31 - j`` of word ``w`` — a big-endian fold, the
+    one packing a sequential ``acc*2 + bit`` reduction produces without
+    shift primitives).  Output: (id, sig ARRAY<LONG>) — ceil(dim/32)
+    longs per vector (a 64-dim corpus carries TWO longs: 16x smaller
+    than float32).
+
+    Hamming distance between two sketches = popcount(xor) summed over
+    words — identical to counting dims whose signs disagree, which is
+    the closed form an external SQL oracle replays without bit packing.
+    32 bits per word keeps the fold's ``acc*2`` far from LONG overflow
+    (ANSI-safe).
+    """
+    v = F.col(vec_col)
+    bits = F.zip_with(
+        v,
+        F.sequence(F.lit(0), F.size(v) - 1),
+        lambda x, i: F.struct(x.alias("x"), i.alias("i")),
+    )
+    n_words = F.floor((F.size(v) + 31) / F.lit(32)).cast("int")
+    sig = F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda w_: F.aggregate(
+            F.filter(bits, lambda s: F.floor(s["i"] / 32).cast("int") == w_),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc * F.lit(2).cast("long")
+            + F.when(s["x"] >= 0.0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+    cols = [F.col(id_col)] + [F.col(c) for c in (keep or [])]
+    return df.select(*cols, sig.alias("sig"))
+
+
+def _hamming(a, b) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def hamming_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    candidates: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Two-stage ANN: Hamming top-``candidates`` prefilter over packed
+    sign bits, exact cosine rerank of the survivors.
+
+    Stage 1 scans xor+popcount over one long per 64 dims — the cheapest
+    candidate generator there is (no float math, no bucket tuning, no
+    recall cliff from empty buckets).  Stage 2 re-scores ``candidates``
+    rows per query with full-precision cosine.  Both stages are
+    broadcast-queries x corpus-scan with per-partition window rank:
+    corpus never shuffles, C rows per query move.
+
+    Deterministic: prefilter ties break on neighbor_id; rerank ties on
+    neighbor_id.  Output: (query_id, neighbor_id, hamming, cosine_sim,
+    rank).
+    """
+    qs = sign_pack(queries, id_col=id_col, vec_col=vec_col, keep=[vec_col]).select(
+        F.col(id_col).alias("query_id"),
+        F.col("sig").alias("qsig"),
+        F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    cs = sign_pack(corpus, id_col=id_col, vec_col=vec_col, keep=[vec_col]).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("sig").alias("csig"),
+        F.col(vec_col).alias("corpus_vec"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    pre = (
+        cs.crossJoin(F.broadcast(qs))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("hamming", _hamming(F.col("qsig"), F.col("csig")))
+    )
+    wpre = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    cand = pre.withColumn("__c", F.row_number().over(wpre)).filter(F.col("__c") <= candidates)
+    sim = dot(F.col("query_vec"), F.col("corpus_vec")) / (F.col("qn") * F.col("cn"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("cosine_sim", sim)
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "cosine_sim", "rank")
+    )
+
+
+def truncated_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    trunc_dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k using only the FIRST ``trunc_dim`` dims of
+    every vector (matryoshka truncation).  Same plan shape as
+    ``cosine_topk``; the slice happens in the projection so the scan
+    moves trunc_dim floats, not dim."""
+    sl = lambda c: F.slice(F.col(c), 1, trunc_dim)  # noqa: E731
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        sl(vec_col).alias("query_vec"),
+        norm(sl(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        sl(vec_col).alias("corpus_vec"),
+        norm(sl(vec_col)).alias("cn"),
+    )
+    sim = dot(F.col("query_vec"), F.col("corpus_vec")) / (F.col("qn") * F.col("cn"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def matryoshka_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    dims: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Micro-averaged recall@k of truncated-dim search against full-dim
+    exact search, one row per truncation width: (trunc_dim, n_exact,
+    n_common, recall).  ``recall = SUM(n_common)/SUM(n_exact)`` — two
+    integer sums and one double division, engine-exact (per-query
+    double averaging would be fold-order-sensitive; micro-averaging is
+    not).
+
+    This is the acceptance gate for truncating an embedding column at
+    rest: run it on a sampled query set, pick the smallest dim whose
+    recall clears the bar."""
+    from patternly_spark.operators.similarity import cosine_topk
+
+    exact = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    out = None
+    for d in dims:
+        ap = truncated_topk(
+            corpus, queries, trunc_dim=d, k=k, id_col=id_col, vec_col=vec_col
+        ).select("query_id", "neighbor_id")
+        both = exact.join(ap, ["query_id", "neighbor_id"]).select(F.lit(d).alias("trunc_dim"))
+        ex = exact.select(F.lit(d).alias("trunc_dim"))
+        agg = (
+            ex.groupBy("trunc_dim")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+            .join(
+                both.groupBy("trunc_dim").agg(
+                    F.count(F.lit(1)).cast("long").alias("n_common")
+                ),
+                "trunc_dim",
+                "left",
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.select(
+        "trunc_dim",
+        "n_exact",
+        F.coalesce("n_common", F.lit(0)).alias("n_common"),
+        (
+            F.coalesce("n_common", F.lit(0)).cast("double")
+            / F.col("n_exact").cast("double")
+        ).alias("recall"),
+    )

@@ -352,3 +352,68 @@ def chi2_keywords(
         scored.withColumn("rank", F.row_number().over(win).cast("int"))
         .filter(F.col("rank") <= int(top_k))
     )
+
+
+# ---------------------------------------------------------------------------
+# positional index / phrase search
+# ---------------------------------------------------------------------------
+
+
+def positional_index(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted index as a relation: one row per token
+    occurrence, (term, doc_id, pos) with 0-based positions.
+
+    This is the materialization a phrase/proximity query engine keys
+    on.  At 100 TB: one explode pass (row count = corpus token count);
+    persisted bucketed-by-term it serves every subsequent phrase query
+    with a pruned scan of just the query's terms — the relational twin
+    of a Lucene positions file."""
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(t).alias("pos", "term")
+    ).select("term", "doc_id", "pos")
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Exact phrase match via positional-index self-alignment: the
+    classic adjacency join — postings of term i shifted by -i all meet
+    at the phrase's start position.
+
+    Output: (doc_id, n_matches, first_pos), matching docs only.
+
+    Scale shape: each join input is the index FILTERED to one query
+    term (a pushed-down pruned scan when the index is bucketed/
+    partitioned by term), and every join is an equi-join on
+    (doc_id, start) — co-partitioned after the first shuffle, so the
+    m-term phrase costs m pruned scans + (m-1) co-located joins over
+    postings-sized (not corpus-sized) relations.  No regex scan of the
+    full text column.  AQE reorders/broadcasts when one term is rare.
+    Overlapping matches count individually (standard positional
+    semantics)."""
+    terms = phrase.split()
+    if not terms:
+        raise ValueError("empty phrase")
+    idx = index if index is not None else positional_index(docs, id_col=id_col, text_col=text_col)
+    base = None
+    for i, w in enumerate(terms):
+        p = idx.filter(F.col("term") == w).select(
+            "doc_id", (F.col("pos") - F.lit(i)).alias("start")
+        )
+        base = p if base is None else base.join(p, ["doc_id", "start"])
+    return (
+        base.filter(F.col("start") >= 0)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min("start").cast("long").alias("first_pos"),
+        )
+    )

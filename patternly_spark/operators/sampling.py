@@ -444,3 +444,64 @@ def epoch_mixture_sample(
         .drop("__rate")
     )
     return out
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    *,
+    tau: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+    quant_bits: int = 20,
+) -> DataFrame:
+    """Temperature-smoothed source mixture (the XLM/mT5 multilingual
+    sampling rule): target share of source s is ``n_tokens_s^tau``
+    normalized over sources — tau=1 keeps the natural mixture, tau->0
+    approaches uniform, 0<tau<1 up-weights small sources without
+    explicit per-source targets.  The rates realize the LARGEST corpus
+    achievable by pure downsampling (binding source keeps rate 1.0),
+    exactly like ``mixture_weights``.
+
+    Output per source: (source, n_docs, n_tokens, raw_share,
+    temp_share, sampling_rate, expected_tokens).
+
+    Cross-engine exactness: ``n_tokens^tau`` is quantized to dyadic
+    rationals (``floor(x * 2^quant_bits)`` as BIGINT) before the
+    normalizing sum, so the sum is integer-exact regardless of fold
+    order and every downstream value is a single IEEE op on identical
+    operands.  For tau=0.5 the power is computed with ``sqrt`` (an
+    IEEE-exact operation on every engine); other tau values go through
+    ``pow``, which may differ in the last ulp across libm builds — the
+    quantization absorbs that only below the 2^-quant_bits grain.
+
+    Plan shape: one map-side-combined groupBy on source; the mixture
+    arithmetic runs on the k-row aggregate (k = #sources) via
+    partition-less windows — trivially tiny at any corpus scale.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    agg = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    powed = F.sqrt(nt) if tau == 0.5 else F.pow(nt, F.lit(float(tau)))
+    scale = float(1 << quant_bits)
+    q = F.floor(powed * F.lit(scale)).cast("long")
+    w = Window.partitionBy()
+    temp_share = q.cast("double") / F.sum(q).over(w).cast("double")
+    out = (
+        agg.withColumn("raw_share", nt / F.sum("n_tokens").over(w).cast("double"))
+        .withColumn("temp_share", temp_share)
+        .withColumn("__ach", F.min(nt / F.col("temp_share")).over(w))
+    )
+    return out.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        "raw_share",
+        "temp_share",
+        (F.col("temp_share") * F.col("__ach") / nt).alias("sampling_rate"),
+        (F.col("temp_share") * F.col("__ach")).alias("expected_tokens"),
+    )

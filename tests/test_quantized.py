@@ -1,0 +1,121 @@
+"""Compressed-embedding search (operators/quantized): int8 scalar
+quantization, binary sign sketches + Hamming rerank, matryoshka
+truncation — all checked against plain-numpy references."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from patternly_spark.operators.quantized import (
+    hamming_rerank_topk,
+    int8_quantize,
+    int8_topk,
+    matryoshka_recall,
+    sign_pack,
+    truncated_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_int8_quantize_matches_numpy(spark, emb):
+    pdf = emb.limit(25).toPandas()
+    qz = int8_quantize(emb.limit(25)).toPandas().set_index("vec_id")
+    for r in pdf.itertuples():
+        x = np.array(r.embedding, dtype=np.float64)
+        am = float(np.abs(x).max())
+        scale = am / 127.0 if am > 0 else 1.0
+        codes = np.floor(x / scale + 0.5).astype(int)
+        row = qz.loc[r.vec_id]
+        assert row["scale"] == pytest.approx(scale, abs=0.0)
+        assert (np.array(row["codes"]) == codes).all()
+        assert int(np.abs(codes).max()) <= 127
+
+
+def test_int8_quantize_zero_vector(spark):
+    df = spark.createDataFrame([(0, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+    row = int8_quantize(df).collect()[0]
+    assert row["scale"] == 1.0 and list(row["codes"]) == [0, 0, 0]
+
+
+def test_int8_topk_close_to_exact_and_deterministic(spark, emb):
+    from patternly_spark.operators.similarity import cosine_topk
+
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine_sim)
+        for r in cosine_topk(emb, probes, k=5).collect()
+    }
+    quant = {
+        (r.query_id, r.rank): (r.neighbor_id, r.qcosine)
+        for r in int8_topk(emb, probes, k=5).collect()
+    }
+    assert set(exact) == set(quant)
+    # int8 absmax keeps cosine within ~1e-2 of exact; rank-1 neighbor agrees
+    for (q, rk), (nid, sim) in exact.items():
+        qn, qs = quant[(q, rk)]
+        assert abs(qs - sim) < 2e-2
+    agree = sum(exact[(q, 1)][0] == quant[(q, 1)][0] for q in range(5))
+    assert agree >= 4
+
+
+def test_sign_pack_words_match_numpy(spark, emb):
+    pdf = emb.limit(10).toPandas()
+    sp = sign_pack(emb.limit(10)).toPandas().set_index("vec_id")
+    for r in pdf.itertuples():
+        x = np.array(r.embedding)
+        dim = len(x)
+        words = []
+        for w in range((dim + 31) // 32):
+            acc = 0
+            for j in range(32):
+                i = 32 * w + j
+                if i < dim:
+                    acc = acc * 2 + (1 if x[i] >= 0 else 0)
+            words.append(acc)
+        assert [int(g) for g in sp.loc[r.vec_id]["sig"]] == words
+
+
+def test_hamming_rerank_matches_numpy_hamming(spark, emb):
+    pdf = emb.filter(F.col("vec_id") < 6).toPandas().set_index("vec_id")
+    out = hamming_rerank_topk(
+        emb.filter(F.col("vec_id") < 6), emb.filter(F.col("vec_id") < 6), k=5, candidates=5
+    ).collect()
+    assert len(out) == 6 * 5
+    for r in out:
+        a = np.array(pdf.loc[r.query_id]["embedding"])
+        b = np.array(pdf.loc[r.neighbor_id]["embedding"])
+        assert r.hamming == int(((a >= 0) != (b >= 0)).sum())
+
+
+def test_hamming_prefilter_bounds_candidates(spark, emb):
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = hamming_rerank_topk(emb, probes, k=50, candidates=8).toPandas()
+    # rerank can never return more than the prefilter admitted
+    assert (out.groupby("query_id").size() <= 8).all()
+
+
+def test_truncated_topk_equals_exact_at_full_dim(spark, emb):
+    from patternly_spark.operators.similarity import cosine_topk
+
+    probes = emb.filter(F.col("vec_id") < 5)
+    full = truncated_topk(emb, probes, trunc_dim=64, k=5).collect()
+    exact = cosine_topk(emb, probes, k=5).collect()
+    assert {(r.query_id, r.rank, r.neighbor_id) for r in full} == {
+        (r.query_id, r.rank, r.neighbor_id) for r in exact
+    }
+
+
+def test_matryoshka_recall_monotone_and_bounded(spark, emb):
+    probes = emb.filter(F.col("vec_id") < 10)
+    rows = {
+        r.trunc_dim: r
+        for r in matryoshka_recall(emb, probes, dims=[8, 32, 64], k=10).collect()
+    }
+    assert rows[64].recall == 1.0  # full dim reproduces exact search
+    for d, r in rows.items():
+        assert r.n_exact == 100 and 0.0 <= r.recall <= 1.0
+        assert r.n_common <= r.n_exact

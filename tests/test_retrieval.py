@@ -213,3 +213,42 @@ def test_chi2_keywords_finds_group_marker(spark):
     # 'common' (everywhere) never ranks above the group markers
     chi = {(r["source"], r["token"]): r["chi2"] for r in out.collect()}
     assert ("A", "common") not in chi
+
+
+def test_positional_index_and_phrase_search(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox the quick brown"),
+            (2, "quick brown quick brown quick"),
+            (3, "nothing here"),
+            (4, "a a a a"),
+        ],
+        "doc_id long, text string",
+    )
+    from patternly_spark.operators.retrieval import phrase_search, positional_index
+
+    idx = positional_index(docs)
+    assert idx.columns == ["term", "doc_id", "pos"]
+    assert idx.filter("doc_id = 1 AND term = 'quick'").count() == 2
+
+    out = {r.doc_id: r for r in phrase_search(docs, "quick brown").collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_matches == 2 and out[1].first_pos == 1
+    assert out[2].n_matches == 2 and out[2].first_pos == 0
+
+    # overlapping matches count individually (positional semantics)
+    tri = {r.doc_id: r for r in phrase_search(docs, "a a a").collect()}
+    assert tri[4].n_matches == 2 and tri[4].first_pos == 0
+
+    # single-term phrase degenerates to postings counts
+    one = {r.doc_id: r for r in phrase_search(docs, "quick").collect()}
+    assert one[2].n_matches == 3
+
+    # absent phrase -> empty result
+    assert phrase_search(docs, "brown fox jumps").count() == 0
+
+    # a prebuilt (persisted) index gives identical results
+    via_idx = {r.doc_id: r for r in phrase_search(docs, "quick brown", index=idx).collect()}
+    assert {k: (v.n_matches, v.first_pos) for k, v in via_idx.items()} == {
+        k: (v.n_matches, v.first_pos) for k, v in out.items()
+    }

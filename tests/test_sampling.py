@@ -1,6 +1,7 @@
 """Deterministic hash sampling (operators/sampling.py): rate accuracy,
 partitioning invariance, nested-sample property, per-stratum rates."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from patternly_spark.operators.sampling import (
@@ -268,3 +269,31 @@ def test_epoch_shuffle_fresh_order_per_epoch_and_contiguous(spark):
     a = out.sort_values(["epoch", "doc_id"], ignore_index=True)
     b = again.sort_values(["epoch", "doc_id"], ignore_index=True)
     assert a.equals(b)
+
+
+def test_temperature_mixture_properties(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n), src) for i, (n, src) in enumerate(
+            [(100, "big")] * 8 + [(10, "small")] * 2 + [(40, "mid")] * 5
+        )],
+        "doc_id long, text string, source string",
+    )
+    from patternly_spark.operators.sampling import temperature_mixture
+
+    rows = {r.source: r for r in temperature_mixture(docs, tau=0.5).collect()}
+    assert set(rows) == {"big", "small", "mid"}
+    # temperature < 1 up-weights small sources relative to natural share
+    assert rows["small"].temp_share > rows["small"].raw_share
+    assert rows["big"].temp_share < rows["big"].raw_share
+    # shares normalize; binding source keeps rate 1.0, others downsample
+    assert sum(r.temp_share for r in rows.values()) == pytest.approx(1.0)
+    assert max(r.sampling_rate for r in rows.values()) == pytest.approx(1.0)
+    assert all(0.0 < r.sampling_rate <= 1.0 + 1e-12 for r in rows.values())
+    # expected tokens consistent with rate * available tokens
+    for r in rows.values():
+        assert r.expected_tokens == pytest.approx(r.sampling_rate * r.n_tokens)
+    # tau=1 reproduces the natural mixture: every rate ~1, shares ~raw
+    nat = {r.source: r for r in temperature_mixture(docs, tau=1.0).collect()}
+    for r in nat.values():
+        assert r.temp_share == pytest.approx(r.raw_share, abs=1e-6)
+        assert r.sampling_rate == pytest.approx(1.0, abs=1e-5)
