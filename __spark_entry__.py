@@ -3976,6 +3976,82 @@ _Q139_ORACLE = """
 """
 
 
+_Q140_ROUNDS = 3
+
+
+def q140_lpa_communities(spark, sf_dir):
+    """Community detection by synchronous label propagation
+    (operators/graph.label_propagation) over the customer-supplier
+    bipartite graph (q72's edge set): 3 deterministic rounds —
+    most-frequent neighbor label, ties to the smallest — then community
+    sizes.  The fixed round count + deterministic tie-break make the
+    whole iterative run SQL-replayable round by round (a rarity for
+    graph algorithms; pagerank q72 is rows-only for exactly the lack of
+    this property)."""
+    from patternly_spark.operators.graph import label_propagation
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)  # sparse slice: real community structure
+        .select("l_orderkey", "l_suppkey")
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    labels = label_propagation(edges, iterations=_Q140_ROUNDS)
+    return labels.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+
+
+def _q140_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(1, _Q140_ROUNDS + 1):
+        rounds.append(f"""
+    r{r} AS (
+        SELECT node, label FROM (
+            SELECT s.a AS node, l.label, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (PARTITION BY s.a
+                                      ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+            FROM sym s JOIN {prev} l ON l.node = s.b
+            GROUP BY s.a, l.label
+        ) WHERE rn = 1
+    ),
+    l{r} AS (
+        SELECT n.node, COALESCE(r.label, p.label) AS label
+        FROM nodes n
+        JOIN {prev} p ON p.node = n.node
+        LEFT JOIN r{r} r ON r.node = n.node
+    )""")
+        prev = f"l{r}"
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT o_custkey AS src,
+               l_suppkey + 10000000 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity >= 48
+    ),
+    sym AS (
+        SELECT src AS a, dst AS b FROM edges
+        UNION
+        SELECT dst AS a, src AS b FROM edges
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    {",".join(rounds)}
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM {prev} GROUP BY label
+"""
+
+
+_Q140_ORACLE = _q140_oracle()
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -4148,6 +4224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_matryoshka_eval": q137_matryoshka_eval,
         "q138_phrase_search": q138_phrase_search,
         "q139_temperature_mixture": q139_temperature_mixture,
+        "q140_lpa_communities": q140_lpa_communities,
     }
 
 
@@ -5765,6 +5842,7 @@ def oracle_sql() -> dict[str, str]:
         "q137_matryoshka_eval": _Q137_ORACLE,
         "q138_phrase_search": _Q138_ORACLE,
         "q139_temperature_mixture": _Q139_ORACLE,
+        "q140_lpa_communities": _Q140_ORACLE,
     }
 
 

@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "q137_matryoshka_eval",
     "q138_phrase_search",
     "q139_temperature_mixture",
+    "q140_lpa_communities",
 ]
 
 

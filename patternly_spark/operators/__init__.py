@@ -12,7 +12,12 @@ from patternly_spark.operators.dedup import (
     semantic_dedup,
 )
 from patternly_spark.operators.decontam import benchmark_shingle_set, decontaminate
-from patternly_spark.operators.graph import connected_components, dedup_clusters
+from patternly_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+    label_propagation,
+    pagerank,
+)
 from patternly_spark.operators.multimodal import (
     extract_features,
     resize_images,
@@ -73,6 +78,8 @@ __all__ = [
     "semantic_dedup",
     "sketch_profile",
     "connected_components",
+    "label_propagation",
+    "pagerank",
     "dedup_clusters",
     "benchmark_shingle_set",
     "decontaminate",

@@ -236,3 +236,65 @@ def pagerank(
     for df_ in (links, nodes, e):
         df_.unpersist(False)
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (LPA) over an undirected graph —
+    community detection for corpus curation: topic/host communities in
+    a link graph are coarser than connected components (which merge
+    everything reachable) and need no target count like k-means.
+
+    Deterministic variant so results are engine-replayable: labels start
+    as the node id; each round every node adopts the most frequent label
+    among its NEIGHBORS (ties -> smallest label; isolated nodes keep
+    their label).  All updates are simultaneous (synchronous) and the
+    round count is fixed, so the whole run is a pure function of the
+    edge set — an external SQL oracle can replay it round by round.
+
+    Each round: one equi-join labels x symmetrized edges on the
+    neighbor key + one groupBy (node, label) + an argmax window
+    partitioned by node — the same shuffle-on-node-key pattern as
+    ``connected_components``, hub skew handled by AQE.  Lineage is cut
+    every ``checkpoint_every`` rounds (localCheckpoint) exactly like
+    ``pagerank``.  Synchronous LPA can oscillate on bipartite-ish
+    structures; a fixed round budget makes that a bounded, deterministic
+    behavior rather than a nontermination risk.
+
+    Returns (node, label) — label is the community representative after
+    ``iterations`` rounds.
+    """
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym.cache()
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    nodes.cache()
+    labels = nodes.withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.desc("__c"), F.asc("label"))
+    for it in range(int(iterations)):
+        neigh = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        best = (
+            neigh.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("node", F.col("label").alias("__new"))
+        )
+        labels = (
+            nodes.join(labels, "node")
+            .join(best, "node", "left")
+            .select("node", F.coalesce("__new", "label").alias("label"))
+        )
+        if (it + 1) % int(checkpoint_every) == 0 or it == int(iterations) - 1:
+            labels = labels.localCheckpoint(eager=True)
+    for df_ in (nodes, sym):
+        df_.unpersist(False)
+    return labels

@@ -130,3 +130,34 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         r = (1 - d) / N + d * dangling / N + d * nxt
     for u in nodes:
         assert abs(got[u] - r[idx[u]]) < 1e-9, u
+
+
+def test_label_propagation_two_triangles(spark):
+    from patternly_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    out = {r.node: r.label for r in label_propagation(edges, iterations=3).collect()}
+    # hand-computed synchronous rounds: triangle {1,2,3} converges to
+    # label 1, triangle {4,5,6} to label 3 (the bridge pulls 3's id over)
+    assert out == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_label_propagation_isolated_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from patternly_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21)], "src long, dst long"
+    )
+    a = {r.node: r.label for r in label_propagation(edges, iterations=4).collect()}
+    b = {
+        r.node: r.label
+        for r in label_propagation(edges.repartition(7), iterations=4).collect()
+    }
+    assert a == b  # partitioning-invariant
+    # the two components never mix
+    assert {a[20], a[21]} <= {20, 21} and {a[10], a[11], a[12]} <= {10, 11, 12}
