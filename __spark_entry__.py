@@ -4052,6 +4052,213 @@ def _q140_oracle() -> str:
 _Q140_ORACLE = _q140_oracle()
 
 
+def q141_seasonal_alerts(spark, sf_dir):
+    """Seasonal-aware anomaly alerts: the end-to-end monitoring
+    composition q132's profile exists for.  Hourly totals per event
+    type (exact integer cents) are z-scored against the per-(type,
+    hour-of-day) mean/std ACROSS hour instances, so a busy-noon spike
+    is judged against other noons, not a global mean.  Alert rows:
+    |z| >= 2 with n >= 3 supporting instances.  Every statistic derives
+    from integer/DECIMAL sums — the full alert stream replays in SQL
+    bit-for-bit."""
+    e = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts"))
+    hourly = (
+        e.groupBy(
+            "event_type",
+            (F.floor(sec / 3600) * 3600).cast("long").alias("h"),
+        )
+        .agg((F.sum(_dec("value")) * 100).cast("long").alias("cents"))
+    )
+    hod = ((F.col("h") % 86400) / 3600).cast("int")
+    prof = (
+        hourly.groupBy("event_type", hod.alias("hod"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+            F.sum(
+                F.col("cents").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)")
+            ).alias("s2"),
+        )
+    )
+    j = hourly.withColumn("hod", hod).join(F.broadcast(prof), ["event_type", "hod"])
+    n = F.col("n").cast("double")
+    mean_c = F.col("s").cast("double") / n
+    std_c = F.sqrt(
+        F.greatest(
+            (
+                F.col("s2").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double") / n
+            )
+            / (n - F.lit(1.0)),
+            F.lit(0.0),
+        )
+    )
+    z = (F.col("cents").cast("double") - mean_c) / std_c
+    return (
+        j.withColumn("mean_c", mean_c)
+        .withColumn("std_c", std_c)
+        .filter((F.col("n") >= 3) & (F.col("std_c") > 0.0))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 2.0)
+        .select(
+            "event_type",
+            "h",
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("hour_total"),
+            (F.col("mean_c") / F.lit(100.0)).alias("baseline_mean"),
+            (F.col("std_c") / F.lit(100.0)).alias("baseline_std"),
+            "z",
+        )
+    )
+
+
+_Q141_ORACLE = """
+    WITH hourly AS (
+        SELECT event_type, CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ), prof AS (
+        SELECT event_type, CAST((h % 86400) / 3600 AS INT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               SUM(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS s2
+        FROM hourly GROUP BY 1, 2
+    ), z AS (
+        SELECT hh.event_type, hh.h, hh.cents, p.n,
+               CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE) AS mean_c,
+               SQRT(GREATEST(
+                   (CAST(p.s2 AS DOUBLE)
+                    - CAST(p.s AS DOUBLE) * CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE))
+                   / (CAST(p.n AS DOUBLE) - 1.0), 0.0)) AS std_c
+        FROM hourly hh
+        JOIN prof p ON p.event_type = hh.event_type
+                   AND p.hod = CAST((hh.h % 86400) / 3600 AS INT)
+    )
+    SELECT event_type, h,
+           CAST(cents AS DOUBLE) / 100.0 AS hour_total,
+           mean_c / 100.0 AS baseline_mean,
+           std_c / 100.0 AS baseline_std,
+           (CAST(cents AS DOUBLE) - mean_c) / std_c AS z
+    FROM z
+    WHERE n >= 3 AND std_c > 0
+      AND ABS((CAST(cents AS DOUBLE) - mean_c) / std_c) >= 2.0
+"""
+
+
+def q142_hybrid_retrieval(spark, sf_dir):
+    """Tri-signal hybrid retrieval — the RAG ranking stack in one
+    Catalyst plan: exact phrase match over the positional index
+    (q138's operator), dense vector similarity to a probe embedding
+    (vec_id 0; embeddings cover the corpus prefix — docs without a
+    vector simply contribute no vector rank, which RRF is built for),
+    and a lexical quality prior (q19's scorer).  The three top-20
+    lists fuse with reciprocal-rank fusion: only RANKS cross signal
+    boundaries, so the whole hybrid replays in SQL exactly."""
+    from pyspark.sql import Window
+
+    from patternly_spark.functions.text import quality_score
+    from patternly_spark.operators.retrieval import phrase_search, rrf_fuse
+    from patternly_spark.operators.similarity import cosine_topk
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    ph = phrase_search(d, "big data").withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("n_matches"), F.asc("doc_id"))),
+    ).filter(F.col("rank") <= 20)
+
+    probe = emb.filter(F.col("vec_id") == 0)
+    vec = (
+        cosine_topk(emb, probe, k=20)
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+
+    qual = d.select("doc_id", quality_score("text").alias("q")).withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("q"), F.asc("doc_id")))
+    ).filter(F.col("rank") <= 20)
+
+    return rrf_fuse([ph, vec, qual], k=60.0)
+
+
+_Q142_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    ph AS (
+        SELECT doc_id, len(hits) AS n_matches FROM (
+            SELECT doc_id,
+                   list_filter(range(1, len(toks)),
+                               i -> toks[i] = 'big' AND toks[i+1] = 'data') AS hits
+            FROM t
+        ) WHERE len(hits) > 0
+    ),
+    r1 AS (
+        SELECT doc_id, rank FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_matches DESC, doc_id ASC) AS rank
+            FROM ph
+        ) WHERE rank <= 20
+    ),
+    sims AS (
+        SELECT c.vec_id AS doc_id,
+               round(list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+                                      list_transform(c.embedding, x -> x::DOUBLE))
+                     / (sqrt(list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+                                              list_transform(q.embedding, x -> x::DOUBLE)))
+                        * sqrt(list_dot_product(list_transform(c.embedding, x -> x::DOUBLE),
+                                                list_transform(c.embedding, x -> x::DOUBLE)))), 6) AS sim
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id = 0 AND c.vec_id <> 0
+    ),
+    r2 AS (
+        SELECT doc_id, rank FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id ASC) AS rank
+            FROM sims
+        ) WHERE rank <= 20
+    ),
+    qt AS (
+        SELECT doc_id,
+               string_split(trim(text), ' ') AS st,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tok,
+               text
+        FROM documents
+    ),
+    qual AS (
+        SELECT doc_id,
+               (CASE WHEN CAST(length(text) AS DOUBLE) / n_tok >= 3.0
+                          AND CAST(length(text) AS DOUBLE) / n_tok <= 12.0
+                     THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN CAST(len(list_distinct(st)) AS DOUBLE) / n_tok < 1.0
+                       THEN CAST(len(list_distinct(st)) AS DOUBLE) / n_tok ELSE 1.0 END) * 0.3
+               + (CASE WHEN len(list_filter(st, x -> x IN ('the','a','of','and','to'))) > 0
+                       THEN 0.3 ELSE 0.0 END) AS q
+        FROM qt
+    ),
+    r3 AS (
+        SELECT doc_id, rank FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY q DESC, doc_id ASC) AS rank
+            FROM qual
+        ) WHERE rank <= 20
+    ),
+    u AS (
+        SELECT doc_id, 0 AS l, rank FROM r1
+        UNION ALL SELECT doc_id, 1 AS l, rank FROM r2
+        UNION ALL SELECT doc_id, 2 AS l, rank FROM r3
+    ),
+    g AS (
+        SELECT doc_id,
+               COALESCE(MAX(CASE WHEN l = 0 THEN 1.0 / (CAST(60.0 AS DOUBLE) + CAST(rank AS DOUBLE)) END), 0.0) AS c0,
+               COALESCE(MAX(CASE WHEN l = 1 THEN 1.0 / (CAST(60.0 AS DOUBLE) + CAST(rank AS DOUBLE)) END), 0.0) AS c1,
+               COALESCE(MAX(CASE WHEN l = 2 THEN 1.0 / (CAST(60.0 AS DOUBLE) + CAST(rank AS DOUBLE)) END), 0.0) AS c2
+        FROM u GROUP BY 1
+    )
+    SELECT doc_id, c0 + c1 + c2 AS rrf_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY c0 + c1 + c2 DESC, doc_id ASC) AS INT) AS fused_rank
+    FROM g
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -4225,6 +4432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_phrase_search": q138_phrase_search,
         "q139_temperature_mixture": q139_temperature_mixture,
         "q140_lpa_communities": q140_lpa_communities,
+        "q141_seasonal_alerts": q141_seasonal_alerts,
+        "q142_hybrid_retrieval": q142_hybrid_retrieval,
     }
 
 
@@ -5843,6 +6052,8 @@ def oracle_sql() -> dict[str, str]:
         "q138_phrase_search": _Q138_ORACLE,
         "q139_temperature_mixture": _Q139_ORACLE,
         "q140_lpa_communities": _Q140_ORACLE,
+        "q141_seasonal_alerts": _Q141_ORACLE,
+        "q142_hybrid_retrieval": _Q142_ORACLE,
     }
 
 

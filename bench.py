@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "q138_phrase_search",
     "q139_temperature_mixture",
     "q140_lpa_communities",
+    "q141_seasonal_alerts",
+    "q142_hybrid_retrieval",
 ]
 
 
