@@ -417,3 +417,56 @@ def phrase_search(
             F.min("start").cast("long").alias("first_pos"),
         )
     )
+
+
+def save_positional_index(
+    index: DataFrame,
+    path: str,
+    *,
+    n_term_buckets: int = 256,
+) -> None:
+    """Persist a positional index partitioned by a term-hash bucket so
+    later phrase queries scan only their terms' buckets.
+
+    Partitioning by raw term would create one directory per vocabulary
+    word (millions at corpus scale — a filesystem DoS); a fixed-width
+    hash bucket keeps the directory count constant while still letting
+    Catalyst prune: ``read_positional_index(..., terms=...)`` filters on
+    the same ``pmod(xxhash64(term), n)`` expression, which lands in the
+    scan's PartitionFilters (asserted in tests) — a phrase query reads
+    m buckets out of ``n_term_buckets``, not the corpus."""
+    (
+        index.withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(int(n_term_buckets)))
+        )
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(path)
+    )
+
+
+def read_positional_index(
+    spark,
+    path: str,
+    *,
+    terms: list[str] | None = None,
+    n_term_buckets: int = 256,
+) -> DataFrame:
+    """Read a persisted positional index, pruned to ``terms`` when
+    given: the term-bucket predicate prunes partitions (directory
+    skip), the term predicate prunes row groups (parquet min/max).
+    The result feeds ``phrase_search(..., index=...)`` unchanged."""
+    df = spark.read.parquet(path)
+    if terms:
+        # bucket predicate as an OR of foldable equalities: ConstantFolding
+        # collapses pmod(xxhash64(lit)) to a literal, so the disjunction
+        # prunes partitions (PartitionFilters), while the term IN list
+        # prunes row groups within the surviving buckets
+        bucket_pred = None
+        for t in terms:
+            eq = F.col("term_bucket") == F.pmod(
+                F.xxhash64(F.lit(t)), F.lit(int(n_term_buckets))
+            )
+            bucket_pred = eq if bucket_pred is None else (bucket_pred | eq)
+        df = df.filter(bucket_pred & F.col("term").isin(list(terms)))
+    return df.select("term", "doc_id", "pos")

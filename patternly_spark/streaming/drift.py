@@ -26,7 +26,14 @@ from pyspark.sql import functions as F
 
 from patternly_spark.operators.drift import categorical_drift, ks_drift
 
-__all__ = ["streaming_drift", "streaming_ks_drift", "streaming_ema", "streaming_cusum"]
+__all__ = [
+    "streaming_drift",
+    "streaming_ks_drift",
+    "streaming_ema",
+    "streaming_cusum",
+    "streaming_seasonal_monitor",
+    "seasonal_alerts_from_registry",
+]
 
 
 def streaming_drift(
@@ -235,3 +242,127 @@ def streaming_cusum(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_seasonal_monitor(
+    stream_df: DataFrame,
+    registry_path: str,
+    *,
+    checkpoint_path: str,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    trigger_once: bool = False,
+):
+    """Incremental seasonal-baseline monitor — the streaming twin of the
+    q141 composition.  The expensive pass (rolling the raw event stream
+    up to exact hourly totals) runs incrementally: each microbatch folds
+    its per-(type, hour) integer-cent totals additively into the parquet
+    registry, which stays one row per type-hour — O(types x hours),
+    independent of event volume.  Each row also carries ``max_sec``
+    (largest event second observed for that hour); the registry-wide max
+    is the stream's event-time high-water mark, so hour-closedness needs
+    no side channel.
+
+    Alerts are not emitted per batch: the seasonal profile evolves with
+    every closed hour, so provisional per-batch z-scores would disagree
+    with the final profile by construction.  Instead
+    ``seasonal_alerts_from_registry`` replays the exact q141 z-scoring
+    over the compact registry at read time — cheap (type-hour rows, not
+    events) and parity-testable: after draining the stream it equals the
+    batch composition restricted to closed hours (pinned in tests).
+
+    Read-merge-overwrite is sequential across microbatches; the merged
+    registry is localCheckpoint-pinned before overwriting the files it
+    was read from (task-retry safety, the streaming-upsert hazard)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sec = F.unix_timestamp(F.col(ts_col))
+        hourly = (
+            batch_df.groupBy(
+                F.col(type_col).alias("event_type"),
+                (F.floor(sec / 3600) * 3600).cast("long").alias("h"),
+            )
+            .agg(
+                (F.sum(F.col(value_col).cast("decimal(18,2)")) * 100)
+                .cast("long")
+                .alias("cents"),
+                F.max(sec).cast("long").alias("max_sec"),
+            )
+        )
+        try:
+            existing = spark.read.parquet(registry_path)
+            hourly = (
+                hourly.unionByName(existing)
+                .groupBy("event_type", "h")
+                .agg(
+                    F.sum("cents").cast("long").alias("cents"),
+                    F.max("max_sec").cast("long").alias("max_sec"),
+                )
+            )
+        except Exception:
+            pass
+        hourly.localCheckpoint(eager=True).write.mode("overwrite").parquet(registry_path)
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def seasonal_alerts_from_registry(registry: DataFrame, *, z_threshold: float = 2.0, min_n: int = 3) -> DataFrame:
+    """Replay the q141 seasonal z-scoring over a
+    ``streaming_seasonal_monitor`` registry: hours closed by the
+    event-time high-water mark (an event at >= h+3600 was seen) form the
+    per-(type, hour-of-day) profile from exact integer-cent sums, and
+    each closed hour is z-scored against its cell.  Identical arithmetic
+    to the batch composition — the streaming path adds incremental
+    rollup, never new math."""
+    from pyspark.sql import Window
+
+    hwm = F.max("max_sec").over(Window.partitionBy())
+    closed = (
+        registry.withColumn("__hwm", hwm)
+        .filter(F.col("h") + 3600 <= F.col("__hwm"))
+        .select("event_type", "h", "cents")
+    )
+    hod = ((F.col("h") % 86400) / 3600).cast("int")
+    prof = closed.groupBy("event_type", hod.alias("hod")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)")
+        ).alias("s2"),
+    )
+    j = closed.withColumn("hod", hod).join(F.broadcast(prof), ["event_type", "hod"])
+    n = F.col("n").cast("double")
+    mean_c = F.col("s").cast("double") / n
+    std_c = F.sqrt(
+        F.greatest(
+            (
+                F.col("s2").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double") / n
+            )
+            / (n - F.lit(1.0)),
+            F.lit(0.0),
+        )
+    )
+    z = (F.col("cents").cast("double") - mean_c) / std_c
+    return (
+        j.withColumn("mean_c", mean_c)
+        .withColumn("std_c", std_c)
+        .filter((F.col("n") >= int(min_n)) & (F.col("std_c") > 0.0))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= float(z_threshold))
+        .select(
+            "event_type",
+            "h",
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("hour_total"),
+            (F.col("mean_c") / F.lit(100.0)).alias("baseline_mean"),
+            (F.col("std_c") / F.lit(100.0)).alias("baseline_std"),
+            "z",
+        )
+    )

@@ -252,3 +252,36 @@ def test_positional_index_and_phrase_search(spark):
     assert {k: (v.n_matches, v.first_pos) for k, v in via_idx.items()} == {
         k: (v.n_matches, v.first_pos) for k, v in out.items()
     }
+
+
+def test_persisted_positional_index_prunes_and_matches(spark, tmp_path):
+    from patternly_spark.operators.retrieval import (
+        phrase_search,
+        positional_index,
+        read_positional_index,
+        save_positional_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox the quick brown"),
+            (2, "quick brown quick brown quick"),
+            (3, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "pos_index")
+    save_positional_index(positional_index(docs), path, n_term_buckets=16)
+
+    rd = read_positional_index(spark, path, terms=["quick", "brown"], n_term_buckets=16)
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "PartitionFilters: [" in plan
+        and "term_bucket" in plan.split("PartitionFilters")[1][:200]
+    ), "term-bucket predicate must prune index partitions"
+
+    direct = {r.doc_id: r for r in phrase_search(docs, "quick brown").collect()}
+    via = {r.doc_id: r for r in phrase_search(docs, "quick brown", index=rd).collect()}
+    assert {k: (v.n_matches, v.first_pos) for k, v in via.items()} == {
+        k: (v.n_matches, v.first_pos) for k, v in direct.items()
+    }

@@ -413,3 +413,26 @@ def test_read_jsonl_captures_corrupt_lines(spark, tmp_path):
         if r["_corrupt_record"] is not None
     )
     assert n_bad == 2
+
+
+def test_orc_roundtrip_schema_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC is the other columnar format Spark ships natively; the engine
+    must round-trip it with schema fidelity and push filters/projections
+    into the scan exactly as with parquet."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = str(tmp_path / "docs_orc")
+    df.write.mode("overwrite").orc(p)
+    back = spark.read.orc(p)
+    assert back.schema == df.schema
+    assert back.count() == df.count()
+    # same rows (spot-check deterministic slice)
+    a = df.filter(F.col("doc_id") < 20).orderBy("doc_id").toPandas()
+    b = back.filter(F.col("doc_id") < 20).orderBy("doc_id").toPandas()
+    assert a.equals(b)
+    filt = back.filter(F.col("doc_id") == 7).select("doc_id", "lang")
+    plan = filt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "doc_id" in plan.split("PushedFilters")[1][:120]
+    assert "ReadSchema" in plan and "text" not in plan.split("ReadSchema")[1][:200], \
+        "projection must prune unread columns from the ORC scan"

@@ -886,3 +886,62 @@ def test_streaming_ingest_shards_manifest_parity_and_verify(spark, tmp_path):
 
     ver = verify_shards(spark, path)
     assert all(r["ok"] for r in ver.collect())
+
+
+def test_streaming_seasonal_monitor_registry_and_alerts(spark, tmp_path):
+    """Two-trigger drain: the registry equals the batch hourly rollup of
+    the union, closed-hour gating follows the event-time high-water
+    mark, and the planted noon spike is alerted with q141 arithmetic."""
+    from patternly_spark.streaming.drift import (
+        seasonal_alerts_from_registry,
+        streaming_seasonal_monitor,
+    )
+
+    rows = []
+    for day in range(4):
+        for hod, base in [(9, 100.0), (12, 200.0), (15, 50.0)]:
+            v = base + day  # mild day-to-day variation
+            if day == 2 and hod == 12:
+                v = 900.0  # the spike the monitor exists to catch
+            rows.append((f"2024-03-{10 + day:02d} {hod:02d}:30:00", "load", v))
+    rows.append(("2024-03-13 16:05:00", "load", 1.0))  # closes hour 15 on day 3
+    schema = "ts timestamp, event_type string, value double"
+    mk = lambda rs: spark.createDataFrame(  # noqa: E731
+        [(r[0], r[1], r[2]) for r in rs], "ts string, event_type string, value double"
+    ).select(F.to_timestamp("ts").alias("ts"), "event_type", "value")
+
+    src = str(tmp_path / "src")
+    mk(rows[:7]).coalesce(1).write.mode("append").parquet(src)
+    mk(rows[7:]).coalesce(1).write.mode("append").parquet(src)
+
+    reg = str(tmp_path / "reg")
+    q = streaming_seasonal_monitor(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        reg,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got_reg = spark.read.parquet(reg)
+    # incremental rollup == batch rollup of the union (exact integer cents)
+    union = mk(rows)
+    sec = F.unix_timestamp("ts")
+    want_reg = union.groupBy(
+        "event_type", (F.floor(sec / 3600) * 3600).cast("long").alias("h")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100).cast("long").alias("cents"),
+        F.max(sec).cast("long").alias("max_sec"),
+    )
+    assert sorted(got_reg.collect()) == sorted(want_reg.collect())
+
+    alerts = seasonal_alerts_from_registry(got_reg, z_threshold=1.4, min_n=3).collect()
+    spike = [r for r in alerts if r.hour_total == 900.0]
+    assert len(spike) == 1 and spike[0].z > 1.4
+    # the open final hour (16:05 event) never enters profile or alerts
+    assert all(r.hour_total != 1.0 for r in alerts)
+    # alert arithmetic equals applying the same finalize to the batch rollup
+    batch_alerts = seasonal_alerts_from_registry(
+        want_reg, z_threshold=1.4, min_n=3
+    ).collect()
+    assert sorted(alerts) == sorted(batch_alerts)
