@@ -4259,6 +4259,115 @@ _Q142_ORACLE = """
 """
 
 
+def q143_dedup_agreement(spark, sf_dir):
+    """Dedup-method agreement matrix
+    (operators/dedup.pair_set_agreement): how many duplicate pairs do
+    exact-after-normalization, raw LSH candidates, and Jaccard-verified
+    near-dup share on THIS corpus — the evaluation run before trusting
+    one method's recall/precision tradeoff.  All three pair sets carry
+    exact oracles individually (q78 / q93 / q23 machinery), so the
+    matrix of counts + overlap jaccards replays in SQL bit-for-bit."""
+    from patternly_spark.functions.text import normalize_text
+    from patternly_spark.operators.dedup import (
+        exact_dedup,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        pair_set_agreement,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    nd = d.select("doc_id", normalize_text("text").alias("text"))
+    ex = exact_dedup(nd).select("doc_id", "content_hash")
+    exact_pairs = (
+        ex.select(F.col("doc_id").alias("doc_a"), "content_hash")
+        .join(ex.select(F.col("doc_id").alias("doc_b"), "content_hash"), "content_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    sigs = minhash_signatures(d, shingle_size=3, num_hashes=8)
+    cand = lsh_candidate_pairs(sigs, num_hashes=8, bands=4).select("doc_a", "doc_b")
+    verified = (
+        ngram_jaccard_pairs(d, cand, n=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    return pair_set_agreement(
+        {"exact_norm": exact_pairs, "lsh_cand": cand, "lsh_verified": verified}
+    )
+
+
+def _q143_oracle() -> str:
+    cand = _lsh_candidates_oracle(num_hashes=8, bands=4)
+    return f"""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(lower({_compat_fold_sql('text')}), '[^a-z0-9\\s]', '', 'g'),
+                   '\\s+', ' ', 'g')) AS text
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id,
+               substr(md5(array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' ')), 1, 32) AS content_hash
+        FROM norm
+    ), exact_pairs AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM hashed a JOIN hashed b
+          ON a.content_hash = b.content_hash AND a.doc_id < b.doc_id
+    ), cand AS (
+        SELECT doc_a AS a, doc_b AS b FROM ({cand})
+    ), toks_t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), sh3 AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+               ELSE [array_to_string(toks, ' ')] END AS shingles
+        FROM toks_t
+    ), verified AS (
+        SELECT c.a, c.b
+        FROM cand c
+        JOIN sh3 x ON x.doc_id = c.a
+        JOIN sh3 y ON y.doc_id = c.b
+        WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.5
+    ), m AS (
+        SELECT 'exact_norm' AS meth, a, b FROM exact_pairs
+        UNION ALL SELECT 'lsh_cand', a, b FROM cand
+        UNION ALL SELECT 'lsh_verified', a, b FROM verified
+    ), meths AS (
+        SELECT * FROM (VALUES ('exact_norm'), ('lsh_cand'), ('lsh_verified')) t(meth)
+    ), counts AS (
+        SELECT t.meth, CAST(COUNT(x.a) AS BIGINT) AS n
+        FROM meths t LEFT JOIN m x ON x.meth = t.meth
+        GROUP BY t.meth
+    ), prs AS (
+        SELECT * FROM (VALUES
+            ('exact_norm', 'lsh_cand'),
+            ('exact_norm', 'lsh_verified'),
+            ('lsh_cand', 'lsh_verified')) t(ma, mb)
+    ), common AS (
+        SELECT p.ma, p.mb, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM prs p
+        JOIN m x ON x.meth = p.ma
+        JOIN m y ON y.meth = p.mb AND y.a = x.a AND y.b = x.b
+        GROUP BY p.ma, p.mb
+    )
+    SELECT p.ma AS method_a, p.mb AS method_b,
+           ca.n AS n_a, cb.n AS n_b,
+           COALESCE(c.n_common, 0) AS n_common,
+           CASE WHEN ca.n + cb.n - COALESCE(c.n_common, 0) > 0
+                THEN CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+                     / CAST(ca.n + cb.n - COALESCE(c.n_common, 0) AS DOUBLE)
+                ELSE 0.0 END AS overlap_jaccard
+    FROM prs p
+    JOIN counts ca ON ca.meth = p.ma
+    JOIN counts cb ON cb.meth = p.mb
+    LEFT JOIN common c ON c.ma = p.ma AND c.mb = p.mb
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -4434,6 +4543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_lpa_communities": q140_lpa_communities,
         "q141_seasonal_alerts": q141_seasonal_alerts,
         "q142_hybrid_retrieval": q142_hybrid_retrieval,
+        "q143_dedup_agreement": q143_dedup_agreement,
     }
 
 
@@ -6054,6 +6164,7 @@ def oracle_sql() -> dict[str, str]:
         "q140_lpa_communities": _Q140_ORACLE,
         "q141_seasonal_alerts": _Q141_ORACLE,
         "q142_hybrid_retrieval": _Q142_ORACLE,
+        "q143_dedup_agreement": _q143_oracle(),
     }
 
 

@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "q140_lpa_communities",
     "q141_seasonal_alerts",
     "q142_hybrid_retrieval",
+    "q143_dedup_agreement",
 ]
 
 

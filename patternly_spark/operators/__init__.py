@@ -10,6 +10,7 @@ from patternly_spark.operators.dedup import (
     ngram_jaccard_pairs,
     embedding_neardup_pairs,
     semantic_dedup,
+    pair_set_agreement,
 )
 from patternly_spark.operators.decontam import benchmark_shingle_set, decontaminate
 from patternly_spark.operators.graph import (
@@ -76,6 +77,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
     "semantic_dedup",
+    "pair_set_agreement",
     "sketch_profile",
     "connected_components",
     "label_propagation",

@@ -1139,3 +1139,59 @@ def edit_distance_pairs(
         .otherwise(F.lit(1.0) - lev.cast("double") / denom.cast("double"))
         .alias("sim"),
     )
+
+
+def pair_set_agreement(
+    methods: "dict[str, DataFrame]",
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Agreement matrix between duplicate-pair sets — the evaluation a
+    pipeline runs before trusting one dedup method over another: how
+    many pairs do exact-after-normalization, LSH candidates, and
+    verified near-dup actually share on THIS corpus?
+
+    Each input relation is normalized to unordered distinct pairs
+    (least, greatest); output has one row per unordered method pair:
+    (method_a, method_b, n_a, n_b, n_common, overlap_jaccard) with
+    overlap_jaccard = |A∩B| / |A∪B| (0 when both empty).
+
+    Counts are integers and the jaccard is one double division —
+    engine-exact.  Scale shape: pair sets are outputs of the dedup
+    operators (already candidate-sized, not corpus-sized); each matrix
+    cell is one equi-join on (a, b) plus count aggregates."""
+    norm = {
+        name: df.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        ).distinct()
+        for name, df in methods.items()
+    }
+    names = sorted(norm)
+    out = None
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            A, B = norm[names[i]], norm[names[j]]
+            na = A.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+            nb = B.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+            nc = A.join(B, ["a", "b"]).agg(
+                F.count(F.lit(1)).cast("long").alias("n_common")
+            )
+            denom = (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            row = (
+                na.crossJoin(nb)
+                .crossJoin(nc)
+                .select(
+                    F.lit(names[i]).alias("method_a"),
+                    F.lit(names[j]).alias("method_b"),
+                    "n_a",
+                    "n_b",
+                    "n_common",
+                    F.when(denom > 0.0, F.col("n_common").cast("double") / denom)
+                    .otherwise(F.lit(0.0))
+                    .alias("overlap_jaccard"),
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+    return out

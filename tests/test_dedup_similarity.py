@@ -872,3 +872,22 @@ def test_pq_default_bits_recall_on_testdata(spark):
     cb = train_pq_codebooks(emb)  # default 8-bit
     assert recall(pq_topk(pq_encode(emb, cb), q, cb, k=3).toPandas()) >= 6
     assert recall(ivf_pq_topk(emb, q, k=3, n_lists=8, n_probe=3).toPandas()) >= 5
+
+
+def test_pair_set_agreement_counts_and_edges(spark):
+    from patternly_spark.operators.dedup import pair_set_agreement
+
+    A = spark.createDataFrame([(1, 2), (3, 4), (5, 6)], "doc_a long, doc_b long")
+    # reversed order + duplicate rows must normalize away
+    B = spark.createDataFrame([(2, 1), (1, 2), (4, 3), (7, 8)], "doc_a long, doc_b long")
+    C = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = {
+        (r.method_a, r.method_b): r
+        for r in pair_set_agreement({"a": A, "b": B, "c": C}).collect()
+    }
+    ab = out[("a", "b")]
+    assert (ab.n_a, ab.n_b, ab.n_common) == (3, 3, 2)
+    assert ab.overlap_jaccard == pytest.approx(2 / 4)
+    ac = out[("a", "c")]
+    assert (ac.n_a, ac.n_b, ac.n_common) == (3, 0, 0) and ac.overlap_jaccard == 0.0
+    assert len(out) == 3  # unordered method pairs only
