@@ -165,3 +165,49 @@ def test_monitoring_family_plan_shapes(spark):
 
     chunks = content_defined_chunks(docs, kgram=3, boundary_mod=4)
     assert_plan(chunks, no_python=True, no_nested_loop=True)
+
+
+def test_quantized_search_plan_shapes(spark, sf_dir):
+    """Compressed-vector searches keep the broadcast-queries x
+    corpus-scan shape: zero Python boundaries, the single deliberate
+    broadcast cross-score (the corpus side streams; only the tiny query
+    set broadcasts — this BNLJ is the intended all-pairs scoring, not a
+    missing equi-condition), and at most two exchanges (both windows
+    key on query_id, so Catalyst reuses one shuffle)."""
+    from pyspark.sql import functions as F
+
+    from patternly_spark.operators.quantized import (
+        hamming_rerank_topk,
+        int8_topk,
+        truncated_topk,
+    )
+    from patternly_spark.plans import plan_audit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    for df in (
+        int8_topk(emb, probes, k=5),
+        hamming_rerank_topk(emb, probes, k=5, candidates=16),
+        truncated_topk(emb, probes, trunc_dim=16, k=5),
+    ):
+        a = plan_audit(df)
+        assert a["python_evals"] == 0, a
+        assert a["nested_loop_joins"] == 1, a  # the deliberate broadcast score
+        assert a["exchanges"] <= 2, a
+        assert a["sort_merge_joins"] == 0, a
+
+
+def test_lpa_round_plan_is_key_partitioned(spark):
+    """One LPA round = neighbor equi-join + (node,label) groupBy +
+    per-node argmax window — all keyed shuffles, never a nested loop,
+    never a Python boundary."""
+    from patternly_spark.operators.graph import label_propagation
+    from patternly_spark.plans import plan_audit
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 40) for i in range(120)], "src long, dst long"
+    )
+    out = label_propagation(edges, iterations=1, checkpoint_every=10)
+    a = plan_audit(out)
+    assert a["python_evals"] == 0, a
+    assert a["nested_loop_joins"] == 0, a
