@@ -4368,6 +4368,49 @@ def _q143_oracle() -> str:
 """
 
 
+def q144_cross_source_overlap(spark, sf_dir):
+    """Between-source duplication audit
+    (operators/decontam.cross_source_overlap): distinct 8-gram shingle
+    sets per source, pairwise shared-gram counts and containment —
+    the crawl-provenance check run before trusting per-source token
+    budgets (two dumps of the same sites add redundancy, not data)."""
+    from patternly_spark.operators.decontam import cross_source_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    return cross_source_overlap(d, shingle_size=8)
+
+
+_Q144_ORACLE = """
+    WITH t AS (
+        SELECT source, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), sh AS (
+        SELECT source,
+               CASE WHEN len(toks) >= 8 THEN
+                   list_distinct(list_transform(range(1, len(toks) - 6),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                                      toks[i+4], toks[i+5], toks[i+6], toks[i+7])))
+               ELSE [array_to_string(toks, ' ')] END AS shingles
+        FROM t
+    ), raw AS (
+        SELECT source AS src, unnest(shingles) AS g FROM sh
+    ), grams AS (
+        SELECT DISTINCT src, md5(g) AS h FROM raw
+    ), counts AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY src
+    ), pairs AS (
+        SELECT a.src AS source_a, b.src AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM grams a JOIN grams b ON a.h = b.h AND a.src < b.src
+        GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, ca.n AS n_a, cb.n AS n_b, p.shared,
+           CAST(p.shared AS DOUBLE) / CAST(LEAST(ca.n, cb.n) AS DOUBLE) AS containment
+    FROM pairs p
+    JOIN counts ca ON ca.src = p.source_a
+    JOIN counts cb ON cb.src = p.source_b
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -4544,6 +4587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_seasonal_alerts": q141_seasonal_alerts,
         "q142_hybrid_retrieval": q142_hybrid_retrieval,
         "q143_dedup_agreement": q143_dedup_agreement,
+        "q144_cross_source_overlap": q144_cross_source_overlap,
     }
 
 
@@ -6165,6 +6209,7 @@ def oracle_sql() -> dict[str, str]:
         "q141_seasonal_alerts": _Q141_ORACLE,
         "q142_hybrid_retrieval": _Q142_ORACLE,
         "q143_dedup_agreement": _q143_oracle(),
+        "q144_cross_source_overlap": _Q144_ORACLE,
     }
 
 

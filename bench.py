@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "q141_seasonal_alerts",
     "q142_hybrid_retrieval",
     "q143_dedup_agreement",
+    "q144_cross_source_overlap",
 ]
 
 

@@ -12,7 +12,11 @@ from patternly_spark.operators.dedup import (
     semantic_dedup,
     pair_set_agreement,
 )
-from patternly_spark.operators.decontam import benchmark_shingle_set, decontaminate
+from patternly_spark.operators.decontam import (
+    benchmark_shingle_set,
+    cross_source_overlap,
+    decontaminate,
+)
 from patternly_spark.operators.graph import (
     connected_components,
     dedup_clusters,
@@ -85,6 +89,7 @@ __all__ = [
     "dedup_clusters",
     "benchmark_shingle_set",
     "decontaminate",
+    "cross_source_overlap",
     "pack_sequences",
     "chunk_documents",
     "cosine_topk",

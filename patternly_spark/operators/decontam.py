@@ -201,3 +201,67 @@ def bloom_decontaminate(
         contamination.alias("contamination"),
         (contamination >= F.lit(float(threshold))).alias("contaminated"),
     )
+
+
+def cross_source_overlap(
+    docs: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    shingle_size: int = 8,
+) -> DataFrame:
+    """Between-source duplication audit: for every pair of sources, how
+    much verbatim content (distinct n-gram shingles) do they share?
+    This is the crawl-provenance question a corpus mixer asks before
+    summing per-source token budgets — two dumps of the same sites add
+    redundancy, not data.
+
+    Output per (source_a < source_b) with any overlap: (source_a,
+    source_b, n_a, n_b, shared, containment) where containment =
+    shared / min(n_a, n_b) — 1.0 means the smaller source's content is
+    entirely inside the larger's.
+
+    Scale shape: corpus collapses to DISTINCT (source, gram-hash) rows
+    first (one explode + one distinct shuffle — gram-set-sized, and the
+    16-byte md5 replaces the gram text on the wire); the pair join is
+    keyed on the hash, so a gram shared by k sources costs k(k-1)/2
+    pair rows — bounded by the SOURCE count squared, not the corpus.
+    Counts are integers, containment one double division: engine-exact.
+    """
+    sh = with_shingles(
+        docs.select(source_col, text_col), text_col, shingle_size, out_col="__sh"
+    )
+    grams = (
+        sh.select(F.col(source_col).alias("src"), F.explode_outer("__sh").alias("g"))
+        .select("src", F.md5("g").alias("h"))
+        .distinct()
+    )
+    counts = grams.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pairs = (
+        grams.select(F.col("src").alias("source_a"), "h")
+        .join(grams.select(F.col("src").alias("source_b"), "h"), "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    return (
+        pairs.join(
+            counts.select(F.col("src").alias("source_a"), F.col("n").alias("n_a")),
+            "source_a",
+        )
+        .join(
+            counts.select(F.col("src").alias("source_b"), F.col("n").alias("n_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+    )

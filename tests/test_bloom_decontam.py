@@ -67,3 +67,22 @@ def test_bloom_probe_plan_is_broadcast_only(spark, corpus):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cross_source_overlap_known_sharing(spark):
+    from patternly_spark.operators.decontam import cross_source_overlap
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-gram
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " iota", "A"),          # grams: 2 (8-gram window x2)
+            (2, shared, "B"),                     # the shared 8-gram exactly
+            (3, "totally different words here x y z w q", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r.source_a, r.source_b): r for r in cross_source_overlap(docs).collect()}
+    ab = out[("A", "B")]
+    assert ab.shared == 1 and ab.n_b == 1 and ab.n_a == 2
+    assert ab.containment == 1.0  # B is fully contained in A
+    assert ("A", "C") not in out and ("B", "C") not in out  # no overlap rows
