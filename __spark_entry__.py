@@ -4411,6 +4411,99 @@ _Q144_ORACLE = """
 """
 
 
+def q145_decayed_engagement(spark, sf_dir):
+    """Recency-decayed per-user engagement: each event's value is
+    weighted by 1/2^n where n = elapsed half-lives (7 days) before the
+    corpus's latest event, capped at 30.  EXACT by construction: values
+    are integer cents, weights are dyadic (a LONG bitshift, no exp/pow
+    libm call), so every per-event contribution cents<<(30-n) is an
+    exact integer and the per-user sum is fold-order-free; one final
+    division by 2^30*100 surfaces the decayed total.  The pattern for
+    any engine-portable exponential decay: keep the decay in the
+    exponent of 2 and the mantissa integral."""
+    e = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w = Window.partitionBy()
+    base = e.select(
+        "user_id",
+        sec.alias("sec"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    ).withColumn("ref", F.max("sec").over(w))
+    n = F.least(F.floor((F.col("ref") - F.col("sec")) / F.lit(604800)), F.lit(30)).cast(
+        "int"
+    )
+    wnum = F.expr("shiftleft(CAST(cents AS BIGINT), 30 - __n)")
+    return (
+        base.withColumn("__n", n)
+        .withColumn("__wnum", wnum)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias("raw_total"),
+            (F.sum("__wnum").cast("double") / F.lit(107374182400.0)).alias(
+                "decayed_total"
+            ),
+        )
+    )
+
+
+_Q145_ORACLE = """
+    WITH base AS (
+        SELECT user_id, CAST(epoch(ts) AS BIGINT) AS sec,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ), r AS (
+        SELECT *, MAX(sec) OVER () AS ref FROM base
+    ), wn AS (
+        SELECT user_id, cents,
+               cents << (30 - CAST(LEAST(FLOOR((ref - sec) / 604800), 30) AS INT))
+                   AS wnum
+        FROM r
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS raw_total,
+           CAST(SUM(wnum) AS DOUBLE) / 107374182400.0 AS decayed_total
+    FROM wn GROUP BY user_id
+"""
+
+
+def q146_ring_negatives(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training
+    (operators/sampling.ring_negatives): every document's 3 negatives
+    are its successors on a bucketed md5 hash ring — pseudorandom with
+    respect to content yet a pure function of the id set, so the full
+    (anchor, slot, negative) assignment replays in SQL (rand() never
+    could).  Keyed row_number windows per bucket, no global sort."""
+    from patternly_spark.operators.sampling import ring_negatives
+
+    d = _t(spark, sf_dir, "documents")
+    return ring_negatives(d, k=3, n_buckets=16, seed="negs")
+
+
+_Q146_ORACLE = """
+    WITH ring AS (
+        SELECT doc_id AS id,
+               md5('negs' || CAST(doc_id AS VARCHAR)) AS h,
+               (('0x' || substr(md5('negs' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+                   % 16 AS b
+        FROM documents
+    ), pos AS (
+        SELECT id, b, h,
+               ROW_NUMBER() OVER (PARTITION BY b ORDER BY h, id) AS r,
+               COUNT(*) OVER (PARTITION BY b) AS size
+        FROM ring
+    ), probes AS (
+        SELECT p.b, p.id, p.r, p.size, s.slot
+        FROM pos p, (VALUES (1), (2), (3)) s(slot)
+    )
+    SELECT pr.id AS doc_id, CAST(pr.slot AS INT) AS slot, n.id AS neg_id
+    FROM probes pr
+    JOIN pos n ON n.b = pr.b AND n.r = ((pr.r - 1 + pr.slot) % pr.size) + 1
+    WHERE n.id <> pr.id
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -4588,6 +4681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_hybrid_retrieval": q142_hybrid_retrieval,
         "q143_dedup_agreement": q143_dedup_agreement,
         "q144_cross_source_overlap": q144_cross_source_overlap,
+        "q145_decayed_engagement": q145_decayed_engagement,
+        "q146_ring_negatives": q146_ring_negatives,
     }
 
 
@@ -6210,6 +6305,8 @@ def oracle_sql() -> dict[str, str]:
         "q142_hybrid_retrieval": _Q142_ORACLE,
         "q143_dedup_agreement": _q143_oracle(),
         "q144_cross_source_overlap": _Q144_ORACLE,
+        "q145_decayed_engagement": _Q145_ORACLE,
+        "q146_ring_negatives": _Q146_ORACLE,
     }
 
 

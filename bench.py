@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "q142_hybrid_retrieval",
     "q143_dedup_agreement",
     "q144_cross_source_overlap",
+    "q145_decayed_engagement",
+    "q146_ring_negatives",
 ]
 
 

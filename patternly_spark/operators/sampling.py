@@ -505,3 +505,54 @@ def temperature_mixture(
         (F.col("temp_share") * F.col("__ach") / nt).alias("sampling_rate"),
         (F.col("temp_share") * F.col("__ach")).alias("expected_tokens"),
     )
+
+
+def ring_negatives(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_buckets: int = 16,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive training:
+    every anchor's negatives are the next ``k`` rows on its bucket's
+    md5 hash ring (with wraparound).  Hash order is pseudorandom with
+    respect to content, so ring successors are as-good-as-random
+    negatives — but unlike ``rand()`` the assignment is a pure function
+    of the id set + seed: identical on any engine/partitioning, stable
+    across re-runs, and SQL-replayable for verification.
+
+    Output: (id, slot 1..k, neg_id), one row per anchor x slot.
+    Buckets smaller than k+1 yield fewer (deduplicated, never-self)
+    negatives for their members.
+
+    Scale shape: one row_number window PER BUCKET (keyed shuffle, no
+    global sort — buckets bound the sort extent) + one equi-join on
+    (bucket, position).  ``n_buckets`` trades window extent against
+    within-bucket mixing; at corpus scale use e.g. 2^12 buckets so each
+    ring sorts millions, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(int(n_buckets))
+    )
+    ring = df.select(
+        F.col(id_col).alias("id"), h.alias("__h"), bucket.alias("__b")
+    )
+    w = Window.partitionBy("__b").orderBy("__h", "id")
+    pos = ring.withColumn("__r", F.row_number().over(w))
+    sizes = pos.groupBy("__b").agg(F.max("__r").alias("__size"))
+    anchors = pos.join(F.broadcast(sizes), "__b")
+    slots = F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("slot")
+    probes = anchors.select("__b", "id", "__r", "__size", slots).withColumn(
+        "__target", ((F.col("__r") - 1 + F.col("slot")) % F.col("__size")) + 1
+    )
+    negs = pos.select("__b", F.col("__r").alias("__target"), F.col("id").alias("neg_id"))
+    return (
+        probes.join(negs, ["__b", "__target"])
+        .filter(F.col("neg_id") != F.col("id"))
+        .select(F.col("id").alias(id_col), F.col("slot").cast("int").alias("slot"), "neg_id")
+    )

@@ -297,3 +297,33 @@ def test_temperature_mixture_properties(spark):
     for r in nat.values():
         assert r.temp_share == pytest.approx(r.raw_share, abs=1e-6)
         assert r.sampling_rate == pytest.approx(1.0, abs=1e-5)
+
+
+def test_ring_negatives_properties(spark):
+    from patternly_spark.operators.sampling import ring_negatives
+
+    docs = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    out = ring_negatives(docs, k=3, n_buckets=4, seed="t").toPandas()
+    # never self, slots in range
+    assert (out.doc_id != out.neg_id).all()
+    assert set(out.slot) == {1, 2, 3}
+    # every anchor with a big-enough bucket gets k distinct negatives
+    per = out.groupby("doc_id").neg_id.nunique()
+    assert (per >= 2).all() and (per <= 3).all()
+    # partitioning-invariant and re-run-stable (pure function of ids+seed)
+    again = ring_negatives(docs.repartition(7), k=3, n_buckets=4, seed="t").toPandas()
+    key = lambda df: sorted(map(tuple, df[["doc_id", "slot", "neg_id"]].values))  # noqa: E731
+    assert key(out) == key(again)
+    # different seed -> different assignment
+    other = ring_negatives(docs, k=3, n_buckets=4, seed="u").toPandas()
+    assert key(out) != key(other)
+
+
+def test_ring_negatives_tiny_bucket_wraps_without_self(spark):
+    from patternly_spark.operators.sampling import ring_negatives
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    out = ring_negatives(docs, k=3, n_buckets=1, seed="").toPandas()
+    # ring of 2: every slot wraps to the single other doc, never self
+    assert (out.doc_id != out.neg_id).all()
+    assert set(out.groupby("doc_id").neg_id.nunique()) == {1}
