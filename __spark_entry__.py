@@ -4504,6 +4504,82 @@ _Q146_ORACLE = """
 """
 
 
+def q147_contrastive_triplets(spark, sf_dir):
+    """Contrastive-training dataset in one plan: positives mined from
+    verified near-duplicate pairs (MinHash-LSH candidates that passed
+    3-gram Jaccard >= 0.5 — q143's production path), negatives drawn
+    deterministically from the md5 ring (q146).  Output (anchor,
+    positive, slot, negative) — the (a, p, n) triplets an embedding
+    trainer consumes, reproducible on any engine because every stage
+    is a pure function of the corpus + seed."""
+    from patternly_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    from patternly_spark.operators.sampling import ring_negatives
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, shingle_size=3, num_hashes=8)
+    cand = lsh_candidate_pairs(sigs, num_hashes=8, bands=4).select("doc_a", "doc_b")
+    pos = (
+        ngram_jaccard_pairs(d, cand, n=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("doc_a").alias("anchor"), F.col("doc_b").alias("positive"))
+    )
+    negs = ring_negatives(d, k=2, n_buckets=16, seed="negs").select(
+        F.col("doc_id").alias("anchor"), "slot", F.col("neg_id").alias("negative")
+    )
+    return pos.join(negs, "anchor").filter(
+        F.col("negative") != F.col("positive")
+    ).select("anchor", "positive", "slot", "negative")
+
+
+def _q147_oracle() -> str:
+    cand = _lsh_candidates_oracle(num_hashes=8, bands=4)
+    return f"""
+    WITH cand AS (
+        SELECT doc_a, doc_b FROM ({cand})
+    ), toks_t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), sh3 AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+               ELSE [array_to_string(toks, ' ')] END AS shingles
+        FROM toks_t
+    ), pos AS (
+        SELECT c.doc_a AS anchor, c.doc_b AS positive
+        FROM cand c
+        JOIN sh3 x ON x.doc_id = c.doc_a
+        JOIN sh3 y ON y.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.5
+    ), ring AS (
+        SELECT doc_id AS id,
+               md5('negs' || CAST(doc_id AS VARCHAR)) AS h,
+               (('0x' || substr(md5('negs' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+                   % 16 AS b
+        FROM documents
+    ), rpos AS (
+        SELECT id, b, h,
+               ROW_NUMBER() OVER (PARTITION BY b ORDER BY h, id) AS r,
+               COUNT(*) OVER (PARTITION BY b) AS size
+        FROM ring
+    ), negs AS (
+        SELECT pr.id AS anchor, CAST(pr.slot AS INT) AS slot, n.id AS negative
+        FROM (SELECT p.b, p.id, p.r, p.size, s.slot
+              FROM rpos p, (VALUES (1), (2)) s(slot)) pr
+        JOIN rpos n ON n.b = pr.b AND n.r = ((pr.r - 1 + pr.slot) % pr.size) + 1
+        WHERE n.id <> pr.id
+    )
+    SELECT p.anchor, p.positive, g.slot, g.negative
+    FROM pos p JOIN negs g ON g.anchor = p.anchor
+    WHERE g.negative <> p.positive
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -4683,6 +4759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_cross_source_overlap": q144_cross_source_overlap,
         "q145_decayed_engagement": q145_decayed_engagement,
         "q146_ring_negatives": q146_ring_negatives,
+        "q147_contrastive_triplets": q147_contrastive_triplets,
     }
 
 
@@ -6307,6 +6384,7 @@ def oracle_sql() -> dict[str, str]:
         "q144_cross_source_overlap": _Q144_ORACLE,
         "q145_decayed_engagement": _Q145_ORACLE,
         "q146_ring_negatives": _Q146_ORACLE,
+        "q147_contrastive_triplets": _q147_oracle(),
     }
 
 

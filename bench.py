@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "q144_cross_source_overlap",
     "q145_decayed_engagement",
     "q146_ring_negatives",
+    "q147_contrastive_triplets",
 ]
 
 
