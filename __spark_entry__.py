@@ -4580,6 +4580,99 @@ def _q147_oracle() -> str:
 """
 
 
+def q148_hll_cardinality(spark, sf_dir):
+    """Explicit-register HyperLogLog vs exact truth: per event type,
+    estimate distinct users from a 2^12-register sketch
+    (operators/sketches.hll_registers/hll_estimate) and report the
+    exact count and relative error alongside.  The register table is a
+    RELATION (mergeable with groupBy-max — the streaming registry and
+    cross-engine oracle depend on that); leading-zero counts are pure
+    string/CASE arithmetic on the md5 hex, 2^-rho terms are LONG
+    bitshifts whose sum is fold-order-free by construction, and the
+    linear-counting ln is 2^-20 floor-quantized — so the whole
+    ESTIMATOR replays in SQL bit-for-bit, not just the exact count."""
+    from patternly_spark.operators.sketches import hll_estimate, hll_registers
+
+    e = _t(spark, sf_dir, "events")
+    regs = hll_registers(
+        e.select("event_type", F.col("user_id").cast("string").alias("u")),
+        "u",
+        p=12,
+        by="event_type",
+    )
+    est = hll_estimate(regs, p=12, by="event_type")
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "m",
+        "used_registers",
+        "zeros",
+        "estimate",
+        "exact_distinct",
+        (
+            F.abs(F.col("estimate") - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double")
+        ).alias("rel_error"),
+    )
+
+
+_Q148_ALPHA = 0.7213 / (1.0 + 1.079 / 4096)
+
+_Q148_ORACLE = f"""
+    WITH h AS (
+        SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+    ), bits AS (
+        SELECT event_type,
+               CAST(('0x' || substr(hx, 1, 4))::BIGINT >> 4 AS INT) AS reg,
+               regexp_replace(substr(hx, 5, 12), '^0+', '') AS stripped
+        FROM h
+    ), rho_t AS (
+        SELECT event_type, reg,
+               LEAST(CASE WHEN length(stripped) = 0 THEN 48
+                          ELSE (12 - length(stripped)) * 4
+                               + (CASE WHEN substr(stripped, 1, 1) IN
+                                       ('8','9','a','b','c','d','e','f') THEN 0
+                                       WHEN substr(stripped, 1, 1) IN ('4','5','6','7') THEN 1
+                                       WHEN substr(stripped, 1, 1) IN ('2','3') THEN 2
+                                       WHEN substr(stripped, 1, 1) = '1' THEN 3
+                                       ELSE 0 END)
+                     END + 1, 40) AS rho
+        FROM bits
+    ), regs AS (
+        SELECT event_type, reg, CAST(MAX(rho) AS INT) AS rho
+        FROM rho_t GROUP BY 1, 2
+    ), agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS used_registers,
+               SUM(1.0 / CAST(1::BIGINT << rho AS DOUBLE)) AS ps
+        FROM regs GROUP BY 1
+    ), est AS (
+        SELECT event_type, used_registers,
+               CAST(4096 - used_registers AS BIGINT) AS zeros,
+               {_Q148_ALPHA:.17e} * CAST(4096.0 * 4096.0 AS DOUBLE)
+                   / (CAST(4096 - used_registers AS DOUBLE) + ps) AS raw
+        FROM agg
+    ), fin AS (
+        SELECT event_type, used_registers, zeros,
+               CASE WHEN raw <= {2.5 * 4096:.17e} AND zeros > 0
+                    THEN 4096.0 * (FLOOR(ln(4096.0 / CAST(zeros AS DOUBLE))
+                                         * 1048576.0) / 1048576.0)
+                    ELSE raw END AS estimate
+        FROM est
+    ), ex AS (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY 1
+    )
+    SELECT f.event_type, CAST(4096 AS BIGINT) AS m, f.used_registers, f.zeros,
+           f.estimate, x.exact_distinct,
+           ABS(f.estimate - CAST(x.exact_distinct AS DOUBLE))
+               / CAST(x.exact_distinct AS DOUBLE) AS rel_error
+    FROM fin f JOIN ex x USING (event_type)
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -4760,6 +4853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_decayed_engagement": q145_decayed_engagement,
         "q146_ring_negatives": q146_ring_negatives,
         "q147_contrastive_triplets": q147_contrastive_triplets,
+        "q148_hll_cardinality": q148_hll_cardinality,
     }
 
 
@@ -6385,6 +6479,7 @@ def oracle_sql() -> dict[str, str]:
         "q145_decayed_engagement": _Q145_ORACLE,
         "q146_ring_negatives": _Q146_ORACLE,
         "q147_contrastive_triplets": _q147_oracle(),
+        "q148_hll_cardinality": _Q148_ORACLE,
     }
 
 

@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "q145_decayed_engagement",
     "q146_ring_negatives",
     "q147_contrastive_triplets",
+    "q148_hll_cardinality",
 ]
 
 

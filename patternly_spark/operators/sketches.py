@@ -394,3 +394,116 @@ def histogram(
         .groupBy(*keys, "bucket", "lo", "hi")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# explicit-register HyperLogLog (mergeable, engine-replayable)
+# ---------------------------------------------------------------------------
+
+#: rho cap: terms 2^-rho with rho<=40 summed over 2^p registers stay
+#: within 53 mantissa bits, so the power sum is EXACT in a double
+#: regardless of fold order (the property the SQL oracle relies on)
+HLL_RHO_CAP = 40
+
+
+def hll_registers(
+    df: DataFrame,
+    item_col: str,
+    *,
+    p: int = 12,
+    seed: str = "",
+    by: str | None = None,
+) -> DataFrame:
+    """Explicit HyperLogLog registers: (reg, rho) with reg = first
+    ``p`` bits of md5(item) and rho = leading-zero count of the next
+    48 bits + 1 (capped at HLL_RHO_CAP), max-aggregated per register.
+
+    Unlike ``approx_count_distinct`` (whose sketch lives inside an
+    opaque JVM buffer), explicit registers are a RELATION: they merge
+    across batches/engines with a plain ``groupBy(reg).max(rho)``,
+    persist as parquet, and replay in SQL — which is what makes the
+    streaming registry and the cross-engine oracle possible.
+
+    The leading-zero count is pure string/CASE arithmetic on the md5
+    hex (no log2/libm anywhere), so every engine computes the identical
+    register table.  Plan: one narrow map + one (by, reg) groupBy with
+    map-side partial max — the shuffle carries at most 2^p rows per
+    group, independent of input size.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4,16], got {p}")
+    item = F.col(item_col)
+    h = F.md5(F.concat(F.lit(seed), item.cast("string")))
+    reg = F.shiftright(
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("int"), 16 - p
+    ).alias("reg")
+    tail = F.substring(h, 5, 12)  # 48 bits
+    stripped = F.regexp_replace(tail, "^0+", "")
+    nz_nibbles = F.lit(12) - F.length(stripped)
+    first = F.substring(stripped, 1, 1)
+    # leading zero BITS inside the first non-zero nibble
+    in_nibble = (
+        F.when(first.isin("8", "9", "a", "b", "c", "d", "e", "f"), F.lit(0))
+        .when(first.isin("4", "5", "6", "7"), F.lit(1))
+        .when(first.isin("2", "3"), F.lit(2))
+        .when(first == "1", F.lit(3))
+        .otherwise(F.lit(0))  # stripped == '' (all 48 bits zero)
+    )
+    lz = F.when(F.length(stripped) == 0, F.lit(48)).otherwise(
+        nz_nibbles * 4 + in_nibble
+    )
+    rho = F.least(lz + 1, F.lit(HLL_RHO_CAP)).cast("int")
+    return (
+        df.select(*([F.col(by)] if by else []), reg, rho.alias("__rho"))
+        .groupBy(*([by] if by else []), "reg")
+        .agg(F.max("__rho").alias("rho"))
+    )
+
+
+def hll_merge(registers: DataFrame, *others: DataFrame, by: str | None = None) -> DataFrame:
+    """Merge register tables (the HLL union): groupBy(reg).max(rho).
+    Associative and commutative — the streaming registry folds with
+    exactly this."""
+    all_regs = registers
+    for o in others:
+        all_regs = all_regs.unionByName(o)
+    keys = ([by] if by else []) + ["reg"]
+    return all_regs.groupBy(*keys).agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, *, p: int = 12, by: str | None = None) -> DataFrame:
+    """Cardinality estimate from a register table: the Flajolet et al.
+    raw estimator alpha_m * m^2 / sum(2^-rho) with linear counting for
+    the small range (est <= 2.5m and empty registers exist).
+
+    Exact cross-engine: 2^-rho terms are dyadic (computed by LONG
+    bitshift, no pow), their sum fits 53 mantissa bits (see
+    HLL_RHO_CAP) so it is fold-order-free; the linear-counting ln is
+    floor-quantized to 2^-20 (the repo's standard cross-engine ln
+    treatment).  Output: (m, used_registers, zeros, raw_estimate,
+    estimate)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    term = F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), rho)").cast("double")
+    keys = [by] if by else []
+    agg = registers.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("used_registers"),
+        F.sum(term).alias("__ps"),
+    )
+    zeros = (F.lit(m) - F.col("used_registers")).cast("long")
+    denom = zeros.cast("double") + F.col("__ps")
+    raw = F.lit(float(alpha) * m * m) / denom
+    # floor-quantized ln(m/zeros): identical double in, identical out
+    lin = F.lit(float(m)) * (
+        F.floor(F.log(F.lit(float(m)) / zeros.cast("double")) * F.lit(1048576.0))
+        / F.lit(1048576.0)
+    )
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), lin).otherwise(raw)
+    return agg.select(
+        *keys,
+        F.lit(m).cast("long").alias("m"),
+        "used_registers",
+        zeros.alias("zeros"),
+        raw.alias("raw_estimate"),
+        est.alias("estimate"),
+    )

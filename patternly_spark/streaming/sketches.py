@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from patternly_spark.operators.sketches import count_min_counters, mg_merge, mg_summaries
 
-__all__ = ["streaming_count_min", "streaming_frequent_items"]
+__all__ = ["streaming_count_min", "streaming_frequent_items", "streaming_hll_registry"]
 
 
 def streaming_count_min(
@@ -98,6 +98,46 @@ def streaming_frequent_items(
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
             registry_path
         )
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_hll_registry(
+    stream_df: DataFrame,
+    item_col: str,
+    registry_path: str,
+    *,
+    checkpoint_path: str,
+    p: int = 12,
+    seed: str = "",
+    by: str | None = None,
+    trigger_once: bool = False,
+):
+    """foreachBatch wrapper: fold each microbatch's HyperLogLog
+    registers into the persisted register table with
+    ``groupBy(reg).max(rho)`` — the HLL union is associative and
+    commutative, so registry == registers of all history (pinned in
+    tests), with at most 2^p rows per group forever.  Read the distinct
+    estimate any time with ``operators/sketches.hll_estimate`` on the
+    registry.  Read-merge-overwrite is sequential across microbatches;
+    the merged table is localCheckpoint-pinned before overwriting the
+    files it was read from."""
+    from patternly_spark.operators.sketches import hll_merge, hll_registers
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        regs = hll_registers(batch_df, item_col, p=p, seed=seed, by=by)
+        try:
+            existing = spark.read.parquet(registry_path)
+            regs = hll_merge(regs, existing, by=by)
+        except Exception:
+            pass
+        regs.localCheckpoint(eager=True).write.mode("overwrite").parquet(registry_path)
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path

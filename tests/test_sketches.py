@@ -295,3 +295,57 @@ def test_streaming_frequent_items_registry(spark, tmp_path):
     # the planted heavy hitters survive two folds and bound their truth
     assert "hot" in fin and fin["hot"]["count_lo"] <= 200 <= fin["hot"]["count_hi"]
     assert "warm" in fin and fin["warm"]["count_lo"] <= 60 <= fin["warm"]["count_hi"]
+
+
+def test_hll_registers_estimate_and_merge(spark):
+    from patternly_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    for n, tol in [(100, 0.03), (5000, 0.05), (50000, 0.05)]:
+        df = spark.range(n).select(F.col("id").cast("string").alias("x"))
+        est = hll_estimate(hll_registers(df, "x", p=12), p=12).collect()[0]
+        assert abs(est.estimate - n) / n < tol, (n, est.estimate)
+    # union property: merge(regs(a), regs(b)) == regs(a ∪ b)
+    a = spark.range(0, 3000).select(F.col("id").cast("string").alias("x"))
+    b = spark.range(2000, 6000).select(F.col("id").cast("string").alias("x"))
+    u = a.unionByName(b)
+    merged = hll_merge(hll_registers(a, "x"), hll_registers(b, "x"))
+    assert sorted(merged.collect()) == sorted(hll_registers(u, "x").collect())
+    # partitioning-invariant
+    assert sorted(hll_registers(u.repartition(13), "x").collect()) == sorted(
+        hll_registers(u, "x").collect()
+    )
+    # register count bounded by 2^p
+    assert hll_registers(u, "x", p=6).count() <= 64
+
+
+def test_streaming_hll_registry_equals_batch(spark, tmp_path):
+    from patternly_spark.operators.sketches import hll_estimate, hll_registers
+    from patternly_spark.streaming.sketches import streaming_hll_registry
+
+    schema = "item string"
+    src = str(tmp_path / "src")
+    b0 = [(f"u{i}",) for i in range(800)]
+    b1 = [(f"u{i}",) for i in range(500, 1500)]  # overlap: true distinct 1500
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    reg = str(tmp_path / "registry")
+    q = streaming_hll_registry(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        "item",
+        reg,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        p=12,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(reg)
+    want = hll_registers(spark.createDataFrame(b0 + b1, schema), "item", p=12)
+    assert sorted(got.collect()) == sorted(want.collect())
+    est = hll_estimate(got, p=12).collect()[0]
+    assert abs(est.estimate - 1500) / 1500 < 0.05
