@@ -4673,6 +4673,113 @@ _Q148_ORACLE = f"""
 """
 
 
+def q149_deletion_propagation(spark, sf_dir):
+    """Right-to-be-forgotten cascade: a deletion set (doc_id % 13 == 0
+    stands in for a takedown list) is anti-joined through every derived
+    artifact — the corpus itself, the positional index (per-token
+    rows), and the near-dup candidate pairs (a pair dies if EITHER
+    endpoint is deleted).  Output: one accounting row per artifact
+    (rows before/after/purged) plus a leftover count that must be 0 —
+    the auditable proof no deleted id survives anywhere.
+
+    Scale shape: the deletion set broadcasts (takedown lists are tiny);
+    each cascade is one broadcast LEFT ANTI join — a map-side filter,
+    no shuffle of the big side."""
+    from patternly_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+    from patternly_spark.operators.retrieval import positional_index
+
+    d = _t(spark, sf_dir, "documents")
+    dels = d.filter(F.col("doc_id") % 13 == 0).select("doc_id")
+    idx = positional_index(d)
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(d, shingle_size=3, num_hashes=8), num_hashes=8, bands=4
+    ).select("doc_a", "doc_b")
+
+    def acct(name, before, after, leftover):
+        return (
+            before.agg(F.count(F.lit(1)).cast("long").alias("rows_before"))
+            .crossJoin(after.agg(F.count(F.lit(1)).cast("long").alias("rows_after")))
+            .crossJoin(leftover.agg(F.count(F.lit(1)).cast("long").alias("leftover")))
+            .select(
+                F.lit(name).alias("artifact"),
+                "rows_before",
+                "rows_after",
+                (F.col("rows_before") - F.col("rows_after")).alias("purged"),
+                "leftover",
+            )
+        )
+
+    docs_after = d.join(F.broadcast(dels), "doc_id", "left_anti")
+    idx_after = idx.join(F.broadcast(dels), "doc_id", "left_anti")
+    pairs_after = pairs.join(
+        F.broadcast(dels.select(F.col("doc_id").alias("doc_a"))), "doc_a", "left_anti"
+    ).join(F.broadcast(dels.select(F.col("doc_id").alias("doc_b"))), "doc_b", "left_anti")
+
+    return (
+        acct("documents", d, docs_after, docs_after.join(F.broadcast(dels), "doc_id"))
+        .unionByName(
+            acct("positional_index", idx, idx_after, idx_after.join(F.broadcast(dels), "doc_id"))
+        )
+        .unionByName(
+            acct(
+                "candidate_pairs",
+                pairs,
+                pairs_after,
+                pairs_after.join(
+                    F.broadcast(dels.select(F.col("doc_id").alias("doc_a"))), "doc_a"
+                ),
+            )
+        )
+    )
+
+
+def _q149_oracle() -> str:
+    cand = _lsh_candidates_oracle(num_hashes=8, bands=4)
+    return f"""
+    WITH dels AS (
+        SELECT doc_id FROM documents WHERE doc_id % 13 = 0
+    ), idx AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+            FROM documents
+        )
+    ), pairs AS (
+        SELECT doc_a, doc_b FROM ({cand})
+    ), docs_after AS (
+        SELECT d.doc_id FROM documents d ANTI JOIN dels x ON x.doc_id = d.doc_id
+    ), idx_after AS (
+        SELECT i.doc_id FROM idx i ANTI JOIN dels x ON x.doc_id = i.doc_id
+    ), pairs_after AS (
+        SELECT p.doc_a, p.doc_b FROM pairs p
+        ANTI JOIN dels a ON a.doc_id = p.doc_a
+        ANTI JOIN dels b ON b.doc_id = p.doc_b
+    )
+    SELECT 'documents' AS artifact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS rows_before,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM docs_after) AS rows_after,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+               - (SELECT CAST(COUNT(*) AS BIGINT) FROM docs_after) AS purged,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM docs_after d
+            JOIN dels x ON x.doc_id = d.doc_id) AS leftover
+    UNION ALL
+    SELECT 'positional_index',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM idx),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM idx_after),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM idx)
+               - (SELECT CAST(COUNT(*) AS BIGINT) FROM idx_after),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM idx_after i
+            JOIN dels x ON x.doc_id = i.doc_id)
+    UNION ALL
+    SELECT 'candidate_pairs',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs_after),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs)
+               - (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs_after),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs_after p
+            JOIN dels a ON a.doc_id = p.doc_a)
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -4854,6 +4961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_ring_negatives": q146_ring_negatives,
         "q147_contrastive_triplets": q147_contrastive_triplets,
         "q148_hll_cardinality": q148_hll_cardinality,
+        "q149_deletion_propagation": q149_deletion_propagation,
     }
 
 
@@ -6480,6 +6588,7 @@ def oracle_sql() -> dict[str, str]:
         "q146_ring_negatives": _Q146_ORACLE,
         "q147_contrastive_triplets": _q147_oracle(),
         "q148_hll_cardinality": _Q148_ORACLE,
+        "q149_deletion_propagation": _q149_oracle(),
     }
 
 

@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "q146_ring_negatives",
     "q147_contrastive_triplets",
     "q148_hll_cardinality",
+    "q149_deletion_propagation",
 ]
 
 
