@@ -3754,7 +3754,7 @@ _Q135_ORACLE = """
         FROM embeddings
     ), sc AS (
         SELECT vec_id, v,
-               CASE WHEN amax > 0.0 THEN amax / 127.0 ELSE 1.0 END AS scale
+               CASE WHEN amax / 127.0 > 0.0 THEN amax / 127.0 ELSE 1.0 END AS scale
         FROM (SELECT vec_id, v,
                      list_max(list_transform(v, x -> abs(x))) AS amax
               FROM base)

@@ -77,7 +77,12 @@ def int8_quantize(
     """
     v = F.col(vec_col)
     absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
-    scale = F.when(absmax > 0.0, absmax / F.lit(127.0)).otherwise(F.lit(1.0))
+    # guard on the QUOTIENT, not absmax: a subnormal absmax (< ~1e-321)
+    # underflows absmax/127 to exactly 0.0, which would divide by zero
+    # downstream (hypothesis found this; the all-zero vector shares the path)
+    scale = F.when(absmax / F.lit(127.0) > 0.0, absmax / F.lit(127.0)).otherwise(
+        F.lit(1.0)
+    )
     cols = [F.col(id_col)] + [F.col(c) for c in (keep or [])]
     return (
         df.select(*cols, scale.alias("scale"), v.alias("__v"))

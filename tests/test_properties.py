@@ -290,3 +290,48 @@ def test_topk_recall_bounds_law(exact, approx):
     recall = n_common / len(exact)
     assert 0.0 <= recall <= 1.0
     assert n_common <= len(exact) and n_common <= len(approx)
+
+
+# ---------------------------------------------------------------------------
+# compressed-embedding laws (plain-Python replicas of quantized.py kernels;
+# Spark equivalence is pinned by tests/test_quantized.py + the q135/q136
+# oracles — here hypothesis explores the vector space)
+# ---------------------------------------------------------------------------
+
+def _int8_codes(x):
+    am = max(abs(v) for v in x)
+    scale = am / 127.0 if am / 127.0 > 0 else 1.0  # quotient guard: subnormal am underflows
+    return [math.floor(v / scale + 0.5) for v in x], scale
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(-1e3, 1e3, allow_nan=False), min_size=2, max_size=64))
+def test_int8_quantization_laws(x):
+    codes, scale = _int8_codes(x)
+    # codes bounded; reconstruction within half a step per component
+    assert all(-127 <= c <= 127 for c in codes)
+    assert all(abs(c * scale - v) <= scale / 2 + 1e-12 for c, v in zip(codes, x))
+    # scale-invariance of the codes (absmax normalization)
+    if any(v != 0 for v in x):
+        codes2, _ = _int8_codes([v * 3.0 for v in x])
+        assert codes == codes2
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.floats(-10, 10, allow_nan=False), min_size=4, max_size=64),
+    st.lists(st.floats(-10, 10, allow_nan=False), min_size=4, max_size=64),
+)
+def test_sign_hamming_laws(a, b):
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    ham = sum((x >= 0) != (y >= 0) for x, y in zip(a, b))
+    # symmetric, bounded, zero on self
+    assert ham == sum((y >= 0) != (x >= 0) for y, x in zip(b, a))
+    assert 0 <= ham <= n
+    assert sum((x >= 0) != (x >= 0) for x in a) == 0
+    # triangle inequality through any third vector (XOR metric)
+    c = [-v for v in a]
+    ham_ac = sum((x >= 0) != (y >= 0) for x, y in zip(a, c))
+    ham_cb = sum((x >= 0) != (y >= 0) for x, y in zip(c, b))
+    assert ham <= ham_ac + ham_cb
