@@ -119,3 +119,29 @@ def test_matryoshka_recall_monotone_and_bounded(spark, emb):
     for d, r in rows.items():
         assert r.n_exact == 100 and 0.0 <= r.recall <= 1.0
         assert r.n_common <= r.n_exact
+
+
+def test_sign_pack_partial_last_word(spark):
+    # dim = 40: one full 32-bit word + one 8-bit partial word
+    import random
+
+    random.seed(7)
+    vec = [random.uniform(-1, 1) for _ in range(40)]
+    df = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<double>")
+    got = [int(w) for w in sign_pack(df).collect()[0]["sig"]]
+    words = []
+    for w in range(2):
+        acc = 0
+        for j in range(32):
+            i = 32 * w + j
+            if i < 40:
+                acc = acc * 2 + (1 if vec[i] >= 0 else 0)
+        words.append(acc)
+    assert got == words
+    # hamming between 40-dim vectors still counts sign disagreements
+    neg = [-v for v in vec]
+    df2 = spark.createDataFrame(
+        [(0, vec), (1, neg)], "vec_id long, embedding array<double>"
+    )
+    out = hamming_rerank_topk(df2, df2, k=1, candidates=2).collect()
+    assert all(r.hamming == 40 for r in out)
