@@ -4780,6 +4780,86 @@ def _q149_oracle() -> str:
 """
 
 
+def q150_pareto_frontier(spark, sf_dir):
+    """Multi-objective document selection: the Pareto frontier of
+    (quality_score, compression_ratio-as-uniqueness) per language — a
+    doc survives iff nothing in its language beats it on BOTH axes.
+    The 2-D skyline needs no pairwise join: sort each group by quality
+    DESC and keep rows whose uniqueness strictly exceeds the running
+    max of everything with HIGHER quality (one window, total order
+    made deterministic by (quality DESC, uniqueness DESC, doc_id)).
+    Tie convention: rows equal on BOTH axes keep only the smallest
+    doc_id (distinct-value frontier — strict-dominance skylines keep
+    all copies; for selection, one representative is what's wanted).
+    Uniqueness is the type-token ratio quantized to 2^-20 dyadic so
+    the running max and all comparisons are engine-exact."""
+    from patternly_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    # engine-exact uniqueness proxy WITHOUT zlib-in-SQL: distinct-token
+    # ratio (type-token ratio) computed from the same split both engines
+    # share, floor-quantized to 2^-20
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ttr = (
+        F.floor(
+            (F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double"))
+            * F.lit(1048576.0)
+        )
+        / F.lit(1048576.0)
+    )
+    base = d.select(
+        "doc_id",
+        "lang",
+        quality_score("text").alias("quality"),
+        ttr.alias("uniqueness"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("quality"), F.desc("uniqueness"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("uniqueness").over(w)
+    return (
+        base.withColumn("__pm", prev_max)
+        .filter(F.col("__pm").isNull() | (F.col("uniqueness") > F.col("__pm")))
+        .select("doc_id", "lang", "quality", "uniqueness")
+    )
+
+
+_Q150_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, lang, text,
+               string_split(trim(text), ' ') AS t,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tok,
+               string_split_regex(trim(text), '\\s+') AS rt
+        FROM documents
+    ), base AS (
+        SELECT doc_id, lang,
+               (CASE WHEN CAST(length(text) AS DOUBLE) / n_tok >= 3.0
+                          AND CAST(length(text) AS DOUBLE) / n_tok <= 12.0
+                     THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN CAST(len(list_distinct(t)) AS DOUBLE) / n_tok < 1.0
+                       THEN CAST(len(list_distinct(t)) AS DOUBLE) / n_tok ELSE 1.0 END) * 0.3
+               + (CASE WHEN len(list_filter(t, x -> x IN ('the','a','of','and','to'))) > 0
+                       THEN 0.3 ELSE 0.0 END) AS quality,
+               FLOOR((CAST(len(list_distinct(rt)) AS DOUBLE) / CAST(len(rt) AS DOUBLE))
+                     * 1048576.0) / 1048576.0 AS uniqueness
+        FROM toks
+    ), ranked AS (
+        SELECT doc_id, lang, quality, uniqueness,
+               MAX(uniqueness) OVER (
+                   PARTITION BY lang
+                   ORDER BY quality DESC, uniqueness DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS pm
+        FROM base
+    )
+    SELECT doc_id, lang, quality, uniqueness
+    FROM ranked
+    WHERE pm IS NULL OR uniqueness > pm
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -4962,6 +5042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_contrastive_triplets": q147_contrastive_triplets,
         "q148_hll_cardinality": q148_hll_cardinality,
         "q149_deletion_propagation": q149_deletion_propagation,
+        "q150_pareto_frontier": q150_pareto_frontier,
     }
 
 
@@ -6589,6 +6670,7 @@ def oracle_sql() -> dict[str, str]:
         "q147_contrastive_triplets": _q147_oracle(),
         "q148_hll_cardinality": _Q148_ORACLE,
         "q149_deletion_propagation": _q149_oracle(),
+        "q150_pareto_frontier": _Q150_ORACLE,
     }
 
 

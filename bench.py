@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "q147_contrastive_triplets",
     "q148_hll_cardinality",
     "q149_deletion_propagation",
+    "q150_pareto_frontier",
 ]
 
 
