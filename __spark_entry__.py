@@ -4860,6 +4860,58 @@ _Q150_ORACLE = """
 """
 
 
+def q151_fuzzy_vocab_match(spark, sf_dir):
+    """Fuzzy key matching (operators/retrieval.fuzzy_key_join): typo'd
+    probes (every vocabulary word with its 2nd character deleted) are
+    matched back to the corpus vocabulary within Levenshtein distance 1
+    via SymSpell deletion-neighborhood blocking — a hash join on
+    deletion variants + exact levenshtein verify, never a cartesian
+    scan.  The entity-resolution primitive for joining dirty keys
+    (usernames, product codes, crawl hosts) at corpus scale."""
+    from patternly_spark.operators.retrieval import fuzzy_key_join
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .filter(F.length("token") >= 4)
+        .distinct()
+    )
+    probes = vocab.select(
+        F.concat(F.substring("token", 1, 1), F.substr(F.col("token"), F.lit(3))).alias(
+            "probe"
+        )
+    ).distinct()
+    return fuzzy_key_join(probes, vocab, left_key="probe", right_key="token", max_dist=1)
+
+
+_Q151_ORACLE = """
+    WITH vocab AS (
+        SELECT DISTINCT token FROM (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+            FROM documents
+        ) WHERE length(token) >= 4
+    ), probes AS (
+        SELECT DISTINCT substr(token, 1, 1) || substr(token, 3) AS probe FROM vocab
+    ), lv AS (
+        SELECT probe AS lk, unnest(list_distinct(
+                   list_append(list_transform(range(1, length(probe) + 1),
+                       i -> substr(probe, 1, i - 1) || substr(probe, i + 1)), probe)
+               )) AS v
+        FROM probes
+    ), rv AS (
+        SELECT token AS rk, unnest(list_distinct(
+                   list_append(list_transform(range(1, length(token) + 1),
+                       i -> substr(token, 1, i - 1) || substr(token, i + 1)), token)
+               )) AS v
+        FROM vocab
+    ), cand AS (
+        SELECT DISTINCT l.lk, r.rk FROM lv l JOIN rv r ON l.v = r.v
+    )
+    SELECT lk AS probe, rk AS token, CAST(levenshtein(lk, rk) AS INT) AS dist
+    FROM cand WHERE levenshtein(lk, rk) <= 1
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -5043,6 +5095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_hll_cardinality": q148_hll_cardinality,
         "q149_deletion_propagation": q149_deletion_propagation,
         "q150_pareto_frontier": q150_pareto_frontier,
+        "q151_fuzzy_vocab_match": q151_fuzzy_vocab_match,
     }
 
 
@@ -6671,6 +6724,7 @@ def oracle_sql() -> dict[str, str]:
         "q148_hll_cardinality": _Q148_ORACLE,
         "q149_deletion_propagation": _q149_oracle(),
         "q150_pareto_frontier": _Q150_ORACLE,
+        "q151_fuzzy_vocab_match": _Q151_ORACLE,
     }
 
 

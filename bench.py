@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "q148_hll_cardinality",
     "q149_deletion_propagation",
     "q150_pareto_frontier",
+    "q151_fuzzy_vocab_match",
 ]
 
 

@@ -470,3 +470,63 @@ def read_positional_index(
             bucket_pred = eq if bucket_pred is None else (bucket_pred | eq)
         df = df.filter(bucket_pred & F.col("term").isin(list(terms)))
     return df.select("term", "doc_id", "pos")
+
+
+def deletion_variants(col: "Column | str", *, max_len: int = 64) -> "F.Column":
+    """The SymSpell deletion neighborhood of a string: the string itself
+    plus every single-character deletion (distinct).  Keys longer than
+    ``max_len`` contribute only themselves (bounding the fan-out; such
+    keys are better handled by a coarser blocking key)."""
+    c = F.col(col) if isinstance(col, str) else col
+    dels = F.transform(
+        F.sequence(F.lit(1), F.least(F.length(c), F.lit(int(max_len)))),
+        lambda i: F.concat(
+            F.substring(c, 1, (i - 1).cast("int")),
+            F.substr(c, (i + 1).cast("int")),
+        ),
+    )
+    return F.array_distinct(F.concat(F.array(c), dels))
+
+
+def fuzzy_key_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Edit-distance-bounded equi-join via SymSpell deletion blocking:
+    two keys within Levenshtein distance 1 ALWAYS share a member of
+    each other's deletion neighborhood, so exploding both sides on
+    their variants turns the fuzzy join into a plain hash join on the
+    variant string, followed by an exact ``levenshtein`` verify — no
+    cartesian product, no per-pair scan of either side.
+
+    Output: distinct (left_key, right_key, dist) with dist <= max_dist.
+    For max_dist=1 the blocking is complete (the SymSpell guarantee);
+    larger distances verify correctly but may miss pairs whose keys
+    differ everywhere (document: chain deletions for full recall).
+
+    Scale shape: fan-out is len+1 variants per key (bounded by
+    ``deletion_variants``'s max_len); the join is keyed on the variant
+    so it shuffles variant-sized relations once, and the verify runs
+    only on blocked candidates."""
+    lv = left.select(F.col(left_key).alias("__lk")).distinct().select(
+        "__lk", F.explode(deletion_variants("__lk")).alias("__v")
+    )
+    rv = right.select(F.col(right_key).alias("__rk")).distinct().select(
+        "__rk", F.explode(deletion_variants("__rk")).alias("__v")
+    )
+    cand = lv.join(rv, "__v").select("__lk", "__rk").distinct()
+    dist = F.levenshtein(F.col("__lk"), F.col("__rk"))
+    out_right = right_key if right_key != left_key else f"{right_key}_right"
+    return (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") <= int(max_dist))
+        .select(
+            F.col("__lk").alias(left_key),
+            F.col("__rk").alias(out_right),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )

@@ -285,3 +285,30 @@ def test_persisted_positional_index_prunes_and_matches(spark, tmp_path):
     assert {k: (v.n_matches, v.first_pos) for k, v in via.items()} == {
         k: (v.n_matches, v.first_pos) for k, v in direct.items()
     }
+
+
+def test_fuzzy_key_join_complete_at_dist1(spark):
+    from patternly_spark.operators.retrieval import deletion_variants, fuzzy_key_join
+
+    left = spark.createDataFrame(
+        [("table",), ("tble",), ("chai",), ("zzz",)], "k string"
+    )
+    right = spark.createDataFrame(
+        [("table",), ("tables",), ("chair",), ("stable",)], "q string"
+    )
+    out = {(r.k, r.q): r.dist for r in fuzzy_key_join(left, right, left_key="k", right_key="q").collect()}
+    # deletion (tables->table), insertion (chai->chair), substitution-free
+    # exact (table->table), and the typo'd probe (tble->table)
+    assert out[("table", "table")] == 0
+    assert out[("table", "tables")] == 1
+    assert out[("tble", "table")] == 1
+    assert out[("chai", "chair")] == 1
+    # distance-2 pairs excluded (table vs stable is dist 1 though: s+)
+    assert ("zzz", "table") not in out
+    assert out[("table", "stable")] == 1
+    # same-name keys get a disambiguated right column
+    same = fuzzy_key_join(left, left.withColumnRenamed("k", "k"), left_key="k", right_key="k")
+    assert same.columns == ["k", "k_right", "dist"]
+    # variants include the string itself and each single deletion
+    v = left.filter("k = 'tble'").select(deletion_variants("k").alias("v")).collect()[0]["v"]
+    assert set(v) == {"tble", "ble", "tle", "tbe", "tbl"}
