@@ -4912,6 +4912,138 @@ _Q151_ORACLE = """
 """
 
 
+def q152_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-seen week
+    (cohort) x weeks-since-cohort, counting how many of each cohort
+    were active k weeks later and the retention fraction — the classic
+    product-analytics table, all integer counts + one double division.
+    Weeks are epoch-day floors (no calendar/timezone dependence), the
+    cohort comes from one min-aggregate, and the matrix is one
+    distinct + one groupBy — two keyed shuffles total."""
+    e = _t(spark, sf_dir, "events")
+    week = (F.floor(F.unix_timestamp("ts") / F.lit(604800))).cast("long")
+    acts = e.select("user_id", week.alias("w")).distinct()
+    cohort = acts.groupBy("user_id").agg(F.min("w").alias("cw"))
+    sizes = cohort.groupBy("cw").agg(F.count(F.lit(1)).cast("long").alias("cohort_users"))
+    mat = (
+        acts.join(cohort, "user_id")
+        .groupBy("cw", (F.col("w") - F.col("cw")).alias("weeks_later"))
+        .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
+    )
+    return mat.join(F.broadcast(sizes), "cw").select(
+        F.col("cw").alias("cohort_week"),
+        "weeks_later",
+        "cohort_users",
+        "active_users",
+        (
+            F.col("active_users").cast("double") / F.col("cohort_users").cast("double")
+        ).alias("retention"),
+    )
+
+
+_Q152_ORACLE = """
+    WITH acts AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS w
+        FROM events
+    ), cohort AS (
+        SELECT user_id, MIN(w) AS cw FROM acts GROUP BY user_id
+    ), sizes AS (
+        SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_users FROM cohort GROUP BY cw
+    ), mat AS (
+        SELECT c.cw, a.w - c.cw AS weeks_later,
+               CAST(COUNT(*) AS BIGINT) AS active_users
+        FROM acts a JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
+    )
+    SELECT m.cw AS cohort_week, m.weeks_later, s.cohort_users, m.active_users,
+           CAST(m.active_users AS DOUBLE) / CAST(s.cohort_users AS DOUBLE)
+               AS retention
+    FROM mat m JOIN sizes s USING (cw)
+"""
+
+
+def q153_robust_seasonal(spark, sf_dir):
+    """Robust seasonal profile + alerts: per-(type, hour-of-day) MEDIAN
+    and MAD of hourly integer-cent totals, and every hour instance's
+    modified z-score 0.6745*(x-median)/MAD — the outlier-resistant twin
+    of q141 (a mean/std profile is dragged toward the very anomalies it
+    should flag; median/MAD is not).  Exact interpolated percentile ==
+    DuckDB quantile_cont (the q88/winsorize parity); all other values
+    are single IEEE ops on identical operands.  Alert = |rz| >= 3 with
+    n >= 3 and MAD > 0."""
+    e = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts"))
+    hourly = (
+        e.groupBy(
+            "event_type",
+            (F.floor(sec / 3600) * 3600).cast("long").alias("h"),
+        )
+        .agg((F.sum(_dec("value")) * 100).cast("long").alias("cents"))
+    )
+    hod = ((F.col("h") % 86400) / 3600).cast("int")
+    hh = hourly.withColumn("hod", hod)
+    med = hh.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("percentile(cents, 0.5D)").alias("med_c"),
+    )
+    dev = hh.join(F.broadcast(med), ["event_type", "hod"]).withColumn(
+        "__ad", F.abs(F.col("cents").cast("double") - F.col("med_c"))
+    )
+    mad = dev.groupBy("event_type", "hod").agg(
+        F.expr("percentile(__ad, 0.5D)").alias("mad_c")
+    )
+    j = dev.join(F.broadcast(mad), ["event_type", "hod"])
+    rz = (
+        F.lit(0.6745)
+        * (F.col("cents").cast("double") - F.col("med_c"))
+        / F.col("mad_c")
+    )
+    return (
+        j.filter((F.col("n") >= 3) & (F.col("mad_c") > 0.0))
+        .withColumn("rz", rz)
+        .filter(F.abs(F.col("rz")) >= 3.0)
+        .select(
+            "event_type",
+            "h",
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("hour_total"),
+            (F.col("med_c") / F.lit(100.0)).alias("baseline_median"),
+            (F.col("mad_c") / F.lit(100.0)).alias("baseline_mad"),
+            "rz",
+        )
+    )
+
+
+_Q153_ORACLE = """
+    WITH hourly AS (
+        SELECT event_type, CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ), hh AS (
+        SELECT *, CAST((h % 86400) / 3600 AS INT) AS hod FROM hourly
+    ), med AS (
+        SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n,
+               quantile_cont(cents, 0.5) AS med_c
+        FROM hh GROUP BY 1, 2
+    ), dev AS (
+        SELECT hh.event_type, hh.h, hh.hod, hh.cents, m.n, m.med_c,
+               ABS(CAST(hh.cents AS DOUBLE) - m.med_c) AS ad
+        FROM hh JOIN med m USING (event_type, hod)
+    ), mad AS (
+        SELECT event_type, hod, quantile_cont(ad, 0.5) AS mad_c
+        FROM dev GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.h,
+           CAST(d.cents AS DOUBLE) / 100.0 AS hour_total,
+           d.med_c / 100.0 AS baseline_median,
+           a.mad_c / 100.0 AS baseline_mad,
+           0.6745 * (CAST(d.cents AS DOUBLE) - d.med_c) / a.mad_c AS rz
+    FROM dev d JOIN mad a USING (event_type, hod)
+    WHERE d.n >= 3 AND a.mad_c > 0
+      AND ABS(0.6745 * (CAST(d.cents AS DOUBLE) - d.med_c) / a.mad_c) >= 3.0
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -5096,6 +5228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_deletion_propagation": q149_deletion_propagation,
         "q150_pareto_frontier": q150_pareto_frontier,
         "q151_fuzzy_vocab_match": q151_fuzzy_vocab_match,
+        "q152_cohort_retention": q152_cohort_retention,
+        "q153_robust_seasonal": q153_robust_seasonal,
     }
 
 
@@ -6725,6 +6859,8 @@ def oracle_sql() -> dict[str, str]:
         "q149_deletion_propagation": _q149_oracle(),
         "q150_pareto_frontier": _Q150_ORACLE,
         "q151_fuzzy_vocab_match": _Q151_ORACLE,
+        "q152_cohort_retention": _Q152_ORACLE,
+        "q153_robust_seasonal": _Q153_ORACLE,
     }
 
 

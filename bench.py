@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "q149_deletion_propagation",
     "q150_pareto_frontier",
     "q151_fuzzy_vocab_match",
+    "q152_cohort_retention",
+    "q153_robust_seasonal",
 ]
 
 
