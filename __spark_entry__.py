@@ -5044,6 +5044,55 @@ _Q153_ORACLE = """
 """
 
 
+def q154_transition_matrix(spark, sf_dir):
+    """Empirical event-type transition matrix: per-user event streams
+    ordered by (ts, event_id), consecutive-pair counts and row-
+    normalized transition probabilities — the Markov statistics under
+    the PFSA surface, as a plain relation.  Successors come from one
+    LEAD window per user (keyed sort, extent bounded by per-user
+    activity — no arrays, no global order); counts are one groupBy;
+    probabilities one broadcast-joined division.  Integer counts +
+    single division: engine-exact."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), F.col("event_id"))
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trans")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n_trans").cast("long").alias("n_from"))
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        "n_from",
+        (F.col("n_trans").cast("double") / F.col("n_from").cast("double")).alias("prob"),
+    )
+
+
+_Q154_ORACLE = """
+    WITH ordered AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS to_type
+        FROM events
+    ), counts AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM ordered WHERE to_type IS NOT NULL
+        GROUP BY 1, 2
+    ), totals AS (
+        SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+        FROM counts GROUP BY 1
+    )
+    SELECT c.from_type, c.to_type, c.n_trans, t.n_from,
+           CAST(c.n_trans AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS prob
+    FROM counts c JOIN totals t USING (from_type)
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -5230,6 +5279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_fuzzy_vocab_match": q151_fuzzy_vocab_match,
         "q152_cohort_retention": q152_cohort_retention,
         "q153_robust_seasonal": q153_robust_seasonal,
+        "q154_transition_matrix": q154_transition_matrix,
     }
 
 
@@ -6861,6 +6911,7 @@ def oracle_sql() -> dict[str, str]:
         "q151_fuzzy_vocab_match": _Q151_ORACLE,
         "q152_cohort_retention": _Q152_ORACLE,
         "q153_robust_seasonal": _Q153_ORACLE,
+        "q154_transition_matrix": _Q154_ORACLE,
     }
 
 

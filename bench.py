@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "q151_fuzzy_vocab_match",
     "q152_cohort_retention",
     "q153_robust_seasonal",
+    "q154_transition_matrix",
 ]
 
 
