@@ -5093,6 +5093,87 @@ _Q154_ORACLE = """
 """
 
 
+def q155_rare_transitions(spark, sf_dir):
+    """Markov surprisal without logarithms: score each user by how many
+    of their consecutive event-type transitions are BELOW-TYPICAL for
+    the corpus — probability under q154's matrix strictly below the
+    median cell probability (a scale-adaptive gate: no tuned constant,
+    no libm).  The log-likelihood screen of the PFSA pipeline reduced
+    to integer counts + two divisions; the median over the (tiny)
+    matrix replays via exact interpolated percentile."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), F.col("event_id"))
+    pairs = e.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trans")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n_trans").cast("long").alias("n_from"))
+    probs = counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        (F.col("n_trans").cast("double") / F.col("n_from").cast("double")).alias("p"),
+    )
+    med = probs.agg(F.expr("percentile(p, 0.5D)").alias("med_p"))
+    scored = pairs.join(F.broadcast(probs), ["from_type", "to_type"]).crossJoin(
+        F.broadcast(med)
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.sum((F.col("p") < F.col("med_p")).cast("long")).alias("n_rare"),
+        )
+        .filter(F.col("n_rare") > 0)
+        .select(
+            "user_id",
+            "n_transitions",
+            "n_rare",
+            (F.col("n_rare").cast("double") / F.col("n_transitions").cast("double")).alias(
+                "rare_frac"
+            ),
+        )
+    )
+
+
+_Q155_ORACLE = """
+    WITH pairs AS (
+        SELECT user_id, from_type, to_type FROM (
+            SELECT user_id, event_type AS from_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ) AS to_type
+            FROM events
+        ) WHERE to_type IS NOT NULL
+    ), counts AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM pairs GROUP BY 1, 2
+    ), totals AS (
+        SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+        FROM counts GROUP BY 1
+    ), probs AS (
+        SELECT c.from_type, c.to_type,
+               CAST(c.n_trans AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+        FROM counts c JOIN totals t USING (from_type)
+    ), med AS (
+        SELECT quantile_cont(p, 0.5) AS med_p FROM probs
+    ), scored AS (
+        SELECT pr.user_id, p.p, m.med_p
+        FROM pairs pr JOIN probs p USING (from_type, to_type), med m
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(CASE WHEN p < med_p THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           CAST(SUM(CASE WHEN p < med_p THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS rare_frac
+    FROM scored GROUP BY user_id
+    HAVING SUM(CASE WHEN p < med_p THEN 1 ELSE 0 END) > 0
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -5280,6 +5361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_cohort_retention": q152_cohort_retention,
         "q153_robust_seasonal": q153_robust_seasonal,
         "q154_transition_matrix": q154_transition_matrix,
+        "q155_rare_transitions": q155_rare_transitions,
     }
 
 
@@ -6912,6 +6994,7 @@ def oracle_sql() -> dict[str, str]:
         "q152_cohort_retention": _Q152_ORACLE,
         "q153_robust_seasonal": _Q153_ORACLE,
         "q154_transition_matrix": _Q154_ORACLE,
+        "q155_rare_transitions": _Q155_ORACLE,
     }
 
 

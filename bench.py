@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "q152_cohort_retention",
     "q153_robust_seasonal",
     "q154_transition_matrix",
+    "q155_rare_transitions",
 ]
 
 
