@@ -5174,6 +5174,48 @@ _Q155_ORACLE = """
 """
 
 
+def q156_ship_latency_sla(spark, sf_dir):
+    """Order-to-ship latency SLA report per order priority: p50/p90/max
+    of (l_shipdate - o_orderdate) in days plus the fraction of line
+    items shipping within 30 days — the operational-percentile table
+    every fulfillment dashboard carries.  Day arithmetic on DATE diffs
+    (exact integers); interpolated exact percentile == quantile_cont;
+    the SLA fraction is an integer count over a count."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long").alias("lat"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.expr("percentile(lat, 0.5D)").alias("p50_days"),
+        F.expr("percentile(lat, 0.9D)").alias("p90_days"),
+        F.max("lat").cast("long").alias("max_days"),
+        (
+            F.sum((F.col("lat") <= 30).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("within_30d_frac"),
+    )
+
+
+_Q156_ORACLE = """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           quantile_cont(datediff('day', o.o_orderdate, l.l_shipdate), 0.5)
+               AS p50_days,
+           quantile_cont(datediff('day', o.o_orderdate, l.l_shipdate), 0.9)
+               AS p90_days,
+           CAST(MAX(datediff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+               AS max_days,
+           CAST(SUM(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 30
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS within_30d_frac
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -5362,6 +5404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_robust_seasonal": q153_robust_seasonal,
         "q154_transition_matrix": q154_transition_matrix,
         "q155_rare_transitions": q155_rare_transitions,
+        "q156_ship_latency_sla": q156_ship_latency_sla,
     }
 
 
@@ -6995,6 +7038,7 @@ def oracle_sql() -> dict[str, str]:
         "q153_robust_seasonal": _Q153_ORACLE,
         "q154_transition_matrix": _Q154_ORACLE,
         "q155_rare_transitions": _Q155_ORACLE,
+        "q156_ship_latency_sla": _Q156_ORACLE,
     }
 
 

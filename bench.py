@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "q153_robust_seasonal",
     "q154_transition_matrix",
     "q155_rare_transitions",
+    "q156_ship_latency_sla",
 ]
 
 
