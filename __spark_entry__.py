@@ -5216,6 +5216,136 @@ _Q156_ORACLE = """
 """
 
 
+_Q157_MIN_PAIRS = 3
+
+
+def q157_basket_affinity(spark, sf_dir):
+    """Market-basket affinity: for every pair of parts co-occurring in
+    >= 3 orders, support counts and lift = P(ab)/(P(a)P(b)) — the
+    association-rule statistics behind bought-together features.  The
+    pair join keys on the order (baskets are small, so the fan-out is
+    per-order quadratic in a ~4-item basket — bounded), the marginals
+    are one groupBy, and lift is integer counts + IEEE division:
+    engine-exact, no ln (PMI consumers take the ratio, q47's
+    convention)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= _Q157_MIN_PAIRS)
+    )
+    marg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n_orders = li.select("l_orderkey").distinct().count()
+    return (
+        pairs.join(marg.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a")), "part_a")
+        .join(marg.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b")), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_ab").cast("double")
+                * F.lit(float(n_orders))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
+_Q157_ORACLE = f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_Q157_MIN_PAIRS}
+    ), marg AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM li GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li
+    )
+    SELECT p.part_a, p.part_b, p.n_ab, ma.n AS n_a, mb.n AS n_b,
+           CAST(p.n_ab AS DOUBLE) * CAST(t.n_orders AS DOUBLE)
+               / (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)) AS lift
+    FROM pairs p
+    JOIN marg ma ON ma.l_partkey = p.part_a
+    JOIN marg mb ON mb.l_partkey = p.part_b
+    CROSS JOIN tot t
+"""
+
+
+def q158_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: per customer the recency (days since
+    last order relative to the corpus max date), frequency (order
+    count) and monetary (exact decimal total) values, each cut into
+    rank-exact quartiles (1 = best: most recent / most frequent /
+    highest spend; ntile over a (value, customer) total order — the
+    quality_bins convention, no float boundary hazards), plus the
+    combined RFM code.  One orders scan + three rank windows."""
+    o = _t(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate")).collect()[0][0]
+    base = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(maxd), F.max("o_orderdate")).cast("long").alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("monetary"),
+    )
+    wr = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).cast("int").alias("r_quartile"),
+        F.ntile(4).over(wf).cast("int").alias("f_quartile"),
+        F.ntile(4).over(wm).cast("int").alias("m_quartile"),
+    ).withColumn(
+        "rfm",
+        (
+            F.col("r_quartile") * 100 + F.col("f_quartile") * 10 + F.col("m_quartile")
+        ).cast("int"),
+    )
+
+
+_Q158_ORACLE = """
+    WITH base AS (
+        SELECT o_custkey,
+               CAST(datediff('day', MAX(o_orderdate),
+                             (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT)
+                   AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS INT)
+               AS r_quartile,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS INT)
+               AS f_quartile,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS INT)
+               AS m_quartile,
+           CAST(NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) * 100
+                + NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) * 10
+                + NTILE(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS INT)
+               AS rfm
+    FROM base
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -5405,6 +5535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_transition_matrix": q154_transition_matrix,
         "q155_rare_transitions": q155_rare_transitions,
         "q156_ship_latency_sla": q156_ship_latency_sla,
+        "q157_basket_affinity": q157_basket_affinity,
+        "q158_rfm_segments": q158_rfm_segments,
     }
 
 
@@ -7039,6 +7171,8 @@ def oracle_sql() -> dict[str, str]:
         "q154_transition_matrix": _Q154_ORACLE,
         "q155_rare_transitions": _Q155_ORACLE,
         "q156_ship_latency_sla": _Q156_ORACLE,
+        "q157_basket_affinity": _Q157_ORACLE,
+        "q158_rfm_segments": _Q158_ORACLE,
     }
 
 

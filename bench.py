@@ -176,6 +176,8 @@ BENCH_QUERIES = [
     "q154_transition_matrix",
     "q155_rare_transitions",
     "q156_ship_latency_sla",
+    "q157_basket_affinity",
+    "q158_rfm_segments",
 ]
 
 
