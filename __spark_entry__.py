@@ -5346,6 +5346,75 @@ _Q158_ORACLE = """
 """
 
 
+def q159_spend_gini(spark, sf_dir):
+    """Per-nation Gini coefficient of customer spend — the inequality
+    statistic behind "is our revenue concentrated in a few accounts".
+    Closed form on the sorted sample: G = (2·Σ i·x_(i) − (n+1)·Σx) /
+    (n·Σx) with x in exact integer cents and i a rank window inside the
+    nation — every sum is integer/DECIMAL-exact (tie blocks contribute
+    x·Σi regardless of tie order, so the statistic is deterministic),
+    and the final G is a fixed chain of IEEE ops.  One join + one
+    grouped sum + one per-nation rank window."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg((F.sum(_dec("o_totalprice")) * 100).cast("long").alias("cents"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", F.col("o_custkey").alias("cust"), "cents")
+    )
+    w = Window.partitionBy("n_name").orderBy(F.asc("cents"), F.asc("cust"))
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    g = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("decimal(38,0)").alias("__sx"),
+        F.sum(F.col("i").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)")).alias(
+            "__six"
+        ),
+    )
+    nn = F.col("n_customers").cast("double")
+    sx = F.col("__sx").cast("double")
+    six = F.col("__six").cast("double")
+    return g.select(
+        "n_name",
+        "n_customers",
+        (sx / F.lit(100.0)).alias("total_spend"),
+        ((F.lit(2.0) * six - (nn + F.lit(1.0)) * sx) / (nn * sx)).alias("gini"),
+    )
+
+
+_Q159_ORACLE = """
+    WITH spend AS (
+        SELECT n.n_name, o.o_custkey AS cust,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name, o.o_custkey
+    ), ranked AS (
+        SELECT n_name, cents,
+               ROW_NUMBER() OVER (PARTITION BY n_name
+                                  ORDER BY cents ASC, cust ASC) AS i
+        FROM spend
+    ), g AS (
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               SUM(CAST(cents AS DECIMAL(38,0))) AS sx,
+               SUM(CAST(i AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS six
+        FROM ranked GROUP BY n_name
+    )
+    SELECT n_name, n_customers,
+           CAST(sx AS DOUBLE) / 100.0 AS total_spend,
+           (2.0 * CAST(six AS DOUBLE)
+            - (CAST(n_customers AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+               / (CAST(n_customers AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
+    FROM g
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -5537,6 +5606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_ship_latency_sla": q156_ship_latency_sla,
         "q157_basket_affinity": q157_basket_affinity,
         "q158_rfm_segments": q158_rfm_segments,
+        "q159_spend_gini": q159_spend_gini,
     }
 
 
@@ -7173,6 +7243,7 @@ def oracle_sql() -> dict[str, str]:
         "q156_ship_latency_sla": _Q156_ORACLE,
         "q157_basket_affinity": _Q157_ORACLE,
         "q158_rfm_segments": _Q158_ORACLE,
+        "q159_spend_gini": _Q159_ORACLE,
     }
 
 

@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "q156_ship_latency_sla",
     "q157_basket_affinity",
     "q158_rfm_segments",
+    "q159_spend_gini",
 ]
 
 
