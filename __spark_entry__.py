@@ -5415,6 +5415,69 @@ _Q159_ORACLE = """
 """
 
 
+def q160_cluster_size_distribution(spark, sf_dir):
+    """Duplicate-cluster size distribution: q89's connected components
+    rolled up to (cluster_size, n_clusters, n_docs) — the shape report
+    a dedup run is judged by (a corpus dominated by size-1 clusters is
+    clean; a fat tail of mega-clusters is boilerplate).  Two integer
+    groupBys on top of the CC output; the oracle replays the recursive-
+    CTE reachability and aggregates the same way."""
+    out = q89_dedup_clusters(spark, sf_dir)
+    sizes = out.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).cast("long").alias("n_docs"),
+    )
+
+
+def _q160_oracle() -> str:
+    q89 = _Q89_ORACLE
+    return f"""
+    WITH cc AS ({q89}),
+    sizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM cc GROUP BY cluster_id
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+"""
+
+
+_Q89_ORACLE = """
+            WITH RECURSIVE sets AS (
+                SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS toks FROM documents
+            ),
+            pairs AS (
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+                WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+                UNION ALL
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 2
+                WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+            ),
+            und AS (
+                SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT u AS node, u AS r FROM und
+                UNION
+                SELECT reach.node, und.v AS r FROM reach JOIN und ON und.u = reach.r
+            ),
+            comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+                   d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_canonical
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        """
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -5607,6 +5670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_basket_affinity": q157_basket_affinity,
         "q158_rfm_segments": q158_rfm_segments,
         "q159_spend_gini": q159_spend_gini,
+        "q160_cluster_size_distribution": q160_cluster_size_distribution,
     }
 
 
@@ -6966,35 +7030,7 @@ def oracle_sql() -> dict[str, str]:
                         - FLOOR(start / 512) + 1 AS BIGINT) AS n_bins_spanned
             FROM s
         """,
-        "q89_dedup_clusters": """
-            WITH RECURSIVE sets AS (
-                SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS toks FROM documents
-            ),
-            pairs AS (
-                SELECT a.doc_id AS u, b.doc_id AS v
-                FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
-                WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
-                UNION ALL
-                SELECT a.doc_id AS u, b.doc_id AS v
-                FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 2
-                WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
-            ),
-            und AS (
-                SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
-            ),
-            reach(node, r) AS (
-                SELECT u AS node, u AS r FROM und
-                UNION
-                SELECT reach.node, und.v AS r FROM reach JOIN und ON und.u = reach.r
-            ),
-            comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
-            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-                   CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
-                   d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_canonical
-            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
-        """,
+        "q89_dedup_clusters": _Q89_ORACLE,
         "q24_cosine_topk": """
             WITH sims AS (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -7244,6 +7280,7 @@ def oracle_sql() -> dict[str, str]:
         "q157_basket_affinity": _Q157_ORACLE,
         "q158_rfm_segments": _Q158_ORACLE,
         "q159_spend_gini": _Q159_ORACLE,
+        "q160_cluster_size_distribution": _q160_oracle(),
     }
 
 

@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "q157_basket_affinity",
     "q158_rfm_segments",
     "q159_spend_gini",
+    "q160_cluster_size_distribution",
 ]
 
 
