@@ -945,3 +945,60 @@ def test_streaming_seasonal_monitor_registry_and_alerts(spark, tmp_path):
         want_reg, z_threshold=1.4, min_n=3
     ).collect()
     assert sorted(alerts) == sorted(batch_alerts)
+
+
+def test_streaming_transition_registry_counts_cross_batch(spark, tmp_path):
+    """Two-trigger drain: the counts registry equals the batch pair
+    counts of the union INCLUDING the transitions that straddle the
+    batch boundary (the part a naive per-batch count drops)."""
+    from patternly_spark.streaming.markov import (
+        streaming_transition_registry,
+        transition_matrix_from_registry,
+    )
+
+    rows = [
+        # user 7: a->b in batch 0; batch boundary; b->c, c->a in batch 1
+        ("2024-01-01 10:00:00", 7, 1, "a"),
+        ("2024-01-01 10:01:00", 7, 2, "b"),
+        ("2024-01-01 10:02:00", 7, 3, "c"),
+        ("2024-01-01 10:03:00", 7, 4, "a"),
+        # user 8: single event per batch — its only transition IS the boundary
+        ("2024-01-01 10:00:30", 8, 5, "x"),
+        ("2024-01-01 10:02:30", 8, 6, "y"),
+    ]
+    schema = "ts timestamp, user_id long, event_id long, event_type string"
+    mk = lambda rs: spark.createDataFrame(  # noqa: E731
+        rs, "ts string, user_id long, event_id long, event_type string"
+    ).select(F.to_timestamp("ts").alias("ts"), "user_id", "event_id", "event_type")
+
+    src = str(tmp_path / "src")
+    batch0 = [r for r in rows if r[0] < "2024-01-01 10:02:00"]
+    batch1 = [r for r in rows if r[0] >= "2024-01-01 10:02:00"]
+    mk(batch0).coalesce(1).write.mode("append").parquet(src)
+    mk(batch1).coalesce(1).write.mode("append").parquet(src)
+
+    reg = str(tmp_path / "reg")
+    q = streaming_transition_registry(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        reg,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.from_type, r.to_type): r.n_trans
+        for r in spark.read.parquet(f"{reg}/counts").collect()
+    }
+    # boundary transitions b->c (user 7) and x->y (user 8) must be present
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("c", "a"): 1, ("x", "y"): 1}
+    probs = {
+        (r.from_type, r.to_type): r.prob
+        for r in transition_matrix_from_registry(
+            spark.read.parquet(f"{reg}/counts")
+        ).collect()
+    }
+    assert probs[("a", "b")] == 1.0 and probs[("x", "y")] == 1.0
+    # state holds exactly one row per user: the latest event
+    st = {r.user: r.et for r in spark.read.parquet(f"{reg}/state").collect()}
+    assert st == {7: "a", 8: "y"}
