@@ -530,3 +530,37 @@ def fuzzy_key_join(
             F.col("dist").cast("int").alias("dist"),
         )
     )
+
+
+def update_positional_index(
+    spark,
+    path: str,
+    changed_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_term_buckets: int = 256,
+) -> None:
+    """Upsert changed/new documents into a persisted positional index:
+    existing postings of the changed ids are dropped (anti-join) and
+    the re-tokenized postings appended — the maintenance path that
+    keeps a standing index consistent with a mutating corpus without
+    rebuilding it.
+
+    A changed document's terms hash across MANY buckets, so per-bucket
+    dynamic overwrite would touch most of the layout anyway; the
+    honest implementation rewrites the index with the merged relation
+    (localCheckpoint-pinned before overwriting the files it was read
+    from — the streaming-upsert retry hazard).  At 100 TB scale,
+    partition the index additionally by ingest epoch and rewrite only
+    the affected epochs; the anti-join shape is unchanged."""
+    new_idx = positional_index(changed_docs, id_col=id_col, text_col=text_col)
+    try:
+        existing = read_positional_index(spark, path, n_term_buckets=n_term_buckets)
+        ids = changed_docs.select(F.col(id_col).alias("doc_id")).distinct()
+        kept = existing.join(F.broadcast(ids), "doc_id", "left_anti")
+        merged = kept.unionByName(new_idx)
+    except Exception:
+        merged = new_idx
+    merged = merged.localCheckpoint(eager=True)
+    save_positional_index(merged, path, n_term_buckets=n_term_buckets)

@@ -312,3 +312,41 @@ def test_fuzzy_key_join_complete_at_dist1(spark):
     # variants include the string itself and each single deletion
     v = left.filter("k = 'tble'").select(deletion_variants("k").alias("v")).collect()[0]["v"]
     assert set(v) == {"tble", "ble", "tle", "tbe", "tbl"}
+
+
+def test_update_positional_index_upserts(spark, tmp_path):
+    from patternly_spark.operators.retrieval import (
+        phrase_search,
+        positional_index,
+        read_positional_index,
+        save_positional_index,
+        update_positional_index,
+    )
+
+    v1 = spark.createDataFrame(
+        [(1, "old words here"), (2, "quick brown fox")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    save_positional_index(positional_index(v1), path, n_term_buckets=8)
+
+    # doc 1 rewritten, doc 99 added
+    changed = spark.createDataFrame(
+        [(1, "quick brown now"), (99, "quick brown too")], "doc_id long, text string"
+    )
+    update_positional_index(spark, path, changed, n_term_buckets=8)
+
+    idx = read_positional_index(spark, path, n_term_buckets=8)
+    # old postings of doc 1 gone, new present
+    assert idx.filter("doc_id = 1 AND term = 'old'").count() == 0
+    assert idx.filter("doc_id = 1 AND term = 'quick'").count() == 1
+    # untouched doc 2 intact; new doc 99 present
+    assert idx.filter("doc_id = 2 AND term = 'fox'").count() == 1
+    got = {
+        r.doc_id
+        for r in phrase_search(v1, "quick brown", index=idx).collect()
+    }
+    assert got == {1, 2, 99}
+    # updating into a non-existent path bootstraps a fresh index
+    p2 = str(tmp_path / "fresh")
+    update_positional_index(spark, p2, changed, n_term_buckets=8)
+    assert read_positional_index(spark, p2, n_term_buckets=8).count() > 0
