@@ -5478,6 +5478,76 @@ _Q89_ORACLE = """
         """
 
 
+def q161_log2_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile sketch report: per event type the p50/p90/p99
+    of integer value cents estimated from a 64-bucket log2 histogram
+    (operators/sketches.log2_histogram/log2_quantile) — bounded-state
+    quantiles a streaming registry can fold additively, unlike the
+    opaque approx_percentile buffer.  Bucket assignment is the binary
+    bit length (no libm), midpoints are LONG shifts, counts are
+    integers: the whole ESTIMATOR replays in SQL.  Factor-2 worst-case
+    error by construction (tested against exact percentiles)."""
+    from patternly_spark.operators.sketches import log2_histogram, log2_quantile
+
+    e = _t(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    h = log2_histogram(cents, "cents", by="event_type")
+    out = None
+    for label, q in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]:
+        est = log2_quantile(h, q, by="event_type").select(
+            "event_type",
+            "n",
+            F.lit(label).alias("quantile"),
+            F.col("q_bucket").cast("int").alias("q_bucket"),
+            "q_estimate",
+        )
+        out = est if out is None else out.unionByName(est)
+    return out
+
+
+def _q161_oracle() -> str:
+    bitlen_case = "CASE WHEN cents <= 0 THEN 0 " + " ".join(
+        f"WHEN cents >= {1 << (k - 1)} THEN {k}" for k in range(63, 0, -1)
+    ) + " END"
+    blocks = []
+    for label, q in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]:
+        blocks.append(f"""
+        SELECT event_type, n, '{label}' AS quantile,
+               CAST(bucket AS INT) AS q_bucket,
+               CASE WHEN bucket <= 0 THEN 0.0
+                    WHEN bucket = 1 THEN 1.0
+                    ELSE CAST((3::BIGINT << (bucket - 2)) AS DOUBLE) END AS q_estimate
+        FROM (
+            SELECT event_type, bucket, n, cum,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+            FROM (
+                SELECT event_type, bucket,
+                       SUM(cnt) OVER (PARTITION BY event_type) AS n,
+                       SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+                FROM hist
+            )
+            WHERE cum >= CEIL({q!r} * CAST(n AS DOUBLE))
+        ) WHERE rn = 1
+        """)
+    union = " UNION ALL ".join(blocks)
+    return f"""
+    WITH vals AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ), hist AS (
+        SELECT event_type, {bitlen_case} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM vals GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, quantile, q_bucket, q_estimate
+    FROM ({union})
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -5671,6 +5741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_rfm_segments": q158_rfm_segments,
         "q159_spend_gini": q159_spend_gini,
         "q160_cluster_size_distribution": q160_cluster_size_distribution,
+        "q161_log2_quantile_sketch": q161_log2_quantile_sketch,
     }
 
 
@@ -7281,6 +7352,7 @@ def oracle_sql() -> dict[str, str]:
         "q158_rfm_segments": _Q158_ORACLE,
         "q159_spend_gini": _Q159_ORACLE,
         "q160_cluster_size_distribution": _q160_oracle(),
+        "q161_log2_quantile_sketch": _q161_oracle(),
     }
 
 

@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "q158_rfm_segments",
     "q159_spend_gini",
     "q160_cluster_size_distribution",
+    "q161_log2_quantile_sketch",
 ]
 
 

@@ -507,3 +507,91 @@ def hll_estimate(registers: DataFrame, *, p: int = 12, by: str | None = None) ->
         raw.alias("raw_estimate"),
         est.alias("estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# log2 histogram sketch (mergeable quantiles, engine-replayable)
+# ---------------------------------------------------------------------------
+
+
+def _bitlen(col) -> "F.Column":
+    """Bit length of a non-negative LONG as an exact integer: the
+    length of its binary-string rendering (0 -> bin '0' -> length 1,
+    by convention bucket 0 with value 0).  No log2/libm — the SQL
+    oracle replays it as a generated comparison chain."""
+    return F.when(col <= 0, F.lit(0)).otherwise(F.length(F.bin(col))).cast("int")
+
+
+def log2_histogram(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: str | None = None,
+) -> DataFrame:
+    """Mergeable quantile sketch over non-negative integer values:
+    counts per power-of-two bucket (bucket b holds values in
+    [2^(b-1), 2^b), bucket 0 holds zeros) — the HdrHistogram idea with
+    base-2 resolution.  At most 64 rows per group EVER, additive merge
+    (plain groupBy-sum), parquet-persistable, and every count is an
+    integer so the sketch replays in SQL bit-for-bit.
+
+    Quantile estimates from power-of-two buckets carry a worst-case
+    2x relative error — the honest trade for O(64) state; callers
+    needing tighter error scale the values before sketching (e.g.
+    cents vs dollars buys 100x finer buckets at the same state).
+    """
+    v = F.col(value_col).cast("long")
+    keys = [by] if by else []
+    return (
+        df.select(*keys, _bitlen(v).alias("bucket"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def log2_histogram_merge(a: DataFrame, *others: DataFrame, by: str | None = None) -> DataFrame:
+    """Union + groupBy-sum: the additive merge that makes the sketch a
+    registry (streaming fold == batch sketch of all history)."""
+    out = a
+    for o in others:
+        out = out.unionByName(o)
+    keys = ([by] if by else []) + ["bucket"]
+    return out.groupBy(*keys).agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def log2_quantile(
+    hist: DataFrame,
+    q: float,
+    *,
+    by: str | None = None,
+) -> DataFrame:
+    """Quantile estimate from a log2 histogram: the first bucket whose
+    cumulative count reaches ceil(q*n); the estimate is the bucket's
+    geometric midpoint 1.5*2^(b-2)... represented exactly as
+    3*2^(b-3): computed with LONG shifts for b>=3, small-literal CASE
+    below (no pow).  Output: (keys..., n, q_bucket, q_estimate) with
+    q_estimate inside a factor 2 of the true quantile by construction.
+    """
+    keys = [by] if by else []
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy("bucket")
+    cum = hist.withColumn("__cum", F.sum("cnt").over(w)).withColumn(
+        "__n", F.sum("cnt").over((Window.partitionBy(*keys) if keys else Window.partitionBy()))
+    )
+    target = F.ceil(F.lit(float(q)) * F.col("__n").cast("double")).cast("long")
+    hit = cum.filter(F.col("__cum") >= target)
+    wr = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy("bucket")
+    first = hit.withColumn("__r", F.row_number().over(wr)).filter(F.col("__r") == 1)
+    b = F.col("bucket")
+    mid = (
+        F.when(b <= 0, F.lit(0.0))
+        .when(b == 1, F.lit(1.0))
+        .otherwise(F.expr("CAST(shiftleft(CAST(3 AS BIGINT), bucket - 2) AS DOUBLE)"))
+    )
+    return first.select(
+        *keys,
+        F.col("__n").alias("n"),
+        b.alias("q_bucket"),
+        mid.alias("q_estimate"),
+    )

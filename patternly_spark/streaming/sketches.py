@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 
 from patternly_spark.operators.sketches import count_min_counters, mg_merge, mg_summaries
 
-__all__ = ["streaming_count_min", "streaming_frequent_items", "streaming_hll_registry"]
+__all__ = [
+    "streaming_count_min",
+    "streaming_frequent_items",
+    "streaming_hll_registry",
+    "streaming_log2_histogram",
+]
 
 
 def streaming_count_min(
@@ -138,6 +143,40 @@ def streaming_hll_registry(
         except Exception:
             pass
         regs.localCheckpoint(eager=True).write.mode("overwrite").parquet(registry_path)
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_log2_histogram(
+    stream_df: DataFrame,
+    value_col: str,
+    registry_path: str,
+    *,
+    checkpoint_path: str,
+    by: str | None = None,
+    trigger_once: bool = False,
+):
+    """foreachBatch wrapper: fold each microbatch's log2 histogram into
+    the persisted bucket counts (additive groupBy-sum — registry ==
+    batch sketch of all history, pinned in tests), at most 64 rows per
+    group forever.  Quantiles any time via
+    ``operators/sketches.log2_quantile`` on the registry."""
+    from patternly_spark.operators.sketches import log2_histogram, log2_histogram_merge
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        h = log2_histogram(batch_df, value_col, by=by)
+        try:
+            existing = spark.read.parquet(registry_path)
+            h = log2_histogram_merge(h, existing, by=by)
+        except Exception:
+            pass
+        h.localCheckpoint(eager=True).write.mode("overwrite").parquet(registry_path)
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path

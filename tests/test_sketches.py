@@ -349,3 +349,61 @@ def test_streaming_hll_registry_equals_batch(spark, tmp_path):
     assert sorted(got.collect()) == sorted(want.collect())
     est = hll_estimate(got, p=12).collect()[0]
     assert abs(est.estimate - 1500) / 1500 < 0.05
+
+
+def test_log2_histogram_quantiles_within_factor2(spark):
+    import random
+
+    import numpy as np
+
+    from patternly_spark.operators.sketches import (
+        log2_histogram,
+        log2_histogram_merge,
+        log2_quantile,
+    )
+
+    random.seed(3)
+    vals = [random.randint(1, 200_000) for _ in range(4000)] + [0] * 7
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    h = log2_histogram(df, "v")
+    assert h.count() <= 64  # bounded state
+    for q in (0.5, 0.9, 0.99):
+        est = log2_quantile(h, q).collect()[0]
+        true = float(np.quantile(vals, q))
+        assert est.n == len(vals)
+        assert true / 2 <= est.q_estimate <= true * 2, (q, est.q_estimate, true)
+    # additive merge == sketch of the union
+    a = spark.createDataFrame([(v,) for v in vals[:1500]], "v long")
+    b = spark.createDataFrame([(v,) for v in vals[1500:]], "v long")
+    m = log2_histogram_merge(log2_histogram(a, "v"), log2_histogram(b, "v"))
+    assert sorted(m.collect()) == sorted(h.collect())
+    # zeros land in bucket 0 and the 0-quantile of a zero-heavy sample is 0
+    zdf = spark.createDataFrame([(0,)] * 10 + [(5,)], "v long")
+    z = log2_quantile(log2_histogram(zdf, "v"), 0.5).collect()[0]
+    assert z.q_bucket == 0 and z.q_estimate == 0.0
+
+
+def test_streaming_log2_histogram_equals_batch(spark, tmp_path):
+    from patternly_spark.operators.sketches import log2_histogram
+    from patternly_spark.streaming.sketches import streaming_log2_histogram
+
+    schema = "g string, v long"
+    src = str(tmp_path / "src")
+    b0 = [("a", i * 7 % 1000) for i in range(300)]
+    b1 = [("a", i * 13 % 50_000) for i in range(300)] + [("b", 3)] * 5
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    reg = str(tmp_path / "reg")
+    q = streaming_log2_histogram(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        "v",
+        reg,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        by="g",
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(reg)
+    want = log2_histogram(spark.createDataFrame(b0 + b1, schema), "v", by="g")
+    assert sorted(got.collect()) == sorted(want.collect())
