@@ -5548,6 +5548,62 @@ def _q161_oracle() -> str:
 """
 
 
+def q162_allpairs_similarity(spark, sf_dir):
+    """EXACT all-pairs Jaccard join (operators/dedup.set_similarity_join,
+    the AllPairs/PPJoin family): every 3-gram-shingle pair with Jaccard
+    >= 0.5 — deterministic completeness where MinHash+LSH (q36/q93) is
+    probabilistic, at the cost of the prefix-block join.  The
+    frequency-ascending canonical order makes prefix blocks RARE
+    shingles, which is what keeps the candidate space tractable; the
+    oracle replays df -> rank -> prefix -> block -> verify step by
+    step."""
+    from patternly_spark.operators.dedup import set_similarity_join
+
+    d = _t(spark, sf_dir, "documents")
+    return set_similarity_join(d, threshold=0.5, shingle_size=3)
+
+
+def _q162_oracle() -> str:
+    t = 0.5
+    return f"""
+    WITH toks_t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), sh3 AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+               ELSE [array_to_string(toks, ' ')] END AS shingles
+        FROM toks_t
+    ), tok AS (
+        SELECT doc_id AS id, unnest(shingles) AS s FROM sh3
+    ), dfq AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY s
+    ), ranked AS (
+        SELECT t.id, t.s,
+               ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY d.df ASC, t.s ASC) AS r
+        FROM tok t JOIN dfq d USING (s)
+    ), n_t AS (
+        SELECT doc_id AS id, len(shingles) AS n FROM sh3
+    ), pref AS (
+        SELECT r.id, r.s
+        FROM ranked r JOIN n_t n USING (id)
+        WHERE r.r <= n.n - CAST(CEIL({t:.17e} * CAST(n.n AS DOUBLE)) AS INT) + 1
+    ), cand AS (
+        SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+        FROM pref a JOIN pref b ON a.s = b.s AND a.id < b.id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+    FROM cand c
+    JOIN sh3 x ON x.doc_id = c.doc_a
+    JOIN sh3 y ON y.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(x.shingles, y.shingles))) >= {t:.17e}
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -5742,6 +5798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_spend_gini": q159_spend_gini,
         "q160_cluster_size_distribution": q160_cluster_size_distribution,
         "q161_log2_quantile_sketch": q161_log2_quantile_sketch,
+        "q162_allpairs_similarity": q162_allpairs_similarity,
     }
 
 
@@ -7353,6 +7410,7 @@ def oracle_sql() -> dict[str, str]:
         "q159_spend_gini": _Q159_ORACLE,
         "q160_cluster_size_distribution": _q160_oracle(),
         "q161_log2_quantile_sketch": _q161_oracle(),
+        "q162_allpairs_similarity": _q162_oracle(),
     }
 
 

@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "q159_spend_gini",
     "q160_cluster_size_distribution",
     "q161_log2_quantile_sketch",
+    "q162_allpairs_similarity",
 ]
 
 

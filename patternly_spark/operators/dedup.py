@@ -1195,3 +1195,74 @@ def pair_set_agreement(
             )
             out = row if out is None else out.unionByName(row)
     return out
+
+
+def set_similarity_join(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard join via prefix filtering (the
+    AllPairs/PPJoin family) — the deterministic counterpart to
+    MinHash+LSH: every pair with shingle-set Jaccard >= threshold is
+    found (no probabilistic recall), and nothing below survives the
+    verify.
+
+    Prefix-filter theorem: order each set by a GLOBAL canonical order
+    (document frequency ascending, shingle ascending — rarest first);
+    two sets with Jaccard >= t must share an element within the first
+    ``n - ceil(t*n) + 1`` elements of each.  Blocking on prefix
+    elements therefore keeps completeness while pruning the candidate
+    space to pairs sharing a RARE shingle.
+
+    Scale shape: shingle df is one map-side-combined groupBy; the
+    canonical rank is a per-document window over its (distinct)
+    shingles; the block join keys on the prefix shingle (rare by
+    construction — the frequency-ascending order is precisely what
+    keeps buckets small); the verify is the exact q23-style
+    intersect/union on candidate pairs only.  Output: (doc_a, doc_b,
+    jaccard) with doc_a < doc_b.
+    """
+    from pyspark.sql import Window
+
+    t = float(threshold)
+    sh = with_shingles(docs.select(id_col, text_col), text_col, shingle_size, out_col="__sh")
+    sets = sh.select(F.col(id_col).alias("id"), F.col("__sh").alias("sh"))
+    tok = sets.select("id", F.explode_outer("sh").alias("s"))
+    df_ = tok.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    ranked = tok.join(df_, "s").withColumn(
+        "__r",
+        F.row_number().over(Window.partitionBy("id").orderBy(F.asc("df"), F.asc("s"))),
+    )
+    n = sets.select("id", F.size("sh").alias("n"))
+    pref = (
+        ranked.join(n, "id")
+        .filter(
+            F.col("__r")
+            <= F.col("n") - F.ceil(F.lit(t) * F.col("n").cast("double")).cast("int") + 1
+        )
+        .select("id", "s")
+    )
+    cand = (
+        pref.select(F.col("id").alias("doc_a"), "s")
+        .join(pref.select(F.col("id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    jac = (
+        cand.join(sets.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sets.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= t)

@@ -891,3 +891,43 @@ def test_pair_set_agreement_counts_and_edges(spark):
     ac = out[("a", "c")]
     assert (ac.n_a, ac.n_b, ac.n_common) == (3, 0, 0) and ac.overlap_jaccard == 0.0
     assert len(out) == 3  # unordered method pairs only
+
+
+def test_set_similarity_join_complete_vs_bruteforce(spark):
+    import itertools
+
+    from patternly_spark.operators.dedup import set_similarity_join
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),      # high overlap with 1
+            (3, "a b c d q r s t"),      # partial overlap
+            (4, "z y x w v u t s"),      # disjoint-ish
+            (5, "a b c d e f g h"),      # exact duplicate of 1
+            (6, "m"),                    # short-text fallback shingle
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in set_similarity_join(docs, threshold=0.4).collect()}
+
+    def sh3(text):
+        t = text.split()
+        return (
+            set(" ".join(t[i : i + 3]) for i in range(len(t) - 2))
+            if len(t) >= 3
+            else {" ".join(t)}
+        )
+
+    sets = {i: sh3(t) for i, t in [(1, "a b c d e f g h"), (2, "a b c d e f g x"),
+                                   (3, "a b c d q r s t"), (4, "z y x w v u t s"),
+                                   (5, "a b c d e f g h"), (6, "m")]}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if j >= 0.4:
+            want[(a, b)] = j
+    assert set(out) == set(want)        # completeness AND no false positives
+    for k in out:
+        assert out[k] == pytest.approx(want[k], abs=1e-12)
+    assert out[(1, 5)] == 1.0           # exact duplicate found at jaccard 1
