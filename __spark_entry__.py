@@ -5604,6 +5604,80 @@ def _q162_oracle() -> str:
 """
 
 
+def q163_novelty_curve(spark, sf_dir):
+    """Corpus novelty decay: treating doc_id as ingestion order, each
+    document's novelty is the fraction of its distinct 3-gram shingles
+    never seen in ANY earlier document (first-seen doc = min doc_id per
+    shingle — one groupBy, no sequential scan), micro-averaged over
+    50-doc ingestion buckets: (bucket, n_docs, n_shingles, n_novel,
+    novelty).  The curve every data-collection effort watches — when
+    marginal novelty flattens, more of the same source buys nothing.
+    All integer counts + one division; micro-averaging keeps it
+    fold-order-free."""
+    d = _t(spark, sf_dir, "documents")
+    from patternly_spark.functions.text import with_shingles
+
+    sh = with_shingles(d.select("doc_id", "text"), "text", 3, out_col="__sh")
+    tok = sh.select("doc_id", F.explode_outer("__sh").alias("s"))
+    first = tok.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    marked = tok.join(first, "s").withColumn(
+        "__novel", (F.col("doc_id") == F.col("first_doc")).cast("long")
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh"),
+        F.sum("__novel").cast("long").alias("n_novel"),
+    )
+    bucket = F.floor(F.col("doc_id") / 50).cast("long")
+    return (
+        per_doc.groupBy(bucket.alias("ingest_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_sh").cast("long").alias("n_shingles"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
+        )
+        .select(
+            "ingest_bucket",
+            "n_docs",
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+_Q163_ORACLE = """
+    WITH toks_t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), sh3 AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+               ELSE [array_to_string(toks, ' ')] END AS shingles
+        FROM toks_t
+    ), tok AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh3
+    ), first AS (
+        SELECT s, MIN(doc_id) AS first_doc FROM tok GROUP BY s
+    ), per_doc AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sh,
+               CAST(SUM(CASE WHEN t.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_novel
+        FROM tok t JOIN first f USING (s)
+        GROUP BY t.doc_id
+    )
+    SELECT CAST(FLOOR(doc_id / 50) AS BIGINT) AS ingest_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+           CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+           CAST(SUM(n_novel) AS DOUBLE) / CAST(SUM(n_sh) AS DOUBLE) AS novelty
+    FROM per_doc GROUP BY 1
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -5799,6 +5873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_cluster_size_distribution": q160_cluster_size_distribution,
         "q161_log2_quantile_sketch": q161_log2_quantile_sketch,
         "q162_allpairs_similarity": q162_allpairs_similarity,
+        "q163_novelty_curve": q163_novelty_curve,
     }
 
 
@@ -7411,6 +7486,7 @@ def oracle_sql() -> dict[str, str]:
         "q160_cluster_size_distribution": _q160_oracle(),
         "q161_log2_quantile_sketch": _q161_oracle(),
         "q162_allpairs_similarity": _q162_oracle(),
+        "q163_novelty_curve": _Q163_ORACLE,
     }
 
 

@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "q160_cluster_size_distribution",
     "q161_log2_quantile_sketch",
     "q162_allpairs_similarity",
+    "q163_novelty_curve",
 ]
 
 
