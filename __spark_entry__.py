@@ -5678,6 +5678,166 @@ _Q163_ORACLE = """
 """
 
 
+def q164_weekly_movers(spark, sf_dir):
+    """Week-over-week movers: per event type and epoch week, total
+    value in exact cents, the previous week's total (LAG), the
+    absolute change, and the rank flip — which types gained/lost rank
+    between consecutive weeks.  Pure integer arithmetic + two windows
+    (LAG on the (type) timeline, rank within each week); the BI
+    "what moved" table."""
+    e = _t(spark, sf_dir, "events")
+    week = (F.floor(F.unix_timestamp("ts") / F.lit(604800))).cast("long")
+    weekly = e.groupBy("event_type", week.alias("w")).agg(
+        (F.sum(_dec("value")) * 100).cast("long").alias("cents")
+    )
+    wlag = Window.partitionBy("event_type").orderBy("w")
+    wrank = Window.partitionBy("w").orderBy(F.desc("cents"), F.asc("event_type"))
+    cur = (
+        weekly.withColumn("prev_cents", F.lag("cents").over(wlag))
+        .withColumn("rank_in_week", F.row_number().over(wrank).cast("int"))
+        .withColumn(
+            "prev_rank", F.lag("rank_in_week").over(wlag).cast("int")
+        )
+    )
+    return cur.select(
+        "event_type",
+        "w",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("total"),
+        (F.col("prev_cents").cast("double") / F.lit(100.0)).alias("prev_total"),
+        (
+            (F.col("cents") - F.coalesce(F.col("prev_cents"), F.col("cents"))).cast(
+                "double"
+            )
+            / F.lit(100.0)
+        ).alias("wow_change"),
+        "rank_in_week",
+        "prev_rank",
+        (F.coalesce(F.col("prev_rank"), F.col("rank_in_week")) - F.col("rank_in_week"))
+        .cast("int")
+        .alias("rank_gain"),
+    )
+
+
+_Q164_ORACLE = """
+    WITH weekly AS (
+        SELECT event_type, CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS w,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ), cur AS (
+        SELECT event_type, w, cents,
+               LAG(cents) OVER (PARTITION BY event_type ORDER BY w) AS prev_cents,
+               CAST(ROW_NUMBER() OVER (PARTITION BY w ORDER BY cents DESC, event_type ASC) AS INT)
+                   AS rank_in_week
+        FROM weekly
+    ), cur2 AS (
+        SELECT *,
+               CAST(LAG(rank_in_week) OVER (PARTITION BY event_type ORDER BY w) AS INT)
+                   AS prev_rank
+        FROM cur
+    )
+    SELECT event_type, w,
+           CAST(cents AS DOUBLE) / 100.0 AS total,
+           CAST(prev_cents AS DOUBLE) / 100.0 AS prev_total,
+           CAST(cents - COALESCE(prev_cents, cents) AS DOUBLE) / 100.0 AS wow_change,
+           rank_in_week, prev_rank,
+           CAST(COALESCE(prev_rank, rank_in_week) - rank_in_week AS INT) AS rank_gain
+    FROM cur2
+"""
+
+
+def q165_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood entity resolution
+    (operators/dedup.sorted_neighborhood_pairs): customers sorted by
+    name, each paired with its next 2 neighbors, Levenshtein <= 2
+    verify — the Hernandez-Stolfo blocking that catches near-identical
+    keys regardless of WHERE they differ (complementary to SymSpell's
+    bounded-distance blocking).  Windowed LEADs + exact verify, all
+    deterministic."""
+    from patternly_spark.operators.dedup import sorted_neighborhood_pairs
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return sorted_neighborhood_pairs(
+        c, "c_name", id_col="c_custkey", window=3, max_dist=2
+    )
+
+
+_Q165_ORACLE = """
+    WITH base AS (
+        SELECT c_custkey AS id, c_name AS k FROM customer
+    ), j1 AS (
+        SELECT id, k,
+               LEAD(id, 1) OVER (ORDER BY k ASC, id ASC) AS nid,
+               LEAD(k, 1) OVER (ORDER BY k ASC, id ASC) AS nk
+        FROM base
+    ), j2 AS (
+        SELECT id, k,
+               LEAD(id, 2) OVER (ORDER BY k ASC, id ASC) AS nid,
+               LEAD(k, 2) OVER (ORDER BY k ASC, id ASC) AS nk
+        FROM base
+    ), u AS (
+        SELECT * FROM j1 WHERE nid IS NOT NULL
+        UNION ALL
+        SELECT * FROM j2 WHERE nid IS NOT NULL
+    )
+    SELECT id AS id_a, nid AS id_b, k AS key_a, nk AS key_b,
+           CAST(levenshtein(k, nk) AS INT) AS dist
+    FROM u WHERE levenshtein(k, nk) <= 2
+"""
+
+
+_Q166_BLOCKLIST = ["slow", "big"]
+
+
+def q166_blocklist_screen(spark, sf_dir):
+    """Safety/blocklist screen: per source, how many documents contain
+    blocklisted terms (exact token match — substring matching flags
+    'scrapbook' for 'rap'; token match doesn't), total hit count, and
+    the flag rate — the first gate of every content-safety pipeline,
+    zero-shuffle per-row token-array counts + one source rollup."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+
+    def _eq(term):
+        # factory, not a default-arg lambda: a 2-arg lambda would be
+        # interpreted by F.filter as the (element, index) form
+        return lambda x: x == F.lit(term)
+
+    hits = None
+    for w in _Q166_BLOCKLIST:
+        h = F.size(F.filter(toks, _eq(w)))
+        hits = h if hits is None else hits + h
+    flagged = d.select("source", hits.alias("__hits"))
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("__hits") > 0).cast("long")).alias("n_flagged"),
+        F.sum("__hits").cast("long").alias("total_hits"),
+        (
+            F.sum((F.col("__hits") > 0).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("flag_rate"),
+    )
+
+
+def _q166_oracle() -> str:
+    terms = " + ".join(
+        f"len(list_filter(toks, x -> x = '{w}'))" for w in _Q166_BLOCKLIST
+    )
+    return f"""
+    WITH t AS (
+        SELECT source, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), h AS (
+        SELECT source, {terms} AS hits FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(hits) AS BIGINT) AS total_hits,
+           CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS flag_rate
+    FROM h GROUP BY source
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -5874,6 +6034,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_log2_quantile_sketch": q161_log2_quantile_sketch,
         "q162_allpairs_similarity": q162_allpairs_similarity,
         "q163_novelty_curve": q163_novelty_curve,
+        "q164_weekly_movers": q164_weekly_movers,
+        "q165_sorted_neighborhood": q165_sorted_neighborhood,
+        "q166_blocklist_screen": q166_blocklist_screen,
     }
 
 
@@ -7487,6 +7650,9 @@ def oracle_sql() -> dict[str, str]:
         "q161_log2_quantile_sketch": _q161_oracle(),
         "q162_allpairs_similarity": _q162_oracle(),
         "q163_novelty_curve": _Q163_ORACLE,
+        "q164_weekly_movers": _Q164_ORACLE,
+        "q165_sorted_neighborhood": _Q165_ORACLE,
+        "q166_blocklist_screen": _q166_oracle(),
     }
 
 

@@ -183,6 +183,9 @@ BENCH_QUERIES = [
     "q161_log2_quantile_sketch",
     "q162_allpairs_similarity",
     "q163_novelty_curve",
+    "q164_weekly_movers",
+    "q165_sorted_neighborhood",
+    "q166_blocklist_screen",
 ]
 
 

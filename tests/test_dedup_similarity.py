@@ -931,3 +931,25 @@ def test_set_similarity_join_complete_vs_bruteforce(spark):
     for k in out:
         assert out[k] == pytest.approx(want[k], abs=1e-12)
     assert out[(1, 5)] == 1.0           # exact duplicate found at jaccard 1
+
+
+def test_sorted_neighborhood_pairs_blocks_and_verify(spark):
+    from patternly_spark.operators.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha-001"), (2, "alpha-002"), (3, "alpha-950"), (4, "beta-001"), (5, "beta-002")],
+        "doc_id long, k string",
+    )
+    # window 2: only adjacent-in-sort pairs
+    out = {(r.id_a, r.id_b) for r in sorted_neighborhood_pairs(df, "k", id_col="doc_id", window=2).collect()}
+    assert out == {(1, 2), (2, 3), (3, 4), (4, 5)}
+    # levenshtein verify drops the cross-family and far pairs
+    ver = {(r.id_a, r.id_b): r.dist for r in sorted_neighborhood_pairs(
+        df, "k", id_col="doc_id", window=2, max_dist=2
+    ).collect()}
+    assert set(ver) == {(1, 2), (4, 5)}  # -002/-950 is dist 3; cross-family worse
+    # prefix blocking never pairs across blocks
+    blk = {(r.id_a, r.id_b) for r in sorted_neighborhood_pairs(
+        df, "k", id_col="doc_id", window=3, prefix_block=4
+    ).collect()}
+    assert (3, 4) not in blk and (1, 2) in blk and (4, 5) in blk
