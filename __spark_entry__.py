@@ -5838,6 +5838,201 @@ def _q166_oracle() -> str:
 """
 
 
+def q167_source_minhash_algebra(spark, sf_dir):
+    """Sketch algebra at the SOURCE level: a source's MinHash signature
+    is the slot-wise MIN over its documents' shingle hashes (the union
+    sketch — mergeable, so it folds incrementally like every registry
+    here), and pairwise signature agreement estimates the between-
+    source Jaccard that q144 computes exactly.  Output per source pair:
+    (j_est = agreeing slots / 8, j_exact) — the estimator-quality
+    table that says how far 8 slots can be trusted before paying for
+    the exact audit.  Integer mins/counts + one division each:
+    engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    from patternly_spark.functions.text import with_shingles
+
+    sh = with_shingles(d.select("source", "text"), "text", 3, out_col="__sh")
+    tok = sh.select("source", F.explode_outer("__sh").alias("s")).distinct()
+    base = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long") % F.lit(2147483647)
+    mins = tok.groupBy("source").agg(
+        *[
+            F.min((base * F.lit(1103515245 + j) + F.lit(12345 + j)) % F.lit(2147483647)).alias(
+                f"mh_{j}"
+            )
+            for j in range(8)
+        ]
+    )
+    a = mins.alias("a")
+    b = mins.alias("b")
+    agree = None
+    for j in range(8):
+        eq = (F.col(f"a.mh_{j}") == F.col(f"b.mh_{j}")).cast("int")
+        agree = eq if agree is None else agree + eq
+    est = (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            (agree.cast("double") / F.lit(8.0)).alias("j_est"),
+        )
+    )
+    sets = tok.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    shared = (
+        tok.select(F.col("source").alias("source_a"), "s")
+        .join(tok.select(F.col("source").alias("source_b"), "s"), "s")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    exact = (
+        est.join(shared, ["source_a", "source_b"], "left")
+        .join(sets.select(F.col("source").alias("source_a"), F.col("n").alias("n_a")), "source_a")
+        .join(sets.select(F.col("source").alias("source_b"), F.col("n").alias("n_b")), "source_b")
+    )
+    sh_ = F.coalesce(F.col("shared"), F.lit(0))
+    return exact.select(
+        "source_a",
+        "source_b",
+        "j_est",
+        (
+            sh_.cast("double")
+            / (F.col("n_a") + F.col("n_b") - sh_).cast("double")
+        ).alias("j_exact"),
+    )
+
+
+_Q167_ORACLE = """
+    WITH toks_t AS (
+        SELECT source, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), sh3 AS (
+        SELECT source,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+               ELSE [array_to_string(toks, ' ')] END AS shingles
+        FROM toks_t
+    ), tok AS (
+        SELECT DISTINCT source, unnest(shingles) AS s FROM sh3
+    ), hashed AS (
+        SELECT source, (('0x' || substr(md5(s), 1, 8))::BIGINT) % 2147483647 AS h
+        FROM tok
+    ), mins AS (
+        SELECT source,
+               MIN((h * 1103515245 + 12345) % 2147483647) AS mh_0,
+               MIN((h * 1103515246 + 12346) % 2147483647) AS mh_1,
+               MIN((h * 1103515247 + 12347) % 2147483647) AS mh_2,
+               MIN((h * 1103515248 + 12348) % 2147483647) AS mh_3,
+               MIN((h * 1103515249 + 12349) % 2147483647) AS mh_4,
+               MIN((h * 1103515250 + 12350) % 2147483647) AS mh_5,
+               MIN((h * 1103515251 + 12351) % 2147483647) AS mh_6,
+               MIN((h * 1103515252 + 12352) % 2147483647) AS mh_7
+        FROM hashed GROUP BY source
+    ), est AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST((CASE WHEN a.mh_0 = b.mh_0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN a.mh_1 = b.mh_1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN a.mh_2 = b.mh_2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN a.mh_3 = b.mh_3 THEN 1 ELSE 0 END)
+                  + (CASE WHEN a.mh_4 = b.mh_4 THEN 1 ELSE 0 END)
+                  + (CASE WHEN a.mh_5 = b.mh_5 THEN 1 ELSE 0 END)
+                  + (CASE WHEN a.mh_6 = b.mh_6 THEN 1 ELSE 0 END)
+                  + (CASE WHEN a.mh_7 = b.mh_7 THEN 1 ELSE 0 END) AS DOUBLE) / 8.0
+                   AS j_est
+        FROM mins a JOIN mins b ON a.source < b.source
+    ), sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY source
+    ), shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM tok a JOIN tok b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT e.source_a, e.source_b, e.j_est,
+           CAST(COALESCE(s.shared, 0) AS DOUBLE)
+               / CAST(na.n + nb.n - COALESCE(s.shared, 0) AS DOUBLE) AS j_exact
+    FROM est e
+    LEFT JOIN shared s ON s.source_a = e.source_a AND s.source_b = e.source_b
+    JOIN sizes na ON na.source = e.source_a
+    JOIN sizes nb ON nb.source = e.source_b
+"""
+
+
+def q168_burstiness(spark, sf_dir):
+    """Per-user temporal burstiness (Goh-Barabási): B = (σ−μ)/(σ+μ)
+    over inter-event gaps in seconds — −1 = perfectly periodic, 0 =
+    Poisson, →1 = bursty.  Gaps come from one LAG window (integer
+    seconds); μ/σ from exact integer/DECIMAL sums (the A1 stddev
+    machinery), so B is a fixed IEEE chain on identical operands.
+    Users with ≥ 5 gaps only (σ of tiny samples is noise)."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    gaps = (
+        e.select("user_id", us.alias("t"), F.lag(us).over(w).alias("pt"))
+        .filter(F.col("pt").isNotNull())
+        .select("user_id", (F.col("t") - F.col("pt")).cast("long").alias("g"))
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("__s"),
+        F.sum(F.col("g").cast("decimal(19,0)") * F.col("g").cast("decimal(19,0)")).alias("__s2"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("__s").cast("double") / n
+    var = (
+        F.col("__s2").cast("double")
+        - F.col("__s").cast("double") * F.col("__s").cast("double") / n
+    ) / (n - F.lit(1.0))
+    sig = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        agg.filter(F.col("n_gaps") >= 5)
+        .select(
+            "user_id",
+            "n_gaps",
+            (mu / F.lit(1000000.0)).alias("mean_gap_s"),
+            (sig / F.lit(1000000.0)).alias("std_gap_s"),
+            ((sig - mu) / (sig + mu)).alias("burstiness"),
+        )
+    )
+
+
+_Q168_ORACLE = """
+    WITH gaps AS (
+        SELECT user_id, t - pt AS g FROM (
+            SELECT user_id, epoch_us(ts) AS t,
+                   LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ) AS pt
+            FROM events
+        ) WHERE pt IS NOT NULL
+    ), agg AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(SUM(g) AS BIGINT) AS s,
+               SUM(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0))) AS s2
+        FROM gaps GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 1000000.0 AS mean_gap_s,
+           SQRT(GREATEST((CAST(s2 AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n_gaps AS DOUBLE))
+                         / (CAST(n_gaps AS DOUBLE) - 1.0), 0.0)) / 1000000.0
+               AS std_gap_s,
+           (SQRT(GREATEST((CAST(s2 AS DOUBLE)
+                           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                             / CAST(n_gaps AS DOUBLE))
+                          / (CAST(n_gaps AS DOUBLE) - 1.0), 0.0))
+            - CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+           / (SQRT(GREATEST((CAST(s2 AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                               / CAST(n_gaps AS DOUBLE))
+                            / (CAST(n_gaps AS DOUBLE) - 1.0), 0.0))
+              + CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS burstiness
+    FROM agg WHERE n_gaps >= 5
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -6037,6 +6232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_weekly_movers": q164_weekly_movers,
         "q165_sorted_neighborhood": q165_sorted_neighborhood,
         "q166_blocklist_screen": q166_blocklist_screen,
+        "q167_source_minhash_algebra": q167_source_minhash_algebra,
+        "q168_burstiness": q168_burstiness,
     }
 
 
@@ -7653,6 +7850,8 @@ def oracle_sql() -> dict[str, str]:
         "q164_weekly_movers": _Q164_ORACLE,
         "q165_sorted_neighborhood": _Q165_ORACLE,
         "q166_blocklist_screen": _q166_oracle(),
+        "q167_source_minhash_algebra": _Q167_ORACLE,
+        "q168_burstiness": _Q168_ORACLE,
     }
 
 

@@ -186,6 +186,8 @@ BENCH_QUERIES = [
     "q164_weekly_movers",
     "q165_sorted_neighborhood",
     "q166_blocklist_screen",
+    "q167_source_minhash_algebra",
+    "q168_burstiness",
 ]
 
 
