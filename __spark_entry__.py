@@ -6033,6 +6033,123 @@ _Q168_ORACLE = """
 """
 
 
+def q169_behavior_entropy(spark, sf_dir):
+    """Behavioral diversity: Shannon entropy of each user's event-type
+    mix, H = -Σ p ln p with the ln floor-quantized to 2^-20 (the
+    repo's standard cross-engine ln treatment) and the Σ over a FIXED
+    set of five type columns (conditional integer counts pivoted
+    first), so the sum is a fixed-order IEEE chain — engine-exact.
+    Low entropy = single-purpose account, high = diverse usage."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    counts = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum((F.col("event_type") == t).cast("long")).alias(f"c_{t}")
+            for t in types
+        ],
+    )
+    n = F.col("n").cast("double")
+    h = None
+    for t in types:
+        p = F.col(f"c_{t}").cast("double") / n
+        qln = F.floor(F.log(p) * F.lit(1048576.0)) / F.lit(1048576.0)
+        term = F.when(F.col(f"c_{t}") > 0, -p * qln).otherwise(F.lit(0.0))
+        h = term if h is None else h + term
+    return counts.select("user_id", "n", h.alias("entropy"))
+
+
+_Q169_ORACLE = """
+    WITH counts AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c_click,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS c_error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c_purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS c_signup,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c_view
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n,
+          (CASE WHEN c_click > 0 THEN -(CAST(c_click AS DOUBLE)/CAST(n AS DOUBLE)) * (FLOOR(ln(CAST(c_click AS DOUBLE)/CAST(n AS DOUBLE)) * 1048576.0) / 1048576.0) ELSE 0.0 END)
+        + (CASE WHEN c_error > 0 THEN -(CAST(c_error AS DOUBLE)/CAST(n AS DOUBLE)) * (FLOOR(ln(CAST(c_error AS DOUBLE)/CAST(n AS DOUBLE)) * 1048576.0) / 1048576.0) ELSE 0.0 END)
+        + (CASE WHEN c_purchase > 0 THEN -(CAST(c_purchase AS DOUBLE)/CAST(n AS DOUBLE)) * (FLOOR(ln(CAST(c_purchase AS DOUBLE)/CAST(n AS DOUBLE)) * 1048576.0) / 1048576.0) ELSE 0.0 END)
+        + (CASE WHEN c_signup > 0 THEN -(CAST(c_signup AS DOUBLE)/CAST(n AS DOUBLE)) * (FLOOR(ln(CAST(c_signup AS DOUBLE)/CAST(n AS DOUBLE)) * 1048576.0) / 1048576.0) ELSE 0.0 END)
+        + (CASE WHEN c_view > 0 THEN -(CAST(c_view AS DOUBLE)/CAST(n AS DOUBLE)) * (FLOOR(ln(CAST(c_view AS DOUBLE)/CAST(n AS DOUBLE)) * 1048576.0) / 1048576.0) ELSE 0.0 END)
+          AS entropy
+    FROM counts
+"""
+
+
+def q170_benford_audit(spark, sf_dir):
+    """Benford first-digit audit of order totals — the classic
+    fabricated-numbers screen: observed first-significant-digit counts
+    vs Benford's log10(1+1/d) expectation, with the chi2 statistic as
+    a FIXED nine-term chain over pivoted integer counts (no
+    order-sensitive aggregation of doubles) and the expectations as
+    driver-computed literals shared by both engines."""
+    import math as _math
+
+    o = _t(spark, sf_dir, "orders")
+    d1 = F.substring(
+        F.regexp_replace(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), r"[^1-9]", ""
+        ),
+        1,
+        1,
+    )
+    counts = o.select(d1.alias("d")).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum((F.col("d") == str(k)).cast("long")).alias(f"c_{k}")
+            for k in range(1, 10)
+        ],
+    )
+    n = F.col("n").cast("double")
+    chi = None
+    out_cols = []
+    for k in range(1, 10):
+        p = _math.floor(_math.log10(1.0 + 1.0 / k) * 1048576.0) / 1048576.0
+        exp = n * F.lit(p)
+        dev = F.col(f"c_{k}").cast("double") - exp
+        term = dev * dev / exp
+        chi = term if chi is None else chi + term
+        out_cols.append((F.col(f"c_{k}").cast("double") / n).alias(f"p_{k}"))
+    return counts.select("n", *out_cols, chi.alias("chi2"))
+
+
+def _q170_oracle() -> str:
+    import math as _math
+
+    cases = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN d = '{k}' THEN 1 ELSE 0 END) AS BIGINT) AS c_{k}"
+        for k in range(1, 10)
+    )
+    ps = []
+    chi_terms = []
+    for k in range(1, 10):
+        p = _math.floor(_math.log10(1.0 + 1.0 / k) * 1048576.0) / 1048576.0
+        ps.append(f"CAST(c_{k} AS DOUBLE) / CAST(n AS DOUBLE) AS p_{k}")
+        chi_terms.append(
+            f"((CAST(c_{k} AS DOUBLE) - CAST(n AS DOUBLE) * {p:.17e})"
+            f" * (CAST(c_{k} AS DOUBLE) - CAST(n AS DOUBLE) * {p:.17e})"
+            f" / (CAST(n AS DOUBLE) * {p:.17e}))"
+        )
+    return f"""
+    WITH digits AS (
+        SELECT substr(regexp_replace(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '[^1-9]', '', 'g'), 1, 1) AS d
+        FROM orders
+    ), counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {cases}
+        FROM digits
+    )
+    SELECT n, {", ".join(ps)},
+           {" + ".join(chi_terms)} AS chi2
+    FROM counts
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -6234,6 +6351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_blocklist_screen": q166_blocklist_screen,
         "q167_source_minhash_algebra": q167_source_minhash_algebra,
         "q168_burstiness": q168_burstiness,
+        "q169_behavior_entropy": q169_behavior_entropy,
+        "q170_benford_audit": q170_benford_audit,
     }
 
 
@@ -7852,6 +7971,8 @@ def oracle_sql() -> dict[str, str]:
         "q166_blocklist_screen": _q166_oracle(),
         "q167_source_minhash_algebra": _Q167_ORACLE,
         "q168_burstiness": _Q168_ORACLE,
+        "q169_behavior_entropy": _Q169_ORACLE,
+        "q170_benford_audit": _q170_oracle(),
     }
 
 

@@ -188,6 +188,8 @@ BENCH_QUERIES = [
     "q166_blocklist_screen",
     "q167_source_minhash_algebra",
     "q168_burstiness",
+    "q169_behavior_entropy",
+    "q170_benford_audit",
 ]
 
 
