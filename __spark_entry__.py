@@ -6150,6 +6150,141 @@ def _q170_oracle() -> str:
 """
 
 
+def q171_embedding_class_profile(spark, sf_dir):
+    """Per-class embedding diagnostics: vector count and the exact norm
+    of the class centroid.  Fold-order hazard dodged by construction:
+    each component is floor-quantized to 2^-20 (an exact integer), the
+    per-dimension sums S_i are integer-exact in any order, and
+    ||centroid|| = sqrt(Σ S_i²) / (n·2^20) — Σ S_i² is a sum of exact
+    integers (per-dim squares via one (label, dim) groupBy), so the
+    whole statistic is engine-exact.  A tight-centroid class (high
+    norm) has coherent embeddings; a near-zero centroid means the
+    class's vectors cancel — the first thing to check before trusting
+    per-class ANN or kNN evaluation."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * F.lit(1048576.0)).cast("long"),
+            )
+        ).alias("dim", "xq"),
+    )
+    per_dim = q.groupBy("label", "dim").agg(F.sum("xq").cast("long").alias("s"))
+    agg = per_dim.groupBy("label").agg(
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)")).alias(
+            "__ss"
+        )
+    )
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    j = agg.join(n, "label")
+    return j.select(
+        "label",
+        "n_vecs",
+        (
+            F.sqrt(F.col("__ss").cast("double"))
+            / (F.col("n_vecs").cast("double") * F.lit(1048576.0))
+        ).alias("centroid_norm"),
+    )
+
+
+_Q171_ORACLE = """
+    WITH q AS (
+        SELECT label, i - 1 AS dim,
+               CAST(FLOOR(embedding[i]::DOUBLE * 1048576.0) AS BIGINT) AS xq
+        FROM embeddings, range(1, 65) r(i)
+    ), per_dim AS (
+        SELECT label, dim, CAST(SUM(xq) AS BIGINT) AS s FROM q GROUP BY 1, 2
+    ), agg AS (
+        SELECT label, SUM(CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))) AS ss
+        FROM per_dim GROUP BY label
+    ), n AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label
+    )
+    SELECT a.label, n.n_vecs,
+           SQRT(CAST(a.ss AS DOUBLE)) / (CAST(n.n_vecs AS DOUBLE) * 1048576.0)
+               AS centroid_norm
+    FROM agg a JOIN n USING (label)
+"""
+
+
+def q172_markov_entropy_rate(spark, sf_dir):
+    """Entropy rate of the empirical event-type Markov chain: per from-
+    state, the transition-row entropy H_s = -Σ_t P(t|s)·ln P(t|s) as a
+    FIXED five-term chain over pivoted integer counts (q169's pattern,
+    quantized ln), plus the state's occupancy weight — the per-state
+    table whose weighted sum is the chain's entropy rate, connecting
+    the behavioral surface back to the PFSA information-theoretic
+    view.  Integer counts + fixed IEEE chains: engine-exact."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), F.col("event_id"))
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_from"),
+        *[
+            F.sum((F.col("to_type") == t).cast("long")).alias(f"c_{t}")
+            for t in types
+        ],
+    )
+    tot = counts.agg(F.sum("n_from").cast("long").alias("n_total"))
+    n = F.col("n_from").cast("double")
+    h = None
+    for t in types:
+        p = F.col(f"c_{t}").cast("double") / n
+        qln = F.floor(F.log(p) * F.lit(1048576.0)) / F.lit(1048576.0)
+        term = F.when(F.col(f"c_{t}") > 0, -p * qln).otherwise(F.lit(0.0))
+        h = term if h is None else h + term
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "from_type",
+        "n_from",
+        (F.col("n_from").cast("double") / F.col("n_total").cast("double")).alias(
+            "occupancy"
+        ),
+        h.alias("row_entropy"),
+    )
+
+
+def _q172_oracle() -> str:
+    types = ["click", "error", "purchase", "signup", "view"]
+    cases = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN to_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS c_{t}"
+        for t in types
+    )
+    terms = []
+    for t in types:
+        p = f"(CAST(c_{t} AS DOUBLE) / CAST(n_from AS DOUBLE))"
+        terms.append(
+            f"(CASE WHEN c_{t} > 0 THEN -{p} * (FLOOR(ln({p}) * 1048576.0) / 1048576.0) ELSE 0.0 END)"
+        )
+    return f"""
+    WITH pairs AS (
+        SELECT from_type, to_type FROM (
+            SELECT event_type AS from_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ) AS to_type
+            FROM events
+        ) WHERE to_type IS NOT NULL
+    ), counts AS (
+        SELECT from_type,
+               CAST(COUNT(*) AS BIGINT) AS n_from,
+               {cases}
+        FROM pairs GROUP BY from_type
+    ), tot AS (
+        SELECT CAST(SUM(n_from) AS BIGINT) AS n_total FROM counts
+    )
+    SELECT from_type, n_from,
+           CAST(n_from AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS occupancy,
+           {" + ".join(terms)} AS row_entropy
+    FROM counts, tot t
+"""
+
+
 def _user_symbol_sequences(spark, sf_dir):
     """(seq_id=user_id, symbols): diff-sign symbols of each user's event
     value stream ordered by (ts, event_id)."""
@@ -6353,6 +6488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_burstiness": q168_burstiness,
         "q169_behavior_entropy": q169_behavior_entropy,
         "q170_benford_audit": q170_benford_audit,
+        "q171_embedding_class_profile": q171_embedding_class_profile,
+        "q172_markov_entropy_rate": q172_markov_entropy_rate,
     }
 
 
@@ -7973,6 +8110,8 @@ def oracle_sql() -> dict[str, str]:
         "q168_burstiness": _Q168_ORACLE,
         "q169_behavior_entropy": _Q169_ORACLE,
         "q170_benford_audit": _q170_oracle(),
+        "q171_embedding_class_profile": _Q171_ORACLE,
+        "q172_markov_entropy_rate": _q172_oracle(),
     }
 
 

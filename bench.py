@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     "q168_burstiness",
     "q169_behavior_entropy",
     "q170_benford_audit",
+    "q171_embedding_class_profile",
+    "q172_markov_entropy_rate",
 ]
 
 
