@@ -6308,6 +6308,52 @@ def _user_symbol_sequences(spark, sf_dir):
     )
 
 
+def q173_cosine_allpairs(spark, sf_dir):
+    """EXACT all-pairs cosine-similarity join (operators/
+    similarity_allpairs.cosine_allpairs_join) — the dense-vector twin of
+    q162's set PPJoin: grid-blocked candidate cells (completeness from
+    per-coordinate geometry: cos>=t => every unit coordinate differs by
+    <= sqrt(2(1-t))) verified by per-cell float64 GEMM over int8 codes
+    (exact: integer sums < 2^21).  The quantized cosine is the q135
+    engine-portable similarity, so the full result carries a value-hash
+    oracle against a brute-force DuckDB replay — the oracle directly
+    proves BOTH completeness (nothing the blocked plan missed) and
+    precision (nothing below threshold survived)."""
+    from patternly_spark.operators.similarity_allpairs import cosine_allpairs_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_allpairs_join(emb, threshold=0.4, home_splits=4)
+
+
+_Q173_ORACLE = """
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ), sc AS (
+        SELECT vec_id, v,
+               CASE WHEN amax / 127.0 > 0.0 THEN amax / 127.0 ELSE 1.0 END AS scale
+        FROM (SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) AS amax
+              FROM base)
+    ), qz AS (
+        SELECT vec_id,
+               list_transform(v, x -> floor(x / scale + 0.5)) AS codes
+        FROM sc
+    ), nz AS (
+        SELECT vec_id, codes, list_dot_product(codes, codes) AS n2
+        FROM qz
+        WHERE list_dot_product(codes, codes) > 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.codes, b.codes)
+                 / (sqrt(a.n2) * sqrt(b.n2)), 6) AS qcosine
+    FROM nz a, nz b
+    WHERE a.vec_id < b.vec_id
+      AND list_dot_product(a.codes, b.codes) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4
+"""
+
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6490,6 +6536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_benford_audit": q170_benford_audit,
         "q171_embedding_class_profile": q171_embedding_class_profile,
         "q172_markov_entropy_rate": q172_markov_entropy_rate,
+        "q173_cosine_allpairs": q173_cosine_allpairs,
     }
 
 
@@ -8112,6 +8159,7 @@ def oracle_sql() -> dict[str, str]:
         "q170_benford_audit": _q170_oracle(),
         "q171_embedding_class_profile": _Q171_ORACLE,
         "q172_markov_entropy_rate": _q172_oracle(),
+        "q173_cosine_allpairs": _Q173_ORACLE,
     }
 
 

@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "q170_benford_audit",
     "q171_embedding_class_profile",
     "q172_markov_entropy_rate",
+    "q173_cosine_allpairs",
 ]
 
 

@@ -953,3 +953,100 @@ def test_sorted_neighborhood_pairs_blocks_and_verify(spark):
         df, "k", id_col="doc_id", window=3, prefix_block=4
     ).collect()}
     assert (3, 4) not in blk and (1, 2) in blk and (4, 5) in blk
+
+
+# ---------------------------------------------------------------------------
+# cosine_allpairs_join (exact dense-vector all-pairs; the q162 metric twin)
+# ---------------------------------------------------------------------------
+
+
+def _quantized_cosine_matrix(X):
+    """The operator's exact similarity in closed numpy form: absmax int8
+    codes, integer dot / (sqrt . sqrt) — q135's engine-portable cosine."""
+    X = np.asarray(X, dtype=np.float64)
+    amax = np.abs(X).max(axis=1)
+    scale = np.where(amax / 127.0 > 0.0, amax / 127.0, 1.0)
+    C = np.floor(X / scale[:, None] + 0.5)
+    n2 = (C * C).sum(axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        S = (C @ C.T) / np.sqrt(np.outer(n2, n2))
+    return S, n2
+
+
+def _brute_pairs(X, t):
+    S, n2 = _quantized_cosine_matrix(X)
+    n = len(X)
+    return {
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if n2[i] > 0 and n2[j] > 0 and S[i, j] >= t
+    }
+
+
+@pytest.mark.parametrize(
+    "threshold,block_dims,home_splits",
+    [(0.9, 2, 8), (0.9, 3, 1), (0.5, 1, 4), (0.99, 2, 2)],
+)
+def test_cosine_allpairs_complete_vs_bruteforce(spark, threshold, block_dims, home_splits):
+    """Planted near-duplicate clusters + isotropic noise + a zero vector:
+    the blocked plan must return EXACTLY the brute-force pair set (completeness
+    AND precision), at several blocking granularities and skew splits."""
+    from patternly_spark.operators.similarity_allpairs import cosine_allpairs_join
+
+    rng = np.random.default_rng(7)
+    vecs = []
+    for c in rng.normal(size=(12, 16)):            # planted clusters
+        for _ in range(6):
+            vecs.append(c + rng.normal(scale=0.02, size=16))
+    for _ in range(60):                            # isotropic background
+        vecs.append(rng.normal(size=16))
+    vecs.append(np.zeros(16))                      # undefined cosine: excluded
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    res = cosine_allpairs_join(
+        df,
+        threshold=threshold,
+        block_dims=block_dims,
+        home_splits=home_splits,
+        round_digits=None,
+    ).collect()
+    got = {(r.id_a, r.id_b): r.qcosine for r in res}
+
+    X = np.array([r[1] for r in rows])
+    want = _brute_pairs(X, threshold)
+    assert set(got) == want
+    # values are the exact closed-form quantized cosine (float64 GEMM over
+    # int8 codes is integer-exact, so == not approx)
+    S, _ = _quantized_cosine_matrix(X)
+    for (i, j), v in got.items():
+        assert v == S[i, j]
+    zero_id = len(vecs) - 1
+    assert all(zero_id not in p for p in got)
+
+
+def test_cosine_allpairs_pair_emitted_exactly_once(spark):
+    """Duplicate vectors in the same cell: the probe/home role split must
+    emit each unordered pair once (no distinct in the plan to mask a
+    double-count)."""
+    from patternly_spark.operators.similarity_allpairs import cosine_allpairs_join
+
+    v = [1.0, 2.0, 3.0, 4.0]
+    df = spark.createDataFrame(
+        [(i, v) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    res = cosine_allpairs_join(df, threshold=0.9, home_splits=3).collect()
+    pairs = [(r.id_a, r.id_b) for r in res]
+    assert sorted(pairs) == [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    assert all(r.qcosine == 1.0 for r in res)
+
+
+def test_cosine_allpairs_threshold_validation(spark):
+    from patternly_spark.operators.similarity_allpairs import cosine_allpairs_join
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        cosine_allpairs_join(df, threshold=1.5)
+    with pytest.raises(ValueError):
+        cosine_allpairs_join(df, threshold=0.5, block_dims=0)
