@@ -6354,6 +6354,45 @@ _Q173_ORACLE = """
 
 
 
+def q174_fuzzy_join_dist2(spark, sf_dir):
+    """Distance-2 fuzzy key join (operators/retrieval.fuzzy_key_join,
+    max_dist=2): supplier names corrupted by TWO character deletions are
+    matched back to the supplier master within Levenshtein distance 2 —
+    depth-2 SymSpell deletion neighborhoods (complete by the deletion-
+    decomposition argument; ~len^2/2 fan-out, documented) blocked by a
+    plain hash join on the variant, exact levenshtein verify.  The
+    oracle is the BRUTE-FORCE cross product, so the hash check proves
+    the blocked plan's completeness at distance 2, not just its
+    precision."""
+    from patternly_spark.operators.retrieval import fuzzy_key_join
+
+    sup = _t(spark, sf_dir, "supplier")
+    names = sup.select(F.col("s_name").alias("name")).distinct()
+    probes = names.select(
+        F.concat(
+            F.substring("name", 1, 2),
+            F.substring("name", 4, 7),
+            F.substr(F.col("name"), F.lit(12)),
+        ).alias("probe")
+    ).distinct()
+    return fuzzy_key_join(probes, names, left_key="probe", right_key="name", max_dist=2)
+
+
+_Q174_ORACLE = """
+    WITH names AS (
+        SELECT DISTINCT s_name AS name FROM supplier
+    ), probes AS (
+        SELECT DISTINCT substr(name, 1, 2) || substr(name, 4, 7) || substr(name, 12)
+               AS probe
+        FROM names
+    )
+    SELECT p.probe, n.name, CAST(levenshtein(p.probe, n.name) AS INT) AS dist
+    FROM probes p, names n
+    WHERE levenshtein(p.probe, n.name) <= 2
+"""
+
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6537,6 +6576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_embedding_class_profile": q171_embedding_class_profile,
         "q172_markov_entropy_rate": q172_markov_entropy_rate,
         "q173_cosine_allpairs": q173_cosine_allpairs,
+        "q174_fuzzy_join_dist2": q174_fuzzy_join_dist2,
     }
 
 
@@ -8160,6 +8200,7 @@ def oracle_sql() -> dict[str, str]:
         "q171_embedding_class_profile": _Q171_ORACLE,
         "q172_markov_entropy_rate": _q172_oracle(),
         "q173_cosine_allpairs": _Q173_ORACLE,
+        "q174_fuzzy_join_dist2": _Q174_ORACLE,
     }
 
 

@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "q171_embedding_class_profile",
     "q172_markov_entropy_rate",
     "q173_cosine_allpairs",
+    "q174_fuzzy_join_dist2",
 ]
 
 

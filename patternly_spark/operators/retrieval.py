@@ -472,20 +472,54 @@ def read_positional_index(
     return df.select("term", "doc_id", "pos")
 
 
-def deletion_variants(col: "Column | str", *, max_len: int = 64) -> "F.Column":
+def deletion_variants(
+    col: "Column | str", *, max_len: int = 64, depth: int = 1
+) -> "F.Column":
     """The SymSpell deletion neighborhood of a string: the string itself
-    plus every single-character deletion (distinct).  Keys longer than
-    ``max_len`` contribute only themselves (bounding the fan-out; such
-    keys are better handled by a coarser blocking key)."""
+    plus every variant obtained by deleting up to ``depth`` characters
+    (distinct).  Keys longer than ``max_len`` contribute only themselves
+    (bounding the fan-out; such keys are better handled by a coarser
+    blocking key).
+
+    Fan-out: depth 1 is len+1 variants per key; depth 2 is
+    1 + len + len*(len-1)/2 (~len^2/2 — e.g. ~2.1k variants for a
+    64-char key), the documented cost of the distance-2 guarantee.
+    The whole neighborhood is built by JVM-side higher-order functions
+    over one row — no shuffle, no Python."""
+    if depth not in (1, 2):
+        raise ValueError(f"depth must be 1 or 2, got {depth}")
     c = F.col(col) if isinstance(col, str) else col
+    ln = F.least(F.length(c), F.lit(int(max_len)))
     dels = F.transform(
-        F.sequence(F.lit(1), F.least(F.length(c), F.lit(int(max_len)))),
+        F.sequence(F.lit(1), ln),
         lambda i: F.concat(
             F.substring(c, 1, (i - 1).cast("int")),
             F.substr(c, (i + 1).cast("int")),
         ),
     )
-    return F.array_distinct(F.concat(F.array(c), dels))
+    out = F.concat(F.array(c), dels)
+    if depth == 2:
+        # delete positions i < j = i+1+k: keep [1, i-1], (i, j), [j+1, end];
+        # guarded because sequence(a, b) DESCENDS when a > b — strings
+        # shorter than 2 chars have no 2-deletion variants
+        dels2 = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), ln - 1),
+                lambda i: F.transform(
+                    F.sequence(F.lit(0), ln - i - 1),
+                    lambda k: F.concat(
+                        F.substring(c, 1, (i - 1).cast("int")),
+                        F.substring(c, (i + 1).cast("int"), k.cast("int")),
+                        F.substr(c, (i + k + 2).cast("int")),
+                    ),
+                ),
+            )
+        )
+        out = F.concat(
+            out,
+            F.when(ln >= 2, dels2).otherwise(F.array().cast("array<string>")),
+        )
+    return F.array_distinct(out)
 
 
 def fuzzy_key_join(
@@ -504,19 +538,29 @@ def fuzzy_key_join(
     cartesian product, no per-pair scan of either side.
 
     Output: distinct (left_key, right_key, dist) with dist <= max_dist.
-    For max_dist=1 the blocking is complete (the SymSpell guarantee);
-    larger distances verify correctly but may miss pairs whose keys
-    differ everywhere (document: chain deletions for full recall).
+    The blocking is COMPLETE for max_dist <= 2 (the SymSpell guarantee:
+    any <=d-op edit script between two keys leaves a common member in
+    both depth-d deletion neighborhoods — substitutions delete the
+    edited position from both sides, insertions delete from one); for
+    max_dist > 2 the verify is still exact but recall is bounded by the
+    depth-2 neighborhoods (raise ValueError rather than silently miss).
 
-    Scale shape: fan-out is len+1 variants per key (bounded by
-    ``deletion_variants``'s max_len); the join is keyed on the variant
-    so it shuffles variant-sized relations once, and the verify runs
-    only on blocked candidates."""
+    Scale shape: fan-out is len+1 variants per key at distance 1 and
+    ~len^2/2 at distance 2 (both bounded by ``deletion_variants``'s
+    max_len); the join is keyed on the variant so it shuffles
+    variant-sized relations once, and the verify runs only on blocked
+    candidates."""
+    if int(max_dist) > 2:
+        raise ValueError(
+            "fuzzy_key_join guarantees completeness only up to max_dist=2 "
+            f"(got {max_dist}); chain coarser blocking for larger radii"
+        )
+    depth = max(1, min(int(max_dist), 2))
     lv = left.select(F.col(left_key).alias("__lk")).distinct().select(
-        "__lk", F.explode(deletion_variants("__lk")).alias("__v")
+        "__lk", F.explode(deletion_variants("__lk", depth=depth)).alias("__v")
     )
     rv = right.select(F.col(right_key).alias("__rk")).distinct().select(
-        "__rk", F.explode(deletion_variants("__rk")).alias("__v")
+        "__rk", F.explode(deletion_variants("__rk", depth=depth)).alias("__v")
     )
     cand = lv.join(rv, "__v").select("__lk", "__rk").distinct()
     dist = F.levenshtein(F.col("__lk"), F.col("__rk"))

@@ -350,3 +350,82 @@ def test_update_positional_index_upserts(spark, tmp_path):
     p2 = str(tmp_path / "fresh")
     update_positional_index(spark, p2, changed, n_term_buckets=8)
     assert read_positional_index(spark, p2, n_term_buckets=8).count() > 0
+
+
+def _lev(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    d = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, n + 1):
+            prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+    return d[n]
+
+
+def test_fuzzy_key_join_complete_at_dist2_exhaustive(spark):
+    """EVERY string over {a,b} up to length 4, self-joined at max_dist=2,
+    must reproduce the brute-force Levenshtein<=2 pair set exactly —
+    covers deletions, insertions, substitutions, and transpositions (a
+    transposition is distance 2 in plain Levenshtein) in one sweep,
+    including the empty string and length-1 edge cases of the depth-2
+    neighborhood."""
+    import itertools
+
+    from patternly_spark.operators.retrieval import fuzzy_key_join
+
+    strs = [""]
+    for L in range(1, 5):
+        strs += ["".join(p) for p in itertools.product("ab", repeat=L)]
+    df = spark.createDataFrame([(s,) for s in strs], "k string")
+    res = fuzzy_key_join(df, df, left_key="k", right_key="k", max_dist=2).collect()
+    got = {(r["k"], r["k_right"]): r["dist"] for r in res}
+    exp = {
+        (a, b): _lev(a, b) for a in strs for b in strs if _lev(a, b) <= 2
+    }
+    assert got == exp
+
+
+@pytest.mark.parametrize(
+    "a,b,dist",
+    [
+        ("abcdefgh", "abXdefYh", 2),   # two substitutions
+        ("abcdefgh", "Xabcdefgh", 1),  # one insertion
+        ("abcdefgh", "XabcdefghY", 2), # two insertions
+        ("abcdefgh", "abdcefgh", 2),   # transposition
+        ("abcdefgh", "Xabcdefg", 2),   # shift (insert front, delete back)
+        ("abcdefgh", "acdefg", 2),     # two deletions
+    ],
+)
+def test_fuzzy_key_join_dist2_edit_types(spark, a, b, dist):
+    from patternly_spark.operators.retrieval import fuzzy_key_join
+
+    left = spark.createDataFrame([(a,)], "k string")
+    right = spark.createDataFrame([(b,)], "q string")
+    res = fuzzy_key_join(left, right, left_key="k", right_key="q", max_dist=2).collect()
+    assert [(r["k"], r["q"], r["dist"]) for r in res] == [(a, b, dist)]
+
+
+def test_fuzzy_key_join_rejects_unsupported_radius(spark):
+    from patternly_spark.operators.retrieval import fuzzy_key_join
+
+    df = spark.createDataFrame([("x",)], "k string")
+    with pytest.raises(ValueError):
+        fuzzy_key_join(df, df, left_key="k", right_key="k", max_dist=3)
+
+
+def test_deletion_variants_depth2_counts(spark):
+    """Fan-out algebra: 1 + L + L(L-1)/2 distinct variants for a string
+    of L distinct characters; short strings degrade gracefully."""
+    from patternly_spark.operators.retrieval import deletion_variants
+
+    df = spark.createDataFrame(
+        [("abcde",), ("ab",), ("a",), ("",)], "k string"
+    )
+    out = {
+        r["k"]: sorted(r["v"])
+        for r in df.select("k", deletion_variants("k", depth=2).alias("v")).collect()
+    }
+    assert len(out["abcde"]) == 1 + 5 + 10
+    assert set(out["ab"]) == {"ab", "a", "b", ""}
+    assert set(out["a"]) == {"a", ""}
+    assert out[""] == [""]
