@@ -4,7 +4,11 @@ from patternly_spark.streaming.windows import (
     streaming_session_counts,
     run_stream_to_memory,
 )
-from patternly_spark.streaming.dedup import streaming_exact_dedup
+from patternly_spark.streaming.dedup import (
+    incremental_set_similarity_join,
+    streaming_exact_dedup,
+    streaming_set_similarity_join,
+)
 from patternly_spark.streaming.continuous import StreamingPFSADetector
 
 __all__ = [
@@ -12,6 +16,8 @@ __all__ = [
     "streaming_sliding_counts",
     "streaming_session_counts",
     "streaming_exact_dedup",
+    "incremental_set_similarity_join",
+    "streaming_set_similarity_join",
     "run_stream_to_memory",
     "StreamingPFSADetector",
 ]

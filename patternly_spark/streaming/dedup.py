@@ -448,3 +448,201 @@ def streaming_boilerplate_registry(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def empty_similarity_registry(spark):
+    """Zero-row seed registries for ``incremental_set_similarity_join``:
+    ``(sets, prefix)`` — per-doc shingle sets (id, sh) and the exploded
+    prefix index (s, id)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    sets = spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("id", LongType()),
+                StructField("sh", ArrayType(StringType())),
+            ]
+        ),
+    )
+    prefix = spark.createDataFrame(
+        [],
+        StructType(
+            [StructField("s", StringType()), StructField("id", LongType())]
+        ),
+    )
+    return sets, prefix
+
+
+def incremental_set_similarity_join(
+    new_docs: DataFrame,
+    registry_sets: DataFrame,
+    registry_prefix: DataFrame,
+    *,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+):
+    """EXACT all-pairs Jaccard join of an ingestion batch against itself
+    AND against every previously-seen document — the incremental
+    (streaming-registry) twin of ``operators/dedup.set_similarity_join``
+    (q162), the way ``incremental_neardup_dedup`` twins the LSH path but
+    with NO probabilistic recall: every pair with Jaccard >= threshold
+    involving a batch document is emitted, exactly once, in the batch
+    that completes the pair.
+
+    Canonical prefix order: the batch variant orders shingles by
+    ``(xxhash64(s), s)`` — a FIXED, data-independent total order —
+    instead of the batch operator's document-frequency-ascending order.
+    The prefix-filter completeness theorem holds for ANY fixed global
+    order; df-ascending is only the performance-optimal choice, and it
+    cannot be used incrementally because frequencies drift as the
+    registry grows (a prefix computed under yesterday's frequencies
+    would not block against today's).  The hash order costs larger
+    prefix buckets than df-order would (documented trade); buckets stay
+    hash-uniform, never adversarially hot.
+
+    Union-parity law (pinned in tests): the union of results over any
+    batch sequence equals ``set_similarity_join`` over the concatenated
+    corpus — exactness makes the result order-independent, so the
+    incremental path has a value-exact batch oracle.
+
+    Doc ids must be globally unique across batches (the same contract
+    every incremental registry here has).
+
+    Scale shape: the batch's prefix shingles equi-join the persisted
+    prefix index (at 100 TB: bucket the registry by ``s`` so only batch
+    keys move — ``sources.bucketed``); the verify joins shingle sets by
+    id for candidate pairs only.  Registry growth is one sets row + a
+    ~(1-t)·|sh| prefix slice per document — linear in corpus size.
+
+    Returns ``(pairs, new_sets, new_prefix)``:
+
+    - ``pairs``: (doc_a, doc_b, jaccard) with doc_a < doc_b — new
+      qualifying pairs only (>= 1 endpoint in the batch).
+    - ``new_sets`` / ``new_prefix``: append to the registries for the
+      next batch.
+    """
+    from pyspark.sql import Window
+
+    from patternly_spark.operators.dedup import with_shingles
+
+    t = float(threshold)
+    sh = with_shingles(
+        new_docs.select(id_col, text_col), text_col, shingle_size, out_col="__sh"
+    )
+    sets_b = sh.select(
+        F.col(id_col).cast("long").alias("id"), F.col("__sh").alias("sh")
+    )
+    tok = sets_b.select("id", F.explode_outer("sh").alias("s"))
+    ranked = tok.withColumn(
+        "__r",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.asc(F.xxhash64("s")), F.asc("s"))
+        ),
+    )
+    n = sets_b.select("id", F.size("sh").alias("n"))
+    prefix_b = (
+        ranked.join(n, "id")
+        .filter(
+            F.col("__r")
+            <= F.col("n")
+            - F.ceil(F.lit(t) * F.col("n").cast("double")).cast("int")
+            + 1
+        )
+        .select("s", "id")
+    )
+
+    # candidates: batch x batch plus batch x registry (both orders
+    # normalized to doc_a < doc_b; registry ids can be on either side)
+    bb = (
+        prefix_b.select(F.col("id").alias("doc_a"), "s")
+        .join(prefix_b.select(F.col("id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    br = (
+        prefix_b.select(F.col("id").alias("__b"), "s")
+        .join(registry_prefix.select(F.col("id").alias("__r"), "s"), "s")
+        .select(
+            F.least("__b", "__r").alias("doc_a"),
+            F.greatest("__b", "__r").alias("doc_b"),
+        )
+    )
+    cand = bb.unionByName(br).distinct()
+
+    all_sets = sets_b.unionByName(registry_sets)
+    jac = (
+        cand.join(
+            all_sets.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            all_sets.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
+    )
+    return jac, sets_b, prefix_b
+
+
+def streaming_set_similarity_join(
+    stream_docs: DataFrame,
+    registry_path: str,
+    output_path: str,
+    *,
+    checkpoint_path: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    trigger_once: bool = False,
+):
+    """foreachBatch wrapper: each microbatch runs
+    ``incremental_set_similarity_join`` against the parquet registries
+    under ``registry_path`` (``/sets`` and ``/prefix``), appends the
+    qualifying pairs to ``output_path`` and the batch's sets/prefix rows
+    to the registries.  Microbatches are sequential, so read-then-append
+    is race-free by construction."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            reg_sets = spark.read.parquet(f"{registry_path}/sets")
+            reg_prefix = spark.read.parquet(f"{registry_path}/prefix")
+        except Exception:
+            reg_sets, reg_prefix = empty_similarity_registry(spark)
+        pairs, new_sets, new_prefix = incremental_set_similarity_join(
+            batch_df,
+            reg_sets,
+            reg_prefix,
+            threshold=threshold,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_size=shingle_size,
+        )
+        pairs.write.mode("append").parquet(output_path)
+        new_sets.write.mode("append").parquet(f"{registry_path}/sets")
+        new_prefix.write.mode("append").parquet(f"{registry_path}/prefix")
+
+    writer = stream_docs.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1002,3 +1002,99 @@ def test_streaming_transition_registry_counts_cross_batch(spark, tmp_path):
     # state holds exactly one row per user: the latest event
     st = {r.user: r.et for r in spark.read.parquet(f"{reg}/state").collect()}
     assert st == {7: "a", 8: "y"}
+
+
+# ---------------------------------------------------------------------------
+# incremental / streaming exact set-similarity join (the q162 streaming twin)
+# ---------------------------------------------------------------------------
+
+
+def _simjoin_corpus():
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(8):
+        rows.append((i, base + f" tail{i} " + " ".join(f"w{i}_{j}" for j in range(6))))
+    rows.append((20, base + " tail0 " + " ".join(f"w0_{j}" for j in range(6))))  # dup of 0
+    rows.append((21, base + " tail3 " + " ".join(f"w3_{j}" for j in range(5)) + " zz"))
+    rows.append((22, "completely different text with nothing shared at all here ok"))
+    rows.append((23, base + " tail1 " + " ".join(f"w1_{j}" for j in range(6))))  # dup of 1
+    return rows
+
+
+def test_incremental_set_similarity_union_parity(spark):
+    """Union of incremental results over a 3-batch split == the batch
+    set_similarity_join over the whole corpus (value-exact: jaccard is
+    deterministic arithmetic) — the exactness law LSH twins can't have."""
+    from patternly_spark.operators.dedup import set_similarity_join
+    from patternly_spark.streaming.dedup import (
+        empty_similarity_registry,
+        incremental_set_similarity_join,
+    )
+
+    rows = _simjoin_corpus()
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in set_similarity_join(full, threshold=0.5).collect()
+    }
+    assert want, "corpus must contain qualifying pairs for the test to bite"
+
+    reg_sets, reg_prefix = empty_similarity_registry(spark)
+    got = {}
+    for lo, hi in [(0, 4), (4, 9), (9, len(rows))]:
+        batch = spark.createDataFrame(rows[lo:hi], "doc_id long, text string")
+        pairs, new_sets, new_prefix = incremental_set_similarity_join(
+            batch, reg_sets, reg_prefix, threshold=0.5
+        )
+        for r in pairs.collect():
+            key = (r.doc_a, r.doc_b)
+            assert key not in got, f"pair {key} emitted twice"
+            got[key] = r.jaccard
+        reg_sets = reg_sets.unionByName(new_sets).localCheckpoint(eager=True)
+        reg_prefix = reg_prefix.unionByName(new_prefix).localCheckpoint(eager=True)
+
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == want[k]
+
+
+def test_streaming_set_similarity_end_to_end(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from patternly_spark.operators.dedup import set_similarity_join
+    from patternly_spark.streaming.dedup import streaming_set_similarity_join
+
+    rows = _simjoin_corpus()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+
+    q = streaming_set_similarity_join(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        registry_path=str(tmp_path / "registry"),
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        threshold=0.5,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
+    want = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in set_similarity_join(docs, threshold=0.5).collect()
+    }
+    assert got == want
+    # registry accumulated one sets row per doc and a bounded prefix slice
+    sets = spark.read.parquet(str(tmp_path / "registry/sets"))
+    assert sets.count() == len(rows)
+    prefix = spark.read.parquet(str(tmp_path / "registry/prefix"))
+    per_doc = prefix.groupBy("id").count()
+    joined = per_doc.join(
+        sets.select("id", F.size("sh").alias("n")), "id"
+    ).collect()
+    for r in joined:
+        assert r["count"] <= r["n"] - int(-(-0.5 * r["n"] // 1)) + 1
