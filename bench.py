@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "q172_markov_entropy_rate",
     "q173_cosine_allpairs",
     "q174_fuzzy_join_dist2",
+    "q175_anomaly_golden_replica",
 ]
 
 
@@ -239,6 +240,20 @@ BENCH_BUDGETED = {
 }
 
 
+
+def find_regressions(
+    timings: dict[str, float], pins: dict[str, float]
+) -> dict[str, dict]:
+    """A query regresses when it exceeds BOTH 1.5x its pinned time and
+    pin+0.75s — the relative bound catches real slowdowns, the absolute
+    floor keeps sub-second queries from tripping on scheduler noise."""
+    return {
+        name: {"sec": t, "pin": pins[name]}
+        for name, t in timings.items()
+        if name in pins and t > max(1.5 * pins[name], pins[name] + 0.75)
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -263,17 +278,31 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # per-query regression guard: compare against the committed pins
+    # (bench_pins.json, steady-state numbers at sf0.1) so a slowdown is
+    # flagged in the artifact itself instead of needing forensic diffing
+    # of BENCH_r{N} files.  A query regresses when it exceeds BOTH 1.5x
+    # its pin and pin+0.75s (the absolute floor keeps sub-second queries
+    # from tripping on scheduler noise).  Advisory by default — set
+    # SPARK_GRAFT_BENCH_STRICT=1 to fail the run on regressions.
+    pins_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_pins.json")
+    regressions: dict[str, dict] = {}
+    if os.path.exists(pins_path) and str(out["sf"]) == "0.1":
+        with open(pins_path) as f:
+            pins = json.load(f)["pins"]
+        regressions = find_regressions(timings, pins)
+    out["regressions"] = regressions
+    print(json.dumps(out))
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+        sys.exit(1)
 
 
 if __name__ == "__main__":

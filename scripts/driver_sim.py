@@ -53,6 +53,9 @@ for name, fn in queries.items():
         rec["spark_rows"] = len(spdf)
         if sql is None:
             rec["err"] = "rows-only (no oracle by design)"
+            rec["verified_by"] = getattr(e, "verified_by", dict)().get(
+                name, "unit/property tests (see tests/)"
+            )
             print(f"ROWS-ONLY {name} {len(spdf)}", flush=True)
             continue
         opdf = con.execute(sql).df()

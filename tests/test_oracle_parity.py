@@ -97,3 +97,14 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_verified_by_covers_exactly_the_rows_only_queries():
+    """Every queries() entry without an oracle must carry a verified_by
+    note naming its pytest evidence — and no stale notes for queries
+    that have since gained oracles."""
+    vb = entrymod.verified_by()
+    rows_only = set(entrymod.queries()) - set(entrymod.oracle_sql())
+    assert set(vb) == rows_only
+    for name, how in vb.items():
+        assert "tests/" in how, f"{name}: note must name its test evidence"

@@ -436,3 +436,41 @@ def test_orc_roundtrip_schema_and_pushdown(spark, sf_dir, tmp_path):
     assert "PushedFilters" in plan and "doc_id" in plan.split("PushedFilters")[1][:120]
     assert "ReadSchema" in plan and "text" not in plan.split("ReadSchema")[1][:200], \
         "projection must prune unread columns from the ORC scan"
+
+
+def test_ensure_pkg_ship_failure_is_diagnosed(spark, monkeypatch, capsys):
+    """A failed executor zip-ship must SAY so (stderr diagnostic naming
+    PYTHONPATH), not silently pass — the silent path used to surface as
+    an opaque worker ModuleNotFoundError minutes later."""
+    import __spark_entry__ as entrymod
+
+    monkeypatch.setattr(entrymod, "_PKG_SHIPPED", False)
+
+    def _boom(path):
+        raise OSError("no tmp space")
+
+    monkeypatch.setattr(spark.sparkContext, "addPyFile", _boom)
+    entrymod._ensure_pkg_on_executors(spark)
+    err = capsys.readouterr().err
+    assert "could not ship package zip" in err
+    assert "PYTHONPATH" in err
+    assert "OSError" in err
+    # marked shipped: the diagnostic prints once, not per query
+    assert entrymod._PKG_SHIPPED
+
+
+def test_bench_regression_guard_thresholds():
+    """1.5x relative AND +0.75s absolute must BOTH be exceeded: fast
+    queries tolerate noise, slow queries trip on a 50% slowdown."""
+    import bench
+
+    pins = {"fast": 0.2, "slow": 4.0}
+    # fast query doubling (0.4s) stays under the absolute floor
+    assert bench.find_regressions({"fast": 0.4}, pins) == {}
+    # fast query blowing past both bounds trips
+    assert "fast" in bench.find_regressions({"fast": 1.0}, pins)
+    # slow query at +10% is fine, at +60% trips
+    assert bench.find_regressions({"slow": 4.4}, pins) == {}
+    assert "slow" in bench.find_regressions({"slow": 6.4}, pins)
+    # unpinned queries never trip
+    assert bench.find_regressions({"new": 99.0}, pins) == {}
