@@ -6445,6 +6445,63 @@ _Q175_ORACLE = """
 
 
 
+def q176_tfidf_cosine_allpairs(spark, sf_dir):
+    """EXACT all-pairs TF-IDF cosine join over sparse term vectors
+    (operators/similarity_allpairs.tfidf_cosine_allpairs) — the weighted
+    member of the all-pairs family (sets q162, dense vectors q173):
+    rare-first prefix blocking with the symmetric suffix-norm bound
+    (no shared prefix term => cos < t), integer weights tf*floor(ln * 2^16)
+    so dots/norms are engine-exact and the BRUTE-FORCE oracle proves the
+    pruned plan complete.  Capped at 600 documents: the synthetic corpus
+    has a 24-word vocabulary, so every posting list spans half the
+    corpus and term-keyed blocking degenerates to near-brute-force —
+    the operator's pruning is built for Zipf vocabularies where
+    prefixes key on genuinely rare terms (same caveat family as q173's
+    isotropic-cell degeneracy, documented there)."""
+    from patternly_spark.operators.similarity_allpairs import tfidf_cosine_allpairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    return tfidf_cosine_allpairs(d, threshold=0.9)
+
+
+_Q176_ORACLE = """
+    WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 600
+    ), tok AS (
+        SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS term
+              FROM docs)
+        WHERE term <> ''
+        GROUP BY doc_id, term
+    ), nn AS (
+        SELECT COUNT(*)::DOUBLE AS n FROM docs
+    ), dfq AS (
+        SELECT term, COUNT(*)::BIGINT AS df FROM tok GROUP BY term
+    ), w AS (
+        SELECT doc_id, t.term,
+               tf * CAST(floor(ln((nn.n + 1.0) / (df + 1.0)) * 65536.0) AS BIGINT) AS w
+        FROM tok t JOIN dfq USING (term), nn
+    ), wp AS (
+        SELECT * FROM w WHERE w > 0
+    ), norms AS (
+        SELECT doc_id, SUM(w * w) AS n2 FROM wp GROUP BY doc_id
+    ), dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+        FROM wp a JOIN wp b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6)
+               AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = dots.doc_a
+    JOIN norms nb ON nb.doc_id = dots.doc_b
+    WHERE dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) >= 0.9
+"""
+
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6630,6 +6687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_cosine_allpairs": q173_cosine_allpairs,
         "q174_fuzzy_join_dist2": q174_fuzzy_join_dist2,
         "q175_anomaly_golden_replica": q175_anomaly_golden_replica,
+        "q176_tfidf_cosine_allpairs": q176_tfidf_cosine_allpairs,
     }
 
 
@@ -8305,6 +8363,7 @@ def oracle_sql() -> dict[str, str]:
         "q173_cosine_allpairs": _Q173_ORACLE,
         "q174_fuzzy_join_dist2": _Q174_ORACLE,
         "q175_anomaly_golden_replica": _Q175_ORACLE,
+        "q176_tfidf_cosine_allpairs": _Q176_ORACLE,
     }
 
 

@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "q173_cosine_allpairs",
     "q174_fuzzy_join_dist2",
     "q175_anomaly_golden_replica",
+    "q176_tfidf_cosine_allpairs",
 ]
 
 

@@ -61,7 +61,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_allpairs_join"]
+__all__ = ["cosine_allpairs_join", "tfidf_cosine_allpairs"]
 
 
 def cosine_allpairs_join(
@@ -184,4 +184,148 @@ def cosine_allpairs_join(
     )
     if round_digits is not None:
         out = out.withColumn("qcosine", F.round("qcosine", round_digits))
+    return out
+
+
+def tfidf_cosine_allpairs(
+    docs: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    idf_quantize_bits: int = 16,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """EXACT all-pairs TF-IDF cosine join over SPARSE term vectors — the
+    weighted member of the all-pairs family: ``set_similarity_join``
+    does unweighted sets (Jaccard), ``cosine_allpairs_join`` does dense
+    embeddings (grid cells), this does the classic sparse
+    bag-of-words cosine where PREFIX FILTERING is at its strongest
+    (the L2AP/AllPairs setting the literature built it for).
+
+    Weighting, engine-exact by construction: w(term, doc) =
+    tf * floor(ln((N+1)/(df+1)) * 2^bits) — an INTEGER.  Integer dots
+    and squared norms make the cosine a deterministic expression on any
+    engine (the long->double casts and sqrt/division are identical IEEE
+    operations), so the full result is SQL-replayable and the oracle
+    can be the brute-force cross join: it proves the pruned plan's
+    completeness, not just its precision.
+
+    Prefix filter (symmetric, join-friendly form): order each vector's
+    terms by document frequency ASCENDING (rarest first — the same
+    canonical order as the set PPJoin, and the reason candidate buckets
+    key on RARE terms); a vector's prefix is the head that leaves
+    suffix norm < t/2 of its L2 norm.  If two vectors share NO prefix
+    term, every common term lies in one tail or the other, so
+    dot <= ||tail_a|| + ||tail_b|| < t — any qualifying pair shares a
+    prefix term and survives the equi-join block.  (t/2 per side is the
+    price of a symmetric prefix-prefix equi-join; the asymmetric
+    index-probe bound of L2AP doesn't fit a shuffle join.)
+
+    Scale shape at 100 TB: tokenize + tf is one map-side groupBy; df is
+    one term-keyed agg; the prefix selection is a per-doc window over
+    its own terms; candidates block on (rare) prefix terms; the verify
+    joins candidate pairs' term lists only.  Stop-word-like terms sort
+    to the tails and never key a block.  No driver collect except the
+    1-row corpus count (broadcast).
+
+    Output: (doc_a, doc_b, cosine) with doc_a < doc_b, cosine >= t.
+    Documents with no terms (or all-zero weights) never join.
+    """
+    from pyspark.sql import Window
+
+    t = float(threshold)
+    if not (0.0 < t <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {t}")
+    scale = float(2 ** int(idf_quantize_bits))
+
+    tok = (
+        docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    df_ = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    weighted = (
+        tok.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            "df",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)).cast("double"))
+                    * F.lit(scale)
+                ).cast("long")
+            ).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    norms = weighted.groupBy("id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2")
+    )
+    # suffix-from-here mass under the rare-first canonical order; a row is
+    # prefix iff the mass from it onward is still >= n2 * t^2/4 (so the
+    # excluded tail is strictly below the bound)
+    w_order = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("term"))
+    suffix = (
+        weighted.withColumn(
+            "__suf",
+            F.sum(F.col("w") * F.col("w")).over(
+                w_order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            ),
+        )
+        .join(norms, "id")
+        .filter(
+            F.col("__suf").cast("double")
+            >= F.col("n2").cast("double") * F.lit(t * t / 4.0)
+        )
+        .select("id", "term")
+    )
+    cand = (
+        suffix.select(F.col("id").alias("doc_a"), "term")
+        .join(suffix.select(F.col("id").alias("doc_b"), "term"), "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    dots = (
+        cand.join(
+            weighted.select(F.col("id").alias("doc_a"), "term", F.col("w").alias("wa")),
+            "doc_a",
+        )
+        .join(
+            weighted.select(F.col("id").alias("doc_b"), "term", F.col("w").alias("wb")),
+            ["doc_b", "term"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    out = (
+        dots.join(norms.select(F.col("id").alias("doc_a"), F.col("n2").alias("na2")), "doc_a")
+        .join(norms.select(F.col("id").alias("doc_b"), F.col("n2").alias("nb2")), "doc_b")
+        .withColumn(
+            "__cos",
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+        )
+        .filter(F.col("__cos") >= F.lit(t))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.round(F.col("__cos"), round_digits)
+                if round_digits is not None
+                else F.col("__cos")
+            ).alias("cosine"),
+        )
+    )
     return out

@@ -1050,3 +1050,81 @@ def test_cosine_allpairs_threshold_validation(spark):
         cosine_allpairs_join(df, threshold=1.5)
     with pytest.raises(ValueError):
         cosine_allpairs_join(df, threshold=0.5, block_dims=0)
+
+
+def test_tfidf_cosine_allpairs_complete_vs_bruteforce(spark):
+    """Planted near-dup texts + distinct background, brute-force parity
+    with the exact integer-weight formula — set equality AND value
+    equality (the weights are integers, so == not approx)."""
+    import collections
+    import itertools
+    import math
+
+    from patternly_spark.operators.similarity_allpairs import tfidf_cosine_allpairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox leaps over a lazy dog"),
+        (4, "completely different content about spark engines"),
+        (5, "the quick brown fox jumps over the lazy dog"),
+        (6, "spark engines process content fast and different"),
+        (7, ""),                      # empty: excluded
+        (8, "dog dog dog dog"),       # single-term vector
+        (9, "unique singleton terms nowhere else zebra quagga"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def brute(t):
+        N = len(rows)
+        toks = {i: collections.Counter(txt.split()) for i, txt in rows}
+        dfreq = collections.Counter()
+        for c in toks.values():
+            for term in c:
+                dfreq[term] += 1
+        W = {}
+        for i, c in toks.items():
+            wi = {
+                term: tf * math.floor(math.log((N + 1) / (dfreq[term] + 1)) * 65536.0)
+                for term, tf in c.items()
+            }
+            W[i] = {k: v for k, v in wi.items() if v > 0}
+        out = {}
+        for a, b in itertools.combinations(sorted(W), 2):
+            wa, wb = W[a], W[b]
+            if not wa or not wb:
+                continue
+            dot = sum(wa[k] * wb[k] for k in wa.keys() & wb.keys())
+            cos = dot / (
+                math.sqrt(float(sum(v * v for v in wa.values())))
+                * math.sqrt(float(sum(v * v for v in wb.values())))
+            )
+            if cos >= t:
+                out[(a, b)] = cos
+        return out
+
+    for t in [0.3, 0.5, 0.8, 0.95]:
+        got = {
+            (r.doc_a, r.doc_b): r.cosine
+            for r in tfidf_cosine_allpairs(df, threshold=t, round_digits=None).collect()
+        }
+        want = brute(t)
+        assert set(got) == set(want), f"t={t}"
+        for k in got:
+            assert got[k] == want[k], f"t={t} {k}"
+    # exact duplicates score exactly 1.0 and survive any threshold
+    top = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in tfidf_cosine_allpairs(df, threshold=0.999, round_digits=None).collect()
+    }
+    assert top == {(1, 5): 1.0}
+
+
+def test_tfidf_cosine_allpairs_threshold_validation(spark):
+    from patternly_spark.operators.similarity_allpairs import tfidf_cosine_allpairs
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        tfidf_cosine_allpairs(df, threshold=0.0)
+    with pytest.raises(ValueError):
+        tfidf_cosine_allpairs(df, threshold=1.5)
