@@ -6502,6 +6502,61 @@ _Q176_ORACLE = """
 
 
 
+def q177_copurchase_triangles(spark, sf_dir):
+    """Triangle census of the part co-purchase graph (operators/
+    graph.triangle_counts): parts are linked when they appear in the
+    same order; per-part triangle participation + local clustering
+    coefficient — the classic cohesion statistic of a co-occurrence
+    graph.  Degree-ordered orientation (Suri-Vassilvitskii) caps wedge
+    fan-out at O(sqrt(m)) per node, so hub products cannot blow up the
+    join; counts are integers and clustering one division, so the whole
+    table is engine-exact against a plain SQL triangle join."""
+    from patternly_spark.operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    return triangle_counts(edges)
+
+
+_Q177_ORACLE = """
+    WITH und AS (
+        SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                        GREATEST(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+        SELECT node, COUNT(*)::BIGINT AS degree FROM (
+            SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+        ) GROUP BY node
+    ), tri AS (
+        SELECT ab.u AS a, ab.v AS b, ac.v AS c
+        FROM und ab JOIN und ac ON ab.u = ac.u AND ab.v < ac.v
+        JOIN und bc ON bc.u = ab.v AND bc.v = ac.v
+    ), per_node AS (
+        SELECT node, COUNT(*)::BIGINT AS triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b AS node FROM tri
+            UNION ALL SELECT c AS node FROM tri
+        ) GROUP BY node
+    )
+    SELECT deg.node, deg.degree,
+           COALESCE(per_node.triangles, 0)::BIGINT AS triangles,
+           CASE WHEN deg.degree >= 2 THEN
+               2.0 * COALESCE(per_node.triangles, 0)::DOUBLE
+               / (deg.degree::DOUBLE * (deg.degree - 1)::DOUBLE)
+           ELSE 0.0 END AS clustering
+    FROM deg LEFT JOIN per_node USING (node)
+"""
+
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6688,6 +6743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_fuzzy_join_dist2": q174_fuzzy_join_dist2,
         "q175_anomaly_golden_replica": q175_anomaly_golden_replica,
         "q176_tfidf_cosine_allpairs": q176_tfidf_cosine_allpairs,
+        "q177_copurchase_triangles": q177_copurchase_triangles,
     }
 
 
@@ -8364,6 +8420,7 @@ def oracle_sql() -> dict[str, str]:
         "q174_fuzzy_join_dist2": _Q174_ORACLE,
         "q175_anomaly_golden_replica": _Q175_ORACLE,
         "q176_tfidf_cosine_allpairs": _Q176_ORACLE,
+        "q177_copurchase_triangles": _Q177_ORACLE,
     }
 
 

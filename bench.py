@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "q174_fuzzy_join_dist2",
     "q175_anomaly_golden_replica",
     "q176_tfidf_cosine_allpairs",
+    "q177_copurchase_triangles",
 ]
 
 

@@ -298,3 +298,96 @@ def label_propagation(
     for df_ in (nodes, sym):
         df_.unpersist(False)
     return labels
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts + local clustering
+    coefficient — the degree-ordered (Suri-Vassilvitskii MapReduce)
+    algorithm: orient every undirected edge from the lower-ranked to
+    the higher-ranked endpoint under the total order (degree, id), form
+    wedges only at each edge's LOWER-ranked node, and close them
+    against the oriented edge set.
+
+    Why degree ordering matters at 100 TB: a naive wedge join fans out
+    quadratically at hub nodes (a degree-10^6 node contributes 10^12
+    wedges); orienting by degree caps every node's out-degree at
+    O(sqrt(m)), bounding total wedges by O(m^1.5) regardless of skew —
+    the difference between a runnable plan and an exploding one.  Three
+    shuffles total: degree agg, wedge self-join, closing join.
+
+    Counting is exact: each triangle {a,b,c} is built exactly once (as
+    the wedge at its lowest-ranked vertex, closed by its highest edge),
+    then credited to all three corners via one explode + groupBy.
+
+    Input may be directed/multi/self-looped; it is canonicalized to
+    simple undirected edges first.  Output: (node, degree, triangles,
+    clustering) where clustering = 2*triangles / (degree*(degree-1))
+    (0.0 for degree < 2) — integer counts + one division, engine-exact.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    # orient u->v iff (deg(u), u) < (deg(v), v)
+    with_deg = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("degree").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("degree").alias("dv")), "v")
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("hi"),
+    )
+    # wedges at the low node: (b, c) with b, c both above lo; close on b->c
+    # or c->b having been oriented — but orientation is a total order, so
+    # the closing edge is (min_rank, max_rank); join both orientations by
+    # normalizing the wedge ends with the same (degree, id) rank
+    e1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = e1.join(e2, "a").filter(F.col("b") < F.col("c"))
+    # the closing oriented edge between b and c can be b->c or c->b
+    # depending on their (degree, id) ranks; match either direction
+    closing = oriented.select(
+        F.least("lo", "hi").alias("b"), F.greatest("lo", "hi").alias("c")
+    )
+    tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.coalesce("triangles", F.lit(0)).cast("double")
+                / (
+                    F.col("degree").cast("double")
+                    * (F.col("degree") - F.lit(1)).cast("double")
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )

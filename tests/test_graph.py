@@ -161,3 +161,66 @@ def test_label_propagation_isolated_and_deterministic(spark):
     assert a == b  # partitioning-invariant
     # the two components never mix
     assert {a[20], a[21]} <= {20, 21} and {a[10], a[11], a[12]} <= {10, 11, 12}
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    """Random graph + planted 5-clique + self-loops + reversed duplicate
+    edges: per-node (degree, triangles, clustering) must equal the
+    brute-force census exactly."""
+    import itertools
+    import random
+
+    from patternly_spark.operators.graph import triangle_counts
+
+    random.seed(5)
+    edges = set()
+    for _ in range(200):
+        a, b = random.sample(range(40), 2)
+        edges.add((a, b))
+    for a, b in itertools.combinations([0, 1, 2, 3, 4], 2):
+        edges.add((a, b))
+    el = list(edges) + [(7, 7), (3, 2)]
+    df = spark.createDataFrame(el, "src long, dst long")
+    res = {r.node: (r.degree, r.triangles, r.clustering) for r in triangle_counts(df).collect()}
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    assert set(res) == set(adj)
+    for n in adj:
+        d = len(adj[n])
+        cl = 2.0 * tri[n] / (d * (d - 1)) if d >= 2 else 0.0
+        assert res[n] == (d, tri[n], cl), n
+
+
+def test_triangle_counts_hub_star_has_none(spark):
+    """A pure star (hub + leaves) has zero triangles and zero clustering
+    everywhere — the skew shape the degree ordering exists for."""
+    from patternly_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame([(0, i) for i in range(1, 50)], "src long, dst long")
+    rows = triangle_counts(df).collect()
+    assert all(r.triangles == 0 and r.clustering == 0.0 for r in rows)
+    hub = [r for r in rows if r.node == 0][0]
+    assert hub.degree == 49
+
+
+def test_triangle_counts_clique_is_fully_clustered(spark):
+    import itertools
+
+    from patternly_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(
+        [e for e in itertools.combinations(range(6), 2)], "src long, dst long"
+    )
+    rows = triangle_counts(df).collect()
+    # K6: each node in C(5,2)=10 triangles, clustering 1.0
+    assert all(r.degree == 5 and r.triangles == 10 and r.clustering == 1.0 for r in rows)
