@@ -64,39 +64,18 @@ from pyspark.sql import functions as F
 __all__ = ["cosine_allpairs_join", "tfidf_cosine_allpairs"]
 
 
-def cosine_allpairs_join(
-    df: DataFrame,
-    *,
-    threshold: float,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    block_dims: int = 2,
-    home_splits: int = 8,
-    round_digits: int | None = 6,
+def _cells_base(
+    df: DataFrame, *, r: float, id_col: str, vec_col: str, block_dims: int
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with int8-quantized cosine >= threshold.
-
-    Zero vectors (integer norm 0) have undefined cosine and are
-    excluded, documented like ``int8_topk``.
-
-    Output: (id_a, id_b, qcosine) — qcosine rounded to ``round_digits``
-    (the threshold itself is applied to the unrounded value).
-    """
+    """(id, codes, n2, c0..c{d-1}): int8 codes, integer squared norm,
+    and the grid cell of each blocked coordinate at width ``r``.  Zero
+    vectors (undefined cosine) are dropped here."""
     from patternly_spark.operators.quantized import _int_dot, int8_quantize
-
-    t = float(threshold)
-    if not (-1.0 <= t <= 1.0):
-        raise ValueError(f"threshold must be in [-1, 1], got {t}")
-    r = math.sqrt(max(2.0 * (1.0 - t), 1e-12))
-    d = int(block_dims)
-    if d < 1:
-        raise ValueError("block_dims must be >= 1")
-    splits = max(int(home_splits), 1)
 
     codes = int8_quantize(df, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("id"), "codes"
     )
-    base = (
+    return (
         codes.withColumn("n2", _int_dot(F.col("codes"), F.col("codes")))
         .filter(F.col("n2") > 0)
         .select(
@@ -116,24 +95,24 @@ def cosine_allpairs_join(
                 )
                 .cast("long")
                 .alias(f"c{j}")
-                for j in range(d)
+                for j in range(block_dims)
             ],
         )
     )
 
-    home = base.select(
-        "id",
-        "codes",
-        "n2",
-        *[F.col(f"c{j}") for j in range(d)],
-        F.pmod(F.xxhash64(F.col("id")), F.lit(splits)).cast("int").alias("split"),
-        F.lit(1).alias("role"),
-    )
-    # probe side: replicate to the 3^d neighbor cells x every home split
-    # (generators can't nest inside expressions, so explode the offset
-    # first and shift the cell in a second projection)
+
+def _with_split(base: DataFrame, splits: int, role: int) -> DataFrame:
+    return base.withColumn(
+        "split", F.pmod(F.xxhash64(F.col("id")), F.lit(splits)).cast("int")
+    ).withColumn("role", F.lit(role))
+
+
+def _replicate_probes(base: DataFrame, block_dims: int, splits: int) -> DataFrame:
+    """Each vector copied to its 3^d neighbor cells x every home split.
+    (Generators can't nest inside expressions, so explode the offset
+    first and shift the cell in a second projection.)"""
     probe = base
-    for j in range(d):
+    for j in range(block_dims):
         probe = (
             probe.withColumn(
                 f"__o{j}", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
@@ -141,7 +120,7 @@ def cosine_allpairs_join(
             .withColumn(f"c{j}", F.col(f"c{j}") + F.col(f"__o{j}"))
             .drop(f"__o{j}")
         )
-    probe = (
+    return (
         probe.withColumn(
             "split", F.explode(F.sequence(F.lit(0), F.lit(splits - 1)))
         )
@@ -149,7 +128,17 @@ def cosine_allpairs_join(
         .withColumn("role", F.lit(0))
     )
 
-    both = home.unionByName(probe.select(*home.columns))
+
+def _gemm_verify(
+    both: DataFrame, *, block_dims: int, threshold: float, ordered: bool
+) -> DataFrame:
+    """Per-(cell, split) probe x home dot matrix as ONE numpy float64
+    matmul (BLAS) — exact over int8 codes (sums < 2^21 << 2^53).
+    ``ordered=True`` keeps probe.id < home.id (self-join: each unordered
+    pair exactly once); ``ordered=False`` keeps all probe x home pairs
+    with the output normalized to id_a < id_b (disjoint-id join: each
+    cross pair appears in exactly one group — the home's cell)."""
+    t = float(threshold)
 
     def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
         h = pdf[pdf["role"] == 1]
@@ -160,7 +149,6 @@ def cosine_allpairs_join(
             )
         H = np.array(h["codes"].tolist(), dtype=np.float64)
         P = np.array(p["codes"].tolist(), dtype=np.float64)
-        # float64 GEMM over int8 codes is exact (sums < 2^21 << 2^53)
         G = P @ H.T
         qc = G / np.sqrt(
             np.outer(
@@ -169,19 +157,57 @@ def cosine_allpairs_join(
         )
         pid = p["id"].to_numpy()
         hid = h["id"].to_numpy()
-        mask = (pid[:, None] < hid[None, :]) & (qc >= t)
+        if ordered:
+            mask = (pid[:, None] < hid[None, :]) & (qc >= t)
+        else:
+            mask = (pid[:, None] != hid[None, :]) & (qc >= t)
         pi, hi = np.nonzero(mask)
+        a, b = pid[pi], hid[hi]
         return pd.DataFrame(
             {
-                "id_a": pid[pi].astype(np.int64),
-                "id_b": hid[hi].astype(np.int64),
+                "id_a": np.minimum(a, b).astype(np.int64),
+                "id_b": np.maximum(a, b).astype(np.int64),
                 "qcosine": qc[pi, hi],
             }
         )
 
-    out = both.groupBy(*[f"c{j}" for j in range(d)], "split").applyInPandas(
+    return both.groupBy(*[f"c{j}" for j in range(block_dims)], "split").applyInPandas(
         _verify, "id_a long, id_b long, qcosine double"
     )
+
+
+def cosine_allpairs_join(
+    df: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_dims: int = 2,
+    home_splits: int = 8,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with int8-quantized cosine >= threshold.
+
+    Zero vectors (integer norm 0) have undefined cosine and are
+    excluded, documented like ``int8_topk``.
+
+    Output: (id_a, id_b, qcosine) — qcosine rounded to ``round_digits``
+    (the threshold itself is applied to the unrounded value).
+    """
+    t = float(threshold)
+    if not (-1.0 <= t <= 1.0):
+        raise ValueError(f"threshold must be in [-1, 1], got {t}")
+    r = math.sqrt(max(2.0 * (1.0 - t), 1e-12))
+    d = int(block_dims)
+    if d < 1:
+        raise ValueError("block_dims must be >= 1")
+    splits = max(int(home_splits), 1)
+
+    base = _cells_base(df, r=r, id_col=id_col, vec_col=vec_col, block_dims=d)
+    home = _with_split(base, splits, 1)
+    probe = _replicate_probes(base, d, splits)
+    both = home.unionByName(probe.select(*home.columns))
+    out = _gemm_verify(both, block_dims=d, threshold=t, ordered=True)
     if round_digits is not None:
         out = out.withColumn("qcosine", F.round("qcosine", round_digits))
     return out

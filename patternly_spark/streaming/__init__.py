@@ -9,6 +9,10 @@ from patternly_spark.streaming.dedup import (
     streaming_exact_dedup,
     streaming_set_similarity_join,
 )
+from patternly_spark.streaming.similarity import (
+    incremental_cosine_allpairs,
+    streaming_cosine_allpairs,
+)
 from patternly_spark.streaming.continuous import StreamingPFSADetector
 
 __all__ = [
@@ -18,6 +22,8 @@ __all__ = [
     "streaming_exact_dedup",
     "incremental_set_similarity_join",
     "streaming_set_similarity_join",
+    "incremental_cosine_allpairs",
+    "streaming_cosine_allpairs",
     "run_stream_to_memory",
     "StreamingPFSADetector",
 ]

@@ -1098,3 +1098,90 @@ def test_streaming_set_similarity_end_to_end(spark, tmp_path):
     ).collect()
     for r in joined:
         assert r["count"] <= r["n"] - int(-(-0.5 * r["n"] // 1)) + 1
+
+
+# ---------------------------------------------------------------------------
+# incremental / streaming exact cosine all-pairs (the q173 streaming twin)
+# ---------------------------------------------------------------------------
+
+
+def _cosine_corpus():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for c in rng.normal(size=(6, 16)):          # planted clusters
+        for _ in range(4):
+            rows.append((vid, [float(x) for x in c + rng.normal(scale=0.02, size=16)]))
+            vid += 1
+    for _ in range(30):
+        rows.append((vid, [float(x) for x in rng.normal(size=16)]))
+        vid += 1
+    rows.append((vid, [0.0] * 16))              # zero vector: excluded
+    return rows
+
+
+def test_incremental_cosine_allpairs_union_parity(spark):
+    """Union of incremental results over a 3-batch split == the batch
+    cosine_allpairs_join over the whole corpus, value-exact (per-vector
+    quantization means nothing drifts as the registry grows)."""
+    from patternly_spark.operators.similarity_allpairs import cosine_allpairs_join
+    from patternly_spark.streaming.similarity import (
+        empty_cosine_registry,
+        incremental_cosine_allpairs,
+    )
+
+    rows = _cosine_corpus()
+    full = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = {
+        (r.id_a, r.id_b): r.qcosine
+        for r in cosine_allpairs_join(full, threshold=0.9).collect()
+    }
+    assert want, "corpus must contain qualifying pairs"
+
+    registry = empty_cosine_registry(spark)
+    got = {}
+    for lo, hi in [(0, 10), (10, 30), (30, len(rows))]:
+        batch = spark.createDataFrame(rows[lo:hi], "vec_id long, embedding array<double>")
+        pairs, new_rows = incremental_cosine_allpairs(batch, registry, threshold=0.9)
+        for r in pairs.collect():
+            key = (r.id_a, r.id_b)
+            assert key not in got, f"pair {key} emitted twice"
+            got[key] = r.qcosine
+        registry = registry.unionByName(new_rows).localCheckpoint(eager=True)
+
+    assert got == want
+
+
+def test_streaming_cosine_allpairs_end_to_end(spark, tmp_path):
+    from patternly_spark.operators.similarity_allpairs import cosine_allpairs_join
+    from patternly_spark.streaming.similarity import streaming_cosine_allpairs
+
+    rows = _cosine_corpus()
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = str(tmp_path / "src")
+    vecs.repartition(3).write.parquet(src)
+
+    q = streaming_cosine_allpairs(
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        registry_path=str(tmp_path / "registry"),
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        threshold=0.9,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    got = {(r.id_a, r.id_b): r.qcosine for r in out.collect()}
+    want = {
+        (r.id_a, r.id_b): r.qcosine
+        for r in cosine_allpairs_join(vecs, threshold=0.9).collect()
+    }
+    assert got == want
+    # registry: one row per non-zero vector, append-only
+    reg = spark.read.parquet(str(tmp_path / "registry"))
+    assert reg.count() == len(rows) - 1
