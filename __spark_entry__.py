@@ -6557,6 +6557,65 @@ _Q177_ORACLE = """
 
 
 
+def q178_duplicate_spans(spark, sf_dir):
+    """Exact repeated-substring span report (operators/dedup.
+    duplicate_spans) — the ExactSubstr dedup of Lee et al.
+    (arXiv:2107.06499) re-expressed Spark-first: rolling 20-token grams
+    (per-row slice+join, no UDF), corpus census, and a per-doc
+    gaps-and-islands interval merge yield every maximal span whose every
+    20-gram repeats in the corpus — the spans a training pipeline cuts
+    out before tokenization.  Grams group by text (collision-free), so
+    the whole table is integer-exact against the SQL replay."""
+    from patternly_spark.operators.dedup import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_spans(d, ngram=20)
+
+
+_Q178_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), g AS (
+        SELECT doc_id, pos, array_to_string(t[pos+1:pos+20], ' ') AS gram
+        FROM toks,
+             LATERAL (SELECT unnest(range(0, greatest(len(t) - 19, 0))) AS pos) i(pos)
+    ), dup AS (
+        SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+    ), flagged AS (
+        SELECT doc_id, pos FROM g JOIN dup USING (gram)
+    ), marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN prev_max_end IS NULL OR pos > prev_max_end + 1
+                    THEN 1 ELSE 0 END AS new_island
+        FROM (
+            SELECT doc_id, pos,
+                   MAX(pos + 19) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_max_end
+            FROM flagged
+        )
+    ), islands AS (
+        SELECT doc_id, pos,
+               SUM(new_island) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM marked
+    )
+    SELECT doc_id,
+           MIN(pos)::BIGINT AS span_start,
+           (MAX(pos) + 19)::BIGINT AS span_end,
+           (MAX(pos) + 19 - MIN(pos) + 1)::BIGINT AS span_tokens
+    FROM islands
+    GROUP BY doc_id, island
+"""
+
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6744,6 +6803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_anomaly_golden_replica": q175_anomaly_golden_replica,
         "q176_tfidf_cosine_allpairs": q176_tfidf_cosine_allpairs,
         "q177_copurchase_triangles": q177_copurchase_triangles,
+        "q178_duplicate_spans": q178_duplicate_spans,
     }
 
 
@@ -8421,6 +8481,7 @@ def oracle_sql() -> dict[str, str]:
         "q175_anomaly_golden_replica": _Q175_ORACLE,
         "q176_tfidf_cosine_allpairs": _Q176_ORACLE,
         "q177_copurchase_triangles": _Q177_ORACLE,
+        "q178_duplicate_spans": _Q178_ORACLE,
     }
 
 

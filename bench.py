@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "q175_anomaly_golden_replica",
     "q176_tfidf_cosine_allpairs",
     "q177_copurchase_triangles",
+    "q178_duplicate_spans",
 ]
 
 

@@ -1343,3 +1343,89 @@ def sorted_neighborhood_pairs(
             "dist", F.levenshtein(F.col("key_a"), F.col("key_b")).cast("int")
         ).filter(F.col("dist") <= int(max_dist))
     return res
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    *,
+    ngram: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_repeats: int = 2,
+) -> DataFrame:
+    """Exact repeated-substring span report — the ExactSubstr shape of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (arXiv:2107.06499): every maximal token span whose every
+    ``ngram``-token window occurs >= ``min_repeats`` times across the
+    corpus (including within one document).  Where the paper builds a
+    monolithic suffix array, the Spark-native formulation is a rolling
+    n-gram census + gaps-and-islands merge — same detected spans for
+    span lengths >= ngram (a repeat of length L >= n is exactly a run of
+    L - n + 1 repeated n-grams), expressible as three shuffles:
+
+      1. positional n-grams: one pass, per-row slice+join (no UDF);
+      2. census: groupBy(gram) -> total occurrences (map-side combined);
+      3. islands: per-doc window over flagged positions — a span starts
+         where a flagged position clears the running max end (interval
+         merge), spans close at max(pos)+n-1.
+
+    Grams are grouped by their TEXT here (exact, zero collision risk —
+    what makes the brute-force SQL oracle value-exact); at 100 TB group
+    by xxhash64(gram) instead (collision odds 2^-64 per pair) so the
+    shuffle carries 8 bytes, not 100-char strings — the shape is
+    unchanged.
+
+    Output: (doc_id, span_start, span_end, span_tokens) — token indices,
+    0-based inclusive; span_tokens = end - start + 1 >= ngram.
+    """
+    from pyspark.sql import Window
+
+    n = int(ngram)
+    if n < 1:
+        raise ValueError(f"ngram must be >= 1, got {n}")
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
+    ).withColumn("__t", F.filter("__t", lambda x: x != ""))
+    # sequence(a, b) DESCENDS when a > b, so docs shorter than n must get
+    # an empty gram array, not a phantom descending index range
+    gram_arr = F.when(
+        F.size("__t") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__t") - n),
+            lambda i: F.array_join(F.slice("__t", i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select("id", F.posexplode(gram_arr).alias("pos", "gram"))
+    dup = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    flagged = (
+        grams.join(dup.filter(F.col("cnt") >= int(min_repeats)), "gram")
+        .select("id", "pos")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + F.lit(n - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        flagged.withColumn(
+            "__new",
+            F.when(
+                prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("__island", F.sum("__new").over(w))
+        .groupBy("id", "__island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).cast("long").alias(
+                "span_tokens"
+            ),
+        )
+    )
+    return islands

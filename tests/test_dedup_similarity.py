@@ -1128,3 +1128,62 @@ def test_tfidf_cosine_allpairs_threshold_validation(spark):
         tfidf_cosine_allpairs(df, threshold=0.0)
     with pytest.raises(ValueError):
         tfidf_cosine_allpairs(df, threshold=1.5)
+
+
+def test_duplicate_spans_exact_semantics(spark):
+    """Maximal repeated-span detection: cross-doc shares, exact dups,
+    within-doc repeats, too-short docs, and correct interval merging of
+    overlapping flagged grams."""
+    from patternly_spark.operators.dedup import duplicate_spans
+
+    rows = [
+        (1, "a b c d e f g h i j"),   # shares c..g run with 2; full dup of 4
+        (2, "x y c d e f g z w v"),
+        (3, "p q r s t u v w"),       # unique: no spans
+        (4, "a b c d e f g h i j"),   # exact duplicate of 1
+        (5, "m m m m m m"),           # within-doc repeated 4-gram
+        (6, "one two"),               # shorter than ngram: no grams
+    ]
+    res = {
+        (r.doc_id, r.span_start, r.span_end): r.span_tokens
+        for r in duplicate_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"), ngram=4
+        ).collect()
+    }
+    assert res == {
+        (1, 0, 9): 10,   # whole doc (dup of 4)
+        (4, 0, 9): 10,
+        (2, 2, 6): 5,    # "c d e f g": grams at pos 2 and 3 merged
+        (5, 0, 5): 6,    # "m m m m" x3 internally -> full doc
+    }
+
+
+def test_duplicate_spans_disjoint_islands_stay_separate(spark):
+    from patternly_spark.operators.dedup import duplicate_spans
+
+    # two repeated 3-gram regions separated by unique middles
+    rows = [
+        (1, "a b c u1 u2 u3 x y z"),
+        (2, "a b c v1 v2 v3 x y z"),
+    ]
+    res = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"), ngram=3
+        ).collect()
+    )
+    assert res == [(1, 0, 2), (1, 6, 8), (2, 0, 2), (2, 6, 8)]
+
+
+def test_duplicate_spans_min_repeats_threshold(spark):
+    from patternly_spark.operators.dedup import duplicate_spans
+
+    rows = [(1, "a b c d"), (2, "a b c e"), (3, "a b c f")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # "a b c" occurs 3x: passes min_repeats=3; "b c d" etc occur once
+    r3 = duplicate_spans(df, ngram=3, min_repeats=3).collect()
+    assert sorted((r.doc_id, r.span_start, r.span_end) for r in r3) == [
+        (1, 0, 2), (2, 0, 2), (3, 0, 2)
+    ]
+    r4 = duplicate_spans(df, ngram=3, min_repeats=4).collect()
+    assert r4 == []
