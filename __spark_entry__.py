@@ -6616,6 +6616,56 @@ _Q178_ORACLE = """
 
 
 
+def q179_pmi_collocations(spark, sf_dir):
+    """Windowed PMI collocation table (operators/lm.pmi_cooccurrence) —
+    the Church-Hanks association statistic under word2vec-SGNS phrase
+    mining: skip-gram pairs within a 5-token window generated LINEARLY
+    by per-row slices (len*window pairs per doc, no quadratic self-join
+    — the 100 TB shape), integer pair/marginal counts, and the repo's
+    floor-quantized ln so PMI is engine-exact."""
+    from patternly_spark.operators.lm import pmi_cooccurrence
+
+    d = _t(spark, sf_dir, "documents")
+    return pmi_cooccurrence(d, window=5, min_count=5)
+
+
+_Q179_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), pr AS (
+        SELECT least(t[i], t[j]) AS term_a, greatest(t[i], t[j]) AS term_b
+        FROM toks,
+             LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) ii,
+             LATERAL (SELECT unnest(range(i + 1, least(i + 5, len(t)) + 1)) AS j) jj
+        WHERE len(t) >= 2
+    ), pc AS (
+        SELECT term_a, term_b, COUNT(*)::BIGINT AS n_pair
+        FROM pr GROUP BY term_a, term_b
+    ), marg AS (
+        SELECT term, COUNT(*)::BIGINT AS n_term FROM (
+            SELECT term_a AS term FROM pr
+            UNION ALL
+            SELECT term_b AS term FROM pr
+        ) GROUP BY term
+    ), tot AS (
+        SELECT COUNT(*)::BIGINT AS T FROM pr
+    )
+    SELECT pc.term_a, pc.term_b, pc.n_pair,
+           ma.n_term AS n_a, mb.n_term AS n_b,
+           floor(ln((pc.n_pair * tot.T)::DOUBLE
+                    / (ma.n_term * mb.n_term)::DOUBLE) * 1048576.0)
+               / 1048576.0 AS pmi
+    FROM pc
+    JOIN marg ma ON ma.term = pc.term_a
+    JOIN marg mb ON mb.term = pc.term_b, tot
+    WHERE pc.n_pair >= 5
+"""
+
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6804,6 +6854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_tfidf_cosine_allpairs": q176_tfidf_cosine_allpairs,
         "q177_copurchase_triangles": q177_copurchase_triangles,
         "q178_duplicate_spans": q178_duplicate_spans,
+        "q179_pmi_collocations": q179_pmi_collocations,
     }
 
 
@@ -8482,6 +8533,7 @@ def oracle_sql() -> dict[str, str]:
         "q176_tfidf_cosine_allpairs": _Q176_ORACLE,
         "q177_copurchase_triangles": _Q177_ORACLE,
         "q178_duplicate_spans": _Q178_ORACLE,
+        "q179_pmi_collocations": _Q179_ORACLE,
     }
 
 

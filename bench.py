@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "q176_tfidf_cosine_allpairs",
     "q177_copurchase_triangles",
     "q178_duplicate_spans",
+    "q179_pmi_collocations",
 ]
 
 

@@ -309,3 +309,100 @@ def zipf_fit(
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+def pmi_cooccurrence(
+    docs: DataFrame,
+    *,
+    window: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quant_bits: int = 20,
+) -> DataFrame:
+    """Windowed PMI collocation table — the phrase/association statistic
+    under word2vec-SGNS and classic collocation mining (Church & Hanks):
+    for every unordered term pair co-occurring within ``window`` tokens,
+    PMI = ln( c(a,b) * T / (c(a) * c(b)) ) over the skip-gram pair
+    stream (T = total pair occurrences, marginals counted from the same
+    stream, the SGNS convention).
+
+    Pair generation is LINEAR, not quadratic: each position pairs with
+    only the next ``window`` tokens via a per-row slice (no self-join,
+    no explode-square) — len * window pairs per document, the shape that
+    survives 100 TB where document-level co-occurrence (distinct-terms
+    squared per doc) does not.  Two shuffles: pair census + marginal
+    join (marginal table is vocabulary-sized — broadcast).
+
+    Engine-exact: counts are integers; c_ab*T and c_a*c_b stay far below
+    2^53 so their double quotient is deterministic; ln is floor-
+    quantized to 2^-quant_bits (the q54/q74 convention).
+
+    Output: (term_a, term_b, n_pair, n_a, n_b, pmi) with term_a <=
+    term_b, n_pair >= min_count.
+    """
+    from pyspark.sql import Window as _W  # noqa: F401  (parity of style)
+
+    w = int(window)
+    if w < 1:
+        raise ValueError(f"window must be >= 1, got {w}")
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("__t"),
+    )
+    # per position i (1-based slice arithmetic): pair token i with tokens
+    # i+1 .. i+window, normalized to (least, greatest)
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("__t"), F.lit(1))),
+            lambda i: F.transform(
+                F.slice("__t", i + 1, w),
+                lambda c: F.struct(
+                    F.least(F.element_at("__t", i.cast("int")), c).alias("a"),
+                    F.greatest(F.element_at("__t", i.cast("int")), c).alias("b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        toks.filter(F.size("__t") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b"))
+    )
+    pair_counts = pairs.groupBy("term_a", "term_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    )
+    marginals = (
+        pairs.select(F.explode(F.array("term_a", "term_b")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_term"))
+    )
+    total = pairs.agg(F.count(F.lit(1)).cast("long").alias("__T"))
+    qln = lambda x: F.floor(F.log(x) * F.lit(float(2 ** quant_bits))) / F.lit(
+        float(2 ** quant_bits)
+    )
+    return (
+        pair_counts.filter(F.col("n_pair") >= int(min_count))
+        .join(
+            F.broadcast(marginals.selectExpr("term AS term_a", "n_term AS n_a")),
+            "term_a",
+        )
+        .join(
+            F.broadcast(marginals.selectExpr("term AS term_b", "n_term AS n_b")),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term_a",
+            "term_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            qln(
+                (F.col("n_pair") * F.col("__T")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("pmi"),
+        )
+    )

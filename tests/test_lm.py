@@ -120,3 +120,63 @@ def test_zipf_fit_recovers_synthetic_exponent(spark):
     intercept = (sy / S - slope * (sx / S)) / n
     assert row["slope"] == slope and row["intercept"] == intercept
     assert row["n_types"] == len(ranked)
+
+
+def test_pmi_cooccurrence_matches_bruteforce(spark):
+    """Skip-gram pair stream, SGNS marginals, quantized-ln PMI — exact
+    (==) against a plain-Python replay, including self-pairs, window
+    truncation at document end, and empty/1-token docs."""
+    import collections
+    import math
+
+    from patternly_spark.operators.lm import pmi_cooccurrence
+
+    rows = [
+        (1, "new york city is in new york state"),
+        (2, "new york has a big city center"),
+        (3, "the quick brown fox and the lazy dog"),
+        (4, "york new"),
+        (5, "solo"),
+        (6, ""),
+        (7, "m m m"),  # self-pairs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.term_a, r.term_b): (r.n_pair, r.n_a, r.n_b, r.pmi)
+        for r in pmi_cooccurrence(df, window=3, min_count=2).collect()
+    }
+
+    pairs = []
+    for _, txt in rows:
+        t = txt.split()
+        for i in range(len(t)):
+            for j in range(i + 1, min(i + 3, len(t) - 1) + 1):
+                pairs.append(tuple(sorted((t[i], t[j]))))
+    pc = collections.Counter(pairs)
+    marg = collections.Counter()
+    for a, b in pairs:
+        marg[a] += 1
+        marg[b] += 1
+    T = len(pairs)
+    want = {
+        (a, b): (
+            c,
+            marg[a],
+            marg[b],
+            math.floor(math.log(c * T / (marg[a] * marg[b])) * 1048576.0) / 1048576.0,
+        )
+        for (a, b), c in pc.items()
+        if c >= 2
+    }
+    assert got == want
+    assert ("m", "m") in got  # self-collocation counted
+
+
+def test_pmi_cooccurrence_window_validation(spark):
+    import pytest as _pytest
+
+    from patternly_spark.operators.lm import pmi_cooccurrence
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        pmi_cooccurrence(df, window=0)
