@@ -6666,6 +6666,169 @@ _Q179_ORACLE = """
 
 
 
+def q180_kcore_copurchase(spark, sf_dir):
+    """3-core of the support->=2 co-purchase graph (operators/
+    graph.kcore): parts co-bought in at least two orders, peeled until
+    every survivor keeps >= 3 such neighbors — the density filter that
+    isolates the stable product communities from one-off basket noise.
+    Synchronous peel rounds (degree agg + two anti-joins each); the
+    oracle replays 12 unrolled rounds in SQL, which a test pins as past
+    convergence at the oracle's scale."""
+    from patternly_spark.operators.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    support = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("src", "dst")
+    )
+    return kcore(support, 3)
+
+
+_Q180_ORACLE = """
+    WITH und AS MATERIALIZED (
+        SELECT u, v FROM (
+            SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+                   GREATEST(a.l_partkey, b.l_partkey) AS v,
+                   COUNT(*) AS c
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ) WHERE c >= 2
+    ), e0 AS MATERIALIZED (SELECT u, v FROM und), d1 AS MATERIALIZED (
+        SELECT node, COUNT(*)::BIGINT AS degree FROM (
+            SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0
+        ) GROUP BY node
+    ), b1 AS MATERIALIZED (
+        SELECT node FROM d1 WHERE degree < 3
+    ), e1 AS MATERIALIZED (
+        SELECT u, v FROM e0
+        WHERE u NOT IN (SELECT node FROM b1)
+          AND v NOT IN (SELECT node FROM b1)
+    ), d2 AS MATERIALIZED (
+        SELECT node, COUNT(*)::BIGINT AS degree FROM (
+            SELECT u AS node FROM e1 UNION ALL SELECT v AS node FROM e1
+        ) GROUP BY node
+    ), b2 AS MATERIALIZED (
+        SELECT node FROM d2 WHERE degree < 3
+    ), e2 AS MATERIALIZED (
+        SELECT u, v FROM e1
+        WHERE u NOT IN (SELECT node FROM b2)
+          AND v NOT IN (SELECT node FROM b2)
+    ), d3 AS MATERIALIZED (
+        SELECT node, COUNT(*)::BIGINT AS degree FROM (
+            SELECT u AS node FROM e2 UNION ALL SELECT v AS node FROM e2
+        ) GROUP BY node
+    ), b3 AS MATERIALIZED (
+        SELECT node FROM d3 WHERE degree < 3
+    ), e3 AS MATERIALIZED (
+        SELECT u, v FROM e2
+        WHERE u NOT IN (SELECT node FROM b3)
+          AND v NOT IN (SELECT node FROM b3)
+    ), d4 AS MATERIALIZED (
+        SELECT node, COUNT(*)::BIGINT AS degree FROM (
+            SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3
+        ) GROUP BY node
+    ), b4 AS MATERIALIZED (
+        SELECT node FROM d4 WHERE degree < 3
+    ), e4 AS MATERIALIZED (
+        SELECT u, v FROM e3
+        WHERE u NOT IN (SELECT node FROM b4)
+          AND v NOT IN (SELECT node FROM b4)
+    ), d5 AS MATERIALIZED (
+        SELECT node, COUNT(*)::BIGINT AS degree FROM (
+            SELECT u AS node FROM e4 UNION ALL SELECT v AS node FROM e4
+        ) GROUP BY node
+    ), b5 AS MATERIALIZED (
+        SELECT node FROM d5 WHERE degree < 3
+    ), e5 AS MATERIALIZED (
+        SELECT u, v FROM e4
+        WHERE u NOT IN (SELECT node FROM b5)
+          AND v NOT IN (SELECT node FROM b5)
+    ), d6 AS MATERIALIZED (
+        SELECT node, COUNT(*)::BIGINT AS degree FROM (
+            SELECT u AS node FROM e5 UNION ALL SELECT v AS node FROM e5
+        ) GROUP BY node
+    ), b6 AS MATERIALIZED (
+        SELECT node FROM d6 WHERE degree < 3
+    ), e6 AS MATERIALIZED (
+        SELECT u, v FROM e5
+        WHERE u NOT IN (SELECT node FROM b6)
+          AND v NOT IN (SELECT node FROM b6)
+    ), d7 AS MATERIALIZED (
+        SELECT node, COUNT(*)::BIGINT AS degree FROM (
+            SELECT u AS node FROM e6 UNION ALL SELECT v AS node FROM e6
+        ) GROUP BY node
+    ), b7 AS MATERIALIZED (
+        SELECT node FROM d7 WHERE degree < 3
+    ), e7 AS MATERIALIZED (
+        SELECT u, v FROM e6
+        WHERE u NOT IN (SELECT node FROM b7)
+          AND v NOT IN (SELECT node FROM b7)
+    ), d8 AS MATERIALIZED (
+        SELECT node, COUNT(*)::BIGINT AS degree FROM (
+            SELECT u AS node FROM e7 UNION ALL SELECT v AS node FROM e7
+        ) GROUP BY node
+    ), b8 AS MATERIALIZED (
+        SELECT node FROM d8 WHERE degree < 3
+    ), e8 AS MATERIALIZED (
+        SELECT u, v FROM e7
+        WHERE u NOT IN (SELECT node FROM b8)
+          AND v NOT IN (SELECT node FROM b8)
+    ), d9 AS MATERIALIZED (
+        SELECT node, COUNT(*)::BIGINT AS degree FROM (
+            SELECT u AS node FROM e8 UNION ALL SELECT v AS node FROM e8
+        ) GROUP BY node
+    ), b9 AS MATERIALIZED (
+        SELECT node FROM d9 WHERE degree < 3
+    ), e9 AS MATERIALIZED (
+        SELECT u, v FROM e8
+        WHERE u NOT IN (SELECT node FROM b9)
+          AND v NOT IN (SELECT node FROM b9)
+    ), d10 AS MATERIALIZED (
+        SELECT node, COUNT(*)::BIGINT AS degree FROM (
+            SELECT u AS node FROM e9 UNION ALL SELECT v AS node FROM e9
+        ) GROUP BY node
+    ), b10 AS MATERIALIZED (
+        SELECT node FROM d10 WHERE degree < 3
+    ), e10 AS MATERIALIZED (
+        SELECT u, v FROM e9
+        WHERE u NOT IN (SELECT node FROM b10)
+          AND v NOT IN (SELECT node FROM b10)
+    ), d11 AS MATERIALIZED (
+        SELECT node, COUNT(*)::BIGINT AS degree FROM (
+            SELECT u AS node FROM e10 UNION ALL SELECT v AS node FROM e10
+        ) GROUP BY node
+    ), b11 AS MATERIALIZED (
+        SELECT node FROM d11 WHERE degree < 3
+    ), e11 AS MATERIALIZED (
+        SELECT u, v FROM e10
+        WHERE u NOT IN (SELECT node FROM b11)
+          AND v NOT IN (SELECT node FROM b11)
+    ), d12 AS MATERIALIZED (
+        SELECT node, COUNT(*)::BIGINT AS degree FROM (
+            SELECT u AS node FROM e11 UNION ALL SELECT v AS node FROM e11
+        ) GROUP BY node
+    ), b12 AS MATERIALIZED (
+        SELECT node FROM d12 WHERE degree < 3
+    ), e12 AS MATERIALIZED (
+        SELECT u, v FROM e11
+        WHERE u NOT IN (SELECT node FROM b12)
+          AND v NOT IN (SELECT node FROM b12)
+    )
+    SELECT node, COUNT(*)::BIGINT AS core_degree FROM (
+        SELECT u AS node FROM e12 UNION ALL SELECT v AS node FROM e12
+    ) GROUP BY node
+"""
+
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6855,6 +7018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_copurchase_triangles": q177_copurchase_triangles,
         "q178_duplicate_spans": q178_duplicate_spans,
         "q179_pmi_collocations": q179_pmi_collocations,
+        "q180_kcore_copurchase": q180_kcore_copurchase,
     }
 
 
@@ -8534,6 +8698,7 @@ def oracle_sql() -> dict[str, str]:
         "q177_copurchase_triangles": _Q177_ORACLE,
         "q178_duplicate_spans": _Q178_ORACLE,
         "q179_pmi_collocations": _Q179_ORACLE,
+        "q180_kcore_copurchase": _Q180_ORACLE,
     }
 
 

@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "q177_copurchase_triangles",
     "q178_duplicate_spans",
     "q179_pmi_collocations",
+    "q180_kcore_copurchase",
 ]
 
 

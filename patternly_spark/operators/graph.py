@@ -391,3 +391,62 @@ def triangle_counts(
             .alias("clustering"),
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_rounds: int = 40,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph in which
+    every node has degree >= k — the standard density filter before
+    community detection, and the graph-curation analogue of a quality
+    floor (nodes that only connect to peripheral nodes peel away).
+
+    Synchronous peeling: each round computes degrees over the remaining
+    edge set, drops EVERY node currently under k, and repeats until no
+    node is dropped — the Spark-natural formulation (one degree agg +
+    two anti-joins per round, localCheckpoint lineage cuts, driver sees
+    only a 1-row emptiness count).  Round count is bounded by the
+    longest peel cascade (typically tens); each round's work shrinks
+    with the surviving graph, so cost is dominated by the first rounds
+    at any scale.
+
+    Output: (node, core_degree) for k-core members — core_degree is the
+    node's degree WITHIN the core (>= k by definition).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    kk = int(k)
+    for _ in range(int(max_rounds)):
+        deg = (
+            und.select(F.col("u").alias("node"))
+            .unionAll(und.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        )
+        bad = deg.filter(F.col("degree") < kk).select("node")
+        if bad.limit(1).count() == 0:
+            break
+        und = (
+            und.join(bad.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(bad.withColumnRenamed("node", "v"), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )

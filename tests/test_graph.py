@@ -224,3 +224,87 @@ def test_triangle_counts_clique_is_fully_clustered(spark):
     rows = triangle_counts(df).collect()
     # K6: each node in C(5,2)=10 triangles, clustering 1.0
     assert all(r.degree == 5 and r.triangles == 10 and r.clustering == 1.0 for r in rows)
+
+
+def test_kcore_peels_to_clique(spark):
+    """K5 + chain + star at k=3: only the clique survives, with in-core
+    degrees; k=1 keeps every non-isolated node at its full degree."""
+    import collections
+    import itertools
+
+    from patternly_spark.operators.graph import kcore
+
+    edges = list(itertools.combinations(range(5), 2))
+    edges += [(5, 6), (6, 7), (7, 8), (4, 5)]
+    edges += [(0, i) for i in range(9, 15)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert {r.node: r.core_degree for r in kcore(df, 3).collect()} == {
+        i: 4 for i in range(5)
+    }
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    assert {r.node: r.core_degree for r in kcore(df, 1).collect()} == {
+        n: len(s) for n, s in adj.items()
+    }
+    # k above the degeneracy: empty core
+    assert kcore(df, 7).count() == 0
+
+
+def test_kcore_matches_python_peel_random(spark):
+    import collections
+    import random
+
+    from patternly_spark.operators.graph import kcore
+
+    random.seed(9)
+    edges = {tuple(sorted(random.sample(range(60), 2))) for _ in range(300)}
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    for k in [2, 4, 6]:
+        got = {r.node: r.core_degree for r in kcore(df, k).collect()}
+        adj = collections.defaultdict(set)
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        a = {n: set(s) for n, s in adj.items()}
+        while True:
+            bad = {n for n, s in a.items() if len(s) < k}
+            if not bad:
+                break
+            a = {n: {m for m in s if m not in bad} for n, s in a.items() if n not in bad}
+        assert got == {n: len(s) for n, s in a.items() if s}, k
+
+
+def test_q180_oracle_round_budget_covers_convergence():
+    """The unrolled 12-round SQL oracle must be PAST the peel's
+    convergence at the oracle's scale — otherwise the oracle would pin a
+    truncated (wrong) core.  Replays the peel in python at sf0.01."""
+    import collections
+
+    import duckdb
+
+    edges = duckdb.sql(
+        """
+        SELECT u, v FROM (
+          SELECT LEAST(a.l_partkey,b.l_partkey) u,
+                 GREATEST(a.l_partkey,b.l_partkey) v, COUNT(*) c
+          FROM '/root/testdata/sf0.01/lineitem.parquet' a
+          JOIN '/root/testdata/sf0.01/lineitem.parquet' b
+            ON a.l_orderkey=b.l_orderkey AND a.l_partkey<b.l_partkey
+          GROUP BY 1,2) WHERE c >= 2
+        """
+    ).fetchall()
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    a = {n: set(s) for n, s in adj.items()}
+    rounds = 0
+    while True:
+        bad = {n for n, s in a.items() if len(s) < 3}
+        if not bad:
+            break
+        rounds += 1
+        a = {n: {m for m in s if m not in bad} for n, s in a.items() if n not in bad}
+    assert rounds <= 12, f"oracle unrolls 12 rounds but peel needs {rounds}"
