@@ -6829,6 +6829,57 @@ _Q180_ORACLE = """
 
 
 
+def q181_embedding_covariance(spark, sf_dir):
+    """Distributed exact covariance of the quantized embedding matrix
+    (operators/quantized.embedding_covariance): per-Arrow-batch int64
+    partial Grams C^T C reduced by one groupBy over the d(d+1)/2 upper-
+    triangle cells — nothing corpus-sized shuffles, every intermediate
+    integer-exact (the statistic under PCA whitening / representation-
+    drift monitoring; driver-side 64x64 eigh gives the transform)."""
+    from patternly_spark.operators.quantized import embedding_covariance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb)
+
+
+_Q181_ORACLE = """
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ), sc AS (
+        SELECT vec_id, v,
+               CASE WHEN amax / 127.0 > 0.0 THEN amax / 127.0 ELSE 1.0 END AS scale
+        FROM (SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) AS amax
+              FROM base)
+    ), qz AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS codes
+        FROM sc
+    ), idx AS (
+        SELECT unnest(range(1, 65)) AS p
+    ), cells AS (
+        SELECT a.p AS pi, b.p AS pj,
+               SUM(q.codes[a.p] * q.codes[b.p])::BIGINT AS gram
+        FROM qz q, idx a, idx b
+        WHERE a.p <= b.p
+        GROUP BY a.p, b.p
+    ), sums AS (
+        SELECT p, SUM(codes[p])::BIGINT AS s FROM qz, idx GROUP BY p
+    ), nn AS (
+        SELECT COUNT(*)::BIGINT AS n FROM qz
+    )
+    SELECT (pi - 1)::BIGINT AS i, (pj - 1)::BIGINT AS j, nn.n, cells.gram,
+           si.s AS sum_i, sj.s AS sum_j,
+           (nn.n * cells.gram - si.s * sj.s)::DOUBLE
+               / (nn.n * nn.n)::DOUBLE AS cov
+    FROM cells
+    JOIN sums si ON si.p = cells.pi
+    JOIN sums sj ON sj.p = cells.pj, nn
+"""
+
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -7019,6 +7070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_duplicate_spans": q178_duplicate_spans,
         "q179_pmi_collocations": q179_pmi_collocations,
         "q180_kcore_copurchase": q180_kcore_copurchase,
+        "q181_embedding_covariance": q181_embedding_covariance,
     }
 
 
@@ -8699,6 +8751,7 @@ def oracle_sql() -> dict[str, str]:
         "q178_duplicate_spans": _Q178_ORACLE,
         "q179_pmi_collocations": _Q179_ORACLE,
         "q180_kcore_copurchase": _Q180_ORACLE,
+        "q181_embedding_covariance": _Q181_ORACLE,
     }
 
 

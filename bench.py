@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "q178_duplicate_spans",
     "q179_pmi_collocations",
     "q180_kcore_copurchase",
+    "q181_embedding_covariance",
 ]
 
 

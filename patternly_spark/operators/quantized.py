@@ -348,3 +348,103 @@ def matryoshka_recall(
             / F.col("n_exact").cast("double")
         ).alias("recall"),
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed exact covariance of the int8-quantized embedding
+    matrix — the statistic under PCA whitening, representation-drift
+    monitoring, and ZCA preprocessing, computed the way distributed
+    linear algebra should be: per-Arrow-batch partial Gram matrices
+    C^T C in int64 (exact — |code| <= 127 so a 10^11-row corpus stays
+    under 2^63 per cell), reduced by ONE groupBy over d*(d+1)/2 cell
+    keys.  Nothing corpus-sized ever shuffles: each batch emits at most
+    one d x d triangle (~2k rows at d=64).
+
+    Quantized codes (not raw floats) keep every sum integer-exact and
+    fold-order-free — the q135/q173 portability trade.
+
+    Output (upper triangle, i <= j, 0-based dims):
+    (i, j, n, gram, sum_i, sum_j, cov) where
+    cov = (n*gram - sum_i*sum_j) / n^2 — the population covariance of
+    the codes, every intermediate exact in int64, the final division
+    deterministic IEEE.  (n*gram fits int64 up to n ~ 7e8 rows; past
+    that, cast the final projection to DECIMAL(38,0) — the partial-Gram
+    reduction itself is safe to ~5e17 rows per cell.)
+
+    Eigen-decomposing the returned d x d (driver-side numpy — a 64x64
+    problem) gives the whitening/ZCA transform; see
+    ``whitening_matrix``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    codes = int8_quantize(df, id_col=id_col, vec_col=vec_col).select("codes")
+
+    def _partial(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            G = C.T @ C
+            s = C.sum(axis=0)
+            d = C.shape[1]
+            iu = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype(np.int64),
+                    "j": iu[1].astype(np.int64),
+                    "gram": G[iu].astype(np.int64),
+                    "si": s[iu[0]].astype(np.int64),
+                    "sj": s[iu[1]].astype(np.int64),
+                    "n": np.full(len(iu[0]), len(pdf), dtype=np.int64),
+                }
+            )
+
+    parts = codes.mapInPandas(
+        _partial, "i long, j long, gram long, si long, sj long, n long"
+    )
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("gram").alias("gram"),
+        F.sum("si").alias("sum_i"),
+        F.sum("sj").alias("sum_j"),
+        F.sum("n").alias("n"),
+    )
+    return agg.select(
+        "i",
+        "j",
+        "n",
+        "gram",
+        "sum_i",
+        "sum_j",
+        (
+            (F.col("n") * F.col("gram") - F.col("sum_i") * F.col("sum_j")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("n")).cast("double")
+        ).alias("cov"),
+    )
+
+
+def whitening_matrix(cov_df: DataFrame, *, eps: float = 1e-6):
+    """Driver-side PCA-whitening transform from ``embedding_covariance``
+    output: W = diag(1/sqrt(eig+eps)) @ V^T of the d x d covariance — a
+    64x64 eigenproblem, deliberately NOT distributed (shipping it to the
+    cluster is overhead, the ``analysis.py`` X8 convention).  Returns
+    (W, eigenvalues) as numpy arrays; apply with
+    ``(codes - mean) @ W.T`` in any downstream kernel."""
+    import numpy as np
+
+    rows = cov_df.select("i", "j", "cov").collect()
+    d = max(int(r["j"]) for r in rows) + 1
+    S = np.zeros((d, d))
+    for r in rows:
+        S[int(r["i"]), int(r["j"])] = r["cov"]
+        S[int(r["j"]), int(r["i"])] = r["cov"]
+    vals, vecs = np.linalg.eigh(S)
+    W = (vecs / np.sqrt(np.maximum(vals, 0.0) + eps)).T
+    return W, vals

@@ -145,3 +145,53 @@ def test_sign_pack_partial_last_word(spark):
     )
     out = hamming_rerank_topk(df2, df2, k=1, candidates=2).collect()
     assert all(r.hamming == 40 for r in out)
+
+
+def test_embedding_covariance_exact_and_partition_invariant(spark, emb):
+    """Partial int64 Grams reduced across Arrow batches == numpy closed
+    form, identically at 1 and 13 partitions (integer sums are
+    fold-order-free — the whole point of quantizing first)."""
+    import numpy as np
+
+    from patternly_spark.operators.quantized import embedding_covariance
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    amax = np.abs(X).max(1)
+    scale = np.where(amax / 127.0 > 0.0, amax / 127.0, 1.0)
+    C = np.floor(X / scale[:, None] + 0.5).astype(np.int64)
+    n = len(C)
+    G = C.T @ C
+    s = C.sum(0)
+
+    for parts in [1, 13]:
+        rows = embedding_covariance(emb.repartition(parts)).collect()
+        assert len(rows) == 64 * 65 // 2
+        for r in rows:
+            i, j = int(r.i), int(r.j)
+            assert i <= j
+            assert (r.n, r.gram, r.sum_i, r.sum_j) == (n, G[i, j], s[i], s[j])
+            assert r.cov == float(n * G[i, j] - s[i] * s[j]) / float(n * n)
+
+
+def test_whitening_matrix_decorrelates(spark, emb):
+    import numpy as np
+
+    from patternly_spark.operators.quantized import (
+        embedding_covariance,
+        whitening_matrix,
+    )
+
+    W, vals = whitening_matrix(embedding_covariance(emb))
+    assert W.shape == (64, 64) and (vals >= -1e-9).all()
+    pdf = emb.orderBy("vec_id").toPandas()
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    amax = np.abs(X).max(1)
+    scale = np.where(amax / 127.0 > 0.0, amax / 127.0, 1.0)
+    C = np.floor(X / scale[:, None] + 0.5)
+    Cc = C - C.mean(0)
+    S = (Cc.T @ Cc) / len(C)
+    WS = W @ S @ W.T
+    assert np.abs(np.diag(WS) - 1.0).max() < 1e-3
+    off = WS - np.diag(np.diag(WS))
+    assert np.abs(off).max() < 1e-3
