@@ -6880,6 +6880,76 @@ _Q181_ORACLE = """
 
 
 
+def q182_golden_records(spark, sf_dir):
+    """Survivorship merge (operators/merge.golden_records) — the last
+    step of entity resolution: documents blocked on their 40-char text
+    prefix collapse to one golden record per cluster under explicit
+    deterministic rules (text: longest, lang: most frequent, source:
+    min, n_chars: max; every rule a window ordering with a total
+    tie-break, so the merge is a pure function of cluster contents —
+    exactly replayable in SQL)."""
+    from patternly_spark.operators.merge import golden_records
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "block", F.substring("text", 1, 40)
+    )
+    return golden_records(
+        d,
+        cluster_col="block",
+        id_col="doc_id",
+        rules={
+            "text": "longest",
+            "lang": "most_frequent",
+            "source": "min",
+            "n_chars": "max",
+        },
+    )
+
+
+_Q182_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, text, lang, source, n_chars,
+               substr(text, 1, 40) AS block
+        FROM documents
+    ), staged AS (
+        SELECT block,
+               FIRST_VALUE(text) OVER (
+                   PARTITION BY block
+                   ORDER BY length(text) DESC NULLS LAST, text ASC NULLS LAST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS pick_text,
+               FIRST_VALUE(lang) OVER (
+                   PARTITION BY block
+                   ORDER BY cnt_lang DESC NULLS LAST, lang ASC NULLS LAST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS pick_lang,
+               FIRST_VALUE(source) OVER (
+                   PARTITION BY block
+                   ORDER BY source ASC NULLS LAST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS pick_source,
+               FIRST_VALUE(n_chars) OVER (
+                   PARTITION BY block
+                   ORDER BY n_chars DESC NULLS LAST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS pick_n_chars
+        FROM (
+            SELECT *,
+                   COUNT(CASE WHEN lang IS NOT NULL THEN 1 END) OVER (
+                       PARTITION BY block, lang
+                   ) AS cnt_lang
+            FROM d
+        )
+    )
+    SELECT block, COUNT(*)::BIGINT AS n_members,
+           MIN(pick_text) AS text, MIN(pick_lang) AS lang,
+           MIN(pick_source) AS source, MIN(pick_n_chars)::BIGINT AS n_chars
+    FROM staged
+    GROUP BY block
+"""
+
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -7071,6 +7141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_pmi_collocations": q179_pmi_collocations,
         "q180_kcore_copurchase": q180_kcore_copurchase,
         "q181_embedding_covariance": q181_embedding_covariance,
+        "q182_golden_records": q182_golden_records,
     }
 
 
@@ -8752,6 +8823,7 @@ def oracle_sql() -> dict[str, str]:
         "q179_pmi_collocations": _Q179_ORACLE,
         "q180_kcore_copurchase": _Q180_ORACLE,
         "q181_embedding_covariance": _Q181_ORACLE,
+        "q182_golden_records": _Q182_ORACLE,
     }
 
 

@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "q179_pmi_collocations",
     "q180_kcore_copurchase",
     "q181_embedding_covariance",
+    "q182_golden_records",
 ]
 
 

@@ -159,3 +159,84 @@ def snapshot_diff(
         .otherwise(F.array().cast("array<string>"))
         .alias("changed_cols"),
     )
+
+
+def golden_records(
+    df: DataFrame,
+    *,
+    cluster_col: str,
+    id_col: str,
+    rules: dict[str, str],
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Survivorship merge — the last step of entity resolution: collapse
+    each duplicate cluster (from ``dedup_clusters`` / ``exact_dedup`` /
+    any blocking) into ONE golden record, field by field, under
+    explicit, deterministic rules:
+
+    - ``longest``       : longest value (tie: smallest value)
+    - ``most_frequent`` : cluster mode (tie: smallest value)
+    - ``latest``        : value of the row with max ``ts_col``
+                          (tie: smallest id)
+    - ``earliest``      : min ``ts_col`` (tie: smallest id)
+    - ``min`` / ``max`` : plain extrema
+    - ``first``         : value of the smallest-id row
+
+    Every rule is a window ordering with a TOTAL tie-break, so the
+    golden record is a pure function of the cluster's contents —
+    reproducible on any engine/partitioning (nulls sort last; an
+    all-null field survives as null).
+
+    Scale shape: one shuffle on the cluster key; each ruled field adds
+    a window over that same partitioning (no extra exchange — the sort
+    per rule reuses the cluster clustering), plus a per-(cluster,
+    value) count window for ``most_frequent``.  Output: (cluster_col,
+    n_members, <ruled fields>).
+    """
+    from pyspark.sql import Window
+
+    base = df
+    picks = []
+    full = lambda w: w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    for field, rule in rules.items():
+        c = F.col(field)
+        if rule == "longest":
+            order = [F.length(c).desc_nulls_last(), c.asc_nulls_last()]
+        elif rule == "most_frequent":
+            cnt_col = f"__cnt_{field}"
+            base = base.withColumn(
+                cnt_col,
+                F.count(F.when(c.isNotNull(), 1)).over(
+                    Window.partitionBy(cluster_col, field)
+                ),
+            )
+            order = [F.col(cnt_col).desc_nulls_last(), c.asc_nulls_last()]
+        elif rule in ("latest", "earliest"):
+            if ts_col is None:
+                raise ValueError(f"rule {rule!r} for {field!r} needs ts_col")
+            ts = F.col(ts_col)
+            order = [
+                ts.desc_nulls_last() if rule == "latest" else ts.asc_nulls_last(),
+                F.col(id_col).asc_nulls_last(),
+            ]
+        elif rule == "min":
+            order = [c.asc_nulls_last()]
+        elif rule == "max":
+            order = [c.desc_nulls_last()]
+        elif rule == "first":
+            order = [F.col(id_col).asc_nulls_last()]
+        else:
+            raise ValueError(f"unknown survivorship rule {rule!r} for {field!r}")
+        w = Window.partitionBy(cluster_col).orderBy(*order)
+        picks.append(F.first(c).over(full(w)).alias(f"__pick_{field}"))
+
+    staged = base.select(cluster_col, *picks)
+    return staged.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        *[
+            F.min(f"__pick_{field}").alias(field)
+            for field in rules
+        ],
+    )

@@ -94,3 +94,65 @@ def test_dataset_fingerprint_invariant_and_sensitive(spark):
     ).collect()[0]
     assert fc["n_rows"] == fa["n_rows"]
     assert fc["checksum"] != fa["checksum"]
+
+
+def test_golden_records_survivorship_rules(spark):
+    """Every rule deterministic incl. ties and nulls: longest (tie ->
+    smallest value), most_frequent (nulls excluded), latest (ts tie ->
+    smallest id), max, singleton passthrough."""
+    from patternly_spark.operators.merge import golden_records
+
+    rows = [
+        (1, 1, "short", "en", "srcA", 100),
+        (2, 1, "the longest text here", "en", "srcB", 300),
+        (3, 1, "medium text", "fr", "srcB", 200),
+        (4, 2, "solo", "de", "srcC", 50),
+        (5, 3, "aaaa", None, "srcX", 10),
+        (6, 3, "bbbb", "es", "srcY", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, cluster long, text string, lang string, source string, ts long"
+    )
+    out = {
+        r.cluster: r.asDict()
+        for r in golden_records(
+            df,
+            cluster_col="cluster",
+            id_col="id",
+            rules={
+                "text": "longest",
+                "lang": "most_frequent",
+                "source": "latest",
+                "ts": "max",
+            },
+            ts_col="ts",
+        ).collect()
+    }
+    assert out[1] == {
+        "cluster": 1, "n_members": 3, "text": "the longest text here",
+        "lang": "en", "source": "srcB", "ts": 300,
+    }
+    assert out[2]["text"] == "solo" and out[2]["n_members"] == 1
+    # length tie -> smallest value; lang null excluded; ts tie -> id 5
+    assert out[3] == {
+        "cluster": 3, "n_members": 2, "text": "aaaa",
+        "lang": "es", "source": "srcX", "ts": 10,
+    }
+
+
+def test_golden_records_validations_and_first_rule(spark):
+    import pytest as _pytest
+
+    from patternly_spark.operators.merge import golden_records
+
+    df = spark.createDataFrame(
+        [(2, 1, "b"), (1, 1, "a")], "id long, cluster long, v string"
+    )
+    out = golden_records(
+        df, cluster_col="cluster", id_col="id", rules={"v": "first"}
+    ).collect()
+    assert out[0]["v"] == "a"  # smallest id wins
+    with _pytest.raises(ValueError):
+        golden_records(df, cluster_col="cluster", id_col="id", rules={"v": "latest"})
+    with _pytest.raises(ValueError):
+        golden_records(df, cluster_col="cluster", id_col="id", rules={"v": "nope"})
