@@ -10,8 +10,10 @@ from patternly_spark.streaming.dedup import (
     streaming_set_similarity_join,
 )
 from patternly_spark.streaming.similarity import (
+    covariance_from_registry,
     incremental_cosine_allpairs,
     streaming_cosine_allpairs,
+    streaming_covariance_registry,
 )
 from patternly_spark.streaming.continuous import StreamingPFSADetector
 
@@ -24,6 +26,8 @@ __all__ = [
     "streaming_set_similarity_join",
     "incremental_cosine_allpairs",
     "streaming_cosine_allpairs",
+    "streaming_covariance_registry",
+    "covariance_from_registry",
     "run_stream_to_memory",
     "StreamingPFSADetector",
 ]

@@ -37,6 +37,8 @@ __all__ = [
     "empty_cosine_registry",
     "incremental_cosine_allpairs",
     "streaming_cosine_allpairs",
+    "streaming_covariance_registry",
+    "covariance_from_registry",
 ]
 
 
@@ -169,3 +171,79 @@ def streaming_cosine_allpairs(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_covariance_registry(
+    stream_vecs: DataFrame,
+    registry_path: str,
+    *,
+    checkpoint_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_once: bool = False,
+):
+    """Incremental embedding-covariance registry — the streaming twin of
+    ``operators/quantized.embedding_covariance`` (q181): the statistic's
+    sufficient stats (gram, sum_i, sum_j, n per upper-triangle cell) are
+    ADDITIVE integers, so folding each microbatch's partial table into
+    the parquet registry gives exactly the batch covariance of all
+    history (the q161/q148 additive-registry law; parity pinned in
+    tests).  State is d(d+1)/2 rows forever — ~2k at d=64 — regardless
+    of stream volume.
+
+    Finalize with ``covariance_from_registry`` (recomputes the cov
+    column from the folded integers) and ``whitening_matrix`` for the
+    current transform — a representation-drift monitor reads successive
+    registry snapshots.
+    """
+    from patternly_spark.operators.quantized import embedding_covariance
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = embedding_covariance(batch_df, id_col=id_col, vec_col=vec_col).select(
+            "i", "j", "gram", "sum_i", "sum_j", "n"
+        )
+        try:
+            existing = spark.read.parquet(registry_path)
+            part = (
+                part.unionByName(existing)
+                .groupBy("i", "j")
+                .agg(
+                    F.sum("gram").alias("gram"),
+                    F.sum("sum_i").alias("sum_i"),
+                    F.sum("sum_j").alias("sum_j"),
+                    F.sum("n").alias("n"),
+                )
+            )
+        except Exception:
+            pass
+        part.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            registry_path
+        )
+
+    writer = stream_vecs.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def covariance_from_registry(registry: DataFrame) -> DataFrame:
+    """(i, j, n, gram, sum_i, sum_j, cov) from folded sufficient stats —
+    the same projection ``embedding_covariance`` ends with, so a folded
+    registry and a batch run over the union produce identical rows."""
+    return registry.select(
+        "i",
+        "j",
+        "n",
+        "gram",
+        "sum_i",
+        "sum_j",
+        (
+            (F.col("n") * F.col("gram") - F.col("sum_i") * F.col("sum_j")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("n")).cast("double")
+        ).alias("cov"),
+    )

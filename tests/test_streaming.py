@@ -1185,3 +1185,38 @@ def test_streaming_cosine_allpairs_end_to_end(spark, tmp_path):
     # registry: one row per non-zero vector, append-only
     reg = spark.read.parquet(str(tmp_path / "registry"))
     assert reg.count() == len(rows) - 1
+
+
+def test_streaming_covariance_registry_equals_batch(spark, tmp_path):
+    """Additive-sufficient-stats law: the folded registry after all
+    triggers equals embedding_covariance over the full corpus, row for
+    row (integer sums; cov recomputed by the same projection)."""
+    from patternly_spark.operators.quantized import embedding_covariance
+    from patternly_spark.streaming.similarity import (
+        covariance_from_registry,
+        streaming_covariance_registry,
+    )
+
+    rows = _cosine_corpus()[:-1]  # drop the zero vector: int8_quantize keeps
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = str(tmp_path / "src")
+    vecs.repartition(3).write.parquet(src)
+
+    q = streaming_covariance_registry(
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        registry_path=str(tmp_path / "registry"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    reg = covariance_from_registry(spark.read.parquet(str(tmp_path / "registry")))
+    got = {(r.i, r.j): (r.n, r.gram, r.sum_i, r.sum_j, r.cov) for r in reg.collect()}
+    want = {
+        (r.i, r.j): (r.n, r.gram, r.sum_i, r.sum_j, r.cov)
+        for r in embedding_covariance(vecs).collect()
+    }
+    assert got == want
+    assert len(got) == 16 * 17 // 2  # dim-16 triangle, fixed state size
