@@ -6950,6 +6950,58 @@ _Q182_ORACLE = """
 
 
 
+def q183_mutual_knn(spark, sf_dir):
+    """Mutual k-NN graph (operators/quantized.mutual_knn): pairs where
+    each embedding is in the other's exact top-5 by quantized cosine —
+    the reciprocal-NN criterion under density clustering / label-noise
+    screens.  One broadcast top-k scan + a self-join of the k-bounded
+    edge list (O(N*k) join input, never O(N^2)); the oracle replays the
+    double-ranked mutual join in SQL."""
+    from patternly_spark.operators.quantized import mutual_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mutual_knn(emb, k=5)
+
+
+_Q183_ORACLE = """
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ), sc AS (
+        SELECT vec_id, v,
+               CASE WHEN amax / 127.0 > 0.0 THEN amax / 127.0 ELSE 1.0 END AS scale
+        FROM (SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) AS amax
+              FROM base)
+    ), qz AS (
+        SELECT vec_id,
+               list_transform(v, x -> floor(x / scale + 0.5)) AS codes
+        FROM sc
+    ), nn AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.codes, c.codes)
+                     / (sqrt(list_dot_product(q.codes, q.codes))
+                        * sqrt(list_dot_product(c.codes, c.codes))), 6) AS qcosine
+        FROM qz q, qz c
+        WHERE c.vec_id <> q.vec_id
+    ), tk AS (
+        SELECT query_id, neighbor_id, qcosine, rank FROM (
+            SELECT query_id, neighbor_id, qcosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY qcosine DESC, neighbor_id ASC)
+                       AS rank
+            FROM nn
+        ) WHERE rank <= 5
+    )
+    SELECT a.query_id AS id_a, a.neighbor_id AS id_b, a.qcosine,
+           CAST(a.rank AS INT) AS rank_ab, CAST(b.rank AS INT) AS rank_ba
+    FROM tk a JOIN tk b
+      ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id
+    WHERE a.query_id < a.neighbor_id
+"""
+
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -7142,6 +7194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_kcore_copurchase": q180_kcore_copurchase,
         "q181_embedding_covariance": q181_embedding_covariance,
         "q182_golden_records": q182_golden_records,
+        "q183_mutual_knn": q183_mutual_knn,
     }
 
 
@@ -8824,6 +8877,7 @@ def oracle_sql() -> dict[str, str]:
         "q180_kcore_copurchase": _Q180_ORACLE,
         "q181_embedding_covariance": _Q181_ORACLE,
         "q182_golden_records": _Q182_ORACLE,
+        "q183_mutual_knn": _Q183_ORACLE,
     }
 
 

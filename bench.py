@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "q180_kcore_copurchase",
     "q181_embedding_covariance",
     "q182_golden_records",
+    "q183_mutual_knn",
 ]
 
 

@@ -47,6 +47,7 @@ from patternly_spark.functions.vectors import dot, norm
 __all__ = [
     "int8_quantize",
     "int8_topk",
+    "mutual_knn",
     "sign_pack",
     "hamming_rerank_topk",
     "truncated_topk",
@@ -448,3 +449,123 @@ def whitening_matrix(cov_df: DataFrame, *, eps: float = 1e-6):
     vals, vecs = np.linalg.eigh(S)
     W = (vecs / np.sqrt(np.maximum(vals, 0.0) + eps)).T
     return W, vals
+
+
+def mutual_knn(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Mutual k-nearest-neighbor graph over an embedding column: the
+    pairs (a, b) where each is in the OTHER's exact top-k by quantized
+    cosine — the reciprocal-NN criterion that underlies density-based
+    embedding clustering and label-noise detection (mutual pairs are
+    far more likely to be same-class than one-sided neighbors).
+
+    Execution: the int8 code matrix is broadcast (numpy, via a Spark
+    broadcast variable) and each corpus partition computes one float64
+    GEMM block against it (exact over int8 codes), keeping only its
+    rows' top-k — k rows per vector ever shuffle, and the mutual check
+    is a self-join of that O(N*k) edge list on the reversed key.
+
+    Scale contract: exact mode requires the code matrix to fit a
+    broadcast (~(d+1)*4 bytes/vector — tens of millions of vectors);
+    beyond that, generate candidates with ``ivf_topk`` /
+    ``lsh_index_topk`` and keep the same mutual join.  Zero vectors
+    (undefined cosine) are excluded.
+
+    Output: (id_a, id_b, qcosine, rank_ab, rank_ba) with id_a < id_b —
+    rank_ab is b's rank in a's list and vice versa; qcosine is the
+    (symmetric) quantized cosine.
+    """
+    import numpy as np
+    import pandas as pd
+
+    kk = int(k)
+
+    def _np_codes(vecs):
+        """absmax int8 codes — the same closed form int8_quantize folds
+        (floor(x/scale + 0.5), scale = absmax/127 guarded), so numpy and
+        the column expression produce identical integers."""
+        X = np.asarray(vecs, dtype=np.float64)
+        amax = np.abs(X).max(axis=1)
+        scale = np.where(amax / 127.0 > 0.0, amax / 127.0, 1.0)
+        return np.floor(X / scale[:, None] + 0.5)
+
+    # broadcast side: one narrow collect of raw vectors (bounded by the
+    # scale contract), quantized driver-side — the column-expression
+    # quantize is interpreted per element and costs seconds even at 2k
+    # rows, while the numpy form is identical arithmetic
+    vec_rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
+    ids_all = np.array([r["id"] for r in vec_rows], dtype=np.int64)
+    C_all = _np_codes([r["v"] for r in vec_rows])
+    n2_all = (C_all * C_all).sum(axis=1)
+    keep = n2_all > 0
+    ids_all, C_all = ids_all[keep], C_all[keep]
+    norms_all = np.sqrt((C_all * C_all).sum(axis=1))
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((ids_all, C_all, norms_all))
+
+    def _topk(it):
+        b_ids, b_C, b_norm = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Q = _np_codes(pdf["v"].tolist())
+            qids = pdf["id"].to_numpy()
+            qn2 = (Q * Q).sum(axis=1)
+            qkeep = qn2 > 0
+            if not qkeep.any():
+                continue
+            Q, qids = Q[qkeep], qids[qkeep]
+            qnorm = np.sqrt((Q * Q).sum(axis=1))
+            # dot / (sqrt(na)*sqrt(nb)) — the exact IEEE expression the
+            # SQL oracle evaluates (NOT dot * inv * inv, which rounds
+            # differently in the last ulp)
+            S = (Q @ b_C.T) / np.outer(qnorm, b_norm)
+            # exclude self; rank by (-qcosine, neighbor_id)
+            self_mask = qids[:, None] == b_ids[None, :]
+            S = np.where(self_mask, -np.inf, S)
+            order = np.lexsort((b_ids[None, :].repeat(len(qids), 0), -S), axis=1)
+            top = order[:, :kk]
+            out_q = np.repeat(qids, kk)
+            out_n = b_ids[top].ravel()
+            out_s = np.take_along_axis(S, top, axis=1).ravel()
+            out_r = np.tile(np.arange(1, kk + 1), len(qids))
+            fin = np.isfinite(out_s)
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q[fin],
+                    "neighbor_id": out_n[fin],
+                    "qcosine": out_s[fin],
+                    "rank": out_r[fin].astype(np.int32),
+                }
+            )
+
+    tk = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(_topk, "query_id long, neighbor_id long, qcosine double, rank int")
+    if round_digits is not None:
+        tk = tk.withColumn("qcosine", F.round("qcosine", round_digits))
+    # both sides of the mutual self-join read tk: pin the O(N*k) edge
+    # list once instead of running the GEMM scan twice
+    tk = tk.localCheckpoint(eager=True)
+    a = tk.select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        "qcosine",
+        F.col("rank").alias("rank_ab"),
+    )
+    b = tk.select(
+        F.col("neighbor_id").alias("id_a"),
+        F.col("query_id").alias("id_b"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return (
+        a.join(b, ["id_a", "id_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "qcosine", "rank_ab", "rank_ba")
+    )

@@ -195,3 +195,43 @@ def test_whitening_matrix_decorrelates(spark, emb):
     assert np.abs(np.diag(WS) - 1.0).max() < 1e-3
     off = WS - np.diag(np.diag(WS))
     assert np.abs(off).max() < 1e-3
+
+
+def test_mutual_knn_matches_bruteforce(spark, emb):
+    """Mutual pairs == numpy double-ranked reciprocal check; symmetry of
+    qcosine and correct per-direction ranks."""
+    import numpy as np
+
+    from patternly_spark.operators.quantized import mutual_knn
+
+    k = 4
+    got = {
+        (r.id_a, r.id_b): (r.rank_ab, r.rank_ba, r.qcosine)
+        for r in mutual_knn(emb, k=k, round_digits=None).collect()
+    }
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    amax = np.abs(X).max(1)
+    scale = np.where(amax / 127.0 > 0.0, amax / 127.0, 1.0)
+    C = np.floor(X / scale[:, None] + 0.5)
+    norms = np.sqrt((C * C).sum(1))
+    # sqrt(na)*sqrt(nb), NOT sqrt(na*nb): the operator (and its SQL
+    # oracle) evaluate the former; the two differ in the last ulp
+    S = (C @ C.T) / np.outer(norms, norms)
+    np.fill_diagonal(S, -np.inf)
+    ranks = {}
+    for qi in range(len(ids)):
+        order = sorted(range(len(ids)), key=lambda j: (-S[qi, j], ids[j]))[:k]
+        for rnk, j in enumerate(order, start=1):
+            ranks[(ids[qi], ids[j])] = rnk
+    want = {}
+    for (a, b), rab in ranks.items():
+        rba = ranks.get((b, a))
+        if rba is not None and a < b:
+            want[(a, b)] = (rab, rba, S[np.where(ids == a)[0][0], np.where(ids == b)[0][0]])
+    assert set(got) == set(want)
+    for key in got:
+        assert got[key][0] == want[key][0] and got[key][1] == want[key][1]
+        assert got[key][2] == want[key][2]
