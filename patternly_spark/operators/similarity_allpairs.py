@@ -69,36 +69,44 @@ def _cells_base(
 ) -> DataFrame:
     """(id, codes, n2, c0..c{d-1}): int8 codes, integer squared norm,
     and the grid cell of each blocked coordinate at width ``r``.  Zero
-    vectors (undefined cosine) are dropped here."""
-    from patternly_spark.operators.quantized import _int_dot, int8_quantize
+    vectors (undefined cosine) are dropped here.
 
-    codes = int8_quantize(df, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col).alias("id"), "codes"
+    Computed in one Arrow-batched numpy pass: the closed forms are
+    identical to ``int8_quantize`` + ``_int_dot`` (floor(x/scale+0.5),
+    integer sums, floor((code/sqrt(n2))/r)) but the column-expression
+    versions run interpreted per element (higher-order functions don't
+    codegen) and cost seconds even at 2k rows."""
+
+    def _mk(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
+            amax = np.abs(X).max(axis=1)
+            scale = np.where(amax / 127.0 > 0.0, amax / 127.0, 1.0)
+            C = np.floor(X / scale[:, None] + 0.5)
+            n2 = (C * C).sum(axis=1)
+            keep = n2 > 0
+            if not keep.any():
+                continue
+            C, n2 = C[keep], n2[keep]
+            ids = pdf["__id"].to_numpy()[keep]
+            rt = np.sqrt(n2)
+            out = {
+                "id": ids.astype(np.int64),
+                "codes": list(C.astype(np.int32)),
+                "n2": n2.astype(np.int64),
+            }
+            for j in range(block_dims):
+                out[f"c{j}"] = np.floor((C[:, j] / rt) / r).astype(np.int64)
+            yield pd.DataFrame(out)
+
+    schema = "id long, codes array<int>, n2 long, " + ", ".join(
+        f"c{j} long" for j in range(block_dims)
     )
-    return (
-        codes.withColumn("n2", _int_dot(F.col("codes"), F.col("codes")))
-        .filter(F.col("n2") > 0)
-        .select(
-            "id",
-            "codes",
-            "n2",
-            *[
-                # n2 > 0 is already filtered, but ANSI mode may evaluate
-                # the projection before the filter prunes — guard the /0
-                F.floor(
-                    F.when(
-                        F.col("n2") > 0,
-                        F.element_at("codes", j + 1).cast("double")
-                        / F.sqrt(F.col("n2")),
-                    )
-                    / F.lit(r)
-                )
-                .cast("long")
-                .alias(f"c{j}")
-                for j in range(block_dims)
-            ],
-        )
-    )
+    return df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(_mk, schema)
 
 
 def _with_split(base: DataFrame, splits: int, role: int) -> DataFrame:
