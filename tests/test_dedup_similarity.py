@@ -1187,3 +1187,22 @@ def test_duplicate_spans_min_repeats_threshold(spark):
     ]
     r4 = duplicate_spans(df, ngram=3, min_repeats=4).collect()
     assert r4 == []
+
+
+def test_new_allpairs_operators_handle_empty_input(spark):
+    """Zero-row inputs produce zero-row outputs with the right schema —
+    the edge a driver hits on an empty partition/filter."""
+    from patternly_spark.operators.dedup import duplicate_spans, set_similarity_join
+    from patternly_spark.operators.similarity_allpairs import (
+        cosine_allpairs_join,
+        tfidf_cosine_allpairs,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert set_similarity_join(docs, threshold=0.5).count() == 0
+    assert duplicate_spans(docs, ngram=4).count() == 0
+    assert tfidf_cosine_allpairs(docs, threshold=0.5).count() == 0
+    out = cosine_allpairs_join(vecs, threshold=0.5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema] == ["id_a", "id_b", "qcosine"]

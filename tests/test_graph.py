@@ -308,3 +308,11 @@ def test_q180_oracle_round_budget_covers_convergence():
         rounds += 1
         a = {n: {m for m in s if m not in bad} for n, s in a.items() if n not in bad}
     assert rounds <= 12, f"oracle unrolls 12 rounds but peel needs {rounds}"
+
+
+def test_graph_census_operators_handle_empty_input(spark):
+    from patternly_spark.operators.graph import kcore, triangle_counts
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert triangle_counts(edges).count() == 0
+    assert kcore(edges, 2).count() == 0

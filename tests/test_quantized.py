@@ -235,3 +235,11 @@ def test_mutual_knn_matches_bruteforce(spark, emb):
     for key in got:
         assert got[key][0] == want[key][0] and got[key][1] == want[key][1]
         assert got[key][2] == want[key][2]
+
+
+def test_embedding_matrix_operators_handle_empty_input(spark):
+    from patternly_spark.operators.quantized import embedding_covariance, mutual_knn
+
+    vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_covariance(vecs).count() == 0
+    assert mutual_knn(vecs, k=3).count() == 0
