@@ -7002,6 +7002,38 @@ _Q183_ORACLE = """
 
 
 
+def q184_frequent_triples(spark, sf_dir):
+    """Exact frequent 3-itemsets over order baskets (operators/
+    behavior.frequent_itemsets): per-basket combination expansion by
+    array expressions (C(|basket|,3) rows per basket — bounded by
+    basket size, no self-join) + one map-side-combined census.  The
+    market-basket generalization past q157's pairs; support counts are
+    integers, so the full itemset table hash-matches the 3-way
+    self-join SQL replay."""
+    from patternly_spark.operators.behavior import frequent_itemsets
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket_id"),
+        F.col("l_partkey").cast("string").alias("item"),
+    )
+    return frequent_itemsets(li, size=3, min_support=2)
+
+
+_Q184_ORACLE = """
+    WITH i AS (
+        SELECT DISTINCT l_orderkey AS b, CAST(l_partkey AS VARCHAR) AS p
+        FROM lineitem
+    )
+    SELECT [a.p, bb.p, c.p] AS items, COUNT(*)::BIGINT AS support
+    FROM i a
+    JOIN i bb ON bb.b = a.b AND a.p < bb.p
+    JOIN i c ON c.b = a.b AND bb.p < c.p
+    GROUP BY a.p, bb.p, c.p
+    HAVING COUNT(*) >= 2
+"""
+
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -7195,6 +7227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_embedding_covariance": q181_embedding_covariance,
         "q182_golden_records": q182_golden_records,
         "q183_mutual_knn": q183_mutual_knn,
+        "q184_frequent_triples": q184_frequent_triples,
     }
 
 
@@ -8878,6 +8911,7 @@ def oracle_sql() -> dict[str, str]:
         "q181_embedding_covariance": _Q181_ORACLE,
         "q182_golden_records": _Q182_ORACLE,
         "q183_mutual_knn": _Q183_ORACLE,
+        "q184_frequent_triples": _Q184_ORACLE,
     }
 
 

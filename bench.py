@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "q181_embedding_covariance",
     "q182_golden_records",
     "q183_mutual_knn",
+    "q184_frequent_triples",
 ]
 
 

