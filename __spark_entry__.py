@@ -7034,6 +7034,49 @@ _Q184_ORACLE = """
 
 
 
+def q185_holt_smoothing(spark, sf_dir):
+    """Per-user Holt double exponential smoothing (operators/
+    temporal.holt_smoothing) over event values — EMA's (q125)
+    trend-aware sibling: level + trend recurrences folded once per key
+    in a fixed total order; dyadic alpha=0.5 / beta=0.25 keep every
+    intermediate a dyadic rational, so the recursive-CTE replay of the
+    coupled recurrences matches bit-for-bit."""
+    from patternly_spark.operators.temporal import holt_smoothing
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus"), "value"
+    )
+    return holt_smoothing(
+        e, "value", by="user_id", order_col=["tus", "event_id"],
+        alpha=0.5, beta=0.25,
+    )
+
+
+_Q185_ORACLE = """
+    WITH RECURSIVE base AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus,
+               CAST(value AS DOUBLE) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn
+        FROM events
+    ), r AS (
+        SELECT user_id, event_id, tus, v, rn,
+               v AS l, CAST(0.0 AS DOUBLE) AS b, v AS prev_l
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT nb.user_id, nb.event_id, nb.tus, nb.v, nb.rn,
+               0.5 * nb.v + 0.5 * (r.l + r.b) AS l,
+               0.25 * ((0.5 * nb.v + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b AS b,
+               r.l AS prev_l
+        FROM base nb JOIN r ON nb.user_id = r.user_id AND nb.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, tus, v AS value, l AS level, b AS trend,
+           l + b AS forecast_next
+    FROM r
+"""
+
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -7228,6 +7271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_golden_records": q182_golden_records,
         "q183_mutual_knn": q183_mutual_knn,
         "q184_frequent_triples": q184_frequent_triples,
+        "q185_holt_smoothing": q185_holt_smoothing,
     }
 
 
@@ -8912,6 +8956,7 @@ def oracle_sql() -> dict[str, str]:
         "q182_golden_records": _Q182_ORACLE,
         "q183_mutual_knn": _Q183_ORACLE,
         "q184_frequent_triples": _Q184_ORACLE,
+        "q185_holt_smoothing": _Q185_ORACLE,
     }
 
 

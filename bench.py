@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "q182_golden_records",
     "q183_mutual_knn",
     "q184_frequent_triples",
+    "q185_holt_smoothing",
 ]
 
 

@@ -444,3 +444,99 @@ def discords(
 def _types_of(df: DataFrame, cols: list[str]) -> list[str]:
     m = dict(df.dtypes)
     return [m[c] for c in cols]
+
+
+def holt_smoothing(
+    events: DataFrame,
+    value_col: str,
+    *,
+    by: str | list[str],
+    order_col: str | list[str],
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing — EMA's trend-aware
+    sibling (the forecasting baseline under capacity planning and
+    anomaly thresholds that must track drifting series):
+
+        l_1 = v_1,  b_1 = 0
+        l_t = alpha*v_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+    Computed like ``ema``: ONE deterministic left fold per key over the
+    sorted series (array aggregate carrying (level, trend) structs),
+    re-exploded.  With dyadic ``alpha``/``beta`` (0.5, 0.25, ...) every
+    intermediate is a dyadic rational and an external engine replaying
+    the recurrence (recursive CTE) matches bit-for-bit.
+
+    Scale: one shuffle on ``by``; per-key series materialize in their
+    task (the sessionize per-key-bounded contract).
+
+    Output: (keys..., order cols..., value, level, trend,
+    forecast_next) — forecast_next = level + trend, the one-step-ahead
+    prediction from each row.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
+    a = float(alpha)
+    bcoef = float(beta)
+    if not (0.0 < a <= 1.0) or not (0.0 <= bcoef <= 1.0):
+        raise ValueError("alpha in (0,1], beta in [0,1] required")
+
+    row = F.struct(
+        *[F.col(c) for c in order], F.col(value_col).cast("double").alias("__v")
+    )
+    seqs = events.groupBy(*keys).agg(F.array_sort(F.collect_list(row)).alias("__xs"))
+    state = F.aggregate(
+        F.col("__xs"),
+        F.array().cast("array<struct<l: double, b: double>>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(
+                    F.size(acc) > 0,
+                    F.struct(
+                        (
+                            F.lit(a) * x["__v"]
+                            + F.lit(1.0 - a)
+                            * (
+                                F.element_at(acc, -1)["l"]
+                                + F.element_at(acc, -1)["b"]
+                            )
+                        ).alias("l"),
+                        (
+                            F.lit(bcoef)
+                            * (
+                                (
+                                    F.lit(a) * x["__v"]
+                                    + F.lit(1.0 - a)
+                                    * (
+                                        F.element_at(acc, -1)["l"]
+                                        + F.element_at(acc, -1)["b"]
+                                    )
+                                )
+                                - F.element_at(acc, -1)["l"]
+                            )
+                            + F.lit(1.0 - bcoef) * F.element_at(acc, -1)["b"]
+                        ).alias("b"),
+                    ),
+                ).otherwise(
+                    F.struct(x["__v"].alias("l"), F.lit(0.0).alias("b"))
+                )
+            ),
+        ),
+    )
+    zipped = seqs.select(
+        *keys,
+        F.posexplode(F.arrays_zip(F.col("__xs"), state.alias("__st"))).alias(
+            "__i", "__z"
+        ),
+    )
+    return zipped.select(
+        *keys,
+        *[F.col(f"__z.__xs.{c}").alias(c) for c in order],
+        F.col("__z.__xs.__v").alias("value"),
+        F.col("__z.__st.l").alias("level"),
+        F.col("__z.__st.b").alias("trend"),
+        (F.col("__z.__st.l") + F.col("__z.__st.b")).alias("forecast_next"),
+    )

@@ -373,3 +373,61 @@ def test_discords_find_planted_anomaly_and_skip_short_keys(spark):
         df.repartition(7), "v", by="k", order_col="t", window=16, top_k=3
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_holt_smoothing_matches_python_replay(spark):
+    """Coupled level/trend recurrences fold-exact (== on doubles with
+    dyadic coefficients), per key, with forecast = level + trend."""
+    from patternly_spark.operators.temporal import holt_smoothing
+
+    series = {1: [10.0, 12.0, 14.0, 16.0, 18.0, 25.0, 11.0], 2: [5.0, 5.0], 3: [7.0]}
+    rows = [(k, t, v) for k, vs in series.items() for t, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = holt_smoothing(df, "v", by="k", order_col="t", alpha=0.5, beta=0.25)
+    got = {
+        (r.k, r.t): (r.level, r.trend, r.forecast_next)
+        for r in out.collect()
+    }
+
+    def replay(vs, a=0.5, b=0.25):
+        res = []
+        l, tr = vs[0], 0.0
+        res.append((l, tr))
+        for v in vs[1:]:
+            nl = a * v + (1 - a) * (l + tr)
+            ntr = b * (nl - l) + (1 - b) * tr
+            l, tr = nl, ntr
+            res.append((l, tr))
+        return res
+
+    for k, vs in series.items():
+        for t, (l, tr) in enumerate(replay(vs)):
+            assert got[(k, t)] == (l, tr, l + tr), (k, t)
+
+
+def test_holt_smoothing_tracks_linear_trend(spark):
+    """On an exact linear series the forecast converges to the next
+    point (level->line, trend->slope)."""
+    from patternly_spark.operators.temporal import holt_smoothing
+
+    rows = [(1, t, float(3 * t + 2)) for t in range(40)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    last = (
+        holt_smoothing(df, "v", by="k", order_col="t", alpha=0.5, beta=0.5)
+        .orderBy("t")
+        .collect()[-1]
+    )
+    assert abs(last.trend - 3.0) < 1e-3
+    assert abs(last.forecast_next - (3 * 40 + 2)) < 1e-2
+
+
+def test_holt_smoothing_validations(spark):
+    import pytest as _pytest
+
+    from patternly_spark.operators.temporal import holt_smoothing
+
+    df = spark.createDataFrame([(1, 0, 1.0)], "k long, t long, v double")
+    with _pytest.raises(ValueError):
+        holt_smoothing(df, "v", by="k", order_col="t", alpha=0.0)
+    with _pytest.raises(ValueError):
+        holt_smoothing(df, "v", by="k", order_col="t", beta=1.5)
