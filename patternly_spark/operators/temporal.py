@@ -454,6 +454,8 @@ def holt_smoothing(
     order_col: str | list[str],
     alpha: float = 0.5,
     beta: float = 0.25,
+    init: DataFrame | None = None,
+    broadcast_init: bool = True,
 ) -> DataFrame:
     """Per-key Holt double exponential smoothing — EMA's trend-aware
     sibling (the forecasting baseline under capacity planning and
@@ -472,6 +474,11 @@ def holt_smoothing(
     Scale: one shuffle on ``by``; per-key series materialize in their
     task (the sessionize per-key-bounded contract).
 
+    ``init``: optional (keys..., level, trend) carried-in state — a
+    key present there CONTINUES its recurrence from that state instead
+    of restarting (the streaming-twin contract, same as ``ema``'s
+    init).  Key-cardinality-sized, broadcast by default.
+
     Output: (keys..., order cols..., value, level, trend,
     forecast_next) — forecast_next = level + trend, the one-step-ahead
     prediction from each row.
@@ -487,9 +494,24 @@ def holt_smoothing(
         *[F.col(c) for c in order], F.col(value_col).cast("double").alias("__v")
     )
     seqs = events.groupBy(*keys).agg(F.array_sort(F.collect_list(row)).alias("__xs"))
+    if init is not None:
+        seed = init.select(
+            *[F.col(c) for c in keys],
+            F.struct(
+                F.col("level").cast("double").alias("l"),
+                F.col("trend").cast("double").alias("b"),
+            ).alias("__seed"),
+        )
+        seqs = seqs.join(F.broadcast(seed) if broadcast_init else seed, keys, "left")
+    else:
+        seqs = seqs.withColumn(
+            "__seed", F.lit(None).cast("struct<l: double, b: double>")
+        )
     state = F.aggregate(
         F.col("__xs"),
-        F.array().cast("array<struct<l: double, b: double>>"),
+        F.when(F.col("__seed").isNotNull(), F.array(F.col("__seed"))).otherwise(
+            F.array().cast("array<struct<l: double, b: double>>")
+        ),
         lambda acc, x: F.concat(
             acc,
             F.array(
@@ -526,9 +548,12 @@ def holt_smoothing(
             ),
         ),
     )
+    emitted = F.when(
+        F.col("__seed").isNotNull(), F.slice(state, 2, F.size("__xs"))
+    ).otherwise(state)
     zipped = seqs.select(
         *keys,
-        F.posexplode(F.arrays_zip(F.col("__xs"), state.alias("__st"))).alias(
+        F.posexplode(F.arrays_zip(F.col("__xs"), emitted.alias("__st"))).alias(
             "__i", "__z"
         ),
     )

@@ -9,6 +9,7 @@ from patternly_spark.streaming.dedup import (
     streaming_exact_dedup,
     streaming_set_similarity_join,
 )
+from patternly_spark.streaming.drift import streaming_holt
 from patternly_spark.streaming.similarity import (
     covariance_from_registry,
     incremental_cosine_allpairs,
@@ -27,6 +28,7 @@ __all__ = [
     "incremental_cosine_allpairs",
     "streaming_cosine_allpairs",
     "streaming_covariance_registry",
+    "streaming_holt",
     "covariance_from_registry",
     "run_stream_to_memory",
     "StreamingPFSADetector",

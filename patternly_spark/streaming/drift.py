@@ -366,3 +366,66 @@ def seasonal_alerts_from_registry(registry: DataFrame, *, z_threshold: float = 2
             "z",
         )
     )
+
+
+def streaming_holt(
+    stream_df: DataFrame,
+    value_col: str,
+    output_path: str,
+    *,
+    by: str | list[str],
+    order_col: str | list[str],
+    checkpoint_path: str,
+    registry_path: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    trigger_once: bool = False,
+):
+    """Stateful streaming Holt smoothing — ``streaming_ema``'s
+    trend-aware twin: each microbatch folds its per-key events
+    CONTINUING from the (level, trend) state carried in the parquet
+    registry, emits the per-event rows, and overwrites the registry
+    with each key's last state.
+
+    Parity law (pinned in tests): per-key time-ordered batch arrival
+    => concatenated emissions equal the batch ``holt_smoothing`` of
+    the union (the registry carries exactly acc[last] of the fold).
+
+    State is key-cardinality-sized (two doubles per key)."""
+    from patternly_spark.operators.temporal import holt_smoothing
+
+    keys = [by] if isinstance(by, str) else list(by)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        init = None
+        try:
+            init = spark.read.parquet(registry_path)
+        except Exception:
+            pass
+        out = holt_smoothing(
+            batch_df, value_col, by=keys, order_col=order_col,
+            alpha=alpha, beta=beta, init=init,
+        ).localCheckpoint(eager=True)
+        out.write.mode("append").parquet(output_path)
+
+        order = [order_col] if isinstance(order_col, str) else list(order_col)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order])
+        last = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*keys, "level", "trend")
+        )
+        if init is not None:
+            untouched = init.join(last.select(*keys), keys, "left_anti")
+            last = last.unionByName(untouched)
+        last.localCheckpoint(eager=True).write.mode("overwrite").parquet(registry_path)
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

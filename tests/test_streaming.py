@@ -1220,3 +1220,50 @@ def test_streaming_covariance_registry_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 16 * 17 // 2  # dim-16 triangle, fixed state size
+
+
+def test_streaming_holt_matches_batch(spark, tmp_path):
+    """Per-key time-ordered batches: concatenated streaming emissions ==
+    batch holt_smoothing of the union (the registry carries (level,
+    trend) across batches)."""
+    from patternly_spark.operators.temporal import holt_smoothing
+    from patternly_spark.streaming.drift import streaming_holt
+
+    rows = [
+        (k, t, float(v))
+        for k in [1, 2]
+        for t, v in enumerate([10, 12, 9, 20, 21, 22, 5, 6])
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    src = str(tmp_path / "src")
+    # per-key time-ordered arrival: one file per time slice
+    for lo, hi in [(0, 3), (3, 6), (6, 8)]:
+        spark.createDataFrame(
+            [r for r in rows if lo <= r[1] < hi], "k long, t long, v double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_holt(
+        spark.readStream.schema("k long, t long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        "v",
+        str(tmp_path / "out"),
+        by="k",
+        order_col="t",
+        checkpoint_path=str(tmp_path / "ckpt"),
+        registry_path=str(tmp_path / "reg"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.k, r.t): (r.level, r.trend, r.forecast_next)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    want = {
+        (r.k, r.t): (r.level, r.trend, r.forecast_next)
+        for r in holt_smoothing(df, "v", by="k", order_col="t").collect()
+    }
+    assert got == want
+    reg = spark.read.parquet(str(tmp_path / "reg"))
+    assert reg.count() == 2 and set(reg.columns) == {"k", "level", "trend"}
