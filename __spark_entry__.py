@@ -7077,6 +7077,61 @@ _Q185_ORACLE = """
 
 
 
+def q186_autocorrelation(spark, sf_dir):
+    """Per-user autocorrelation function at lags 1..5 (operators/
+    temporal.acf): Pearson correlation of (x_t, x_{t+lag}) event-value
+    pairs in the n*Sxy - Sx*Sy integer closed form over DECIMAL-cent
+    values — every sum exact, one IEEE sqrt/divide; a single window
+    sort produces all lags (stacked LEAD columns, no self-joins).  The
+    periodicity diagnostic beside burstiness (q168) and the seasonal
+    monitors."""
+    from patternly_spark.operators.temporal import acf
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("tus"), "event_id", "value"
+    )
+    return acf(e, "value", by="user_id", order_col=["tus", "event_id"], max_lag=5)
+
+
+_Q186_ORACLE = """
+    WITH base AS (
+        SELECT user_id,
+               ((CAST(value AS DECIMAL(18,2)) * 100)::BIGINT) AS x,
+               epoch_us(ts) AS tus, event_id
+        FROM events
+    ), wide AS (
+        SELECT user_id, x,
+               LEAD(x, 1) OVER w AS y1, LEAD(x, 2) OVER w AS y2,
+               LEAD(x, 3) OVER w AS y3, LEAD(x, 4) OVER w AS y4,
+               LEAD(x, 5) OVER w AS y5
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY tus ASC, event_id ASC)
+    ), lagged AS (
+        SELECT user_id, 1 AS lag, x, y1 AS y FROM wide WHERE y1 IS NOT NULL
+        UNION ALL SELECT user_id, 2, x, y2 FROM wide WHERE y2 IS NOT NULL
+        UNION ALL SELECT user_id, 3, x, y3 FROM wide WHERE y3 IS NOT NULL
+        UNION ALL SELECT user_id, 4, x, y4 FROM wide WHERE y4 IS NOT NULL
+        UNION ALL SELECT user_id, 5, x, y5 FROM wide WHERE y5 IS NOT NULL
+    ), agg AS (
+        SELECT user_id, lag, COUNT(*)::BIGINT AS n_pairs,
+               SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+               SUM(x*x)::BIGINT AS sxx, SUM(y*y)::BIGINT AS syy,
+               SUM(x*y)::BIGINT AS sxy
+        FROM lagged GROUP BY user_id, lag
+    )
+    SELECT user_id, CAST(lag AS INT) AS lag, n_pairs,
+           CASE WHEN n_pairs >= 2
+                     AND (n_pairs*sxx - sx*sx)::DOUBLE > 0
+                     AND (n_pairs*syy - sy*sy)::DOUBLE > 0
+                THEN (n_pairs*sxy - sx*sy)::DOUBLE
+                     / (sqrt((n_pairs*sxx - sx*sx)::DOUBLE)
+                        * sqrt((n_pairs*syy - sy*sy)::DOUBLE))
+           END AS acf
+    FROM agg
+"""
+
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -7272,6 +7327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q183_mutual_knn": q183_mutual_knn,
         "q184_frequent_triples": q184_frequent_triples,
         "q185_holt_smoothing": q185_holt_smoothing,
+        "q186_autocorrelation": q186_autocorrelation,
     }
 
 
@@ -8957,6 +9013,7 @@ def oracle_sql() -> dict[str, str]:
         "q183_mutual_knn": _Q183_ORACLE,
         "q184_frequent_triples": _Q184_ORACLE,
         "q185_holt_smoothing": _Q185_ORACLE,
+        "q186_autocorrelation": _Q186_ORACLE,
     }
 
 

@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "q183_mutual_knn",
     "q184_frequent_triples",
     "q185_holt_smoothing",
+    "q186_autocorrelation",
 ]
 
 

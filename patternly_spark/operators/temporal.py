@@ -565,3 +565,77 @@ def holt_smoothing(
         F.col("__z.__st.b").alias("trend"),
         (F.col("__z.__st.l") + F.col("__z.__st.b")).alias("forecast_next"),
     )
+
+
+def acf(
+    events: DataFrame,
+    value_col: str,
+    *,
+    by: str | list[str],
+    order_col: str | list[str],
+    max_lag: int = 7,
+    cents: bool = True,
+) -> DataFrame:
+    """Per-key autocorrelation function at lags 1..max_lag — the
+    periodicity/memory diagnostic next to burstiness (q168) and the
+    seasonal monitors: Pearson correlation of (x_t, x_{t+lag}) pairs
+    computed by the integer closed form
+
+        corr = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    over DECIMAL-cent integer values (``cents=True``; set False when
+    the column is already integral), so every sum is exact and the one
+    final sqrt/divide is deterministic IEEE — the engine-portability
+    recipe of q168/q181.
+
+    ONE sort per key produces all lags (a single window with
+    ``max_lag`` LAG columns, unpivoted via stack) and one grouped
+    aggregation does every (key, lag) cell — no self-joins.
+
+    Output: (keys..., lag, n_pairs, acf) — acf is NULL for degenerate
+    pairs (n < 2 or zero variance at either end).
+    """
+    from pyspark.sql import Window
+
+    keys = [by] if isinstance(by, str) else list(by)
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
+    L = int(max_lag)
+    if L < 1:
+        raise ValueError(f"max_lag must be >= 1, got {L}")
+    v = (
+        (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+        if cents
+        else F.col(value_col).cast("long")
+    )
+    w = Window.partitionBy(*keys).orderBy(*[F.asc(c) for c in order])
+    base = events.select(*keys, *order, v.alias("__x")).select(
+        *keys,
+        "__x",
+        *[F.lead("__x", lag).over(w).alias(f"__y{lag}") for lag in range(1, L + 1)],
+    )
+    stack_expr = "stack({}, {}) as (lag, __y)".format(
+        L, ", ".join(f"{lag}, __y{lag}" for lag in range(1, L + 1))
+    )
+    pairs = base.selectExpr(*keys, "__x", stack_expr).filter(
+        F.col("__y").isNotNull()
+    )
+    agg = pairs.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+    )
+    n = F.col("n_pairs")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        *keys,
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        F.when((n >= 2) & (dx > 0) & (dy > 0), num / (F.sqrt(dx) * F.sqrt(dy)))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("acf"),
+    )

@@ -431,3 +431,50 @@ def test_holt_smoothing_validations(spark):
         holt_smoothing(df, "v", by="k", order_col="t", alpha=0.0)
     with _pytest.raises(ValueError):
         holt_smoothing(df, "v", by="k", order_col="t", beta=1.5)
+
+
+def test_acf_matches_numpy_closed_form(spark):
+    """Integer-closed-form ACF == numpy at every lag; constant series
+    yield NULL; n_pairs accounting correct at series edges."""
+    import numpy as np
+
+    from patternly_spark.operators.temporal import acf
+
+    rng = np.random.default_rng(3)
+    vals = [float(v) for v in np.round(rng.normal(10, 2, 50), 2)]
+    rows = [(1, t, v) for t, v in enumerate(vals)] + [(2, t, 5.0) for t in range(10)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    res = {
+        (r.k, r.lag): (r.n_pairs, r.acf)
+        for r in acf(df, "v", by="k", order_col="t", max_lag=3).collect()
+    }
+    cents = [int(round(v * 100)) for v in vals]
+    for lag in [1, 2, 3]:
+        x = np.array(cents[:-lag], dtype=np.int64)
+        y = np.array(cents[lag:], dtype=np.int64)
+        n = len(x)
+        num = float(n * (x * y).sum() - x.sum() * y.sum())
+        dx = float(n * (x * x).sum() - x.sum() ** 2)
+        dy = float(n * (y * y).sum() - y.sum() ** 2)
+        assert res[(1, lag)] == (n, num / (np.sqrt(dx) * np.sqrt(dy)))
+    assert all(res[(2, lag)][1] is None for lag in [1, 2, 3])
+
+
+def test_acf_detects_planted_period(spark):
+    from patternly_spark.operators.temporal import acf
+
+    rows = [(1, t, float(10 + (5 if t % 4 == 0 else 0))) for t in range(80)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    res = {r.lag: r.acf for r in acf(df, "v", by="k", order_col="t", max_lag=4).collect()}
+    assert res[4] > 0.9          # the planted period
+    assert res[1] < res[4] and res[2] < res[4]
+
+
+def test_acf_validations(spark):
+    import pytest as _pytest
+
+    from patternly_spark.operators.temporal import acf
+
+    df = spark.createDataFrame([(1, 0, 1.0)], "k long, t long, v double")
+    with _pytest.raises(ValueError):
+        acf(df, "v", by="k", order_col="t", max_lag=0)
