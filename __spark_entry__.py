@@ -7132,6 +7132,55 @@ _Q186_ORACLE = """
 
 
 
+def q187_vocab_coverage(spark, sf_dir):
+    """Per-source vocabulary-coverage / OOV report (operators/
+    tokenizer.vocab_coverage): the tokenizer acceptance gate — with the
+    corpus's own top-12 tokens as the trial vocabulary, report per
+    source the token count, OOV count/rate, and DISTINCT OOV types
+    (high rate from few types = systematic gap, not noise).  Broadcast
+    vocab; one explode + left join + rollup; all-integer counts plus
+    one division."""
+    from patternly_spark.operators.tokenizer import vocab_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("token"))
+        .limit(12)
+        .select("token")
+    )
+    return vocab_coverage(d, vocab, by="source")
+
+
+_Q187_ORACLE = """
+    WITH toks AS (
+        SELECT source, t FROM (
+            SELECT source,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ), vocab AS (
+        SELECT t AS token FROM (
+            SELECT t, COUNT(*) AS c FROM toks GROUP BY t
+            ORDER BY c DESC, t ASC LIMIT 12
+        )
+    )
+    SELECT source,
+           COUNT(*)::BIGINT AS n_tokens,
+           SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE
+               / COUNT(*)::DOUBLE AS oov_rate,
+           COUNT(DISTINCT CASE WHEN v.token IS NULL THEN t END)::BIGINT
+               AS n_oov_types
+    FROM toks LEFT JOIN vocab v ON v.token = toks.t
+    GROUP BY source
+"""
+
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -7328,6 +7377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_frequent_triples": q184_frequent_triples,
         "q185_holt_smoothing": q185_holt_smoothing,
         "q186_autocorrelation": q186_autocorrelation,
+        "q187_vocab_coverage": q187_vocab_coverage,
     }
 
 
@@ -9014,6 +9064,7 @@ def oracle_sql() -> dict[str, str]:
         "q184_frequent_triples": _Q184_ORACLE,
         "q185_holt_smoothing": _Q185_ORACLE,
         "q186_autocorrelation": _Q186_ORACLE,
+        "q187_vocab_coverage": _Q187_ORACLE,
     }
 
 

@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "q184_frequent_triples",
     "q185_holt_smoothing",
     "q186_autocorrelation",
+    "q187_vocab_coverage",
 ]
 
 

@@ -186,3 +186,57 @@ def bpe_encode(
             ).alias(out_col)
         )
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab: DataFrame,
+    *,
+    by: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_col: str = "token",
+) -> DataFrame:
+    """Per-group vocabulary coverage / OOV report — the acceptance gate
+    before committing a tokenizer vocabulary to a corpus: for every
+    ``by`` group, total token occurrences, how many fall outside
+    ``vocab``, the OOV rate, and how many DISTINCT out-of-vocabulary
+    types drive it (a high rate from few types means the vocab is
+    missing systematic content, not noise).
+
+    Scale shape: the vocabulary is broadcast (vocab-sized by
+    definition); the corpus side is one explode + broadcast left join +
+    one grouped aggregation — no corpus-sized shuffle beyond the
+    per-group rollup.
+
+    Output: (by, n_tokens, n_oov, oov_rate, n_oov_types).
+    """
+    toks = docs.select(
+        F.col(by),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t"),
+    ).filter(F.col("__t") != "")
+    vv = vocab.select(F.col(vocab_col).alias("__t")).distinct().withColumn(
+        "__in", F.lit(1)
+    )
+    joined = toks.join(F.broadcast(vv), "__t", "left")
+    return (
+        joined.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.count_distinct(
+                F.when(F.col("__in").isNull(), F.col("__t"))
+            ).cast("long").alias("n_oov_types"),
+        )
+        .select(
+            by,
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "oov_rate"
+            ),
+            "n_oov_types",
+        )
+    )

@@ -89,3 +89,25 @@ def test_bpe_encode_matches_reference_apply(spark):
     for i, t in enumerate(texts):
         want = [s for w in t.split() for s in apply_ref(w)]
         assert got[i] == want, (i, got[i], want)
+
+
+def test_vocab_coverage_counts(spark):
+    from patternly_spark.operators.tokenizer import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x", "s1"),
+            (2, "a a y z", "s1"),
+            (3, "b b b", "s2"),
+            (4, "", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    vocab = spark.createDataFrame([("a",), ("b",), ("c",)], "token string")
+    res = {r.source: r for r in vocab_coverage(docs, vocab).collect()}
+    # s1: 8 tokens, oov = {x, y, z} -> 3 occurrences, 3 types
+    assert (res["s1"].n_tokens, res["s1"].n_oov, res["s1"].n_oov_types) == (8, 3, 3)
+    assert res["s1"].oov_rate == 3.0 / 8.0
+    # s2: 3 tokens, all in vocab; empty doc contributes nothing
+    assert (res["s2"].n_tokens, res["s2"].n_oov, res["s2"].n_oov_types) == (3, 0, 0)
+    assert res["s2"].oov_rate == 0.0
