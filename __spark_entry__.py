@@ -7181,6 +7181,63 @@ _Q187_ORACLE = """
 
 
 
+def q188_crosscorrelation(spark, sf_dir):
+    """Per-user lead-lag cross-correlation between click and purchase
+    event values (operators/temporal.cross_correlation): does click
+    activity move before purchases?  Series aligned by within-key rank,
+    lags -3..3, the q186 integer closed form — one join keyed on
+    (user, shifted index) per lag, no cross products, every sum
+    exact."""
+    from patternly_spark.operators.temporal import cross_correlation
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus"),
+        "event_id", "value",
+    )
+    return cross_correlation(
+        e, "value", "event_type", "click", "purchase",
+        by="user_id", order_col=["tus", "event_id"], max_lag=3,
+    )
+
+
+_Q188_ORACLE = """
+    WITH base AS (
+        SELECT user_id, event_type,
+               ((CAST(value AS DECIMAL(18,2)) * 100)::BIGINT) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY epoch_us(ts) ASC, event_id ASC) AS i
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ), a AS (
+        SELECT user_id, i, v AS x FROM base WHERE event_type = 'click'
+    ), b AS (
+        SELECT user_id, i, v AS y FROM base WHERE event_type = 'purchase'
+    ), lags AS (
+        SELECT unnest(range(-3, 4)) AS lag
+    ), joined AS (
+        SELECT a.user_id, lags.lag, a.x, b.y
+        FROM a CROSS JOIN lags
+        JOIN b ON b.user_id = a.user_id AND b.i = a.i + lags.lag
+    ), agg AS (
+        SELECT user_id, lag, COUNT(*)::BIGINT AS n_pairs,
+               SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+               SUM(x*x)::BIGINT AS sxx, SUM(y*y)::BIGINT AS syy,
+               SUM(x*y)::BIGINT AS sxy
+        FROM joined GROUP BY user_id, lag
+    )
+    SELECT user_id, CAST(lag AS INT) AS lag, n_pairs,
+           CASE WHEN n_pairs >= 2
+                     AND (n_pairs*sxx - sx*sx)::DOUBLE > 0
+                     AND (n_pairs*syy - sy*sy)::DOUBLE > 0
+                THEN (n_pairs*sxy - sx*sy)::DOUBLE
+                     / (sqrt((n_pairs*sxx - sx*sx)::DOUBLE)
+                        * sqrt((n_pairs*syy - sy*sy)::DOUBLE))
+           END AS xcorr
+    FROM agg
+"""
+
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -7378,6 +7435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q185_holt_smoothing": q185_holt_smoothing,
         "q186_autocorrelation": q186_autocorrelation,
         "q187_vocab_coverage": q187_vocab_coverage,
+        "q188_crosscorrelation": q188_crosscorrelation,
     }
 
 
@@ -9065,6 +9123,7 @@ def oracle_sql() -> dict[str, str]:
         "q185_holt_smoothing": _Q185_ORACLE,
         "q186_autocorrelation": _Q186_ORACLE,
         "q187_vocab_coverage": _Q187_ORACLE,
+        "q188_crosscorrelation": _Q188_ORACLE,
     }
 
 

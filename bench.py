@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "q185_holt_smoothing",
     "q186_autocorrelation",
     "q187_vocab_coverage",
+    "q188_crosscorrelation",
 ]
 
 

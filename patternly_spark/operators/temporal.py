@@ -639,3 +639,88 @@ def acf(
         .otherwise(F.lit(None).cast("double"))
         .alias("acf"),
     )
+
+
+def cross_correlation(
+    events: DataFrame,
+    value_col: str,
+    series_col: str,
+    series_a: str,
+    series_b: str,
+    *,
+    by: str | list[str],
+    order_col: str | list[str],
+    max_lag: int = 5,
+    cents: bool = True,
+) -> DataFrame:
+    """Per-key lead-lag cross-correlation between two named series —
+    "does series_a move before series_b?" — the pairing diagnostic next
+    to ``acf``: for lag in -max_lag..max_lag, the Pearson correlation
+    of (a_t, b_{t+lag}) where both series are aligned on the key's
+    event order INDEX (rank within the key, so the two series compare
+    position-by-position even when their timestamps interleave).
+
+    Same exactness recipe as ``acf``: DECIMAL-cent integers, the
+    n*Sxy - Sx*Sy closed form, one IEEE sqrt/divide.  One sort per key
+    per series (rank), one equi-join on (key, index+lag) per lag via a
+    stacked shifted-index explode — join keyed, no cross products.
+
+    Output: (keys..., lag, n_pairs, xcorr) — positive lag means
+    series_a at t pairs with series_b at t+lag (a LEADS b when the
+    peak sits at positive lag); NULL for degenerate cells.
+    """
+    from pyspark.sql import Window
+
+    keys = [by] if isinstance(by, str) else list(by)
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
+    L = int(max_lag)
+    if L < 1:
+        raise ValueError(f"max_lag must be >= 1, got {L}")
+    v = (
+        (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+        if cents
+        else F.col(value_col).cast("long")
+    )
+
+    def ranked(name):
+        w = Window.partitionBy(*keys).orderBy(*[F.asc(c) for c in order])
+        return (
+            events.filter(F.col(series_col) == name)
+            .select(*keys, *order, v.alias("__v"))
+            .withColumn("__i", F.row_number().over(w))
+            .select(*keys, "__i", "__v")
+        )
+
+    a = ranked(series_a)
+    b = ranked(series_b)
+    # replicate a to every lag: pair (a at i) with (b at i + lag)
+    lags = F.explode(
+        F.array(*[F.lit(l) for l in range(-L, L + 1)])
+    ).alias("lag")
+    a_sh = a.select(*keys, "__i", F.col("__v").alias("__x"), lags).withColumn(
+        "__j", F.col("__i") + F.col("lag")
+    )
+    joined = a_sh.join(
+        b.select(*keys, F.col("__i").alias("__j"), F.col("__v").alias("__y")),
+        [*keys, "__j"],
+    )
+    agg = joined.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+    )
+    n = F.col("n_pairs")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        *keys,
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        F.when((n >= 2) & (dx > 0) & (dy > 0), num / (F.sqrt(dx) * F.sqrt(dy)))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("xcorr"),
+    )

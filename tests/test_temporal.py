@@ -478,3 +478,42 @@ def test_acf_validations(spark):
     df = spark.createDataFrame([(1, 0, 1.0)], "k long, t long, v double")
     with _pytest.raises(ValueError):
         acf(df, "v", by="k", order_col="t", max_lag=0)
+
+
+def test_cross_correlation_finds_planted_shift(spark):
+    """Series B = A delayed by 2 positions: the peak must sit at lag +2
+    with correlation exactly 1.0; values match the closed form."""
+    import numpy as np
+
+    from patternly_spark.operators.temporal import cross_correlation
+
+    rng = np.random.default_rng(4)
+    base = [float(v) for v in np.round(rng.normal(10, 2, 40), 2)]
+    rows = [(1, "A", t, v) for t, v in enumerate(base)]
+    rows += [
+        (1, "B", t, base[t - 2] if t >= 2 else 10.0) for t in range(len(base))
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, t long, v double")
+    res = {
+        r.lag: (r.n_pairs, r.xcorr)
+        for r in cross_correlation(
+            df, "v", "s", "A", "B", by="k", order_col="t", max_lag=3
+        ).collect()
+    }
+    assert set(res) == set(range(-3, 4))
+    # the closed form's final sqrt/divide can land an ulp past 1.0
+    assert abs(res[2][1] - 1.0) < 1e-12
+    assert all(res[l][1] < 0.5 for l in res if l != 2)
+    # pair accounting: lag l pairs a_i with b_{i+l}, overlap shrinks by |l|
+    for l in res:
+        assert res[l][0] == 40 - abs(l)
+
+
+def test_cross_correlation_validations(spark):
+    import pytest as _pytest
+
+    from patternly_spark.operators.temporal import cross_correlation
+
+    df = spark.createDataFrame([(1, "A", 0, 1.0)], "k long, s string, t long, v double")
+    with _pytest.raises(ValueError):
+        cross_correlation(df, "v", "s", "A", "B", by="k", order_col="t", max_lag=0)
