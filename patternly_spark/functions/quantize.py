@@ -225,3 +225,94 @@ class Quantizer:
     @classmethod
     def from_dict(cls, d: dict) -> "Quantizer":
         return cls(**d)
+
+
+def exact_percentile_distributed(
+    df,
+    value_col: str,
+    probs: list[float],
+    *,
+    bracket_cap: int = 1_000_000,
+) -> list[float]:
+    """EXACT interpolated percentiles without the single-buffer hazard —
+    the third mode beside ``percentile_expr``'s exact (one aggregation
+    buffer holds every value: fine at test scale, a driver-memory wall
+    at 100 TB) and approx (bounded error): bracket-and-collect.
+
+    Per probe: the needed order statistics are rank floor(1+(n-1)p) and
+    its successor (SQL ``percentile`` interpolation semantics).  Pass 1
+    computes n and an ``approx_percentile`` bracket around each target;
+    pass 2 counts values strictly below each bracket and collects the
+    in-bracket values (widening the bracket in the rare case the sketch
+    bound missed the rank, or narrowing via re-bracketing when a
+    heavy-duplicate bracket exceeds ``bracket_cap``); the exact order
+    statistics are then read off the sorted in-bracket slice.  Two to
+    three corpus passes total, driver memory bounded by ``bracket_cap``
+    — never by corpus size.
+
+    Returns interpolated percentile values (same numbers as SQL
+    ``percentile``, pinned by tests incl. duplicate-heavy columns).
+    NULL rows are ignored; NaN rows COUNT and sort last — Spark's
+    ``percentile`` quirk (NaN is larger than any value), replicated so
+    this is a drop-in for ``percentile_expr(exact=True)``.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    work = df.select(F.col(value_col).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    n = work.count()
+    if n == 0:
+        return [None for _ in probs]
+    out: list[float] = []
+    # one approx pass brackets every probe at once
+    eps = 1.0 / float(10_000)
+    lo_hi = work.select(
+        F.expr(
+            "approx_percentile(__v, array({}), {})".format(
+                ", ".join(
+                    f"{max(0.0, min(1.0, q)):.10f}"
+                    for p in probs
+                    for q in (p - 0.01, p + 0.01)
+                ),
+                10_000,
+            )
+        ).alias("b")
+    ).first()["b"]
+    for idx, p in enumerate(probs):
+        rank = 1 + (n - 1) * float(p)  # 1-based, fractional
+        k = int(rank)
+        need = [k, min(k + 1, n)]
+        lo, hi = float(lo_hi[2 * idx]), float(lo_hi[2 * idx + 1])
+        widened = False
+        while True:
+            if widened:
+                # full relation: no value predicate — NaN sorts past
+                # +Infinity in Spark, so even (-inf, inf) bounds would
+                # exclude it and loop forever on a NaN-rank target
+                below, in_bracket = 0, work
+            else:
+                below = work.filter(F.col("__v") < lo).count()
+                in_bracket = work.filter(
+                    (F.col("__v") >= lo) & (F.col("__v") <= hi)
+                )
+            m = in_bracket.count()
+            if below >= need[0] or below + m < need[1]:
+                widened = True  # sketch bound missed the rank
+                continue
+            if m > bracket_cap:
+                raise ValueError(
+                    f"percentile bracket holds {m} values (> {bracket_cap}): "
+                    "heavy duplicates at the target rank; raise bracket_cap"
+                )
+            vals = sorted(
+                (r["__v"] for r in in_bracket.collect()),
+                key=lambda v: (math.isnan(v), v),
+            )
+            ks = [vals[need[0] - below - 1], vals[need[1] - below - 1]]
+            break
+        frac = rank - k
+        out.append(float(ks[0]) + (float(ks[1]) - float(ks[0])) * frac)
+    return out

@@ -431,3 +431,46 @@ def test_multichannel_save_load_path_hostile_channel_names(tmp_path, spark):
     before = m.predict(df).orderBy("channel", "seq_id").collect()
     after = loaded.predict(df).orderBy("channel", "seq_id").collect()
     assert [tuple(r) for r in before] == [tuple(r) for r in after]
+
+
+def test_exact_percentile_distributed_matches_sql_percentile(spark):
+    """Bracket-and-collect == single-buffer SQL percentile, value for
+    value, including duplicate-heavy columns, NaN rows (which Spark's
+    percentile COUNTS and sorts last), boundary probes, and tiny
+    relations."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from patternly_spark.functions.quantize import exact_percentile_distributed
+
+    rng = np.random.default_rng(5)
+    vals = list(rng.normal(0, 1, 3000)) + [1.5] * 500 + [float("nan")] * 7
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    probs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.999, 1.0]
+    got = exact_percentile_distributed(df, "x", probs)
+    want = df.select(
+        F.expr("percentile(x, array({}))".format(",".join(map(str, probs))))
+    ).first()[0]
+    for g, w in zip(got, want):
+        assert (math.isnan(g) and math.isnan(w)) or g == w
+
+    tiny = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
+    assert exact_percentile_distributed(tiny, "x", [0.5]) == [2.0]
+    empty = spark.createDataFrame([], "x double")
+    assert exact_percentile_distributed(empty, "x", [0.5]) == [None]
+
+
+def test_exact_percentile_distributed_duplicate_wall(spark):
+    """A rank sitting inside a mega-duplicate run must either resolve
+    (cap high enough) or raise the documented error (cap too low) —
+    never return a wrong value."""
+    import pytest as _pytest
+
+    from patternly_spark.functions.quantize import exact_percentile_distributed
+
+    df = spark.createDataFrame([(5.0,)] * 5000 + [(1.0,), (9.0,)], "x double")
+    assert exact_percentile_distributed(df, "x", [0.5]) == [5.0]
+    with _pytest.raises(ValueError):
+        exact_percentile_distributed(df, "x", [0.5], bracket_cap=100)
