@@ -113,18 +113,26 @@ def fit_complex_cutpoints(
     *,
     n_symbols: int = 2,
     detrend: bool = False,
-    exact: bool = True,
+    exact: "bool | str" = True,
     partition_cols: list[str] | None = None,
     order_col: str = "t",
 ) -> list[float]:
     """F4 fit: equi-probable cut-points (entropy maximization —
     ``tex/ms.tex:293-294``): k-1 interior quantiles at i/k.  See
-    ``percentile_expr`` for the exact-vs-approx scale trade."""
+    ``percentile_expr`` for the exact-vs-approx scale trade;
+    ``exact="distributed"`` fits EXACT cut-points without the
+    single-buffer hazard (``exact_percentile_distributed`` — the
+    100 TB shape when exact symbols are required)."""
     work = df
     if detrend:
         work = quantize_detrend_long(df, value_col, partition_cols=partition_cols, order_col=order_col)
         value_col = "__detrended"
     probs = [i / n_symbols for i in range(1, n_symbols)]
+    if exact == "distributed":
+        return [
+            float(c)
+            for c in exact_percentile_distributed(work, value_col, probs)
+        ]
     row = work.select(percentile_expr(value_col, probs, exact=exact).alias("cuts")).first()
     return [float(c) for c in row["cuts"]]
 

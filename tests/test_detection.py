@@ -474,3 +474,17 @@ def test_exact_percentile_distributed_duplicate_wall(spark):
     assert exact_percentile_distributed(df, "x", [0.5]) == [5.0]
     with _pytest.raises(ValueError):
         exact_percentile_distributed(df, "x", [0.5], bracket_cap=100)
+
+
+def test_fit_complex_cutpoints_distributed_mode_matches_exact(spark):
+    import numpy as np
+
+    from patternly_spark.functions.quantize import fit_complex_cutpoints
+
+    rng = np.random.default_rng(6)
+    df = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(0, 3, 4000)], "value double"
+    )
+    exact = fit_complex_cutpoints(df, "value", n_symbols=4, exact=True)
+    dist = fit_complex_cutpoints(df, "value", n_symbols=4, exact="distributed")
+    assert dist == exact
