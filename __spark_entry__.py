@@ -7238,6 +7238,32 @@ _Q188_ORACLE = """
 
 
 
+def q189_core_decomposition(spark, sf_dir):
+    """Full k-core decomposition of the support->=2 co-purchase graph
+    (operators/graph.core_numbers): every part's core number via the
+    Montresor h-index fixpoint — the one-shot density hierarchy that
+    answers all q180-style kcore(k) queries at once.  Iterative float-
+    free integer labels; no SQL-replicable oracle (fixpoint depth is
+    data-dependent), so correctness rides on brute-force-peel parity +
+    the kcore-membership law in tests/test_graph.py."""
+    from patternly_spark.operators.graph import core_numbers
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    support = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("src", "dst")
+    )
+    return core_numbers(support)
+
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -7436,6 +7462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_autocorrelation": q186_autocorrelation,
         "q187_vocab_coverage": q187_vocab_coverage,
         "q188_crosscorrelation": q188_crosscorrelation,
+        "q189_core_decomposition": q189_core_decomposition,
     }
 
 
@@ -7485,6 +7512,11 @@ def verified_by() -> dict[str, str]:
         "q131_discords": (
             "planted-discord detection + short-key contract "
             "(tests/test_temporal.py::test_discords_find_planted_anomaly_and_skip_short_keys)"
+        ),
+        "q189_core_decomposition": (
+            "brute-force-peel core-number parity + kcore-membership law "
+            "(tests/test_graph.py::test_core_numbers_match_bruteforce_peel, "
+            "::test_core_numbers_consistent_with_kcore)"
         ),
     }
 

@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "q186_autocorrelation",
     "q187_vocab_coverage",
     "q188_crosscorrelation",
+    "q189_core_decomposition",
 ]
 
 

@@ -450,3 +450,87 @@ def kcore(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+def core_numbers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_rounds: int = 100,
+) -> DataFrame:
+    """Full k-core decomposition: every node's core number (the largest
+    k whose k-core contains it) — the one-shot hierarchy that answers
+    every ``kcore(k)`` query at once, and the standard graph-curation
+    density score.
+
+    Distributed h-index iteration (Montresor et al., "Distributed
+    k-core decomposition"): labels start at degree; each round sets
+    label(v) to the H-INDEX of its neighbors' labels (the largest h
+    with >= h neighbors labeled >= h).  Labels decrease monotonically
+    and the fixpoint is exactly the core number.  Each round is one
+    join + one per-node array fold (neighbor lists are per-node-bounded
+    — the sessionize contract); convergence is a 1-row changed-count.
+
+    Rounds needed track the graph's core hierarchy depth (typically
+    tens); ``max_rounds`` caps pathological chains — on cap the labels
+    are a valid UPPER bound that has not converged (raise instead of
+    returning silently-wrong numbers).
+
+    Output: (node, core) — isolated nodes never appear (no edges).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    both = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    labels = both.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("label")
+    ).localCheckpoint(eager=True)
+
+    # h-index of a DESC-sorted label array: largest i with arr[i] >= i+1
+    def _h_index(arr):
+        return F.aggregate(
+            F.zip_with(
+                F.reverse(F.array_sort(arr)),
+                F.sequence(F.lit(1), F.size(arr)),
+                lambda lbl, i: (lbl >= i).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, ok: F.when(ok == 1, acc + 1).otherwise(acc),
+        )
+
+    for _ in range(int(max_rounds)):
+        neigh = (
+            both.join(
+                labels.select(F.col("node").alias("b"), F.col("label").alias("nl")),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.collect_list("nl").alias("__nls"))
+        )
+        new_labels = (
+            neigh.join(labels, "node")
+            .select(
+                "node",
+                F.least(F.col("label"), _h_index(F.col("__nls")).cast("long")).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        labels = new_labels.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("core"))
+    raise RuntimeError(
+        f"core_numbers did not converge within {max_rounds} rounds; "
+        "labels are an unconverged upper bound — raise max_rounds"
+    )

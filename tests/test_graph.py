@@ -316,3 +316,57 @@ def test_graph_census_operators_handle_empty_input(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     assert triangle_counts(edges).count() == 0
     assert kcore(edges, 2).count() == 0
+
+
+def test_core_numbers_match_bruteforce_peel(spark):
+    """h-index fixpoint == increasing-k peel core numbers on a random
+    graph with a planted 6-clique (core 5) and degree-1 pendants."""
+    import collections
+    import itertools
+    import random
+
+    from patternly_spark.operators.graph import core_numbers
+
+    random.seed(8)
+    edges = {tuple(sorted(random.sample(range(50), 2))) for _ in range(260)}
+    edges |= set(itertools.combinations(range(6), 2))
+    edges |= {(0, 100), (100, 101)}  # pendant chain: cores 1
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {r.node: r.core for r in core_numbers(df).collect()}
+
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    core = {}
+    a = {n: set(s) for n, s in adj.items()}
+    k = 0
+    while a:
+        k += 1
+        while True:
+            bad = {n for n, s in a.items() if len(s) < k}
+            if not bad:
+                break
+            for n in bad:
+                core[n] = k - 1
+                for m in a[n]:
+                    a[m].discard(n)
+                del a[n]
+    assert got == core
+    assert got[100] == 1 and got[101] == 1
+    assert all(got[n] >= 5 for n in range(6))
+
+
+def test_core_numbers_consistent_with_kcore(spark):
+    """Membership law: kcore(k) nodes == nodes with core number >= k."""
+    import random
+
+    from patternly_spark.operators.graph import core_numbers, kcore
+
+    random.seed(12)
+    edges = {tuple(sorted(random.sample(range(40), 2))) for _ in range(200)}
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    cores = {r.node: r.core for r in core_numbers(df).collect()}
+    for k in [1, 2, 3, 4]:
+        in_kcore = {r.node for r in kcore(df, k).collect()}
+        assert in_kcore == {n for n, c in cores.items() if c >= k}, k
