@@ -211,3 +211,84 @@ def test_lpa_round_plan_is_key_partitioned(spark):
     a = plan_audit(out)
     assert a["python_evals"] == 0, a
     assert a["nested_loop_joins"] == 0, a
+
+
+def test_round4_allpairs_family_plan_shapes(spark):
+    """Plan pins for the exact all-pairs family: everything joins on
+    keys (no nested-loop/cartesian on data), Python appears only as the
+    Arrow GEMM/cell kernels, and the tfidf join's only cross join is
+    the broadcast 1-row corpus count."""
+    from patternly_spark.operators.dedup import duplicate_spans, set_similarity_join
+    from patternly_spark.operators.similarity_allpairs import (
+        cosine_allpairs_join,
+        tfidf_cosine_allpairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    ppj = plan_audit(set_similarity_join(docs, threshold=0.5))
+    assert ppj["nested_loop_joins"] == 0 and ppj["python_evals"] == 0
+
+    spans = plan_audit(duplicate_spans(docs, ngram=20))
+    assert spans["nested_loop_joins"] == 0 and spans["python_evals"] == 0
+
+    cos = plan_audit(cosine_allpairs_join(emb, threshold=0.5))
+    assert cos["nested_loop_joins"] == 0
+    # cell build + per-cell GEMM verify are the only Python crossings
+    assert 1 <= cos["python_evals"] <= 3
+
+    tf = plan_audit(tfidf_cosine_allpairs(docs, threshold=0.9))
+    assert tf["python_evals"] == 0
+    # the broadcast 1-row count is the ONLY nested-loop member
+    assert tf["nested_loop_joins"] <= 1
+
+
+def test_round4_graph_and_stats_plan_shapes(spark):
+    from patternly_spark.operators.behavior import frequent_itemsets
+    from patternly_spark.operators.graph import triangle_counts
+    from patternly_spark.operators.lm import pmi_cooccurrence
+    from patternly_spark.operators.temporal import acf, holt_smoothing
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+    tri = plan_audit(triangle_counts(edges))
+    assert tri["nested_loop_joins"] == 0 and tri["python_evals"] == 0
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pmi = plan_audit(pmi_cooccurrence(docs, window=3))
+    # counts-only total rides a broadcast nested loop (1-row); pair
+    # generation itself must stay join-free
+    assert pmi["python_evals"] == 0 and pmi["nested_loop_joins"] <= 1
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus"), "value"
+    )
+    holt = plan_audit(
+        holt_smoothing(ev, "value", by="user_id", order_col=["tus", "event_id"])
+    )
+    assert holt["nested_loop_joins"] == 0 and holt["python_evals"] == 0
+
+    a = plan_audit(acf(ev, "value", by="user_id", order_col=["tus", "event_id"]))
+    assert a["nested_loop_joins"] == 0 and a["python_evals"] == 0
+    # one sort feeds all lags: window + final group = bounded exchanges
+    assert a["exchanges"] <= 2
+
+    fi = plan_audit(
+        frequent_itemsets(
+            li.select(
+                F.col("l_orderkey").alias("basket_id"),
+                F.col("l_partkey").cast("string").alias("item"),
+            ),
+            size=3,
+            min_support=2,
+        )
+    )
+    assert fi["nested_loop_joins"] == 0 and fi["python_evals"] == 0
