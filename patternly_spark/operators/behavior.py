@@ -196,6 +196,7 @@ def frequent_itemsets(
     item_col: str = "item",
     size: int = 3,
     min_support: int = 2,
+    max_basket: int | None = None,
 ) -> DataFrame:
     """Exact frequent k-itemsets by per-basket combination expansion —
     the market-basket generalization beyond pair affinity: every
@@ -225,6 +226,8 @@ def frequent_itemsets(
         .agg(F.array_sort(F.collect_set("it")).alias("items"))
         .filter(F.size("items") >= k)
     )
+    if max_basket is not None:
+        per_basket = per_basket.filter(F.size("items") <= int(max_basket))
     if k == 1:
         combos = F.transform(F.col("items"), lambda x: F.array(x))
     elif k == 2:

@@ -1355,9 +1355,15 @@ def duplicate_spans(
 ) -> DataFrame:
     """Exact repeated-substring span report — the ExactSubstr shape of
     Lee et al., "Deduplicating Training Data Makes Language Models
-    Better" (arXiv:2107.06499): every maximal token span whose every
-    ``ngram``-token window occurs >= ``min_repeats`` times across the
-    corpus (including within one document).  Where the paper builds a
+    Better" (arXiv:2107.06499): COVERAGE semantics — every maximal
+    token span in which each token is covered by at least one
+    ``ngram``-token window occurring >= ``min_repeats`` times across
+    the corpus (including within one document).  Adjacent/overlapping
+    repeated windows merge into one span (the island merge joins
+    flagged start positions up to n apart), so a merged span may
+    contain interior windows that are not themselves repeated — the
+    guarantee is per-token coverage, not per-window repetition.  Where
+    the paper builds a
     monolithic suffix array, the Spark-native formulation is a rolling
     n-gram census + gaps-and-islands merge — same detected spans for
     span lengths >= ngram (a repeat of length L >= n is exactly a run of

@@ -417,6 +417,12 @@ def kcore(
 
     Output: (node, core_degree) for k-core members — core_degree is the
     node's degree WITHIN the core (>= k by definition).
+
+    Raises RuntimeError if the peel has not converged within
+    ``max_rounds`` (long cascades — e.g. a path graph needs ~n/2
+    rounds): an unconverged result would report under-k nodes as core
+    members, silently violating the invariant (``core_numbers`` raises
+    on the same condition).
     """
     und = (
         edges.select(
@@ -428,6 +434,7 @@ def kcore(
         .localCheckpoint(eager=True)
     )
     kk = int(k)
+    converged = False
     for _ in range(int(max_rounds)):
         deg = (
             und.select(F.col("u").alias("node"))
@@ -437,6 +444,7 @@ def kcore(
         )
         bad = deg.filter(F.col("degree") < kk).select("node")
         if bad.limit(1).count() == 0:
+            converged = True
             break
         und = (
             und.join(bad.withColumnRenamed("node", "u"), "u", "left_anti")
@@ -444,6 +452,20 @@ def kcore(
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
+    if not converged:
+        # the final round may have peeled the last under-k nodes without
+        # a follow-up check — re-verify before declaring failure
+        final_deg = (
+            und.select(F.col("u").alias("node"))
+            .unionAll(und.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        )
+        if final_deg.filter(F.col("degree") < kk).limit(1).count() > 0:
+            raise RuntimeError(
+                f"kcore(k={kk}) did not converge within max_rounds={max_rounds}: "
+                "nodes with degree < k remain; raise max_rounds"
+            )
     return (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))

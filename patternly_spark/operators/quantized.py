@@ -458,6 +458,7 @@ def mutual_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 6,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Mutual k-nearest-neighbor graph over an embedding column: the
     pairs (a, b) where each is in the OTHER's exact top-k by quantized
@@ -472,9 +473,15 @@ def mutual_knn(
     is a self-join of that O(N*k) edge list on the reversed key.
 
     Scale contract: exact mode requires the code matrix to fit a
-    broadcast (~(d+1)*4 bytes/vector — tens of millions of vectors);
-    beyond that, generate candidates with ``ivf_topk`` /
-    ``lsh_index_topk`` and keep the same mutual join.  Zero vectors
+    broadcast (~(d+1)*4 bytes/vector — tens of millions of vectors).
+    Beyond that bound, pass ``candidates=`` — any
+    (query_id, neighbor_id[, ...]) relation, e.g. the output of
+    ``ivf_topk`` / ``lsh_index_topk`` — and the corpus is NEVER
+    collected: each candidate pair is scored by an equi-join to the
+    vector relation (both sides), ranked per query among its candidates
+    (same (-qcosine, neighbor_id) order as exact mode), and fed to the
+    identical mutual self-join.  Candidate mode is exact iff the
+    candidate set contains each vector's true top-k.  Zero vectors
     (undefined cosine) are excluded.
 
     Output: (id_a, id_b, qcosine, rank_ab, rank_ba) with id_a < id_b —
@@ -485,6 +492,11 @@ def mutual_knn(
     import pandas as pd
 
     kk = int(k)
+    if candidates is not None:
+        tk = _candidate_knn_edges(
+            df, candidates, k=kk, id_col=id_col, vec_col=vec_col
+        )
+        return _mutual_join(tk, round_digits)
 
     def _np_codes(vecs):
         """absmax int8 codes — the same closed form int8_quantize folds
@@ -535,10 +547,13 @@ def mutual_knn(
             S = np.where(self_mask, -np.inf, S)
             order = np.lexsort((b_ids[None, :].repeat(len(qids), 0), -S), axis=1)
             top = order[:, :kk]
-            out_q = np.repeat(qids, kk)
+            # top has min(kk, corpus_size) columns — a corpus smaller
+            # than k must not desync the repeat/tile lengths
+            kk_eff = top.shape[1]
+            out_q = np.repeat(qids, kk_eff)
             out_n = b_ids[top].ravel()
             out_s = np.take_along_axis(S, top, axis=1).ravel()
-            out_r = np.tile(np.arange(1, kk + 1), len(qids))
+            out_r = np.tile(np.arange(1, kk_eff + 1), len(qids))
             fin = np.isfinite(out_s)
             yield pd.DataFrame(
                 {
@@ -552,10 +567,16 @@ def mutual_knn(
     tk = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).mapInPandas(_topk, "query_id long, neighbor_id long, qcosine double, rank int")
+    return _mutual_join(tk, round_digits)
+
+
+def _mutual_join(tk: DataFrame, round_digits: int | None) -> DataFrame:
+    """Reciprocal filter over a (query_id, neighbor_id, qcosine, rank)
+    edge list — shared by exact and candidate modes."""
     if round_digits is not None:
         tk = tk.withColumn("qcosine", F.round("qcosine", round_digits))
     # both sides of the mutual self-join read tk: pin the O(N*k) edge
-    # list once instead of running the GEMM scan twice
+    # list once instead of running the scoring scan twice
     tk = tk.localCheckpoint(eager=True)
     a = tk.select(
         F.col("query_id").alias("id_a"),
@@ -572,4 +593,84 @@ def mutual_knn(
         a.join(b, ["id_a", "id_b"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "qcosine", "rank_ab", "rank_ba")
+    )
+
+
+def _candidate_knn_edges(
+    df: DataFrame,
+    candidates: DataFrame,
+    *,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Score candidate pairs distributed (no corpus collect): equi-join
+    vectors onto both pair sides, one Arrow-batched GEMM-free scoring
+    pass (per-row int8 quantize + dot, vectorized over the batch), then
+    a per-query rank window capped at k with the exact-mode order
+    (-qcosine, neighbor_id).  O(|candidates|) work, two hash joins +
+    one window shuffle — no driver materialization of anything."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    kk = int(k)
+    cand = (
+        candidates.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .distinct()
+    )
+    vecs = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    )
+    pairs = cand.join(
+        vecs.select(F.col("id").alias("query_id"), F.col("v").alias("qv")),
+        "query_id",
+    ).join(
+        vecs.select(F.col("id").alias("neighbor_id"), F.col("v").alias("nv")),
+        "neighbor_id",
+    )
+
+    def _np_codes(vecs_list):
+        X = np.asarray(vecs_list, dtype=np.float64)
+        amax = np.abs(X).max(axis=1)
+        scale = np.where(amax / 127.0 > 0.0, amax / 127.0, 1.0)
+        return np.floor(X / scale[:, None] + 0.5)
+
+    def _score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Q = _np_codes(pdf["qv"].tolist())
+            Nv = _np_codes(pdf["nv"].tolist())
+            qn = np.sqrt((Q * Q).sum(axis=1))
+            nn = np.sqrt((Nv * Nv).sum(axis=1))
+            keep = (qn > 0) & (nn > 0)
+            if not keep.any():
+                continue
+            # dot / (sqrt(na)*sqrt(nb)) — identical IEEE expression to
+            # exact mode and the SQL oracle
+            dot = (Q[keep] * Nv[keep]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy()[keep],
+                    "neighbor_id": pdf["neighbor_id"].to_numpy()[keep],
+                    "qcosine": dot / (qn[keep] * nn[keep]),
+                }
+            )
+
+    scored = pairs.mapInPandas(
+        _score, "query_id long, neighbor_id long, qcosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qcosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= kk)
+        .select("query_id", "neighbor_id", "qcosine", "rank")
     )

@@ -158,10 +158,13 @@ def _gemm_verify(
         H = np.array(h["codes"].tolist(), dtype=np.float64)
         P = np.array(p["codes"].tolist(), dtype=np.float64)
         G = P @ H.T
-        qc = G / np.sqrt(
-            np.outer(
-                p["n2"].to_numpy(dtype=np.float64), h["n2"].to_numpy(dtype=np.float64)
-            )
+        # sqrt each norm BEFORE the outer product: the oracle (and the
+        # repo convention, see mutual_knn) computes dot/(sqrt(a)*sqrt(b)),
+        # and sqrt(a*b) can differ from sqrt(a)*sqrt(b) in the last ulp —
+        # enough to flip a borderline pair across the threshold.
+        qc = G / np.outer(
+            np.sqrt(p["n2"].to_numpy(dtype=np.float64)),
+            np.sqrt(h["n2"].to_numpy(dtype=np.float64)),
         )
         pid = p["id"].to_numpy()
         hid = h["id"].to_numpy()
@@ -221,6 +224,118 @@ def cosine_allpairs_join(
     return out
 
 
+def build_idf_snapshot(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Freeze a corpus's IDF statistics: (term, df, n_docs) — n_docs
+    replicated per row (constant column, RLE-free in parquet) so the
+    snapshot is one self-contained relation that persists as a plain
+    parquet table.  Feed it to ``tfidf_cosine_allpairs(idf_stats=...)``
+    or the incremental registry (``streaming/similarity_tfidf``): a
+    FROZEN snapshot is what makes incremental TF-IDF joins coherent —
+    weights never drift as new documents arrive, so a pair's cosine is
+    the same number in whichever batch completes it."""
+    tok = (
+        docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    n = docs.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(n))
+    )
+
+
+def _tfidf_weighted(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    scale: float,
+    idf_stats: DataFrame | None,
+) -> DataFrame:
+    """(id, term, df, w) integer-weighted postings.  With ``idf_stats``
+    (a ``build_idf_snapshot`` relation) the weights come from the FROZEN
+    (df, n_docs); terms absent from the snapshot weight at df=0 —
+    the maximal IDF, deterministically, for every batch."""
+    tok = (
+        docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    if idf_stats is None:
+        n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("__n"))
+        df_ = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+        joined = tok.join(df_, "term").crossJoin(F.broadcast(n_docs))
+    else:
+        first = idf_stats.select("n_docs").first()
+        if first is None:
+            raise ValueError("idf_stats snapshot is empty — build it first")
+        n = float(first["n_docs"])
+        joined = tok.join(
+            idf_stats.select("term", "df"), "term", "left"
+        ).select(
+            "id",
+            "term",
+            "tf",
+            F.coalesce(F.col("df"), F.lit(0)).cast("long").alias("df"),
+            F.lit(n).alias("__n"),
+        )
+    return joined.select(
+        "id",
+        "term",
+        "df",
+        (
+            F.col("tf")
+            * F.floor(
+                F.log(
+                    (F.col("__n") + F.lit(1.0))
+                    / (F.col("df") + F.lit(1)).cast("double")
+                )
+                * F.lit(scale)
+            ).cast("long")
+        ).alias("w"),
+    ).filter(F.col("w") > 0)
+
+
+def _tfidf_prefix(weighted: DataFrame, t: float) -> DataFrame:
+    """(id, term) prefix rows under the rare-first canonical order: a
+    row is prefix iff the suffix mass from it onward is still
+    >= n2 * t^2/4 (the excluded tail is strictly below the symmetric
+    prefix-filter bound — see tfidf_cosine_allpairs)."""
+    from pyspark.sql import Window
+
+    w_order = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("term"))
+    norms = weighted.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    return (
+        weighted.withColumn(
+            "__suf",
+            F.sum(F.col("w") * F.col("w")).over(
+                w_order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            ),
+        )
+        .join(norms, "id")
+        .filter(
+            F.col("__suf").cast("double")
+            >= F.col("n2").cast("double") * F.lit(t * t / 4.0)
+        )
+        .select("id", "term")
+    )
+
+
 def tfidf_cosine_allpairs(
     docs: DataFrame,
     *,
@@ -229,6 +344,7 @@ def tfidf_cosine_allpairs(
     text_col: str = "text",
     idf_quantize_bits: int = 16,
     round_digits: int | None = 6,
+    idf_stats: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT all-pairs TF-IDF cosine join over SPARSE term vectors — the
     weighted member of the all-pairs family: ``set_similarity_join``
@@ -263,67 +379,37 @@ def tfidf_cosine_allpairs(
     to the tails and never key a block.  No driver collect except the
     1-row corpus count (broadcast).
 
+    ``idf_stats`` (a ``build_idf_snapshot`` relation) freezes (df,
+    n_docs) to an external reference corpus: weights come from the
+    snapshot instead of the input — the contract that makes the
+    incremental registry's union-over-batches equal one batch run over
+    the concatenated corpus.  Terms absent from the snapshot weight at
+    df=0 (maximal IDF) for every document alike.  When the snapshot IS
+    this corpus's own census, the result is identical to running
+    without it (pinned by test).
+
     Output: (doc_a, doc_b, cosine) with doc_a < doc_b, cosine >= t.
     Documents with no terms (or all-zero weights) never join.
     """
-    from pyspark.sql import Window
-
     t = float(threshold)
     if not (0.0 < t <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {t}")
     scale = float(2 ** int(idf_quantize_bits))
 
-    tok = (
-        docs.select(
-            F.col(id_col).cast("long").alias("id"),
-            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
-        )
-        .filter(F.col("term") != "")
-        .groupBy("id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    weighted = _tfidf_weighted(
+        docs, id_col=id_col, text_col=text_col, scale=scale, idf_stats=idf_stats
     )
-    n_docs = docs.select(
-        F.count(F.lit(1)).cast("double").alias("__n")
-    )
-    df_ = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    weighted = (
-        tok.join(df_, "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "id",
-            "term",
-            "df",
-            (
-                F.col("tf")
-                * F.floor(
-                    F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)).cast("double"))
-                    * F.lit(scale)
-                ).cast("long")
-            ).alias("w"),
-        )
-        .filter(F.col("w") > 0)
-    )
+    # `weighted` (tokenize -> tf groupBy -> df join -> 1-row count
+    # crossJoin) feeds norms, suffix, and BOTH sides of the dot join;
+    # without a cut Catalyst re-expands the whole subtree at every
+    # reference (~8x re-tokenization of the corpus — a 100 TB killer).
+    # Same trap-list rule already applied to q162's token relation and
+    # mutual_knn's edge list: pin the small intermediate once.
+    weighted = weighted.localCheckpoint(eager=True)
     norms = weighted.groupBy("id").agg(
         F.sum(F.col("w") * F.col("w")).alias("n2")
     )
-    # suffix-from-here mass under the rare-first canonical order; a row is
-    # prefix iff the mass from it onward is still >= n2 * t^2/4 (so the
-    # excluded tail is strictly below the bound)
-    w_order = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("term"))
-    suffix = (
-        weighted.withColumn(
-            "__suf",
-            F.sum(F.col("w") * F.col("w")).over(
-                w_order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-            ),
-        )
-        .join(norms, "id")
-        .filter(
-            F.col("__suf").cast("double")
-            >= F.col("n2").cast("double") * F.lit(t * t / 4.0)
-        )
-        .select("id", "term")
-    )
+    suffix = _tfidf_prefix(weighted, t)
     cand = (
         suffix.select(F.col("id").alias("doc_a"), "term")
         .join(suffix.select(F.col("id").alias("doc_b"), "term"), "term")
@@ -331,6 +417,9 @@ def tfidf_cosine_allpairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # cand is read by both arms of the two-sided dot join below; pin it
+    # so the prefix self-join runs once, not twice.
+    cand = cand.localCheckpoint(eager=True)
     dots = (
         cand.join(
             weighted.select(F.col("id").alias("doc_a"), "term", F.col("w").alias("wa")),

@@ -39,6 +39,9 @@ __all__ = [
     "streaming_cosine_allpairs",
     "streaming_covariance_registry",
     "covariance_from_registry",
+    "empty_tfidf_registry",
+    "incremental_tfidf_allpairs",
+    "streaming_tfidf_allpairs",
 ]
 
 
@@ -166,6 +169,261 @@ def streaming_cosine_allpairs(
         new_rows.write.mode("append").parquet(registry_path)
 
     writer = stream_vecs.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def empty_tfidf_registry(spark) -> DataFrame:
+    """Zero-row (id, term, w, n2, is_prefix) seed registry for
+    ``incremental_tfidf_allpairs``."""
+    return spark.createDataFrame(
+        [], "id long, term string, w long, n2 long, is_prefix boolean"
+    )
+
+
+def incremental_tfidf_allpairs(
+    new_docs: DataFrame,
+    registry: DataFrame,
+    idf_stats: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    idf_quantize_bits: int = 16,
+    round_digits: int | None = 6,
+):
+    """Incremental exact TF-IDF cosine all-pairs — the sparse-weighted
+    member's registry twin (batch operator:
+    ``operators/similarity_allpairs.tfidf_cosine_allpairs`` / q176),
+    completing the all-pairs family: q162 sets have ST20, q173 dense
+    vectors ST21, this gives weighted sparse vectors the same
+    exactly-once contract.
+
+    IDF POLICY — FROZEN SNAPSHOT (the design decision that makes the
+    operator coherent): TF-IDF weights depend on corpus statistics
+    (df, N), which drift as documents arrive; recomputing them per
+    batch would silently change the cosine of already-emitted pairs and
+    break union parity.  So the registry is pinned to a
+    ``build_idf_snapshot`` relation chosen at creation (the reference
+    corpus); every batch weights its terms with the FROZEN (df, N) —
+    terms unseen in the snapshot weight at df=0 (maximal IDF) for every
+    document alike.  The law: the union of emitted pairs over batches
+    equals ``tfidf_cosine_allpairs(concat, idf_stats=snapshot)``
+    exactly (value-exact; pinned by test).  To refresh IDF, build a new
+    snapshot and REBUILD the registry (a versioned-registry swap) —
+    mixing weights from two snapshots in one registry is never valid.
+    Same precedent as ST20's fixed xxhash64 prefix order: frozen
+    statistics are the correct incremental trade.
+
+    Each batch joins itself (each unordered pair once) and the pruned
+    registry: candidate generation is the same symmetric prefix filter
+    as the batch operator (prefix flags are per-document deterministic
+    under the frozen df, so they are computed once and STORED).  The
+    registry side is term-equi-joined on the batch's prefix terms and
+    semi-join-pruned to candidate ids before any norm/dot work — cost
+    scales with the batch's neighborhood, not history.  At 100 TB,
+    bucket the registry by term (``sources.bucketed``) so the probe
+    prunes to matching buckets.
+
+    Same (threshold, idf_quantize_bits, snapshot) for every batch; doc
+    ids globally unique across batches (the standard registry
+    contract).
+
+    Returns ``(pairs, new_registry_rows)`` — append the rows for the
+    next batch.
+    """
+    from patternly_spark.operators.similarity_allpairs import (
+        _tfidf_prefix,
+        _tfidf_weighted,
+    )
+
+    t = float(threshold)
+    if not (0.0 < t <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {t}")
+    scale = float(2 ** int(idf_quantize_bits))
+
+    weighted_b = _tfidf_weighted(
+        new_docs, id_col=id_col, text_col=text_col, scale=scale, idf_stats=idf_stats
+    ).localCheckpoint(eager=True)
+    norms_b = weighted_b.groupBy("id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2")
+    )
+    prefix_b = _tfidf_prefix(weighted_b, t).localCheckpoint(eager=True)
+
+    new_rows = (
+        weighted_b.join(norms_b, "id")
+        .join(
+            prefix_b.withColumn("is_prefix", F.lit(True)), ["id", "term"], "left"
+        )
+        .select(
+            "id",
+            "term",
+            "w",
+            "n2",
+            F.coalesce(F.col("is_prefix"), F.lit(False)).alias("is_prefix"),
+        )
+    )
+
+    # batch x batch: the batch operator's own candidate/dot/cosine flow
+    cand_bb = (
+        prefix_b.select(F.col("id").alias("doc_a"), "term")
+        .join(prefix_b.select(F.col("id").alias("doc_b"), "term"), "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dots_bb = (
+        cand_bb.join(
+            weighted_b.select(
+                F.col("id").alias("doc_a"), "term", F.col("w").alias("wa")
+            ),
+            "doc_a",
+        )
+        .join(
+            weighted_b.select(
+                F.col("id").alias("doc_b"), "term", F.col("w").alias("wb")
+            ),
+            ["doc_b", "term"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    bb = (
+        dots_bb.join(
+            norms_b.select(F.col("id").alias("doc_a"), F.col("n2").alias("na2")),
+            "doc_a",
+        )
+        .join(
+            norms_b.select(F.col("id").alias("doc_b"), F.col("n2").alias("nb2")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "dot", "na2", "nb2")
+    )
+
+    # batch x registry: registry prefixes probed by batch prefix terms,
+    # then postings pruned to candidate ids (ids disjoint by contract)
+    reg_pref = registry.filter(F.col("is_prefix")).select(
+        F.col("id").alias("doc_r"), "term"
+    )
+    cand_br = (
+        prefix_b.select(F.col("id").alias("doc_n"), "term")
+        .join(reg_pref, "term")
+        .select("doc_n", "doc_r")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    reg_post = registry.join(
+        cand_br.select(F.col("doc_r").alias("id")).distinct(), "id", "left_semi"
+    ).select("id", "term", "w", "n2")
+    dots_br = (
+        cand_br.join(
+            weighted_b.select(
+                F.col("id").alias("doc_n"), "term", F.col("w").alias("wa")
+            ),
+            "doc_n",
+        )
+        .join(
+            reg_post.select(
+                F.col("id").alias("doc_r"), "term", F.col("w").alias("wb")
+            ),
+            ["doc_r", "term"],
+        )
+        .groupBy("doc_n", "doc_r")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    br = (
+        dots_br.join(
+            norms_b.select(F.col("id").alias("doc_n"), F.col("n2").alias("nn2")),
+            "doc_n",
+        )
+        .join(
+            reg_post.select("id", "n2").distinct().select(
+                F.col("id").alias("doc_r"), F.col("n2").alias("nr2")
+            ),
+            "doc_r",
+        )
+        .select(
+            F.least("doc_n", "doc_r").alias("doc_a"),
+            F.greatest("doc_n", "doc_r").alias("doc_b"),
+            "dot",
+            # cosine denominator multiplies the two sqrts — IEEE
+            # multiplication commutes, so least/greatest order cannot
+            # change the value vs the batch operator
+            F.col("nn2").alias("na2"),
+            F.col("nr2").alias("nb2"),
+        )
+    )
+
+    pairs = (
+        bb.unionByName(br)
+        .withColumn(
+            "__cos",
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("na2").cast("double"))
+                * F.sqrt(F.col("nb2").cast("double"))
+            ),
+        )
+        .filter(F.col("__cos") >= F.lit(t))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.round(F.col("__cos"), round_digits)
+                if round_digits is not None
+                else F.col("__cos")
+            ).alias("cosine"),
+        )
+    )
+    return pairs, new_rows
+
+
+def streaming_tfidf_allpairs(
+    stream_docs: DataFrame,
+    registry_path: str,
+    output_path: str,
+    *,
+    checkpoint_path: str,
+    idf_path: str,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    idf_quantize_bits: int = 16,
+    trigger_once: bool = False,
+):
+    """foreachBatch wrapper: each microbatch runs
+    ``incremental_tfidf_allpairs`` against the parquet registry at
+    ``registry_path`` under the FROZEN IDF snapshot at ``idf_path``
+    (build it with ``build_idf_snapshot(...).write.parquet(idf_path)``
+    BEFORE starting — a missing snapshot is an error, never an implicit
+    refresh), appends qualifying pairs to ``output_path`` and the
+    batch's postings to the registry.  Microbatches are sequential, so
+    read-then-append is race-free by construction."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        idf_stats = spark.read.parquet(idf_path)
+        try:
+            registry = spark.read.parquet(registry_path)
+        except Exception:
+            registry = empty_tfidf_registry(spark)
+        pairs, new_rows = incremental_tfidf_allpairs(
+            batch_df,
+            registry,
+            idf_stats,
+            threshold=threshold,
+            id_col=id_col,
+            text_col=text_col,
+            idf_quantize_bits=idf_quantize_bits,
+        )
+        pairs.write.mode("append").parquet(output_path)
+        new_rows.write.mode("append").parquet(registry_path)
+
+    writer = stream_docs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path
     )
     if trigger_once:

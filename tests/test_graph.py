@@ -252,6 +252,27 @@ def test_kcore_peels_to_clique(spark):
     assert kcore(df, 7).count() == 0
 
 
+def test_kcore_raises_on_nonconvergence(spark):
+    """A path graph peels one endpoint pair per round (~n/2 rounds); an
+    exhausted max_rounds must raise, never return under-k nodes as core
+    members."""
+    import pytest
+
+    from patternly_spark.operators.graph import kcore
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(path, 2, max_rounds=2)
+    # converging ON the final round is fine (4-node path at k=2 empties
+    # in exactly 2 peel rounds — the post-loop re-verify must accept it)
+    short = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    assert kcore(short, 2, max_rounds=2).count() == 0
+
+
 def test_kcore_matches_python_peel_random(spark):
     import collections
     import random

@@ -269,7 +269,12 @@ def test_round4_graph_and_stats_plan_shapes(spark):
     assert pmi["python_evals"] == 0 and pmi["nested_loop_joins"] <= 1
 
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("tus"), "value"
+        "user_id",
+        "event_id",
+        # events.ts is TIMESTAMP_NTZ in the raw parquet; unix_micros
+        # needs a TIMESTAMP (the entry point's _t() helper casts too)
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        "value",
     )
     holt = plan_audit(
         holt_smoothing(ev, "value", by="user_id", order_col=["tus", "event_id"])

@@ -243,3 +243,78 @@ def test_embedding_matrix_operators_handle_empty_input(spark):
     vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert embedding_covariance(vecs).count() == 0
     assert mutual_knn(vecs, k=3).count() == 0
+
+
+def test_mutual_knn_corpus_smaller_than_k(spark):
+    """k > corpus size must not desync the repeat/tile lengths in the
+    executor (regression: 'arrays must all be same length')."""
+    from patternly_spark.operators.quantized import mutual_knn
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = mutual_knn(vecs, k=10).collect()
+    # every pair is mutual when everyone is in everyone's top-k
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_mutual_knn_candidate_mode_matches_exact(spark, emb, monkeypatch):
+    """Candidate mode with a complete candidate set (all pairs) must
+    reproduce exact mode bit-for-bit, and must never collect the
+    corpus to the driver."""
+    import pyspark.sql.dataframe as D
+
+    from patternly_spark.operators.quantized import mutual_knn
+
+    sub = emb.limit(40).localCheckpoint(eager=True)
+    ids = sub.select(F.col("vec_id").alias("query_id"))
+    cand = ids.crossJoin(sub.select(F.col("vec_id").alias("neighbor_id")))
+
+    exact = {
+        (r.id_a, r.id_b): (r.rank_ab, r.rank_ba, r.qcosine)
+        for r in mutual_knn(sub, k=4).collect()
+    }
+
+    orig_collect = D.DataFrame.collect
+
+    def _no_collect(self, *a, **kw):
+        raise AssertionError("candidate mode must not collect the corpus")
+
+    monkeypatch.setattr(D.DataFrame, "collect", _no_collect)
+    out = mutual_knn(sub, k=4, candidates=cand)
+    monkeypatch.setattr(D.DataFrame, "collect", orig_collect)
+
+    got = {(r.id_a, r.id_b): (r.rank_ab, r.rank_ba, r.qcosine) for r in out.collect()}
+    assert got == exact
+
+
+def test_mutual_knn_ivf_candidate_mode_on_planted_clusters(spark):
+    """ivf_topk output plugs directly into candidates=: on a corpus of
+    tight planted clusters (true neighbors share the IVF cell) the
+    approximate candidate path agrees with exact mode."""
+    import numpy as np
+
+    from patternly_spark.operators.quantized import mutual_knn
+    from patternly_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 16)) * 10.0
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(10):
+            rows.append((vid, (c + rng.normal(size=16) * 0.05).tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r.id_a, r.id_b): (r.rank_ab, r.rank_ba)
+        for r in mutual_knn(df, k=3).collect()
+    }
+    cand = ivf_topk(df, df, k=8, n_lists=4, n_probe=2, seed=11)
+    got = {
+        (r.id_a, r.id_b): (r.rank_ab, r.rank_ba)
+        for r in mutual_knn(df, k=3, candidates=cand).collect()
+    }
+    assert got == exact

@@ -1267,3 +1267,215 @@ def test_streaming_holt_matches_batch(spark, tmp_path):
     assert got == want
     reg = spark.read.parquet(str(tmp_path / "reg"))
     assert reg.count() == 2 and set(reg.columns) == {"k", "level", "trend"}
+
+
+# ---------------------------------------------------------------------------
+# incremental / streaming TF-IDF cosine all-pairs (the q176 streaming twin)
+# ---------------------------------------------------------------------------
+
+
+def _tfidf_corpus():
+    """Docs with planted near-duplicates: pairs (i, i+1) for even i < 16
+    share 18/20 tokens; the rest are random draws from a 60-word vocab."""
+    import random
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(0, 16, 2):
+        base = rng.choices(vocab, k=20)
+        near = list(base)
+        near[3] = rng.choice(vocab)
+        near[11] = rng.choice(vocab)
+        rows.append((i, " ".join(base)))
+        rows.append((i + 1, " ".join(near)))
+    for i in range(16, 40):
+        rows.append((i, " ".join(rng.choices(vocab, k=20))))
+    rows.append((40, "   "))  # empty after trim: never joins
+    return rows
+
+
+def test_tfidf_self_snapshot_equals_unfrozen(spark):
+    """idf_stats pinned to the corpus's OWN census must reproduce the
+    unfrozen run exactly (same N, same df -> same integer weights)."""
+    from patternly_spark.operators.similarity_allpairs import (
+        build_idf_snapshot,
+        tfidf_cosine_allpairs,
+    )
+
+    docs = spark.createDataFrame(_tfidf_corpus(), "doc_id long, text string")
+    snap = build_idf_snapshot(docs).localCheckpoint(eager=True)
+    want = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in tfidf_cosine_allpairs(docs, threshold=0.6).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in tfidf_cosine_allpairs(docs, threshold=0.6, idf_stats=snap).collect()
+    }
+    assert want and got == want
+
+
+def test_incremental_tfidf_allpairs_union_parity(spark):
+    """The frozen-IDF law: union of incremental results over a 3-batch
+    split == the batch tfidf_cosine_allpairs over the whole corpus
+    under the SAME snapshot, value-exact and exactly-once.  The
+    snapshot is deliberately built from only the first 25 docs, so
+    later batches carry snapshot-unseen terms (df=0 path) on both
+    sides of the comparison."""
+    from patternly_spark.operators.similarity_allpairs import (
+        build_idf_snapshot,
+        tfidf_cosine_allpairs,
+    )
+    from patternly_spark.streaming.similarity import (
+        empty_tfidf_registry,
+        incremental_tfidf_allpairs,
+    )
+
+    rows = _tfidf_corpus()
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    snap = build_idf_snapshot(
+        spark.createDataFrame(rows[:25], "doc_id long, text string")
+    ).localCheckpoint(eager=True)
+    want = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in tfidf_cosine_allpairs(full, threshold=0.6, idf_stats=snap).collect()
+    }
+    assert want, "corpus must contain qualifying pairs"
+    # near-dup pairs must span batches for the cross-registry path to matter
+    assert any(a < 10 <= b or a < 25 <= b for a, b in want)
+
+    registry = empty_tfidf_registry(spark)
+    got = {}
+    for lo, hi in [(0, 10), (10, 25), (25, len(rows))]:
+        batch = spark.createDataFrame(rows[lo:hi], "doc_id long, text string")
+        pairs, new_rows = incremental_tfidf_allpairs(
+            batch, registry, snap, threshold=0.6
+        )
+        for r in pairs.collect():
+            key = (r.doc_a, r.doc_b)
+            assert key not in got, f"pair {key} emitted twice"
+            got[key] = r.cosine
+        registry = registry.unionByName(new_rows).localCheckpoint(eager=True)
+
+    assert got == want
+
+
+def test_streaming_tfidf_allpairs_end_to_end(spark, tmp_path):
+    from patternly_spark.operators.similarity_allpairs import (
+        build_idf_snapshot,
+        tfidf_cosine_allpairs,
+    )
+    from patternly_spark.streaming.similarity import streaming_tfidf_allpairs
+
+    rows = _tfidf_corpus()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    idf_path = str(tmp_path / "idf")
+    build_idf_snapshot(docs).write.parquet(idf_path)
+
+    q = streaming_tfidf_allpairs(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        registry_path=str(tmp_path / "registry"),
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        idf_path=idf_path,
+        threshold=0.6,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    snap = spark.read.parquet(idf_path)
+    want = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in tfidf_cosine_allpairs(docs, threshold=0.6, idf_stats=snap).collect()
+    }
+    assert want and got == want
+    # registry holds postings for every doc with at least one weighted term
+    reg = spark.read.parquet(str(tmp_path / "registry"))
+    assert set(reg.columns) == {"id", "term", "w", "n2", "is_prefix"}
+    assert reg.select("id").distinct().count() == 40
+
+
+# ---------------------------------------------------------------------------
+# incremental / streaming connected components (the q89 streaming twin)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_cc_registry_prefix_parity(spark):
+    """After EVERY batch the registry equals connected_components over
+    the union of all edges seen so far — including cross-batch merges
+    of previously separate components (labels drop to the global min)."""
+    import random
+
+    from patternly_spark.operators.graph import connected_components
+    from patternly_spark.streaming.graph import (
+        empty_cc_registry,
+        incremental_connected_components,
+    )
+
+    random.seed(17)
+    # two dense clusters joined only in the last batch, plus noise
+    edges = [(random.randint(0, 14), random.randint(0, 14)) for _ in range(25)]
+    edges += [(random.randint(20, 34), random.randint(20, 34)) for _ in range(25)]
+    edges += [(random.randint(40, 60), random.randint(40, 60)) for _ in range(20)]
+    edges = [e for e in edges if e[0] != e[1]]
+    bridge = [(7, 27)]  # merges the two dense clusters
+    batches = [edges[:20], edges[20:45], edges[45:] + bridge]
+
+    reg = empty_cc_registry(spark)
+    seen = []
+    for batch_edges in batches:
+        batch = spark.createDataFrame(batch_edges, "src long, dst long")
+        reg = incremental_connected_components(batch, reg).localCheckpoint(
+            eager=True
+        )
+        seen += batch_edges
+        want = {
+            (r.node, r.component)
+            for r in connected_components(
+                spark.createDataFrame(seen, "src long, dst long")
+            ).collect()
+        }
+        got = {(r.node, r.label) for r in reg.collect()}
+        assert got == want
+    # the bridge really merged: nodes 0-14 and 20-34 share one label
+    labels = {r.node: r.label for r in reg.collect()}
+    assert labels[7] == labels[27]
+
+
+def test_streaming_cc_registry_end_to_end(spark, tmp_path):
+    from patternly_spark.operators.graph import connected_components
+    from patternly_spark.streaming.graph import streaming_cc_registry
+
+    edges = [(i, i + 1) for i in range(0, 30, 2)]      # 15 tiny components
+    edges += [(i, i + 2) for i in range(0, 28, 2)]     # chained into one
+    df = spark.createDataFrame(edges, "src long, dst long")
+    src = str(tmp_path / "src")
+    df.repartition(3).write.parquet(src)
+
+    q = streaming_cc_registry(
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        registry_path=str(tmp_path / "registry"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.node, r.label)
+        for r in spark.read.parquet(str(tmp_path / "registry")).collect()
+    }
+    want = {
+        (r.node, r.component) for r in connected_components(df).collect()
+    }
+    assert got == want
