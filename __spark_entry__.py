@@ -7263,6 +7263,183 @@ def q189_core_decomposition(spark, sf_dir):
     return core_numbers(support)
 
 
+def q190_emergence_golden(spark, sf_dir):
+    """Streaming library-growth GOLDEN (ST1/ST3/A8, the fit_stream twin
+    of q175's batch golden): a seeded three-regime symbol stream —
+    2000 symbols from a (0.8/0.2, 0.3/0.7) PFSA, then 1500 from the
+    antipodal (0.05/0.95, 0.95/0.05) machine, then 1500 iid-uniform —
+    chopped into 250-symbol windows and fed to
+    ``ContinuousStreamingDetection.fit_stream``: every window whose llk
+    exceeds ALL minted models' bootstrap bounds mints a new PFSA and
+    logs its emergence window (reference emergence-time semantics,
+    detection.py:616-734).  The stream is synthesized from pinned seeds
+    (sf_dir intentionally unused — the golden is scale-independent) and
+    the driver loop consumes windows in total seq_id order, so the
+    table is bit-stable and partitioning-invariant (regenerated
+    identically at 32 and 200 shuffle partitions).  The VALUES oracle
+    pins it: mints at BOTH regime boundaries (windows 8 and 14) plus
+    the seeded within-regime refinements — any drift in chop, quantize
+    bypass, GenESeSS, simulate bootstrap, or the threshold criterion
+    lands here as a hash mismatch.  Closes the round-4 gap: the
+    library-GROWTH path now has a value-level artifact check, not just
+    rows-only evidence."""
+    import numpy as np
+
+    from patternly_spark.detection import ContinuousStreamingDetection
+    from patternly_spark.pfsa.model import PFSA
+    from patternly_spark.pfsa.simulate import simulate
+
+    a = PFSA(pitilde=[[0.8, 0.2], [0.3, 0.7]], connx=[[0, 1], [0, 1]])
+    c = PFSA(pitilde=[[0.05, 0.95], [0.95, 0.05]], connx=[[0, 1], [0, 1]])
+    u = PFSA(pitilde=[[0.5, 0.5], [0.5, 0.5]], connx=[[0, 1], [0, 1]])
+    stream = np.concatenate(
+        [
+            np.asarray(simulate(a, 2000, 1, seed=41)[0]),
+            np.asarray(simulate(c, 1500, 1, seed=42)[0]),
+            np.asarray(simulate(u, 1500, 1, seed=43)[0]),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(int(i), int(s)) for i, s in enumerate(stream)],
+        "offset long, symbol int",
+    )
+    det = ContinuousStreamingDetection(
+        spark,
+        window_size=250,
+        window_overlap=0,
+        quantize=False,
+        anomaly_sensitivity=2,
+        eps=0.2,
+    )
+    det.fit_stream(df)
+    rows = [(i, int(t)) for i, t in enumerate(det.pattern_emergence_times)]
+    return spark.createDataFrame(rows, "pattern_idx int, emergence_window int")
+
+
+# GOLDEN, not a derivation: the emergence-time table from the seeded
+# three-regime stream, precomputed from the pipeline above and pinned
+# (verified identical at 32 and 200 shuffle partitions).  Windows 0-7
+# are regime A, 8-13 regime C, 14-19 uniform: the detector mints at
+# first sight (0), at both regime boundaries (8, 14), and at two seeded
+# within-regime refinements (6, 10).
+_Q190_ORACLE = """
+    SELECT * FROM (VALUES
+        (0, 0), (1, 6), (2, 8), (3, 10), (4, 14)
+    ) AS t(pattern_idx, emergence_window)
+"""
+
+
+def q191_affix_stitching(spark, sf_dir):
+    """Shard-boundary stitching join (operators/dedup.affix_overlap_join):
+    pairs whose LAST k tokens equal another doc's FIRST k tokens — one
+    logical document split across two crawl records, recovered WITH
+    stitch order (vs duplicate_spans, which reports the overlap but not
+    the direction).  The synthetic corpus has no natural splits, so the
+    query PLANTS them: each doc (first 400, >=24 tokens) is cut at its
+    midpoint into two fragments sharing a 12-token overlap, and the
+    join must recover exactly the planted (2i, 2i+1) stitches plus any
+    true cross-doc affix collisions (the 24-word vocabulary makes a few
+    possible — the brute-force oracle replays the same join, so parity
+    covers them).  One equi-join on the affix string; per-row slice
+    expressions only."""
+    from patternly_spark.operators.dedup import affix_overlap_join
+
+    k = 12
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select(
+            "doc_id",
+            F.filter(
+                F.split(F.trim("text"), r"\s+"), lambda x: x != ""
+            ).alias("t"),
+        )
+        .filter(F.size("t") >= 2 * k)
+        .withColumn("h", F.floor(F.size("t") / 2).cast("int"))
+    )
+    frags = toks.select(
+        (F.col("doc_id") * 2).alias("doc_id"),
+        F.array_join(F.slice("t", 1, F.col("h") + F.lit(k)), " ").alias("text"),
+    ).unionByName(
+        toks.select(
+            (F.col("doc_id") * 2 + 1).alias("doc_id"),
+            F.array_join(
+                F.slice("t", F.col("h") + 1, F.size("t") - F.col("h")), " "
+            ).alias("text"),
+        )
+    )
+    return affix_overlap_join(frags, k=k)
+
+
+_Q191_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE doc_id < 400
+    ), sized AS (
+        SELECT doc_id, t, len(t) AS n,
+               CAST(FLOOR(len(t) / 2) AS BIGINT) AS h
+        FROM toks WHERE len(t) >= 24
+    ), frags AS (
+        SELECT doc_id * 2 AS id, t[1 : h + 12] AS ft FROM sized
+        UNION ALL
+        SELECT doc_id * 2 + 1, t[h + 1 : n] FROM sized
+    ), aff AS (
+        SELECT id,
+               array_to_string(ft[1 : 12], ' ') AS head,
+               array_to_string(ft[len(ft) - 11 : len(ft)], ' ') AS tail
+        FROM frags WHERE len(ft) >= 12
+    )
+    SELECT a.id AS doc_a, b.id AS doc_b, a.tail AS affix
+    FROM aff a JOIN aff b ON a.tail = b.head AND a.id <> b.id
+"""
+
+
+def q192_class_centroid_cosines(spark, sf_dir):
+    """Pairwise class-centroid cosine matrix
+    (operators/quantized.class_centroid_cosines) — the between-class
+    geometry that complements q171's per-class centroid norms: merge
+    candidates (cosine near 1) and label-confusion structure in one
+    |labels|^2/2-row table.  Engine-exact because the centroid scale
+    factors cancel in cosine, leaving an integer-dot expression over
+    the same 2^-20-quantized per-(label, dim) sums q171 pins."""
+    from patternly_spark.operators.quantized import class_centroid_cosines
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = class_centroid_cosines(emb)
+    return out.select(
+        "label_a", "label_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+_Q192_ORACLE = """
+    WITH q AS (
+        SELECT label, i - 1 AS dim,
+               CAST(FLOOR(embedding[i]::DOUBLE * 1048576.0) AS BIGINT) AS xq
+        FROM embeddings, range(1, 65) r(i)
+    ), per_dim AS (
+        SELECT label, dim, CAST(SUM(xq) AS BIGINT) AS s FROM q GROUP BY 1, 2
+    ), norms AS (
+        SELECT label,
+               SUM(CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))) AS n2
+        FROM per_dim GROUP BY label
+        HAVING SUM(CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))) > 0
+    ), dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               SUM(CAST(a.s AS DECIMAL(38,0)) * CAST(b.s AS DECIMAL(38,0))) AS dot
+        FROM per_dim a JOIN per_dim b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT label_a, label_b,
+           ROUND(CAST(dot AS DOUBLE) /
+                 (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))), 6)
+               AS cosine
+    FROM dots
+    JOIN norms na ON na.label = dots.label_a
+    JOIN norms nb ON nb.label = dots.label_b
+"""
+
 
 # ---------------------------------------------------------------------------
 
@@ -7463,6 +7640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_vocab_coverage": q187_vocab_coverage,
         "q188_crosscorrelation": q188_crosscorrelation,
         "q189_core_decomposition": q189_core_decomposition,
+        "q190_emergence_golden": q190_emergence_golden,
+        "q191_affix_stitching": q191_affix_stitching,
+        "q192_class_centroid_cosines": q192_class_centroid_cosines,
     }
 
 
@@ -9156,6 +9336,9 @@ def oracle_sql() -> dict[str, str]:
         "q186_autocorrelation": _Q186_ORACLE,
         "q187_vocab_coverage": _Q187_ORACLE,
         "q188_crosscorrelation": _Q188_ORACLE,
+        "q190_emergence_golden": _Q190_ORACLE,
+        "q191_affix_stitching": _Q191_ORACLE,
+        "q192_class_centroid_cosines": _Q192_ORACLE,
     }
 
 

@@ -1435,3 +1435,58 @@ def duplicate_spans(
         )
     )
     return islands
+
+
+def affix_overlap_join(
+    docs: DataFrame,
+    *,
+    k: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shard-boundary stitching join: pairs (doc_a, doc_b) where the
+    LAST ``k`` tokens of doc_a equal the FIRST ``k`` tokens of doc_b —
+    the signature of one logical document split across two crawl/shard
+    records (truncation + re-crawl, paginated scrapes, log rotation).
+    Exact-substring dedup (``duplicate_spans``) reports the overlap as
+    a repeat; this operator recovers the STITCH ORDER so the two
+    fragments can be rejoined instead of deduplicated.
+
+    Execution: each doc contributes one head-affix row and one
+    tail-affix row (both per-row slice expressions, zero shuffle until
+    the join); the join is a single equi-join on the affix string.
+    At 100 TB join on ``xxhash64(affix)`` so the shuffle carries 8
+    bytes (2^-64 collision odds per pair), same documented trade as
+    ``duplicate_spans``.  Docs with fewer than ``k`` tokens contribute
+    nothing (an affix shorter than k matches half the corpus — the
+    caller lowers k consciously, the operator never does).  Self-pairs
+    (a doc whose own head equals its tail) are excluded.
+
+    Output: (doc_a, doc_b, affix) — doc_a's tail stitches onto doc_b's
+    head; the pair is ORDERED (stitch direction matters), so (a, b)
+    and (b, a) can both appear (a cyclic duplicate pair).
+    """
+    kk = int(k)
+    if kk < 1:
+        raise ValueError(f"k must be >= 1, got {kk}")
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("__t"),
+    ).filter(F.size("__t") >= kk)
+    head = toks.select(
+        F.col("id").alias("doc_b"),
+        F.array_join(F.slice("__t", 1, kk), " ").alias("affix"),
+    )
+    tail = toks.select(
+        F.col("id").alias("doc_a"),
+        F.array_join(
+            F.slice("__t", F.size("__t") - F.lit(kk) + 1, kk), " "
+        ).alias("affix"),
+    )
+    return (
+        tail.join(head, "affix")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "affix")
+    )

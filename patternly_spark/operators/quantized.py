@@ -674,3 +674,92 @@ def _candidate_knn_edges(
         .filter(F.col("rank") <= kk)
         .select("query_id", "neighbor_id", "qcosine", "rank")
     )
+
+
+def class_centroid_cosines(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    quantize_bits: int = 20,
+) -> DataFrame:
+    """Pairwise cosine between CLASS CENTROIDS — the class-geometry
+    matrix behind label-noise screens and coarse-class merging: two
+    classes whose centroids cosine near 1 are candidates for collapse
+    (or for label confusion); a class whose centroid is near-orthogonal
+    to all others is coherent and separable.  Complements
+    ``embedding_class_profile`` (q171, per-class centroid NORM) with
+    the between-class angles.
+
+    Engine-exact by the q171 construction: components floor-quantize to
+    2^-``quantize_bits`` integers, per-(label, dim) sums S are
+    integer-exact in any fold order, and the centroid scale factors
+    1/(n*2^bits) CANCEL in cosine — so cos(centroid_a, centroid_b) =
+    sum_d(S_ad * S_bd) / (sqrt(sum S_ad^2) * sqrt(sum S_bd^2)), an
+    integer-dot expression any engine replays bit-identically.
+
+    Scale shape: ONE (label, dim) groupBy over the exploded corpus (the
+    only corpus-sized shuffle, map-side combined); everything after is
+    |labels| x dims rows — a self-join on dim over a relation of a few
+    hundred rows.  Classes with a zero-vector sum (cosine undefined)
+    are excluded, documented like ``int8_topk``'s zero-vector rule.
+
+    Output: (label_a, label_b, cosine) with label_a < label_b.
+    """
+    scale = float(2 ** int(quantize_bits))
+    q = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(
+            F.transform(
+                vec_col,
+                lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
+            )
+        ).alias("dim", "xq"),
+    )
+    per_dim = q.groupBy("label", "dim").agg(
+        F.sum("xq").cast("long").alias("s")
+    )
+    # tiny relation (|labels| x dims) read three times below: pin it
+    per_dim = per_dim.localCheckpoint(eager=True)
+    norms = per_dim.groupBy("label").agg(
+        F.sum(
+            F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)")
+        ).alias("n2")
+    ).filter(F.col("n2") > 0)
+    dots = (
+        per_dim.select(F.col("label").alias("label_a"), "dim", F.col("s").alias("sa"))
+        .join(
+            per_dim.select(
+                F.col("label").alias("label_b"), "dim", F.col("s").alias("sb")
+            ),
+            "dim",
+        )
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                F.col("sa").cast("decimal(38,0)") * F.col("sb").cast("decimal(38,0)")
+            ).alias("dot")
+        )
+    )
+    return (
+        dots.join(
+            norms.select(F.col("label").alias("label_a"), F.col("n2").alias("na2")),
+            "label_a",
+        )
+        .join(
+            norms.select(F.col("label").alias("label_b"), F.col("n2").alias("nb2")),
+            "label_b",
+        )
+        .select(
+            "label_a",
+            "label_b",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )

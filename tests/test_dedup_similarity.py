@@ -1206,3 +1206,37 @@ def test_new_allpairs_operators_handle_empty_input(spark):
     out = cosine_allpairs_join(vecs, threshold=0.5)
     assert out.count() == 0
     assert [f.name for f in out.schema] == ["id_a", "id_b", "qcosine"]
+
+
+def test_affix_overlap_join_planted_stitch(spark):
+    """Ordered stitch recovery: tail(A)==head(B) yields exactly (A, B),
+    never the reverse; short docs and self-pairs are excluded; a cyclic
+    pair appears in both directions."""
+    from patternly_spark.operators.dedup import affix_overlap_join
+
+    mid = "m1 m2 m3 m4"
+    a = "a1 a2 a3 " + mid              # tail-4 == mid
+    b = mid + " b1 b2 b3"              # head-4 == mid
+    short = "s1 s2"                    # < k tokens: contributes nothing
+    cyc1 = "x1 x2 x3 x4 y1 y2 y3 y4"   # tail-4 = y*, head-4 = x*
+    cyc2 = "y1 y2 y3 y4 x1 x2 x3 x4"   # tail-4 = x*, head-4 = y*
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, short), (4, cyc1), (5, cyc2)],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b): r.affix for r in affix_overlap_join(docs, k=4).collect()}
+    assert got == {
+        (1, 2): mid,
+        (4, 5): "y1 y2 y3 y4",
+        (5, 4): "x1 x2 x3 x4",
+    }
+
+
+def test_affix_overlap_join_excludes_self_loop(spark):
+    """A doc whose own head equals its tail must not pair with itself."""
+    from patternly_spark.operators.dedup import affix_overlap_join
+
+    docs = spark.createDataFrame(
+        [(1, "p q p q p q p q")], "doc_id long, text string"
+    )
+    assert affix_overlap_join(docs, k=2).count() == 0

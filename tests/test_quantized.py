@@ -318,3 +318,53 @@ def test_mutual_knn_ivf_candidate_mode_on_planted_clusters(spark):
         for r in mutual_knn(df, k=3, candidates=cand).collect()
     }
     assert got == exact
+
+
+def test_class_centroid_cosines_matches_numpy(spark, emb):
+    """Between-class centroid cosines == the numpy replay of the same
+    integer-sum expression (scale factors cancel, so the statistic is
+    exactly the cosine of the per-class quantized sum vectors)."""
+    from patternly_spark.operators.quantized import class_centroid_cosines
+
+    got = {
+        (r.label_a, r.label_b): r.cosine
+        for r in class_centroid_cosines(emb).collect()
+    }
+    pdf = emb.toPandas()
+    import numpy as np
+
+    sums = {}
+    for lab, g in pdf.groupby("label"):
+        X = np.floor(
+            np.array(g["embedding"].tolist(), dtype=np.float64) * 1048576.0
+        )
+        sums[lab] = X.sum(axis=0)
+    labs = sorted(sums)
+    want = {}
+    for i, a in enumerate(labs):
+        for b in labs[i + 1 :]:
+            na, nb = (sums[a] ** 2).sum(), (sums[b] ** 2).sum()
+            if na > 0 and nb > 0:
+                want[(a, b)] = float(
+                    (sums[a] * sums[b]).sum() / (np.sqrt(na) * np.sqrt(nb))
+                )
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == want[k], (k, got[k], want[k])
+
+
+def test_class_centroid_cosines_clone_and_zero_classes(spark):
+    from patternly_spark.operators.quantized import class_centroid_cosines
+
+    rows = []
+    base = [float(x) for x in [1.0, 2.0, -0.5, 3.0]]
+    for i in range(5):
+        rows.append((i, base, 0))
+        rows.append((100 + i, base, 1))          # label 1 clones label 0
+    rows.append((200, [1.0, 0.0, 0.0, 0.0], 2))  # label 2: cancels to zero
+    rows.append((201, [-1.0, 0.0, 0.0, 0.0], 2))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {(r.label_a, r.label_b): r.cosine for r in class_centroid_cosines(df).collect()}
+    # zero-sum class 2 excluded entirely; clone pair cosine ~ 1
+    assert set(got) == {(0, 1)}
+    assert abs(got[(0, 1)] - 1.0) < 1e-12
