@@ -7441,6 +7441,78 @@ _Q192_ORACLE = """
 """
 
 
+def q193_quality_classifier(spark, sf_dir):
+    """Hashed linear quality classifier (operators/lm.
+    hashed_text_classifier) — the fasttext-shape gate that curates most
+    production pretraining corpora: hash tokens into buckets, sum a
+    broadcast weight head, squash.  The query builds a deterministic
+    20-term lexicon from the corpus itself (top df terms, alternating
+    +/-0.5 by rank parity) so the oracle can replay training-free
+    inference end-to-end: md5-prefix bucketing (the q33 hash
+    convention), dyadic 2^-20 weight quantization (integer-exact sums
+    in any fold order), score = bias + sum/2^20.  The sigmoid column is
+    dropped from the oracle-checked output (exp() is last-ulp
+    engine-dependent, the q54 precedent); score is bit-exact."""
+    from pyspark.sql import Window
+
+    from patternly_spark.operators.lm import hash_bucket, hashed_text_classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    df_ = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.orderBy(F.desc("df"), F.asc("term"))
+    lexicon = (
+        df_.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 20)
+        .select(
+            hash_bucket(F.col("term"), 4096).alias("bucket"),
+            F.when(F.col("rank") % 2 == 0, F.lit(0.5))
+            .otherwise(F.lit(-0.5))
+            .alias("weight"),
+        )
+    )
+    out = hashed_text_classifier(
+        docs, lexicon, n_buckets=4096, bias=-0.25
+    )
+    return out.select(F.col("id").alias("doc_id"), "n_tokens", "score")
+
+
+_Q193_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ), dfq AS (
+        SELECT term, COUNT(*) AS df FROM tok GROUP BY term
+    ), lex AS (
+        SELECT CAST(CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 4096
+                    AS BIGINT) AS bucket,
+               CASE WHEN (ROW_NUMBER() OVER (ORDER BY df DESC, term ASC)) % 2 = 0
+                    THEN 0.5 ELSE -0.5 END AS weight
+        FROM dfq
+        QUALIFY ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) <= 20
+    ), wq AS (
+        SELECT bucket,
+               SUM(CAST(FLOOR(weight * 1048576.0) AS BIGINT)) AS wq
+        FROM lex GROUP BY bucket
+    ), bucketed AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 4096
+                    AS BIGINT) AS bucket
+        FROM tok
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           -0.25 + CAST(SUM(COALESCE(wq.wq, 0)) AS DOUBLE) / 1048576.0 AS score
+    FROM bucketed b LEFT JOIN wq USING (bucket)
+    GROUP BY b.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -7643,6 +7715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_emergence_golden": q190_emergence_golden,
         "q191_affix_stitching": q191_affix_stitching,
         "q192_class_centroid_cosines": q192_class_centroid_cosines,
+        "q193_quality_classifier": q193_quality_classifier,
     }
 
 
@@ -9339,6 +9412,7 @@ def oracle_sql() -> dict[str, str]:
         "q190_emergence_golden": _Q190_ORACLE,
         "q191_affix_stitching": _Q191_ORACLE,
         "q192_class_centroid_cosines": _Q192_ORACLE,
+        "q193_quality_classifier": _Q193_ORACLE,
     }
 
 

@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "q190_emergence_golden",
     "q191_affix_stitching",
     "q192_class_centroid_cosines",
+    "q193_quality_classifier",
 ]
 
 

@@ -34,7 +34,17 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["BigramLM", "train_bigram_lm", "bigram_lm_scores", "dsir_weights", "zipf_fit"]
+__all__ = [
+    "BigramLM",
+    "train_bigram_lm",
+    "bigram_lm_scores",
+    "dsir_weights",
+    "zipf_fit",
+    "pmi_cooccurrence",
+    "hash_bucket",
+    "hashed_text_classifier",
+    "fit_hashed_classifier",
+]
 
 
 def _doc_bigrams(docs: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
@@ -406,3 +416,181 @@ def pmi_cooccurrence(
             ).alias("pmi"),
         )
     )
+
+
+def hash_bucket(term: Column, n_buckets: int) -> Column:
+    """Deterministic term -> bucket in [0, n_buckets): u32 of the md5
+    prefix mod n_buckets — the repo's cross-engine hash convention
+    (``sampling.hash_fraction``), so an external SQL oracle replays the
+    identical bucketing."""
+    return (
+        F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long")
+        % F.lit(int(n_buckets))
+    ).cast("long")
+
+
+def hashed_text_classifier(
+    docs: DataFrame,
+    weights: DataFrame,
+    *,
+    n_buckets: int = 1 << 18,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bias: float = 0.0,
+    binary: bool = False,
+    quantize_bits: int = 20,
+) -> DataFrame:
+    """Linear text-classifier INFERENCE over hashed bag-of-words — the
+    fasttext shape that curates most production pretraining corpora
+    (CCNet-style language filtering, LLaMA's quality classifier,
+    wiki-reference scorers): hash each token into ``n_buckets``, sum
+    the bucket weights, squash.  At 100 TB this is the cheapest learned
+    quality gate there is: one tokenize pass, one broadcast join, one
+    groupBy — no embedding inference anywhere.
+
+    Engine-exactness (the repo's dyadic convention): incoming weights
+    are floor-quantized to 2^-``quantize_bits`` integers, so the score
+    accumulates as an INTEGER in any fold order; the only float ops are
+    the final scale + sigmoid — bit-identical on any engine, which is
+    what lets the DuckDB oracle replay inference end-to-end.
+
+    ``weights``: (bucket long, weight double) — duplicate buckets are
+    summed (lexicon collisions fold, as hashing-trick semantics
+    demand).  Assumed small (a classifier head, <= n_buckets rows):
+    broadcast.  ``binary=True`` scores presence (distinct terms)
+    instead of counts.  Train however you like — MLlib
+    LogisticRegression on ``hash_bucket`` features, or an external
+    fasttext run whose head you export — inference only needs the
+    (bucket, weight) table.
+
+    Output: (id, n_tokens, score, prob) — score = bias + sum/2^bits,
+    prob = sigmoid(score).  Docs with no tokens score bias exactly.
+    """
+    scale = float(2 ** int(quantize_bits))
+    wq = (
+        weights.select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.floor(F.col("weight").cast("double") * F.lit(scale))
+            .cast("long")
+            .alias("wq"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("wq").alias("wq"))
+    )
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    if binary:
+        tok = tok.distinct()
+    scored = (
+        tok.withColumn("bucket", hash_bucket(F.col("term"), n_buckets))
+        .join(F.broadcast(wq), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("wq"), F.lit(0))).cast("long").alias("__sq"),
+        )
+    )
+    score = F.lit(float(bias)) + F.col("__sq").cast("double") / F.lit(scale)
+    return scored.select(
+        "id",
+        "n_tokens",
+        score.alias("score"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-score))).alias("prob"),
+    )
+
+
+def fit_hashed_classifier(
+    labeled_docs: DataFrame,
+    *,
+    n_buckets: int = 1 << 18,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+    reg_param: float = 0.0,
+    max_iter: int = 50,
+) -> tuple[DataFrame, float]:
+    """Train the (bucket, weight) head for ``hashed_text_classifier``
+    with MLlib LogisticRegression over hashing-trick count vectors
+    (the X6 convention: delegate the iterative solver to MLlib, keep
+    the features and the exported artifact engine-portable).  Returns
+    ``(weights_df, bias)`` — feed both straight into inference.
+
+    The distributed part is the feature build (tokenize + bucket +
+    count -> sparse vectors); the LBFGS solve is MLlib's.  The exported
+    head is only as portable as any floats — inference re-quantizes it
+    dyadically, so serve-side scores are engine-exact even though
+    training is not deterministic across BLAS builds (documented; the
+    recovery TEST asserts sign/ordering properties, not exact floats).
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.sql.types import StructField, StructType
+
+    nb = int(n_buckets)
+    tok = labeled_docs.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("double").alias("label"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = (
+        tok.withColumn("bucket", hash_bucket(F.col("term"), nb))
+        .groupBy("id", "label", "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .groupBy("id", "label")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("bucket"), F.col("c")))
+                )
+            ).alias("m")
+        )
+    )
+
+    # Arrow can't carry VectorUDT, so the sparse vectors are built
+    # driver-side.  A quality head trains on a LABELED subset (10^4-10^6
+    # docs), not the corpus — the bounded-driver collect is the honest
+    # altitude here (same judgment as GenESeSS pattern tables); the
+    # corpus-sized pass is inference, which never collects.
+    rows = counts.collect()
+    spark = labeled_docs.sparkSession
+    data = spark.createDataFrame(
+        [
+            (
+                r["id"],
+                float(r["label"]),
+                Vectors.sparse(
+                    nb,
+                    sorted(r["m"]),
+                    [r["m"][k] for k in sorted(r["m"])],
+                ),
+            )
+            for r in rows
+        ],
+        schema=StructType(
+            [
+                StructField("id", counts.schema["id"].dataType),
+                StructField("label", counts.schema["label"].dataType),
+                StructField("features", VectorUDT()),
+            ]
+        ),
+    )
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol="label",
+        regParam=float(reg_param),
+        maxIter=int(max_iter),
+    )
+    model = lr.fit(data)
+    coef = model.coefficients
+    if hasattr(coef, "indices"):
+        # SparseVector __getitem__ rejects numpy ints: zip indices with
+        # values instead of indexing back into the vector
+        w_rows = [
+            (int(i), float(v)) for i, v in zip(coef.indices, coef.values)
+        ]
+    else:
+        w_rows = [(i, float(v)) for i, v in enumerate(coef) if v != 0.0]
+    weights = spark.createDataFrame(w_rows or [(0, 0.0)], "bucket long, weight double")
+    return weights, float(model.intercept)

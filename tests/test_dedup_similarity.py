@@ -969,7 +969,10 @@ def _quantized_cosine_matrix(X):
     C = np.floor(X / scale[:, None] + 0.5)
     n2 = (C * C).sum(axis=1)
     with np.errstate(invalid="ignore", divide="ignore"):
-        S = (C @ C.T) / np.sqrt(np.outer(n2, n2))
+        # sqrt each norm BEFORE the outer product — the operator's (and
+        # the DuckDB oracle's, and mutual_knn's) exact IEEE expression;
+        # sqrt(a*b) differs in the last ulp and flips borderline pairs
+        S = (C @ C.T) / np.outer(np.sqrt(n2), np.sqrt(n2))
     return S, n2
 
 

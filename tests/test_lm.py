@@ -180,3 +180,96 @@ def test_pmi_cooccurrence_window_validation(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         pmi_cooccurrence(df, window=0)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+
+
+def test_hashed_text_classifier_matches_python_replay(spark, docs_df):
+    """Score == the plain-Python replay of the dyadic pipeline (md5
+    bucketing, floor-quantized weights, integer sums); prob is the
+    sigmoid of that exact score."""
+    import hashlib
+    import math
+
+    from patternly_spark.operators.lm import hashed_text_classifier
+
+    nb, bits, bias = 512, 20, -0.25
+    lex = {"the": 0.75, "data": -1.25, "quality": 2.0}
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % nb
+
+    wq = {}
+    for t, w in lex.items():
+        wq[bucket(t)] = wq.get(bucket(t), 0) + math.floor(w * 2**bits)
+    weights = spark.createDataFrame(
+        [(b, w) for b, w in [(bucket(t), lex[t]) for t in lex]],
+        "bucket long, weight double",
+    )
+    out = {
+        r.id: (r.n_tokens, r.score, r.prob)
+        for r in hashed_text_classifier(
+            docs_df, weights, n_buckets=nb, bias=bias
+        ).collect()
+    }
+    pdf = docs_df.toPandas()
+    for r in pdf.itertuples():
+        toks = [t for t in r.text.strip().split() if t]
+        if not toks:
+            assert r.doc_id not in out
+            continue
+        sq = sum(wq.get(bucket(t), 0) for t in toks)
+        score = bias + sq / 2**bits
+        n, s, p = out[r.doc_id]
+        assert n == len(toks)
+        assert s == score
+        assert abs(p - 1.0 / (1.0 + math.exp(-score))) < 1e-12
+
+
+def test_hashed_text_classifier_binary_counts_presence(spark):
+    from patternly_spark.operators.lm import hash_bucket, hashed_text_classifier
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam"), (2, "spam ham")], "doc_id long, text string"
+    )
+    w = docs.sparkSession.createDataFrame([("spam", 1.0)], "term string, weight double").select(
+        hash_bucket(F.col("term"), 64).alias("bucket"), "weight"
+    )
+    by_count = {r.id: r.score for r in hashed_text_classifier(docs, w, n_buckets=64).collect()}
+    by_presence = {
+        r.id: r.score
+        for r in hashed_text_classifier(docs, w, n_buckets=64, binary=True).collect()
+    }
+    assert by_count[1] == 3.0 and by_count[2] == 1.0
+    assert by_presence[1] == 1.0 and by_presence[2] == 1.0
+
+
+def test_fit_hashed_classifier_recovers_planted_signal(spark):
+    """MLlib-trained head separates planted spam/ham vocabularies when
+    served through the exact-inference path."""
+    import random
+
+    from patternly_spark.operators.lm import (
+        fit_hashed_classifier,
+        hashed_text_classifier,
+    )
+
+    rng = random.Random(13)
+    spam_words = [f"sp{i}" for i in range(8)]
+    ham_words = [f"hm{i}" for i in range(8)]
+    rows = []
+    for i in range(60):
+        pool = spam_words if i % 2 else ham_words
+        rows.append((i, " ".join(rng.choices(pool, k=12)), i % 2))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    weights, bias = fit_hashed_classifier(df, n_buckets=256, reg_param=0.01)
+    probs = {
+        r.id: r.prob
+        for r in hashed_text_classifier(df, weights, n_buckets=256, bias=bias).collect()
+    }
+    spam_p = [p for i, p in probs.items() if i % 2]
+    ham_p = [p for i, p in probs.items() if not i % 2]
+    assert min(spam_p) > max(ham_p)
