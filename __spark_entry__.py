@@ -7512,6 +7512,67 @@ _Q193_ORACLE = """
     GROUP BY b.doc_id
 """
 
+def q194_data_quality_report(spark, sf_dir):
+    """Data-quality expectation suite (operators/validate.
+    data_quality_report) — the Deequ/Great-Expectations gate a release
+    pipeline runs per build: six rules over orders evaluated in ONE
+    aggregation pass (each rule a conditional sum riding a single agg;
+    count_distinct rides the same pass), unpivoted via stack() into the
+    per-rule report.  Integer counts + one division: engine-exact."""
+    from patternly_spark.operators.validate import data_quality_report
+
+    orders = _t(spark, sf_dir, "orders")
+    rules = [
+        {"column": "o_orderkey", "check": "unique"},
+        {"column": "o_custkey", "check": "complete"},
+        {"column": "o_totalprice", "check": "non_negative"},
+        {"column": "o_totalprice", "check": "range", "min": 1000.0,
+         "max": 400000.0, "max_violation_rate": 0.05},
+        {"column": "o_orderstatus", "check": "allowed",
+         "values": ["O", "F", "P"]},
+        {"column": "o_orderpriority", "check": "matches",
+         "pattern": "^[1-5]-"},
+    ]
+    return data_quality_report(orders, rules)
+
+
+_Q194_ORACLE = """
+    WITH m AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               COUNT(o_orderkey)::BIGINT AS nn_key,
+               COUNT(DISTINCT o_orderkey)::BIGINT AS nd_key,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_cust,
+               SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0
+                        THEN 1 ELSE 0 END)::BIGINT AS v_neg,
+               SUM(CASE WHEN o_totalprice IS NOT NULL
+                         AND (o_totalprice < 1000.0 OR o_totalprice > 400000.0)
+                        THEN 1 ELSE 0 END)::BIGINT AS v_range,
+               SUM(CASE WHEN o_orderstatus IS NOT NULL
+                         AND o_orderstatus NOT IN ('O', 'F', 'P')
+                        THEN 1 ELSE 0 END)::BIGINT AS v_allow,
+               SUM(CASE WHEN o_orderpriority IS NOT NULL
+                         AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                        THEN 1 ELSE 0 END)::BIGINT AS v_match
+        FROM orders
+    ), rows_ AS (
+        SELECT 0 AS rule_idx, 'o_orderkey' AS "column", 'unique' AS "check",
+               n, nn_key - nd_key AS n_violations, 0.0 AS thr FROM m
+        UNION ALL SELECT 1, 'o_custkey', 'complete', n, v_cust, 0.0 FROM m
+        UNION ALL SELECT 2, 'o_totalprice', 'non_negative', n, v_neg, 0.0 FROM m
+        UNION ALL SELECT 3, 'o_totalprice', 'range', n, v_range, 0.05 FROM m
+        UNION ALL SELECT 4, 'o_orderstatus', 'allowed', n, v_allow, 0.0 FROM m
+        UNION ALL SELECT 5, 'o_orderpriority', 'matches', n, v_match, 0.0 FROM m
+    )
+    SELECT rule_idx, "column", "check",
+           n AS n_rows,
+           n_violations,
+           CASE WHEN n > 0 THEN n_violations::DOUBLE / n::DOUBLE ELSE 0.0 END
+               AS violation_rate,
+           (CASE WHEN n > 0 THEN n_violations::DOUBLE / n::DOUBLE ELSE 0.0 END)
+               <= thr AS passed
+    FROM rows_
+"""
+
 
 # ---------------------------------------------------------------------------
 
@@ -7716,6 +7777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q191_affix_stitching": q191_affix_stitching,
         "q192_class_centroid_cosines": q192_class_centroid_cosines,
         "q193_quality_classifier": q193_quality_classifier,
+        "q194_data_quality_report": q194_data_quality_report,
     }
 
 
@@ -9413,6 +9475,7 @@ def oracle_sql() -> dict[str, str]:
         "q191_affix_stitching": _Q191_ORACLE,
         "q192_class_centroid_cosines": _Q192_ORACLE,
         "q193_quality_classifier": _Q193_ORACLE,
+        "q194_data_quality_report": _Q194_ORACLE,
     }
 
 

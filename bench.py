@@ -209,10 +209,10 @@ BENCH_QUERIES = [
     "q187_vocab_coverage",
     "q188_crosscorrelation",
     "q189_core_decomposition",
-    "q190_emergence_golden",
     "q191_affix_stitching",
     "q192_class_centroid_cosines",
     "q193_quality_classifier",
+    "q194_data_quality_report",
 ]
 
 

@@ -1,0 +1,153 @@
+"""Data-quality expectations — the Deequ/Great-Expectations-shaped
+validation gate a production pipeline runs before (and after) every
+build step: declare per-column rules, get back one violations report,
+fail the release on any `passed == false` row.
+
+The reference engine has no validation surface (it trusts its CSV
+inputs); a 100 TB pipeline cannot — a silently null-filled or
+range-corrupted column poisons every downstream statistic.  This is a
+first-class extension (builder brief: curation pipeline components).
+
+Scale shape — the entire point of the design: ALL rules evaluate in
+ONE aggregation pass over the table (each rule is a conditional-sum
+column in a single `agg`; `count_distinct` rides the same pass), so a
+20-rule suite costs one scan + one 1-row reduce regardless of table
+width or rule count.  The 1-row result unpivots driver-free (`stack`)
+into the per-rule report.  Counts are integers (engine-exact); the
+only float is the final violation_rate division.
+
+Rule forms (dicts, declarative):
+  {"column": c, "check": "complete"}                      null count
+  {"column": c, "check": "unique"}                        duplicate rows
+  {"column": c, "check": "range", "min": x, "max": y}     out-of-bounds
+  {"column": c, "check": "allowed", "values": [...]}      enum violations
+  {"column": c, "check": "matches", "pattern": r"..."}    regex misses
+  {"column": c, "check": "non_negative"}                  sugar for range
+
+Semantics pinned in the docstrings below; `max_violation_rate`
+(default 0.0) sets the pass threshold per rule (overridable per rule
+with key "max_violation_rate").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["data_quality_report"]
+
+
+def _violation_expr(rule: dict) -> Column:
+    """1 when the row VIOLATES the rule, else 0.  NULL handling is
+    per-check: `complete` counts nulls as violations; every other check
+    treats null as vacuously passing (compose with a `complete` rule to
+    also forbid nulls — the Deequ convention, so one rule means one
+    thing)."""
+    c = F.col(rule["column"])
+    check = rule["check"]
+    if check == "complete":
+        bad = c.isNull()
+    elif check == "range":
+        lo, hi = rule.get("min"), rule.get("max")
+        conds = []
+        if lo is not None:
+            conds.append(c < F.lit(lo))
+        if hi is not None:
+            conds.append(c > F.lit(hi))
+        if not conds:
+            raise ValueError("range rule needs min and/or max")
+        bad = conds[0]
+        for extra in conds[1:]:
+            bad = bad | extra
+        bad = c.isNotNull() & bad
+    elif check == "non_negative":
+        bad = c.isNotNull() & (c < F.lit(0))
+    elif check == "allowed":
+        bad = c.isNotNull() & ~c.isin(list(rule["values"]))
+    elif check == "matches":
+        bad = c.isNotNull() & ~c.rlike(rule["pattern"])
+    elif check == "unique":
+        # handled via count_distinct in the agg, not per-row
+        raise AssertionError("unique is aggregated, not row-wise")
+    else:
+        raise ValueError(f"unknown check: {check!r}")
+    return F.when(bad, F.lit(1)).otherwise(F.lit(0))
+
+
+def data_quality_report(
+    df: DataFrame,
+    rules: list[dict],
+    *,
+    max_violation_rate: float = 0.0,
+) -> DataFrame:
+    """Evaluate every rule in ONE aggregation pass; one output row per
+    rule: (column, check, n_rows, n_violations, violation_rate,
+    passed).
+
+    `unique` counts violations as n_nonnull - n_distinct (the number of
+    EXTRA rows beyond one per value — 0 iff the column is a key over
+    its non-null rows).  An empty table passes every rule (0/0 -> rate
+    0.0).  Column names in the output are stable so release gates can
+    assert on them; `passed` applies each rule's violation-rate
+    threshold (rule key "max_violation_rate", else the call default).
+    """
+    if not rules:
+        raise ValueError("no rules given")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for i, rule in enumerate(rules):
+        if rule["check"] == "unique":
+            c = F.col(rule["column"])
+            aggs.append(
+                F.count(c).cast("long").alias(f"__nn_{i}")
+            )
+            aggs.append(
+                F.countDistinct(c).cast("long").alias(f"__nd_{i}")
+            )
+        else:
+            aggs.append(
+                # sum over an empty table is NULL, not 0
+                F.coalesce(F.sum(_violation_expr(rule)), F.lit(0))
+                .cast("long")
+                .alias(f"__v_{i}")
+            )
+    one = df.agg(*aggs)
+
+    # unpivot the 1-row result into per-rule rows with a stack()
+    # expression — no driver round trip, no second scan.  The rule
+    # index rides along so each row finds its own threshold.
+    parts = []
+    for i, rule in enumerate(rules):
+        col_lit = rule["column"].replace("'", "''")
+        check_lit = rule["check"]
+        v = f"(__nn_{i} - __nd_{i})" if rule["check"] == "unique" else f"__v_{i}"
+        parts.append(
+            f"CAST({i} AS INT), '{col_lit}', '{check_lit}', CAST({v} AS BIGINT)"
+        )
+    stacked = one.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(rules)}, "
+            + ", ".join(parts)
+            + ") AS (rule_idx, column, check, n_violations)"
+        ),
+    )
+
+    thresholds = [
+        float(r.get("max_violation_rate", max_violation_rate)) for r in rules
+    ]
+    thr = F.element_at(
+        F.array(*[F.lit(t) for t in thresholds]), F.col("rule_idx") + 1
+    )
+    rate = F.when(
+        F.col("n_rows") > 0,
+        F.col("n_violations").cast("double") / F.col("n_rows").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return stacked.select(
+        "rule_idx",
+        "column",
+        "check",
+        "n_rows",
+        "n_violations",
+        rate.alias("violation_rate"),
+        (rate <= thr).alias("passed"),
+    )

@@ -297,3 +297,25 @@ def test_round4_graph_and_stats_plan_shapes(spark):
         )
     )
     assert fi["nested_loop_joins"] == 0 and fi["python_evals"] == 0
+
+
+def test_round5_new_operator_plan_shapes(spark):
+    """q191/q192/q193 operators: pure column expressions + equi/broadcast
+    joins — no Python crossings, no nested loops anywhere."""
+    from patternly_spark.operators.dedup import affix_overlap_join
+    from patternly_spark.operators.lm import hash_bucket, hashed_text_classifier
+    from patternly_spark.operators.quantized import class_centroid_cosines
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    aff = plan_audit(affix_overlap_join(docs, k=8))
+    assert aff["nested_loop_joins"] == 0 and aff["python_evals"] == 0
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ccc = plan_audit(class_centroid_cosines(emb))
+    assert ccc["nested_loop_joins"] == 0 and ccc["python_evals"] == 0
+
+    w = spark.createDataFrame([(3, 0.5), (9, -0.5)], "bucket long, weight double")
+    cls = plan_audit(hashed_text_classifier(docs, w, n_buckets=64))
+    assert cls["nested_loop_joins"] == 0 and cls["python_evals"] == 0
+    # the weight head must ride a broadcast join, never a shuffle join
+    assert cls["broadcast_joins"] >= 1

@@ -1,0 +1,99 @@
+"""Data-quality expectations (operators/validate): per-check semantics,
+threshold gating, empty-table behavior, one-pass plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from patternly_spark.operators.validate import data_quality_report
+
+
+@pytest.fixture(scope="module")
+def messy(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 10.0, "O"),
+            (2, "b", -5.0, "F"),
+            (2, None, 200.0, "X"),     # dup key, null name, bad status
+            (3, "c", None, "O"),       # null price: vacuous for range
+            (4, "d", 999999.0, "P"),
+        ],
+        "k long, name string, price double, status string",
+    )
+
+
+def test_each_check_counts_violations(spark, messy):
+    rules = [
+        {"column": "k", "check": "unique"},
+        {"column": "name", "check": "complete"},
+        {"column": "price", "check": "non_negative"},
+        {"column": "price", "check": "range", "min": 0.0, "max": 1000.0},
+        {"column": "status", "check": "allowed", "values": ["O", "F", "P"]},
+        {"column": "name", "check": "matches", "pattern": "^[a-c]$"},
+    ]
+    rows = {r.rule_idx: r for r in data_quality_report(messy, rules).collect()}
+    assert rows[0].n_violations == 1          # one extra row for key 2
+    assert rows[1].n_violations == 1          # one null name
+    assert rows[2].n_violations == 1          # -5.0
+    # range: -5.0 and 999999.0 violate; NULL price is vacuous
+    assert rows[3].n_violations == 2
+    assert rows[4].n_violations == 1          # "X"
+    # matches: "d" misses ^[a-c]$; null name vacuous
+    assert rows[5].n_violations == 1
+    for r in rows.values():
+        assert r.n_rows == 5
+        assert r.violation_rate == r.n_violations / 5
+        assert r.passed == (r.n_violations == 0)
+
+
+def test_thresholds_gate_passed(spark, messy):
+    rules = [
+        {"column": "status", "check": "allowed", "values": ["O", "F", "P"],
+         "max_violation_rate": 0.25},
+        {"column": "name", "check": "complete"},
+    ]
+    rows = {r.rule_idx: r for r in data_quality_report(messy, rules).collect()}
+    assert rows[0].passed                      # 1/5 = 0.2 <= 0.25
+    assert not rows[1].passed
+    # call-level default threshold applies where the rule has none
+    rows2 = {
+        r.rule_idx: r
+        for r in data_quality_report(
+            messy, rules, max_violation_rate=0.5
+        ).collect()
+    }
+    assert rows2[1].passed                     # 0.2 <= 0.5
+
+
+def test_empty_table_passes_everything(spark):
+    df = spark.createDataFrame([], "k long, name string")
+    rows = data_quality_report(
+        df,
+        [{"column": "k", "check": "unique"}, {"column": "name", "check": "complete"}],
+    ).collect()
+    assert all(r.n_rows == 0 and r.n_violations == 0 and r.passed for r in rows)
+    assert all(r.violation_rate == 0.0 for r in rows)
+
+
+def test_single_pass_plan(spark, messy):
+    from patternly_spark.plans import plan_audit
+
+    rules = [
+        {"column": "k", "check": "unique"},
+        {"column": "name", "check": "complete"},
+        {"column": "price", "check": "range", "min": 0.0, "max": 100.0},
+    ]
+    audit = plan_audit(data_quality_report(messy, rules))
+    assert audit["python_evals"] == 0 and audit["nested_loop_joins"] == 0
+    # one scan feeds everything: no joins, bounded exchange count from
+    # the two-stage agg (+ countDistinct expand)
+    assert len(audit["scans"]) <= 1
+    assert audit["exchanges"] <= 3, audit
+
+
+def test_rejects_bad_rules(spark, messy):
+    with pytest.raises(ValueError, match="no rules"):
+        data_quality_report(messy, [])
+    with pytest.raises(ValueError, match="unknown check"):
+        data_quality_report(messy, [{"column": "k", "check": "wat"}])
+    with pytest.raises(ValueError, match="range rule"):
+        data_quality_report(messy, [{"column": "k", "check": "range"}])
