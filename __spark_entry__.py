@@ -7573,6 +7573,140 @@ _Q194_ORACLE = """
     FROM rows_
 """
 
+def _rbo_weights(k: int, p: float, bits: int) -> list[int]:
+    """Quantized RBO contribution weights W(m), shared by the q195 Spark
+    query and its oracle so both embed identical integer literals."""
+    import math
+
+    scale = float(2**bits)
+    return [
+        int(math.floor(sum((1.0 - p) * p ** (d - 1) / d for d in range(m, k + 1)) * scale))
+        for m in range(1, k + 1)
+    ]
+
+
+def q195_ranking_agreement(spark, sf_dir):
+    """Rank-biased overlap (operators/retrieval.rbo_overlap) between two
+    top-10 part rankings per supplier — by revenue vs by quantity: the
+    top-weighted agreement metric that recall@k (q117) can't express
+    (a rank-1 swap and a rank-10 swap count the same there).  Both runs
+    are window rankings off ONE lineitem aggregate; matched items enter
+    at depth max(ra, rb) and contribute a driver-computed quantized
+    weight (integer-exact sums; 2^-20 dyadic convention)."""
+    from pyspark.sql import Window
+
+    from patternly_spark.operators.retrieval import rbo_overlap
+
+    li = _t(spark, sf_dir, "lineitem")
+    agg = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_rev = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("rev"), F.asc("l_partkey")
+    )
+    w_qty = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("qty"), F.asc("l_partkey")
+    )
+    run_a = agg.select(
+        F.col("l_suppkey").alias("query_id"),
+        F.col("l_partkey").alias("item_id"),
+        F.row_number().over(w_rev).alias("rank"),
+    )
+    run_b = agg.select(
+        F.col("l_suppkey").alias("query_id"),
+        F.col("l_partkey").alias("item_id"),
+        F.row_number().over(w_qty).alias("rank"),
+    )
+    out = rbo_overlap(run_a, run_b, k=10, p=0.9)
+    return out.select(
+        F.col("query_id").alias("l_suppkey"), "n_common", "rbo"
+    )
+
+
+def _q195_oracle() -> str:
+    w = _rbo_weights(10, 0.9, 20)
+    w_vals = ", ".join(f"({m + 1}, {x})" for m, x in enumerate(w))
+    return f"""
+    WITH agg AS (
+        SELECT l_suppkey, l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem GROUP BY 1, 2
+    ), ra AS (
+        SELECT l_suppkey, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                  ORDER BY rev DESC, l_partkey ASC) AS r
+        FROM agg QUALIFY r <= 10
+    ), rb AS (
+        SELECT l_suppkey, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                  ORDER BY qty DESC, l_partkey ASC) AS r
+        FROM agg QUALIFY r <= 10
+    ), wt AS (
+        SELECT * FROM (VALUES {w_vals}) AS t(m, wq)
+    ), m AS (
+        SELECT ra.l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               CAST(SUM(wt.wq) AS BIGINT) AS s
+        FROM ra JOIN rb USING (l_suppkey, l_partkey)
+        JOIN wt ON wt.m = GREATEST(ra.r, rb.r)
+        GROUP BY 1
+    ), allq AS (
+        SELECT DISTINCT l_suppkey FROM agg
+    )
+    SELECT allq.l_suppkey,
+           COALESCE(m.n_common, 0) AS n_common,
+           COALESCE(m.s, 0)::DOUBLE / 1048576.0 AS rbo
+    FROM allq LEFT JOIN m USING (l_suppkey)
+    """
+
+def q196_scd2_history(spark, sf_dir):
+    """SCD type-2 history build (operators/temporal.scd2_intervals):
+    each user's event_type change stream collapsed into versioned
+    validity intervals — consecutive same-type events are no-op changes
+    and open no version; each version runs [valid_from, valid_to) with
+    the last open-ended.  ONE key-window shuffle; pure ordering +
+    equality, engine-exact.  The table q31's as-of join would consume."""
+    from patternly_spark.operators.temporal import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    return scd2_intervals(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        attr_cols=["event_type"],
+        order_tiebreak=["event_id"],
+    )
+
+
+_Q196_ORACLE = """
+    WITH src AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM events WHERE user_id < 300
+    ), flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               (event_type IS NOT DISTINCT FROM
+                LAG(event_type) OVER w)
+               AND LAG(1) OVER w IS NOT NULL AS noop
+        FROM src
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), kept AS (
+        SELECT user_id, ts, event_id, event_type FROM flagged WHERE NOT noop
+    )
+    SELECT user_id,
+           ts AS valid_from,
+           LEAD(ts) OVER w2 AS valid_to,
+           LEAD(ts) OVER w2 IS NULL AS is_current,
+           event_type
+    FROM kept
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
 
 # ---------------------------------------------------------------------------
 
@@ -7778,6 +7912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_class_centroid_cosines": q192_class_centroid_cosines,
         "q193_quality_classifier": q193_quality_classifier,
         "q194_data_quality_report": q194_data_quality_report,
+        "q195_ranking_agreement": q195_ranking_agreement,
+        "q196_scd2_history": q196_scd2_history,
     }
 
 
@@ -9476,6 +9612,8 @@ def oracle_sql() -> dict[str, str]:
         "q192_class_centroid_cosines": _Q192_ORACLE,
         "q193_quality_classifier": _Q193_ORACLE,
         "q194_data_quality_report": _Q194_ORACLE,
+        "q195_ranking_agreement": _q195_oracle(),
+        "q196_scd2_history": _Q196_ORACLE,
     }
 
 

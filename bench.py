@@ -213,6 +213,8 @@ BENCH_QUERIES = [
     "q192_class_centroid_cosines",
     "q193_quality_classifier",
     "q194_data_quality_report",
+    "q195_ranking_agreement",
+    "q196_scd2_history",
 ]
 
 

@@ -724,3 +724,53 @@ def cross_correlation(
         .otherwise(F.lit(None).cast("double"))
         .alias("xcorr"),
     )
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    *,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    attr_cols: list[str],
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 builder: collapse a change-event
+    stream into versioned validity intervals — the warehouse-standard
+    history table behind every as-of join (q31 consumes what this
+    produces).  Each key's events are ordered by (ts, tiebreak); rows
+    whose attributes equal the previous row's are NO-OP changes and
+    open no new version (the dedup that keeps CDC echoes from exploding
+    the history); each surviving version is valid from its ts
+    (inclusive) until the next version's ts (exclusive), the last one
+    open-ended (valid_to NULL, is_current true).
+
+    One window shuffle on the key does everything: a lag-equality
+    filter drops no-ops, a lead supplies valid_to.  Engine-exact (pure
+    ordering + equality; no floats).
+
+    Output: (key, valid_from, valid_to, is_current, *attr_cols).
+    """
+    from pyspark.sql import Window
+
+    tb = [F.col(c) for c in (order_tiebreak or [])]
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), *[t.asc() for t in tb])
+    same_as_prev = None
+    for c in attr_cols:
+        eq = F.col(c).eqNullSafe(F.lag(F.col(c)).over(w)) & F.lag(
+            F.lit(1)
+        ).over(w).isNotNull()
+        same_as_prev = eq if same_as_prev is None else (same_as_prev & eq)
+    versions = changes.withColumn("__noop", F.coalesce(same_as_prev, F.lit(False)))
+    kept = versions.filter(~F.col("__noop")).drop("__noop")
+    # recompute the window over the SURVIVING versions for valid_to
+    w2 = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), *[t.asc() for t in tb]
+    )
+    nxt = F.lead(F.col(ts_col)).over(w2)
+    return kept.select(
+        F.col(key_col),
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        *[F.col(c) for c in attr_cols],
+    )

@@ -429,3 +429,62 @@ def test_deletion_variants_depth2_counts(spark):
     assert set(out["ab"]) == {"ab", "a", "b", ""}
     assert set(out["a"]) == {"a", ""}
     assert out[""] == [""]
+
+
+def test_rbo_overlap_identity_disjoint_and_replay(spark):
+    """Identical lists score the full truncated mass (~1 - p^k);
+    disjoint lists score 0; random rankings match the per-match
+    quantized python replay exactly."""
+    import math
+    import random
+
+    from patternly_spark.operators.retrieval import rbo_overlap
+
+    k, p, bits = 5, 0.8, 20
+    scale = 2**bits
+    wq = [
+        math.floor(
+            sum((1.0 - p) * p ** (d - 1) / d for d in range(m, k + 1)) * scale
+        )
+        for m in range(1, k + 1)
+    ]
+
+    ident = [(0, f"i{r}", r) for r in range(1, k + 1)]
+    disj_a = [(1, f"a{r}", r) for r in range(1, k + 1)]
+    disj_b = [(1, f"b{r}", r) for r in range(1, k + 1)]
+    rng = random.Random(5)
+    items = [f"x{j}" for j in range(8)]
+    rand_a = [(2, it, r + 1) for r, it in enumerate(rng.sample(items, k))]
+    rand_b = [(2, it, r + 1) for r, it in enumerate(rng.sample(items, k))]
+
+    schema = "query_id long, item_id string, rank int"
+    run_a = spark.createDataFrame(ident + disj_a + rand_a, schema)
+    run_b = spark.createDataFrame(ident + disj_b + rand_b, schema)
+    got = {
+        r.query_id: (r.n_common, r.rbo)
+        for r in rbo_overlap(run_a, run_b, k=k, p=p, quantize_bits=bits).collect()
+    }
+    # identity: every item matches at its own rank -> full mass
+    full = sum(wq[r - 1] for r in range(1, k + 1)) / scale
+    assert got[0] == (k, full)
+    assert abs(full - (1.0 - p**k)) < 1e-4
+    assert got[1] == (0, 0.0)
+    # replay the random case per-match
+    pos_a = {it: r for (_, it, r) in rand_a}
+    pos_b = {it: r for (_, it, r) in rand_b}
+    common = set(pos_a) & set(pos_b)
+    want = sum(wq[max(pos_a[it], pos_b[it]) - 1] for it in common) / scale
+    assert got[2] == (len(common), want)
+
+
+def test_rbo_overlap_ranks_beyond_k_ignored(spark):
+    from patternly_spark.operators.retrieval import rbo_overlap
+
+    a = spark.createDataFrame(
+        [(0, "x", 1), (0, "y", 7)], "query_id long, item_id string, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, "x", 1), (0, "y", 2)], "query_id long, item_id string, rank int"
+    )
+    rows = rbo_overlap(a, b, k=3, p=0.5).collect()
+    assert len(rows) == 1 and rows[0].n_common == 1  # y's rank 7 > k on side a

@@ -1479,3 +1479,62 @@ def test_streaming_cc_registry_end_to_end(spark, tmp_path):
         (r.node, r.component) for r in connected_components(df).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# streaming data-quality registry (the q194 streaming twin)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_quality_registry_equals_batch(spark, tmp_path):
+    """Additive-counter law (+ the per-value table for `unique`): the
+    report assembled from the folded registries after all triggers ==
+    data_quality_report over the full concatenation, row for row."""
+    from patternly_spark.operators.validate import data_quality_report
+    from patternly_spark.streaming.validate import (
+        quality_report_from_registry,
+        streaming_quality_registry,
+    )
+
+    rules = [
+        {"column": "k", "check": "unique"},
+        {"column": "name", "check": "complete"},
+        {"column": "price", "check": "range", "min": 0.0, "max": 100.0,
+         "max_violation_rate": 0.3},
+    ]
+    rows = [
+        (1, "a", 10.0), (2, "b", -5.0), (2, None, 200.0),
+        (3, "c", None), (4, "d", 50.0), (1, "e", 101.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, name string, price double")
+    src = str(tmp_path / "src")
+    df.repartition(3).write.parquet(src)
+
+    q = streaming_quality_registry(
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        rules,
+        counters_path=str(tmp_path / "counters"),
+        values_path=str(tmp_path / "values"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.rule_idx: (r.n_rows, r.n_violations, r.violation_rate, r.passed)
+        for r in quality_report_from_registry(
+            spark, rules,
+            str(tmp_path / "counters"),
+            values_path=str(tmp_path / "values"),
+        ).collect()
+    }
+    want = {
+        r.rule_idx: (r.n_rows, r.n_violations, r.violation_rate, r.passed)
+        for r in data_quality_report(df, rules).collect()
+    }
+    assert got == want
+    # sanity on the absolute numbers: 2 duplicate extras? no — k repeats
+    # 1 and 2 once each -> 2 extras; one null name; -5, 200, 101 out of range
+    assert want[0][1] == 2 and want[1][1] == 1 and want[2][1] == 3

@@ -517,3 +517,50 @@ def test_cross_correlation_validations(spark):
     df = spark.createDataFrame([(1, "A", 0, 1.0)], "k long, s string, t long, v double")
     with _pytest.raises(ValueError):
         cross_correlation(df, "v", "s", "A", "B", by="k", order_col="t", max_lag=0)
+
+
+def test_scd2_intervals_collapse_and_intervals(spark):
+    """No-op changes open no version; intervals tile [first_ts, open);
+    NULL attributes compare null-safely (NULL->NULL is a no-op,
+    NULL->value is a change); first row always opens a version."""
+    from patternly_spark.operators.temporal import scd2_intervals
+
+    rows = [
+        # user 1: A A B B A  -> versions A@1, B@3, A@5
+        (1, 1, 10, "A"), (1, 2, 11, "A"), (1, 3, 12, "B"),
+        (1, 4, 13, "B"), (1, 5, 14, "A"),
+        # user 2: NULL NULL X NULL -> versions NULL@1, X@3, NULL@4
+        (2, 1, 20, None), (2, 2, 21, None), (2, 3, 22, "X"),
+        (2, 4, 23, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, event_type string")
+    got = sorted(
+        (r.user_id, r.valid_from, r.valid_to, r.is_current, r.event_type)
+        for r in scd2_intervals(
+            df, key_col="user_id", ts_col="ts",
+            attr_cols=["event_type"], order_tiebreak=["event_id"],
+        ).collect()
+    )
+    assert got == [
+        (1, 1, 3, False, "A"),
+        (1, 3, 5, False, "B"),
+        (1, 5, None, True, "A"),
+        (2, 1, 3, False, None),
+        (2, 3, 4, False, "X"),
+        (2, 4, None, True, None),
+    ]
+
+
+def test_scd2_multi_attr_change_on_any(spark):
+    """A change in ANY attribute column opens a new version."""
+    from patternly_spark.operators.temporal import scd2_intervals
+
+    rows = [(1, 1, "A", "x"), (1, 2, "A", "y"), (1, 3, "A", "y")]
+    df = spark.createDataFrame(rows, "k long, ts long, a string, b string")
+    got = sorted(
+        (r.valid_from, r.valid_to, r.a, r.b)
+        for r in scd2_intervals(
+            df, key_col="k", ts_col="ts", attr_cols=["a", "b"]
+        ).collect()
+    )
+    assert got == [(1, 2, "A", "x"), (2, None, "A", "y")]
