@@ -7707,6 +7707,48 @@ _Q196_ORACLE = """
     WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 """
 
+def q197_fuzzy_join_dist3(spark, sf_dir):
+    """Distance-3 fuzzy key join via PassJoin segment blocking
+    (operators/retrieval.passjoin_fuzzy_key_join — Li et al., VLDB'11):
+    supplier names corrupted by THREE deletions at spread positions are
+    matched back to the master within Levenshtein distance 3.  The
+    pigeonhole argument: 3 edits cannot touch all 4 even segments, so
+    every true pair shares one segment exactly (position within +-3,
+    length within +-3) — an equi-join on (segment_idx, segment,
+    right_len) + exact levenshtein verify.  Removes the SymSpell
+    depth-2 ceiling: deletion neighborhoods at depth 3 are ~len^3/6
+    per key; PassJoin probes are a constant ~200.  BRUTE-FORCE cross
+    oracle proves completeness at radius 3, not just precision."""
+    from patternly_spark.operators.retrieval import passjoin_fuzzy_key_join
+
+    sup = _t(spark, sf_dir, "supplier")
+    names = sup.select(F.col("s_name").alias("name")).distinct()
+    probes = names.select(
+        F.concat(
+            F.substring("name", 1, 2),
+            F.substring("name", 4, 4),
+            F.substring("name", 9, 5),
+            F.substr(F.col("name"), F.lit(15)),
+        ).alias("probe")
+    ).distinct()
+    return passjoin_fuzzy_key_join(
+        probes, names, left_key="probe", right_key="name", max_dist=3
+    )
+
+
+_Q197_ORACLE = """
+    WITH names AS (
+        SELECT DISTINCT s_name AS name FROM supplier
+    ), probes AS (
+        SELECT DISTINCT substr(name, 1, 2) || substr(name, 4, 4)
+               || substr(name, 9, 5) || substr(name, 15) AS probe
+        FROM names
+    )
+    SELECT p.probe, n.name, CAST(levenshtein(p.probe, n.name) AS INT) AS dist
+    FROM probes p, names n
+    WHERE levenshtein(p.probe, n.name) <= 3
+"""
+
 
 # ---------------------------------------------------------------------------
 
@@ -7914,6 +7956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q194_data_quality_report": q194_data_quality_report,
         "q195_ranking_agreement": q195_ranking_agreement,
         "q196_scd2_history": q196_scd2_history,
+        "q197_fuzzy_join_dist3": q197_fuzzy_join_dist3,
     }
 
 
@@ -9614,6 +9657,7 @@ def oracle_sql() -> dict[str, str]:
         "q194_data_quality_report": _Q194_ORACLE,
         "q195_ranking_agreement": _q195_oracle(),
         "q196_scd2_history": _Q196_ORACLE,
+        "q197_fuzzy_join_dist3": _Q197_ORACLE,
     }
 
 

@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "q194_data_quality_report",
     "q195_ranking_agreement",
     "q196_scd2_history",
+    "q197_fuzzy_join_dist3",
 ]
 
 

@@ -538,12 +538,12 @@ def fuzzy_key_join(
     cartesian product, no per-pair scan of either side.
 
     Output: distinct (left_key, right_key, dist) with dist <= max_dist.
-    The blocking is COMPLETE for max_dist <= 2 (the SymSpell guarantee:
-    any <=d-op edit script between two keys leaves a common member in
-    both depth-d deletion neighborhoods — substitutions delete the
-    edited position from both sides, insertions delete from one); for
-    max_dist > 2 the verify is still exact but recall is bounded by the
-    depth-2 neighborhoods (raise ValueError rather than silently miss).
+    The deletion blocking is COMPLETE for max_dist <= 2 (the SymSpell
+    guarantee: any <=d-op edit script between two keys leaves a common
+    member in both depth-d deletion neighborhoods); for max_dist >= 3
+    the call routes to ``passjoin_fuzzy_key_join`` (segment-pigeonhole
+    blocking, complete for any radius) — one entry point, the right
+    plan per radius.
 
     Scale shape: fan-out is len+1 variants per key at distance 1 and
     ~len^2/2 at distance 2 (both bounded by ``deletion_variants``'s
@@ -551,9 +551,9 @@ def fuzzy_key_join(
     variant-sized relations once, and the verify runs only on blocked
     candidates."""
     if int(max_dist) > 2:
-        raise ValueError(
-            "fuzzy_key_join guarantees completeness only up to max_dist=2 "
-            f"(got {max_dist}); chain coarser blocking for larger radii"
+        return passjoin_fuzzy_key_join(
+            left, right, left_key=left_key, right_key=right_key,
+            max_dist=int(max_dist),
         )
     depth = max(1, min(int(max_dist), 2))
     lv = left.select(F.col(left_key).alias("__lk")).distinct().select(
@@ -690,5 +690,146 @@ def rbo_overlap(
             (
                 F.coalesce(F.col("__s"), F.lit(0)).cast("double") / F.lit(scale)
             ).alias("rbo"),
+        )
+    )
+
+
+def _passjoin_probe_variants(c: "Column", tau: int) -> "F.Column":
+    """All (seg_idx, substring, partner_len) probes a LEFT key must emit
+    to meet every possible partner under the PassJoin scheme: for each
+    admissible partner length Lp (|len-Lp| <= tau, Lp >= tau+1 so every
+    partner segment is non-empty), for each of the tau+1 segments of a
+    length-Lp string, every substring of the left key with that
+    segment's length starting within +-tau of the segment's position.
+    Fan-out is bounded: (2tau+1) lengths x (tau+1) segments x
+    <=(2tau+1) positions — ~200 probes at tau=3, all built by JVM
+    higher-order functions on one row."""
+    n = tau + 1
+    L = F.length(c)
+
+    def seg_geom(lp, i):
+        k = F.floor(lp / F.lit(n)).cast("int")
+        rem = (lp % F.lit(n)).cast("int")
+        start = (i * k + F.greatest(F.lit(0), i - (F.lit(n) - rem))).cast("int")
+        slen = (k + F.when(i >= F.lit(n) - rem, F.lit(1)).otherwise(F.lit(0))).cast(
+            "int"
+        )
+        return start, slen
+
+    def probes_for(lp):
+        def per_seg(i):
+            start, slen = seg_geom(lp, i)
+            pmin = F.greatest(F.lit(0), start - F.lit(tau))
+            pmax = F.least(L - slen, start + F.lit(tau))
+            return F.when(
+                (pmax >= pmin) & (slen > 0),
+                F.transform(
+                    F.sequence(pmin, pmax),
+                    lambda p: F.struct(
+                        i.cast("int").alias("si"),
+                        F.substring(c, (p + 1).cast("int"), slen).alias("seg"),
+                        lp.cast("int").alias("lr"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<si:int,seg:string,lr:int>>")
+            )
+
+        return F.flatten(
+            F.transform(F.sequence(F.lit(0), F.lit(tau)), per_seg)
+        )
+
+    lo = F.greatest(L - F.lit(tau), F.lit(n))
+    hi = L + F.lit(tau)
+    return F.when(
+        hi >= lo,
+        F.flatten(F.transform(F.sequence(lo, hi), probes_for)),
+    ).otherwise(F.array().cast("array<struct<si:int,seg:string,lr:int>>"))
+
+
+def _passjoin_segment_variants(c: "Column", tau: int) -> "F.Column":
+    """The tau+1 (seg_idx, segment, own_len) blocks of a RIGHT key under
+    the even PassJoin partition (first segments floor-length, last ones
+    +1).  Only valid for len >= tau+1 (caller routes shorter keys to
+    the short-key path)."""
+    n = tau + 1
+    L = F.length(c)
+    k = F.floor(L / F.lit(n)).cast("int")
+    rem = (L % F.lit(n)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(tau)),
+        lambda i: F.struct(
+            i.cast("int").alias("si"),
+            F.substring(
+                c,
+                (i * k + F.greatest(F.lit(0), i - (F.lit(n) - rem)) + 1).cast("int"),
+                (k + F.when(i >= F.lit(n) - rem, F.lit(1)).otherwise(F.lit(0))).cast(
+                    "int"
+                ),
+            ).alias("seg"),
+            L.cast("int").alias("lr"),
+        ),
+    )
+
+
+def passjoin_fuzzy_key_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    max_dist: int,
+) -> DataFrame:
+    """Exact edit-distance join for ANY radius via PassJoin segment
+    blocking (Li, Deng, Wang & Feng, "PASS-JOIN: a partition-based
+    method for similarity joins", VLDB 2011): partition each right key
+    into ``max_dist``+1 even segments — tau edits cannot touch all
+    tau+1 segments (pigeonhole), so an ed<=tau partner contains at
+    least one segment EXACTLY, at a position within +-tau of its home
+    and at a length within +-tau — an equi-join on
+    (segment_index, segment, right_len), then an exact ``levenshtein``
+    verify.  This removes the SymSpell depth<=2 ceiling: deletion
+    neighborhoods grow ~len^tau while PassJoin probes grow only
+    (2tau+1)^2(tau+1).
+
+    Right keys shorter than tau+1 characters have empty segments and
+    route through a separate bounded block (they can only pair with
+    left keys of length <= 2*tau — both classes are tiny for real key
+    joins; degenerate corpora of all-short keys degrade to the
+    cross-verify this block is, which is also the information floor).
+
+    Output: distinct (left_key, right_key, dist), dist <= max_dist.
+    """
+    tau = int(max_dist)
+    if tau < 1:
+        raise ValueError(f"max_dist must be >= 1, got {tau}")
+
+    lkeys = left.select(F.col(left_key).alias("__lk")).distinct()
+    rkeys = right.select(F.col(right_key).alias("__rk")).distinct()
+
+    r_long = rkeys.filter(F.length("__rk") >= tau + 1)
+    probes = lkeys.select(
+        "__lk", F.explode(_passjoin_probe_variants(F.col("__lk"), tau)).alias("__p")
+    ).select("__lk", "__p.si", "__p.seg", "__p.lr")
+    blocks = r_long.select(
+        "__rk",
+        F.explode(_passjoin_segment_variants(F.col("__rk"), tau)).alias("__b"),
+    ).select("__rk", "__b.si", "__b.seg", "__b.lr")
+    cand_long = probes.join(blocks, ["si", "seg", "lr"]).select("__lk", "__rk")
+
+    r_short = rkeys.filter(F.length("__rk") <= tau)
+    l_short = lkeys.filter(F.length("__lk") <= 2 * tau)
+    cand_short = l_short.crossJoin(F.broadcast(r_short))
+
+    cand = cand_long.unionByName(cand_short).distinct()
+    dist = F.levenshtein(F.col("__lk"), F.col("__rk"))
+    out_right = right_key if right_key != left_key else f"{right_key}_right"
+    return (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") <= tau)
+        .select(
+            F.col("__lk").alias(left_key),
+            F.col("__rk").alias(out_right),
+            F.col("dist").cast("int").alias("dist"),
         )
     )

@@ -488,3 +488,72 @@ def test_rbo_overlap_ranks_beyond_k_ignored(spark):
     )
     rows = rbo_overlap(a, b, k=3, p=0.5).collect()
     assert len(rows) == 1 and rows[0].n_common == 1  # y's rank 7 > k on side a
+
+
+def test_passjoin_exhaustive_parity_with_bruteforce(spark):
+    """PassJoin at tau=3 returns EXACTLY the brute-force Levenshtein
+    pair set (completeness AND precision) over random short keys
+    including empty and sub-segment-length strings."""
+    import itertools
+    import random
+
+    from patternly_spark.operators.retrieval import passjoin_fuzzy_key_join
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(31)
+    alpha = "abc"
+    lkeys = list({"".join(rng.choices(alpha, k=rng.randint(0, 9))) for _ in range(70)})
+    rkeys = list({"".join(rng.choices(alpha, k=rng.randint(0, 9))) for _ in range(70)})
+    lf = spark.createDataFrame([(k,) for k in lkeys], "name string")
+    rf = spark.createDataFrame([(k,) for k in rkeys], "term string")
+
+    tau = 3
+    got = {
+        (r.name, r.term): r.dist
+        for r in passjoin_fuzzy_key_join(
+            lf, rf, left_key="name", right_key="term", max_dist=tau
+        ).collect()
+    }
+    want = {
+        (a, b): lev(a, b)
+        for a, b in itertools.product(lkeys, rkeys)
+        if lev(a, b) <= tau
+    }
+    assert got == want
+
+
+def test_fuzzy_key_join_routes_large_radius_to_passjoin(spark):
+    """max_dist=4 no longer raises; agreement with brute force on a
+    planted set exercising every edit type at distance 3-4."""
+    from patternly_spark.operators.retrieval import fuzzy_key_join
+
+    lf = spark.createDataFrame(
+        [("kangaroo",), ("elephant",), ("zzzz",)], "name string"
+    )
+    rf = spark.createDataFrame(
+        [("kangaro",), ("kangarooxyz",), ("elphnt",), ("eleph",), ("qqqq",)],
+        "term string",
+    )
+    got = {
+        (r.name, r.term): r.dist
+        for r in fuzzy_key_join(
+            lf, rf, left_key="name", right_key="term", max_dist=4
+        ).collect()
+    }
+    assert got == {
+        ("kangaroo", "kangaro"): 1,
+        ("kangaroo", "kangarooxyz"): 3,
+        ("elephant", "elphnt"): 2,
+        ("elephant", "eleph"): 3,
+        ("zzzz", "qqqq"): 4,
+    }
