@@ -7749,6 +7749,72 @@ _Q197_ORACLE = """
     WHERE levenshtein(p.probe, n.name) <= 3
 """
 
+def q198_ngram_novelty(spark, sf_dir):
+    """Per-document 8-gram novelty against a reference corpus
+    (operators/decontam.ngram_novelty) — the memorization-risk metric:
+    the fraction of a doc's DISTINCT 8-gram types absent from the
+    reference.  Here the reference is the even-doc_id half of the
+    corpus and the probes are the odd half plus doc_id<50 EXACT COPIES
+    of even docs shifted into probe ids (planted restatements that must
+    score novelty 0.0).  One gram explode per side, one keyed left
+    join, one per-doc agg; too-short docs report vacuous novelty 1.0."""
+    from patternly_spark.operators.decontam import ngram_novelty
+
+    d = _t(spark, sf_dir, "documents")
+    reference = d.filter(F.col("doc_id") % 2 == 0)
+    probes = d.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 2000))
+    planted = reference.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return ngram_novelty(
+        probes.select("doc_id", "text").unionByName(planted), reference, n=8
+    )
+
+
+_Q198_ORACLE = """
+    WITH ref_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ), probe_docs AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 2 = 1 AND doc_id < 2000
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM ref_docs WHERE doc_id < 100
+    ), ptoks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM probe_docs
+    ), pgrams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i : i + 7], ' ') AS gram
+        FROM ptoks, range(1, 100000) r(i)
+        WHERE i <= len(t) - 7
+    ), rtoks AS (
+        SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM ref_docs
+    ), rgrams AS (
+        SELECT DISTINCT array_to_string(t[i : i + 7], ' ') AS gram
+        FROM rtoks, range(1, 100000) r(i)
+        WHERE i <= len(t) - 7
+    ), counts AS (
+        SELECT p.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN rg.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_novel
+        FROM pgrams p LEFT JOIN rgrams rg USING (gram)
+        GROUP BY p.doc_id
+    )
+    SELECT d.doc_id AS id,
+           COALESCE(c.n_grams, 0) AS n_grams,
+           COALESCE(c.n_novel, 0) AS n_novel,
+           CASE WHEN COALESCE(c.n_grams, 0) > 0
+                THEN c.n_novel::DOUBLE / c.n_grams::DOUBLE
+                ELSE 1.0 END AS novelty
+    FROM (SELECT DISTINCT doc_id FROM probe_docs) d
+    LEFT JOIN counts c USING (doc_id)
+"""
+
 
 # ---------------------------------------------------------------------------
 
@@ -7957,6 +8023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q195_ranking_agreement": q195_ranking_agreement,
         "q196_scd2_history": q196_scd2_history,
         "q197_fuzzy_join_dist3": q197_fuzzy_join_dist3,
+        "q198_ngram_novelty": q198_ngram_novelty,
     }
 
 
@@ -9658,6 +9725,7 @@ def oracle_sql() -> dict[str, str]:
         "q195_ranking_agreement": _q195_oracle(),
         "q196_scd2_history": _Q196_ORACLE,
         "q197_fuzzy_join_dist3": _Q197_ORACLE,
+        "q198_ngram_novelty": _Q198_ORACLE,
     }
 
 

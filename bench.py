@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "q195_ranking_agreement",
     "q196_scd2_history",
     "q197_fuzzy_join_dist3",
+    "q198_ngram_novelty",
 ]
 
 

@@ -265,3 +265,88 @@ def cross_source_overlap(
             ).alias("containment"),
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    reference: DataFrame,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus — the
+    memorization-risk / generation-quality metric: novelty = fraction
+    of the document's DISTINCT n-gram types absent from the reference
+    (Lee et al. 2107.06499 measure memorized continuations this way;
+    an eval-deck gate flags candidate documents whose novelty is LOW —
+    they restate the reference — and a generation audit flags outputs
+    whose novelty is low against the training corpus).
+
+    One gram explode per side (per-row slices, no UDF), distinct per
+    doc on the probe side and globally on the reference side, ONE
+    left join keyed on the gram, one per-doc agg.  The reference gram
+    relation is vocabulary-scale and keyed — a shuffle join, NOT a
+    broadcast (a 100 TB reference's gram set fits no executor); at
+    that scale join on xxhash64(gram) (the duplicate_spans trade) and
+    bucket the reference by it.
+
+    Docs with fewer than ``n`` tokens have no grams and report
+    n_grams=0, novelty 1.0 (nothing restated — vacuously novel).
+
+    Output: (id, n_grams, n_novel, novelty).
+    """
+    nn = int(n)
+    if nn < 1:
+        raise ValueError(f"n must be >= 1, got {nn}")
+
+    def grams_of(df: DataFrame, idc, textc):
+        toks = df.select(
+            *( [F.col(idc).alias("id")] if idc else [] ),
+            F.filter(
+                F.split(F.trim(F.col(textc)), r"\s+"), lambda x: x != ""
+            ).alias("__t"),
+        )
+        g = F.when(
+            F.size("__t") >= nn,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - nn + 1),
+                lambda i: F.array_join(F.slice("__t", i, nn), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return toks.select(
+            *( ["id"] if idc else [] ), F.explode(g).alias("gram")
+        )
+
+    doc_grams = grams_of(docs, id_col, text_col).distinct()
+    ref_grams = (
+        grams_of(reference, None, ref_text_col or text_col)
+        .select("gram")
+        .distinct()
+    )
+    per_gram = doc_grams.join(
+        ref_grams.withColumn("__hit", F.lit(1)), "gram", "left"
+    )
+    counts = per_gram.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
+    )
+    # docs too short for any gram never reach the join: restore them
+    all_ids = docs.select(F.col(id_col).alias("id")).distinct()
+    return (
+        all_ids.join(counts, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("novelty"),
+        )
+    )

@@ -95,3 +95,78 @@ def streaming_upsert(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_scd2_registry(
+    stream_changes,
+    registry_path: str,
+    *,
+    checkpoint_path: str,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    attr_cols: list[str],
+    trigger_once: bool = False,
+):
+    """Streaming SCD type-2 registry — the q196 twin: fold each
+    microbatch of change events into the versioned-interval table at
+    ``registry_path`` so the registry always equals
+    ``scd2_intervals`` over every event seen (pinned by test), under
+    the per-key TIME-ORDERED arrival contract (the streaming_holt
+    precedent: a batch's events for a key all follow the key's open
+    version; late events need a rebuild, same as any SCD2 store).
+
+    Per batch, only TOUCHED keys rework: their open (is_current) rows
+    re-enter as synthetic change events at their own valid_from — so
+    the no-op collapse sees the open version's attributes exactly as
+    scd2_intervals would — and the batch's events append; closed
+    history and untouched keys pass through byte-identical.
+    localCheckpoint before the overwrite (read and write share the
+    path).
+    """
+    from pyspark.sql import DataFrame
+
+    from patternly_spark.operators.temporal import scd2_intervals
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        events = batch_df.select(
+            F.col(key_col), F.col(ts_col), *[F.col(c) for c in attr_cols]
+        )
+        try:
+            registry = spark.read.parquet(registry_path)
+        except Exception:
+            registry = None
+        if registry is None:
+            updated = scd2_intervals(
+                events, key_col=key_col, ts_col=ts_col, attr_cols=attr_cols
+            )
+        else:
+            touched_keys = events.select(key_col).distinct()
+            touched = registry.join(touched_keys, key_col, "left_semi")
+            untouched = registry.join(touched_keys, key_col, "left_anti")
+            closed = touched.filter(~F.col("is_current"))
+            open_as_events = touched.filter(F.col("is_current")).select(
+                F.col(key_col),
+                F.col("valid_from").alias(ts_col),
+                *[F.col(c) for c in attr_cols],
+            )
+            rebuilt = scd2_intervals(
+                open_as_events.unionByName(events),
+                key_col=key_col,
+                ts_col=ts_col,
+                attr_cols=attr_cols,
+            )
+            # a rebuilt version that starts where closed history ends
+            # stays open-ended only if nothing follows it; closed rows
+            # keep their original intervals untouched
+            updated = untouched.unionByName(closed).unionByName(rebuilt)
+        updated.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            registry_path
+        )
+
+    writer = stream_changes.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

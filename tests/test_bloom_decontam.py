@@ -86,3 +86,32 @@ def test_cross_source_overlap_known_sharing(spark):
     assert ab.shared == 1 and ab.n_b == 1 and ab.n_a == 2
     assert ab.containment == 1.0  # B is fully contained in A
     assert ("A", "C") not in out and ("B", "C") not in out  # no overlap rows
+
+
+def test_ngram_novelty_planted_copy_disjoint_and_short(spark):
+    """A verbatim copy of a reference doc scores novelty 0.0; a
+    disjoint-vocabulary doc scores 1.0; docs too short for any gram
+    report (0 grams, novelty 1.0); a half-restated doc lands between."""
+    from patternly_spark.operators.decontam import ngram_novelty
+
+    ref = spark.createDataFrame(
+        [(100, "r1 r2 r3 r4 r5 r6"), (101, "s1 s2 s3 s4 s5")],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [
+            (1, "r1 r2 r3 r4 r5 r6"),             # exact copy
+            (2, "x1 x2 x3 x4 x5"),                # disjoint
+            (3, "tiny doc"),                      # < n tokens
+            (4, "r1 r2 r3 r4 z9 z8 z7 z6"),       # grams: 1 hit of 5
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.id: (r.n_grams, r.n_novel, r.novelty)
+        for r in ngram_novelty(probes, ref, n=4).collect()
+    }
+    assert got[1] == (3, 0, 0.0)
+    assert got[2] == (2, 2, 1.0)
+    assert got[3] == (0, 0, 1.0)
+    assert got[4] == (5, 4, 4 / 5)

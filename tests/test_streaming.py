@@ -1538,3 +1538,56 @@ def test_streaming_quality_registry_equals_batch(spark, tmp_path):
     # sanity on the absolute numbers: 2 duplicate extras? no — k repeats
     # 1 and 2 once each -> 2 extras; one null name; -5, 200, 101 out of range
     assert want[0][1] == 2 and want[1][1] == 1 and want[2][1] == 3
+
+
+def test_streaming_scd2_registry_equals_batch(spark, tmp_path):
+    """Per-key time-ordered batches: the registry after all triggers ==
+    scd2_intervals over every change event, including a cross-batch
+    no-op (same attrs continue the open version, not a new one) and a
+    cross-batch change (open version closes at the new event's ts)."""
+    from patternly_spark.operators.temporal import scd2_intervals
+    from patternly_spark.streaming.merge import streaming_scd2_registry
+
+    rows = [
+        # user 1: A@1 A@2(noop) | B@5 | B@8(noop) A@9
+        (1, 1, "A"), (1, 2, "A"), (1, 5, "B"), (1, 8, "B"), (1, 9, "A"),
+        # user 2: X@1 | (untouched in later batches)
+        (2, 1, "X"),
+        # user 3 appears only in the last batch
+        (3, 7, "Q"), (3, 9, "Q"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    src = str(tmp_path / "src")
+    # time-ordered batches: ts<=2 | ts<=5 | rest
+    df.filter(F.col("ts") <= 2).coalesce(1).write.parquet(src)
+    df.filter((F.col("ts") > 2) & (F.col("ts") <= 5)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    df.filter(F.col("ts") > 5).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_scd2_registry(
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        registry_path=str(tmp_path / "reg"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        key_col="user_id",
+        ts_col="ts",
+        attr_cols=["event_type"],
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.valid_from): (r.valid_to, r.is_current, r.event_type)
+        for r in spark.read.parquet(str(tmp_path / "reg")).collect()
+    }
+    want = {
+        (r.user_id, r.valid_from): (r.valid_to, r.is_current, r.event_type)
+        for r in scd2_intervals(
+            df, key_col="user_id", ts_col="ts", attr_cols=["event_type"]
+        ).collect()
+    }
+    assert got == want
+    # the cross-batch no-op really collapsed: user 1 has exactly 3 versions
+    assert sum(1 for k in got if k[0] == 1) == 3
