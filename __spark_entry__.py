@@ -7675,12 +7675,21 @@ def q196_scd2_history(spark, sf_dir):
     from patternly_spark.operators.temporal import scd2_intervals
 
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
-    return scd2_intervals(
+    out = scd2_intervals(
         ev,
         key_col="user_id",
         ts_col="ts",
         attr_cols=["event_type"],
         order_tiebreak=["event_id"],
+    )
+    # epoch_us both sides — raw timestamps shift with the session
+    # timezone on a vanilla driver session (the documented ts trap)
+    return out.select(
+        "user_id",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+        "event_type",
     )
 
 
@@ -7699,8 +7708,8 @@ _Q196_ORACLE = """
         SELECT user_id, ts, event_id, event_type FROM flagged WHERE NOT noop
     )
     SELECT user_id,
-           ts AS valid_from,
-           LEAD(ts) OVER w2 AS valid_to,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(LEAD(ts) OVER w2) AS valid_to_us,
            LEAD(ts) OVER w2 IS NULL AS is_current,
            event_type
     FROM kept
@@ -7813,6 +7822,218 @@ _Q198_ORACLE = """
                 ELSE 1.0 END AS novelty
     FROM (SELECT DISTINCT doc_id FROM probe_docs) d
     LEFT JOIN counts c USING (doc_id)
+"""
+
+def q199_idf_snapshot_drift(spark, sf_dir):
+    """Vocabulary drift between two frozen IDF snapshots
+    (operators/drift.idf_snapshot_drift) — the rebuild-or-keep decision
+    input for the ST24 frozen-IDF registry.  Planted drift: the old
+    corpus carries sentinel 'xold' everywhere and 'xmov' on even docs;
+    the new carries 'xnew' and 'xmov' everywhere — so the report must
+    show exactly one vanished term, one new term, one 2x rate mover
+    (threshold 1.5), and the stable base vocabulary.  Full outer join
+    on term; integer dfs + two divisions, engine-exact."""
+    from patternly_spark.operators.drift import idf_snapshot_drift
+    from patternly_spark.operators.similarity_allpairs import build_idf_snapshot
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    old_docs = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" xold"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(" xmov")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    new_docs = d.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" xnew xmov")).alias("text")
+    )
+    return idf_snapshot_drift(
+        build_idf_snapshot(old_docs),
+        build_idf_snapshot(new_docs),
+        min_df=5,
+        rate_change_threshold=1.5,
+    )
+
+
+_Q199_ORACLE = """
+    WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 2000
+    ), old_docs AS (
+        SELECT doc_id,
+               text || ' xold' ||
+               CASE WHEN doc_id % 2 = 0 THEN ' xmov' ELSE '' END AS text
+        FROM base
+    ), new_docs AS (
+        SELECT doc_id, text || ' xnew xmov' AS text FROM base
+    ), osnap AS (
+        SELECT term, COUNT(*)::BIGINT AS df,
+               (SELECT COUNT(*) FROM old_docs)::BIGINT AS n_docs
+        FROM (
+            SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                          x -> x <> '')) AS term
+                FROM old_docs)
+        ) GROUP BY term
+    ), nsnap AS (
+        SELECT term, COUNT(*)::BIGINT AS df,
+               (SELECT COUNT(*) FROM new_docs)::BIGINT AS n_docs
+        FROM (
+            SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                          x -> x <> '')) AS term
+                FROM new_docs)
+        ) GROUP BY term
+    ), j AS (
+        SELECT COALESCE(o.term, n.term) AS term,
+               COALESCE(o.df, 0)::BIGINT AS df_old,
+               COALESCE(n.df, 0)::BIGINT AS df_new,
+               (SELECT MAX(n_docs) FROM osnap)::DOUBLE AS no,
+               (SELECT MAX(n_docs) FROM nsnap)::DOUBLE AS nn
+        FROM osnap o FULL OUTER JOIN nsnap n ON o.term = n.term
+    )
+    SELECT term, df_old, df_new,
+           df_old::DOUBLE / no AS rate_old,
+           df_new::DOUBLE / nn AS rate_new,
+           CASE WHEN df_old = 0 AND df_new >= 5 THEN 'new'
+                WHEN df_new = 0 AND df_old >= 5 THEN 'vanished'
+                WHEN df_old > 0 AND df_new > 0
+                     AND GREATEST((df_new::DOUBLE / nn) / (df_old::DOUBLE / no),
+                                  (df_old::DOUBLE / no) / (df_new::DOUBLE / nn))
+                         > 1.5
+                THEN 'mover'
+                ELSE 'stable' END AS status
+    FROM j
+    WHERE df_old >= 5 OR df_new >= 5
+"""
+
+def q200_release_gate(spark, sf_dir):
+    """Round-5 capstone composition — the corpus RELEASE GATE a
+    training-data team actually ships behind: (1) the q193 hashed
+    linear quality classifier scores every doc under the corpus-derived
+    lexicon; (2) docs failing the score gate or losing q20's exact
+    keep-first dedup are dropped; (3) the released subset passes
+    through the q194 data-quality expectation suite — id uniqueness
+    and score non-negativity MUST hold by construction (the gate
+    auditing the gate), lang/length rules carry real thresholds.  The
+    oracle replays all three stages in one WITH chain, so the hash
+    check certifies the composition end-to-end, not the pieces."""
+    from pyspark.sql import Window
+
+    from patternly_spark.operators.dedup import exact_dedup
+    from patternly_spark.operators.lm import hash_bucket, hashed_text_classifier
+    from patternly_spark.operators.validate import data_quality_report
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    df_ = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.orderBy(F.desc("df"), F.asc("term"))
+    lexicon = (
+        df_.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 20)
+        .select(
+            hash_bucket(F.col("term"), 4096).alias("bucket"),
+            F.when(F.col("rank") % 2 == 0, F.lit(0.5))
+            .otherwise(F.lit(-0.5))
+            .alias("weight"),
+        )
+    )
+    scored = hashed_text_classifier(docs, lexicon, n_buckets=4096, bias=-0.25)
+    dd = exact_dedup(docs)
+    released = (
+        docs.join(scored.select(F.col("id").alias("doc_id"), "score"), "doc_id")
+        .join(dd.select("doc_id", "is_dup"), "doc_id")
+        .filter((F.col("score") > 0) & (~F.col("is_dup")))
+    )
+    rules = [
+        {"column": "doc_id", "check": "unique"},
+        {"column": "text", "check": "complete"},
+        {"column": "score", "check": "non_negative"},
+        {"column": "lang", "check": "allowed", "values": ["en", "de"],
+         "max_violation_rate": 0.6},
+        {"column": "n_chars", "check": "range", "min": 50, "max": 500,
+         "max_violation_rate": 0.2},
+    ]
+    return data_quality_report(released, rules)
+
+
+_Q200_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ), dfq AS (
+        SELECT term, COUNT(*) AS df FROM tok GROUP BY term
+    ), lex AS (
+        SELECT CAST(CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 4096
+                    AS BIGINT) AS bucket,
+               CASE WHEN (ROW_NUMBER() OVER (ORDER BY df DESC, term ASC)) % 2 = 0
+                    THEN 0.5 ELSE -0.5 END AS weight
+        FROM dfq
+        QUALIFY ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) <= 20
+    ), wq AS (
+        SELECT bucket, SUM(CAST(FLOOR(weight * 1048576.0) AS BIGINT)) AS wq
+        FROM lex GROUP BY bucket
+    ), scored AS (
+        SELECT t.doc_id,
+               -0.25 + CAST(SUM(COALESCE(wq.wq, 0)) AS DOUBLE) / 1048576.0
+                   AS score
+        FROM (SELECT doc_id,
+                     CAST(CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 4096
+                          AS BIGINT) AS bucket
+              FROM tok) t
+        LEFT JOIN wq USING (bucket)
+        GROUP BY t.doc_id
+    ), hashed AS (
+        SELECT doc_id,
+               substr(md5(array_to_string(
+                   string_split_regex(lower(trim(text)), '\\s+'), ' ')), 1, 32)
+                   AS content_hash
+        FROM documents
+    ), dd AS (
+        SELECT doc_id,
+               doc_id <> MIN(doc_id) OVER (PARTITION BY content_hash) AS is_dup
+        FROM hashed
+    ), released AS (
+        SELECT d.doc_id, d.text, d.lang, d.n_chars, s.score
+        FROM documents d
+        JOIN scored s USING (doc_id)
+        JOIN dd USING (doc_id)
+        WHERE s.score > 0 AND NOT dd.is_dup
+    ), m AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               COUNT(doc_id)::BIGINT AS nn_key,
+               COUNT(DISTINCT doc_id)::BIGINT AS nd_key,
+               COALESCE(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)::BIGINT
+                   AS v_text,
+               COALESCE(SUM(CASE WHEN score IS NOT NULL AND score < 0
+                        THEN 1 ELSE 0 END), 0)::BIGINT AS v_score,
+               COALESCE(SUM(CASE WHEN lang IS NOT NULL
+                         AND lang NOT IN ('en', 'de')
+                        THEN 1 ELSE 0 END), 0)::BIGINT AS v_lang,
+               COALESCE(SUM(CASE WHEN n_chars IS NOT NULL
+                         AND (n_chars < 50 OR n_chars > 500)
+                        THEN 1 ELSE 0 END), 0)::BIGINT AS v_len
+        FROM released
+    ), rows_ AS (
+        SELECT 0 AS rule_idx, 'doc_id' AS "column", 'unique' AS "check",
+               n, nn_key - nd_key AS n_violations, 0.0 AS thr FROM m
+        UNION ALL SELECT 1, 'text', 'complete', n, v_text, 0.0 FROM m
+        UNION ALL SELECT 2, 'score', 'non_negative', n, v_score, 0.0 FROM m
+        UNION ALL SELECT 3, 'lang', 'allowed', n, v_lang, 0.6 FROM m
+        UNION ALL SELECT 4, 'n_chars', 'range', n, v_len, 0.2 FROM m
+    )
+    SELECT rule_idx, "column", "check", n AS n_rows, n_violations,
+           CASE WHEN n > 0 THEN n_violations::DOUBLE / n::DOUBLE ELSE 0.0 END
+               AS violation_rate,
+           (CASE WHEN n > 0 THEN n_violations::DOUBLE / n::DOUBLE ELSE 0.0 END)
+               <= thr AS passed
+    FROM rows_
 """
 
 
@@ -8024,6 +8245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q196_scd2_history": q196_scd2_history,
         "q197_fuzzy_join_dist3": q197_fuzzy_join_dist3,
         "q198_ngram_novelty": q198_ngram_novelty,
+        "q199_idf_snapshot_drift": q199_idf_snapshot_drift,
+        "q200_release_gate": q200_release_gate,
     }
 
 
@@ -9726,6 +9949,8 @@ def oracle_sql() -> dict[str, str]:
         "q196_scd2_history": _Q196_ORACLE,
         "q197_fuzzy_join_dist3": _Q197_ORACLE,
         "q198_ngram_novelty": _Q198_ORACLE,
+        "q199_idf_snapshot_drift": _Q199_ORACLE,
+        "q200_release_gate": _Q200_ORACLE,
     }
 
 

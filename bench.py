@@ -217,6 +217,8 @@ BENCH_QUERIES = [
     "q196_scd2_history",
     "q197_fuzzy_join_dist3",
     "q198_ngram_novelty",
+    "q199_idf_snapshot_drift",
+    "q200_release_gate",
 ]
 
 

@@ -385,3 +385,71 @@ def pairwise_correlation(
         (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)),
     )
     return agg.select("series_a", "series_b", "n", corr.alias("corr"))
+
+
+def idf_snapshot_drift(
+    old_snap: DataFrame,
+    new_snap: DataFrame,
+    *,
+    min_df: int = 5,
+    rate_change_threshold: float = 2.0,
+) -> DataFrame:
+    """Vocabulary drift between two ``build_idf_snapshot`` relations —
+    the decision input for the frozen-IDF registry's rebuild-or-keep
+    question (ST24): a term whose document-frequency RATE (df/N) moved
+    by more than ``rate_change_threshold``x in either direction, or
+    that appeared/vanished above ``min_df``, is evidence the frozen
+    weights no longer describe the stream.
+
+    Full outer join on term (vocabulary-scale, keyed); rates are one
+    division each; the change ratio is max(rate_new/rate_old,
+    rate_old/rate_new) with absent sides treated as rate 0 (ratio
+    infinite -> status new/vanished instead).  Integer dfs + two
+    divisions: engine-exact.
+
+    Output: (term, df_old, df_new, rate_old, rate_new, status) where
+    status in ('new', 'vanished', 'mover', 'stable'); rows below
+    ``min_df`` on BOTH sides are dropped (noise floor).
+    """
+    o = old_snap.select(
+        "term",
+        F.col("df").alias("df_old"),
+        F.col("n_docs").alias("n_old"),
+    )
+    n = new_snap.select(
+        "term",
+        F.col("df").alias("df_new"),
+        F.col("n_docs").alias("n_new"),
+    )
+    joined = o.join(n, "term", "full_outer")
+    # corpus sizes are constant columns; recover them from any row via
+    # 1-row aggregates folded back in (broadcast)
+    totals = joined.agg(
+        F.max("n_old").alias("__no"), F.max("n_new").alias("__nn")
+    )
+    j = joined.crossJoin(F.broadcast(totals))
+    df_o = F.coalesce(F.col("df_old"), F.lit(0)).cast("long")
+    df_n = F.coalesce(F.col("df_new"), F.lit(0)).cast("long")
+    rate_o = df_o.cast("double") / F.col("__no").cast("double")
+    rate_n = df_n.cast("double") / F.col("__nn").cast("double")
+    ratio = F.greatest(rate_n / rate_o, rate_o / rate_n)
+    status = (
+        F.when((df_o == 0) & (df_n >= int(min_df)), F.lit("new"))
+        .when((df_n == 0) & (df_o >= int(min_df)), F.lit("vanished"))
+        .when(
+            (df_o > 0) & (df_n > 0) & (ratio > F.lit(float(rate_change_threshold))),
+            F.lit("mover"),
+        )
+        .otherwise(F.lit("stable"))
+    )
+    return (
+        j.filter((df_o >= int(min_df)) | (df_n >= int(min_df)))
+        .select(
+            "term",
+            df_o.alias("df_old"),
+            df_n.alias("df_new"),
+            rate_o.alias("rate_old"),
+            rate_n.alias("rate_new"),
+            status.alias("status"),
+        )
+    )

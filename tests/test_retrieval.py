@@ -405,12 +405,16 @@ def test_fuzzy_key_join_dist2_edit_types(spark, a, b, dist):
     assert [(r["k"], r["q"], r["dist"]) for r in res] == [(a, b, dist)]
 
 
-def test_fuzzy_key_join_rejects_unsupported_radius(spark):
+def test_fuzzy_key_join_radius_boundaries(spark):
+    """max_dist >= 3 routes to PassJoin (no longer raises — the round-5
+    upgrade); a non-positive radius is still rejected."""
     from patternly_spark.operators.retrieval import fuzzy_key_join
 
     df = spark.createDataFrame([("x",)], "k string")
-    with pytest.raises(ValueError):
-        fuzzy_key_join(df, df, left_key="k", right_key="k", max_dist=3)
+    # routes to passjoin: self-match at distance 0 (self-pairs allowed
+    # here — fuzzy join semantics keep the identical key)
+    rows = fuzzy_key_join(df, df, left_key="k", right_key="k", max_dist=3).collect()
+    assert [(r.k, r.k_right, r.dist) for r in rows] == [("x", "x", 0)]
 
 
 def test_deletion_variants_depth2_counts(spark):
