@@ -8036,6 +8036,94 @@ _Q200_ORACLE = """
     FROM rows_
 """
 
+def q201_single_linkage_msf(spark, sf_dir):
+    """Minimum spanning forest of the co-purchase distance graph
+    (operators/graph.minimum_spanning_forest, distributed Boruvka) —
+    single-linkage clustering's backbone: edge weight = 1/support of
+    the q177 co-purchase relation, and cutting the returned forest at
+    a distance threshold yields the single-linkage part clusters.
+    Components at least halve per round (O(log n) rounds; min-outgoing
+    edge per component under a TOTAL (w, u, v) tie-break, so the forest
+    is the unique lexicographic MSF).  Iterative fixpoint — no SQL
+    oracle; correctness rides exact-Kruskal parity + the threshold-cut
+    law in tests/test_graph.py."""
+    from patternly_spark.operators.graph import minimum_spanning_forest
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    support = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select(
+            "src", "dst", (F.lit(1.0) / F.col("__c").cast("double")).alias("weight")
+        )
+    )
+    return minimum_spanning_forest(support)
+
+
+def q202_personalized_pagerank(spark, sf_dir):
+    """Seeded relevance by integer-unit personalized PageRank
+    (operators/graph.personalized_pagerank_units): random walks with
+    restart from nation-1 customers over the customer -> supplier
+    purchase graph (supplier ids offset by 10M, the q72 convention).
+    All arithmetic is integer multiply + integral `div`, so the 2-round
+    fixpoint replays BIT-FOR-BIT in SQL — upgrading the rows-only q72
+    PageRank shape to an oracle-exact statistic (the floor leaks
+    < outdeg units/node/round, bounded and documented)."""
+    from patternly_spark.operators.graph import personalized_pagerank_units
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = cust.filter(F.col("c_nationkey") == 1).select(
+        F.col("c_custkey").alias("node")
+    )
+    return personalized_pagerank_units(edges, seeds, iterations=2)
+
+
+_Q202_ORACLE = """
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey AS s, l.l_suppkey + 10000000 AS d
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), deg AS (
+        SELECT s, COUNT(*)::BIGINT AS od FROM e GROUP BY s
+    ), seeds AS (
+        SELECT DISTINCT c_custkey AS node FROM customer WHERE c_nationkey = 1
+    ), p0 AS (
+        SELECT node, CAST(1073741824 AS BIGINT) AS pu FROM seeds
+    ), c1 AS (
+        SELECT e.d AS node, (p0.pu * 1) // (2 * deg.od) AS pu
+        FROM p0 JOIN deg ON p0.node = deg.s JOIN e ON e.s = deg.s
+    ), p1 AS (
+        SELECT node, SUM(pu)::BIGINT AS pu FROM (
+            SELECT node, CAST(536870912 AS BIGINT) AS pu FROM seeds
+            UNION ALL SELECT node, pu FROM c1
+        ) GROUP BY node HAVING SUM(pu) > 0
+    ), c2 AS (
+        SELECT e.d AS node, (p1.pu * 1) // (2 * deg.od) AS pu
+        FROM p1 JOIN deg ON p1.node = deg.s JOIN e ON e.s = deg.s
+    ), p2 AS (
+        SELECT node, SUM(pu)::BIGINT AS pu FROM (
+            SELECT node, CAST(536870912 AS BIGINT) AS pu FROM seeds
+            UNION ALL SELECT node, pu FROM c2
+        ) GROUP BY node HAVING SUM(pu) > 0
+    )
+    SELECT node, pu AS ppr_units, pu::DOUBLE / 1073741824.0 AS ppr FROM p2
+"""
+
 
 # ---------------------------------------------------------------------------
 
@@ -8247,6 +8335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_ngram_novelty": q198_ngram_novelty,
         "q199_idf_snapshot_drift": q199_idf_snapshot_drift,
         "q200_release_gate": q200_release_gate,
+        "q201_single_linkage_msf": q201_single_linkage_msf,
+        "q202_personalized_pagerank": q202_personalized_pagerank,
     }
 
 
@@ -8301,6 +8391,13 @@ def verified_by() -> dict[str, str]:
             "brute-force-peel core-number parity + kcore-membership law "
             "(tests/test_graph.py::test_core_numbers_match_bruteforce_peel, "
             "::test_core_numbers_consistent_with_kcore)"
+        ),
+        "q201_single_linkage_msf": (
+            "exact edge-set parity with Kruskal under the total (w,u,v) "
+            "order (the lexicographic MSF is unique) + single-linkage "
+            "threshold-cut law "
+            "(tests/test_graph.py::test_msf_matches_kruskal_exactly, "
+            "::test_msf_single_linkage_threshold_cut)"
         ),
     }
 
@@ -9951,6 +10048,7 @@ def oracle_sql() -> dict[str, str]:
         "q198_ngram_novelty": _Q198_ORACLE,
         "q199_idf_snapshot_drift": _Q199_ORACLE,
         "q200_release_gate": _Q200_ORACLE,
+        "q202_personalized_pagerank": _Q202_ORACLE,
     }
 
 

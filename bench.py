@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "q198_ngram_novelty",
     "q199_idf_snapshot_drift",
     "q200_release_gate",
+    "q202_personalized_pagerank",
 ]
 
 

@@ -556,3 +556,175 @@ def core_numbers(
         f"core_numbers did not converge within {max_rounds} rounds; "
         "labels are an unconverged upper bound — raise max_rounds"
     )
+
+
+def minimum_spanning_forest(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    *,
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Minimum spanning forest via distributed Boruvka — the backbone of
+    single-linkage clustering at scale (cut the MSF at a distance
+    threshold and the components ARE the single-linkage clusters, e.g.
+    over near-dup pair distances): each round every component selects
+    its minimum outgoing edge (total tie-break on (weight, u, v) makes
+    the choice — and hence the forest on distinct-weight-free inputs —
+    deterministic), selected edges merge components via one
+    connected-components pass over the star graph, and edges internal
+    to a component drop out.  Components at least HALVE per round, so
+    O(log n) rounds regardless of shape — the textbook reason Boruvka
+    (not Prim/Kruskal, both inherently sequential) is the distributed
+    MST algorithm.
+
+    Each round: two joins to translate endpoints to component labels,
+    one min-by per component, one CC over selected edges (itself
+    O(log) star rounds on a relation with <= #components edges), one
+    localCheckpoint lineage cut.  Nothing corpus-sized ever sits on
+    the driver; the loop's driver action is a 1-row emptiness count.
+
+    Output: the forest's edges (u, v, weight) with u < v — n - c rows
+    for n nodes in c components.  Raises on non-convergence (the
+    kcore/core_numbers convention).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+            F.col(weight).cast("double").alias("w"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    # label = component id per node; starts as identity
+    labels = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    forest = spark.createDataFrame([], "u long, v long, w double")
+    for _ in range(int(max_rounds)):
+        lab_u = labels.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
+        lab_v = labels.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
+        crossing = (
+            e.join(lab_u, "u")
+            .join(lab_v, "v")
+            .filter(F.col("cu") != F.col("cv"))
+            .localCheckpoint(eager=True)
+        )
+        if crossing.limit(1).count() == 0:
+            break
+        # each component's minimum outgoing edge, totally tie-broken
+        pick = F.struct(F.col("w"), F.col("u"), F.col("v"))
+        per_comp = (
+            crossing.select(F.col("cu").alias("comp"), pick.alias("p"))
+            .unionAll(crossing.select(F.col("cv").alias("comp"), pick.alias("p")))
+            .groupBy("comp")
+            .agg(F.min("p").alias("p"))
+            .select("p.u", "p.v", "p.w")
+            .distinct()
+        )
+        forest = forest.unionByName(
+            per_comp.select("u", "v", "w")
+        ).localCheckpoint(eager=True)
+        # merge components: CC over comp-level star edges
+        comp_edges = (
+            crossing.join(
+                per_comp.select("u", "v"), ["u", "v"], "left_semi"
+            )
+            .select(F.col("cu").alias("src"), F.col("cv").alias("dst"))
+            .distinct()
+        )
+        merged = connected_components(comp_edges)
+        labels = (
+            labels.join(
+                merged.withColumnRenamed("node", "comp"), "comp", "left"
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("component"), F.col("comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"minimum_spanning_forest did not converge in {max_rounds} rounds"
+        )
+    return forest.select("u", "v", F.col("w").alias(weight))
+
+
+def personalized_pagerank_units(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    iterations: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    units: int = 1 << 30,
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+) -> DataFrame:
+    """Personalized PageRank in INTEGER mass units — the seeded-random-
+    walk relevance score (recommendation / expansion from a seed set),
+    made engine-exact the repo way: p_{t+1}(v) = restart(v) +
+    sum_{u->v} floor(alpha * p_t(u) / outdeg(u)), with restart(v) =
+    floor(units*(1-alpha)) at every seed and p_0 = units at every
+    seed.  All arithmetic is integer multiply-then-floor-divide, so
+    any engine replays the fixpoint bit-for-bit — the floor leaks
+    < outdeg units per node per round (bounded, documented), which is
+    the price that turns q72's rows-only float PageRank shape into an
+    ORACLE-EXACT statistic.  alpha = alpha_num/alpha_den (rational).
+
+    Per round: one join to attach out-degrees, one edge join, one
+    map-side-combined groupBy on dst, one union with the constant
+    restart relation.  Dangling seeds keep their restart mass.
+
+    Output: (node, ppr_units long, ppr double = units-normalized).
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("od"))
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+    u = int(units)
+    an, ad = int(alpha_num), int(alpha_den)
+    restart = (u * (ad - an)) // ad
+    p = sd.select("node", F.lit(u).cast("long").alias("pu"))
+    for _ in range(int(iterations)):
+        contrib = (
+            p.join(deg, p["node"] == deg["s"])
+            .join(e, "s")
+            .select(
+                F.col("d").alias("node"),
+                # integral `div`, NOT floor(double /): at ~2^40 units a
+                # double quotient can round up across an integer and
+                # floor() the wrong way — integer division cannot
+                F.expr(f"(pu * {an}) div ({ad} * od)")
+                .cast("long")
+                .alias("pu"),
+            )
+        )
+        p = (
+            sd.select("node", F.lit(restart).cast("long").alias("pu"))
+            .unionByName(contrib)
+            .groupBy("node")
+            .agg(F.sum("pu").cast("long").alias("pu"))
+            .filter(F.col("pu") > 0)
+            .localCheckpoint(eager=True)
+        )
+    return p.select(
+        "node",
+        F.col("pu").alias("ppr_units"),
+        (F.col("pu").cast("double") / F.lit(float(u))).alias("ppr"),
+    )

@@ -391,3 +391,105 @@ def test_core_numbers_consistent_with_kcore(spark):
     for k in [1, 2, 3, 4]:
         in_kcore = {r.node for r in kcore(df, k).collect()}
         assert in_kcore == {n for n, c in cores.items() if c >= k}, k
+
+
+def test_msf_matches_kruskal_exactly(spark):
+    """Under the total edge order (w, u, v) the minimum spanning forest
+    is UNIQUE, so Boruvka's edge set must equal Kruskal's exactly —
+    duplicate weights included; forest size is n - components."""
+    import random
+
+    from patternly_spark.operators.graph import minimum_spanning_forest
+
+    rng = random.Random(41)
+    edges = {}
+    for _ in range(120):
+        u, v = sorted(rng.sample(range(40), 2))
+        # duplicate weights on purpose (coarse grid)
+        edges[(u, v)] = rng.choice([1.0, 2.0, 3.0, 5.0, 8.0])
+    # two disconnected islands: nodes 100-104 ring
+    for i in range(5):
+        edges[(100 + i, 100 + (i + 1) % 5)] = float(i + 1)
+    rows = [(u, v, w) for (u, v), w in edges.items()]
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+
+    got = {(r.u, r.v, r.weight) for r in minimum_spanning_forest(df).collect()}
+
+    # Kruskal under the same total order
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = set()
+    for (u, v), w in sorted(edges.items(), key=lambda kv: (kv[1], kv[0])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            want.add((u, v, w))
+    assert got == want
+    nodes = {n for uv in edges for n in uv}
+    comps = len({find(n) for n in nodes})
+    assert len(got) == len(nodes) - comps
+
+
+def test_msf_single_linkage_threshold_cut(spark):
+    """Cutting the forest at a distance threshold yields the
+    single-linkage clusters: two tight pair-groups bridged only by a
+    heavy edge separate when the cut drops it."""
+    from patternly_spark.operators.graph import (
+        connected_components,
+        minimum_spanning_forest,
+    )
+
+    rows = [
+        (1, 2, 0.1), (2, 3, 0.2),          # cluster A
+        (10, 11, 0.1), (11, 12, 0.3),      # cluster B
+        (3, 10, 9.0),                      # bridge
+    ]
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    msf = minimum_spanning_forest(df)
+    cut = msf.filter(F.col("weight") < 1.0).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    comps = {r.node: r.component for r in connected_components(cut).collect()}
+    assert comps[1] == comps[2] == comps[3]
+    assert comps[10] == comps[11] == comps[12]
+    assert comps[1] != comps[10]
+
+
+def test_personalized_pagerank_integer_replay(spark):
+    """The unit fixpoint equals a plain-Python integer replay exactly
+    (integral div, restart at every seed each round, dangling seeds
+    keep restart mass)."""
+    from patternly_spark.operators.graph import personalized_pagerank_units
+
+    edges = [(1, 10), (1, 11), (2, 10), (10, 11), (3, 12)]
+    seeds = [1, 2, 7]  # 7 is dangling (no out-edges, not even a node)
+    ef = spark.createDataFrame(edges, "src long, dst long")
+    sf_ = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        r.node: r.ppr_units
+        for r in personalized_pagerank_units(ef, sf_, iterations=3).collect()
+    }
+
+    U, an, ad = 1 << 30, 1, 2
+    restart = (U * (ad - an)) // ad
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    p = {s: U for s in seeds}
+    for _ in range(3):
+        nxt = defaultdict(int)
+        for s in seeds:
+            nxt[s] += restart
+        for s, d in edges:
+            if s in p:
+                nxt[d] += (p[s] * an) // (ad * deg[s])
+        p = {k: v for k, v in nxt.items() if v > 0}
+    assert got == p
