@@ -8124,6 +8124,139 @@ _Q202_ORACLE = """
     SELECT node, pu AS ppr_units, pu::DOUBLE / 1073741824.0 AS ppr FROM p2
 """
 
+def q203_touch_attribution(spark, sf_dir):
+    """First/last-touch attribution (operators/behavior.
+    touch_attribution): for every purchase, the earliest and latest
+    click/view within the preceding 3 days, plus the touch count — ONE
+    per-user RANGE-frame window (no self-join, no per-conversion
+    probe).  min/max over (ts, type) structs give total tie-breaks, so
+    the oracle replays them as candidate joins with MIN/MAX at the
+    extreme timestamps.  Unattributed purchases keep NULL touch
+    columns."""
+    from patternly_spark.operators.behavior import touch_attribution
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    return touch_attribution(
+        ev,
+        touch_types=["click", "view"],
+        conversion_type="purchase",
+        lookback_us=3 * 86_400 * 1_000_000,
+    )
+
+
+_Q203_ORACLE = """
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+    ), conv AS (
+        SELECT user_id AS "user", ts_us AS conv_ts,
+               ROW_NUMBER() OVER () AS cid
+        FROM ev WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT user_id AS "user", ts_us AS t, event_type AS y
+        FROM ev WHERE event_type IN ('click', 'view')
+    ), pairs AS (
+        SELECT c.cid, c."user", c.conv_ts, t.t, t.y
+        FROM conv c JOIN touch t
+          ON t."user" = c."user"
+         AND t.t BETWEEN c.conv_ts - 259200000000 AND c.conv_ts
+    ), agg AS (
+        SELECT cid, "user", conv_ts,
+               MIN(t) AS ft, MAX(t) AS lt, CAST(COUNT(*) AS BIGINT) AS n_touches
+        FROM pairs GROUP BY 1, 2, 3
+    ), typed AS (
+        SELECT a.cid, a."user", a.conv_ts, a.ft, a.lt, a.n_touches,
+               (SELECT MIN(p.y) FROM pairs p
+                WHERE p.cid = a.cid AND p.t = a.ft) AS fy,
+               (SELECT MAX(p.y) FROM pairs p
+                WHERE p.cid = a.cid AND p.t = a.lt) AS ly
+        FROM agg a
+    )
+    SELECT c."user", c.conv_ts,
+           t.ft AS first_touch_ts, t.fy AS first_touch_type,
+           t.lt AS last_touch_ts, t.ly AS last_touch_type,
+           COALESCE(t.n_touches, 0) AS n_touches
+    FROM conv c LEFT JOIN typed t USING (cid)
+"""
+
+
+def q204_ab_lift_ztest(spark, sf_dir):
+    """Two-proportion z-test per month (operators/drift.
+    proportion_ztest): users split into control/treatment by id parity,
+    success = purchase — the A/B lift table with the pooled-variance z
+    statistic.  One conditional-sum aggregation per group; integer
+    counts + a fixed IEEE chain: engine-exact."""
+    from patternly_spark.operators.drift import proportion_ztest
+
+    ev = _t(spark, sf_dir, "events").select(
+        # TZ-free month: epoch-us -> UTC calendar day by integer
+        # arithmetic, then a DATE trunc (date_trunc on TIMESTAMP renders
+        # in the SESSION timezone — the q196 vanilla-session trap)
+        F.date_format(
+            F.trunc(
+                F.date_add(
+                    F.to_date(F.lit("1970-01-01")),
+                    (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("int"),
+                ),
+                "month",
+            ),
+            "yyyy-MM",
+        ).alias("month"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("variant"),
+        (F.col("event_type") == "purchase").alias("converted"),
+    )
+    return proportion_ztest(
+        ev,
+        group_cols=["month"],
+        variant_col="variant",
+        success_col="converted",
+        control="control",
+        treatment="treatment",
+    )
+
+
+_Q204_ORACLE = """
+    WITH ev AS (
+        SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+               CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END
+                   AS variant,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+        FROM events
+    ), agg AS (
+        SELECT month,
+               SUM(CASE WHEN variant = 'control' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_c,
+               SUM(CASE WHEN variant = 'control' THEN s ELSE 0 END)::BIGINT
+                   AS x_c,
+               SUM(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_t,
+               SUM(CASE WHEN variant = 'treatment' THEN s ELSE 0 END)::BIGINT
+                   AS x_t
+        FROM ev GROUP BY month
+    )
+    SELECT month,
+           n_c AS n_control, x_c AS conv_control,
+           n_t AS n_treatment, x_t AS conv_treatment,
+           CASE WHEN n_c > 0 THEN x_c::DOUBLE / n_c::DOUBLE END AS rate_control,
+           CASE WHEN n_t > 0 THEN x_t::DOUBLE / n_t::DOUBLE END AS rate_treatment,
+           CASE WHEN n_c > 0 AND n_t > 0
+                THEN x_t::DOUBLE / n_t::DOUBLE - x_c::DOUBLE / n_c::DOUBLE END
+               AS lift,
+           CASE WHEN n_c > 0 AND n_t > 0
+                 AND ((x_c + x_t)::DOUBLE / (n_c + n_t)::DOUBLE)
+                     * (1.0 - (x_c + x_t)::DOUBLE / (n_c + n_t)::DOUBLE)
+                     * (1.0 / n_c::DOUBLE + 1.0 / n_t::DOUBLE) > 0
+                THEN (x_t::DOUBLE / n_t::DOUBLE - x_c::DOUBLE / n_c::DOUBLE)
+                     / sqrt(((x_c + x_t)::DOUBLE / (n_c + n_t)::DOUBLE)
+                            * (1.0 - (x_c + x_t)::DOUBLE / (n_c + n_t)::DOUBLE)
+                            * (1.0 / n_c::DOUBLE + 1.0 / n_t::DOUBLE))
+           END AS z
+    FROM agg
+"""
+
 
 # ---------------------------------------------------------------------------
 
@@ -8337,6 +8470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q200_release_gate": q200_release_gate,
         "q201_single_linkage_msf": q201_single_linkage_msf,
         "q202_personalized_pagerank": q202_personalized_pagerank,
+        "q203_touch_attribution": q203_touch_attribution,
+        "q204_ab_lift_ztest": q204_ab_lift_ztest,
     }
 
 
@@ -10049,6 +10184,8 @@ def oracle_sql() -> dict[str, str]:
         "q199_idf_snapshot_drift": _Q199_ORACLE,
         "q200_release_gate": _Q200_ORACLE,
         "q202_personalized_pagerank": _Q202_ORACLE,
+        "q203_touch_attribution": _Q203_ORACLE,
+        "q204_ab_lift_ztest": _Q204_ORACLE,
     }
 
 

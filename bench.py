@@ -220,6 +220,8 @@ BENCH_QUERIES = [
     "q199_idf_snapshot_drift",
     "q200_release_gate",
     "q202_personalized_pagerank",
+    "q203_touch_attribution",
+    "q204_ab_lift_ztest",
 ]
 
 

@@ -267,3 +267,68 @@ def frequent_itemsets(
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .filter(F.col("support") >= int(min_support))
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    type_col: str = "event_type",
+    touch_types: list[str],
+    conversion_type: str,
+    lookback_us: int,
+) -> DataFrame:
+    """First/last-touch attribution — the product-analytics join behind
+    every "which campaign gets credit" table: for each CONVERSION
+    event, the earliest and latest TOUCH event within the preceding
+    ``lookback_us`` microseconds (inclusive window ending at the
+    conversion), plus the touch count.
+
+    ONE per-user window with a RANGE frame does everything: ordered by
+    the numeric timestamp, ``RANGE lookback PRECEDING .. CURRENT ROW``
+    aggregates min(struct)/max(struct)/count over touch rows only —
+    no self-join, no per-conversion probe, exactly replayable in SQL
+    (range frames over integers are engine-portable; struct min/max
+    give total (ts, type) tie-breaks).  Cost: one key-window shuffle;
+    per-task memory is the frame's row span, bounded by per-user event
+    rate x lookback — the same bound any sessionization pays.
+
+    Conversions with no touch in window report NULL touch columns and
+    n_touches 0 (unattributed — the row a marketing report must not
+    silently drop).
+
+    Output: (user, conv_ts, first_touch_ts, first_touch_type,
+    last_touch_ts, last_touch_type, n_touches) — one row per
+    conversion event.
+    """
+    from pyspark.sql import Window
+
+    is_touch = F.col(type_col).isin(list(touch_types))
+    touch_struct = F.when(
+        is_touch, F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("y"))
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc())
+        .rangeBetween(-int(lookback_us), Window.currentRow)
+    )
+    enriched = events.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("conv_ts"),
+        F.col(type_col).alias("__ty"),
+        F.min(touch_struct).over(w).alias("__first"),
+        F.max(touch_struct).over(w).alias("__last"),
+        F.sum(F.when(is_touch, 1).otherwise(0)).over(w).cast("long").alias(
+            "n_touches"
+        ),
+    )
+    return enriched.filter(F.col("__ty") == conversion_type).select(
+        "user",
+        "conv_ts",
+        F.col("__first.t").alias("first_touch_ts"),
+        F.col("__first.y").alias("first_touch_type"),
+        F.col("__last.t").alias("last_touch_ts"),
+        F.col("__last.y").alias("last_touch_type"),
+        "n_touches",
+    )

@@ -453,3 +453,64 @@ def idf_snapshot_drift(
             status.alias("status"),
         )
     )
+
+
+def proportion_ztest(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    variant_col: str,
+    success_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """Two-proportion z-test per experiment group — the A/B lift table:
+    for each group, conversion rates of treatment vs control, absolute
+    lift, and the pooled-variance z statistic
+    z = (p_t - p_c) / sqrt(p_pool (1-p_pool) (1/n_c + 1/n_t)).
+
+    One aggregation pass (conditional integer sums per group); the
+    statistic is integer counts + a fixed chain of IEEE ops — engine
+    exact.  Groups missing either arm (or with zero pooled variance:
+    all-success/all-failure both arms) report z NULL rather than a
+    division artifact.
+
+    Output: (group_cols..., n_control, conv_control, n_treatment,
+    conv_treatment, rate_control, rate_treatment, lift, z).
+    """
+    v = F.col(variant_col)
+    s = F.col(success_col).cast("int")
+    agg = df.groupBy(*group_cols).agg(
+        F.sum(F.when(v == control, 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(v == control, s).otherwise(0)).cast("long").alias("x_c"),
+        F.sum(F.when(v == treatment, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(v == treatment, s).otherwise(0)).cast("long").alias("x_t"),
+    )
+    p_c = F.col("x_c").cast("double") / F.col("n_c").cast("double")
+    p_t = F.col("x_t").cast("double") / F.col("n_t").cast("double")
+    p_pool = (F.col("x_c") + F.col("x_t")).cast("double") / (
+        F.col("n_c") + F.col("n_t")
+    ).cast("double")
+    var = (
+        p_pool
+        * (F.lit(1.0) - p_pool)
+        * (
+            F.lit(1.0) / F.col("n_c").cast("double")
+            + F.lit(1.0) / F.col("n_t").cast("double")
+        )
+    )
+    z = F.when(
+        (F.col("n_c") > 0) & (F.col("n_t") > 0) & (var > 0),
+        (p_t - p_c) / F.sqrt(var),
+    )
+    return agg.select(
+        *group_cols,
+        F.col("n_c").alias("n_control"),
+        F.col("x_c").alias("conv_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.col("x_t").alias("conv_treatment"),
+        F.when(F.col("n_c") > 0, p_c).alias("rate_control"),
+        F.when(F.col("n_t") > 0, p_t).alias("rate_treatment"),
+        F.when((F.col("n_c") > 0) & (F.col("n_t") > 0), p_t - p_c).alias("lift"),
+        z.alias("z"),
+    )

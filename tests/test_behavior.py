@@ -142,3 +142,62 @@ def test_frequent_itemsets_match_bruteforce(spark):
         frequent_itemsets(df, size=4)
     with _pytest.raises(ValueError):
         frequent_itemsets(df, size=0)
+
+
+def test_touch_attribution_window_semantics(spark):
+    """Lookback window is inclusive on both ends; first/last struct
+    tie-breaks; conversions with no touch report NULLs + 0."""
+    from patternly_spark.operators.behavior import touch_attribution
+
+    rows = [
+        (1, 100, "click"), (1, 200, "view"), (1, 250, "purchase"),
+        (1, 900, "purchase"),                    # out of 300-lookback: none
+        (2, 50, "view"), (2, 350, "purchase"),   # exactly at lookback edge
+        (3, 10, "click"), (3, 10, "view"), (3, 10, "purchase"),  # ties at ts
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, event_type string")
+    got = {
+        (r.user, r.conv_ts): (
+            r.first_touch_ts, r.first_touch_type,
+            r.last_touch_ts, r.last_touch_type, r.n_touches,
+        )
+        for r in touch_attribution(
+            df, touch_types=["click", "view"], conversion_type="purchase",
+            lookback_us=300,
+        ).collect()
+    }
+    assert got[(1, 250)] == (100, "click", 200, "view", 2)
+    assert got[(1, 900)] == (None, None, None, None, 0)
+    assert got[(2, 350)] == (50, "view", 50, "view", 1)
+    # equal timestamps: min struct takes min type, max struct max type
+    assert got[(3, 10)] == (10, "click", 10, "view", 2)
+
+
+def test_proportion_ztest_matches_closed_form_and_nulls(spark):
+    import math
+
+    from patternly_spark.operators.drift import proportion_ztest
+
+    rows = []
+    for i in range(40):
+        rows.append(("g1", "control", i < 8))      # 8/40
+    for i in range(60):
+        rows.append(("g1", "treatment", i < 21))   # 21/60
+    rows.append(("g2", "control", True))           # missing treatment arm
+    rows += [("g3", "control", False), ("g3", "treatment", False)]  # zero var
+    df = spark.createDataFrame(rows, "g string, variant string, ok boolean")
+    got = {
+        r.g: r
+        for r in proportion_ztest(
+            df, group_cols=["g"], variant_col="variant", success_col="ok",
+            control="control", treatment="treatment",
+        ).collect()
+    }
+    p_c, p_t = 8 / 40, 21 / 60
+    pool = (8 + 21) / 100
+    z = (p_t - p_c) / math.sqrt(pool * (1 - pool) * (1 / 40 + 1 / 60))
+    r = got["g1"]
+    assert (r.n_control, r.conv_control, r.n_treatment, r.conv_treatment) == (40, 8, 60, 21)
+    assert abs(r.z - z) < 1e-12 and abs(r.lift - (p_t - p_c)) < 1e-15
+    assert got["g2"].z is None and got["g2"].rate_treatment is None
+    assert got["g3"].z is None and got["g3"].lift == 0.0
