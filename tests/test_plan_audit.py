@@ -319,3 +319,59 @@ def test_round5_new_operator_plan_shapes(spark):
     assert cls["nested_loop_joins"] == 0 and cls["python_evals"] == 0
     # the weight head must ride a broadcast join, never a shuffle join
     assert cls["broadcast_joins"] >= 1
+
+
+def test_round5_late_operator_plan_shapes(spark):
+    """Plan guards for the later round-5 operators: SCD2 and
+    attribution are single-window plans (no joins at all); novelty and
+    the z-test cross no Python boundary and use no nested loops beyond
+    PassJoin's one deliberate bounded short-key broadcast cross."""
+    from patternly_spark.operators.behavior import touch_attribution
+    from patternly_spark.operators.decontam import ngram_novelty
+    from patternly_spark.operators.drift import proportion_ztest
+    from patternly_spark.operators.retrieval import passjoin_fuzzy_key_join
+    from patternly_spark.operators.temporal import scd2_intervals
+
+    ev = spark.createDataFrame(
+        [(1, 10, "click"), (1, 20, "purchase")],
+        "user_id long, ts_us long, event_type string",
+    )
+    att = plan_audit(
+        touch_attribution(
+            ev, touch_types=["click"], conversion_type="purchase", lookback_us=100
+        )
+    )
+    assert att["python_evals"] == 0 and att["nested_loop_joins"] == 0
+    assert att["sort_merge_joins"] == 0 and att["broadcast_joins"] == 0
+
+    scd = plan_audit(
+        scd2_intervals(ev, key_col="user_id", ts_col="ts_us", attr_cols=["event_type"])
+    )
+    assert scd["python_evals"] == 0 and scd["nested_loop_joins"] == 0
+    assert scd["sort_merge_joins"] == 0 and scd["broadcast_joins"] == 0
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "c d e f g")], "doc_id long, text string"
+    )
+    nov = plan_audit(ngram_novelty(docs, docs, n=3))
+    assert nov["python_evals"] == 0 and nov["nested_loop_joins"] == 0
+
+    zt = plan_audit(
+        proportion_ztest(
+            ev.select("user_id", F.lit("control").alias("v"), F.lit(True).alias("s")),
+            group_cols=["user_id"], variant_col="v", success_col="s",
+            control="control", treatment="treatment",
+        )
+    )
+    assert zt["python_evals"] == 0 and zt["nested_loop_joins"] == 0
+    assert zt["exchanges"] <= 2
+
+    pj = plan_audit(
+        passjoin_fuzzy_key_join(
+            docs.select(F.col("text").alias("k")),
+            docs.select(F.col("text").alias("k2")),
+            left_key="k", right_key="k2", max_dist=3,
+        )
+    )
+    # the ONE nested loop is the bounded short-key broadcast cross
+    assert pj["python_evals"] == 0 and pj["nested_loop_joins"] <= 1
