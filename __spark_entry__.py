@@ -8258,6 +8258,423 @@ _Q204_ORACLE = """
 """
 
 
+def q205_roc_auc(spark, sf_dir):
+    """Exact grouped ROC-AUC (operators/model_eval.roc_auc): per user
+    segment, does a synthetic quality score rank purchases above
+    non-purchases?  Scores are a dyadic k/128 grid (64 distinct values
+    + a 0.25 label shift) so ties are heavy and the midrank path is
+    actually exercised; the Mann-Whitney statistic stays in BIGINT
+    until one final division — engine-exact."""
+    from patternly_spark.operators.model_eval import roc_auc
+
+    ev = _t(spark, sf_dir, "events")
+    h = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(64)
+    )
+    lbl = F.col("event_type") == "purchase"
+    scored = ev.select(
+        (F.col("user_id") % 4).cast("int").alias("segment"),
+        lbl.alias("label"),
+        (
+            h.cast("double") / F.lit(128.0)
+            + F.when(lbl, F.lit(0.25)).otherwise(F.lit(0.0))
+        ).alias("score"),
+    )
+    return roc_auc(
+        scored, label_col="label", score_col="score", group_cols=["segment"]
+    )
+
+
+_Q205_ORACLE = """
+    WITH scored AS (
+        SELECT CAST(user_id % 4 AS INT) AS segment,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS l,
+               CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 64 AS DOUBLE) / 128.0
+                 + CASE WHEN event_type = 'purchase' THEN 0.25 ELSE 0.0 END AS s
+        FROM events
+    ), grid AS (
+        SELECT segment, s, COUNT(*)::BIGINT AS n, SUM(l)::BIGINT AS p
+        FROM scored GROUP BY segment, s
+    ), ranked AS (
+        SELECT segment, n, p,
+               SUM(n) OVER (PARTITION BY segment ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - n AS cum
+        FROM grid
+    ), agg AS (
+        SELECT segment,
+               SUM(p)::BIGINT AS n_pos,
+               (SUM(n) - SUM(p))::BIGINT AS n_neg,
+               SUM(p * (2 * cum + n + 1))::BIGINT AS r2
+        FROM ranked GROUP BY segment
+    )
+    SELECT segment, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                     / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc
+    FROM agg
+"""
+
+
+def q206_calibration_bins(spark, sf_dir):
+    """Reliability table (operators/model_eval.calibration_bins): a
+    synthetic scorer whose scores are a dyadic k/1024 grid and whose
+    labels are drawn BY a second hash with P(label)=score — calibrated
+    by construction, so the table's gap column measures only sampling
+    noise.  Dyadic scores make every per-bin double sum exact in any
+    accumulation order; the rest is integers + one division per cell —
+    engine-exact."""
+    from patternly_spark.operators.model_eval import calibration_bins
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    h = F.conv(F.substring(F.md5(eid), 1, 8), 16, 10).cast("long") % F.lit(1024)
+    h2 = (
+        F.conv(F.substring(F.md5(F.concat(eid, F.lit(":l"))), 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(1024)
+    )
+    scored = ev.select(
+        (h.cast("double") / F.lit(1024.0)).alias("score"),
+        (h2 < h).alias("label"),
+    )
+    return calibration_bins(scored, label_col="label", score_col="score", bins=10)
+
+
+_Q206_ORACLE = """
+    WITH scored AS (
+        SELECT CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 1024 AS DOUBLE) / 1024.0 AS s,
+               CASE WHEN (CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                                                  || ':l'), 1, 8)
+                               AS BIGINT) % 1024)
+                         < (CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                                1, 8) AS BIGINT) % 1024)
+                    THEN 1 ELSE 0 END AS l
+        FROM events
+    ), binned AS (
+        SELECT LEAST(CAST(FLOOR(s * 10) AS INT), 9) AS bin, s, l,
+               (s - l) * (s - l) AS e2
+        FROM scored
+    ), agg AS (
+        SELECT bin, COUNT(*)::BIGINT AS n, SUM(s) AS ss,
+               SUM(l)::BIGINT AS n_pos, SUM(e2) AS se
+        FROM binned GROUP BY bin
+    )
+    SELECT bin, n, n_pos,
+           ss / CAST(n AS DOUBLE) AS mean_score,
+           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+           ss / CAST(n AS DOUBLE)
+             - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS gap,
+           se / CAST((SELECT SUM(n) FROM agg) AS DOUBLE) AS brier_term
+    FROM agg
+"""
+
+
+def q207_readability(spark, sf_dir):
+    """Flesch / Flesch-Kincaid readability per document (functions/
+    text.with_readability): the prose-complexity curation signal.  All
+    three counts are sentinel-regexp collapses + length arithmetic (the
+    token_count convention), so the oracle replays them formula-for-
+    formula; scores are integer counts + a fixed IEEE chain with %.17e
+    constants.  Zero shuffle — one scan at any corpus size."""
+    from patternly_spark.functions.text import with_readability
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return with_readability(d, "text").drop("text")
+
+
+def _q207_oracle() -> str:
+    runs = lambda pat: (
+        f"length(regexp_replace(t, '{pat}', 'A', 'g'))"
+        f" - length(replace(regexp_replace(t, '{pat}', 'A', 'g'), 'A', ''))"
+    )
+    r_w = runs(r"[^\s]+")
+    r_s = runs(r"[.!?]+")
+    r_y = runs(r"[aeiouy]+")
+    return f"""
+    WITH lo AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+    c AS (
+        SELECT doc_id, lang,
+               CAST({r_w} AS INT) AS w,
+               CAST({r_s} AS INT) AS sr,
+               CAST({r_y} AS INT) AS y
+        FROM lo
+    ), k AS (
+        SELECT doc_id, lang, w AS n_words,
+               CASE WHEN w > 0 THEN GREATEST(sr, 1) ELSE 0 END AS n_sentences,
+               y AS n_syllables
+        FROM c
+    )
+    SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN
+               {_dlit(206.835)} - {_dlit(1.015)}
+                   * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 - {_dlit(84.6)}
+                   * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+           END AS flesch,
+           CASE WHEN n_words > 0 THEN
+               {_dlit(0.39)}
+                   * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 + {_dlit(11.8)}
+                   * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                 - {_dlit(15.59)}
+           END AS fk_grade
+    FROM k
+    """
+
+
+def q208_bfs_reach(spark, sf_dir):
+    """Multi-source BFS blast radius (operators/graph.bfs_hops) over the
+    co-purchase graph (parts sharing >= 2 orders, the q180 edge set):
+    minimum hops from any seed part (partkey % 97 == 0) within 3 hops.
+    Every node settles exactly once; deterministic integer output, so a
+    bounded recursive-CTE oracle replays it exactly."""
+    from patternly_spark.operators.graph import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    nodes = und.select(F.col("u").alias("node")).unionAll(
+        und.select(F.col("v").alias("node"))
+    ).distinct()
+    seeds = nodes.filter(F.col("node") % 97 == 0)
+    return bfs_hops(und, seeds, src="u", dst="v", max_hops=3)
+
+
+_Q208_ORACLE = """
+    WITH RECURSIVE und AS MATERIALIZED (
+        SELECT u, v FROM (
+            SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+                   GREATEST(a.l_partkey, b.l_partkey) AS v,
+                   COUNT(*) AS c
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ) WHERE c >= 2
+    ), bi AS MATERIALIZED (
+        SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+    ), srcs AS MATERIALIZED (
+        SELECT DISTINCT u AS node FROM bi WHERE u % 97 = 0
+    ), walk(node, hop) AS (
+        SELECT node, 0 FROM srcs
+        UNION
+        SELECT bi.v, walk.hop + 1
+        FROM walk JOIN bi ON bi.u = walk.node
+        WHERE walk.hop < 3
+    )
+    SELECT node, CAST(MIN(hop) AS INT) AS hops FROM walk GROUP BY node
+"""
+
+
+_Q209_MU = {
+    "bal_sign": (0.95, 0.5),
+    "bal_bucket": (0.85, 0.0625),
+    "key_digit": (0.9, 0.1),
+}
+
+
+def q209_record_linkage(spark, sf_dir):
+    """Fellegi-Sunter record linkage (operators/merge.
+    fellegi_sunter_score): customer-supplier candidate pairs blocked on
+    nation, three agreement comparators (acctbal sign, acctbal
+    thousand-bucket, id check digit), log2 likelihood-ratio weights and
+    the classic match/possible/non_match verdict band.  Weights are
+    Python-computed double literals chained in sorted field order — the
+    oracle replays the identical IEEE expression via %.17e."""
+    from patternly_spark.operators.merge import fellegi_sunter_score
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    pairs = c.join(
+        F.broadcast(s), c["c_nationkey"] == s["s_nationkey"]
+    ).select(
+        "c_custkey",
+        "s_suppkey",
+        ((F.col("c_acctbal") >= 0) == (F.col("s_acctbal") >= 0)).alias(
+            "bal_sign"
+        ),
+        (
+            F.floor(F.col("c_acctbal") / 1000.0)
+            == F.floor(F.col("s_acctbal") / 1000.0)
+        ).alias("bal_bucket"),
+        (F.col("c_custkey") % 10 == F.col("s_suppkey") % 10).alias(
+            "key_digit"
+        ),
+    )
+    return fellegi_sunter_score(
+        pairs, comparisons=_Q209_MU, upper=3.0, lower=0.0
+    )
+
+
+def _q209_oracle() -> str:
+    import math
+
+    # the weight literals MUST come from the identical Python float
+    # chain the operator runs (1.0 - 0.85 != 0.15 in doubles)
+    wcols, terms = [], []
+    for name in sorted(_Q209_MU):
+        m, u = _Q209_MU[name]
+        wa = math.log2(m / u)
+        wd = math.log2((1.0 - m) / (1.0 - u))
+        case = f"CASE WHEN {name} THEN {_dlit(wa)} ELSE {_dlit(wd)} END"
+        wcols.append(f"{case} AS w_{name}")
+        terms.append(case)  # agreement columns are never NULL here
+    score = "CAST(0.0 AS DOUBLE) + " + " + ".join(terms)
+    wcols_sql = ",\n               ".join(wcols)
+    return f"""
+    WITH pairs AS (
+        SELECT c_custkey, s_suppkey,
+               (c_acctbal >= 0) = (s_acctbal >= 0) AS bal_sign,
+               FLOOR(c_acctbal / 1000.0) = FLOOR(s_acctbal / 1000.0)
+                   AS bal_bucket,
+               (c_custkey % 10) = (s_suppkey % 10) AS key_digit
+        FROM customer JOIN supplier ON c_nationkey = s_nationkey
+    ), w AS (
+        SELECT c_custkey, s_suppkey, bal_sign, bal_bucket, key_digit,
+               {wcols_sql},
+               {score} AS score
+        FROM pairs
+    )
+    SELECT c_custkey, s_suppkey, bal_sign, bal_bucket, key_digit,
+           w_bal_bucket, w_bal_sign, w_key_digit, score,
+           CASE WHEN score >= 3.0 THEN 'match'
+                WHEN score >= 0.0 THEN 'possible'
+                ELSE 'non_match' END AS verdict
+    FROM w
+    """
+
+
+def q210_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal stratified sampling allocation (operators/
+    sampling.neyman_allocation) of a 5000-row eval budget across
+    event-type strata by value spread.  Integer cents + BIGINT moment
+    sums + dyadic-quantized weights before the cross-stratum sum:
+    engine-exact under any partitioning (the drift-operator units
+    convention)."""
+    from patternly_spark.operators.sampling import neyman_allocation
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    return neyman_allocation(
+        ev, stratum_cols=["event_type"], value_col="value", total_n=5000
+    )
+
+
+def _q210_oracle() -> str:
+    c100 = _dlit(100.0)
+    cu = _dlit(float(1 << 20))
+    z = "CAST(0.0 AS DOUBLE)"
+    return f"""
+    WITH c AS (
+        SELECT event_type,
+               CAST(FLOOR(CAST(value AS DOUBLE) * {c100}) AS BIGINT) AS v
+        FROM events
+    ), agg AS (
+        SELECT event_type, COUNT(*)::BIGINT AS n_rows,
+               SUM(v)::BIGINT AS s1, SUM(v * v)::BIGINT AS s2
+        FROM c GROUP BY event_type
+    ), st AS (
+        SELECT event_type, n_rows,
+               CASE WHEN n_rows >= 2
+                    THEN sqrt(CAST(n_rows * s2 - s1 * s1 AS DOUBLE)
+                              / CAST(n_rows * (n_rows - 1) AS DOUBLE))
+                         / {c100}
+                    ELSE {z} END AS sd
+        FROM agg
+    ), wt AS (
+        SELECT event_type, n_rows, sd,
+               CAST(FLOOR(CAST(n_rows AS DOUBLE) * sd * {cu}) AS BIGINT)
+                   AS weight_units
+        FROM st
+    ), d AS (SELECT SUM(weight_units)::BIGINT AS denom FROM wt)
+    SELECT event_type, n_rows, sd, weight_units,
+           CASE WHEN denom > 0
+                THEN CAST(weight_units AS DOUBLE) / CAST(denom AS DOUBLE)
+                ELSE {z} END AS share,
+           {_dlit(5000.0)} * (CASE WHEN denom > 0
+                THEN CAST(weight_units AS DOUBLE) / CAST(denom AS DOUBLE)
+                ELSE {z} END) AS alloc_n
+    FROM wt, d
+    """
+
+
+def q211_jaccard_links(spark, sf_dir):
+    """Common-neighbor Jaccard link prediction (operators/graph.
+    jaccard_link_prediction) over the q180 co-purchase graph: part
+    pairs whose purchase neighborhoods overlap (>= 2 shared neighbors)
+    are substitute candidates.  One wedge join + one count + two degree
+    joins; integer counts + one division — engine-exact."""
+    from patternly_spark.operators.graph import jaccard_link_prediction
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    return jaccard_link_prediction(und, src="u", dst="v", min_common=2)
+
+
+_Q211_ORACLE = """
+    WITH und AS MATERIALIZED (
+        SELECT u, v FROM (
+            SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+                   GREATEST(a.l_partkey, b.l_partkey) AS v,
+                   COUNT(*) AS c
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ) WHERE c >= 2
+    ), adj AS MATERIALIZED (
+        SELECT u AS a, v AS b FROM und
+        UNION
+        SELECT v AS a, u AS b FROM und
+    ), deg AS MATERIALIZED (
+        SELECT a AS node, COUNT(*)::BIGINT AS deg FROM adj GROUP BY a
+    ), pairs AS (
+        SELECT l.b AS u, r.b AS v, COUNT(*)::BIGINT AS common
+        FROM adj l JOIN adj r ON l.a = r.a AND l.b < r.b
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    )
+    SELECT p.u, p.v, p.common,
+           du.deg AS deg_u, dv.deg AS deg_v,
+           CAST(p.common AS DOUBLE)
+               / CAST(du.deg + dv.deg - p.common AS DOUBLE) AS jaccard
+    FROM pairs p
+    JOIN deg du ON du.node = p.u
+    JOIN deg dv ON dv.node = p.v
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -8472,6 +8889,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q202_personalized_pagerank": q202_personalized_pagerank,
         "q203_touch_attribution": q203_touch_attribution,
         "q204_ab_lift_ztest": q204_ab_lift_ztest,
+        "q205_roc_auc": q205_roc_auc,
+        "q206_calibration_bins": q206_calibration_bins,
+        "q207_readability": q207_readability,
+        "q208_bfs_reach": q208_bfs_reach,
+        "q209_record_linkage": q209_record_linkage,
+        "q210_neyman_allocation": q210_neyman_allocation,
+        "q211_jaccard_links": q211_jaccard_links,
     }
 
 
@@ -10186,6 +10610,13 @@ def oracle_sql() -> dict[str, str]:
         "q202_personalized_pagerank": _Q202_ORACLE,
         "q203_touch_attribution": _Q203_ORACLE,
         "q204_ab_lift_ztest": _Q204_ORACLE,
+        "q205_roc_auc": _Q205_ORACLE,
+        "q206_calibration_bins": _Q206_ORACLE,
+        "q207_readability": _q207_oracle(),
+        "q208_bfs_reach": _Q208_ORACLE,
+        "q209_record_linkage": _q209_oracle(),
+        "q210_neyman_allocation": _q210_oracle(),
+        "q211_jaccard_links": _Q211_ORACLE,
     }
 
 

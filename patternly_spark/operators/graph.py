@@ -728,3 +728,131 @@ def personalized_pagerank_units(
         F.col("pu").alias("ppr_units"),
         (F.col("pu").cast("double") / F.lit(float(u))).alias("ppr"),
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "node",
+    max_hops: int = 6,
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop count from ANY source node, bounded
+    by ``max_hops`` — the blast-radius / influence-horizon primitive
+    (how far does a contaminated document's dup-neighborhood reach? which
+    users sit within k interaction hops of a flagged account?).
+
+    Frontier-based: round h joins the hop-(h-1) frontier to the edge
+    list, anti-joins already-settled nodes, and settles the survivors at
+    hop h.  Every node enters the settled set EXACTLY once (BFS's
+    defining invariant), so total work is O(E * 1) edge traversals per
+    reachable edge, not O(E * rounds); the frontier and settled relations
+    are localCheckpoint-ed per round to keep lineage flat, and the loop's
+    only driver action is a 1-row frontier-emptiness count.  Early-exits
+    when the frontier drains before ``max_hops``.
+
+    Undirected mode (default) mirrors each edge once up front.  The
+    result is deterministic integer data — min() over a fixed relation —
+    so a bounded recursive-CTE SQL replica matches exactly.
+
+    Output: (node, hops int) for every node within ``max_hops`` of a
+    source (sources themselves at hops 0).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    if not directed:
+        e = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e.distinct().localCheckpoint(eager=True)
+
+    settled = (
+        sources.select(F.col(source_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = settled
+    for h in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(settled.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return settled.select("node", F.col("hops").cast("int").alias("hops"))
+
+
+def jaccard_link_prediction(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+) -> DataFrame:
+    """Common-neighbor Jaccard link prediction: for every non-adjacent-
+    or-adjacent node pair sharing >= ``min_common`` neighbors,
+
+        jaccard = |N(u) & N(v)| / (|N(u)| + |N(v)| - |N(u) & N(v)|)
+
+    — the classic link-prediction / node-similarity score (Liben-Nowell
+    & Kleinberg 2003): parts whose co-purchase neighborhoods overlap are
+    substitutes, users whose interaction neighborhoods overlap are the
+    same person's accounts.
+
+    Shape: one wedge join through the shared neighbor (adjacency joined
+    to itself on the center node, u < v to emit each pair once), one
+    pair-count groupBy, two degree joins against the node-degree table.
+    The wedge fan-out is sum_n deg(n)^2 — at 100 TB cap hub degrees
+    first (``per_key_cap`` on the adjacency, the q177 degree-ordering
+    precedent) or pre-filter to the k-core of interest; the algebra
+    here is unchanged.  Integer counts + one division: engine-exact.
+
+    Output: (u, v, common, deg_u, deg_v, jaccard) with u < v.
+    """
+    adj = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    # the adjacency feeds THREE consumers (degree table + both wedge
+    # sides); pin it or Catalyst re-expands the upstream edge pipeline
+    # three times (the q176 subtree-recompute lesson)
+    adj = (
+        adj.unionAll(adj.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    l = adj.select(F.col("a").alias("n"), F.col("b").alias("u"))
+    r = adj.select(F.col("a").alias("n"), F.col("b").alias("v"))
+    pairs = (
+        l.join(r, "n")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .filter(F.col("common") >= int(min_common))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    out = pairs.join(du, "u").join(dv, "v")
+    return out.select(
+        "u",
+        "v",
+        "common",
+        "deg_u",
+        "deg_v",
+        (
+            F.col("common").cast("double")
+            / (F.col("deg_u") + F.col("deg_v") - F.col("common")).cast("double")
+        ).alias("jaccard"),
+    )

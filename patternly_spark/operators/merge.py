@@ -240,3 +240,68 @@ def golden_records(
             for field in rules
         ],
     )
+
+
+def fellegi_sunter_score(
+    pairs: DataFrame,
+    *,
+    comparisons: dict[str, tuple[float, float]],
+    upper: float | None = None,
+    lower: float | None = None,
+    out_col: str = "score",
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record-linkage scoring (Fellegi &
+    Sunter 1969; the Splink/dedupe.io model): each comparison field
+    ``name`` (a BOOLEAN agreement column on ``pairs``, produced by the
+    caller's blocking+comparison step) carries parameters ``(m, u)`` —
+    P(agree | true match) and P(agree | non-match).  The pair's match
+    weight is
+
+        score = sum over fields of  log2(m/u)            if agree
+                                    log2((1-m)/(1-u))    if disagree
+
+    i.e. the log-likelihood ratio of the comparison vector under
+    conditional independence.  NULL agreement (field unavailable)
+    contributes 0 — the FS convention for missing comparators.
+
+    With ``upper``/``lower`` set, adds the classic three-way ``verdict``:
+    'match' (score >= upper), 'possible' (lower <= score < upper),
+    'non_match' — the clerical-review band.
+
+    Determinism: the per-field weights are Python-computed double
+    literals and the score is a chained addition in SORTED field order —
+    a fixed IEEE expression any engine replays bit-for-bit (the SQL
+    oracle spells the same weights via %.17e).  Pure map over the pairs
+    relation: zero shuffle; pair GENERATION (blocking) is the caller's
+    scale knob, as in every ER pipeline.
+
+    Output: ``pairs`` + (w_<field> double per field, score, [verdict]).
+    """
+    if not comparisons:
+        raise ValueError("comparisons must name at least one agreement column")
+    import math
+
+    score = F.lit(0.0)
+    out = pairs
+    for name in sorted(comparisons):
+        m, u = comparisons[name]
+        if not (0.0 < m < 1.0 and 0.0 < u < 1.0):
+            raise ValueError(f"m/u for {name!r} must be in (0,1): {(m, u)}")
+        w_agree = math.log2(m / u)
+        w_dis = math.log2((1.0 - m) / (1.0 - u))
+        w = (
+            F.when(F.col(name).isNull(), F.lit(0.0))
+            .when(F.col(name), F.lit(w_agree))
+            .otherwise(F.lit(w_dis))
+        )
+        out = out.withColumn(f"w_{name}", w)
+        score = score + F.col(f"w_{name}")
+    out = out.withColumn(out_col, score)
+    if upper is not None and lower is not None:
+        out = out.withColumn(
+            "verdict",
+            F.when(F.col(out_col) >= F.lit(float(upper)), F.lit("match"))
+            .when(F.col(out_col) >= F.lit(float(lower)), F.lit("possible"))
+            .otherwise(F.lit("non_match")),
+        )
+    return out

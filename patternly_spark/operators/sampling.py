@@ -556,3 +556,76 @@ def ring_negatives(
         .filter(F.col("neg_id") != F.col("id"))
         .select(F.col("id").alias(id_col), F.col("slot").cast("int").alias("slot"), "neg_id")
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    *,
+    stratum_cols: list[str],
+    value_col: str,
+    total_n: int,
+    cents_scale: int = 100,
+    units: int = 1 << 20,
+) -> DataFrame:
+    """Neyman-optimal stratified-sample allocation: stratum h of size
+    N_h with value standard deviation s_h receives
+
+        n_h = total_n * (N_h * s_h) / sum_k(N_k * s_k)
+
+    — the allocation minimizing the variance of the stratified mean at a
+    fixed budget (Neyman 1934; the survey-sampling classic, and the
+    right way to size per-source eval draws when sources differ wildly
+    in spread).
+
+    Engine-exact by the repo's dyadic-units convention: values are
+    floor-quantized to integer "cents" (``cents_scale``), per-stratum
+    (N, sum, sum-of-squares) stay in BIGINT, the sample variance
+    N*ss - s^2 over N*(N-1) is one division + one sqrt, and the weight
+    N_h*s_h is floor-quantized to ``units`` (2^20) BEFORE the cross-
+    stratum sum — integer addition is associative, so the denominator
+    (and hence every share) is identical under any partitioning or
+    engine.  Strata with N_h < 2 carry zero weight (variance undefined).
+
+    BIGINT headroom: |cents| <= C means ss <= rows * C^2 — at 100 TB
+    move ``cents_scale`` down (coarser cents) or lift the sums to
+    DECIMAL(38,0); the quantized-weight algebra is unchanged.
+
+    One groupBy over the strata + a 1-row denominator broadcast back.
+    Output: (stratum_cols..., n_rows, sd, weight_units, share, alloc_n).
+    Compose with :func:`stratified_hash_sample` using rates
+    alloc_n / n_rows to actually draw the sample deterministically.
+    """
+    v = F.floor(F.col(value_col).cast("double") * F.lit(float(cents_scale))).cast(
+        "long"
+    )
+    agg = df.groupBy(*stratum_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(v).alias("__s1"),
+        F.sum(v * v).alias("__s2"),
+    )
+    var = F.when(
+        F.col("n_rows") >= 2,
+        (
+            F.col("n_rows") * F.col("__s2") - F.col("__s1") * F.col("__s1")
+        ).cast("double")
+        / (F.col("n_rows") * (F.col("n_rows") - 1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    stats = agg.withColumn(
+        "sd", F.sqrt(var) / F.lit(float(cents_scale))
+    ).withColumn(
+        "weight_units",
+        F.floor(F.col("n_rows").cast("double") * F.col("sd") * F.lit(float(units))).cast(
+            "long"
+        ),
+    )
+    denom = stats.agg(F.sum("weight_units").alias("__denom"))
+    share = F.when(
+        F.col("__denom") > 0,
+        F.col("weight_units").cast("double") / F.col("__denom").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        stats.crossJoin(F.broadcast(denom))
+        .withColumn("share", share)
+        .withColumn("alloc_n", F.lit(float(int(total_n))) * F.col("share"))
+        .select(*stratum_cols, "n_rows", "sd", "weight_units", "share", "alloc_n")
+    )

@@ -493,3 +493,86 @@ def test_personalized_pagerank_integer_replay(spark):
                 nxt[d] += (p[s] * an) // (ad * deg[s])
         p = {k: v for k, v in nxt.items() if v > 0}
     assert got == p
+
+
+def test_bfs_hops_path_graph(spark):
+    from patternly_spark.operators.graph import bfs_hops
+
+    # path 1-2-3-4-5-6; source 1, max_hops 3 -> nodes 1..4
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["hops"] for r in bfs_hops(edges, srcs, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_hops_directed_vs_undirected(spark):
+    from patternly_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    srcs = spark.createDataFrame([(3,)], "node long")
+    d = {r["node"]: r["hops"] for r in bfs_hops(
+        edges, srcs, max_hops=5, directed=True
+    ).collect()}
+    assert d == {3: 0}  # nothing downstream of 3
+    u = {r["node"]: r["hops"] for r in bfs_hops(
+        edges, srcs, max_hops=5, directed=False
+    ).collect()}
+    assert u == {3: 0, 2: 1, 1: 2}
+
+
+def test_bfs_hops_multi_source_min_and_early_exit(spark):
+    from patternly_spark.operators.graph import bfs_hops
+
+    # two sources; node 3 reachable from both -> min hop wins
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(1,), (5,)], "node long")
+    out = {r["node"]: r["hops"] for r in bfs_hops(
+        edges, srcs, max_hops=50  # frontier drains long before 50 rounds
+    ).collect()}
+    assert out == {1: 0, 5: 0, 2: 1, 3: 1, 4: 2}  # 10-11 unreachable
+
+
+def test_jaccard_link_prediction_small(spark):
+    from patternly_spark.operators.graph import jaccard_link_prediction
+
+    # star: center 0 joined to 1,2,3; plus edge 1-2.
+    # N(1)={0,2}, N(2)={0,1}, N(3)={0}
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2)], "src long, dst long"
+    )
+    out = {(r["u"], r["v"]): r for r in jaccard_link_prediction(edges).collect()}
+    # pair (1,2): common={0}; deg 2 each -> 1/(2+2-1)
+    assert out[(1, 2)]["common"] == 1 and out[(1, 2)]["jaccard"] == 1 / 3
+    # pair (1,3): common={0}; deg_u=2, deg_v=1 -> 1/2
+    assert out[(1, 3)]["jaccard"] == 0.5
+    # pair (2,3): symmetric to (1,3)
+    assert out[(2, 3)]["jaccard"] == 0.5
+    # pair (0,1): common={2} (via edge 1-2 and 0-2) -> 1/(3+2-1)
+    assert out[(0, 1)]["jaccard"] == 0.25
+    assert set(out) == {(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)}
+
+
+def test_neyman_allocation_closed_form(spark):
+    import math
+
+    from patternly_spark.operators.sampling import neyman_allocation
+
+    # stratum x: values 0,2 cents-> sd computable; y: constant -> sd 0;
+    # z: single row -> weight 0
+    rows = (
+        [("x", 0.00), ("x", 0.02)] + [("y", 5.0)] * 3 + [("z", 9.9)]
+    )
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = {r["g"]: r for r in neyman_allocation(
+        df, stratum_cols=["g"], value_col="value", total_n=100
+    ).collect()}
+    # x: cents 0,2 -> var = (2*4 - 4)/2 = 2 -> sd = sqrt(2)/100
+    assert out["x"]["sd"] == math.sqrt(2.0) / 100.0
+    assert out["y"]["sd"] == 0.0 and out["z"]["sd"] == 0.0
+    # all weight flows to x
+    assert out["x"]["share"] == 1.0 and out["x"]["alloc_n"] == 100.0
+    assert out["y"]["share"] == 0.0 and out["z"]["weight_units"] == 0

@@ -156,3 +156,45 @@ def test_golden_records_validations_and_first_rule(spark):
         golden_records(df, cluster_col="cluster", id_col="id", rules={"v": "latest"})
     with _pytest.raises(ValueError):
         golden_records(df, cluster_col="cluster", id_col="id", rules={"v": "nope"})
+
+
+def test_fellegi_sunter_score_weights_and_verdict(spark):
+    import math
+
+    from patternly_spark.operators.merge import fellegi_sunter_score
+
+    mu = {"a": (0.9, 0.1), "b": (0.8, 0.2)}
+    pairs = spark.createDataFrame(
+        [
+            (1, True, True),    # both agree -> strong match
+            (2, False, False),  # both disagree -> strong non-match
+            (3, None, True),    # NULL contributes exactly 0
+        ],
+        "pid long, a boolean, b boolean",
+    )
+    out = {r["pid"]: r for r in fellegi_sunter_score(
+        pairs, comparisons=mu, upper=3.0, lower=0.0
+    ).collect()}
+    wa_a, wd_a = math.log2(0.9 / 0.1), math.log2((1.0 - 0.9) / (1.0 - 0.1))
+    wa_b = math.log2(0.8 / 0.2)
+    assert out[1]["score"] == 0.0 + wa_a + wa_b
+    assert out[1]["verdict"] == "match"
+    assert out[2]["verdict"] == "non_match"
+    assert out[3]["w_a"] == 0.0 and out[3]["score"] == 0.0 + 0.0 + wa_b
+    # sorted-field chaining is part of the contract (oracle parity);
+    # note the disagree weight comes from the 1.0-m chain (1-0.8 is NOT
+    # the double 0.2 — the same ulp trap the q209 oracle documents)
+    wd_b = math.log2((1.0 - 0.8) / (1.0 - 0.2))
+    assert out[2]["score"] == 0.0 + wd_a + wd_b
+
+
+def test_fellegi_sunter_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from patternly_spark.operators.merge import fellegi_sunter_score
+
+    df = spark.createDataFrame([(1, True)], "pid long, a boolean")
+    with _pytest.raises(ValueError):
+        fellegi_sunter_score(df, comparisons={})
+    with _pytest.raises(ValueError):
+        fellegi_sunter_score(df, comparisons={"a": (1.0, 0.1)})
