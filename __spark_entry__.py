@@ -8675,6 +8675,440 @@ _Q211_ORACLE = """
 """
 
 
+def q212_retrieval_eval(spark, sf_dir):
+    """Retrieval-evaluation capstone (operators/model_eval.
+    ranking_metrics over operators/quantized.int8_topk): 100 query
+    vectors ranked against the corpus by integer-exact int8 cosine,
+    relevance = same class label, summarized as corpus-mean P@k / R@k /
+    NDCG@k / MRR@k for k in {1,5,10}.  The NDCG discount table and its
+    ideal prefix sums are Python-precomputed 2^-20 integer units (no
+    engine ever computes a log), per-query ratios floor-quantize back
+    to units before the cross-query sum — engine-exact end to end."""
+    from patternly_spark.operators.model_eval import ranking_metrics
+    from patternly_spark.operators.quantized import int8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 100)
+    nn = int8_topk(emb, probes, k=10)
+    lab = emb.select("vec_id", "label")
+    lq = lab.select(F.col("vec_id").alias("query_id"), F.col("label").alias("__lq"))
+    ln = lab.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("__ln")
+    )
+    ranked = (
+        nn.join(F.broadcast(lq), "query_id")
+        .join(F.broadcast(ln), "neighbor_id")
+        .withColumn("rel", F.col("__lq") == F.col("__ln"))
+    )
+    return ranking_metrics(ranked, k_values=(1, 5, 10))
+
+
+def _q212_oracle() -> str:
+    import math
+
+    u = 1 << 20
+    uf = _dlit(float(u))
+    disc = [math.floor((1.0 / math.log2(r + 1.0)) * u) for r in range(1, 11)]
+    pref = [0]
+    for d in disc:
+        pref.append(pref[-1] + d)
+    disc_sql = "[" + ",".join(str(d) for d in disc) + "]"
+    pref_sql = "[" + ",".join(str(v) for v in pref) + "]"
+
+    pq_cols, out_rows = [], []
+    for k in (1, 5, 10):
+        pq_cols.append(
+            f"SUM(CASE WHEN rel AND rank <= {k} THEN 1 ELSE 0 END)::BIGINT"
+            f" AS rel_at_{k}"
+        )
+        pq_cols.append(
+            f"SUM(CASE WHEN rel AND rank <= {k} THEN {disc_sql}[rank]"
+            f" ELSE 0 END)::BIGINT AS dcg_{k}"
+        )
+    pq_cols_sql = ",\n               ".join(pq_cols)
+    tot_cols = ["COUNT(*)::BIGINT AS n_queries"]
+    for k in (1, 5, 10):
+        idcg = f"CAST({pref_sql}[LEAST(rel_total, {k}) + 1] AS DOUBLE)"
+        tot_cols += [
+            f"SUM(rel_at_{k})::BIGINT AS p_num_{k}",
+            f"SUM(FLOOR(CAST(rel_at_{k} AS DOUBLE)"
+            f" / CAST(rel_total AS DOUBLE) * {uf})::BIGINT)::BIGINT AS r_u_{k}",
+            f"SUM(FLOOR(CAST(dcg_{k} AS DOUBLE) / {idcg} * {uf})::BIGINT)"
+            f"::BIGINT AS n_u_{k}",
+            f"SUM(CASE WHEN first_rel <= {k} THEN"
+            f" FLOOR(CAST(1.0 AS DOUBLE) / CAST(first_rel AS DOUBLE)"
+            f" * {uf})::BIGINT ELSE 0 END)::BIGINT AS m_u_{k}",
+        ]
+    tot_cols_sql = ",\n               ".join(tot_cols)
+    for k in (1, 5, 10):
+        kf = _dlit(float(k))
+        out_rows.append(
+            f"""SELECT {k} AS k, n_queries,
+               CAST(p_num_{k} AS DOUBLE)
+                   / ({kf} * CAST(n_queries AS DOUBLE)) AS mean_precision,
+               CAST(r_u_{k} AS DOUBLE)
+                   / ({uf} * CAST(n_queries AS DOUBLE)) AS mean_recall,
+               CAST(n_u_{k} AS DOUBLE)
+                   / ({uf} * CAST(n_queries AS DOUBLE)) AS mean_ndcg,
+               CAST(m_u_{k} AS DOUBLE)
+                   / ({uf} * CAST(n_queries AS DOUBLE)) AS mean_mrr
+        FROM tot"""
+        )
+    union_sql = "\n        UNION ALL\n        ".join(out_rows)
+    return f"""
+    WITH base AS (
+        SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ), sc AS (
+        SELECT vec_id, label, v,
+               CASE WHEN amax / 127.0 > 0.0 THEN amax / 127.0 ELSE 1.0 END AS scale
+        FROM (SELECT vec_id, label, v,
+                     list_max(list_transform(v, x -> abs(x))) AS amax
+              FROM base)
+    ), qz AS (
+        SELECT vec_id, label,
+               list_transform(v, x -> floor(x / scale + 0.5)) AS codes
+        FROM sc
+    ), nn AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               q.label = c.label AS rel,
+               round(list_dot_product(q.codes, c.codes)
+                     / (sqrt(list_dot_product(q.codes, q.codes))
+                        * sqrt(list_dot_product(c.codes, c.codes))), 6) AS qcosine
+        FROM qz q, qz c
+        WHERE q.vec_id < 100 AND c.vec_id <> q.vec_id
+    ), ranked AS (
+        SELECT query_id, rel, rank FROM (
+            SELECT query_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY qcosine DESC, neighbor_id ASC)
+                       AS rank
+            FROM nn
+        ) WHERE rank <= 10
+    ), pq AS (
+        SELECT query_id,
+               SUM(CASE WHEN rel THEN 1 ELSE 0 END)::BIGINT AS rel_total,
+               MIN(CASE WHEN rel THEN rank END) AS first_rel,
+               {pq_cols_sql}
+        FROM ranked GROUP BY query_id
+    ), pq2 AS (
+        SELECT * FROM pq WHERE rel_total > 0
+    ), tot AS (
+        SELECT {tot_cols_sql}
+        FROM pq2
+    )
+    {union_sql}
+    """
+
+
+def q213_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier churn survival per cohort (operators/temporal.
+    kaplan_meier): each user's duration is their active span in days,
+    the churn event is 'last activity > 1 day before observation
+    end' (else censored — the product-limit estimator's whole point);
+    durations are active-span HOURS so the time grid is rich.
+    At-risk counts are one cumulative window over the distinct-time
+    grid; the survival product is one time-ordered fold per cohort, so
+    a recursive-CTE oracle replays the identical IEEE chain."""
+    from patternly_spark.operators.temporal import kaplan_meier
+
+    DAY = 86_400_000_000
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("us").alias("first_us"), F.max("us").alias("last_us")
+    )
+    end = per_user.agg(F.max("last_us").alias("end_us"))
+    subj = per_user.crossJoin(F.broadcast(end)).select(
+        (F.col("user_id") % 3).cast("int").alias("cohort"),
+        F.floor(
+            (F.col("last_us") - F.col("first_us")).cast("double")
+            / F.lit(3600000000.0)
+        ).alias("duration_hours"),
+        ((F.col("end_us") - F.col("last_us")) > F.lit(DAY)).alias("event"),
+    )
+    return kaplan_meier(
+        subj,
+        duration_col="duration_hours",
+        event_col="event",
+        group_cols=["cohort"],
+    )
+
+
+_Q213_ORACLE = """
+    WITH RECURSIVE pu AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+               MAX(epoch_us(ts)) AS last_us
+        FROM events GROUP BY user_id
+    ), endt AS (SELECT MAX(last_us) AS end_us FROM pu),
+    subj AS (
+        SELECT CAST(user_id % 3 AS INT) AS cohort,
+               CAST(FLOOR(CAST(last_us - first_us AS DOUBLE)
+                          / 3.60000000000000000e+09) AS BIGINT) AS dur,
+               CASE WHEN (SELECT end_us FROM endt) - last_us
+                         > 86400000000 THEN 1 ELSE 0 END AS ev
+        FROM pu
+    ), grid AS (
+        SELECT cohort, dur AS t, SUM(ev)::BIGINT AS d,
+               SUM(1 - ev)::BIGINT AS c
+        FROM subj GROUP BY cohort, dur
+    ), atrisk AS (
+        SELECT cohort, t, d, c,
+               SUM(d + c) OVER (PARTITION BY cohort)
+                 - (SUM(d + c) OVER (PARTITION BY cohort ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - (d + c)) AS n
+        FROM grid
+    ), rk AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY t) AS r
+        FROM atrisk
+    ), walk AS (
+        SELECT cohort, t, d, c, n, r,
+               CAST(1.0 AS DOUBLE) - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+                   AS s
+        FROM rk WHERE r = 1
+        UNION ALL
+        SELECT rk.cohort, rk.t, rk.d, rk.c, rk.n, rk.r,
+               w.s * (CAST(1.0 AS DOUBLE)
+                      - CAST(rk.d AS DOUBLE) / CAST(rk.n AS DOUBLE))
+        FROM walk w JOIN rk ON rk.cohort = w.cohort AND rk.r = w.r + 1
+    )
+    SELECT cohort, t, n AS n_at_risk, d AS d_events, c AS n_censored,
+           s AS survival
+    FROM walk
+"""
+
+
+def q214_logrank_cohorts(spark, sf_dir):
+    """K-sample log-rank test across the three q213 churn cohorts
+    (operators/temporal.logrank_test): observed vs expected event
+    counts under identical-hazard H0, plus the sum-(O-E)^2/E statistic.
+    Every per-time expectation d_t*n_g/n_t is an integer-numerator
+    double division floor-quantized to 2^-20 units before summation, so
+    the whole report is plain (non-recursive) SQL — joins, windows,
+    integer sums."""
+    from patternly_spark.operators.temporal import logrank_test
+
+    DAY = 86_400_000_000
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("us").alias("first_us"), F.max("us").alias("last_us")
+    )
+    end = per_user.agg(F.max("last_us").alias("end_us"))
+    subj = per_user.crossJoin(F.broadcast(end)).select(
+        (F.col("user_id") % 3).cast("int").alias("cohort"),
+        F.floor(
+            (F.col("last_us") - F.col("first_us")).cast("double")
+            / F.lit(3600000000.0)
+        ).alias("duration_hours"),
+        ((F.col("end_us") - F.col("last_us")) > F.lit(DAY)).alias("event"),
+    )
+    return logrank_test(
+        subj,
+        duration_col="duration_hours",
+        event_col="event",
+        group_col="cohort",
+    )
+
+
+_Q214_ORACLE = """
+    WITH pu AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+               MAX(epoch_us(ts)) AS last_us
+        FROM events GROUP BY user_id
+    ), endt AS (SELECT MAX(last_us) AS end_us FROM pu),
+    subj AS (
+        SELECT CAST(user_id % 3 AS INT) AS g,
+               CAST(FLOOR(CAST(last_us - first_us AS DOUBLE)
+                          / 3.60000000000000000e+09) AS BIGINT) AS dur,
+               CASE WHEN (SELECT end_us FROM endt) - last_us
+                         > 86400000000 THEN 1 ELSE 0 END AS ev
+        FROM pu
+    ), grid AS (
+        SELECT g, dur AS t, SUM(ev)::BIGINT AS d, COUNT(*)::BIGINT AS m
+        FROM subj GROUP BY g, dur
+    ), times AS (
+        SELECT t AS et, SUM(d)::BIGINT AS dt FROM grid
+        GROUP BY t HAVING SUM(d) > 0
+    ), atrisk AS (
+        SELECT g, et, dt, SUM(m)::BIGINT AS n_g,
+               SUM(CASE WHEN t = et THEN d ELSE 0 END)::BIGINT AS d_g
+        FROM grid JOIN times ON grid.t >= times.et
+        GROUP BY g, et, dt
+    ), witht AS (
+        SELECT *, SUM(n_g) OVER (PARTITION BY et) AS n_t FROM atrisk
+    ), perg AS (
+        SELECT g, SUM(d_g)::BIGINT AS observed,
+               SUM(FLOOR(CAST(dt * n_g AS DOUBLE) / CAST(n_t AS DOUBLE)
+                         * 1048576.0)::BIGINT)::BIGINT AS e_u
+        FROM witht GROUP BY g
+    ), tot AS (
+        SELECT g, COUNT(*)::BIGINT AS n_subjects FROM subj GROUP BY g
+    ), perg2 AS (
+        SELECT t.g, t.n_subjects,
+               COALESCE(p.observed, 0)::BIGINT AS observed,
+               COALESCE(p.e_u, 0)::BIGINT AS e_u
+        FROM tot t LEFT JOIN perg p USING (g)
+    ), stat AS (
+        SELECT SUM(CASE WHEN e_u > 0 THEN
+                   FLOOR((CAST(observed AS DOUBLE)
+                          - CAST(e_u AS DOUBLE) / 1048576.0)
+                         * (CAST(observed AS DOUBLE)
+                            - CAST(e_u AS DOUBLE) / 1048576.0)
+                         / (CAST(e_u AS DOUBLE) / 1048576.0)
+                         * 1048576.0)::BIGINT
+                   ELSE 0 END)::BIGINT AS chi_u
+        FROM perg2
+    )
+    SELECT g AS cohort, n_subjects, observed,
+           CAST(e_u AS DOUBLE) / 1048576.0 AS expected,
+           CAST((SELECT chi_u FROM stat) AS DOUBLE) / 1048576.0 AS chi2
+    FROM perg2
+"""
+
+
+def q215_theil_sen_trend(spark, sf_dir):
+    """Theil-Sen robust daily-volume trend per event type
+    (operators/drift.theil_sen_trend): slope = exact rank-selected
+    median of all pairwise slopes over (day, count) points, intercept =
+    median residual.  Robust counterpart to q129's least-squares
+    linear_trend — a single crawler-burst day can't drag it.  Every
+    slope is one double subtraction-division and medians are
+    rank-selected (no accumulation), so the SQL replica is bit-exact."""
+    from patternly_spark.operators.drift import theil_sen_trend
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.unix_date(F.to_date("ts")).alias("x")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    return theil_sen_trend(
+        daily, x_col="x", y_col="y", group_cols=["event_type"]
+    ).orderBy("event_type")
+
+
+_Q215_ORACLE = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE) AS x,
+               CAST(COUNT(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2
+    ), pts AS (
+        SELECT event_type, x, SUM(y) / COUNT(*) AS y
+        FROM daily GROUP BY event_type, x
+    ), cnt AS (
+        SELECT event_type, COUNT(*)::BIGINT AS n_points FROM pts GROUP BY 1
+    ), pairs AS (
+        SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS s
+        FROM pts a JOIN pts b
+          ON a.event_type = b.event_type AND a.x < b.x
+    ), rs AS (
+        SELECT event_type, s,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY s) AS r,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM pairs
+    ), med AS (
+        SELECT event_type, SUM(s) / COUNT(*) AS slope,
+               MAX(n)::BIGINT AS n_pairs
+        FROM rs
+        WHERE r = FLOOR((n + 1) / 2.0) OR r = FLOOR((n + 2) / 2.0)
+        GROUP BY event_type
+    ), resid AS (
+        SELECT p.event_type, p.y - m.slope * p.x AS res
+        FROM pts p JOIN med m USING (event_type)
+    ), rr AS (
+        SELECT event_type, res,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY res) AS r,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM resid
+    ), im AS (
+        SELECT event_type, SUM(res) / COUNT(*) AS intercept
+        FROM rr
+        WHERE r = FLOOR((n + 1) / 2.0) OR r = FLOOR((n + 2) / 2.0)
+        GROUP BY event_type
+    )
+    SELECT c.event_type, c.n_points, m.n_pairs, m.slope, im.intercept
+    FROM cnt c JOIN med m USING (event_type) JOIN im USING (event_type)
+    ORDER BY c.event_type
+"""
+
+
+def q216_isotonic_calibration(spark, sf_dir):
+    """EXACT isotonic (PAVA-equivalent) calibration map per user segment
+    (operators/model_eval.isotonic_calibration): the q206 synthetic
+    scorer on a coarser k/128 dyadic grid, miscalibrated by squaring the
+    label-draw probability so the monotone fit has real work to do.
+    Every fitted value is an integer-ratio block mean selected by
+    min/max over the grid — the minimax characterization — so the whole
+    fit replays in three plain SQL joins, no quantization, no recursion."""
+    from patternly_spark.operators.model_eval import isotonic_calibration
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    h = F.conv(F.substring(F.md5(eid), 1, 8), 16, 10).cast("long") % F.lit(128)
+    h2 = (
+        F.conv(F.substring(F.md5(F.concat(eid, F.lit(":l"))), 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(16384)
+    )
+    scored = ev.select(
+        (F.col("user_id") % 2).cast("int").alias("segment"),
+        (h.cast("double") / F.lit(128.0)).alias("score"),
+        (h2 < h * h).cast("int").alias("label"),
+    )
+    return isotonic_calibration(
+        scored, score_col="score", label_col="label", group_cols=["segment"]
+    )
+
+
+_Q216_ORACLE = """
+    WITH scored AS (
+        SELECT CAST(user_id % 2 AS INT) AS segment,
+               CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 128 AS DOUBLE) / 128.0 AS score,
+               CASE WHEN (CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                                                  || ':l'), 1, 8)
+                               AS BIGINT) % 16384)
+                         < (CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                                1, 8) AS BIGINT) % 128)
+                           * (CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                                  1, 8) AS BIGINT) % 128)
+                    THEN 1 ELSE 0 END AS label
+        FROM events
+    ), grid AS (
+        SELECT segment, score, COUNT(*)::BIGINT AS n,
+               SUM(label)::BIGINT AS positives
+        FROM scored GROUP BY segment, score
+    ), idx AS (
+        SELECT segment, score, n, positives,
+               ROW_NUMBER() OVER (PARTITION BY segment ORDER BY score) AS i,
+               SUM(positives) OVER (PARTITION BY segment ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cy,
+               SUM(n) OVER (PARTITION BY segment ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+        FROM grid
+    ), blocks AS (
+        SELECT a.segment, a.i AS j, b.i AS k,
+               CAST(b.cy - (a.cy - a.positives) AS DOUBLE)
+                   / CAST(b.cn - (a.cn - a.n) AS DOUBLE) AS m
+        FROM idx a JOIN idx b
+          ON a.segment = b.segment AND a.i <= b.i
+    ), inner_min AS (
+        SELECT bl.segment, p.i, bl.j, MIN(bl.m) AS lo
+        FROM blocks bl JOIN idx p
+          ON bl.segment = p.segment AND bl.j <= p.i AND bl.k >= p.i
+        GROUP BY bl.segment, p.i, bl.j
+    ), fit AS (
+        SELECT segment, i, MAX(lo) AS fit
+        FROM inner_min GROUP BY segment, i
+    )
+    SELECT idx.segment, idx.score, idx.n, idx.positives, fit.fit
+    FROM idx JOIN fit ON idx.segment = fit.segment AND idx.i = fit.i
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -8896,6 +9330,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q209_record_linkage": q209_record_linkage,
         "q210_neyman_allocation": q210_neyman_allocation,
         "q211_jaccard_links": q211_jaccard_links,
+        "q212_retrieval_eval": q212_retrieval_eval,
+        "q213_kaplan_meier": q213_kaplan_meier,
+        "q214_logrank_cohorts": q214_logrank_cohorts,
+        "q215_theil_sen_trend": q215_theil_sen_trend,
+        "q216_isotonic_calibration": q216_isotonic_calibration,
     }
 
 
@@ -10617,6 +11056,11 @@ def oracle_sql() -> dict[str, str]:
         "q209_record_linkage": _q209_oracle(),
         "q210_neyman_allocation": _q210_oracle(),
         "q211_jaccard_links": _Q211_ORACLE,
+        "q212_retrieval_eval": _q212_oracle(),
+        "q213_kaplan_meier": _Q213_ORACLE,
+        "q214_logrank_cohorts": _Q214_ORACLE,
+        "q215_theil_sen_trend": _Q215_ORACLE,
+        "q216_isotonic_calibration": _Q216_ORACLE,
     }
 
 

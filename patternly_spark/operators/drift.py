@@ -514,3 +514,96 @@ def proportion_ztest(
         F.when((F.col("n_c") > 0) & (F.col("n_t") > 0), p_t - p_c).alias("lift"),
         z.alias("z"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    *,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+    max_points: int = 2000,
+) -> DataFrame:
+    """Theil-Sen robust trend per group: slope = exact MEDIAN of all
+    pairwise slopes (y_j - y_i)/(x_j - x_i) over x_i < x_j, intercept =
+    exact median of per-point residuals y_i - slope * x_i.  Breakdown
+    point ~29% — the trend estimator that shrugs off the outlier days a
+    least-squares ``linear_trend`` chases.
+
+    Input is pre-aggregated per (group, x) — duplicate x within a group
+    are averaged first (sum/count, one division), so the pair set is
+    well-defined and the estimator deterministic.
+
+    Exactness: medians are RANK-selected (sort by value with a total
+    tie-break), not interpolated beyond the even-case mean of the two
+    middles — one addition + one division, identical in any engine.
+    Every slope is one subtraction-division of doubles; no
+    accumulation-order dependence anywhere, so a plain-SQL oracle
+    replays bit-for-bit.
+
+    Scale: pairs are O(n^2) per group BY DESIGN (the estimator's
+    definition); ``max_points`` guards the fan-out — a group wider than
+    that raises rather than silently exploding (pre-bucket x, e.g.
+    daily means, to stay under it; 2000 points = 2M pairs per group,
+    one task's work).  The pair join shuffles once on the group key.
+
+    Output: (group_cols..., n_points, n_pairs, slope, intercept).
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    pts = df.groupBy(*gcols, F.col(x_col).cast("double").alias("__x")).agg(
+        (F.sum(F.col(y_col).cast("double")) / F.count(F.lit(1))).alias("__y")
+    )
+    cnt = pts.groupBy(*gcols).agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    over = cnt.filter(F.col("n_points") > int(max_points)).limit(1).collect()
+    if over:
+        raise ValueError(
+            f"theil_sen_trend: a group has {over[0]['n_points']} distinct x "
+            f"> max_points={max_points}; pre-bucket x (e.g. daily means) "
+            "before calling"
+        )
+    a = pts.select(*gcols, F.col("__x").alias("__xa"), F.col("__y").alias("__ya"))
+    b = pts.select(*gcols, F.col("__x").alias("__xb"), F.col("__y").alias("__yb"))
+    on = [a[g] == b[g] for g in gcols] if gcols else [F.lit(True)]
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    pairs = a.join(b, cond & (a["__xa"] < b["__xb"])).select(
+        *[a[g] for g in gcols],
+        (
+            (F.col("__yb") - F.col("__ya")) / (F.col("__xb") - F.col("__xa"))
+        ).alias("__s"),
+    )
+
+    def _median(rel: DataFrame, val: str, out: str) -> DataFrame:
+        w = Window.partitionBy(*gcols).orderBy(F.col(val), F.monotonically_increasing_id()) \
+            if gcols else Window.orderBy(F.col(val), F.monotonically_increasing_id())
+        wc = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        r = rel.withColumn("__r", F.row_number().over(w)).withColumn(
+            "__n", F.count(F.lit(1)).over(wc)
+        )
+        lo = (F.col("__n") + 1) / 2
+        hi = (F.col("__n") + 2) / 2
+        mid = r.filter(
+            (F.col("__r") == F.floor(lo)) | (F.col("__r") == F.floor(hi))
+        )
+        return mid.groupBy(*gcols).agg(
+            (F.sum(val) / F.count(F.lit(1))).alias(out),
+            F.max("__n").alias("__cnt"),
+        )
+
+    slopes = _median(pairs, "__s", "slope")
+    if gcols:
+        resid = pts.join(F.broadcast(slopes.select(*gcols, "slope")), gcols)
+    else:
+        resid = pts.crossJoin(F.broadcast(slopes.select("slope")))
+    resid = resid.select(
+        *gcols, (F.col("__y") - F.col("slope") * F.col("__x")).alias("__res")
+    )
+    inter = _median(resid, "__res", "intercept").select(*gcols, "intercept") \
+        if gcols else _median(resid, "__res", "intercept").select("intercept")
+    out = cnt.join(slopes.select(*gcols, "slope", F.col("__cnt").alias("n_pairs")), gcols) \
+        if gcols else cnt.crossJoin(slopes.select("slope", F.col("__cnt").alias("n_pairs")))
+    out = out.join(inter, gcols) if gcols else out.crossJoin(inter)
+    return out.select(*gcols, "n_points", "n_pairs", "slope", "intercept")

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["roc_auc", "calibration_bins"]
+__all__ = ["roc_auc", "calibration_bins", "ranking_metrics"]
 
 
 def roc_auc(
@@ -150,4 +150,238 @@ def calibration_bins(
         frac_pos.alias("frac_pos"),
         (mean_score - frac_pos).alias("gap"),
         (F.col("__se") / F.col("__ntot").cast("double")).alias("brier_term"),
+    )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    *,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k_values: tuple[int, ...] = (1, 5, 10),
+    units: int = 1 << 20,
+) -> DataFrame:
+    """Retrieval-evaluation summary over a ranked candidate table
+    (query, rank 1..n, boolean relevance): per cutoff k the corpus-mean
+    precision@k, recall@k, NDCG@k (binary gains, ideal ordering of the
+    LIST's relevance — document-level judgments outside the list are
+    unknown by construction), and MRR@k (1/rank of the first relevant
+    hit at or above k, else 0).  Metrics average over queries with at
+    least one relevant item in the list (the standard convention —
+    a query with no relevant candidates defines none of these).
+
+    Engine-exactness: the NDCG discount 1/log2(r+1) is NOT computed in
+    any engine — it is a Python-precomputed table floor-quantized to
+    ``units`` (2^-20) INTEGER weights, so per-query DCG is an integer
+    sum (order-free) and ideal DCG is an integer prefix lookup; every
+    per-query ratio (recall, ndcg, 1/first_rel) is one exact division
+    floor-quantized back to integer units before the cross-query sum.
+    Corpus means are integer sums + one final division — identical
+    under any partitioning or engine.  Mean precision@k needs no
+    quantization at all: sum(rel_at_k) / (k * n_queries).
+
+    Shape: one groupBy over queries, one 1-row aggregate
+    (localCheckpoint-ed — it feeds one output row per k), k tiny
+    selects unioned.  The ranked input is typically ANN output
+    (``int8_topk``/``ivf_topk``): |queries| * k rows, never
+    corpus-sized.
+
+    Output: (k, n_queries, mean_precision, mean_recall, mean_ndcg,
+    mean_mrr).
+    """
+    import math
+    from functools import reduce
+
+    ks = sorted(set(int(k) for k in k_values))
+    kmax = ks[-1]
+    u = int(units)
+    disc = [math.floor((1.0 / math.log2(r + 1.0)) * u) for r in range(1, kmax + 1)]
+    idcg_prefix = [0]
+    for d in disc:
+        idcg_prefix.append(idcg_prefix[-1] + d)
+
+    rank = F.col(rank_col).cast("int")
+    rel = F.col(rel_col)
+    disc_arr = F.array(*[F.lit(d) for d in disc])
+    aggs = [
+        F.sum(rel.cast("int")).cast("long").alias("rel_total"),
+        F.min(F.when(rel, rank)).alias("first_rel"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.sum(F.when(rel & (rank <= k), 1).otherwise(0))
+            .cast("long")
+            .alias(f"rel_at_{k}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(rel & (rank <= k), F.element_at(disc_arr, rank)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias(f"dcg_u_{k}")
+        )
+    per_q = (
+        ranked.groupBy(query_col).agg(*aggs).filter(F.col("rel_total") > 0)
+    )
+
+    idcg_arr = F.array(*[F.lit(v) for v in idcg_prefix])
+    fu = F.lit(float(u))
+    col_aggs = [F.count(F.lit(1)).cast("long").alias("n_queries")]
+    for k in ks:
+        m = F.least(F.col("rel_total"), F.lit(k))
+        idcg_u = F.element_at(idcg_arr, (m + F.lit(1)).cast("int"))
+        ndcg_q = F.floor(
+            F.col(f"dcg_u_{k}").cast("double") / idcg_u.cast("double") * fu
+        ).cast("long")
+        recall_q = F.floor(
+            F.col(f"rel_at_{k}").cast("double")
+            / F.col("rel_total").cast("double")
+            * fu
+        ).cast("long")
+        mrr_q = (
+            F.when(
+                F.col("first_rel") <= k,
+                F.floor(
+                    F.lit(1.0) / F.col("first_rel").cast("double") * fu
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+        )
+        col_aggs += [
+            F.sum(F.col(f"rel_at_{k}")).cast("long").alias(f"p_num_{k}"),
+            F.sum(recall_q).cast("long").alias(f"r_u_{k}"),
+            F.sum(ndcg_q).cast("long").alias(f"n_u_{k}"),
+            F.sum(mrr_q).cast("long").alias(f"m_u_{k}"),
+        ]
+    tot = per_q.agg(*col_aggs).localCheckpoint(eager=True)
+
+    outs = []
+    for k in ks:
+        nq = F.col("n_queries").cast("double")
+        outs.append(
+            tot.select(
+                F.lit(k).alias("k"),
+                F.col("n_queries"),
+                (
+                    F.col(f"p_num_{k}").cast("double") / (F.lit(float(k)) * nq)
+                ).alias("mean_precision"),
+                (F.col(f"r_u_{k}").cast("double") / (fu * nq)).alias(
+                    "mean_recall"
+                ),
+                (F.col(f"n_u_{k}").cast("double") / (fu * nq)).alias(
+                    "mean_ndcg"
+                ),
+                (F.col(f"m_u_{k}").cast("double") / (fu * nq)).alias(
+                    "mean_mrr"
+                ),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+    max_grid: int = 512,
+) -> DataFrame:
+    """EXACT isotonic regression of label on score per group — the
+    monotone calibration map (Zadrozny-Elkan): the non-decreasing step
+    function minimizing squared error, i.e. what sklearn's
+    IsotonicRegression/PAVA produces, here via the equivalent minimax
+    characterization
+
+        fit(i) = max over j <= i of ( min over k >= i of mean(y[j..k]) )
+
+    evaluated RELATIONALLY on the distinct-score grid: every candidate
+    block mean is (integer label sum) / (integer count) — ONE exact
+    division — and min/max are order-free, so the whole fit is
+    engine-exact with no quantization at all (no PAVA loop to replay:
+    the oracle is three plain joins).
+
+    Scale shape: one (group, score) shuffle builds the grid (m = 
+    distinct scores per group, NOT data-sized); the minimax is a
+    grid×grid block relation (m² rows) theta-joined to grid indices —
+    O(m³) grouped work per group, all JVM-side.  That is the deliberate
+    trade for exactness + SQL-replayability; ``max_grid`` raises beyond
+    m=512 (137M grouped rows/group) — quantize scores to a coarser grid
+    first (calibration pipelines bin scores anyway; the q206 dyadic
+    convention).
+
+    Output: (group_cols..., score, n, positives, fit) — fit is the
+    calibrated probability at each observed score, non-decreasing in
+    score within each group.
+    """
+    gcols = list(group_cols or [])
+    grid = df.groupBy(
+        *gcols, F.col(score_col).cast("double").alias("score")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(label_col).cast("long")).cast("long").alias("positives"),
+    )
+    wc = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    wide = grid.withColumn("__m", F.count(F.lit(1)).over(wc))
+    over = wide.filter(F.col("__m") > int(max_grid)).limit(1).collect()
+    if over:
+        raise ValueError(
+            f"isotonic_calibration: a group has {over[0]['__m']} distinct "
+            f"scores > max_grid={max_grid}; bin scores to a coarser grid first"
+        )
+    w = (
+        Window.partitionBy(*gcols).orderBy("score")
+        if gcols
+        else Window.orderBy("score")
+    )
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    idx = grid.select(
+        *gcols,
+        "score",
+        "n",
+        "positives",
+        F.row_number().over(w).alias("i"),
+        F.sum("positives").over(ws).alias("cy"),
+        F.sum("n").over(ws).alias("cn"),
+    )
+    a = idx.select(
+        *[F.col(g).alias(f"__ga_{g}") for g in gcols],
+        F.col("i").alias("j"),
+        (F.col("cy") - F.col("positives")).alias("cy0"),
+        (F.col("cn") - F.col("n")).alias("cn0"),
+    )
+    b = idx.select(
+        *[F.col(g).alias(f"__gb_{g}") for g in gcols],
+        F.col("i").alias("k"),
+        F.col("cy").alias("cy1"),
+        F.col("cn").alias("cn1"),
+    )
+    cond = F.col("j") <= F.col("k")
+    for g in gcols:
+        cond = cond & (F.col(f"__ga_{g}") == F.col(f"__gb_{g}"))
+    blocks = a.join(b, cond).select(
+        *[F.col(f"__ga_{g}").alias(g) for g in gcols],
+        "j",
+        "k",
+        (
+            (F.col("cy1") - F.col("cy0")).cast("double")
+            / (F.col("cn1") - F.col("cn0")).cast("double")
+        ).alias("__mean"),
+    )
+    pts = idx.select(*[F.col(g).alias(f"__gi_{g}") for g in gcols], F.col("i"))
+    jcond = (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i"))
+    for g in gcols:
+        jcond = jcond & (F.col(g) == F.col(f"__gi_{g}"))
+    inner = (
+        blocks.join(pts, jcond)
+        .groupBy(*gcols, "i", "j")
+        .agg(F.min("__mean").alias("__lo"))
+        .groupBy(*gcols, "i")
+        .agg(F.max("__lo").alias("fit"))
+    )
+    return idx.join(inner, [*gcols, "i"]).select(
+        *gcols, "score", "n", "positives", "fit"
     )

@@ -774,3 +774,187 @@ def scd2_intervals(
         nxt.isNull().alias("is_current"),
         *[F.col(c) for c in attr_cols],
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    *,
+    duration_col: str,
+    event_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve per group — the
+    censoring-correct churn/retention estimator (a user still active at
+    observation end is CENSORED, not surviving forever; naive retention
+    curves conflate the two):
+
+        S(t) = prod over event times t_i <= t of (1 - d_i / n_i)
+
+    with d_i = events at t_i and n_i = subjects still at risk (duration
+    >= t_i).  Input: one row per subject with integer ``duration_col``
+    and boolean/0-1 ``event_col`` (1 = event observed, 0 = censored at
+    that duration).
+
+    Determinism: the survival product is inherently sequential, so it is
+    ONE left fold per group over the time-sorted (t, d, n) grid — the
+    ema/holt convention: collect sorted, fold, re-explode.  The IEEE
+    chain prev * (1 - d/n) is fixed by the total time order, so a
+    recursive-CTE SQL replica matches bit-for-bit.  At-risk counts come
+    from one cumulative window over the grid (integers).
+
+    Scale: the fold runs over the DISTINCT-TIME grid (|times| per
+    group), not subjects — one subject-sized shuffle builds the grid,
+    everything after is grid-sized.  A group's grid materializes in one
+    task: bucket durations first if a single group has millions of
+    distinct times.
+
+    Output: (group_cols..., t, n_at_risk, d_events, n_censored,
+    survival) — one row per distinct duration present in the group
+    (event or censoring time), survival carried through censoring-only
+    times unchanged.
+    """
+    gcols = list(group_cols or [])
+    t = F.col(duration_col).cast("long")
+    ev = F.col(event_col).cast("int")
+    grid = df.groupBy(*gcols, t.alias("t")).agg(
+        F.sum(ev).cast("long").alias("d"),
+        F.sum(F.lit(1) - ev).cast("long").alias("c"),
+    )
+    w = (
+        Window.partitionBy(*[F.col(g) for g in gcols])
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*[F.col(g) for g in gcols]) if gcols else Window.partitionBy()
+    grid = grid.withColumn(
+        "n",
+        F.sum(F.col("d") + F.col("c")).over(wtot)
+        - (F.sum(F.col("d") + F.col("c")).over(w) - (F.col("d") + F.col("c"))),
+    )
+    row = F.struct(F.col("t"), F.col("d"), F.col("c"), F.col("n"))
+    seqs = grid.groupBy(*gcols).agg(F.array_sort(F.collect_list(row)).alias("__xs"))
+    surv = F.aggregate(
+        F.col("__xs"),
+        F.array().cast("array<double>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(
+                    F.size(acc) > 0,
+                    F.element_at(acc, -1)
+                    * (
+                        F.lit(1.0)
+                        - x["d"].cast("double") / x["n"].cast("double")
+                    ),
+                ).otherwise(
+                    F.lit(1.0) - x["d"].cast("double") / x["n"].cast("double")
+                )
+            ),
+        ),
+    )
+    zipped = seqs.select(
+        *gcols, F.posexplode(F.arrays_zip("__xs", surv.alias("__s"))).alias("__i", "__z")
+    )
+    return zipped.select(
+        *gcols,
+        F.col("__z.__xs.t").alias("t"),
+        F.col("__z.__xs.n").alias("n_at_risk"),
+        F.col("__z.__xs.d").alias("d_events"),
+        F.col("__z.__xs.c").alias("n_censored"),
+        F.col("__z.__s").alias("survival"),
+    )
+
+
+def logrank_test(
+    df: DataFrame,
+    *,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    units: int = 1 << 20,
+) -> DataFrame:
+    """K-sample log-rank test — are the survival curves of K cohorts
+    different?  The standard companion to ``kaplan_meier``: at every
+    pooled event time t, group g's expected event count under H0
+    (identical hazards) is d_t * n_gt / n_t; the report compares each
+    group's observed total against that expectation.
+
+    Exactness: all at-risk/event counts are INTEGER joins + sums; each
+    per-time expectation d_t * n_gt / n_t is ONE double division
+    (integer numerator — exact), floor-quantized to ``units`` (2^-20)
+    before the per-group sum, so cross-time summation is integer and
+    order-free.  The chi-square-style statistic sum_g (O_g - E_g)^2 /
+    E_g is likewise quantized per group then integer-summed — the whole
+    report replays in plain SQL with no recursive CTE at all.
+
+    Shape: one subject-sized shuffle to the (group, duration) grid;
+    everything after runs on the grid x pooled-event-times relation
+    (both tiny after aggregation; at 100 TB bucket durations first so
+    |times| stays bounded — the same note as kaplan_meier).  The
+    at-risk count n_gt is a theta join grid.dur >= t over the
+    BROADCAST pooled-times relation, never a subject-level pass.
+
+    Output: one row per group — (group, n_subjects, observed, expected,
+    chi2) with the global statistic repeated on every row (df = K-1
+    under H0; the simple sum-(O-E)^2/E approximation, the one reported
+    by most survival packages as the 'log-rank' table).
+    """
+    u = int(units)
+    fu = F.lit(float(u))
+    dur = F.col(duration_col).cast("long")
+    ev = F.col(event_col).cast("int")
+    grid = df.groupBy(F.col(group_col).alias("g"), dur.alias("t")).agg(
+        F.sum(ev).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    times = (
+        grid.groupBy("t")
+        .agg(F.sum("d").alias("dt"))
+        .filter(F.col("dt") > 0)
+        .select(F.col("t").alias("et"), "dt")
+    )
+    # at-risk per (group, pooled event time): subjects with dur >= t
+    atrisk = (
+        grid.join(F.broadcast(times), grid["t"] >= F.col("et"))
+        .groupBy("g", "et", "dt")
+        .agg(
+            F.sum("m").alias("n_g"),
+            F.sum(F.when(grid["t"] == F.col("et"), F.col("d")).otherwise(0)).alias(
+                "d_g"
+            ),
+        )
+    )
+    wt = Window.partitionBy("et")
+    atrisk = atrisk.withColumn("n_t", F.sum("n_g").over(wt))
+    exp_u = F.floor(
+        (F.col("dt") * F.col("n_g")).cast("double")
+        / F.col("n_t").cast("double")
+        * fu
+    ).cast("long")
+    per_g = atrisk.groupBy("g").agg(
+        F.sum("d_g").cast("long").alias("observed"),
+        F.sum(exp_u).cast("long").alias("e_u"),
+    )
+    totals = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjects")
+    )
+    per_g = totals.join(per_g, "g", "left").fillna(0, ["observed", "e_u"])
+    oe = F.col("observed").cast("double") - F.col("e_u").cast("double") / fu
+    chi_u = F.when(
+        F.col("e_u") > 0,
+        F.floor(oe * oe / (F.col("e_u").cast("double") / fu) * fu).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    stat = per_g.agg(
+        F.sum(chi_u).cast("long").alias("chi_u")
+    ).localCheckpoint(eager=True)
+    return (
+        per_g.crossJoin(F.broadcast(stat))
+        .select(
+            F.col("g").alias(group_col),
+            "n_subjects",
+            "observed",
+            (F.col("e_u").cast("double") / fu).alias("expected"),
+            (F.col("chi_u").cast("double") / fu).alias("chi2"),
+        )
+    )
+

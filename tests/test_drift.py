@@ -378,3 +378,66 @@ def test_pairwise_correlation_known_relationships(spark):
     assert out[("flat", "up")]["corr"] is None          # zero variance side
     assert abs(out[("alt", "up")]["corr"]) < 0.2        # near-independent
     assert out[("down", "up")]["n"] == 16
+
+
+def test_theil_sen_exact_median_slope(spark):
+    from patternly_spark.operators.drift import theil_sen_trend
+
+    # y = 2x except one gross outlier at x=3 -> slope median stays 2
+    rows = [("a", 0.0, 0.0), ("a", 1.0, 2.0), ("a", 2.0, 4.0),
+            ("a", 3.0, 100.0), ("a", 4.0, 8.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = theil_sen_trend(
+        df, x_col="x", y_col="y", group_cols=["g"]
+    ).collect()[0]
+    assert out["n_points"] == 5 and out["n_pairs"] == 10
+    # pairwise slopes: hand-enumerate, median of 10 = mean of 5th,6th
+    pts = [(0.0, 0.0), (1.0, 2.0), (2.0, 4.0), (3.0, 100.0), (4.0, 8.0)]
+    slopes = sorted(
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1:]
+    )
+    want = (slopes[4] + slopes[5]) / 2
+    assert out["slope"] == want
+    res = sorted(y - want * x for x, y in pts)
+    assert out["intercept"] == res[2]
+
+
+def test_theil_sen_dedups_x_and_guards_width(spark):
+    import pytest
+
+    from patternly_spark.operators.drift import theil_sen_trend
+
+    # duplicate x averaged first: (1, 0) and (1, 4) -> (1, 2)
+    rows = [("a", 0.0, 1.0), ("a", 1.0, 0.0), ("a", 1.0, 4.0), ("a", 2.0, 5.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = theil_sen_trend(df, x_col="x", y_col="y", group_cols=["g"]).collect()[0]
+    assert out["n_points"] == 3 and out["n_pairs"] == 3
+    # points (0,1),(1,2),(2,5): slopes 1, 2, 3 -> median 2
+    assert out["slope"] == 2.0
+    with pytest.raises(ValueError, match="max_points"):
+        theil_sen_trend(
+            df, x_col="x", y_col="y", group_cols=["g"], max_points=2
+        )
+
+
+def test_theil_sen_partition_invariant_grouped(spark):
+    from patternly_spark.operators.drift import theil_sen_trend
+
+    rows = [
+        (g, float(i), float(i) * s + (7.0 if i == 5 else 0.0) + 0.1 * ((i * 13) % 5))
+        for g, s in (("u", 1.5), ("v", -0.5))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    one = theil_sen_trend(
+        df.coalesce(1), x_col="x", y_col="y", group_cols=["g"]
+    ).orderBy("g").collect()
+    many = theil_sen_trend(
+        df.repartition(32), x_col="x", y_col="y", group_cols=["g"]
+    ).orderBy("g").collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in many]
+    by = {r["g"]: r for r in one}
+    assert abs(by["u"]["slope"] - 1.5) < 0.2
+    assert abs(by["v"]["slope"] + 0.5) < 0.2

@@ -129,3 +129,105 @@ def test_readability_counts_and_scores(spark):
     w, s, y = 2.0, 1.0, 3.0
     assert out[2]["flesch"] == 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
     assert out[2]["fk_grade"] == 0.39 * (w / s) + 11.8 * (y / w) - 15.59
+
+
+def test_ranking_metrics_hand_computed(spark):
+    import math
+
+    from patternly_spark.operators.model_eval import ranking_metrics
+
+    u = 1 << 20
+    # q1: rel at ranks 2,3 of 5; q2: rel at rank 1 only; q3: none (dropped)
+    rows = (
+        [(1, r, r in (2, 3)) for r in range(1, 6)]
+        + [(2, r, r == 1) for r in range(1, 6)]
+        + [(3, r, False) for r in range(1, 6)]
+    )
+    df = spark.createDataFrame(rows, "query_id long, rank int, rel boolean")
+    out = {r["k"]: r for r in ranking_metrics(
+        df, k_values=(1, 3), units=u
+    ).collect()}
+    assert out[1]["n_queries"] == 2
+    # P@1: q1 0/1, q2 1/1 -> mean 1/2
+    assert out[1]["mean_precision"] == (0 + 1) / (1 * 2)
+    # P@3: q1 2/3, q2 1/3 -> (2+1)/(3*2)
+    assert out[3]["mean_precision"] == 3 / 6
+    # R@3: q1 2/2=1, q2 1/1=1 -> 1.0 exactly (quantization exact on 1.0)
+    assert out[3]["mean_recall"] == 1.0
+    # MRR@3: q1 1/2, q2 1/1 -> quantized floor then mean
+    m1 = math.floor((1.0 / 2.0) * u)
+    m2 = math.floor(1.0 * u)
+    assert out[3]["mean_mrr"] == (m1 + m2) / (u * 2.0)
+    # NDCG@3 replica
+    disc = [math.floor((1.0 / math.log2(r + 1.0)) * u) for r in range(1, 4)]
+    pref = [0, disc[0], disc[0] + disc[1], disc[0] + disc[1] + disc[2]]
+    q1 = math.floor((disc[1] + disc[2]) / pref[2] * u)
+    q2 = math.floor(disc[0] / pref[1] * u)
+    assert out[3]["mean_ndcg"] == (q1 + q2) / (u * 2.0)
+
+
+def test_ranking_metrics_perfect_ranking(spark):
+    from patternly_spark.operators.model_eval import ranking_metrics
+
+    rows = [(q, r, r <= 3) for q in range(5) for r in range(1, 11)]
+    df = spark.createDataFrame(rows, "query_id long, rank int, rel boolean")
+    out = {r["k"]: r for r in ranking_metrics(df, k_values=(3, 10)).collect()}
+    # all 3 relevant in top-3: P@3 = R@3 = NDCG@3 = MRR = 1
+    for m in ("mean_precision", "mean_recall", "mean_ndcg", "mean_mrr"):
+        assert out[3][m] == 1.0, m
+    assert out[10]["mean_precision"] == 3 / 10
+
+
+def test_isotonic_matches_pava_reference(spark):
+    from patternly_spark.operators.model_eval import isotonic_calibration
+
+    # scores with a violation: raw rates 0.0, 1.0, 0.0, 1.0 by score
+    rows = (
+        [("g", 0.1, 0)] * 4
+        + [("g", 0.2, 1)] * 2 + [("g", 0.2, 0)] * 1
+        + [("g", 0.3, 0)] * 3 + [("g", 0.3, 1)] * 1
+        + [("g", 0.4, 1)] * 5
+    )
+    df = spark.createDataFrame(rows, "g string, score double, label int")
+    got = {
+        r["score"]: r
+        for r in isotonic_calibration(
+            df, score_col="score", label_col="label", group_cols=["g"]
+        ).collect()
+    }
+    # PAVA by hand: grid (y_sum, n) = (0,4), (2,3), (1,4), (5,5)
+    # 2/3 > 1/4 violation -> merge to (3,7); 0/4 < 3/7 ok; 3/7 < 5/5 ok
+    assert got[0.1]["fit"] == 0.0
+    assert got[0.2]["fit"] == 3.0 / 7.0
+    assert got[0.3]["fit"] == 3.0 / 7.0
+    assert got[0.4]["fit"] == 1.0
+    assert got[0.2]["n"] == 3 and got[0.2]["positives"] == 2
+    # monotone
+    fits = [got[s]["fit"] for s in sorted(got)]
+    assert all(x <= y for x, y in zip(fits, fits[1:]))
+
+
+def test_isotonic_partition_invariant_and_guard(spark):
+    import pytest
+
+    from patternly_spark.operators.model_eval import isotonic_calibration
+
+    rows = [
+        ("a", (i * 7 % 13) / 13.0, 1 if (i * 11 % 17) < ((i * 7 % 13) + 2) else 0)
+        for i in range(200)
+    ] + [("b", i / 10.0, i % 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, score double, label int")
+    one = isotonic_calibration(
+        df.coalesce(1), score_col="score", label_col="label", group_cols=["g"]
+    ).orderBy("g", "score").collect()
+    many = isotonic_calibration(
+        df.repartition(32), score_col="score", label_col="label", group_cols=["g"]
+    ).orderBy("g", "score").collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in many]
+    for g in ("a", "b"):
+        fits = [r["fit"] for r in one if r["g"] == g]
+        assert all(x <= y for x, y in zip(fits, fits[1:]))
+    with pytest.raises(ValueError, match="max_grid"):
+        isotonic_calibration(
+            df, score_col="score", label_col="label", group_cols=["g"], max_grid=5
+        )

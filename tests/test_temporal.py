@@ -564,3 +564,88 @@ def test_scd2_multi_attr_change_on_any(spark):
         ).collect()
     )
     assert got == [(1, 2, "A", "x"), (2, None, "A", "y")]
+
+
+def test_kaplan_meier_textbook(spark):
+    from patternly_spark.operators.temporal import kaplan_meier
+
+    # classic toy: events at t=1 (1 of 5), t=3 (1 of 3); censored at 2, 4, 5
+    rows = [(1, True), (2, False), (3, True), (4, False), (5, False)]
+    df = spark.createDataFrame(rows, "dur long, event boolean")
+    out = {r["t"]: r for r in kaplan_meier(
+        df, duration_col="dur", event_col="event"
+    ).collect()}
+    assert out[1]["n_at_risk"] == 5 and out[1]["d_events"] == 1
+    assert out[1]["survival"] == 1.0 - 1.0 / 5.0
+    # censoring at 2 leaves survival unchanged
+    assert out[2]["d_events"] == 0 and out[2]["survival"] == out[1]["survival"]
+    # at t=3: 3 at risk, 1 event -> 0.8 * (1 - 1/3)
+    assert out[3]["n_at_risk"] == 3
+    assert out[3]["survival"] == (1.0 - 1.0 / 5.0) * (1.0 - 1.0 / 3.0)
+    assert out[5]["survival"] == out[3]["survival"]
+
+
+def test_kaplan_meier_grouped_and_partition_invariant(spark):
+    from patternly_spark.operators.temporal import kaplan_meier
+
+    rows = [("a", (i % 7) + 1, i % 2 == 0) for i in range(60)] + [
+        ("b", (i % 5) + 1, i % 3 == 0) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, dur long, event boolean")
+    one = kaplan_meier(
+        df.coalesce(1), duration_col="dur", event_col="event", group_cols=["g"]
+    ).orderBy("g", "t").collect()
+    many = kaplan_meier(
+        df.repartition(32), duration_col="dur", event_col="event", group_cols=["g"]
+    ).orderBy("g", "t").collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in many]
+    # survival is non-increasing within each group
+    for g in ("a", "b"):
+        ss = [r["survival"] for r in one if r["g"] == g]
+        assert all(x >= y for x, y in zip(ss, ss[1:]))
+
+
+def test_logrank_hand_computed(spark):
+    import math
+
+    from patternly_spark.operators.temporal import logrank_test
+
+    u = 1 << 20
+    rows = [("A", t, True) for t in (1, 2, 3)] + [("B", t, True) for t in (4, 5, 6)]
+    df = spark.createDataFrame(rows, "g string, dur long, event boolean")
+    out = {r["g"]: r for r in logrank_test(
+        df, duration_col="dur", event_col="event", group_col="g", units=u
+    ).collect()}
+    # replicate the quantized arithmetic exactly
+    ea = sum(math.floor(1 * n_a / n * u) for n_a, n in ((3, 6), (2, 5), (1, 4)))
+    eb = sum(
+        math.floor(1 * n_b / n * u)
+        for n_b, n in ((3, 6), (3, 5), (3, 4), (3, 3), (2, 2), (1, 1))
+    )
+    assert out["A"]["observed"] == 3 and out["B"]["observed"] == 3
+    assert out["A"]["expected"] == ea / u
+    assert out["B"]["expected"] == eb / u
+    chi = (
+        math.floor((3 - ea / u) ** 2 / (ea / u) * u)
+        + math.floor((3 - eb / u) ** 2 / (eb / u) * u)
+    )
+    assert out["A"]["chi2"] == chi / u == out["B"]["chi2"]
+    assert out["A"]["n_subjects"] == 3
+
+
+def test_logrank_identical_groups_and_partition_invariance(spark):
+    from patternly_spark.operators.temporal import logrank_test
+
+    # two identical cohorts: observed == expected exactly at every time
+    rows = [(g, (i % 9) + 1, i % 2 == 0) for g in ("x", "y") for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, dur long, event boolean")
+    one = logrank_test(
+        df.coalesce(1), duration_col="dur", event_col="event", group_col="g"
+    ).orderBy("g").collect()
+    many = logrank_test(
+        df.repartition(32), duration_col="dur", event_col="event", group_col="g"
+    ).orderBy("g").collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in many]
+    for r in one:
+        assert abs(r["expected"] - r["observed"]) < 1e-4
+        assert r["chi2"] < 1e-6
