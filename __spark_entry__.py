@@ -9109,6 +9109,182 @@ _Q216_ORACLE = """
 """
 
 
+def q217_holt_winters(spark, sf_dir):
+    """Holt-Winters additive seasonal smoothing of daily event volume
+    per event type, weekly period (operators/temporal.holt_winters):
+    level/trend/seasonal recurrence as ONE per-key fold whose
+    accumulator carries the length-7 seasonal queue.  Values are
+    integer daily counts so the warm-up mean is exact; the recurrence
+    is a fixed IEEE chain with dyadic coefficients, replayed
+    bit-for-bit by a recursive CTE carrying the same LIST state."""
+    from patternly_spark.operators.temporal import holt_winters
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.unix_date(F.to_date("ts")).cast("long").alias("x")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    return holt_winters(
+        daily, "y", by="event_type", order_col="x", period=7
+    )
+
+
+_Q217_ORACLE = """
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+               CAST(COUNT(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT event_type, x, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS r,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ), eligible AS (
+        SELECT * FROM ranked WHERE n > 7
+    ), seed AS (
+        SELECT event_type, SUM(v) / 7.0 AS l
+        FROM eligible WHERE r <= 7 GROUP BY event_type
+    ), seas0 AS (
+        SELECT e.event_type, list(e.v - s.l ORDER BY e.r) AS s
+        FROM eligible e JOIN seed s USING (event_type)
+        WHERE e.r <= 7 GROUP BY e.event_type
+    ), walk(event_type, r, x, v, l, b, s, season) AS (
+        SELECT s.event_type, CAST(7 AS BIGINT), NULL::BIGINT, NULL::DOUBLE,
+               s.l, CAST(0.0 AS DOUBLE), s0.s, NULL::DOUBLE
+        FROM seed s JOIN seas0 s0 USING (event_type)
+        UNION ALL
+        SELECT e.event_type, e.r, e.x, e.v,
+               0.5 * (e.v - w.s[1]) + 0.5 * (w.l + w.b),
+               0.25 * ((0.5 * (e.v - w.s[1]) + 0.5 * (w.l + w.b)) - w.l)
+                   + 0.75 * w.b,
+               list_append(
+                   w.s[2:7],
+                   0.25 * (e.v - (0.5 * (e.v - w.s[1]) + 0.5 * (w.l + w.b)))
+                       + 0.75 * w.s[1]
+               ),
+               0.25 * (e.v - (0.5 * (e.v - w.s[1]) + 0.5 * (w.l + w.b)))
+                   + 0.75 * w.s[1]
+        FROM walk w JOIN eligible e
+          ON e.event_type = w.event_type AND e.r = w.r + 1
+    )
+    SELECT event_type, x, v AS value, l AS level, b AS trend, season,
+           l + b + s[1] AS forecast_next
+    FROM walk WHERE r > 7
+"""
+
+
+def q218_neighborhood_function(spark, sf_dir):
+    """HyperBall neighborhood function N(r) of the co-purchase graph
+    (operators/graph.neighborhood_function): per-node explicit-register
+    HLL balls propagated 2 rounds along the q180 support>=2 edge set —
+    the distributed effective-diameter estimator (exact all-pairs BFS
+    is O(n*m) and dead at scale).  The ESTIMATOR replays in SQL: q148's
+    md5 register/rho arithmetic, dyadic 2^-rho sums, floor-quantized
+    ln, and per-node estimates floor-quantized to 2^-20 units before
+    the cross-node integer sum."""
+    from patternly_spark.operators.graph import neighborhood_function
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    support = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("src", "dst")
+    )
+    return neighborhood_function(support, rounds=2, p=6).orderBy("round")
+
+
+def _q218_oracle() -> str:
+    p = 6
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    amm = float(alpha) * m * m
+    shift = 16 - p
+
+    def snap(k: int) -> str:
+        return f"""agg{k} AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS used,
+               SUM(1.0 / CAST(1::BIGINT << rho AS DOUBLE)) AS ps
+        FROM regs{k} GROUP BY node
+    ), fin{k} AS (
+        SELECT node,
+               CASE WHEN {amm:.17e}
+                         / (CAST({m} - used AS DOUBLE) + ps) <= {2.5 * m:.17e}
+                         AND ({m} - used) > 0
+                    THEN {float(m):.17e}
+                         * (FLOOR(ln({float(m):.17e}
+                                     / CAST({m} - used AS DOUBLE))
+                                  * 1048576.0) / 1048576.0)
+                    ELSE {amm:.17e}
+                         / (CAST({m} - used AS DOUBLE) + ps) END AS estimate
+        FROM agg{k}
+    ), snap{k} AS (
+        SELECT CAST({k} AS INT) AS round,
+               CAST(COUNT(*) AS BIGINT) AS nodes,
+               CAST(SUM(CAST(FLOOR(estimate * 1048576.0) AS BIGINT))
+                    AS DOUBLE) / 1048576.0 AS est_pairs
+        FROM fin{k}
+    )"""
+
+    def rnd(k: int) -> str:
+        return f"""regs{k} AS MATERIALIZED (
+        SELECT node, reg, MAX(rho) AS rho FROM (
+            SELECT node, reg, rho FROM regs{k - 1}
+            UNION ALL
+            SELECT e.s AS node, r.reg, r.rho
+            FROM sym e JOIN regs{k - 1} r ON e.d = r.node
+        ) GROUP BY node, reg
+    )"""
+
+    return f"""
+    WITH und AS MATERIALIZED (
+        SELECT u, v FROM (
+            SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS c
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ) WHERE c >= 2
+    ), sym AS MATERIALIZED (
+        SELECT u AS s, v AS d FROM und
+        UNION ALL
+        SELECT v AS s, u AS d FROM und
+    ), nodes AS (
+        SELECT DISTINCT s AS node FROM sym
+    ), h AS (
+        SELECT node, md5(CAST(node AS VARCHAR)) AS hx FROM nodes
+    ), bits AS (
+        SELECT node,
+               CAST(('0x' || substr(hx, 1, 4))::BIGINT >> {shift} AS INT) AS reg,
+               regexp_replace(substr(hx, 5, 12), '^0+', '') AS stripped
+        FROM h
+    ), regs0 AS MATERIALIZED (
+        SELECT node, reg,
+               LEAST(CASE WHEN length(stripped) = 0 THEN 48
+                          ELSE (12 - length(stripped)) * 4
+                               + (CASE WHEN substr(stripped, 1, 1) IN
+                                       ('8','9','a','b','c','d','e','f') THEN 0
+                                       WHEN substr(stripped, 1, 1) IN
+                                       ('4','5','6','7') THEN 1
+                                       WHEN substr(stripped, 1, 1) IN
+                                       ('2','3') THEN 2
+                                       WHEN substr(stripped, 1, 1) = '1' THEN 3
+                                       ELSE 0 END)
+                     END + 1, 40) AS rho
+        FROM bits
+    ), {rnd(1)}, {rnd(2)}, {snap(0)}, {snap(1)}, {snap(2)}
+    SELECT round, nodes, est_pairs,
+           est_pairs / CAST(nodes AS DOUBLE) AS avg_ball
+    FROM (SELECT * FROM snap0 UNION ALL SELECT * FROM snap1
+          UNION ALL SELECT * FROM snap2)
+    ORDER BY round
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -9335,6 +9511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q214_logrank_cohorts": q214_logrank_cohorts,
         "q215_theil_sen_trend": q215_theil_sen_trend,
         "q216_isotonic_calibration": q216_isotonic_calibration,
+        "q217_holt_winters": q217_holt_winters,
+        "q218_neighborhood_function": q218_neighborhood_function,
     }
 
 
@@ -11061,6 +11239,8 @@ def oracle_sql() -> dict[str, str]:
         "q214_logrank_cohorts": _Q214_ORACLE,
         "q215_theil_sen_trend": _Q215_ORACLE,
         "q216_isotonic_calibration": _Q216_ORACLE,
+        "q217_holt_winters": _Q217_ORACLE,
+        "q218_neighborhood_function": _q218_oracle(),
     }
 
 

@@ -856,3 +856,86 @@ def jaccard_link_prediction(
             / (F.col("deg_u") + F.col("deg_v") - F.col("common")).cast("double")
         ).alias("jaccard"),
     )
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    *,
+    rounds: int,
+    p: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    units: int = 1 << 20,
+) -> DataFrame:
+    """HyperBall (Boldi-Rosa-Vigna, "HyperBall: Counting Distinct
+    Nodes in Graph Neighborhoods", arXiv:1308.2144): the neighborhood
+    function N(r) = sum over nodes v of |B(v, r)| — how many
+    (source, target) pairs are within r hops — estimated by giving
+    every node an explicit-register HyperLogLog of its ball and
+    propagating registers along edges with max-merge per round.  The
+    distributed route to effective-diameter / average-distance numbers
+    that exact all-pairs BFS (O(n·m)) can never deliver at 100 TB.
+
+    Built on the q148 register relation (`sketches.hll_registers` /
+    `hll_estimate`): registers are (node, reg, rho) rows, a round is
+    one edge join + one (node, reg) max-groupBy — max-merge is
+    idempotent/associative, so the round is ONE shuffle with map-side
+    partial max, and lineage is cut per round (localCheckpoint).
+    State is at most n·2^p rows but typically far less (sparse: only
+    touched registers exist).
+
+    Exactness: the ESTIMATOR replays in SQL bit-for-bit — md5-hex
+    register/rho arithmetic, dyadic 2^-rho sums, floor-quantized ln
+    (all the q148 conventions); per-node ball estimates are
+    floor-quantized to ``units`` before the cross-node sum, so the
+    per-round totals are integer sums — order-free on any engine.
+
+    Output: one row per round 0..rounds — (round, nodes,
+    est_pairs, avg_ball) where est_pairs ~= N(round) and avg_ball =
+    est_pairs / nodes (average ball size; N(r) flattening out marks
+    the effective diameter).
+    """
+    from functools import reduce as _reduce
+
+    from patternly_spark.operators.sketches import hll_estimate, hll_registers
+
+    u = int(units)
+    fu = F.lit(float(u))
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if not directed:
+        e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    e = e.filter(F.col("s") != F.col("d")).distinct().localCheckpoint(eager=True)
+    nodes = e.select(F.col("s").alias("node")).distinct()
+    regs = hll_registers(
+        nodes.withColumn("__item", F.col("node").cast("string")),
+        "__item",
+        p=p,
+        by="node",
+    ).localCheckpoint(eager=True)
+
+    def snapshot(r: int, rel: DataFrame) -> DataFrame:
+        est = hll_estimate(rel, p=p, by="node")
+        return est.agg(
+            F.lit(r).cast("int").alias("round"),
+            F.count(F.lit(1)).cast("long").alias("nodes"),
+            (F.sum(F.floor(F.col("estimate") * fu).cast("long")).cast("double") / fu).alias(
+                "est_pairs"
+            ),
+        ).withColumn(
+            "avg_ball", F.col("est_pairs") / F.col("nodes").cast("double")
+        )
+
+    out = [snapshot(0, regs)]
+    for r in range(1, int(rounds) + 1):
+        pulled = e.join(regs, e["d"] == regs["node"]).select(
+            F.col("s").alias("node"), "reg", "rho"
+        )
+        regs = (
+            regs.unionByName(pulled)
+            .groupBy("node", "reg")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=True)
+        )
+        out.append(snapshot(r, regs))
+    return _reduce(lambda a, b: a.unionByName(b), out)

@@ -958,3 +958,110 @@ def logrank_test(
         )
     )
 
+
+
+def holt_winters(
+    events: DataFrame,
+    value_col: str,
+    *,
+    by: str | list[str],
+    order_col: str | list[str],
+    period: int,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+) -> DataFrame:
+    """Per-key Holt-Winters ADDITIVE seasonal smoothing — the
+    seasonality-aware member of the ema -> holt family (capacity
+    forecasts and anomaly thresholds for daily/weekly-cycled series):
+
+        l_t = alpha*(v_t - s_{t-m}) + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+        s_t = gamma*(v_t - l_t)    + (1-gamma)*s_{t-m}
+
+    Warm-up (deterministic, the classic scheme): the first ``period``
+    rows seed l = their mean, b = 0, s_i = v_i - l; the recurrence and
+    the OUTPUT start at row period+1.  Keys with <= period rows produce
+    no output (nothing to smooth), never a partial artifact.
+
+    Determinism: ONE left fold per key over the sorted series, the
+    accumulator carrying (level, trend, seasonal-queue array<double>
+    of length m) — the queue head IS s_{t-m}, so each step is a fixed
+    IEEE chain and a recursive-CTE oracle carrying the same LIST
+    replays it bit-for-bit.  With integer-valued v (counts/cents) the
+    warm-up mean is exact in any engine (integer sum + one division).
+
+    Scale: one shuffle on ``by``; per-key series materialize in their
+    task (the holt/ema contract — bucket first for million-row keys).
+
+    Output: (keys..., order cols..., value, level, trend, season,
+    forecast_next) where season = s_t and forecast_next = l_t + b_t +
+    s_{t+1-m} (the one-step-ahead prediction).
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
+    m = int(period)
+    a, bc, g = float(alpha), float(beta), float(gamma)
+    if m < 2:
+        raise ValueError("period must be >= 2")
+    if not (0.0 < a <= 1.0) or not (0.0 <= bc <= 1.0) or not (0.0 <= g <= 1.0):
+        raise ValueError("alpha in (0,1], beta and gamma in [0,1] required")
+
+    row = F.struct(
+        *[F.col(c) for c in order], F.col(value_col).cast("double").alias("__v")
+    )
+    seqs = events.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(row)).alias("__xs")
+    )
+    seqs = seqs.filter(F.size("__xs") > m)
+    head = F.slice(F.col("__xs"), 1, m)
+    l0 = F.aggregate(
+        head, F.lit(0.0), lambda acc, x: acc + x["__v"]
+    ) / F.lit(float(m))
+    seqs = seqs.withColumn("__l0", l0).withColumn(
+        "__seed",
+        F.struct(
+            F.col("__l0").alias("l"),
+            F.lit(0.0).alias("b"),
+            F.transform(head, lambda x: x["__v"] - F.col("__l0")).alias("s"),
+        ),
+    )
+    tail = F.slice(F.col("__xs"), m + 1, F.size("__xs") - m)
+
+    def step(acc, x):
+        prev = F.element_at(acc, -1)
+        sprev = F.element_at(prev["s"], 1)
+        lnew = F.lit(a) * (x["__v"] - sprev) + F.lit(1.0 - a) * (
+            prev["l"] + prev["b"]
+        )
+        bnew = F.lit(bc) * (lnew - prev["l"]) + F.lit(1.0 - bc) * prev["b"]
+        snew = F.lit(g) * (x["__v"] - lnew) + F.lit(1.0 - g) * sprev
+        queue = F.concat(F.slice(prev["s"], 2, m - 1), F.array(snew))
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(lnew.alias("l"), bnew.alias("b"), queue.alias("s"))
+            ),
+        )
+
+    state = F.aggregate(tail, F.array(F.col("__seed")), step)
+    emitted = F.slice(state, 2, F.size(tail))
+    zipped = seqs.select(
+        *keys,
+        F.posexplode(
+            F.arrays_zip(tail.alias("__t"), emitted.alias("__st"))
+        ).alias("__i", "__z"),
+    )
+    return zipped.select(
+        *keys,
+        *[F.col(f"__z.__t.{c}").alias(c) for c in order],
+        F.col("__z.__t.__v").alias("value"),
+        F.col("__z.__st.l").alias("level"),
+        F.col("__z.__st.b").alias("trend"),
+        F.element_at(F.col("__z.__st.s"), m).alias("season"),
+        (
+            F.col("__z.__st.l")
+            + F.col("__z.__st.b")
+            + F.element_at(F.col("__z.__st.s"), 1)
+        ).alias("forecast_next"),
+    )

@@ -576,3 +576,64 @@ def test_neyman_allocation_closed_form(spark):
     # all weight flows to x
     assert out["x"]["share"] == 1.0 and out["x"]["alloc_n"] == 100.0
     assert out["y"]["share"] == 0.0 and out["z"]["weight_units"] == 0
+
+
+def test_neighborhood_function_saturates_and_is_deterministic(spark):
+    from patternly_spark.operators.graph import neighborhood_function
+
+    # path 0-1-2-3-4: diameter 4; balls saturate at round 4
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src long, dst long"
+    )
+    out = neighborhood_function(edges, rounds=5, p=6).orderBy("round").collect()
+    assert [r["round"] for r in out] == [0, 1, 2, 3, 4, 5]
+    assert all(r["nodes"] == 5 for r in out)
+    est = [r["est_pairs"] for r in out]
+    # monotone non-decreasing, saturated after the diameter
+    assert all(x <= y + 1e-9 for x, y in zip(est, est[1:]))
+    assert est[4] == est[5]
+    # exact N(r) for the path: r=0 -> 5, r=1 -> 13, r=4 -> 25
+    # HLL at p=6 on tiny sets uses linear counting: near-exact
+    assert abs(est[0] - 5) / 5 < 0.25
+    assert abs(est[1] - 13) / 13 < 0.25
+    assert abs(est[4] - 25) / 25 < 0.25
+    # deterministic under partitioning
+    again = (
+        neighborhood_function(
+            edges.repartition(16), rounds=5, p=6
+        ).orderBy("round").collect()
+    )
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_neighborhood_function_tracks_exact_bfs(spark):
+    from patternly_spark.operators.graph import neighborhood_function
+
+    # random-ish sparse graph; compare N(r) to exact BFS within HLL error
+    import random
+
+    rng = random.Random(7)
+    n = 60
+    es = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(90)})
+    es = [(a, b) for a, b in es if a != b]
+    edges = spark.createDataFrame(es, "src long, dst long")
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = set(adj)
+
+    def ball(v, r):
+        seen, frontier = {v}, {v}
+        for _ in range(r):
+            frontier = {w for x in frontier for w in adj.get(x, ())} - seen
+            seen |= frontier
+        return len(seen)
+
+    out = {r["round"]: r for r in neighborhood_function(
+        edges, rounds=3, p=8
+    ).collect()}
+    for r in (0, 1, 2, 3):
+        exact = sum(ball(v, r) for v in nodes)
+        got = out[r]["est_pairs"]
+        assert abs(got - exact) / exact < 0.15, (r, got, exact)

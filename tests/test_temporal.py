@@ -649,3 +649,63 @@ def test_logrank_identical_groups_and_partition_invariance(spark):
     for r in one:
         assert abs(r["expected"] - r["observed"]) < 1e-4
         assert r["chi2"] < 1e-6
+
+
+def _hw_reference(vals, m, a, b, g):
+    l = sum(vals[:m]) / float(m)
+    bt = 0.0
+    seas = [v - l for v in vals[:m]]
+    out = []
+    for v in vals[m:]:
+        sprev = seas[0]
+        lnew = a * (v - sprev) + (1.0 - a) * (l + bt)
+        bnew = b * (lnew - l) + (1.0 - b) * bt
+        snew = g * (v - lnew) + (1.0 - g) * sprev
+        seas = seas[1:] + [snew]
+        l, bt = lnew, bnew
+        out.append((v, l, bt, snew, l + bt + seas[0]))
+    return out
+
+
+def test_holt_winters_matches_python_reference(spark):
+    from patternly_spark.operators.temporal import holt_winters
+
+    vals = [10.0, 20.0, 15.0, 11.0, 22.0, 16.0, 13.0, 25.0, 18.0, 12.0]
+    rows = [("k", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = (
+        holt_winters(df, "v", by="k", order_col="t", period=3)
+        .orderBy("t")
+        .collect()
+    )
+    want = _hw_reference(vals, 3, 0.5, 0.25, 0.25)
+    assert len(got) == len(want) == 7
+    for r, (v, l, b, s, f) in zip(got, want):
+        assert (r["value"], r["level"], r["trend"], r["season"],
+                r["forecast_next"]) == (v, l, b, s, f)
+
+
+def test_holt_winters_short_keys_dropped_and_partition_invariant(spark):
+    from patternly_spark.operators.temporal import holt_winters
+
+    rows = [("long", i, float((i % 7) * 3 + i)) for i in range(40)] + [
+        ("short", i, float(i)) for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    one = holt_winters(
+        df.coalesce(1), "v", by="k", order_col="t", period=7
+    ).orderBy("k", "t").collect()
+    many = holt_winters(
+        df.repartition(32), "v", by="k", order_col="t", period=7
+    ).orderBy("k", "t").collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in many]
+    # "short" has exactly period rows -> no output; "long" emits 40-7
+    assert {r["k"] for r in one} == {"long"}
+    assert len(one) == 33
+    # seasonal component tracks the planted period-7 cycle: high at i%7==6
+    import statistics
+    by_phase = {}
+    for r in one:
+        by_phase.setdefault(r["t"] % 7, []).append(r["season"])
+    mean_by_phase = {p: statistics.mean(v) for p, v in by_phase.items()}
+    assert max(mean_by_phase, key=mean_by_phase.get) == 6
