@@ -9285,6 +9285,176 @@ def _q218_oracle() -> str:
 """
 
 
+def _copurchase_edges(spark, sf_dir):
+    """The q180/q218 support>=2 co-purchase edge set (src < dst)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("src", "dst")
+    )
+
+
+_COPURCHASE_SQL = """und AS MATERIALIZED (
+        SELECT u, v FROM (
+            SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS c
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ) WHERE c >= 2
+    ), sym AS MATERIALIZED (
+        SELECT u AS s, v AS d FROM und
+        UNION ALL
+        SELECT v AS s, u AS d FROM und
+    )"""
+
+
+def q219_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph (operators/graph.
+    degree_assortativity): do popular parts co-sell with other popular
+    parts?  Newman's r as a Pearson over symmetric endpoint-degree
+    pairs — pure BIGINT moment sums (order-free) + one sqrt/divide,
+    engine-exact; zero-variance graphs report NULL."""
+    from patternly_spark.operators.graph import degree_assortativity
+
+    return degree_assortativity(_copurchase_edges(spark, sf_dir))
+
+
+_Q219_ORACLE = f"""
+    WITH {_COPURCHASE_SQL}, deg AS (
+        SELECT s AS node, COUNT(*)::BIGINT AS deg FROM sym GROUP BY s
+    ), ed AS (
+        SELECT da.deg AS dx, db.deg AS dy
+        FROM sym JOIN deg da ON sym.s = da.node
+                 JOIN deg db ON sym.d = db.node
+    ), agg AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(dx * dy)::BIGINT AS sxy,
+               SUM(dx)::BIGINT AS sx, SUM(dy)::BIGINT AS sy,
+               SUM(dx * dx)::BIGINT AS sxx, SUM(dy * dy)::BIGINT AS syy
+        FROM ed
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS m_edges,
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                 AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                ELSE NULL END AS assortativity
+    FROM agg
+"""
+
+
+def q220_adamic_adar(spark, sf_dir):
+    """Adamic-Adar substitute-part prediction over the co-purchase
+    graph (operators/graph.adamic_adar_link_prediction): common-
+    neighbor evidence down-weighted by hub degree, 1/ln(deg) terms
+    floor-quantized to 2^-20 units before the per-pair integer sum —
+    the repo's standard cross-engine ln treatment, so the score
+    replays in SQL exactly.  Pairs need >= 2 shared neighbors (q211's
+    threshold)."""
+    from patternly_spark.operators.graph import adamic_adar_link_prediction
+
+    return adamic_adar_link_prediction(
+        _copurchase_edges(spark, sf_dir), min_common=2
+    )
+
+
+_Q220_ORACLE = f"""
+    WITH {_COPURCHASE_SQL}, deg AS (
+        SELECT s AS node, COUNT(*)::BIGINT AS deg FROM sym GROUP BY s
+    ), center AS (
+        SELECT node AS n,
+               CASE WHEN deg >= 2
+                    THEN CAST(FLOOR(1048576.0 / ln(CAST(deg AS DOUBLE)))
+                              AS BIGINT)
+                    ELSE 0 END AS w
+        FROM deg
+    ), pairs AS (
+        SELECT l.d AS u, r.d AS v,
+               COUNT(*)::BIGINT AS common, SUM(c.w)::BIGINT AS aa_u
+        FROM sym l JOIN sym r ON l.s = r.s AND l.d < r.d
+        JOIN center c ON c.n = l.s
+        GROUP BY l.d, r.d
+        HAVING COUNT(*) >= 2
+    )
+    SELECT u, v, common, CAST(aa_u AS DOUBLE) / 1048576.0 AS aa_score
+    FROM pairs
+"""
+
+
+def q221_mutual_information(spark, sf_dir):
+    """Mutual information between document language and source per
+    corpus shard (operators/drift.mutual_information): the
+    metadata-association audit — a high NMI says `source` leaks `lang`
+    and stratifying on both double-counts.  Contingency counts are
+    integers; every ln is floor-quantized to 2^-20 and every weighted
+    cell term re-quantized before the order-free integer sum (the
+    categorical_drift convention), so MI / H / NMI replay in SQL
+    exactly."""
+    from patternly_spark.operators.drift import mutual_information
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 4).cast("int").alias("shard"), "lang", "source"
+    )
+    return mutual_information(
+        d, x_col="lang", y_col="source", group_cols=["shard"]
+    )
+
+
+_Q221_ORACLE = """
+    WITH joint AS (
+        SELECT CAST(doc_id % 4 AS INT) AS shard, lang AS x, source AS y,
+               COUNT(*)::BIGINT AS c
+        FROM documents GROUP BY 1, 2, 3
+    ), cells AS (
+        SELECT shard, c,
+               CAST(SUM(c) OVER (PARTITION BY shard) AS BIGINT) AS n,
+               CAST(SUM(c) OVER (PARTITION BY shard, x) AS BIGINT) AS cx,
+               CAST(SUM(c) OVER (PARTITION BY shard, y) AS BIGINT) AS cy
+        FROM joint
+    ), t AS (
+        SELECT shard, n,
+               CAST(FLOOR(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                    * (FLOOR(ln(CAST(c * n AS DOUBLE)
+                                / CAST(cx * cy AS DOUBLE)) * 1048576.0)
+                       / 1048576.0)
+                    * 1048576.0) AS BIGINT) AS mi_u,
+               CAST(FLOOR(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                    * (FLOOR(ln(CAST(n AS DOUBLE) / CAST(cx AS DOUBLE))
+                             * 1048576.0) / 1048576.0)
+                    * 1048576.0) AS BIGINT) AS hx_u,
+               CAST(FLOOR(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                    * (FLOOR(ln(CAST(n AS DOUBLE) / CAST(cy AS DOUBLE))
+                             * 1048576.0) / 1048576.0)
+                    * 1048576.0) AS BIGINT) AS hy_u
+        FROM cells
+    ), agg AS (
+        SELECT shard, MAX(n)::BIGINT AS n, COUNT(*)::BIGINT AS cells,
+               SUM(mi_u)::BIGINT AS mi_u, SUM(hx_u)::BIGINT AS hx_u,
+               SUM(hy_u)::BIGINT AS hy_u
+        FROM t GROUP BY shard
+    )
+    SELECT shard, n, cells,
+           CAST(mi_u AS DOUBLE) / 1048576.0 AS mi,
+           CAST(hx_u AS DOUBLE) / 1048576.0 AS h_x,
+           CAST(hy_u AS DOUBLE) / 1048576.0 AS h_y,
+           CASE WHEN CAST(hx_u AS DOUBLE) / 1048576.0 > 0
+                 AND CAST(hy_u AS DOUBLE) / 1048576.0 > 0
+                THEN (CAST(mi_u AS DOUBLE) / 1048576.0)
+                     / sqrt((CAST(hx_u AS DOUBLE) / 1048576.0)
+                            * (CAST(hy_u AS DOUBLE) / 1048576.0))
+                ELSE NULL END AS nmi
+    FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -9513,6 +9683,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q216_isotonic_calibration": q216_isotonic_calibration,
         "q217_holt_winters": q217_holt_winters,
         "q218_neighborhood_function": q218_neighborhood_function,
+        "q219_degree_assortativity": q219_degree_assortativity,
+        "q220_adamic_adar": q220_adamic_adar,
+        "q221_mutual_information": q221_mutual_information,
     }
 
 
@@ -11241,6 +11414,9 @@ def oracle_sql() -> dict[str, str]:
         "q216_isotonic_calibration": _Q216_ORACLE,
         "q217_holt_winters": _Q217_ORACLE,
         "q218_neighborhood_function": _q218_oracle(),
+        "q219_degree_assortativity": _Q219_ORACLE,
+        "q220_adamic_adar": _Q220_ORACLE,
+        "q221_mutual_information": _Q221_ORACLE,
     }
 
 

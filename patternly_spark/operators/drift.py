@@ -607,3 +607,97 @@ def theil_sen_trend(
         if gcols else cnt.crossJoin(slopes.select("slope", F.col("__cnt").alias("n_pairs")))
     out = out.join(inter, gcols) if gcols else out.crossJoin(inter)
     return out.select(*gcols, "n_points", "n_pairs", "slope", "intercept")
+
+
+def mutual_information(
+    df: DataFrame,
+    *,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+    units: int = 1 << 20,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns per
+    group, with marginal entropies and normalized MI — the
+    feature-association audit ("does `source` leak `lang`?"; "is this
+    metadata column informative or redundant?") a curation pipeline
+    runs before trusting a stratification key:
+
+        MI  = sum_{x,y} p_xy * ln( p_xy / (p_x * p_y) )
+        NMI = MI / sqrt(H(X) * H(Y))
+
+    Exactness: the joint/marginal counts are integers; each cell's ln
+    argument is ONE integer-numerator double division, the ln is
+    floor-quantized to ``units`` (2^-20), the p_xy weight is one more
+    division, and the weighted term is floor-quantized AGAIN before
+    the cross-cell sum — order-free integer addition, the
+    categorical_drift convention, so MI/H/NMI replay in SQL exactly.
+    Quantization bias is < |cells| * 2^-20 nats, documented not hidden.
+
+    Shape: one (group, x, y) count shuffle (the contingency table —
+    cells-sized, never data-sized), marginals as two window sums over
+    it, one group aggregate.  No UDFs.
+
+    Output: (group_cols..., n, cells, mi, h_x, h_y, nmi); NMI is NULL
+    when either marginal entropy is 0 (a constant column carries no
+    information to normalize by).
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    u = int(units)
+    fu = F.lit(float(u))
+    joint = df.groupBy(
+        *gcols, F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    wx = (
+        Window.partitionBy(*gcols, "__x") if gcols else Window.partitionBy("__x")
+    )
+    wy = (
+        Window.partitionBy(*gcols, "__y") if gcols else Window.partitionBy("__y")
+    )
+    cells = (
+        joint.withColumn("n", F.sum("c").over(wg))
+        .withColumn("cx", F.sum("c").over(wx))
+        .withColumn("cy", F.sum("c").over(wy))
+    )
+
+    def qterm(weight_num: F.Column, ln_num: F.Column, ln_den: F.Column) -> F.Column:
+        """floor( (w/n) * (floor(ln(num/den)*u)/u) * u ) as long."""
+        lnq = (
+            F.floor(
+                F.log(ln_num.cast("double") / ln_den.cast("double")) * fu
+            )
+            / fu
+        )
+        return F.floor(
+            weight_num.cast("double") / F.col("n").cast("double") * lnq * fu
+        ).cast("long")
+
+    mi_u = qterm(F.col("c"), F.col("c") * F.col("n"), F.col("cx") * F.col("cy"))
+    # entropies over the joint relation: weight each cell by c/n and
+    # ln(n/marginal); summing cells of the same x repeats the same
+    # quantized ln — identical to summing the marginal directly only up
+    # to quantization of the weight, so quantize per CELL in both engines
+    hx_u = qterm(F.col("c"), F.col("n"), F.col("cx"))
+    hy_u = qterm(F.col("c"), F.col("n"), F.col("cy"))
+    agg = cells.groupBy(*gcols).agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("cells"),
+        F.sum(mi_u).cast("long").alias("__mi_u"),
+        F.sum(hx_u).cast("long").alias("__hx_u"),
+        F.sum(hy_u).cast("long").alias("__hy_u"),
+    )
+    mi = F.col("__mi_u").cast("double") / fu
+    hx = F.col("__hx_u").cast("double") / fu
+    hy = F.col("__hy_u").cast("double") / fu
+    return agg.select(
+        *gcols,
+        "n",
+        "cells",
+        mi.alias("mi"),
+        hx.alias("h_x"),
+        hy.alias("h_y"),
+        F.when((hx > 0) & (hy > 0), mi / F.sqrt(hx * hy)).alias("nmi"),
+    )

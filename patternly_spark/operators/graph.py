@@ -939,3 +939,131 @@ def neighborhood_function(
         )
         out.append(snapshot(r, regs))
     return _reduce(lambda a, b: a.unionByName(b), out)
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over all edges — do hubs attach to
+    hubs (r > 0, social nets) or to leaves (r < 0, infra/biology)?
+    The one-number structural fingerprint that says which dedup/
+    partition strategies a graph will punish.
+
+    Exactness: with each undirected edge contributing BOTH (du,dv) and
+    (dv,du), the symmetric moment sums are n·Sxy−Sx·Sy-style INTEGER
+    sums (degrees are longs), exact in any order; one final
+    sqrt/divide.  Degenerate (zero-variance) graphs report NULL.
+
+    Shape: degree table = one groupBy; two broadcast-able joins attach
+    endpoint degrees; one 1-row aggregate.  No UDFs, no iteration.
+
+    Output: 1 row — (m_edges, assortativity).
+    """
+    adj = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    und = (
+        adj.unionAll(adj.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("dy"))
+    ed = und.join(da, "a").join(db, "b")
+    agg = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        (F.col("n") / F.lit(2)).cast("long").alias("m_edges"),
+        F.when(
+            (varx > 0) & (vary > 0), num / (F.sqrt(varx) * F.sqrt(vary))
+        ).alias("assortativity"),
+    )
+
+
+def adamic_adar_link_prediction(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+    units: int = 1 << 20,
+) -> DataFrame:
+    """Adamic-Adar link prediction: for node pairs sharing neighbors,
+
+        AA(u,v) = sum over z in N(u) & N(v) of 1 / ln(deg(z))
+
+    — the common-neighbor score that DOWN-weights promiscuous hubs
+    (a shared neighbor with degree 2 is strong evidence; one with
+    degree 10^6 is noise).  The standard upgrade over raw counts and
+    q211's Jaccard.
+
+    Exactness: each 1/ln(deg) term is floor-quantized to ``units``
+    (2^-20) BEFORE the per-pair sum — integer sums are order-free, so
+    the score replays in SQL exactly (the repo's standard cross-engine
+    ln treatment; ln's argument is an integer-valued double, identical
+    in every engine).  Shared neighbors of degree 1 cannot exist
+    (being shared implies deg >= 2), so ln > 0 always.
+
+    Shape: identical wedge join to jaccard_link_prediction, with the
+    center node's degree attached BEFORE the pair groupBy — still one
+    wedge + one groupBy + integer sum.  Same hub-cap note at 100 TB.
+
+    Output: (u, v, common, aa_score) with u < v.
+    """
+    u = int(units)
+    fu = F.lit(float(u))
+    adj = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    adj = (
+        adj.unionAll(adj.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    # deg-1 nodes can never be a SHARED neighbor (the wedge needs two
+    # distinct endpoints) but ANSI mode evaluates the projection for
+    # every row — keep ln's argument >= 2 explicitly
+    term = F.when(
+        F.col("deg") >= 2,
+        F.floor(fu / F.log(F.col("deg").cast("double"))).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    center = deg.select(
+        F.col("node").alias("n"), term.alias("__w")
+    )
+    l = adj.select(F.col("a").alias("n"), F.col("b").alias("u"))
+    r = adj.select(F.col("a").alias("n"), F.col("b").alias("v"))
+    pairs = (
+        l.join(r, "n")
+        .filter(F.col("u") < F.col("v"))
+        .join(center, "n")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            F.sum("__w").cast("long").alias("__aa_u"),
+        )
+        .filter(F.col("common") >= int(min_common))
+    )
+    return pairs.select(
+        "u", "v", "common", (F.col("__aa_u").cast("double") / fu).alias("aa_score")
+    )

@@ -153,7 +153,7 @@ def calibration_bins(
     )
 
 
-def ranking_metrics(
+def _ranking_sums(
     ranked: DataFrame,
     *,
     query_col: str = "query_id",
@@ -162,34 +162,11 @@ def ranking_metrics(
     k_values: tuple[int, ...] = (1, 5, 10),
     units: int = 1 << 20,
 ) -> DataFrame:
-    """Retrieval-evaluation summary over a ranked candidate table
-    (query, rank 1..n, boolean relevance): per cutoff k the corpus-mean
-    precision@k, recall@k, NDCG@k (binary gains, ideal ordering of the
-    LIST's relevance — document-level judgments outside the list are
-    unknown by construction), and MRR@k (1/rank of the first relevant
-    hit at or above k, else 0).  Metrics average over queries with at
-    least one relevant item in the list (the standard convention —
-    a query with no relevant candidates defines none of these).
-
-    Engine-exactness: the NDCG discount 1/log2(r+1) is NOT computed in
-    any engine — it is a Python-precomputed table floor-quantized to
-    ``units`` (2^-20) INTEGER weights, so per-query DCG is an integer
-    sum (order-free) and ideal DCG is an integer prefix lookup; every
-    per-query ratio (recall, ndcg, 1/first_rel) is one exact division
-    floor-quantized back to integer units before the cross-query sum.
-    Corpus means are integer sums + one final division — identical
-    under any partitioning or engine.  Mean precision@k needs no
-    quantization at all: sum(rel_at_k) / (k * n_queries).
-
-    Shape: one groupBy over queries, one 1-row aggregate
-    (localCheckpoint-ed — it feeds one output row per k), k tiny
-    selects unioned.  The ranked input is typically ANN output
-    (``int8_topk``/``ivf_topk``): |queries| * k rows, never
-    corpus-sized.
-
-    Output: (k, n_queries, mean_precision, mean_recall, mean_ndcg,
-    mean_mrr).
-    """
+    """The additive half of ``ranking_metrics``: ONE row of INTEGER
+    corpus sums (n_queries + per-k p_num/r_u/n_u/m_u in 2^-20 units).
+    Integer sums are associative and commutative, so sums over disjoint
+    query batches FOLD by column-wise addition — what the streaming
+    registry persists (``streaming/evaluation.py``)."""
     import math
     from functools import reduce
 
@@ -256,7 +233,22 @@ def ranking_metrics(
             F.sum(ndcg_q).cast("long").alias(f"n_u_{k}"),
             F.sum(mrr_q).cast("long").alias(f"m_u_{k}"),
         ]
-    tot = per_q.agg(*col_aggs).localCheckpoint(eager=True)
+    return per_q.agg(*col_aggs)
+
+
+def _sums_to_metrics(
+    tot: DataFrame,
+    *,
+    k_values: tuple[int, ...] = (1, 5, 10),
+    units: int = 1 << 20,
+) -> DataFrame:
+    """Finalize a ``_ranking_sums`` row (possibly column-wise-added
+    across batches) into the per-k metric table: integer sums + one
+    division per metric — engine-exact."""
+    from functools import reduce
+
+    ks = sorted(set(int(k) for k in k_values))
+    fu = F.lit(float(units))
 
     outs = []
     for k in ks:
@@ -280,6 +272,54 @@ def ranking_metrics(
             )
         )
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    *,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k_values: tuple[int, ...] = (1, 5, 10),
+    units: int = 1 << 20,
+) -> DataFrame:
+    """Retrieval-evaluation summary over a ranked candidate table
+    (query, rank 1..n, boolean relevance): per cutoff k the corpus-mean
+    precision@k, recall@k, NDCG@k (binary gains, ideal ordering of the
+    LIST's relevance — document-level judgments outside the list are
+    unknown by construction), and MRR@k (1/rank of the first relevant
+    hit at or above k, else 0).  Metrics average over queries with at
+    least one relevant item in the list (the standard convention —
+    a query with no relevant candidates defines none of these).
+
+    Engine-exactness: the NDCG discount 1/log2(r+1) is NOT computed in
+    any engine — it is a Python-precomputed table floor-quantized to
+    ``units`` (2^-20) INTEGER weights, so per-query DCG is an integer
+    sum (order-free) and ideal DCG is an integer prefix lookup; every
+    per-query ratio (recall, ndcg, 1/first_rel) is one exact division
+    floor-quantized back to integer units before the cross-query sum.
+    Corpus means are integer sums + one final division — identical
+    under any partitioning or engine.  Mean precision@k needs no
+    quantization at all: sum(rel_at_k) / (k * n_queries).
+
+    Shape: one groupBy over queries, one 1-row aggregate
+    (localCheckpoint-ed — it feeds one output row per k), k tiny
+    selects unioned.  The ranked input is typically ANN output
+    (``int8_topk``/``ivf_topk``): |queries| * k rows, never
+    corpus-sized.
+
+    Output: (k, n_queries, mean_precision, mean_recall, mean_ndcg,
+    mean_mrr).
+    """
+    tot = _ranking_sums(
+        ranked,
+        query_col=query_col,
+        rank_col=rank_col,
+        rel_col=rel_col,
+        k_values=k_values,
+        units=units,
+    ).localCheckpoint(eager=True)
+    return _sums_to_metrics(tot, k_values=k_values, units=units)
 
 
 def isotonic_calibration(

@@ -10,6 +10,10 @@ from patternly_spark.streaming.dedup import (
     streaming_set_similarity_join,
 )
 from patternly_spark.streaming.drift import streaming_holt
+from patternly_spark.streaming.evaluation import (
+    ranking_registry_metrics,
+    streaming_ranking_registry,
+)
 from patternly_spark.streaming.similarity import (
     covariance_from_registry,
     incremental_cosine_allpairs,
@@ -29,6 +33,8 @@ __all__ = [
     "streaming_cosine_allpairs",
     "streaming_covariance_registry",
     "streaming_holt",
+    "streaming_ranking_registry",
+    "ranking_registry_metrics",
     "covariance_from_registry",
     "run_stream_to_memory",
     "StreamingPFSADetector",

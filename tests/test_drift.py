@@ -441,3 +441,67 @@ def test_theil_sen_partition_invariant_grouped(spark):
     by = {r["g"]: r for r in one}
     assert abs(by["u"]["slope"] - 1.5) < 0.2
     assert abs(by["v"]["slope"] + 0.5) < 0.2
+
+
+def test_mutual_information_hand_computed(spark):
+    import math
+
+    from patternly_spark.operators.drift import mutual_information
+
+    u = 1 << 20
+    # 2x2 contingency: counts [[3,1],[1,3]], n=8
+    rows = (
+        [("a", "x")] * 3 + [("a", "y")] * 1 + [("b", "x")] * 1 + [("b", "y")] * 3
+    )
+    df = spark.createDataFrame(rows, "xc string, yc string")
+    out = mutual_information(df, x_col="xc", y_col="yc").collect()[0]
+    assert out["n"] == 8 and out["cells"] == 4
+
+    def q(v):
+        return math.floor(v * u) / u
+
+    def term(c, cx, cy, n):
+        lnq = q(math.log((c * n) / (cx * cy)))
+        return math.floor(c / n * lnq * u)
+
+    mi_u = sum(term(c, cx, cy, 8) for c, cx, cy in
+               [(3, 4, 4), (1, 4, 4), (1, 4, 4), (3, 4, 4)])
+    assert out["mi"] == mi_u / u
+
+    def hterm(c, cm, n):
+        lnq = q(math.log(n / cm))
+        return math.floor(c / n * lnq * u)
+
+    hx_u = sum(hterm(c, cx, 8) for c, cx in [(3, 4), (1, 4), (1, 4), (3, 4)])
+    assert out["h_x"] == hx_u / u == out["h_y"]
+    assert out["nmi"] == (mi_u / u) / math.sqrt((hx_u / u) ** 2)
+
+
+def test_mutual_information_independence_and_identity(spark):
+    import math
+
+    from patternly_spark.operators.drift import mutual_information
+
+    # independent columns -> MI ~ 0 (within quantization bias)
+    rows = [(f"g", str(i % 3), str((i // 3) % 4)) for i in range(120)]
+    df = spark.createDataFrame(rows, "g string, xc string, yc string")
+    out = mutual_information(
+        df, x_col="xc", y_col="yc", group_cols=["g"]
+    ).collect()[0]
+    assert abs(out["mi"]) < 1e-4
+    # identical columns -> MI == H(X), NMI == 1 (up to quantization)
+    rows = [("g", str(i % 5), str(i % 5)) for i in range(100)]
+    df2 = spark.createDataFrame(rows, "g string, xc string, yc string")
+    o2 = mutual_information(
+        df2, x_col="xc", y_col="yc", group_cols=["g"]
+    ).collect()[0]
+    assert abs(o2["mi"] - math.log(5)) < 1e-4
+    assert abs(o2["nmi"] - 1.0) < 1e-4
+    # partition invariance
+    a = mutual_information(
+        df.coalesce(1), x_col="xc", y_col="yc", group_cols=["g"]
+    ).collect()
+    b = mutual_information(
+        df.repartition(32), x_col="xc", y_col="yc", group_cols=["g"]
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -637,3 +637,60 @@ def test_neighborhood_function_tracks_exact_bfs(spark):
         exact = sum(ball(v, r) for v in nodes)
         got = out[r]["est_pairs"]
         assert abs(got - exact) / exact < 0.15, (r, got, exact)
+
+
+def test_degree_assortativity_known_graphs(spark):
+    from patternly_spark.operators.graph import degree_assortativity
+
+    # star K_{1,3}: every edge links deg-3 hub to deg-1 leaf -> r = -1
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    out = degree_assortativity(star).collect()[0]
+    assert out["m_edges"] == 3
+    assert abs(out["assortativity"] - (-1.0)) < 1e-12
+    # triangle: all degrees equal -> zero variance -> NULL
+    tri = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    out = degree_assortativity(tri).collect()[0]
+    assert out["assortativity"] is None
+    # numpy cross-check on an irregular graph
+    import numpy as np
+
+    es = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0), (5, 1), (6, 1)]
+    g = spark.createDataFrame(es, "src long, dst long")
+    got = degree_assortativity(g).collect()[0]["assortativity"]
+    deg = {}
+    for a, b in es:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in es:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    want = np.corrcoef(xs, ys)[0, 1]
+    assert abs(got - want) < 1e-12
+
+
+def test_adamic_adar_hand_computed_and_hub_downweight(spark):
+    import math
+
+    from patternly_spark.operators.graph import adamic_adar_link_prediction
+
+    u = 1 << 20
+    # path 1-2-3: only pair (1,3) via center 2 (deg 2)
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = adamic_adar_link_prediction(path).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["u"], r["v"], r["common"]) == (1, 3, 1)
+    assert r["aa_score"] == math.floor(u / math.log(2.0)) / u
+    # hub vs tight center: pair (a,b) shares deg-2 center, pair (c,d)
+    # shares a deg-5 hub -> AA ranks (a,b) higher though common==1 both
+    es = [(10, 1), (11, 1)]  # center 1 deg 2 -> pair (10,11)
+    es += [(20, 2), (21, 2), (22, 2), (23, 2), (24, 2)]  # hub 2 deg 5
+    g = spark.createDataFrame(es, "src long, dst long")
+    got = {(r["u"], r["v"]): r["aa_score"]
+           for r in adamic_adar_link_prediction(g).collect()}
+    assert got[(10, 11)] == math.floor(u / math.log(2.0)) / u
+    assert got[(20, 21)] == math.floor(u / math.log(5.0)) / u
+    assert got[(10, 11)] > got[(20, 21)]

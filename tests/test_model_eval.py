@@ -231,3 +231,35 @@ def test_isotonic_partition_invariant_and_guard(spark):
         isotonic_calibration(
             df, score_col="score", label_col="label", group_cols=["g"], max_grid=5
         )
+
+
+def test_streaming_ranking_registry_equals_batch(spark, tmp_path):
+    from patternly_spark.operators.model_eval import ranking_metrics
+    from patternly_spark.streaming.evaluation import (
+        ranking_registry_metrics,
+        streaming_ranking_registry,
+    )
+
+    schema = "query_id long, rank int, rel boolean"
+    # two batches of complete ranked lists for disjoint query sets
+    b0 = [(q, r, (q + r) % 3 == 0) for q in range(20) for r in range(1, 11)]
+    b1 = [(q, r, (q * r) % 4 == 1) for q in range(20, 50) for r in range(1, 11)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    reg = str(tmp_path / "registry")
+    q = streaming_ranking_registry(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        reg,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        k_values=(1, 5, 10),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got = ranking_registry_metrics(spark, reg, k_values=(1, 5, 10)).orderBy("k")
+    want = ranking_metrics(
+        spark.createDataFrame(b0 + b1, schema), k_values=(1, 5, 10)
+    ).orderBy("k")
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
