@@ -9455,6 +9455,209 @@ _Q221_ORACLE = """
 """
 
 
+def q222_threshold_sweep(spark, sf_dir):
+    """Exact operating-point table for the q205 synthetic purchase
+    scorer (operators/model_eval.threshold_sweep): P/R/F1 at every
+    distinct score threshold per user segment, F1 in the integer form
+    2TP/(2TP+FP+FN), deterministic is_best under the (f1 desc,
+    threshold asc) total order.  One grid shuffle + one descending
+    cumulative window — SQL replays it window-for-window."""
+    from patternly_spark.operators.model_eval import threshold_sweep
+
+    ev = _t(spark, sf_dir, "events")
+    h = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(64)
+    )
+    lbl = F.col("event_type") == "purchase"
+    scored = ev.select(
+        (F.col("user_id") % 4).cast("int").alias("segment"),
+        lbl.cast("int").alias("label"),
+        (
+            h.cast("double") / F.lit(128.0)
+            + F.when(lbl, F.lit(0.25)).otherwise(F.lit(0.0))
+        ).alias("score"),
+    )
+    return threshold_sweep(
+        scored, score_col="score", label_col="label", group_cols=["segment"]
+    )
+
+
+_Q222_ORACLE = """
+    WITH scored AS (
+        SELECT CAST(user_id % 4 AS INT) AS segment,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS l,
+               CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 64 AS DOUBLE) / 128.0
+                   + CASE WHEN event_type = 'purchase' THEN 0.25
+                          ELSE 0.0 END AS s
+        FROM events
+    ), grid AS (
+        SELECT segment, s AS threshold,
+               SUM(l)::BIGINT AS p, SUM(1 - l)::BIGINT AS n
+        FROM scored GROUP BY segment, s
+    ), cum AS (
+        SELECT segment, threshold,
+               CAST(SUM(p) OVER (PARTITION BY segment ORDER BY threshold DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS tp,
+               CAST(SUM(n) OVER (PARTITION BY segment ORDER BY threshold DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS fp,
+               CAST(SUM(p) OVER (PARTITION BY segment) AS BIGINT) AS ptot,
+               CAST(SUM(n) OVER (PARTITION BY segment) AS BIGINT) AS ntot
+        FROM grid
+    ), base AS (
+        SELECT segment, threshold, tp, fp,
+               ptot - tp AS fn, ntot - fp AS tn,
+               CASE WHEN tp + fp > 0
+                    THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+                   AS precision,
+               CASE WHEN ptot > 0
+                    THEN CAST(tp AS DOUBLE) / CAST(ptot AS DOUBLE) END
+                   AS recall,
+               CASE WHEN 2 * tp + fp + (ptot - tp) > 0
+                    THEN CAST(2 * tp AS DOUBLE)
+                         / CAST(2 * tp + fp + (ptot - tp) AS DOUBLE) END
+                   AS f1
+        FROM cum
+    )
+    SELECT segment, threshold, tp, fp, fn, tn, precision, recall, f1,
+           ROW_NUMBER() OVER (PARTITION BY segment
+                              ORDER BY f1 DESC NULLS LAST, threshold ASC) = 1
+               AS is_best
+    FROM base
+"""
+
+
+def q223_containment_join(spark, sf_dir):
+    """Exact asymmetric shingle-containment join over documents
+    (operators/dedup.set_containment_join): ordered (inner, outer)
+    pairs with |S_in & S_out| / |S_in| >= 0.6 — the doc-inside-doc /
+    quote-inclusion detector Jaccard structurally misses.  Inner-prefix
+    x full-index candidates (asymmetric prefix-filter theorem), q162's
+    counting-join verify, one integer-ratio division."""
+    from patternly_spark.operators.dedup import set_containment_join
+
+    d = _t(spark, sf_dir, "documents")
+    return set_containment_join(d, threshold=0.6)
+
+
+def _q223_oracle() -> str:
+    t = 0.6
+    return f"""
+    WITH toks_t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), sh3 AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+               ELSE [array_to_string(toks, ' ')] END AS shingles
+        FROM toks_t
+    ), tok AS (
+        SELECT doc_id AS id, unnest(shingles) AS s FROM sh3
+    ), dfq AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY s
+    ), ranked AS (
+        SELECT t.id, t.s,
+               ROW_NUMBER() OVER (PARTITION BY t.id
+                                  ORDER BY d.df ASC, t.s ASC) AS r
+        FROM tok t JOIN dfq d USING (s)
+    ), n_t AS (
+        SELECT doc_id AS id, len(shingles) AS n FROM sh3
+    ), pref AS (
+        SELECT r.id, r.s
+        FROM ranked r JOIN n_t n USING (id)
+        WHERE r.r <= n.n - CAST(CEIL({t:.17e} * CAST(n.n AS DOUBLE)) AS INT) + 1
+    ), cand AS (
+        SELECT DISTINCT a.id AS inner_doc, b.id AS outer_doc
+        FROM pref a JOIN tok b ON a.s = b.s AND a.id <> b.id
+    )
+    SELECT c.inner_doc, c.outer_doc,
+           CAST(len(list_intersect(x.shingles, y.shingles)) AS BIGINT)
+               AS overlap,
+           CAST(len(x.shingles) AS INT) AS n_inner,
+           CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+               / CAST(len(x.shingles) AS DOUBLE) AS containment
+    FROM cand c
+    JOIN sh3 x ON x.doc_id = c.inner_doc
+    JOIN sh3 y ON y.doc_id = c.outer_doc
+    WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+          / CAST(len(x.shingles) AS DOUBLE) >= {t:.17e}
+"""
+
+
+def q224_textrank_keywords(spark, sf_dir):
+    """TextRank corpus keywords (operators/lm.textrank_keywords):
+    integer-units PageRank (q202 conventions: integral div, bit-exact
+    fixpoint) over the distinct adjacent-word co-occurrence graph of
+    the documents table; top-20 under the total (mass desc, word asc)
+    order.  The whole ranking — tokenize, regex keep, pair graph, two
+    walk rounds, top-k — replays in plain SQL."""
+    from patternly_spark.operators.lm import textrank_keywords
+
+    d = _t(spark, sf_dir, "documents")
+    return textrank_keywords(d, top_k=20, iterations=2)
+
+
+_Q224_ORACLE = """
+    WITH toks AS (
+        SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), words AS (
+        SELECT list_filter(t, w -> regexp_full_match(w, '[a-z]{3,}')) AS w
+        FROM toks
+    ), rawpairs AS (
+        SELECT p['a'] AS src, p['b'] AS dst
+        FROM (
+            SELECT unnest(CASE WHEN len(w) >= 2 THEN
+                       list_transform(range(1, len(w)),
+                                      i -> {'a': w[i], 'b': w[i + 1]})
+                   ELSE [] END) AS p
+            FROM words
+        )
+    ), e AS MATERIALIZED (
+        SELECT DISTINCT src AS s, dst AS d FROM (
+            SELECT src, dst FROM rawpairs
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM rawpairs
+        ) WHERE src <> dst
+    ), deg AS (
+        SELECT s, COUNT(*)::BIGINT AS od FROM e GROUP BY s
+    ), seeds AS (
+        SELECT DISTINCT s AS node FROM e
+    ), p0 AS (
+        SELECT node, CAST(1073741824 AS BIGINT) AS pu FROM seeds
+    ), c1 AS (
+        SELECT e.d AS node, (p.pu * 1) // (2 * deg.od) AS pu
+        FROM p0 p JOIN deg ON p.node = deg.s JOIN e ON e.s = deg.s
+    ), p1 AS MATERIALIZED (
+        SELECT node, SUM(pu)::BIGINT AS pu FROM (
+            SELECT node, CAST(536870912 AS BIGINT) AS pu FROM seeds
+            UNION ALL SELECT node, pu FROM c1
+        ) GROUP BY node HAVING SUM(pu) > 0
+    ), c2 AS (
+        SELECT e.d AS node, (p.pu * 1) // (2 * deg.od) AS pu
+        FROM p1 p JOIN deg ON p.node = deg.s JOIN e ON e.s = deg.s
+    ), p2 AS (
+        SELECT node, SUM(pu)::BIGINT AS pu FROM (
+            SELECT node, CAST(536870912 AS BIGINT) AS pu FROM seeds
+            UNION ALL SELECT node, pu FROM c2
+        ) GROUP BY node HAVING SUM(pu) > 0
+    ), ranked AS (
+        SELECT node AS word, pu AS ppr_units,
+               CAST(pu AS DOUBLE) / 1073741824.0 AS ppr,
+               CAST(ROW_NUMBER() OVER (ORDER BY pu DESC, node ASC) AS INT)
+                   AS rank
+        FROM p2
+    )
+    SELECT word, ppr_units, ppr, rank FROM ranked WHERE rank <= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -9686,6 +9889,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q219_degree_assortativity": q219_degree_assortativity,
         "q220_adamic_adar": q220_adamic_adar,
         "q221_mutual_information": q221_mutual_information,
+        "q222_threshold_sweep": q222_threshold_sweep,
+        "q223_containment_join": q223_containment_join,
+        "q224_textrank_keywords": q224_textrank_keywords,
     }
 
 
@@ -11417,6 +11623,9 @@ def oracle_sql() -> dict[str, str]:
         "q219_degree_assortativity": _Q219_ORACLE,
         "q220_adamic_adar": _Q220_ORACLE,
         "q221_mutual_information": _Q221_ORACLE,
+        "q222_threshold_sweep": _Q222_ORACLE,
+        "q223_containment_join": _q223_oracle(),
+        "q224_textrank_keywords": _Q224_ORACLE,
     }
 
 

@@ -1289,6 +1289,88 @@ def set_similarity_join(
     return jac.filter(F.col("jaccard") >= t)
 
 
+def set_containment_join(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """EXACT asymmetric set-CONTAINMENT join: every ordered pair
+    (inner, outer) with |S(inner) & S(outer)| / |S(inner)| >= threshold
+    — the doc-inside-doc detector (quoted articles, concatenated
+    crawls, boilerplate-wrapped reposts) that Jaccard misses by
+    construction: a 100-word doc fully quoted inside a 10k-word doc has
+    Jaccard ~0.01 but containment 1.0.
+
+    Prefix-filter theorem (asymmetric form): order the INNER set by
+    global df-ascending rank; a pair with containment >= t must share
+    an element within the inner's first n - ceil(t*n) + 1 shingles.
+    The OUTER side indexes ALL its shingles (any superset can contain
+    the inner), so candidates = inner-prefix x full inverted index —
+    still rare-shingle-bounded on the probe side.  Verify is q162's
+    counting join; containment = overlap / n_inner, one integer-ratio
+    division.
+
+    Scale shape identical to ``set_similarity_join`` (same pinned token
+    relation, same census/rank/verify passes) plus one full-index join
+    keyed on prefix shingles — rare by construction.  Both directions
+    of a mutually-containing pair are emitted; dedupe downstream if a
+    symmetric report is wanted.
+
+    Output: (inner_doc, outer_doc, overlap, n_inner, containment).
+    """
+    from pyspark.sql import Window
+
+    t = float(threshold)
+    sh = with_shingles(docs.select(id_col, text_col), text_col, shingle_size, out_col="__sh")
+    sets = sh.select(F.col(id_col).alias("id"), F.col("__sh").alias("sh"))
+    tok = sets.select("id", F.explode_outer("sh").alias("s")).localCheckpoint(
+        eager=True
+    )
+    df_ = tok.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    ranked = tok.join(df_, "s").withColumn(
+        "__r",
+        F.row_number().over(Window.partitionBy("id").orderBy(F.asc("df"), F.asc("s"))),
+    )
+    n = tok.groupBy("id").agg(F.count(F.lit(1)).cast("int").alias("n"))
+    pref = (
+        ranked.join(n, "id")
+        .filter(
+            F.col("__r")
+            <= F.col("n") - F.ceil(F.lit(t) * F.col("n").cast("double")).cast("int") + 1
+        )
+        .select("id", "s")
+    )
+    cand = (
+        pref.select(F.col("id").alias("inner_doc"), "s")
+        .join(tok.select(F.col("id").alias("outer_doc"), "s"), "s")
+        .filter(F.col("inner_doc") != F.col("outer_doc"))
+        .select("inner_doc", "outer_doc")
+        .distinct()
+    )
+    inter = (
+        cand.join(tok.select(F.col("id").alias("inner_doc"), "s"), "inner_doc")
+        .join(tok.select(F.col("id").alias("outer_doc"), "s"), ["outer_doc", "s"])
+        .groupBy("inner_doc", "outer_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+    )
+    out = inter.join(
+        n.select(F.col("id").alias("inner_doc"), F.col("n").alias("n_inner")),
+        "inner_doc",
+    ).select(
+        "inner_doc",
+        "outer_doc",
+        "overlap",
+        "n_inner",
+        (
+            F.col("overlap").cast("double") / F.col("n_inner").cast("double")
+        ).alias("containment"),
+    )
+    return out.filter(F.col("containment") >= t)
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     key_col: str,

@@ -594,3 +594,84 @@ def fit_hashed_classifier(
         w_rows = [(i, float(v)) for i, v in enumerate(coef) if v != 0.0]
     weights = spark.createDataFrame(w_rows or [(0, 0.0)], "bucket long, weight double")
     return weights, float(model.intercept)
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    iterations: int = 2,
+    top_k: int = 20,
+    min_len: int = 3,
+    units: int = 1 << 30,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph — adjacent lowercase alphabetic
+    tokens (len >= ``min_len``) are edges, the stationary walk mass
+    ranks corpus keywords.  The graph-centrality upgrade over raw
+    frequency: a word is important if important words co-occur with it.
+
+    Spark-first composition, not a new kernel: tokenize is per-row
+    slice arithmetic (zero shuffle), the DISTINCT symmetric edge set is
+    one groupBy, and the walk is `graph.personalized_pagerank_units`
+    seeded with every co-occurring word — INTEGER mass units, integral
+    div, so the whole ranking replays bit-for-bit in SQL (the q202
+    convention).  Unweighted distinct edges (the standard TextRank
+    simplification); isolated words (no co-occurrence) are not ranked.
+
+    Output: top ``top_k`` rows — (word, ppr_units, ppr, rank) under the
+    total (ppr_units desc, word asc) order.
+    """
+    from pyspark.sql import Window
+
+    from patternly_spark.operators.graph import personalized_pagerank_units
+
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__t"),
+    )
+    words = toks.select(
+        "__id",
+        F.filter(
+            F.col("__t"), lambda w: w.rlike(f"^[a-z]{{{int(min_len)},}}$")
+        ).alias("__w"),
+    )
+    # sequence(1, 0) DESCENDS in Spark — guard docs with < 2 kept words
+    # to an empty pair list explicitly
+    idx = F.when(
+        F.size("__w") >= 2, F.sequence(F.lit(1), F.size("__w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("__w", i).alias("a"),
+                    F.element_at("__w", i + 1).alias("b"),
+                ),
+            )
+        ).alias("__p")
+    ).select(F.col("__p.a").alias("src"), F.col("__p.b").alias("dst"))
+    edges = (
+        pairs.unionAll(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    seeds = edges.select(F.col("src").alias("node")).distinct()
+    ranked = personalized_pagerank_units(
+        edges, seeds, iterations=iterations, units=units
+    )
+    w = Window.orderBy(F.desc("ppr_units"), F.asc("node"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(top_k))
+        .select(
+            F.col("node").alias("word"),
+            "ppr_units",
+            "ppr",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

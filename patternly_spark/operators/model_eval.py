@@ -425,3 +425,87 @@ def isotonic_calibration(
     return idx.join(inner, [*gcols, "i"]).select(
         *gcols, "score", "n", "positives", "fit"
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact precision/recall/F1 at EVERY decision threshold per group —
+    the operating-point table behind "where do I set the quality-filter
+    cutoff?".  Thresholds are the distinct observed scores (predict
+    positive when score >= t), so the table is complete: every
+    achievable confusion matrix appears exactly once.
+
+    Exactness: one (group, score) count shuffle builds the grid; TP/FP
+    at each threshold are ONE descending cumulative window over it
+    (integer sums); P/R/F1 are integer-ratio single divisions.
+    F1 = 2*TP / (2*TP + FP + FN) — computed in that integer form, no
+    intermediate P*R rounding.  ``is_best`` marks the row maximizing
+    (f1, then lower threshold) under a total ordering, so it is
+    deterministic on any engine.
+
+    Scale: grid-sized after the first shuffle (distinct scores per
+    group, not rows); a continuous score at 100 TB should be quantized
+    to a fixed grid first (the q206 convention) or the table itself
+    becomes data-sized.
+
+    Output: (group_cols..., threshold, tp, fp, fn, tn, precision,
+    recall, f1, is_best).
+    """
+    gcols = list(group_cols or [])
+    grid = df.groupBy(
+        *gcols, F.col(score_col).cast("double").alias("threshold")
+    ).agg(
+        F.sum(F.col(label_col).cast("long")).cast("long").alias("__p"),
+        F.sum(F.lit(1) - F.col(label_col).cast("long")).cast("long").alias("__n"),
+    )
+    wdesc = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.desc("threshold"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    cum = grid.select(
+        *gcols,
+        "threshold",
+        F.sum("__p").over(wdesc).alias("tp"),
+        F.sum("__n").over(wdesc).alias("fp"),
+        F.sum("__p").over(wtot).alias("__ptot"),
+        F.sum("__n").over(wtot).alias("__ntot"),
+    )
+    fn = F.col("__ptot") - F.col("tp")
+    tn = F.col("__ntot") - F.col("fp")
+    prec = F.when(
+        (F.col("tp") + F.col("fp")) > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+    )
+    rec = F.when(
+        F.col("__ptot") > 0,
+        F.col("tp").cast("double") / F.col("__ptot").cast("double"),
+    )
+    f1 = F.when(
+        (F.lit(2) * F.col("tp") + F.col("fp") + fn) > 0,
+        (F.lit(2) * F.col("tp")).cast("double")
+        / (F.lit(2) * F.col("tp") + F.col("fp") + fn).cast("double"),
+    )
+    out = cum.select(
+        *gcols,
+        "threshold",
+        "tp",
+        "fp",
+        fn.alias("fn"),
+        tn.alias("tn"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+        f1.alias("f1"),
+    )
+    wbest = Window.partitionBy(*gcols).orderBy(
+        F.desc_nulls_last("f1"), F.asc("threshold")
+    ) if gcols else Window.orderBy(F.desc_nulls_last("f1"), F.asc("threshold"))
+    return out.withColumn(
+        "is_best", F.row_number().over(wbest) == F.lit(1)
+    )

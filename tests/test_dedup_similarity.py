@@ -1243,3 +1243,62 @@ def test_affix_overlap_join_excludes_self_loop(spark):
         [(1, "p q p q p q p q")], "doc_id long, text string"
     )
     assert affix_overlap_join(docs, k=2).count() == 0
+
+
+def test_set_containment_join_finds_doc_inside_doc(spark):
+    from patternly_spark.operators.dedup import set_containment_join
+
+    inner = "alpha beta gamma delta epsilon zeta"
+    outer = (
+        "prologue text here and more filler words now "
+        + inner
+        + " trailing content goes on and on with extra tokens"
+    )
+    other = "completely different content about other topics entirely here"
+    docs = spark.createDataFrame(
+        [(1, inner), (2, outer), (3, other)], "doc_id long, text string"
+    )
+    got = {
+        (r["inner_doc"], r["outer_doc"]): r
+        for r in set_containment_join(docs, threshold=0.8).collect()
+    }
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r["containment"] == 1.0  # every inner 3-shingle appears in outer
+    assert (2, 1) not in got  # asymmetric: big doc not contained in small
+    assert all(k[0] != 3 and k[1] != 3 for k in got)
+
+
+def test_set_containment_join_complete_vs_bruteforce(spark):
+    from patternly_spark.operators.dedup import set_containment_join
+
+    # small vocab forces overlaps; verify completeness AND precision
+    words = ["w%d" % i for i in range(12)]
+    docs = []
+    for d in range(30):
+        toks = [words[(d * 7 + i * (1 + d % 3)) % 12] for i in range(4 + d % 5)]
+        docs.append((d, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    t = 0.6
+    got = {
+        (r["inner_doc"], r["outer_doc"]): r["containment"]
+        for r in set_containment_join(df, threshold=t).collect()
+    }
+
+    def sh3(text):
+        toks = text.split()
+        if len(toks) >= 3:
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        return {text}
+
+    want = {}
+    sets = {d: sh3(t_) for d, t_ in docs}
+    for a in sets:
+        for b in sets:
+            if a != b:
+                c = len(sets[a] & sets[b]) / len(sets[a])
+                if c >= t:
+                    want[(a, b)] = c
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12

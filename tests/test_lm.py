@@ -273,3 +273,63 @@ def test_fit_hashed_classifier_recovers_planted_signal(spark):
     spam_p = [p for i, p in probs.items() if i % 2]
     ham_p = [p for i, p in probs.items() if not i % 2]
     assert min(spam_p) > max(ham_p)
+
+
+def test_textrank_keywords_hub_word_wins(spark):
+    from patternly_spark.operators.lm import textrank_keywords
+
+    # "core" co-occurs with every other word; it must rank first
+    docs = [
+        (1, "core alpha core beta core gamma"),
+        (2, "core delta core epsilon"),
+        (3, "alpha beta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = textrank_keywords(df, top_k=10, iterations=2).collect()
+    assert out[0]["word"] == "core" and out[0]["rank"] == 1
+    ranks = [r["rank"] for r in out]
+    assert ranks == sorted(ranks) == list(range(1, len(out) + 1))
+    # short/non-alpha tokens never appear
+    assert all(len(r["word"]) >= 3 and r["word"].isalpha() for r in out)
+
+
+def test_textrank_matches_python_integer_replay(spark):
+    from patternly_spark.operators.lm import textrank_keywords
+
+    docs = [(1, "aaa bbb ccc aaa ddd"), (2, "bbb ccc eee fff ggg bbb")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["word"]: r["ppr_units"] for r in textrank_keywords(
+        df, top_k=50, iterations=2, units=1 << 30
+    ).collect()}
+
+    # plain-Python integer replay of the same fixpoint
+    toks = [d[1].split() for d in docs]
+    pairs = set()
+    for ts in toks:
+        for a, b in zip(ts, ts[1:]):
+            if a != b:
+                pairs.add((a, b))
+                pairs.add((b, a))
+    nodes = {a for a, _ in pairs}
+    deg = {}
+    for a, _ in pairs:
+        deg[a] = deg.get(a, 0) + 1
+    u, an, ad = 1 << 30, 1, 2
+    restart = (u * (ad - an)) // ad
+    p = {n: u for n in nodes}
+    for _ in range(2):
+        nxt = {n: restart for n in nodes}
+        for a, b in pairs:
+            if a in p:
+                nxt[b] = nxt.get(b, 0) + (p[a] * an) // (ad * deg[a])
+        p = {k: v for k, v in nxt.items() if v > 0}
+    assert got == p
+
+
+def test_textrank_short_and_empty_docs_do_not_crash(spark):
+    from patternly_spark.operators.lm import textrank_keywords
+
+    docs = [(1, "solo"), (2, ""), (3, "x y"), (4, "alpha beta alpha")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = textrank_keywords(df, top_k=10).collect()
+    assert {r["word"] for r in out} == {"alpha", "beta"}

@@ -263,3 +263,45 @@ def test_streaming_ranking_registry_equals_batch(spark, tmp_path):
         spark.createDataFrame(b0 + b1, schema), k_values=(1, 5, 10)
     ).orderBy("k")
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_threshold_sweep_hand_computed(spark):
+    from patternly_spark.operators.model_eval import threshold_sweep
+
+    # scores: 0.9+, 0.7-, 0.5+, 0.3- (+ = label 1)
+    rows = [(0.9, 1), (0.7, 0), (0.5, 1), (0.3, 0)]
+    df = spark.createDataFrame(rows, "s double, l int")
+    out = {r["threshold"]: r for r in threshold_sweep(
+        df, score_col="s", label_col="l"
+    ).collect()}
+    assert len(out) == 4
+    # t=0.9: tp=1 fp=0 fn=1 tn=2 -> P=1, R=.5, F1=2/3
+    r = out[0.9]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 0, 1, 2)
+    assert r["precision"] == 1.0 and r["recall"] == 0.5
+    assert r["f1"] == 2.0 / 3.0
+    # t=0.5: tp=2 fp=1 fn=0 -> P=2/3, R=1, F1=4/5
+    r = out[0.5]
+    assert (r["tp"], r["fp"], r["fn"]) == (2, 1, 0)
+    assert r["f1"] == 4.0 / 5.0 and r["is_best"]
+    # t=0.3: tp=2 fp=2 -> F1=2/3; only one is_best
+    assert sum(1 for r in out.values() if r["is_best"]) == 1
+
+
+def test_threshold_sweep_grouped_partition_invariant_and_degenerate(spark):
+    from patternly_spark.operators.model_eval import threshold_sweep
+
+    rows = [("a", (i % 10) / 10.0, 1 if i % 3 == 0 else 0) for i in range(90)]
+    rows += [("allneg", 0.5, 0), ("allneg", 0.7, 0)]
+    df = spark.createDataFrame(rows, "g string, s double, l int")
+    one = threshold_sweep(
+        df.coalesce(1), score_col="s", label_col="l", group_cols=["g"]
+    ).orderBy("g", "threshold").collect()
+    many = threshold_sweep(
+        df.repartition(32), score_col="s", label_col="l", group_cols=["g"]
+    ).orderBy("g", "threshold").collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in many]
+    # degenerate all-negative group: recall NULL, f1 0/..>0? tp=0 -> f1 defined
+    neg = [r for r in one if r["g"] == "allneg"]
+    assert all(r["recall"] is None for r in neg)
+    assert all(r["tp"] == 0 for r in neg)
