@@ -9658,6 +9658,112 @@ _Q224_ORACLE = """
 """
 
 
+def _doc_png_media(spark, sf_dir):
+    """The q103 media builder: each document's first 192 ASCII bytes as
+    a REAL stdlib-encoded 8x8 RGB PNG payload."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents")
+
+    def build(batches):
+        import numpy as np
+
+        from patternly_spark.pfsa.draw import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")[:192].ljust(192, b"\0")
+                img = np.frombuffer(raw, dtype=np.uint8).reshape(8, 8, 3)
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return d.select("doc_id", "text").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+
+
+def q225_image_dhash(spark, sf_dir):
+    """Perceptual dHash through the REAL PNG codec (operators/
+    multimodal.image_dhash): encode each document's first 192 bytes as
+    an 8x8 PNG, decode it back, integer-luma grayscale, nearest-resize
+    to 9x8, 64 gradient-sign bits packed MSB-first into a signed long.
+    The oracle computes the identical bits DIRECTLY from the text bytes
+    (documents are pure ASCII — the q103 precedent), so a hash match
+    proves decode + luma + resize + packing are all exact, end to end
+    through the codec."""
+    from patternly_spark.operators.multimodal import image_dhash
+
+    return image_dhash(_doc_png_media(spark, sf_dir), hash_size=8)
+
+
+def _q225_oracle() -> str:
+    def byte(pos: int) -> str:
+        return (
+            f"(CASE WHEN {pos} <= length(text)"
+            f" THEN ascii(substr(text, {pos}, 1)) ELSE 0 END)"
+        )
+
+    def luma(i: int, j: int) -> str:
+        base = (i * 8 + j) * 3
+        return (
+            f"(299 * {byte(base + 1)} + 587 * {byte(base + 2)}"
+            f" + 114 * {byte(base + 3)})"
+        )
+
+    cols = [jj * 8 // 9 for jj in range(9)]  # resize_nearest col map 8->9
+    terms = []
+    idx = 0
+    for r in range(8):
+        for j in range(8):
+            bit = f"({luma(r, cols[j + 1])} > {luma(r, cols[j])})"
+            shift = 63 - idx
+            if shift == 63:
+                terms.append(
+                    f"(CASE WHEN {bit} THEN CAST(-9223372036854775807 - 1"
+                    f" AS BIGINT) ELSE 0 END)"
+                )
+            else:
+                terms.append(
+                    f"(CASE WHEN {bit} THEN CAST({1 << shift} AS BIGINT)"
+                    f" ELSE 0 END)"
+                )
+            idx += 1
+    h = "\n             + ".join(terms)
+    return f"""
+    SELECT doc_id AS media_id,
+           ({h}) AS dhash,
+           TRUE AS ok,
+           CAST(NULL AS VARCHAR) AS err
+    FROM documents
+"""
+
+
+def q226_image_neardup(spark, sf_dir):
+    """Near-duplicate images via banded-Hamming dHash join (operators/
+    multimodal.image_neardup_pairs) over the q225 PNG payloads: pairs
+    within 6 bits of 64.  The oracle is BRUTE FORCE over the SQL-side
+    dhashes — xor + bit_count on every pair — so a match proves the
+    pigeonhole banding is complete AND precise, not just internally
+    consistent."""
+    from patternly_spark.operators.multimodal import image_neardup_pairs
+
+    return image_neardup_pairs(
+        _doc_png_media(spark, sf_dir), max_hamming=6
+    )
+
+
+def _q226_oracle() -> str:
+    inner = _q225_oracle()
+    return f"""
+    WITH dh AS MATERIALIZED ({inner})
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+    FROM dh a JOIN dh b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -9892,6 +9998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q222_threshold_sweep": q222_threshold_sweep,
         "q223_containment_join": q223_containment_join,
         "q224_textrank_keywords": q224_textrank_keywords,
+        "q225_image_dhash": q225_image_dhash,
+        "q226_image_neardup": q226_image_neardup,
     }
 
 
@@ -11626,6 +11734,8 @@ def oracle_sql() -> dict[str, str]:
         "q222_threshold_sweep": _Q222_ORACLE,
         "q223_containment_join": _q223_oracle(),
         "q224_textrank_keywords": _Q224_ORACLE,
+        "q225_image_dhash": _q225_oracle(),
+        "q226_image_neardup": _q226_oracle(),
     }
 
 

@@ -26,6 +26,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _HAVE_CODECS = False  # real decoders (Pillow / torchaudio / pyav) not in container
@@ -161,3 +162,140 @@ def resize_images(media: DataFrame, *, width: int, height: int, codec: str = "st
             yield pdf
 
     return media.mapInPandas(run, schema=media.schema)
+
+
+def image_dhash(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image — the standard
+    near-duplicate IMAGE fingerprint: decode, grayscale, nearest-resize
+    to (hash_size+1) x hash_size, emit one bit per horizontal gradient
+    sign.  Visually identical images (re-encodes, minor crops/noise)
+    land within a few Hamming bits; unrelated images are ~hash_size²/2
+    apart.  REAL for PNG payloads (the stdlib codec); other formats
+    raise inside the worker and are reported as undecodable rows, not
+    dropped silently.
+
+    Shape: mapInPandas over the scan partitioning — payload bytes stay
+    local to their task, zero shuffle; the output is one 64-bit long
+    per image (hash_size=8), pairable with the existing xor+popcount
+    Hamming machinery (`operators/quantized.hamming_topk` precedent).
+
+    Output: (id, dhash long nullable, ok boolean, err string nullable).
+    """
+    from patternly_spark.operators.imaging import (
+        UnsupportedImageError,
+        decode_png,
+        resize_nearest,
+    )
+
+    hs = int(hash_size)
+    if not 2 <= hs <= 8:
+        raise ValueError("hash_size in [2,8] (bits must fit a long)")
+
+    schema = f"{id_col} long, dhash long, ok boolean, err string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, oks, errs = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(mid)
+                try:
+                    img = decode_png(bytes(payload))
+                    # integer luma (Rec.601 weights scaled by 1024) —
+                    # deterministic, no float rounding ambiguity
+                    g = (
+                        299 * img[:, :, 0].astype(np.int64)
+                        + 587 * img[:, :, 1].astype(np.int64)
+                        + 114 * img[:, :, 2].astype(np.int64)
+                    )
+                    small = resize_nearest(g[:, :, None], hs + 1, hs)[:, :, 0]
+                    bits = (small[:, 1:] > small[:, :-1]).astype(np.uint64)
+                    h = 0
+                    for b in bits.flatten():
+                        h = (h << 1) | int(b)
+                    # interpret the top bit as sign so 64-bit hashes fit
+                    # Spark's LONG (the xxhash64 convention)
+                    if h >= 1 << 63:
+                        h -= 1 << 64
+                    hashes.append(h)
+                    oks.append(True)
+                    errs.append(None)
+                except Exception as ex:  # noqa: BLE001 — undecodable rows are DATA, reported not raised
+                    hashes.append(None)
+                    oks.append(False)
+                    errs.append(f"{type(ex).__name__}: {ex}"[:200])
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    # nullable Int64: a plain int column with Nones would
+                    # silently become float64 and fail the Arrow cast
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                    "ok": oks,
+                    "err": errs,
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def image_neardup_pairs(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    hash_size: int = 8,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Near-duplicate image pairs: dHash + banded Hamming join.  Bands:
+    split the hash into max_hamming+1 equal bit-blocks — two hashes
+    within ``max_hamming`` bits must agree on at least one whole block
+    (pigeonhole), so blocking on (block_index, block_value) is COMPLETE;
+    verify is one xor+popcount per candidate (the simhash/q136
+    precedent).  Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    hs = int(hash_size)
+    nbits = hs * hs
+    nb = int(max_hamming) + 1
+    width = nbits // nb
+
+    hashes = image_dhash(
+        media, id_col=id_col, payload_col=payload_col, hash_size=hs
+    ).filter(F.col("ok")).select(F.col(id_col).alias("id"), "dhash")
+    hashes = hashes.localCheckpoint(eager=True)
+    blocks = hashes.select(
+        "id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.shiftright(F.col("dhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bv"),
+                    )
+                    for i in range(nb)
+                ]
+            )
+        ).alias("__b"),
+    ).select("id", "dhash", F.col("__b.bi").alias("bi"), F.col("__b.bv").alias("bv"))
+    cand = (
+        blocks.select(F.col("id").alias("id_a"), F.col("dhash").alias("ha"), "bi", "bv")
+        .join(
+            blocks.select(F.col("id").alias("id_b"), F.col("dhash").alias("hb"), "bi", "bv"),
+            ["bi", "bv"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= int(max_hamming))
+    )

@@ -195,3 +195,73 @@ def test_spark_wav_codec_path(spark):
     }
     for mid, amp in enumerate((0, 100, 1000, 30000)):
         assert np.allclose(feats[mid], float(amp)), mid
+
+
+def _toy_image(seed: int, h: int = 32, w: int = 32):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    # smooth gradients so dhash has structure to latch on to
+    gx = np.linspace(0, 255, w, dtype=np.uint8)
+    base[:, :, 0] = gx[None, :]
+    return base
+
+
+def test_image_dhash_identical_and_noised(spark):
+    import numpy as np
+
+    from patternly_spark.operators.multimodal import image_dhash
+    from patternly_spark.pfsa.draw import encode_png
+
+    img = _toy_image(1)
+    noised = img.copy()
+    noised[5, 7, 2] ^= 3  # one-pixel tweak
+    other = _toy_image(99)
+    other[:, :, 0] = 255 - other[:, :, 0]  # reversed gradient
+    rows = [
+        (1, bytearray(encode_png(img))),
+        (2, bytearray(encode_png(img))),
+        (3, bytearray(encode_png(noised))),
+        (4, bytearray(encode_png(other))),
+        (5, bytearray(b"not a png at all")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in image_dhash(df).collect()}
+    assert out[1]["ok"] and out[1]["dhash"] == out[2]["dhash"]
+    # one-pixel noise: tiny hamming distance
+    d13 = bin((out[1]["dhash"] ^ out[3]["dhash"]) & ((1 << 64) - 1)).count("1")
+    assert d13 <= 4
+    # reversed gradient: far away
+    d14 = bin((out[1]["dhash"] ^ out[4]["dhash"]) & ((1 << 64) - 1)).count("1")
+    assert d14 > 16
+    # undecodable payload reported, not dropped
+    assert out[5]["ok"] is False and out[5]["dhash"] is None
+    assert "PNG" in out[5]["err"] or "png" in out[5]["err"]
+
+
+def test_image_neardup_pairs_complete_and_precise(spark):
+    from patternly_spark.operators.multimodal import image_dhash, image_neardup_pairs
+    from patternly_spark.pfsa.draw import encode_png
+
+    imgs = {1: _toy_image(1), 3: _toy_image(7)}
+    noised = imgs[1].copy()
+    noised[3, 3, 1] ^= 2
+    imgs[2] = noised
+    other = _toy_image(50)
+    other[:, :, 0] = 255 - other[:, :, 0]
+    imgs[4] = other
+    rows = [(k, bytearray(encode_png(v))) for k, v in sorted(imgs.items())]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in image_neardup_pairs(df, max_hamming=4).collect()}
+    # brute-force truth from the hashes themselves (completeness check)
+    hs = {r["media_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    want = {}
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 4:
+                want[(a, b)] = d
+    assert got == want and (1, 2) in got
