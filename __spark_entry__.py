@@ -9764,6 +9764,208 @@ def _q226_oracle() -> str:
 """
 
 
+def q227_audio_energy_hash(spark, sf_dir):
+    """Audio fingerprint through the REAL WAV codec (operators/
+    multimodal.audio_energy_hash): each document's first 128 bytes
+    become 64 int16 PCM samples (the q104 builder), decoded back and
+    hashed as 15 frame-energy delta bits (16 frames, integer sums of
+    squares, no floats anywhere).  The oracle rebuilds the samples from
+    the raw bytes and replays the identical integer arithmetic — a
+    match proves the codec path AND the fingerprint exact."""
+    import pandas as pd
+
+    from patternly_spark.operators.multimodal import audio_energy_hash
+
+    d = _t(spark, sf_dir, "documents")
+
+    def build(batches):
+        import numpy as np
+
+        from patternly_spark.operators.audio import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")[:128].ljust(128, b"\0")
+                samples = np.frombuffer(raw, dtype="<i2")
+                payloads.append(encode_wav(samples))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.select("doc_id", "text").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    return audio_energy_hash(media, frames=16)
+
+
+def _q227_oracle() -> str:
+    def byte(pos: int) -> str:
+        return (
+            f"(CASE WHEN {pos} <= length(text)"
+            f" THEN ascii(substr(text, {pos}, 1)) ELSE 0 END)"
+        )
+
+    def sample(i: int) -> str:
+        lo, hi = byte(2 * i + 1), byte(2 * i + 2)
+        raw = f"({lo} + 256 * {hi})"
+        return f"(CASE WHEN {raw} >= 32768 THEN {raw} - 65536 ELSE {raw} END)"
+
+    energies = []
+    for f in range(16):
+        terms = " + ".join(
+            f"(CAST({sample(4 * f + k)} AS BIGINT)"
+            f" * CAST({sample(4 * f + k)} AS BIGINT))"
+            for k in range(4)
+        )
+        energies.append(f"({terms})")
+    bits = []
+    for i in range(15):
+        shift = 14 - i
+        bits.append(
+            f"(CASE WHEN {energies[i + 1]} > {energies[i]}"
+            f" THEN CAST({1 << shift} AS BIGINT) ELSE 0 END)"
+        )
+    h = "\n             + ".join(bits)
+    return f"""
+    SELECT doc_id AS media_id,
+           ({h}) AS ehash,
+           CAST(64 AS BIGINT) AS n_samples,
+           TRUE AS ok,
+           CAST(NULL AS VARCHAR) AS err
+    FROM documents
+"""
+
+
+def q228_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR gate over a per-part battery of synthetic
+    test p-values (operators/drift.bh_fdr), grouped by brand: dyadic
+    hash p-values with a planted signal block (every 50th part's p
+    shrunk 1000x) — BH must reject the planted block and almost nothing
+    else.  Ranks/counts integer, critical values one fixed double
+    chain, verdicts threshold-VALUE-based (tie-safe): plain SQL
+    replays it."""
+    from patternly_spark.operators.drift import bh_fdr
+
+    p = _t(spark, sf_dir, "part")
+    h = (
+        F.conv(F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(4096)
+    )
+    raw = (h.cast("double") + F.lit(1.0)) / F.lit(4096.0)
+    tests = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("test_id"),
+        F.when(F.col("p_partkey") % 50 == 0, raw / F.lit(1000.0))
+        .otherwise(raw)
+        .alias("p"),
+    )
+    return bh_fdr(
+        tests, p_col="p", id_cols=["test_id"], group_cols=["brand"], fdr_q=0.05
+    )
+
+
+_Q228_ORACLE = """
+    WITH tests AS (
+        SELECT p_brand AS brand, p_partkey AS test_id,
+               CASE WHEN p_partkey % 50 = 0 THEN
+                   ((CAST(CAST('0x' || substr(md5(CAST(p_partkey AS VARCHAR)),
+                                1, 8) AS BIGINT) % 4096 AS DOUBLE) + 1.0)
+                    / 4096.0) / 1000.0
+               ELSE
+                   (CAST(CAST('0x' || substr(md5(CAST(p_partkey AS VARCHAR)),
+                               1, 8) AS BIGINT) % 4096 AS DOUBLE) + 1.0)
+                   / 4096.0
+               END AS p
+        FROM part
+    ), ranked AS (
+        SELECT brand, test_id, p,
+               ROW_NUMBER() OVER (PARTITION BY brand
+                                  ORDER BY p ASC, test_id ASC) AS rank,
+               CAST(COUNT(*) OVER (PARTITION BY brand) AS BIGINT) AS m_tests
+        FROM tests
+    ), crit AS (
+        SELECT *, CAST(rank AS DOUBLE) * 0.05 / CAST(m_tests AS DOUBLE)
+                   AS bh_critical
+        FROM ranked
+    ), thr AS (
+        SELECT *, MAX(CASE WHEN p <= bh_critical THEN p END)
+                   OVER (PARTITION BY brand) AS threshold
+        FROM crit
+    )
+    SELECT brand, test_id, p, CAST(rank AS BIGINT) AS rank, m_tests,
+           bh_critical,
+           threshold IS NOT NULL AND p <= threshold AS reject
+    FROM thr
+"""
+
+
+def q229_robust_means(spark, sf_dir):
+    """Trimmed and winsorized mean order value per priority
+    (operators/drift.robust_means, trim=0.05): the whale-resistant
+    revenue central tendency.  Money goes through DECIMAL cents once
+    (the q186 convention), then ranks/sums/clamps are pure integer
+    arithmetic and each mean is ONE division — SQL replays it window
+    for window."""
+    from patternly_spark.operators.drift import robust_means
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        (_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return robust_means(
+        o, value_cents_col="cents", group_cols=["priority"], trim=0.05
+    )
+
+
+_Q229_ORACLE = """
+    WITH base AS (
+        SELECT o_orderpriority AS priority,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS v
+        FROM orders
+    ), ranked AS (
+        SELECT priority, v,
+               ROW_NUMBER() OVER (PARTITION BY priority ORDER BY v ASC) AS r,
+               CAST(COUNT(*) OVER (PARTITION BY priority) AS BIGINT) AS n
+        FROM base
+    ), kk AS (
+        SELECT *, CAST(FLOOR(0.05 * CAST(n AS DOUBLE)) AS BIGINT) AS k
+        FROM ranked
+    ), clamps AS (
+        SELECT *,
+               MAX(CASE WHEN r = k + 1 THEN v END)
+                   OVER (PARTITION BY priority) AS lo_clamp,
+               MAX(CASE WHEN r = n - k THEN v END)
+                   OVER (PARTITION BY priority) AS hi_clamp
+        FROM kk
+    ), staged AS (
+        SELECT priority, v, r, n, k,
+               r > k AND r <= n - k AS mid,
+               CASE WHEN r <= k THEN lo_clamp
+                    WHEN r > n - k THEN hi_clamp
+                    ELSE v END AS wins
+        FROM clamps
+    ), agg AS (
+        SELECT priority,
+               MAX(n)::BIGINT AS n, MAX(k)::BIGINT AS k_trimmed,
+               SUM(v)::BIGINT AS s,
+               SUM(CASE WHEN mid THEN v END)::BIGINT AS st,
+               SUM(CASE WHEN mid THEN 1 ELSE 0 END)::BIGINT AS nt,
+               SUM(wins)::BIGINT AS sw
+        FROM staged GROUP BY priority
+    )
+    SELECT priority, n, k_trimmed,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           CASE WHEN nt > 0
+                THEN CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) END
+               AS trimmed_mean,
+           CASE WHEN nt > 0
+                THEN CAST(sw AS DOUBLE) / CAST(n AS DOUBLE) END
+               AS winsorized_mean
+    FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -10000,6 +10202,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q224_textrank_keywords": q224_textrank_keywords,
         "q225_image_dhash": q225_image_dhash,
         "q226_image_neardup": q226_image_neardup,
+        "q227_audio_energy_hash": q227_audio_energy_hash,
+        "q228_bh_fdr": q228_bh_fdr,
+        "q229_robust_means": q229_robust_means,
     }
 
 
@@ -11736,6 +11941,9 @@ def oracle_sql() -> dict[str, str]:
         "q224_textrank_keywords": _Q224_ORACLE,
         "q225_image_dhash": _q225_oracle(),
         "q226_image_neardup": _q226_oracle(),
+        "q227_audio_energy_hash": _q227_oracle(),
+        "q228_bh_fdr": _Q228_ORACLE,
+        "q229_robust_means": _Q229_ORACLE,
     }
 
 

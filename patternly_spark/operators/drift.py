@@ -701,3 +701,155 @@ def mutual_information(
         hy.alias("h_y"),
         F.when((hx > 0) & (hy > 0), mi / F.sqrt(hx * hy)).alias("nmi"),
     )
+
+
+def bh_fdr(
+    df: DataFrame,
+    *,
+    p_col: str,
+    id_cols: list[str],
+    group_cols: list[str] | None = None,
+    fdr_q: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control per group — the
+    multiple-testing gate a metrics platform needs the moment it runs
+    hundreds of q204-style tests at once (at q=0.05, ~5% of null tests
+    "fire" by luck; BH caps the expected FALSE fraction of the
+    discoveries instead):
+
+        sort p ascending; threshold = max p_(k) with p_(k) <= k*q/m;
+        reject every test with p <= threshold.
+
+    The reject set depends only on the threshold VALUE, so tied
+    p-values are handled deterministically regardless of rank
+    tie-breaks.  Exactness: ranks/counts are integers, each critical
+    value k*q/m is one fixed double chain, comparisons replay in SQL.
+
+    Shape: one (group) sort window + one group-max window over the
+    qualifying rows; never data-sized beyond the test table itself
+    (tests are aggregates upstream — thousands, not billions).
+
+    Output: (group_cols..., id_cols..., p, rank, m_tests, bh_critical,
+    reject).
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    ids = list(id_cols)
+    qv = float(fdr_q)
+    w = (
+        Window.partitionBy(*gcols).orderBy(F.col(p_col).asc(), *[F.col(c) for c in ids])
+        if gcols
+        else Window.orderBy(F.col(p_col).asc(), *[F.col(c) for c in ids])
+    )
+    wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    ranked = df.select(
+        *gcols,
+        *ids,
+        F.col(p_col).cast("double").alias("p"),
+    ).withColumn("rank", F.row_number().over(w)).withColumn(
+        "m_tests", F.count(F.lit(1)).over(wg).cast("long")
+    )
+    crit = (
+        F.col("rank").cast("double") * F.lit(qv) / F.col("m_tests").cast("double")
+    )
+    ranked = ranked.withColumn("bh_critical", crit)
+    thr = F.max(
+        F.when(F.col("p") <= F.col("bh_critical"), F.col("p"))
+    ).over(wg)
+    return ranked.withColumn(
+        "reject", thr.isNotNull() & (F.col("p") <= thr)
+    ).select(
+        *gcols, *ids, "p", F.col("rank").cast("long").alias("rank"),
+        "m_tests", "bh_critical", "reject",
+    )
+
+
+def robust_means(
+    df: DataFrame,
+    *,
+    value_cents_col: str,
+    group_cols: list[str] | None = None,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Trimmed and winsorized means per group — the outlier-resistant
+    central-tendency pair (a mean that one fat-finger order can't move)
+    to sit beside q66's MAD fences:
+
+      trimmed    : drop the k = floor(trim * n) lowest- and highest-
+                   RANKED values, mean the middle n - 2k;
+      winsorized : clamp the bottom k values up to the (k+1)-th and the
+                   top k down to the (n-k)-th, mean all n.
+
+    Exactness: input is INTEGER cents (the q186 convention — the caller
+    casts money through DECIMAL once); ranks, sums and clamps are then
+    pure integer arithmetic and each mean is ONE division — engine-
+    exact, order-free.  Groups with n - 2k < 1 report NULL robust means
+    (over-trimmed), never a division artifact.
+
+    Shape: one rank window + one group aggregate over the data; no
+    second pass (the clamp values ride along as group-window maxima of
+    rank-gated columns).
+
+    Output: (group_cols..., n, k_trimmed, mean, trimmed_mean,
+    winsorized_mean).
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    t = float(trim)
+    if not 0.0 <= t < 0.5:
+        raise ValueError("trim in [0, 0.5)")
+    base = df.select(*gcols, F.col(value_cents_col).cast("long").alias("__v"))
+    w = (
+        Window.partitionBy(*gcols).orderBy(
+            F.col("__v").asc(), F.monotonically_increasing_id()
+        )
+        if gcols
+        else Window.orderBy(F.col("__v").asc(), F.monotonically_increasing_id())
+    )
+    wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    ranked = base.withColumn("__r", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(wg)
+    )
+    k = F.floor(F.lit(t) * F.col("__n").cast("double")).cast("long")
+    ranked = ranked.withColumn("__k", k)
+    lo_clamp = F.max(
+        F.when(F.col("__r") == F.col("__k") + 1, F.col("__v"))
+    ).over(wg)
+    hi_clamp = F.max(
+        F.when(F.col("__r") == F.col("__n") - F.col("__k"), F.col("__v"))
+    ).over(wg)
+    mid = (F.col("__r") > F.col("__k")) & (
+        F.col("__r") <= F.col("__n") - F.col("__k")
+    )
+    # windowed clamp values must be materialized BEFORE the aggregate
+    # (window-inside-aggregate is illegal)
+    staged = ranked.withColumn(
+        "__wins",
+        F.when(F.col("__r") <= F.col("__k"), lo_clamp)
+        .when(F.col("__r") > F.col("__n") - F.col("__k"), hi_clamp)
+        .otherwise(F.col("__v")),
+    ).withColumn("__mid", mid)
+    agg = staged.groupBy(*gcols).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max("__k").cast("long").alias("k_trimmed"),
+        F.sum("__v").cast("long").alias("__s"),
+        F.sum(F.when(F.col("__mid"), F.col("__v"))).cast("long").alias("__st"),
+        F.sum(F.when(F.col("__mid"), 1).otherwise(0)).cast("long").alias("__nt"),
+        F.sum("__wins").cast("long").alias("__sw"),
+    )
+    return agg.select(
+        *gcols,
+        "n",
+        "k_trimmed",
+        (F.col("__s").cast("double") / F.col("n").cast("double")).alias("mean"),
+        F.when(
+            F.col("__nt") > 0,
+            F.col("__st").cast("double") / F.col("__nt").cast("double"),
+        ).alias("trimmed_mean"),
+        F.when(
+            F.col("__nt") > 0,
+            F.col("__sw").cast("double") / F.col("n").cast("double"),
+        ).alias("winsorized_mean"),
+    )

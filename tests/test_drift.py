@@ -505,3 +505,82 @@ def test_mutual_information_independence_and_identity(spark):
         df.repartition(32), x_col="xc", y_col="yc", group_cols=["g"]
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_bh_fdr_textbook_example(spark):
+    from patternly_spark.operators.drift import bh_fdr
+
+    # classic: m=10, q=0.25; p sorted: .010 .013 .014 .190 .350 .500 .630 .670 .750 .810
+    ps = [0.010, 0.013, 0.014, 0.190, 0.350, 0.500, 0.630, 0.670, 0.750, 0.810]
+    rows = [(i, p) for i, p in enumerate(ps)]
+    df = spark.createDataFrame(rows, "tid long, p double")
+    out = {r["tid"]: r for r in bh_fdr(
+        df, p_col="p", id_cols=["tid"], fdr_q=0.25
+    ).collect()}
+    # k*q/m: .025 .05 .075 .1 ... p_(3)=.014 <= .075 is the largest pass
+    assert [out[i]["reject"] for i in range(10)] == [True] * 3 + [False] * 7
+    assert out[0]["m_tests"] == 10
+    assert out[3]["bh_critical"] == 4 * 0.25 / 10
+
+
+def test_bh_fdr_none_pass_and_tie_determinism(spark):
+    from patternly_spark.operators.drift import bh_fdr
+
+    # all large p: nothing rejected
+    df = spark.createDataFrame([(i, 0.9) for i in range(5)], "tid long, p double")
+    out = bh_fdr(df, p_col="p", id_cols=["tid"], fdr_q=0.05).collect()
+    assert all(not r["reject"] for r in out)
+    # ties at the threshold: all equal-p rows share a verdict
+    rows = [(0, 0.01), (1, 0.01), (2, 0.01), (3, 0.9), (4, 0.9)]
+    df2 = spark.createDataFrame(rows, "tid long, p double")
+    got = {r["tid"]: r["reject"] for r in bh_fdr(
+        df2, p_col="p", id_cols=["tid"], fdr_q=0.1
+    ).collect()}
+    assert got[0] == got[1] == got[2]
+    # grouped + partition invariance
+    rows = [("g%d" % (i % 3), i, ((i * 17) % 100) / 100.0) for i in range(120)]
+    df3 = spark.createDataFrame(rows, "g string, tid long, p double")
+    a = bh_fdr(df3.coalesce(1), p_col="p", id_cols=["tid"], group_cols=["g"]).orderBy("g", "tid").collect()
+    b = bh_fdr(df3.repartition(32), p_col="p", id_cols=["tid"], group_cols=["g"]).orderBy("g", "tid").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_robust_means_hand_computed(spark):
+    from patternly_spark.operators.drift import robust_means
+
+    # cents: one gross outlier; n=10, trim .1 -> k=1
+    vals = [100, 110, 120, 130, 140, 150, 160, 170, 180, 100000]
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    out = robust_means(df, value_cents_col="c", trim=0.1).collect()[0]
+    assert out["n"] == 10 and out["k_trimmed"] == 1
+    assert out["mean"] == sum(vals) / 10.0
+    assert out["trimmed_mean"] == sum(sorted(vals)[1:9]) / 8.0
+    wins = sorted(vals)
+    wins[0], wins[-1] = wins[1], wins[-2]
+    assert out["winsorized_mean"] == sum(wins) / 10.0
+    # outlier moved the raw mean but not the robust ones
+    assert out["mean"] > 2 * out["trimmed_mean"]
+
+
+def test_robust_means_overtrim_and_partition_invariance(spark):
+    from patternly_spark.operators.drift import robust_means
+
+    df = spark.createDataFrame([("g", 5), ("g", 7)], "g string, c long")
+    out = robust_means(
+        df, value_cents_col="c", group_cols=["g"], trim=0.49
+    ).collect()[0]
+    # k = floor(.49*2) = 0 -> fine; with n=1, k=0 stays fine; force overtrim:
+    df1 = spark.createDataFrame([("g", 5), ("g", 6), ("g", 7)], "g string, c long")
+    o1 = robust_means(
+        df1, value_cents_col="c", group_cols=["g"], trim=0.4
+    ).collect()[0]
+    # k = floor(1.2) = 1, middle = 1 row -> trimmed == median
+    assert o1["trimmed_mean"] == 6.0
+    rows = [("a", (i * 37) % 500) for i in range(200)] + [
+        ("b", (i * 11) % 90) for i in range(77)
+    ]
+    dfx = spark.createDataFrame(rows, "g string, c long")
+    a = robust_means(dfx.coalesce(1), value_cents_col="c", group_cols=["g"]).orderBy("g").collect()
+    b = robust_means(dfx.repartition(32), value_cents_col="c", group_cols=["g"]).orderBy("g").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert out["n"] == 2

@@ -265,3 +265,57 @@ def test_image_neardup_pairs_complete_and_precise(spark):
             if d <= 4:
                 want[(a, b)] = d
     assert got == want and (1, 2) in got
+
+
+def test_audio_energy_hash_identical_noised_and_bad(spark):
+    import numpy as np
+
+    from patternly_spark.operators.audio import encode_wav
+    from patternly_spark.operators.multimodal import audio_energy_hash
+
+    rng = np.random.default_rng(5)
+    clip = (rng.integers(-2000, 2000, size=256) * np.linspace(0.2, 3.0, 256)).astype(
+        "<i2"
+    )
+    noised = clip.copy()
+    noised[100] += 7
+    silence_then_loud = np.concatenate(
+        [np.zeros(128, dtype="<i2"), np.full(128, 8000, dtype="<i2")]
+    )
+    rows = [
+        (1, bytearray(encode_wav(clip))),
+        (2, bytearray(encode_wav(clip))),
+        (3, bytearray(encode_wav(noised))),
+        (4, bytearray(encode_wav(silence_then_loud))),
+        (5, bytearray(b"RIFFgarbage")),
+        (6, bytearray(encode_wav(np.zeros(4, dtype="<i2")))),  # too short
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in audio_energy_hash(df, frames=32).collect()}
+    assert out[1]["ok"] and out[1]["ehash"] == out[2]["ehash"]
+    assert out[1]["n_samples"] == 256
+    d13 = bin(out[1]["ehash"] ^ out[3]["ehash"]).count("1")
+    assert d13 <= 2
+    d14 = bin(out[1]["ehash"] ^ out[4]["ehash"]).count("1")
+    assert d14 >= 5
+    assert out[5]["ok"] is False and out[5]["ehash"] is None
+    assert out[6]["ok"] is False and "frames" in out[6]["err"]
+
+
+def test_audio_energy_hash_python_replay(spark):
+    import numpy as np
+
+    from patternly_spark.operators.audio import encode_wav
+    from patternly_spark.operators.multimodal import audio_energy_hash
+
+    samples = np.arange(-50, 78, dtype="<i2")  # 128 samples
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(samples)))], "media_id long, payload binary"
+    )
+    got = audio_energy_hash(df, frames=16).collect()[0]["ehash"]
+    s = samples.astype(np.int64)
+    en = [int((s[i * 8:(i + 1) * 8] ** 2).sum()) for i in range(16)]
+    want = 0
+    for a, b in zip(en, en[1:]):
+        want = (want << 1) | int(b > a)
+    assert got == want
