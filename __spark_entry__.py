@@ -9966,6 +9966,132 @@ _Q229_ORACLE = """
 """
 
 
+def q230_markov_attribution(spark, sf_dir):
+    """Markov removal-effect attribution over user journeys
+    (operators/behavior.markov_attribution): pre-purchase touch chains
+    per user, 4-round integer absorption walk (q202's integral-div
+    convention), channel credit = conversion-mass drop when the channel
+    is removed.  Spark does the event-scale transition counts; the
+    <=7-state chain solves at the driver (the covariance-eigh
+    altitude); the oracle replays the identical integer walk with
+    unrolled rounds per chain."""
+    from patternly_spark.operators.behavior import markov_attribution
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts"), "event_type"
+    )
+    return markov_attribution(
+        e,
+        ts_col="ts",
+        channels=["click", "error", "signup", "view"],
+        conversion="purchase",
+        rounds=4,
+    )
+
+
+def _q230_oracle() -> str:
+    channels = ["click", "error", "signup", "view"]
+    u = 1 << 30
+    rounds = 4
+
+    def chain(tag: str, removed: str | None) -> str:
+        if removed is None:
+            cdef = f"counts_{tag} AS (SELECT src, dst, c FROM counts)"
+        else:
+            cdef = f"""counts_{tag} AS (
+        SELECT src, dst2 AS dst, SUM(c)::BIGINT AS c FROM (
+            SELECT src,
+                   CASE WHEN dst = '{removed}' THEN '__NULL__' ELSE dst END
+                       AS dst2, c
+            FROM counts WHERE src <> '{removed}'
+        ) GROUP BY src, dst2
+    )"""
+        parts = [
+            cdef,
+            f"""totals_{tag} AS (
+        SELECT src, SUM(c)::BIGINT AS tot FROM counts_{tag} GROUP BY src
+    )""",
+            f"""mass_{tag}_0 AS (
+        SELECT '__START__' AS state, CAST({u} AS BIGINT) AS pu
+    )""",
+        ]
+        for r in range(1, rounds + 1):
+            parts.append(f"""mass_{tag}_{r} AS (
+        SELECT state, SUM(pu)::BIGINT AS pu FROM (
+            SELECT state, pu FROM mass_{tag}_{r - 1}
+            WHERE state IN ('__CONV__', '__NULL__')
+            UNION ALL
+            SELECT c.dst AS state, (m.pu * c.c) // t.tot AS pu
+            FROM mass_{tag}_{r - 1} m
+            JOIN counts_{tag} c ON c.src = m.state
+            JOIN totals_{tag} t ON t.src = m.state
+            WHERE m.state NOT IN ('__CONV__', '__NULL__')
+        ) GROUP BY state HAVING SUM(pu) > 0
+    )""")
+        parts.append(f"""conv_{tag} AS (
+        SELECT COALESCE((SELECT pu FROM mass_{tag}_{rounds}
+                         WHERE state = '__CONV__'), 0)::BIGINT AS cu
+    )""")
+        return ",\n    ".join(parts)
+
+    chains = [chain("base", None)] + [
+        chain(f"c{i}", ch) for i, ch in enumerate(channels)
+    ]
+    rem_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT '{ch}' AS channel, (SELECT cu FROM conv_base) AS base,"
+        f" (SELECT cu FROM conv_c{i}) AS removed"
+        for i, ch in enumerate(channels)
+    )
+    chain_sql = ",\n    ".join(chains)
+    allowed = ", ".join(f"'{c}'" for c in channels + ["purchase"])
+    return f"""
+    WITH ev AS (
+        SELECT user_id AS u, epoch_us(ts) AS ts, event_type AS y
+        FROM events WHERE event_type IN ({allowed})
+    ), pri AS (
+        SELECT *, COALESCE(SUM(CASE WHEN y = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY u ORDER BY ts, y
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prior
+        FROM ev
+    ), kept AS (
+        SELECT u, ts, y,
+               ROW_NUMBER() OVER (PARTITION BY u ORDER BY ts, y) AS r,
+               LEAD(y) OVER (PARTITION BY u ORDER BY ts, y) AS nxt
+        FROM pri WHERE prior = 0
+    ), edges AS (
+        SELECT '__START__' AS src,
+               CASE WHEN y = 'purchase' THEN '__CONV__' ELSE y END AS dst
+        FROM kept WHERE r = 1
+        UNION ALL
+        SELECT y AS src,
+               CASE WHEN nxt IS NULL THEN '__NULL__'
+                    WHEN nxt = 'purchase' THEN '__CONV__'
+                    ELSE nxt END AS dst
+        FROM kept WHERE y <> 'purchase'
+    ), counts AS MATERIALIZED (
+        SELECT src, dst, COUNT(*)::BIGINT AS c FROM edges GROUP BY 1, 2
+    ),
+    {chain_sql},
+    removals AS (
+        {rem_rows}
+    ), tot AS (
+        SELECT SUM(CASE WHEN base - removed > 0 THEN base - removed
+                        ELSE 0 END)::BIGINT AS tr
+        FROM removals
+    )
+    SELECT channel,
+           base AS conv_base_units,
+           removed AS conv_removed_units,
+           (base - removed)::BIGINT AS removal_units,
+           CASE WHEN (SELECT tr FROM tot) > 0
+                THEN CAST(CASE WHEN base - removed > 0 THEN base - removed
+                               ELSE 0 END AS DOUBLE)
+                     / CAST((SELECT tr FROM tot) AS DOUBLE) END AS share
+    FROM removals
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -10205,6 +10331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q227_audio_energy_hash": q227_audio_energy_hash,
         "q228_bh_fdr": q228_bh_fdr,
         "q229_robust_means": q229_robust_means,
+        "q230_markov_attribution": q230_markov_attribution,
     }
 
 
@@ -11944,6 +12071,7 @@ def oracle_sql() -> dict[str, str]:
         "q227_audio_energy_hash": _q227_oracle(),
         "q228_bh_fdr": _Q228_ORACLE,
         "q229_robust_means": _Q229_ORACLE,
+        "q230_markov_attribution": _q230_oracle(),
     }
 
 

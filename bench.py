@@ -222,6 +222,31 @@ BENCH_QUERIES = [
     "q202_personalized_pagerank",
     "q203_touch_attribution",
     "q204_ab_lift_ztest",
+    "q205_roc_auc",
+    "q206_calibration_bins",
+    "q207_readability",
+    "q208_bfs_reach",
+    "q209_record_linkage",
+    "q210_neyman_allocation",
+    "q211_jaccard_links",
+    "q212_retrieval_eval",
+    "q213_kaplan_meier",
+    "q214_logrank_cohorts",
+    "q215_theil_sen_trend",
+    "q216_isotonic_calibration",
+    "q217_holt_winters",
+    "q218_neighborhood_function",
+    "q219_degree_assortativity",
+    "q220_adamic_adar",
+    "q221_mutual_information",
+    "q222_threshold_sweep",
+    "q223_containment_join",
+    "q224_textrank_keywords",
+    "q225_image_dhash",
+    "q226_image_neardup",
+    "q227_audio_energy_hash",
+    "q228_bh_fdr",
+    "q229_robust_means",
 ]
 
 

@@ -332,3 +332,137 @@ def touch_attribution(
         F.col("__last.y").alias("last_touch_type"),
         "n_touches",
     )
+
+
+START_STATE = "__START__"
+CONV_STATE = "__CONV__"
+NULL_STATE = "__NULL__"
+
+
+def _absorb_walk(
+    counts: dict[tuple[str, str], int], units: int, rounds: int
+) -> int:
+    """Fixed-round integer absorption walk from START; returns the mass
+    (in units) absorbed at CONV.  p[j] += (p[i] * c_ij) div tot_i —
+    integral div, the personalized-PageRank convention, so any engine
+    replays it bit-for-bit.  Floor leak < |edges| units/round,
+    documented not hidden."""
+    totals: dict[str, int] = {}
+    for (i, _j), c in counts.items():
+        totals[i] = totals.get(i, 0) + c
+    p = {START_STATE: int(units)}
+    for _ in range(int(rounds)):
+        nxt: dict[str, int] = {}
+        for s, m in p.items():
+            if s in (CONV_STATE, NULL_STATE):
+                nxt[s] = nxt.get(s, 0) + m
+        for (i, j), c in sorted(counts.items()):
+            m = p.get(i)
+            if m and i not in (CONV_STATE, NULL_STATE):
+                nxt[j] = nxt.get(j, 0) + (m * c) // totals[i]
+        p = {k: v for k, v in nxt.items() if v > 0}
+    return p.get(CONV_STATE, 0)
+
+
+def markov_attribution(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    channels: list[str],
+    conversion: str,
+    rounds: int = 4,
+    units: int = 1 << 30,
+) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2016) — the
+    data-driven upgrade over q203's first/last-touch heuristics: model
+    each user's pre-conversion journey as a Markov chain over channels,
+    and credit channel X by how much the conversion probability DROPS
+    when X is removed (edges into X redirect to the NULL absorber):
+
+        removal(X) = P_conv(full chain) - P_conv(chain without X)
+        share(X)   = removal(X) / sum over channels of removal
+
+    Spark does the event-scale work — per-user journeys cut at the
+    FIRST conversion, one sort window, transition COUNTS via lead —
+    and the chain itself (<= |channels|+3 states) is solved at the
+    driver, the covariance-eigh altitude: a fixed-round INTEGER
+    absorption walk (integral div, the q202 convention) that any
+    engine replays exactly; the SQL oracle re-runs the identical walk
+    with unrolled rounds.
+
+    Output: one row per channel — (channel, conv_base_units,
+    conv_removed_units, removal_units, share) under integer units;
+    share is NULL when no channel has positive removal.
+    """
+    from pyspark.sql import Window
+
+    chs = list(channels)
+    u = int(units)
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__y"),
+    ).filter(F.col("__y").isin(chs + [conversion]))
+    w = Window.partitionBy("__u").orderBy("__ts", "__y")
+    prior_conv = F.sum(
+        F.when(F.col("__y") == conversion, 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    kept = ev.withColumn("__prior", F.coalesce(prior_conv, F.lit(0))).filter(
+        F.col("__prior") == 0
+    )
+    w2 = Window.partitionBy("__u").orderBy("__ts", "__y")
+    kept = kept.withColumn("__r", F.row_number().over(w2)).withColumn(
+        "__nxt", F.lead("__y").over(w2)
+    )
+    state = F.when(F.col("__y") == conversion, F.lit(CONV_STATE)).otherwise(
+        F.col("__y")
+    )
+    nxt_state = F.when(F.col("__nxt").isNull(), F.lit(NULL_STATE)).otherwise(
+        F.when(F.col("__nxt") == conversion, F.lit(CONV_STATE)).otherwise(
+            F.col("__nxt")
+        )
+    )
+    start_edges = kept.filter(F.col("__r") == 1).select(
+        F.lit(START_STATE).alias("src"), state.alias("dst")
+    )
+    step_edges = kept.filter(
+        (F.col("__y") != conversion)
+    ).select(state.alias("src"), nxt_state.alias("dst"))
+    edges = start_edges.unionByName(step_edges)
+    counts_rows = (
+        edges.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ).collect()
+    counts = {(r["src"], r["dst"]): int(r["c"]) for r in counts_rows}
+
+    base = _absorb_walk(counts, u, rounds)
+    out = []
+    for x in chs:
+        removed: dict[tuple[str, str], int] = {}
+        for (i, j), c in counts.items():
+            if i == x:
+                continue
+            jj = NULL_STATE if j == x else j
+            removed[(i, jj)] = removed.get((i, jj), 0) + c
+        conv_x = _absorb_walk(removed, u, rounds)
+        out.append((x, base, conv_x, base - conv_x))
+    total_removal = sum(max(r[3], 0) for r in out)
+    spark = events.sparkSession
+    res = spark.createDataFrame(
+        out,
+        "channel string, conv_base_units long, conv_removed_units long,"
+        " removal_units long",
+    )
+    share = F.when(
+        F.lit(total_removal) > 0,
+        F.greatest(F.col("removal_units"), F.lit(0)).cast("double")
+        / F.lit(float(total_removal)),
+    )
+    return res.select(
+        "channel",
+        "conv_base_units",
+        "conv_removed_units",
+        "removal_units",
+        share.alias("share"),
+    )

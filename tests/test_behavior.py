@@ -201,3 +201,55 @@ def test_proportion_ztest_matches_closed_form_and_nulls(spark):
     assert abs(r.z - z) < 1e-12 and abs(r.lift - (p_t - p_c)) < 1e-15
     assert got["g2"].z is None and got["g2"].rate_treatment is None
     assert got["g3"].z is None and got["g3"].lift == 0.0
+
+
+def test_markov_attribution_hand_chain(spark):
+    from patternly_spark.operators.behavior import markov_attribution
+
+    # user 1: A -> B -> conv ; user 2: A -> null ; user 3: B -> conv
+    rows = [
+        (1, 1, "A"), (1, 2, "B"), (1, 3, "conv"),
+        (2, 1, "A"),
+        (3, 1, "B"), (3, 2, "conv"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    out = {r["channel"]: r for r in markov_attribution(
+        df, channels=["A", "B"], conversion="conv", rounds=6
+    ).collect()}
+    u = 1 << 30
+    # counts: START->A 2, START->B 1, A->B 1, A->NULL 1, B->CONV 2
+    # removing B: START->A 2, START->NULL 1, A->NULL 2 -> conv mass 0
+    assert out["B"]["conv_removed_units"] == 0
+    assert out["B"]["removal_units"] == out["B"]["conv_base_units"]
+    # removing A: START->NULL 2, START->B 1, B->CONV 2 -> conv = u/3
+    assert out["A"]["conv_removed_units"] == (u // 3)
+    # base chain: START splits 2/3 A, 1/3 B; A: 1/2 B, 1/2 NULL; B->CONV
+    pA = (u * 2) // 3
+    pB = u // 3
+    base = pB + ((pA * 1) // 2)  # B mass after round 1 -> all to CONV
+    assert out["A"]["conv_base_units"] == base
+    # shares sum to 1 and B dominates
+    assert abs(out["A"]["share"] + out["B"]["share"] - 1.0) < 1e-12
+    assert out["B"]["share"] > out["A"]["share"]
+
+
+def test_markov_attribution_first_conversion_cut_and_no_conv(spark):
+    from patternly_spark.operators.behavior import markov_attribution
+
+    # post-conversion touches must NOT count; a never-converting corpus
+    # yields zero conv mass and NULL shares
+    rows = [
+        (1, 1, "A"), (1, 2, "conv"), (1, 3, "B"), (1, 4, "conv"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    out = {r["channel"]: r for r in markov_attribution(
+        df, channels=["A", "B"], conversion="conv"
+    ).collect()}
+    # B only ever appears after the first conversion -> no effect at all
+    assert out["B"]["removal_units"] == 0
+    assert out["A"]["conv_base_units"] == 1 << 30  # A -> conv certain
+    noconv = spark.createDataFrame(
+        [(1, 1, "A"), (2, 1, "B")], "user_id long, ts long, event_type string"
+    )
+    o2 = markov_attribution(noconv, channels=["A", "B"], conversion="conv").collect()
+    assert all(r["conv_base_units"] == 0 and r["share"] is None for r in o2)
