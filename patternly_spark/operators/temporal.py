@@ -820,6 +820,28 @@ def kaplan_meier(
         F.sum(ev).cast("long").alias("d"),
         F.sum(F.lit(1) - ev).cast("long").alias("c"),
     )
+    return kaplan_meier_from_grid(grid, group_cols=gcols)
+
+
+def kaplan_meier_from_grid(
+    grid: DataFrame,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Finalize a (group_cols..., t, d, c) event/censoring-count grid
+    into the Kaplan-Meier curve — the additive half/finalize split:
+    grid counts are INTEGER sums, so grids over disjoint subject
+    batches fold by (group, t) addition, which is exactly what the
+    streaming survival registry persists (`streaming/drift.py::
+    streaming_survival_registry`).  Arithmetic identical to
+    ``kaplan_meier`` (this IS its second half)."""
+    gcols = list(group_cols or [])
+    grid = grid.select(
+        *gcols,
+        F.col("t").cast("long").alias("t"),
+        F.col("d").cast("long").alias("d"),
+        F.col("c").cast("long").alias("c"),
+    )
     w = (
         Window.partitionBy(*[F.col(g) for g in gcols])
         .orderBy("t")

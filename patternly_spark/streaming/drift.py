@@ -429,3 +429,64 @@ def streaming_holt(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_survival_registry(
+    stream_df: DataFrame,
+    registry_path: str,
+    *,
+    checkpoint_path: str,
+    duration_col: str,
+    event_col: str,
+    group_cols: list[str] | None = None,
+    trigger_once: bool = False,
+):
+    """foreachBatch survival registry: fold each microbatch's subjects
+    into the persisted (group, t, d, c) event/censoring-count grid by
+    (group, t) integer addition — the additive half of ``kaplan_meier``
+    (and ``logrank_test``, which runs off the same grid).  Finalize any
+    time with ``operators/temporal.kaplan_meier_from_grid`` on the
+    registry; registry == batch over all history (union-parity pinned).
+
+    Contract: a subject arrives ONCE, with its final (duration, event)
+    — the natural shape when journeys close (churned or observation
+    window ended).  Re-sent subjects double-count, as in any additive
+    registry.  State is grid-sized (groups x distinct durations), never
+    subject-sized.
+    """
+    from pyspark.sql import functions as F
+
+    gcols = list(group_cols or [])
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        grid = batch_df.groupBy(
+            *gcols, F.col(duration_col).cast("long").alias("t")
+        ).agg(
+            F.sum(F.col(event_col).cast("int")).cast("long").alias("d"),
+            F.sum(F.lit(1) - F.col(event_col).cast("int"))
+            .cast("long")
+            .alias("c"),
+        )
+        try:
+            existing = spark.read.parquet(registry_path)
+            grid = (
+                grid.unionByName(existing)
+                .groupBy(*gcols, "t")
+                .agg(
+                    F.sum("d").cast("long").alias("d"),
+                    F.sum("c").cast("long").alias("c"),
+                )
+            )
+        except Exception:
+            pass
+        grid.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            registry_path
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

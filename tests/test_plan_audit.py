@@ -375,3 +375,109 @@ def test_round5_late_operator_plan_shapes(spark):
     )
     # the ONE nested loop is the bounded short-key broadcast cross
     assert pj["python_evals"] == 0 and pj["nested_loop_joins"] <= 1
+
+
+def test_round5_stats_and_survival_plan_shapes(spark):
+    """Plan pins for the round-5 statistics family: key joins only, no
+    Python in the hot path, shuffle counts at the documented shape."""
+    from patternly_spark.operators.drift import (
+        bh_fdr,
+        mutual_information,
+        robust_means,
+        theil_sen_trend,
+    )
+    from patternly_spark.operators.model_eval import (
+        isotonic_calibration,
+        threshold_sweep,
+    )
+    from patternly_spark.operators.temporal import kaplan_meier, logrank_test
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    subj = docs.select(
+        (F.col("doc_id") % 3).cast("int").alias("g"),
+        (F.col("n_chars") % 17).alias("dur"),
+        (F.col("doc_id") % 2 == 0).alias("ev"),
+    )
+    km = plan_audit(kaplan_meier(subj, duration_col="dur", event_col="ev",
+                                 group_cols=["g"]))
+    assert km["python_evals"] == 0 and km["nested_loop_joins"] == 0
+
+    lr = plan_audit(logrank_test(subj, duration_col="dur", event_col="ev",
+                                 group_col="g"))
+    assert lr["python_evals"] == 0
+    # exactly two nested-loop members, both broadcast-tiny by design:
+    # the 1-row chi2 crossJoin and the grid.dur >= t theta join against
+    # the BROADCAST pooled-event-times relation (grid-sized, never
+    # subject-sized — logrank_test's documented shape)
+    assert lr["nested_loop_joins"] <= 2
+
+    pts = docs.select(
+        (F.col("doc_id") % 2).cast("int").alias("g"),
+        (F.col("doc_id") % 29).cast("double").alias("x"),
+        F.col("n_chars").cast("double").alias("y"),
+    )
+    ts = plan_audit(theil_sen_trend(pts, x_col="x", y_col="y", group_cols=["g"]))
+    assert ts["python_evals"] == 0 and ts["nested_loop_joins"] == 0
+
+    scored = docs.select(
+        (F.col("doc_id") % 2).cast("int").alias("g"),
+        ((F.col("doc_id") % 64).cast("double") / 64.0).alias("s"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("l"),
+    )
+    iso = plan_audit(isotonic_calibration(scored, score_col="s", label_col="l",
+                                          group_cols=["g"]))
+    assert iso["python_evals"] == 0 and iso["nested_loop_joins"] == 0
+
+    sw = plan_audit(threshold_sweep(scored, score_col="s", label_col="l",
+                                    group_cols=["g"]))
+    assert sw["python_evals"] == 0 and sw["nested_loop_joins"] == 0
+
+    mi = plan_audit(mutual_information(docs, x_col="lang", y_col="source"))
+    assert mi["python_evals"] == 0 and mi["nested_loop_joins"] == 0
+
+    fdr = plan_audit(bh_fdr(docs.select("doc_id",
+                                        ((F.col("doc_id") % 97).cast("double")
+                                         / 97.0).alias("p")),
+                            p_col="p", id_cols=["doc_id"]))
+    assert fdr["python_evals"] == 0 and fdr["nested_loop_joins"] == 0
+
+    rm = plan_audit(robust_means(docs.select(
+        F.col("lang").alias("g"), F.col("n_chars").alias("c")),
+        value_cents_col="c", group_cols=["g"]))
+    assert rm["python_evals"] == 0 and rm["nested_loop_joins"] == 0
+
+
+def test_round5_graph_text_multimodal_plan_shapes(spark):
+    """Plan pins for round-5 graph/text/multimodal: wedge joins stay
+    key-equi, TextRank's walk is key joins, containment has zero
+    Python, the media hashes are the ONLY Python crossings in their
+    plans."""
+    from patternly_spark.operators.dedup import set_containment_join
+    from patternly_spark.operators.graph import (
+        adamic_adar_link_prediction,
+        degree_assortativity,
+    )
+    from patternly_spark.operators.lm import textrank_keywords
+    from patternly_spark.operators.multimodal import audio_energy_hash, image_dhash
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edges = docs.select(
+        (F.col("doc_id") % 50).alias("src"), (F.col("doc_id") % 37).alias("dst")
+    )
+    da = plan_audit(degree_assortativity(edges))
+    assert da["python_evals"] == 0 and da["nested_loop_joins"] == 0
+
+    aa = plan_audit(adamic_adar_link_prediction(edges))
+    assert aa["python_evals"] == 0 and aa["nested_loop_joins"] == 0
+
+    cj = plan_audit(set_containment_join(docs, threshold=0.8))
+    assert cj["python_evals"] == 0 and cj["nested_loop_joins"] == 0
+
+    tr = plan_audit(textrank_keywords(docs, top_k=5, iterations=1))
+    assert tr["python_evals"] == 0 and tr["nested_loop_joins"] == 0
+
+    media = spark.createDataFrame([(0, b"x")], "media_id long, payload binary")
+    dh = plan_audit(image_dhash(media))
+    assert dh["python_evals"] == 1  # the Arrow decode kernel, nothing else
+    ah = plan_audit(audio_energy_hash(media, frames=4))
+    assert ah["python_evals"] == 1

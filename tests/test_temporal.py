@@ -709,3 +709,43 @@ def test_holt_winters_short_keys_dropped_and_partition_invariant(spark):
         by_phase.setdefault(r["t"] % 7, []).append(r["season"])
     mean_by_phase = {p: statistics.mean(v) for p, v in by_phase.items()}
     assert max(mean_by_phase, key=mean_by_phase.get) == 6
+
+
+def test_streaming_survival_registry_equals_batch(spark, tmp_path):
+    from patternly_spark.operators.temporal import (
+        kaplan_meier,
+        kaplan_meier_from_grid,
+    )
+    from patternly_spark.streaming.drift import streaming_survival_registry
+
+    schema = "g string, dur long, event boolean"
+    b0 = [("a", (i % 9) + 1, i % 2 == 0) for i in range(40)]
+    b1 = [("a", (i % 6) + 2, i % 3 == 0) for i in range(30)] + [
+        ("b", (i % 4) + 1, i % 2 == 1) for i in range(20)
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    reg = str(tmp_path / "registry")
+    q = streaming_survival_registry(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        reg,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        duration_col="dur",
+        event_col="event",
+        group_cols=["g"],
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got = kaplan_meier_from_grid(
+        spark.read.parquet(reg), group_cols=["g"]
+    ).orderBy("g", "t").collect()
+    want = kaplan_meier(
+        spark.createDataFrame(b0 + b1, schema),
+        duration_col="dur",
+        event_col="event",
+        group_cols=["g"],
+    ).orderBy("g", "t").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
