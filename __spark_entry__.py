@@ -10092,6 +10092,95 @@ def _q230_oracle() -> str:
 """
 
 
+def q231_shapley_attribution(spark, sf_dir):
+    """Exact Shapley-value attribution over pre-purchase touch sets
+    (operators/behavior.shapley_attribution): coalition value =
+    conversions among users whose touch set fits the coalition, channel
+    credit = factorial-scaled INTEGER Shapley values (efficiency axiom
+    holds exactly).  Spark reduces events to <=2^4 set counts; the
+    lattice solves at the driver; the oracle replays the identical
+    integer lattice with list_has_all containment."""
+    from patternly_spark.operators.behavior import shapley_attribution
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts"), "event_type"
+    )
+    return shapley_attribution(
+        e,
+        ts_col="ts",
+        channels=["click", "error", "signup", "view"],
+        conversion="purchase",
+    )
+
+
+def _q231_oracle() -> str:
+    import math
+
+    channels = sorted(["click", "error", "signup", "view"])
+    n = len(channels)
+    fact = [math.factorial(k) for k in range(n + 1)]
+
+    def subset(mask: int) -> list[str]:
+        return [c for i, c in enumerate(channels) if mask >> i & 1]
+
+    v_cols = []
+    for mask in range(1 << n):
+        lit = "[" + ", ".join(f"'{c}'" for c in subset(mask)) + "]"
+        v_cols.append(
+            f"COALESCE(SUM(CASE WHEN list_has_all({lit}::VARCHAR[], s)"
+            f" THEN n_conv END), 0)::BIGINT AS v_{mask}"
+        )
+    v_sql = ",\n               ".join(v_cols)
+
+    rows = []
+    full_mask = (1 << n) - 1
+    for i, x in enumerate(channels):
+        terms = []
+        for mask in range(1 << n):
+            if mask >> i & 1:
+                continue
+            k = bin(mask).count("1")
+            wgt = fact[k] * fact[n - 1 - k]
+            terms.append(f"{wgt} * (v_{mask | (1 << i)} - v_{mask})")
+        phi = " + ".join(terms)
+        rows.append(
+            f"""SELECT '{x}' AS channel, CAST({phi} AS BIGINT) AS phi_units,
+               CASE WHEN v_{full_mask} - v_0 > 0
+                    THEN CAST({phi} AS DOUBLE)
+                         / CAST((v_{full_mask} - v_0) * {fact[n]} AS DOUBLE)
+                    END AS share
+        FROM v"""
+        )
+    union = "\n        UNION ALL\n        ".join(rows)
+    return f"""
+    WITH ev AS (
+        SELECT user_id AS u, epoch_us(ts) AS ts, event_type AS y
+        FROM events
+        WHERE event_type IN ('click', 'error', 'signup', 'view', 'purchase')
+    ), pri AS (
+        SELECT *, COALESCE(SUM(CASE WHEN y = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY u ORDER BY ts, y
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prior
+        FROM ev
+    ), kept AS (
+        SELECT u, y FROM pri WHERE prior = 0
+    ), per_user AS (
+        SELECT u,
+               COALESCE(list_sort(list_distinct(
+                   list(y) FILTER (WHERE y <> 'purchase'))), []) AS s,
+               MAX(CASE WHEN y = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM kept GROUP BY u
+    ), sc AS MATERIALIZED (
+        SELECT s, SUM(conv)::BIGINT AS n_conv FROM per_user GROUP BY s
+    ), v AS (
+        SELECT {v_sql}
+        FROM sc
+    )
+    {union}
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -10332,6 +10421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q228_bh_fdr": q228_bh_fdr,
         "q229_robust_means": q229_robust_means,
         "q230_markov_attribution": q230_markov_attribution,
+        "q231_shapley_attribution": q231_shapley_attribution,
     }
 
 
@@ -12072,6 +12162,7 @@ def oracle_sql() -> dict[str, str]:
         "q228_bh_fdr": _Q228_ORACLE,
         "q229_robust_means": _Q229_ORACLE,
         "q230_markov_attribution": _q230_oracle(),
+        "q231_shapley_attribution": _q231_oracle(),
     }
 
 

@@ -247,6 +247,8 @@ BENCH_QUERIES = [
     "q227_audio_energy_hash",
     "q228_bh_fdr",
     "q229_robust_means",
+    "q230_markov_attribution",
+    "q231_shapley_attribution",
 ]
 
 

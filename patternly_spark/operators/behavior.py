@@ -466,3 +466,99 @@ def markov_attribution(
         "removal_units",
         share.alias("share"),
     )
+
+
+def shapley_attribution(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    channels: list[str],
+    conversion: str,
+) -> DataFrame:
+    """EXACT Shapley-value attribution over touch SETS — the
+    cooperative-game companion to ``markov_attribution``'s chain model
+    (Dalessandro et al.; the model behind "data-driven attribution" in
+    ad platforms).  Coalition value v(S) = number of conversions among
+    users whose pre-conversion touch set is CONTAINED in S; channel
+    credit is the Shapley value
+
+        phi_x = sum over S subseteq C\\{x} of
+                |S|!(n-1-|S|)!/n! * (v(S+{x}) - v(S)).
+
+    Exactness: multiply through by n! — every weight |S|!(n-1-|S|)! is
+    an INTEGER, v() is an integer count, so phi*n! is exact integer
+    arithmetic; the efficiency axiom sum(phi) = v(C) - v({}) holds
+    EXACTLY in those units (tested).  The subset lattice is 2^n — this
+    is deliberately for marketing-sized channel sets (n <= 12 raises),
+    not features.
+
+    Shape: Spark reduces the event stream to (touch-set, conversions)
+    counts — one sort window + one groupBy, at most 2^n distinct sets —
+    and the lattice walk runs at the driver (covariance-eigh altitude);
+    the SQL oracle replays the identical integer lattice.
+
+    Output: (channel, phi_units long — phi * n! * 1, share double);
+    share NULL when no conversions.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    chs = sorted(channels)
+    n = len(chs)
+    if n > 12:
+        raise ValueError("shapley_attribution: 2^n lattice; n <= 12 channels")
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__y"),
+    ).filter(F.col("__y").isin(chs + [conversion]))
+    w = Window.partitionBy("__u").orderBy("__ts", "__y")
+    prior_conv = F.sum(
+        F.when(F.col("__y") == conversion, 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    kept = ev.withColumn("__prior", F.coalesce(prior_conv, F.lit(0))).filter(
+        F.col("__prior") == 0
+    )
+    per_user = kept.groupBy("__u").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(F.when(F.col("__y") != conversion, F.col("__y")))
+            )
+        ).alias("__set"),
+        F.max((F.col("__y") == conversion).cast("int")).alias("__conv"),
+    )
+    set_counts = per_user.groupBy("__set").agg(
+        F.sum("__conv").cast("long").alias("n_conv"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+    rows = set_counts.collect()
+    conv_by_set = {tuple(r["__set"]): int(r["n_conv"]) for r in rows}
+
+    def v(coalition: frozenset) -> int:
+        return sum(
+            c for s, c in conv_by_set.items() if coalition.issuperset(s)
+        )
+
+    fact = [math.factorial(k) for k in range(n + 1)]
+    out = []
+    full = frozenset(chs)
+    for x in chs:
+        others = [c for c in chs if c != x]
+        phi = 0
+        for mask in range(1 << len(others)):
+            s = frozenset(o for i, o in enumerate(others) if mask >> i & 1)
+            wgt = fact[len(s)] * fact[n - 1 - len(s)]
+            phi += wgt * (v(s | {x}) - v(s))
+        out.append((x, phi))
+    total = v(full) - v(frozenset())
+    spark = events.sparkSession
+    res = spark.createDataFrame(out, "channel string, phi_units long")
+    share = F.when(
+        F.lit(total) > 0,
+        F.col("phi_units").cast("double")
+        / F.lit(float(total * fact[n])),
+    )
+    return res.select("channel", "phi_units", share.alias("share"))

@@ -253,3 +253,45 @@ def test_markov_attribution_first_conversion_cut_and_no_conv(spark):
     )
     o2 = markov_attribution(noconv, channels=["A", "B"], conversion="conv").collect()
     assert all(r["conv_base_units"] == 0 and r["share"] is None for r in o2)
+
+
+def test_shapley_attribution_hand_game_and_efficiency(spark):
+    import math
+
+    from patternly_spark.operators.behavior import shapley_attribution
+
+    # u1: {A} -> conv; u2: {A,B} -> conv; u3: {B} no conv; u4: {} -> conv
+    rows = [
+        (1, 1, "A"), (1, 2, "conv"),
+        (2, 1, "A"), (2, 2, "B"), (2, 3, "conv"),
+        (3, 1, "B"),
+        (4, 1, "conv"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    out = {r["channel"]: r for r in shapley_attribution(
+        df, channels=["A", "B"], conversion="conv"
+    ).collect()}
+    # v({}) = 1 (u4); v({A}) = 2; v({B}) = 1; v({A,B}) = 3
+    # phi_A*2! = 0!1!(v(A)-v({})) + 1!0!(v(AB)-v(B)) = 1 + 2 = 3
+    # phi_B*2! = (v(B)-v({})) + (v(AB)-v(A)) = 0 + 1 = 1
+    assert out["A"]["phi_units"] == 3
+    assert out["B"]["phi_units"] == 1
+    # efficiency: sum(phi*n!) == (v(C) - v({})) * n!
+    assert out["A"]["phi_units"] + out["B"]["phi_units"] == (3 - 1) * math.factorial(2)
+    assert out["A"]["share"] == 3 / 4.0 and out["B"]["share"] == 1 / 4.0
+
+
+def test_shapley_attribution_no_conversions_and_guard(spark):
+    import pytest
+
+    from patternly_spark.operators.behavior import shapley_attribution
+
+    df = spark.createDataFrame(
+        [(1, 1, "A"), (2, 1, "B")], "user_id long, ts long, event_type string"
+    )
+    out = shapley_attribution(df, channels=["A", "B"], conversion="conv").collect()
+    assert all(r["share"] is None for r in out)
+    with pytest.raises(ValueError, match="n <= 12"):
+        shapley_attribution(
+            df, channels=[f"c{i}" for i in range(13)], conversion="conv"
+        )
