@@ -10181,6 +10181,163 @@ def _q231_oracle() -> str:
 """
 
 
+def q232_pii_scan(spark, sf_dir):
+    """PII census over documents with PLANTED identifiers (operators/
+    validate.pii_scan): the corpus text carries none, so deterministic
+    keys get an email (%11), a dashed phone (%7), an SSN shape (%13),
+    an IPv4 (%19), and key %29 gets BOTH a Luhn-valid card number and
+    an off-by-one invalid twin — the checksum column must separate
+    them.  Regexes are the Java/RE2 shared subset and the Luhn fold is
+    integer arithmetic, so the oracle replays the scan exactly."""
+    from patternly_spark.operators.validate import pii_scan
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" user"), F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" 555-867-5309")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 19 == 0, F.lit(" 10.0.0.1")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 29 == 0,
+                F.lit(" 4111111111111111 4111111111111112"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scan(planted)
+
+
+_Q232_ORACLE = r"""
+    WITH planted AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN ' 555-867-5309'
+                       ELSE '' END
+               || CASE WHEN doc_id % 13 = 0 THEN ' 123-45-6789'
+                       ELSE '' END
+               || CASE WHEN doc_id % 19 = 0 THEN ' 10.0.0.1' ELSE '' END
+               || CASE WHEN doc_id % 29 = 0
+                       THEN ' 4111111111111111 4111111111111112'
+                       ELSE '' END AS text
+        FROM documents
+    ), scanned AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text,
+                   '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(text,
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                   AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(text,
+                   '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+               regexp_extract_all(text, '\b\d{13,16}\b') AS cands
+        FROM planted
+    ), luhn AS (
+        SELECT *,
+               CAST(len(cands) AS BIGINT) AS n_ccn_like,
+               CAST(len(list_filter(cands, c ->
+                   list_sum(list_transform(range(1, length(c) + 1), i ->
+                       CASE WHEN (length(c) - i) % 2 = 1
+                            THEN CASE WHEN CAST(c[i] AS INT) * 2 > 9
+                                      THEN CAST(c[i] AS INT) * 2 - 9
+                                      ELSE CAST(c[i] AS INT) * 2 END
+                            ELSE CAST(c[i] AS INT) END)) % 10 = 0
+               )) AS BIGINT) AS n_ccn_valid
+        FROM scanned
+    )
+    SELECT doc_id, n_email, n_phone, n_ipv4, n_ssn, n_ccn_like,
+           n_ccn_valid,
+           n_email > 0 OR n_phone > 0 OR n_ipv4 > 0 OR n_ssn > 0
+               OR n_ccn_valid > 0 AS has_pii
+    FROM luhn
+"""
+
+
+def q233_sprt_monitor(spark, sf_dir):
+    """Wald SPRT purchase-rate monitor per user segment
+    (operators/drift.sprt_test): H0 p=0.15 vs H1 p=0.25 at
+    alpha=beta=0.05, observations in (ts, outcome) order.  The two
+    per-observation LLR increments and both thresholds are quantized
+    once to 2^-20 integer units, so the walk is one integer cumulative
+    window and the first-crossing verdict is rank arithmetic — plain
+    SQL replays the entire path."""
+    from patternly_spark.operators.drift import sprt_test
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).cast("int").alias("segment"),
+        F.unix_micros("ts").alias("ts"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return sprt_test(
+        e, ts_col="ts", outcome_col="y", group_cols=["segment"],
+        p0=0.15, p1=0.25, alpha=0.05, beta=0.05,
+    )
+
+
+def _q233_oracle() -> str:
+    import math
+
+    u = 1 << 20
+    p0, p1, al, be = 0.15, 0.25, 0.05, 0.05
+    inc1 = math.floor(math.log(p1 / p0) * u)
+    inc0 = math.floor(math.log((1.0 - p1) / (1.0 - p0)) * u)
+    hi = math.floor(math.log((1.0 - be) / al) * u)
+    lo = math.floor(math.log(be / (1.0 - al)) * u)
+    return f"""
+    WITH obs AS (
+        SELECT CAST(user_id % 4 AS INT) AS segment, epoch_us(ts) AS ts,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ), walk AS (
+        SELECT segment, y,
+               SUM(CASE WHEN y = 1 THEN {inc1} ELSE {inc0} END)
+                   OVER (PARTITION BY segment ORDER BY ts, y
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS llr,
+               ROW_NUMBER() OVER (PARTITION BY segment ORDER BY ts, y) AS r
+        FROM obs
+    ), dec AS (
+        SELECT *,
+               CASE WHEN llr >= {hi} THEN 'accept_h1'
+                    WHEN llr <= {lo} THEN 'accept_h0' END AS d
+        FROM walk
+    ), agg AS (
+        SELECT segment,
+               COUNT(*)::BIGINT AS n_obs,
+               arg_min(d, r) FILTER (WHERE d IS NOT NULL) AS first_d,
+               MIN(r) FILTER (WHERE d IS NOT NULL)::BIGINT AS first_r,
+               arg_min(llr, r) FILTER (WHERE d IS NOT NULL) AS first_llr,
+               arg_max(llr, r) AS last_llr
+        FROM dec GROUP BY segment
+    )
+    SELECT segment, n_obs,
+           COALESCE(first_d, 'continue') AS decision,
+           first_r AS n_at_decision,
+           CAST(last_llr AS DOUBLE) / {float(u):.1f} AS llr_final,
+           CAST(first_llr AS DOUBLE) / {float(u):.1f} AS llr_at_decision
+    FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -10422,6 +10579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q229_robust_means": q229_robust_means,
         "q230_markov_attribution": q230_markov_attribution,
         "q231_shapley_attribution": q231_shapley_attribution,
+        "q232_pii_scan": q232_pii_scan,
+        "q233_sprt_monitor": q233_sprt_monitor,
     }
 
 
@@ -12163,6 +12322,8 @@ def oracle_sql() -> dict[str, str]:
         "q229_robust_means": _Q229_ORACLE,
         "q230_markov_attribution": _q230_oracle(),
         "q231_shapley_attribution": _q231_oracle(),
+        "q232_pii_scan": _Q232_ORACLE,
+        "q233_sprt_monitor": _q233_oracle(),
     }
 
 

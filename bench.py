@@ -249,6 +249,8 @@ BENCH_QUERIES = [
     "q229_robust_means",
     "q230_markov_attribution",
     "q231_shapley_attribution",
+    "q232_pii_scan",
+    "q233_sprt_monitor",
 ]
 
 

@@ -853,3 +853,87 @@ def robust_means(
             F.col("__sw").cast("double") / F.col("n").cast("double"),
         ).alias("winsorized_mean"),
     )
+
+
+def sprt_test(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    outcome_col: str,
+    group_cols: list[str] | None = None,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+    units: int = 1 << 20,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test per group — the
+    peeking-safe A/B monitor (q204's z-test is only valid at a FIXED n;
+    SPRT is the test you may legally check after every observation):
+    Bernoulli H0: p = p0 vs H1: p = p1, decide H1 when the
+    log-likelihood ratio crosses ln((1-beta)/alpha), H0 when it falls
+    below ln(beta/(1-alpha)).
+
+    Exactness: the TWO per-observation increments ln(p1/p0) and
+    ln((1-p1)/(1-p0)) and both thresholds are Python-computed double
+    literals floor-quantized to ``units`` once — every observation then
+    adds an INTEGER, the LLR path is one cumulative window sum, and the
+    first-crossing row is rank arithmetic.  Plain SQL replays the whole
+    walk.
+
+    Shape: one (group) sort window over the observations + one group
+    aggregate.  Output: one row per group — (group_cols..., n_obs,
+    decision 'accept_h1'|'accept_h0'|'continue', n_at_decision,
+    llr_final, llr_at_decision) with llr columns in nats (units
+    de-scaled).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    u = int(units)
+    if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0 and p0 != p1):
+        raise ValueError("p0, p1 in (0,1), p0 != p1")
+    inc1 = math.floor(math.log(p1 / p0) * u)
+    inc0 = math.floor(math.log((1.0 - p1) / (1.0 - p0)) * u)
+    hi = math.floor(math.log((1.0 - beta) / alpha) * u)
+    lo = math.floor(math.log(beta / (1.0 - alpha)) * u)
+
+    # total order (ts, outcome): rows equal in BOTH are interchangeable
+    # (identical increment), so the LLR path is partition-invariant
+    w = (
+        Window.partitionBy(*gcols).orderBy(F.col(ts_col), F.col(outcome_col))
+        if gcols
+        else Window.orderBy(F.col(ts_col), F.col(outcome_col))
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inc = F.when(
+        F.col(outcome_col).cast("int") == 1, F.lit(inc1)
+    ).otherwise(F.lit(inc0)).cast("long")
+    walk = df.select(*gcols, F.col(ts_col), F.col(outcome_col)).withColumn(
+        "__llr", F.sum(inc).over(wc)
+    ).withColumn("__r", F.row_number().over(w))
+    crossed = F.when(F.col("__llr") >= hi, F.lit("accept_h1")).when(
+        F.col("__llr") <= lo, F.lit("accept_h0")
+    )
+    walk = walk.withColumn("__dec", crossed)
+    agg = walk.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.min(
+            F.when(F.col("__dec").isNotNull(), F.struct("__r", "__dec", "__llr"))
+        ).alias("__firstrow"),
+        F.max(F.struct("__r", F.col("__llr").alias("l"))).alias("__last"),
+    )
+    return agg.select(
+        *gcols,
+        "n_obs",
+        F.coalesce(F.col("__firstrow.__dec"), F.lit("continue")).alias(
+            "decision"
+        ),
+        F.col("__firstrow.__r").alias("n_at_decision"),
+        (F.col("__last.l").cast("double") / F.lit(float(u))).alias("llr_final"),
+        (F.col("__firstrow.__llr").cast("double") / F.lit(float(u))).alias(
+            "llr_at_decision"
+        ),
+    )

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["data_quality_report"]
+__all__ = ["data_quality_report", "pii_scan", "PII_PATTERNS"]
 
 
 def _violation_expr(rule: dict) -> Column:
@@ -150,4 +150,82 @@ def data_quality_report(
         "n_violations",
         rate.alias("violation_rate"),
         (rate <= thr).alias("passed"),
+    )
+
+
+#: conservative PII patterns — shared Java-regex / RE2 subset (no
+#: lookarounds), so Spark and the SQL oracle compile them identically
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+CCN_CANDIDATE = r"\b\d{13,16}\b"
+
+
+def _luhn_valid(c: Column) -> Column:
+    """Luhn checksum over a digit string — pure column arithmetic
+    (double every 2nd digit from the RIGHT, subtract 9 above 9, total
+    divisible by 10), identical in any engine."""
+    L = F.length(c)
+    chars = F.split(c, "")
+
+    def term(acc: Column, i: Column) -> Column:
+        d = F.element_at(chars, i).cast("int")
+        doubled = F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+        return acc + F.when((L - i) % 2 == 1, doubled).otherwise(d)
+
+    total = F.aggregate(F.sequence(F.lit(1), L), F.lit(0), term)
+    return total % 10 == 0
+
+
+def pii_scan(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PII census per document — the redaction gate every training-data
+    release runs before anything ships: counts of emails, dashed US
+    phone numbers, IPv4 literals, SSN-shaped ids, and 13-16-digit card
+    candidates split into Luhn-VALID (real-card-shaped) vs merely
+    card-LIKE — the checksum is what separates an order id from a
+    leaked PAN.
+
+    Everything is `regexp_extract_all` + size + a per-candidate integer
+    Luhn fold: zero shuffle, one scan, engine-exact (the patterns are
+    the Java-regex/RE2 shared subset, and the Luhn fold is integer
+    arithmetic — the SQL oracle replays both).
+
+    Scale: embarrassingly parallel column work; masking/redaction
+    composes downstream with `regexp_replace` over the same patterns.
+
+    Output: (id, n_email, n_phone, n_ipv4, n_ssn, n_ccn_like,
+    n_ccn_valid, has_pii).
+    """
+    text = F.col(text_col)
+    counts = {
+        k: F.size(F.regexp_extract_all(text, F.lit(p), 0)).cast("long")
+        for k, p in PII_PATTERNS.items()
+    }
+    cands = F.regexp_extract_all(text, F.lit(CCN_CANDIDATE), 0)
+    n_like = F.size(cands).cast("long")
+    n_valid = F.size(F.filter(cands, _luhn_valid)).cast("long")
+    has = (
+        (counts["email"] > 0)
+        | (counts["phone"] > 0)
+        | (counts["ipv4"] > 0)
+        | (counts["ssn"] > 0)
+        | (n_valid > 0)
+    )
+    return df.select(
+        F.col(id_col),
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["ssn"].alias("n_ssn"),
+        n_like.alias("n_ccn_like"),
+        n_valid.alias("n_ccn_valid"),
+        has.alias("has_pii"),
     )

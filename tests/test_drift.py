@@ -584,3 +584,54 @@ def test_robust_means_overtrim_and_partition_invariance(spark):
     b = robust_means(dfx.repartition(32), value_cents_col="c", group_cols=["g"]).orderBy("g").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert out["n"] == 2
+
+
+def test_sprt_decides_and_matches_python_replay(spark):
+    import math
+
+    from patternly_spark.operators.drift import sprt_test
+
+    u = 1 << 20
+    p0, p1, al, be = 0.2, 0.5, 0.05, 0.05
+    # group "hot" converts 60% -> accept_h1; "cold" 5% -> accept_h0;
+    # "tiny" has 2 rows -> continue
+    rows = []
+    for i in range(60):
+        rows.append(("hot", i, 1 if (i * 7) % 10 < 6 else 0))
+        rows.append(("cold", i, 1 if (i * 7) % 20 == 0 else 0))
+    rows += [("tiny", 0, 1), ("tiny", 1, 0)]
+    df = spark.createDataFrame(rows, "g string, ts long, y int")
+    out = {r["g"]: r for r in sprt_test(
+        df, ts_col="ts", outcome_col="y", group_cols=["g"],
+        p0=p0, p1=p1, alpha=al, beta=be,
+    ).collect()}
+    assert out["hot"]["decision"] == "accept_h1"
+    assert out["cold"]["decision"] == "accept_h0"
+    assert out["tiny"]["decision"] == "continue"
+    assert out["tiny"]["n_at_decision"] is None
+
+    # python replay of the integer walk for "hot"
+    inc1 = math.floor(math.log(p1 / p0) * u)
+    inc0 = math.floor(math.log((1 - p1) / (1 - p0)) * u)
+    hi = math.floor(math.log((1 - be) / al) * u)
+    seq = sorted([(t, y) for g, t, y in rows if g == "hot"])
+    llr, nd = 0, None
+    for k, (_t, y) in enumerate(seq, 1):
+        llr += inc1 if y else inc0
+        if nd is None and llr >= hi:
+            nd, llr_at = k, llr
+    assert out["hot"]["n_at_decision"] == nd
+    assert out["hot"]["llr_at_decision"] == llr_at / u
+    assert out["hot"]["llr_final"] == llr / u
+
+
+def test_sprt_partition_invariant(spark):
+    from patternly_spark.operators.drift import sprt_test
+
+    rows = [("g", i // 3, (i * 11) % 3 == 0) for i in range(90)]  # ts ties
+    df = spark.createDataFrame(rows, "g string, ts long, y boolean")
+    a = sprt_test(df.coalesce(1), ts_col="ts", outcome_col="y",
+                  group_cols=["g"], p0=0.2, p1=0.4).collect()
+    b = sprt_test(df.repartition(32), ts_col="ts", outcome_col="y",
+                  group_cols=["g"], p0=0.2, p1=0.4).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

