@@ -10338,6 +10338,92 @@ def _q233_oracle() -> str:
 """
 
 
+def q234_pii_redaction(spark, sf_dir):
+    """Redaction capstone (operators/validate.pii_redact over the q232
+    planted corpus): redact, RESCAN, and report per-doc placeholder
+    counts + the rescanned has_pii — which the composition law pins to
+    false everywhere.  Both the replace and the rescan replay in SQL;
+    the oracle compares the redacted TEXT itself, so engine regex
+    semantics are value-checked, not just counted."""
+    from patternly_spark.operators.validate import pii_redact, pii_scan
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" user"), F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" 555-867-5309")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 29 == 0,
+                F.lit(" 4111111111111111"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red = pii_redact(planted)
+    rescan = pii_scan(red)
+    # split with limit=-1: Spark's 2-arg split DROPS trailing empty
+    # strings (a doc ending in a placeholder would undercount)
+    def marks(tok: str):
+        return F.size(F.split(F.col("text"), tok, -1)) - 1
+
+    return red.join(rescan.select("doc_id", "has_pii"), "doc_id").select(
+        "doc_id",
+        "text",
+        marks(r"\[EMAIL\]").cast("int").alias("n_email_marks"),
+        marks(r"\[PHONE\]").cast("int").alias("n_phone_marks"),
+        marks(r"\[NUMBER\]").cast("int").alias("n_number_marks"),
+        "has_pii",
+    )
+
+
+_Q234_ORACLE = r"""
+    WITH planted AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN ' 555-867-5309'
+                       ELSE '' END
+               || CASE WHEN doc_id % 29 = 0 THEN ' 4111111111111111'
+                       ELSE '' END AS text
+        FROM documents
+    ), red AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '[EMAIL]', 'g'),
+                       '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+                     '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+                 '\b\d{13,16}\b', '[NUMBER]', 'g') AS text
+        FROM planted
+    )
+    SELECT doc_id, text,
+           CAST(len(string_split(text, '[EMAIL]')) - 1 AS INT)
+               AS n_email_marks,
+           CAST(len(string_split(text, '[PHONE]')) - 1 AS INT)
+               AS n_phone_marks,
+           CAST(len(string_split(text, '[NUMBER]')) - 1 AS INT)
+               AS n_number_marks,
+           FALSE AS has_pii
+    FROM red
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -10581,6 +10667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q231_shapley_attribution": q231_shapley_attribution,
         "q232_pii_scan": q232_pii_scan,
         "q233_sprt_monitor": q233_sprt_monitor,
+        "q234_pii_redaction": q234_pii_redaction,
     }
 
 
@@ -12324,6 +12411,7 @@ def oracle_sql() -> dict[str, str]:
         "q231_shapley_attribution": _q231_oracle(),
         "q232_pii_scan": _Q232_ORACLE,
         "q233_sprt_monitor": _q233_oracle(),
+        "q234_pii_redaction": _Q234_ORACLE,
     }
 
 

@@ -251,6 +251,7 @@ BENCH_QUERIES = [
     "q231_shapley_attribution",
     "q232_pii_scan",
     "q233_sprt_monitor",
+    "q234_pii_redaction",
 ]
 
 

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["data_quality_report", "pii_scan", "PII_PATTERNS"]
+__all__ = ["data_quality_report", "pii_scan", "pii_redact", "PII_PATTERNS"]
 
 
 def _violation_expr(rule: dict) -> Column:
@@ -229,3 +229,33 @@ def pii_scan(
         n_valid.alias("n_ccn_valid"),
         has.alias("has_pii"),
     )
+
+
+def pii_redact(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Redact the ``pii_scan`` pattern families in place: emails,
+    dashed phones, SSN shapes, IPv4 literals and 13-16-digit runs are
+    regexp_replaced by typed placeholder tokens ([EMAIL], [PHONE],
+    [SSN], [IP], [NUMBER]).  Composition law (tested + oracle-pinned):
+    ``pii_scan(pii_redact(df)).has_pii`` is false everywhere — the gate
+    provably closes.  Digit runs are redacted wholesale (card-like AND
+    order-id-like): a redactor must not leak the Luhn verdict by
+    keeping invalid runs.
+
+    Replacement order matters (SSN is a substring shape of phone-like
+    text): specific composite shapes go first, bare digit runs last.
+    Zero shuffle, one scan, plain regexp_replace — SQL-replayable.
+
+    Output: (id, text) with text redacted.
+    """
+    text = F.col(text_col)
+    out = F.regexp_replace(text, PII_PATTERNS["email"], "[EMAIL]")
+    out = F.regexp_replace(out, PII_PATTERNS["phone"], "[PHONE]")
+    out = F.regexp_replace(out, PII_PATTERNS["ssn"], "[SSN]")
+    out = F.regexp_replace(out, PII_PATTERNS["ipv4"], "[IP]")
+    out = F.regexp_replace(out, CCN_CANDIDATE, "[NUMBER]")
+    return df.select(F.col(id_col), out.alias(text_col))

@@ -131,3 +131,22 @@ def test_pii_scan_hand_cases(spark):
     o2 = pii_scan(df2).collect()[0]
     assert o2["n_ccn_valid"] == 1
     assert out[5]["n_ccn_like"] == 1 and out[5]["n_ccn_valid"] in (0, 1)
+
+
+def test_pii_redact_closes_the_gate(spark):
+    from patternly_spark.operators.validate import pii_redact, pii_scan
+
+    rows = [
+        (1, "mail a@b.io call 555-867-5309 ssn 123-45-6789 ip 10.0.0.1"
+            " card 4111111111111111 end"),
+        (2, "clean text stays exactly as it was"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    red = pii_redact(df)
+    got = {r["doc_id"]: r["text"] for r in red.collect()}
+    assert "[EMAIL]" in got[1] and "[PHONE]" in got[1]
+    assert "[SSN]" in got[1] and "[IP]" in got[1] and "[NUMBER]" in got[1]
+    assert got[2] == "clean text stays exactly as it was"
+    rescan = pii_scan(red).collect()
+    assert all(not r["has_pii"] for r in rescan)
+    assert all(r["n_ccn_like"] == 0 for r in rescan)
