@@ -10424,6 +10424,58 @@ _Q234_ORACLE = r"""
 """
 
 
+def q235_weighted_median(spark, sf_dir):
+    """Quantity-weighted median unit price per part brand
+    (operators/drift.weighted_median): each lineitem counts l_quantity
+    times — the exact lower weighted median over integer cents and
+    integer weights, one value-sort window over the aggregated grid.
+    Plain SQL replays the threshold rule bit-for-bit."""
+    from patternly_spark.operators.drift import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem").join(
+        _t(spark, sf_dir, "part").select("p_partkey", "p_brand"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    priced = li.select(
+        F.col("p_brand").alias("brand"),
+        (_dec("l_extendedprice") * 100).cast("long").cast("double").alias(
+            "price_cents"
+        ),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_median(
+        priced, value_col="price_cents", weight_col="qty", group_cols=["brand"]
+    )
+
+
+_Q235_ORACLE = """
+    WITH priced AS (
+        SELECT p.p_brand AS brand,
+               CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT) AS DOUBLE) AS v,
+               CAST(l.l_quantity AS BIGINT) AS w
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), grid AS (
+        SELECT brand, v, SUM(w)::BIGINT AS w
+        FROM priced GROUP BY brand, v
+    ), cum AS (
+        SELECT brand, v,
+               CAST(SUM(w) OVER (PARTITION BY brand ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cw,
+               CAST(SUM(w) OVER (PARTITION BY brand) AS BIGINT) AS tot,
+               CAST(COUNT(*) OVER (PARTITION BY brand) AS BIGINT) AS nv
+        FROM grid
+    )
+    SELECT brand, MAX(nv)::BIGINT AS n_values,
+           MAX(tot)::BIGINT AS total_weight,
+           MIN(v) AS weighted_median
+    FROM cum
+    WHERE cw >= CAST(FLOOR((tot + 1) / 2.0) AS BIGINT)
+    GROUP BY brand
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -10668,6 +10720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q232_pii_scan": q232_pii_scan,
         "q233_sprt_monitor": q233_sprt_monitor,
         "q234_pii_redaction": q234_pii_redaction,
+        "q235_weighted_median": q235_weighted_median,
     }
 
 
@@ -12412,6 +12465,7 @@ def oracle_sql() -> dict[str, str]:
         "q232_pii_scan": _Q232_ORACLE,
         "q233_sprt_monitor": _q233_oracle(),
         "q234_pii_redaction": _Q234_ORACLE,
+        "q235_weighted_median": _Q235_ORACLE,
     }
 
 

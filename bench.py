@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "q232_pii_scan",
     "q233_sprt_monitor",
     "q234_pii_redaction",
+    "q235_weighted_median",
 ]
 
 

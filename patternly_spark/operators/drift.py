@@ -937,3 +937,61 @@ def sprt_test(
             "llr_at_decision"
         ),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    *,
+    value_col: str,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+    check_weights: bool = True,
+) -> DataFrame:
+    """Exact lower weighted median per group: the smallest value whose
+    cumulative INTEGER weight reaches ceil(total/2) — the
+    revenue-weighted latency / size-weighted price statistic where each
+    row counts ``weight`` times (a plain median of an exploded relation,
+    without exploding it).
+
+    Deterministic by the integer threshold rule (no interpolation —
+    the "lower median", total-order stable under ties); one (group)
+    value-sort window over the AGGREGATED (group, value) relation, so
+    work is distinct-values-sized after the first shuffle.  Rows with
+    non-positive weights are rejected (raise) — a silent drop would
+    bias the statistic; the probe is one pushed-filter scan, skip it
+    with ``check_weights=False`` when weights are validated upstream.
+
+    Output: (group_cols..., n_values, total_weight, weighted_median).
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    if check_weights:
+        # an eager existence probe — one pushed-filter scan; at corpus
+        # scale pass check_weights=False and validate upstream instead
+        bad = df.filter(F.col(weight_col).cast("long") <= 0).limit(1).collect()
+        if bad:
+            raise ValueError("weighted_median: non-positive weight present")
+    grid = df.groupBy(*gcols, F.col(value_col).cast("double").alias("__v")).agg(
+        F.sum(F.col(weight_col).cast("long")).cast("long").alias("__w")
+    )
+    w = (
+        Window.partitionBy(*gcols).orderBy("__v")
+        if gcols
+        else Window.orderBy("__v")
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    cum = grid.withColumn("__cw", F.sum("__w").over(wc)).withColumn(
+        "__tot", F.sum("__w").over(wg)
+    ).withColumn("__nv", F.count(F.lit(1)).over(wg))
+    thr = F.floor((F.col("__tot") + 1) / 2).cast("long")
+    hit = cum.filter(F.col("__cw") >= thr)
+    return (
+        hit.groupBy(*gcols)
+        .agg(
+            F.max("__nv").cast("long").alias("n_values"),
+            F.max("__tot").cast("long").alias("total_weight"),
+            F.min("__v").alias("weighted_median"),
+        )
+    )

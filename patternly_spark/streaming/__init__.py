@@ -9,7 +9,12 @@ from patternly_spark.streaming.dedup import (
     streaming_exact_dedup,
     streaming_set_similarity_join,
 )
-from patternly_spark.streaming.drift import streaming_holt
+from patternly_spark.streaming.drift import (
+    sprt_from_registry,
+    streaming_holt,
+    streaming_sprt_registry,
+    streaming_survival_registry,
+)
 from patternly_spark.streaming.evaluation import (
     ranking_registry_metrics,
     streaming_ranking_registry,
@@ -33,6 +38,9 @@ __all__ = [
     "streaming_cosine_allpairs",
     "streaming_covariance_registry",
     "streaming_holt",
+    "streaming_sprt_registry",
+    "sprt_from_registry",
+    "streaming_survival_registry",
     "streaming_ranking_registry",
     "ranking_registry_metrics",
     "covariance_from_registry",

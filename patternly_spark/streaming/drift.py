@@ -490,3 +490,151 @@ def streaming_survival_registry(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_sprt_registry(
+    stream_df: DataFrame,
+    registry_path: str,
+    *,
+    checkpoint_path: str,
+    ts_col: str,
+    outcome_col: str,
+    group_cols: list[str],
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+    units: int = 1 << 20,
+    trigger_once: bool = False,
+):
+    """Streaming Wald SPRT — the test that EXISTS for this setting
+    (peek after every microbatch, error rates still hold): persist per
+    group (n_obs, llr_units, decision, n_at_decision,
+    llr_at_decision_units) and extend the integer LLR walk with each
+    batch's observations; a decision, once reached, is FROZEN (the
+    sequential-test contract).  Registry == batch ``sprt_test`` over
+    all history (union-parity pinned) under the arrival contract:
+    batches deliver observations in (ts) order per group — the natural
+    shape of an event stream.
+
+    All arithmetic is the batch operator's quantized-integer walk, so
+    the carry is two integers per group; state is group-count-sized
+    forever.
+    """
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    u = int(units)
+    inc1 = math.floor(math.log(p1 / p0) * u)
+    inc0 = math.floor(math.log((1.0 - p1) / (1.0 - p0)) * u)
+    hi = math.floor(math.log((1.0 - beta) / alpha) * u)
+    lo = math.floor(math.log(beta / (1.0 - alpha)) * u)
+    gcols = list(group_cols)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            prev = spark.read.parquet(registry_path)
+        except Exception:
+            prev = None
+        w = Window.partitionBy(*gcols).orderBy(
+            F.col(ts_col), F.col(outcome_col)
+        )
+        wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        inc = (
+            F.when(F.col(outcome_col).cast("int") == 1, F.lit(inc1))
+            .otherwise(F.lit(inc0))
+            .cast("long")
+        )
+        walk = batch_df.select(*gcols, F.col(ts_col), F.col(outcome_col)).withColumn(
+            "__ci", F.sum(inc).over(wc)
+        ).withColumn("__r", F.row_number().over(w))
+        if prev is not None:
+            carry = prev.select(
+                *gcols,
+                F.col("n_obs").alias("__pn"),
+                F.col("llr_units").alias("__pl"),
+                F.col("decision").alias("__pd"),
+                F.col("n_at_decision").alias("__pnd"),
+                F.col("llr_at_decision_units").alias("__pld"),
+            )
+            walk = walk.join(F.broadcast(carry), gcols, "left")
+        else:
+            walk = (
+                walk.withColumn("__pn", F.lit(None).cast("long"))
+                .withColumn("__pl", F.lit(None).cast("long"))
+                .withColumn("__pd", F.lit(None).cast("string"))
+                .withColumn("__pnd", F.lit(None).cast("long"))
+                .withColumn("__pld", F.lit(None).cast("long"))
+            )
+        llr_i = F.coalesce(F.col("__pl"), F.lit(0)) + F.col("__ci")
+        r_i = F.coalesce(F.col("__pn"), F.lit(0)) + F.col("__r")
+        dec_i = F.when(llr_i >= hi, F.lit("accept_h1")).when(
+            llr_i <= lo, F.lit("accept_h0")
+        )
+        staged = walk.withColumn("__llr_i", llr_i).withColumn(
+            "__r_i", r_i
+        ).withColumn("__dec_i", F.when(F.col("__pd").isNull(), dec_i))
+        agg = staged.groupBy(*gcols).agg(
+            F.max("__r_i").cast("long").alias("n_obs"),
+            F.max(F.struct(F.col("__r_i"), F.col("__llr_i").alias("l")))[
+                "l"
+            ].cast("long").alias("llr_units"),
+            F.min(
+                F.when(
+                    F.col("__dec_i").isNotNull(),
+                    F.struct("__r_i", "__dec_i", "__llr_i"),
+                )
+            ).alias("__cross"),
+            F.max("__pd").alias("__pd"),
+            F.max("__pnd").cast("long").alias("__pnd"),
+            F.max("__pld").cast("long").alias("__pld"),
+        )
+        updated = agg.select(
+            *gcols,
+            "n_obs",
+            "llr_units",
+            F.coalesce(F.col("__pd"), F.col("__cross.__dec_i")).alias("decision"),
+            F.coalesce(F.col("__pnd"), F.col("__cross.__r_i"))
+            .cast("long")
+            .alias("n_at_decision"),
+            F.coalesce(F.col("__pld"), F.col("__cross.__llr_i"))
+            .cast("long")
+            .alias("llr_at_decision_units"),
+        )
+        if prev is not None:
+            untouched = prev.join(
+                updated.select(*gcols).distinct(), gcols, "left_anti"
+            )
+            updated = updated.unionByName(untouched)
+        updated.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            registry_path
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def sprt_from_registry(spark, registry_path: str, *, units: int = 1 << 20):
+    """Read the streaming SPRT registry in the batch ``sprt_test``
+    output schema (llr columns de-scaled to nats)."""
+    from pyspark.sql import functions as F
+
+    reg = spark.read.parquet(registry_path)
+    fu = float(int(units))
+    return reg.select(
+        *[c for c in reg.columns if c not in (
+            "llr_units", "decision", "n_at_decision", "llr_at_decision_units")],
+        F.coalesce(F.col("decision"), F.lit("continue")).alias("decision"),
+        F.col("n_at_decision"),
+        (F.col("llr_units").cast("double") / fu).alias("llr_final"),
+        (F.col("llr_at_decision_units").cast("double") / fu).alias(
+            "llr_at_decision"
+        ),
+    )

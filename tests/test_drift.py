@@ -635,3 +635,86 @@ def test_sprt_partition_invariant(spark):
     b = sprt_test(df.repartition(32), ts_col="ts", outcome_col="y",
                   group_cols=["g"], p0=0.2, p1=0.4).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_weighted_median_hand_and_guard(spark):
+    import pytest
+
+    from patternly_spark.operators.drift import weighted_median
+
+    # values 1..4 with weights 1,1,1,7 -> total 10, thr 5 -> median 4
+    rows = [("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 1), ("g", 4.0, 7)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    out = weighted_median(
+        df, value_col="v", weight_col="w", group_cols=["g"]
+    ).collect()[0]
+    assert out["weighted_median"] == 4.0
+    assert out["total_weight"] == 10 and out["n_values"] == 4
+    # unweighted case degenerates to the plain lower median
+    rows2 = [("h", float(v), 1) for v in (5, 1, 9, 3)]
+    df2 = spark.createDataFrame(rows2, "g string, v double, w long")
+    o2 = weighted_median(
+        df2, value_col="v", weight_col="w", group_cols=["g"]
+    ).collect()[0]
+    assert o2["weighted_median"] == 3.0  # thr ceil(4/2)=2 -> 2nd smallest
+    with pytest.raises(ValueError, match="non-positive"):
+        weighted_median(
+            spark.createDataFrame([("g", 1.0, 0)], "g string, v double, w long"),
+            value_col="v", weight_col="w", group_cols=["g"],
+        )
+    # duplicate values aggregate; partition invariance
+    rows3 = [("k", float(i % 5), (i % 3) + 1) for i in range(60)]
+    df3 = spark.createDataFrame(rows3, "g string, v double, w long")
+    a = weighted_median(df3.coalesce(1), value_col="v", weight_col="w",
+                        group_cols=["g"]).collect()
+    b = weighted_median(df3.repartition(32), value_col="v", weight_col="w",
+                        group_cols=["g"]).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_streaming_sprt_registry_equals_batch(spark, tmp_path):
+    from patternly_spark.operators.drift import sprt_test
+    from patternly_spark.streaming.drift import (
+        sprt_from_registry,
+        streaming_sprt_registry,
+    )
+
+    kw = dict(p0=0.2, p1=0.5, alpha=0.05, beta=0.05)
+    schema = "g string, ts long, y int"
+    # early: crosses h1 within batch 0; late: crosses only across both
+    # batches; never: stays undecided; fresh: appears only in batch 1
+    b0 = [("early", i, 1) for i in range(15)] + [
+        ("late", i, 1 if i % 2 == 0 else 0) for i in range(8)
+    ] + [("never", i, 1 if i % 3 == 0 else 0) for i in range(6)]
+    b1 = [("early", 100 + i, 0) for i in range(10)] + [
+        ("late", 100 + i, 1 if i % 2 == 0 else 0) for i in range(30)
+    ] + [("never", 100 + i, 1 if i % 3 == 0 else 0) for i in range(6)] + [
+        ("fresh", 100 + i, 1) for i in range(20)
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    reg = str(tmp_path / "registry")
+    q = streaming_sprt_registry(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        reg,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        ts_col="ts",
+        outcome_col="y",
+        group_cols=["g"],
+        trigger_once=True,
+        **kw,
+    )
+    q.awaitTermination(180)
+
+    got = sprt_from_registry(spark, reg).orderBy("g").collect()
+    want = sprt_test(
+        spark.createDataFrame(b0 + b1, schema),
+        ts_col="ts", outcome_col="y", group_cols=["g"], **kw,
+    ).orderBy("g").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    by = {r["g"]: r for r in got}
+    assert by["early"]["decision"] == "accept_h1"
+    assert by["never"]["decision"] == "continue"
+    assert by["fresh"]["decision"] == "accept_h1"
