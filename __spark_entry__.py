@@ -10476,6 +10476,93 @@ _Q235_ORACLE = """
 """
 
 
+def q236_cuped(spark, sf_dir):
+    """CUPED-adjusted arm means over event spend
+    (operators/drift.cuped_adjustment): the observation window splits at
+    its integer midpoint, each user's PRE-period spend is the covariate
+    for their POST-period metric, arms = user_id parity.  BIGINT cent
+    moments in one pass, theta one exact division — SQL replays every
+    double."""
+    from patternly_spark.operators.drift import cuped_adjustment
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        (_dec("value") * 100).cast("long").alias("cents"),
+    )
+    b = ev.agg(
+        F.min("us").alias("mn"), F.max("us").alias("mx")
+    ).select(F.expr("(mn + mx) div 2").alias("mid"))
+    per_user = ev.crossJoin(F.broadcast(b)).groupBy("user_id").agg(
+        F.sum(F.when(F.col("us") < F.col("mid"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("us") >= F.col("mid"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    armed = per_user.select(
+        (F.col("user_id") % 2).cast("int").alias("arm"), "x", "y"
+    )
+    return cuped_adjustment(
+        armed, metric_cents_col="y", covariate_cents_col="x", arm_col="arm"
+    )
+
+
+_Q236_ORACLE = """
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ), b AS (
+        SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev
+    ), per_user AS (
+        SELECT user_id,
+               SUM(CASE WHEN us < (SELECT mid FROM b) THEN cents
+                        ELSE 0 END)::BIGINT AS x,
+               SUM(CASE WHEN us >= (SELECT mid FROM b) THEN cents
+                        ELSE 0 END)::BIGINT AS y
+        FROM ev GROUP BY user_id
+    ), armed AS (
+        SELECT CAST(user_id % 2 AS INT) AS arm, x, y FROM per_user
+    ), per_arm AS (
+        SELECT arm, COUNT(*)::BIGINT AS n,
+               SUM(y)::BIGINT AS sy, SUM(x)::BIGINT AS sx,
+               SUM(x * y)::BIGINT AS sxy, SUM(x * x)::BIGINT AS sxx,
+               SUM(y * y)::BIGINT AS syy
+        FROM armed GROUP BY arm
+    ), pooled AS (
+        SELECT SUM(n)::BIGINT AS pn, SUM(sy)::BIGINT AS psy,
+               SUM(sx)::BIGINT AS psx, SUM(sxy)::BIGINT AS psxy,
+               SUM(sxx)::BIGINT AS psxx
+        FROM per_arm
+    ), j AS (
+        SELECT a.*, p.* FROM per_arm a CROSS JOIN pooled p
+    ), calc AS (
+        SELECT arm, n,
+               CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_metric,
+               CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_covariate,
+               CASE WHEN CAST(pn * psxx - psx * psx AS DOUBLE) > 0
+                    THEN CAST(pn * psxy - psx * psy AS DOUBLE)
+                         / CAST(pn * psxx - psx * psx AS DOUBLE)
+                    ELSE 0.0 END AS theta,
+               CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE) AS mxp,
+               CAST(n * syy - sy * sy AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_raw,
+               CAST(n * sxx - sx * sx AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_x,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov_a
+        FROM j
+    )
+    SELECT arm, n, mean_metric, mean_covariate, theta,
+           mean_metric - theta * (mean_covariate - mxp) AS adj_mean,
+           var_raw,
+           var_raw - 2.0 * theta * cov_a + theta * theta * var_x AS var_adj
+    FROM calc
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -10721,6 +10808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q233_sprt_monitor": q233_sprt_monitor,
         "q234_pii_redaction": q234_pii_redaction,
         "q235_weighted_median": q235_weighted_median,
+        "q236_cuped": q236_cuped,
     }
 
 
@@ -12466,6 +12554,7 @@ def oracle_sql() -> dict[str, str]:
         "q233_sprt_monitor": _q233_oracle(),
         "q234_pii_redaction": _Q234_ORACLE,
         "q235_weighted_median": _Q235_ORACLE,
+        "q236_cuped": _Q236_ORACLE,
     }
 
 

@@ -253,6 +253,7 @@ BENCH_QUERIES = [
     "q233_sprt_monitor",
     "q234_pii_redaction",
     "q235_weighted_median",
+    "q236_cuped",
 ]
 
 

@@ -718,3 +718,41 @@ def test_streaming_sprt_registry_equals_batch(spark, tmp_path):
     assert by["early"]["decision"] == "accept_h1"
     assert by["never"]["decision"] == "continue"
     assert by["fresh"]["decision"] == "accept_h1"
+
+
+def test_cuped_matches_numpy_and_reduces_variance(spark):
+    import numpy as np
+
+    from patternly_spark.operators.drift import cuped_adjustment
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(100, 10_000, size=400)  # per-user propensity
+    x = base + rng.integers(-50, 50, size=400)  # pre-period (cents)
+    arm = np.arange(400) % 2
+    y = base + rng.integers(-50, 50, size=400) + arm * 40  # +40c lift
+    rows = [(int(a), int(yy), int(xx)) for a, yy, xx in zip(arm, y, x)]
+    df = spark.createDataFrame(rows, "arm int, y long, x long")
+    out = {r["arm"]: r for r in cuped_adjustment(
+        df, metric_cents_col="y", covariate_cents_col="x", arm_col="arm"
+    ).collect()}
+    # numpy replica
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    # integer closed form replica (exact)
+    n = 400
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x.astype(object) * y).sum())
+    sxx = int((x.astype(object) * x).sum())
+    theta_exact = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    assert out[0]["theta"] == theta_exact and abs(theta_exact - theta) < 1e-9
+    for a in (0, 1):
+        assert out[a]["var_adj"] < out[a]["var_raw"] * 0.1  # big reduction
+    # adjusted lift close to the planted 40c, raw lift noisier is not
+    # guaranteed on one draw, but adjusted must be within a few cents
+    lift_adj = out[1]["adj_mean"] - out[0]["adj_mean"]
+    assert abs(lift_adj - 40.0) < 15.0
+    # degenerate covariate: theta 0, adj == raw mean
+    df2 = spark.createDataFrame([(0, 5, 7), (1, 9, 7)], "arm int, y long, x long")
+    o2 = cuped_adjustment(
+        df2, metric_cents_col="y", covariate_cents_col="x", arm_col="arm"
+    ).collect()
+    assert all(r["theta"] == 0.0 and r["adj_mean"] == r["mean_metric"] for r in o2)
