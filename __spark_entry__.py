@@ -10563,6 +10563,129 @@ _Q236_ORACLE = """
 """
 
 
+def q237_column_profile(spark, sf_dir):
+    """Catalog profile of the orders table (operators/validate.
+    profile_columns): per column the null count, exact distinct count,
+    string min/max and the modal value under a total (count desc, value
+    asc) order — flattened to top-1 columns for the oracle.  Integers
+    and strings only: engine-exact by construction."""
+    from patternly_spark.operators.validate import profile_columns
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    prof = profile_columns(o, top_k=1)
+    return prof.select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_value",
+        "max_value",
+        F.element_at("top_values", 1)["value"].alias("top1_value"),
+        F.element_at("top_values", 1)["cnt"].alias("top1_cnt"),
+    )
+
+
+_Q237_ORACLE = """
+    WITH stacked AS (
+        SELECT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS value
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+        FROM orders
+    ), census AS (
+        SELECT col, value, COUNT(*)::BIGINT AS cnt
+        FROM stacked GROUP BY col, value
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY col
+                   ORDER BY cnt DESC, value ASC NULLS LAST) AS r
+        FROM census
+    ), summary AS (
+        SELECT col, SUM(cnt)::BIGINT AS n_rows,
+               SUM(CASE WHEN value IS NULL THEN cnt ELSE 0 END)::BIGINT
+                   AS n_nulls,
+               COUNT(CASE WHEN value IS NOT NULL THEN 1 END)::BIGINT
+                   AS n_distinct,
+               MIN(value) AS min_value, MAX(value) AS max_value
+        FROM census GROUP BY col
+    ), top1 AS (
+        SELECT col, value AS top1_value, cnt AS top1_cnt
+        FROM ranked WHERE r = 1 AND value IS NOT NULL
+    )
+    SELECT s.col AS column, s.n_rows, s.n_nulls, s.n_distinct,
+           s.min_value, s.max_value, t.top1_value, t.top1_cnt
+    FROM summary s LEFT JOIN top1 t ON s.col = t.col
+"""
+
+
+def q238_clustering_agreement(spark, sf_dir):
+    """Pair-counting agreement between the document language and source
+    partitions (operators/model_eval.clustering_agreement): Rand / ARI
+    / pairwise P-R-F1 from ONE contingency groupBy — the metric that
+    grades any dedup-cluster or clustering run against truth labels.
+    Integer pair counts + fixed single-division chains: SQL replays
+    it exactly."""
+    from patternly_spark.operators.model_eval import clustering_agreement
+
+    d = _t(spark, sf_dir, "documents")
+    return clustering_agreement(d, label_a="lang", label_b="source")
+
+
+_Q238_ORACLE = """
+    WITH cells AS (
+        SELECT lang AS a, source AS b, COUNT(*)::BIGINT AS c
+        FROM documents GROUP BY lang, source
+    ), pa AS (
+        SELECT CAST(SUM(CAST(ca * (ca - 1) / 2 AS BIGINT)) AS BIGINT)
+                   AS same_a
+        FROM (SELECT SUM(c)::BIGINT AS ca FROM cells GROUP BY a)
+    ), pb AS (
+        SELECT CAST(SUM(CAST(cb * (cb - 1) / 2 AS BIGINT)) AS BIGINT)
+                   AS same_b
+        FROM (SELECT SUM(c)::BIGINT AS cb FROM cells GROUP BY b)
+    ), base AS (
+        SELECT SUM(c)::BIGINT AS n,
+               CAST(SUM(CAST(c * (c - 1) / 2 AS BIGINT)) AS BIGINT)
+                   AS same_both
+        FROM cells
+    ), j AS (
+        SELECT base.*, pa.same_a, pb.same_b,
+               CAST(n * (n - 1) / 2 AS BIGINT) AS total_pairs
+        FROM base, pa, pb
+    )
+    SELECT n, same_both, same_a, same_b, total_pairs,
+           (CAST(same_both AS DOUBLE)
+            + (CAST(total_pairs AS DOUBLE) - CAST(same_a AS DOUBLE)
+               - CAST(same_b AS DOUBLE) + CAST(same_both AS DOUBLE)))
+               / CAST(total_pairs AS DOUBLE) AS rand_index,
+           CASE WHEN (CAST(same_a AS DOUBLE) + CAST(same_b AS DOUBLE)) / 2.0
+                     - CAST(same_a AS DOUBLE) * CAST(same_b AS DOUBLE)
+                       / CAST(total_pairs AS DOUBLE) <> 0
+                THEN (CAST(same_both AS DOUBLE)
+                      - CAST(same_a AS DOUBLE) * CAST(same_b AS DOUBLE)
+                        / CAST(total_pairs AS DOUBLE))
+                     / ((CAST(same_a AS DOUBLE) + CAST(same_b AS DOUBLE))
+                        / 2.0
+                        - CAST(same_a AS DOUBLE) * CAST(same_b AS DOUBLE)
+                          / CAST(total_pairs AS DOUBLE))
+                END AS ari,
+           CASE WHEN same_b > 0 THEN CAST(same_both AS DOUBLE)
+                     / CAST(same_b AS DOUBLE) END AS pair_precision,
+           CASE WHEN same_a > 0 THEN CAST(same_both AS DOUBLE)
+                     / CAST(same_a AS DOUBLE) END AS pair_recall,
+           CASE WHEN same_a + same_b > 0
+                THEN 2.0 * CAST(same_both AS DOUBLE)
+                     / (CAST(same_a AS DOUBLE) + CAST(same_b AS DOUBLE))
+                END AS pair_f1
+    FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -10809,6 +10932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q234_pii_redaction": q234_pii_redaction,
         "q235_weighted_median": q235_weighted_median,
         "q236_cuped": q236_cuped,
+        "q237_column_profile": q237_column_profile,
+        "q238_clustering_agreement": q238_clustering_agreement,
     }
 
 
@@ -12555,6 +12680,8 @@ def oracle_sql() -> dict[str, str]:
         "q234_pii_redaction": _Q234_ORACLE,
         "q235_weighted_median": _Q235_ORACLE,
         "q236_cuped": _Q236_ORACLE,
+        "q237_column_profile": _Q237_ORACLE,
+        "q238_clustering_agreement": _Q238_ORACLE,
     }
 
 

@@ -254,6 +254,8 @@ BENCH_QUERIES = [
     "q234_pii_redaction",
     "q235_weighted_median",
     "q236_cuped",
+    "q237_column_profile",
+    "q238_clustering_agreement",
 ]
 
 

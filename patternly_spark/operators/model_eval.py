@@ -509,3 +509,73 @@ def threshold_sweep(
     return out.withColumn(
         "is_best", F.row_number().over(wbest) == F.lit(1)
     )
+
+
+def clustering_agreement(
+    df: DataFrame,
+    *,
+    label_a: str,
+    label_b: str,
+) -> DataFrame:
+    """Pair-counting agreement between two clusterings of the same rows
+    — the metric that grades a dedup/clustering run against truth
+    (treat ``label_a`` as truth, ``label_b`` as prediction): Rand
+    index, Adjusted Rand (Hubert-Arabie), and pairwise
+    precision/recall/F1 over "same-cluster" pairs.
+
+    Everything reduces to the contingency table: same_both =
+    sum C(n_ij,2), same_a/same_b from the marginals, total = C(n,2) —
+    INTEGER pair counts from ONE (a,b) groupBy, then a fixed chain of
+    single divisions (ARI's expected-index product is computed in
+    doubles BEFORE multiplying — the integer product would overflow
+    long near n ~ 2 million rows; documented, not hidden).
+
+    Output: 1 row — (n, same_both, same_a, same_b, total_pairs,
+    rand_index, ari, pair_precision, pair_recall, pair_f1); ARI NULL
+    when the denominator is 0 (both clusterings trivial).
+    """
+    cells = df.groupBy(
+        F.col(label_a).alias("__a"), F.col(label_b).alias("__b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+    def c2(col: F.Column) -> F.Column:
+        return (col * (col - 1) / 2).cast("long")
+
+    per_a = cells.groupBy("__a").agg(F.sum("c").cast("long").alias("ca"))
+    per_b = cells.groupBy("__b").agg(F.sum("c").cast("long").alias("cb"))
+    agg = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(c2(F.col("c"))).cast("long").alias("same_both"),
+    ).crossJoin(
+        F.broadcast(per_a.agg(F.sum(c2(F.col("ca"))).cast("long").alias("same_a")))
+    ).crossJoin(
+        F.broadcast(per_b.agg(F.sum(c2(F.col("cb"))).cast("long").alias("same_b")))
+    )
+    total = c2(F.col("n"))
+    tp = F.col("same_both").cast("double")
+    sa = F.col("same_a").cast("double")
+    sb = F.col("same_b").cast("double")
+    tot = total.cast("double")
+    expected = sa * sb / tot
+    denom = (sa + sb) / F.lit(2.0) - expected
+    rand = (
+        tp + (tot - sa - sb + tp)
+    ) / tot
+    prec = F.when(F.col("same_b") > 0, tp / sb)
+    rec = F.when(F.col("same_a") > 0, tp / sa)
+    f1 = F.when(
+        (F.col("same_a") + F.col("same_b")) > 0,
+        F.lit(2.0) * tp / (sa + sb),
+    )
+    return agg.select(
+        "n",
+        "same_both",
+        "same_a",
+        "same_b",
+        total.alias("total_pairs"),
+        rand.alias("rand_index"),
+        F.when(denom != 0, (tp - expected) / denom).alias("ari"),
+        prec.alias("pair_precision"),
+        rec.alias("pair_recall"),
+        f1.alias("pair_f1"),
+    )

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["data_quality_report", "pii_scan", "pii_redact", "PII_PATTERNS"]
+__all__ = ["data_quality_report", "pii_scan", "pii_redact", "profile_columns", "PII_PATTERNS"]
 
 
 def _violation_expr(rule: dict) -> Column:
@@ -259,3 +259,76 @@ def pii_redact(
     out = F.regexp_replace(out, PII_PATTERNS["ipv4"], "[IP]")
     out = F.regexp_replace(out, CCN_CANDIDATE, "[NUMBER]")
     return df.select(F.col(id_col), out.alias(text_col))
+
+
+def profile_columns(
+    df: DataFrame,
+    *,
+    columns: list[str] | None = None,
+    top_k: int = 3,
+) -> DataFrame:
+    """One-pass column profile — the catalog/data-contract snapshot
+    (Deequ-profile shape): per column its null count, exact distinct
+    count, min/max (as strings — type-uniform output), and the top-k
+    most frequent values with counts under a TOTAL (count desc, value
+    asc) order.
+
+    Shape: null/min/max come from ONE aggregation pass over the data;
+    distinct + top-k need one (column, value) census per column —
+    issued as a single unioned plan over the exploded (col, value)
+    relation, so the whole profile is two scans regardless of column
+    count.  All outputs are integers/strings: engine-exact by
+    construction.
+
+    Output (long format): (column, n_rows, n_nulls, n_distinct,
+    min_value, max_value, top_values array<struct<value,cnt>>).
+    """
+    from functools import reduce
+
+    cols = list(columns or df.columns)
+    stacked = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            df.select(
+                F.lit(c).alias("column"),
+                F.col(c).cast("string").alias("value"),
+            )
+            for c in cols
+        ],
+    )
+    census = stacked.groupBy("column", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("column").orderBy(
+        F.desc("cnt"), F.asc_nulls_last("value")
+    )
+    ranked = census.withColumn("__r", F.row_number().over(w))
+    top = (
+        ranked.filter(F.col("value").isNotNull() & (F.col("__r") <= int(top_k)))
+        .groupBy("column")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__r").alias("r"), "value", "cnt"))
+            ).alias("__tv")
+        )
+        .select(
+            "column",
+            F.transform(
+                F.col("__tv"), lambda s: F.struct(s["value"].alias("value"), s["cnt"].alias("cnt"))
+            ).alias("top_values"),
+        )
+    )
+    summary = census.groupBy("column").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_nulls"),
+        F.count(F.when(F.col("value").isNotNull(), F.lit(1)))
+        .cast("long")
+        .alias("n_distinct"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    return summary.join(top, "column", "left")

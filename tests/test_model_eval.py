@@ -305,3 +305,34 @@ def test_threshold_sweep_grouped_partition_invariant_and_degenerate(spark):
     neg = [r for r in one if r["g"] == "allneg"]
     assert all(r["recall"] is None for r in neg)
     assert all(r["tp"] == 0 for r in neg)
+
+
+def test_clustering_agreement_identical_independent_and_sklearn_form(spark):
+    from patternly_spark.operators.model_eval import clustering_agreement
+
+    # identical clusterings: ARI == rand == precision == recall == 1
+    rows = [(i, i % 3, i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, a int, b int")
+    out = clustering_agreement(df, label_a="a", label_b="b").collect()[0]
+    assert out["ari"] == 1.0 and out["rand_index"] == 1.0
+    assert out["pair_f1"] == 1.0
+    # hand-computed 2x2 contingency [[2,1],[1,2]] (n=6)
+    rows2 = (
+        [(0, 0)] * 2 + [(0, 1)] * 1 + [(1, 0)] * 1 + [(1, 1)] * 2
+    )
+    df2 = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows2)], "id long, a int, b int"
+    )
+    o = clustering_agreement(df2, label_a="a", label_b="b").collect()[0]
+    # same_both = C(2,2)*2 + C(1,2)*2 = 2; same_a = same_b = 2*C(3,2) = 6
+    assert o["same_both"] == 2 and o["same_a"] == 6 and o["same_b"] == 6
+    assert o["total_pairs"] == 15
+    tp, sa, sb, tot = 2.0, 6.0, 6.0, 15.0
+    exp = sa * sb / tot
+    assert o["ari"] == (tp - exp) / ((sa + sb) / 2.0 - exp)
+    assert o["rand_index"] == (tp + (tot - sa - sb + tp)) / tot
+    assert o["pair_f1"] == 2 * tp / (sa + sb)
+    # trivial clusterings (everything one cluster in both): ARI NULL
+    df3 = spark.createDataFrame([(i, 0, 0) for i in range(5)], "id long, a int, b int")
+    o3 = clustering_agreement(df3, label_a="a", label_b="b").collect()[0]
+    assert o3["ari"] is None and o3["rand_index"] == 1.0

@@ -150,3 +150,22 @@ def test_pii_redact_closes_the_gate(spark):
     rescan = pii_scan(red).collect()
     assert all(not r["has_pii"] for r in rescan)
     assert all(r["n_ccn_like"] == 0 for r in rescan)
+
+
+def test_profile_columns_hand_case(spark):
+    from patternly_spark.operators.validate import profile_columns
+
+    rows = [("a", 1), ("a", 2), ("b", None), (None, 2), ("a", 2)]
+    df = spark.createDataFrame(rows, "s string, v int")
+    out = {r["column"]: r for r in profile_columns(df, top_k=2).collect()}
+    s = out["s"]
+    assert s["n_rows"] == 5 and s["n_nulls"] == 1 and s["n_distinct"] == 2
+    assert s["min_value"] == "a" and s["max_value"] == "b"
+    assert [(t["value"], t["cnt"]) for t in s["top_values"]] == [("a", 3), ("b", 1)]
+    v = out["v"]
+    assert v["n_nulls"] == 1 and v["n_distinct"] == 2
+    assert [(t["value"], t["cnt"]) for t in v["top_values"]] == [("2", 3), ("1", 1)]
+    # partition invariance
+    a = profile_columns(df.coalesce(1)).orderBy("column").collect()
+    b = profile_columns(df.repartition(16)).orderBy("column").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
