@@ -10686,6 +10686,103 @@ _Q238_ORACLE = """
 """
 
 
+def q239_balance_check(spark, sf_dir):
+    """Randomization balance check for the q236 experiment split
+    (operators/drift.balance_check): standardized mean difference of
+    each user's pre-period spend and event count between the two arms —
+    the gate that must pass before any lift is believed.  BIGINT cent
+    moments in one pass, fixed division chains: SQL-exact."""
+    from patternly_spark.operators.drift import balance_check
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        (_dec("value") * 100).cast("long").alias("cents"),
+    )
+    b = ev.agg(F.min("us").alias("mn"), F.max("us").alias("mx")).select(
+        F.expr("(mn + mx) div 2").alias("mid")
+    )
+    per_user = ev.crossJoin(F.broadcast(b)).groupBy("user_id").agg(
+        F.sum(F.when(F.col("us") < F.col("mid"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("pre_spend"),
+        F.sum(F.when(F.col("us") < F.col("mid"), 1).otherwise(0))
+        .cast("long")
+        .alias("pre_events"),
+    )
+    armed = per_user.select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        "pre_spend",
+        "pre_events",
+    )
+    return balance_check(
+        armed, arm_col="arm", covariate_cents_cols=["pre_spend", "pre_events"]
+    )
+
+
+_Q239_ORACLE = """
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ), b AS (
+        SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev
+    ), per_user AS (
+        SELECT user_id,
+               SUM(CASE WHEN us < (SELECT mid FROM b) THEN cents
+                        ELSE 0 END)::BIGINT AS pre_spend,
+               SUM(CASE WHEN us < (SELECT mid FROM b) THEN 1
+                        ELSE 0 END)::BIGINT AS pre_events
+        FROM ev GROUP BY user_id
+    ), armed AS (
+        SELECT CAST(user_id % 2 AS INT) AS arm, pre_spend, pre_events
+        FROM per_user
+    ), m AS (
+        SELECT SUM(CASE WHEN arm = 1 THEN 0 ELSE 1 END)::BIGINT AS nc,
+               SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS nt,
+               SUM(CASE WHEN arm = 1 THEN 0 ELSE pre_spend END)::BIGINT AS sc1,
+               SUM(CASE WHEN arm = 1 THEN pre_spend ELSE 0 END)::BIGINT AS st1,
+               SUM(CASE WHEN arm = 1 THEN 0
+                        ELSE pre_spend * pre_spend END)::BIGINT AS qc1,
+               SUM(CASE WHEN arm = 1 THEN pre_spend * pre_spend
+                        ELSE 0 END)::BIGINT AS qt1,
+               SUM(CASE WHEN arm = 1 THEN 0 ELSE pre_events END)::BIGINT AS sc2,
+               SUM(CASE WHEN arm = 1 THEN pre_events ELSE 0 END)::BIGINT AS st2,
+               SUM(CASE WHEN arm = 1 THEN 0
+                        ELSE pre_events * pre_events END)::BIGINT AS qc2,
+               SUM(CASE WHEN arm = 1 THEN pre_events * pre_events
+                        ELSE 0 END)::BIGINT AS qt2
+        FROM armed
+    ), calc AS (
+        SELECT 'pre_spend' AS covariate, nc, nt,
+               CAST(sc1 AS DOUBLE) / CAST(nc AS DOUBLE) AS mc,
+               CAST(st1 AS DOUBLE) / CAST(nt AS DOUBLE) AS mt,
+               CAST(nc * qc1 - sc1 * sc1 AS DOUBLE)
+                   / (CAST(nc AS DOUBLE) * CAST(nc AS DOUBLE)) AS vc,
+               CAST(nt * qt1 - st1 * st1 AS DOUBLE)
+                   / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)) AS vt
+        FROM m
+        UNION ALL
+        SELECT 'pre_events', nc, nt,
+               CAST(sc2 AS DOUBLE) / CAST(nc AS DOUBLE),
+               CAST(st2 AS DOUBLE) / CAST(nt AS DOUBLE),
+               CAST(nc * qc2 - sc2 * sc2 AS DOUBLE)
+                   / (CAST(nc AS DOUBLE) * CAST(nc AS DOUBLE)),
+               CAST(nt * qt2 - st2 * st2 AS DOUBLE)
+                   / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE))
+        FROM m
+    )
+    SELECT covariate, nc AS n_control, nt AS n_treatment,
+           mc AS mean_control, mt AS mean_treatment,
+           CASE WHEN (vt + vc) / 2.0 > 0
+                THEN (mt - mc) / sqrt((vt + vc) / 2.0) END AS smd,
+           CASE WHEN (vt + vc) / 2.0 > 0
+                THEN abs((mt - mc) / sqrt((vt + vc) / 2.0)) <= 0.1 END
+               AS balanced
+    FROM calc
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -10934,6 +11031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q236_cuped": q236_cuped,
         "q237_column_profile": q237_column_profile,
         "q238_clustering_agreement": q238_clustering_agreement,
+        "q239_balance_check": q239_balance_check,
     }
 
 
@@ -12682,6 +12780,7 @@ def oracle_sql() -> dict[str, str]:
         "q236_cuped": _Q236_ORACLE,
         "q237_column_profile": _Q237_ORACLE,
         "q238_clustering_agreement": _Q238_ORACLE,
+        "q239_balance_check": _Q239_ORACLE,
     }
 
 

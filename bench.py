@@ -256,6 +256,7 @@ BENCH_QUERIES = [
     "q236_cuped",
     "q237_column_profile",
     "q238_clustering_agreement",
+    "q239_balance_check",
 ]
 
 

@@ -1082,3 +1082,77 @@ def cuped_adjustment(
         var_y.alias("var_raw"),
         var_adj.alias("var_adj"),
     )
+
+
+def balance_check(
+    df: DataFrame,
+    *,
+    arm_col: str,
+    covariate_cents_cols: list[str],
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Standardized mean difference (SMD) per covariate between two
+    arms — the randomization-sanity gate run BEFORE reading an
+    experiment (|SMD| > ~0.1 means the split is imbalanced and any
+    lift is suspect):
+
+        SMD = (mean_t - mean_c) / sqrt((var_t + var_c) / 2)
+
+    Exactness: integer-cent covariates, BIGINT moment sums in ONE
+    aggregation pass for ALL covariates, per-covariate means/variances
+    as fixed single-division chains — SQL replays every double.  Arms
+    are the two DISTINCT values of ``arm_col`` ordered ascending
+    (deterministic direction); more than two raises.  Zero pooled
+    variance reports NULL smd.
+
+    Output: one row per covariate — (covariate, n_control, n_treatment,
+    mean_control, mean_treatment, smd, balanced).
+    """
+    from functools import reduce
+
+    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
+    if len(arms) != 2:
+        raise ValueError(f"balance_check needs exactly 2 arms, got {arms}")
+    ctrl, trt = arms
+    is_t = (F.col(arm_col) == trt).cast("int")
+    aggs = [
+        F.sum(F.lit(1) - is_t).cast("long").alias("nc"),
+        F.sum(is_t).cast("long").alias("nt"),
+    ]
+    for c in covariate_cents_cols:
+        v = F.col(c).cast("long")
+        aggs += [
+            F.sum(v * (1 - is_t)).cast("long").alias(f"sc_{c}"),
+            F.sum(v * is_t).cast("long").alias(f"st_{c}"),
+            F.sum(v * v * (1 - is_t)).cast("long").alias(f"qc_{c}"),
+            F.sum(v * v * is_t).cast("long").alias(f"qt_{c}"),
+        ]
+    m = df.agg(*aggs).localCheckpoint(eager=True)
+    outs = []
+    for c in covariate_cents_cols:
+        nc = F.col("nc").cast("double")
+        nt = F.col("nt").cast("double")
+        mc = F.col(f"sc_{c}").cast("double") / nc
+        mt = F.col(f"st_{c}").cast("double") / nt
+        vc = (
+            F.col("nc") * F.col(f"qc_{c}") - F.col(f"sc_{c}") * F.col(f"sc_{c}")
+        ).cast("double") / (nc * nc)
+        vt = (
+            F.col("nt") * F.col(f"qt_{c}") - F.col(f"st_{c}") * F.col(f"st_{c}")
+        ).cast("double") / (nt * nt)
+        pooled = (vt + vc) / F.lit(2.0)
+        smd = F.when(pooled > 0, (mt - mc) / F.sqrt(pooled))
+        outs.append(
+            m.select(
+                F.lit(c).alias("covariate"),
+                F.col("nc").alias("n_control"),
+                F.col("nt").alias("n_treatment"),
+                mc.alias("mean_control"),
+                mt.alias("mean_treatment"),
+                smd.alias("smd"),
+                F.when(smd.isNotNull(), F.abs(smd) <= F.lit(float(threshold))).alias(
+                    "balanced"
+                ),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -756,3 +756,36 @@ def test_cuped_matches_numpy_and_reduces_variance(spark):
         df2, metric_cents_col="y", covariate_cents_col="x", arm_col="arm"
     ).collect()
     assert all(r["theta"] == 0.0 and r["adj_mean"] == r["mean_metric"] for r in o2)
+
+
+def test_balance_check_hand_and_guard(spark):
+    import math
+
+    import pytest
+
+    from patternly_spark.operators.drift import balance_check
+
+    # balanced covariate x; imbalanced covariate z
+    rows = [(i % 2, 100 + (i % 5), (i % 2) * 50 + (i % 7)) for i in range(140)]
+    df = spark.createDataFrame(rows, "arm int, x long, z long")
+    out = {r["covariate"]: r for r in balance_check(
+        df, arm_col="arm", covariate_cents_cols=["x", "z"]
+    ).collect()}
+    assert out["x"]["balanced"] is True and abs(out["x"]["smd"]) < 0.05
+    assert out["z"]["balanced"] is False and out["z"]["smd"] > 5
+    # exact replica of x's smd
+    import numpy as np
+    a = np.array([r for r in rows if r[0] == 0], dtype=object)
+    b = np.array([r for r in rows if r[0] == 1], dtype=object)
+    def stats(vals):
+        n = len(vals); s = sum(vals); q = sum(v * v for v in vals)
+        return s / n, (n * q - s * s) / (n * n)
+    mc, vc = stats([r[1] for r in rows if r[0] == 0])
+    mt, vt = stats([r[1] for r in rows if r[0] == 1])
+    want = (mt - mc) / math.sqrt((vt + vc) / 2.0)
+    assert out["x"]["smd"] == want
+    with pytest.raises(ValueError, match="2 arms"):
+        balance_check(
+            spark.createDataFrame([(0, 1), (1, 1), (2, 1)], "arm int, x long"),
+            arm_col="arm", covariate_cents_cols=["x"],
+        )
