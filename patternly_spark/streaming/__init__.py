@@ -26,6 +26,7 @@ from patternly_spark.streaming.similarity import (
     streaming_covariance_registry,
 )
 from patternly_spark.streaming.continuous import StreamingPFSADetector
+from patternly_spark.streaming.multimodal import streaming_image_dedup_registry
 
 __all__ = [
     "streaming_tumbling_counts",
@@ -46,4 +47,5 @@ __all__ = [
     "covariance_from_registry",
     "run_stream_to_memory",
     "StreamingPFSADetector",
+    "streaming_image_dedup_registry",
 ]

@@ -319,3 +319,48 @@ def test_audio_energy_hash_python_replay(spark):
     for a, b in zip(en, en[1:]):
         want = (want << 1) | int(b > a)
     assert got == want
+
+
+def test_streaming_image_dedup_registry_equals_batch(spark, tmp_path):
+    from patternly_spark.operators.multimodal import image_neardup_pairs
+    from patternly_spark.streaming.multimodal import (
+        streaming_image_dedup_registry,
+    )
+    from patternly_spark.pfsa.draw import encode_png
+
+    base = _toy_image(1)
+    n1 = base.copy(); n1[2, 2, 0] ^= 2          # near-dup of base
+    n2 = base.copy(); n2[4, 6, 1] ^= 1          # near-dup, arrives later
+    far = _toy_image(9); far[:, :, 0] = 255 - far[:, :, 0]
+    b0 = [(1, bytearray(encode_png(base))), (2, bytearray(encode_png(n1))),
+          (5, bytearray(encode_png(far)))]
+    b1 = [(3, bytearray(encode_png(n2))), (4, bytearray(encode_png(far))),
+          (1, bytearray(encode_png(base)))]   # id 1 re-sent: idempotent
+    schema = "media_id long, payload binary"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_image_dedup_registry(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        str(tmp_path / "registry"),
+        str(tmp_path / "pairs"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        max_hamming=4,
+        trigger_once=True,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    allm = spark.createDataFrame(b0 + b1[:2], schema)  # each id once
+    want = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_neardup_pairs(allm, max_hamming=4).collect()
+    }
+    assert got == want
+    assert (1, 3) in got and (4, 5) in got  # cross-batch pairs found
+    reg = spark.read.parquet(str(tmp_path / "registry"))
+    assert reg.count() == 5  # id 1 stored once despite the re-send
