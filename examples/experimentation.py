@@ -1,0 +1,130 @@
+"""Experimentation-platform demo: the full readout discipline on one
+synthetic A/B split of the events table —
+
+    randomization balance check (SMD) -> CUPED variance reduction ->
+    two-proportion z-test -> Wald SPRT sequential monitor ->
+    Benjamini-Hochberg FDR across many segment-level tests ->
+    Markov + Shapley attribution of the conversion event.
+
+Run from anywhere:
+
+    python examples/experimentation.py [sf_dir]
+
+The same compositions are the oracle-checked q204, q228, q230-q231,
+q233, q236 and q239 in __spark_entry__.py.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+
+from pyspark.sql import functions as F
+
+from patternly_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("patternly-experimentation")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from patternly_spark.operators.behavior import (
+        markov_attribution,
+        shapley_attribution,
+    )
+    from patternly_spark.operators.drift import (
+        balance_check,
+        bh_fdr,
+        cuped_adjustment,
+        proportion_ztest,
+        sprt_test,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    b = ev.agg(F.min("us").alias("mn"), F.max("us").alias("mx")).select(
+        F.expr("(mn + mx) div 2").alias("mid")
+    )
+    per_user = ev.crossJoin(F.broadcast(b)).groupBy("user_id").agg(
+        F.sum(F.when(F.col("us") < F.col("mid"), F.col("cents")).otherwise(0))
+        .cast("long").alias("pre"),
+        F.sum(F.when(F.col("us") >= F.col("mid"), F.col("cents")).otherwise(0))
+        .cast("long").alias("post"),
+        F.max(
+            (F.col("event_type") == "purchase")
+            & (F.col("us") >= F.col("mid"))
+        ).cast("int").alias("converted"),
+    )
+    armed = per_user.select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        "pre", "post", "converted",
+    )
+
+    print("== 1. balance check (gate before reading anything) ==")
+    balance_check(armed, arm_col="arm", covariate_cents_cols=["pre"]).show()
+
+    print("== 2. CUPED-adjusted spend readout ==")
+    cuped_adjustment(
+        armed, metric_cents_col="post", covariate_cents_col="pre",
+        arm_col="arm",
+    ).orderBy("arm").show()
+
+    print("== 3. conversion z-test ==")
+    proportion_ztest(
+        armed.select(
+            F.lit("all").alias("cohort"),
+            F.when(F.col("arm") == 1, "treatment").otherwise("control")
+            .alias("variant"),
+            F.col("converted").cast("boolean").alias("converted"),
+        ),
+        group_cols=["cohort"],
+        variant_col="variant",
+        success_col="converted",
+        control="control",
+        treatment="treatment",
+    ).show()
+
+    print("== 4. SPRT sequential monitor per arm ==")
+    sprt_test(
+        ev.select(
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            F.col("us").alias("ts"),
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+        ),
+        ts_col="ts", outcome_col="y", group_cols=["arm"],
+        p0=0.15, p1=0.25,
+    ).orderBy("arm").show()
+
+    print("== 5. BH-FDR over per-segment tests (synthetic p-values) ==")
+    tests = ev.select(
+        (F.col("user_id") % 20).alias("segment")
+    ).distinct().select(
+        "segment",
+        (
+            F.conv(F.substring(F.md5(F.col("segment").cast("string")), 1, 8),
+                   16, 10).cast("long") % 1000
+        ).cast("double").alias("__h"),
+    ).select("segment", ((F.col("__h") + 1) / 1000.0).alias("p"))
+    bh = bh_fdr(tests, p_col="p", id_cols=["segment"], fdr_q=0.2)
+    bh.filter(F.col("reject")).orderBy("p").show()
+
+    print("== 6. conversion attribution: Markov removal vs Shapley ==")
+    journeys = ev.select("user_id", F.col("us").alias("ts"), "event_type")
+    chans = ["click", "error", "signup", "view"]
+    markov_attribution(
+        journeys, ts_col="ts", channels=chans, conversion="purchase"
+    ).orderBy(F.desc("share")).show()
+    shapley_attribution(
+        journeys, ts_col="ts", channels=chans, conversion="purchase"
+    ).orderBy(F.desc("share")).show()
+    print("experimentation demo OK")
+
+
+if __name__ == "__main__":
+    main()

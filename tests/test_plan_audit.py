@@ -481,3 +481,65 @@ def test_round5_graph_text_multimodal_plan_shapes(spark):
     assert dh["python_evals"] == 1  # the Arrow decode kernel, nothing else
     ah = plan_audit(audio_energy_hash(media, frames=4))
     assert ah["python_evals"] == 1
+
+
+def test_round5_experiments_and_safety_plan_shapes(spark):
+    """Plan pins for the experimentation/safety family: PII ops are
+    zero-shuffle single scans, the one-pass aggregates have no joins on
+    data, SPRT/weighted-median are window+aggregate only."""
+    from patternly_spark.operators.drift import (
+        balance_check,
+        cuped_adjustment,
+        sprt_test,
+        weighted_median,
+    )
+    from patternly_spark.operators.model_eval import clustering_agreement
+    from patternly_spark.operators.validate import (
+        pii_redact,
+        pii_scan,
+        profile_columns,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scan = plan_audit(pii_scan(docs))
+    assert scan["exchanges"] == 0 and scan["python_evals"] == 0
+    red = plan_audit(pii_redact(docs))
+    assert red["exchanges"] == 0 and red["python_evals"] == 0
+
+    armed = docs.select(
+        (F.col("doc_id") % 2).cast("int").alias("arm"),
+        F.col("n_chars").alias("y"),
+        (F.col("n_chars") + F.col("doc_id") % 7).alias("x"),
+    )
+    cu = plan_audit(cuped_adjustment(
+        armed, metric_cents_col="y", covariate_cents_col="x", arm_col="arm"))
+    assert cu["python_evals"] == 0
+    # per-arm x 1-row-pooled broadcast is the only nested-loop member
+    assert cu["nested_loop_joins"] <= 1
+
+    bc = plan_audit(balance_check(
+        armed, arm_col="arm", covariate_cents_cols=["x", "y"]))
+    assert bc["python_evals"] == 0
+
+    obs = docs.select(
+        (F.col("doc_id") % 3).cast("int").alias("g"),
+        F.col("doc_id").alias("ts"),
+        (F.col("doc_id") % 4 == 0).cast("int").alias("y"),
+    )
+    sp = plan_audit(sprt_test(obs, ts_col="ts", outcome_col="y",
+                              group_cols=["g"], p0=0.2, p1=0.4))
+    assert sp["python_evals"] == 0 and sp["nested_loop_joins"] == 0
+
+    wm = plan_audit(weighted_median(
+        docs.select(F.col("lang").alias("g"),
+                    F.col("n_chars").alias("v"), F.lit(2).alias("w")),
+        value_col="v", weight_col="w", group_cols=["g"],
+        check_weights=False))
+    assert wm["python_evals"] == 0 and wm["nested_loop_joins"] == 0
+
+    ca = plan_audit(clustering_agreement(docs, label_a="lang", label_b="source"))
+    assert ca["python_evals"] == 0
+    assert ca["nested_loop_joins"] <= 2  # two broadcast 1-row marginals
+
+    pr = plan_audit(profile_columns(docs, columns=["lang", "source"]))
+    assert pr["python_evals"] == 0 and pr["nested_loop_joins"] == 0
