@@ -1350,6 +1350,24 @@ def set_containment_join(
         .select("inner_doc", "outer_doc")
         .distinct()
     )
+    # size lower bound: overlap <= min(n_inner, n_outer), so containment
+    # >= t forces n_outer >= ceil(t * n_inner) — prune candidates BEFORE
+    # the verify join (pure pruning: cannot drop a qualifying pair)
+    cand = (
+        cand.join(
+            n.select(F.col("id").alias("inner_doc"), F.col("n").alias("__ni")),
+            "inner_doc",
+        )
+        .join(
+            n.select(F.col("id").alias("outer_doc"), F.col("n").alias("__no")),
+            "outer_doc",
+        )
+        .filter(
+            F.col("__no")
+            >= F.ceil(F.lit(t) * F.col("__ni").cast("double")).cast("int")
+        )
+        .select("inner_doc", "outer_doc")
+    )
     inter = (
         cand.join(tok.select(F.col("id").alias("inner_doc"), "s"), "inner_doc")
         .join(tok.select(F.col("id").alias("outer_doc"), "s"), ["outer_doc", "s"])
