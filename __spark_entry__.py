@@ -10783,6 +10783,83 @@ _Q239_ORACLE = """
 """
 
 
+def q240_span_removal(spark, sf_dir):
+    """ExactSubstr ACTION step (operators/dedup.remove_duplicate_spans):
+    cut every q178-detected repeated 20-gram span out of the corpus and
+    return cleaned text + removal accounting.  The oracle rebuilds the
+    q178 span table and replays the per-token coverage filter in SQL —
+    the cleaned TEXT itself is value-compared, so the surgery is
+    engine-exact end to end."""
+    from patternly_spark.operators.dedup import remove_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(d, ngram=20, min_repeats=2)
+
+
+_Q240_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), g AS (
+        SELECT doc_id, pos, array_to_string(t[pos+1:pos+20], ' ') AS gram
+        FROM toks,
+             LATERAL (SELECT unnest(range(0, greatest(len(t) - 19, 0))) AS pos) i(pos)
+    ), dup AS (
+        SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+    ), flagged AS (
+        SELECT doc_id, pos FROM g JOIN dup USING (gram)
+    ), marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN prev_max_end IS NULL OR pos > prev_max_end + 1
+                    THEN 1 ELSE 0 END AS new_island
+        FROM (
+            SELECT doc_id, pos,
+                   MAX(pos + 19) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_max_end
+            FROM flagged
+        )
+    ), islands AS (
+        SELECT doc_id, pos,
+               SUM(new_island) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM marked
+    ), spans AS (
+        SELECT doc_id, MIN(pos)::BIGINT AS a, (MAX(pos) + 19)::BIGINT AS b
+        FROM islands GROUP BY doc_id, island
+    ), span_lists AS (
+        SELECT doc_id, list({'a': a, 'b': b}) AS sp FROM spans GROUP BY doc_id
+    ), joined AS (
+        SELECT t.doc_id, t.t, COALESCE(s.sp, []) AS sp
+        FROM toks t LEFT JOIN span_lists s USING (doc_id)
+    ), covered AS (
+        SELECT doc_id, t,
+               flatten(list_transform(sp, u -> range(u['a'], u['b'] + 1)))
+                   AS cov
+        FROM joined
+    ), kept AS (
+        SELECT doc_id, t,
+               list_filter(
+                   list_transform(range(1, len(t) + 1),
+                                  i -> {'w': t[i], 'i': i - 1}),
+                   x -> NOT list_contains(cov, x['i'])
+               ) AS keep
+        FROM covered
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(list_transform(keep, x -> x['w']), ' '),
+                    '') AS text,
+           CAST(len(t) AS BIGINT) AS n_tokens_before,
+           CAST(len(t) - len(keep) AS BIGINT) AS n_tokens_removed
+    FROM kept
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -11032,6 +11109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q237_column_profile": q237_column_profile,
         "q238_clustering_agreement": q238_clustering_agreement,
         "q239_balance_check": q239_balance_check,
+        "q240_span_removal": q240_span_removal,
     }
 
 
@@ -12781,6 +12859,7 @@ def oracle_sql() -> dict[str, str]:
         "q237_column_profile": _Q237_ORACLE,
         "q238_clustering_agreement": _Q238_ORACLE,
         "q239_balance_check": _Q239_ORACLE,
+        "q240_span_removal": _Q240_ORACLE,
     }
 
 

@@ -257,6 +257,7 @@ BENCH_QUERIES = [
     "q237_column_profile",
     "q238_clustering_agreement",
     "q239_balance_check",
+    "q240_span_removal",
 ]
 
 

@@ -1590,3 +1590,74 @@ def affix_overlap_join(
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b", "affix")
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    *,
+    ngram: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_repeats: int = 2,
+) -> DataFrame:
+    """The ACTION step of ``duplicate_spans`` (Lee et al. ExactSubstr):
+    cut every detected repeated span out of the text and return the
+    cleaned corpus — the operation that actually de-memorizes training
+    data, not just reports it.
+
+    Composition law (tested): tokens kept == tokens NOT covered by any
+    ``duplicate_spans`` row at the same (ngram, min_repeats); docs with
+    no spans pass through with text joined from their own tokens
+    (whitespace-normalized — the one caveat, documented).
+
+    Shape: the span table is doc-keyed and far smaller than the corpus;
+    spans collect per doc (collect_list over the doc key — bounded by
+    spans-per-doc), the keep/drop test is a per-token F.exists over
+    that array (no UDF, no shuffle beyond the one span join).
+
+    Output: (id, text, n_tokens_before, n_tokens_removed).
+    """
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    spans = duplicate_spans(
+        docs,
+        ngram=ngram,
+        id_col=id_col,
+        text_col=text_col,
+        min_repeats=min_repeats,
+    )
+    span_lists = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("a"), F.col("span_end").alias("b"))
+        ).alias("__spans")
+    )
+    # MUST match duplicate_spans' tokenization (empties filtered) or
+    # span indices shift
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("__t"),
+    )
+    joined = toks.join(span_lists, id_col, "left").withColumn(
+        "__spans",
+        F.coalesce(
+            F.col("__spans"),
+            F.array().cast("array<struct<a: bigint, b: bigint>>"),
+        ),
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("__t"),
+            lambda w, i: F.struct(w.alias("w"), i.cast("long").alias("i")),
+        ),
+        lambda s: ~F.exists(
+            F.col("__spans"), lambda sp: (s["i"] >= sp["a"]) & (s["i"] <= sp["b"])
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s["w"]), " ").alias(text_col),
+        F.size("__t").cast("long").alias("n_tokens_before"),
+        (F.size("__t") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )

@@ -1302,3 +1302,46 @@ def test_set_containment_join_complete_vs_bruteforce(spark):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_remove_duplicate_spans_composition_law(spark):
+    from patternly_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    chorus = " ".join(f"c{i}" for i in range(6))
+    docs = [
+        (1, "intro one two three " + chorus + " outro alpha beta"),
+        (2, "different opening here " + chorus + " closing words now"),
+        (3, "totally unique content with no repeats at all here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cleaned = {r["doc_id"]: r for r in remove_duplicate_spans(
+        df, ngram=4, min_repeats=2
+    ).collect()}
+    spans = duplicate_spans(df, ngram=4, min_repeats=2).collect()
+    covered = {}
+    for r in spans:
+        covered.setdefault(r["doc_id"], set()).update(
+            range(r["span_start"], r["span_end"] + 1)
+        )
+    for d, text in docs:
+        toks = text.split()
+        keep = [w for i, w in enumerate(toks) if i not in covered.get(d, set())]
+        assert cleaned[d]["text"] == " ".join(keep), d
+        assert cleaned[d]["n_tokens_before"] == len(toks)
+        assert cleaned[d]["n_tokens_removed"] == len(toks) - len(keep)
+    # the chorus is gone from both carriers; untouched doc passes through
+    assert "c0" not in cleaned[1]["text"] and "c5" not in cleaned[2]["text"]
+    assert cleaned[3]["text"] == docs[2][1]
+    assert cleaned[3]["n_tokens_removed"] == 0
+    # re-detection on the cleaned corpus finds nothing
+    re_spans = duplicate_spans(
+        spark.createDataFrame(
+            [(k, v["text"]) for k, v in cleaned.items()],
+            "doc_id long, text string",
+        ),
+        ngram=4, min_repeats=2,
+    ).collect()
+    assert re_spans == []
