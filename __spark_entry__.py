@@ -10860,6 +10860,149 @@ _Q240_ORACLE = """
 """
 
 
+def q241_release_gate_v2(spark, sf_dir):
+    """Release-gate capstone v2 — this round's safety additions composed
+    end to end: plant PII (the q232 corpus) -> pii_redact -> cut
+    repeated 20-gram spans (remove_duplicate_spans) -> drop docs left
+    under 8 tokens -> per-source release stats (docs kept, tokens kept/
+    removed, residual-PII count, which must be 0 BY CONSTRUCTION and is
+    pinned at 0 in the oracle — the gate audits the gate, the q200
+    precedent).  One WITH-chain oracle certifies the whole composition
+    value-exactly."""
+    from patternly_spark.operators.dedup import remove_duplicate_spans
+    from patternly_spark.operators.validate import pii_redact, pii_scan
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" user"), F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" 555-867-5309")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    red = pii_redact(planted.select("doc_id", "text"))
+    cleaned = remove_duplicate_spans(red, ngram=20, min_repeats=2)
+    kept = cleaned.withColumn(
+        "n_tokens_after", F.col("n_tokens_before") - F.col("n_tokens_removed")
+    ).filter(F.col("n_tokens_after") >= 8)
+    rescan = pii_scan(kept.select("doc_id", "text"))
+    stats = (
+        kept.join(planted.select("doc_id", "source"), "doc_id")
+        .join(rescan.select("doc_id", "has_pii"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_released"),
+            F.sum("n_tokens_after").cast("long").alias("tokens_released"),
+            F.sum("n_tokens_removed").cast("long").alias("tokens_cut"),
+            F.sum(F.col("has_pii").cast("long")).cast("long").alias(
+                "residual_pii_docs"
+            ),
+        )
+    )
+    return stats
+
+
+def _q241_oracle() -> str:
+    # reuse the q240 span machinery over the REDACTED planted corpus
+    return """
+    WITH planted AS (
+        SELECT doc_id, source,
+               text
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN ' 555-867-5309'
+                       ELSE '' END AS text
+        FROM documents
+    ), red AS (
+        SELECT doc_id, source,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '[EMAIL]', 'g'),
+                       '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g'),
+                     '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                   '[IP]', 'g'),
+                 '\\b\\d{13,16}\\b', '[NUMBER]', 'g') AS text
+        FROM planted
+    ), toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM red
+    ), g AS (
+        SELECT doc_id, pos, array_to_string(t[pos+1:pos+20], ' ') AS gram
+        FROM toks,
+             LATERAL (SELECT unnest(range(0, greatest(len(t) - 19, 0))) AS pos) i(pos)
+    ), dup AS (
+        SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+    ), flagged AS (
+        SELECT doc_id, pos FROM g JOIN dup USING (gram)
+    ), marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN prev_max_end IS NULL OR pos > prev_max_end + 1
+                    THEN 1 ELSE 0 END AS new_island
+        FROM (
+            SELECT doc_id, pos,
+                   MAX(pos + 19) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_max_end
+            FROM flagged
+        )
+    ), islands AS (
+        SELECT doc_id, pos,
+               SUM(new_island) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM marked
+    ), spans AS (
+        SELECT doc_id, MIN(pos)::BIGINT AS a, (MAX(pos) + 19)::BIGINT AS b
+        FROM islands GROUP BY doc_id, island
+    ), span_lists AS (
+        SELECT doc_id, list({'a': a, 'b': b}) AS sp FROM spans GROUP BY doc_id
+    ), joined AS (
+        SELECT t.doc_id, t.source, t.t, COALESCE(s.sp, []) AS sp
+        FROM toks t LEFT JOIN span_lists s USING (doc_id)
+    ), covered AS (
+        SELECT doc_id, source, t,
+               flatten(list_transform(sp, u -> range(u['a'], u['b'] + 1)))
+                   AS cov
+        FROM joined
+    ), kept AS (
+        SELECT doc_id, source,
+               CAST(len(t) AS BIGINT) AS n_before,
+               CAST(len(list_filter(range(1, len(t) + 1),
+                                    i -> NOT list_contains(cov, i - 1)))
+                    AS BIGINT) AS n_after
+        FROM covered
+    )
+    SELECT source,
+           COUNT(*)::BIGINT AS docs_released,
+           SUM(n_after)::BIGINT AS tokens_released,
+           SUM(n_before - n_after)::BIGINT AS tokens_cut,
+           CAST(0 AS BIGINT) AS residual_pii_docs
+    FROM kept
+    WHERE n_after >= 8
+    GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -11110,6 +11253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q238_clustering_agreement": q238_clustering_agreement,
         "q239_balance_check": q239_balance_check,
         "q240_span_removal": q240_span_removal,
+        "q241_release_gate_v2": q241_release_gate_v2,
     }
 
 
@@ -12860,6 +13004,7 @@ def oracle_sql() -> dict[str, str]:
         "q238_clustering_agreement": _Q238_ORACLE,
         "q239_balance_check": _Q239_ORACLE,
         "q240_span_removal": _Q240_ORACLE,
+        "q241_release_gate_v2": _q241_oracle(),
     }
 
 

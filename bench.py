@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "q238_clustering_agreement",
     "q239_balance_check",
     "q240_span_removal",
+    "q241_release_gate_v2",
 ]
 
 
