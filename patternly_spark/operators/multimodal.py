@@ -261,6 +261,13 @@ def image_neardup_pairs(
     hs = int(hash_size)
     nbits = hs * hs
     nb = int(max_hamming) + 1
+    if nb > nbits:
+        # width would floor to 0: every block value collapses to 0 and the
+        # candidate join degenerates to a full cross product
+        raise ValueError(
+            f"max_hamming + 1 = {nb} exceeds the {nbits}-bit hash "
+            f"(hash_size={hs}); raise hash_size or lower max_hamming"
+        )
     width = nbits // nb
 
     hashes = image_dhash(

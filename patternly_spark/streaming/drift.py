@@ -25,6 +25,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from patternly_spark.operators.drift import categorical_drift, ks_drift
+from patternly_spark.streaming.exactly_once import (
+    read_latest_snapshot,
+    read_registry,
+    write_batch_partition,
+    write_snapshot,
+)
 
 __all__ = [
     "streaming_drift",
@@ -62,8 +68,10 @@ def streaming_drift(
             "psi",
             "unseen_frac",
         )
-        # stats of an empty batch is an empty frame; the write is a no-op
-        out.write.mode("append").parquet(output_path)
+        # stats of an empty batch is an empty frame; the write is a no-op.
+        # per-batch partition write: a foreachBatch retry overwrites its
+        # own partition instead of appending a duplicate drift row.
+        write_batch_partition(out, output_path, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path
@@ -104,7 +112,7 @@ def streaming_ks_drift(
             "n_ref",
             "ks",
         )
-        out.write.mode("append").parquet(output_path)
+        write_batch_partition(out, output_path, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path
@@ -147,16 +155,12 @@ def streaming_ema(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        init = None
-        try:
-            init = spark.read.parquet(registry_path)
-        except Exception:
-            pass
+        init, _ = read_latest_snapshot(spark, registry_path, before_batch=batch_id)
         out = ema(
             batch_df, value_col, by=keys, order_col=order_col,
             alpha=alpha, init=init,
         ).localCheckpoint(eager=True)
-        out.write.mode("append").parquet(output_path)
+        write_batch_partition(out, output_path, batch_id)
 
         order = [order_col] if isinstance(order_col, str) else list(order_col)
         from pyspark.sql import Window
@@ -170,7 +174,7 @@ def streaming_ema(
         if init is not None:
             untouched = init.join(last.select(*keys), keys, "left_anti")
             last = last.unionByName(untouched)
-        last.localCheckpoint(eager=True).write.mode("overwrite").parquet(registry_path)
+        write_snapshot(last.localCheckpoint(eager=True), registry_path, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path
@@ -211,17 +215,13 @@ def streaming_cusum(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        init = None
-        try:
-            init = spark.read.parquet(registry_path)
-        except Exception:
-            pass
+        init, _ = read_latest_snapshot(spark, registry_path, before_batch=batch_id)
         out = cusum(
             batch_df, value_col, by=keys, order_col=order,
             target=target, slack=slack, threshold=threshold,
             init=init,
         ).localCheckpoint(eager=True)
-        out.write.mode("append").parquet(output_path)
+        write_batch_partition(out, output_path, batch_id)
 
         from pyspark.sql import Window
 
@@ -234,7 +234,7 @@ def streaming_cusum(
         if init is not None:
             untouched = init.join(last.select(*keys), keys, "left_anti")
             last = last.unionByName(untouched)
-        last.localCheckpoint(eager=True).write.mode("overwrite").parquet(registry_path)
+        write_snapshot(last.localCheckpoint(eager=True), registry_path, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path
@@ -291,8 +291,8 @@ def streaming_seasonal_monitor(
                 F.max(sec).cast("long").alias("max_sec"),
             )
         )
-        try:
-            existing = spark.read.parquet(registry_path)
+        existing, _ = read_latest_snapshot(spark, registry_path, before_batch=batch_id)
+        if existing is not None:
             hourly = (
                 hourly.unionByName(existing)
                 .groupBy("event_type", "h")
@@ -301,9 +301,7 @@ def streaming_seasonal_monitor(
                     F.max("max_sec").cast("long").alias("max_sec"),
                 )
             )
-        except Exception:
-            pass
-        hourly.localCheckpoint(eager=True).write.mode("overwrite").parquet(registry_path)
+        write_snapshot(hourly.localCheckpoint(eager=True), registry_path, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path
@@ -398,16 +396,12 @@ def streaming_holt(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        init = None
-        try:
-            init = spark.read.parquet(registry_path)
-        except Exception:
-            pass
+        init, _ = read_latest_snapshot(spark, registry_path, before_batch=batch_id)
         out = holt_smoothing(
             batch_df, value_col, by=keys, order_col=order_col,
             alpha=alpha, beta=beta, init=init,
         ).localCheckpoint(eager=True)
-        out.write.mode("append").parquet(output_path)
+        write_batch_partition(out, output_path, batch_id)
 
         order = [order_col] if isinstance(order_col, str) else list(order_col)
         from pyspark.sql import Window
@@ -421,7 +415,7 @@ def streaming_holt(
         if init is not None:
             untouched = init.join(last.select(*keys), keys, "left_anti")
             last = last.unionByName(untouched)
-        last.localCheckpoint(eager=True).write.mode("overwrite").parquet(registry_path)
+        write_snapshot(last.localCheckpoint(eager=True), registry_path, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path
@@ -468,8 +462,8 @@ def streaming_survival_registry(
             .cast("long")
             .alias("c"),
         )
-        try:
-            existing = spark.read.parquet(registry_path)
+        existing, _ = read_latest_snapshot(spark, registry_path, before_batch=batch_id)
+        if existing is not None:
             grid = (
                 grid.unionByName(existing)
                 .groupBy(*gcols, "t")
@@ -478,11 +472,7 @@ def streaming_survival_registry(
                     F.sum("c").cast("long").alias("c"),
                 )
             )
-        except Exception:
-            pass
-        grid.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            registry_path
-        )
+        write_snapshot(grid.localCheckpoint(eager=True), registry_path, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path
@@ -535,10 +525,7 @@ def streaming_sprt_registry(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            prev = spark.read.parquet(registry_path)
-        except Exception:
-            prev = None
+        prev, _ = read_latest_snapshot(spark, registry_path, before_batch=batch_id)
         w = Window.partitionBy(*gcols).orderBy(
             F.col(ts_col), F.col(outcome_col)
         )
@@ -609,9 +596,7 @@ def streaming_sprt_registry(
                 updated.select(*gcols).distinct(), gcols, "left_anti"
             )
             updated = updated.unionByName(untouched)
-        updated.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            registry_path
-        )
+        write_snapshot(updated.localCheckpoint(eager=True), registry_path, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path
@@ -626,7 +611,7 @@ def sprt_from_registry(spark, registry_path: str, *, units: int = 1 << 20):
     output schema (llr columns de-scaled to nats)."""
     from pyspark.sql import functions as F
 
-    reg = spark.read.parquet(registry_path)
+    reg = read_registry(spark, registry_path)
     fu = float(int(units))
     return reg.select(
         *[c for c in reg.columns if c not in (

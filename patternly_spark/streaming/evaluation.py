@@ -38,10 +38,16 @@ def streaming_ranking_registry(
 ):
     """foreachBatch wrapper: fold each microbatch's ranking sums into
     the persisted 1-row registry by column-wise integer addition.
-    Read-merge-overwrite is sequential across microbatches; the merged
-    row is localCheckpoint-pinned before overwriting the files it was
-    read from (the streaming_hll_registry pattern)."""
+    Exactly-once under foreachBatch retries: batch N folds on top of the
+    latest committed snapshot with id < N and writes snapshot N
+    (``exactly_once.write_snapshot``), so a crash-and-retry re-reads the
+    same predecessor and rewrites snapshot N byte-identically — no
+    double-fold, no overwrite-in-place data-loss window."""
     from patternly_spark.operators.model_eval import _ranking_sums
+    from patternly_spark.streaming.exactly_once import (
+        read_latest_snapshot,
+        write_snapshot,
+    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -53,16 +59,17 @@ def streaming_ranking_registry(
             k_values=k_values,
             units=units,
         )
-        try:
-            existing = spark.read.parquet(registry_path)
-            merged = sums.unionByName(existing).agg(
+        existing, _ = read_latest_snapshot(
+            spark, registry_path, before_batch=batch_id
+        )
+        merged = (
+            sums.unionByName(existing).agg(
                 *[F.sum(c).cast("long").alias(c) for c in sums.columns]
             )
-        except Exception:
-            merged = sums
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            registry_path
+            if existing is not None
+            else sums
         )
+        write_snapshot(merged.localCheckpoint(eager=True), registry_path, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path
@@ -83,6 +90,7 @@ def ranking_registry_metrics(
     identical to running batch ``ranking_metrics`` over every ranked
     list ever folded in."""
     from patternly_spark.operators.model_eval import _sums_to_metrics
+    from patternly_spark.streaming.exactly_once import read_registry
 
-    tot = spark.read.parquet(registry_path)
+    tot = read_registry(spark, registry_path)
     return _sums_to_metrics(tot, k_values=k_values, units=units)

@@ -1,0 +1,183 @@
+"""Exactly-once primitives for foreachBatch registries.
+
+``foreachBatch`` is AT-LEAST-ONCE: Structured Streaming commits a
+microbatch to the checkpoint (``commits/<batch_id>``) only AFTER the
+user function returns.  A crash between the registry writes and that
+commit re-offers the batch on restart with the SAME ``batch_id`` — a
+registry that read-then-appends would duplicate the batch's rows, and a
+read-merge-overwrite fold would double-fold additive sums.  Plain
+``mode("overwrite")`` is worse still: static overwrite deletes the
+target before writing, so a crash mid-write silently destroys the only
+copy of the state.
+
+Two primitives close both gaps, keyed on ``batch_id`` (reference
+parity note: the reference engine has no streaming restart story at
+all — its pipelines are single-process notebook runs; this module is
+the Spark-native contract its semantics need at scale):
+
+1. **Versioned snapshots** — for read-merge-overwrite fold registries.
+   Batch *N* reads the latest committed snapshot with id < *N*, folds,
+   and writes ``<state>/snap_<N>/`` with overwrite.  A retry of *N*
+   re-reads the same predecessor (still on disk — snapshots are never
+   overwritten in place) and rewrites ``snap_<N>`` byte-identically:
+   no double-fold, no lost state, wherever the first attempt died.
+   Older snapshots beyond ``keep`` are pruned only after the new one
+   commits.
+
+2. **Per-batch partition appends** — for append-style outputs and
+   registries.  Rows land under ``_batch_id=<N>/`` via dynamic
+   partition overwrite, so a retry REPLACES its own partition instead
+   of appending beside the orphaned first attempt.  Readers inside a
+   batch must exclude ``_batch_id >= N`` (a completed-but-uncommitted
+   prior attempt of *N* must not be visible as history); partition
+   pruning makes the filter free.
+
+Both layouts are plain parquet under any Hadoop-compatible filesystem
+(local, HDFS, object stores via their committers) — no lakehouse
+dependency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "committed_snapshot_ids",
+    "read_latest_snapshot",
+    "write_snapshot",
+    "write_batch_partition",
+    "read_appended",
+    "read_registry",
+    "BATCH_COL",
+]
+
+SNAP_PREFIX = "snap_"
+BATCH_COL = "_batch_id"
+
+
+def _hadoop(spark: SparkSession, path_str: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path, jvm
+
+
+def committed_snapshot_ids(spark: SparkSession, state_path: str) -> list[int]:
+    """Sorted batch ids of COMMITTED snapshots (``snap_<id>/_SUCCESS``
+    present) under ``state_path``."""
+    fs, root, jvm = _hadoop(spark, state_path)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(SNAP_PREFIX)):
+            continue
+        try:
+            bid = int(name[len(SNAP_PREFIX):])
+        except ValueError:
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+            out.append(bid)
+    return sorted(out)
+
+
+def read_latest_snapshot(
+    spark: SparkSession, state_path: str, *, before_batch: int | None = None
+) -> tuple[DataFrame | None, int | None]:
+    """(df, batch_id) of the newest committed snapshot — restricted to
+    ids < ``before_batch`` when given (a batch folding on top of history
+    must never see its own earlier attempt).  Falls back to reading bare
+    parquet at ``state_path`` itself (an externally seeded / legacy
+    registry) when no snapshots exist; returns (None, None) when there
+    is no state at all."""
+    all_ids = committed_snapshot_ids(spark, state_path)
+    ids = (
+        [i for i in all_ids if i < int(before_batch)]
+        if before_batch is not None
+        else all_ids
+    )
+    if ids:
+        bid = ids[-1]
+        return spark.read.parquet(f"{state_path}/{SNAP_PREFIX}{bid}"), bid
+    if all_ids:
+        # snapshots exist but all are >= before_batch: this is a RETRY of
+        # the first batch — its own orphan is not history, and the bare
+        # path holds only snapshot dirs, never a legacy flat registry.
+        return None, None
+    try:
+        return spark.read.parquet(state_path), None
+    except Exception:
+        return None, None
+
+
+def write_snapshot(
+    df: DataFrame, state_path: str, batch_id: int, *, keep: int = 3
+) -> None:
+    """Write ``state_path/snap_<batch_id>/`` (overwrite — retries of the
+    same batch replace their own snapshot), then prune committed
+    snapshots beyond the newest ``keep``.  ``keep`` must be >= 2 so a
+    retry of the next batch still finds its predecessor."""
+    if keep < 2:
+        raise ValueError(f"keep must be >= 2 (retry needs the predecessor), got {keep}")
+    bid = int(batch_id)
+    df.write.mode("overwrite").parquet(f"{state_path}/{SNAP_PREFIX}{bid}")
+    spark = df.sparkSession
+    ids = committed_snapshot_ids(spark, state_path)
+    stale = [i for i in (ids[:-keep] if len(ids) > keep else []) if i != bid]
+    if stale:
+        fs, _, jvm = _hadoop(spark, state_path)
+        for i in stale:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{state_path}/{SNAP_PREFIX}{i}"), True
+            )
+
+
+def write_batch_partition(df: DataFrame, output_path: str, batch_id: int) -> None:
+    """Idempotent per-batch append: write ``df`` under
+    ``output_path/_batch_id=<batch_id>/`` with DYNAMIC partition
+    overwrite — only this batch's partition is replaced, earlier
+    batches' files are untouched, and a retry overwrites its own orphan
+    instead of duplicating it."""
+    (
+        df.withColumn(BATCH_COL, F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BATCH_COL)
+        .parquet(output_path)
+    )
+
+
+def read_appended(
+    spark: SparkSession, output_path: str, *, before_batch: int | None = None
+) -> DataFrame | None:
+    """All rows appended via ``write_batch_partition`` (None when the
+    path has no data yet).  With ``before_batch``, rows from that batch
+    id onward are excluded — the view a RETRY of ``before_batch`` must
+    fold against (its own orphaned first attempt is not history).  The
+    filter is a partition predicate: pruned at the file listing, never
+    scanned."""
+    try:
+        df = spark.read.parquet(output_path)
+    except Exception:
+        return None
+    if BATCH_COL not in df.columns:
+        # legacy flat layout (externally seeded registry)
+        return df
+    if before_batch is not None:
+        df = df.filter(F.col(BATCH_COL) < int(before_batch))
+    return df.drop(BATCH_COL)
+
+
+def read_registry(spark: SparkSession, state_path: str) -> DataFrame:
+    """Read a registry regardless of layout: latest committed snapshot,
+    per-batch partitions, or legacy flat parquet.  The one reader
+    finalize functions and tests should use."""
+    ids = committed_snapshot_ids(spark, state_path)
+    if ids:
+        return spark.read.parquet(f"{state_path}/{SNAP_PREFIX}{ids[-1]}")
+    df = spark.read.parquet(state_path)
+    if BATCH_COL in df.columns:
+        df = df.drop(BATCH_COL)
+    return df

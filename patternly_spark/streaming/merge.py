@@ -3,10 +3,11 @@ change stream (the streaming twin of ``operators/merge.merge_upsert``).
 
 Shape: foreachBatch.  Each microbatch (1) collapses ITSELF to one
 winner per key (intra-batch ties/versions resolved exactly as the batch
-operator does), then (2) upserts into the parquet snapshot.  Microbatch
-execution is sequential, so read-then-overwrite is race-free by
-construction — the ``streaming/dedup.streaming_neardup_dedup`` registry
-precedent.
+operator does), then (2) upserts into the parquet snapshot.  Restart
+safety comes from ``streaming/exactly_once``: the full-rewrite layout
+uses versioned snapshots (a foreachBatch retry re-merges on the
+predecessor and rewrites its own snapshot), and the key-partitioned
+layout relies on upsert idempotency plus dynamic partition overwrite.
 
 The snapshot rewrite is the honest cost of parquet (no deletion
 vectors): each batch rewrites the snapshot partition-complete.  At
@@ -22,8 +23,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from patternly_spark.operators.merge import merge_upsert
+from patternly_spark.streaming.exactly_once import (
+    read_latest_snapshot,
+    write_snapshot,
+)
 
-__all__ = ["streaming_upsert"]
+__all__ = ["streaming_upsert", "streaming_scd2_registry"]
 
 
 def streaming_upsert(
@@ -51,13 +56,17 @@ def streaming_upsert(
         batch = merge_upsert(
             batch_df.limit(0), batch_df, key_cols=keys, version_col=version_col
         )
-        try:
-            snap = spark.read.parquet(snapshot_path).select(*cols)
-            have_snap = True
-        except Exception:
-            snap = None
-            have_snap = False
         if num_key_partitions:
+            # key-hash-partitioned layout: dynamic partition overwrite of
+            # only the touched partitions.  Retry-safe WITHOUT snapshots
+            # because upsert is idempotent — re-merging the same batch into
+            # an already-merged partition picks the same winners (latest
+            # wins; a row tied with its own earlier copy is the same row).
+            try:
+                spark.read.parquet(snapshot_path)
+                have_snap = True
+            except Exception:
+                have_snap = False
             kp = F.abs(F.hash(*[F.col(k) for k in keys])) % int(num_key_partitions)
             batch_p = batch.withColumn("__kp", kp)
             if not have_snap:
@@ -81,13 +90,17 @@ def streaming_upsert(
             finally:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
             return
+        # full-rewrite layout: versioned snapshots (exactly_once) — a
+        # foreachBatch retry re-merges on top of the PREDECESSOR snapshot
+        # and rewrites its own, and a crash mid-write never deletes the
+        # only copy (static overwrite would).
+        snap, _ = read_latest_snapshot(spark, snapshot_path, before_batch=batch_id)
         merged = (
-            merge_upsert(snap, batch, key_cols=keys, version_col=version_col)
-            if have_snap
+            merge_upsert(snap.select(*cols), batch, key_cols=keys, version_col=version_col)
+            if snap is not None
             else batch
         )
-        # full rewrite must not read-while-overwriting the same files
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(snapshot_path)
+        write_snapshot(merged.localCheckpoint(eager=True), snapshot_path, batch_id)
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path
@@ -132,10 +145,9 @@ def streaming_scd2_registry(
         events = batch_df.select(
             F.col(key_col), F.col(ts_col), *[F.col(c) for c in attr_cols]
         )
-        try:
-            registry = spark.read.parquet(registry_path)
-        except Exception:
-            registry = None
+        registry, _ = read_latest_snapshot(
+            spark, registry_path, before_batch=batch_id
+        )
         if registry is None:
             updated = scd2_intervals(
                 events, key_col=key_col, ts_col=ts_col, attr_cols=attr_cols
@@ -145,24 +157,28 @@ def streaming_scd2_registry(
             touched = registry.join(touched_keys, key_col, "left_semi")
             untouched = registry.join(touched_keys, key_col, "left_anti")
             closed = touched.filter(~F.col("is_current"))
+            # synthetic open-version rows carry __syn=0 so they sort
+            # STRICTLY BEFORE a batch event at the identical ts — without
+            # the tiebreak the rebuilt history is nondeterministic when a
+            # change lands exactly at the open version's valid_from
             open_as_events = touched.filter(F.col("is_current")).select(
                 F.col(key_col),
                 F.col("valid_from").alias(ts_col),
                 *[F.col(c) for c in attr_cols],
+                F.lit(0).alias("__syn"),
             )
             rebuilt = scd2_intervals(
-                open_as_events.unionByName(events),
+                open_as_events.unionByName(events.withColumn("__syn", F.lit(1))),
                 key_col=key_col,
                 ts_col=ts_col,
                 attr_cols=attr_cols,
+                order_tiebreak=["__syn"],
             )
             # a rebuilt version that starts where closed history ends
             # stays open-ended only if nothing follows it; closed rows
             # keep their original intervals untouched
             updated = untouched.unionByName(closed).unionByName(rebuilt)
-        updated.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            registry_path
-        )
+        write_snapshot(updated.localCheckpoint(eager=True), registry_path, batch_id)
 
     writer = stream_changes.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path

@@ -38,9 +38,19 @@ def streaming_image_dedup_registry(
     involve >= 1 new image (appended to ``pairs_path``), fold the new
     hashes into ``registry_path``."""
     from patternly_spark.operators.multimodal import image_dhash
+    from patternly_spark.streaming.exactly_once import (
+        read_latest_snapshot,
+        write_batch_partition,
+        write_snapshot,
+    )
 
     nbits = int(hash_size) * int(hash_size)
     nb = int(max_hamming) + 1
+    if nb > nbits:
+        raise ValueError(
+            f"max_hamming + 1 = {nb} exceeds the {nbits}-bit hash "
+            f"(hash_size={int(hash_size)}); raise hash_size or lower max_hamming"
+        )
     width = nbits // nb
 
     def _blocks(hashes: DataFrame) -> DataFrame:
@@ -77,10 +87,7 @@ def streaming_image_dedup_registry(
             .select(F.col(id_col).alias("id"), "dhash")
             .localCheckpoint(eager=True)
         )
-        try:
-            existing = spark.read.parquet(registry_path)
-        except Exception:
-            existing = None
+        existing, _ = read_latest_snapshot(spark, registry_path, before_batch=batch_id)
         if existing is not None:
             # a re-sent id is not "new" (idempotent re-ingest)
             new = new.join(existing.select("id"), "id", "left_anti")
@@ -112,10 +119,8 @@ def streaming_image_dedup_registry(
         pairs = cand.select(
             "id_a", "id_b", ham.cast("int").alias("hamming")
         ).filter(F.col("hamming") <= int(max_hamming))
-        pairs.write.mode("append").parquet(pairs_path)
-        allh.select("id", "dhash").write.mode("overwrite").parquet(
-            registry_path
-        )
+        write_batch_partition(pairs, pairs_path, batch_id)
+        write_snapshot(allh.select("id", "dhash"), registry_path, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path

@@ -147,14 +147,21 @@ def streaming_cosine_allpairs(
     """foreachBatch wrapper: each microbatch runs
     ``incremental_cosine_allpairs`` against the parquet registry at
     ``registry_path``, appends qualifying pairs to ``output_path`` and
-    the batch's vector rows to the registry.  Microbatches are
-    sequential, so read-then-append is race-free by construction."""
+    the batch's vector rows to the registry.  Exactly-once under
+    foreachBatch retries (``exactly_once.write_batch_partition``): each
+    batch's rows land in their own ``_batch_id`` partition, a retry
+    OVERWRITES its partition instead of appending beside the orphan,
+    and the registry read excludes partitions >= the current batch so
+    an orphaned earlier attempt is never treated as history."""
+    from patternly_spark.streaming.exactly_once import (
+        read_appended,
+        write_batch_partition,
+    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            registry = spark.read.parquet(registry_path)
-        except Exception:
+        registry = read_appended(spark, registry_path, before_batch=batch_id)
+        if registry is None:
             registry = empty_cosine_registry(spark, block_dims=block_dims)
         pairs, new_rows = incremental_cosine_allpairs(
             batch_df,
@@ -165,8 +172,8 @@ def streaming_cosine_allpairs(
             block_dims=block_dims,
             home_splits=home_splits,
         )
-        pairs.write.mode("append").parquet(output_path)
-        new_rows.write.mode("append").parquet(registry_path)
+        write_batch_partition(pairs, output_path, batch_id)
+        write_batch_partition(new_rows, registry_path, batch_id)
 
     writer = stream_vecs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path
@@ -401,15 +408,19 @@ def streaming_tfidf_allpairs(
     (build it with ``build_idf_snapshot(...).write.parquet(idf_path)``
     BEFORE starting — a missing snapshot is an error, never an implicit
     refresh), appends qualifying pairs to ``output_path`` and the
-    batch's postings to the registry.  Microbatches are sequential, so
-    read-then-append is race-free by construction."""
+    batch's postings to the registry.  Exactly-once under foreachBatch
+    retries via per-``_batch_id`` partition writes (see
+    ``streaming_cosine_allpairs``)."""
+    from patternly_spark.streaming.exactly_once import (
+        read_appended,
+        write_batch_partition,
+    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         idf_stats = spark.read.parquet(idf_path)
-        try:
-            registry = spark.read.parquet(registry_path)
-        except Exception:
+        registry = read_appended(spark, registry_path, before_batch=batch_id)
+        if registry is None:
             registry = empty_tfidf_registry(spark)
         pairs, new_rows = incremental_tfidf_allpairs(
             batch_df,
@@ -420,8 +431,8 @@ def streaming_tfidf_allpairs(
             text_col=text_col,
             idf_quantize_bits=idf_quantize_bits,
         )
-        pairs.write.mode("append").parquet(output_path)
-        new_rows.write.mode("append").parquet(registry_path)
+        write_batch_partition(pairs, output_path, batch_id)
+        write_batch_partition(new_rows, registry_path, batch_id)
 
     writer = stream_docs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path
@@ -455,14 +466,18 @@ def streaming_covariance_registry(
     registry snapshots.
     """
     from patternly_spark.operators.quantized import embedding_covariance
+    from patternly_spark.streaming.exactly_once import (
+        read_latest_snapshot,
+        write_snapshot,
+    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         part = embedding_covariance(batch_df, id_col=id_col, vec_col=vec_col).select(
             "i", "j", "gram", "sum_i", "sum_j", "n"
         )
-        try:
-            existing = spark.read.parquet(registry_path)
+        existing, _ = read_latest_snapshot(spark, registry_path, before_batch=batch_id)
+        if existing is not None:
             part = (
                 part.unionByName(existing)
                 .groupBy("i", "j")
@@ -473,11 +488,7 @@ def streaming_covariance_registry(
                     F.sum("n").alias("n"),
                 )
             )
-        except Exception:
-            pass
-        part.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            registry_path
-        )
+        write_snapshot(part.localCheckpoint(eager=True), registry_path, batch_id)
 
     writer = stream_vecs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path

@@ -25,6 +25,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from patternly_spark.operators.validate import _violation_expr
+from patternly_spark.streaming.exactly_once import (
+    read_latest_snapshot,
+    read_registry,
+    write_snapshot,
+)
 
 __all__ = [
     "streaming_quality_registry",
@@ -85,8 +90,8 @@ def streaming_quality_registry(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         part = _batch_counters(batch_df, rules)
-        try:
-            existing = spark.read.parquet(counters_path)
+        existing, _ = read_latest_snapshot(spark, counters_path, before_batch=batch_id)
+        if existing is not None:
             part = (
                 part.unionByName(existing)
                 .groupBy("rule_idx")
@@ -95,11 +100,7 @@ def streaming_quality_registry(
                     F.sum("n_violations").alias("n_violations"),
                 )
             )
-        except Exception:
-            pass
-        part.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            counters_path
-        )
+        write_snapshot(part.localCheckpoint(eager=True), counters_path, batch_id)
         if unique_rules:
             vals = None
             for i, rule in unique_rules:
@@ -113,18 +114,16 @@ def streaming_quality_registry(
                     .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
                 )
                 vals = v if vals is None else vals.unionByName(v)
-            try:
-                existing_v = spark.read.parquet(values_path)
+            existing_v, _ = read_latest_snapshot(
+                spark, values_path, before_batch=batch_id
+            )
+            if existing_v is not None:
                 vals = (
                     vals.unionByName(existing_v)
                     .groupBy("rule_idx", "value")
                     .agg(F.sum("cnt").alias("cnt"))
                 )
-            except Exception:
-                pass
-            vals.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-                values_path
-            )
+            write_snapshot(vals.localCheckpoint(eager=True), values_path, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path
@@ -146,7 +145,7 @@ def quality_report_from_registry(
     n_rows, n_violations, violation_rate, passed) from the folded
     registries — row-for-row what ``data_quality_report`` returns over
     all rows ever streamed."""
-    counters = spark.read.parquet(counters_path)
+    counters = read_registry(spark, counters_path)
     n_rows_total = counters.select(F.max("n_rows")).first()[0] or 0
 
     rows = []
@@ -154,7 +153,7 @@ def quality_report_from_registry(
     if any(r["check"] == "unique" for r in rules):
         if values_path is None:
             raise ValueError("values_path is required when rules include 'unique'")
-        vals = spark.read.parquet(values_path)
+        vals = read_registry(spark, values_path)
         agg = (
             vals.groupBy("rule_idx")
             .agg(

@@ -263,7 +263,9 @@ def test_streaming_ema_continues_recurrence_across_batches(spark, tmp_path):
     }
     assert got == want
     # registry holds each key's final state (incl. the batch-0-only key)
-    reg = {r["k"]: r["ema"] for r in spark.read.parquet(str(tmp_path / "reg")).collect()}
+    from patternly_spark.streaming.exactly_once import read_registry
+
+    reg = {r["k"]: r["ema"] for r in read_registry(spark, str(tmp_path / "reg")).collect()}
     assert set(reg) == {"u", "w", "x"}
     assert reg["u"] == want[("u", 2)] and reg["x"] == 1.0
 

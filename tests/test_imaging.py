@@ -321,6 +321,22 @@ def test_audio_energy_hash_python_replay(spark):
     assert got == want
 
 
+def test_neardup_band_width_guard(spark):
+    """max_hamming+1 bands must fit in the hash: a zero-width band would
+    collapse every block value to 0 and cross-product the corpus."""
+    from patternly_spark.operators.multimodal import image_neardup_pairs
+    from patternly_spark.streaming.multimodal import streaming_image_dedup_registry
+
+    df = spark.createDataFrame([(1, bytearray(b""))], "media_id long, payload binary")
+    with pytest.raises(ValueError, match="max_hamming"):
+        image_neardup_pairs(df, hash_size=2, max_hamming=4)
+    with pytest.raises(ValueError, match="max_hamming"):
+        streaming_image_dedup_registry(
+            df, "/tmp/x", "/tmp/y", checkpoint_path="/tmp/z",
+            hash_size=2, max_hamming=4,
+        )
+
+
 def test_streaming_image_dedup_registry_equals_batch(spark, tmp_path):
     from patternly_spark.operators.multimodal import image_neardup_pairs
     from patternly_spark.streaming.multimodal import (
@@ -351,9 +367,11 @@ def test_streaming_image_dedup_registry_equals_batch(spark, tmp_path):
     )
     q.awaitTermination(180)
 
+    from patternly_spark.streaming.exactly_once import read_appended, read_registry
+
     got = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+        for r in read_appended(spark, str(tmp_path / "pairs")).collect()
     }
     allm = spark.createDataFrame(b0 + b1[:2], schema)  # each id once
     want = {
@@ -362,5 +380,5 @@ def test_streaming_image_dedup_registry_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert (1, 3) in got and (4, 5) in got  # cross-batch pairs found
-    reg = spark.read.parquet(str(tmp_path / "registry"))
+    reg = read_registry(spark, str(tmp_path / "registry"))
     assert reg.count() == 5  # id 1 stored once despite the re-send

@@ -14,6 +14,7 @@ from patternly_spark.streaming.windows import (
     streaming_tumbling_counts,
 )
 from patternly_spark.streaming.continuous import StreamingPFSADetector
+from patternly_spark.streaming.exactly_once import read_appended, read_registry
 
 MACHINE_A = PFSA(pitilde=[[0.85, 0.15], [0.25, 0.75]], connx=[[0, 1], [0, 1]])
 MACHINE_U = PFSA(pitilde=[[0.5, 0.5], [0.5, 0.5]], connx=[[0, 1], [0, 1]])
@@ -431,7 +432,7 @@ def test_streaming_upsert_latest_wins(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    snap = {r["k"]: r for r in spark.read.parquet(str(tmp_path / "snap")).collect()}
+    snap = {r["k"]: r for r in read_registry(spark, str(tmp_path / "snap")).collect()}
     assert len(snap) == 3
     assert snap[1]["v"] == "a2" and snap[1]["version"] == 2  # stale update lost
     assert snap[2]["v"] == "b1" and snap[3]["v"] == "c1"
@@ -923,7 +924,7 @@ def test_streaming_seasonal_monitor_registry_and_alerts(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    got_reg = spark.read.parquet(reg)
+    got_reg = read_registry(spark, reg)
     # incremental rollup == batch rollup of the union (exact integer cents)
     union = mk(rows)
     sec = F.unix_timestamp("ts")
@@ -1175,7 +1176,7 @@ def test_streaming_cosine_allpairs_end_to_end(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    out = spark.read.parquet(str(tmp_path / "out"))
+    out = read_appended(spark, str(tmp_path / "out"))
     got = {(r.id_a, r.id_b): r.qcosine for r in out.collect()}
     want = {
         (r.id_a, r.id_b): r.qcosine
@@ -1183,7 +1184,7 @@ def test_streaming_cosine_allpairs_end_to_end(spark, tmp_path):
     }
     assert got == want
     # registry: one row per non-zero vector, append-only
-    reg = spark.read.parquet(str(tmp_path / "registry"))
+    reg = read_appended(spark, str(tmp_path / "registry"))
     assert reg.count() == len(rows) - 1
 
 
@@ -1212,7 +1213,7 @@ def test_streaming_covariance_registry_equals_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    reg = covariance_from_registry(spark.read.parquet(str(tmp_path / "registry")))
+    reg = covariance_from_registry(read_registry(spark, str(tmp_path / "registry")))
     got = {(r.i, r.j): (r.n, r.gram, r.sum_i, r.sum_j, r.cov) for r in reg.collect()}
     want = {
         (r.i, r.j): (r.n, r.gram, r.sum_i, r.sum_j, r.cov)
@@ -1258,14 +1259,14 @@ def test_streaming_holt_matches_batch(spark, tmp_path):
 
     got = {
         (r.k, r.t): (r.level, r.trend, r.forecast_next)
-        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        for r in read_appended(spark, str(tmp_path / "out")).collect()
     }
     want = {
         (r.k, r.t): (r.level, r.trend, r.forecast_next)
         for r in holt_smoothing(df, "v", by="k", order_col="t").collect()
     }
     assert got == want
-    reg = spark.read.parquet(str(tmp_path / "reg"))
+    reg = read_registry(spark, str(tmp_path / "reg"))
     assert reg.count() == 2 and set(reg.columns) == {"k", "level", "trend"}
 
 
@@ -1390,7 +1391,7 @@ def test_streaming_tfidf_allpairs_end_to_end(spark, tmp_path):
 
     got = {
         (r.doc_a, r.doc_b): r.cosine
-        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        for r in read_appended(spark, str(tmp_path / "out")).collect()
     }
     snap = spark.read.parquet(idf_path)
     want = {
@@ -1399,7 +1400,7 @@ def test_streaming_tfidf_allpairs_end_to_end(spark, tmp_path):
     }
     assert want and got == want
     # registry holds postings for every doc with at least one weighted term
-    reg = spark.read.parquet(str(tmp_path / "registry"))
+    reg = read_appended(spark, str(tmp_path / "registry"))
     assert set(reg.columns) == {"id", "term", "w", "n2", "is_prefix"}
     assert reg.select("id").distinct().count() == 40
 
@@ -1580,7 +1581,7 @@ def test_streaming_scd2_registry_equals_batch(spark, tmp_path):
 
     got = {
         (r.user_id, r.valid_from): (r.valid_to, r.is_current, r.event_type)
-        for r in spark.read.parquet(str(tmp_path / "reg")).collect()
+        for r in read_registry(spark, str(tmp_path / "reg")).collect()
     }
     want = {
         (r.user_id, r.valid_from): (r.valid_to, r.is_current, r.event_type)

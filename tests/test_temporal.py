@@ -739,8 +739,10 @@ def test_streaming_survival_registry_equals_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
 
+    from patternly_spark.streaming.exactly_once import read_registry
+
     got = kaplan_meier_from_grid(
-        spark.read.parquet(reg), group_cols=["g"]
+        read_registry(spark, reg), group_cols=["g"]
     ).orderBy("g", "t").collect()
     want = kaplan_meier(
         spark.createDataFrame(b0 + b1, schema),
