@@ -1034,26 +1034,35 @@ def cuped_adjustment(
     """
     y = F.col(metric_cents_col).cast("long")
     x = F.col(covariate_cents_col).cast("long")
+    # decimal(19,0) factors before every product-sum: long x long
+    # overflows at corpus-scale cents under ANSI (the linear_trend /
+    # pairwise_correlation convention)
+    yd = y.cast("decimal(19,0)")
+    xd = x.cast("decimal(19,0)")
     per_arm = df.groupBy(F.col(arm_col).alias("arm")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(y).cast("long").alias("sy"),
         F.sum(x).cast("long").alias("sx"),
-        F.sum(x * y).cast("long").alias("sxy"),
-        F.sum(x * x).cast("long").alias("sxx"),
-        F.sum(y * y).cast("long").alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
     )
     pooled = per_arm.agg(
         F.sum("n").cast("long").alias("pn"),
         F.sum("sy").cast("long").alias("psy"),
         F.sum("sx").cast("long").alias("psx"),
-        F.sum("sxy").cast("long").alias("psxy"),
-        F.sum("sxx").cast("long").alias("psxx"),
+        F.sum("sxy").alias("psxy"),
+        F.sum("sxx").alias("psxx"),
     ).localCheckpoint(eager=True)
     j = per_arm.crossJoin(F.broadcast(pooled))
-    varx_num = (F.col("pn") * F.col("psxx") - F.col("psx") * F.col("psx")).cast(
+
+    def _d(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    varx_num = (_d("pn") * F.col("psxx") - _d("psx") * _d("psx")).cast(
         "double"
     )
-    cov_num = (F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy")).cast(
+    cov_num = (_d("pn") * F.col("psxy") - _d("psx") * _d("psy")).cast(
         "double"
     )
     theta = F.when(varx_num > 0, cov_num / varx_num).otherwise(F.lit(0.0))
@@ -1062,13 +1071,13 @@ def cuped_adjustment(
     mean_x = F.col("sx").cast("double") / F.col("n").cast("double")
     adj = mean_y - theta * (mean_x - mean_x_pooled)
     nn = F.col("n").cast("double")
-    var_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+    var_y = (_d("n") * F.col("syy") - _d("sy") * _d("sy")).cast(
         "double"
     ) / (nn * nn)
-    var_x_arm = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+    var_x_arm = (_d("n") * F.col("sxx") - _d("sx") * _d("sx")).cast(
         "double"
     ) / (nn * nn)
-    cov_arm = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+    cov_arm = (_d("n") * F.col("sxy") - _d("sx") * _d("sy")).cast(
         "double"
     ) / (nn * nn)
     var_adj = var_y - F.lit(2.0) * theta * cov_arm + theta * theta * var_x_arm
@@ -1121,11 +1130,12 @@ def balance_check(
     ]
     for c in covariate_cents_cols:
         v = F.col(c).cast("long")
+        vd = v.cast("decimal(19,0)")  # v*v overflows long at corpus scale
         aggs += [
             F.sum(v * (1 - is_t)).cast("long").alias(f"sc_{c}"),
             F.sum(v * is_t).cast("long").alias(f"st_{c}"),
-            F.sum(v * v * (1 - is_t)).cast("long").alias(f"qc_{c}"),
-            F.sum(v * v * is_t).cast("long").alias(f"qt_{c}"),
+            F.sum(vd * vd * (1 - is_t)).alias(f"qc_{c}"),
+            F.sum(vd * vd * is_t).alias(f"qt_{c}"),
         ]
     m = df.agg(*aggs).localCheckpoint(eager=True)
     outs = []
@@ -1134,11 +1144,12 @@ def balance_check(
         nt = F.col("nt").cast("double")
         mc = F.col(f"sc_{c}").cast("double") / nc
         mt = F.col(f"st_{c}").cast("double") / nt
+        dd = lambda col: F.col(col).cast("decimal(19,0)")
         vc = (
-            F.col("nc") * F.col(f"qc_{c}") - F.col(f"sc_{c}") * F.col(f"sc_{c}")
+            dd("nc") * F.col(f"qc_{c}") - dd(f"sc_{c}") * dd(f"sc_{c}")
         ).cast("double") / (nc * nc)
         vt = (
-            F.col("nt") * F.col(f"qt_{c}") - F.col(f"st_{c}") * F.col(f"st_{c}")
+            dd("nt") * F.col(f"qt_{c}") - dd(f"st_{c}") * dd(f"st_{c}")
         ).cast("double") / (nt * nt)
         pooled = (vt + vc) / F.lit(2.0)
         smd = F.when(pooled > 0, (mt - mc) / F.sqrt(pooled))

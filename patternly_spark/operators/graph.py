@@ -978,17 +978,22 @@ def degree_assortativity(
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dx"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("dy"))
     ed = und.join(da, "a").join(db, "b")
+    dxd = F.col("dx").cast("decimal(19,0)")
+    dyd = F.col("dy").cast("decimal(19,0)")
     agg = ed.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(dxd * dyd).alias("sxy"),
         F.sum("dx").cast("long").alias("sx"),
         F.sum("dy").cast("long").alias("sy"),
-        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
-        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+        F.sum(dxd * dxd).alias("sxx"),
+        F.sum(dyd * dyd).alias("syy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    nd = F.col("n").cast("decimal(19,0)")
+    sxd = F.col("sx").cast("decimal(19,0)")
+    syd = F.col("sy").cast("decimal(19,0)")
+    num = (nd * F.col("sxy") - sxd * syd).cast("double")
+    varx = (nd * F.col("sxx") - sxd * sxd).cast("double")
+    vary = (nd * F.col("syy") - syd * syd).cast("double")
     return agg.select(
         (F.col("n") / F.lit(2)).cast("long").alias("m_edges"),
         F.when(

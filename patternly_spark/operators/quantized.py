@@ -459,6 +459,7 @@ def mutual_knn(
     vec_col: str = "embedding",
     round_digits: int | None = 6,
     candidates: DataFrame | None = None,
+    max_exact_rows: int = 2_000_000,
 ) -> DataFrame:
     """Mutual k-nearest-neighbor graph over an embedding column: the
     pairs (a, b) where each is in the OTHER's exact top-k by quantized
@@ -484,6 +485,11 @@ def mutual_knn(
     candidate set contains each vector's true top-k.  Zero vectors
     (undefined cosine) are excluded.
 
+    ``max_exact_rows`` enforces the scale contract: exact mode counts
+    the corpus first (one cheap job) and RAISES above the bound instead
+    of silently collecting 10^8 vectors onto the driver — route big
+    corpora through ``candidates=`` (ivf_topk / lsh_index_topk output).
+
     Output: (id_a, id_b, qcosine, rank_ab, rank_ba) with id_a < id_b —
     rank_ab is b's rank in a's list and vice versa; qcosine is the
     (symmetric) quantized cosine.
@@ -497,6 +503,16 @@ def mutual_knn(
             df, candidates, k=kk, id_col=id_col, vec_col=vec_col
         )
         return _mutual_join(tk, round_digits)
+
+    n_rows = df.count()
+    if n_rows > int(max_exact_rows):
+        raise ValueError(
+            f"mutual_knn exact mode collects the corpus to the driver and "
+            f"this one has {n_rows} rows (> max_exact_rows="
+            f"{int(max_exact_rows)}).  Pass candidates= (ivf_topk / "
+            f"lsh_index_topk output) for large corpora, or raise "
+            f"max_exact_rows explicitly if the driver can hold it."
+        )
 
     def _np_codes(vecs):
         """absmax int8 codes — the same closed form int8_quantize folds

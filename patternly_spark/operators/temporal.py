@@ -619,18 +619,22 @@ def acf(
     pairs = base.selectExpr(*keys, "__x", stack_expr).filter(
         F.col("__y").isNotNull()
     )
+    xd = F.col("__x").cast("decimal(19,0)")
+    yd = F.col("__y").cast("decimal(19,0)")
     agg = pairs.groupBy(*keys, "lag").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum("__x").alias("sx"),
         F.sum("__y").alias("sy"),
-        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
-        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
-        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
     )
-    n = F.col("n_pairs")
-    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    n = F.col("n_pairs").cast("decimal(19,0)")
+    sxd = F.col("sx").cast("decimal(19,0)")
+    syd = F.col("sy").cast("decimal(19,0)")
+    num = (n * F.col("sxy") - sxd * syd).cast("double")
+    dx = (n * F.col("sxx") - sxd * sxd).cast("double")
+    dy = (n * F.col("syy") - syd * syd).cast("double")
     return agg.select(
         *keys,
         F.col("lag").cast("int").alias("lag"),
@@ -708,14 +712,16 @@ def cross_correlation(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum("__x").alias("sx"),
         F.sum("__y").alias("sy"),
-        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
-        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
-        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        F.sum(F.col("__x").cast("decimal(19,0)") * F.col("__x").cast("decimal(19,0)")).alias("sxx"),
+        F.sum(F.col("__y").cast("decimal(19,0)") * F.col("__y").cast("decimal(19,0)")).alias("syy"),
+        F.sum(F.col("__x").cast("decimal(19,0)") * F.col("__y").cast("decimal(19,0)")).alias("sxy"),
     )
-    n = F.col("n_pairs")
-    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    n = F.col("n_pairs").cast("decimal(19,0)")
+    sxd = F.col("sx").cast("decimal(19,0)")
+    syd = F.col("sy").cast("decimal(19,0)")
+    num = (n * F.col("sxy") - sxd * syd).cast("double")
+    dx = (n * F.col("sxx") - sxd * sxd).cast("double")
+    dy = (n * F.col("syy") - syd * syd).cast("double")
     return agg.select(
         *keys,
         F.col("lag").cast("int").alias("lag"),

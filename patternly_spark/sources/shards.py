@@ -77,8 +77,14 @@ def write_training_shards(
 
 def read_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:
     """Read one shard — the filter lands in PartitionFilters, so only
-    that shard's files are touched (plan-pinned in tests)."""
-    return spark.read.parquet(path).filter(F.col("shard") == int(shard))
+    that shard's files are touched (plan-pinned in tests).  A streaming
+    ingest layout adds a second-level ``_batch_id`` partition (its
+    exactly-once retry unit); it is dropped here — consumers see the
+    same schema either way."""
+    df = spark.read.parquet(path).filter(F.col("shard") == int(shard))
+    if "_batch_id" in df.columns:
+        df = df.drop("_batch_id")
+    return df
 
 
 def verify_shards(
@@ -95,9 +101,13 @@ def verify_shards(
     the shard count."""
     from patternly_spark.operators.merge import dataset_fingerprint
 
+    from patternly_spark.streaming.exactly_once import read_registry
+
     data = spark.read.parquet(path)
+    if "_batch_id" in data.columns:
+        data = data.drop("_batch_id")
     actual = dataset_fingerprint(data, by="shard", id_col=id_col, text_col=text_col)
-    expected = spark.read.parquet(os.path.join(path, _MANIFEST_DIR))
+    expected = read_registry(spark, os.path.join(path, _MANIFEST_DIR))
     return (
         expected.select(
             "shard",

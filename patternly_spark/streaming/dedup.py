@@ -20,6 +20,14 @@ from pyspark.sql import functions as F
 from patternly_spark.functions.text import fingerprint
 
 
+from patternly_spark.streaming.exactly_once import (
+    read_appended,
+    read_latest_snapshot,
+    write_batch_partition,
+    write_snapshot,
+)
+
+
 def streaming_exact_dedup(
     docs: DataFrame,
     *,
@@ -204,9 +212,8 @@ def streaming_neardup_dedup(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            registry = spark.read.parquet(registry_path)
-        except Exception:
+        registry = read_appended(spark, registry_path, before_batch=batch_id)
+        if registry is None:
             registry = empty_band_registry(spark)
         result, new_rows = incremental_neardup_dedup(
             batch_df,
@@ -217,8 +224,8 @@ def streaming_neardup_dedup(
             num_hashes=num_hashes,
             bands=bands,
         )
-        result.write.mode("append").parquet(output_path)
-        new_rows.write.mode("append").parquet(registry_path)
+        write_batch_partition(result, output_path, batch_id)
+        write_batch_partition(new_rows, registry_path, batch_id)
 
     writer = stream_docs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path
@@ -366,9 +373,8 @@ def streaming_semantic_dedup(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            registry = spark.read.parquet(registry_path)
-        except Exception:
+        registry = read_appended(spark, registry_path, before_batch=batch_id)
+        if registry is None:
             registry = empty_semantic_registry(spark, vec_col=vec_col)
         result, new_rows = incremental_semantic_dedup(
             batch_df,
@@ -379,8 +385,8 @@ def streaming_semantic_dedup(
             num_planes=num_planes,
             seed=seed,
         )
-        result.write.mode("append").parquet(output_path)
-        new_rows.write.mode("append").parquet(registry_path)
+        write_batch_partition(result, output_path, batch_id)
+        write_batch_partition(new_rows, registry_path, batch_id)
 
     writer = stream_vecs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path
@@ -431,16 +437,14 @@ def streaming_boilerplate_registry(
             batch_df, id_col=id_col, text_col=text_col,
             delimiter=delimiter, block_tokens=block_tokens,
         )
-        try:
-            existing = spark.read.parquet(registry_path)
+        existing, _ = read_latest_snapshot(spark, registry_path, before_batch=batch_id)
+        if existing is not None:
             freq = (
                 freq.unionByName(existing)
                 .groupBy("h")
                 .agg(F.sum("doc_freq").cast("long").alias("doc_freq"))
             )
-        except Exception:
-            pass
-        freq.localCheckpoint(eager=True).write.mode("overwrite").parquet(registry_path)
+        write_snapshot(freq.localCheckpoint(eager=True), registry_path, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path
@@ -622,10 +626,11 @@ def streaming_set_similarity_join(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            reg_sets = spark.read.parquet(f"{registry_path}/sets")
-            reg_prefix = spark.read.parquet(f"{registry_path}/prefix")
-        except Exception:
+        reg_sets = read_appended(spark, f"{registry_path}/sets", before_batch=batch_id)
+        reg_prefix = read_appended(
+            spark, f"{registry_path}/prefix", before_batch=batch_id
+        )
+        if reg_sets is None or reg_prefix is None:
             reg_sets, reg_prefix = empty_similarity_registry(spark)
         pairs, new_sets, new_prefix = incremental_set_similarity_join(
             batch_df,
@@ -636,9 +641,9 @@ def streaming_set_similarity_join(
             text_col=text_col,
             shingle_size=shingle_size,
         )
-        pairs.write.mode("append").parquet(output_path)
-        new_sets.write.mode("append").parquet(f"{registry_path}/sets")
-        new_prefix.write.mode("append").parquet(f"{registry_path}/prefix")
+        write_batch_partition(pairs, output_path, batch_id)
+        write_batch_partition(new_sets, f"{registry_path}/sets", batch_id)
+        write_batch_partition(new_prefix, f"{registry_path}/prefix", batch_id)
 
     writer = stream_docs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path

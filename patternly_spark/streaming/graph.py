@@ -103,16 +103,18 @@ def streaming_cc_registry(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            registry = spark.read.parquet(registry_path)
-        except Exception:
+        from patternly_spark.streaming.exactly_once import (
+            read_latest_snapshot,
+            write_snapshot,
+        )
+
+        registry, _ = read_latest_snapshot(spark, registry_path, before_batch=batch_id)
+        if registry is None:
             registry = empty_cc_registry(spark)
         updated = incremental_connected_components(
             batch_df, registry, src=src, dst=dst
         )
-        updated.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            registry_path
-        )
+        write_snapshot(updated.localCheckpoint(eager=True), registry_path, batch_id)
 
     writer = stream_edges.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path

@@ -54,11 +54,13 @@ def streaming_transition_registry(
             F.col(id_col).cast("long").alias("eid"),
             F.col(type_col).alias("et"),
         )
-        try:
-            state = spark.read.parquet(state_path)
-            allr = b.unionByName(state)
-        except Exception:
-            allr = b
+        from patternly_spark.streaming.exactly_once import (
+            read_latest_snapshot,
+            write_snapshot,
+        )
+
+        state, _ = read_latest_snapshot(spark, state_path, before_batch=batch_id)
+        allr = b.unionByName(state) if state is not None else b
         w = Window.partitionBy("user").orderBy("t", "eid")
         pairs = (
             allr.select(
@@ -71,23 +73,21 @@ def streaming_transition_registry(
         new_counts = pairs.groupBy("from_type", "to_type").agg(
             F.count(F.lit(1)).cast("long").alias("n_trans")
         )
-        try:
-            existing = spark.read.parquet(counts_path)
+        existing, _ = read_latest_snapshot(spark, counts_path, before_batch=batch_id)
+        if existing is not None:
             new_counts = (
                 new_counts.unionByName(existing)
                 .groupBy("from_type", "to_type")
                 .agg(F.sum("n_trans").cast("long").alias("n_trans"))
             )
-        except Exception:
-            pass
         ws = Window.partitionBy("user").orderBy(F.desc("t"), F.desc("eid"))
         new_state = (
             allr.withColumn("__r", F.row_number().over(ws))
             .filter(F.col("__r") == 1)
             .select("user", "t", "eid", "et")
         )
-        new_counts.localCheckpoint(eager=True).write.mode("overwrite").parquet(counts_path)
-        new_state.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+        write_snapshot(new_counts.localCheckpoint(eager=True), counts_path, batch_id)
+        write_snapshot(new_state.localCheckpoint(eager=True), state_path, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path

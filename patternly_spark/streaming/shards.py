@@ -57,28 +57,42 @@ def streaming_ingest_shards(
     fingerprint into the manifest registry at ``path/_manifest``
     (shard, n_rows, n_bytes, checksum).
 
-    Read-merge-overwrite of the manifest is sequential across
-    microbatches; the merged manifest is localCheckpoint-pinned before
-    overwriting the files it was read from (task-retry safety).  Data
-    files only ever APPEND — a retry of the data write can duplicate a
-    batch's files, which ``verify_shards`` will catch as a checksum
-    mismatch (that is the point of the manifest)."""
+    Exactly-once under foreachBatch retries (streaming/exactly_once):
+    data files land under (shard, _batch_id) with dynamic partition
+    overwrite — a retry REPLACES its own files — and the manifest folds
+    through versioned snapshots, so a crash-and-replay never
+    double-counts.  ``verify_shards`` remains the independent integrity
+    handshake."""
     from patternly_spark.operators.merge import dataset_fingerprint
 
     manifest_path = os.path.join(path, _MANIFEST_DIR)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        from patternly_spark.streaming.exactly_once import (
+            BATCH_COL,
+            read_latest_snapshot,
+            write_snapshot,
+        )
+
         sharded = batch_df.withColumn("shard", hash_shard(id_col, n_shards))
         sharded = sharded.localCheckpoint(eager=True)
-        sharded.write.partitionBy("shard").mode("append").parquet(path)
+        # second-level _batch_id partition: a foreachBatch retry
+        # OVERWRITES its own files instead of appending duplicates
+        (
+            sharded.withColumn(BATCH_COL, F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("shard", BATCH_COL)
+            .parquet(path)
+        )
 
         fresh = dataset_fingerprint(
             sharded, by="shard", id_col=id_col, text_col=text_col
         )
+        existing, _ = read_latest_snapshot(spark, manifest_path, before_batch=batch_id)
         merged = fresh
-        try:
-            existing = spark.read.parquet(manifest_path)
+        if existing is not None:
             merged = (
                 fresh.unionByName(existing)
                 .groupBy("shard")
@@ -91,11 +105,9 @@ def streaming_ingest_shards(
                     .alias("checksum"),
                 )
             )
-        except Exception:
-            pass
-        merged.localCheckpoint(eager=True).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(manifest_path)
+        write_snapshot(
+            merged.localCheckpoint(eager=True).coalesce(1), manifest_path, batch_id
+        )
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path

@@ -16,6 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from patternly_spark.streaming.exactly_once import (
+    read_latest_snapshot,
+    write_snapshot,
+)
+
 from patternly_spark.operators.sketches import count_min_counters, mg_merge, mg_summaries
 
 __all__ = [
@@ -51,16 +56,14 @@ def streaming_count_min(
         grid = count_min_counters(
             batch_df, item_col, depth=depth, width=width, seed=seed
         )
-        try:
-            existing = spark.read.parquet(registry_path)
+        existing, _ = read_latest_snapshot(spark, registry_path, before_batch=batch_id)
+        if existing is not None:
             grid = (
                 grid.unionByName(existing)
                 .groupBy("j", "cell")
                 .agg(F.sum("cnt").cast("long").alias("cnt"))
             )
-        except Exception:
-            pass
-        grid.localCheckpoint(eager=True).write.mode("overwrite").parquet(registry_path)
+        write_snapshot(grid.localCheckpoint(eager=True), registry_path, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path
@@ -94,15 +97,11 @@ def streaming_frequent_items(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         summary = mg_summaries(batch_df, group_col, item_col, capacity=capacity)
-        try:
-            existing = spark.read.parquet(registry_path)
+        existing, _ = read_latest_snapshot(spark, registry_path, before_batch=batch_id)
+        if existing is not None:
             summary = summary.unionByName(existing)
-        except Exception:
-            pass
         merged = mg_merge(summary, group_col, item_col, capacity=capacity)
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            registry_path
-        )
+        write_snapshot(merged.localCheckpoint(eager=True), registry_path, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path
@@ -137,12 +136,10 @@ def streaming_hll_registry(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         regs = hll_registers(batch_df, item_col, p=p, seed=seed, by=by)
-        try:
-            existing = spark.read.parquet(registry_path)
+        existing, _ = read_latest_snapshot(spark, registry_path, before_batch=batch_id)
+        if existing is not None:
             regs = hll_merge(regs, existing, by=by)
-        except Exception:
-            pass
-        regs.localCheckpoint(eager=True).write.mode("overwrite").parquet(registry_path)
+        write_snapshot(regs.localCheckpoint(eager=True), registry_path, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path
@@ -171,12 +168,10 @@ def streaming_log2_histogram(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         h = log2_histogram(batch_df, value_col, by=by)
-        try:
-            existing = spark.read.parquet(registry_path)
+        existing, _ = read_latest_snapshot(spark, registry_path, before_batch=batch_id)
+        if existing is not None:
             h = log2_histogram_merge(h, existing, by=by)
-        except Exception:
-            pass
-        h.localCheckpoint(eager=True).write.mode("overwrite").parquet(registry_path)
+        write_snapshot(h.localCheckpoint(eager=True), registry_path, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path

@@ -259,6 +259,26 @@ def test_mutual_knn_corpus_smaller_than_k(spark):
     assert {(r.id_a, r.id_b) for r in rows} == {(1, 2), (1, 3), (2, 3)}
 
 
+def test_mutual_knn_exact_mode_refuses_oversized_corpus(spark, emb, monkeypatch):
+    """The scale-contract guard: above max_exact_rows, exact mode raises
+    BEFORE any driver collect — the 10^8-vector foot-gun cannot fire
+    silently."""
+    import pytest
+
+    import pyspark.sql.dataframe as D
+
+    from patternly_spark.operators.quantized import mutual_knn
+
+    sub = emb.limit(40).localCheckpoint(eager=True)
+
+    def _no_collect(self, *a, **kw):
+        raise AssertionError("guard must fire before any collect")
+
+    monkeypatch.setattr(D.DataFrame, "collect", _no_collect)
+    with pytest.raises(ValueError, match="max_exact_rows"):
+        mutual_knn(sub, k=4, max_exact_rows=10)
+
+
 def test_mutual_knn_candidate_mode_matches_exact(spark, emb, monkeypatch):
     """Candidate mode with a complete candidate set (all pairs) must
     reproduce exact mode bit-for-bit, and must never collect the

@@ -3,6 +3,8 @@
 import pytest
 from pyspark.sql import functions as F
 
+from patternly_spark.streaming.exactly_once import read_registry
+
 from patternly_spark.operators.sketches import sketch_profile
 
 
@@ -228,11 +230,11 @@ def test_streaming_count_min_equals_batch_sketch(spark, tmp_path):
     # registry parity: counters after both batches == batch sketch of union
     union = spark.createDataFrame(b0 + b1, schema)
     want = count_min_counters(union, "item", depth=4, width=64).orderBy("j", "cell")
-    got = spark.read.parquet(reg).orderBy("j", "cell")
+    got = read_registry(spark, reg).orderBy("j", "cell")
     assert got.collect() == want.collect()
     # and the registry answers point queries like the batch sketch
     est = count_min_lookup(
-        spark.read.parquet(reg),
+        read_registry(spark, reg),
         spark.createDataFrame([("hot",)], schema),
         "item",
         depth=4,
@@ -289,7 +291,7 @@ def test_streaming_frequent_items_registry(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    registry = spark.read.parquet(reg)
+    registry = read_registry(spark, reg)
     assert registry.count() <= 16  # pruned to capacity
     fin = {r["item"]: r for r in mg_finalize(registry, "g", "item").collect()}
     # the planted heavy hitters survive two folds and bound their truth
@@ -344,7 +346,7 @@ def test_streaming_hll_registry_equals_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    got = spark.read.parquet(reg)
+    got = read_registry(spark, reg)
     want = hll_registers(spark.createDataFrame(b0 + b1, schema), "item", p=12)
     assert sorted(got.collect()) == sorted(want.collect())
     est = hll_estimate(got, p=12).collect()[0]
@@ -404,6 +406,6 @@ def test_streaming_log2_histogram_equals_batch(spark, tmp_path):
         trigger_once=True,
     )
     q.awaitTermination(120)
-    got = spark.read.parquet(reg)
+    got = read_registry(spark, reg)
     want = log2_histogram(spark.createDataFrame(b0 + b1, schema), "v", by="g")
     assert sorted(got.collect()) == sorted(want.collect())

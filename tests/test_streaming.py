@@ -824,13 +824,13 @@ def test_streaming_boilerplate_registry_matches_batch(spark, tmp_path):
 
     union = spark.createDataFrame(b0 + b1, schema)
     want = {r["h"]: r["doc_freq"] for r in span_doc_freq(union).collect()}
-    got = {r["h"]: r["doc_freq"] for r in spark.read.parquet(reg_path).collect()}
+    got = {r["h"]: r["doc_freq"] for r in read_registry(spark, reg_path).collect()}
     assert got == want  # 'nav' -> 3, everything else -> 1
 
     # cleaning a NEW batch against the learned registry drops the
     # boilerplate those docs never co-occurred with
     new = spark.createDataFrame([(9, "nav\nfresh body")], schema)
-    reg = spark.read.parquet(reg_path)
+    reg = read_registry(spark, reg_path)
     out = apply_boilerplate_registry(new, reg, max_doc_freq=2).collect()[0]
     assert out["text_clean"] == "fresh body" and out["n_kept"] == 1
 
@@ -880,7 +880,7 @@ def test_streaming_ingest_shards_manifest_parity_and_verify(spark, tmp_path):
     }
     got = {
         r["shard"]: (r["n_rows"], r["n_bytes"], r["checksum"])
-        for r in spark.read.parquet(str(tmp_path / "shards" / "_manifest")).collect()
+        for r in read_registry(spark, str(tmp_path / "shards" / "_manifest")).collect()
     }
     assert got == want
     assert sum(v[0] for v in got.values()) == 40
@@ -989,19 +989,19 @@ def test_streaming_transition_registry_counts_cross_batch(spark, tmp_path):
 
     got = {
         (r.from_type, r.to_type): r.n_trans
-        for r in spark.read.parquet(f"{reg}/counts").collect()
+        for r in read_registry(spark, f"{reg}/counts").collect()
     }
     # boundary transitions b->c (user 7) and x->y (user 8) must be present
     assert got == {("a", "b"): 1, ("b", "c"): 1, ("c", "a"): 1, ("x", "y"): 1}
     probs = {
         (r.from_type, r.to_type): r.prob
         for r in transition_matrix_from_registry(
-            spark.read.parquet(f"{reg}/counts")
+            read_registry(spark, f"{reg}/counts")
         ).collect()
     }
     assert probs[("a", "b")] == 1.0 and probs[("x", "y")] == 1.0
     # state holds exactly one row per user: the latest event
-    st = {r.user: r.et for r in spark.read.parquet(f"{reg}/state").collect()}
+    st = {r.user: r.et for r in read_registry(spark, f"{reg}/state").collect()}
     assert st == {7: "a", 8: "y"}
 
 
@@ -1082,7 +1082,7 @@ def test_streaming_set_similarity_end_to_end(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    out = spark.read.parquet(str(tmp_path / "out"))
+    out = read_appended(spark, str(tmp_path / "out"))
     got = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
     want = {
         (r.doc_a, r.doc_b): r.jaccard
@@ -1090,9 +1090,9 @@ def test_streaming_set_similarity_end_to_end(spark, tmp_path):
     }
     assert got == want
     # registry accumulated one sets row per doc and a bounded prefix slice
-    sets = spark.read.parquet(str(tmp_path / "registry/sets"))
+    sets = read_appended(spark, str(tmp_path / "registry/sets"))
     assert sets.count() == len(rows)
-    prefix = spark.read.parquet(str(tmp_path / "registry/prefix"))
+    prefix = read_appended(spark, str(tmp_path / "registry/prefix"))
     per_doc = prefix.groupBy("id").count()
     joined = per_doc.join(
         sets.select("id", F.size("sh").alias("n")), "id"
@@ -1474,7 +1474,7 @@ def test_streaming_cc_registry_end_to_end(spark, tmp_path):
 
     got = {
         (r.node, r.label)
-        for r in spark.read.parquet(str(tmp_path / "registry")).collect()
+        for r in read_registry(spark, str(tmp_path / "registry")).collect()
     }
     want = {
         (r.node, r.component) for r in connected_components(df).collect()
