@@ -296,11 +296,134 @@ def _q76_bpe_2merges(spark, sf_dir):
     return bpe_merges_df(spark, d, num_merges=2)
 
 
+def _q190_emergence_budget(spark, sf_dir):
+    """Time-budgeted variant of q190: the full golden runs 20 sequential
+    fit_stream windows of pure job latency; the bench tracks a 4-window
+    two-regime stream — the same chop -> score -> mint -> bootstrap loop
+    per window, so regressions in any stage of the streaming-detection
+    path still move this number.  sf-independent by design (q190's own
+    contract)."""
+    import numpy as np
+
+    from patternly_spark.detection import ContinuousStreamingDetection
+    from patternly_spark.pfsa.model import PFSA
+    from patternly_spark.pfsa.simulate import simulate
+
+    a = PFSA(pitilde=[[0.8, 0.2], [0.3, 0.7]], connx=[[0, 1], [0, 1]])
+    c = PFSA(pitilde=[[0.05, 0.95], [0.95, 0.05]], connx=[[0, 1], [0, 1]])
+    stream = np.concatenate(
+        [
+            np.asarray(simulate(a, 500, 1, seed=41)[0]),
+            np.asarray(simulate(c, 500, 1, seed=42)[0]),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(int(i), int(s)) for i, s in enumerate(stream)],
+        "offset long, symbol int",
+    )
+    det = ContinuousStreamingDetection(
+        spark,
+        window_size=250,
+        window_overlap=0,
+        quantize=False,
+        anomaly_sensitivity=2,
+        eps=0.2,
+    )
+    det.fit_stream(df)
+    rows = [(i, int(t)) for i, t in enumerate(det.pattern_emergence_times)]
+    return spark.createDataFrame(rows, "pattern_idx int, emergence_window int")
+
+
+def _q201_msf_2rounds(spark, sf_dir):
+    """Time-budgeted variant of q201: full Boruvka runs O(log n) nested
+    CC rounds of driver latency; the bench tracks 2 rounds with
+    strict=False (every edge kept is still a true MSF edge — Boruvka
+    never retracts).  The per-round plan (label joins, min-by, star CC,
+    checkpoint cut) is identical, so iterative-shape regressions land
+    here."""
+    from pyspark.sql import functions as F
+
+    from patternly_spark.operators.graph import minimum_spanning_forest
+
+    li = entrymod._t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    support = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select(
+            "src", "dst", (F.lit(1.0) / F.col("__c").cast("double")).alias("weight")
+        )
+    )
+    return minimum_spanning_forest(support, max_rounds=2, strict=False)
+
+
+def _q223_containment_zipf(spark, sf_dir):
+    """q223 on a REALISTIC corpus: the sf documents table has a 23-word
+    toy vocabulary, which defeats prefix pruning (693k candidate pairs
+    from 5k docs) and makes q223's pin measure the degenerate case.
+    This variant synthesizes the same 5k-doc corpus size with a ZIPFIAN
+    vocabulary (log-uniform rank over 50k types ~ Zipf s=1, the
+    scripts/gen_scale_data.py construction) plus a planted 3%
+    containment rate — the operating regime the operator was designed
+    for, where rare shingles make the prefix filter bite.  q223 itself
+    stays benched as the stress case."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from patternly_spark.operators.dedup import set_containment_join
+
+    n_docs, vocab, toks = 5000, 50_000, 60
+
+    def _u(*cols):
+        return (
+            F.pmod(F.xxhash64(*cols), F.lit(1 << 30)).cast("double")
+            / F.lit(float(1 << 30))
+        )
+
+    def _zipf(*cols):
+        return F.least(
+            F.lit(vocab),
+            F.greatest(
+                F.lit(1),
+                F.floor(F.exp(_u(*cols) * F.lit(math.log(float(vocab))))).cast("long"),
+            ),
+        )
+
+    base = spark.range(0, n_docs, 1, 8).withColumn(
+        # 3% of docs are PREFIX SLICES of another doc -> true containments
+        "base_id",
+        F.when(
+            _u("id", F.lit(51)) < 0.03, F.pmod(F.xxhash64("id", F.lit(52)), F.lit(n_docs))
+        ).otherwise(F.col("id")),
+    )
+    ntok = F.when(F.col("base_id") != F.col("id"), F.lit(toks // 3)).otherwise(
+        F.lit(toks)
+    )
+    words = F.transform(
+        F.sequence(F.lit(1), ntok),
+        lambda i: F.concat(F.lit("w"), _zipf(F.col("base_id"), i, F.lit(53)).cast("string")),
+    )
+    docs = base.select(
+        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
+    )
+    return set_containment_join(docs, threshold=0.6)
+
+
 # iterative family, benched with a fixed round budget (full-depth runs are
-# round-latency-bound locally; see the variant docstrings)
+# round-latency-bound locally; see the variant docstrings), plus
+# synthetic-corpus realism variants
 BENCH_BUDGETED = {
     "q72_pagerank_2rounds": _q72_pagerank_2rounds,
     "q76_bpe_2merges": _q76_bpe_2merges,
+    "q190_emergence_budget": _q190_emergence_budget,
+    "q201_msf_2rounds": _q201_msf_2rounds,
+    "q223_containment_zipf": _q223_containment_zipf,
 }
 
 

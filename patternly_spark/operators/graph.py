@@ -565,6 +565,7 @@ def minimum_spanning_forest(
     weight: str = "weight",
     *,
     max_rounds: int = 40,
+    strict: bool = True,
 ) -> DataFrame:
     """Minimum spanning forest via distributed Boruvka — the backbone of
     single-linkage clustering at scale (cut the MSF at a distance
@@ -587,7 +588,10 @@ def minimum_spanning_forest(
 
     Output: the forest's edges (u, v, weight) with u < v — n - c rows
     for n nodes in c components.  Raises on non-convergence (the
-    kcore/core_numbers convention).
+    kcore/core_numbers convention); ``strict=False`` returns the partial
+    forest after ``max_rounds`` instead — the fixed-round-budget shape
+    the bench tracks (every returned edge is still a true MSF edge:
+    Boruvka never retracts a selection).
     """
     e = (
         edges.select(
@@ -654,9 +658,10 @@ def minimum_spanning_forest(
             .localCheckpoint(eager=True)
         )
     else:
-        raise RuntimeError(
-            f"minimum_spanning_forest did not converge in {max_rounds} rounds"
-        )
+        if strict:
+            raise RuntimeError(
+                f"minimum_spanning_forest did not converge in {max_rounds} rounds"
+            )
     return forest.select("u", "v", F.col("w").alias(weight))
 
 

@@ -48,7 +48,9 @@ def get_spark(app_name: str = "patternly-spark", *, shuffle_partitions: int | No
         # tables are tiny relative to the fact side at any scale factor
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test throughput); scripts/bench_scale.py sets
+        # SPARK_GRAFT_UI=1 to read shuffle/spill from the REST API
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "0") in ("1", "true") and "true" or "false")
     )
     return builder.getOrCreate()
 

@@ -436,6 +436,34 @@ def test_msf_matches_kruskal_exactly(spark):
     assert len(got) == len(nodes) - comps
 
 
+def test_msf_budget_mode_returns_true_partial_forest(spark):
+    """strict=False with a round budget returns a PARTIAL forest instead
+    of raising — and every returned edge is a true MSF edge (Boruvka
+    never retracts a selection), so the budgeted bench variant measures
+    real work."""
+    import pytest
+
+    from patternly_spark.operators.graph import minimum_spanning_forest
+
+    # alternating light/heavy path: round 1 merges the light pairs only,
+    # the heavy connectors need round 2 — guaranteeing a partial forest
+    rows = [
+        (i, i + 1, 1.0 + i / 100.0 if i % 2 == 0 else 100.0 + i)
+        for i in range(32)
+    ]
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    full = {(r.u, r.v, r.weight) for r in minimum_spanning_forest(df).collect()}
+
+    partial = {
+        (r.u, r.v, r.weight)
+        for r in minimum_spanning_forest(df, max_rounds=1, strict=False).collect()
+    }
+    assert partial and partial < full  # non-empty strict subset after 1 round
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        minimum_spanning_forest(df, max_rounds=1)
+
+
 def test_msf_single_linkage_threshold_cut(spark):
     """Cutting the forest at a distance threshold yields the
     single-linkage clusters: two tight pair-groups bridged only by a
