@@ -541,25 +541,59 @@ def semantic_dedup(
         F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__cmin")
     )
     kl = keyed.join(cells, "sig")
-    l, r = kl.alias("l"), keyed.alias("r")
-    cos = dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")) / (F.col("l.nrm") * F.col("r.nrm"))
-    # under-cap cells: exact pairwise within the cell (the __n predicate
-    # references only the left child, so Catalyst pushes it below the
-    # join — over-cap cells never enter the quadratic path)
+    # under-cap cells: exact pairwise within the cell.  The cosine is
+    # evaluated in an Arrow kernel that replays functions/vectors.dot
+    # and .norm EXACTLY — a zero-seeded fold, sequential over dims,
+    # vectorized over pairs — because Catalyst higher-order folds run
+    # INTERPRETED (the q173 lesson: a 64-dim fold over millions of
+    # pairs costs ~30x the identical numpy arithmetic).  Values are
+    # bit-identical: each per-dim step is the same double multiply-add
+    # in the same order, and cos = dot / (nrm_a * nrm_b) is the same
+    # final expression (q44's oracle hash pins this).
+    thr = float(threshold)
+
+    def _cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        pdf = pdf.sort_values("__id", kind="mergesort")
+        ids = pdf["__id"].to_numpy()
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+        d = X.shape[1]
+        nacc = np.zeros(n)
+        for k in range(d):
+            nacc = nacc + X[:, k] * X[:, k]
+        nrm = np.sqrt(nacc)
+        ia, ib = np.triu_indices(n, 1)
+        out_a, out_b = [], []
+        # slab the pair space so a 4096-cell never allocates >~100 MB
+        for lo in range(0, len(ia), 2_000_000):
+            sa, sb = ia[lo:lo + 2_000_000], ib[lo:lo + 2_000_000]
+            acc = np.zeros(len(sa))
+            for k in range(d):
+                acc = acc + X[sa, k] * X[sb, k]
+            cos = acc / (nrm[sa] * nrm[sb])
+            keep = cos >= thr
+            out_a.append(ids[sa][keep])
+            out_b.append(ids[sb][keep])
+        return pd.DataFrame({
+            "doc_a": np.concatenate(out_a).astype("int64"),
+            "doc_b": np.concatenate(out_b).astype("int64"),
+        })
+
     pairwise = (
-        l.filter(F.col("l.__n") <= max_cell_size)
-        .join(
-            r,
-            (F.col("l.sig") == F.col("r.sig"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
+        kl.filter(F.col("__n") <= max_cell_size)
         .select(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
-            cos.alias("cos"),
+            "sig",
+            F.col(id_col).cast("long").alias("__id"),
+            F.col(vec_col).alias("__vec"),
         )
-        .filter(F.col("cos") >= threshold)
-        .select("doc_a", "doc_b")
+        .groupBy("sig")
+        .applyInPandas(_cell_pairs, schema="doc_a long, doc_b long")
     )
     # over-cap cells: every member vs the cell's min-id representative
     reps = kl.filter((F.col("__n") > max_cell_size) & (F.col(id_col) == F.col("__cmin"))).select(

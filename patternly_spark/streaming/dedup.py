@@ -206,8 +206,7 @@ def streaming_neardup_dedup(
     """foreachBatch wrapper: each microbatch runs
     ``incremental_neardup_dedup`` against the parquet registry at
     ``registry_path``, appends the flagged batch to ``output_path`` and
-    the new band keys to the registry.  Microbatches are sequential, so
-    registry read-then-append is race-free by construction.
+    the new band keys to the registry.  Exactly-once under foreachBatch retries via streaming/exactly_once (per-_batch_id partition writes / versioned snapshots).
     """
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -621,8 +620,7 @@ def streaming_set_similarity_join(
     ``incremental_set_similarity_join`` against the parquet registries
     under ``registry_path`` (``/sets`` and ``/prefix``), appends the
     qualifying pairs to ``output_path`` and the batch's sets/prefix rows
-    to the registries.  Microbatches are sequential, so read-then-append
-    is race-free by construction."""
+    to the registries.  Exactly-once under foreachBatch retries via streaming/exactly_once (per-_batch_id partition writes / versioned snapshots)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

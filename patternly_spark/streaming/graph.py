@@ -98,8 +98,7 @@ def streaming_cc_registry(
     """foreachBatch wrapper: each microbatch folds its edges into the
     parquet registry at ``registry_path`` (localCheckpoint before the
     overwrite — the read and the write touch the same path, the
-    covariance-registry precedent).  Microbatches are sequential, so
-    read-merge-overwrite is race-free by construction."""
+    covariance-registry precedent).  Exactly-once under foreachBatch retries via streaming/exactly_once (per-_batch_id partition writes / versioned snapshots)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

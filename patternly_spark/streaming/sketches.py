@@ -45,10 +45,9 @@ def streaming_count_min(
     """foreachBatch wrapper: sketch each microbatch and fold it into the
     parquet counter grid at ``registry_path`` (j, cell, cnt).
 
-    Microbatches are sequential, so read-merge-overwrite is race-free;
-    the merged grid is localCheckpoint-pinned before overwriting the
-    files it was read from (task-retry safety, same hazard as the
-    streaming upsert).  ``depth``/``width``/``seed`` must stay fixed for
+    Exactly-once under foreachBatch retries via streaming/exactly_once
+    (versioned snapshots — a replay re-folds on the predecessor and
+    rewrites its own snapshot).  ``depth``/``width``/``seed`` must stay fixed for
     a registry's lifetime — counters of different grids do not add."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:

@@ -49,6 +49,7 @@ SCALE_QUERIES = [
     "q180_kcore_copurchase",
     "q189_core_decomposition",
     "q218_neighborhood_function",
+    "semantic_dedup_autosized",
 ]
 
 
@@ -93,7 +94,20 @@ def main() -> None:
     for t in entrymod.TABLES:
         entrymod._t(spark, sf_dir, t).count()
 
-    queries = entrymod.queries()
+    def _semantic_dedup_autosized(spark, sf_dir):
+        """q44 pins num_planes=4 so its DuckDB oracle can replay the
+        planes as literals; at scale that fixes the cell count while the
+        corpus grows, so within-cell pair work grows quadratically.  The
+        operator's num_planes=None AUTO-SIZING (cells derived from a
+        corpus count targeting target_cell_size) is the documented scale
+        path — this is the entry that must stay near-linear in sf."""
+        from patternly_spark.operators.dedup import semantic_dedup
+
+        emb = entrymod._t(spark, sf_dir, "embeddings")
+        return semantic_dedup(emb, threshold=0.9, num_planes=None, seed=42)
+
+    queries = dict(entrymod.queries())
+    queries["semantic_dedup_autosized"] = _semantic_dedup_autosized
     results: dict[str, dict] = {}
     for name in names:
         before = _stage_totals(spark)

@@ -237,16 +237,27 @@ def main() -> None:
     ).withColumn("n_chars", F.length("text").cast("long"))
     docs.write.mode("overwrite").parquet(f"{outdir}/documents.parquet")
 
-    # --- embeddings: 10 planted clusters, unit-ish float vectors ---
+    # --- embeddings: driver-matched iid noise (per-dim ~ U(-0.22, 0.22),
+    # std 0.127 — the driver's measured per-dim std is 0.125 and labels
+    # carry no cosine signal) + a planted 3% near-duplicate rate
+    # (base vector + 2% perturbation, cosine ~0.999) so dedup/ANN see
+    # the real operating regime: a thin true-positive set over a
+    # near-orthogonal bulk.
+    n_emb = n("embeddings")
     emb = rng("embeddings").withColumn(
         "label", F.pmod(F.xxhash64("id", F.lit(37)), F.lit(N_LABELS)).cast("int")
+    ).withColumn(
+        "base_id",
+        F.when(
+            _u("id", F.lit(40)) < F.lit(NEARDUP_FRAC),
+            F.pmod(F.xxhash64("id", F.lit(41)), F.lit(n_emb)),
+        ).otherwise(F.col("id")),
     )
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(EMB_DIM - 1)),
         lambda i: (
-            # centroid(label, dim) in [-1, 1] + noise/4
-            (_u(F.col("label"), i, F.lit(38)) * 2.0 - 1.0)
-            + (_u(F.col("id"), i, F.lit(39)) * 0.5 - 0.25)
+            (_u(F.col("base_id"), i, F.lit(38)) * 0.44 - 0.22)
+            + (_u(F.col("id"), i, F.lit(39)) * 0.01 - 0.005)
         ).cast("float"),
     )
     emb.select(
