@@ -11003,6 +11003,178 @@ def _q241_oracle() -> str:
 """
 
 
+def q242_group_conformal(spark, sf_dir):
+    """MONDRIAN (group-conditional) split-conformal calibration
+    (operators/model_eval.conformal_calibration with by=): per
+    event_type, the exact ceil((n_g+1)(1-alpha))-th-smallest calibration
+    quantile and the held-out coverage — the deployed shape when error
+    rates must hold per segment, not just marginally (q243's marginal
+    q_hat over-covers easy groups and under-covers hard ones).  Same md5
+    cal/test coin as q243; one per-group window sort."""
+    from patternly_spark.operators.model_eval import conformal_calibration
+    from patternly_spark.operators.sampling import hash_fraction
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    is_cal = hash_fraction(F.col("event_id")) < F.lit(0.5)
+    return conformal_calibration(
+        ev.filter(is_cal),
+        ev.filter(~is_cal),
+        score_col="value",
+        alphas=(0.1,),
+        by="event_type",
+    )
+
+
+def _q242_oracle() -> str:
+    return f"""
+    WITH e AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS s,
+               CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   / 4294967296.0 < {_dlit(0.5)} AS is_cal
+        FROM events
+        WHERE value IS NOT NULL
+    ), cal AS (
+        SELECT event_type, s,
+               row_number() OVER (PARTITION BY event_type ORDER BY s ASC) AS r
+        FROM e WHERE is_cal
+    ), nrel AS (
+        SELECT event_type, CAST(MAX(r) AS BIGINT) AS n_cal FROM cal GROUP BY event_type
+    ), grid AS (
+        SELECT nrel.event_type, a.alpha, nrel.n_cal,
+               CAST(ceil(CAST(nrel.n_cal + 1 AS DOUBLE) * (1.0 - a.alpha)) AS BIGINT) AS k
+        FROM (VALUES (CAST({_dlit(0.1)} AS DOUBLE))) a(alpha), nrel
+    ), q AS (
+        SELECT grid.event_type, grid.alpha, grid.n_cal, grid.k, cal.s AS q_hat
+        FROM grid LEFT JOIN cal
+          ON cal.event_type = grid.event_type AND cal.r = grid.k
+    )
+    SELECT q.event_type, q.alpha, q.n_cal, q.k, q.q_hat,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN q.q_hat IS NULL OR e.s <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           CAST(SUM(CASE WHEN q.q_hat IS NULL OR e.s <= q.q_hat THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS coverage
+    FROM e JOIN q ON e.event_type = q.event_type
+    WHERE NOT e.is_cal
+    GROUP BY 1, 2, 3, 4, 5
+    """
+
+
+def q243_conformal_calibration(spark, sf_dir):
+    """Split-conformal prediction-interval calibration
+    (operators/model_eval.conformal_calibration): the calibration half
+    of events (md5 coin on event_id < 0.5) yields the exact
+    ceil((n+1)(1-alpha))-th-smallest nonconformity quantile per alpha;
+    the held-out half reports empirical coverage.  Pure order
+    statistics + one integer count — the distribution-free guarantee,
+    value-replayed in SQL."""
+    from patternly_spark.operators.model_eval import conformal_calibration
+    from patternly_spark.operators.sampling import hash_fraction
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    is_cal = hash_fraction(F.col("event_id")) < F.lit(0.5)
+    cal = ev.filter(is_cal)
+    test = ev.filter(~is_cal)
+    return conformal_calibration(
+        cal, test, score_col="value", alphas=(0.05, 0.1, 0.2)
+    )
+
+
+def _q243_oracle() -> str:
+    alphas = ", ".join(f"(CAST({_dlit(a)} AS DOUBLE))" for a in (0.05, 0.1, 0.2))
+    return f"""
+    WITH e AS (
+        SELECT CAST(value AS DOUBLE) AS s,
+               CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   / 4294967296.0 < {_dlit(0.5)} AS is_cal
+        FROM events
+        WHERE value IS NOT NULL
+    ), cal AS (
+        SELECT s, row_number() OVER (ORDER BY s ASC) AS r
+        FROM e WHERE is_cal
+    ), nrel AS (
+        SELECT CAST(MAX(r) AS BIGINT) AS n_cal FROM cal
+    ), grid AS (
+        SELECT a.alpha, nrel.n_cal,
+               CAST(ceil(CAST(nrel.n_cal + 1 AS DOUBLE) * (1.0 - a.alpha)) AS BIGINT) AS k
+        FROM (VALUES {alphas}) a(alpha), nrel
+    ), q AS (
+        SELECT grid.alpha, grid.n_cal, grid.k, cal.s AS q_hat
+        FROM grid LEFT JOIN cal ON cal.r = grid.k
+    )
+    SELECT q.alpha, q.n_cal, q.k, q.q_hat,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN q.q_hat IS NULL OR e.s <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           CAST(SUM(CASE WHEN q.q_hat IS NULL OR e.s <= q.q_hat THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS coverage
+    FROM e, q
+    WHERE NOT e.is_cal
+    GROUP BY 1, 2, 3, 4
+    """
+
+
+def q244_poisson_bootstrap(spark, sf_dir):
+    """Poisson-bootstrap CI for mean event value in integer cents
+    (operators/drift.poisson_bootstrap_ci): 64 replicate weights per
+    row from the md5 coin against Poisson(1) CDF cutoffs quantized to
+    2^-32 integers (computed once in Python — no libm in either
+    engine), replicate means rank-selected into the exact 95%
+    interval.  ONE pass over (row x replicate), a 64-row aggregate —
+    the bootstrap that still works when n has twelve digits."""
+    from patternly_spark.operators.drift import poisson_bootstrap_ci
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    return poisson_bootstrap_ci(
+        ev, "cents", key_col="event_id", replicates=64, ci=0.95
+    )
+
+
+def _q244_oracle() -> str:
+    import math
+
+    cdf, cuts = 0.0, []
+    for k in range(8):
+        cdf += math.exp(-1.0) / math.factorial(k)
+        cuts.append(math.floor(cdf * float(2**32)))
+    B, ci = 64, 0.95
+    lo_rank = max(1, math.ceil(B * (1.0 - ci) / 2.0))
+    hi_rank = min(B, math.ceil(B * (1.0 + ci) / 2.0))
+    wexpr = " + ".join(f"(CASE WHEN u >= {c} THEN 1 ELSE 0 END)" for c in cuts)
+    return f"""
+    WITH rows_t AS (
+        SELECT event_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM events
+    ), wtab AS (
+        SELECT b, v, CAST({wexpr} AS BIGINT) AS w
+        FROM (
+            SELECT r.b, rows_t.v,
+                   CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(r.b AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+            FROM rows_t, (SELECT unnest(range(0, {B})) AS b) r
+        )
+    ), per AS (
+        SELECT b, SUM(w * v) AS sw, SUM(w) AS nw FROM wtab GROUP BY b
+    ), means AS (
+        SELECT CASE WHEN nw > 0 THEN CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE) END AS m
+        FROM per
+    ), ranked AS (
+        SELECT m, row_number() OVER (ORDER BY m ASC NULLS LAST) AS r FROM means
+    ), bounds AS (
+        SELECT MAX(CASE WHEN r = {lo_rank} THEN m END) AS lo_cents,
+               MAX(CASE WHEN r = {hi_rank} THEN m END) AS hi_cents
+        FROM ranked
+    ), base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_cents
+        FROM rows_t
+    )
+    SELECT n, mean_cents, lo_cents, hi_cents, CAST({B} AS INT) AS replicates
+    FROM base, bounds
+    """
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -11254,6 +11426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q239_balance_check": q239_balance_check,
         "q240_span_removal": q240_span_removal,
         "q241_release_gate_v2": q241_release_gate_v2,
+        "q242_group_conformal": q242_group_conformal,
+        "q243_conformal_calibration": q243_conformal_calibration,
+        "q244_poisson_bootstrap": q244_poisson_bootstrap,
     }
 
 
@@ -13005,6 +13180,9 @@ def oracle_sql() -> dict[str, str]:
         "q239_balance_check": _Q239_ORACLE,
         "q240_span_removal": _Q240_ORACLE,
         "q241_release_gate_v2": _q241_oracle(),
+        "q242_group_conformal": _q242_oracle(),
+        "q243_conformal_calibration": _q243_oracle(),
+        "q244_poisson_bootstrap": _q244_oracle(),
     }
 
 

@@ -259,6 +259,9 @@ BENCH_QUERIES = [
     "q239_balance_check",
     "q240_span_removal",
     "q241_release_gate_v2",
+    "q242_group_conformal",
+    "q243_conformal_calibration",
+    "q244_poisson_bootstrap",
 ]
 
 

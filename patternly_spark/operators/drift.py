@@ -1167,3 +1167,98 @@ def balance_check(
             )
         )
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_cents_col: str,
+    *,
+    key_col: str,
+    replicates: int = 64,
+    ci: float = 0.95,
+    seed: str = "",
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean — THE bootstrap
+    that works at corpus scale: classic resampling needs n draws per
+    replicate (a shuffle per replicate), but for large n the multinomial
+    resample count of each row converges to Poisson(1), so every row can
+    draw its B replicate weights INDEPENDENTLY in one pass (Chamandy et
+    al., "Estimating Uncertainty for Massive Data Streams").  One map
+    over (row x replicate), one B-row aggregate — no per-replicate scan,
+    no driver data.
+
+    Determinism + engine parity: the weight comes from the md5 coin
+    (``sampling.hash_fraction``'s convention) compared against the
+    Poisson(1) CDF quantized to 2^-32 INTEGER cutoffs computed once in
+    Python — no libm in either engine, so plain SQL replays every weight
+    and therefore every replicate mean bit-for-bit.  The interval is a
+    rank statistic over the B means (lo = ceil(B*(1-ci)/2)-th smallest,
+    hi = ceil(B*(1+ci)/2)-th, clamped) — exact, no interpolation.
+
+    Output: one row — (n, mean_cents, lo_cents, hi_cents, replicates).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    B = int(replicates)
+    if B < 4:
+        raise ValueError(f"replicates must be >= 4, got {B}")
+    if not (0.0 < float(ci) < 1.0):
+        raise ValueError(f"ci must be in (0,1), got {ci}")
+    # Poisson(1) CDF cutoffs, quantized to the 32-bit coin's scale
+    cdf, cuts = 0.0, []
+    for k in range(8):
+        cdf += math.exp(-1.0) / math.factorial(k)
+        cuts.append(math.floor(cdf * float(2**32)))
+    lo_rank = max(1, math.ceil(B * (1.0 - float(ci)) / 2.0))
+    hi_rank = min(B, math.ceil(B * (1.0 + float(ci)) / 2.0))
+
+    v = F.col(value_cents_col).cast("long")
+    rows = df.select(
+        F.col(key_col).cast("string").alias("__k"), v.alias("__v")
+    ).select("__k", "__v", F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("__b"))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col("__k"), F.lit(":"), F.col("__b").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = None
+    for c in cuts:
+        term = (u >= F.lit(int(c))).cast("int")
+        w = term if w is None else (w + term)
+    per = (
+        rows.withColumn("__w", w.cast("long"))
+        .groupBy("__b")
+        .agg(
+            F.sum(F.col("__w") * F.col("__v")).cast("long").alias("__sw"),
+            F.sum("__w").cast("long").alias("__nw"),
+        )
+        .withColumn(
+            "__mean",
+            F.when(
+                F.col("__nw") > 0,
+                F.col("__sw").cast("double") / F.col("__nw").cast("double"),
+            ),
+        )
+    )
+    ranked = per.withColumn(
+        "__r", F.row_number().over(Window.orderBy(F.col("__mean").asc_nulls_last()))
+    )
+    bounds = ranked.agg(
+        F.max(F.when(F.col("__r") == lo_rank, F.col("__mean"))).alias("lo_cents"),
+        F.max(F.when(F.col("__r") == hi_rank, F.col("__mean"))).alias("hi_cents"),
+    )
+    base = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(v).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_cents"
+        ),
+    )
+    return base.crossJoin(F.broadcast(bounds)).select(
+        "n", "mean_cents", "lo_cents", "hi_cents", F.lit(B).alias("replicates")
+    )

@@ -579,3 +579,91 @@ def clustering_agreement(
         rec.alias("pair_recall"),
         f1.alias("pair_f1"),
     )
+
+
+def conformal_calibration(
+    cal: DataFrame,
+    test: DataFrame,
+    *,
+    score_col: str,
+    alphas: tuple[float, ...] = (0.1,),
+    by: str | None = None,
+) -> DataFrame:
+    """Split-conformal calibration (Vovk; Lei et al.) — the
+    distribution-free prediction-interval machinery every deployed model
+    gate should carry: given CALIBRATION nonconformity scores, the
+    conformal quantile
+
+        q_hat = the ceil((n+1)(1-alpha))-th smallest calibration score
+
+    guarantees P(test score <= q_hat) >= 1-alpha for exchangeable data —
+    no model or distribution assumptions.  This evaluates the guarantee
+    empirically too: the fraction of TEST scores <= q_hat.
+
+    Exactness: q_hat is a pure order statistic (one sort of the
+    calibration scores, rank k picked per alpha), coverage is an integer
+    count over test divided once — plain SQL replays every value.  When
+    k > n (tiny calibration set / small alpha) the guarantee is vacuous:
+    q_hat is NULL and coverage reports 1.0 (everything is covered by the
+    infinite interval), the standard convention.
+
+    With ``by`` set this is MONDRIAN (group-conditional) conformal: the
+    quantile is computed PER GROUP, giving per-group coverage — the
+    deployed pattern when error rates must hold per class/segment, not
+    just marginally (a marginal q_hat can over-cover easy groups and
+    under-cover hard ones).
+
+    Shape: ONE window sort of the calibration relation (per group when
+    ``by`` is set; ranks reused by every alpha), one aggregate per side,
+    an equi-join (broadcast-sized grid) against test.  Nothing
+    driver-sized.
+
+    Output: ([by,] alpha, n_cal, k, q_hat, n_test, n_covered, coverage).
+    """
+    if not alphas:
+        raise ValueError("alphas must be non-empty")
+    gcols = [by] if by else []
+    s = F.col(score_col).cast("double")
+    w = Window.partitionBy(*gcols).orderBy(F.col("__s").asc()) if gcols else Window.orderBy(F.col("__s").asc())
+    ranked = (
+        cal.select(*gcols, s.alias("__s"))
+        .withColumn("__r", F.row_number().over(w))
+        .localCheckpoint(eager=True)
+    )
+    n_cal = ranked.groupBy(*gcols).agg(F.max("__r").cast("long").alias("n_cal"))
+    spark = cal.sparkSession
+    alpha_grid = spark.createDataFrame([(float(a),) for a in alphas], "alpha double")
+    grid = n_cal.crossJoin(F.broadcast(alpha_grid))
+    k = F.ceil(
+        (F.col("n_cal") + F.lit(1)).cast("double") * (F.lit(1.0) - F.col("alpha"))
+    ).cast("long")
+    grid = grid.withColumn("k", k)
+    qhat = grid.join(
+        ranked.select(*gcols, F.col("__r").alias("k"), F.col("__s").alias("q_hat")),
+        gcols + ["k"],
+        "left",  # k > n_cal -> NULL q_hat (vacuous guarantee)
+    )
+    tside = test.select(*gcols, s.alias("__t"))
+    joined = (
+        tside.join(F.broadcast(qhat), gcols) if gcols
+        else tside.crossJoin(F.broadcast(qhat))
+    )
+    tstats = joined.groupBy(*gcols, "alpha", "n_cal", "k", "q_hat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(
+            F.when(F.col("q_hat").isNull() | (F.col("__t") <= F.col("q_hat")), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_covered"),
+    )
+    return tstats.select(
+        *gcols,
+        "alpha",
+        "n_cal",
+        "k",
+        "q_hat",
+        "n_test",
+        "n_covered",
+        (F.col("n_covered").cast("double") / F.col("n_test").cast("double")).alias(
+            "coverage"
+        ),
+    )

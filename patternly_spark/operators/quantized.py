@@ -504,14 +504,17 @@ def mutual_knn(
         )
         return _mutual_join(tk, round_digits)
 
-    n_rows = df.count()
-    if n_rows > int(max_exact_rows):
+    # bounded probe, not a full count: limit(bound+1) stops scanning the
+    # moment the bound is exceeded, so the guard costs one short job on
+    # a huge corpus instead of a full pass
+    over = df.limit(int(max_exact_rows) + 1).count() > int(max_exact_rows)
+    if over:
         raise ValueError(
             f"mutual_knn exact mode collects the corpus to the driver and "
-            f"this one has {n_rows} rows (> max_exact_rows="
-            f"{int(max_exact_rows)}).  Pass candidates= (ivf_topk / "
-            f"lsh_index_topk output) for large corpora, or raise "
-            f"max_exact_rows explicitly if the driver can hold it."
+            f"this one exceeds max_exact_rows={int(max_exact_rows)}.  "
+            f"Pass candidates= (ivf_topk / lsh_index_topk output) for "
+            f"large corpora, or raise max_exact_rows explicitly if the "
+            f"driver can hold it."
         )
 
     def _np_codes(vecs):

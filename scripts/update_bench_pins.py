@@ -21,8 +21,12 @@ import sys
 
 RAISE_GUARD = 1.5
 
-args = [a for a in sys.argv[1:] if a != "--force"]
+args = [a for a in sys.argv[1:] if a != "--force" and not a.startswith("--raise=")]
 force = "--force" in sys.argv[1:]
+# targeted deliberate raises: --raise=<query> accepts the observed MIN
+# for that query even above the old pin (a guard added on purpose, a
+# knowingly slower-but-safer plan); repeatable
+raises = {a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--raise=")}
 
 raws = [open(p).read() for p in args] if args else [sys.stdin.read()]
 runs = []
@@ -47,15 +51,25 @@ for k in sorted(all_keys):
     observed = [d["queries"][k] for d in runs if k in d["queries"]]
     best = min(observed) if observed else old_pins[k]
     if k in old_pins:
-        best = min(best, old_pins[k])
-        if observed and min(observed) > old_pins[k] * RAISE_GUARD and not force:
-            # query got >1.5x slower than best-known-good: keep the old
-            # pin so the bench guard keeps flagging it (use --force to
-            # accept a deliberate slowdown)
+        if observed and k in raises and min(observed) > old_pins[k]:
             print(
-                f"NOT raising pin {k}: best observed {min(observed):.3f}s "
-                f"> {RAISE_GUARD}x pin {old_pins[k]:.3f}s (pass --force to accept)"
+                f"RAISED pin {k}: {old_pins[k]:.3f}s -> {min(observed):.3f}s "
+                f"(--raise accepted as deliberate)"
             )
+        else:
+            over_guard = (
+                observed and min(observed) > old_pins[k] * RAISE_GUARD
+            )
+            if over_guard and not force:
+                # query got >1.5x slower than best-known-good: keep the
+                # old pin so the bench guard keeps flagging it (use
+                # --raise=<query> to accept a deliberate slowdown)
+                print(
+                    f"NOT raising pin {k}: best observed {min(observed):.3f}s "
+                    f"> {RAISE_GUARD}x pin {old_pins[k]:.3f}s "
+                    f"(pass --raise={k} to accept)"
+                )
+            best = min(best, old_pins[k])
     new_pins[k] = round(best, 3)
 
 out = {

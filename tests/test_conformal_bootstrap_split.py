@@ -1,0 +1,152 @@
+"""Round-6 additions: Mondrian + marginal split-conformal calibration and
+the Poisson-bootstrap CI."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# conformal_calibration (Mondrian / group-conditional)
+# ---------------------------------------------------------------------------
+
+
+def test_mondrian_conformal_per_group_quantiles(spark):
+    """Two groups with different score scales: each group gets ITS OWN
+    q_hat and coverage — the marginal quantile would over-cover the
+    small-scale group and under-cover the large-scale one."""
+    from patternly_spark.operators.model_eval import conformal_calibration
+
+    cal = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 100)]
+        + [("b", float(10 * i)) for i in range(1, 100)],
+        "g string, s double",
+    )
+    test = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)]
+        + [("b", float(10 * i)) for i in range(1, 101)],
+        "g string, s double",
+    )
+    out = {
+        r["g"]: r
+        for r in conformal_calibration(
+            cal, test, score_col="s", alphas=(0.1,), by="g"
+        ).collect()
+    }
+    assert out["a"]["q_hat"] == 90.0 and out["b"]["q_hat"] == 900.0
+    assert out["a"]["coverage"] == 0.9 and out["b"]["coverage"] == 0.9
+
+
+# ---------------------------------------------------------------------------
+# conformal_calibration
+# ---------------------------------------------------------------------------
+
+
+def test_conformal_quantile_hand_computed(spark):
+    """cal = 1..99, alpha = 0.1: k = ceil(100 * 0.9) = 90 -> q_hat = 90;
+    test = 1..100 -> coverage = 90/100."""
+    from patternly_spark.operators.model_eval import conformal_calibration
+
+    cal = spark.createDataFrame([(float(i),) for i in range(1, 100)], "s double")
+    test = spark.createDataFrame([(float(i),) for i in range(1, 101)], "s double")
+    out = conformal_calibration(cal, test, score_col="s", alphas=(0.1,)).collect()[0]
+    assert out["n_cal"] == 99 and out["k"] == 90
+    assert out["q_hat"] == 90.0
+    assert out["n_test"] == 100 and out["n_covered"] == 90
+    assert out["coverage"] == 0.9
+
+
+def test_conformal_vacuous_alpha_gives_null_qhat(spark):
+    """k > n (tiny calibration set): q_hat NULL, coverage 1.0 — the
+    infinite-interval convention."""
+    from patternly_spark.operators.model_eval import conformal_calibration
+
+    cal = spark.createDataFrame([(1.0,), (2.0,)], "s double")
+    test = spark.createDataFrame([(9.9,), (0.1,)], "s double")
+    out = conformal_calibration(cal, test, score_col="s", alphas=(0.1,)).collect()[0]
+    # k = ceil(3 * 0.9) = 3 > n_cal = 2
+    assert out["k"] == 3 and out["q_hat"] is None
+    assert out["coverage"] == 1.0
+
+
+def test_conformal_guarantee_on_exchangeable_data(spark):
+    """Exchangeable scores: empirical coverage >= 1 - alpha (the
+    finite-sample guarantee, deterministic here via the fixed coin)."""
+    from patternly_spark.operators.model_eval import conformal_calibration
+    from patternly_spark.operators.sampling import hash_fraction
+
+    df = spark.createDataFrame(
+        [(i, float((i * 2654435761) % 10007)) for i in range(4000)],
+        "id long, s double",
+    )
+    is_cal = hash_fraction(F.col("id")) < 0.5
+    out = conformal_calibration(
+        df.filter(is_cal), df.filter(~is_cal), score_col="s", alphas=(0.1, 0.2)
+    ).collect()
+    for r in out:
+        assert r["coverage"] >= 1.0 - r["alpha"] - 0.02  # finite-sample slack
+
+
+# ---------------------------------------------------------------------------
+# poisson_bootstrap_ci
+# ---------------------------------------------------------------------------
+
+
+def test_poisson_bootstrap_interval_brackets_mean(spark):
+    from patternly_spark.operators.drift import poisson_bootstrap_ci
+
+    rows = [(i, 1000 + (i % 200)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, cents long")
+    out = poisson_bootstrap_ci(df, "cents", key_col="id", replicates=64).collect()[0]
+    assert out["n"] == 5000 and out["replicates"] == 64
+    assert out["lo_cents"] < out["mean_cents"] < out["hi_cents"]
+    # a tight population: the CI is narrow relative to the spread
+    assert out["hi_cents"] - out["lo_cents"] < 20.0
+    # deterministic
+    again = poisson_bootstrap_ci(df, "cents", key_col="id", replicates=64).collect()[0]
+    assert tuple(out) == tuple(again)
+
+
+def test_poisson_bootstrap_python_replica(spark):
+    """Replicate means match a plain-Python replay of the identical
+    md5 coin + integer CDF cutoffs — the engine adds distribution,
+    never new math."""
+    import hashlib
+    import math
+
+    from patternly_spark.operators.drift import poisson_bootstrap_ci
+
+    rows = [(i, 100 * (i + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, cents long")
+    B = 8
+    out = poisson_bootstrap_ci(
+        df, "cents", key_col="id", replicates=B, ci=0.5
+    ).collect()[0]
+
+    cdf, cuts = 0.0, []
+    for k in range(8):
+        cdf += math.exp(-1.0) / math.factorial(k)
+        cuts.append(math.floor(cdf * float(2**32)))
+    means = []
+    for b in range(B):
+        sw = nw = 0
+        for i, cents in rows:
+            u = int(hashlib.md5(f"{i}:{b}".encode()).hexdigest()[:8], 16)
+            w = sum(1 for c in cuts if u >= c)
+            sw += w * cents
+            nw += w
+        means.append(sw / nw if nw else None)
+    ms = sorted(m for m in means if m is not None)
+    lo_rank = max(1, math.ceil(B * 0.25))
+    hi_rank = min(B, math.ceil(B * 0.75))
+    assert out["lo_cents"] == ms[lo_rank - 1]
+    assert out["hi_cents"] == ms[hi_rank - 1]
+
+
+def test_poisson_bootstrap_validates_params(spark):
+    from patternly_spark.operators.drift import poisson_bootstrap_ci
+
+    df = spark.createDataFrame([(1, 1)], "id long, cents long")
+    with pytest.raises(ValueError, match="replicates"):
+        poisson_bootstrap_ci(df, "cents", key_col="id", replicates=2)
+    with pytest.raises(ValueError, match="ci"):
+        poisson_bootstrap_ci(df, "cents", key_col="id", ci=1.5)
