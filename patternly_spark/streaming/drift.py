@@ -623,3 +623,133 @@ def sprt_from_registry(spark, registry_path: str, *, units: int = 1 << 20):
             "llr_at_decision"
         ),
     )
+
+
+def streaming_bootstrap_registry(
+    stream_df: DataFrame,
+    registry_path: str,
+    *,
+    checkpoint_path: str,
+    value_cents_col: str,
+    key_col: str,
+    replicates: int = 64,
+    seed: str = "",
+    trigger_once: bool = False,
+):
+    """Streaming Poisson-bootstrap registry — the online uncertainty
+    monitor ``poisson_bootstrap_ci`` (q244) implies: per-replicate
+    (sum w*v, sum w, n, sum v) are ADDITIVE integers, so folding each
+    microbatch's B-row partial table into the registry keeps the exact
+    bootstrap state of ALL history in B rows forever.  Finalize any time
+    with ``bootstrap_ci_from_registry`` — value-identical to running the
+    batch operator over every row ever seen (union-parity pinned), the
+    q181/ST22 additive-registry law.
+
+    Same (replicates, seed) for the registry's lifetime; row keys
+    globally unique across batches (the standard registry contract).
+    Exactly-once via versioned snapshots (streaming/exactly_once).
+    """
+    import math
+
+    B = int(replicates)
+    if B < 4:
+        raise ValueError(f"replicates must be >= 4, got {B}")
+    cdf, cuts = 0.0, []
+    for k in range(8):
+        cdf += math.exp(-1.0) / math.factorial(k)
+        cuts.append(math.floor(cdf * float(2**32)))
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        v = F.col(value_cents_col).cast("long")
+        rows = batch_df.select(
+            F.col(key_col).cast("string").alias("__k"), v.alias("__v")
+        ).select(
+            "__k", "__v",
+            F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("__b"),
+        )
+        u = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.col("__k"), F.lit(":"), F.col("__b").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        w = None
+        for c in cuts:
+            term = (u >= F.lit(int(c))).cast("int")
+            w = term if w is None else (w + term)
+        part = (
+            rows.withColumn("__w", w.cast("long"))
+            .groupBy(F.col("__b").alias("b"))
+            .agg(
+                F.sum(F.col("__w") * F.col("__v")).cast("long").alias("sw"),
+                F.sum("__w").cast("long").alias("nw"),
+                # every replicate group sees each base row exactly once,
+                # so per-b count/sum ARE the batch's (n, sum v) — exact
+                # integers, no division
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("__v").cast("long").alias("sv"),
+            )
+        )
+        existing, _ = read_latest_snapshot(spark, registry_path, before_batch=batch_id)
+        if existing is not None:
+            part = (
+                part.unionByName(existing)
+                .groupBy("b")
+                .agg(
+                    F.sum("sw").cast("long").alias("sw"),
+                    F.sum("nw").cast("long").alias("nw"),
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("sv").cast("long").alias("sv"),
+                )
+            )
+        write_snapshot(part.localCheckpoint(eager=True), registry_path, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def bootstrap_ci_from_registry(
+    spark, registry_path: str, *, ci: float = 0.95
+):
+    """Finalize the folded bootstrap registry into the q244 output row —
+    identical to the batch ``poisson_bootstrap_ci`` over all rows ever
+    streamed (the rank-selection half is replicate-count-sized)."""
+    import math
+
+    from pyspark.sql import Window
+
+    reg = read_registry(spark, registry_path)
+    B = reg.count()
+    lo_rank = max(1, math.ceil(B * (1.0 - float(ci)) / 2.0))
+    hi_rank = min(B, math.ceil(B * (1.0 + float(ci)) / 2.0))
+    per = reg.withColumn(
+        "__mean",
+        F.when(
+            F.col("nw") > 0,
+            F.col("sw").cast("double") / F.col("nw").cast("double"),
+        ),
+    )
+    ranked = per.withColumn(
+        "__r", F.row_number().over(Window.orderBy(F.col("__mean").asc_nulls_last()))
+    )
+    bounds = ranked.agg(
+        F.max(F.when(F.col("__r") == lo_rank, F.col("__mean"))).alias("lo_cents"),
+        F.max(F.when(F.col("__r") == hi_rank, F.col("__mean"))).alias("hi_cents"),
+    )
+    # every b row carries the identical folded (n, sv) — max, not sum,
+    # so mean_cents is the SAME double division the batch operator does
+    base = reg.agg(
+        F.max("n").cast("long").alias("n"),
+        (F.max("sv").cast("double") / F.max("n").cast("double")).alias("mean_cents"),
+    )
+    return base.crossJoin(F.broadcast(bounds)).select(
+        "n", "mean_cents", "lo_cents", "hi_cents", F.lit(B).cast("int").alias("replicates")
+    )

@@ -150,3 +150,42 @@ def test_poisson_bootstrap_validates_params(spark):
         poisson_bootstrap_ci(df, "cents", key_col="id", replicates=2)
     with pytest.raises(ValueError, match="ci"):
         poisson_bootstrap_ci(df, "cents", key_col="id", ci=1.5)
+
+
+def test_streaming_bootstrap_registry_equals_batch(spark, tmp_path):
+    """Additive-sufficient-stats law: the folded registry after all
+    triggers finalizes to EXACTLY the batch poisson_bootstrap_ci over
+    the union — including the interval bounds (every replicate weight
+    depends only on (key, b), so batch boundaries cannot move it)."""
+    from patternly_spark.operators.drift import poisson_bootstrap_ci
+    from patternly_spark.streaming.drift import (
+        bootstrap_ci_from_registry,
+        streaming_bootstrap_registry,
+    )
+
+    rows = [(i, 500 + 7 * (i % 97)) for i in range(900)]
+    df = spark.createDataFrame(rows, "id long, cents long")
+    src = str(tmp_path / "src")
+    for lo, hi in [(0, 300), (300, 600), (600, 900)]:
+        spark.createDataFrame(
+            [r for r in rows if lo <= r[0] < hi], "id long, cents long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_bootstrap_registry(
+        spark.readStream.schema("id long, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        str(tmp_path / "reg"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        value_cents_col="cents",
+        key_col="id",
+        replicates=16,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got = bootstrap_ci_from_registry(spark, str(tmp_path / "reg")).collect()[0]
+    want = poisson_bootstrap_ci(
+        df, "cents", key_col="id", replicates=16
+    ).collect()[0]
+    assert tuple(got) == tuple(want)
