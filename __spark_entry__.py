@@ -11175,6 +11175,86 @@ def _q244_oracle() -> str:
     """
 
 
+def q245_bootstrap_ratio(spark, sf_dir):
+    """Cluster-bootstrap CI for a RATIO metric — revenue per view
+    (operators/drift.poisson_bootstrap_ci with denom_cents_col=):
+    events pre-aggregate to ONE row per user (purchase cents, view
+    count) and the bootstrap resamples USERS — the independence unit —
+    never raw events (event-level resampling fakes n and collapses the
+    interval).  Same md5-coin Poisson weights as q244; per-replicate
+    statistic = weighted purchase cents / weighted views."""
+    from patternly_spark.operators.drift import poisson_bootstrap_ci
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("purchase_cents"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).cast("long").alias("views"),
+    )
+    return poisson_bootstrap_ci(
+        per_user,
+        "purchase_cents",
+        key_col="user_id",
+        denom_cents_col="views",
+        replicates=64,
+        ci=0.95,
+    )
+
+
+def _q245_oracle() -> str:
+    import math
+
+    cdf, cuts = 0.0, []
+    for k in range(8):
+        cdf += math.exp(-1.0) / math.factorial(k)
+        cuts.append(math.floor(cdf * float(2**32)))
+    B, ci = 64, 0.95
+    lo_rank = max(1, math.ceil(B * (1.0 - ci) / 2.0))
+    hi_rank = min(B, math.ceil(B * (1.0 + ci) / 2.0))
+    wexpr = " + ".join(f"(CASE WHEN u >= {c} THEN 1 ELSE 0 END)" for c in cuts)
+    return f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS num,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS den
+        FROM events
+        GROUP BY user_id
+    ), wtab AS (
+        SELECT b, num, den, CAST({wexpr} AS BIGINT) AS w
+        FROM (
+            SELECT r.b, per_user.num, per_user.den,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(r.b AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+            FROM per_user, (SELECT unnest(range(0, {B})) AS b) r
+        )
+    ), per AS (
+        SELECT b, SUM(w * num) AS sw, SUM(w * den) AS nw FROM wtab GROUP BY b
+    ), means AS (
+        SELECT CASE WHEN nw > 0 THEN CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE) END AS m
+        FROM per
+    ), ranked AS (
+        SELECT m, row_number() OVER (ORDER BY m ASC NULLS LAST) AS r FROM means
+    ), bounds AS (
+        SELECT MAX(CASE WHEN r = {lo_rank} THEN m END) AS lo_cents,
+               MAX(CASE WHEN r = {hi_rank} THEN m END) AS hi_cents
+        FROM ranked
+    ), base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(num) AS DOUBLE) / CAST(SUM(den) AS DOUBLE) AS mean_cents
+        FROM per_user
+    )
+    SELECT n, mean_cents, lo_cents, hi_cents, CAST({B} AS INT) AS replicates
+    FROM base, bounds
+    """
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -11429,6 +11509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q242_group_conformal": q242_group_conformal,
         "q243_conformal_calibration": q243_conformal_calibration,
         "q244_poisson_bootstrap": q244_poisson_bootstrap,
+        "q245_bootstrap_ratio": q245_bootstrap_ratio,
     }
 
 
@@ -13183,6 +13264,7 @@ def oracle_sql() -> dict[str, str]:
         "q242_group_conformal": _q242_oracle(),
         "q243_conformal_calibration": _q243_oracle(),
         "q244_poisson_bootstrap": _q244_oracle(),
+        "q245_bootstrap_ratio": _q245_oracle(),
     }
 
 

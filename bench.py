@@ -262,6 +262,7 @@ BENCH_QUERIES = [
     "q242_group_conformal",
     "q243_conformal_calibration",
     "q244_poisson_bootstrap",
+    "q245_bootstrap_ratio",
 ]
 
 

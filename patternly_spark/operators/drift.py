@@ -1174,6 +1174,7 @@ def poisson_bootstrap_ci(
     value_cents_col: str,
     *,
     key_col: str,
+    denom_cents_col: str | None = None,
     replicates: int = 64,
     ci: float = 0.95,
     seed: str = "",
@@ -1195,7 +1196,16 @@ def poisson_bootstrap_ci(
     rank statistic over the B means (lo = ceil(B*(1-ci)/2)-th smallest,
     hi = ceil(B*(1+ci)/2)-th, clamped) — exact, no interpolation.
 
-    Output: one row — (n, mean_cents, lo_cents, hi_cents, replicates).
+    With ``denom_cents_col`` set the statistic is a RATIO —
+    sum(num)/sum(den) per replicate — which is how cluster-level metrics
+    (revenue per view, CTR) must be bootstrapped: pre-aggregate to one
+    row per independent unit (user/session) and resample UNITS, never
+    raw events (event-level resampling fakes independence and collapses
+    the interval).  A replicate whose weighted denominator is 0 yields a
+    NULL mean, rank-sorted last (the same convention as the mean path).
+
+    Output: one row — (n, mean_cents, lo_cents, hi_cents, replicates);
+    for ratios, mean_cents = sum(num)/sum(den) over the full frame.
     """
     import math
 
@@ -1215,9 +1225,17 @@ def poisson_bootstrap_ci(
     hi_rank = min(B, math.ceil(B * (1.0 + float(ci)) / 2.0))
 
     v = F.col(value_cents_col).cast("long")
+    d = (
+        F.col(denom_cents_col).cast("long")
+        if denom_cents_col is not None
+        else F.lit(1).cast("long")
+    )
     rows = df.select(
-        F.col(key_col).cast("string").alias("__k"), v.alias("__v")
-    ).select("__k", "__v", F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("__b"))
+        F.col(key_col).cast("string").alias("__k"), v.alias("__v"), d.alias("__d")
+    ).select(
+        "__k", "__v", "__d",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("__b"),
+    )
     u = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(seed), F.col("__k"), F.lit(":"), F.col("__b").cast("string"))),
@@ -1236,7 +1254,7 @@ def poisson_bootstrap_ci(
         .groupBy("__b")
         .agg(
             F.sum(F.col("__w") * F.col("__v")).cast("long").alias("__sw"),
-            F.sum("__w").cast("long").alias("__nw"),
+            F.sum(F.col("__w") * F.col("__d")).cast("long").alias("__nw"),
         )
         .withColumn(
             "__mean",
@@ -1255,9 +1273,7 @@ def poisson_bootstrap_ci(
     )
     base = df.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        (F.sum(v).cast("double") / F.count(F.lit(1)).cast("double")).alias(
-            "mean_cents"
-        ),
+        (F.sum(v).cast("double") / F.sum(d).cast("double")).alias("mean_cents"),
     )
     return base.crossJoin(F.broadcast(bounds)).select(
         "n", "mean_cents", "lo_cents", "hi_cents", F.lit(B).alias("replicates")

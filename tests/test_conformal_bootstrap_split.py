@@ -189,3 +189,20 @@ def test_streaming_bootstrap_registry_equals_batch(spark, tmp_path):
         df, "cents", key_col="id", replicates=16
     ).collect()[0]
     assert tuple(got) == tuple(want)
+
+
+def test_poisson_bootstrap_ratio_mode(spark):
+    """Ratio statistic: per-replicate weighted num/den; the full-frame
+    point estimate is sum(num)/sum(den); interval brackets it on a
+    tight synthetic population."""
+    from patternly_spark.operators.drift import poisson_bootstrap_ci
+
+    rows = [(i, 200 + (i % 11), 100 + (i % 7)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, num long, den long")
+    out = poisson_bootstrap_ci(
+        df, "num", key_col="id", denom_cents_col="den", replicates=64
+    ).collect()[0]
+    want_point = sum(r[1] for r in rows) / sum(r[2] for r in rows)
+    assert out["mean_cents"] == want_point
+    assert out["lo_cents"] < want_point < out["hi_cents"]
+    assert out["hi_cents"] - out["lo_cents"] < 0.2  # tight population
