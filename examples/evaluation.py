@@ -107,6 +107,36 @@ def main() -> None:
     ).collect()[0]["docs_with_pii"]
     print(f"PII docs before redaction: {before}; after: {after}")
     assert after == 0, "redaction gate must close"
+
+    # 4) uncertainty: conformal interval gate + one-pass bootstrap CI
+    from patternly_spark.operators.drift import poisson_bootstrap_ci
+    from patternly_spark.operators.model_eval import conformal_calibration
+    from patternly_spark.operators.sampling import hash_fraction
+
+    evv = ev.filter(F.col("value").isNotNull())
+    is_cal = hash_fraction(F.col("event_id")) < F.lit(0.5)
+    print("== split-conformal coverage (marginal + per-type Mondrian) ==")
+    conformal_calibration(
+        evv.filter(is_cal), evv.filter(~is_cal), score_col="value", alphas=(0.1,)
+    ).show()
+    conformal_calibration(
+        evv.filter(is_cal), evv.filter(~is_cal), score_col="value",
+        alphas=(0.1,), by="event_type",
+    ).orderBy("event_type").show()
+
+    print("== Poisson-bootstrap CI: revenue per view (per-user resampling) ==")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase",
+                     (F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+              .otherwise(F.lit(0))).cast("long").alias("purchase_cents"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long").alias("views"),
+    )
+    poisson_bootstrap_ci(
+        per_user, "purchase_cents", key_col="user_id",
+        denom_cents_col="views", replicates=32,
+    ).show()
+
     print("evaluation demo OK")
 
 
