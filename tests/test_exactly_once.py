@@ -282,3 +282,69 @@ def test_scd2_registry_survives_batch_replay_and_ties(spark, tmp_path):
         read_registry(spark, reg).filter(F.col("key") == 1).collect(), key=key
     )
     assert got_k1 == want1
+
+
+def test_cosine_allpairs_registry_survives_batch_replay(spark, tmp_path):
+    """Append-style REGISTRY under replay: the retried batch must (a)
+    not see its own orphaned registry rows as history (else it would
+    emit batch-vs-self pairs twice through the registry path) and (b)
+    overwrite, not duplicate, its own pairs and registry partitions.
+    Final state must equal the batch all-pairs operator exactly."""
+    from patternly_spark.operators.similarity_allpairs import cosine_allpairs_join
+    from patternly_spark.streaming.similarity import streaming_cosine_allpairs
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(0, 12, 2):  # six near-dup pairs across batches
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        near = [x + rng.uniform(-0.01, 0.01) for x in base]
+        rows.append((i, base))
+        rows.append((i + 1, near))
+    for i in range(12, 30):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(8)]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = str(tmp_path / "src")
+    for lo, hi in [(0, 10), (10, 20), (20, 30)]:
+        spark.createDataFrame(
+            [r for r in rows if lo <= r[0] < hi],
+            "vec_id long, embedding array<double>",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    reg = str(tmp_path / "registry")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = streaming_cosine_allpairs(
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            registry_path=reg,
+            output_path=out,
+            checkpoint_path=ckpt,
+            threshold=0.95,
+            trigger_once=True,
+        )
+        _drain(spark, q)
+
+    run()
+    want = {
+        (r.id_a, r.id_b): r.qcosine
+        for r in cosine_allpairs_join(vecs, threshold=0.95).collect()
+    }
+    got1 = {
+        (r.id_a, r.id_b): r.qcosine for r in read_appended(spark, out).collect()
+    }
+    assert got1 == want and want  # non-trivial pair set
+
+    _delete_last_commit(ckpt)
+    run()
+    got2 = {
+        (r.id_a, r.id_b): r.qcosine for r in read_appended(spark, out).collect()
+    }
+    assert got2 == want  # replay did not duplicate or drop pairs
+    # registry holds each vector exactly once
+    assert read_appended(spark, reg).select("id").distinct().count() == 30
+    assert read_appended(spark, reg).count() == 30
