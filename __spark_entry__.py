@@ -8703,6 +8703,43 @@ def q212_retrieval_eval(spark, sf_dir):
     return ranking_metrics(ranked, k_values=(1, 5, 10))
 
 
+def _q212_feed_ctes() -> str:
+    """The shared DuckDB replay of q212's ranked-list feed (int8 ANN
+    over embeddings, relevance = same label) — reused by the q246
+    bootstrap oracle so both evaluate the IDENTICAL lists."""
+    return """
+    WITH base AS (
+        SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ), sc AS (
+        SELECT vec_id, label, v,
+               CASE WHEN amax / 127.0 > 0.0 THEN amax / 127.0 ELSE 1.0 END AS scale
+        FROM (SELECT vec_id, label, v,
+                     list_max(list_transform(v, x -> abs(x))) AS amax
+              FROM base)
+    ), qz AS (
+        SELECT vec_id, label,
+               list_transform(v, x -> floor(x / scale + 0.5)) AS codes
+        FROM sc
+    ), nn AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               q.label = c.label AS rel,
+               round(list_dot_product(q.codes, c.codes)
+                     / (sqrt(list_dot_product(q.codes, q.codes))
+                        * sqrt(list_dot_product(c.codes, c.codes))), 6) AS qcosine
+        FROM qz q, qz c
+        WHERE q.vec_id < 100 AND c.vec_id <> q.vec_id
+    ), ranked AS (
+        SELECT query_id, rel, rank FROM (
+            SELECT query_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY qcosine DESC, neighbor_id ASC)
+                       AS rank
+            FROM nn
+        ) WHERE rank <= 10
+    )"""
+
+
 def _q212_oracle() -> str:
     import math
 
@@ -8756,36 +8793,7 @@ def _q212_oracle() -> str:
         )
     union_sql = "\n        UNION ALL\n        ".join(out_rows)
     return f"""
-    WITH base AS (
-        SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
-        FROM embeddings
-    ), sc AS (
-        SELECT vec_id, label, v,
-               CASE WHEN amax / 127.0 > 0.0 THEN amax / 127.0 ELSE 1.0 END AS scale
-        FROM (SELECT vec_id, label, v,
-                     list_max(list_transform(v, x -> abs(x))) AS amax
-              FROM base)
-    ), qz AS (
-        SELECT vec_id, label,
-               list_transform(v, x -> floor(x / scale + 0.5)) AS codes
-        FROM sc
-    ), nn AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               q.label = c.label AS rel,
-               round(list_dot_product(q.codes, c.codes)
-                     / (sqrt(list_dot_product(q.codes, q.codes))
-                        * sqrt(list_dot_product(c.codes, c.codes))), 6) AS qcosine
-        FROM qz q, qz c
-        WHERE q.vec_id < 100 AND c.vec_id <> q.vec_id
-    ), ranked AS (
-        SELECT query_id, rel, rank FROM (
-            SELECT query_id, rel,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY qcosine DESC, neighbor_id ASC)
-                       AS rank
-            FROM nn
-        ) WHERE rank <= 10
-    ), pq AS (
+    {_q212_feed_ctes()}, pq AS (
         SELECT query_id,
                SUM(CASE WHEN rel THEN 1 ELSE 0 END)::BIGINT AS rel_total,
                MIN(CASE WHEN rel THEN rank END) AS first_rel,
@@ -11255,6 +11263,96 @@ def _q245_oracle() -> str:
     """
 
 
+def q246_retrieval_metric_ci(spark, sf_dir):
+    """Bootstrap error bars on the retrieval evaluation
+    (operators/model_eval.ranking_metric_ci over q212's exact ranked
+    feed): queries are the independence unit, so each query draws
+    Poisson(1) replicate weights (the shared md5-coin/integer-cutoff
+    construction) and NDCG@10 is rank-selected into an exact 95%
+    interval — q212's point estimate with the uncertainty it should
+    never ship without."""
+    from patternly_spark.operators.model_eval import ranking_metric_ci
+    from patternly_spark.operators.quantized import int8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 100)
+    nn = int8_topk(emb, probes, k=10)
+    lab = emb.select("vec_id", "label")
+    lq = lab.select(F.col("vec_id").alias("query_id"), F.col("label").alias("__lq"))
+    ln = lab.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("__ln")
+    )
+    ranked = (
+        nn.join(F.broadcast(lq), "query_id")
+        .join(F.broadcast(ln), "neighbor_id")
+        .withColumn("rel", F.col("__lq") == F.col("__ln"))
+    )
+    return ranking_metric_ci(
+        ranked, metric="ndcg", k=10, replicates=64, ci=0.95
+    )
+
+
+def _q246_oracle() -> str:
+    import math
+
+    u = 1 << 20
+    uf = _dlit(float(u))
+    disc = [math.floor((1.0 / math.log2(r + 1.0)) * u) for r in range(1, 11)]
+    pref = [0]
+    for d in disc:
+        pref.append(pref[-1] + d)
+    disc_sql = "[" + ",".join(str(d) for d in disc) + "]"
+    pref_sql = "[" + ",".join(str(v) for v in pref) + "]"
+    cdf, cuts = 0.0, []
+    for k in range(8):
+        cdf += math.exp(-1.0) / math.factorial(k)
+        cuts.append(math.floor(cdf * float(2**32)))
+    B, ci = 64, 0.95
+    lo_rank = max(1, math.ceil(B * (1.0 - ci) / 2.0))
+    hi_rank = min(B, math.ceil(B * (1.0 + ci) / 2.0))
+    wexpr = " + ".join(f"(CASE WHEN uu >= {c} THEN 1 ELSE 0 END)" for c in cuts)
+    idcg = f"CAST({pref_sql}[LEAST(rel_total, 10) + 1] AS DOUBLE)"
+    return f"""
+    {_q212_feed_ctes()}, pq AS (
+        SELECT query_id,
+               SUM(CASE WHEN rel THEN 1 ELSE 0 END)::BIGINT AS rel_total,
+               SUM(CASE WHEN rel AND rank <= 10 THEN {disc_sql}[rank]
+                   ELSE 0 END)::BIGINT AS dcg_u
+        FROM ranked GROUP BY query_id
+    ), uq AS (
+        SELECT query_id,
+               FLOOR(CAST(dcg_u AS DOUBLE) / {idcg} * {uf})::BIGINT AS u
+        FROM pq WHERE rel_total > 0
+    ), wtab AS (
+        SELECT b, u, CAST({wexpr} AS BIGINT) AS w
+        FROM (
+            SELECT r.b, uq.u,
+                   CAST(('0x' || substr(md5(CAST(query_id AS VARCHAR) || ':' || CAST(r.b AS VARCHAR)), 1, 8)) AS BIGINT) AS uu
+            FROM uq, (SELECT unnest(range(0, {B})) AS b) r
+        )
+    ), per AS (
+        SELECT b, SUM(w * u) AS sw, SUM(w) AS nw FROM wtab GROUP BY b
+    ), means AS (
+        SELECT CASE WHEN nw > 0
+                    THEN CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE) / {uf} END AS m
+        FROM per
+    ), ranked_b AS (
+        SELECT m, row_number() OVER (ORDER BY m ASC NULLS LAST) AS r FROM means
+    ), bounds AS (
+        SELECT MAX(CASE WHEN r = {lo_rank} THEN m END) AS lo,
+               MAX(CASE WHEN r = {hi_rank} THEN m END) AS hi
+        FROM ranked_b
+    ), base2 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(u) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / {uf} AS value
+        FROM uq
+    )
+    SELECT 'ndcg' AS metric, CAST(10 AS INT) AS k, n_queries, value, lo, hi,
+           CAST({B} AS INT) AS replicates
+    FROM base2, bounds
+    """
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -11510,6 +11608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q243_conformal_calibration": q243_conformal_calibration,
         "q244_poisson_bootstrap": q244_poisson_bootstrap,
         "q245_bootstrap_ratio": q245_bootstrap_ratio,
+        "q246_retrieval_metric_ci": q246_retrieval_metric_ci,
     }
 
 
@@ -13265,6 +13364,7 @@ def oracle_sql() -> dict[str, str]:
         "q243_conformal_calibration": _q243_oracle(),
         "q244_poisson_bootstrap": _q244_oracle(),
         "q245_bootstrap_ratio": _q245_oracle(),
+        "q246_retrieval_metric_ci": _q246_oracle(),
     }
 
 

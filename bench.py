@@ -263,6 +263,7 @@ BENCH_QUERIES = [
     "q243_conformal_calibration",
     "q244_poisson_bootstrap",
     "q245_bootstrap_ratio",
+    "q246_retrieval_metric_ci",
 ]
 
 

@@ -1169,6 +1169,35 @@ def balance_check(
     return reduce(lambda a, b: a.unionByName(b), outs)
 
 
+def poisson1_weight(key, b, *, seed: str = ""):
+    """Poisson(1) bootstrap weight as a JVM column: the md5 coin of
+    (seed || key || ':' || b) compared against the Poisson CDF quantized
+    to 2^-32 INTEGER cutoffs (computed here in Python — no libm in any
+    engine, so plain SQL replays every weight).  Shared by
+    ``poisson_bootstrap_ci``, ``model_eval.ranking_metric_ci`` and the
+    streaming bootstrap registry — one definition, one oracle shape."""
+    import math
+
+    cdf, cuts = 0.0, []
+    for k in range(8):
+        cdf += math.exp(-1.0) / math.factorial(k)
+        cuts.append(math.floor(cdf * float(2**32)))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), key.cast("string"), F.lit(":"), b.cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = None
+    for c in cuts:
+        term = (u >= F.lit(int(c))).cast("int")
+        w = term if w is None else (w + term)
+    return w.cast("long")
+
+
 def poisson_bootstrap_ci(
     df: DataFrame,
     value_cents_col: str,
@@ -1216,11 +1245,6 @@ def poisson_bootstrap_ci(
         raise ValueError(f"replicates must be >= 4, got {B}")
     if not (0.0 < float(ci) < 1.0):
         raise ValueError(f"ci must be in (0,1), got {ci}")
-    # Poisson(1) CDF cutoffs, quantized to the 32-bit coin's scale
-    cdf, cuts = 0.0, []
-    for k in range(8):
-        cdf += math.exp(-1.0) / math.factorial(k)
-        cuts.append(math.floor(cdf * float(2**32)))
     lo_rank = max(1, math.ceil(B * (1.0 - float(ci)) / 2.0))
     hi_rank = min(B, math.ceil(B * (1.0 + float(ci)) / 2.0))
 
@@ -1236,21 +1260,8 @@ def poisson_bootstrap_ci(
         "__k", "__v", "__d",
         F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("__b"),
     )
-    u = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(seed), F.col("__k"), F.lit(":"), F.col("__b").cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    w = None
-    for c in cuts:
-        term = (u >= F.lit(int(c))).cast("int")
-        w = term if w is None else (w + term)
     per = (
-        rows.withColumn("__w", w.cast("long"))
+        rows.withColumn("__w", poisson1_weight(F.col("__k"), F.col("__b"), seed=seed))
         .groupBy("__b")
         .agg(
             F.sum(F.col("__w") * F.col("__v")).cast("long").alias("__sw"),

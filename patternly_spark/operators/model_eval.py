@@ -667,3 +667,142 @@ def conformal_calibration(
             "coverage"
         ),
     )
+
+
+def ranking_metric_ci(
+    ranked: DataFrame,
+    *,
+    metric: str = "ndcg",
+    k: int = 10,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    replicates: int = 64,
+    ci: float = 0.95,
+    units: int = 1 << 20,
+    seed: str = "",
+) -> DataFrame:
+    """Bootstrap confidence interval for a corpus-mean ranking metric —
+    the error bars q212's point estimates should never ship without:
+    the independence unit of a retrieval evaluation is the QUERY, so
+    each query draws Poisson(1) replicate weights (``drift.
+    poisson1_weight`` — md5 coin vs integer CDF cutoffs, engine-exact)
+    and every replicate's metric is the weighted mean of the SAME
+    per-query integer units ``ranking_metrics`` sums (floor-quantized
+    2^-20 NDCG/recall/MRR ratios; raw relevant-count for precision).
+
+    Exactness: replicate metric = sum(w*u)/sum(w)/scale — two integer
+    sums and one double division chain, rank-selected into the exact
+    interval; plain SQL replays every number (q246).
+
+    Output: one row — (metric, k, n_queries, value, lo, hi, replicates).
+    """
+    import math
+
+    from patternly_spark.operators.drift import poisson1_weight
+
+    if metric not in ("ndcg", "precision", "recall", "mrr"):
+        raise ValueError(f"metric must be ndcg/precision/recall/mrr, got {metric}")
+    B = int(replicates)
+    if B < 4:
+        raise ValueError(f"replicates must be >= 4, got {B}")
+    kk = int(k)
+    u = int(units)
+    disc = [math.floor((1.0 / math.log2(r + 1.0)) * u) for r in range(1, kk + 1)]
+    idcg_prefix = [0]
+    for d in disc:
+        idcg_prefix.append(idcg_prefix[-1] + d)
+    lo_rank = max(1, math.ceil(B * (1.0 - float(ci)) / 2.0))
+    hi_rank = min(B, math.ceil(B * (1.0 + float(ci)) / 2.0))
+
+    rank = F.col(rank_col).cast("int")
+    rel = F.col(rel_col)
+    disc_arr = F.array(*[F.lit(d) for d in disc])
+    per_q = (
+        ranked.groupBy(query_col)
+        .agg(
+            F.sum(rel.cast("int")).cast("long").alias("rel_total"),
+            F.min(F.when(rel, rank)).alias("first_rel"),
+            F.sum(F.when(rel & (rank <= kk), 1).otherwise(0))
+            .cast("long")
+            .alias("rel_at_k"),
+            F.sum(
+                F.when(rel & (rank <= kk), F.element_at(disc_arr, rank)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("dcg_u"),
+        )
+        .filter(F.col("rel_total") > 0)
+    )
+    fu = F.lit(float(u))
+    idcg_arr = F.array(*[F.lit(v) for v in idcg_prefix])
+    m = F.least(F.col("rel_total"), F.lit(kk))
+    idcg_u = F.element_at(idcg_arr, (m + F.lit(1)).cast("int"))
+    if metric == "ndcg":
+        uq = F.floor(F.col("dcg_u").cast("double") / idcg_u.cast("double") * fu).cast("long")
+        scale = float(u)
+    elif metric == "recall":
+        uq = F.floor(
+            F.col("rel_at_k").cast("double") / F.col("rel_total").cast("double") * fu
+        ).cast("long")
+        scale = float(u)
+    elif metric == "mrr":
+        uq = (
+            F.when(
+                F.col("first_rel") <= kk,
+                F.floor(F.lit(1.0) / F.col("first_rel").cast("double") * fu).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        scale = float(u)
+    else:  # precision
+        uq = F.col("rel_at_k")
+        scale = float(kk)
+    pq = per_q.select(F.col(query_col).alias("__q"), uq.alias("__u")).localCheckpoint(
+        eager=True
+    )
+    rows = pq.select(
+        "__q", "__u", F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("__b")
+    )
+    per = (
+        rows.withColumn("__w", poisson1_weight(F.col("__q"), F.col("__b"), seed=seed))
+        .groupBy("__b")
+        .agg(
+            F.sum(F.col("__w") * F.col("__u")).cast("long").alias("__sw"),
+            F.sum("__w").cast("long").alias("__nw"),
+        )
+        .withColumn(
+            "__m",
+            F.when(
+                F.col("__nw") > 0,
+                F.col("__sw").cast("double")
+                / F.col("__nw").cast("double")
+                / F.lit(scale),
+            ),
+        )
+    )
+    ranked_b = per.withColumn(
+        "__r", F.row_number().over(Window.orderBy(F.col("__m").asc_nulls_last()))
+    )
+    bounds = ranked_b.agg(
+        F.max(F.when(F.col("__r") == lo_rank, F.col("__m"))).alias("lo"),
+        F.max(F.when(F.col("__r") == hi_rank, F.col("__m"))).alias("hi"),
+    )
+    base = pq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (
+            F.sum("__u").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(scale)
+        ).alias("value"),
+    )
+    return base.crossJoin(F.broadcast(bounds)).select(
+        F.lit(metric).alias("metric"),
+        F.lit(kk).alias("k"),
+        "n_queries",
+        "value",
+        "lo",
+        "hi",
+        F.lit(B).alias("replicates"),
+    )

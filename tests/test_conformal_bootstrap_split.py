@@ -206,3 +206,37 @@ def test_poisson_bootstrap_ratio_mode(spark):
     assert out["mean_cents"] == want_point
     assert out["lo_cents"] < want_point < out["hi_cents"]
     assert out["hi_cents"] - out["lo_cents"] < 0.2  # tight population
+
+
+def test_ranking_metric_ci_brackets_point_estimate(spark):
+    """The interval brackets the full-sample metric, and the metric
+    value equals ranking_metrics' mean for the same k."""
+    import random
+
+    from patternly_spark.operators.model_eval import (
+        ranking_metric_ci,
+        ranking_metrics,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (q, r, rng.random() < (0.8 if r <= 3 else 0.3))
+        for q in range(80)
+        for r in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, "query_id long, rank int, rel boolean")
+    out = ranking_metric_ci(df, metric="ndcg", k=10, replicates=32).collect()[0]
+    point = {
+        r["k"]: r["mean_ndcg"] for r in ranking_metrics(df, k_values=(10,)).collect()
+    }[10]
+    assert out["value"] == point
+    assert out["lo"] <= point <= out["hi"]
+    assert out["lo"] < out["hi"]
+
+    # per-metric routing + guards
+    p = ranking_metric_ci(df, metric="precision", k=5, replicates=16).collect()[0]
+    assert 0.0 <= p["lo"] <= p["value"] <= p["hi"] <= 1.0
+    import pytest
+
+    with pytest.raises(ValueError, match="metric"):
+        ranking_metric_ci(df, metric="f1")
