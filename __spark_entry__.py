@@ -11353,6 +11353,95 @@ def _q246_oracle() -> str:
     """
 
 
+def q247_bootstrap_lift(spark, sf_dir):
+    """Nonparametric A/B lift interval (operators/drift.
+    bootstrap_lift_ci) — q204's z-test without the normality lean:
+    users are hash-split into two synthetic arms (the md5 coin), per
+    user the metric is total event value in cents, and each replicate's
+    mean(treatment) - mean(control) comes from the shared Poisson(1)
+    weights; the exact rank-selected interval calls significance by
+    whether it excludes 0 (here the arms are exchangeable, so it must
+    not)."""
+    from patternly_spark.operators.drift import bootstrap_lift_ci
+    from patternly_spark.operators.sampling import hash_fraction
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    ).withColumn(
+        "arm",
+        F.when(hash_fraction(F.col("user_id"), seed="arm") < F.lit(0.5), "a")
+        .otherwise("b"),
+    )
+    return bootstrap_lift_ci(
+        per_user, "cents", key_col="user_id", arm_col="arm",
+        replicates=64, ci=0.95,
+    )
+
+
+def _q247_oracle() -> str:
+    import math
+
+    cdf, cuts = 0.0, []
+    for k in range(8):
+        cdf += math.exp(-1.0) / math.factorial(k)
+        cuts.append(math.floor(cdf * float(2**32)))
+    B, ci = 64, 0.95
+    lo_rank = max(1, math.ceil(B * (1.0 - ci) / 2.0))
+    hi_rank = min(B, math.ceil(B * (1.0 + ci) / 2.0))
+    wexpr = " + ".join(f"(CASE WHEN uu >= {c} THEN 1 ELSE 0 END)" for c in cuts)
+    return f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+               CASE WHEN CAST(('0x' || substr(md5('arm' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         / 4294967296.0 < {_dlit(0.5)}
+                    THEN 'a' ELSE 'b' END AS arm
+        FROM events
+        GROUP BY user_id
+    ), wtab AS (
+        SELECT b, cents, t, CAST({wexpr} AS BIGINT) AS w
+        FROM (
+            SELECT r.b, per_user.cents,
+                   CASE WHEN arm = 'b' THEN 1 ELSE 0 END AS t,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(r.b AS VARCHAR)), 1, 8)) AS BIGINT) AS uu
+            FROM per_user, (SELECT unnest(range(0, {B})) AS b) r
+        )
+    ), per AS (
+        SELECT b,
+               SUM(w * cents * t) AS swt, SUM(w * t) AS nwt,
+               SUM(w * cents * (1 - t)) AS swc, SUM(w * (1 - t)) AS nwc
+        FROM wtab GROUP BY b
+    ), lifts AS (
+        SELECT CASE WHEN nwt > 0 AND nwc > 0
+                    THEN CAST(swt AS DOUBLE) / CAST(nwt AS DOUBLE)
+                         - CAST(swc AS DOUBLE) / CAST(nwc AS DOUBLE) END AS l
+        FROM per
+    ), ranked AS (
+        SELECT l, row_number() OVER (ORDER BY l ASC NULLS LAST) AS r FROM lifts
+    ), bounds AS (
+        SELECT MAX(CASE WHEN r = {lo_rank} THEN l END) AS lo_cents,
+               MAX(CASE WHEN r = {hi_rank} THEN l END) AS hi_cents
+        FROM ranked
+    ), base AS (
+        SELECT CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+               CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_treatment,
+               CAST(SUM(CASE WHEN arm = 'b' THEN cents ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS DOUBLE)
+               - CAST(SUM(CASE WHEN arm = 'a' THEN cents ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS DOUBLE) AS lift_cents
+        FROM per_user
+    )
+    SELECT 'a' AS arm_control, 'b' AS arm_treatment, n_control, n_treatment,
+           lift_cents, lo_cents, hi_cents,
+           (lo_cents > 0 OR hi_cents < 0) AS significant,
+           CAST({B} AS INT) AS replicates
+    FROM base, bounds
+    """
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -11609,6 +11698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q244_poisson_bootstrap": q244_poisson_bootstrap,
         "q245_bootstrap_ratio": q245_bootstrap_ratio,
         "q246_retrieval_metric_ci": q246_retrieval_metric_ci,
+        "q247_bootstrap_lift": q247_bootstrap_lift,
     }
 
 
@@ -13365,6 +13455,7 @@ def oracle_sql() -> dict[str, str]:
         "q244_poisson_bootstrap": _q244_oracle(),
         "q245_bootstrap_ratio": _q245_oracle(),
         "q246_retrieval_metric_ci": _q246_oracle(),
+        "q247_bootstrap_lift": _q247_oracle(),
     }
 
 

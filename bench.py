@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "q244_poisson_bootstrap",
     "q245_bootstrap_ratio",
     "q246_retrieval_metric_ci",
+    "q247_bootstrap_lift",
 ]
 
 

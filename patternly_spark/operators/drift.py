@@ -1289,3 +1289,104 @@ def poisson_bootstrap_ci(
     return base.crossJoin(F.broadcast(bounds)).select(
         "n", "mean_cents", "lo_cents", "hi_cents", F.lit(B).alias("replicates")
     )
+
+
+def bootstrap_lift_ci(
+    df: DataFrame,
+    value_cents_col: str,
+    *,
+    key_col: str,
+    arm_col: str,
+    replicates: int = 64,
+    ci: float = 0.95,
+    seed: str = "",
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the LIFT between two
+    arms — the nonparametric sibling of ``proportion_ztest``/q204 (no
+    normality, works for skewed revenue-style metrics where the z-test's
+    variance estimate misleads): each unit draws the same Poisson(1)
+    replicate weights as ``poisson_bootstrap_ci``, every replicate
+    computes mean(treatment) - mean(control), and the interval is the
+    exact rank selection over B replicate lifts.  An interval excluding
+    0 is the significance call.
+
+    Arms are the two DISTINCT values of ``arm_col`` ordered ascending
+    (lift = mean(second) - mean(first), the balance_check convention);
+    more than two raises.  One map over (row x replicate), a B-row
+    aggregate — corpus-scale like the mean/ratio forms.
+
+    Output: one row — (arm_control, arm_treatment, n_control,
+    n_treatment, lift_cents, lo_cents, hi_cents, significant,
+    replicates).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    B = int(replicates)
+    if B < 4:
+        raise ValueError(f"replicates must be >= 4, got {B}")
+    if not (0.0 < float(ci) < 1.0):
+        raise ValueError(f"ci must be in (0,1), got {ci}")
+    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
+    if len(arms) != 2:
+        raise ValueError(f"bootstrap_lift_ci needs exactly 2 arms, got {arms}")
+    ctrl, trt = arms
+    lo_rank = max(1, math.ceil(B * (1.0 - float(ci)) / 2.0))
+    hi_rank = min(B, math.ceil(B * (1.0 + float(ci)) / 2.0))
+
+    v = F.col(value_cents_col).cast("long")
+    is_t = (F.col(arm_col) == F.lit(trt)).cast("int")
+    rows = df.select(
+        F.col(key_col).cast("string").alias("__k"),
+        v.alias("__v"),
+        is_t.alias("__t"),
+    ).select(
+        "__k", "__v", "__t",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("__b"),
+    )
+    per = (
+        rows.withColumn("__w", poisson1_weight(F.col("__k"), F.col("__b"), seed=seed))
+        .groupBy("__b")
+        .agg(
+            F.sum(F.col("__w") * F.col("__v") * F.col("__t")).cast("long").alias("__swt"),
+            F.sum(F.col("__w") * F.col("__t")).cast("long").alias("__nwt"),
+            F.sum(F.col("__w") * F.col("__v") * (1 - F.col("__t"))).cast("long").alias("__swc"),
+            F.sum(F.col("__w") * (1 - F.col("__t"))).cast("long").alias("__nwc"),
+        )
+        .withColumn(
+            "__lift",
+            F.when(
+                (F.col("__nwt") > 0) & (F.col("__nwc") > 0),
+                F.col("__swt").cast("double") / F.col("__nwt").cast("double")
+                - F.col("__swc").cast("double") / F.col("__nwc").cast("double"),
+            ),
+        )
+    )
+    ranked = per.withColumn(
+        "__r", F.row_number().over(Window.orderBy(F.col("__lift").asc_nulls_last()))
+    )
+    bounds = ranked.agg(
+        F.max(F.when(F.col("__r") == lo_rank, F.col("__lift"))).alias("lo_cents"),
+        F.max(F.when(F.col("__r") == hi_rank, F.col("__lift"))).alias("hi_cents"),
+    )
+    base = df.agg(
+        F.sum(F.lit(1) - is_t).cast("long").alias("n_control"),
+        F.sum(is_t).cast("long").alias("n_treatment"),
+        (
+            F.sum(v * is_t).cast("double") / F.sum(is_t).cast("double")
+            - F.sum(v * (1 - is_t)).cast("double")
+            / F.sum(F.lit(1) - is_t).cast("double")
+        ).alias("lift_cents"),
+    )
+    return base.crossJoin(F.broadcast(bounds)).select(
+        F.lit(ctrl).cast("string").alias("arm_control"),
+        F.lit(trt).cast("string").alias("arm_treatment"),
+        "n_control",
+        "n_treatment",
+        "lift_cents",
+        "lo_cents",
+        "hi_cents",
+        ((F.col("lo_cents") > 0) | (F.col("hi_cents") < 0)).alias("significant"),
+        F.lit(B).alias("replicates"),
+    )

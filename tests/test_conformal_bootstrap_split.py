@@ -240,3 +240,29 @@ def test_ranking_metric_ci_brackets_point_estimate(spark):
 
     with pytest.raises(ValueError, match="metric"):
         ranking_metric_ci(df, metric="f1")
+
+
+def test_bootstrap_lift_detects_planted_effect_and_not_null(spark):
+    from patternly_spark.operators.drift import bootstrap_lift_ci
+
+    # planted +300c lift, tight noise -> interval excludes 0
+    rows = [(i, "t" if i % 2 else "c", 1000 + (i % 50) + (300 if i % 2 else 0))
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, arm string, cents long")
+    out = bootstrap_lift_ci(df, "cents", key_col="id", arm_col="arm").collect()[0]
+    assert out["arm_control"] == "c" and out["arm_treatment"] == "t"
+    assert out["significant"] and out["lo_cents"] > 0
+    assert abs(out["lift_cents"] - 300.0) < 5.0
+
+    # exchangeable arms -> interval contains 0
+    null_rows = [(i, "t" if i % 2 else "c", 1000 + ((i * 7) % 211)) for i in range(2000)]
+    ndf = spark.createDataFrame(null_rows, "id long, arm string, cents long")
+    nout = bootstrap_lift_ci(ndf, "cents", key_col="id", arm_col="arm").collect()[0]
+    assert not nout["significant"]
+
+    import pytest
+
+    three = spark.createDataFrame([(1, "a", 1), (2, "b", 1), (3, "x", 1)],
+                                  "id long, arm string, cents long")
+    with pytest.raises(ValueError, match="2 arms"):
+        bootstrap_lift_ci(three, "cents", key_col="id", arm_col="arm")
