@@ -94,3 +94,91 @@ def ranking_registry_metrics(
 
     tot = read_registry(spark, registry_path)
     return _sums_to_metrics(tot, k_values=k_values, units=units)
+
+
+def streaming_conformal_monitor(
+    stream_df: DataFrame,
+    qhat_df: DataFrame,
+    registry_path: str,
+    *,
+    checkpoint_path: str,
+    score_col: str,
+    by: str | None = None,
+    trigger_once: bool = False,
+):
+    """Streaming conformal-coverage monitor — the deployment half of
+    ``model_eval.conformal_calibration`` (q242/q243): the conformal
+    guarantee only holds while production data stays exchangeable with
+    the calibration set, so the thing to watch online is EMPIRICAL
+    COVERAGE against the FROZEN calibration quantiles.
+
+    FROZEN-SNAPSHOT policy (the ST24 frozen-IDF precedent): ``qhat_df``
+    is the calibration output — ([by,] alpha, q_hat) — pinned at
+    monitor creation; recomputing q_hat per batch would make coverage
+    trivially ~1-alpha and blind the monitor.  Each microbatch folds
+    (n_test, n_covered) per (group, alpha) additively into the registry
+    (exactly-once snapshots), so ``conformal_coverage_from_registry``
+    always equals evaluating the frozen q_hat over ALL rows seen —
+    union-parity pinned.  Coverage drifting below 1-alpha is the
+    recalibrate signal (rebuild the calibration set, swap the
+    snapshot — never mix).
+    """
+    from patternly_spark.streaming.exactly_once import (
+        read_latest_snapshot,
+        write_snapshot,
+    )
+
+    gcols = [by] if by else []
+    pinned = qhat_df.select(*gcols, "alpha", "q_hat").localCheckpoint(eager=True)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        s = F.col(score_col).cast("double")
+        side = batch_df.select(*gcols, s.alias("__t"))
+        joined = (
+            side.join(F.broadcast(pinned), gcols)
+            if gcols
+            else side.crossJoin(F.broadcast(pinned))
+        )
+        part = joined.groupBy(*gcols, "alpha", "q_hat").agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("q_hat").isNull() | (F.col("__t") <= F.col("q_hat")), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_covered"),
+        )
+        existing, _ = read_latest_snapshot(spark, registry_path, before_batch=batch_id)
+        if existing is not None:
+            part = (
+                part.unionByName(existing)
+                .groupBy(*gcols, "alpha", "q_hat")
+                .agg(
+                    F.sum("n_test").cast("long").alias("n_test"),
+                    F.sum("n_covered").cast("long").alias("n_covered"),
+                )
+            )
+        write_snapshot(part.localCheckpoint(eager=True), registry_path, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def conformal_coverage_from_registry(spark: SparkSession, registry_path: str) -> DataFrame:
+    """Coverage table from the folded monitor registry — for each
+    ([group,] alpha): n_test, n_covered, coverage, and ``holding``
+    (coverage >= 1 - alpha, the guarantee's online health bit)."""
+    from patternly_spark.streaming.exactly_once import read_registry
+
+    reg = read_registry(spark, registry_path)
+    cov = F.col("n_covered").cast("double") / F.col("n_test").cast("double")
+    return reg.select(
+        *[c for c in reg.columns if c not in ("n_test", "n_covered")],
+        "n_test",
+        "n_covered",
+        cov.alias("coverage"),
+        (cov >= (F.lit(1.0) - F.col("alpha"))).alias("holding"),
+    )

@@ -266,3 +266,67 @@ def test_bootstrap_lift_detects_planted_effect_and_not_null(spark):
                                   "id long, arm string, cents long")
     with pytest.raises(ValueError, match="2 arms"):
         bootstrap_lift_ci(three, "cents", key_col="id", arm_col="arm")
+
+
+def test_streaming_conformal_monitor_equals_batch(spark, tmp_path):
+    """Frozen-q_hat union-parity: the coverage table from the folded
+    registry after all triggers equals conformal_calibration(cal,
+    union-of-stream) for the SAME calibration set, per group."""
+    from patternly_spark.operators.model_eval import conformal_calibration
+    from patternly_spark.streaming.evaluation import (
+        conformal_coverage_from_registry,
+        streaming_conformal_monitor,
+    )
+
+    cal = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 100)]
+        + [("b", float(2 * i)) for i in range(1, 100)],
+        "g string, s double",
+    )
+    test_rows = [("a", float((i * 13) % 140)) for i in range(120)] + [
+        ("b", float((i * 29) % 260)) for i in range(120)
+    ]
+    df = spark.createDataFrame(test_rows, "g string, s double")
+    src = str(tmp_path / "src")
+    for lo, hi in [(0, 80), (80, 160), (160, 240)]:
+        spark.createDataFrame(
+            test_rows[lo:hi], "g string, s double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # the frozen calibration quantiles (q_hat only depends on cal; the
+    # test side must cover every group for its rows to appear)
+    qhat = conformal_calibration(
+        cal, cal, score_col="s", alphas=(0.1, 0.2), by="g"
+    ).select("g", "alpha", "q_hat")
+
+    q = streaming_conformal_monitor(
+        spark.readStream.schema("g string, s double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        qhat,
+        str(tmp_path / "reg"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        score_col="s",
+        by="g",
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["g"], r["alpha"]): (r["n_test"], r["n_covered"], r["coverage"], r["holding"])
+        for r in conformal_coverage_from_registry(
+            spark, str(tmp_path / "reg")
+        ).collect()
+    }
+    want = {
+        (r["g"], r["alpha"]): (
+            r["n_test"],
+            r["n_covered"],
+            r["coverage"],
+            r["coverage"] >= 1.0 - r["alpha"],
+        )
+        for r in conformal_calibration(
+            cal, df, score_col="s", alphas=(0.1, 0.2), by="g"
+        ).collect()
+    }
+    assert got == want and len(got) == 4
