@@ -11442,6 +11442,62 @@ def _q247_oracle() -> str:
     """
 
 
+def q248_quantile_lift(spark, sf_dir):
+    """Quantile treatment effects (operators/drift.quantile_lift): the
+    distributional A/B readout — per tau in {0.25, 0.5, 0.75}, the
+    exact lower sample quantile of per-user event value per md5-coin
+    arm and their difference.  Pure order statistics (one rank window
+    per arm), integer-cent values — plain SQL replays every row."""
+    from patternly_spark.operators.drift import quantile_lift
+    from patternly_spark.operators.sampling import hash_fraction
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    ).withColumn(
+        "arm",
+        F.when(hash_fraction(F.col("user_id"), seed="arm") < F.lit(0.5), "a")
+        .otherwise("b"),
+    )
+    return quantile_lift(per_user, "cents", arm_col="arm")
+
+
+def _q248_oracle() -> str:
+    taus = ", ".join(f"(CAST({_dlit(t)} AS DOUBLE))" for t in (0.25, 0.5, 0.75))
+    return f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+               CASE WHEN CAST(('0x' || substr(md5('arm' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         / 4294967296.0 < {_dlit(0.5)}
+                    THEN 'a' ELSE 'b' END AS arm
+        FROM events
+        GROUP BY user_id
+    ), ranked AS (
+        SELECT arm, cents,
+               row_number() OVER (PARTITION BY arm ORDER BY cents ASC) AS r
+        FROM per_user
+    ), ns AS (
+        SELECT arm, CAST(MAX(r) AS BIGINT) AS n FROM ranked GROUP BY arm
+    ), grid AS (
+        SELECT ns.arm, ns.n, t.tau,
+               CAST(ceil(t.tau * CAST(ns.n AS DOUBLE)) AS BIGINT) AS k
+        FROM ns, (VALUES {taus}) t(tau)
+    ), q AS (
+        SELECT grid.arm, grid.n, grid.tau, ranked.cents AS qv
+        FROM grid JOIN ranked ON ranked.arm = grid.arm AND ranked.r = grid.k
+    )
+    SELECT c.tau,
+           c.n AS n_control, t.n AS n_treatment,
+           c.qv AS q_control_cents, t.qv AS q_treatment_cents,
+           t.qv - c.qv AS lift_cents
+    FROM (SELECT * FROM q WHERE arm = 'a') c
+    JOIN (SELECT * FROM q WHERE arm = 'b') t ON c.tau = t.tau
+    """
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -11699,6 +11755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q245_bootstrap_ratio": q245_bootstrap_ratio,
         "q246_retrieval_metric_ci": q246_retrieval_metric_ci,
         "q247_bootstrap_lift": q247_bootstrap_lift,
+        "q248_quantile_lift": q248_quantile_lift,
     }
 
 
@@ -13456,6 +13513,7 @@ def oracle_sql() -> dict[str, str]:
         "q245_bootstrap_ratio": _q245_oracle(),
         "q246_retrieval_metric_ci": _q246_oracle(),
         "q247_bootstrap_lift": _q247_oracle(),
+        "q248_quantile_lift": _q248_oracle(),
     }
 
 

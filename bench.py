@@ -265,6 +265,7 @@ BENCH_QUERIES = [
     "q245_bootstrap_ratio",
     "q246_retrieval_metric_ci",
     "q247_bootstrap_lift",
+    "q248_quantile_lift",
 ]
 
 

@@ -1390,3 +1390,89 @@ def bootstrap_lift_ci(
         ((F.col("lo_cents") > 0) | (F.col("hi_cents") < 0)).alias("significant"),
         F.lit(B).alias("replicates"),
     )
+
+
+def quantile_lift(
+    df: DataFrame,
+    value_cents_col: str,
+    *,
+    arm_col: str,
+    taus: tuple[float, ...] = (0.25, 0.5, 0.75),
+    by: str | None = None,
+) -> DataFrame:
+    """Quantile treatment effects — the distributional A/B readout mean
+    lift hides: for each tau, the EXACT type-1 (lower) sample quantile
+    per arm (k = ceil(tau * n)-th smallest, the weighted_median rank
+    rule at w=1) and their difference.  A treatment that helps the
+    median user while hurting the tail shows up here and nowhere in
+    q204/q247.
+
+    Exactness: pure order statistics — one rank window per (group, arm),
+    rank picked per tau, one integer difference; plain SQL replays every
+    row.  Arms are the two DISTINCT ``arm_col`` values ordered ascending
+    (lift = treatment - control, the balance_check convention); more
+    than two raises.
+
+    Output: ([by,] tau, n_control, n_treatment, q_control_cents,
+    q_treatment_cents, lift_cents).
+    """
+    from pyspark.sql import Window
+
+    if not taus:
+        raise ValueError("taus must be non-empty")
+    for t in taus:
+        if not (0.0 < float(t) < 1.0):
+            raise ValueError(f"taus must be in (0,1), got {t}")
+    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
+    if len(arms) != 2:
+        raise ValueError(f"quantile_lift needs exactly 2 arms, got {arms}")
+    ctrl, trt = arms
+    gcols = [by] if by else []
+
+    v = F.col(value_cents_col).cast("long")
+    w = Window.partitionBy(*gcols, arm_col).orderBy(v.asc())
+    ranked = (
+        df.select(*gcols, F.col(arm_col).alias("__arm"), v.alias("__v"))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy(*gcols, "__arm").orderBy(F.col("__v").asc())
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ns = ranked.groupBy(*gcols, "__arm").agg(F.max("__r").cast("long").alias("__n"))
+    spark = df.sparkSession
+    tau_grid = spark.createDataFrame([(float(t),) for t in taus], "tau double")
+    grid = ns.crossJoin(F.broadcast(tau_grid)).withColumn(
+        "__k",
+        F.ceil(F.col("tau") * F.col("__n").cast("double")).cast("long"),
+    )
+    q = grid.join(
+        ranked.select(*gcols, "__arm", F.col("__r").alias("__k"), F.col("__v").alias("__q")),
+        gcols + ["__arm", "__k"],
+    )
+    ctrl_q = q.filter(F.col("__arm") == ctrl).select(
+        *gcols, "tau",
+        F.col("__n").alias("n_control"),
+        F.col("__q").alias("q_control_cents"),
+    )
+    trt_q = q.filter(F.col("__arm") == trt).select(
+        *gcols, "tau",
+        F.col("__n").alias("n_treatment"),
+        F.col("__q").alias("q_treatment_cents"),
+    )
+    return (
+        ctrl_q.join(trt_q, gcols + ["tau"])
+        .select(
+            *gcols,
+            "tau",
+            "n_control",
+            "n_treatment",
+            "q_control_cents",
+            "q_treatment_cents",
+            (F.col("q_treatment_cents") - F.col("q_control_cents")).alias(
+                "lift_cents"
+            ),
+        )
+    )

@@ -330,3 +330,33 @@ def test_streaming_conformal_monitor_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 4
+
+
+def test_quantile_lift_hand_computed(spark):
+    """Control 1..100, treatment 1..100 shifted +50: every tau's lift
+    is exactly 50 (type-1 quantiles of identical shapes shift rigidly);
+    guards raise on bad taus / arm counts."""
+    from patternly_spark.operators.drift import quantile_lift
+
+    rows = [(i, "a", i) for i in range(1, 101)] + [
+        (100 + i, "b", i + 50) for i in range(1, 101)
+    ]
+    df = spark.createDataFrame(rows, "id long, arm string, cents long")
+    out = {r["tau"]: r for r in quantile_lift(df, "cents", arm_col="arm").collect()}
+    assert set(out) == {0.25, 0.5, 0.75}
+    for tau, r in out.items():
+        k = -(-int(tau * 100) // 1)  # ceil(tau*100) for these taus
+        assert r["q_control_cents"] == k
+        assert r["q_treatment_cents"] == k + 50
+        assert r["lift_cents"] == 50
+        assert r["n_control"] == 100 and r["n_treatment"] == 100
+
+    import pytest
+
+    with pytest.raises(ValueError, match="taus"):
+        quantile_lift(df, "cents", arm_col="arm", taus=(1.5,))
+    three = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "x", 1)], "id long, arm string, cents long"
+    )
+    with pytest.raises(ValueError, match="2 arms"):
+        quantile_lift(three, "cents", arm_col="arm")
