@@ -552,6 +552,19 @@ def semantic_dedup(
     # final expression (q44's oracle hash pins this).
     thr = float(threshold)
 
+    # the kernel sorts/casts ids as int64 (and the star path must union
+    # type-compatibly with it) — a string/decimal id would silently
+    # become NULL under the cast and its pairs would vanish; refuse it
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = embeddings.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"semantic_dedup needs an integral {id_col!r} (got "
+            f"{id_type.simpleString()}): map ids to long first, e.g. via "
+            "zipWithIndex/monotonically_increasing_id + a join back"
+        )
+
     def _cell_pairs(pdf):
         import numpy as np
         import pandas as pd

@@ -1414,7 +1414,10 @@ def quantile_lift(
     than two raises.
 
     Output: ([by,] tau, n_control, n_treatment, q_control_cents,
-    q_treatment_cents, lift_cents).
+    q_treatment_cents, lift_cents).  With ``by=``, a group where only
+    one arm has rows is still emitted, with NULLs on the missing arm's
+    columns (and NULL lift) — assignment imbalance must be visible, not
+    silently dropped.
     """
     from pyspark.sql import Window
 
@@ -1462,8 +1465,14 @@ def quantile_lift(
         F.col("__n").alias("n_treatment"),
         F.col("__q").alias("q_treatment_cents"),
     )
+    # full outer on the group/tau keys: with ``by=`` a group where one
+    # arm has no rows still surfaces, with NULL n/quantile/lift for the
+    # missing arm — silently dropping it would hide exactly the
+    # imbalance a per-group readout exists to expose (without ``by``
+    # the exactly-2-arms validation guarantees both sides, and the
+    # full join is row-identical to an inner one).
     return (
-        ctrl_q.join(trt_q, gcols + ["tau"])
+        ctrl_q.join(trt_q, gcols + ["tau"], "full_outer")
         .select(
             *gcols,
             "tau",

@@ -207,12 +207,22 @@ def _lloyd_kmeans(X, k: int, seed: int, iters: int = 20):
     for _ in range(iters):
         d = (X * X).sum(1, keepdims=True) - 2.0 * (X @ C.T) + (C * C).sum(1)
         assign = d.argmin(1)
+        # group members by stable argsort instead of k boolean masks
+        # (O(n log n) once vs O(k*n)); each slice lists the cluster's
+        # rows in ascending index order — the same rows in the same
+        # order X[assign == ci] yields, so the pairwise-summation mean
+        # is bit-identical to the masked version this replaces.
+        order = np.argsort(assign, kind="stable")
+        bounds = np.searchsorted(assign[order], np.arange(k + 1))
+        reseed = None
         for ci in range(k):
-            members = X[assign == ci]
-            if len(members):
-                C[ci] = members.mean(0)
+            lo, hi = bounds[ci], bounds[ci + 1]
+            if hi > lo:
+                C[ci] = X[order[lo:hi]].mean(0)
             else:
-                C[ci] = X[d.min(1).argmax()]
+                if reseed is None:
+                    reseed = X[d.min(1).argmax()]
+                C[ci] = reseed
     return C
 
 
@@ -226,12 +236,10 @@ def _train_coarse_quantizer(
 ):
     """Bounded deterministic hash-sample of the corpus -> driver-side
     seeded Lloyd.  Deterministic for a fixed corpus regardless of its
-    partitioning: the sample is id-ORDERED before collect — without
+    partitioning: the sample is id-ORDERED before training — without
     that, collect() returns partition order and the seeded k-means
     init (hence every centroid) silently depends on the physical
     layout."""
-    import numpy as np
-
     total = corpus.count()
     sample = corpus
     if total > train_sample:
@@ -240,11 +248,22 @@ def _train_coarse_quantizer(
         sample = corpus.filter(
             F.pmod(F.hash(F.col(id_col)), F.lit(frac_mod)) == 0
         )
-    X = np.array(
-        [r[1] for r in sample.select(id_col, vec_col).orderBy(id_col).collect()],
-        dtype=np.float64,
-    )
+    X = _collect_id_sorted(sample, id_col, vec_col)
     return _lloyd_kmeans(X, n_lists, seed)
+
+
+def _collect_id_sorted(sample: DataFrame, id_col: str, vec_col: str):
+    """collect() then sort driver-side by id — the same matrix an
+    ``orderBy(id).collect()`` yields (ids are unique), WITHOUT the
+    range-partitioned sort: on a vanilla 200-shuffle-partition session
+    the orderBy costs two extra jobs (range sampling + 200-task sort)
+    that dominate a bounded-sample collect (the q57 driver-bench
+    regression)."""
+    import numpy as np
+
+    rows = sample.select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    return np.array([r[1] for r in rows], dtype=np.float64)
 
 
 def ivf_topk(
@@ -595,11 +614,8 @@ def ivf_pq_topk(
         sample = corpus.filter(
             F.pmod(F.hash(F.col(id_col)), F.lit(frac_mod)) == 0
         )
-    # id-ordered collect: see _train_coarse_quantizer
-    X = np.array(
-        [r[1] for r in sample.select(id_col, vec_col).orderBy(id_col).collect()],
-        dtype=np.float64,
-    )
+    # id-ordered (driver-side sort): see _collect_id_sorted
+    X = _collect_id_sorted(sample, id_col, vec_col)
     d2 = (X * X).sum(1, keepdims=True) - 2.0 * (X @ centroids.T) + (centroids * centroids).sum(1)
     R = X - centroids[np.argmin(d2, axis=1)]
     codebooks = np.stack(
@@ -627,38 +643,74 @@ def ivf_pq_topk(
         F.col(id_col).alias("neighbor_id"), _assign(F.col(vec_col)).alias("e")
     ).select("neighbor_id", F.col("e.cell").alias("cell"), F.col("e.codes").alias("codes"))
 
-    # driver-side probe tables: one ADC table per (query, probed cell)
+    # driver-side probe tables: one ADC table per (query, probed cell),
+    # grouped by cell for the kernel (cell -> [(query_id, (m, n_codes)
+    # table), ...]).  Broadcast in the closure — n_probe*Q tables of
+    # m*n_codes doubles.
     qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
-    tables = []
+    probes: dict[int, list] = {}
     for r in qrows:
         qv = np.asarray(r[1], dtype=np.float64)
         dcq = ((centroids - qv) ** 2).sum(1)
         for cell in np.argsort(dcq, kind="stable")[:n_probe]:
             rq = qv - centroids[cell]
-            tab = [
-                ((codebooks[j] - rq[j * dsub:(j + 1) * dsub]) ** 2).sum(1).tolist()
-                for j in range(m)
-            ]
-            tables.append((int(r[0]), int(cell), tab))
-    qdf = corpus.sparkSession.createDataFrame(
-        tables, "query_id long, cell int, tbl array<array<double>>"
-    )
-    dist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.element_at(
-            F.element_at(F.col("tbl"), j + 1), F.element_at(F.col("codes"), j + 1) + 1
-        ),
-    )
-    scored = (
-        encoded.join(F.broadcast(qdf), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", dist.alias("approx_dist"))
+            tab = np.stack(
+                [
+                    ((codebooks[j] - rq[j * dsub:(j + 1) * dsub]) ** 2).sum(1)
+                    for j in range(m)
+                ]
+            )
+            probes.setdefault(int(cell), []).append((int(r[0]), tab))
+
+    # Arrow kernel replacing the broadcast-join + interpreted-fold +
+    # full-shuffle window (see pq_topk for the rationale): per batch,
+    # rows of each probed cell are scored with numpy LUT lookups in the
+    # identical left-fold addition order, each query keeps a per-batch
+    # local top-k over all its probed cells, and only parts*Q*k rows
+    # reach the final window — partition-count-insensitive.
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            per_q: dict[int, list] = {}
+            for cell in np.unique(cells):
+                entries = probes.get(int(cell))
+                if not entries:
+                    continue
+                mask = cells == cell
+                ids_c, C_c = ids[mask], C[mask]
+                for qid, tab in entries:
+                    D = np.zeros(len(ids_c))
+                    for j in range(m):
+                        D += tab[j][C_c[:, j]]
+                    per_q.setdefault(qid, []).append((ids_c, D))
+            out_q, out_n, out_d = [], [], []
+            for qid, chunks in per_q.items():
+                iq = np.concatenate([c[0] for c in chunks])
+                dq = np.concatenate([c[1] for c in chunks])
+                keep = iq != qid
+                iq, dq = iq[keep], dq[keep]
+                sel = np.lexsort((iq, dq))[:k]
+                out_q.append(np.full(len(sel), qid, dtype=np.int64))
+                out_n.append(iq[sel])
+                out_d.append(dq[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q) if out_q else [],
+                    "neighbor_id": np.concatenate(out_n) if out_n else [],
+                    "approx_dist": np.concatenate(out_d) if out_d else [],
+                }
+            )
+
+    local = encoded.mapInPandas(
+        _score, schema="query_id long, neighbor_id long, approx_dist double"
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_dist", "rank")
     )
@@ -701,12 +753,10 @@ def train_pq_codebooks(
         sample = corpus.filter(
             F.pmod(F.hash(F.col(id_col)), F.lit(frac_mod)) == 0
         )
-    # id-ordered collect: see _train_coarse_quantizer (partition-order
-    # collects make the codebooks depend on physical layout)
-    X = np.array(
-        [r[1] for r in sample.select(id_col, vec_col).orderBy(id_col).collect()],
-        dtype=np.float64,
-    )
+    # id-ordered (driver-side sort): see _collect_id_sorted
+    # (partition-order collects make the codebooks depend on physical
+    # layout)
+    X = _collect_id_sorted(sample, id_col, vec_col)
     dsub = dim // m
     return np.stack(
         [
@@ -792,38 +842,62 @@ def pq_topk(
     codebooks = np.asarray(codebooks, dtype=np.float64)
     m, n_codes, dsub = codebooks.shape
     qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
-    spark = codes.sparkSession
-    tables = []
-    for r in qrows:
-        qv = np.asarray(r[1], dtype=np.float64)
-        tab = [
-            ((codebooks[j] - qv[j * dsub : (j + 1) * dsub]) ** 2).sum(1).tolist()
-            for j in range(m)
+    qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
+    # (Q, m, n_codes) ADC tables, broadcast in the kernel closure (tiny:
+    # Q*m*n_codes doubles).
+    T = np.stack(
+        [
+            np.stack(
+                [
+                    ((codebooks[j] - np.asarray(r[1], np.float64)[j * dsub : (j + 1) * dsub]) ** 2).sum(1)
+                    for j in range(m)
+                ]
+            )
+            for r in qrows
         ]
-        tables.append((int(r[0]), tab))
-    qdf = spark.createDataFrame(
-        tables, f"query_id long, tbl array<array<double>>"
-    )
-    dist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.element_at(
-            F.element_at(F.col("tbl"), j + 1), F.element_at(F.col("codes"), j + 1) + 1
-        ),
-    )
-    scored = (
-        codes.crossJoin(F.broadcast(qdf))
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            dist.alias("approx_dist"),
-        )
+    ) if qrows else np.zeros((0, m, n_codes))
+    nq = len(qids)
+
+    # Arrow kernel: vectorized LUT scoring + per-batch local top-k.  The
+    # interpreted F.aggregate fold this replaces evaluated m element_at
+    # chains per (row x query) on a crossJoin-exploded intermediate and
+    # then shuffled ALL of it into a window — cost scaled with
+    # spark.sql.shuffle.partitions (the q57 driver-bench regression).
+    # Here the scan is narrow, per-batch numpy fancy-indexing replays the
+    # identical left-fold addition order (D starts at 0.0 and adds
+    # tab[j] in j order — bit-equal doubles), and only parts*Q*k rows
+    # reach the final window.
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            D = np.zeros((nq, len(ids)))
+            for j in range(m):
+                D += T[:, j, :][:, C[:, j]]
+            out_q, out_n, out_d = [], [], []
+            for qi in range(nq):
+                mask = ids != qids[qi]
+                dq, iq = D[qi][mask], ids[mask]
+                sel = np.lexsort((iq, dq))[:k]
+                out_q.append(np.full(len(sel), qids[qi], dtype=np.int64))
+                out_n.append(iq[sel])
+                out_d.append(dq[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q) if out_q else [],
+                    "neighbor_id": np.concatenate(out_n) if out_n else [],
+                    "approx_dist": np.concatenate(out_d) if out_d else [],
+                }
+            )
+
+    local = codes.select(F.col(id_col), "codes").mapInPandas(
+        _score, schema="query_id long, neighbor_id long, approx_dist double"
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_dist", "rank")
     )

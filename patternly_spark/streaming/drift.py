@@ -649,17 +649,17 @@ def streaming_bootstrap_registry(
     globally unique across batches (the standard registry contract).
     Exactly-once via versioned snapshots (streaming/exactly_once).
     """
-    import math
-
     B = int(replicates)
     if B < 4:
         raise ValueError(f"replicates must be >= 4, got {B}")
-    cdf, cuts = 0.0, []
-    for k in range(8):
-        cdf += math.exp(-1.0) / math.factorial(k)
-        cuts.append(math.floor(cdf * float(2**32)))
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # the ONE md5 Poisson(1) coin definition — any drift between this
+        # and the batch operator would silently break the pinned
+        # union-parity between registry finalization and
+        # poisson_bootstrap_ci over the concatenated history
+        from patternly_spark.operators.drift import poisson1_weight
+
         spark = batch_df.sparkSession
         v = F.col(value_cents_col).cast("long")
         rows = batch_df.select(
@@ -668,21 +668,8 @@ def streaming_bootstrap_registry(
             "__k", "__v",
             F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("__b"),
         )
-        u = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(seed), F.col("__k"), F.lit(":"), F.col("__b").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        w = None
-        for c in cuts:
-            term = (u >= F.lit(int(c))).cast("int")
-            w = term if w is None else (w + term)
         part = (
-            rows.withColumn("__w", w.cast("long"))
+            rows.withColumn("__w", poisson1_weight(F.col("__k"), F.col("__b"), seed=seed))
             .groupBy(F.col("__b").alias("b"))
             .agg(
                 F.sum(F.col("__w") * F.col("__v")).cast("long").alias("sw"),

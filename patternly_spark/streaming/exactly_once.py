@@ -83,6 +83,22 @@ def committed_snapshot_ids(spark: SparkSession, state_path: str) -> list[int]:
     return sorted(out)
 
 
+def _legacy_flat_files(spark: SparkSession, path_str: str) -> list[str]:
+    """Parquet data files sitting DIRECTLY under ``path_str`` (an
+    externally seeded / legacy flat registry) — snapshot dirs and other
+    subdirectories excluded."""
+    fs, root, _ = _hadoop(spark, path_str)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() or name.startswith(("_", ".")):
+            continue
+        out.append(f"{path_str}/{name}")
+    return sorted(out)
+
+
 def read_latest_snapshot(
     spark: SparkSession, state_path: str, *, before_batch: int | None = None
 ) -> tuple[DataFrame | None, int | None]:
@@ -90,8 +106,11 @@ def read_latest_snapshot(
     ids < ``before_batch`` when given (a batch folding on top of history
     must never see its own earlier attempt).  Falls back to reading bare
     parquet at ``state_path`` itself (an externally seeded / legacy
-    registry) when no snapshots exist; returns (None, None) when there
-    is no state at all."""
+    registry) when no ELIGIBLE snapshot exists — including on a retry of
+    the first batch whose own orphaned snapshot is the only one present:
+    an externally seeded flat registry can coexist with that orphan, and
+    dropping it there would lose the seed permanently.  Returns
+    (None, None) when there is no state at all."""
     all_ids = committed_snapshot_ids(spark, state_path)
     ids = (
         [i for i in all_ids if i < int(before_batch)]
@@ -102,9 +121,12 @@ def read_latest_snapshot(
         bid = ids[-1]
         return spark.read.parquet(f"{state_path}/{SNAP_PREFIX}{bid}"), bid
     if all_ids:
-        # snapshots exist but all are >= before_batch: this is a RETRY of
-        # the first batch — its own orphan is not history, and the bare
-        # path holds only snapshot dirs, never a legacy flat registry.
+        # snapshots exist but all are >= before_batch: a RETRY of the
+        # first batch.  Its own orphan is not history, but a seeded flat
+        # registry next to it IS — read the bare files, not the dirs.
+        flat = _legacy_flat_files(spark, state_path)
+        if flat:
+            return spark.read.parquet(*flat), None
         return None, None
     try:
         return spark.read.parquet(state_path), None
@@ -139,7 +161,22 @@ def write_batch_partition(df: DataFrame, output_path: str, batch_id: int) -> Non
     ``output_path/_batch_id=<batch_id>/`` with DYNAMIC partition
     overwrite — only this batch's partition is replaced, earlier
     batches' files are untouched, and a retry overwrites its own orphan
-    instead of duplicating it."""
+    instead of duplicating it.
+
+    Refuses a target that already holds a LEGACY FLAT registry (parquet
+    files directly under ``output_path``): appending ``_batch_id=``
+    partition dirs beside flat files produces a mixed layout Spark's
+    partition discovery cannot read back.  Migrate the seed first
+    (read it, re-write via ``write_batch_partition`` with a sentinel
+    batch id < the stream's first batch)."""
+    flat = _legacy_flat_files(df.sparkSession, output_path)
+    if flat:
+        raise ValueError(
+            f"{output_path} holds a legacy flat registry ({len(flat)} bare "
+            f"parquet files); writing {BATCH_COL}= partitions beside them "
+            "would produce a mixed layout partition discovery cannot read. "
+            "Migrate the flat seed to a partitioned write first."
+        )
     (
         df.withColumn(BATCH_COL, F.lit(int(batch_id)))
         .write.mode("overwrite")

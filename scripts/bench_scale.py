@@ -28,6 +28,11 @@ import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# the whole point of this harness is engine-level shuffle/spill
+# accounting, which needs the UI REST API — turn it on before the
+# session is built (session.py defaults it OFF)
+os.environ.setdefault("SPARK_GRAFT_UI", "1")
+
 import __spark_entry__ as entrymod
 from patternly_spark.session import get_spark
 
@@ -58,8 +63,18 @@ def _ui(spark):
 
 
 def _stage_totals(spark) -> dict:
-    """Sum shuffle/spill over all completed stages via the UI REST API."""
+    """Sum shuffle/spill over all completed stages via the UI REST API.
+    With the UI disabled (uiWebUrl None — e.g. SPARK_GRAFT_UI=0 exported
+    over the default above) return zeros instead of crashing the run."""
     base = _ui(spark)
+    if base is None:
+        return {
+            "shuffle_read": 0,
+            "shuffle_write": 0,
+            "spill_disk": 0,
+            "spill_mem": 0,
+            "max_tasks": 0,
+        }
     apps = json.load(urllib.request.urlopen(f"{base}/api/v1/applications"))
     app_id = apps[0]["id"]
     stages = json.load(

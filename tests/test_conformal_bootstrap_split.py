@@ -360,3 +360,29 @@ def test_quantile_lift_hand_computed(spark):
     )
     with pytest.raises(ValueError, match="2 arms"):
         quantile_lift(three, "cents", arm_col="arm")
+
+
+def test_quantile_lift_one_arm_group_surfaces_with_nulls(spark):
+    """With by=, a group where only one arm has rows must still appear —
+    NULLs on the missing arm's columns, NULL lift — instead of being
+    silently dropped by the group/tau join (assignment-imbalance
+    visibility)."""
+    from patternly_spark.operators.drift import quantile_lift
+
+    rows = (
+        [(i, "a", "g1", i) for i in range(1, 11)]
+        + [(100 + i, "b", "g1", i + 5) for i in range(1, 11)]
+        + [(200 + i, "a", "g2", i) for i in range(1, 11)]  # g2: control only
+        + [(300 + i, "b", "g3", i) for i in range(1, 11)]  # g3: treatment only
+    )
+    df = spark.createDataFrame(rows, "id long, arm string, seg string, cents long")
+    out = quantile_lift(df, "cents", arm_col="arm", by="seg", taus=(0.5,)).collect()
+    by_seg = {r["seg"]: r for r in out}
+    assert set(by_seg) == {"g1", "g2", "g3"}
+    assert by_seg["g1"]["lift_cents"] == 5
+    g2, g3 = by_seg["g2"], by_seg["g3"]
+    assert g2["n_control"] == 10 and g2["n_treatment"] is None
+    assert g2["q_treatment_cents"] is None and g2["lift_cents"] is None
+    assert g3["n_treatment"] == 10 and g3["n_control"] is None
+    assert g3["q_control_cents"] is None and g3["lift_cents"] is None
+    assert g3["tau"] == 0.5  # join keys survive the outer join

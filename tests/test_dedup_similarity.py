@@ -428,6 +428,20 @@ def test_semantic_dedup_groups_and_canonicals(spark):
         assert out[i]["cluster_id"] == i and out[i]["is_canonical"]
 
 
+def test_semantic_dedup_rejects_non_integral_ids(spark):
+    # the pairwise Arrow kernel casts ids to long — a string id would
+    # become NULL and its pairs would silently vanish; must refuse
+    from patternly_spark.operators.dedup import semantic_dedup
+    import pytest
+
+    emb = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    with pytest.raises(TypeError, match="integral"):
+        semantic_dedup(emb, threshold=0.9)
+
+
 def test_semantic_dedup_autosize_planes(spark):
     # num_planes=None: the engine derives the cell grid from the corpus
     # count (target_cell_size bound), instead of trusting a caller

@@ -74,6 +74,30 @@ def test_snapshot_legacy_flat_fallback(spark, tmp_path):
     assert read_registry(spark, p).collect()[0]["v"] == 7
 
 
+def test_seeded_registry_survives_first_batch_retry(spark, tmp_path):
+    # externally seeded flat registry + crash between write_snapshot(0)
+    # and the checkpoint commit: the RETRY of batch 0 must still fold on
+    # top of the seed (its own orphaned snap_0 is not history, the seed
+    # next to it is)
+    p = str(tmp_path / "state")
+    spark.createDataFrame([(7,)], "v long").write.parquet(p)
+    write_snapshot(spark.createDataFrame([(8,)], "v long"), p, 0)
+    df, bid = read_latest_snapshot(spark, p, before_batch=0)
+    assert bid is None and [r["v"] for r in df.collect()] == [7]
+    # with no before_batch restriction the orphan IS the latest state
+    df2, bid2 = read_latest_snapshot(spark, p)
+    assert bid2 == 0 and [r["v"] for r in df2.collect()] == [8]
+
+
+def test_batch_partition_refuses_mixed_layout(spark, tmp_path):
+    # appending _batch_id= partitions beside a legacy flat registry
+    # produces a layout partition discovery cannot read — refuse loudly
+    p = str(tmp_path / "out")
+    spark.createDataFrame([(7,)], "v long").write.parquet(p)
+    with pytest.raises(ValueError, match="legacy flat registry"):
+        write_batch_partition(spark.createDataFrame([(1,)], "v long"), p, 0)
+
+
 def test_batch_partition_retry_overwrites(spark, tmp_path):
     p = str(tmp_path / "out")
     write_batch_partition(spark.createDataFrame([(1,), (2,)], "v long"), p, 0)
