@@ -369,6 +369,52 @@ def _q201_msf_2rounds(spark, sf_dir):
     return minimum_spanning_forest(support, max_rounds=2, strict=False)
 
 
+def _q180_kcore_budget(spark, sf_dir):
+    """Time-budgeted variant of q180: the full peel runs until no node
+    is under k (the sf10 rehearsal measured 187 s, dominated by CASCADE
+    LENGTH — the round count grows with graph density, which is a data
+    property, not a plan property).  The bench replays exactly 3 peel
+    rounds of the operator's per-round plan — degree agg over the edge
+    union, under-k anti-joins on both endpoints, localCheckpoint cut —
+    so per-round regressions are pinned independently of how many
+    rounds the data happens to need."""
+    from pyspark.sql import functions as F
+
+    li = entrymod._t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    und = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(3):
+        deg = (
+            und.select(F.col("u").alias("node"))
+            .unionAll(und.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        )
+        bad = deg.filter(F.col("degree") < 3).select("node")
+        und = (
+            und.join(bad.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(bad.withColumnRenamed("node", "v"), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+
+
 def _q223_containment_zipf(spark, sf_dir):
     """q223 on a REALISTIC corpus: the sf documents table has a 23-word
     toy vocabulary, which defeats prefix pruning (693k candidate pairs
@@ -431,6 +477,7 @@ BENCH_BUDGETED = {
     "q190_emergence_budget": _q190_emergence_budget,
     "q201_msf_2rounds": _q201_msf_2rounds,
     "q223_containment_zipf": _q223_containment_zipf,
+    "q180_kcore_budget": _q180_kcore_budget,
 }
 
 
