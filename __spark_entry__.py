@@ -11498,6 +11498,117 @@ def _q248_oracle() -> str:
     """
 
 
+def q249_kleinberg_bursts(spark, sf_dir):
+    """Kleinberg 2-state burst intervals per user over the event stream
+    (operators/temporal.kleinberg_bursts): Viterbi over the gap series
+    with exponential-NLL gap costs and a gamma*ln(n) burst-entry cost.
+    Every ln is floor-quantized to 2^-20 (the repo's libm-independence
+    convention); all other DP arithmetic is fixed-order double mul/add/
+    compare, so the oracle replays the identical state sequence with two
+    recursive CTEs (forward costs+backpointers, backward decode) and the
+    same integer islands aggregation."""
+    from patternly_spark.operators.temporal import kleinberg_bursts
+
+    ev = _t(spark, sf_dir, "events")
+    return kleinberg_bursts(
+        ev, key_col="user_id", ts_col="ts", id_col="event_id", s=2.0, gamma=1.0
+    )
+
+
+def q250_cox_hazards(spark, sf_dir):
+    """Cox proportional hazards over per-user churn durations
+    (operators/temporal.cox_ph): duration = observed activity span in
+    hours, event = user saw an error (the at-risk covariate-adjusted
+    churn readout joining q213 KM and q214 logrank).  Covariates:
+    per-user event count and mean value.  Fixed 4 Newton steps; exp()
+    is libm-dependent across engines, so this is rows-only at the
+    driver gate — correctness is pinned by a from-scratch numpy Newton
+    reference on the identical Breslow partial likelihood
+    (tests/test_survival_cox.py)."""
+    from patternly_spark.operators.temporal import cox_ph
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    per_user = ev.groupBy("user_id").agg(
+        F.ceil((F.max(us) - F.min(us)).cast("double") / F.lit(3.6e9))
+        .cast("long")
+        .alias("dur_hours"),
+        F.max((F.col("event_type") == "error").cast("int")).alias("had_error"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.avg("value").alias("mean_value"),
+    ).filter(F.col("dur_hours") > 0)
+    return cox_ph(
+        per_user,
+        duration_col="dur_hours",
+        event_col="had_error",
+        covariate_cols=["n_events", "mean_value"],
+    )
+
+
+def _q249_oracle() -> str:
+    s_lit, g_lit = _dlit(2.0), _dlit(1.0)
+    return f"""
+    WITH RECURSIVE ev AS (
+        SELECT user_id AS k, epoch_us(ts) AS t,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+        FROM events
+    ), spans AS (
+        SELECT k, CAST(COUNT(*) - 1 AS BIGINT) AS n,
+               CAST(MAX(t) - MIN(t) AS DOUBLE) AS tspan
+        FROM ev GROUP BY k
+        HAVING COUNT(*) >= 3 AND MAX(t) > MIN(t)
+    ), params AS (
+        SELECT k, n,
+               CAST(n AS DOUBLE) / tspan AS lam0,
+               {s_lit} * (CAST(n AS DOUBLE) / tspan) AS lam1,
+               floor(ln(CAST(n AS DOUBLE) / tspan) * 1048576.0) / 1048576.0 AS ln0,
+               floor(ln({s_lit} * (CAST(n AS DOUBLE) / tspan)) * 1048576.0) / 1048576.0 AS ln1,
+               {g_lit} * (floor(ln(CAST(n AS DOUBLE)) * 1048576.0) / 1048576.0) AS up
+        FROM spans
+    ), gaps AS (
+        SELECT a.k, a.i - 1 AS g, b.t AS start_us, a.t AS end_us,
+               CAST(a.t - b.t AS DOUBLE) AS x
+        FROM ev a JOIN ev b ON a.k = b.k AND a.i = b.i + 1
+        JOIN params p ON p.k = a.k
+    ), fwd AS (
+        SELECT p.k, CAST(1 AS BIGINT) AS g,
+               p.lam0 * gp.x - p.ln0 AS c0,
+               p.up + (p.lam1 * gp.x - p.ln1) AS c1,
+               0 AS b0, 0 AS b1
+        FROM params p JOIN gaps gp ON gp.k = p.k AND gp.g = 1
+        UNION ALL
+        SELECT f.k, f.g + 1,
+               (CASE WHEN f.c0 <= f.c1 THEN f.c0 ELSE f.c1 END)
+                 + (p.lam0 * gp.x - p.ln0),
+               (CASE WHEN f.c1 <= f.c0 + p.up THEN f.c1 ELSE f.c0 + p.up END)
+                 + (p.lam1 * gp.x - p.ln1),
+               CASE WHEN f.c0 <= f.c1 THEN 0 ELSE 1 END,
+               CASE WHEN f.c1 <= f.c0 + p.up THEN 1 ELSE 0 END
+        FROM fwd f
+        JOIN params p ON p.k = f.k
+        JOIN gaps gp ON gp.k = f.k AND gp.g = f.g + 1
+    ), back AS (
+        SELECT f.k, f.g, CASE WHEN f.c0 <= f.c1 THEN 0 ELSE 1 END AS state
+        FROM fwd f JOIN (SELECT k, MAX(g) AS gmax FROM fwd GROUP BY k) m
+          ON m.k = f.k AND f.g = m.gmax
+        UNION ALL
+        SELECT b.k, b.g - 1, CASE WHEN b.state = 0 THEN f2.b0 ELSE f2.b1 END
+        FROM back b JOIN fwd f2 ON f2.k = b.k AND f2.g = b.g
+        WHERE b.g > 1
+    ), burst_gaps AS (
+        SELECT gp.k, gp.g, gp.start_us, gp.end_us,
+               gp.g - row_number() OVER (PARTITION BY gp.k ORDER BY gp.g) AS grp
+        FROM back b JOIN gaps gp ON gp.k = b.k AND gp.g = b.g
+        WHERE b.state = 1
+    )
+    SELECT k AS user_id,
+           MIN(start_us) AS burst_start_us,
+           MAX(end_us) AS burst_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM burst_gaps GROUP BY k, grp
+    """
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -11756,6 +11867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q246_retrieval_metric_ci": q246_retrieval_metric_ci,
         "q247_bootstrap_lift": q247_bootstrap_lift,
         "q248_quantile_lift": q248_quantile_lift,
+        "q249_kleinberg_bursts": q249_kleinberg_bursts,
+        "q250_cox_hazards": q250_cox_hazards,
     }
 
 
@@ -11766,6 +11879,13 @@ def verified_by() -> dict[str, str]:
     the named pytest evidence, so the correctness artifact records the
     verification method instead of a bare row count."""
     return {
+        "q250_cox_hazards": (
+            "beta/se/z equality (rel 1e-8) vs a from-scratch subject-level "
+            "numpy Breslow-Newton reference, planted-effect recovery, "
+            "partition invariance "
+            "(tests/test_survival_cox.py::test_cox_ph_matches_numpy_reference "
+            "et al.)"
+        ),
         "q57_pq_topk": (
             "recall-vs-exact + planted-neighbor tests "
             "(tests/test_dedup_similarity.py::test_ivf_pq_topk_recall_and_planted) "
@@ -13514,6 +13634,7 @@ def oracle_sql() -> dict[str, str]:
         "q246_retrieval_metric_ci": _q246_oracle(),
         "q247_bootstrap_lift": _q247_oracle(),
         "q248_quantile_lift": _q248_oracle(),
+        "q249_kleinberg_bursts": _q249_oracle(),
     }
 
 

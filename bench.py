@@ -266,6 +266,8 @@ BENCH_QUERIES = [
     "q246_retrieval_metric_ci",
     "q247_bootstrap_lift",
     "q248_quantile_lift",
+    "q249_kleinberg_bursts",
+    "q250_cox_hazards",
 ]
 
 
