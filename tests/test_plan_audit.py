@@ -543,3 +543,67 @@ def test_round5_experiments_and_safety_plan_shapes(spark):
 
     pr = plan_audit(profile_columns(docs, columns=["lang", "source"]))
     assert pr["python_evals"] == 0 and pr["nested_loop_joins"] == 0
+
+
+def test_kleinberg_plan_one_exchange_per_stage(spark, sf_dir):
+    # the DP is one applyInPandas keyed exchange; the interval collapse
+    # adds only the per-key window sort — no data-sized extra shuffles,
+    # no driver collect
+    from patternly_spark.operators.temporal import kleinberg_bursts
+    from patternly_spark.plans import plan_audit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        "event_id",
+    )
+    out = kleinberg_bursts(ev, key_col="user_id", ts_col="t", id_col="event_id")
+    a = plan_audit(out)
+    # groupBy-key exchange for the DP + window/groupBy exchanges on the
+    # (much smaller) gap-state table; bound the total so a data-sized
+    # shuffle creeping in trips this
+    assert a["exchanges"] <= 4
+    assert a["nested_loop_joins"] == 0
+    assert a["python_evals"] == 1  # the DP kernel and nothing else
+
+
+def test_cox_ph_per_step_plan_grid_sized(spark, sf_dir):
+    # the per-Newton-step aggregate: full-scan groupBy onto the distinct
+    # time grid, suffix-sum window over the GRID, p+p(p+1)/2-number agg.
+    # No python, no nested loops; exchanges bounded (scan->grid agg,
+    # grid window single-partition, final agg)
+    from patternly_spark.plans import plan_audit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("x0"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+        .cast("double").alias("__t"),
+        F.max((F.col("event_type") == "error").cast("int")).alias("__e"),
+    )
+    w = F.exp(F.lit(0.0) * F.col("x0"))
+    grid = base.groupBy("__t").agg(
+        F.sum(w).alias("s0"),
+        F.sum(F.col("x0") * w).alias("s1_0"),
+        F.sum(F.col("x0") * F.col("x0") * w).alias("s2_0_0"),
+        F.sum(F.col("x0") * F.col("__e").cast("double")).alias("ex_0"),
+        F.sum("__e").cast("double").alias("d"),
+    )
+    from pyspark.sql import Window
+
+    wspec = Window.orderBy(F.desc("__t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.select(
+        "d", "ex_0",
+        F.sum("s0").over(wspec).alias("S0"),
+        F.sum("s1_0").over(wspec).alias("S1_0"),
+    ).filter(F.col("d") > 0)
+    final = cum.agg(
+        F.sum(F.col("ex_0") - F.col("d") * (F.col("S1_0") / F.col("S0"))).alias("g_0")
+    )
+    a = plan_audit(final)
+    assert a["python_evals"] == 0 and a["nested_loop_joins"] == 0
+    assert a["exchanges"] <= 5
