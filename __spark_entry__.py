@@ -11545,6 +11545,141 @@ def q250_cox_hazards(spark, sf_dir):
     )
 
 
+def q251_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences on per-user event value
+    (operators/drift.diff_in_diff): md5-coin arms, pre/post split at
+    2024-01-16 UTC, per-unit cents deltas, Welch z on unit deltas —
+    the quasi-experimental readout that cancels unit fixed effects and
+    the common time trend.  Integer deltas + decimal moments + fixed
+    IEEE chains: engine-exact."""
+    from patternly_spark.operators.drift import diff_in_diff
+    from patternly_spark.operators.sampling import hash_fraction
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        (F.unix_micros("ts") >= F.lit(1705363200000000)).cast("int").alias("is_post"),
+        F.when(hash_fraction(F.col("user_id"), seed="arm") < F.lit(0.5), "a")
+        .otherwise("b")
+        .alias("arm"),
+    )
+    return diff_in_diff(
+        ev, "cents", unit_col="user_id", arm_col="arm", is_post_col="is_post"
+    )
+
+
+def _q251_oracle() -> str:
+    return f"""
+    WITH base AS (
+        SELECT user_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               CASE WHEN epoch_us(ts) >= 1705363200000000 THEN 1 ELSE 0 END AS is_post,
+               CASE WHEN CAST(('0x' || substr(md5('arm' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         / 4294967296.0 < {_dlit(0.5)}
+                    THEN 'a' ELSE 'b' END AS arm
+        FROM events
+    ), deltas AS (
+        SELECT arm, user_id,
+               CAST(SUM(CASE WHEN is_post = 1 THEN cents ELSE 0 END)
+                    - SUM(CASE WHEN is_post = 0 THEN cents ELSE 0 END) AS BIGINT) AS d
+        FROM base GROUP BY arm, user_id
+    ), m AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(d) AS BIGINT) AS s,
+               CAST(SUM(CAST(d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS ss
+        FROM deltas GROUP BY arm
+    ), f AS (
+        SELECT arm, n,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_delta,
+               (CAST(ss AS DOUBLE)
+                - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0e0) AS var_delta
+        FROM m
+    )
+    SELECT c.n AS n_control, t.n AS n_treatment,
+           c.mean_delta AS mean_delta_control,
+           t.mean_delta AS mean_delta_treatment,
+           t.mean_delta - c.mean_delta AS did_cents,
+           sqrt(t.var_delta / CAST(t.n AS DOUBLE)
+                + c.var_delta / CAST(c.n AS DOUBLE)) AS se,
+           (t.mean_delta - c.mean_delta)
+             / sqrt(t.var_delta / CAST(t.n AS DOUBLE)
+                    + c.var_delta / CAST(c.n AS DOUBLE)) AS z
+    FROM (SELECT * FROM f WHERE arm = 'a') c, (SELECT * FROM f WHERE arm = 'b') t
+    """
+
+
+def q252_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U on per-user total event value
+    (operators/drift.mann_whitney_u): md5-coin arms, pooled ranks with
+    exact doubled-average-rank integers under ties, tie-corrected
+    normal z — the whale-robust nonparametric twin of q204/q251.
+    Integer rank construction + fixed IEEE chains: engine-exact."""
+    from patternly_spark.operators.drift import mann_whitney_u
+    from patternly_spark.operators.sampling import hash_fraction
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    ).withColumn(
+        "arm",
+        F.when(hash_fraction(F.col("user_id"), seed="arm") < F.lit(0.5), "a")
+        .otherwise("b"),
+    )
+    return mann_whitney_u(per_user, "cents", arm_col="arm")
+
+
+def _q252_oracle() -> str:
+    return f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+               CASE WHEN CAST(('0x' || substr(md5('arm' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         / 4294967296.0 < {_dlit(0.5)}
+                    THEN 'a' ELSE 'b' END AS arm
+        FROM events
+        GROUP BY user_id
+    ), ranked AS (
+        SELECT arm, cents,
+               rank() OVER (ORDER BY cents ASC) AS r,
+               COUNT(*) OVER (PARTITION BY cents) AS c
+        FROM per_user
+    ), agg AS (
+        SELECT CAST(SUM(CASE WHEN arm = 'b'
+                        THEN 2 * CAST(r AS DECIMAL(19,0)) + CAST(c AS DECIMAL(19,0)) - 1
+                        ELSE 0 END) AS DECIMAL(38,0)) AS s2t,
+               CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_treatment,
+               CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_control
+        FROM ranked
+    ), ties AS (
+        SELECT CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))
+                        - CAST(c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS tie
+        FROM (SELECT CAST(COUNT(*) AS DECIMAL(19,0)) AS c FROM per_user GROUP BY cents)
+    )
+    SELECT n_control, n_treatment,
+           (CAST(s2t AS DOUBLE) - CAST(n_treatment * (n_treatment + 1) AS DOUBLE)) / 2.0e0
+             AS u_treatment,
+           (CAST(n_control AS DOUBLE) * CAST(n_treatment AS DOUBLE)) / 2.0e0 AS mu,
+           sqrt(((CAST(n_control AS DOUBLE) * CAST(n_treatment AS DOUBLE)) / 1.2e1)
+                * ((CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE) + 1.0e0)
+                   - CAST(tie AS DOUBLE)
+                     / ((CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE))
+                        * (CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE) - 1.0e0))))
+             AS sigma,
+           ((CAST(s2t AS DOUBLE) - CAST(n_treatment * (n_treatment + 1) AS DOUBLE)) / 2.0e0
+            - (CAST(n_control AS DOUBLE) * CAST(n_treatment AS DOUBLE)) / 2.0e0)
+           / sqrt(((CAST(n_control AS DOUBLE) * CAST(n_treatment AS DOUBLE)) / 1.2e1)
+                  * ((CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE) + 1.0e0)
+                     - CAST(tie AS DOUBLE)
+                       / ((CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE))
+                          * (CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE) - 1.0e0))))
+             AS z
+    FROM agg, ties
+    """
+
+
 def _q249_oracle() -> str:
     s_lit, g_lit = _dlit(2.0), _dlit(1.0)
     return f"""
@@ -11869,6 +12004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q248_quantile_lift": q248_quantile_lift,
         "q249_kleinberg_bursts": q249_kleinberg_bursts,
         "q250_cox_hazards": q250_cox_hazards,
+        "q251_diff_in_diff": q251_diff_in_diff,
+        "q252_mann_whitney": q252_mann_whitney,
     }
 
 
@@ -13635,6 +13772,8 @@ def oracle_sql() -> dict[str, str]:
         "q247_bootstrap_lift": _q247_oracle(),
         "q248_quantile_lift": _q248_oracle(),
         "q249_kleinberg_bursts": _q249_oracle(),
+        "q251_diff_in_diff": _q251_oracle(),
+        "q252_mann_whitney": _q252_oracle(),
     }
 
 

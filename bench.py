@@ -268,6 +268,8 @@ BENCH_QUERIES = [
     "q248_quantile_lift",
     "q249_kleinberg_bursts",
     "q250_cox_hazards",
+    "q251_diff_in_diff",
+    "q252_mann_whitney",
 ]
 
 

@@ -1485,3 +1485,187 @@ def quantile_lift(
             ),
         )
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    value_cents_col: str,
+    *,
+    unit_col: str,
+    arm_col: str,
+    is_post_col: str,
+    by: str | None = None,
+) -> DataFrame:
+    """Difference-in-differences — the quasi-experimental A/B readout
+    when assignment is not randomized (a rollout, a policy change, a
+    market test): the treatment effect is the change in the treated
+    group's PER-UNIT pre->post delta net of the control group's, which
+    cancels both fixed unit effects and the common time trend q204's
+    plain comparison would misattribute.
+
+        delta_u = sum(post cents) - sum(pre cents)   per unit
+        DiD     = mean(delta | treatment) - mean(delta | control)
+
+    with a Welch two-sample z on the unit deltas (the unit is the
+    independence level, not the row — clustering by unit is what makes
+    this SE honest).
+
+    Exactness: deltas are INTEGER cents; per-arm (n, sum, sum of
+    squares as decimal moments) make every mean/var one closed-form
+    division; se = sqrt(v_t/n_t + v_c/n_c) and z = DiD/se are fixed
+    IEEE chains (sqrt is correctly rounded per IEEE 754) — plain SQL
+    replays every double.  Arms are the two DISTINCT ``arm_col`` values
+    ascending (control first, the balance_check convention);
+    ``is_post_col`` is explicit 0/1 because period labels have no
+    canonical order.
+
+    Output: ([by,] n_control, n_treatment, mean_delta_control,
+    mean_delta_treatment, did_cents, se, z) — one row per group.
+    """
+    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
+    if len(arms) != 2:
+        raise ValueError(f"diff_in_diff needs exactly 2 arms, got {arms}")
+    ctrl, trt = arms
+    gcols = [by] if by else []
+    v = F.col(value_cents_col).cast("long")
+    post = F.col(is_post_col).cast("int")
+    deltas = df.groupBy(*gcols, F.col(unit_col).alias("__u"), F.col(arm_col).alias("__a")).agg(
+        (
+            F.sum(F.when(post == 1, v).otherwise(F.lit(0)))
+            - F.sum(F.when(post == 0, v).otherwise(F.lit(0)))
+        )
+        .cast("long")
+        .alias("__d")
+    )
+    dd = F.col("__d").cast("decimal(19,0)")
+    m = deltas.groupBy(*gcols, "__a").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__d").cast("long").alias("s"),
+        F.sum(dd * dd).cast("decimal(38,0)").alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    # sample variance ddof=1, closed form over exact integer moments
+    var = (
+        (F.col("ss").cast("double") - (F.col("s").cast("double") * F.col("s").cast("double")) / nd)
+        / (nd - F.lit(1.0))
+    )
+    m = m.select(*gcols, "__a", F.col("n"), mean.alias("mean_delta"), var.alias("var_delta"))
+    c = m.filter(F.col("__a") == ctrl).select(
+        *gcols,
+        F.col("n").alias("n_control"),
+        F.col("mean_delta").alias("mean_delta_control"),
+        F.col("var_delta").alias("__vc"),
+    )
+    t = m.filter(F.col("__a") == trt).select(
+        *gcols,
+        F.col("n").alias("n_treatment"),
+        F.col("mean_delta").alias("mean_delta_treatment"),
+        F.col("var_delta").alias("__vt"),
+    )
+    joined = (
+        c.join(t, gcols, "full_outer") if gcols else c.crossJoin(t)
+    )
+    did = F.col("mean_delta_treatment") - F.col("mean_delta_control")
+    se = F.sqrt(
+        F.col("__vt") / F.col("n_treatment").cast("double")
+        + F.col("__vc") / F.col("n_control").cast("double")
+    )
+    return joined.select(
+        *gcols,
+        "n_control",
+        "n_treatment",
+        "mean_delta_control",
+        "mean_delta_treatment",
+        did.alias("did_cents"),
+        se.alias("se"),
+        (did / se).alias("z"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_cents_col: str,
+    *,
+    arm_col: str,
+    by: str | None = None,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
+    test the experimentation family needs when cents are heavy-tailed
+    enough that q204/q247 mean-based readouts are dominated by whales:
+    compares RANKS, so one enormous order moves the statistic exactly
+    one rank's worth.
+
+    Exact integer construction — ON THE DISTINCT-VALUE GRID, never a
+    per-row rank window (a pooled rank over rows is a global sort; the
+    grid is the kaplan_meier/weighted_median convention): per value,
+    (count, treatment count); a cumulative count over the value-sorted
+    grid gives the min-rank, so the treatment's DOUBLED rank-sum
+
+        S2 = sum over values of ct * (2*cum - c + 1)
+
+    is an exact decimal integer (2*avg_rank = 2*min_rank + c - 1 per
+    member); U, mu, and the tie-corrected sigma
+
+        sigma^2 = n1*n2/12 * ((N+1) - sum(t^3 - t) / (N*(N-1)))
+
+    are fixed IEEE chains over those integers — plain SQL replays every
+    double (the oracle may rank rows instead: identical integers).
+    Arms = the two DISTINCT ``arm_col`` values ascending (control,
+    treatment); U is reported for the TREATMENT arm.  The normal
+    approximation needs no continuity correction at registry scales
+    (documented; add 0.5 upstream if n < 20 matters).
+
+    Shape: one groupBy onto the value grid (map-side combine), one
+    grid-sized cumulative window, one scalar aggregate.
+
+    Output: ([by,] n_control, n_treatment, u_treatment, mu, sigma, z).
+    """
+    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
+    if len(arms) != 2:
+        raise ValueError(f"mann_whitney_u needs exactly 2 arms, got {arms}")
+    ctrl, trt = arms
+    gcols = [by] if by else []
+    v = F.col(value_cents_col).cast("long")
+    base = df.select(*gcols, F.col(arm_col).alias("__a"), v.alias("__v"))
+    grid = base.groupBy(*gcols, "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"),
+        F.sum((F.col("__a") == trt).cast("int")).cast("long").alias("__ct"),
+    )
+    wg = Window.partitionBy(*gcols).orderBy(F.col("__v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.withColumn("__cum", F.sum("__c").over(wg))
+    cd = F.col("__c").cast("decimal(19,0)")
+    ctd = F.col("__ct").cast("decimal(19,0)")
+    cumd = F.col("__cum").cast("decimal(19,0)")
+    # per-member doubled average rank: 2*min_rank + c - 1 with
+    # min_rank = cum - c + 1  =>  2*cum - c + 1
+    r2 = F.lit(2) * cumd - cd + F.lit(1)
+    j = cum.groupBy(*gcols).agg(
+        F.sum(ctd * r2).cast("decimal(38,0)").alias("__s2t"),
+        F.sum("__ct").cast("long").alias("n_treatment"),
+        (F.sum("__c") - F.sum("__ct")).cast("long").alias("n_control"),
+        F.sum(cd * cd * cd - cd).cast("decimal(38,0)").alias("__tie"),
+    )
+    n1 = F.col("n_control").cast("double")
+    n2 = F.col("n_treatment").cast("double")
+    nn = n1 + n2
+    u = (
+        F.col("__s2t").cast("double")
+        - (F.col("n_treatment") * (F.col("n_treatment") + F.lit(1))).cast("double")
+    ) / F.lit(2.0)
+    mu = (n1 * n2) / F.lit(2.0)
+    sigma = F.sqrt(
+        ((n1 * n2) / F.lit(12.0))
+        * ((nn + F.lit(1.0)) - F.col("__tie").cast("double") / (nn * (nn - F.lit(1.0))))
+    )
+    return j.select(
+        *gcols,
+        "n_control",
+        "n_treatment",
+        u.alias("u_treatment"),
+        mu.alias("mu"),
+        sigma.alias("sigma"),
+        ((u - mu) / sigma).alias("z"),
+    )

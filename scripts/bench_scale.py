@@ -125,9 +125,13 @@ def main() -> None:
     queries["semantic_dedup_autosized"] = _semantic_dedup_autosized
     results: dict[str, dict] = {}
     for name in names:
-        before = _stage_totals(spark)
         start = time.perf_counter()
+        # everything inside the try: after a JVM-killing failure (e.g.
+        # executor OOM) even _stage_totals raises, and one dead query
+        # must not lose the already-collected results
         try:
+            before = _stage_totals(spark)
+            start = time.perf_counter()
             rows = queries[name](spark, sf_dir).count()
             sec = time.perf_counter() - start
             after = _stage_totals(spark)

@@ -39,6 +39,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 queries, oracles = e.queries(), e.oracle_sql()
+# DRIVER_SIM_ONLY=q58_top_tokens,q77_rrf_hybrid,... replays a subset —
+# the NOTES rotating spot-check command a third party can run verbatim
+only = os.environ.get("DRIVER_SIM_ONLY")
+if only:
+    keep = {n.strip() for n in only.split(",") if n.strip()}
+    unknown = keep - set(queries)
+    if unknown:
+        sys.exit(f"DRIVER_SIM_ONLY names unknown queries: {sorted(unknown)}")
+    queries = {n: f for n, f in queries.items() if n in keep}
 bad = []
 results: dict = {}
 for name, fn in queries.items():

@@ -386,3 +386,92 @@ def test_quantile_lift_one_arm_group_surfaces_with_nulls(spark):
     assert g3["n_treatment"] == 10 and g3["n_control"] is None
     assert g3["q_control_cents"] is None and g3["lift_cents"] is None
     assert g3["tau"] == 0.5  # join keys survive the outer join
+
+
+def test_diff_in_diff_hand_computed(spark):
+    """Control units drift +10; treated units drift +10 plus a +50
+    effect: DiD recovers exactly 50 with the Welch z of the unit
+    deltas."""
+    from patternly_spark.operators.drift import diff_in_diff
+
+    rows = []
+    for u in range(10):  # control: pre = 100+u, post = 110+u (+noise u%3)
+        rows.append((u, "a", 0, 100 + u))
+        rows.append((u, "a", 1, 110 + u + (u % 3)))
+    for u in range(10, 22):  # treatment: same drift + 50
+        rows.append((u, "b", 0, 100 + u))
+        rows.append((u, "b", 1, 160 + u + (u % 3)))
+    df = spark.createDataFrame(rows, "unit long, arm string, is_post int, cents long")
+    out = diff_in_diff(
+        df, "cents", unit_col="unit", arm_col="arm", is_post_col="is_post"
+    ).collect()[0]
+    import numpy as np
+
+    dc = np.array([10 + (u % 3) for u in range(10)], dtype=float)
+    dt = np.array([60 + (u % 3) for u in range(10, 22)], dtype=float)
+    assert out["n_control"] == 10 and out["n_treatment"] == 12
+    assert out["did_cents"] == pytest.approx(dt.mean() - dc.mean())
+    se = np.sqrt(dt.var(ddof=1) / 12 + dc.var(ddof=1) / 10)
+    assert out["se"] == pytest.approx(se)
+    assert out["z"] == pytest.approx((dt.mean() - dc.mean()) / se)
+    # units appearing only pre (delta = -pre) still count: contract is
+    # per-unit sums, documented
+    with pytest.raises(ValueError, match="2 arms"):
+        diff_in_diff(
+            spark.createDataFrame([(1, "x", 0, 5)], "unit long, arm string, is_post int, cents long"),
+            "cents", unit_col="unit", arm_col="arm", is_post_col="is_post",
+        )
+
+
+def test_mann_whitney_hand_computed_with_ties(spark):
+    """Tiny two-sample with ties, U/mu/sigma/z checked against the
+    textbook construction (average ranks, tie-corrected variance)."""
+    from patternly_spark.operators.drift import mann_whitney_u
+
+    a = [1, 2, 2, 5]          # control
+    b = [2, 6, 7, 8, 8]       # treatment
+    rows = [(i, "a", v) for i, v in enumerate(a)] + [
+        (100 + i, "b", v) for i, v in enumerate(b)
+    ]
+    df = spark.createDataFrame(rows, "id long, arm string, cents long")
+    out = mann_whitney_u(df, "cents", arm_col="arm").collect()[0]
+
+    import numpy as np
+
+    pooled = sorted(a + b)
+    # average ranks
+    def avg_rank(v):
+        idx = [i + 1 for i, x in enumerate(pooled) if x == v]
+        return sum(idx) / len(idx)
+
+    r_t = sum(avg_rank(v) for v in b)
+    n1, n2 = len(a), len(b)
+    u = r_t - n2 * (n2 + 1) / 2
+    mu = n1 * n2 / 2
+    nn = n1 + n2
+    from collections import Counter
+
+    tie = sum(c**3 - c for c in Counter(pooled).values())
+    sigma = np.sqrt((n1 * n2 / 12) * ((nn + 1) - tie / (nn * (nn - 1))))
+    assert out["n_control"] == n1 and out["n_treatment"] == n2
+    assert out["u_treatment"] == pytest.approx(u)
+    assert out["mu"] == pytest.approx(mu)
+    assert out["sigma"] == pytest.approx(sigma)
+    assert out["z"] == pytest.approx((u - mu) / sigma)
+
+
+def test_mann_whitney_rank_shift_invariance(spark):
+    """Rank test law: multiplying one whale's value by 1000 moves
+    nothing (same ranks), while the mean-based lift would explode."""
+    from patternly_spark.operators.drift import mann_whitney_u
+
+    rows = [(i, "a", 10 + i) for i in range(20)] + [
+        (100 + i, "b", 15 + i) for i in range(20)
+    ]
+    base = spark.createDataFrame(rows, "id long, arm string, cents long")
+    whale = spark.createDataFrame(
+        rows[:-1] + [(119, "b", (15 + 19) * 1000)], "id long, arm string, cents long"
+    )
+    z1 = mann_whitney_u(base, "cents", arm_col="arm").collect()[0]["z"]
+    z2 = mann_whitney_u(whale, "cents", arm_col="arm").collect()[0]["z"]
+    assert z1 == z2
