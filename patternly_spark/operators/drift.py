@@ -1625,6 +1625,8 @@ def mann_whitney_u(
     if len(arms) != 2:
         raise ValueError(f"mann_whitney_u needs exactly 2 arms, got {arms}")
     ctrl, trt = arms
+    from pyspark.sql import Window
+
     gcols = [by] if by else []
     v = F.col(value_cents_col).cast("long")
     base = df.select(*gcols, F.col(arm_col).alias("__a"), v.alias("__v"))
