@@ -1537,6 +1537,19 @@ def diff_in_diff(
         .cast("long")
         .alias("__d")
     )
+    return did_from_deltas(deltas, ctrl=ctrl, trt=trt, gcols=gcols)
+
+
+def did_from_deltas(
+    deltas: DataFrame, *, ctrl, trt, gcols: list[str]
+) -> DataFrame:
+    """Finalize a per-unit delta table ([gcols,] __a arm, __d long)
+    into the diff_in_diff output — the ONE definition of the DiD moment
+    math, shared by the batch operator and the streaming registry
+    finalizer (``streaming/drift.did_from_registry``): per-unit
+    (pre, post) integer sums are additive across batches, so the
+    registry folds exactly and this finalize over its deltas is
+    value-identical to the batch operator over all history."""
     dd = F.col("__d").cast("decimal(19,0)")
     m = deltas.groupBy(*gcols, "__a").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1625,8 +1638,6 @@ def mann_whitney_u(
     if len(arms) != 2:
         raise ValueError(f"mann_whitney_u needs exactly 2 arms, got {arms}")
     ctrl, trt = arms
-    from pyspark.sql import Window
-
     gcols = [by] if by else []
     v = F.col(value_cents_col).cast("long")
     base = df.select(*gcols, F.col(arm_col).alias("__a"), v.alias("__v"))
@@ -1634,6 +1645,20 @@ def mann_whitney_u(
         F.count(F.lit(1)).cast("long").alias("__c"),
         F.sum((F.col("__a") == trt).cast("int")).cast("long").alias("__ct"),
     )
+    return mwu_from_grid(grid, gcols=gcols)
+
+
+def mwu_from_grid(grid: DataFrame, *, gcols: list[str]) -> DataFrame:
+    """Finalize a pooled value grid ([gcols,] __v long, __c long total
+    count, __ct long treatment count) into the mann_whitney_u output —
+    the ONE definition of the rank-test math, shared by the batch
+    operator and the streaming registry finalizer
+    (``streaming/drift.mwu_from_registry``): per-value counts are
+    additive across batches, so the registry folds exactly and this
+    finalize over its grid is value-identical to the batch operator
+    over all history."""
+    from pyspark.sql import Window
+
     wg = Window.partitionBy(*gcols).orderBy(F.col("__v").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -39,6 +39,10 @@ __all__ = [
     "streaming_cusum",
     "streaming_seasonal_monitor",
     "seasonal_alerts_from_registry",
+    "streaming_did_registry",
+    "did_from_registry",
+    "streaming_rank_test_registry",
+    "mwu_from_registry",
 ]
 
 
@@ -740,3 +744,146 @@ def bootstrap_ci_from_registry(
     return base.crossJoin(F.broadcast(bounds)).select(
         "n", "mean_cents", "lo_cents", "hi_cents", F.lit(B).cast("int").alias("replicates")
     )
+
+
+def streaming_did_registry(
+    stream_df: DataFrame,
+    registry_path: str,
+    *,
+    checkpoint_path: str,
+    unit_col: str,
+    arm_col: str,
+    is_post_col: str,
+    value_cents_col: str,
+    trigger_once: bool = False,
+):
+    """foreachBatch difference-in-differences registry (ST35): fold each
+    microbatch's per-(arm, unit) integer (pre_cents, post_cents) sums
+    into the persisted state by addition — a unit's rows may arrive in
+    any batch and any order (pre and post interleaved), because the
+    per-unit delta is a LINEAR function of additive sums.  State is
+    unit-sized (the independence level DiD clusters on), never
+    row-sized.  Finalize any time with ``did_from_registry`` —
+    value-identical to ``operators/drift.diff_in_diff`` over all
+    history (union-parity pinned).  Exactly-once via versioned
+    snapshots (streaming/exactly_once)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        v = F.col(value_cents_col).cast("long")
+        post = F.col(is_post_col).cast("int")
+        part = batch_df.groupBy(
+            F.col(arm_col).cast("string").alias("arm"),
+            F.col(unit_col).cast("long").alias("unit"),
+        ).agg(
+            F.sum(F.when(post == 1, v).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("post_cents"),
+            F.sum(F.when(post == 0, v).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("pre_cents"),
+        )
+        existing, _ = read_latest_snapshot(spark, registry_path, before_batch=batch_id)
+        if existing is not None:
+            part = (
+                part.unionByName(existing)
+                .groupBy("arm", "unit")
+                .agg(
+                    F.sum("post_cents").cast("long").alias("post_cents"),
+                    F.sum("pre_cents").cast("long").alias("pre_cents"),
+                )
+            )
+        write_snapshot(part.localCheckpoint(eager=True), registry_path, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def did_from_registry(spark, registry_path: str) -> DataFrame:
+    """DiD readout from a ``streaming_did_registry`` state: per-unit
+    delta = post - pre (exact integers), then the ONE shared moment
+    math (``operators/drift.did_from_deltas``) — value-identical to the
+    batch operator over every row ever folded."""
+    from patternly_spark.operators.drift import did_from_deltas
+
+    reg = read_registry(spark, registry_path)
+    arms = [r[0] for r in reg.select("arm").distinct().orderBy("arm").collect()]
+    if len(arms) != 2:
+        raise ValueError(f"did_from_registry needs exactly 2 arms, got {arms}")
+    deltas = reg.select(
+        F.col("arm").alias("__a"),
+        (F.col("post_cents") - F.col("pre_cents")).cast("long").alias("__d"),
+    )
+    return did_from_deltas(deltas, ctrl=arms[0], trt=arms[1], gcols=[])
+
+
+def streaming_rank_test_registry(
+    stream_df: DataFrame,
+    registry_path: str,
+    *,
+    checkpoint_path: str,
+    arm_col: str,
+    value_cents_col: str,
+    trigger_once: bool = False,
+):
+    """foreachBatch Mann-Whitney registry (ST36): fold each
+    microbatch's pooled value grid — per distinct cents value, (total
+    count, treatment count) — into the persisted grid by integer
+    addition.  State is value-grid-sized (distinct cents values), never
+    row-sized; rows may arrive in any batch and order (counts commute).
+    The treatment arm is pinned as the LEXICALLY GREATER of the two arm
+    labels (the batch operator's ascending-arms convention) and
+    validated at finalize.  Finalize any time with
+    ``mwu_from_registry`` — value-identical to
+    ``operators/drift.mann_whitney_u`` over all history (union-parity
+    pinned).  Exactly-once via versioned snapshots."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # per-batch partial grid keeps per-arm counts separately so the
+        # treatment label needs no cross-batch agreement at fold time
+        part = batch_df.groupBy(
+            F.col(value_cents_col).cast("long").alias("__v"),
+            F.col(arm_col).cast("string").alias("arm"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        existing, _ = read_latest_snapshot(spark, registry_path, before_batch=batch_id)
+        if existing is not None:
+            part = (
+                part.unionByName(existing)
+                .groupBy("__v", "arm")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+        write_snapshot(part.localCheckpoint(eager=True), registry_path, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def mwu_from_registry(spark, registry_path: str) -> DataFrame:
+    """Mann-Whitney readout from a ``streaming_rank_test_registry``
+    state: collapse the per-(value, arm) counts to the ([,] __v, __c,
+    __ct) grid the ONE shared finalizer
+    (``operators/drift.mwu_from_grid``) consumes — value-identical to
+    the batch operator over every row ever folded."""
+    from patternly_spark.operators.drift import mwu_from_grid
+
+    reg = read_registry(spark, registry_path)
+    arms = [r[0] for r in reg.select("arm").distinct().orderBy("arm").collect()]
+    if len(arms) != 2:
+        raise ValueError(f"mwu_from_registry needs exactly 2 arms, got {arms}")
+    trt = arms[1]
+    grid = reg.groupBy("__v").agg(
+        F.sum("n").cast("long").alias("__c"),
+        F.sum(F.when(F.col("arm") == trt, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("__ct"),
+    )
+    return mwu_from_grid(grid, gcols=[])

@@ -475,3 +475,81 @@ def test_mann_whitney_rank_shift_invariance(spark):
     z1 = mann_whitney_u(base, "cents", arm_col="arm").collect()[0]["z"]
     z2 = mann_whitney_u(whale, "cents", arm_col="arm").collect()[0]["z"]
     assert z1 == z2
+
+
+def test_streaming_did_registry_equals_batch(spark, tmp_path):
+    """Additive per-unit sums: finalize after 3 triggers == batch
+    diff_in_diff over the union, tuple-exact — a unit's pre and post
+    rows arrive in DIFFERENT batches and still reconstruct."""
+    from patternly_spark.operators.drift import diff_in_diff
+    from patternly_spark.streaming.drift import (
+        did_from_registry,
+        streaming_did_registry,
+    )
+
+    rows = []
+    for u in range(30):
+        arm = "a" if u % 2 == 0 else "b"
+        rows.append((u, arm, 0, 100 + u))
+        rows.append((u, arm, 1, 130 + u + (u % 5) + (20 if arm == "b" else 0)))
+    schema = "unit long, arm string, is_post int, cents long"
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    # slice by row parity so pre/post of the same unit straddle batches
+    thirds = [rows[0::3], rows[1::3], rows[2::3]]
+    for b in thirds:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_did_registry(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        str(tmp_path / "reg"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        unit_col="unit",
+        arm_col="arm",
+        is_post_col="is_post",
+        value_cents_col="cents",
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got = did_from_registry(spark, str(tmp_path / "reg")).collect()[0]
+    want = diff_in_diff(
+        df, "cents", unit_col="unit", arm_col="arm", is_post_col="is_post"
+    ).collect()[0]
+    assert tuple(got) == tuple(want)
+
+
+def test_streaming_rank_test_registry_equals_batch(spark, tmp_path):
+    """Additive value-grid counts: finalize after 3 triggers == batch
+    mann_whitney_u over the union, tuple-exact (incl. tie correction —
+    ties straddle batches)."""
+    from patternly_spark.operators.drift import mann_whitney_u
+    from patternly_spark.streaming.drift import (
+        mwu_from_registry,
+        streaming_rank_test_registry,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b", (i * 7) % 40) for i in range(120)]
+    schema = "id long, arm string, cents long"
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    for b in [rows[0::3], rows[1::3], rows[2::3]]:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_rank_test_registry(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        str(tmp_path / "reg"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        arm_col="arm",
+        value_cents_col="cents",
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got = mwu_from_registry(spark, str(tmp_path / "reg")).collect()[0]
+    want = mann_whitney_u(df, "cents", arm_col="arm").collect()[0]
+    assert tuple(got) == tuple(want)
+    # state is value-grid-sized: <= 40 distinct values x 2 arms
+    from patternly_spark.streaming.exactly_once import read_registry
+
+    assert read_registry(spark, str(tmp_path / "reg")).count() <= 80

@@ -1,4 +1,4 @@
-"""Crash-replay sweep over EVERY foreachBatch registry (SURVEY ST6–ST34).
+"""Crash-replay sweep over EVERY foreachBatch registry (SURVEY ST6–ST36).
 
 The exactly-once law, tested uniformly: run batch 0, simulate a crash
 between the registry's writes and the engine's checkpoint commit
@@ -245,6 +245,32 @@ def _cases() -> dict[str, Case]:
             s, f"{d}/reg", checkpoint_path=f"{d}/ckpt", ts_col="ts",
             outcome_col="y", group_cols=["g"], p0=0.2, p1=0.5,
             alpha=0.05, beta=0.05, trigger_once=True,
+        ),
+        ["reg"],
+    )
+    from patternly_spark.streaming.drift import (
+        streaming_did_registry,
+        streaming_rank_test_registry,
+    )
+
+    add(
+        "did_registry", "unit long, arm string, is_post int, cents long",
+        [(u, "a" if u % 2 == 0 else "b", 0, 100 + u) for u in range(8)],
+        [(u, "a" if u % 2 == 0 else "b", 1, 150 + u) for u in range(8)],
+        lambda spark, s, d: streaming_did_registry(
+            s, f"{d}/reg", checkpoint_path=f"{d}/ckpt", unit_col="unit",
+            arm_col="arm", is_post_col="is_post", value_cents_col="cents",
+            trigger_once=True,
+        ),
+        ["reg"],
+    )
+    add(
+        "rank_test_registry", "id long, arm string, cents long",
+        [(i, "a" if i % 2 == 0 else "b", (i * 7) % 20) for i in range(20)],
+        [(100 + i, "a" if i % 2 == 0 else "b", (i * 13) % 20) for i in range(20)],
+        lambda spark, s, d: streaming_rank_test_registry(
+            s, f"{d}/reg", checkpoint_path=f"{d}/ckpt", arm_col="arm",
+            value_cents_col="cents", trigger_once=True,
         ),
         ["reg"],
     )
