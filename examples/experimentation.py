@@ -4,6 +4,7 @@ synthetic A/B split of the events table —
     randomization balance check (SMD) -> CUPED variance reduction ->
     two-proportion z-test -> Wald SPRT sequential monitor ->
     Benjamini-Hochberg FDR across many segment-level tests ->
+    difference-in-differences -> Mann-Whitney rank readout ->
     Markov + Shapley attribution of the conversion event.
 
 Run from anywhere:
@@ -11,7 +12,7 @@ Run from anywhere:
     python examples/experimentation.py [sf_dir]
 
 The same compositions are the oracle-checked q204, q228, q230-q231,
-q233, q236 and q239 in __spark_entry__.py.
+q233, q236, q239, q251 and q252 in __spark_entry__.py.
 """
 
 import os
@@ -114,7 +115,27 @@ def main() -> None:
     bh = bh_fdr(tests, p_col="p", id_cols=["segment"], fdr_q=0.2)
     bh.filter(F.col("reject")).orderBy("p").show()
 
-    print("== 6. conversion attribution: Markov removal vs Shapley ==")
+    print("== 6. difference-in-differences on per-user spend ==")
+    from patternly_spark.operators.drift import diff_in_diff, mann_whitney_u
+
+    did_rows = armed.select(
+        F.monotonically_increasing_id().alias("unit_row"), "arm", "pre", "post"
+    )
+    did_in = did_rows.selectExpr(
+        "unit_row as unit", "arm", "0 as is_post", "pre as cents"
+    ).unionByName(
+        did_rows.selectExpr("unit_row as unit", "arm", "1 as is_post", "post as cents")
+    )
+    diff_in_diff(
+        did_in, "cents", unit_col="unit", arm_col="arm", is_post_col="is_post"
+    ).show()
+
+    print("== 7. Mann-Whitney U (whale-robust rank readout) ==")
+    mann_whitney_u(
+        armed.select("arm", F.col("post").alias("cents")), "cents", arm_col="arm"
+    ).show()
+
+    print("== 8. conversion attribution: Markov removal vs Shapley ==")
     journeys = ev.select("user_id", F.col("us").alias("ts"), "event_type")
     chans = ["click", "error", "signup", "view"]
     markov_attribution(
