@@ -11680,6 +11680,97 @@ def _q252_oracle() -> str:
     """
 
 
+def q253_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa over a fixed-panel labeling corpus
+    (operators/model_eval.fleiss_kappa): each user with >= 6 events is
+    an 'item', its first 6 events by (ts, event_id) are the panel's 6
+    'ratings', category = event_type — the chance-corrected agreement
+    gate a label-driven curation pipeline runs before training on
+    labels.  Every term is a ratio of integer sums (order-free), so the
+    oracle replays it exactly."""
+    from patternly_spark.operators.model_eval import fleiss_kappa
+
+    ev = _t(spark, sf_dir, "events")
+    eligible = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("__c")).filter(
+        F.col("__c") >= 6
+    ).select("user_id")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    ratings = (
+        ev.join(eligible, "user_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 6)
+    )
+    return fleiss_kappa(ratings, item_col="user_id", category_col="event_type")
+
+
+def _q253_oracle() -> str:
+    return """
+    WITH eligible AS (
+        SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) >= 6
+    ), ranked AS (
+        SELECT e.user_id, e.event_type,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY epoch_us(e.ts), e.event_id) AS rn
+        FROM events e JOIN eligible USING (user_id)
+    ), ratings AS (
+        SELECT user_id, event_type FROM ranked WHERE rn <= 6
+    ), counts AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS nij
+        FROM ratings GROUP BY user_id, event_type
+    ), per_item AS (
+        SELECT user_id,
+               CAST(SUM(nij) AS BIGINT) AS n,
+               CAST(SUM(CAST(nij AS DECIMAL(19,0)) * CAST(nij AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sq
+        FROM counts GROUP BY user_id
+    ), items AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(MAX(n) AS BIGINT) AS n_raters,
+               CAST(SUM(sq) AS DECIMAL(38,0)) AS S
+        FROM per_item
+    ), csq AS (
+        SELECT CAST(SUM(CAST(nj AS DECIMAL(19,0)) * CAST(nj AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS C
+        FROM (SELECT CAST(SUM(nij) AS BIGINT) AS nj FROM counts GROUP BY event_type)
+    )
+    SELECT n_items, n_raters,
+           (CAST(S AS DOUBLE) - CAST(n_items * n_raters AS DOUBLE))
+             / (CAST(n_items * n_raters AS DOUBLE) * CAST(n_raters - 1 AS DOUBLE)) AS p_bar,
+           CAST(C AS DOUBLE)
+             / (CAST(n_items * n_raters AS DOUBLE) * CAST(n_items * n_raters AS DOUBLE)) AS p_e,
+           ((CAST(S AS DOUBLE) - CAST(n_items * n_raters AS DOUBLE))
+              / (CAST(n_items * n_raters AS DOUBLE) * CAST(n_raters - 1 AS DOUBLE))
+            - CAST(C AS DOUBLE)
+              / (CAST(n_items * n_raters AS DOUBLE) * CAST(n_items * n_raters AS DOUBLE)))
+           / (1.0e0 - CAST(C AS DOUBLE)
+              / (CAST(n_items * n_raters AS DOUBLE) * CAST(n_items * n_raters AS DOUBLE))) AS kappa
+    FROM items, csq
+    """
+
+
+def q254_logistic_propensity(spark, sf_dir):
+    """Logistic regression by budgeted Newton
+    (operators/model_eval.logistic_regression): predict whether a user
+    converts (any purchase) from per-user activity features — the
+    propensity/uplift/quality-classifier workhorse.  sigmoid is
+    libm-dependent, so rows-only at the driver gate; correctness pinned
+    by a from-scratch numpy IRLS reference at rel 1e-8
+    (tests/test_survival_cox.py)."""
+    from patternly_spark.operators.model_eval import logistic_regression
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.avg("value").alias("mean_value"),
+        # heavy buyer: >= 14 purchases — ~50% positive at every sf
+        # (any-purchase would be degenerate: every user has one)
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 14
+        ).cast("int").alias("heavy_buyer"),
+    )
+    return logistic_regression(
+        per_user, label_col="heavy_buyer", feature_cols=["n_events", "mean_value"]
+    )
+
+
 def _q249_oracle() -> str:
     s_lit, g_lit = _dlit(2.0), _dlit(1.0)
     return f"""
@@ -12006,6 +12097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q250_cox_hazards": q250_cox_hazards,
         "q251_diff_in_diff": q251_diff_in_diff,
         "q252_mann_whitney": q252_mann_whitney,
+        "q253_fleiss_kappa": q253_fleiss_kappa,
+        "q254_logistic_propensity": q254_logistic_propensity,
     }
 
 
@@ -12016,6 +12109,11 @@ def verified_by() -> dict[str, str]:
     the named pytest evidence, so the correctness artifact records the
     verification method instead of a bare row count."""
     return {
+        "q254_logistic_propensity": (
+            "beta/se/z equality (rel 1e-8) vs a from-scratch numpy IRLS "
+            "reference, planted-effect recovery "
+            "(tests/test_survival_cox.py::test_logistic_matches_numpy_reference)"
+        ),
         "q250_cox_hazards": (
             "beta/se/z equality (rel 1e-8) vs a from-scratch subject-level "
             "numpy Breslow-Newton reference, planted-effect recovery, "
@@ -13774,6 +13872,7 @@ def oracle_sql() -> dict[str, str]:
         "q249_kleinberg_bursts": _q249_oracle(),
         "q251_diff_in_diff": _q251_oracle(),
         "q252_mann_whitney": _q252_oracle(),
+        "q253_fleiss_kappa": _q253_oracle(),
     }
 
 

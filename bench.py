@@ -270,6 +270,8 @@ BENCH_QUERIES = [
     "q250_cox_hazards",
     "q251_diff_in_diff",
     "q252_mann_whitney",
+    "q253_fleiss_kappa",
+    "q254_logistic_propensity",
 ]
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["roc_auc", "calibration_bins", "ranking_metrics"]
+__all__ = ["roc_auc", "calibration_bins", "ranking_metrics", "fleiss_kappa", "logistic_regression"]
 
 
 def roc_auc(
@@ -805,4 +805,187 @@ def ranking_metric_ci(
         "lo",
         "hi",
         F.lit(B).alias("replicates"),
+    )
+
+
+def fleiss_kappa(
+    ratings: DataFrame,
+    *,
+    item_col: str,
+    category_col: str,
+    by: str | None = None,
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected inter-rater agreement over a
+    labeling corpus (one row per rating): the gate a label-driven
+    curation pipeline runs BEFORE training on human/model labels, where
+    raw percent-agreement flatters any skewed category mix.
+
+        P_i   = (sum_j n_ij^2 - n) / (n * (n - 1))   per item
+        P_bar = mean_i P_i
+        P_e   = sum_j p_j^2,  p_j = category share over all ratings
+        kappa = (P_bar - P_e) / (1 - P_e)
+
+    Classic Fleiss (1971) requires a CONSTANT rater count n per item —
+    validated here (one count-distinct aggregate), raising otherwise,
+    because silently mixing panel sizes changes the statistic's meaning.
+
+    Exactness: with constant n every term is a ratio of INTEGER sums —
+    P_bar = (sum_ij n_ij^2 - N*n) / (N*n*(n-1)) and
+    P_e = (sum_j n_j^2) / (N*n)^2 — so the whole statistic is decimal
+    integer aggregates (order-free) + a fixed IEEE chain; never a mean
+    of per-item doubles (summation order would differ across engines).
+    Shape: one (item, category) count shuffle, integer roll-ups, scalar
+    arithmetic; nothing data-sized leaves the executors.
+
+    Output: ([by,] n_items, n_raters, p_bar, p_e, kappa).
+    """
+    gcols = [by] if by else []
+    counts = ratings.groupBy(
+        *gcols, F.col(item_col).alias("__i"), F.col(category_col).alias("__cat")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__nij"))
+    per_item = counts.groupBy(*gcols, "__i").agg(
+        F.sum("__nij").cast("long").alias("__n"),
+        F.sum(
+            F.col("__nij").cast("decimal(19,0)") * F.col("__nij").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("__sq"),
+    )
+    # constant-panel validation (per group)
+    bad = per_item.groupBy(*gcols).agg(
+        F.countDistinct("__n").alias("__k"), F.min("__n").alias("__nmin")
+    ).filter((F.col("__k") > 1) | (F.col("__nmin") < 2)).limit(1).collect()
+    if bad:
+        raise ValueError(
+            "fleiss_kappa requires a constant rater count >= 2 per item "
+            "(classic Fleiss 1971); normalize the panel upstream"
+        )
+    items = per_item.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.max("__n").cast("long").alias("n_raters"),
+        F.sum("__sq").cast("decimal(38,0)").alias("__S"),
+    )
+    cats = counts.groupBy(*gcols, "__cat").agg(
+        F.sum("__nij").cast("long").alias("__nj")
+    )
+    csq = cats.groupBy(*gcols).agg(
+        F.sum(
+            F.col("__nj").cast("decimal(19,0)") * F.col("__nj").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("__C")
+    )
+    j = items.join(csq, gcols) if gcols else items.crossJoin(csq)
+    total = (F.col("n_items") * F.col("n_raters")).cast("double")
+    p_bar = (
+        F.col("__S").cast("double")
+        - (F.col("n_items") * F.col("n_raters")).cast("double")
+    ) / (
+        (F.col("n_items") * F.col("n_raters")).cast("double")
+        * (F.col("n_raters") - F.lit(1)).cast("double")
+    )
+    p_e = F.col("__C").cast("double") / (total * total)
+    j = j.select(
+        *gcols,
+        "n_items",
+        "n_raters",
+        p_bar.alias("p_bar"),
+        p_e.alias("p_e"),
+    )
+    # p_e == 1 means ONE category ever appeared: kappa is 0/0 —
+    # undefined, reported NULL (chance agreement is total; the
+    # statistic carries no information)
+    return j.select(
+        *gcols,
+        "n_items",
+        "n_raters",
+        "p_bar",
+        "p_e",
+        F.when(
+            F.col("p_e") < 1.0,
+            (F.col("p_bar") - F.col("p_e")) / (F.lit(1.0) - F.col("p_e")),
+        ).alias("kappa"),
+    )
+
+
+def logistic_regression(
+    df: DataFrame,
+    *,
+    label_col: str,
+    feature_cols: list[str],
+    iters: int = 6,
+    ridge: float = 0.0,
+) -> DataFrame:
+    """Logistic regression by budgeted Newton-Raphson — the propensity /
+    uplift / quality-classifier workhorse the experimentation and
+    curation families compose with (propensity scores for observational
+    readouts, calibrated gating scores for corpus filters).  Intercept
+    included automatically.
+
+    Distributed shape (the cox_ph pattern): each Newton step needs only
+    the p(p+3)/2 sufficient sums  grad = X'(y - mu)  and
+    H = X' diag(mu(1-mu)) X  with mu = sigmoid(X beta) — ONE full-scan
+    aggregate per step, a (p+1)x(p+1) driver solve, no sort, no
+    data-sized state.  ``iters`` fixed steps from beta = 0 (quadratic
+    convergence; 6 reaches ~1e-8 relative movement on non-separable
+    inputs).  Perfectly separable data diverges in ANY unpenalized
+    logistic fit — pass ``ridge`` > 0 there.
+
+    Not SQL-oracle-checkable (sigmoid is libm-dependent across
+    engines), so rows-only at the driver gate; correctness is pinned by
+    a from-scratch numpy IRLS reference at rel 1e-8
+    (tests/test_survival_cox.py::test_logistic_matches_numpy_reference).
+
+    Output: one row per term — (feature, beta, se, z), feature
+    '__intercept' first.
+    """
+    import numpy as np
+
+    p = len(feature_cols)
+    if p == 0:
+        raise ValueError("need at least one feature")
+    if p > 16:
+        raise ValueError("driver-side Newton solve capped at 16 features")
+    y = F.col(label_col).cast("double")
+    base = df.select(
+        y.alias("__y"),
+        *[
+            F.col(feature_cols[j]).cast("double").alias(f"__x{j}")
+            for j in range(p)
+        ],
+    ).localCheckpoint(eager=True)
+    names = ["__intercept"] + list(feature_cols)
+    k = p + 1
+
+    beta = np.zeros(k)
+    hinv = np.eye(k)
+    for _ in range(int(iters)):
+        lp = F.lit(float(beta[0]))
+        for j in range(p):
+            lp = lp + F.lit(float(beta[j + 1])) * F.col(f"__x{j}")
+        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-lp))
+        w = mu * (F.lit(1.0) - mu)
+        xs = [F.lit(1.0)] + [F.col(f"__x{j}") for j in range(p)]
+        aggs = []
+        for a in range(k):
+            aggs.append(F.sum(xs[a] * (F.col("__y") - mu)).alias(f"g_{a}"))
+            for b in range(a, k):
+                aggs.append(F.sum(xs[a] * xs[b] * w).alias(f"h_{a}_{b}"))
+        row = base.agg(*aggs).collect()[0]
+        g = np.array([row[f"g_{a}"] for a in range(k)])
+        H = np.zeros((k, k))
+        for a in range(k):
+            for b in range(a, k):
+                H[a, b] = H[b, a] = row[f"h_{a}_{b}"]
+        H += float(ridge) * np.eye(k)
+        hinv = np.linalg.inv(H)
+        beta = beta + hinv @ g
+
+    out = [
+        (
+            names[a],
+            float(beta[a]),
+            float(np.sqrt(hinv[a, a])),
+            float(beta[a] / np.sqrt(hinv[a, a])),
+        )
+        for a in range(k)
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "feature string, beta double, se double, z double"
     )

@@ -98,3 +98,86 @@ def test_cox_ph_partition_invariance_and_guards(spark):
             spark.createDataFrame(rows, "dur long, ev int, x0 double, x1 double"),
             duration_col="dur", event_col="ev", covariate_cols=[],
         )
+
+
+def test_logistic_matches_numpy_reference(spark):
+    """From-scratch numpy IRLS on the identical likelihood: beta/se/z
+    equal at rel 1e-8, planted effect recovered with correct signs."""
+    from patternly_spark.operators.model_eval import logistic_regression
+
+    rng = np.random.default_rng(3)
+    n = 500
+    X = np.column_stack([rng.normal(size=n), rng.integers(0, 2, n).astype(float)])
+    lin = -0.5 + 1.2 * X[:, 0] - 0.8 * X[:, 1]
+    y = (rng.random(n) < 1.0 / (1.0 + np.exp(-lin))).astype(int)
+    df = spark.createDataFrame(
+        [(int(y[i]), float(X[i, 0]), float(X[i, 1])) for i in range(n)],
+        "y int, x0 double, x1 double",
+    )
+    got = {
+        r["feature"]: r
+        for r in logistic_regression(
+            df, label_col="y", feature_cols=["x0", "x1"]
+        ).collect()
+    }
+
+    Xd = np.column_stack([np.ones(n), X])
+    beta = np.zeros(3)
+    hinv = np.eye(3)
+    for _ in range(6):
+        mu = 1.0 / (1.0 + np.exp(-(Xd @ beta)))
+        g = Xd.T @ (y - mu)
+        H = (Xd.T * (mu * (1 - mu))) @ Xd
+        hinv = np.linalg.inv(H)
+        beta = beta + hinv @ g
+    for a, name in enumerate(["__intercept", "x0", "x1"]):
+        assert got[name]["beta"] == pytest.approx(beta[a], rel=1e-8)
+        assert got[name]["se"] == pytest.approx(np.sqrt(hinv[a, a]), rel=1e-8)
+    assert 0.8 < got["x0"]["beta"] < 1.6 and -1.3 < got["x1"]["beta"] < -0.4
+    with pytest.raises(ValueError, match="at least one"):
+        logistic_regression(df, label_col="y", feature_cols=[])
+
+
+def test_fleiss_kappa_hand_computed(spark):
+    """Textbook panel: 4 items x 3 raters with known counts; kappa
+    checked against the hand formula, perfect agreement gives 1, and a
+    ragged panel raises."""
+    from patternly_spark.operators.model_eval import fleiss_kappa
+
+    panels = {1: ["a", "a", "a"], 2: ["a", "a", "b"], 3: ["b", "b", "b"], 4: ["a", "b", "b"]}
+    rows = [(i, c) for i, cats in panels.items() for c in cats]
+    df = spark.createDataFrame(rows, "item long, cat string")
+    out = fleiss_kappa(df, item_col="item", category_col="cat").collect()[0]
+    # hand: n=3, N=4; sum nij^2 = 9 + (4+1) + 9 + (1+4) = 28
+    # p_bar = (28 - 12) / (12*2) = 16/24; nj: a=6, b=6 -> C=72
+    # p_e = 72/144 = 0.5; kappa = (2/3 - 1/2)/(1/2) = 1/3
+    assert out["n_items"] == 4 and out["n_raters"] == 3
+    assert out["p_bar"] == pytest.approx(16 / 24)
+    assert out["p_e"] == pytest.approx(0.5)
+    assert out["kappa"] == pytest.approx(1 / 3)
+
+    # unanimous items over TWO categories: p_bar = 1, p_e < 1 -> kappa 1
+    perfect = spark.createDataFrame(
+        [(i, "x" if i % 2 == 0 else "y") for i in range(6) for _ in range(4)],
+        "item long, cat string",
+    )
+    assert fleiss_kappa(perfect, item_col="item", category_col="cat").collect()[0][
+        "kappa"
+    ] == pytest.approx(1.0)
+
+    # single-category corpus: p_e = 1 -> kappa undefined, NULL
+    degenerate = spark.createDataFrame(
+        [(i, "x") for i in range(5) for _ in range(4)], "item long, cat string"
+    )
+    assert (
+        fleiss_kappa(degenerate, item_col="item", category_col="cat").collect()[0][
+            "kappa"
+        ]
+        is None
+    )
+
+    ragged = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a")], "item long, cat string"
+    )
+    with pytest.raises(ValueError, match="constant rater count"):
+        fleiss_kappa(ragged, item_col="item", category_col="cat")
