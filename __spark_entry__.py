@@ -11771,6 +11771,58 @@ def q254_logistic_propensity(spark, sf_dir):
     )
 
 
+def q255_event_study(spark, sf_dir):
+    """Event-study timeline (operators/drift.arm_gap_timeline): per UTC
+    week, the gap between md5-coin arm means of per-user event cents —
+    the pre-trend check q251's single DiD number assumes away.  Integer
+    sums + single divisions: engine-exact."""
+    from patternly_spark.operators.drift import arm_gap_timeline
+    from patternly_spark.operators.sampling import hash_fraction
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        # integer div (Spark `div` == DuckDB `//` on positive longs)
+        F.expr("unix_micros(ts) div 604800000000").cast("long").alias("week"),
+        F.when(hash_fraction(F.col("user_id"), seed="arm") < F.lit(0.5), "a")
+        .otherwise("b")
+        .alias("arm"),
+    )
+    return arm_gap_timeline(
+        ev, "cents", unit_col="user_id", arm_col="arm", period_col="week"
+    )
+
+
+def _q255_oracle() -> str:
+    return f"""
+    WITH base AS (
+        SELECT user_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week,
+               CASE WHEN CAST(('0x' || substr(md5('arm' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         / 4294967296.0 < {_dlit(0.5)}
+                    THEN 'a' ELSE 'b' END AS arm
+        FROM events
+    ), per_unit AS (
+        SELECT week AS period, arm, user_id,
+               CAST(SUM(cents) AS BIGINT) AS s
+        FROM base GROUP BY week, arm, user_id
+    ), per_arm AS (
+        SELECT period, arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(s) AS BIGINT) AS s
+        FROM per_unit GROUP BY period, arm
+    )
+    SELECT COALESCE(c.period, t.period) AS period,
+           c.n AS n_control, t.n AS n_treatment,
+           CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE) AS mean_control_cents,
+           CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) AS mean_treatment_cents,
+           CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)
+             - CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE) AS gap_cents
+    FROM (SELECT * FROM per_arm WHERE arm = 'a') c
+    FULL JOIN (SELECT * FROM per_arm WHERE arm = 'b') t ON c.period = t.period
+    """
+
+
 def _q249_oracle() -> str:
     s_lit, g_lit = _dlit(2.0), _dlit(1.0)
     return f"""
@@ -12099,6 +12151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q252_mann_whitney": q252_mann_whitney,
         "q253_fleiss_kappa": q253_fleiss_kappa,
         "q254_logistic_propensity": q254_logistic_propensity,
+        "q255_event_study": q255_event_study,
     }
 
 
@@ -13873,6 +13926,7 @@ def oracle_sql() -> dict[str, str]:
         "q251_diff_in_diff": _q251_oracle(),
         "q252_mann_whitney": _q252_oracle(),
         "q253_fleiss_kappa": _q253_oracle(),
+        "q255_event_study": _q255_oracle(),
     }
 
 

@@ -272,6 +272,7 @@ BENCH_QUERIES = [
     "q252_mann_whitney",
     "q253_fleiss_kappa",
     "q254_logistic_propensity",
+    "q255_event_study",
 ]
 
 

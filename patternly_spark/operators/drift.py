@@ -1696,3 +1696,68 @@ def mwu_from_grid(grid: DataFrame, *, gcols: list[str]) -> DataFrame:
         sigma.alias("sigma"),
         ((u - mu) / sigma).alias("z"),
     )
+
+
+def arm_gap_timeline(
+    df: DataFrame,
+    value_cents_col: str,
+    *,
+    unit_col: str,
+    arm_col: str,
+    period_col: str,
+) -> DataFrame:
+    """Event-study timeline — the PRE-TREND check q251's single DiD
+    number assumes away: per period, the gap between arm means of
+    PER-UNIT cents (clustered at the unit, the independence level).  A
+    rollout readout is only credible if the gap is flat before the
+    treatment period; this is the table that shows it (and afterwards,
+    the per-period effect trajectory).
+
+    Exactness: per-(period, arm, unit) integer sums, then per-(period,
+    arm) (n_units, sum) — means are single divisions, the gap one
+    subtraction: plain SQL replays every double.  One-arm periods
+    surface with NULLs on the missing side (the quantile_lift
+    convention).
+
+    Shape: two keyed integer aggregations (map-side combine) + a tiny
+    period-grid join — nothing data-sized shuffles twice.
+
+    Output: (period, n_control, n_treatment, mean_control_cents,
+    mean_treatment_cents, gap_cents), one row per (period, both-arm
+    presence).
+    """
+    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
+    if len(arms) != 2:
+        raise ValueError(f"arm_gap_timeline needs exactly 2 arms, got {arms}")
+    ctrl, trt = arms
+    v = F.col(value_cents_col).cast("long")
+    per_unit = df.groupBy(
+        F.col(period_col).alias("period"),
+        F.col(arm_col).alias("__a"),
+        F.col(unit_col).alias("__u"),
+    ).agg(F.sum(v).cast("long").alias("__s"))
+    per_arm = per_unit.groupBy("period", "__a").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__s").cast("long").alias("s"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    c = per_arm.filter(F.col("__a") == ctrl).select(
+        "period",
+        F.col("n").alias("n_control"),
+        mean.alias("mean_control_cents"),
+    )
+    t = per_arm.filter(F.col("__a") == trt).select(
+        "period",
+        F.col("n").alias("n_treatment"),
+        mean.alias("mean_treatment_cents"),
+    )
+    return c.join(t, ["period"], "full_outer").select(
+        "period",
+        "n_control",
+        "n_treatment",
+        "mean_control_cents",
+        "mean_treatment_cents",
+        (F.col("mean_treatment_cents") - F.col("mean_control_cents")).alias(
+            "gap_cents"
+        ),
+    )

@@ -553,3 +553,34 @@ def test_streaming_rank_test_registry_equals_batch(spark, tmp_path):
     from patternly_spark.streaming.exactly_once import read_registry
 
     assert read_registry(spark, str(tmp_path / "reg")).count() <= 80
+
+
+def test_arm_gap_timeline_hand_computed(spark):
+    """Per-period clustered gap: hand case incl. a period where one arm
+    is absent (NULLs, the one-arm-visibility convention) and a unit
+    with multiple rows in a period (clustered sum, not row mean)."""
+    from patternly_spark.operators.drift import arm_gap_timeline
+
+    rows = [
+        # period 0: a-units {1: 10+20, 2: 30}; b-units {3: 40}
+        (1, "a", 0, 10), (1, "a", 0, 20), (2, "a", 0, 30), (3, "b", 0, 40),
+        # period 1: only treatment
+        (3, "b", 1, 70),
+    ]
+    df = spark.createDataFrame(rows, "unit long, arm string, period long, cents long")
+    out = {r["period"]: r for r in arm_gap_timeline(
+        df, "cents", unit_col="unit", arm_col="arm", period_col="period"
+    ).collect()}
+    p0 = out[0]
+    assert p0["n_control"] == 2 and p0["n_treatment"] == 1
+    assert p0["mean_control_cents"] == pytest.approx((30 + 30) / 2)
+    assert p0["mean_treatment_cents"] == 40.0
+    assert p0["gap_cents"] == pytest.approx(40 - 30)
+    p1 = out[1]
+    assert p1["n_control"] is None and p1["gap_cents"] is None
+    assert p1["mean_treatment_cents"] == 70.0
+    with pytest.raises(ValueError, match="2 arms"):
+        arm_gap_timeline(
+            spark.createDataFrame([(1, "x", 0, 1)], "unit long, arm string, period long, cents long"),
+            "cents", unit_col="unit", arm_col="arm", period_col="period",
+        )
