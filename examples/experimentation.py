@@ -63,6 +63,7 @@ def main() -> None:
         ).cast("int").alias("converted"),
     )
     armed = per_user.select(
+        "user_id",
         (F.col("user_id") % 2).cast("int").alias("arm"),
         "pre", "post", "converted",
     )
@@ -118,8 +119,12 @@ def main() -> None:
     print("== 6. difference-in-differences on per-user spend ==")
     from patternly_spark.operators.drift import diff_in_diff, mann_whitney_u
 
+    # the unit key must be DETERMINISTIC: did_rows is referenced in two
+    # union branches, and a nondeterministic id (monotonically_increasing_id)
+    # can re-evaluate differently per branch, splitting every unit into
+    # pre-only/post-only pseudo-units — user_id is the natural key
     did_rows = armed.select(
-        F.monotonically_increasing_id().alias("unit_row"), "arm", "pre", "post"
+        F.col("user_id").alias("unit_row"), "arm", "pre", "post"
     )
     did_in = did_rows.selectExpr(
         "unit_row as unit", "arm", "0 as is_post", "pre as cents"

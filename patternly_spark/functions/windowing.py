@@ -46,8 +46,12 @@ def add_dense_offset(
     ordering (bucket boundaries must respect the global order).  Ties on
     ``range_col`` land in one bucket; heavy ties skew that bucket.
     """
+    from patternly_spark.plans import shuffle_partitions
+
     spark = df.sparkSession
-    n_b = num_buckets or min(int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4, 256)
+    # robust conf read: the setting can be the literal "auto" on
+    # AQE-managed platforms (plans.shuffle_partitions handles it)
+    n_b = num_buckets or min(shuffle_partitions(spark, default=32) * 4, 256)
     rc = F.col(range_col) if isinstance(range_col, str) else range_col
     if rc is None:
         rc = F.col(order_cols[0])

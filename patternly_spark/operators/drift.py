@@ -1521,6 +1521,9 @@ def diff_in_diff(
 
     Output: ([by,] n_control, n_treatment, mean_delta_control,
     mean_delta_treatment, did_cents, se, z) — one row per group.
+    Degenerate groups surface as NULL, never NaN/Inf: a single-unit arm
+    has no ddof=1 variance (var/se/z NULL) and identical deltas
+    everywhere give se = 0 (z NULL) — the fleiss_kappa convention.
     """
     arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
     if len(arms) != 2:
@@ -1558,10 +1561,14 @@ def did_from_deltas(
     )
     nd = F.col("n").cast("double")
     mean = F.col("s").cast("double") / nd
-    # sample variance ddof=1, closed form over exact integer moments
-    var = (
+    # sample variance ddof=1, closed form over exact integer moments.
+    # A single-unit arm has no ddof=1 variance — surface NULL (the
+    # fleiss_kappa degenerate-input convention), not the 0/0 NaN the
+    # bare division would produce; NULL then propagates through se and z.
+    var = F.when(
+        F.col("n") >= F.lit(2),
         (F.col("ss").cast("double") - (F.col("s").cast("double") * F.col("s").cast("double")) / nd)
-        / (nd - F.lit(1.0))
+        / (nd - F.lit(1.0)),
     )
     m = m.select(*gcols, "__a", F.col("n"), mean.alias("mean_delta"), var.alias("var_delta"))
     c = m.filter(F.col("__a") == ctrl).select(
@@ -1584,6 +1591,9 @@ def did_from_deltas(
         F.col("__vt") / F.col("n_treatment").cast("double")
         + F.col("__vc") / F.col("n_control").cast("double")
     )
+    # se == 0 (all deltas identical in both arms) would make z = 0/0
+    # NaN; degenerate groups surface as NULL instead (se NULL from a
+    # single-unit arm already propagates to a NULL z through the when)
     return joined.select(
         *gcols,
         "n_control",
@@ -1592,7 +1602,7 @@ def did_from_deltas(
         "mean_delta_treatment",
         did.alias("did_cents"),
         se.alias("se"),
-        (did / se).alias("z"),
+        F.when(se > F.lit(0.0), did / se).alias("z"),
     )
 
 
@@ -1633,6 +1643,10 @@ def mann_whitney_u(
     grid-sized cumulative window, one scalar aggregate.
 
     Output: ([by,] n_control, n_treatment, u_treatment, mu, sigma, z).
+    Degenerate groups surface as NULL, never NaN: one-arm-empty groups
+    (possible under ``by=``) report sigma NULL, and all-values-tied
+    groups report a true sigma = 0 with z NULL — the fleiss_kappa
+    convention.
     """
     arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
     if len(arms) != 2:
@@ -1683,9 +1697,19 @@ def mwu_from_grid(grid: DataFrame, *, gcols: list[str]) -> DataFrame:
         - (F.col("n_treatment") * (F.col("n_treatment") + F.lit(1))).cast("double")
     ) / F.lit(2.0)
     mu = (n1 * n2) / F.lit(2.0)
-    sigma = F.sqrt(
-        ((n1 * n2) / F.lit(12.0))
-        * ((nn + F.lit(1.0)) - F.col("__tie").cast("double") / (nn * (nn - F.lit(1.0))))
+    # one-arm-empty groups would make the tie term 0/0 NaN (and NaN > 0
+    # is TRUE under Spark's NaN ordering, so the z guard alone is not
+    # enough): sigma is NULL unless both arms have rows — with both arms
+    # present nn >= 2, the tie term is finite and sigma^2 >= 0, so the
+    # sqrt cannot be NaN.  All-values-tied gives a true sigma == 0
+    # (reported), and z surfaces as NULL instead of 0/0 NaN — the
+    # fleiss_kappa degenerate-input convention.
+    sigma = F.when(
+        (F.col("n_control") > F.lit(0)) & (F.col("n_treatment") > F.lit(0)),
+        F.sqrt(
+            ((n1 * n2) / F.lit(12.0))
+            * ((nn + F.lit(1.0)) - F.col("__tie").cast("double") / (nn * (nn - F.lit(1.0))))
+        ),
     )
     return j.select(
         *gcols,
@@ -1694,7 +1718,7 @@ def mwu_from_grid(grid: DataFrame, *, gcols: list[str]) -> DataFrame:
         u.alias("u_treatment"),
         mu.alias("mu"),
         sigma.alias("sigma"),
-        ((u - mu) / sigma).alias("z"),
+        F.when(sigma > F.lit(0.0), (u - mu) / sigma).alias("z"),
     )
 
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from patternly_spark.plans import round_partitions, tuned_shuffle
+
 
 def _canon(edges: DataFrame) -> DataFrame:
     """(u, v) undirected-unique with u > v, self-loops dropped."""
@@ -90,17 +92,23 @@ def connected_components(
     ).localCheckpoint(eager=True)
     cur_sum = _checksum(cur)
 
-    for _ in range(max_iterations):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        nxt_sum = _checksum(nxt)
-        if nxt_sum == cur_sum and nxt.exceptAll(cur).isEmpty():
-            cur = nxt
-            break
-        cur, cur_sum = nxt, nxt_sum
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} rounds"
-        )
+    # round-heavy: O(log n) star rounds want bytes-sized partitions, not
+    # the session default (plans.round_partitions — the measured
+    # sf30/sf100 partition-sizing policy).  Values are partition-count
+    # invariant (min/distinct), only wall clock changes.
+    spark = edges.sparkSession
+    with tuned_shuffle(spark, round_partitions(spark, cur_sum[0])):
+        for _ in range(max_iterations):
+            nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+            nxt_sum = _checksum(nxt)
+            if nxt_sum == cur_sum and nxt.exceptAll(cur).isEmpty():
+                cur = nxt
+                break
+            cur, cur_sum = nxt, nxt_sum
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} rounds"
+            )
 
     # fixpoint is a star forest: every non-root points at its component min
     nodes = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
@@ -194,43 +202,46 @@ def pagerank(
     d = float(damping)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     pending: list[DataFrame] = []
-    for it in range(int(iterations)):
-        contribs = (
-            links.join(ranks.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
-        )
-        # cached because both the dangling aggregate and the rank join
-        # consume it; dropped as soon as a checkpoint materializes them
-        contribs.cache()
-        pending.append(contribs)
-        # total emitted contribution == rank mass held by nodes WITH
-        # out-edges, so dangling mass = 1 - sum(__in) — a 1-row lazy
-        # broadcast aggregate REUSING contribs, not a separate join or a
-        # per-iteration driver action: each iteration is exactly two
-        # shuffles (ranks x links equi-join, groupBy dst) plus the
-        # nodes join, and rounds compile into one plan per checkpoint
-        # interval
-        dang = contribs.agg(
-            (F.lit(1.0) - F.coalesce(F.sum("__in"), F.lit(0.0))).alias("__dm")
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - d) / n)
-                    + F.lit(d) * F.col("__dm") / F.lit(float(n))
-                    + F.lit(d) * F.coalesce(F.col("__in"), F.lit(0.0))
-                ).alias("rank"),
+    # round-heavy: bytes-sized partitions per the measured policy
+    spark = edges.sparkSession
+    with tuned_shuffle(spark, round_partitions(spark, e.count())):
+        for it in range(int(iterations)):
+            contribs = (
+                links.join(ranks.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
             )
-        )
-        if (it + 1) % int(checkpoint_every) == 0 or it == int(iterations) - 1:
-            ranks = ranks.localCheckpoint(eager=True)
-            for c in pending:
-                c.unpersist(False)
-            pending = []
+            # cached because both the dangling aggregate and the rank join
+            # consume it; dropped as soon as a checkpoint materializes them
+            contribs.cache()
+            pending.append(contribs)
+            # total emitted contribution == rank mass held by nodes WITH
+            # out-edges, so dangling mass = 1 - sum(__in) — a 1-row lazy
+            # broadcast aggregate REUSING contribs, not a separate join or a
+            # per-iteration driver action: each iteration is exactly two
+            # shuffles (ranks x links equi-join, groupBy dst) plus the
+            # nodes join, and rounds compile into one plan per checkpoint
+            # interval
+            dang = contribs.agg(
+                (F.lit(1.0) - F.coalesce(F.sum("__in"), F.lit(0.0))).alias("__dm")
+            )
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - d) / n)
+                        + F.lit(d) * F.col("__dm") / F.lit(float(n))
+                        + F.lit(d) * F.coalesce(F.col("__in"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
+            if (it + 1) % int(checkpoint_every) == 0 or it == int(iterations) - 1:
+                ranks = ranks.localCheckpoint(eager=True)
+                for c in pending:
+                    c.unpersist(False)
+                pending = []
     # the final ranks are checkpointed (no lineage into the cached
     # relations), so release them instead of leaking in a long session
     for df_ in (links, nodes, e):
@@ -277,24 +288,26 @@ def label_propagation(
     nodes.cache()
     labels = nodes.withColumn("label", F.col("node"))
     w = Window.partitionBy("node").orderBy(F.desc("__c"), F.asc("label"))
-    for it in range(int(iterations)):
-        neigh = (
-            sym.join(labels.withColumnRenamed("node", "b"), "b")
-            .groupBy(F.col("a").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("__c"))
-        )
-        best = (
-            neigh.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
-            .select("node", F.col("label").alias("__new"))
-        )
-        labels = (
-            nodes.join(labels, "node")
-            .join(best, "node", "left")
-            .select("node", F.coalesce("__new", "label").alias("label"))
-        )
-        if (it + 1) % int(checkpoint_every) == 0 or it == int(iterations) - 1:
-            labels = labels.localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    with tuned_shuffle(spark, round_partitions(spark, sym.count())):
+        for it in range(int(iterations)):
+            neigh = (
+                sym.join(labels.withColumnRenamed("node", "b"), "b")
+                .groupBy(F.col("a").alias("node"), "label")
+                .agg(F.count(F.lit(1)).alias("__c"))
+            )
+            best = (
+                neigh.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") == 1)
+                .select("node", F.col("label").alias("__new"))
+            )
+            labels = (
+                nodes.join(labels, "node")
+                .join(best, "node", "left")
+                .select("node", F.coalesce("__new", "label").alias("label"))
+            )
+            if (it + 1) % int(checkpoint_every) == 0 or it == int(iterations) - 1:
+                labels = labels.localCheckpoint(eager=True)
     for df_ in (nodes, sym):
         df_.unpersist(False)
     return labels
@@ -435,23 +448,28 @@ def kcore(
     )
     kk = int(k)
     converged = False
-    for _ in range(int(max_rounds)):
-        deg = (
-            und.select(F.col("u").alias("node"))
-            .unionAll(und.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-        )
-        bad = deg.filter(F.col("degree") < kk).select("node")
-        if bad.limit(1).count() == 0:
-            converged = True
-            break
-        und = (
-            und.join(bad.withColumnRenamed("node", "u"), "u", "left_anti")
-            .join(bad.withColumnRenamed("node", "v"), "v", "left_anti")
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
+    # round-heavy: bytes-sized shuffle partitions per the measured
+    # sf30/sf100 policy (plans.round_partitions); values are
+    # partition-count invariant, only wall clock changes
+    spark = edges.sparkSession
+    with tuned_shuffle(spark, round_partitions(spark, und.count())):
+        for _ in range(int(max_rounds)):
+            deg = (
+                und.select(F.col("u").alias("node"))
+                .unionAll(und.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+            )
+            bad = deg.filter(F.col("degree") < kk).select("node")
+            if bad.limit(1).count() == 0:
+                converged = True
+                break
+            und = (
+                und.join(bad.withColumnRenamed("node", "u"), "u", "left_anti")
+                .join(bad.withColumnRenamed("node", "v"), "v", "left_anti")
+                .select("u", "v")
+                .localCheckpoint(eager=True)
+            )
     if not converged:
         # the final round may have peeled the last under-k nodes without
         # a follow-up check — re-verify before declaring failure
@@ -529,29 +547,34 @@ def core_numbers(
             lambda acc, ok: F.when(ok == 1, acc + 1).otherwise(acc),
         )
 
-    for _ in range(int(max_rounds)):
-        neigh = (
-            both.join(
-                labels.select(F.col("node").alias("b"), F.col("label").alias("nl")),
-                "b",
+    # round-heavy: bytes-sized shuffle partitions per the measured
+    # sf30/sf100 policy (plans.round_partitions); values are
+    # partition-count invariant, only wall clock changes
+    spark = edges.sparkSession
+    with tuned_shuffle(spark, round_partitions(spark, und.count())):
+        for _ in range(int(max_rounds)):
+            neigh = (
+                both.join(
+                    labels.select(F.col("node").alias("b"), F.col("label").alias("nl")),
+                    "b",
+                )
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.collect_list("nl").alias("__nls"))
             )
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.collect_list("nl").alias("__nls"))
-        )
-        new_labels = (
-            neigh.join(labels, "node")
-            .select(
-                "node",
-                F.least(F.col("label"), _h_index(F.col("__nls")).cast("long")).alias(
-                    "new_label"
-                ),
-                "label",
-            )
-        ).localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("new_label") != F.col("label")).limit(1).count()
-        labels = new_labels.select("node", F.col("new_label").alias("label"))
-        if changed == 0:
-            return labels.select("node", F.col("label").alias("core"))
+            new_labels = (
+                neigh.join(labels, "node")
+                .select(
+                    "node",
+                    F.least(F.col("label"), _h_index(F.col("__nls")).cast("long")).alias(
+                        "new_label"
+                    ),
+                    "label",
+                )
+            ).localCheckpoint(eager=True)
+            changed = new_labels.filter(F.col("new_label") != F.col("label")).limit(1).count()
+            labels = new_labels.select("node", F.col("new_label").alias("label"))
+            if changed == 0:
+                return labels.select("node", F.col("label").alias("core"))
     raise RuntimeError(
         f"core_numbers did not converge within {max_rounds} rounds; "
         "labels are an unconverged upper bound — raise max_rounds"
@@ -614,54 +637,59 @@ def minimum_spanning_forest(
         .localCheckpoint(eager=True)
     )
     forest = spark.createDataFrame([], "u long, v long, w double")
-    for _ in range(int(max_rounds)):
-        lab_u = labels.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
-        lab_v = labels.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
-        crossing = (
-            e.join(lab_u, "u")
-            .join(lab_v, "v")
-            .filter(F.col("cu") != F.col("cv"))
-            .localCheckpoint(eager=True)
-        )
-        if crossing.limit(1).count() == 0:
-            break
-        # each component's minimum outgoing edge, totally tie-broken
-        pick = F.struct(F.col("w"), F.col("u"), F.col("v"))
-        per_comp = (
-            crossing.select(F.col("cu").alias("comp"), pick.alias("p"))
-            .unionAll(crossing.select(F.col("cv").alias("comp"), pick.alias("p")))
-            .groupBy("comp")
-            .agg(F.min("p").alias("p"))
-            .select("p.u", "p.v", "p.w")
-            .distinct()
-        )
-        forest = forest.unionByName(
-            per_comp.select("u", "v", "w")
-        ).localCheckpoint(eager=True)
-        # merge components: CC over comp-level star edges
-        comp_edges = (
-            crossing.join(
-                per_comp.select("u", "v"), ["u", "v"], "left_semi"
+    # round-heavy: bytes-sized shuffle partitions per the measured
+    # sf30/sf100 policy (plans.round_partitions); values are
+    # partition-count invariant, only wall clock changes
+    spark = edges.sparkSession
+    with tuned_shuffle(spark, round_partitions(spark, e.count())):
+        for _ in range(int(max_rounds)):
+            lab_u = labels.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
+            lab_v = labels.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
+            crossing = (
+                e.join(lab_u, "u")
+                .join(lab_v, "v")
+                .filter(F.col("cu") != F.col("cv"))
+                .localCheckpoint(eager=True)
             )
-            .select(F.col("cu").alias("src"), F.col("cv").alias("dst"))
-            .distinct()
-        )
-        merged = connected_components(comp_edges)
-        labels = (
-            labels.join(
-                merged.withColumnRenamed("node", "comp"), "comp", "left"
+            if crossing.limit(1).count() == 0:
+                break
+            # each component's minimum outgoing edge, totally tie-broken
+            pick = F.struct(F.col("w"), F.col("u"), F.col("v"))
+            per_comp = (
+                crossing.select(F.col("cu").alias("comp"), pick.alias("p"))
+                .unionAll(crossing.select(F.col("cv").alias("comp"), pick.alias("p")))
+                .groupBy("comp")
+                .agg(F.min("p").alias("p"))
+                .select("p.u", "p.v", "p.w")
+                .distinct()
             )
-            .select(
-                "node",
-                F.coalesce(F.col("component"), F.col("comp")).alias("comp"),
+            forest = forest.unionByName(
+                per_comp.select("u", "v", "w")
+            ).localCheckpoint(eager=True)
+            # merge components: CC over comp-level star edges
+            comp_edges = (
+                crossing.join(
+                    per_comp.select("u", "v"), ["u", "v"], "left_semi"
+                )
+                .select(F.col("cu").alias("src"), F.col("cv").alias("dst"))
+                .distinct()
             )
-            .localCheckpoint(eager=True)
-        )
-    else:
-        if strict:
-            raise RuntimeError(
-                f"minimum_spanning_forest did not converge in {max_rounds} rounds"
+            merged = connected_components(comp_edges)
+            labels = (
+                labels.join(
+                    merged.withColumnRenamed("node", "comp"), "comp", "left"
+                )
+                .select(
+                    "node",
+                    F.coalesce(F.col("component"), F.col("comp")).alias("comp"),
+                )
+                .localCheckpoint(eager=True)
             )
+        else:
+            if strict:
+                raise RuntimeError(
+                    f"minimum_spanning_forest did not converge in {max_rounds} rounds"
+                )
     return forest.select("u", "v", F.col("w").alias(weight))
 
 
@@ -706,28 +734,33 @@ def personalized_pagerank_units(
     an, ad = int(alpha_num), int(alpha_den)
     restart = (u * (ad - an)) // ad
     p = sd.select("node", F.lit(u).cast("long").alias("pu"))
-    for _ in range(int(iterations)):
-        contrib = (
-            p.join(deg, p["node"] == deg["s"])
-            .join(e, "s")
-            .select(
-                F.col("d").alias("node"),
-                # integral `div`, NOT floor(double /): at ~2^40 units a
-                # double quotient can round up across an integer and
-                # floor() the wrong way — integer division cannot
-                F.expr(f"(pu * {an}) div ({ad} * od)")
-                .cast("long")
-                .alias("pu"),
+    # round-heavy: bytes-sized shuffle partitions per the measured
+    # sf30/sf100 policy (plans.round_partitions); values are
+    # partition-count invariant, only wall clock changes
+    spark = edges.sparkSession
+    with tuned_shuffle(spark, round_partitions(spark, e.count())):
+        for _ in range(int(iterations)):
+            contrib = (
+                p.join(deg, p["node"] == deg["s"])
+                .join(e, "s")
+                .select(
+                    F.col("d").alias("node"),
+                    # integral `div`, NOT floor(double /): at ~2^40 units a
+                    # double quotient can round up across an integer and
+                    # floor() the wrong way — integer division cannot
+                    F.expr(f"(pu * {an}) div ({ad} * od)")
+                    .cast("long")
+                    .alias("pu"),
+                )
             )
-        )
-        p = (
-            sd.select("node", F.lit(restart).cast("long").alias("pu"))
-            .unionByName(contrib)
-            .groupBy("node")
-            .agg(F.sum("pu").cast("long").alias("pu"))
-            .filter(F.col("pu") > 0)
-            .localCheckpoint(eager=True)
-        )
+            p = (
+                sd.select("node", F.lit(restart).cast("long").alias("pu"))
+                .unionByName(contrib)
+                .groupBy("node")
+                .agg(F.sum("pu").cast("long").alias("pu"))
+                .filter(F.col("pu") > 0)
+                .localCheckpoint(eager=True)
+            )
     return p.select(
         "node",
         F.col("pu").alias("ppr_units"),
@@ -780,19 +813,24 @@ def bfs_hops(
         .localCheckpoint(eager=True)
     )
     frontier = settled
-    for h in range(1, int(max_hops) + 1):
-        nxt = (
-            frontier.join(e, frontier["node"] == e["u"])
-            .select(F.col("v").alias("node"))
-            .distinct()
-            .join(settled.select("node"), "node", "left_anti")
-            .withColumn("hops", F.lit(h))
-            .localCheckpoint(eager=True)
-        )
-        if nxt.limit(1).count() == 0:
-            break
-        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+    # round-heavy: bytes-sized shuffle partitions per the measured
+    # sf30/sf100 policy (plans.round_partitions); values are
+    # partition-count invariant, only wall clock changes
+    spark = edges.sparkSession
+    with tuned_shuffle(spark, round_partitions(spark, e.count())):
+        for h in range(1, int(max_hops) + 1):
+            nxt = (
+                frontier.join(e, frontier["node"] == e["u"])
+                .select(F.col("v").alias("node"))
+                .distinct()
+                .join(settled.select("node"), "node", "left_anti")
+                .withColumn("hops", F.lit(h))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
     return settled.select("node", F.col("hops").cast("int").alias("hops"))
 
 
@@ -932,17 +970,22 @@ def neighborhood_function(
         )
 
     out = [snapshot(0, regs)]
-    for r in range(1, int(rounds) + 1):
-        pulled = e.join(regs, e["d"] == regs["node"]).select(
-            F.col("s").alias("node"), "reg", "rho"
-        )
-        regs = (
-            regs.unionByName(pulled)
-            .groupBy("node", "reg")
-            .agg(F.max("rho").alias("rho"))
-            .localCheckpoint(eager=True)
-        )
-        out.append(snapshot(r, regs))
+    # round-heavy: bytes-sized shuffle partitions per the measured
+    # sf30/sf100 policy (plans.round_partitions); values are
+    # partition-count invariant, only wall clock changes
+    spark = edges.sparkSession
+    with tuned_shuffle(spark, round_partitions(spark, e.count())):
+        for r in range(1, int(rounds) + 1):
+            pulled = e.join(regs, e["d"] == regs["node"]).select(
+                F.col("s").alias("node"), "reg", "rho"
+            )
+            regs = (
+                regs.unionByName(pulled)
+                .groupBy("node", "reg")
+                .agg(F.max("rho").alias("rho"))
+                .localCheckpoint(eager=True)
+            )
+            out.append(snapshot(r, regs))
     return _reduce(lambda a, b: a.unionByName(b), out)
 
 

@@ -1222,8 +1222,14 @@ def kleinberg_burst_states(
     out_schema = (
         f"__k {kt}, gap_idx long, start_us long, end_us long, state int"
     )
+    from patternly_spark.plans import shuffle_partitions
+
     spark = events.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # robust conf read: the setting can be the literal "auto" on
+    # AQE-managed platforms (int() would raise and make the operator
+    # unusable there) — plans.shuffle_partitions falls back to a sane
+    # default instead
+    n_part = shuffle_partitions(spark, default=200)
     part = src.repartition(n_part, "__k").sortWithinPartitions("__k", *sort_cols)
 
     def _dp_partition(batches):

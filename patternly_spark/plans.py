@@ -1,5 +1,6 @@
-"""Physical-plan auditing — the "is this the plan I'd want at 100 TB"
-check as a first-class utility instead of ad-hoc string greps.
+"""Physical-plan auditing and partition-sizing policy — the "is this
+the plan I'd want at 100 TB" check as a first-class utility instead of
+ad-hoc string greps.
 
 ``plan_audit(df)`` summarizes the executed plan: shuffle count,
 join strategies, Python boundaries, codegen spans, and what actually
@@ -9,16 +10,37 @@ guard for tests and pipelines — the repo's plan-shape regression tests
 (pushdown, broadcast, zero-shuffle llk, no-BNLJ range join,
 single-exchange packing) are all instances of these predicates.
 
-Everything reads Catalyst's own output; nothing here changes a plan.
+``round_partitions`` + ``tuned_shuffle`` are the engine's
+partition-sizing POLICY for round-heavy iterative operators (graph
+peels, label propagation, register propagation): the sf30/sf100 scale
+rehearsal (SCALING.md) measured that a ~30-round peel pays task-
+scheduling overhead per round x per partition, so it wants FEWER,
+larger shuffle partitions than a storage-heavy single pass — even at
+the cost of graceful disk spill (q189 at sf30: 128 s spilled at 32
+partitions vs 202 s spill-free at 128; see BENCH_scale_sf30_p64.json
+for the 64-partition knee point).  The policy picks min(session
+setting, max(bytes-derived,
+cores)) so it only ever LOWERS a too-high session setting toward the
+measured knee, never raises it, and is disabled entirely with
+SPARK_GRAFT_PARTITION_POLICY=0.
 """
 
 from __future__ import annotations
 
+import math
+import os
 import re
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
-__all__ = ["plan_audit", "assert_plan"]
+__all__ = [
+    "plan_audit",
+    "assert_plan",
+    "shuffle_partitions",
+    "round_partitions",
+    "tuned_shuffle",
+]
 
 
 def _plan_string(df: DataFrame) -> str:
@@ -116,3 +138,94 @@ def assert_plan(
     ):
         raise AssertionError(f"no scan carries partition filters: {audit}")
     return audit
+
+
+# ---------------------------------------------------------------------------
+# Partition-sizing policy (round-heavy iterative operators)
+# ---------------------------------------------------------------------------
+
+# Target shuffle bytes PER TASK for a round-heavy operator.  Calibrated
+# against the sf30/sf100 scale rehearsal (SCALING.md round-7/8 addenda):
+# at sf30 the k-core peel was FASTER spilled at 32 partitions (128 s,
+# 11.3 GB graceful spill) than spill-free at 128 (202 s) because ~30
+# rounds pay scheduling overhead per round x per partition, and the
+# avoided spill was cheap sequential disk.  512 MiB/task reproduces the
+# measured winner at sf30 while still growing the partition count
+# linearly with the data (sf100 -> ~3x more partitions than sf30).
+ROUND_TASK_BYTES = 512 * 1024 * 1024
+
+
+def shuffle_partitions(spark, default: int = 200) -> int:
+    """The session's shuffle-partition setting as an int, robust to
+    AQE-managed platforms where ``spark.sql.shuffle.partitions`` is the
+    literal string ``"auto"`` (int() would raise ValueError there)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", str(default)))
+    except (ValueError, TypeError):
+        return int(default)
+
+
+def round_partitions(
+    spark,
+    n_rows: int,
+    *,
+    row_bytes: int = 48,
+    task_bytes: int = ROUND_TASK_BYTES,
+) -> int:
+    """Shuffle-partition count for a ROUND-HEAVY iterative operator
+    whose per-round relation has ``n_rows`` rows (e.g. the canonical
+    edge set of a graph peel).
+
+    Policy (VERDICT r7 item 1 — the measured sf30/sf100 asymmetry as
+    engine policy instead of prose):
+
+        n = min(session shuffle partitions,
+                max(ceil(n_rows * row_bytes / task_bytes), cores))
+
+    - never EXCEEDS the session setting (the user's ceiling stands);
+    - never drops below the cluster's core count (parallelism floor),
+      unless the session setting itself is lower;
+    - grows linearly with the relation so a 100 TB peel still gets
+      bytes-proportional partitions from a huge session setting while a
+      GB-scale peel on the same session is capped near the core count,
+      where ~30 rounds x scheduling overhead would otherwise dominate
+      (q189 at sf30: spilled-at-32 beat clean-at-128 by 1.6x).
+
+    Setting ``SPARK_GRAFT_PARTITION_POLICY=0`` disables the policy
+    (returns the session setting unchanged) — used by the scale bench
+    for controlled partition-count comparisons.
+    """
+    sess = shuffle_partitions(spark)
+    if os.environ.get("SPARK_GRAFT_PARTITION_POLICY", "1") in ("0", "false"):
+        return sess
+    cores = max(1, spark.sparkContext.defaultParallelism)
+    by_bytes = max(1, math.ceil(int(n_rows) * int(row_bytes) / float(task_bytes)))
+    return max(1, min(sess, max(by_bytes, min(cores, sess))))
+
+
+@contextmanager
+def tuned_shuffle(spark, n_partitions: int):
+    """Temporarily pin ``spark.sql.shuffle.partitions`` to
+    ``n_partitions`` for the queries PLANNED inside the block (each
+    round of an iterative operator plans and executes eagerly inside
+    its loop, so the loop body is exactly the scope that matters).
+    Restores the previous raw value — including the literal ``"auto"``
+    on AQE-managed platforms — on exit, even on error.
+
+    Session-global for the duration: a concurrent streaming microbatch
+    planned inside the window would also pick up the tuned count.  That
+    is benign by construction — every operator in this engine is
+    partition-count invariant on VALUES (the driver gate replays all
+    oracles on a vanilla 200-partition session) — but keep timing runs
+    serial as always.
+    """
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(int(n_partitions)))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -772,9 +772,15 @@ def streaming_did_registry(
         spark = batch_df.sparkSession
         v = F.col(value_cents_col).cast("long")
         post = F.col(is_post_col).cast("int")
+        # unit is kept as a STRING key: the batch diff_in_diff groups on
+        # the unit column as-is (any type), and a cast to long would turn
+        # string/decimal unit ids into NULL — silently collapsing every
+        # unit into one pseudo-unit per arm and corrupting the DiD.  The
+        # string cast preserves distinctness for every unit type, so
+        # union-parity with the batch operator holds regardless of type.
         part = batch_df.groupBy(
             F.col(arm_col).cast("string").alias("arm"),
-            F.col(unit_col).cast("long").alias("unit"),
+            F.col(unit_col).cast("string").alias("unit"),
         ).agg(
             F.sum(F.when(post == 1, v).otherwise(F.lit(0)))
             .cast("long")

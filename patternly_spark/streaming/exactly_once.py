@@ -128,7 +128,17 @@ def read_latest_snapshot(
         if flat:
             return spark.read.parquet(*flat), None
         return None, None
+    # No committed snapshot at all.  A crash DURING write_snapshot(0) can
+    # leave an UNCOMMITTED snap_0 dir (no _SUCCESS) beside a flat seed;
+    # reading the whole directory would fail on the mixed layout and the
+    # except would silently drop the seed — so read the bare files first
+    # (same rule as the orphan-retry branch above).
+    flat = _legacy_flat_files(spark, state_path)
+    if flat:
+        return spark.read.parquet(*flat), None
     try:
+        # partitioned (key=value) seeded registries have no flat files;
+        # a plain directory read still covers them
         return spark.read.parquet(state_path), None
     except Exception:
         return None, None
@@ -187,14 +197,18 @@ def write_batch_partition(df: DataFrame, output_path: str, batch_id: int) -> Non
 
 
 def read_appended(
-    spark: SparkSession, output_path: str, *, before_batch: int | None = None
+    spark: SparkSession, output_path: str, *, before_batch: int | None = None,
+    min_batch: int | None = None,
 ) -> DataFrame | None:
     """All rows appended via ``write_batch_partition`` (None when the
     path has no data yet).  With ``before_batch``, rows from that batch
     id onward are excluded — the view a RETRY of ``before_batch`` must
-    fold against (its own orphaned first attempt is not history).  The
-    filter is a partition predicate: pruned at the file listing, never
-    scanned."""
+    fold against (its own orphaned first attempt is not history).  With
+    ``min_batch``, rows from earlier batches are excluded — the
+    retention-horizon view a BOUNDED registry probes (ST24b).  Both
+    filters are partition predicates: pruned at the file listing, never
+    scanned (a legacy flat layout has no batch column, so ``min_batch``
+    is ignored there — a flat seed is the horizon's batch 0)."""
     try:
         df = spark.read.parquet(output_path)
     except Exception:
@@ -204,7 +218,40 @@ def read_appended(
         return df
     if before_batch is not None:
         df = df.filter(F.col(BATCH_COL) < int(before_batch))
+    if min_batch is not None:
+        df = df.filter(F.col(BATCH_COL) >= int(min_batch))
     return df.drop(BATCH_COL)
+
+
+def retire_batch_partitions(
+    spark: SparkSession, output_path: str, *, below_batch: int
+) -> int:
+    """Physically delete ``_batch_id=<i>`` partition dirs with
+    ``i < below_batch`` — the storage half of a retention-horizon
+    policy (ST24b): partitions older than the horizon are never probed
+    again (``read_appended(min_batch=...)`` prunes them at the file
+    listing), so deleting them bounds registry STORAGE as well as
+    per-trigger compute.  A retry of batch N reads batches
+    ``[N - horizon, N)``, all >= ``below_batch`` when called with
+    ``below_batch = N - horizon`` — retirement never races a retry.
+    Returns the number of partitions deleted.  Refuses a legacy flat
+    layout (nothing to retire; the flat seed has no batch ids)."""
+    fs, root, jvm = _hadoop(spark, output_path)
+    if not fs.exists(root):
+        return 0
+    gone = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(f"{BATCH_COL}=")):
+            continue
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid < int(below_batch):
+            fs.delete(st.getPath(), True)
+            gone += 1
+    return gone
 
 
 def read_registry(spark: SparkSession, state_path: str) -> DataFrame:

@@ -401,6 +401,8 @@ def streaming_tfidf_allpairs(
     text_col: str = "text",
     idf_quantize_bits: int = 16,
     trigger_once: bool = False,
+    retention_batches: int | None = None,
+    retire_expired: bool = False,
 ):
     """foreachBatch wrapper: each microbatch runs
     ``incremental_tfidf_allpairs`` against the parquet registry at
@@ -410,16 +412,47 @@ def streaming_tfidf_allpairs(
     refresh), appends qualifying pairs to ``output_path`` and the
     batch's postings to the registry.  Exactly-once under foreachBatch
     retries via per-``_batch_id`` partition writes (see
-    ``streaming_cosine_allpairs``)."""
+    ``streaming_cosine_allpairs``).
+
+    RETENTION HORIZON (ST24b — the bounded sibling): with
+    ``retention_batches=K``, batch N probes only the postings of
+    batches ``[N-K, N)`` — a partition-pruned read, so per-trigger cost
+    is bounded by the horizon's posting mass instead of growing
+    linearly with ALL history (the measured ST24 wall: 9 -> 50 s/trigger
+    as accumulated postings reached 13 MB).  The contract is exact but
+    deliberately NARROWER: the union of emitted pairs equals the batch
+    operator over all history RESTRICTED to pairs whose batch distance
+    is <= K (same-batch pairs always emit) — the trailing-window dedup
+    semantic production pipelines actually run, stated instead of
+    approximated.  ``retire_expired=True`` additionally DELETES
+    partitions older than the horizon after each batch (physical
+    storage bound; a retry of batch N reads batches >= N-K, which
+    retirement never touches).  ``retention_batches=None`` keeps the
+    full-history exact contract (ST24)."""
     from patternly_spark.streaming.exactly_once import (
         read_appended,
+        retire_batch_partitions,
         write_batch_partition,
     )
+
+    if retention_batches is not None and int(retention_batches) < 1:
+        raise ValueError(
+            f"retention_batches must be >= 1, got {retention_batches}"
+        )
+    if retire_expired and retention_batches is None:
+        raise ValueError("retire_expired requires retention_batches")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         idf_stats = spark.read.parquet(idf_path)
-        registry = read_appended(spark, registry_path, before_batch=batch_id)
+        min_b = (
+            int(batch_id) - int(retention_batches)
+            if retention_batches is not None
+            else None
+        )
+        registry = read_appended(
+            spark, registry_path, before_batch=batch_id, min_batch=min_b
+        )
         if registry is None:
             registry = empty_tfidf_registry(spark)
         pairs, new_rows = incremental_tfidf_allpairs(
@@ -433,6 +466,8 @@ def streaming_tfidf_allpairs(
         )
         write_batch_partition(pairs, output_path, batch_id)
         write_batch_partition(new_rows, registry_path, batch_id)
+        if retire_expired and min_b is not None and min_b > 0:
+            retire_batch_partitions(spark, registry_path, below_batch=min_b)
 
     writer = stream_docs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path

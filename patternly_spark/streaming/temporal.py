@@ -1,0 +1,107 @@
+"""Streaming deployment shape for Kleinberg burst detection (ST37).
+
+There is deliberately NO bounded-state streaming Kleinberg twin: the
+Viterbi decode is GLOBAL over each key's full gap series — a single new
+event changes n (and with it the base rate lam0 = n/T, the burst rate,
+and the ``gamma * ln n`` entry cost), which can flip state assignments
+arbitrarily far in the past.  Any fixed per-key summary that could fold
+additively would change the decoded answer; a "streaming Kleinberg"
+with bounded state would be a different (and silently weaker) detector.
+
+The deployment shape is therefore REGISTRY + BATCH REPLAY:
+
+- ``streaming_event_log_registry`` appends each microbatch's raw
+  (key, ts[, id]) event rows exactly-once (per-batch ``_batch_id=``
+  partitions with dynamic partition overwrite — a retry replaces its
+  own orphan, the ST32 append primitive);
+- ``bursts_from_event_log`` runs the batch q249 operator
+  (``operators/temporal.kleinberg_bursts``) over the accumulated log
+  at readout time — value-identical to a batch run over all history
+  BY CONSTRUCTION, because it IS the batch operator over all history.
+
+State is the event log itself (row-sized, like any bronze table), not
+an operator summary; at 100 TB the log lives partitioned by arrival
+batch and readouts prune to the keys/time ranges under investigation
+before the per-key decode (the decode is per-key-bounded — the
+sessionize contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["streaming_event_log_registry", "bursts_from_event_log"]
+
+
+def streaming_event_log_registry(
+    stream_df: DataFrame,
+    registry_path: str,
+    *,
+    checkpoint_path: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str | None = None,
+    trigger_once: bool = False,
+):
+    """foreachBatch append of raw (key, ts_us[, id]) event rows —
+    exactly-once via per-batch dynamic-partition-overwrite (the ST32
+    append primitive).  Timestamps are stored as epoch MICROSECONDS
+    (the engine's cross-engine timestamp convention) so the batch
+    replay needs no timezone-sensitive parsing."""
+    from patternly_spark.streaming.exactly_once import write_batch_partition
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        ts_type = batch_df.schema[ts_col].dataType.simpleString()
+        tcol = (
+            F.unix_micros(F.col(ts_col))
+            if ts_type.startswith("timestamp")
+            else F.col(ts_col).cast("long")
+        )
+        cols = [F.col(key_col).alias("key"), tcol.alias("ts_us")]
+        if id_col is not None:
+            cols.append(F.col(id_col).cast("long").alias("eid"))
+        write_batch_partition(batch_df.select(*cols), registry_path, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def bursts_from_event_log(
+    spark: SparkSession,
+    registry_path: str,
+    *,
+    s: float = 2.0,
+    gamma: float = 1.0,
+    min_events: int = 3,
+    keys: DataFrame | None = None,
+) -> DataFrame:
+    """Burst intervals over ALL events ever appended — the batch q249
+    operator replayed over the accumulated log, hence value-identical
+    to a batch run over the same history (the union-parity here is an
+    identity, not an approximation).  ``keys`` (a 1-column DataFrame)
+    optionally restricts the readout — the join prunes before the
+    per-key Viterbi, which is how a 100 TB log stays readable."""
+    from patternly_spark.operators.temporal import kleinberg_bursts
+    from patternly_spark.streaming.exactly_once import read_appended
+
+    events = read_appended(spark, registry_path)
+    if events is None:
+        raise ValueError(f"no events appended under {registry_path}")
+    if keys is not None:
+        kdf = keys.toDF("key").select(F.col("key"))
+        events = events.join(F.broadcast(kdf), "key", "left_semi")
+    has_id = "eid" in events.columns
+    return kleinberg_bursts(
+        events,
+        key_col="key",
+        ts_col="ts_us",
+        id_col="eid" if has_id else None,
+        s=s,
+        gamma=gamma,
+        min_events=min_events,
+    )
