@@ -487,6 +487,17 @@ BENCH_BUDGETED = {
     "q180_kcore_budget": _q180_kcore_budget,
 }
 
+# Per-query repeat counts (default 2).  q223's driver-corpus stress entry
+# runs on a deliberately degenerate 23-word shared vocabulary: one fat
+# prefix bucket dominates, so a single slow task sets the wall time and
+# two rounds of host jitter have produced committed artifacts 1.8x the
+# fresh repeat-and-min pin.  min over 4 runs converges to the pin's
+# steady state (measured band: 4.1-4.6 s at sf0.1 over 4-run mins vs
+# 4.1-7.4 s over 2-run mins).
+BENCH_REPEATS = {
+    "q223_containment_join": 4,
+}
+
 
 
 def find_regressions(
@@ -521,9 +532,13 @@ def main() -> None:
     for name in BENCH_QUERIES + list(BENCH_BUDGETED):
         # best-of-2: the first run of a query pays one-time costs (Python
         # worker spin-up, broadcast build) that a steady-state deployment
-        # amortizes; min over two runs reports the steady-state time
+        # amortizes; min over two runs reports the steady-state time.
+        # High-variance entries (degenerate-vocab stress corpora whose
+        # single fat partition amplifies host scheduling jitter into the
+        # 1.5-2x range) get extra repeats so the artifact and the
+        # repeat-and-min pins tell one story.
         best = float("inf")
-        for _ in range(2):
+        for _ in range(BENCH_REPEATS.get(name, 2)):
             start = time.perf_counter()
             queries[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - start)
@@ -551,7 +566,45 @@ def main() -> None:
             pins = json.load(f)["pins"]
         regressions = find_regressions(timings, pins)
     out["regressions"] = regressions
+
+    # The driver's harness keeps only the LAST 2000 bytes of stdout and
+    # tries to parse the final line as JSON — a 257-entry query map
+    # (~7 KB) can never survive that window, so every prior round's
+    # BENCH_r{N}.json carried "parsed": null.  Emit the full result as a
+    # non-final line AND persist it to BENCH_local_full.json (committed
+    # per-round as BENCH_local_r{N}.json), then end stdout with a compact
+    # line (<1900 bytes): totals, regression verdicts, and a fixed
+    # headline subset of per-query timings.  Dropped entries are counted
+    # explicitly (queries_elided) — no silent cap.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local_full.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(out, f)
     print(json.dumps(out))
+
+    headline = {
+        n: round(timings[n], 2)
+        for n in BENCH_QUERIES[:40] + list(BENCH_BUDGETED)
+        if n in timings
+    }
+    compact = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(timings),
+        "full": "BENCH_local_full.json",
+        "regressions": regressions,
+        "queries": headline,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 1900 and compact["queries"]:
+        compact["queries"].popitem()
+        compact["queries_elided"] = len(timings) - len(compact["queries"])
+        line = json.dumps(compact, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line)
     if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
         sys.exit(1)
 

@@ -1785,3 +1785,196 @@ def arm_gap_timeline(
             "gap_cents"
         ),
     )
+
+
+def jackknife_ratio_ci(
+    df: DataFrame,
+    value_cents_col: str,
+    *,
+    arm_col: str,
+    bucket_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Delete-one-bucket jackknife CI for a RATIO metric (cents per
+    event) — the experimentation-platform standard for metrics whose
+    denominator is itself random (revenue/session, clicks/query):
+    the delta-method-free variance estimate every large A/B system
+    (buckets = hashed randomization units) actually ships.
+
+        R        = S / N                    (per arm)
+        R_(-j)   = (S - s_j) / (N - n_j)    (drop bucket j)
+        var_jk   = (B-1)/B * sum_j (R_(-j) - mean_j R_(-j))^2
+
+    Exactness: (s_j, n_j) are BIGINT sums; each leave-one-out ratio is
+    ONE double division, then floor-quantized to the 2^-20 dyadic grid
+    (the llk/rbo convention) so the cross-bucket sums fold
+    integer-exactly in any order: sum(q_j) is a BIGINT, sum(q_j^2)
+    a DECIMAL(38,0), and var_jk = (B*sum(q^2) - sum(q)^2) * (B-1)
+    / B^2 / 2^40 is a fixed scalar chain — plain SQL replays every
+    double.  The 2^-20 grid on a cents-ratio is ~1e-6 cents of
+    resolution; at B <= a few hundred buckets the quantization error is
+    orders below the jackknife SE itself.
+
+    Degenerate guards (the fleiss_kappa NULL convention): a bucket
+    holding an arm's ENTIRE sample (N == n_j) has no leave-one-out
+    ratio (dropped, with B reduced); B < 2 yields NULL se/ci.
+
+    Shape: one keyed integer aggregation to (arm, bucket), a broadcast
+    join of per-arm totals, one more tiny aggregation — bucket count is
+    fixed (typically 10-200), so everything after the first groupBy is
+    constant-sized regardless of corpus scale.
+
+    Output: one row per arm — (arm, n_buckets, n, ratio, jk_se,
+    ci_lo, ci_hi).
+    """
+    v = F.col(value_cents_col).cast("long")
+    per_bucket = df.groupBy(
+        F.col(arm_col).alias("arm"), F.col(bucket_col).alias("__b")
+    ).agg(
+        F.sum(v).cast("long").alias("s_j"),
+        F.count(F.lit(1)).cast("long").alias("n_j"),
+    )
+    totals = per_bucket.groupBy("arm").agg(
+        F.sum("s_j").cast("long").alias("S"),
+        F.sum("n_j").cast("long").alias("N"),
+    )
+    jb = per_bucket.join(F.broadcast(totals), "arm")
+    r_loo = (F.col("S") - F.col("s_j")).cast("double") / (
+        F.col("N") - F.col("n_j")
+    ).cast("double")
+    q = F.when(
+        F.col("N") > F.col("n_j"),
+        F.floor(r_loo * F.lit(float(1 << 20))).cast("long"),
+    )
+    agg = jb.select("arm", "S", "N", q.alias("q")).groupBy("arm", "S", "N").agg(
+        F.count("q").cast("long").alias("B"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q").cast("decimal(19,0)") * F.col("q").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sqq"),
+    )
+    bd = F.col("B").cast("double")
+    num = (
+        F.col("B").cast("decimal(38,0)") * F.col("sqq")
+        - F.col("sq").cast("decimal(38,0)") * F.col("sq").cast("decimal(38,0)")
+    ).cast("double")
+    var_jk = num * (bd - F.lit(1.0)) / (bd * bd) / F.lit(float(1 << 40))
+    se = F.when(F.col("B") >= 2, F.sqrt(var_jk))
+    ratio = F.col("S").cast("double") / F.col("N").cast("double")
+    return agg.select(
+        "arm",
+        F.col("B").alias("n_buckets"),
+        F.col("N").alias("n"),
+        ratio.alias("ratio"),
+        se.alias("jk_se"),
+        (ratio - F.lit(float(z)) * se).alias("ci_lo"),
+        (ratio + F.lit(float(z)) * se).alias("ci_hi"),
+    )
+
+
+def james_stein_shrinkage(
+    df: DataFrame,
+    value_cents_col: str,
+    *,
+    group_col: str,
+) -> DataFrame:
+    """Empirical-Bayes (James-Stein) shrinkage of per-group means
+    toward the grand mean — the estimator a segment-level readout
+    should report instead of raw per-group means when group sizes vary:
+    small groups' means are mostly noise and get pulled in hard, large
+    groups keep theirs (Efron & Morris 1975; the normal-normal model
+    with method-of-moments variance components).
+
+        sigma2 (within)  = SSW / (N - k)
+        tau2   (between) = max(0, (SSB - (k-1)*sigma2) / c),
+                           c = (N^2 - sum_g n_g^2) / N
+        c_g              = (sigma2/n_g) / (sigma2/n_g + tau2)
+        shrunk_g         = mu + (1 - c_g) * (mean_g - mu)
+
+    Exactness: per-group (n, sum, sum-of-squares) are BIGINT/DECIMAL
+    moments; each group's within-SS and between-SS term is a fixed
+    double chain floor-quantized to INTEGER cents^2 before the
+    cross-group sum (exact in float64 below 2^53 — at corpus scales
+    past that, coarsen the grid; the jackknife convention).  Every
+    downstream quantity is scalar arithmetic on those integers — plain
+    SQL replays every double.  tau2 == 0 (no between-group signal)
+    shrinks every group fully to the grand mean; sigma2 == tau2 == 0
+    (all values identical) reports c_g = 0 with shrunk == mean == mu.
+
+    Shape: ONE keyed integer aggregation + a broadcast of the k-row
+    group table through two tiny folds — nothing data-sized moves
+    twice, k is the group cardinality (segments, domains: tens to
+    thousands).
+
+    Output: one row per group — (group, n, mean_raw, shrink_c,
+    mean_shrunk), shrink_c in [0, 1] the fraction of the group's
+    deviation REMOVED.
+    """
+    v = F.col(value_cents_col).cast("long")
+    vd = v.cast("decimal(19,0)")
+    g = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(v).cast("long").alias("s_g"),
+        F.sum(vd * vd).cast("decimal(38,0)").alias("ss_g"),
+    )
+    nd = F.col("n_g").cast("double")
+    mean_g = F.col("s_g").cast("double") / nd
+    # per-group within-SS = (n*ss - s^2)/n: exact decimal numerator,
+    # one division, floor to integer cents^2 for an order-free sum
+    w_num = (
+        F.col("n_g").cast("decimal(38,0)") * F.col("ss_g")
+        - F.col("s_g").cast("decimal(19,0)") * F.col("s_g").cast("decimal(19,0)")
+    ).cast("double")
+    wq = F.floor(w_num / nd).cast("long")
+    folded = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("N"),
+        F.sum("s_g").cast("long").alias("S"),
+        F.sum(wq).cast("long").alias("ssw_q"),
+        F.sum(F.col("n_g").cast("decimal(19,0)") * F.col("n_g").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("snn"),
+    ).localCheckpoint(eager=True)
+    j = g.crossJoin(F.broadcast(folded))
+    mu = F.col("S").cast("double") / F.col("N").cast("double")
+    # between-SS term n_g*(mean_g - mu)^2, floor-quantized like within
+    bq = F.floor(nd * (mean_g - mu) * (mean_g - mu)).cast("long")
+    j2 = j.select(
+        "group", "n_g", "s_g", "k", "N", "S", "ssw_q", "snn", bq.alias("bq")
+    ).localCheckpoint(eager=True)
+    per_group = j2
+    ssb = per_group.groupBy("k", "N", "S", "ssw_q", "snn").agg(
+        F.sum("bq").cast("long").alias("ssb_q")
+    )
+    out = per_group.join(
+        F.broadcast(ssb.select("k", "ssb_q")), ["k"]
+    )
+    kd = F.col("k").cast("double")
+    Nd = F.col("N").cast("double")
+    sigma2 = F.when(
+        F.col("N") > F.col("k"),
+        F.col("ssw_q").cast("double") / (Nd - kd),
+    ).otherwise(F.lit(0.0))
+    c_denom = (
+        F.col("N").cast("decimal(19,0)") * F.col("N").cast("decimal(19,0)")
+        - F.col("snn")
+    ).cast("double") / Nd
+    tau2 = F.when(
+        (F.col("k") > 1) & (c_denom > 0),
+        F.greatest(
+            F.lit(0.0),
+            (F.col("ssb_q").cast("double") - (kd - F.lit(1.0)) * sigma2) / c_denom,
+        ),
+    ).otherwise(F.lit(0.0))
+    nd2 = F.col("n_g").cast("double")
+    mean_g2 = F.col("s_g").cast("double") / nd2
+    mu2 = F.col("S").cast("double") / Nd
+    noise = sigma2 / nd2
+    shrink = F.when(noise + tau2 > 0, noise / (noise + tau2)).otherwise(F.lit(0.0))
+    return out.select(
+        "group",
+        F.col("n_g").alias("n"),
+        mean_g2.alias("mean_raw"),
+        shrink.alias("shrink_c"),
+        (mu2 + (F.lit(1.0) - shrink) * (mean_g2 - mu2)).alias("mean_shrunk"),
+    )

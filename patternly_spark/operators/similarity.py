@@ -902,3 +902,120 @@ def pq_topk(
         .select("query_id", "neighbor_id", "approx_dist", "rank")
     )
 
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    pool: int = 12,
+    lam_tenths: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the re-ranker between retrieval and a context
+    window: plain top-k hands the LLM ``k`` near-duplicates of the
+    best hit; MMR greedily picks the candidate maximizing
+
+        lam * rel(q, c)  -  (1 - lam) * max_{s in selected} sim(c, s)
+
+    so each slot buys NEW information.  ``lam_tenths`` is lambda in
+    tenths (7 = the standard 0.7).
+
+    Cross-engine exact by construction: relevance and
+    candidate-candidate cosines floor-quantize to the 2^-20 dyadic
+    grid (the q24 convention, integer BIGINTs), and the MMR score is
+    the pure-INTEGER form ``lam_tenths * rel_q - (10 - lam_tenths) *
+    max_cc_q`` — no double ever enters a comparison, so the greedy
+    argmax (ties: lowest candidate id) is bit-deterministic and a SQL
+    engine replays the identical selection with ``k`` unrolled CTE
+    steps.
+
+    Scale shape: relevance reuses ``cosine_topk`` (broadcast queries x
+    partition-parallel corpus — the only data-sized stage); everything
+    after operates on |Q| * pool candidate rows and |Q| * pool^2
+    candidate-pair rows (both driver-visible constants by contract).
+    The greedy loop is k-1 keyed joins on tiny localCheckpoint-pinned
+    relations, partition-parallel per query.
+
+    Output: (query_id, rank, cand_id, score_q) — rank 1..k per query,
+    score_q the integer MMR score at selection time (scale: 2^-20
+    cosine units x 10).
+    """
+    if not 0 <= int(lam_tenths) <= 10:
+        raise ValueError(f"lam_tenths must be in [0, 10], got {lam_tenths}")
+    lam = int(lam_tenths)
+    grid = float(1 << 20)
+    rel = cosine_topk(
+        corpus, queries, k=pool, id_col=id_col, vec_col=vec_col, round_digits=None
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.floor(F.col("cosine_sim") * F.lit(grid)).cast("long").alias("rel_q"),
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("vn"),
+    )
+    cand = rel.join(vecs, "cand_id").localCheckpoint(eager=True)
+    a = cand.select("query_id", F.col("cand_id").alias("a"), F.col("v").alias("va"), F.col("vn").alias("na"))
+    bset = cand.select("query_id", F.col("cand_id").alias("b"), F.col("v").alias("vb"), F.col("vn").alias("nb"))
+    cc = (
+        a.join(bset, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.floor(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) * F.lit(grid)
+            )
+            .cast("long")
+            .alias("cc_q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    relq = cand.select("query_id", "cand_id", "rel_q")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q"), F.asc("cand_id")
+    )
+    first = (
+        relq.withColumn("score_q", F.col("rel_q") * F.lit(lam))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("query_id", F.lit(1).alias("rank"), "cand_id", "score_q")
+    )
+    selected = first.localCheckpoint(eager=True)
+    for step in range(2, int(k) + 1):
+        remaining = relq.join(
+            selected.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
+        )
+        maxcc = (
+            cc.join(
+                selected.select("query_id", F.col("cand_id").alias("b")),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", "a")
+            .agg(F.max("cc_q").alias("max_cc_q"))
+        )
+        scored = remaining.join(
+            maxcc,
+            (remaining["query_id"] == maxcc["query_id"])
+            & (remaining["cand_id"] == maxcc["a"]),
+        ).select(
+            remaining["query_id"],
+            "cand_id",
+            (F.col("rel_q") * F.lit(lam) - F.col("max_cc_q") * F.lit(10 - lam)).alias(
+                "score_q"
+            ),
+        )
+        pick = (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("query_id", F.lit(step).alias("rank"), "cand_id", "score_q")
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected

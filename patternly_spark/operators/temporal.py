@@ -1413,3 +1413,110 @@ def cox_ph(
     return spark.createDataFrame(
         out, "covariate string, beta double, hazard_ratio double, se double, z double"
     )
+
+
+def interrupted_time_series(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_cents_col: str,
+    break_day: int | None = None,
+) -> DataFrame:
+    """Interrupted time-series (segmented regression) readout — the
+    single-series cousin of diff-in-diff for when there IS no control
+    arm (a site-wide launch, a pricing change, an incident): fit
+    separate OLS lines to the daily metric BEFORE and AFTER the break
+    and report the level jump and slope change at the break, the two
+    quantities an eyeballed timeseries chart always overstates
+    (Wagner et al. 2002, segmented regression of ITS data).
+
+        pre :  y = a0 + b0 * day      (days <  T0)
+        post:  y = a1 + b1 * day      (days >= T0)
+        level_change = (a1 + b1*T0) - (a0 + b0*T0)
+        slope_change = b1 - b0
+
+    ``break_day`` is an epoch-day; default = the integer midpoint of
+    the observed day range (the cuped split convention).
+
+    Exactness: daily totals are BIGINT cents keyed on epoch-day
+    (floor(us / 86_400_000_000) — no timezone, no calendar); each
+    segment's slope/intercept is the (n*Sdy - Sd*Sy) / (n*Sdd - Sd^2)
+    closed form over DECIMAL moments with ONE double division each
+    (the linear_trend convention) — plain SQL replays every double.
+    Segments with < 2 days or a degenerate day spread surface NULL
+    slopes (and NULL changes), never a division artifact.
+
+    Shape: one keyed integer aggregation to days (map-side combine),
+    then two scalar folds over the day table — the day table is
+    thousands of rows at ANY corpus scale, so everything past the
+    first groupBy is constant-sized.
+
+    Output: ONE row — (break_day, n_pre, n_post, pre_slope, post_slope,
+    pre_icept, post_icept, slope_change, level_change), cents/day units.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    daily = (
+        df.select(
+            F.floor(us / F.lit(86_400_000_000)).cast("long").alias("d"),
+            F.col(value_cents_col).cast("long").alias("v"),
+        )
+        .groupBy("d")
+        .agg(F.sum("v").cast("long").alias("y"))
+    )
+    if break_day is None:
+        b = daily.agg(
+            ((F.min("d") + F.max("d") + 1) / 2).cast("long").alias("t0")
+        )
+    else:
+        b = daily.sparkSession.range(1).select(F.lit(int(break_day)).alias("t0"))
+    seg = daily.crossJoin(F.broadcast(b)).withColumn(
+        "post", (F.col("d") >= F.col("t0")).cast("int")
+    )
+    dd = F.col("d").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    m = seg.groupBy("post", "t0").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(dd * dd).cast("decimal(38,0)").alias("sdd"),
+        F.sum(dd * yd).cast("decimal(38,0)").alias("sdy"),
+    )
+    nd = F.col("n").cast("decimal(19,0)")
+    den = (nd * F.col("sdd") - F.col("sd").cast("decimal(19,0)") * F.col("sd").cast("decimal(19,0)")).cast("double")
+    num = (nd * F.col("sdy") - F.col("sd").cast("decimal(19,0)") * F.col("sy").cast("decimal(19,0)")).cast("double")
+    slope = F.when((F.col("n") >= 2) & (den != 0), num / den)
+    icept = (F.col("sy").cast("double") - slope * F.col("sd").cast("double")) / F.col("n").cast("double")
+    fitted = m.select(
+        "post",
+        "t0",
+        "n",
+        slope.alias("slope"),
+        icept.alias("icept"),
+    )
+    pre = fitted.filter(F.col("post") == 0).select(
+        "t0",
+        F.col("n").alias("n_pre"),
+        F.col("slope").alias("pre_slope"),
+        F.col("icept").alias("pre_icept"),
+    )
+    post = fitted.filter(F.col("post") == 1).select(
+        "t0",
+        F.col("n").alias("n_post"),
+        F.col("slope").alias("post_slope"),
+        F.col("icept").alias("post_icept"),
+    )
+    t0d = F.col("t0").cast("double")
+    return pre.join(post, ["t0"], "full_outer").select(
+        F.col("t0").alias("break_day"),
+        "n_pre",
+        "n_post",
+        "pre_slope",
+        "post_slope",
+        "pre_icept",
+        "post_icept",
+        (F.col("post_slope") - F.col("pre_slope")).alias("slope_change"),
+        (
+            (F.col("post_icept") + F.col("post_slope") * t0d)
+            - (F.col("pre_icept") + F.col("pre_slope") * t0d)
+        ).alias("level_change"),
+    )

@@ -163,6 +163,23 @@ def main() -> None:
         docs, "doc_id long, text string", _tfidf, ["reg", "out"]
     )
 
+    def _tfidf_bounded(stream, base):
+        from patternly_spark.streaming.similarity import streaming_tfidf_allpairs
+
+        return streaming_tfidf_allpairs(
+            stream, registry_path=f"{base}/reg", output_path=f"{base}/out",
+            checkpoint_path=f"{base}/ckpt", idf_path=idf_path, threshold=0.8,
+            trigger_once=True, retention_batches=4, retire_expired=True,
+        )
+
+    # ST24b: the retention-horizon sibling — per-trigger cost must stay
+    # flat (bounded by the trailing-4-batch posting mass) where ST24's
+    # grows linearly with ALL accumulated postings, and expired registry
+    # partitions are physically retired so state size plateaus too.
+    cases["ST24b_tfidf_bounded"] = (
+        docs, "doc_id long, text string", _tfidf_bounded, ["reg", "out"]
+    )
+
     def _cc(stream, base):
         from patternly_spark.streaming.graph import streaming_cc_registry
 
@@ -188,7 +205,7 @@ def main() -> None:
     for name, (df, schema, launch, states) in cases.items():
         if only and name not in only.split(","):
             continue
-        if name == "ST24_tfidf_allpairs" and not os.path.exists(idf_path):
+        if name.startswith("ST24") and not os.path.exists(idf_path):
             from patternly_spark.operators.similarity_allpairs import build_idf_snapshot
 
             build_idf_snapshot(
