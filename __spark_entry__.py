@@ -11823,6 +11823,296 @@ def _q255_oracle() -> str:
     """
 
 
+def q256_jackknife_ratio(spark, sf_dir):
+    """Delete-one-bucket jackknife CI for cents-per-event
+    (operators/drift.jackknife_ratio_ci): arms = user_id parity,
+    buckets = user_id % 16 (hashed randomization units).  Leave-one-out
+    ratios floor to the 2^-20 dyadic grid so the cross-bucket moments
+    fold integer-exactly — SQL replays every double."""
+    from patternly_spark.operators.drift import jackknife_ratio_ci
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("arm"),
+        (F.col("user_id") % 16).alias("bucket"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    return jackknife_ratio_ci(ev, "cents", arm_col="arm", bucket_col="bucket")
+
+
+def _q256_oracle() -> str:
+    z, s40 = _dlit(1.96), _dlit(float(1 << 40))
+    return f"""
+    WITH base AS (
+        SELECT user_id % 2 AS arm, user_id % 16 AS b,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ), per_bucket AS (
+        SELECT arm, b, CAST(SUM(cents) AS BIGINT) AS s_j,
+               CAST(COUNT(*) AS BIGINT) AS n_j
+        FROM base GROUP BY arm, b
+    ), tot AS (
+        SELECT arm, CAST(SUM(s_j) AS BIGINT) AS s, CAST(SUM(n_j) AS BIGINT) AS n
+        FROM per_bucket GROUP BY arm
+    ), loo AS (
+        SELECT p.arm, t.s, t.n,
+               CASE WHEN t.n > p.n_j
+                    THEN CAST(floor(CAST(t.s - p.s_j AS DOUBLE)
+                                    / CAST(t.n - p.n_j AS DOUBLE)
+                                    * 1048576.0) AS BIGINT) END AS q
+        FROM per_bucket p JOIN tot t ON p.arm = t.arm
+    ), agg AS (
+        SELECT arm, s, n, CAST(COUNT(q) AS BIGINT) AS nb,
+               CAST(SUM(q) AS BIGINT) AS sq,
+               SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS sqq
+        FROM loo GROUP BY arm, s, n
+    ), fin AS (
+        SELECT arm, nb AS n_buckets, n,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ratio,
+               CASE WHEN nb >= 2 THEN
+                   sqrt(CAST(CAST(nb AS HUGEINT) * sqq
+                             - CAST(sq AS HUGEINT) * CAST(sq AS HUGEINT) AS DOUBLE)
+                        * (CAST(nb AS DOUBLE) - 1.0)
+                        / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE))
+                        / {s40}) END AS jk_se
+        FROM agg
+    )
+    SELECT arm, n_buckets, n, ratio, jk_se,
+           ratio - {z} * jk_se AS ci_lo,
+           ratio + {z} * jk_se AS ci_hi
+    FROM fin
+    """
+
+
+def q257_james_stein(spark, sf_dir):
+    """Empirical-Bayes shrinkage of per-nation mean order cents toward
+    the grand mean (operators/drift.james_stein_shrinkage): within/
+    between SS terms floor-quantize to integer cents^2 before the
+    cross-group folds — SQL replays every double."""
+    from patternly_spark.operators.drift import james_stein_shrinkage
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_nationkey").alias("nation"), "cents"
+    )
+    return james_stein_shrinkage(j, "cents", group_col="nation")
+
+
+def _q257_oracle() -> str:
+    return """
+    WITH base AS (
+        SELECT c_nationkey AS grp,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ), g AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(cents) AS BIGINT) AS s_g,
+               SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS ss_g
+        FROM base GROUP BY grp
+    ), gw AS (
+        SELECT *, CAST(floor(CAST(CAST(n_g AS HUGEINT) * ss_g
+                                  - CAST(s_g AS HUGEINT) * CAST(s_g AS HUGEINT) AS DOUBLE)
+                             / CAST(n_g AS DOUBLE)) AS BIGINT) AS wq
+        FROM g
+    ), folded AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(SUM(s_g) AS BIGINT) AS s, CAST(SUM(wq) AS BIGINT) AS ssw_q,
+               SUM(CAST(n_g AS HUGEINT) * CAST(n_g AS HUGEINT)) AS snn
+        FROM gw
+    ), withmu AS (
+        SELECT gw.grp, gw.n_g, gw.s_g, f.k, f.n, f.s, f.ssw_q, f.snn,
+               CAST(floor(CAST(gw.n_g AS DOUBLE)
+                          * (CAST(gw.s_g AS DOUBLE) / CAST(gw.n_g AS DOUBLE)
+                             - CAST(f.s AS DOUBLE) / CAST(f.n AS DOUBLE))
+                          * (CAST(gw.s_g AS DOUBLE) / CAST(gw.n_g AS DOUBLE)
+                             - CAST(f.s AS DOUBLE) / CAST(f.n AS DOUBLE))) AS BIGINT) AS bq
+        FROM gw, folded f
+    ), ssb AS (
+        SELECT CAST(SUM(bq) AS BIGINT) AS ssb_q FROM withmu
+    ), scal AS (
+        SELECT w.*, b.ssb_q,
+               CASE WHEN w.n > w.k
+                    THEN CAST(w.ssw_q AS DOUBLE) / (CAST(w.n AS DOUBLE) - CAST(w.k AS DOUBLE))
+                    ELSE 0.0 END AS sigma2,
+               CAST(CAST(w.n AS HUGEINT) * CAST(w.n AS HUGEINT) - w.snn AS DOUBLE)
+                   / CAST(w.n AS DOUBLE) AS c_denom
+        FROM withmu w, ssb b
+    ), taued AS (
+        SELECT *,
+               CASE WHEN k > 1 AND c_denom > 0
+                    THEN greatest(0.0, (CAST(ssb_q AS DOUBLE)
+                                        - (CAST(k AS DOUBLE) - 1.0) * sigma2) / c_denom)
+                    ELSE 0.0 END AS tau2
+        FROM scal
+    )
+    SELECT grp AS "group", n_g AS n,
+           CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS mean_raw,
+           CASE WHEN sigma2 / CAST(n_g AS DOUBLE) + tau2 > 0
+                THEN (sigma2 / CAST(n_g AS DOUBLE))
+                     / (sigma2 / CAST(n_g AS DOUBLE) + tau2)
+                ELSE 0.0 END AS shrink_c,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+             + (1.0 - CASE WHEN sigma2 / CAST(n_g AS DOUBLE) + tau2 > 0
+                           THEN (sigma2 / CAST(n_g AS DOUBLE))
+                                / (sigma2 / CAST(n_g AS DOUBLE) + tau2)
+                           ELSE 0.0 END)
+               * (CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+                  - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS mean_shrunk
+    FROM taued
+    """
+
+
+def q258_its_segmented(spark, sf_dir):
+    """Interrupted time-series readout over daily event cents
+    (operators/temporal.interrupted_time_series): break at the integer
+    midpoint of the day range, separate pre/post OLS lines from DECIMAL
+    moments — SQL replays every double."""
+    from patternly_spark.operators.temporal import interrupted_time_series
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    return interrupted_time_series(ev, ts_col="ts", value_cents_col="cents")
+
+
+def _q258_oracle() -> str:
+    return """
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS d,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), b AS (
+        SELECT (MIN(d) + MAX(d) + 1) // 2 AS t0 FROM daily
+    ), seg AS (
+        SELECT d, y, t0, CASE WHEN d >= t0 THEN 1 ELSE 0 END AS post
+        FROM daily, b
+    ), m AS (
+        SELECT post, t0, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS sdd,
+               SUM(CAST(d AS HUGEINT) * CAST(y AS HUGEINT)) AS sdy
+        FROM seg GROUP BY post, t0
+    ), fitted AS (
+        SELECT post, t0, n,
+               CASE WHEN n >= 2
+                     AND CAST(CAST(n AS HUGEINT) * sdd
+                              - CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT) AS DOUBLE) <> 0
+                    THEN CAST(CAST(n AS HUGEINT) * sdy
+                              - CAST(sd AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+                         / CAST(CAST(n AS HUGEINT) * sdd
+                                - CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT) AS DOUBLE)
+               END AS slope,
+               sy, sd
+        FROM m
+    ), fitted2 AS (
+        SELECT post, t0, n, slope,
+               (CAST(sy AS DOUBLE) - slope * CAST(sd AS DOUBLE)) / CAST(n AS DOUBLE) AS icept
+        FROM fitted
+    )
+    SELECT pre.t0 AS break_day,
+           pre.n AS n_pre, post.n AS n_post,
+           pre.slope AS pre_slope, post.slope AS post_slope,
+           pre.icept AS pre_icept, post.icept AS post_icept,
+           post.slope - pre.slope AS slope_change,
+           (post.icept + post.slope * CAST(pre.t0 AS DOUBLE))
+             - (pre.icept + pre.slope * CAST(pre.t0 AS DOUBLE)) AS level_change
+    FROM (SELECT * FROM fitted2 WHERE post = 0) pre
+    FULL JOIN (SELECT * FROM fitted2 WHERE post = 1) post ON pre.t0 = post.t0
+    """
+
+
+def q259_mmr_rerank(spark, sf_dir):
+    """MMR diversified top-4 from a quantized-relevance pool of 10
+    (operators/similarity.mmr_rerank, lambda = 0.7): integer MMR scores
+    (7*rel_q - 3*max_cc_q on the 2^-20 grid) make the greedy argmax
+    bit-deterministic — the SQL oracle replays the selection with 4
+    unrolled CTE steps."""
+    from patternly_spark.operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_rerank(emb, emb.filter(F.col("vec_id") < 6), k=4, pool=10)
+
+
+def _q259_oracle(k: int = 4, pool: int = 10, lam: int = 7) -> str:
+    cos = (
+        "CAST(floor(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+        " * 1048576.0) AS BIGINT)"
+    )
+    parts = [
+        f"""
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id < 6
+    ), cps AS (
+        SELECT vec_id AS cand_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings
+    ), rel_all AS (
+        SELECT q.query_id, cps.cand_id,
+               {cos.format(a="cps.cv", b="q.qv")} AS rel_q
+        FROM q, cps WHERE cps.cand_id <> q.query_id
+    ), rel AS (
+        SELECT query_id, cand_id, rel_q FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY rel_q DESC, cand_id ASC) AS rn
+            FROM rel_all
+        ) WHERE rn <= {pool}
+    ), cc AS (
+        SELECT x.query_id, x.cand_id AS a, y.cand_id AS b,
+               {cos.format(a="xv.cv", b="yv.cv")} AS cc_q
+        FROM rel x
+        JOIN rel y ON x.query_id = y.query_id AND x.cand_id <> y.cand_id
+        JOIN cps xv ON xv.cand_id = x.cand_id
+        JOIN cps yv ON yv.cand_id = y.cand_id
+    ), sel1 AS (
+        SELECT query_id, CAST(1 AS INT) AS rank, cand_id,
+               rel_q * {lam} AS score_q
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY rel_q * {lam} DESC, cand_id ASC) AS rn
+            FROM rel
+        ) WHERE rn = 1
+    ), picked1 AS (SELECT query_id, cand_id FROM sel1)"""
+    ]
+    for s in range(2, k + 1):
+        parts.append(f""", step{s} AS (
+        SELECT r.query_id, r.cand_id,
+               r.rel_q * {lam} - m.mx * {10 - lam} AS score_q
+        FROM rel r
+        JOIN (SELECT cc.query_id, cc.a, MAX(cc.cc_q) AS mx
+              FROM cc JOIN picked{s - 1} p
+                ON cc.query_id = p.query_id AND cc.b = p.cand_id
+              GROUP BY cc.query_id, cc.a) m
+          ON m.query_id = r.query_id AND m.a = r.cand_id
+        WHERE NOT EXISTS (SELECT 1 FROM picked{s - 1} p
+                          WHERE p.query_id = r.query_id
+                            AND p.cand_id = r.cand_id)
+    ), sel{s} AS (
+        SELECT query_id, CAST({s} AS INT) AS rank, cand_id, score_q FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score_q DESC, cand_id ASC) AS rn
+            FROM step{s}
+        ) WHERE rn = 1
+    ), picked{s} AS (
+        SELECT query_id, cand_id FROM picked{s - 1}
+        UNION ALL SELECT query_id, cand_id FROM sel{s}
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT query_id, rank, cand_id, score_q FROM sel{s}"
+        for s in range(1, k + 1)
+    )
+    parts.append(f"\n    {union}")
+    return "".join(parts)
+
+
 def _q249_oracle() -> str:
     s_lit, g_lit = _dlit(2.0), _dlit(1.0)
     return f"""
@@ -12152,6 +12442,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q253_fleiss_kappa": q253_fleiss_kappa,
         "q254_logistic_propensity": q254_logistic_propensity,
         "q255_event_study": q255_event_study,
+        "q256_jackknife_ratio": q256_jackknife_ratio,
+        "q257_james_stein": q257_james_stein,
+        "q258_its_segmented": q258_its_segmented,
+        "q259_mmr_rerank": q259_mmr_rerank,
     }
 
 
@@ -13927,6 +14221,10 @@ def oracle_sql() -> dict[str, str]:
         "q252_mann_whitney": _q252_oracle(),
         "q253_fleiss_kappa": _q253_oracle(),
         "q255_event_study": _q255_oracle(),
+        "q256_jackknife_ratio": _q256_oracle(),
+        "q257_james_stein": _q257_oracle(),
+        "q258_its_segmented": _q258_oracle(),
+        "q259_mmr_rerank": _q259_oracle(),
     }
 
 

@@ -273,6 +273,10 @@ BENCH_QUERIES = [
     "q253_fleiss_kappa",
     "q254_logistic_propensity",
     "q255_event_study",
+    "q256_jackknife_ratio",
+    "q257_james_stein",
+    "q258_its_segmented",
+    "q259_mmr_rerank",
 ]
 
 

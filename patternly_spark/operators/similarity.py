@@ -933,12 +933,14 @@ def mmr_rerank(
     engine replays the identical selection with ``k`` unrolled CTE
     steps.
 
-    Scale shape: relevance reuses ``cosine_topk`` (broadcast queries x
-    partition-parallel corpus — the only data-sized stage); everything
-    after operates on |Q| * pool candidate rows and |Q| * pool^2
-    candidate-pair rows (both driver-visible constants by contract).
-    The greedy loop is k-1 keyed joins on tiny localCheckpoint-pinned
-    relations, partition-parallel per query.
+    Scale shape: relevance is a broadcast of the (small) query set
+    against the partition-parallel corpus — the only data-sized stage —
+    with the pool cut ranked on the QUANTIZED relevance (so pool
+    membership itself is engine-deterministic, not just the final
+    order); everything after operates on |Q| * pool candidate rows and
+    |Q| * pool^2 candidate-pair rows (both driver-visible constants by
+    contract).  The greedy loop is k-1 keyed joins on tiny
+    localCheckpoint-pinned relations, partition-parallel per query.
 
     Output: (query_id, rank, cand_id, score_q) — rank 1..k per query,
     score_q the integer MMR score at selection time (scale: 2^-20
@@ -948,19 +950,31 @@ def mmr_rerank(
         raise ValueError(f"lam_tenths must be in [0, 10], got {lam_tenths}")
     lam = int(lam_tenths)
     grid = float(1 << 20)
-    rel = cosine_topk(
-        corpus, queries, k=pool, id_col=id_col, vec_col=vec_col, round_digits=None
-    ).select(
-        "query_id",
-        F.col("neighbor_id").alias("cand_id"),
-        F.floor(F.col("cosine_sim") * F.lit(grid)).cast("long").alias("rel_q"),
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
     )
-    vecs = corpus.select(
+    c = corpus.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("vn"),
     )
-    cand = rel.join(vecs, "cand_id").localCheckpoint(eager=True)
+    rel_q = F.floor(
+        dot(F.col("v"), F.col("qv")) / (F.col("vn") * F.col("qn")) * F.lit(grid)
+    ).cast("long")
+    pool_w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel_q"), F.asc("cand_id")
+    )
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", "v", "vn", rel_q.alias("rel_q"))
+        .withColumn("__r", F.row_number().over(pool_w))
+        .filter(F.col("__r") <= int(pool))
+        .drop("__r")
+        .localCheckpoint(eager=True)
+    )
     a = cand.select("query_id", F.col("cand_id").alias("a"), F.col("v").alias("va"), F.col("vn").alias("na"))
     bset = cand.select("query_id", F.col("cand_id").alias("b"), F.col("v").alias("vb"), F.col("vn").alias("nb"))
     cc = (

@@ -1439,7 +1439,8 @@ def interrupted_time_series(
     the observed day range (the cuped split convention).
 
     Exactness: daily totals are BIGINT cents keyed on epoch-day
-    (floor(us / 86_400_000_000) — no timezone, no calendar); each
+    (us div 86_400_000_000, integer division — no timezone, no
+    calendar); each
     segment's slope/intercept is the (n*Sdy - Sd*Sy) / (n*Sdd - Sd^2)
     closed form over DECIMAL moments with ONE double division each
     (the linear_trend convention) — plain SQL replays every double.
@@ -1454,10 +1455,14 @@ def interrupted_time_series(
     Output: ONE row — (break_day, n_pre, n_post, pre_slope, post_slope,
     pre_icept, post_icept, slope_change, level_change), cents/day units.
     """
-    us = F.unix_micros(F.col(ts_col))
+    # integer div (Spark `div` == DuckDB `//` on the non-negative epoch
+    # range) — float division + floor can land one off at exact-day
+    # boundaries, the q255 convention
     daily = (
         df.select(
-            F.floor(us / F.lit(86_400_000_000)).cast("long").alias("d"),
+            F.expr(f"unix_micros({ts_col}) div 86400000000")
+            .cast("long")
+            .alias("d"),
             F.col(value_cents_col).cast("long").alias("v"),
         )
         .groupBy("d")
@@ -1465,7 +1470,7 @@ def interrupted_time_series(
     )
     if break_day is None:
         b = daily.agg(
-            ((F.min("d") + F.max("d") + 1) / 2).cast("long").alias("t0")
+            F.expr("(min(d) + max(d) + 1) div 2").cast("long").alias("t0")
         )
     else:
         b = daily.sparkSession.range(1).select(F.lit(int(break_day)).alias("t0"))

@@ -1,0 +1,356 @@
+"""Round-8 operators: jackknife ratio CI (C104/q256), James-Stein
+shrinkage (C105/q257), interrupted time series (C106/q258), and MMR
+diversified top-k (C107/q259) — numpy parity on the exact integer
+conventions plus the degenerate-input NULL/guard contracts."""
+
+import datetime
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# jackknife ratio CI
+# ---------------------------------------------------------------------------
+
+
+def _jk_reference(arm, bucket, cents, n_buckets):
+    """Exact-integer reference of the documented math."""
+    out = {}
+    for a in sorted(set(arm)):
+        m = [i for i in range(len(arm)) if arm[i] == a]
+        S = sum(cents[i] for i in m)
+        N = len(m)
+        q = []
+        for j in range(n_buckets):
+            mj = [i for i in m if bucket[i] == j]
+            if not mj or N == len(mj):
+                if mj:
+                    pass  # whole-sample bucket: dropped by contract
+                continue
+            sj = sum(cents[i] for i in mj)
+            q.append(int(math.floor((S - sj) / (N - len(mj)) * (1 << 20))))
+        B = len(q)
+        se = None
+        if B >= 2:
+            sq, sqq = sum(q), sum(x * x for x in q)
+            se = math.sqrt(float(B * sqq - sq * sq) * (B - 1) / (B * B) / (1 << 40))
+        out[a] = (B, N, S / N, se)
+    return out
+
+
+def test_jackknife_ratio_matches_exact_integer_reference(spark):
+    from patternly_spark.operators.drift import jackknife_ratio_ci
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    arm = rng.integers(0, 2, n).tolist()
+    bucket = rng.integers(0, 12, n).tolist()
+    cents = rng.integers(1, 60000, n).tolist()
+    df = spark.createDataFrame(
+        pd.DataFrame({"arm": arm, "bucket": bucket, "cents": cents})
+    )
+    got = {
+        r["arm"]: r
+        for r in jackknife_ratio_ci(
+            df, "cents", arm_col="arm", bucket_col="bucket"
+        ).collect()
+    }
+    ref = _jk_reference(arm, bucket, cents, 12)
+    for a, (B, N, ratio, se) in ref.items():
+        r = got[a]
+        assert r["n_buckets"] == B and r["n"] == N
+        assert r["ratio"] == ratio
+        assert r["jk_se"] == se  # bit-exact: same integer chains
+        assert r["ci_lo"] == ratio - 1.96 * se
+        assert r["ci_hi"] == ratio + 1.96 * se
+
+
+def test_jackknife_single_bucket_null_se(spark):
+    """One bucket per arm -> its leave-one-out ratio does not exist
+    (whole sample), so B = 0 < 2 and se/ci are NULL, never NaN."""
+    from patternly_spark.operators.drift import jackknife_ratio_ci
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"arm": [0, 0, 0], "bucket": [5, 5, 5], "cents": [10, 20, 30]})
+    )
+    row = jackknife_ratio_ci(df, "cents", arm_col="arm", bucket_col="bucket").collect()[0]
+    assert row["n_buckets"] == 0
+    assert row["ratio"] == 20.0
+    assert row["jk_se"] is None and row["ci_lo"] is None and row["ci_hi"] is None
+
+
+def test_jackknife_two_buckets_se_defined(spark):
+    from patternly_spark.operators.drift import jackknife_ratio_ci
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"arm": [0, 0, 0, 0], "bucket": [0, 0, 1, 1], "cents": [10, 20, 40, 50]}
+        )
+    )
+    row = jackknife_ratio_ci(df, "cents", arm_col="arm", bucket_col="bucket").collect()[0]
+    assert row["n_buckets"] == 2
+    # r_(-0) = 90/2 = 45, r_(-1) = 30/2 = 15 (exactly representable)
+    q0, q1 = 45 * (1 << 20), 15 * (1 << 20)
+    B, sq, sqq = 2, q0 + q1, q0 * q0 + q1 * q1
+    exp = math.sqrt(float(B * sqq - sq * sq) * 1 / 4 / (1 << 40))
+    assert row["jk_se"] == exp == 15.0
+
+
+# ---------------------------------------------------------------------------
+# James-Stein shrinkage
+# ---------------------------------------------------------------------------
+
+
+def test_james_stein_matches_reference_and_bounds(spark):
+    from patternly_spark.operators.drift import james_stein_shrinkage
+
+    rng = np.random.default_rng(13)
+    n = 6000
+    grp = rng.integers(0, 30, n)
+    cents = (rng.normal(20000, 3000, n) + grp * 150).astype(int)
+    df = spark.createDataFrame(pd.DataFrame({"g": grp, "cents": cents}))
+    rows = james_stein_shrinkage(df, "cents", group_col="g").collect()
+    k, N, S = 30, n, int(cents.sum())
+    mu = S / N
+    ssw = ssb = 0
+    stats = {}
+    for g in range(30):
+        m = grp == g
+        ng, s = int(m.sum()), int(cents[m].sum())
+        ss = sum(int(c) * int(c) for c in cents[m])
+        stats[g] = (ng, s / ng)
+        ssw += math.floor(float(ng * ss - s * s) / ng)
+        ssb += math.floor(ng * (s / ng - mu) ** 2)
+    sigma2 = ssw / (N - k)
+    c = float(N * N - sum(v[0] * v[0] for v in stats.values())) / N
+    tau2 = max(0.0, (ssb - (k - 1) * sigma2) / c)
+    for r in rows:
+        ng, mean_g = stats[r["group"]]
+        noise = sigma2 / ng
+        sh = noise / (noise + tau2)
+        assert r["n"] == ng
+        assert r["mean_raw"] == mean_g
+        assert r["shrink_c"] == sh
+        assert r["mean_shrunk"] == mu + (1 - sh) * (mean_g - mu)
+        assert 0.0 <= r["shrink_c"] <= 1.0
+        # shrunk mean lies between the raw mean and the grand mean
+        lo, hi = min(mean_g, mu), max(mean_g, mu)
+        assert lo - 1e-9 <= r["mean_shrunk"] <= hi + 1e-9
+
+
+def test_james_stein_small_groups_shrink_harder(spark):
+    from patternly_spark.operators.drift import james_stein_shrinkage
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for g, ng in [(0, 2000), (1, 10)]:
+        vals = rng.normal(10000 + 2000 * g, 500, ng).astype(int)
+        rows += [(g, int(v)) for v in vals]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "cents"]))
+    got = {r["group"]: r for r in james_stein_shrinkage(df, "cents", group_col="g").collect()}
+    assert got[1]["shrink_c"] > got[0]["shrink_c"]
+
+
+def test_james_stein_all_identical_values(spark):
+    """sigma2 == tau2 == 0: c = 0 by convention and shrunk == mean == mu."""
+    from patternly_spark.operators.drift import james_stein_shrinkage
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": [0, 0, 1, 1], "cents": [500, 500, 500, 500]})
+    )
+    for r in james_stein_shrinkage(df, "cents", group_col="g").collect():
+        assert r["shrink_c"] == 0.0
+        assert r["mean_shrunk"] == 500.0
+
+
+# ---------------------------------------------------------------------------
+# interrupted time series
+# ---------------------------------------------------------------------------
+
+
+def _mk_ts(day, minute=0):
+    return datetime.datetime(1970, 1, 1) + datetime.timedelta(days=day, minutes=minute)
+
+
+def test_its_recovers_planted_break(spark):
+    """Plant a level jump + slope change at an explicit break; daily
+    totals are noise-free, so the OLS lines are exact."""
+    from patternly_spark.operators.temporal import interrupted_time_series
+
+    rows = []
+    for d in range(100):
+        y = 1000 + 5 * d if d < 50 else 3000 + 12 * d
+        rows.append((_mk_ts(d), int(y)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["ts", "cents"]))
+    r = interrupted_time_series(
+        df, ts_col="ts", value_cents_col="cents", break_day=50
+    ).collect()[0]
+    assert r["break_day"] == 50
+    assert r["n_pre"] == 50 and r["n_post"] == 50
+    assert abs(r["pre_slope"] - 5.0) < 1e-9
+    assert abs(r["post_slope"] - 12.0) < 1e-9
+    assert abs(r["slope_change"] - 7.0) < 1e-9
+    # level at d=50: post (3000+600) - pre (1000+250) = 2350
+    assert abs(r["level_change"] - 2350.0) < 1e-9
+
+
+def test_its_numpy_parity_default_break(spark):
+    from patternly_spark.operators.temporal import interrupted_time_series
+
+    rng = np.random.default_rng(19)
+    n = 2000
+    rows = [
+        (_mk_ts(int(d), int(m)), int(c))
+        for d, m, c in zip(
+            rng.integers(0, 80, n), rng.integers(0, 1440, n), rng.integers(1, 9999, n)
+        )
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["ts", "cents"]))
+    r = interrupted_time_series(df, ts_col="ts", value_cents_col="cents").collect()[0]
+    daily = {}
+    for ts, c in rows:
+        d = int(ts.replace(tzinfo=datetime.timezone.utc).timestamp()) // 86400
+        daily[d] = daily.get(d, 0) + c
+    ds = sorted(daily)
+    t0 = (ds[0] + ds[-1] + 1) // 2
+    assert r["break_day"] == t0
+
+    def fit(sel):
+        nn = len(sel)
+        Sd = sum(d for d in sel)
+        Sy = sum(daily[d] for d in sel)
+        Sdd = sum(d * d for d in sel)
+        Sdy = sum(d * daily[d] for d in sel)
+        sl = float(nn * Sdy - Sd * Sy) / float(nn * Sdd - Sd * Sd)
+        return sl, (float(Sy) - sl * float(Sd)) / nn
+
+    b0, a0 = fit([d for d in ds if d < t0])
+    b1, a1 = fit([d for d in ds if d >= t0])
+    assert r["pre_slope"] == b0 and r["post_slope"] == b1
+    assert r["slope_change"] == b1 - b0
+    assert r["level_change"] == (a1 + b1 * float(t0)) - (a0 + b0 * float(t0))
+
+
+def test_its_degenerate_single_day_segment(spark):
+    """A 1-day segment has no slope: NULLs, never a division artifact."""
+    from patternly_spark.operators.temporal import interrupted_time_series
+
+    rows = [(_mk_ts(0), 100), (_mk_ts(1), 200), (_mk_ts(2), 300)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["ts", "cents"]))
+    r = interrupted_time_series(
+        df, ts_col="ts", value_cents_col="cents", break_day=2
+    ).collect()[0]
+    assert r["n_post"] == 1
+    assert r["post_slope"] is None
+    assert r["slope_change"] is None and r["level_change"] is None
+    assert r["pre_slope"] == 100.0
+
+
+# ---------------------------------------------------------------------------
+# MMR re-rank
+# ---------------------------------------------------------------------------
+
+
+def _seqdot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _cosq(a, b):
+    return int(
+        np.floor(_seqdot(a, b) / (math.sqrt(_seqdot(a, a)) * math.sqrt(_seqdot(b, b))) * (1 << 20))
+    )
+
+
+def _mmr_reference(V, qids, k, pool, lam):
+    out = []
+    n = len(V)
+    for qi in qids:
+        rels = sorted(
+            ((_cosq(V[c], V[qi]), c) for c in range(n) if c != qi),
+            key=lambda t: (-t[0], t[1]),
+        )[:pool]
+        relmap = {c: r for r, c in rels}
+        sel = []
+        for step in range(1, k + 1):
+            best = None
+            for c, r in relmap.items():
+                if c in (s[0] for s in sel):
+                    continue
+                if step == 1:
+                    score = lam * r
+                else:
+                    score = lam * r - (10 - lam) * max(
+                        _cosq(V[c], V[s[0]]) for s in sel
+                    )
+                if best is None or score > best[1] or (score == best[1] and c < best[0]):
+                    best = (c, score)
+            sel.append(best)
+            out.append((qi, step, best[0], best[1]))
+    return out
+
+
+def test_mmr_matches_greedy_reference(spark):
+    from patternly_spark.operators.similarity import mmr_rerank
+
+    rng = np.random.default_rng(23)
+    n, d = 120, 12
+    V = rng.normal(size=(n, d))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(n), "embedding": [list(map(float, v)) for v in V]}
+        )
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["cand_id"], r["score_q"])
+        for r in mmr_rerank(df, df.filter("vec_id < 3"), k=5, pool=9).collect()
+    )
+    exp = sorted(_mmr_reference(V, [0, 1, 2], 5, 9, 7))
+    assert got == exp
+
+
+def test_mmr_diversifies_vs_plain_topk(spark):
+    """Three planted near-duplicate clusters: plain top-3 returns one
+    cluster three times; MMR's 3 slots cover all three clusters."""
+    from patternly_spark.operators.similarity import mmr_rerank
+
+    rng = np.random.default_rng(29)
+    d = 16
+    centroids = rng.normal(size=(3, d)) * 3
+    vecs, labels = [], []
+    q = centroids.mean(axis=0) + centroids[0] * 0.3  # closest to cluster 0
+    vecs.append(q)
+    labels.append(-1)
+    for cl in range(3):
+        for _ in range(4):
+            vecs.append(centroids[cl] + rng.normal(scale=0.05, size=d))
+            labels.append(cl)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(len(vecs)),
+                "embedding": [list(map(float, v)) for v in vecs],
+            }
+        )
+    )
+    out = mmr_rerank(
+        df, df.filter("vec_id = 0"), k=3, pool=12, lam_tenths=5
+    ).collect()
+    picked_clusters = {labels[r["cand_id"]] for r in out}
+    assert len(picked_clusters) == 3
+
+
+def test_mmr_rejects_bad_lambda(spark):
+    from patternly_spark.operators.similarity import mmr_rerank
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0], "embedding": [[1.0, 0.0]]})
+    )
+    with pytest.raises(ValueError):
+        mmr_rerank(df, df, k=1, pool=2, lam_tenths=11)
