@@ -1834,6 +1834,18 @@ def jackknife_ratio_ci(
         F.sum(v).cast("long").alias("s_j"),
         F.count(F.lit(1)).cast("long").alias("n_j"),
     )
+    return jackknife_from_buckets(per_bucket, z=z)
+
+
+def jackknife_from_buckets(per_bucket: DataFrame, *, z: float = 1.96) -> DataFrame:
+    """Finalize a per-(arm, bucket) sums table (arm, __b, s_j long,
+    n_j long) into the ``jackknife_ratio_ci`` output — the ONE
+    definition of the jackknife moment math, shared by the batch
+    operator and the streaming registry finalizer
+    (``streaming/drift.jackknife_from_registry``): per-bucket (sum,
+    count) integers are additive across batches, so the registry folds
+    exactly and this finalize over its buckets is value-identical to
+    the batch operator over all history."""
     totals = per_bucket.groupBy("arm").agg(
         F.sum("s_j").cast("long").alias("S"),
         F.sum("n_j").cast("long").alias("N"),

@@ -893,3 +893,73 @@ def mwu_from_registry(spark, registry_path: str) -> DataFrame:
         .alias("__ct"),
     )
     return mwu_from_grid(grid, gcols=[])
+
+
+def streaming_jackknife_registry(
+    stream_df: DataFrame,
+    registry_path: str,
+    *,
+    checkpoint_path: str,
+    arm_col: str,
+    bucket_col: str,
+    value_cents_col: str,
+    trigger_once: bool = False,
+):
+    """foreachBatch jackknife-ratio registry (ST38): fold each
+    microbatch's per-(arm, bucket) integer (sum_cents, n) into the
+    persisted state by addition — a bucket's rows may arrive in any
+    batch and any order, because the leave-one-out ratio is a function
+    of additive per-bucket sums only.  State is bucket-sized (arms x
+    randomization buckets — tens to hundreds of rows), never
+    row-sized.  Finalize any time with ``jackknife_from_registry`` —
+    value-identical to ``operators/drift.jackknife_ratio_ci`` over all
+    history (union-parity pinned).  Exactly-once via versioned
+    snapshots (streaming/exactly_once).
+
+    Arms and buckets are kept as STRING keys (the ST35 convention: a
+    cast to long would NULL-collapse string/decimal ids and corrupt the
+    readout; strings preserve distinctness for every id type)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        v = F.col(value_cents_col).cast("long")
+        part = batch_df.groupBy(
+            F.col(arm_col).cast("string").alias("arm"),
+            F.col(bucket_col).cast("string").alias("bucket"),
+        ).agg(
+            F.sum(v).cast("long").alias("s_j"),
+            F.count(F.lit(1)).cast("long").alias("n_j"),
+        )
+        existing, _ = read_latest_snapshot(spark, registry_path, before_batch=batch_id)
+        if existing is not None:
+            part = (
+                part.unionByName(existing)
+                .groupBy("arm", "bucket")
+                .agg(
+                    F.sum("s_j").cast("long").alias("s_j"),
+                    F.sum("n_j").cast("long").alias("n_j"),
+                )
+            )
+        write_snapshot(part.localCheckpoint(eager=True), registry_path, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def jackknife_from_registry(spark, registry_path: str, *, z: float = 1.96) -> DataFrame:
+    """Jackknife ratio readout from a ``streaming_jackknife_registry``
+    state: the ONE shared moment math
+    (``operators/drift.jackknife_from_buckets``) over the folded
+    per-bucket sums — value-identical to the batch operator over every
+    row ever folded."""
+    from patternly_spark.operators.drift import jackknife_from_buckets
+
+    reg = read_registry(spark, registry_path)
+    per_bucket = reg.select(
+        "arm", F.col("bucket").alias("__b"), "s_j", "n_j"
+    )
+    return jackknife_from_buckets(per_bucket, z=z)

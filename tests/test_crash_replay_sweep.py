@@ -250,6 +250,7 @@ def _cases() -> dict[str, Case]:
     )
     from patternly_spark.streaming.drift import (
         streaming_did_registry,
+        streaming_jackknife_registry,
         streaming_rank_test_registry,
     )
 
@@ -271,6 +272,16 @@ def _cases() -> dict[str, Case]:
         lambda spark, s, d: streaming_rank_test_registry(
             s, f"{d}/reg", checkpoint_path=f"{d}/ckpt", arm_col="arm",
             value_cents_col="cents", trigger_once=True,
+        ),
+        ["reg"],
+    )
+    add(
+        "jackknife_registry", "arm string, bucket long, cents long",
+        [("a" if i % 2 == 0 else "b", i % 4, 100 + 7 * i) for i in range(16)],
+        [("a" if i % 2 == 0 else "b", i % 4, 90 + 11 * i) for i in range(16)],
+        lambda spark, s, d: streaming_jackknife_registry(
+            s, f"{d}/reg", checkpoint_path=f"{d}/ckpt", arm_col="arm",
+            bucket_col="bucket", value_cents_col="cents", trigger_once=True,
         ),
         ["reg"],
     )

@@ -354,3 +354,53 @@ def test_mmr_rejects_bad_lambda(spark):
     )
     with pytest.raises(ValueError):
         mmr_rerank(df, df, k=1, pool=2, lam_tenths=11)
+
+
+# ---------------------------------------------------------------------------
+# ST38: streaming jackknife registry — union parity + additive fold
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_jackknife_union_parity(spark, tmp_path):
+    """Finalize over the folded registry == batch jackknife_ratio_ci
+    over the union of all batches (tuple-exact), with rows of the same
+    bucket arriving across different triggers."""
+    from patternly_spark.operators.drift import jackknife_ratio_ci
+    from patternly_spark.streaming.drift import (
+        jackknife_from_registry,
+        streaming_jackknife_registry,
+    )
+
+    rows = [
+        ("a" if i % 2 == 0 else "b", i % 5, 100 + 17 * i) for i in range(60)
+    ]
+    schema = "arm string, bucket long, cents long"
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    # interleave so every bucket spans all three triggers
+    for b in [rows[0::3], rows[1::3], rows[2::3]]:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_jackknife_registry(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        str(tmp_path / "reg"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        arm_col="arm",
+        bucket_col="bucket",
+        value_cents_col="cents",
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, jackknife_from_registry(spark, str(tmp_path / "reg")).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            jackknife_ratio_ci(
+                df, "cents", arm_col="arm", bucket_col="bucket"
+            ).collect(),
+        )
+    )
+    assert got == want
