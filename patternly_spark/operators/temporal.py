@@ -1467,7 +1467,22 @@ def interrupted_time_series(
         )
         .groupBy("d")
         .agg(F.sum("v").cast("long").alias("y"))
+        # day-count-sized by construction; pinned so the break-day
+        # subquery and the pre/post branches don't rescan the raw
+        # relation (4 full scans at 100 TB otherwise)
+        .localCheckpoint(eager=True)
     )
+    return its_from_daily(daily, break_day=break_day)
+
+
+def its_from_daily(daily: DataFrame, *, break_day: int | None = None) -> DataFrame:
+    """Finalize a per-epoch-day totals table (d long, y long cents)
+    into the ``interrupted_time_series`` output — the ONE definition of
+    the segmented-OLS moment math, shared by the batch operator and the
+    streaming registry finalizer (``streaming/temporal.
+    its_from_registry``): daily integer sums are additive across
+    batches, so the registry folds exactly and this finalize over its
+    days is value-identical to the batch operator over all history."""
     if break_day is None:
         b = daily.agg(
             F.expr("(min(d) + max(d) + 1) div 2").cast("long").alias("t0")

@@ -105,3 +105,83 @@ def bursts_from_event_log(
         gamma=gamma,
         min_events=min_events,
     )
+
+
+def streaming_its_registry(
+    stream_df: DataFrame,
+    registry_path: str,
+    *,
+    checkpoint_path: str,
+    ts_col: str = "ts",
+    value_cents_col: str = "cents",
+    trigger_once: bool = False,
+):
+    """foreachBatch interrupted-time-series registry (ST39): fold each
+    microbatch's per-epoch-day integer cent totals into the persisted
+    state by addition — a day's rows may arrive in any batch and any
+    order, because the segmented-OLS moments are functions of additive
+    daily sums only.  State is day-count-sized (one row per observed
+    day), never row-sized.  Finalize any time with
+    ``its_from_registry`` — value-identical to
+    ``operators/temporal.interrupted_time_series`` over all history
+    (union-parity pinned).  Exactly-once via versioned snapshots
+    (streaming/exactly_once).
+
+    The registry IS the launch-monitoring deployment shape: fold the
+    metric stream continuously, read the level/slope-change verdict
+    whenever asked, move the ``break_day`` parameter at READOUT time
+    (it is not baked into the state)."""
+    from patternly_spark.streaming.exactly_once import (
+        read_latest_snapshot,
+        write_snapshot,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ts_type = batch_df.schema[ts_col].dataType.simpleString()
+        us = (
+            F.unix_micros(F.col(ts_col))
+            if ts_type.startswith("timestamp")
+            else F.col(ts_col).cast("long")
+        )
+        part = (
+            batch_df.select(
+                us.alias("__us"),
+                F.col(value_cents_col).cast("long").alias("v"),
+            )
+            # same integer-div day key as the batch operator (`div`
+            # truncates; a pmod-based floor would disagree pre-1970)
+            .withColumn("d", F.expr("__us div 86400000000").cast("long"))
+            .groupBy("d")
+            .agg(F.sum("v").cast("long").alias("y"))
+        )
+        existing, _ = read_latest_snapshot(spark, registry_path, before_batch=batch_id)
+        if existing is not None:
+            part = (
+                part.unionByName(existing)
+                .groupBy("d")
+                .agg(F.sum("y").cast("long").alias("y"))
+            )
+        write_snapshot(part.localCheckpoint(eager=True), registry_path, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def its_from_registry(
+    spark: SparkSession, registry_path: str, *, break_day: int | None = None
+) -> DataFrame:
+    """ITS readout from a ``streaming_its_registry`` state: the ONE
+    shared segmented-OLS math (``operators/temporal.its_from_daily``)
+    over the folded daily totals — value-identical to the batch
+    operator over every row ever folded, with ``break_day`` chosen at
+    readout time."""
+    from patternly_spark.operators.temporal import its_from_daily
+    from patternly_spark.streaming.exactly_once import read_registry
+
+    daily = read_registry(spark, registry_path).select("d", "y")
+    return its_from_daily(daily, break_day=break_day)

@@ -285,6 +285,33 @@ def _cases() -> dict[str, Case]:
         ),
         ["reg"],
     )
+    from patternly_spark.streaming.temporal import (
+        streaming_event_log_registry,
+        streaming_its_registry,
+    )
+
+    add(
+        "event_log_registry", "user_id long, ts long, event_id long",
+        [(i % 3, 1_000_000 * i, i) for i in range(12)],
+        [(i % 3, 1_000_000 * (50 + i), 50 + i) for i in range(12)],
+        lambda spark, s, d: streaming_event_log_registry(
+            s, f"{d}/reg", checkpoint_path=f"{d}/ckpt", key_col="user_id",
+            ts_col="ts", id_col="event_id", trigger_once=True,
+        ),
+        ["reg"],
+    )
+    add(
+        "its_registry", "ts timestamp, cents long",
+        [(_ts("2024-01-01 08:00:00"), 120), (_ts("2024-01-02 09:00:00"), 80),
+         (_ts("2024-01-03 10:00:00"), 200)],
+        [(_ts("2024-01-01 18:00:00"), 40), (_ts("2024-01-04 11:00:00"), 310),
+         (_ts("2024-01-05 12:00:00"), 150)],
+        lambda spark, s, d: streaming_its_registry(
+            s, f"{d}/reg", checkpoint_path=f"{d}/ckpt", ts_col="ts",
+            value_cents_col="cents", trigger_once=True,
+        ),
+        ["reg"],
+    )
     add(
         "bootstrap_registry", "k long, cents long",
         [(i, 100 + i) for i in range(8)], [(100 + i, 50 + i) for i in range(8)],

@@ -404,3 +404,52 @@ def test_streaming_jackknife_union_parity(spark, tmp_path):
         )
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# ST39: streaming ITS registry — union parity with readout-time break
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_its_union_parity(spark, tmp_path):
+    """Finalize over the folded daily registry == batch
+    interrupted_time_series over the union (tuple-exact), with the same
+    day's rows arriving across different triggers and the break chosen
+    at readout time."""
+    from patternly_spark.operators.temporal import interrupted_time_series
+    from patternly_spark.streaming.temporal import (
+        its_from_registry,
+        streaming_its_registry,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = [
+        (_mk_ts(int(d), int(m)), int(c))
+        for d, m, c in zip(
+            rng.integers(0, 40, 300), rng.integers(0, 1440, 300), rng.integers(1, 5000, 300)
+        )
+    ]
+    schema = "ts timestamp, cents long"
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["ts", "cents"]))
+    src = str(tmp_path / "src")
+    for b in [rows[0::3], rows[1::3], rows[2::3]]:
+        spark.createDataFrame(pd.DataFrame(b, columns=["ts", "cents"])).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    q = streaming_its_registry(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        str(tmp_path / "reg"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        ts_col="ts",
+        value_cents_col="cents",
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    for bd in [None, 25]:
+        got = its_from_registry(spark, str(tmp_path / "reg"), break_day=bd).collect()
+        want = interrupted_time_series(
+            df, ts_col="ts", value_cents_col="cents", break_day=bd
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
