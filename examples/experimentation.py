@@ -149,6 +149,33 @@ def main() -> None:
     shapley_attribution(
         journeys, ts_col="ts", channels=chans, conversion="purchase"
     ).orderBy(F.desc("share")).show()
+
+    print("== 9. jackknife CI on the RATIO metric (cents per event) ==")
+    from patternly_spark.operators.drift import (
+        jackknife_ratio_ci,
+        james_stein_shrinkage,
+    )
+
+    jk_in = ev.join(armed.select("user_id", "arm"), "user_id").select(
+        "arm", (F.col("user_id") % 16).alias("bucket"), "cents"
+    )
+    jackknife_ratio_ci(jk_in, "cents", arm_col="arm", bucket_col="bucket").show()
+
+    print("== 10. James-Stein shrinkage of per-segment means ==")
+    # small segments' raw means are mostly noise; report the shrunk ones
+    js_in = ev.select((F.col("user_id") % 23).alias("segment"), "cents")
+    james_stein_shrinkage(js_in, "cents", group_col="segment").orderBy(
+        F.desc("shrink_c")
+    ).show(5)
+
+    print("== 11. interrupted time series (no-control-arm readout) ==")
+    from patternly_spark.operators.temporal import interrupted_time_series
+
+    interrupted_time_series(
+        ev.select(F.timestamp_micros(F.col("us")).alias("ts"), "cents"),
+        ts_col="ts",
+        value_cents_col="cents",
+    ).show()
     print("experimentation demo OK")
 
 
