@@ -12113,6 +12113,107 @@ def _q259_oracle(k: int = 4, pool: int = 10, lam: int = 7) -> str:
     return "".join(parts)
 
 
+def q260_obf_monitor(spark, sf_dir):
+    """O'Brien-Fleming group-sequential monitor over 5 interim looks
+    (operators/drift.obf_sequential_monitor): looks = equal time bins,
+    arms = user_id parity; cumulative Welch z vs c/sqrt(f_k) boundary,
+    nominal alpha via the quantized-exp A&S normal SF — SQL replays
+    every double."""
+    from patternly_spark.operators.drift import obf_sequential_monitor
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("arm"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    b = ev.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    binned = ev.crossJoin(F.broadcast(b)).select(
+        "arm",
+        "cents",
+        (F.lit(1) + F.expr("((us - mn) * 5) div (mx - mn + 1)"))
+        .cast("int")
+        .alias("look"),
+    )
+    return obf_sequential_monitor(
+        binned, "cents", arm_col="arm", look_col="look", obf_constant=2.04
+    )
+
+
+def _q260_oracle() -> str:
+    inv = _dlit(0.3989422804014327)
+    t_c = _dlit(0.2316419)
+    b1, b2, b3, b4, b5 = (
+        _dlit(v)
+        for v in (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+    )
+    c = _dlit(2.04)
+    return f"""
+    WITH base AS (
+        SELECT user_id % 2 AS arm,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               epoch_us(ts) AS us
+        FROM events
+    ), bounds AS (
+        SELECT MIN(us) AS mn, MAX(us) AS mx FROM base
+    ), binned AS (
+        SELECT arm, cents,
+               CAST(1 + ((us - mn) * 5) // (mx - mn + 1) AS INT) AS look
+        FROM base, bounds
+    ), per AS (
+        SELECT look, arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS ss
+        FROM binned GROUP BY look, arm
+    ), cum AS (
+        SELECT look, arm,
+               CAST(SUM(n) OVER (PARTITION BY arm ORDER BY look) AS BIGINT) AS cn,
+               CAST(SUM(s) OVER (PARTITION BY arm ORDER BY look) AS BIGINT) AS cs,
+               SUM(ss) OVER (PARTITION BY arm ORDER BY look) AS css
+        FROM per
+    ), j AS (
+        SELECT c.look,
+               c.cn AS n_c, c.cs AS s_c, c.css AS ss_c,
+               t.cn AS n_t, t.cs AS s_t, t.css AS ss_t
+        FROM (SELECT * FROM cum WHERE arm = 0) c
+        JOIN (SELECT * FROM cum WHERE arm = 1) t ON c.look = t.look
+    ), stats AS (
+        SELECT look, n_c, n_t,
+               CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS mean_c,
+               CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS mean_t,
+               CASE WHEN n_c >= 2 THEN
+                   CAST(CAST(n_c AS HUGEINT) * ss_c
+                        - CAST(s_c AS HUGEINT) * CAST(s_c AS HUGEINT) AS DOUBLE)
+                   / (CAST(n_c AS DOUBLE) * (CAST(n_c AS DOUBLE) - 1.0)) END AS var_c,
+               CASE WHEN n_t >= 2 THEN
+                   CAST(CAST(n_t AS HUGEINT) * ss_t
+                        - CAST(s_t AS HUGEINT) * CAST(s_t AS HUGEINT) AS DOUBLE)
+                   / (CAST(n_t AS DOUBLE) * (CAST(n_t AS DOUBLE) - 1.0)) END AS var_t,
+               (SELECT MAX(n_c + n_t) FROM j) AS ntot
+        FROM j
+    ), zed AS (
+        SELECT look, n_c, n_t,
+               CASE WHEN sqrt(var_t / CAST(n_t AS DOUBLE) + var_c / CAST(n_c AS DOUBLE)) > 0
+                    THEN (mean_t - mean_c)
+                         / sqrt(var_t / CAST(n_t AS DOUBLE) + var_c / CAST(n_c AS DOUBLE))
+               END AS z,
+               CAST(n_c + n_t AS DOUBLE) / CAST(ntot AS DOUBLE) AS info_frac,
+               {c} / sqrt(CAST(n_c + n_t AS DOUBLE) / CAST(ntot AS DOUBLE)) AS boundary
+        FROM stats
+    )
+    SELECT look, n_c AS n_control, n_t AS n_treatment, z, info_frac, boundary,
+           abs(z) > boundary AS crossed,
+           2.0 * ((floor(exp(-boundary * boundary / 2.0) * 1048576.0) / 1048576.0)
+                  * {inv})
+               * ((1.0 / (1.0 + {t_c} * boundary))
+                  * ({b1} + (1.0 / (1.0 + {t_c} * boundary))
+                     * ({b2} + (1.0 / (1.0 + {t_c} * boundary))
+                        * ({b3} + (1.0 / (1.0 + {t_c} * boundary))
+                           * ({b4} + (1.0 / (1.0 + {t_c} * boundary)) * {b5})))))
+               AS nominal_alpha
+    FROM zed ORDER BY look
+    """
+
+
 def _q249_oracle() -> str:
     s_lit, g_lit = _dlit(2.0), _dlit(1.0)
     return f"""
@@ -12446,6 +12547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q257_james_stein": q257_james_stein,
         "q258_its_segmented": q258_its_segmented,
         "q259_mmr_rerank": q259_mmr_rerank,
+        "q260_obf_monitor": q260_obf_monitor,
     }
 
 
@@ -14225,6 +14327,7 @@ def oracle_sql() -> dict[str, str]:
         "q257_james_stein": _q257_oracle(),
         "q258_its_segmented": _q258_oracle(),
         "q259_mmr_rerank": _q259_oracle(),
+        "q260_obf_monitor": _q260_oracle(),
     }
 
 

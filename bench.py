@@ -277,6 +277,7 @@ BENCH_QUERIES = [
     "q257_james_stein",
     "q258_its_segmented",
     "q259_mmr_rerank",
+    "q260_obf_monitor",
 ]
 
 

@@ -1990,3 +1990,138 @@ def james_stein_shrinkage(
         shrink.alias("shrink_c"),
         (mu2 + (F.lit(1.0) - shrink) * (mean_g2 - mu2)).alias("mean_shrunk"),
     )
+
+
+#: Abramowitz & Stegun 26.2.17 coefficients (|eps| < 7.5e-8 on the CDF)
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def normal_sf_q(z: F.Column) -> F.Column:
+    """Upper-tail standard normal P(Z > z) as a COLUMN expression that
+    an external SQL engine replays bit-for-bit — neither Spark nor
+    DuckDB ships erf, so both sides build Phi from the SAME primitive
+    chain: Abramowitz & Stegun 26.2.17 (|approx error| < 7.5e-8, far
+    below any decision threshold this feeds), with the one libm call
+    (exp) floor-quantized to the 2^-20 grid before use (the engine's
+    ln-quantization convention: a cross-libm 1-ulp disagreement crosses
+    a grid boundary with ~2^-32 odds, the accepted risk class), and the
+    polynomial folded in a FIXED Horner order.
+
+    Adds <= ~1.3 * 2^-20 of absolute error on top of A&S — p-values
+    are exact to ~2e-6, which is reporting precision, not inference
+    precision.  Symmetric: negative z returns 1 - SF(|z|).
+    """
+    x = F.abs(z)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * x)
+    phi_q = (
+        F.floor(F.exp(-x * x / F.lit(2.0)) * F.lit(float(1 << 20)))
+        / F.lit(float(1 << 20))
+    ) * F.lit(_INV_SQRT_2PI)
+    b1, b2, b3, b4, b5 = (F.lit(b) for b in _AS_B)
+    poly = t * (b1 + t * (b2 + t * (b3 + t * (b4 + t * b5))))
+    sf_abs = phi_q * poly
+    return F.when(z >= 0, sf_abs).otherwise(F.lit(1.0) - sf_abs)
+
+
+def obf_sequential_monitor(
+    df: DataFrame,
+    value_cents_col: str,
+    *,
+    arm_col: str,
+    look_col: str,
+    obf_constant: float = 2.04,
+) -> DataFrame:
+    """O'Brien-Fleming group-sequential monitor — the peeking
+    discipline a fixed-horizon z-test (q204) lacks and the SPRT (q233)
+    trades composite hypotheses for: at each interim look k the
+    CUMULATIVE Welch z compares against the OBF boundary
+    ``c / sqrt(f_k)`` (f_k = information fraction), so early looks need
+    overwhelming evidence and the final look spends almost the full
+    alpha.  ``obf_constant`` is the published table value for (K,
+    alpha) — e.g. 2.04 for K=5 two-sided alpha=0.05, 2.00 for K=4,
+    1.98 for K=3 (Pocock & O'Brien-Fleming tables); it is a REPORTING
+    constant, not fitted.
+
+    Exactness: per-(look, arm) BIGINT/DECIMAL moments, cumulated with a
+    window ORDER BY look (exact integer adds in a deterministic order);
+    every mean/var/z is the DiD closed-form chain; the boundary and the
+    nominal two-sided level ``2 * normal_sf_q(boundary)`` are fixed
+    scalar chains — plain SQL replays every double.  Degenerate looks
+    (an arm absent, or zero variance) surface NULL z, never NaN.
+
+    Shape: ONE keyed integer aggregation (map-side combine) + a
+    K-row window — everything after the first groupBy is look-count
+    sized.
+
+    Output: one row per look — (look, n_control, n_treatment, z,
+    info_frac, boundary, crossed, nominal_alpha), ordered by look.
+    """
+    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
+    if len(arms) != 2:
+        raise ValueError(f"obf_sequential_monitor needs exactly 2 arms, got {arms}")
+    from pyspark.sql import Window
+
+    ctrl, trt = arms
+    v = F.col(value_cents_col).cast("long")
+    vd = v.cast("decimal(19,0)")
+    per = df.groupBy(F.col(look_col).alias("look"), F.col(arm_col).alias("__a")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("s"),
+        F.sum(vd * vd).cast("decimal(38,0)").alias("ss"),
+    )
+    w = (
+        Window.partitionBy("__a")
+        .orderBy("look")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per.select(
+        "look",
+        "__a",
+        F.sum("n").over(w).cast("long").alias("cn"),
+        F.sum("s").over(w).cast("long").alias("cs"),
+        F.sum("ss").over(w).cast("decimal(38,0)").alias("css"),
+    )
+
+    def side(arm, tag):
+        return cum.filter(F.col("__a") == arm).select(
+            "look",
+            F.col("cn").alias(f"n_{tag}"),
+            F.col("cs").alias(f"s_{tag}"),
+            F.col("css").alias(f"ss_{tag}"),
+        )
+
+    j = side(ctrl, "c").join(side(trt, "t"), "look")
+
+    def mv(tag):
+        n = F.col(f"n_{tag}")
+        nd = n.cast("double")
+        mean = F.col(f"s_{tag}").cast("double") / nd
+        var_num = (
+            n.cast("decimal(19,0)") * F.col(f"ss_{tag}")
+            - F.col(f"s_{tag}").cast("decimal(19,0)")
+            * F.col(f"s_{tag}").cast("decimal(19,0)")
+        ).cast("double")
+        var = F.when(n >= 2, var_num / (nd * (nd - F.lit(1.0))))
+        return mean, var, n, nd
+
+    mean_c, var_c, n_c, nd_c = mv("c")
+    mean_t, var_t, n_t, nd_t = mv("t")
+    se = F.sqrt(var_t / nd_t + var_c / nd_c)
+    z = F.when(se > 0, (mean_t - mean_c) / se)
+    total = j.agg(F.max(F.col("n_c") + F.col("n_t")).alias("ntot")).localCheckpoint(
+        eager=True
+    )
+    out = j.crossJoin(F.broadcast(total))
+    f_k = (F.col("n_c") + F.col("n_t")).cast("double") / F.col("ntot").cast("double")
+    boundary = F.lit(float(obf_constant)) / F.sqrt(f_k)
+    return out.select(
+        "look",
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        z.alias("z"),
+        f_k.alias("info_frac"),
+        boundary.alias("boundary"),
+        (F.abs(z) > boundary).alias("crossed"),
+        (F.lit(2.0) * normal_sf_q(boundary)).alias("nominal_alpha"),
+    ).orderBy("look")

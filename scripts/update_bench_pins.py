@@ -31,8 +31,18 @@ raises = {a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--raise=")}
 raws = [open(p).read() for p in args] if args else [sys.stdin.read()]
 runs = []
 for raw in raws:
-    line = [l for l in raw.strip().splitlines() if l.strip().startswith("{")][-1]
-    d = json.loads(line)
+    # bench.py prints the full result AND a compact tail line (the
+    # harness's 2000-byte stdout window); pin from the line carrying the
+    # MOST per-query timings, never the truncated-subset tail
+    cands = []
+    for l in raw.strip().splitlines():
+        if not l.strip().startswith("{"):
+            continue
+        try:
+            cands.append(json.loads(l))
+        except ValueError:
+            continue
+    d = max(cands, key=lambda c: len(c.get("queries", {})))
     assert str(d.get("sf")) == "0.1", f"pins must come from sf0.1 (got {d.get('sf')})"
     runs.append(d)
 

@@ -453,3 +453,67 @@ def test_streaming_its_union_parity(spark, tmp_path):
             df, ts_col="ts", value_cents_col="cents", break_day=bd
         ).collect()
         assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+# ---------------------------------------------------------------------------
+# C108: normal_sf_q + O'Brien-Fleming sequential monitor
+# ---------------------------------------------------------------------------
+
+
+def test_normal_sf_q_accuracy_and_symmetry(spark):
+    """Against math.erfc ground truth: A&S error (<7.5e-8) plus the
+    2^-20 phi quantization (<1.3 * 2^-20 * poly) stays under 3e-6; the
+    negative branch is the exact complement."""
+    from patternly_spark.operators.drift import normal_sf_q
+
+    zs = [-4.0, -2.5758, -1.96, -1.0, -0.1, 0.0, 0.1, 1.0, 1.645, 1.96, 2.5758, 4.0]
+    df = spark.createDataFrame(pd.DataFrame({"z": zs}))
+    got = {r["z"]: r["sf"] for r in df.select("z", normal_sf_q(F.col("z")).alias("sf")).collect()}
+    for z in zs:
+        true = 0.5 * math.erfc(z / math.sqrt(2))
+        assert abs(got[z] - true) < 3e-6, (z, got[z], true)
+    for z in (0.1, 1.0, 1.96):
+        assert got[-z] == 1.0 - got[z]
+
+
+def test_obf_monitor_crossing_and_guards(spark):
+    """A planted effect crosses at the late look; the boundary is
+    monotone decreasing; a single-row look yields NULL z, never NaN."""
+    from patternly_spark.operators.drift import obf_sequential_monitor
+
+    rng = np.random.default_rng(43)
+    rows = []
+    for look in range(1, 5):
+        # effect only materializes in looks 3-4
+        for arm in (0, 1):
+            eff = 1500 if (arm == 1 and look >= 3) else 0
+            vals = rng.normal(20000 + eff, 4000, 600).astype(int)
+            rows += [(look, arm, int(v)) for v in vals]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["look", "arm", "cents"]))
+    out = obf_sequential_monitor(
+        df, "cents", arm_col="arm", look_col="look", obf_constant=2.0
+    ).collect()
+    bounds = [r["boundary"] for r in out]
+    assert bounds == sorted(bounds, reverse=True)
+    assert not out[0]["crossed"] and out[-1]["crossed"]
+    assert abs(out[-1]["info_frac"] - 1.0) < 1e-12
+
+    # degenerate: one arm has a single row in look 1 -> NULL z there
+    tiny = spark.createDataFrame(
+        pd.DataFrame(
+            {"look": [1, 1, 2, 2, 2, 2], "arm": [0, 1, 0, 0, 1, 1],
+             "cents": [100, 200, 110, 130, 220, 260]}
+        )
+    )
+    t = obf_sequential_monitor(tiny, "cents", arm_col="arm", look_col="look").collect()
+    assert t[0]["z"] is None and not math.isnan(t[1]["z"])
+
+
+def test_obf_monitor_two_arm_validation(spark):
+    from patternly_spark.operators.drift import obf_sequential_monitor
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"look": [1, 1, 1], "arm": [0, 1, 2], "cents": [1, 2, 3]})
+    )
+    with pytest.raises(ValueError):
+        obf_sequential_monitor(df, "cents", arm_col="arm", look_col="look")
