@@ -12214,6 +12214,53 @@ def _q260_oracle() -> str:
     """
 
 
+def q261_ipw_ate(spark, sf_dir):
+    """IPW-weighted ATE (operators/model_eval.ipw_ate): per-user
+    pre/post spend split at the time midpoint; treatment assignment is
+    hash-randomized with probability CONFOUNDED on pre-period spend
+    (30% vs 70%), so the naive post-spend difference is biased and the
+    propensity fit (features: scaled pre-spend, log1p event count) is
+    what the readout must invert.  Rows-only: sigmoid is
+    libm-dependent; correctness pinned by the numpy reference in
+    verified_by."""
+    from patternly_spark.operators.model_eval import ipw_ate
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        (_dec("value") * 100).cast("long").alias("cents"),
+    )
+    b = ev.agg(F.min("us").alias("mn"), F.max("us").alias("mx")).select(
+        F.expr("(mn + mx) div 2").alias("mid")
+    )
+    per_user = ev.crossJoin(F.broadcast(b)).groupBy("user_id").agg(
+        F.sum(F.when(F.col("us") < F.col("mid"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("pre"),
+        F.sum(F.when(F.col("us") >= F.col("mid"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("post"),
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+    )
+    armed = per_user.select(
+        "post",
+        (F.col("pre").cast("double") / F.lit(100000.0)).alias("pre_scaled"),
+        F.log1p(F.col("n_ev").cast("double")).alias("ln1p_n"),
+        (
+            F.pmod(F.xxhash64("user_id", F.lit("ipw")), F.lit(100))
+            < F.lit(30) + F.when(F.col("pre") > 250000, F.lit(40)).otherwise(F.lit(0))
+        )
+        .cast("int")
+        .alias("treat"),
+    )
+    return ipw_ate(
+        armed,
+        treat_col="treat",
+        outcome_cents_col="post",
+        feature_cols=["pre_scaled", "ln1p_n"],
+    )
+
+
 def _q249_oracle() -> str:
     s_lit, g_lit = _dlit(2.0), _dlit(1.0)
     return f"""
@@ -12548,6 +12595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q258_its_segmented": q258_its_segmented,
         "q259_mmr_rerank": q259_mmr_rerank,
         "q260_obf_monitor": q260_obf_monitor,
+        "q261_ipw_ate": q261_ipw_ate,
     }
 
 
@@ -12562,6 +12610,12 @@ def verified_by() -> dict[str, str]:
             "beta/se/z equality (rel 1e-8) vs a from-scratch numpy IRLS "
             "reference, planted-effect recovery "
             "(tests/test_survival_cox.py::test_logistic_matches_numpy_reference)"
+        ),
+        "q261_ipw_ate": (
+            "ATE/ESS equality (rel 1e-8) vs a from-scratch numpy Hajek-IPW "
+            "reference on the same betas, plus planted-confounder recovery "
+            "(IPW materially closer to the true effect than the naive diff) "
+            "(tests/test_round8_ops.py::test_ipw_ate_matches_numpy_reference)"
         ),
         "q250_cox_hazards": (
             "beta/se/z equality (rel 1e-8) vs a from-scratch subject-level "

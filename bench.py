@@ -278,6 +278,7 @@ BENCH_QUERIES = [
     "q258_its_segmented",
     "q259_mmr_rerank",
     "q260_obf_monitor",
+    "q261_ipw_ate",
 ]
 
 

@@ -989,3 +989,91 @@ def logistic_regression(
     return df.sparkSession.createDataFrame(
         out, "feature string, beta double, se double, z double"
     )
+
+
+def ipw_ate(
+    df: DataFrame,
+    *,
+    treat_col: str,
+    outcome_cents_col: str,
+    feature_cols: list[str],
+    iters: int = 6,
+    ridge: float = 0.0,
+    clip: tuple[float, float] = (0.01, 0.99),
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect (Hajek
+    estimator) — the observational-readout closer of the causal stack:
+    fit the propensity e(x) = P(T=1|x) with the engine's budgeted-
+    Newton logistic regression (q254), clip to ``clip`` for positivity,
+    and report the stabilized-weight difference of weighted outcome
+    means,
+
+        ATE = sum(y*T/e)/sum(T/e) - sum(y*(1-T)/(1-e))/sum((1-T)/(1-e))
+
+    (the Hajek / self-normalized form — invariant to weight scaling, so
+    stabilization constants cancel; reported weights diagnostics expose
+    positivity problems the estimate alone hides).
+
+    Distributed shape: the logistic fit is ``iters`` single-scan
+    sufficient-statistic aggregates (the q254 kernel); scoring + the
+    weighted means are ONE more full scan of pure column expressions.
+    The only driver-side values are the (p+1) betas (bounded by the
+    q254 contract, p <= 16).
+
+    Not SQL-oracle-checkable (sigmoid is libm-dependent across
+    engines), so rows-only at the driver gate; correctness is pinned by
+    a from-scratch numpy reference at rel 1e-8
+    (tests/test_round8_ops.py::test_ipw_ate_matches_numpy_reference).
+
+    Output: ONE row — (n_treated, n_control, ate_cents,
+    mean_treated_w, mean_control_w, min_e, max_e, ess_treated,
+    ess_control); ess_* are Kish effective sample sizes
+    (sum(w)^2 / sum(w^2)) — the positivity health metric.
+    """
+    lo, hi = float(clip[0]), float(clip[1])
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"clip must satisfy 0 <= lo < hi <= 1, got {clip}")
+    betas = {
+        r["feature"]: r["beta"]
+        for r in logistic_regression(
+            df,
+            label_col=treat_col,
+            feature_cols=feature_cols,
+            iters=iters,
+            ridge=ridge,
+        ).collect()
+    }
+    lp = F.lit(float(betas["__intercept"]))
+    for c in feature_cols:
+        lp = lp + F.lit(float(betas[c])) * F.col(c).cast("double")
+    e_raw = F.lit(1.0) / (F.lit(1.0) + F.exp(-lp))
+    e = F.least(F.greatest(e_raw, F.lit(lo)), F.lit(hi))
+    t = F.col(treat_col).cast("double")
+    y = F.col(outcome_cents_col).cast("long").cast("double")
+    w_t = t / e
+    w_c = (F.lit(1.0) - t) / (F.lit(1.0) - e)
+    agg = df.agg(
+        F.sum(t).cast("long").alias("n_treated"),
+        F.sum(F.lit(1.0) - t).cast("long").alias("n_control"),
+        F.sum(w_t * y).alias("swy_t"),
+        F.sum(w_t).alias("sw_t"),
+        F.sum(w_t * w_t).alias("sww_t"),
+        F.sum(w_c * y).alias("swy_c"),
+        F.sum(w_c).alias("sw_c"),
+        F.sum(w_c * w_c).alias("sww_c"),
+        F.min(e).alias("min_e"),
+        F.max(e).alias("max_e"),
+    )
+    mean_t = F.col("swy_t") / F.col("sw_t")
+    mean_c = F.col("swy_c") / F.col("sw_c")
+    return agg.select(
+        "n_treated",
+        "n_control",
+        (mean_t - mean_c).alias("ate_cents"),
+        mean_t.alias("mean_treated_w"),
+        mean_c.alias("mean_control_w"),
+        "min_e",
+        "max_e",
+        (F.col("sw_t") * F.col("sw_t") / F.col("sww_t")).alias("ess_treated"),
+        (F.col("sw_c") * F.col("sw_c") / F.col("sww_c")).alias("ess_control"),
+    )
