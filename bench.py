@@ -588,7 +588,17 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump(out, f)
     print(json.dumps(out))
+    sys.stdout.flush()
+    print(compact_line(out))
 
+
+def compact_line(out: dict, budget: int = 1900) -> str:
+    """The final stdout line, guaranteed <= ``budget`` bytes: totals,
+    regression verdicts, and a fixed headline subset of per-query
+    timings (driver-gate queries first, then the budgeted iterative
+    entries).  Entries dropped to fit are counted in queries_elided —
+    no silent cap."""
+    timings = out["queries"]
     headline = {
         n: round(timings[n], 2)
         for n in BENCH_QUERIES[:40] + list(BENCH_BUDGETED)
@@ -596,21 +606,20 @@ def main() -> None:
     }
     compact = {
         "metric": out["metric"],
-        "value": total,
-        "unit": "sec",
+        "value": out["value"],
+        "unit": out["unit"],
         "sf": out["sf"],
         "n_queries": len(timings),
         "full": "BENCH_local_full.json",
-        "regressions": regressions,
+        "regressions": out.get("regressions", {}),
         "queries": headline,
     }
     line = json.dumps(compact, separators=(",", ":"))
-    while len(line) > 1900 and compact["queries"]:
+    while len(line) > budget and compact["queries"]:
         compact["queries"].popitem()
         compact["queries_elided"] = len(timings) - len(compact["queries"])
         line = json.dumps(compact, separators=(",", ":"))
-    sys.stdout.flush()
-    print(line)
+    return line
     if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
         sys.exit(1)
 

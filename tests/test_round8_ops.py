@@ -569,3 +569,40 @@ def test_ipw_ate_rejects_bad_clip(spark):
     df = spark.createDataFrame(pd.DataFrame({"t": [0, 1], "y": [1, 2], "x": [0.0, 1.0]}))
     with pytest.raises(ValueError):
         ipw_ate(df, treat_col="t", outcome_cents_col="y", feature_cols=["x"], clip=(0.5, 0.4))
+
+
+# ---------------------------------------------------------------------------
+# bench.py compact tail line: must survive the harness's 2000-byte window
+# ---------------------------------------------------------------------------
+
+
+def test_bench_compact_line_fits_and_parses():
+    import json
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    import bench
+
+    timings = {n: i * 0.37 for i, n in enumerate(bench.BENCH_QUERIES)}
+    timings.update({n: 1.0 for n in bench.BENCH_BUDGETED})
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": 222.0,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": timings,
+        "regressions": {},
+    }
+    line = bench.compact_line(out)
+    assert len(line) <= 1900
+    d = json.loads(line)
+    assert d["n_queries"] == len(timings)
+    assert d["value"] == 222.0
+    assert 0 < len(d["queries"]) <= 46
+    # a pathological run with huge regressions still fits (queries give way)
+    out["regressions"] = {
+        n: {"sec": 9.99, "pin": 1.0} for n in bench.BENCH_QUERIES[:30]
+    }
+    line2 = bench.compact_line(out)
+    assert len(line2) <= 1900
+    json.loads(line2)
