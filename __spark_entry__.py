@@ -11917,7 +11917,7 @@ def _q257_oracle() -> str:
     ), gw AS (
         SELECT *, CAST(floor(CAST(CAST(n_g AS HUGEINT) * ss_g
                                   - CAST(s_g AS HUGEINT) * CAST(s_g AS HUGEINT) AS DOUBLE)
-                             / CAST(n_g AS DOUBLE)) AS BIGINT) AS wq
+                             / CAST(n_g AS DOUBLE) / 65536.0) AS BIGINT) AS wq
         FROM g
     ), folded AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
@@ -11930,14 +11930,16 @@ def _q257_oracle() -> str:
                           * (CAST(gw.s_g AS DOUBLE) / CAST(gw.n_g AS DOUBLE)
                              - CAST(f.s AS DOUBLE) / CAST(f.n AS DOUBLE))
                           * (CAST(gw.s_g AS DOUBLE) / CAST(gw.n_g AS DOUBLE)
-                             - CAST(f.s AS DOUBLE) / CAST(f.n AS DOUBLE))) AS BIGINT) AS bq
+                             - CAST(f.s AS DOUBLE) / CAST(f.n AS DOUBLE))
+                          / 65536.0) AS BIGINT) AS bq
         FROM gw, folded f
     ), ssb AS (
         SELECT CAST(SUM(bq) AS BIGINT) AS ssb_q FROM withmu
     ), scal AS (
         SELECT w.*, b.ssb_q,
                CASE WHEN w.n > w.k
-                    THEN CAST(w.ssw_q AS DOUBLE) / (CAST(w.n AS DOUBLE) - CAST(w.k AS DOUBLE))
+                    THEN CAST(w.ssw_q AS DOUBLE) * 65536.0
+                         / (CAST(w.n AS DOUBLE) - CAST(w.k AS DOUBLE))
                     ELSE 0.0 END AS sigma2,
                CAST(CAST(w.n AS HUGEINT) * CAST(w.n AS HUGEINT) - w.snn AS DOUBLE)
                    / CAST(w.n AS DOUBLE) AS c_denom
@@ -11945,7 +11947,7 @@ def _q257_oracle() -> str:
     ), taued AS (
         SELECT *,
                CASE WHEN k > 1 AND c_denom > 0
-                    THEN greatest(0.0, (CAST(ssb_q AS DOUBLE)
+                    THEN greatest(0.0, (CAST(ssb_q AS DOUBLE) * 65536.0
                                         - (CAST(k AS DOUBLE) - 1.0) * sigma2) / c_denom)
                     ELSE 0.0 END AS tau2
         FROM scal

@@ -110,6 +110,16 @@ def main() -> None:
         "trunc_dim"
     ).show()
 
+    # 3b. MMR diversification: plain top-k hands the context window
+    # near-duplicates of the best hit; MMR spends each slot on NEW
+    # information (integer scores -> deterministic selection, q259)
+    from patternly_spark.operators.similarity import mmr_rerank
+
+    print("MMR-diversified top-4 (lambda=0.7) for the first 3 probe vectors:")
+    mmr_rerank(emb, emb.filter(F.col("vec_id") < 3), k=4, pool=10).orderBy(
+        "query_id", "rank"
+    ).show()
+
     # 4. which dedup method to trust on THIS corpus?
     nd = docs.select("doc_id", normalize_text("text").alias("text"))
     ex = exact_dedup(nd).select("doc_id", "content_hash")

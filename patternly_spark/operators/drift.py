@@ -1884,6 +1884,13 @@ def jackknife_from_buckets(per_bucket: DataFrame, *, z: float = 1.96) -> DataFra
     )
 
 
+#: James-Stein SS quantization grid (cents^2): coarse enough that the
+#: floored per-group terms stay BIGINT-safe (and float64-integer-exact)
+#: at any corpus scale, fine enough to sit below double rounding of the
+#: SS magnitudes it measures
+_JS_GRID = float(1 << 16)
+
+
 def james_stein_shrinkage(
     df: DataFrame,
     value_cents_col: str,
@@ -1905,13 +1912,17 @@ def james_stein_shrinkage(
 
     Exactness: per-group (n, sum, sum-of-squares) are BIGINT/DECIMAL
     moments; each group's within-SS and between-SS term is a fixed
-    double chain floor-quantized to INTEGER cents^2 before the
-    cross-group sum (exact in float64 below 2^53 — at corpus scales
-    past that, coarsen the grid; the jackknife convention).  Every
-    downstream quantity is scalar arithmetic on those integers — plain
-    SQL replays every double.  tau2 == 0 (no between-group signal)
-    shrinks every group fully to the grand mean; sigma2 == tau2 == 0
-    (all values identical) reports c_g = 0 with shrunk == mean == mu.
+    double chain floor-quantized to INTEGERS on a 2^16-cents^2 grid
+    before the cross-group sum (sums in DECIMAL, so no long overflow at
+    any corpus scale — a raw cents^2 grid overflowed BIGINT at sf0.1:
+    6k orders/nation x (5e7 cents)^2 ~ 1.5e19 per group).  The coarse
+    grid costs <= 2^16 cents^2 absolute per group against SS terms of
+    1e9+, relative error below double's own rounding at these
+    magnitudes.  Every downstream quantity is scalar arithmetic on
+    those integers — plain SQL replays every double.  tau2 == 0 (no
+    between-group signal) shrinks every group fully to the grand mean;
+    sigma2 == tau2 == 0 (all values identical) reports c_g = 0 with
+    shrunk == mean == mu.
 
     Shape: ONE keyed integer aggregation + a broadcast of the k-row
     group table through two tiny folds — nothing data-sized moves
@@ -1937,12 +1948,12 @@ def james_stein_shrinkage(
         F.col("n_g").cast("decimal(38,0)") * F.col("ss_g")
         - F.col("s_g").cast("decimal(19,0)") * F.col("s_g").cast("decimal(19,0)")
     ).cast("double")
-    wq = F.floor(w_num / nd).cast("long")
+    wq = F.floor(w_num / nd / F.lit(_JS_GRID)).cast("long")
     folded = g.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("n_g").cast("long").alias("N"),
         F.sum("s_g").cast("long").alias("S"),
-        F.sum(wq).cast("long").alias("ssw_q"),
+        F.sum(wq.cast("decimal(19,0)")).cast("decimal(38,0)").alias("ssw_q"),
         F.sum(F.col("n_g").cast("decimal(19,0)") * F.col("n_g").cast("decimal(19,0)"))
         .cast("decimal(38,0)")
         .alias("snn"),
@@ -1950,13 +1961,13 @@ def james_stein_shrinkage(
     j = g.crossJoin(F.broadcast(folded))
     mu = F.col("S").cast("double") / F.col("N").cast("double")
     # between-SS term n_g*(mean_g - mu)^2, floor-quantized like within
-    bq = F.floor(nd * (mean_g - mu) * (mean_g - mu)).cast("long")
+    bq = F.floor(nd * (mean_g - mu) * (mean_g - mu) / F.lit(_JS_GRID)).cast("long")
     j2 = j.select(
         "group", "n_g", "s_g", "k", "N", "S", "ssw_q", "snn", bq.alias("bq")
     ).localCheckpoint(eager=True)
     per_group = j2
     ssb = per_group.groupBy("k", "N", "S", "ssw_q", "snn").agg(
-        F.sum("bq").cast("long").alias("ssb_q")
+        F.sum(F.col("bq").cast("decimal(19,0)")).cast("decimal(38,0)").alias("ssb_q")
     )
     out = per_group.join(
         F.broadcast(ssb.select("k", "ssb_q")), ["k"]
@@ -1965,7 +1976,7 @@ def james_stein_shrinkage(
     Nd = F.col("N").cast("double")
     sigma2 = F.when(
         F.col("N") > F.col("k"),
-        F.col("ssw_q").cast("double") / (Nd - kd),
+        F.col("ssw_q").cast("double") * F.lit(_JS_GRID) / (Nd - kd),
     ).otherwise(F.lit(0.0))
     c_denom = (
         F.col("N").cast("decimal(19,0)") * F.col("N").cast("decimal(19,0)")
@@ -1975,7 +1986,8 @@ def james_stein_shrinkage(
         (F.col("k") > 1) & (c_denom > 0),
         F.greatest(
             F.lit(0.0),
-            (F.col("ssb_q").cast("double") - (kd - F.lit(1.0)) * sigma2) / c_denom,
+            (F.col("ssb_q").cast("double") * F.lit(_JS_GRID) - (kd - F.lit(1.0)) * sigma2)
+            / c_denom,
         ),
     ).otherwise(F.lit(0.0))
     nd2 = F.col("n_g").cast("double")

@@ -942,7 +942,8 @@ def mmr_rerank(
     contract).  The greedy loop is k-1 keyed joins on tiny
     localCheckpoint-pinned relations, partition-parallel per query.
 
-    Output: (query_id, rank, cand_id, score_q) — rank 1..k per query,
+    Output: (query_id, rank, cand_id, score_q) — rank 1..k per query
+    (fewer when the pool exhausts first: k > pool returns pool rows),
     score_q the integer MMR score at selection time (scale: 2^-20
     cosine units x 10).
     """

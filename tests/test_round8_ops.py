@@ -123,11 +123,11 @@ def test_james_stein_matches_reference_and_bounds(spark):
         ng, s = int(m.sum()), int(cents[m].sum())
         ss = sum(int(c) * int(c) for c in cents[m])
         stats[g] = (ng, s / ng)
-        ssw += math.floor(float(ng * ss - s * s) / ng)
-        ssb += math.floor(ng * (s / ng - mu) ** 2)
-    sigma2 = ssw / (N - k)
+        ssw += math.floor(float(ng * ss - s * s) / ng / 65536.0)
+        ssb += math.floor(ng * (s / ng - mu) ** 2 / 65536.0)
+    sigma2 = ssw * 65536.0 / (N - k)
     c = float(N * N - sum(v[0] * v[0] for v in stats.values())) / N
-    tau2 = max(0.0, (ssb - (k - 1) * sigma2) / c)
+    tau2 = max(0.0, (ssb * 65536.0 - (k - 1) * sigma2) / c)
     for r in rows:
         ng, mean_g = stats[r["group"]]
         noise = sigma2 / ng
