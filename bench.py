@@ -11,6 +11,7 @@ session + file listing.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -549,6 +550,11 @@ def main() -> None:
             queries[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
+        # drop this query's py4j references so the ContextCleaner can
+        # free its localCheckpoint blocks: 260+ queries' worth of
+        # retained JVM blocks otherwise build GC pressure that taxes
+        # late entries (observed: q140 2x slower in-bench than isolated)
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     out = {
