@@ -11,7 +11,6 @@ session + file listing.
 
 from __future__ import annotations
 
-import gc
 import json
 import os
 import sys
@@ -550,11 +549,13 @@ def main() -> None:
             queries[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
-        # drop this query's py4j references so the ContextCleaner can
-        # free its localCheckpoint blocks: 260+ queries' worth of
-        # retained JVM blocks otherwise build GC pressure that taxes
-        # late entries (observed: q140 2x slower in-bench than isolated)
-        gc.collect()
+        # NOTE: a per-query gc.collect() was tried here (to let the
+        # ContextCleaner free localCheckpoint blocks) and MEASURED
+        # counterproductive: it added ~0.3 s to broadcast-heavy entries
+        # (q183 0.86 -> 1.15 s in a controlled A/B) without improving
+        # the late-bench entries it was meant to help — the one q140
+        # spike that motivated it was host weather (5.4-6.6 s in four
+        # other same-day runs).
 
     total = round(sum(timings.values()), 3)
     out = {
