@@ -12263,6 +12263,208 @@ def q261_ipw_ate(spark, sf_dir):
     )
 
 
+def q262_delta_ratio(spark, sf_dir):
+    """Delta-method CI for cents-per-event clustered at the user
+    (operators/drift.delta_method_ratio_ci) — the closed-form
+    cross-check of q256's jackknife on the SAME metric; arms =
+    user_id parity.  Integer moments, fixed scalar chains — SQL
+    replays every double."""
+    from patternly_spark.operators.drift import delta_method_ratio_ci
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.col("user_id").alias("unit"),
+        (_dec("value") * 100).cast("long").alias("cents"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    return delta_method_ratio_ci(
+        ev, "cents", "one", arm_col="arm", unit_col="unit"
+    )
+
+
+def _q262_oracle() -> str:
+    z = _dlit(1.96)
+    return f"""
+    WITH per_unit AS (
+        SELECT user_id % 2 AS arm, user_id AS u,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS xu,
+               CAST(COUNT(*) AS BIGINT) AS yu
+        FROM events GROUP BY arm, u
+    ), m AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xu) AS BIGINT) AS sx, CAST(SUM(yu) AS BIGINT) AS sy,
+               SUM(CAST(xu AS HUGEINT) * CAST(xu AS HUGEINT)) AS sxx,
+               SUM(CAST(xu AS HUGEINT) * CAST(yu AS HUGEINT)) AS sxy,
+               SUM(CAST(yu AS HUGEINT) * CAST(yu AS HUGEINT)) AS syy
+        FROM per_unit GROUP BY arm
+    ), fin AS (
+        SELECT arm, n, sx, sy,
+               CASE WHEN sy <> 0 THEN CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) END AS ratio,
+               CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+               CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cxx,
+               CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cxy,
+               CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cyy
+        FROM m
+    ), fin2 AS (
+        SELECT arm, n AS n_units, sx AS num, sy AS den, ratio,
+               CASE WHEN (CASE WHEN n >= 2 AND sy <> 0
+                          THEN (cxx - 2.0 * ratio * cxy + ratio * ratio * cyy)
+                               / (CAST(n AS DOUBLE) * ybar * ybar) END) >= 0
+                    THEN sqrt((cxx - 2.0 * ratio * cxy + ratio * ratio * cyy)
+                              / (CAST(n AS DOUBLE) * ybar * ybar)) END AS se
+        FROM fin
+    )
+    SELECT arm, n_units, num, den, ratio, se,
+           ratio - {z} * se AS ci_lo, ratio + {z} * se AS ci_hi
+    FROM fin2
+    """
+
+
+def q263_post_stratified(spark, sf_dir):
+    """Post-stratification estimator over event cents
+    (operators/drift.post_stratified_mean): arms = user_id parity,
+    strata = event_type; per-stratum terms floor-quantize to the
+    2^-20 dyadic grid so cross-stratum folds are order-free — SQL
+    replays every double."""
+    from patternly_spark.operators.drift import post_stratified_mean
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.col("event_type").alias("stratum"),
+        (_dec("value") * 100).cast("long").alias("cents"),
+    )
+    return post_stratified_mean(ev, "cents", arm_col="arm", stratum_col="stratum")
+
+
+def _q263_oracle() -> str:
+    return """
+    WITH cell AS (
+        SELECT user_id % 2 AS arm, event_type AS s,
+               CAST(COUNT(*) AS BIGINT) AS n_c,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS s_c,
+               SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
+                   * CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)) AS ss_c
+        FROM events GROUP BY arm, s
+    ), strat AS (
+        SELECT s, CAST(SUM(n_c) AS BIGINT) AS n_s FROM cell GROUP BY s
+    ), tot AS (
+        SELECT CAST(SUM(n_s) AS BIGINT) AS nn FROM strat
+    ), terms AS (
+        SELECT c.arm, c.n_c, c.s_c,
+               CAST(floor((CAST(st.n_s AS DOUBLE) / CAST(t.nn AS DOUBLE))
+                          * (CAST(c.s_c AS DOUBLE) / CAST(c.n_c AS DOUBLE))
+                          * 1048576.0) AS BIGINT) AS tmq,
+               CASE WHEN c.n_c >= 2 THEN
+                   CAST(floor((CAST(st.n_s AS DOUBLE) / CAST(t.nn AS DOUBLE))
+                              * (CAST(st.n_s AS DOUBLE) / CAST(t.nn AS DOUBLE))
+                              * (CAST(CAST(c.n_c AS HUGEINT) * c.ss_c
+                                      - CAST(c.s_c AS HUGEINT) * CAST(c.s_c AS HUGEINT) AS DOUBLE)
+                                 / (CAST(c.n_c AS DOUBLE) * (CAST(c.n_c AS DOUBLE) - 1.0)))
+                              / CAST(c.n_c AS DOUBLE)
+                              * 1048576.0) AS BIGINT) END AS tvq
+        FROM cell c JOIN strat st ON c.s = st.s, tot t
+    )
+    SELECT arm, CAST(SUM(n_c) AS BIGINT) AS n,
+           CAST(SUM(s_c) AS DOUBLE) / CAST(SUM(n_c) AS DOUBLE) AS mean_raw,
+           CAST(CAST(SUM(tmq) AS BIGINT) AS DOUBLE) / 1048576.0 AS mean_post,
+           sqrt(CAST(CAST(SUM(tvq) AS BIGINT) AS DOUBLE) / 1048576.0) AS se_post,
+           CAST(SUM(CASE WHEN tvq IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_starved_cells
+    FROM terms GROUP BY arm
+    """
+
+
+def q264_msprt_monitor(spark, sf_dir):
+    """Always-valid mSPRT evidence over 5 interim looks
+    (operators/drift.msprt_monitor, tau = 1000 cents): cumulative
+    Welch moments, log-space mixture likelihood with both ln calls
+    floor-quantized 2^-20 — SQL replays every double."""
+    from patternly_spark.operators.drift import msprt_monitor
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("arm"),
+        (_dec("value") * 100).cast("long").alias("cents"),
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    b = ev.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    binned = ev.crossJoin(F.broadcast(b)).select(
+        "arm",
+        "cents",
+        (F.lit(1) + F.expr("((us - mn) * 5) div (mx - mn + 1)"))
+        .cast("int")
+        .alias("look"),
+    )
+    return msprt_monitor(
+        binned, "cents", arm_col="arm", look_col="look", tau_cents=1000.0
+    )
+
+
+def _q264_oracle() -> str:
+    tau2 = _dlit(1000.0 * 1000.0)
+    ln10 = _dlit(2.302585092994046)
+    return f"""
+    WITH base AS (
+        SELECT user_id % 2 AS arm,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               epoch_us(ts) AS us
+        FROM events
+    ), bounds AS (
+        SELECT MIN(us) AS mn, MAX(us) AS mx FROM base
+    ), binned AS (
+        SELECT arm, cents,
+               CAST(1 + ((us - mn) * 5) // (mx - mn + 1) AS INT) AS look
+        FROM base, bounds
+    ), per AS (
+        SELECT look, arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS ss
+        FROM binned GROUP BY look, arm
+    ), cum AS (
+        SELECT look, arm,
+               CAST(SUM(n) OVER (PARTITION BY arm ORDER BY look) AS BIGINT) AS cn,
+               CAST(SUM(s) OVER (PARTITION BY arm ORDER BY look) AS BIGINT) AS cs,
+               SUM(ss) OVER (PARTITION BY arm ORDER BY look) AS css
+        FROM per
+    ), j AS (
+        SELECT c.look, c.cn AS n_c, c.cs AS s_c, c.css AS ss_c,
+               t.cn AS n_t, t.cs AS s_t, t.css AS ss_t
+        FROM (SELECT * FROM cum WHERE arm = 0) c
+        JOIN (SELECT * FROM cum WHERE arm = 1) t ON c.look = t.look
+    ), stats AS (
+        SELECT look, n_c, n_t,
+               CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                 - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS delta,
+               (CASE WHEN n_t >= 2 THEN
+                   CAST(CAST(n_t AS HUGEINT) * ss_t
+                        - CAST(s_t AS HUGEINT) * CAST(s_t AS HUGEINT) AS DOUBLE)
+                   / (CAST(n_t AS DOUBLE) * (CAST(n_t AS DOUBLE) - 1.0)) END)
+                   / CAST(n_t AS DOUBLE)
+               + (CASE WHEN n_c >= 2 THEN
+                   CAST(CAST(n_c AS HUGEINT) * ss_c
+                        - CAST(s_c AS HUGEINT) * CAST(s_c AS HUGEINT) AS DOUBLE)
+                   / (CAST(n_c AS DOUBLE) * (CAST(n_c AS DOUBLE) - 1.0)) END)
+                   / CAST(n_c AS DOUBLE) AS vhat
+        FROM j
+    ), scored AS (
+        SELECT look, n_c AS n_control, n_t AS n_treatment,
+               delta AS delta_cents, vhat AS v_hat,
+               CASE WHEN vhat > 0 THEN
+                   5.0e-1 * (floor(ln(vhat / (vhat + {tau2})) * 1048576.0) / 1048576.0)
+                   + delta * delta * {tau2}
+                     / (2.0 * vhat * (vhat + {tau2}))
+               END AS log_lambda
+        FROM stats
+    )
+    SELECT look, n_control, n_treatment, delta_cents, v_hat, log_lambda,
+           greatest(0.0, MAX(log_lambda / {ln10}) OVER (
+               ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )) AS neg_log10_p
+    FROM scored ORDER BY look
+    """
+
+
 def _q249_oracle() -> str:
     s_lit, g_lit = _dlit(2.0), _dlit(1.0)
     return f"""
@@ -12598,6 +12800,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q259_mmr_rerank": q259_mmr_rerank,
         "q260_obf_monitor": q260_obf_monitor,
         "q261_ipw_ate": q261_ipw_ate,
+        "q262_delta_ratio": q262_delta_ratio,
+        "q263_post_stratified": q263_post_stratified,
+        "q264_msprt_monitor": q264_msprt_monitor,
     }
 
 
@@ -14384,6 +14589,9 @@ def oracle_sql() -> dict[str, str]:
         "q258_its_segmented": _q258_oracle(),
         "q259_mmr_rerank": _q259_oracle(),
         "q260_obf_monitor": _q260_oracle(),
+        "q262_delta_ratio": _q262_oracle(),
+        "q263_post_stratified": _q263_oracle(),
+        "q264_msprt_monitor": _q264_oracle(),
     }
 
 

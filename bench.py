@@ -279,6 +279,9 @@ BENCH_QUERIES = [
     "q259_mmr_rerank",
     "q260_obf_monitor",
     "q261_ipw_ate",
+    "q262_delta_ratio",
+    "q263_post_stratified",
+    "q264_msprt_monitor",
 ]
 
 

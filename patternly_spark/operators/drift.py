@@ -2137,3 +2137,283 @@ def obf_sequential_monitor(
         (F.abs(z) > boundary).alias("crossed"),
         (F.lit(2.0) * normal_sf_q(boundary)).alias("nominal_alpha"),
     ).orderBy("look")
+
+
+def delta_method_ratio_ci(
+    df: DataFrame,
+    num_cents_col: str,
+    den_count_col: str,
+    *,
+    arm_col: str,
+    unit_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Delta-method CI for a RATIO metric (sum of numerator over sum of
+    denominator across UNITS) — the closed-form cousin of the
+    delete-one-bucket jackknife (q256), and the standard cross-check:
+    when the two disagree materially the metric is heavy-tailed enough
+    that bucketing choices matter.
+
+        R = sum_u x_u / sum_u y_u,     (x, y) per-unit integer totals
+        var(R) ~= (S_xx - 2 R S_xy + R^2 S_yy) / (n * ybar^2 * n)
+
+    with S_** the ddof=0 second moments of the per-unit (x, y) pairs
+    (Deng et al. 2017, cluster-level delta method).  The unit is the
+    independence level (user, session), exactly like the DiD/jackknife
+    conventions.
+
+    Exactness: per-unit totals are BIGINT; (n, Sx, Sy, Sxx, Sxy, Syy)
+    fold as BIGINT/DECIMAL moments; R and var(R) are fixed scalar
+    chains — plain SQL replays every double.  Single-unit arms and
+    zero denominators surface NULL se/ci (the fleiss convention).
+
+    Shape: two keyed integer aggregations (unit, then arm) — nothing
+    data-sized moves twice.
+
+    Output: one row per arm — (arm, n_units, num, den, ratio, se,
+    ci_lo, ci_hi).
+    """
+    x = F.col(num_cents_col).cast("long")
+    y = F.col(den_count_col).cast("long")
+    per_unit = df.groupBy(
+        F.col(arm_col).alias("arm"), F.col(unit_col).alias("__u")
+    ).agg(
+        F.sum(x).cast("long").alias("xu"),
+        F.sum(y).cast("long").alias("yu"),
+    )
+    xd = F.col("xu").cast("decimal(19,0)")
+    yd = F.col("yu").cast("decimal(19,0)")
+    m = per_unit.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xu").cast("long").alias("sx"),
+        F.sum("yu").cast("long").alias("sy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    ratio = F.when(F.col("sy") != 0, sxd / syd)
+    ybar = syd / nd
+    # ddof=0 central second moments via the (n*S** - S*S*)/n^2 form
+    n_dec = F.col("n").cast("decimal(19,0)")
+    cxx = (n_dec * F.col("sxx") - F.col("sx").cast("decimal(19,0)") * F.col("sx").cast("decimal(19,0)")).cast("double") / (nd * nd)
+    cxy = (n_dec * F.col("sxy") - F.col("sx").cast("decimal(19,0)") * F.col("sy").cast("decimal(19,0)")).cast("double") / (nd * nd)
+    cyy = (n_dec * F.col("syy") - F.col("sy").cast("decimal(19,0)") * F.col("sy").cast("decimal(19,0)")).cast("double") / (nd * nd)
+    var_r = F.when(
+        (F.col("n") >= 2) & (F.col("sy") != 0),
+        (cxx - F.lit(2.0) * ratio * cxy + ratio * ratio * cyy)
+        / (nd * ybar * ybar),
+    )
+    se = F.when(var_r >= 0, F.sqrt(var_r))
+    return m.select(
+        "arm",
+        F.col("n").alias("n_units"),
+        F.col("sx").alias("num"),
+        F.col("sy").alias("den"),
+        ratio.alias("ratio"),
+        se.alias("se"),
+        (ratio - F.lit(float(z)) * se).alias("ci_lo"),
+        (ratio + F.lit(float(z)) * se).alias("ci_hi"),
+    )
+
+
+def post_stratified_mean(
+    df: DataFrame,
+    value_cents_col: str,
+    *,
+    arm_col: str,
+    stratum_col: str,
+) -> DataFrame:
+    """Post-stratification estimator — reweight each arm's per-stratum
+    means by the POOLED stratum shares, removing the imbalance noise
+    randomization left in the stratum mix (the one-line variance
+    reduction that needs no pre-period covariate, unlike CUPED):
+
+        mu_post(arm) = sum_s W_s * mean(arm, s),   W_s = n_s / N (pooled)
+        var_post(arm) ~= sum_s W_s^2 * var(arm, s) / n_{arm, s}
+
+    Exactness: per-(arm, stratum) BIGINT/DECIMAL moments; shares and
+    means are single divisions; the weighted folds sum per-stratum
+    doubles floor-quantized to the 2^-20 dyadic grid (the jackknife
+    convention) so cross-stratum sums are order-free.  Single-row
+    cells surface NULL variance contributions (dropped from var with
+    the cell count reported so starved cells are visible).
+
+    Output: one row per arm — (arm, n, mean_raw, mean_post, se_post,
+    n_starved_cells).
+    """
+    v = F.col(value_cents_col).cast("long")
+    vd = v.cast("decimal(19,0)")
+    cell = df.groupBy(
+        F.col(arm_col).alias("arm"), F.col(stratum_col).alias("__s")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        F.sum(v).cast("long").alias("s_c"),
+        F.sum(vd * vd).cast("decimal(38,0)").alias("ss_c"),
+    )
+    strat = cell.groupBy("__s").agg(F.sum("n_c").cast("long").alias("n_s"))
+    tot = strat.agg(F.sum("n_s").cast("long").alias("N")).localCheckpoint(eager=True)
+    j = cell.join(strat, "__s").crossJoin(F.broadcast(tot))
+    ncd = F.col("n_c").cast("double")
+    mean_c = F.col("s_c").cast("double") / ncd
+    w_s = F.col("n_s").cast("double") / F.col("N").cast("double")
+    grid = float(1 << 20)
+    term_mean_q = F.floor(w_s * mean_c * F.lit(grid)).cast("long")
+    var_num = (
+        F.col("n_c").cast("decimal(19,0)") * F.col("ss_c")
+        - F.col("s_c").cast("decimal(19,0)") * F.col("s_c").cast("decimal(19,0)")
+    ).cast("double")
+    var_c = F.when(F.col("n_c") >= 2, var_num / (ncd * (ncd - F.lit(1.0))))
+    term_var_q = F.floor(w_s * w_s * var_c / ncd * F.lit(grid)).cast("long")
+    # the quantized terms enter the groupBy via a projection
+    agg = (
+        j.select(
+            "arm",
+            "n_c",
+            "s_c",
+            term_mean_q.alias("tmq"),
+            term_var_q.alias("tvq"),
+        )
+        .groupBy("arm")
+        .agg(
+            F.sum("n_c").cast("long").alias("n"),
+            F.sum("s_c").cast("long").alias("s"),
+            F.sum("tmq").cast("long").alias("mq"),
+            F.sum("tvq").cast("long").alias("vq"),
+            F.sum(F.when(F.col("tvq").isNull(), F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_starved_cells"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        "arm",
+        "n",
+        (F.col("s").cast("double") / nd).alias("mean_raw"),
+        (F.col("mq").cast("double") / F.lit(grid)).alias("mean_post"),
+        F.sqrt(F.col("vq").cast("double") / F.lit(grid)).alias("se_post"),
+        "n_starved_cells",
+    )
+
+
+def msprt_monitor(
+    df: DataFrame,
+    value_cents_col: str,
+    *,
+    arm_col: str,
+    look_col: str,
+    tau_cents: float,
+) -> DataFrame:
+    """Mixture sequential probability ratio test (mSPRT, Johari et al.
+    2017) — the ALWAYS-VALID inference discipline: unlike q260's
+    group-sequential boundary (fixed look schedule) the mSPRT evidence
+    may be read after EVERY observation without inflating alpha.  For
+    the two-sample mean difference with a N(0, tau^2) mixture prior,
+
+        log Lambda_n = ln(sqrt(V / (V + tau^2)))
+                       + delta^2 * tau^2 / (2 V (V + tau^2))
+
+    with delta the cumulative Welch mean difference and V its variance
+    estimate; the always-valid p after look n is min(1, min_m<=n
+    1/Lambda_m).  REPORTED IN LOG SPACE (log_lambda, neg_log10_p as a
+    running max): exp(log Lambda) overflows float64 under strong
+    effects, and a libm 1-ulp disagreement on a huge exp() cannot be
+    absorbed by any quantization grid — ln of O(1) ratios can (the
+    q249 convention: every ln floor-quantized to 2^-20).
+
+    ``tau_cents`` is the prior scale of the effect in cents — set it
+    near the minimum detectable effect; larger tau spends evidence
+    faster early, smaller tau later (the standard mixture trade).
+
+    Exactness: the same cumulative BIGINT/DECIMAL moment windows as
+    q260; both ln calls floor-quantize to 2^-20; everything else is a
+    fixed scalar chain — plain SQL replays every double.  Degenerate
+    looks (an arm absent / n < 2 / zero variance) surface NULLs.
+
+    Output: one row per look — (look, n_control, n_treatment,
+    delta_cents, v_hat, log_lambda, neg_log10_p), ordered by look;
+    neg_log10_p is the running max of log10 evidence, floored at 0.
+    """
+    from pyspark.sql import Window
+
+    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
+    if len(arms) != 2:
+        raise ValueError(f"msprt_monitor needs exactly 2 arms, got {arms}")
+    if not float(tau_cents) > 0:
+        raise ValueError(f"tau_cents must be > 0, got {tau_cents}")
+    ctrl, trt = arms
+    v = F.col(value_cents_col).cast("long")
+    vd = v.cast("decimal(19,0)")
+    per = df.groupBy(F.col(look_col).alias("look"), F.col(arm_col).alias("__a")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("s"),
+        F.sum(vd * vd).cast("decimal(38,0)").alias("ss"),
+    )
+    w = (
+        Window.partitionBy("__a")
+        .orderBy("look")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per.select(
+        "look",
+        "__a",
+        F.sum("n").over(w).cast("long").alias("cn"),
+        F.sum("s").over(w).cast("long").alias("cs"),
+        F.sum("ss").over(w).cast("decimal(38,0)").alias("css"),
+    )
+
+    def side(arm, tag):
+        return cum.filter(F.col("__a") == arm).select(
+            "look",
+            F.col("cn").alias(f"n_{tag}"),
+            F.col("cs").alias(f"s_{tag}"),
+            F.col("css").alias(f"ss_{tag}"),
+        )
+
+    j = side(ctrl, "c").join(side(trt, "t"), "look")
+
+    def mv(tag):
+        n = F.col(f"n_{tag}")
+        nd = n.cast("double")
+        mean = F.col(f"s_{tag}").cast("double") / nd
+        var_num = (
+            n.cast("decimal(19,0)") * F.col(f"ss_{tag}")
+            - F.col(f"s_{tag}").cast("decimal(19,0)")
+            * F.col(f"s_{tag}").cast("decimal(19,0)")
+        ).cast("double")
+        var = F.when(n >= 2, var_num / (nd * (nd - F.lit(1.0))))
+        return mean, var, nd
+
+    mean_c, var_c, nd_c = mv("c")
+    mean_t, var_t, nd_t = mv("t")
+    delta = mean_t - mean_c
+    vhat = var_t / nd_t + var_c / nd_c
+    tau2 = F.lit(float(tau_cents)) * F.lit(float(tau_cents))
+    grid = F.lit(float(1 << 20))
+
+    def qln(x):
+        return F.floor(F.log(x) * grid) / grid
+
+    log_lambda = F.when(
+        vhat > 0,
+        F.lit(0.5) * qln(vhat / (vhat + tau2))
+        + delta * delta * tau2 / (F.lit(2.0) * vhat * (vhat + tau2)),
+    )
+    scored = j.select(
+        "look",
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        delta.alias("delta_cents"),
+        vhat.alias("v_hat"),
+        log_lambda.alias("log_lambda"),
+    )
+    wl = Window.orderBy("look").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ln10 = 2.302585092994046
+    return scored.withColumn(
+        "neg_log10_p",
+        F.greatest(
+            F.lit(0.0), F.max(F.col("log_lambda") / F.lit(ln10)).over(wl)
+        ),
+    ).orderBy("look")
