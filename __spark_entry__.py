@@ -12816,20 +12816,26 @@ def verified_by() -> dict[str, str]:
         "q254_logistic_propensity": (
             "beta/se/z equality (rel 1e-8) vs a from-scratch numpy IRLS "
             "reference, planted-effect recovery "
-            "(tests/test_survival_cox.py::test_logistic_matches_numpy_reference)"
+            "(tests/test_survival_cox.py::test_logistic_matches_numpy_reference); "
+            "convergence telemetry (rel_step/grad_norm/converged) separates "
+            "under-converged from converged fits "
+            "(::test_newton_convergence_telemetry)"
         ),
         "q261_ipw_ate": (
             "ATE/ESS equality (rel 1e-8) vs a from-scratch numpy Hajek-IPW "
             "reference on the same betas, plus planted-confounder recovery "
             "(IPW materially closer to the true effect than the naive diff) "
-            "(tests/test_round8_ops.py::test_ipw_ate_matches_numpy_reference)"
+            "(tests/test_round8_ops.py::test_ipw_ate_matches_numpy_reference); "
+            "propensity convergence telemetry carried in the readout row "
+            "(tests/test_survival_cox.py::test_ipw_ate_surfaces_propensity_telemetry)"
         ),
         "q250_cox_hazards": (
             "beta/se/z equality (rel 1e-8) vs a from-scratch subject-level "
             "numpy Breslow-Newton reference, planted-effect recovery, "
             "partition invariance "
             "(tests/test_survival_cox.py::test_cox_ph_matches_numpy_reference "
-            "et al.)"
+            "et al.); convergence telemetry on every row "
+            "(::test_newton_convergence_telemetry)"
         ),
         "q57_pq_topk": (
             "recall-vs-exact + planted-neighbor tests "

@@ -509,21 +509,91 @@ BENCH_REPEATS = {
 
 
 
+# Minimum pinned-query count before per-run calibration engages: with
+# fewer samples the median ratio is dominated by the very queries under
+# test (a 2-query run with one regression would "calibrate away" the
+# regression).  The real bench has ~266 pinned entries.
+MIN_CALIBRATION_N = 8
+
+
+def run_median_x(timings: dict[str, float], pins: dict[str, float]) -> float:
+    """Median of (observed / pin) over every pinned query in the run —
+    the run's own weather estimate.  1.0 on a host matching the pin
+    conditions; ~1.26 on round 8's contended driver host; 2.0 under a
+    uniform 2x slowdown.  With 260+ pinned queries a handful of genuine
+    regressions cannot move the median."""
+    ratios = sorted(
+        t / pins[n] for n, t in timings.items() if n in pins and pins[n] > 0
+    )
+    if not ratios:
+        return 1.0
+    mid = len(ratios) // 2
+    if len(ratios) % 2:
+        return ratios[mid]
+    return (ratios[mid - 1] + ratios[mid]) / 2.0
+
+
 def find_regressions(
-    timings: dict[str, float], pins: dict[str, float]
+    timings: dict[str, float],
+    pins: dict[str, float],
+    retime=None,
 ) -> dict[str, dict]:
-    """A query regresses when it exceeds BOTH 2x its pinned time and
-    pin+1.5s — the relative bound catches real slowdowns, the absolute
-    floor keeps sub-second queries from tripping on scheduler noise.
-    The bounds are sized for the observed environment: host-level
-    contention swings EVERY query's wall time by 20-40% between runs
-    (measured: the same commit benched 160s and 197s an hour apart), so
-    a tighter guard flags weather, not code."""
-    return {
-        name: {"sec": t, "pin": pins[name]}
-        for name, t in timings.items()
-        if name in pins and t > max(2.0 * pins[name], pins[name] + 1.5)
-    }
+    """Weather-invariant regression guard, two stages.
+
+    Stage 1 (calibrated threshold): a query is a CANDIDATE when it
+    exceeds BOTH 2x and +1.5s over its pin, after scaling the pin by the
+    run's own median observed/pin ratio (``run_median_x``) — so a host
+    that is uniformly 2x slower flags nothing, while a single genuinely
+    slow query still stands out against the run's own weather.  The
+    calibration never drops below 1.0 (a fast host must not hide real
+    regressions) and only engages with >= MIN_CALIBRATION_N pinned
+    queries (see constant).
+
+    Stage 2 (confirmation re-time): a median calibration cannot see a
+    TRANSIENT contention window that slows a contiguous handful of
+    queries (round 8's driver run flagged 5 false regressions exactly
+    this way — all re-timed clean in isolation).  So each candidate is
+    re-timed via the ``retime(name) -> seconds`` callback AFTER the main
+    loop (outside the window, by construction) and the flag is kept only
+    if min(original, retime) still exceeds the calibrated threshold.
+    This automates the manual adjudication rounds 7 and 8 both needed.
+    ``retime=None`` (unit tests / non-bench callers) skips stage 2."""
+    eligible = {n: t for n, t in timings.items() if n in pins and pins[n] > 0}
+    med = run_median_x(timings, pins)
+    cal = max(1.0, med) if len(eligible) >= MIN_CALIBRATION_N else 1.0
+
+    def _over(t: float, pin: float) -> bool:
+        return t > max(2.0 * cal * pin, cal * pin + 1.5)
+
+    candidates = {n: t for n, t in eligible.items() if _over(t, pins[n])}
+    out: dict[str, dict] = {}
+    for name, t in candidates.items():
+        best = t
+        confirmed_by_retime = False
+        if retime is not None:
+            best = min(best, retime(name))
+            confirmed_by_retime = _over(best, pins[name])
+        if _over(best, pins[name]):
+            entry = {
+                "sec": round(best, 3),
+                "pin": pins[name],
+                "x_pin": round(best / pins[name], 2),
+                "host_median_x": round(med, 3),
+            }
+            if retime is not None:
+                entry["first_pass_sec"] = round(t, 3)
+                entry["retimed"] = confirmed_by_retime
+            out[name] = entry
+    return out
+
+
+def maybe_strict_exit(regressions: dict) -> None:
+    """SPARK_GRAFT_BENCH_STRICT=1 fails the run (exit 1) when confirmed
+    regressions survive the two-stage guard.  Lives in main()'s tail —
+    a previous refactor orphaned it after a ``return`` inside
+    compact_line(), where it was dead code (round-8 verdict item 2)."""
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+        sys.exit(1)
 
 
 def main() -> None:
@@ -580,7 +650,20 @@ def main() -> None:
     if os.path.exists(pins_path) and str(out["sf"]) == "0.1":
         with open(pins_path) as f:
             pins = json.load(f)["pins"]
-        regressions = find_regressions(timings, pins)
+
+        def _retime(name: str) -> float:
+            # confirmation pass for stage-1 candidates: fresh best-of-2
+            # AFTER the main loop, so a transient contention window that
+            # slowed the original measurement has passed by construction.
+            best = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                queries[name](spark, sf_dir).count()
+                best = min(best, time.perf_counter() - start)
+            return best
+
+        regressions = find_regressions(timings, pins, retime=_retime)
+        out["host_median_x"] = round(run_median_x(timings, pins), 3)
     out["regressions"] = regressions
 
     # The driver's harness keeps only the LAST 2000 bytes of stdout and
@@ -600,6 +683,8 @@ def main() -> None:
     print(json.dumps(out))
     sys.stdout.flush()
     print(compact_line(out))
+    sys.stdout.flush()
+    maybe_strict_exit(regressions)
 
 
 def compact_line(out: dict, budget: int = 1900) -> str:
@@ -621,6 +706,7 @@ def compact_line(out: dict, budget: int = 1900) -> str:
         "sf": out["sf"],
         "n_queries": len(timings),
         "full": "BENCH_local_full.json",
+        "host_median_x": out.get("host_median_x"),
         "regressions": out.get("regressions", {}),
         "queries": headline,
     }
@@ -630,8 +716,6 @@ def compact_line(out: dict, budget: int = 1900) -> str:
         compact["queries_elided"] = len(timings) - len(compact["queries"])
         line = json.dumps(compact, separators=(",", ":"))
     return line
-    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
-        sys.exit(1)
 
 
 if __name__ == "__main__":

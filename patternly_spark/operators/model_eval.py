@@ -933,7 +933,13 @@ def logistic_regression(
     (tests/test_survival_cox.py::test_logistic_matches_numpy_reference).
 
     Output: one row per term — (feature, beta, se, z), feature
-    '__intercept' first.
+    '__intercept' first, plus convergence telemetry repeated on every
+    row: ``rel_step`` (last Newton step's max |Δbeta| / max |beta|),
+    ``grad_norm`` (max |gradient| entering that step), ``converged``
+    (rel_step < 1e-5).  A fixed 6-step budget can under-converge
+    silently on ill-conditioned / quasi-separable data; downstream
+    consumers (ipw_ate's propensity betas) surface this instead of
+    trusting the budget (round-8 verdict item 3).
     """
     import numpy as np
 
@@ -975,19 +981,31 @@ def logistic_regression(
                 H[a, b] = H[b, a] = row[f"h_{a}_{b}"]
         H += float(ridge) * np.eye(k)
         hinv = np.linalg.inv(H)
-        beta = beta + hinv @ g
+        step = hinv @ g
+        beta = beta + step
+        # telemetry of the LAST step taken — free (no extra scan)
+        grad_norm = float(np.max(np.abs(g)))
+        rel_step = float(
+            np.max(np.abs(step)) / max(float(np.max(np.abs(beta))), 1e-12)
+        )
 
+    converged = rel_step < 1e-5
     out = [
         (
             names[a],
             float(beta[a]),
             float(np.sqrt(hinv[a, a])),
             float(beta[a] / np.sqrt(hinv[a, a])),
+            rel_step,
+            grad_norm,
+            converged,
         )
         for a in range(k)
     ]
     return df.sparkSession.createDataFrame(
-        out, "feature string, beta double, se double, z double"
+        out,
+        "feature string, beta double, se double, z double, "
+        "rel_step double, grad_norm double, converged boolean",
     )
 
 
@@ -1027,22 +1045,25 @@ def ipw_ate(
 
     Output: ONE row — (n_treated, n_control, ate_cents,
     mean_treated_w, mean_control_w, min_e, max_e, ess_treated,
-    ess_control); ess_* are Kish effective sample sizes
-    (sum(w)^2 / sum(w^2)) — the positivity health metric.
+    ess_control, propensity_rel_step, propensity_converged); ess_* are
+    Kish effective sample sizes (sum(w)^2 / sum(w^2)) — the positivity
+    health metric; propensity_* surface the logistic fit's convergence
+    telemetry so an under-converged propensity model (silently wrong
+    weights) is visible in the readout itself.
     """
     lo, hi = float(clip[0]), float(clip[1])
     if not 0.0 <= lo < hi <= 1.0:
         raise ValueError(f"clip must satisfy 0 <= lo < hi <= 1, got {clip}")
-    betas = {
-        r["feature"]: r["beta"]
-        for r in logistic_regression(
-            df,
-            label_col=treat_col,
-            feature_cols=feature_cols,
-            iters=iters,
-            ridge=ridge,
-        ).collect()
-    }
+    fit_rows = logistic_regression(
+        df,
+        label_col=treat_col,
+        feature_cols=feature_cols,
+        iters=iters,
+        ridge=ridge,
+    ).collect()
+    betas = {r["feature"]: r["beta"] for r in fit_rows}
+    prop_rel_step = float(fit_rows[0]["rel_step"])
+    prop_converged = bool(fit_rows[0]["converged"])
     lp = F.lit(float(betas["__intercept"]))
     for c in feature_cols:
         lp = lp + F.lit(float(betas[c])) * F.col(c).cast("double")
@@ -1076,4 +1097,6 @@ def ipw_ate(
         "max_e",
         (F.col("sw_t") * F.col("sw_t") / F.col("sww_t")).alias("ess_treated"),
         (F.col("sw_c") * F.col("sw_c") / F.col("sww_c")).alias("ess_control"),
+        F.lit(prop_rel_step).alias("propensity_rel_step"),
+        F.lit(prop_converged).alias("propensity_converged"),
     )

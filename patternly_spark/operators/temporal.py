@@ -1323,7 +1323,15 @@ def cox_ph(
     — the X6/q98 policy for non-replicable kernels.
 
     Output: one row per covariate — (covariate, beta, hazard_ratio,
-    se, z) with se from the inverse final Hessian diagonal.
+    se, z) with se from the inverse final Hessian diagonal, plus
+    convergence telemetry repeated on every row: ``rel_step`` (the last
+    Newton step's max |Δbeta| / max |beta| — ~1e-6 or below means the
+    fixed budget sufficed), ``grad_norm`` (max |gradient| entering that
+    step), and ``converged`` (rel_step < 1e-5).  On ill-conditioned
+    data a fixed 4-step budget can under-converge SILENTLY without
+    this — consumers (q261's IPW ATE inherits propensity betas) must
+    be able to see residual movement instead of trusting the budget
+    (round-8 verdict item 3).
     """
     import numpy as np
 
@@ -1397,8 +1405,17 @@ def cox_ph(
                 H[j, k] = H[k, j] = row[f"h_{j}_{k}"]
         H += float(ridge) * np.eye(p)
         hess_inv = np.linalg.inv(H)
-        beta = beta + hess_inv @ g
+        step = hess_inv @ g
+        beta = beta + step
+        # telemetry of the LAST step taken — free (no extra scan):
+        # quadratic convergence means the final step size bounds the
+        # distance to the optimum up to higher-order terms
+        grad_norm = float(np.max(np.abs(g)))
+        rel_step = float(
+            np.max(np.abs(step)) / max(float(np.max(np.abs(beta))), 1e-12)
+        )
 
+    converged = rel_step < 1e-5
     spark = df.sparkSession
     out = [
         (
@@ -1407,11 +1424,16 @@ def cox_ph(
             float(np.exp(beta[j])),
             float(np.sqrt(hess_inv[j, j])),
             float(beta[j] / np.sqrt(hess_inv[j, j])),
+            rel_step,
+            grad_norm,
+            converged,
         )
         for j in range(p)
     ]
     return spark.createDataFrame(
-        out, "covariate string, beta double, hazard_ratio double, se double, z double"
+        out,
+        "covariate string, beta double, hazard_ratio double, se double, z double, "
+        "rel_step double, grad_norm double, converged boolean",
     )
 
 

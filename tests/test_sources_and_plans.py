@@ -474,3 +474,118 @@ def test_bench_regression_guard_thresholds():
     assert "slow" in bench.find_regressions({"slow": 8.5}, pins)
     # unpinned queries never trip
     assert bench.find_regressions({"new": 99.0}, pins) == {}
+
+
+def _pins(n: int = 20, pin: float = 2.0) -> dict:
+    return {f"q{i:03d}": pin for i in range(n)}
+
+
+def test_bench_guard_uniform_slowdown_flags_nothing():
+    """The round-8 failure mode, automated: a host running EVERY query
+    2x its pin (uniform weather) must produce regressions == {} — the
+    run's own median calibrates the threshold."""
+    import bench
+
+    pins = _pins()
+    timings = {n: 2.0 * p for n, p in pins.items()}
+    assert bench.find_regressions(timings, pins) == {}
+    # even 2.5x-uniform (beyond the old absolute guard) stays clean
+    timings = {n: 2.5 * p for n, p in pins.items()}
+    assert bench.find_regressions(timings, pins) == {}
+
+
+def test_bench_guard_genuine_regression_survives_calibration():
+    """Under the same uniform 2x weather, one query at 10x its pin must
+    still flag — calibration scales the threshold, it does not disable
+    the guard."""
+    import bench
+
+    pins = _pins()
+    timings = {n: 2.0 * p for n, p in pins.items()}
+    timings["q000"] = 10.0 * pins["q000"]
+    out = bench.find_regressions(timings, pins)
+    assert list(out) == ["q000"]
+    assert out["q000"]["host_median_x"] == 2.0
+    assert out["q000"]["x_pin"] == 10.0
+
+
+def test_bench_guard_calibration_needs_enough_samples():
+    """With < MIN_CALIBRATION_N pinned queries the median IS the queries
+    under test, so calibration must stay off (a 2-query run with one
+    regression would otherwise calibrate the regression away)."""
+    import bench
+
+    pins = {"a": 1.0, "b": 1.0}
+    # both at 4x pin: with calibration this would be 'weather'; with only
+    # 2 samples the raw threshold applies and both flag
+    out = bench.find_regressions({"a": 4.0, "b": 4.0}, pins)
+    assert set(out) == {"a", "b"}
+
+
+def test_bench_guard_fast_host_does_not_relax():
+    """A uniformly FAST host (median < 1) clamps calibration to 1.0 —
+    it must not shift thresholds below the pin-calibrated baseline."""
+    import bench
+
+    pins = _pins()
+    timings = {n: 0.5 * p for n, p in pins.items()}
+    timings["q000"] = 5.0 * pins["q000"]  # 5x pin on a fast host: real
+    out = bench.find_regressions(timings, pins)
+    assert list(out) == ["q000"]
+
+
+def test_bench_guard_retime_clears_transient_window():
+    """Stage 2: a candidate produced by a transient contention window
+    (median ~1x, one query measured 4x) is cleared when its confirmation
+    re-time lands back inside the band — and kept when it does not."""
+    import bench
+
+    pins = _pins(pin=2.0)
+    timings = dict(_pins(pin=2.2))  # ~1.1x weather
+    timings["q005"] = 8.8  # 4.4x pin: transient window victim
+
+    # re-time comes back clean -> adjudicated as weather, no flag
+    out = bench.find_regressions(timings, pins, retime=lambda n: 2.6)
+    assert out == {}
+
+    # re-time still slow -> confirmed regression, flagged with evidence
+    out = bench.find_regressions(timings, pins, retime=lambda n: 8.5)
+    assert list(out) == ["q005"]
+    assert out["q005"]["retimed"] is True
+    assert out["q005"]["first_pass_sec"] == 8.8
+    assert out["q005"]["sec"] == 8.5
+
+
+def test_bench_guard_retime_only_called_for_candidates():
+    """The confirmation pass must not re-run the whole bench — only
+    stage-1 candidates get a retime() call."""
+    import bench
+
+    pins = _pins()
+    timings = {n: p * 1.1 for n, p in pins.items()}
+    timings["q003"] = 9.0
+    called = []
+
+    def _retime(name):
+        called.append(name)
+        return 9.0
+
+    bench.find_regressions(timings, pins, retime=_retime)
+    assert called == ["q003"]
+
+
+def test_bench_strict_mode_exits_on_regression(monkeypatch):
+    """SPARK_GRAFT_BENCH_STRICT=1 + confirmed regressions -> exit 1;
+    unset or empty regressions -> no exit.  (The block was dead code
+    after a return inside compact_line — round-8 verdict item 2.)"""
+    import bench
+    import pytest
+
+    reg = {"q001": {"sec": 9.0, "pin": 1.0}}
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_STRICT", "1")
+    with pytest.raises(SystemExit) as exc:
+        bench.maybe_strict_exit(reg)
+    assert exc.value.code == 1
+    bench.maybe_strict_exit({})  # no regressions: returns
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_STRICT")
+    bench.maybe_strict_exit(reg)  # not strict: returns

@@ -138,6 +138,77 @@ def test_logistic_matches_numpy_reference(spark):
         logistic_regression(df, label_col="y", feature_cols=[])
 
 
+def test_newton_convergence_telemetry(spark):
+    """Round-8 verdict item 3: the fixed-budget solvers must SAY whether
+    the budget sufficed.  Well-conditioned fixture + full budget ->
+    rel_step tiny and converged=True; a starved budget (iters=1) on the
+    same data -> rel_step visibly large and converged=False; an
+    ill-conditioned (near-collinear) logistic fit under-converges at
+    the default budget and the diagnostic says so."""
+    from patternly_spark.operators.model_eval import logistic_regression
+
+    t, e, X = _sim(n=300, seed=11)
+    rows = [(int(t[i]), int(e[i]), float(X[i, 0]), float(X[i, 1])) for i in range(len(t))]
+    df = spark.createDataFrame(rows, "dur long, ev int, x0 double, x1 double")
+    full = cox_ph(
+        df, duration_col="dur", event_col="ev", covariate_cols=["x0", "x1"]
+    ).collect()[0]
+    assert full["rel_step"] < 1e-5 and full["converged"] is True
+    assert full["grad_norm"] < 1e-2
+    starved = cox_ph(
+        df, duration_col="dur", event_col="ev", covariate_cols=["x0", "x1"], iters=1
+    ).collect()[0]
+    assert starved["rel_step"] == pytest.approx(1.0)  # one step from beta=0
+    assert starved["converged"] is False
+
+    rng = np.random.default_rng(4)
+    n = 400
+    x0 = rng.normal(size=n)
+    y_sep = (x0 > 0.0).astype(int)  # perfectly separable: MLE diverges
+    ldf = spark.createDataFrame(
+        [(int(y_sep[i]), float(x0[i])) for i in range(n)], "y int, x0 double"
+    )
+    ill = logistic_regression(ldf, label_col="y", feature_cols=["x0"]).collect()[0]
+    # the default 6-step budget visibly under-converges here (beta is
+    # marching to infinity) AND the telemetry reports it (previously
+    # silent — the docstring told the user to pass ridge, but nothing
+    # in the output said the budget had not sufficed)
+    assert ill["rel_step"] > 1e-2 and ill["converged"] is False
+    # a well-conditioned (noisy-label) fit at the same 6-step budget
+    # reports convergence — the diagnostic separates the two regimes
+    y_ok = (rng.random(n) < 1.0 / (1.0 + np.exp(-(2.0 * x0)))).astype(int)
+    okdf = spark.createDataFrame(
+        [(int(y_ok[i]), float(x0[i])) for i in range(n)], "y int, x0 double"
+    )
+    ok = logistic_regression(okdf, label_col="y", feature_cols=["x0"]).collect()[0]
+    assert ok["rel_step"] < 1e-5 and ok["converged"] is True
+
+
+def test_ipw_ate_surfaces_propensity_telemetry(spark):
+    """ipw_ate must carry the propensity fit's convergence telemetry in
+    its single readout row (q261 consumes those betas)."""
+    from patternly_spark.operators.model_eval import ipw_ate
+
+    rng = np.random.default_rng(12)
+    n = 400
+    x = rng.normal(size=n)
+    tr = (rng.random(n) < 1.0 / (1.0 + np.exp(-x))).astype(int)
+    y = (100 * (2.0 + 0.5 * x + 1.0 * tr + rng.normal(size=n))).astype(int)
+    df = spark.createDataFrame(
+        [(int(tr[i]), int(y[i]), float(x[i])) for i in range(n)],
+        "t int, y_cents long, x double",
+    )
+    out = ipw_ate(
+        df, treat_col="t", outcome_cents_col="y_cents", feature_cols=["x"]
+    ).collect()[0]
+    assert out["propensity_converged"] is True
+    assert out["propensity_rel_step"] < 1e-5
+    starved = ipw_ate(
+        df, treat_col="t", outcome_cents_col="y_cents", feature_cols=["x"], iters=1
+    ).collect()[0]
+    assert starved["propensity_converged"] is False
+
+
 def test_fleiss_kappa_hand_computed(spark):
     """Textbook panel: 4 items x 3 raters with known counts; kappa
     checked against the hand formula, perfect agreement gives 1, and a
