@@ -166,12 +166,25 @@ def write_snapshot(
             )
 
 
-def write_batch_partition(df: DataFrame, output_path: str, batch_id: int) -> None:
+def write_batch_partition(
+    df: DataFrame,
+    output_path: str,
+    batch_id: int,
+    *,
+    sub_partition_cols: tuple[str, ...] = (),
+) -> None:
     """Idempotent per-batch append: write ``df`` under
     ``output_path/_batch_id=<batch_id>/`` with DYNAMIC partition
     overwrite — only this batch's partition is replaced, earlier
     batches' files are untouched, and a retry overwrites its own orphan
     instead of duplicating it.
+
+    ``sub_partition_cols`` adds registry-specific partition columns
+    UNDER the batch dir (e.g. a coarse time bucket so readouts can
+    partition-prune by time range — ST37).  BATCH_COL stays first, so
+    dynamic overwrite still replaces exactly this batch's tree and
+    ``retire_batch_partitions`` / ``read_appended(min_batch=)`` are
+    unaffected.
 
     Refuses a target that already holds a LEGACY FLAT registry (parquet
     files directly under ``output_path``): appending ``_batch_id=``
@@ -191,7 +204,7 @@ def write_batch_partition(df: DataFrame, output_path: str, batch_id: int) -> Non
         df.withColumn(BATCH_COL, F.lit(int(batch_id)))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BATCH_COL)
+        .partitionBy(BATCH_COL, *sub_partition_cols)
         .parquet(output_path)
     )
 
