@@ -1935,11 +1935,15 @@ def james_stein_shrinkage(
     """
     v = F.col(value_cents_col).cast("long")
     vd = v.cast("decimal(19,0)")
+    # pin the FIRST keyed aggregation: everything downstream (folds,
+    # broadcast joins) derives from this k-row table, so the raw
+    # relation is scanned exactly once (pinning only the derived
+    # scalar folds left g unpinned and the raw data scanned per fold)
     g = df.groupBy(F.col(group_col).alias("group")).agg(
         F.count(F.lit(1)).cast("long").alias("n_g"),
         F.sum(v).cast("long").alias("s_g"),
         F.sum(vd * vd).cast("decimal(38,0)").alias("ss_g"),
-    )
+    ).localCheckpoint(eager=True)
     nd = F.col("n_g").cast("double")
     mean_g = F.col("s_g").cast("double") / nd
     # per-group within-SS = (n*ss - s^2)/n: exact decimal numerator,
@@ -1957,14 +1961,14 @@ def james_stein_shrinkage(
         F.sum(F.col("n_g").cast("decimal(19,0)") * F.col("n_g").cast("decimal(19,0)"))
         .cast("decimal(38,0)")
         .alias("snn"),
-    ).localCheckpoint(eager=True)
+    )  # derives from pinned g: 1-row fold, no pin needed
     j = g.crossJoin(F.broadcast(folded))
     mu = F.col("S").cast("double") / F.col("N").cast("double")
     # between-SS term n_g*(mean_g - mu)^2, floor-quantized like within
     bq = F.floor(nd * (mean_g - mu) * (mean_g - mu) / F.lit(_JS_GRID)).cast("long")
     j2 = j.select(
         "group", "n_g", "s_g", "k", "N", "S", "ssw_q", "snn", bq.alias("bq")
-    ).localCheckpoint(eager=True)
+    )  # k-row projection of pinned g: recompute is cheaper than a pin
     per_group = j2
     ssb = per_group.groupBy("k", "N", "S", "ssw_q", "snn").agg(
         F.sum(F.col("bq").cast("decimal(19,0)")).cast("decimal(38,0)").alias("ssb_q")
@@ -2059,8 +2063,12 @@ def obf_sequential_monitor(
     window ORDER BY look (exact integer adds in a deterministic order);
     every mean/var/z is the DiD closed-form chain; the boundary and the
     nominal two-sided level ``2 * normal_sf_q(boundary)`` are fixed
-    scalar chains — plain SQL replays every double.  Degenerate looks
-    (an arm absent, or zero variance) surface NULL z, never NaN.
+    scalar chains — plain SQL replays every double.  Zero-variance
+    looks surface NULL z, never NaN; a look where an arm contributed NO
+    new rows is OMITTED from the output entirely (the two cumulative
+    sides inner-join on look), not emitted with NULLs — monitor designs
+    with ragged arrival should bucket looks upstream so both arms
+    appear at each look.
 
     Shape: ONE keyed integer aggregation (map-side combine) + a
     K-row window — everything after the first groupBy is look-count
@@ -2077,11 +2085,14 @@ def obf_sequential_monitor(
     ctrl, trt = arms
     v = F.col(value_cents_col).cast("long")
     vd = v.cast("decimal(19,0)")
+    # pin the FIRST keyed aggregation: every downstream window/fold/join
+    # derives from this (look x arm)-row table, so the raw relation is
+    # scanned exactly once
     per = df.groupBy(F.col(look_col).alias("look"), F.col(arm_col).alias("__a")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(v).cast("long").alias("s"),
         F.sum(vd * vd).cast("decimal(38,0)").alias("ss"),
-    )
+    ).localCheckpoint(eager=True)
     w = (
         Window.partitionBy("__a")
         .orderBy("look")
@@ -2121,9 +2132,7 @@ def obf_sequential_monitor(
     mean_t, var_t, n_t, nd_t = mv("t")
     se = F.sqrt(var_t / nd_t + var_c / nd_c)
     z = F.when(se > 0, (mean_t - mean_c) / se)
-    total = j.agg(F.max(F.col("n_c") + F.col("n_t")).alias("ntot")).localCheckpoint(
-        eager=True
-    )
+    total = j.agg(F.max(F.col("n_c") + F.col("n_t")).alias("ntot"))
     out = j.crossJoin(F.broadcast(total))
     f_k = (F.col("n_c") + F.col("n_t")).cast("double") / F.col("ntot").cast("double")
     boundary = F.lit(float(obf_constant)) / F.sqrt(f_k)
@@ -2246,15 +2255,17 @@ def post_stratified_mean(
     """
     v = F.col(value_cents_col).cast("long")
     vd = v.cast("decimal(19,0)")
+    # pin the FIRST keyed aggregation: strat/tot/j all derive from this
+    # (arm x stratum)-row table, so the raw relation is scanned once
     cell = df.groupBy(
         F.col(arm_col).alias("arm"), F.col(stratum_col).alias("__s")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_c"),
         F.sum(v).cast("long").alias("s_c"),
         F.sum(vd * vd).cast("decimal(38,0)").alias("ss_c"),
-    )
+    ).localCheckpoint(eager=True)
     strat = cell.groupBy("__s").agg(F.sum("n_c").cast("long").alias("n_s"))
-    tot = strat.agg(F.sum("n_s").cast("long").alias("N")).localCheckpoint(eager=True)
+    tot = strat.agg(F.sum("n_s").cast("long").alias("N"))
     j = cell.join(strat, "__s").crossJoin(F.broadcast(tot))
     ncd = F.col("n_c").cast("double")
     mean_c = F.col("s_c").cast("double") / ncd
@@ -2330,7 +2341,10 @@ def msprt_monitor(
     Exactness: the same cumulative BIGINT/DECIMAL moment windows as
     q260; both ln calls floor-quantize to 2^-20; everything else is a
     fixed scalar chain — plain SQL replays every double.  Degenerate
-    looks (an arm absent / n < 2 / zero variance) surface NULLs.
+    looks (n < 2 / zero variance) surface NULLs; a look where an arm
+    contributed NO new rows is OMITTED from the output entirely (the
+    two cumulative sides inner-join on look — the q260 convention),
+    not emitted with NULLs.
 
     Output: one row per look — (look, n_control, n_treatment,
     delta_cents, v_hat, log_lambda, neg_log10_p), ordered by look;
@@ -2346,11 +2360,14 @@ def msprt_monitor(
     ctrl, trt = arms
     v = F.col(value_cents_col).cast("long")
     vd = v.cast("decimal(19,0)")
+    # pin the FIRST keyed aggregation: every downstream window/fold/join
+    # derives from this (look x arm)-row table, so the raw relation is
+    # scanned exactly once
     per = df.groupBy(F.col(look_col).alias("look"), F.col(arm_col).alias("__a")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(v).cast("long").alias("s"),
         F.sum(vd * vd).cast("decimal(38,0)").alias("ss"),
-    )
+    ).localCheckpoint(eager=True)
     w = (
         Window.partitionBy("__a")
         .orderBy("look")

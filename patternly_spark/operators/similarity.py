@@ -937,7 +937,11 @@ def mmr_rerank(
     against the partition-parallel corpus — the only data-sized stage —
     with the pool cut ranked on the QUANTIZED relevance (so pool
     membership itself is engine-deterministic, not just the final
-    order); everything after operates on |Q| * pool candidate rows and
+    order) and executed in two phases — a partition-parallel
+    per-(query, partition) top-pool pre-cut, then a global top-pool
+    over the <= pool x n_partitions survivors — so no single task ever
+    sees a whole corpus for one query; everything after operates on
+    |Q| * pool candidate rows and
     |Q| * pool^2 candidate-pair rows (both driver-visible constants by
     contract).  The greedy loop is k-1 keyed joins on tiny
     localCheckpoint-pinned relations, partition-parallel per query.
@@ -967,10 +971,25 @@ def mmr_rerank(
     pool_w = Window.partitionBy("query_id").orderBy(
         F.desc("rel_q"), F.asc("cand_id")
     )
+    # two-phase pool cut: a single global row_number per query funnels
+    # EVERY corpus row for that query into one task (a skew cliff at
+    # large corpus x few queries).  Phase 1 keeps the top-pool per
+    # (query, corpus-partition) — fully partition-parallel, and a
+    # guaranteed superset of the global top-pool under the same strict
+    # (rel_q desc, cand_id asc) total order (cand_id is unique, so the
+    # cut is exact, not approximate).  Phase 2's global window then
+    # ranks only <= pool x n_partitions rows per query.
+    pre_w = Window.partitionBy("query_id", "__pid").orderBy(
+        F.desc("rel_q"), F.asc("cand_id")
+    )
     cand = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", "v", "vn", rel_q.alias("rel_q"))
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__p", F.row_number().over(pre_w))
+        .filter(F.col("__p") <= int(pool))
+        .drop("__pid", "__p")
         .withColumn("__r", F.row_number().over(pool_w))
         .filter(F.col("__r") <= int(pool))
         .drop("__r")

@@ -313,6 +313,17 @@ def test_mmr_matches_greedy_reference(spark):
     )
     exp = sorted(_mmr_reference(V, [0, 1, 2], 5, 9, 7))
     assert got == exp
+    # the two-phase pool cut (per-partition pre-cut before the global
+    # window — the skew fix) is partitioning-invariant: any corpus
+    # layout yields the identical selection
+    for parts in (1, 7, 32):
+        again = sorted(
+            (r["query_id"], r["rank"], r["cand_id"], r["score_q"])
+            for r in mmr_rerank(
+                df.repartition(parts), df.filter("vec_id < 3"), k=5, pool=9
+            ).collect()
+        )
+        assert again == exp, parts
 
 
 def test_mmr_diversifies_vs_plain_topk(spark):
