@@ -12401,6 +12401,173 @@ def q264_msprt_monitor(spark, sf_dir):
     )
 
 
+def q265_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov on per-user total event value
+    (operators/drift.ks_two_sample): md5-coin arms, exact integer
+    ECDF-gap numerator on the distinct-value grid, Kolmogorov limiting
+    p with each exp floor-quantized 2^-20 — the whole-distribution
+    sibling of q252's rank test.  Engine-exact by construction."""
+    from patternly_spark.operators.drift import ks_two_sample
+    from patternly_spark.operators.sampling import hash_fraction
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    ).withColumn(
+        "arm",
+        F.when(hash_fraction(F.col("user_id"), seed="arm") < F.lit(0.5), "a")
+        .otherwise("b"),
+    )
+    return ks_two_sample(per_user, "cents", arm_col="arm")
+
+
+def _q265_oracle() -> str:
+    c12, c11 = _dlit(0.12), _dlit(0.11)
+    return f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+               CASE WHEN CAST(('0x' || substr(md5('arm' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         / 4294967296.0 < {_dlit(0.5)}
+                    THEN 'a' ELSE 'b' END AS arm
+        FROM events
+        GROUP BY user_id
+    ), grid AS (
+        SELECT cents AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        FROM per_user GROUP BY cents
+    ), cum AS (
+        SELECT CAST(SUM(c) OVER wv AS HUGEINT) AS cumc,
+               CAST(SUM(ct) OVER wv AS HUGEINT) AS cumt,
+               CAST(SUM(c) OVER () AS BIGINT) AS n,
+               CAST(SUM(ct) OVER () AS BIGINT) AS nt
+        FROM grid
+        WINDOW wv AS (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), agg AS (
+        SELECT MAX(abs((cumc - cumt) * CAST(nt AS HUGEINT)
+                       - cumt * CAST(n - nt AS HUGEINT))) AS dnum,
+               MAX(n - nt) AS n_control, MAX(nt) AS n_treatment
+        FROM cum
+    ), scal AS (
+        SELECT n_control, n_treatment,
+               CAST(dnum AS DOUBLE)
+                 / (CAST(n_control AS DOUBLE) * CAST(n_treatment AS DOUBLE)) AS d,
+               CAST(n_control AS DOUBLE) * CAST(n_treatment AS DOUBLE)
+                 / (CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE)) AS ne
+        FROM agg
+    ), lamt AS (
+        SELECT n_control, n_treatment, d,
+               (sqrt(ne) + {c12} + {c11} / sqrt(ne)) * d AS lam
+        FROM scal
+    )
+    SELECT n_control, n_treatment, d AS d_stat, lam AS ks_lambda,
+           least(1.0e0, greatest(0.0e0,
+             2.0e0 * (  floor(exp(-2.0e0  * lam * lam) * 1048576.0) / 1048576.0
+                      - floor(exp(-8.0e0  * lam * lam) * 1048576.0) / 1048576.0
+                      + floor(exp(-1.8e1  * lam * lam) * 1048576.0) / 1048576.0
+                      - floor(exp(-3.2e1  * lam * lam) * 1048576.0) / 1048576.0
+                      + floor(exp(-5.0e1  * lam * lam) * 1048576.0) / 1048576.0)
+           )) AS p_value
+    FROM lamt
+    """
+
+
+def q266_cluster_lift(spark, sf_dir):
+    """Cluster-randomized A/B readout (operators/drift.
+    cluster_robust_lift): arms assigned by md5 coin at the USER level,
+    outcomes are per-EVENT cents, so the iid SE is wrong by the design
+    effect — the cluster-sandwich SE over per-user residual sums is
+    the honest one, reported beside the naive Welch SE.  Integer
+    moments + 2^16-cents^2 residual grid: engine-exact."""
+    from patternly_spark.operators.drift import cluster_robust_lift
+    from patternly_spark.operators.sampling import hash_fraction
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    ).withColumn(
+        "arm",
+        F.when(hash_fraction(F.col("user_id"), seed="arm") < F.lit(0.5), "a")
+        .otherwise("b"),
+    )
+    return cluster_robust_lift(ev, "cents", arm_col="arm", cluster_col="user_id")
+
+
+def _q266_oracle() -> str:
+    grid = _dlit(65536.0)
+    return f"""
+    WITH base AS (
+        SELECT user_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               CASE WHEN CAST(('0x' || substr(md5('arm' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         / 4294967296.0 < {_dlit(0.5)}
+                    THEN 'a' ELSE 'b' END AS arm
+        FROM events
+    ), cell AS (
+        SELECT arm, user_id, CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(cents) AS BIGINT) AS s_g,
+               SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS ss_g
+        FROM base GROUP BY arm, user_id
+    ), tot AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS g, CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(SUM(s_g) AS BIGINT) AS s, SUM(ss_g) AS ss
+        FROM cell GROUP BY arm
+    ), resid AS (
+        SELECT c.arm, t.g, t.n, t.s, t.ss,
+               CAST(floor((CAST(c.s_g AS DOUBLE)
+                           - CAST(c.n_g AS DOUBLE)
+                             * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)))
+                          * (CAST(c.s_g AS DOUBLE)
+                             - CAST(c.n_g AS DOUBLE)
+                               * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)))
+                          / {grid}) AS HUGEINT) AS eq
+        FROM cell c JOIN tot t ON c.arm = t.arm
+    ), per_arm AS (
+        SELECT arm, g, n, s, ss, SUM(eq) AS eq_sum
+        FROM resid GROUP BY arm, g, n, s, ss
+    ), piv AS (
+        SELECT c.n AS n_c, t.n AS n_t, c.g AS g_c, t.g AS g_t,
+               c.s AS s_c, t.s AS s_t, c.ss AS ss_c, t.ss AS ss_t,
+               c.eq_sum AS eq_c, t.eq_sum AS eq_t
+        FROM (SELECT * FROM per_arm WHERE arm = 'a') c
+        CROSS JOIN (SELECT * FROM per_arm WHERE arm = 'b') t
+    ), stats AS (
+        SELECT n_c, n_t, g_c, g_t,
+               CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS mean_c,
+               CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS mean_t,
+               CASE WHEN g_c >= 2 THEN
+                 CAST(g_c AS DOUBLE) / (CAST(g_c AS DOUBLE) - 1.0e0)
+                 * (CAST(eq_c AS DOUBLE) * {grid})
+                 / (CAST(n_c AS DOUBLE) * CAST(n_c AS DOUBLE)) END AS vcl_c,
+               CASE WHEN g_t >= 2 THEN
+                 CAST(g_t AS DOUBLE) / (CAST(g_t AS DOUBLE) - 1.0e0)
+                 * (CAST(eq_t AS DOUBLE) * {grid})
+                 / (CAST(n_t AS DOUBLE) * CAST(n_t AS DOUBLE)) END AS vcl_t,
+               CASE WHEN n_c >= 2 THEN
+                 CAST(CAST(n_c AS HUGEINT) * ss_c
+                      - CAST(s_c AS HUGEINT) * CAST(s_c AS HUGEINT) AS DOUBLE)
+                 / (CAST(n_c AS DOUBLE) * CAST(n_c AS DOUBLE)
+                    * (CAST(n_c AS DOUBLE) - 1.0e0)) END AS viid_c,
+               CASE WHEN n_t >= 2 THEN
+                 CAST(CAST(n_t AS HUGEINT) * ss_t
+                      - CAST(s_t AS HUGEINT) * CAST(s_t AS HUGEINT) AS DOUBLE)
+                 / (CAST(n_t AS DOUBLE) * CAST(n_t AS DOUBLE)
+                    * (CAST(n_t AS DOUBLE) - 1.0e0)) END AS viid_t
+        FROM piv
+    )
+    SELECT n_c AS n_control, n_t AS n_treatment, g_c AS g_control,
+           g_t AS g_treatment, mean_c AS mean_control, mean_t AS mean_treatment,
+           mean_t - mean_c AS lift_cents,
+           sqrt(vcl_c + vcl_t) AS se_cluster,
+           CASE WHEN sqrt(vcl_c + vcl_t) > 0
+                THEN (mean_t - mean_c) / sqrt(vcl_c + vcl_t) END AS z,
+           sqrt(viid_c + viid_t) AS se_naive
+    FROM stats
+    """
+
+
 def _q264_oracle() -> str:
     tau2 = _dlit(1000.0 * 1000.0)
     ln10 = _dlit(2.302585092994046)
@@ -12803,6 +12970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q262_delta_ratio": q262_delta_ratio,
         "q263_post_stratified": q263_post_stratified,
         "q264_msprt_monitor": q264_msprt_monitor,
+        "q265_ks_test": q265_ks_test,
+        "q266_cluster_lift": q266_cluster_lift,
     }
 
 
@@ -14598,6 +14767,8 @@ def oracle_sql() -> dict[str, str]:
         "q262_delta_ratio": _q262_oracle(),
         "q263_post_stratified": _q263_oracle(),
         "q264_msprt_monitor": _q264_oracle(),
+        "q265_ks_test": _q265_oracle(),
+        "q266_cluster_lift": _q266_oracle(),
     }
 
 

@@ -282,6 +282,8 @@ BENCH_QUERIES = [
     "q262_delta_ratio",
     "q263_post_stratified",
     "q264_msprt_monitor",
+    "q265_ks_test",
+    "q266_cluster_lift",
 ]
 
 

@@ -2434,3 +2434,234 @@ def msprt_monitor(
             F.lit(0.0), F.max(F.col("log_lambda") / F.lit(ln10)).over(wl)
         ),
     ).orderBy("look")
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_cents_col: str,
+    *,
+    arm_col: str,
+    by: str | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test — the WHOLE-DISTRIBUTION
+    drift readout: q252's rank test targets a location shift and q204 a
+    mean shift; KS fires on ANY ECDF divergence (variance inflation, a
+    new mode in one tail) with D = sup_x |F_c(x) - F_t(x)|.
+
+    Exact integer construction — on the DISTINCT-VALUE grid (the
+    mann_whitney_u convention, never a per-row sort): per value,
+    (count, treatment count); one cumulative window gives both ECDF
+    numerators, and the sup is
+
+        D = max over values of |cum_c * n_t - cum_t * n_c| / (n_c*n_t)
+
+    whose numerator is an exact DECIMAL integer, so the argmax and the
+    statistic replay bit-for-bit in any SQL engine.  The asymptotic
+    p-value uses the Kolmogorov limiting series with the standard
+    small-sample correction (Stephens 1970, the Numerical Recipes
+    form):
+
+        lam = (sqrt(ne) + 0.12 + 0.11/sqrt(ne)) * D,  ne = n_c*n_t/N
+        p   = 2 * sum_{j=1..5} (-1)^{j-1} exp(-2 j^2 lam^2)
+
+    with each exp floor-quantized to the 2^-20 grid (the normal_sf_q
+    convention — a cross-libm 1-ulp disagreement is absorbed) and the
+    five terms folded in a FIXED left-to-right order; truncation past
+    j=5 is < 1e-22 for any lam where the decision could flip.  p is
+    clamped to [0, 1].
+
+    Shape: ONE keyed aggregation onto the value grid (map-side
+    combine), one grid-sized cumulative window, one scalar fold per
+    group — subjects never sort globally.
+
+    Output: ([by,] n_control, n_treatment, d_stat, ks_lambda, p_value),
+    arms = the two DISTINCT ``arm_col`` values ascending (control,
+    treatment).  Groups where an arm is empty (possible under ``by=``)
+    surface NULL d_stat/ks_lambda/p_value — the fleiss_kappa
+    degenerate-input convention.
+    """
+    from pyspark.sql import Window
+
+    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
+    if len(arms) != 2:
+        raise ValueError(f"ks_two_sample needs exactly 2 arms, got {arms}")
+    _, trt = arms
+    gcols = [by] if by else []
+    v = F.col(value_cents_col).cast("long")
+    base = df.select(*gcols, F.col(arm_col).alias("__a"), v.alias("__v"))
+    grid = base.groupBy(*gcols, "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"),
+        F.sum((F.col("__a") == trt).cast("int")).cast("long").alias("__ct"),
+    )
+    wg = Window.partitionBy(*gcols).orderBy(F.col("__v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wfull = Window.partitionBy(*gcols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = grid.select(
+        *gcols,
+        F.sum("__c").over(wg).cast("decimal(19,0)").alias("__cum"),
+        F.sum("__ct").over(wg).cast("decimal(19,0)").alias("__cumt"),
+        F.sum("__c").over(wfull).cast("long").alias("__n"),
+        F.sum("__ct").over(wfull).cast("long").alias("__nt"),
+    )
+    # |cum_c*n_t - cum_t*n_c| = |(cum - cum_t)*n_t - cum_t*(n - n_t)|
+    ntd = F.col("__nt").cast("decimal(19,0)")
+    ncd = (F.col("__n") - F.col("__nt")).cast("decimal(19,0)")
+    num = F.abs(
+        (F.col("__cum") - F.col("__cumt")) * ntd - F.col("__cumt") * ncd
+    ).cast("decimal(38,0)")
+    agg = cum.groupBy(*gcols).agg(
+        F.max(num).alias("__dnum"),
+        F.max(F.col("__n") - F.col("__nt")).cast("long").alias("n_control"),
+        F.max("__nt").cast("long").alias("n_treatment"),
+    )
+    n1 = F.col("n_control").cast("double")
+    n2 = F.col("n_treatment").cast("double")
+    both = (F.col("n_control") > 0) & (F.col("n_treatment") > 0)
+    d = F.when(both, F.col("__dnum").cast("double") / (n1 * n2))
+    ne = n1 * n2 / (n1 + n2)
+    lam = F.when(
+        both,
+        (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * d,
+    )
+    g = F.lit(float(1 << 20))
+
+    def qexp(x):
+        return F.floor(F.exp(x) * g) / g
+
+    l2 = lam * lam
+    p_raw = F.lit(2.0) * (
+        qexp(F.lit(-2.0) * l2)
+        - qexp(F.lit(-8.0) * l2)
+        + qexp(F.lit(-18.0) * l2)
+        - qexp(F.lit(-32.0) * l2)
+        + qexp(F.lit(-50.0) * l2)
+    )
+    p = F.when(both, F.least(F.lit(1.0), F.greatest(F.lit(0.0), p_raw)))
+    return agg.select(
+        *gcols,
+        "n_control",
+        "n_treatment",
+        d.alias("d_stat"),
+        lam.alias("ks_lambda"),
+        p.alias("p_value"),
+    )
+
+
+def cluster_robust_lift(
+    df: DataFrame,
+    value_cents_col: str,
+    *,
+    arm_col: str,
+    cluster_col: str,
+) -> DataFrame:
+    """Cluster-randomized A/B readout — arm means with CLUSTER-ROBUST
+    standard errors (Liang–Zeger sandwich for an intercept-only model,
+    clusters as the independent units).  When randomization is by
+    cluster (user, session, store) but rows are events, the iid q204
+    SE is wrong by the design effect — often several-fold — and this
+    is the readout that says so honestly:
+
+        mean_a  = S_a / n_a                     (integer sums)
+        var_a   = G_a/(G_a-1) * sum_g (S_g - n_g * mean_a)^2 / n_a^2
+        lift    = mean_t - mean_c,   z = lift / sqrt(var_c + var_t)
+
+    Exactness: per-(arm, cluster) BIGINT sums; each cluster's squared
+    residual is one fixed double chain floor-quantized to the
+    2^16-cents^2 grid before the cross-cluster fold (the james_stein
+    overflow-safe convention — sums in DECIMAL), so the fold is
+    order-free and plain SQL replays every double.  The naive iid SE
+    (same Welch chain as q204) is reported alongside so the design
+    effect is visible in one row.
+
+    Shape: ONE keyed integer aggregation onto the (arm x cluster) grid
+    (pinned — everything downstream derives from it, raw scanned
+    once), then 2-row folds and broadcast joins.
+
+    Output: ONE row — (n_control, n_treatment, g_control, g_treatment,
+    mean_control, mean_treatment, lift_cents, se_cluster, z,
+    se_naive); arms = the two DISTINCT values ascending (control,
+    treatment).  An arm with fewer than 2 clusters surfaces NULL
+    se_cluster/z (the variance is undefined), never NaN.
+    """
+    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
+    if len(arms) != 2:
+        raise ValueError(f"cluster_robust_lift needs exactly 2 arms, got {arms}")
+    ctrl, trt = arms
+    v = F.col(value_cents_col).cast("long")
+    vd = v.cast("decimal(19,0)")
+    # pin the FIRST keyed aggregation: raw scanned exactly once
+    cell = df.groupBy(
+        F.col(arm_col).alias("__a"), F.col(cluster_col).alias("__g")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(v).cast("long").alias("s_g"),
+        F.sum(vd * vd).cast("decimal(38,0)").alias("ss_g"),
+    ).localCheckpoint(eager=True)
+    tot = cell.groupBy("__a").agg(
+        F.count(F.lit(1)).cast("long").alias("G"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("ss_g").cast("decimal(38,0)").alias("ss"),
+    )
+    j = cell.join(F.broadcast(tot), "__a")
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    e = F.col("s_g").cast("double") - F.col("n_g").cast("double") * mean
+    eq = F.floor(e * e / F.lit(_JS_GRID)).cast("long")
+    per_arm = j.groupBy("__a", "G", "n", "s", "ss").agg(
+        F.sum(eq.cast("decimal(19,0)")).cast("decimal(38,0)").alias("eq_sum")
+    )
+
+    def side(arm, tag):
+        return per_arm.filter(F.col("__a") == arm).select(
+            F.col("G").alias(f"g_{tag}"),
+            F.col("n").alias(f"n_{tag}"),
+            F.col("s").alias(f"s_{tag}"),
+            F.col("ss").alias(f"ss_{tag}"),
+            F.col("eq_sum").alias(f"eq_{tag}"),
+        )
+
+    out = side(ctrl, "c").crossJoin(side(trt, "t"))
+
+    def arm_cols(tag):
+        nd = F.col(f"n_{tag}").cast("double")
+        m = F.col(f"s_{tag}").cast("double") / nd
+        gd = F.col(f"g_{tag}").cast("double")
+        var_cl = F.when(
+            F.col(f"g_{tag}") >= 2,
+            gd
+            / (gd - F.lit(1.0))
+            * (F.col(f"eq_{tag}").cast("double") * F.lit(_JS_GRID))
+            / (nd * nd),
+        )
+        # naive iid variance of the mean (Welch building block):
+        # sample var / n with exact decimal numerator
+        var_num = (
+            F.col(f"n_{tag}").cast("decimal(19,0)") * F.col(f"ss_{tag}")
+            - F.col(f"s_{tag}").cast("decimal(19,0)")
+            * F.col(f"s_{tag}").cast("decimal(19,0)")
+        ).cast("double")
+        var_iid = F.when(
+            F.col(f"n_{tag}") >= 2, var_num / (nd * nd * (nd - F.lit(1.0)))
+        )
+        return m, var_cl, var_iid
+
+    mean_c, vcl_c, viid_c = arm_cols("c")
+    mean_t, vcl_t, viid_t = arm_cols("t")
+    se_cl = F.sqrt(vcl_c + vcl_t)
+    se_naive = F.sqrt(viid_c + viid_t)
+    lift = mean_t - mean_c
+    return out.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.col("g_c").alias("g_control"),
+        F.col("g_t").alias("g_treatment"),
+        mean_c.alias("mean_control"),
+        mean_t.alias("mean_treatment"),
+        lift.alias("lift_cents"),
+        se_cl.alias("se_cluster"),
+        F.when(se_cl > 0, lift / se_cl).alias("z"),
+        se_naive.alias("se_naive"),
+    )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from patternly_spark.plans import round_partitions, tuned_shuffle
+from patternly_spark.plans import round_partitions, round_partitions_for, tuned_shuffle
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -204,7 +204,7 @@ def pagerank(
     pending: list[DataFrame] = []
     # round-heavy: bytes-sized partitions per the measured policy
     spark = edges.sparkSession
-    with tuned_shuffle(spark, round_partitions(spark, e.count())):
+    with tuned_shuffle(spark, round_partitions_for(spark, e)):
         for it in range(int(iterations)):
             contribs = (
                 links.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -289,7 +289,7 @@ def label_propagation(
     labels = nodes.withColumn("label", F.col("node"))
     w = Window.partitionBy("node").orderBy(F.desc("__c"), F.asc("label"))
     spark = edges.sparkSession
-    with tuned_shuffle(spark, round_partitions(spark, sym.count())):
+    with tuned_shuffle(spark, round_partitions_for(spark, sym)):
         for it in range(int(iterations)):
             neigh = (
                 sym.join(labels.withColumnRenamed("node", "b"), "b")
@@ -452,7 +452,7 @@ def kcore(
     # sf30/sf100 policy (plans.round_partitions); values are
     # partition-count invariant, only wall clock changes
     spark = edges.sparkSession
-    with tuned_shuffle(spark, round_partitions(spark, und.count())):
+    with tuned_shuffle(spark, round_partitions_for(spark, und)):
         for _ in range(int(max_rounds)):
             deg = (
                 und.select(F.col("u").alias("node"))
@@ -551,7 +551,7 @@ def core_numbers(
     # sf30/sf100 policy (plans.round_partitions); values are
     # partition-count invariant, only wall clock changes
     spark = edges.sparkSession
-    with tuned_shuffle(spark, round_partitions(spark, und.count())):
+    with tuned_shuffle(spark, round_partitions_for(spark, und)):
         for _ in range(int(max_rounds)):
             neigh = (
                 both.join(
@@ -641,7 +641,7 @@ def minimum_spanning_forest(
     # sf30/sf100 policy (plans.round_partitions); values are
     # partition-count invariant, only wall clock changes
     spark = edges.sparkSession
-    with tuned_shuffle(spark, round_partitions(spark, e.count())):
+    with tuned_shuffle(spark, round_partitions_for(spark, e)):
         for _ in range(int(max_rounds)):
             lab_u = labels.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
             lab_v = labels.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
@@ -738,7 +738,7 @@ def personalized_pagerank_units(
     # sf30/sf100 policy (plans.round_partitions); values are
     # partition-count invariant, only wall clock changes
     spark = edges.sparkSession
-    with tuned_shuffle(spark, round_partitions(spark, e.count())):
+    with tuned_shuffle(spark, round_partitions_for(spark, e)):
         for _ in range(int(iterations)):
             contrib = (
                 p.join(deg, p["node"] == deg["s"])
@@ -817,7 +817,7 @@ def bfs_hops(
     # sf30/sf100 policy (plans.round_partitions); values are
     # partition-count invariant, only wall clock changes
     spark = edges.sparkSession
-    with tuned_shuffle(spark, round_partitions(spark, e.count())):
+    with tuned_shuffle(spark, round_partitions_for(spark, e)):
         for h in range(1, int(max_hops) + 1):
             nxt = (
                 frontier.join(e, frontier["node"] == e["u"])
@@ -974,7 +974,7 @@ def neighborhood_function(
     # sf30/sf100 policy (plans.round_partitions); values are
     # partition-count invariant, only wall clock changes
     spark = edges.sparkSession
-    with tuned_shuffle(spark, round_partitions(spark, e.count())):
+    with tuned_shuffle(spark, round_partitions_for(spark, e)):
         for r in range(1, int(rounds) + 1):
             pulled = e.join(regs, e["d"] == regs["node"]).select(
                 F.col("s").alias("node"), "reg", "rho"

@@ -57,6 +57,77 @@ def test_round_partitions_policy_shape(spark, monkeypatch):
     assert round_partitions(spark, 1000) == sess
 
 
+def test_round_partitions_for_is_lazy_when_disabled(spark, monkeypatch):
+    """round_partitions_for must NOT run a count job under the kill
+    switch (the eager df.count() argument form paid one job per
+    operator call even in policy-off mode — round-8 verdict item 5),
+    and must delegate to round_partitions when enabled."""
+    from patternly_spark.plans import round_partitions, round_partitions_for
+
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    class Boom:
+        called = False
+
+        def count(self):
+            Boom.called = True
+            return 1000
+
+    monkeypatch.setenv("SPARK_GRAFT_PARTITION_POLICY", "0")
+    assert round_partitions_for(spark, Boom()) == sess
+    assert Boom.called is False
+    monkeypatch.delenv("SPARK_GRAFT_PARTITION_POLICY")
+    # no plan stats on the fake -> falls back to the one count job
+    assert round_partitions_for(spark, Boom()) == round_partitions(spark, 1000)
+    assert Boom.called is True
+
+
+def test_round_partitions_for_uses_plan_stats_not_count(spark):
+    """On a real pinned relation the policy reads Catalyst's
+    sizeInBytes (free) instead of running a count job: same floor on a
+    small relation, and a large pinned relation lands in the
+    bytes-proportional regime consistent with the stats calibration."""
+    import math as _math
+
+    from pyspark.sql import functions as F
+
+    from patternly_spark.plans import (
+        ROUND_TASK_BYTES,
+        _STATS_INFLATION,
+        plan_size_bytes,
+        round_partitions_for,
+    )
+
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cores = spark.sparkContext.defaultParallelism
+    floor = min(cores, sess)
+    small = (
+        spark.range(100)
+        .select(F.col("id").alias("u"), F.col("id").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    assert plan_size_bytes(small) is not None
+    assert round_partitions_for(spark, small) == floor
+    big = (
+        spark.range(400_000)
+        .select(F.col("id").alias("u"), (F.col("id") * 7).alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    sz = plan_size_bytes(big)
+    assert sz is not None and sz >= 400_000 * 8
+    expect = max(
+        1,
+        min(
+            sess,
+            max(
+                _math.ceil(sz * _STATS_INFLATION / float(ROUND_TASK_BYTES)),
+                floor,
+            ),
+        ),
+    )
+    assert round_partitions_for(spark, big) == expect
+
+
 def test_tuned_shuffle_restores_even_on_error(spark):
     from patternly_spark.plans import tuned_shuffle
 

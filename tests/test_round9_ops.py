@@ -1,0 +1,176 @@
+"""Round-9 operators: two-sample KS (drift.ks_two_sample) and
+cluster-robust lift (drift.cluster_robust_lift)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from patternly_spark.operators.drift import cluster_robust_lift, ks_two_sample
+
+
+def _ks_reference(a, b):
+    """From-scratch two-sample KS on integer samples: exact rational D
+    via the pooled distinct-value grid, then the Kolmogorov limiting p
+    with the engine's 2^-20 exp quantization — an independent
+    implementation path (per-sample ECDFs, no window)."""
+    a, b = np.asarray(a, dtype=np.int64), np.asarray(b, dtype=np.int64)
+    vals = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), vals, side="right")
+    fb = np.searchsorted(np.sort(b), vals, side="right")
+    dnum = np.max(np.abs(fa * len(b) - fb * len(a)))
+    d = dnum / (len(a) * len(b))
+    ne = len(a) * len(b) / (len(a) + len(b))
+    lam = (np.sqrt(ne) + 0.12 + 0.11 / np.sqrt(ne)) * d
+    g = float(1 << 20)
+    q = lambda x: np.floor(np.exp(x) * g) / g
+    p = 2.0 * (
+        q(-2 * lam**2) - q(-8 * lam**2) + q(-18 * lam**2)
+        - q(-32 * lam**2) + q(-50 * lam**2)
+    )
+    return d, lam, min(1.0, max(0.0, p))
+
+
+def _to_df(spark, a, b):
+    rows = [("a", int(v)) for v in a] + [("b", int(v)) for v in b]
+    return spark.createDataFrame(rows, "arm string, cents long")
+
+
+def test_ks_matches_numpy_reference(spark):
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 500, 400)
+    b = rng.integers(0, 500, 300) + rng.integers(0, 60, 300)
+    out = ks_two_sample(_to_df(spark, a, b), "cents", arm_col="arm").collect()[0]
+    d, lam, p = _ks_reference(a, b)
+    assert out["n_control"] == 400 and out["n_treatment"] == 300
+    assert out["d_stat"] == pytest.approx(d, rel=1e-12)
+    assert out["ks_lambda"] == pytest.approx(lam, rel=1e-12)
+    assert out["p_value"] == pytest.approx(p, rel=1e-9)
+
+
+def test_ks_fires_on_variance_shift_that_rank_test_misses(spark):
+    """The reason KS earns a row beside q252: equal-median arms with
+    different spread — Mann-Whitney z stays small, KS p goes tiny."""
+    from patternly_spark.operators.drift import mann_whitney_u
+
+    rng = np.random.default_rng(3)
+    a = np.round(rng.normal(0, 10, 2500)).astype(int)
+    b = np.round(rng.normal(0, 40, 2500)).astype(int)  # same center, 4x spread
+    df = _to_df(spark, a, b)
+    ks = ks_two_sample(df, "cents", arm_col="arm").collect()[0]
+    mwu = mann_whitney_u(df, "cents", arm_col="arm").collect()[0]
+    assert ks["p_value"] < 1e-6
+    assert abs(mwu["z"]) < 3.0
+
+
+def test_ks_identical_and_degenerate(spark):
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 100, 300)
+    out = ks_two_sample(_to_df(spark, a, a), "cents", arm_col="arm").collect()[0]
+    assert out["d_stat"] == 0.0 and out["p_value"] == 1.0
+    # by= group where one arm is empty -> NULL stats, row still emitted
+    rows = [("g1", "a", 1), ("g1", "b", 2), ("g1", "a", 3), ("g1", "b", 5),
+            ("g2", "a", 1), ("g2", "a", 2)]
+    df = spark.createDataFrame(rows, "grp string, arm string, cents long")
+    got = {r["grp"]: r for r in
+           ks_two_sample(df, "cents", arm_col="arm", by="grp").collect()}
+    assert got["g2"]["d_stat"] is None and got["g2"]["p_value"] is None
+    assert got["g1"]["d_stat"] is not None
+    with pytest.raises(ValueError, match="exactly 2 arms"):
+        ks_two_sample(df.filter("arm = 'a'"), "cents", arm_col="arm")
+
+
+def test_ks_partition_invariance(spark):
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 50, 500)
+    b = rng.integers(10, 60, 500)
+    df = _to_df(spark, a, b)
+    ref = ks_two_sample(df.coalesce(1), "cents", arm_col="arm").collect()[0]
+    for parts in (7, 32):
+        got = ks_two_sample(df.repartition(parts), "cents", arm_col="arm").collect()[0]
+        assert got["d_stat"] == ref["d_stat"]
+        assert got["p_value"] == ref["p_value"]
+
+
+# ---------------------------------------------------------------------------
+
+
+def _crl_reference(arm, cluster, y):
+    """From-scratch numpy cluster sandwich with the engine's 2^16
+    residual grid."""
+    out = {}
+    for tag, name in (("a", "c"), ("b", "t")):
+        m = np.asarray(arm) == tag
+        cl = np.asarray(cluster)[m]
+        yy = np.asarray(y, dtype=np.int64)[m]
+        uniq = np.unique(cl)
+        s_g = np.array([yy[cl == g].sum() for g in uniq], dtype=np.float64)
+        n_g = np.array([(cl == g).sum() for g in uniq], dtype=np.float64)
+        n, s, G = yy.size, yy.sum(), uniq.size
+        mean = s / n
+        e = s_g - n_g * mean
+        eq = np.floor(e * e / 65536.0).sum()
+        var = G / (G - 1) * (eq * 65536.0) / (n * n) if G >= 2 else None
+        out[name] = (n, G, mean, var)
+    return out
+
+
+def test_cluster_robust_matches_numpy_and_design_effect(spark):
+    """Planted within-cluster correlation: the cluster SE must match the
+    from-scratch sandwich AND exceed the naive iid SE several-fold."""
+    rng = np.random.default_rng(13)
+    rows = []
+    arm_l, cl_l, y_l = [], [], []
+    for u in range(120):
+        tag = "a" if u % 2 == 0 else "b"
+        base = int(rng.normal(0, 800))  # strong cluster-level shock
+        for _ in range(int(rng.integers(5, 15))):
+            yv = base + int(rng.normal(0, 30)) + (50 if tag == "b" else 0)
+            rows.append((tag, u, yv))
+            arm_l.append(tag); cl_l.append(u); y_l.append(yv)
+    df = spark.createDataFrame(rows, "arm string, user long, cents long")
+    out = cluster_robust_lift(
+        df, "cents", arm_col="arm", cluster_col="user"
+    ).collect()[0]
+    ref = _crl_reference(arm_l, cl_l, y_l)
+    (n_c, g_c, mean_c, var_c), (n_t, g_t, mean_t, var_t) = ref["c"], ref["t"]
+    assert out["n_control"] == n_c and out["g_control"] == g_c
+    assert out["mean_control"] == pytest.approx(mean_c, rel=1e-12)
+    assert out["lift_cents"] == pytest.approx(mean_t - mean_c, rel=1e-12)
+    assert out["se_cluster"] == pytest.approx(np.sqrt(var_c + var_t), rel=1e-12)
+    assert out["z"] == pytest.approx(
+        (mean_t - mean_c) / np.sqrt(var_c + var_t), rel=1e-12
+    )
+    # the design effect is visible: clustered SE >> naive iid SE
+    assert out["se_cluster"] > 3.0 * out["se_naive"]
+
+
+def test_cluster_robust_degenerate_and_guards(spark):
+    # an arm with ONE cluster: variance undefined -> NULL se/z
+    rows = [("a", 1, 10), ("a", 1, 12), ("b", 2, 20), ("b", 3, 25)]
+    df = spark.createDataFrame(rows, "arm string, user long, cents long")
+    out = cluster_robust_lift(df, "cents", arm_col="arm", cluster_col="user").collect()[0]
+    assert out["se_cluster"] is None and out["z"] is None
+    assert out["lift_cents"] == pytest.approx(22.5 - 11.0)
+    three = spark.createDataFrame(
+        [("a", 1, 1), ("b", 2, 1), ("c", 3, 1)], "arm string, user long, cents long"
+    )
+    with pytest.raises(ValueError, match="exactly 2 arms"):
+        cluster_robust_lift(three, "cents", arm_col="arm", cluster_col="user")
+
+
+def test_cluster_robust_partition_invariance(spark):
+    rng = np.random.default_rng(17)
+    rows = [
+        ("a" if u % 2 else "b", u, int(rng.normal(100, 50)))
+        for u in range(80)
+        for _ in range(6)
+    ]
+    df = spark.createDataFrame(rows, "arm string, user long, cents long")
+    ref = cluster_robust_lift(
+        df.coalesce(1), "cents", arm_col="arm", cluster_col="user"
+    ).collect()[0]
+    got = cluster_robust_lift(
+        df.repartition(32), "cents", arm_col="arm", cluster_col="user"
+    ).collect()[0]
+    assert got["se_cluster"] == ref["se_cluster"]
+    assert got["lift_cents"] == ref["lift_cents"]
