@@ -12568,6 +12568,187 @@ def _q266_oracle() -> str:
     """
 
 
+def q267_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch gate (operators/drift.srm_check): per-user
+    arms from a DELIBERATELY biased md5 coin (threshold 0.47) tested
+    against the designed 50/50 — chi2_1 = Z^2, p through the
+    cross-engine quantized normal SF, alarm at the conventional 0.001.
+    Integer counts + fixed chains: engine-exact."""
+    from patternly_spark.operators.drift import srm_check
+    from patternly_spark.operators.sampling import hash_fraction
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.select("user_id").distinct().withColumn(
+        "arm",
+        F.when(hash_fraction(F.col("user_id"), seed="arm") < F.lit(0.47), "a")
+        .otherwise("b"),
+    )
+    return srm_check(per_user, arm_col="arm", expected_control=0.5)
+
+
+def _q267_oracle() -> str:
+    inv = _dlit(0.3989422804014327)
+    t_c = _dlit(0.2316419)
+    b1, b2, b3, b4, b5 = (
+        _dlit(v)
+        for v in (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+    )
+    return f"""
+    WITH per_user AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN CAST(('0x' || substr(md5('arm' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         / 4294967296.0 < {_dlit(0.47)}
+                    THEN 'a' ELSE 'b' END AS arm
+        FROM events
+    ), counts AS (
+        SELECT CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+               CAST(SUM(CASE WHEN arm <> 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_treatment
+        FROM per_user
+    ), chi AS (
+        SELECT n_control, n_treatment,
+               (CAST(n_control AS DOUBLE)
+                - (CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE)) * {_dlit(0.5)})
+               * (CAST(n_control AS DOUBLE)
+                  - (CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE)) * {_dlit(0.5)})
+               / ((CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE)) * {_dlit(0.5)})
+               +
+               (CAST(n_treatment AS DOUBLE)
+                - (CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE)) * {_dlit(0.5)})
+               * (CAST(n_treatment AS DOUBLE)
+                  - (CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE)) * {_dlit(0.5)})
+               / ((CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE)) * {_dlit(0.5)})
+               AS chi2
+        FROM counts
+    ), sf AS (
+        SELECT n_control, n_treatment, chi2, sqrt(chi2) AS x FROM chi
+    )
+    SELECT n_control, n_treatment, {_dlit(0.5)} AS expected_control, chi2,
+           2.0e0 * ((floor(exp(-x * x / 2.0) * 1048576.0) / 1048576.0) * {inv})
+               * ((1.0 / (1.0 + {t_c} * x))
+                  * ({b1} + (1.0 / (1.0 + {t_c} * x))
+                     * ({b2} + (1.0 / (1.0 + {t_c} * x))
+                        * ({b3} + (1.0 / (1.0 + {t_c} * x))
+                           * ({b4} + (1.0 / (1.0 + {t_c} * x)) * {b5})))))
+               AS p_value,
+           2.0e0 * ((floor(exp(-x * x / 2.0) * 1048576.0) / 1048576.0) * {inv})
+               * ((1.0 / (1.0 + {t_c} * x))
+                  * ({b1} + (1.0 / (1.0 + {t_c} * x))
+                     * ({b2} + (1.0 / (1.0 + {t_c} * x))
+                        * ({b3} + (1.0 / (1.0 + {t_c} * x))
+                           * ({b4} + (1.0 / (1.0 + {t_c} * x)) * {b5})))))
+               < {_dlit(0.001)} AS srm
+    FROM sf
+    """
+
+
+def q268_tost_equivalence(spark, sf_dir):
+    """TOST equivalence readout (operators/drift.tost_equivalence):
+    per-user total cents, md5-coin arms (a true null), margin = 500
+    cents — two one-sided Welch z's through the cross-engine quantized
+    normal SF; failing-to-reject is NOT equivalence, this is.
+    Integer moments + fixed chains: engine-exact."""
+    from patternly_spark.operators.drift import tost_equivalence
+    from patternly_spark.operators.sampling import hash_fraction
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    ).withColumn(
+        "arm",
+        F.when(hash_fraction(F.col("user_id"), seed="arm") < F.lit(0.5), "a")
+        .otherwise("b"),
+    )
+    return tost_equivalence(per_user, "cents", arm_col="arm", margin_cents=500.0)
+
+
+def _q268_oracle() -> str:
+    inv = _dlit(0.3989422804014327)
+    t_c = _dlit(0.2316419)
+    b1, b2, b3, b4, b5 = (
+        _dlit(v)
+        for v in (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+    )
+    m = _dlit(500.0)
+
+    def sf_abs(x):
+        return (
+            f"((floor(exp(-{x} * {x} / 2.0) * 1048576.0) / 1048576.0) * {inv})"
+            f" * ((1.0 / (1.0 + {t_c} * {x}))"
+            f"    * ({b1} + (1.0 / (1.0 + {t_c} * {x}))"
+            f"       * ({b2} + (1.0 / (1.0 + {t_c} * {x}))"
+            f"          * ({b3} + (1.0 / (1.0 + {t_c} * {x}))"
+            f"             * ({b4} + (1.0 / (1.0 + {t_c} * {x})) * {b5})))))"
+        )
+
+    return f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+               CASE WHEN CAST(('0x' || substr(md5('arm' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         / 4294967296.0 < {_dlit(0.5)}
+                    THEN 'a' ELSE 'b' END AS arm
+        FROM events
+        GROUP BY user_id
+    ), per AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+               SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS ss
+        FROM per_user GROUP BY arm
+    ), piv AS (
+        SELECT c.n AS n_c, c.s AS s_c, c.ss AS ss_c,
+               t.n AS n_t, t.s AS s_t, t.ss AS ss_t
+        FROM (SELECT * FROM per WHERE arm = 'a') c
+        CROSS JOIN (SELECT * FROM per WHERE arm = 'b') t
+    ), stats AS (
+        SELECT n_c, n_t,
+               CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                 - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS delta,
+               CASE WHEN sqrt(
+                   (CASE WHEN n_t >= 2 THEN
+                       CAST(CAST(n_t AS HUGEINT) * ss_t
+                            - CAST(s_t AS HUGEINT) * CAST(s_t AS HUGEINT) AS DOUBLE)
+                       / (CAST(n_t AS DOUBLE) * (CAST(n_t AS DOUBLE) - 1.0)) END)
+                       / CAST(n_t AS DOUBLE)
+                   + (CASE WHEN n_c >= 2 THEN
+                       CAST(CAST(n_c AS HUGEINT) * ss_c
+                            - CAST(s_c AS HUGEINT) * CAST(s_c AS HUGEINT) AS DOUBLE)
+                       / (CAST(n_c AS DOUBLE) * (CAST(n_c AS DOUBLE) - 1.0)) END)
+                       / CAST(n_c AS DOUBLE)) > 0
+               THEN sqrt(
+                   (CASE WHEN n_t >= 2 THEN
+                       CAST(CAST(n_t AS HUGEINT) * ss_t
+                            - CAST(s_t AS HUGEINT) * CAST(s_t AS HUGEINT) AS DOUBLE)
+                       / (CAST(n_t AS DOUBLE) * (CAST(n_t AS DOUBLE) - 1.0)) END)
+                       / CAST(n_t AS DOUBLE)
+                   + (CASE WHEN n_c >= 2 THEN
+                       CAST(CAST(n_c AS HUGEINT) * ss_c
+                            - CAST(s_c AS HUGEINT) * CAST(s_c AS HUGEINT) AS DOUBLE)
+                       / (CAST(n_c AS DOUBLE) * (CAST(n_c AS DOUBLE) - 1.0)) END)
+                       / CAST(n_c AS DOUBLE)) END AS se
+        FROM piv
+    ), zeds AS (
+        SELECT n_c, n_t, delta, se,
+               (delta + {m}) / se AS zl,
+               (delta - {m}) / se AS zh
+        FROM stats
+    ), tails AS (
+        SELECT n_c, n_t, delta, se, zl, zh,
+               CASE WHEN zl >= 0 THEN {sf_abs('abs(zl)')}
+                    ELSE 1.0 - {sf_abs('abs(zl)')} END AS p_lower,
+               CASE WHEN -zh >= 0 THEN {sf_abs('abs(zh)')}
+                    ELSE 1.0 - {sf_abs('abs(zh)')} END AS p_upper
+        FROM zeds
+    )
+    SELECT n_c AS n_control, n_t AS n_treatment, delta AS lift_cents, se,
+           {m} AS margin_cents, zl AS z_lower, zh AS z_upper,
+           p_lower, p_upper,
+           greatest(p_lower, p_upper) AS p_tost,
+           greatest(p_lower, p_upper) < {_dlit(0.05)} AS equivalent
+    FROM tails
+    """
+
+
 def _q264_oracle() -> str:
     tau2 = _dlit(1000.0 * 1000.0)
     ln10 = _dlit(2.302585092994046)
@@ -12972,6 +13153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q264_msprt_monitor": q264_msprt_monitor,
         "q265_ks_test": q265_ks_test,
         "q266_cluster_lift": q266_cluster_lift,
+        "q267_srm_check": q267_srm_check,
+        "q268_tost_equivalence": q268_tost_equivalence,
     }
 
 
@@ -14769,6 +14952,8 @@ def oracle_sql() -> dict[str, str]:
         "q264_msprt_monitor": _q264_oracle(),
         "q265_ks_test": _q265_oracle(),
         "q266_cluster_lift": _q266_oracle(),
+        "q267_srm_check": _q267_oracle(),
+        "q268_tost_equivalence": _q268_oracle(),
     }
 
 

@@ -284,6 +284,8 @@ BENCH_QUERIES = [
     "q264_msprt_monitor",
     "q265_ks_test",
     "q266_cluster_lift",
+    "q267_srm_check",
+    "q268_tost_equivalence",
 ]
 
 

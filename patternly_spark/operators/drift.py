@@ -2665,3 +2665,151 @@ def cluster_robust_lift(
         F.when(se_cl > 0, lift / se_cl).alias("z"),
         se_naive.alias("se_naive"),
     )
+
+
+def srm_check(
+    df: DataFrame,
+    *,
+    arm_col: str,
+    expected_control: float = 0.5,
+    alpha: float = 0.001,
+) -> DataFrame:
+    """Sample-ratio-mismatch check — the FIRST gate every experiment
+    readout should pass: if the realized arm split is statistically
+    incompatible with the design ratio, the assignment pipeline is
+    broken (bot filtering, redirect loss, logging lag) and every
+    downstream lift number is untrustworthy.  Chi-square
+    goodness-of-fit on the two arm counts; with one degree of freedom
+    chi2_1 = Z^2, so the p-value is the engine's cross-engine normal
+    chain:  p = 2 * normal_sf_q(sqrt(chi2)) — no gamma function needed
+    (the reason this stays 2-arm; k-arm SRM wants a chi2_{k-1} CDF).
+
+    The conventional SRM alpha is 0.001, not 0.05 (an SRM alarm stops
+    the experiment, so it must essentially never false-fire;
+    Fabijan et al. 2019).
+
+    Exactness: integer counts, fixed double chains, the one exp inside
+    normal_sf_q floor-quantized 2^-20 — plain SQL replays every double.
+    Shape: ONE count-by-arm aggregation (2 rows), scalars after.
+
+    Output: ONE row — (n_control, n_treatment, expected_control,
+    chi2, p_value, srm).  Arms = the two DISTINCT values ascending
+    (control, treatment).  An empty arm still yields a finite chi2
+    (the count is 0), which is exactly when SRM must scream.
+    """
+    r = float(expected_control)
+    if not 0.0 < r < 1.0:
+        raise ValueError(f"expected_control must be in (0,1), got {r}")
+    arms = [x[0] for x in df.select(arm_col).distinct().orderBy(arm_col).collect()]
+    if len(arms) != 2:
+        raise ValueError(f"srm_check needs exactly 2 arms, got {arms}")
+    ctrl, _ = arms
+    agg = df.groupBy().agg(
+        F.sum((F.col(arm_col) == ctrl).cast("int")).cast("long").alias("n_control"),
+        F.sum((F.col(arm_col) != ctrl).cast("int")).cast("long").alias("n_treatment"),
+    )
+    nc = F.col("n_control").cast("double")
+    nt = F.col("n_treatment").cast("double")
+    n = nc + nt
+    ec = n * F.lit(r)
+    et = n * F.lit(1.0 - r)
+    chi2 = (nc - ec) * (nc - ec) / ec + (nt - et) * (nt - et) / et
+    p = F.lit(2.0) * normal_sf_q(F.sqrt(chi2))
+    return agg.select(
+        "n_control",
+        "n_treatment",
+        F.lit(r).alias("expected_control"),
+        chi2.alias("chi2"),
+        p.alias("p_value"),
+        (p < F.lit(float(alpha))).alias("srm"),
+    )
+
+
+def tost_equivalence(
+    df: DataFrame,
+    value_cents_col: str,
+    *,
+    arm_col: str,
+    margin_cents: float,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """TOST equivalence test (Schuirmann 1987) — the readout for "the
+    new variant is NOT meaningfully different": failing to reject a
+    q204 null is NOT evidence of equivalence (underpowered tests fail
+    to reject everything), so ship/no-ship-by-parity decisions need two
+    one-sided tests against an explicit margin:
+
+        H0_lower: delta <= -m   rejected when z_low  = (d + m)/se big
+        H0_upper: delta >= +m   rejected when z_high = (d - m)/se small
+        p_tost = max(SF(z_low), SF(-z_high));  equivalent iff p < alpha
+
+    Exactness: per-arm BIGINT/DECIMAL Welch moments (the q204 chain),
+    both tail probabilities through the engine's cross-engine
+    normal_sf_q (one 2^-20-quantized exp each) — plain SQL replays
+    every double.  Shape: ONE keyed integer aggregation (2 rows),
+    scalars after.
+
+    Output: ONE row — (n_control, n_treatment, lift_cents, se,
+    margin_cents, z_lower, z_upper, p_lower, p_upper, p_tost,
+    equivalent).  Degenerate arms (n < 2 or zero variance) surface
+    NULLs, never NaN.
+    """
+    m = float(margin_cents)
+    if not m > 0:
+        raise ValueError(f"margin_cents must be > 0, got {margin_cents}")
+    arms = [x[0] for x in df.select(arm_col).distinct().orderBy(arm_col).collect()]
+    if len(arms) != 2:
+        raise ValueError(f"tost_equivalence needs exactly 2 arms, got {arms}")
+    ctrl, trt = arms
+    v = F.col(value_cents_col).cast("long")
+    vd = v.cast("decimal(19,0)")
+    per = df.groupBy(F.col(arm_col).alias("__a")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("s"),
+        F.sum(vd * vd).cast("decimal(38,0)").alias("ss"),
+    )
+
+    def side(arm, tag):
+        return per.filter(F.col("__a") == arm).select(
+            F.col("n").alias(f"n_{tag}"),
+            F.col("s").alias(f"s_{tag}"),
+            F.col("ss").alias(f"ss_{tag}"),
+        )
+
+    j = side(ctrl, "c").crossJoin(side(trt, "t"))
+
+    def mv(tag):
+        n = F.col(f"n_{tag}")
+        nd = n.cast("double")
+        mean = F.col(f"s_{tag}").cast("double") / nd
+        var_num = (
+            n.cast("decimal(19,0)") * F.col(f"ss_{tag}")
+            - F.col(f"s_{tag}").cast("decimal(19,0)")
+            * F.col(f"s_{tag}").cast("decimal(19,0)")
+        ).cast("double")
+        var = F.when(n >= 2, var_num / (nd * (nd - F.lit(1.0))))
+        return mean, var, nd
+
+    mean_c, var_c, nd_c = mv("c")
+    mean_t, var_t, nd_t = mv("t")
+    delta = mean_t - mean_c
+    se_raw = F.sqrt(var_t / nd_t + var_c / nd_c)
+    se = F.when(se_raw > 0, se_raw)
+    z_low = (delta + F.lit(m)) / se
+    z_high = (delta - F.lit(m)) / se
+    p_low = normal_sf_q(z_low)
+    p_high = normal_sf_q(-z_high)
+    p_tost = F.greatest(p_low, p_high)
+    return j.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        delta.alias("lift_cents"),
+        se.alias("se"),
+        F.lit(m).alias("margin_cents"),
+        z_low.alias("z_lower"),
+        z_high.alias("z_upper"),
+        p_low.alias("p_lower"),
+        p_high.alias("p_upper"),
+        p_tost.alias("p_tost"),
+        (p_tost < F.lit(float(alpha))).alias("equivalent"),
+    )

@@ -174,3 +174,108 @@ def test_cluster_robust_partition_invariance(spark):
     ).collect()[0]
     assert got["se_cluster"] == ref["se_cluster"]
     assert got["lift_cents"] == ref["lift_cents"]
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_srm_check_fires_on_real_mismatch_only(spark):
+    """A clean 50/50 split passes; a 45/55 split on 10k units alarms at
+    the conventional 0.001; chi2 matches the hand formula."""
+    from patternly_spark.operators.drift import srm_check
+
+    n = 10_000
+    clean = spark.createDataFrame(
+        [("a" if i % 2 == 0 else "b",) for i in range(n)], "arm string"
+    )
+    out = srm_check(clean, arm_col="arm").collect()[0]
+    assert out["chi2"] == pytest.approx(0.0)
+    assert out["srm"] is False and out["p_value"] > 0.99
+
+    skew = spark.createDataFrame(
+        [("a" if i % 20 < 9 else "b",) for i in range(n)], "arm string"
+    )  # 45/55
+    out = srm_check(skew, arm_col="arm").collect()[0]
+    nc, nt = out["n_control"], out["n_treatment"]
+    e = (nc + nt) / 2.0
+    want_chi2 = (nc - e) ** 2 / e + (nt - e) ** 2 / e
+    assert out["chi2"] == pytest.approx(want_chi2, rel=1e-12)
+    assert out["srm"] is True and out["p_value"] < 1e-6
+
+    with pytest.raises(ValueError, match="exactly 2 arms"):
+        srm_check(clean.limit(0).union(
+            spark.createDataFrame([("a",)], "arm string")), arm_col="arm")
+    with pytest.raises(ValueError, match="expected_control"):
+        srm_check(clean, arm_col="arm", expected_control=1.5)
+
+
+def test_srm_p_matches_chi2_sf(spark):
+    """p = 2*SF(sqrt(chi2)) equals the chi2_1 survival function (checked
+    against the exact erfc identity, within the documented ~2e-6
+    quantized-SF tolerance)."""
+    import math
+
+    from patternly_spark.operators.drift import srm_check
+
+    df = spark.createDataFrame(
+        [("a",)] * 5100 + [("b",)] * 4900, "arm string"
+    )
+    out = srm_check(df, arm_col="arm").collect()[0]
+    exact = math.erfc(math.sqrt(out["chi2"] / 2.0))  # chi2_1 SF
+    assert out["p_value"] == pytest.approx(exact, abs=5e-6)
+
+
+def test_tost_equivalence_behaviors(spark):
+    """A true-null A/B with tight spread is declared equivalent at a
+    generous margin and NOT equivalent at a tiny one; a planted shift
+    beyond the margin is never equivalent; p's match a from-scratch
+    numpy chain."""
+    from patternly_spark.operators.drift import tost_equivalence
+
+    rng = np.random.default_rng(21)
+    null_rows = [
+        ("a" if i % 2 == 0 else "b", int(rng.normal(1000, 40)))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(null_rows, "arm string, cents long")
+    wide = tost_equivalence(df, "cents", arm_col="arm", margin_cents=50.0).collect()[0]
+    assert wide["equivalent"] is True and wide["p_tost"] < 0.05
+    narrow = tost_equivalence(df, "cents", arm_col="arm", margin_cents=0.5).collect()[0]
+    assert narrow["equivalent"] is False
+
+    shifted = spark.createDataFrame(
+        [("a", int(rng.normal(1000, 40))) for _ in range(2000)]
+        + [("b", int(rng.normal(1200, 40))) for _ in range(2000)],
+        "arm string, cents long",
+    )
+    out = tost_equivalence(shifted, "cents", arm_col="arm", margin_cents=50.0).collect()[0]
+    assert out["equivalent"] is False and out["lift_cents"] > 150
+
+    # numpy reference for the full chain on the null fixture
+    a = np.array([c for t, c in null_rows if t == "a"], dtype=np.float64)
+    b = np.array([c for t, c in null_rows if t == "b"], dtype=np.float64)
+    d = b.mean() - a.mean()
+    se = np.sqrt(b.var(ddof=1) / b.size + a.var(ddof=1) / a.size)
+    assert wide["lift_cents"] == pytest.approx(d, rel=1e-9)
+    assert wide["se"] == pytest.approx(se, rel=1e-9)
+    assert wide["z_lower"] == pytest.approx((d + 50.0) / se, rel=1e-9)
+    assert wide["z_upper"] == pytest.approx((d - 50.0) / se, rel=1e-9)
+    import math
+    p_low = 0.5 * math.erfc((d + 50.0) / se / math.sqrt(2))
+    p_high = 1.0 - 0.5 * math.erfc((d - 50.0) / se / math.sqrt(2))
+    assert wide["p_lower"] == pytest.approx(p_low, abs=5e-6)
+    assert wide["p_upper"] == pytest.approx(p_high, abs=5e-6)
+
+    with pytest.raises(ValueError, match="margin_cents"):
+        tost_equivalence(df, "cents", arm_col="arm", margin_cents=0.0)
+
+
+def test_tost_degenerate_surfaces_nulls(spark):
+    from patternly_spark.operators.drift import tost_equivalence
+
+    # all values identical: se == 0 -> NULLs, never NaN
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 5), ("b", 5)], "arm string, cents long"
+    )
+    out = tost_equivalence(df, "cents", arm_col="arm", margin_cents=1.0).collect()[0]
+    assert out["se"] is None and out["p_tost"] is None and out["equivalent"] is None
