@@ -2493,6 +2493,19 @@ def ks_two_sample(
         F.count(F.lit(1)).cast("long").alias("__c"),
         F.sum((F.col("__a") == trt).cast("int")).cast("long").alias("__ct"),
     )
+    return ks_from_grid(grid, gcols=gcols)
+
+
+def ks_from_grid(grid: DataFrame, *, gcols: list[str]) -> DataFrame:
+    """Finalize a pooled value grid ([gcols,] __v long, __c long total
+    count, __ct long treatment count) into the ks_two_sample output —
+    the ONE definition of the KS math, shared by the batch operator and
+    the streaming readout (``streaming/drift.ks_from_registry`` over
+    the ST36 rank-test registry: per-value counts are additive across
+    batches, so the SAME registry serves both the rank test and the
+    distribution test)."""
+    from pyspark.sql import Window
+
     wg = Window.partitionBy(*gcols).orderBy(F.col("__v").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -895,6 +895,30 @@ def mwu_from_registry(spark, registry_path: str) -> DataFrame:
     return mwu_from_grid(grid, gcols=[])
 
 
+def ks_from_registry(spark, registry_path: str) -> DataFrame:
+    """Kolmogorov-Smirnov readout from the SAME
+    ``streaming_rank_test_registry`` state (ST36) — the per-(value,
+    arm) counts it folds are exactly the pooled ECDF grid
+    ``operators/drift.ks_from_grid`` consumes, so one registry serves
+    BOTH the rank test (location shift) and the KS test (any
+    distributional shift) with no extra state.  Value-identical to
+    ``operators/drift.ks_two_sample`` over every row ever folded."""
+    from patternly_spark.operators.drift import ks_from_grid
+
+    reg = read_registry(spark, registry_path)
+    arms = [r[0] for r in reg.select("arm").distinct().orderBy("arm").collect()]
+    if len(arms) != 2:
+        raise ValueError(f"ks_from_registry needs exactly 2 arms, got {arms}")
+    trt = arms[1]
+    grid = reg.groupBy("__v").agg(
+        F.sum("n").cast("long").alias("__c"),
+        F.sum(F.when(F.col("arm") == trt, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("__ct"),
+    )
+    return ks_from_grid(grid, gcols=[])
+
+
 def streaming_jackknife_registry(
     stream_df: DataFrame,
     registry_path: str,

@@ -554,6 +554,15 @@ def test_streaming_rank_test_registry_equals_batch(spark, tmp_path):
 
     assert read_registry(spark, str(tmp_path / "reg")).count() <= 80
 
+    # the SAME registry serves the KS readout (ST40): finalize ==
+    # batch ks_two_sample over the union, tuple-exact
+    from patternly_spark.operators.drift import ks_two_sample
+    from patternly_spark.streaming.drift import ks_from_registry
+
+    ks_got = ks_from_registry(spark, str(tmp_path / "reg")).collect()[0]
+    ks_want = ks_two_sample(df, "cents", arm_col="arm").collect()[0]
+    assert tuple(ks_got) == tuple(ks_want)
+
 
 def test_arm_gap_timeline_hand_computed(spark):
     """Per-period clustered gap: hand case incl. a period where one arm
