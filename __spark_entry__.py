@@ -12749,6 +12749,175 @@ def _q268_oracle() -> str:
     """
 
 
+def q269_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe variance test on per-user total cents
+    (operators/drift.brown_forsythe): md5-coin arms, per-arm medians by
+    the type-1 rank rule on the distinct-value grid, Welch z on BIGINT
+    |v - median| deviation moments, p through the quantized normal SF
+    — the dispersion-specific sibling of q252/q265.  Engine-exact."""
+    from patternly_spark.operators.drift import brown_forsythe
+    from patternly_spark.operators.sampling import hash_fraction
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    ).withColumn(
+        "arm",
+        F.when(hash_fraction(F.col("user_id"), seed="arm") < F.lit(0.5), "a")
+        .otherwise("b"),
+    )
+    return brown_forsythe(per_user, "cents", arm_col="arm")
+
+
+def _q269_oracle() -> str:
+    inv = _dlit(0.3989422804014327)
+    t_c = _dlit(0.2316419)
+    b1, b2, b3, b4, b5 = (
+        _dlit(v)
+        for v in (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+    )
+    return f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+               CASE WHEN CAST(('0x' || substr(md5('arm' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         / 4294967296.0 < {_dlit(0.5)}
+                    THEN 'a' ELSE 'b' END AS arm
+        FROM events
+        GROUP BY user_id
+    ), ranked AS (
+        SELECT arm, cents,
+               row_number() OVER (PARTITION BY arm ORDER BY cents ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY arm) AS n
+        FROM per_user
+    ), meds AS (
+        SELECT arm, MIN(cents) AS med
+        FROM ranked
+        WHERE CAST(rn AS DOUBLE) >= ceil(CAST(n AS DOUBLE) / 2.0)
+        GROUP BY arm
+    ), mom AS (
+        SELECT p.arm, m.med, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(abs(p.cents - m.med)) AS BIGINT) AS s,
+               SUM(CAST(abs(p.cents - m.med) AS HUGEINT)
+                   * CAST(abs(p.cents - m.med) AS HUGEINT)) AS ss
+        FROM per_user p JOIN meds m ON p.arm = m.arm
+        GROUP BY p.arm, m.med
+    ), piv AS (
+        SELECT c.n AS n_c, c.med AS med_c, c.s AS s_c, c.ss AS ss_c,
+               t.n AS n_t, t.med AS med_t, t.s AS s_t, t.ss AS ss_t
+        FROM (SELECT * FROM mom WHERE arm = 'a') c
+        CROSS JOIN (SELECT * FROM mom WHERE arm = 'b') t
+    ), stats AS (
+        SELECT n_c, n_t, med_c, med_t,
+               CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS mad_c,
+               CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS mad_t,
+               CASE WHEN sqrt(
+                   (CASE WHEN n_t >= 2 THEN
+                       CAST(CAST(n_t AS HUGEINT) * ss_t
+                            - CAST(s_t AS HUGEINT) * CAST(s_t AS HUGEINT) AS DOUBLE)
+                       / (CAST(n_t AS DOUBLE) * (CAST(n_t AS DOUBLE) - 1.0)) END)
+                       / CAST(n_t AS DOUBLE)
+                   + (CASE WHEN n_c >= 2 THEN
+                       CAST(CAST(n_c AS HUGEINT) * ss_c
+                            - CAST(s_c AS HUGEINT) * CAST(s_c AS HUGEINT) AS DOUBLE)
+                       / (CAST(n_c AS DOUBLE) * (CAST(n_c AS DOUBLE) - 1.0)) END)
+                       / CAST(n_c AS DOUBLE)) > 0
+               THEN (CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                     - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+                    / sqrt(
+                   (CASE WHEN n_t >= 2 THEN
+                       CAST(CAST(n_t AS HUGEINT) * ss_t
+                            - CAST(s_t AS HUGEINT) * CAST(s_t AS HUGEINT) AS DOUBLE)
+                       / (CAST(n_t AS DOUBLE) * (CAST(n_t AS DOUBLE) - 1.0)) END)
+                       / CAST(n_t AS DOUBLE)
+                   + (CASE WHEN n_c >= 2 THEN
+                       CAST(CAST(n_c AS HUGEINT) * ss_c
+                            - CAST(s_c AS HUGEINT) * CAST(s_c AS HUGEINT) AS DOUBLE)
+                       / (CAST(n_c AS DOUBLE) * (CAST(n_c AS DOUBLE) - 1.0)) END)
+                       / CAST(n_c AS DOUBLE)) END AS z
+        FROM piv
+    )
+    SELECT n_c AS n_control, n_t AS n_treatment,
+           med_c AS median_control, med_t AS median_treatment,
+           mad_c AS mad_control, mad_t AS mad_treatment, z,
+           2.0e0 * ((floor(exp(-abs(z) * abs(z) / 2.0) * 1048576.0) / 1048576.0) * {inv})
+               * ((1.0 / (1.0 + {t_c} * abs(z)))
+                  * ({b1} + (1.0 / (1.0 + {t_c} * abs(z)))
+                     * ({b2} + (1.0 / (1.0 + {t_c} * abs(z)))
+                        * ({b3} + (1.0 / (1.0 + {t_c} * abs(z)))
+                           * ({b4} + (1.0 / (1.0 + {t_c} * abs(z))) * {b5})))))
+               AS p_value
+    FROM stats
+    """
+
+
+def q270_power_mde(spark, sf_dir):
+    """Minimum detectable effect at the current sample
+    (operators/drift.power_mde): md5-coin arms on per-user cents,
+    default alpha 0.05 two-sided / power 0.80 — the planning number a
+    'no significant difference' claim must carry.  Welch moments +
+    two literal quantile multipliers: engine-exact."""
+    from patternly_spark.operators.drift import power_mde
+    from patternly_spark.operators.sampling import hash_fraction
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    ).withColumn(
+        "arm",
+        F.when(hash_fraction(F.col("user_id"), seed="arm") < F.lit(0.5), "a")
+        .otherwise("b"),
+    )
+    return power_mde(per_user, "cents", arm_col="arm")
+
+
+def _q270_oracle() -> str:
+    zsum = _dlit(1.959963984540054 + 0.8416212335729143)
+    return f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+               CASE WHEN CAST(('0x' || substr(md5('arm' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         / 4294967296.0 < {_dlit(0.5)}
+                    THEN 'a' ELSE 'b' END AS arm
+        FROM events
+        GROUP BY user_id
+    ), per AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+               SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS ss
+        FROM per_user GROUP BY arm
+    ), piv AS (
+        SELECT c.n AS n_c, c.s AS s_c, c.ss AS ss_c,
+               t.n AS n_t, t.s AS s_t, t.ss AS ss_t
+        FROM (SELECT * FROM per WHERE arm = 'a') c
+        CROSS JOIN (SELECT * FROM per WHERE arm = 'b') t
+    ), stats AS (
+        SELECT n_c, n_t,
+               CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS mean_c,
+               sqrt(
+                   (CASE WHEN n_t >= 2 THEN
+                       CAST(CAST(n_t AS HUGEINT) * ss_t
+                            - CAST(s_t AS HUGEINT) * CAST(s_t AS HUGEINT) AS DOUBLE)
+                       / (CAST(n_t AS DOUBLE) * (CAST(n_t AS DOUBLE) - 1.0)) END)
+                       / CAST(n_t AS DOUBLE)
+                   + (CASE WHEN n_c >= 2 THEN
+                       CAST(CAST(n_c AS HUGEINT) * ss_c
+                            - CAST(s_c AS HUGEINT) * CAST(s_c AS HUGEINT) AS DOUBLE)
+                       / (CAST(n_c AS DOUBLE) * (CAST(n_c AS DOUBLE) - 1.0)) END)
+                       / CAST(n_c AS DOUBLE)) AS se
+        FROM piv
+    )
+    SELECT n_c AS n_control, n_t AS n_treatment, mean_c AS mean_control, se,
+           {zsum} * se AS mde_cents,
+           CASE WHEN abs(mean_c) > 0 THEN {zsum} * se / abs(mean_c) END AS mde_rel
+    FROM stats
+    """
+
+
 def _q264_oracle() -> str:
     tau2 = _dlit(1000.0 * 1000.0)
     ln10 = _dlit(2.302585092994046)
@@ -13155,6 +13324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q266_cluster_lift": q266_cluster_lift,
         "q267_srm_check": q267_srm_check,
         "q268_tost_equivalence": q268_tost_equivalence,
+        "q269_brown_forsythe": q269_brown_forsythe,
+        "q270_power_mde": q270_power_mde,
     }
 
 
@@ -14954,6 +15125,8 @@ def oracle_sql() -> dict[str, str]:
         "q266_cluster_lift": _q266_oracle(),
         "q267_srm_check": _q267_oracle(),
         "q268_tost_equivalence": _q268_oracle(),
+        "q269_brown_forsythe": _q269_oracle(),
+        "q270_power_mde": _q270_oracle(),
     }
 
 

@@ -286,6 +286,8 @@ BENCH_QUERIES = [
     "q266_cluster_lift",
     "q267_srm_check",
     "q268_tost_equivalence",
+    "q269_brown_forsythe",
+    "q270_power_mde",
 ]
 
 

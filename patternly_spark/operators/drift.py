@@ -2826,3 +2826,204 @@ def tost_equivalence(
         p_tost.alias("p_tost"),
         (p_tost < F.lit(float(alpha))).alias("equivalent"),
     )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value_cents_col: str,
+    *,
+    arm_col: str,
+    by: str | None = None,
+) -> DataFrame:
+    """Brown-Forsythe variance test — "did the treatment change the
+    SPREAD?": the robust Levene variant on absolute deviations from the
+    per-arm MEDIAN, read as a Welch z on the transformed values.  The
+    q204/q252 location readouts are blind to pure dispersion changes
+    and q265's KS fires without saying WHAT changed; this is the
+    variance-specific answer (a risk metric: a variant that helps the
+    mean while widening the tails shows up here).
+
+    Exact integer construction — on the DISTINCT-VALUE grid end to end
+    (the mann_whitney_u/ks convention, never a per-row sort): per-arm
+    medians are the smallest grid value whose cumulative count reaches
+    ceil(n/2) (the weighted_median type-1 rank rule), deviations
+    |v - med| are BIGINTs, and the Welch chain runs on BIGINT/DECIMAL
+    deviation moments; p = 2 * normal_sf_q(|z|) through the quantized
+    cross-engine normal — plain SQL replays every double.
+
+    Shape: ONE keyed aggregation onto the (value x arm) grid, one
+    grid-sized cumulative window for the medians, one grid-sized
+    moment fold — subjects never sort globally.
+
+    Output: ([by,] n_control, n_treatment, median_control,
+    median_treatment, mad_control, mad_treatment, z, p_value); mad_* =
+    mean |v - median| per arm.  Degenerate groups (an arm empty or
+    under 2 rows, or zero deviation variance) surface NULL z/p — the
+    fleiss_kappa convention.
+    """
+    from pyspark.sql import Window
+
+    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
+    if len(arms) != 2:
+        raise ValueError(f"brown_forsythe needs exactly 2 arms, got {arms}")
+    _, trt = arms
+    gcols = [by] if by else []
+    v = F.col(value_cents_col).cast("long")
+    base = df.select(*gcols, F.col(arm_col).alias("__a"), v.alias("__v"))
+    grid = base.groupBy(*gcols, "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"),
+        F.sum((F.col("__a") == trt).cast("int")).cast("long").alias("__ct"),
+    )
+    per = grid.select(
+        *gcols, "__v", (F.col("__c") - F.col("__ct")).alias("__n"), F.lit("c").alias("__t")
+    ).unionByName(
+        grid.select(*gcols, "__v", F.col("__ct").alias("__n"), F.lit("t").alias("__t"))
+    ).filter(F.col("__n") > 0)
+    wv = Window.partitionBy(*gcols, "__t").orderBy(F.col("__v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wfull = Window.partitionBy(*gcols, "__t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        *gcols, "__v", "__n", "__t",
+        F.sum("__n").over(wv).alias("__cum"),
+        F.sum("__n").over(wfull).alias("__tot"),
+    )
+    med = (
+        cum.filter(
+            F.col("__cum") >= F.ceil(F.col("__tot").cast("double") / F.lit(2.0))
+        )
+        .groupBy(*gcols, "__t")
+        .agg(F.min("__v").alias("__med"))
+    )
+    dev = cum.join(med, gcols + ["__t"])
+    d = F.abs(F.col("__v") - F.col("__med"))
+    dd = d.cast("decimal(19,0)")
+    nd19 = F.col("__n").cast("decimal(19,0)")
+    mom = dev.groupBy(*gcols, "__t").agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.max("__med").cast("long").alias("med"),
+        F.sum(F.col("__n") * d).cast("long").alias("s"),
+        F.sum(nd19 * dd * dd).cast("decimal(38,0)").alias("ss"),
+    )
+
+    def side(tag):
+        return mom.filter(F.col("__t") == tag).select(
+            *gcols,
+            F.col("n").alias(f"n_{tag}"),
+            F.col("med").alias(f"med_{tag}"),
+            F.col("s").alias(f"s_{tag}"),
+            F.col("ss").alias(f"ss_{tag}"),
+        )
+
+    if gcols:
+        j = side("c").join(side("t"), gcols, "full_outer")
+    else:
+        j = side("c").crossJoin(side("t"))
+
+    def mv(tag):
+        n = F.col(f"n_{tag}")
+        nd = n.cast("double")
+        mean = F.col(f"s_{tag}").cast("double") / nd
+        var_num = (
+            n.cast("decimal(19,0)") * F.col(f"ss_{tag}")
+            - F.col(f"s_{tag}").cast("decimal(19,0)")
+            * F.col(f"s_{tag}").cast("decimal(19,0)")
+        ).cast("double")
+        var = F.when(n >= 2, var_num / (nd * (nd - F.lit(1.0))))
+        return mean, var, nd
+
+    mean_c, var_c, nd_c = mv("c")
+    mean_t, var_t, nd_t = mv("t")
+    se_raw = F.sqrt(var_t / nd_t + var_c / nd_c)
+    z = F.when(se_raw > 0, (mean_t - mean_c) / se_raw)
+    p = F.lit(2.0) * normal_sf_q(F.abs(z))
+    return j.select(
+        *gcols,
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.col("med_c").alias("median_control"),
+        F.col("med_t").alias("median_treatment"),
+        mean_c.alias("mad_control"),
+        mean_t.alias("mad_treatment"),
+        z.alias("z"),
+        p.alias("p_value"),
+    )
+
+
+def power_mde(
+    df: DataFrame,
+    value_cents_col: str,
+    *,
+    arm_col: str,
+    z_alpha: float = 1.959963984540054,
+    z_power: float = 0.8416212335729143,
+) -> DataFrame:
+    """Minimum detectable effect at the CURRENT sample — the
+    experiment-design readout every "no significant difference" claim
+    needs beside it: with the observed per-arm variances and counts,
+
+        MDE = (z_alpha + z_power) * se(difference)
+
+    is the smallest true lift this experiment would detect with the
+    given power (defaults: two-sided alpha 0.05, power 0.80 — the z
+    constants are PARAMETERS, documented as quantiles, so no inverse
+    normal CDF enters the engine).  A q204 null with MDE >> the effect
+    you care about is an underpowered shrug, not evidence of parity
+    (q268's TOST is the formal version against an explicit margin;
+    this is the planning number).
+
+    Exactness: the q204 Welch moment chain (BIGINT/DECIMAL) and two
+    literal multipliers — plain SQL replays every double.  Shape: ONE
+    keyed integer aggregation (2 rows), scalars after.
+
+    Output: ONE row — (n_control, n_treatment, mean_control, se,
+    mde_cents, mde_rel); mde_rel = mde / |mean_control| (NULL when the
+    control mean is 0).  Degenerate arms (n < 2) surface NULLs.
+    """
+    arms = [x[0] for x in df.select(arm_col).distinct().orderBy(arm_col).collect()]
+    if len(arms) != 2:
+        raise ValueError(f"power_mde needs exactly 2 arms, got {arms}")
+    ctrl, trt = arms
+    v = F.col(value_cents_col).cast("long")
+    vd = v.cast("decimal(19,0)")
+    per = df.groupBy(F.col(arm_col).alias("__a")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("s"),
+        F.sum(vd * vd).cast("decimal(38,0)").alias("ss"),
+    )
+
+    def side(arm, tag):
+        return per.filter(F.col("__a") == arm).select(
+            F.col("n").alias(f"n_{tag}"),
+            F.col("s").alias(f"s_{tag}"),
+            F.col("ss").alias(f"ss_{tag}"),
+        )
+
+    j = side(ctrl, "c").crossJoin(side(trt, "t"))
+
+    def mv(tag):
+        n = F.col(f"n_{tag}")
+        nd = n.cast("double")
+        mean = F.col(f"s_{tag}").cast("double") / nd
+        var_num = (
+            n.cast("decimal(19,0)") * F.col(f"ss_{tag}")
+            - F.col(f"s_{tag}").cast("decimal(19,0)")
+            * F.col(f"s_{tag}").cast("decimal(19,0)")
+        ).cast("double")
+        var = F.when(n >= 2, var_num / (nd * (nd - F.lit(1.0))))
+        return mean, var, nd
+
+    mean_c, var_c, nd_c = mv("c")
+    _, var_t, nd_t = mv("t")
+    se = F.sqrt(var_t / nd_t + var_c / nd_c)
+    mde = (F.lit(float(z_alpha)) + F.lit(float(z_power))) * se
+    return j.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        mean_c.alias("mean_control"),
+        se.alias("se"),
+        mde.alias("mde_cents"),
+        F.when(F.abs(mean_c) > 0, mde / F.abs(mean_c)).alias("mde_rel"),
+    )

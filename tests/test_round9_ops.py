@@ -279,3 +279,81 @@ def test_tost_degenerate_surfaces_nulls(spark):
     )
     out = tost_equivalence(df, "cents", arm_col="arm", margin_cents=1.0).collect()[0]
     assert out["se"] is None and out["p_tost"] is None and out["equivalent"] is None
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_brown_forsythe_detects_spread_change_only(spark):
+    """The q265-test fixture inverted: same-center arms with 4x spread
+    -> BF fires; a pure location shift with equal spread -> BF stays
+    quiet (that's q204/q252's job); moments match a from-scratch numpy
+    chain."""
+    import math
+
+    from patternly_spark.operators.drift import brown_forsythe
+
+    rng = np.random.default_rng(29)
+    a = np.round(rng.normal(0, 10, 2000)).astype(int)
+    b = np.round(rng.normal(0, 40, 2000)).astype(int)
+    out = brown_forsythe(_to_df(spark, a, b), "cents", arm_col="arm").collect()[0]
+    assert out["p_value"] < 1e-9 and out["z"] > 0
+
+    # numpy reference on the same definition (type-1 median, |dev| Welch)
+    def ref(x):
+        x = np.sort(x)
+        med = x[int(np.ceil(len(x) / 2.0)) - 1]
+        d = np.abs(x - med).astype(np.float64)
+        return med, d.mean(), d.var(ddof=1), len(d)
+
+    med_a, mad_a, var_a, n_a = ref(a)
+    med_b, mad_b, var_b, n_b = ref(b)
+    assert out["median_control"] == med_a and out["median_treatment"] == med_b
+    assert out["mad_control"] == pytest.approx(mad_a, rel=1e-12)
+    assert out["mad_treatment"] == pytest.approx(mad_b, rel=1e-12)
+    want_z = (mad_b - mad_a) / math.sqrt(var_b / n_b + var_a / n_a)
+    assert out["z"] == pytest.approx(want_z, rel=1e-12)
+    exact_p = math.erfc(abs(want_z) / math.sqrt(2))
+    assert out["p_value"] == pytest.approx(exact_p, abs=5e-6)
+
+    shifted = _to_df(spark, a, a + 500)  # pure location shift
+    quiet = brown_forsythe(shifted, "cents", arm_col="arm").collect()[0]
+    assert abs(quiet["z"]) < 2.0  # |dev| distribution unchanged
+
+
+def test_brown_forsythe_by_groups_and_degenerate(spark):
+    from patternly_spark.operators.drift import brown_forsythe
+
+    rows = [("g1", "a", v) for v in (1, 2, 3, 4, 50)] + [
+        ("g1", "b", v) for v in (1, 2, 3, 4, 5)
+    ] + [("g2", "a", 7)]  # g2: one-armed AND single-row
+    df = spark.createDataFrame(rows, "grp string, arm string, cents long")
+    got = {r["grp"]: r for r in
+           brown_forsythe(df, "cents", arm_col="arm", by="grp").collect()}
+    assert got["g1"]["median_control"] == 3 and got["g1"]["median_treatment"] == 3
+    assert got["g2"]["z"] is None and got["g2"]["n_treatment"] is None
+
+
+def test_power_mde_matches_hand_chain_and_shrinks_with_n(spark):
+    import math
+
+    from patternly_spark.operators.drift import power_mde
+
+    rng = np.random.default_rng(31)
+    a = np.round(rng.normal(1000, 100, 500)).astype(int)
+    b = np.round(rng.normal(1000, 100, 500)).astype(int)
+    out = power_mde(_to_df(spark, a, b), "cents", arm_col="arm").collect()[0]
+    se = math.sqrt(
+        np.var(b.astype(float), ddof=1) / len(b)
+        + np.var(a.astype(float), ddof=1) / len(a)
+    )
+    want = (1.959963984540054 + 0.8416212335729143) * se
+    assert out["se"] == pytest.approx(se, rel=1e-12)
+    assert out["mde_cents"] == pytest.approx(want, rel=1e-12)
+    assert out["mde_rel"] == pytest.approx(want / abs(a.mean()), rel=1e-9)
+
+    # 4x the sample -> ~half the MDE (1/sqrt(n) law)
+    a4 = np.round(rng.normal(1000, 100, 2000)).astype(int)
+    b4 = np.round(rng.normal(1000, 100, 2000)).astype(int)
+    big = power_mde(_to_df(spark, a4, b4), "cents", arm_col="arm").collect()[0]
+    assert big["mde_cents"] == pytest.approx(out["mde_cents"] / 2.0, rel=0.15)
