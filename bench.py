@@ -661,11 +661,16 @@ def main() -> None:
             # confirmation pass for stage-1 candidates: fresh best-of-2
             # AFTER the main loop, so a transient contention window that
             # slowed the original measurement has passed by construction.
+            # A retime failure must not lose the whole artifact: fall
+            # back to +inf (keeps the first-pass flag, never clears it).
             best = float("inf")
-            for _ in range(2):
-                start = time.perf_counter()
-                queries[name](spark, sf_dir).count()
-                best = min(best, time.perf_counter() - start)
+            try:
+                for _ in range(2):
+                    start = time.perf_counter()
+                    queries[name](spark, sf_dir).count()
+                    best = min(best, time.perf_counter() - start)
+            except Exception as exc:  # pragma: no cover - defensive
+                print(f"retime({name}) failed: {exc!r}", file=sys.stderr)
             return best
 
         regressions = find_regressions(timings, pins, retime=_retime)
