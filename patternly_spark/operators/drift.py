@@ -2721,6 +2721,17 @@ def srm_check(
         F.sum((F.col(arm_col) == ctrl).cast("int")).cast("long").alias("n_control"),
         F.sum((F.col(arm_col) != ctrl).cast("int")).cast("long").alias("n_treatment"),
     )
+    return srm_from_counts(agg, expected_control=r, alpha=alpha)
+
+
+def srm_from_counts(
+    agg: DataFrame, *, expected_control: float = 0.5, alpha: float = 0.001
+) -> DataFrame:
+    """Finalize a ONE-row (n_control, n_treatment) count table into the
+    srm_check output — the ONE definition of the SRM math, shared by
+    the batch operator and the streaming readout
+    (``streaming/drift.srm_from_registry``)."""
+    r = float(expected_control)
     nc = F.col("n_control").cast("double")
     nt = F.col("n_treatment").cast("double")
     n = nc + nt
@@ -2774,13 +2785,29 @@ def tost_equivalence(
     if len(arms) != 2:
         raise ValueError(f"tost_equivalence needs exactly 2 arms, got {arms}")
     ctrl, trt = arms
+    per = _welch_moments(df, value_cents_col, arm_col=arm_col)
+    return tost_from_moments(
+        _moment_pivot(per, ctrl, trt), margin_cents=m, alpha=alpha
+    )
+
+
+def _welch_moments(df: DataFrame, value_cents_col: str, *, arm_col: str) -> DataFrame:
+    """Per-arm (n, s, ss) BIGINT/DECIMAL Welch moments — the q204
+    aggregation, shared by the batch two-sample ops and derivable
+    EXACTLY from the ST36 per-(value, arm) grid (s = sum v*n,
+    ss = sum v^2*n — integer arithmetic either way)."""
     v = F.col(value_cents_col).cast("long")
     vd = v.cast("decimal(19,0)")
-    per = df.groupBy(F.col(arm_col).alias("__a")).agg(
+    return df.groupBy(F.col(arm_col).alias("__a")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(v).cast("long").alias("s"),
         F.sum(vd * vd).cast("decimal(38,0)").alias("ss"),
     )
+
+
+def _moment_pivot(per: DataFrame, ctrl, trt) -> DataFrame:
+    """(__a, n, s, ss) 2-row moment table -> ONE pivoted row
+    (n_c, s_c, ss_c, n_t, s_t, ss_t)."""
 
     def side(arm, tag):
         return per.filter(F.col("__a") == arm).select(
@@ -2789,22 +2816,34 @@ def tost_equivalence(
             F.col("ss").alias(f"ss_{tag}"),
         )
 
-    j = side(ctrl, "c").crossJoin(side(trt, "t"))
+    return side(ctrl, "c").crossJoin(side(trt, "t"))
 
-    def mv(tag):
-        n = F.col(f"n_{tag}")
-        nd = n.cast("double")
-        mean = F.col(f"s_{tag}").cast("double") / nd
-        var_num = (
-            n.cast("decimal(19,0)") * F.col(f"ss_{tag}")
-            - F.col(f"s_{tag}").cast("decimal(19,0)")
-            * F.col(f"s_{tag}").cast("decimal(19,0)")
-        ).cast("double")
-        var = F.when(n >= 2, var_num / (nd * (nd - F.lit(1.0))))
-        return mean, var, nd
 
-    mean_c, var_c, nd_c = mv("c")
-    mean_t, var_t, nd_t = mv("t")
+def _welch_mv(tag: str):
+    """(mean, sample-var-or-NULL, n-as-double) columns from a pivoted
+    moment row — the ONE Welch building block."""
+    n = F.col(f"n_{tag}")
+    nd = n.cast("double")
+    mean = F.col(f"s_{tag}").cast("double") / nd
+    var_num = (
+        n.cast("decimal(19,0)") * F.col(f"ss_{tag}")
+        - F.col(f"s_{tag}").cast("decimal(19,0)")
+        * F.col(f"s_{tag}").cast("decimal(19,0)")
+    ).cast("double")
+    var = F.when(n >= 2, var_num / (nd * (nd - F.lit(1.0))))
+    return mean, var, nd
+
+
+def tost_from_moments(
+    j: DataFrame, *, margin_cents: float, alpha: float = 0.05
+) -> DataFrame:
+    """Finalize a pivoted Welch-moment row into the tost_equivalence
+    output — the ONE definition of the TOST math, shared by the batch
+    operator and the streaming readout
+    (``streaming/drift.tost_from_registry``)."""
+    m = float(margin_cents)
+    mean_c, var_c, nd_c = _welch_mv("c")
+    mean_t, var_t, nd_t = _welch_mv("t")
     delta = mean_t - mean_c
     se_raw = F.sqrt(var_t / nd_t + var_c / nd_c)
     se = F.when(se_raw > 0, se_raw)
@@ -2861,8 +2900,6 @@ def brown_forsythe(
     under 2 rows, or zero deviation variance) surface NULL z/p — the
     fleiss_kappa convention.
     """
-    from pyspark.sql import Window
-
     arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
     if len(arms) != 2:
         raise ValueError(f"brown_forsythe needs exactly 2 arms, got {arms}")
@@ -2874,6 +2911,17 @@ def brown_forsythe(
         F.count(F.lit(1)).cast("long").alias("__c"),
         F.sum((F.col("__a") == trt).cast("int")).cast("long").alias("__ct"),
     )
+    return brown_forsythe_from_grid(grid, gcols=gcols)
+
+
+def brown_forsythe_from_grid(grid: DataFrame, *, gcols: list[str]) -> DataFrame:
+    """Finalize a pooled value grid ([gcols,] __v, __c, __ct) into the
+    brown_forsythe output — the ONE definition of the BF math, shared
+    by the batch operator and the streaming readout
+    (``streaming/drift.brown_forsythe_from_registry`` over the SAME
+    ST36 grid the rank/KS tests read)."""
+    from pyspark.sql import Window
+
     per = grid.select(
         *gcols, "__v", (F.col("__c") - F.col("__ct")).alias("__n"), F.lit("c").alias("__t")
     ).unionByName(
@@ -2986,37 +3034,23 @@ def power_mde(
     if len(arms) != 2:
         raise ValueError(f"power_mde needs exactly 2 arms, got {arms}")
     ctrl, trt = arms
-    v = F.col(value_cents_col).cast("long")
-    vd = v.cast("decimal(19,0)")
-    per = df.groupBy(F.col(arm_col).alias("__a")).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(v).cast("long").alias("s"),
-        F.sum(vd * vd).cast("decimal(38,0)").alias("ss"),
+    per = _welch_moments(df, value_cents_col, arm_col=arm_col)
+    return power_mde_from_moments(
+        _moment_pivot(per, ctrl, trt), z_alpha=z_alpha, z_power=z_power
     )
 
-    def side(arm, tag):
-        return per.filter(F.col("__a") == arm).select(
-            F.col("n").alias(f"n_{tag}"),
-            F.col("s").alias(f"s_{tag}"),
-            F.col("ss").alias(f"ss_{tag}"),
-        )
 
-    j = side(ctrl, "c").crossJoin(side(trt, "t"))
-
-    def mv(tag):
-        n = F.col(f"n_{tag}")
-        nd = n.cast("double")
-        mean = F.col(f"s_{tag}").cast("double") / nd
-        var_num = (
-            n.cast("decimal(19,0)") * F.col(f"ss_{tag}")
-            - F.col(f"s_{tag}").cast("decimal(19,0)")
-            * F.col(f"s_{tag}").cast("decimal(19,0)")
-        ).cast("double")
-        var = F.when(n >= 2, var_num / (nd * (nd - F.lit(1.0))))
-        return mean, var, nd
-
-    mean_c, var_c, nd_c = mv("c")
-    _, var_t, nd_t = mv("t")
+def power_mde_from_moments(
+    j: DataFrame,
+    *,
+    z_alpha: float = 1.959963984540054,
+    z_power: float = 0.8416212335729143,
+) -> DataFrame:
+    """Finalize a pivoted Welch-moment row into the power_mde output —
+    the ONE definition of the MDE math, shared by the batch operator
+    and the streaming readout (``streaming/drift.power_mde_from_registry``)."""
+    mean_c, var_c, nd_c = _welch_mv("c")
+    _, var_t, nd_t = _welch_mv("t")
     se = F.sqrt(var_t / nd_t + var_c / nd_c)
     mde = (F.lit(float(z_alpha)) + F.lit(float(z_power))) * se
     return j.select(

@@ -919,6 +919,115 @@ def ks_from_registry(spark, registry_path: str) -> DataFrame:
     return ks_from_grid(grid, gcols=[])
 
 
+def _grid_from_rank_registry(spark, registry_path: str):
+    """(grid, arms) from a ``streaming_rank_test_registry`` state: the
+    ([,] __v, __c, __ct) pooled grid every two-sample finalizer
+    consumes, plus the ascending arm labels."""
+    reg = read_registry(spark, registry_path)
+    arms = [r[0] for r in reg.select("arm").distinct().orderBy("arm").collect()]
+    if len(arms) != 2:
+        raise ValueError(f"two-sample readout needs exactly 2 arms, got {arms}")
+    trt = arms[1]
+    grid = reg.groupBy("__v").agg(
+        F.sum("n").cast("long").alias("__c"),
+        F.sum(F.when(F.col("arm") == trt, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("__ct"),
+    )
+    return grid, arms
+
+
+def _moments_from_grid(grid: DataFrame) -> DataFrame:
+    """Per-arm Welch moments derived EXACTLY from the value grid:
+    n = sum counts, s = sum v*n (BIGINT), ss = sum v^2*n (DECIMAL) —
+    integer arithmetic identical to the batch per-row aggregation."""
+    vd = F.col("__v").cast("decimal(19,0)")
+
+    def arm_moments(cnt, tag):
+        return grid.agg(
+            F.lit(tag).alias("__a"),
+            F.sum(cnt).cast("long").alias("n"),
+            F.sum(F.col("__v") * cnt).cast("long").alias("s"),
+            F.sum(vd * vd * cnt.cast("decimal(19,0)")).cast("decimal(38,0)").alias("ss"),
+        )
+
+    return arm_moments(F.col("__c") - F.col("__ct"), "c").unionByName(
+        arm_moments(F.col("__ct"), "t")
+    )
+
+
+def brown_forsythe_from_registry(spark, registry_path: str) -> DataFrame:
+    """Brown-Forsythe readout over the ST36 grid — zero extra state;
+    value-identical to ``operators/drift.brown_forsythe`` over every
+    row ever folded (the ONE shared ``brown_forsythe_from_grid``)."""
+    from patternly_spark.operators.drift import brown_forsythe_from_grid
+
+    grid, _ = _grid_from_rank_registry(spark, registry_path)
+    return brown_forsythe_from_grid(grid, gcols=[])
+
+
+def tost_from_registry(
+    spark, registry_path: str, *, margin_cents: float, alpha: float = 0.05
+) -> DataFrame:
+    """TOST equivalence readout over the ST36 grid — zero extra state;
+    the margin is a READOUT-time parameter (not baked into state);
+    value-identical to ``operators/drift.tost_equivalence``."""
+    from patternly_spark.operators.drift import _moment_pivot, tost_from_moments
+
+    if not float(margin_cents) > 0:
+        raise ValueError(f"margin_cents must be > 0, got {margin_cents}")
+    grid, _ = _grid_from_rank_registry(spark, registry_path)
+    per = _moments_from_grid(grid)
+    return tost_from_moments(
+        _moment_pivot(per, "c", "t"), margin_cents=margin_cents, alpha=alpha
+    )
+
+
+def power_mde_from_registry(
+    spark,
+    registry_path: str,
+    *,
+    z_alpha: float = 1.959963984540054,
+    z_power: float = 0.8416212335729143,
+) -> DataFrame:
+    """Power/MDE readout over the ST36 grid — zero extra state;
+    value-identical to ``operators/drift.power_mde``."""
+    from patternly_spark.operators.drift import (
+        _moment_pivot,
+        power_mde_from_moments,
+    )
+
+    grid, _ = _grid_from_rank_registry(spark, registry_path)
+    per = _moments_from_grid(grid)
+    return power_mde_from_moments(
+        _moment_pivot(per, "c", "t"), z_alpha=z_alpha, z_power=z_power
+    )
+
+
+def srm_from_registry(
+    spark,
+    registry_path: str,
+    *,
+    expected_control: float = 0.5,
+    alpha: float = 0.001,
+) -> DataFrame:
+    """SRM readout over the ST36 grid — zero extra state; the design
+    ratio is a READOUT-time parameter; value-identical to
+    ``operators/drift.srm_check``."""
+    from patternly_spark.operators.drift import srm_from_counts
+
+    if not 0.0 < float(expected_control) < 1.0:
+        raise ValueError(
+            f"expected_control must be in (0,1), got {expected_control}"
+        )
+    grid, _ = _grid_from_rank_registry(spark, registry_path)
+    agg = grid.agg(
+        F.sum(F.col("__c") - F.col("__ct")).cast("long").alias("n_control"),
+        F.sum("__ct").cast("long").alias("n_treatment"),
+    )
+    return srm_from_counts(agg, expected_control=expected_control, alpha=alpha)
+
+
 def streaming_jackknife_registry(
     stream_df: DataFrame,
     registry_path: str,

@@ -563,6 +563,38 @@ def test_streaming_rank_test_registry_equals_batch(spark, tmp_path):
     ks_want = ks_two_sample(df, "cents", arm_col="arm").collect()[0]
     assert tuple(ks_got) == tuple(ks_want)
 
+    # ...and the rest of the two-sample panel (ST41): Brown-Forsythe,
+    # TOST, power/MDE, SRM — all exact over the same grid, margins and
+    # design ratios as READOUT-time parameters
+    from patternly_spark.operators.drift import (
+        brown_forsythe,
+        power_mde,
+        srm_check,
+        tost_equivalence,
+    )
+    from patternly_spark.streaming.drift import (
+        brown_forsythe_from_registry,
+        power_mde_from_registry,
+        srm_from_registry,
+        tost_from_registry,
+    )
+
+    reg_path = str(tmp_path / "reg")
+    assert tuple(brown_forsythe_from_registry(spark, reg_path).collect()[0]) == tuple(
+        brown_forsythe(df, "cents", arm_col="arm").collect()[0]
+    )
+    assert tuple(
+        tost_from_registry(spark, reg_path, margin_cents=5.0).collect()[0]
+    ) == tuple(
+        tost_equivalence(df, "cents", arm_col="arm", margin_cents=5.0).collect()[0]
+    )
+    assert tuple(power_mde_from_registry(spark, reg_path).collect()[0]) == tuple(
+        power_mde(df, "cents", arm_col="arm").collect()[0]
+    )
+    assert tuple(
+        srm_from_registry(spark, reg_path, expected_control=0.5).collect()[0]
+    ) == tuple(srm_check(df, arm_col="arm", expected_control=0.5).collect()[0])
+
 
 def test_arm_gap_timeline_hand_computed(spark):
     """Per-period clustered gap: hand case incl. a period where one arm
