@@ -12918,6 +12918,79 @@ def _q270_oracle() -> str:
     """
 
 
+def q271_partition_quality(spark, sf_dir):
+    """Partition quality of the part co-purchase graph under the BRAND
+    labeling (operators/graph.partition_quality): per-brand Newman
+    modularity contributions and conductance — the evaluation half of
+    the community family (q140 produces labels; this grades a
+    labeling).  Integer edge/degree counts + fixed per-community
+    chains: engine-exact."""
+    from patternly_spark.operators.graph import partition_quality
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    labels = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("label")
+    )
+    return partition_quality(edges, labels)
+
+
+_Q271_ORACLE = """
+    WITH und AS (
+        SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                        GREATEST(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), m AS (
+        SELECT COUNT(*)::BIGINT AS m FROM und
+    ), lab AS (
+        SELECT p_partkey AS n, p_brand AS c FROM part
+    ), j AS (
+        SELECT und.u, und.v, lu.c AS cu, lv.c AS cv
+        FROM und JOIN lab lu ON und.u = lu.n JOIN lab lv ON und.v = lv.n
+    ), intra AS (
+        SELECT cu AS community, COUNT(*)::BIGINT AS e_intra
+        FROM j WHERE cu = cv GROUP BY cu
+    ), cut AS (
+        SELECT community, COUNT(*)::BIGINT AS cut FROM (
+            SELECT cu AS community FROM j WHERE cu <> cv
+            UNION ALL
+            SELECT cv AS community FROM j WHERE cu <> cv
+        ) GROUP BY community
+    ), deg AS (
+        SELECT node, COUNT(*)::BIGINT AS d FROM (
+            SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+        ) GROUP BY node
+    ), vol AS (
+        SELECT lab.c AS community, COUNT(*)::BIGINT AS n_nodes,
+               SUM(deg.d)::BIGINT AS volume
+        FROM deg JOIN lab ON deg.node = lab.n GROUP BY lab.c
+    )
+    SELECT vol.community, vol.n_nodes, vol.volume,
+           COALESCE(intra.e_intra, 0)::BIGINT AS e_intra,
+           COALESCE(cut.cut, 0)::BIGINT AS cut,
+           CASE WHEN least(vol.volume::DOUBLE, 2.0 * m.m::DOUBLE - vol.volume::DOUBLE) > 0
+                THEN COALESCE(cut.cut, 0)::DOUBLE
+                     / least(vol.volume::DOUBLE, 2.0 * m.m::DOUBLE - vol.volume::DOUBLE)
+           END AS conductance,
+           COALESCE(intra.e_intra, 0)::DOUBLE / m.m::DOUBLE
+             - (vol.volume::DOUBLE / (2.0 * m.m::DOUBLE))
+               * (vol.volume::DOUBLE / (2.0 * m.m::DOUBLE)) AS q_contrib
+    FROM vol
+    LEFT JOIN intra ON vol.community = intra.community
+    LEFT JOIN cut ON vol.community = cut.community
+    CROSS JOIN m
+    ORDER BY vol.community
+"""
+
+
 def _q264_oracle() -> str:
     tau2 = _dlit(1000.0 * 1000.0)
     ln10 = _dlit(2.302585092994046)
@@ -13326,6 +13399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q268_tost_equivalence": q268_tost_equivalence,
         "q269_brown_forsythe": q269_brown_forsythe,
         "q270_power_mde": q270_power_mde,
+        "q271_partition_quality": q271_partition_quality,
     }
 
 
@@ -15127,6 +15201,7 @@ def oracle_sql() -> dict[str, str]:
         "q268_tost_equivalence": _q268_oracle(),
         "q269_brown_forsythe": _q269_oracle(),
         "q270_power_mde": _q270_oracle(),
+        "q271_partition_quality": _Q271_ORACLE,
     }
 
 

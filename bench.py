@@ -288,6 +288,7 @@ BENCH_QUERIES = [
     "q268_tost_equivalence",
     "q269_brown_forsythe",
     "q270_power_mde",
+    "q271_partition_quality",
 ]
 
 

@@ -1120,3 +1120,114 @@ def adamic_adar_link_prediction(
     return pairs.select(
         "u", "v", "common", (F.col("__aa_u").cast("double") / fu).alias("aa_score")
     )
+
+
+def partition_quality(
+    edges: DataFrame,
+    labels: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-community partition-quality readout — how good is a node
+    labeling (q140 LPA communities, a metadata partition, a cluster
+    assignment) as a GRAPH partition: Newman modularity contributions
+    and conductance per community,
+
+        q_contrib_c   = e_intra_c / m  -  (vol_c / 2m)^2
+        conductance_c = cut_c / min(vol_c, 2m - vol_c)
+
+    (global modularity Q = sum of q_contrib; low conductance = a
+    well-separated community).  The missing evaluation half of the
+    community-detection family: LPA/CC produce labels, this says
+    whether the labels cut the graph well.
+
+    Exactness: edges canonicalize to undirected-distinct (the q89
+    convention); m, per-community intra/cut edge counts, node counts,
+    and degree volumes are INTEGERS (one groupBy each); q_contrib and
+    conductance are fixed double chains per community — plain SQL
+    replays every row.  Unlabeled endpoints raise (a silent drop would
+    skew every denominator).
+
+    Shape: one canonical edge set, one labels broadcast-or-shuffle
+    join per endpoint, two keyed integer aggregations, one 1-row m
+    fold — no iteration, no driver-side state beyond m.
+
+    Output: one row per community — (community, n_nodes, volume,
+    e_intra, cut, conductance, q_contrib), ordered by community.
+    Degenerate: a community spanning the WHOLE graph has cut 0 and
+    conductance NULL (denominator 0), q_contrib = 1 - 1 = 0 for a
+    single community over all of m.
+    """
+    e = _canon(
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+    ).localCheckpoint(eager=True)
+    lab = labels.select(
+        F.col(node_col).cast("long").alias("n"), F.col(label_col).alias("c")
+    )
+    lu = lab.select(F.col("n").alias("u"), F.col("c").alias("cu"))
+    lv = lab.select(F.col("n").alias("v"), F.col("c").alias("cv"))
+    j = e.join(lu, "u", "left").join(lv, "v", "left")
+    missing = j.filter(F.col("cu").isNull() | F.col("cv").isNull())
+    if missing.limit(1).count() > 0:
+        some = missing.select("u", "v").limit(3).collect()
+        raise ValueError(
+            f"partition_quality: unlabeled edge endpoints (e.g. {[tuple(r) for r in some]}); "
+            "label every node that appears in edges"
+        )
+    m_row = e.count()
+    if m_row == 0:
+        raise ValueError("partition_quality: empty edge set")
+    md = float(m_row)
+    # per-community intra edges and cut edges (an inter-community edge
+    # contributes 1 cut to EACH side)
+    intra = (
+        j.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_intra"))
+    )
+    inter = j.filter(F.col("cu") != F.col("cv"))
+    cut = (
+        inter.select(F.col("cu").alias("community"))
+        .unionAll(inter.select(F.col("cv").alias("community")))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).cast("long").alias("cut"))
+    )
+    # degree volume per community: degree counts both endpoints
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    vol = (
+        deg.join(lab, "n")
+        .groupBy(F.col("c").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("volume"),
+        )
+    )
+    out = (
+        vol.join(intra, "community", "left")
+        .join(cut, "community", "left")
+        .na.fill({"e_intra": 0, "cut": 0})
+    )
+    vold = F.col("volume").cast("double")
+    denom = F.least(vold, F.lit(2.0 * md) - vold)
+    conductance = F.when(denom > 0, F.col("cut").cast("double") / denom)
+    q_contrib = (
+        F.col("e_intra").cast("double") / F.lit(md)
+        - (vold / F.lit(2.0 * md)) * (vold / F.lit(2.0 * md))
+    )
+    return out.select(
+        "community",
+        "n_nodes",
+        "volume",
+        "e_intra",
+        "cut",
+        conductance.alias("conductance"),
+        q_contrib.alias("q_contrib"),
+    ).orderBy("community")

@@ -357,3 +357,79 @@ def test_power_mde_matches_hand_chain_and_shrinks_with_n(spark):
     b4 = np.round(rng.normal(1000, 100, 2000)).astype(int)
     big = power_mde(_to_df(spark, a4, b4), "cents", arm_col="arm").collect()[0]
     assert big["mde_cents"] == pytest.approx(out["mde_cents"] / 2.0, rel=0.15)
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_partition_quality_hand_computed(spark):
+    """Two 4-cliques joined by one bridge, labeled by clique: m = 13;
+    each community has e_intra = 6, cut = 1, volume = 13; hand
+    modularity Q = 2*(6/13 - (13/26)^2) = 2*6/13 - 1/2."""
+    from patternly_spark.operators.graph import partition_quality
+
+    cl1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    cl2 = [(a + 10, b + 10) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(cl1 + cl2 + [(0, 10)], "src long, dst long")
+    labels = spark.createDataFrame(
+        [(i, "L") for i in range(4)] + [(i + 10, "R") for i in range(4)],
+        "node long, label string",
+    )
+    rows = {r["community"]: r for r in
+            partition_quality(edges, labels).collect()}
+    for c in ("L", "R"):
+        r = rows[c]
+        assert r["n_nodes"] == 4 and r["e_intra"] == 6 and r["cut"] == 1
+        assert r["volume"] == 13
+        assert r["q_contrib"] == pytest.approx(6 / 13 - (13 / 26) ** 2, rel=1e-12)
+        assert r["conductance"] == pytest.approx(1 / 13, rel=1e-12)
+    q_total = sum(r["q_contrib"] for r in rows.values())
+    assert q_total == pytest.approx(2 * 6 / 13 - 0.5, rel=1e-12)
+
+    # a single community over the whole graph: cut 0, conductance NULL,
+    # q_contrib = 1 - 1 = 0
+    whole = spark.createDataFrame(
+        [(i, "all") for i in list(range(4)) + [i + 10 for i in range(4)]],
+        "node long, label string",
+    )
+    r = partition_quality(edges, whole).collect()[0]
+    assert r["cut"] == 0 and r["conductance"] is None
+    assert r["q_contrib"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_partition_quality_guards(spark):
+    from patternly_spark.operators.graph import partition_quality
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    labels = spark.createDataFrame([(1, "a"), (2, "a")], "node long, label string")
+    with pytest.raises(ValueError, match="unlabeled edge endpoints"):
+        partition_quality(edges, labels).collect()
+    with pytest.raises(ValueError, match="empty edge set"):
+        partition_quality(
+            edges.limit(0),
+            spark.createDataFrame([(1, "a")], "node long, label string"),
+        )
+
+
+def test_partition_quality_grades_lpa_communities(spark):
+    """Composition with q140: LPA labels on two planted cliques score
+    near the ideal two-community modularity; a random labeling scores
+    worse — the readout separates good partitions from bad ones."""
+    from patternly_spark.operators.graph import label_propagation, partition_quality
+
+    cl1 = [(a, b) for a in range(6) for b in range(6) if a < b]
+    cl2 = [(a + 20, b + 20) for a in range(6) for b in range(6) if a < b]
+    edges = spark.createDataFrame(cl1 + cl2 + [(0, 20)], "src long, dst long")
+    lpa = label_propagation(edges, iterations=5).withColumnRenamed("label", "label")
+    q_lpa = sum(
+        r["q_contrib"]
+        for r in partition_quality(edges, lpa, label_col="label").collect()
+    )
+    nodes = [i for i in range(6)] + [i + 20 for i in range(6)]
+    rand = spark.createDataFrame(
+        [(n, "x" if n % 2 == 0 else "y") for n in nodes], "node long, label string"
+    )
+    q_rand = sum(
+        r["q_contrib"] for r in partition_quality(edges, rand).collect()
+    )
+    assert q_lpa > 0.4 and q_lpa > q_rand + 0.3
