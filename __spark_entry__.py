@@ -12991,6 +12991,88 @@ _Q271_ORACLE = """
 """
 
 
+def q272_srm_check_k(spark, sf_dir):
+    """k-arm SRM gate (operators/drift.srm_check_k): three md5-coin
+    arms with a DELIBERATELY biased 30/32/38 realized split tested
+    against the designed uniform thirds — per-arm chi2 contributions
+    floor-quantized 2^-20 before the order-free fold, chi2_2 tail via
+    the Wilson-Hilferty cube-root normal through the quantized SF.
+    Engine-exact."""
+    from patternly_spark.operators.drift import srm_check_k
+    from patternly_spark.operators.sampling import hash_fraction
+
+    ev = _t(spark, sf_dir, "events")
+    h = hash_fraction(F.col("user_id"), seed="arm")
+    per_user = ev.select("user_id").distinct().withColumn(
+        "arm",
+        F.when(h < F.lit(0.30), "a").when(h < F.lit(0.62), "b").otherwise("c"),
+    )
+    return srm_check_k(per_user, arm_col="arm")
+
+
+def _q272_oracle() -> str:
+    inv = _dlit(0.3989422804014327)
+    t_c = _dlit(0.2316419)
+    b1, b2, b3, b4, b5 = (
+        _dlit(v)
+        for v in (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+    )
+    third = _dlit(1.0 / 3.0)
+    c1 = _dlit(1.0 - 2.0 / 18.0)
+    c2 = _dlit((2.0 / 18.0) ** 0.5)
+
+    def sf_abs(x):
+        return (
+            f"((floor(exp(-{x} * {x} / 2.0) * 1048576.0) / 1048576.0) * {inv})"
+            f" * ((1.0 / (1.0 + {t_c} * {x}))"
+            f"    * ({b1} + (1.0 / (1.0 + {t_c} * {x}))"
+            f"       * ({b2} + (1.0 / (1.0 + {t_c} * {x}))"
+            f"          * ({b3} + (1.0 / (1.0 + {t_c} * {x}))"
+            f"             * ({b4} + (1.0 / (1.0 + {t_c} * {x})) * {b5})))))"
+        )
+
+    return f"""
+    WITH per_user AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN CAST(('0x' || substr(md5('arm' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         / 4294967296.0 < {_dlit(0.30)} THEN 'a'
+                    WHEN CAST(('0x' || substr(md5('arm' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         / 4294967296.0 < {_dlit(0.62)} THEN 'b'
+                    ELSE 'c' END AS arm
+        FROM events
+    ), per AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n FROM per_user GROUP BY arm
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM per
+    ), detail AS (
+        SELECT arm, n, {third} AS expected_ratio,
+               CAST(n_total AS DOUBLE) * {third} AS expected_n,
+               floor((CAST(n AS DOUBLE) - CAST(n_total AS DOUBLE) * {third})
+                     * (CAST(n AS DOUBLE) - CAST(n_total AS DOUBLE) * {third})
+                     / (CAST(n_total AS DOUBLE) * {third}) * 1048576.0) / 1048576.0
+                 AS contrib_q,
+               n_total
+        FROM per CROSS JOIN tot
+    ), folded AS (
+        SELECT SUM(contrib_q) AS chi2 FROM detail
+    ), zed AS (
+        SELECT chi2,
+               (floor(cbrt(chi2 / 2.0) * 1048576.0) / 1048576.0 - {c1}) / {c2} AS z
+        FROM folded
+    ), verdict AS (
+        SELECT chi2, 2 AS df,
+               CASE WHEN z >= 0 THEN {sf_abs('abs(z)')}
+                    ELSE 1.0 - {sf_abs('abs(z)')} END AS p_value
+        FROM zed
+    )
+    SELECT d.arm, d.n, d.expected_ratio, d.expected_n, d.contrib_q,
+           d.n_total, v.df, v.chi2, v.p_value,
+           v.p_value < {_dlit(0.001)} AS srm
+    FROM detail d CROSS JOIN verdict v
+    ORDER BY d.arm
+    """
+
+
 def _q264_oracle() -> str:
     tau2 = _dlit(1000.0 * 1000.0)
     ln10 = _dlit(2.302585092994046)
@@ -13400,6 +13482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q269_brown_forsythe": q269_brown_forsythe,
         "q270_power_mde": q270_power_mde,
         "q271_partition_quality": q271_partition_quality,
+        "q272_srm_check_k": q272_srm_check_k,
     }
 
 
@@ -15202,6 +15285,7 @@ def oracle_sql() -> dict[str, str]:
         "q269_brown_forsythe": _q269_oracle(),
         "q270_power_mde": _q270_oracle(),
         "q271_partition_quality": _Q271_ORACLE,
+        "q272_srm_check_k": _q272_oracle(),
     }
 
 

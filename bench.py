@@ -289,6 +289,7 @@ BENCH_QUERIES = [
     "q269_brown_forsythe",
     "q270_power_mde",
     "q271_partition_quality",
+    "q272_srm_check_k",
 ]
 
 

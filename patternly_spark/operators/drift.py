@@ -3061,3 +3061,89 @@ def power_mde_from_moments(
         mde.alias("mde_cents"),
         F.when(F.abs(mean_c) > 0, mde / F.abs(mean_c)).alias("mde_rel"),
     )
+
+
+def srm_check_k(
+    df: DataFrame,
+    *,
+    arm_col: str,
+    expected: dict | None = None,
+    alpha: float = 0.001,
+) -> DataFrame:
+    """k-arm sample-ratio-mismatch check — the q267 gate generalized to
+    multi-variant experiments: chi-square goodness-of-fit of the k arm
+    counts against the design ratios, with the chi2_{k-1} tail through
+    the Wilson-Hilferty cube-root normal transform,
+
+        z = ((chi2/df)^(1/3) - (1 - 2/(9 df))) / sqrt(2/(9 df)),
+        p ~= normal_sf_q(z)
+
+    (WH carries ~3e-3 absolute error at moderate p for df = 2 —
+    measured 2.5e-3 at p ~= 0.15 — and tightens in the alarm tails
+    where the decision lives; it is an ALARM threshold, not an
+    estimator.  The exact 2-arm path is ``srm_check``, which needs no
+    approximation).  ``expected``
+    maps arm -> design ratio (must cover every observed arm and sum to
+    1 within 1e-9); default uniform 1/k.
+
+    Exactness: integer counts; each arm's chi2 contribution is one
+    fixed double chain floor-quantized to the 2^-20 grid before the
+    cross-arm sum (order-free — the engine's fold convention), and
+    cbrt/sqrt/the one exp inside normal_sf_q are fixed chains — plain
+    SQL replays every double.  Shape: ONE count-by-arm aggregation
+    (k rows), a broadcast ratio join, scalars after.
+
+    Output: one row per arm, ordered — (arm, n, expected_ratio,
+    expected_n, contrib_q) with the shared verdict columns repeated
+    (n_total, df, chi2, p_value, srm) — the per-arm detail is what a
+    firing SRM alarm gets debugged with.
+    """
+    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
+    k = len(arms)
+    if k < 2:
+        raise ValueError(f"srm_check_k needs >= 2 arms, got {arms}")
+    if expected is None:
+        expected = {a: 1.0 / k for a in arms}
+    missing = [a for a in arms if a not in expected]
+    if missing:
+        raise ValueError(f"expected ratios missing for arms {missing}")
+    tot_r = sum(float(expected[a]) for a in arms)
+    if abs(tot_r - 1.0) > 1e-9:
+        raise ValueError(f"expected ratios must sum to 1, got {tot_r}")
+    if any(not 0.0 < float(expected[a]) < 1.0 for a in arms):
+        raise ValueError("every expected ratio must be in (0,1)")
+    spark = df.sparkSession
+    ratios = spark.createDataFrame(
+        [(a, float(expected[a])) for a in arms], ["arm", "expected_ratio"]
+    )
+    per = df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = per.agg(F.sum("n").cast("long").alias("n_total"))
+    j = per.join(F.broadcast(ratios), "arm").crossJoin(F.broadcast(tot))
+    grid = F.lit(float(1 << 20))
+    en = F.col("n_total").cast("double") * F.col("expected_ratio")
+    contrib = (F.col("n").cast("double") - en) * (F.col("n").cast("double") - en) / en
+    cq = F.floor(contrib * grid) / grid
+    detail = j.select(
+        "arm", "n", "expected_ratio", en.alias("expected_n"),
+        cq.alias("contrib_q"), "n_total",
+    )
+    dfree = float(k - 1)
+    c1 = 1.0 - 2.0 / (9.0 * dfree)
+    c2 = (2.0 / (9.0 * dfree)) ** 0.5
+    folded = detail.agg(F.sum("contrib_q").alias("chi2"))
+    # cbrt is a libm call (JVM vs DuckDB differ by 1 ulp): floor-quantize
+    # its output to the 2^-20 grid, the exp/ln convention
+    qcbrt = F.floor(F.cbrt(F.col("chi2") / F.lit(dfree)) * grid) / grid
+    z = (qcbrt - F.lit(c1)) / F.lit(c2)
+    verdict = folded.select(
+        "chi2",
+        F.lit(int(k - 1)).alias("df"),
+        normal_sf_q(z).alias("p_value"),
+        (normal_sf_q(z) < F.lit(float(alpha))).alias("srm"),
+    )
+    return detail.crossJoin(F.broadcast(verdict)).select(
+        "arm", "n", "expected_ratio", "expected_n", "contrib_q",
+        "n_total", "df", "chi2", "p_value", "srm",
+    ).orderBy("arm")

@@ -433,3 +433,51 @@ def test_partition_quality_grades_lpa_communities(spark):
         r["q_contrib"] for r in partition_quality(edges, rand).collect()
     )
     assert q_lpa > 0.4 and q_lpa > q_rand + 0.3
+
+
+def test_srm_check_k_behaviors(spark):
+    """Uniform 3-way split passes; a 20/40/40 split on 9k units alarms;
+    chi2 matches the hand formula (on the quantized-contribution grid);
+    p matches the Wilson-Hilferty chain vs an erfc identity within the
+    documented SF tolerance; ratio guards raise."""
+    import math
+
+    from patternly_spark.operators.drift import srm_check_k
+
+    n = 9000
+    clean = spark.createDataFrame(
+        [("abc"[i % 3],) for i in range(n)], "arm string"
+    )
+    out = srm_check_k(clean, arm_col="arm").collect()
+    assert len(out) == 3 and out[0]["chi2"] == pytest.approx(0.0)
+    assert out[0]["srm"] is False and out[0]["df"] == 2
+
+    skew = spark.createDataFrame(
+        [("a" if i % 10 < 2 else ("b" if i % 10 < 6 else "c"),) for i in range(n)],
+        "arm string",
+    )
+    rows = {r["arm"]: r for r in srm_check_k(skew, arm_col="arm").collect()}
+    g = float(1 << 20)
+    want_chi2 = sum(
+        math.floor((rows[a]["n"] - n / 3.0) ** 2 / (n / 3.0) * g) / g for a in "abc"
+    )
+    r0 = rows["a"]
+    assert r0["chi2"] == pytest.approx(want_chi2, rel=1e-12)
+    assert r0["srm"] is True and r0["p_value"] < 1e-6
+    # WH accuracy spot-check on a moderate chi2 (new fixture, df=2):
+    mid = spark.createDataFrame(
+        [("a",)] * 3075 + [("b",)] * 3000 + [("c",)] * 2925, "arm string"
+    )
+    r = srm_check_k(mid, arm_col="arm").collect()[0]
+    exact = math.exp(-r["chi2"] / 2.0)  # chi2_2 SF is exactly exp(-x/2)
+    # WH at df=2 carries ~3e-3 absolute error at moderate p (measured
+    # 2.5e-3 at p~0.15, documented in the operator) and tightens in
+    # the alarm tails where the decision lives
+    assert r["p_value"] == pytest.approx(exact, abs=4e-3)
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        srm_check_k(clean, arm_col="arm", expected={"a": 0.5, "b": 0.4, "c": 0.2})
+    with pytest.raises(ValueError, match="missing for arms"):
+        srm_check_k(clean, arm_col="arm", expected={"a": 0.5, "b": 0.5})
+    with pytest.raises(ValueError, match=">= 2 arms"):
+        srm_check_k(clean.filter("arm = 'a'"), arm_col="arm")
