@@ -910,21 +910,32 @@ def logistic_regression(
     label_col: str,
     feature_cols: list[str],
     iters: int = 6,
+    max_iters: int = 24,
+    tol: float = 1e-5,
     ridge: float = 0.0,
 ) -> DataFrame:
-    """Logistic regression by budgeted Newton-Raphson — the propensity /
-    uplift / quality-classifier workhorse the experimentation and
-    curation families compose with (propensity scores for observational
-    readouts, calibrated gating scores for corpus filters).  Intercept
-    included automatically.
+    """Logistic regression by adaptive-budget Newton-Raphson — the
+    propensity / uplift / quality-classifier workhorse the
+    experimentation and curation families compose with (propensity
+    scores for observational readouts, calibrated gating scores for
+    corpus filters).  Intercept included automatically.
 
     Distributed shape (the cox_ph pattern): each Newton step needs only
     the p(p+3)/2 sufficient sums  grad = X'(y - mu)  and
     H = X' diag(mu(1-mu)) X  with mu = sigmoid(X beta) — ONE full-scan
     aggregate per step, a (p+1)x(p+1) driver solve, no sort, no
-    data-sized state.  ``iters`` fixed steps from beta = 0 (quadratic
-    convergence; 6 reaches ~1e-8 relative movement on non-separable
-    inputs).  Perfectly separable data diverges in ANY unpenalized
+    data-sized state.  Budget: ``iters`` steps ALWAYS run from
+    beta = 0 (quadratic convergence; 6 reaches ~1e-8 relative movement
+    on well-conditioned inputs, keeping default runs bit-identical to
+    the fixed-budget era); if the last step still moved more than
+    ``tol`` relative, the solver CONTINUES — the round-8 telemetry now
+    drives behavior instead of just blame — up to ``max_iters`` total
+    scans (the documented cap; quasi-separable fits that needed ~10
+    steps converge, genuinely divergent ones stop at the cap with
+    ``converged=false``).  A continuation step that goes numerically
+    bad (singular Hessian, non-finite step — the perfectly-separable
+    endgame) stops cleanly at the last good iterate rather than
+    raising.  Perfectly separable data diverges in ANY unpenalized
     logistic fit — pass ``ridge`` > 0 there.
 
     Not SQL-oracle-checkable (sigmoid is libm-dependent across
@@ -936,10 +947,9 @@ def logistic_regression(
     '__intercept' first, plus convergence telemetry repeated on every
     row: ``rel_step`` (last Newton step's max |Δbeta| / max |beta|),
     ``grad_norm`` (max |gradient| entering that step), ``converged``
-    (rel_step < 1e-5).  A fixed 6-step budget can under-converge
-    silently on ill-conditioned / quasi-separable data; downstream
-    consumers (ipw_ate's propensity betas) surface this instead of
-    trusting the budget (round-8 verdict item 3).
+    (rel_step < ``tol``).  ``converged=false`` now means the CAP did
+    not suffice (separable / genuinely ill-posed), not merely that the
+    default budget was small.
     """
     import numpy as np
 
@@ -948,6 +958,14 @@ def logistic_regression(
         raise ValueError("need at least one feature")
     if p > 16:
         raise ValueError("driver-side Newton solve capped at 16 features")
+    if int(iters) < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if int(max_iters) < int(iters):
+        raise ValueError(
+            f"max_iters ({max_iters}) must be >= iters ({iters})"
+        )
+    if not float(tol) > 0.0:
+        raise ValueError(f"tol must be > 0, got {tol}")
     y = F.col(label_col).cast("double")
     base = df.select(
         y.alias("__y"),
@@ -961,7 +979,7 @@ def logistic_regression(
 
     beta = np.zeros(k)
     hinv = np.eye(k)
-    for _ in range(int(iters)):
+    for it in range(1, int(max_iters) + 1):
         lp = F.lit(float(beta[0]))
         for j in range(p):
             lp = lp + F.lit(float(beta[j + 1])) * F.col(f"__x{j}")
@@ -980,16 +998,31 @@ def logistic_regression(
             for b in range(a, k):
                 H[a, b] = H[b, a] = row[f"h_{a}_{b}"]
         H += float(ridge) * np.eye(k)
-        hinv = np.linalg.inv(H)
-        step = hinv @ g
+        if it > int(iters):
+            # adaptive continuation: a numerically bad step (singular
+            # Hessian / non-finite — the separable endgame) ends the
+            # continuation at the last GOOD iterate instead of raising
+            try:
+                hinv_new = np.linalg.inv(H)
+                step = hinv_new @ g
+            except np.linalg.LinAlgError:
+                break
+            if not np.all(np.isfinite(step)):
+                break
+            hinv = hinv_new
+        else:
+            hinv = np.linalg.inv(H)
+            step = hinv @ g
         beta = beta + step
         # telemetry of the LAST step taken — free (no extra scan)
         grad_norm = float(np.max(np.abs(g)))
         rel_step = float(
             np.max(np.abs(step)) / max(float(np.max(np.abs(beta))), 1e-12)
         )
+        if it >= int(iters) and rel_step < float(tol):
+            break
 
-    converged = rel_step < 1e-5
+    converged = rel_step < float(tol)
     out = [
         (
             names[a],
@@ -1016,6 +1049,8 @@ def ipw_ate(
     outcome_cents_col: str,
     feature_cols: list[str],
     iters: int = 6,
+    max_iters: int = 24,
+    tol: float = 1e-5,
     ridge: float = 0.0,
     clip: tuple[float, float] = (0.01, 0.99),
 ) -> DataFrame:
@@ -1032,8 +1067,9 @@ def ipw_ate(
     stabilization constants cancel; reported weights diagnostics expose
     positivity problems the estimate alone hides).
 
-    Distributed shape: the logistic fit is ``iters`` single-scan
-    sufficient-statistic aggregates (the q254 kernel); scoring + the
+    Distributed shape: the logistic fit is ``iters``..``max_iters``
+    single-scan sufficient-statistic aggregates (the q254 adaptive
+    kernel — extra scans only while the fit still moves); scoring + the
     weighted means are ONE more full scan of pure column expressions.
     The only driver-side values are the (p+1) betas (bounded by the
     q254 contract, p <= 16).
@@ -1059,6 +1095,8 @@ def ipw_ate(
         label_col=treat_col,
         feature_cols=feature_cols,
         iters=iters,
+        max_iters=max_iters,
+        tol=tol,
         ridge=ridge,
     ).collect()
     betas = {r["feature"]: r["beta"] for r in fit_rows}

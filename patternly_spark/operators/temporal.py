@@ -1294,16 +1294,24 @@ def cox_ph(
     event_col: str,
     covariate_cols: list[str],
     iters: int = 4,
+    max_iters: int = 16,
+    tol: float = 1e-5,
     ridge: float = 0.0,
 ) -> DataFrame:
     """Cox proportional-hazards regression — the covariate-adjusted
     member of the survival family (kaplan_meier answers "what is the
     curve", logrank_test answers "do two curves differ", this answers
     "by HOW MUCH does each covariate multiply the hazard, jointly").
-    Breslow tie handling; a fixed, deterministic budget of ``iters``
-    Newton-Raphson steps on the partial log-likelihood from beta = 0
-    (4 steps reach ~1e-6 relative beta movement on well-conditioned
-    inputs — convergence is quadratic).
+    Breslow tie handling; an adaptive, deterministic Newton-Raphson
+    budget on the partial log-likelihood from beta = 0: ``iters`` steps
+    ALWAYS run (4 reach ~1e-6 relative beta movement on
+    well-conditioned inputs — convergence is quadratic, and default
+    well-conditioned runs are bit-identical to the fixed-budget era),
+    then the solver CONTINUES while the last step moved more than
+    ``tol`` relative, up to ``max_iters`` total steps (the documented
+    cap — the telemetry drives behavior instead of just blame); a
+    continuation step that goes numerically bad (singular Hessian,
+    non-finite step) stops cleanly at the last good iterate.
 
     Distributed shape (the reason this scales where textbook
     implementations collect the subject table): each Newton step needs
@@ -1311,7 +1319,8 @@ def cox_ph(
     so one full-scan groupBy onto the DISTINCT-TIME grid, one
     grid-sized suffix-sum window, and a p(p+3)/2-number driver
     aggregate per step.  Subjects never sort globally and never visit
-    the driver; ``iters`` scans total.  (The grid window is
+    the driver; ``iters``..``max_iters`` scans total (extra scans only
+    while the fit still moves).  (The grid window is
     single-partition over distinct times — the kaplan_meier convention;
     bucket durations upstream if one run has millions of distinct
     times.)
@@ -1340,6 +1349,12 @@ def cox_ph(
         raise ValueError("need at least one covariate")
     if p > 8:
         raise ValueError(f"driver-side {p}x{p} Newton solve capped at 8 covariates")
+    if int(iters) < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if int(max_iters) < int(iters):
+        raise ValueError(f"max_iters ({max_iters}) must be >= iters ({iters})")
+    if not float(tol) > 0.0:
+        raise ValueError(f"tol must be > 0, got {tol}")
     t = F.col(duration_col).cast("double")
     ev = F.col(event_col).cast("int")
     xs = [F.col(c).cast("double") for c in covariate_cols]
@@ -1349,7 +1364,7 @@ def cox_ph(
 
     beta = np.zeros(p, dtype=np.float64)
     hess_inv = np.eye(p)
-    for _ in range(int(iters)):
+    for it in range(1, int(max_iters) + 1):
         lp = F.lit(0.0)
         for j in range(p):
             lp = lp + F.lit(float(beta[j])) * F.col(f"__x{j}")
@@ -1404,8 +1419,21 @@ def cox_ph(
             for k in range(j, p):
                 H[j, k] = H[k, j] = row[f"h_{j}_{k}"]
         H += float(ridge) * np.eye(p)
-        hess_inv = np.linalg.inv(H)
-        step = hess_inv @ g
+        if it > int(iters):
+            # adaptive continuation: a numerically bad step (singular
+            # Hessian / non-finite) ends the continuation at the last
+            # GOOD iterate instead of raising
+            try:
+                hess_inv_new = np.linalg.inv(H)
+                step = hess_inv_new @ g
+            except np.linalg.LinAlgError:
+                break
+            if not np.all(np.isfinite(step)):
+                break
+            hess_inv = hess_inv_new
+        else:
+            hess_inv = np.linalg.inv(H)
+            step = hess_inv @ g
         beta = beta + step
         # telemetry of the LAST step taken — free (no extra scan):
         # quadratic convergence means the final step size bounds the
@@ -1414,8 +1442,10 @@ def cox_ph(
         rel_step = float(
             np.max(np.abs(step)) / max(float(np.max(np.abs(beta))), 1e-12)
         )
+        if it >= int(iters) and rel_step < float(tol):
+            break
 
-    converged = rel_step < 1e-5
+    converged = rel_step < float(tol)
     spark = df.sparkSession
     out = [
         (
