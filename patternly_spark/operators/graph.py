@@ -1149,11 +1149,19 @@ def partition_quality(
     and degree volumes are INTEGERS (one groupBy each); q_contrib and
     conductance are fixed double chains per community — plain SQL
     replays every row.  Unlabeled endpoints raise (a silent drop would
-    skew every denominator).
+    skew every denominator); DUPLICATE node keys in ``labels`` raise
+    too (a doubly-labeled node duplicates its edges through the
+    endpoint joins and double-counts its degree in volume, silently
+    skewing e_intra / cut / conductance / q_contrib — the guard
+    mirrors the unlabeled-endpoint one).
 
     Shape: one canonical edge set, one labels broadcast-or-shuffle
     join per endpoint, two keyed integer aggregations, one 1-row m
-    fold — no iteration, no driver-side state beyond m.
+    fold — no iteration, no driver-side state beyond m.  ALL the
+    guards (m, unlabeled endpoints, duplicate labels) ride ONE
+    piggybacked 1-row aggregate action (the connected_components
+    checksum trick) — failure paths pay extra jobs only to sample the
+    offending rows for the error message.
 
     Output: one row per community — (community, n_nodes, volume,
     e_intra, cut, conductance, q_contrib), ordered by community.
@@ -1170,14 +1178,56 @@ def partition_quality(
     lu = lab.select(F.col("n").alias("u"), F.col("c").alias("cu"))
     lv = lab.select(F.col("n").alias("v"), F.col("c").alias("cv"))
     j = e.join(lu, "u", "left").join(lv, "v", "left")
-    missing = j.filter(F.col("cu").isNull() | F.col("cv").isNull())
-    if missing.limit(1).count() > 0:
+    # ONE guard action: m, unlabeled-endpoint count, and the duplicate-
+    # label check piggyback on a single 3-way crossJoin of 1-row
+    # aggregates (e is localCheckpointed, so the edge scan is not
+    # repeated downstream).  The old shape spent three driver actions
+    # (missing.limit(1).count(), e.count(), and no dup guard at all).
+    stats = (
+        e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+        .crossJoin(
+            j.agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("cu").isNull() | F.col("cv").isNull(), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("n_unlabeled")
+            )
+        )
+        .crossJoin(
+            lab.agg(
+                F.count(F.lit(1)).cast("long").alias("n_lab"),
+                F.countDistinct("n").cast("long").alias("n_lab_distinct"),
+            )
+        )
+        .collect()[0]
+    )
+    if stats["n_lab"] != stats["n_lab_distinct"]:
+        dups = (
+            lab.groupBy("n")
+            .agg(F.count(F.lit(1)).alias("__k"))
+            .filter(F.col("__k") > 1)
+            .limit(3)
+            .collect()
+        )
+        raise ValueError(
+            "partition_quality: duplicate node keys in labels "
+            f"(e.g. {[r['n'] for r in dups]}); a doubly-labeled node would "
+            "double-count its edges and degree — provide one label per node"
+        )
+    if stats["n_unlabeled"] > 0:
+        missing = j.filter(F.col("cu").isNull() | F.col("cv").isNull())
         some = missing.select("u", "v").limit(3).collect()
         raise ValueError(
             f"partition_quality: unlabeled edge endpoints (e.g. {[tuple(r) for r in some]}); "
             "label every node that appears in edges"
         )
-    m_row = e.count()
+    m_row = stats["m"]
     if m_row == 0:
         raise ValueError("partition_quality: empty edge set")
     md = float(m_row)

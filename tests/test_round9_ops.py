@@ -409,6 +409,46 @@ def test_partition_quality_guards(spark):
             edges.limit(0),
             spark.createDataFrame([(1, "a")], "node long, label string"),
         )
+    # round-10: duplicate node keys raise (a doubly-labeled node would
+    # double-count its edges/degree silently otherwise — ADVICE r9)
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (3, "a")], "node long, label string"
+    )
+    with pytest.raises(ValueError, match="duplicate node keys"):
+        partition_quality(edges, dup).collect()
+
+
+def test_partition_quality_guard_is_one_action(spark, monkeypatch):
+    """Round-9 verdict item 4: the three guards (m, unlabeled
+    endpoints, duplicate labels) must ride ONE piggybacked driver
+    action, not three — count DataFrame.collect calls during the
+    operator build (the success path samples nothing)."""
+    try:  # Spark 4: the classic subclass overrides collect
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - Spark 3 layout
+        from pyspark.sql import DataFrame
+    from patternly_spark.operators.graph import partition_quality
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(i, "L") for i in range(4)], "node long, label string"
+    )
+    calls = {"n": 0}
+    real_collect = DataFrame.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return real_collect(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    out = partition_quality(edges, labels)
+    assert calls["n"] == 1, f"guard spent {calls['n']} driver actions, want 1"
+    monkeypatch.setattr(DataFrame, "collect", real_collect)
+    rows = out.collect()
+    assert rows[0]["e_intra"] == 6 and rows[0]["cut"] == 0
 
 
 def test_partition_quality_grades_lpa_communities(spark):
