@@ -12996,8 +12996,9 @@ def q272_srm_check_k(spark, sf_dir):
     arms with a DELIBERATELY biased 30/32/38 realized split tested
     against the designed uniform thirds — per-arm chi2 contributions
     floor-quantized 2^-20 before the order-free fold, chi2_2 tail via
-    the Wilson-Hilferty cube-root normal through the quantized SF.
-    Engine-exact."""
+    the CLOSED-FORM even-df survival function (quantized exp(-chi2/2))
+    with the Wilson-Hilferty cube-root chain kept as the p_value_wh
+    cross-check column.  Engine-exact."""
     from patternly_spark.operators.drift import srm_check_k
     from patternly_spark.operators.sampling import hash_fraction
 
@@ -13061,12 +13062,16 @@ def _q272_oracle() -> str:
         FROM folded
     ), verdict AS (
         SELECT chi2, 2 AS df,
+               -- exact chi2_2 SF: quantized exp(-chi2/2) times the
+               -- degenerate m=1 Horner polynomial (literal 1.0)
+               (floor(exp(-(chi2 / 2.0)) * 1048576.0) / 1048576.0) * 1.0
+                 AS p_value,
                CASE WHEN z >= 0 THEN {sf_abs('abs(z)')}
-                    ELSE 1.0 - {sf_abs('abs(z)')} END AS p_value
+                    ELSE 1.0 - {sf_abs('abs(z)')} END AS p_value_wh
         FROM zed
     )
     SELECT d.arm, d.n, d.expected_ratio, d.expected_n, d.contrib_q,
-           d.n_total, v.df, v.chi2, v.p_value,
+           d.n_total, v.df, v.chi2, v.p_value, v.p_value_wh,
            v.p_value < {_dlit(0.001)} AS srm
     FROM detail d CROSS JOIN verdict v
     ORDER BY d.arm

@@ -2040,6 +2040,54 @@ def normal_sf_q(z: F.Column) -> F.Column:
     return F.when(z >= 0, sf_abs).otherwise(F.lit(1.0) - sf_abs)
 
 
+def chi2_sf_q(x: F.Column, df: int) -> F.Column:
+    """Upper-tail chi-square P(X > x) for INTEGER ``df`` as a COLUMN
+    expression plain SQL replays — the engine-exact sibling of the
+    Wilson-Hilferty cube-root approximation (which carries ~3e-3
+    absolute error at moderate p).  For integer df the survival
+    function is closed-form through the recurrence
+    ``Q(x; v+2) = Q(x; v) + (x/2)^(v/2) e^(-x/2) / Gamma(v/2 + 1)``:
+
+    - df = 2m (even):  ``e^(-x/2) * sum_{j<m} (x/2)^j / j!`` — a
+      quantized exp times a fixed-Horner polynomial with literal
+      ``1/j!`` coefficients (df=2 degenerates to ``e^(-x/2)``);
+    - df = 2m+1 (odd): ``2*normal_sf_q(sqrt(x)) + e^(-x/2) * sqrt(x/2)
+      * sum_{1<=j<=m} (x/2)^(j-1) / Gamma(j+1/2)`` — sqrt is IEEE
+      correctly-rounded on every engine, the Gamma coefficients are
+      plan-time literals, and the normal SF is the shared A&S chain.
+
+    The one libm call (exp) is floor-quantized to the 2^-20 grid
+    before use (the engine's ln-quantization convention); the odd-df
+    branch inherits normal_sf_q's ~1.5e-7 A&S error, the even-df
+    branch is exact to the exp grid (~1e-6) — both far inside any
+    alarm threshold and ~3 orders tighter than Wilson-Hilferty.
+    """
+    import math
+
+    dfi = int(df)
+    if dfi < 1:
+        raise ValueError(f"chi2_sf_q needs integer df >= 1, got {df}")
+    grid = F.lit(float(1 << 20))
+    h = x / F.lit(2.0)
+    eq = F.floor(F.exp(-h) * grid) / grid
+    if dfi % 2 == 0:
+        m = dfi // 2
+        coef = [1.0 / math.factorial(j) for j in range(m)]
+        poly = F.lit(coef[-1])
+        for j in range(m - 2, -1, -1):
+            poly = F.lit(coef[j]) + h * poly
+        return eq * poly
+    m = (dfi - 1) // 2
+    base = F.lit(2.0) * normal_sf_q(F.sqrt(x))
+    if m == 0:
+        return base
+    coef = [1.0 / math.gamma(j + 0.5) for j in range(1, m + 1)]
+    poly = F.lit(coef[-1])
+    for j in range(m - 2, -1, -1):
+        poly = F.lit(coef[j]) + h * poly
+    return base + eq * F.sqrt(h) * poly
+
+
 def obf_sequential_monitor(
     df: DataFrame,
     value_cents_col: str,
@@ -3073,40 +3121,57 @@ def srm_check_k(
     """k-arm sample-ratio-mismatch check — the q267 gate generalized to
     multi-variant experiments: chi-square goodness-of-fit of the k arm
     counts against the design ratios, with the chi2_{k-1} tail through
-    the Wilson-Hilferty cube-root normal transform,
+    the ENGINE-EXACT closed-form integer-df survival function
+    (``chi2_sf_q``: df even -> a finite Poisson sum, df odd -> the
+    shared normal-SF chain plus a finite polynomial — exact to the
+    2^-20 exp grid, ~3 orders tighter than Wilson-Hilferty).  The WH
+    cube-root approximation,
 
         z = ((chi2/df)^(1/3) - (1 - 2/(9 df))) / sqrt(2/(9 df)),
-        p ~= normal_sf_q(z)
+        p_wh ~= normal_sf_q(z)
 
-    (WH carries ~3e-3 absolute error at moderate p for df = 2 —
-    measured 2.5e-3 at p ~= 0.15 — and tightens in the alarm tails
-    where the decision lives; it is an ALARM threshold, not an
-    estimator.  The exact 2-arm path is ``srm_check``, which needs no
-    approximation).  ``expected``
-    maps arm -> design ratio (must cover every observed arm and sum to
-    1 within 1e-9); default uniform 1/k.
+    is kept as a CROSS-CHECK column ``p_value_wh`` (~3e-3 absolute
+    error at moderate p for df = 2, tightening in the alarm tails);
+    the verdict uses the exact tail.  The 2-arm path is ``srm_check``.
+
+    Arm universe: with explicit ``expected`` the DESIGN defines the
+    arm set — every expected key appears in the output, and a design
+    arm that logged ZERO rows is zero-filled so its chi2 contribution
+    is its full expected count and the gate fires hard (a fully-dead
+    arm is exactly the assignment loss this gate exists to catch);
+    observed arms missing from ``expected`` raise.  With the default
+    uniform ``expected`` the arm set is the OBSERVED one — a fully-
+    missing arm is then UNDETECTABLE by construction (k shrinks and
+    the remaining arms are tested as a uniform (k-1)-split); pass the
+    design's ratios explicitly when dead-arm detection matters.
+    ``expected`` maps arm -> design ratio (must sum to 1 within 1e-9).
 
     Exactness: integer counts; each arm's chi2 contribution is one
     fixed double chain floor-quantized to the 2^-20 grid before the
-    cross-arm sum (order-free — the engine's fold convention), and
-    cbrt/sqrt/the one exp inside normal_sf_q are fixed chains — plain
+    cross-arm sum (order-free — the engine's fold convention); exp is
+    grid-quantized and sqrt is IEEE-exact inside both tails — plain
     SQL replays every double.  Shape: ONE count-by-arm aggregation
     (k rows), a broadcast ratio join, scalars after.
 
     Output: one row per arm, ordered — (arm, n, expected_ratio,
     expected_n, contrib_q) with the shared verdict columns repeated
-    (n_total, df, chi2, p_value, srm) — the per-arm detail is what a
-    firing SRM alarm gets debugged with.
+    (n_total, df, chi2, p_value, p_value_wh, srm) — the per-arm detail
+    is what a firing SRM alarm gets debugged with.
     """
-    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
-    k = len(arms)
-    if k < 2:
-        raise ValueError(f"srm_check_k needs >= 2 arms, got {arms}")
+    obs = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
     if expected is None:
-        expected = {a: 1.0 / k for a in arms}
-    missing = [a for a in arms if a not in expected]
-    if missing:
-        raise ValueError(f"expected ratios missing for arms {missing}")
+        if len(obs) < 2:
+            raise ValueError(f"srm_check_k needs >= 2 arms, got {obs}")
+        expected = {a: 1.0 / len(obs) for a in obs}
+        arms = obs
+    else:
+        arms = sorted(expected)
+        if len(arms) < 2:
+            raise ValueError(f"srm_check_k needs >= 2 arms, got {arms}")
+        extra = [a for a in obs if a not in expected]
+        if extra:
+            raise ValueError(f"expected ratios missing for arms {extra}")
+    k = len(arms)
     tot_r = sum(float(expected[a]) for a in arms)
     if abs(tot_r - 1.0) > 1e-9:
         raise ValueError(f"expected ratios must sum to 1, got {tot_r}")
@@ -3120,7 +3185,15 @@ def srm_check_k(
         F.count(F.lit(1)).cast("long").alias("n")
     )
     tot = per.agg(F.sum("n").cast("long").alias("n_total"))
-    j = per.join(F.broadcast(ratios), "arm").crossJoin(F.broadcast(tot))
+    # the DESIGN (ratios) is the left side: a design arm with zero
+    # observed rows survives the join with n = 0 and contributes its
+    # full expected count to chi2
+    j = (
+        F.broadcast(ratios)
+        .join(per, "arm", "left")
+        .na.fill({"n": 0})
+        .crossJoin(F.broadcast(tot))
+    )
     grid = F.lit(float(1 << 20))
     en = F.col("n_total").cast("double") * F.col("expected_ratio")
     contrib = (F.col("n").cast("double") - en) * (F.col("n").cast("double") - en) / en
@@ -3133,17 +3206,19 @@ def srm_check_k(
     c1 = 1.0 - 2.0 / (9.0 * dfree)
     c2 = (2.0 / (9.0 * dfree)) ** 0.5
     folded = detail.agg(F.sum("contrib_q").alias("chi2"))
-    # cbrt is a libm call (JVM vs DuckDB differ by 1 ulp): floor-quantize
-    # its output to the 2^-20 grid, the exp/ln convention
+    # WH cross-check: cbrt is a libm call (JVM vs DuckDB differ by
+    # 1 ulp) — floor-quantize its output to the 2^-20 grid
     qcbrt = F.floor(F.cbrt(F.col("chi2") / F.lit(dfree)) * grid) / grid
     z = (qcbrt - F.lit(c1)) / F.lit(c2)
+    p_exact = chi2_sf_q(F.col("chi2"), k - 1)
     verdict = folded.select(
         "chi2",
         F.lit(int(k - 1)).alias("df"),
-        normal_sf_q(z).alias("p_value"),
-        (normal_sf_q(z) < F.lit(float(alpha))).alias("srm"),
+        p_exact.alias("p_value"),
+        normal_sf_q(z).alias("p_value_wh"),
+        (p_exact < F.lit(float(alpha))).alias("srm"),
     )
     return detail.crossJoin(F.broadcast(verdict)).select(
         "arm", "n", "expected_ratio", "expected_n", "contrib_q",
-        "n_total", "df", "chi2", "p_value", "srm",
+        "n_total", "df", "chi2", "p_value", "p_value_wh", "srm",
     ).orderBy("arm")

@@ -478,8 +478,10 @@ def test_partition_quality_grades_lpa_communities(spark):
 def test_srm_check_k_behaviors(spark):
     """Uniform 3-way split passes; a 20/40/40 split on 9k units alarms;
     chi2 matches the hand formula (on the quantized-contribution grid);
-    p matches the Wilson-Hilferty chain vs an erfc identity within the
-    documented SF tolerance; ratio guards raise."""
+    the round-10 exact closed-form tail matches exp(-chi2/2) to the
+    2^-20 exp grid while the retained Wilson-Hilferty cross-check
+    column sits within (and measurably uses) its documented ~3e-3
+    band; ratio guards raise."""
     import math
 
     from patternly_spark.operators.drift import srm_check_k
@@ -504,16 +506,20 @@ def test_srm_check_k_behaviors(spark):
     r0 = rows["a"]
     assert r0["chi2"] == pytest.approx(want_chi2, rel=1e-12)
     assert r0["srm"] is True and r0["p_value"] < 1e-6
-    # WH accuracy spot-check on a moderate chi2 (new fixture, df=2):
+    # exact-tail spot-check on a moderate chi2 (df=2: SF is exactly
+    # exp(-x/2), and the engine's p_value is that value on the 2^-20
+    # exp grid); the WH cross-check column carries its documented
+    # ~3e-3 absolute error here — visibly different from the exact
+    # tail (proving the verdict no longer rides the approximation)
     mid = spark.createDataFrame(
         [("a",)] * 3075 + [("b",)] * 3000 + [("c",)] * 2925, "arm string"
     )
     r = srm_check_k(mid, arm_col="arm").collect()[0]
-    exact = math.exp(-r["chi2"] / 2.0)  # chi2_2 SF is exactly exp(-x/2)
-    # WH at df=2 carries ~3e-3 absolute error at moderate p (measured
-    # 2.5e-3 at p~0.15, documented in the operator) and tightens in
-    # the alarm tails where the decision lives
-    assert r["p_value"] == pytest.approx(exact, abs=4e-3)
+    exact = math.exp(-r["chi2"] / 2.0)
+    assert r["p_value"] == pytest.approx(exact, abs=2e-6)
+    assert r["p_value"] == math.floor(exact * g) / g
+    assert r["p_value_wh"] == pytest.approx(exact, abs=4e-3)
+    assert abs(r["p_value_wh"] - r["p_value"]) > 1e-4  # WH is NOT the exact tail
 
     with pytest.raises(ValueError, match="sum to 1"):
         srm_check_k(clean, arm_col="arm", expected={"a": 0.5, "b": 0.4, "c": 0.2})
@@ -521,3 +527,54 @@ def test_srm_check_k_behaviors(spark):
         srm_check_k(clean, arm_col="arm", expected={"a": 0.5, "b": 0.5})
     with pytest.raises(ValueError, match=">= 2 arms"):
         srm_check_k(clean.filter("arm = 'a'"), arm_col="arm")
+
+
+def test_srm_check_k_dead_arm_and_odd_df(spark):
+    """ADVICE r9: with explicit ``expected`` the DESIGN defines the arm
+    set — a 3-arm design whose arm c logged ZERO rows must fire the
+    gate hard (previously c silently dropped out and the remaining
+    arms were tested as a uniform 2-split -> srm=false for exactly the
+    catastrophic assignment loss the gate exists to catch).  Also pins
+    the odd-df (k=4 -> df=3) closed-form tail against an independent
+    Python replication of the same chain."""
+    import math
+
+    from patternly_spark.operators.drift import srm_check_k
+
+    thirds = {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}
+    dead = spark.createDataFrame(
+        [("a",)] * 1500 + [("b",)] * 1500, "arm string"
+    )
+    rows = {r["arm"]: r for r in
+            srm_check_k(dead, arm_col="arm", expected=thirds).collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["c"]["n"] == 0
+    assert rows["c"]["expected_n"] == pytest.approx(1000.0)
+    assert rows["a"]["srm"] is True and rows["a"]["df"] == 2
+    assert rows["a"]["p_value"] < 1e-12
+    # the uniform DEFAULT cannot see the dead arm (documented): k
+    # shrinks to the observed 2 arms and the 1500/1500 split is clean
+    auto = srm_check_k(dead, arm_col="arm").collect()[0]
+    assert auto["df"] == 1 and auto["srm"] is False
+
+    # odd df: 4 designed arms, mildly skewed realization -> df = 3
+    quad = spark.createDataFrame(
+        [("a",)] * 1030 + [("b",)] * 1000 + [("c",)] * 990 + [("d",)] * 980,
+        "arm string",
+    )
+    r = srm_check_k(quad, arm_col="arm").collect()[0]
+    assert r["df"] == 3
+    x = r["chi2"]
+    # independent replication of the closed-form odd-df chain (A&S
+    # normal SF + the one-term Gamma(3/2) polynomial), unquantized —
+    # the engine's grid quantizations sit ~1e-6 below it
+    t = 1.0 / (1.0 + 0.2316419 * math.sqrt(x))
+    b = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+    poly = t * (b[0] + t * (b[1] + t * (b[2] + t * (b[3] + t * b[4]))))
+    nsf = math.exp(-x / 2.0) * 0.3989422804014327 * poly
+    want = 2.0 * nsf + math.exp(-x / 2.0) * math.sqrt(x / 2.0) / math.gamma(1.5)
+    assert r["p_value"] == pytest.approx(want, abs=1e-5)
+    # WH error grows toward large p (measured ~4e-3 here at p ~= 0.7,
+    # df=3) — exactly why the verdict now rides the closed form
+    assert r["p_value_wh"] == pytest.approx(want, abs=8e-3)
+    assert abs(r["p_value_wh"] - r["p_value"]) > 1e-3
