@@ -834,6 +834,7 @@ def streaming_rank_test_registry(
     checkpoint_path: str,
     arm_col: str,
     value_cents_col: str,
+    quantize_to: int | None = None,
     trigger_once: bool = False,
 ):
     """foreachBatch Mann-Whitney registry (ST36): fold each
@@ -846,14 +847,45 @@ def streaming_rank_test_registry(
     validated at finalize.  Finalize any time with
     ``mwu_from_registry`` — value-identical to
     ``operators/drift.mann_whitney_u`` over all history (union-parity
-    pinned).  Exactly-once via versioned snapshots."""
+    pinned).  Exactly-once via versioned snapshots.
+
+    **State-size contract** (ST42): the grid holds one row per
+    (distinct value, arm).  On a cents-quantized metric that is
+    bounded by the price domain; on a HIGH-CARDINALITY continuous
+    domain (latency micros, raw sensor readings) it approaches row
+    count.  ``quantize_to`` bounds it: values fold as their bucket
+    MIDPOINT ``v - pmod(v, q) + q div 2`` (pure integer arithmetic,
+    floor-aligned for negatives), so state is
+    ``<= (value_range / q + 1) * 2`` rows REGARDLESS of stream length.
+    Every readout of this registry then answers EXACTLY for the
+    quantized metric (union-parity with the batch operator over
+    pre-quantized values is an identity); as estimates of the
+    unquantized metric the error bounds are: per-value displacement
+    <= q/2, hence Welch-moment readouts (TOST / power-MDE) shift means
+    by <= q/2 per arm; KS/MWU compare the quantized ECDFs — the KS D
+    statistic differs from the unquantized one by at most the largest
+    CDF mass either sample places inside one bucket; Brown-Forsythe's
+    type-1 medians and absolute deviations move by <= q each; the SRM
+    readout counts rows and is UNAFFECTED by quantization.
+    ``quantize_to`` is a WRITE-time contract — fix it per registry
+    (folding batches with different q would mix incompatible grids);
+    the readout functions need no parameter because the grid already
+    IS the quantized metric."""
+    if quantize_to is not None and int(quantize_to) < 1:
+        raise ValueError(f"quantize_to must be >= 1, got {quantize_to}")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        vcol = F.col(value_cents_col).cast("long")
+        if quantize_to is not None and int(quantize_to) > 1:
+            q = F.lit(int(quantize_to))
+            vcol = (vcol - F.pmod(vcol, q) + F.lit(int(quantize_to) // 2)).cast(
+                "long"
+            )
         # per-batch partial grid keeps per-arm counts separately so the
         # treatment label needs no cross-batch agreement at fold time
         part = batch_df.groupBy(
-            F.col(value_cents_col).cast("long").alias("__v"),
+            vcol.alias("__v"),
             F.col(arm_col).cast("string").alias("arm"),
         ).agg(F.count(F.lit(1)).cast("long").alias("n"))
         existing, _ = read_latest_snapshot(spark, registry_path, before_batch=batch_id)

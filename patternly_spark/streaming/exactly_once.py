@@ -166,6 +166,54 @@ def write_snapshot(
             )
 
 
+def _existing_sub_scheme(
+    spark: SparkSession, output_path: str, *, exclude_batch: int | None = None
+) -> tuple[str, ...] | None:
+    """Partition columns nested UNDER the existing ``_batch_id=`` dirs
+    (in nesting order), derived by walking the first non-empty batch
+    dir's ``name=value`` chain — or None when no prior batch dir holds
+    any data (empty dirs are invisible to Spark's file-driven partition
+    inference, so they constrain nothing).  ``exclude_batch`` skips the
+    writing batch's own orphan (a retry must be judged against the
+    OTHER batches' layout, not its own failed attempt)."""
+    fs, root, _ = _hadoop(spark, output_path)
+    if not fs.exists(root):
+        return None
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(f"{BATCH_COL}=")):
+            continue
+        if exclude_batch is not None:
+            try:
+                if int(name.split("=", 1)[1]) == int(exclude_batch):
+                    continue
+            except ValueError:
+                pass
+        scheme: list[str] = []
+        cur = st.getPath()
+        has_data = False
+        while True:
+            kids = list(fs.listStatus(cur))
+            sub = None
+            for k in kids:
+                kname = k.getPath().getName()
+                # partition dirs always carry '=' (which also covers
+                # engine-internal names like _day=); marker dirs such
+                # as _temporary never do
+                if k.isDirectory() and "=" in kname:
+                    sub = k.getPath()
+                    break
+                if not k.isDirectory() and not kname.startswith(("_", ".")):
+                    has_data = True
+            if sub is None:
+                break
+            scheme.append(sub.getName().split("=", 1)[0])
+            cur = sub
+        if has_data or scheme:
+            return tuple(scheme)
+    return None
+
+
 def write_batch_partition(
     df: DataFrame,
     output_path: str,
@@ -181,18 +229,32 @@ def write_batch_partition(
 
     ``sub_partition_cols`` adds registry-specific partition columns
     UNDER the batch dir (e.g. a coarse time bucket so readouts can
-    partition-prune by time range — ST37).  BATCH_COL stays first, so
-    dynamic overwrite still replaces exactly this batch's tree and
-    ``retire_batch_partitions`` / ``read_appended(min_batch=)`` are
-    unaffected.
+    partition-prune by time range — ST37).  BATCH_COL stays first.
+    With sub-partitions, dynamic overwrite alone would replace only the
+    LEAF partitions present in the retry's data — a retry whose
+    replayed batch covers fewer sub-partition values than the failed
+    first attempt would leave orphan leaf dirs inside the batch
+    partition — so the batch's own existing dir is DELETED first: a
+    retry replaces exactly this batch's whole tree (safe because the
+    batch is by definition uncommitted until ``foreachBatch`` returns,
+    and other batches' dirs are never touched).
 
-    Refuses a target that already holds a LEGACY FLAT registry (parquet
-    files directly under ``output_path``): appending ``_batch_id=``
-    partition dirs beside flat files produces a mixed layout Spark's
-    partition discovery cannot read back.  Migrate the seed first
-    (read it, re-write via ``write_batch_partition`` with a sentinel
-    batch id < the stream's first batch)."""
-    flat = _legacy_flat_files(df.sparkSession, output_path)
+    Refuses two mixed layouts Spark's partition discovery cannot read
+    back (instead of writing them and poisoning the registry):
+
+    - a target already holding a LEGACY FLAT registry (parquet files
+      directly under ``output_path``) — migrate the seed first (read
+      it, re-write via ``write_batch_partition`` with a sentinel batch
+      id < the stream's first batch);
+    - a target whose EXISTING batch dirs carry a different
+      sub-partition scheme than this write requests (e.g. earlier
+      batches written without ``_day``, new writes with it — partition
+      inference rejects the mixed tree as 'conflicting directory
+      structures', silently making the whole registry unreadable while
+      the writer keeps appending).  Migrate by reading the old batches
+      and rewriting them under the new scheme."""
+    spark = df.sparkSession
+    flat = _legacy_flat_files(spark, output_path)
     if flat:
         raise ValueError(
             f"{output_path} holds a legacy flat registry ({len(flat)} bare "
@@ -200,6 +262,26 @@ def write_batch_partition(
             "would produce a mixed layout partition discovery cannot read. "
             "Migrate the flat seed to a partitioned write first."
         )
+    existing = _existing_sub_scheme(
+        spark, output_path, exclude_batch=int(batch_id)
+    )
+    if existing is not None and existing != tuple(sub_partition_cols):
+        raise ValueError(
+            f"{output_path} holds batches sub-partitioned by {existing}, "
+            f"but this write requests {tuple(sub_partition_cols)}; the mixed "
+            "tree would be unreadable ('conflicting directory structures'). "
+            "Migrate the existing batches to the new scheme first."
+        )
+    if sub_partition_cols:
+        fs, _, jvm = _hadoop(spark, output_path)
+        own = jvm.org.apache.hadoop.fs.Path(
+            f"{output_path}/{BATCH_COL}={int(batch_id)}"
+        )
+        if fs.exists(own):
+            # drop the failed attempt's whole tree so leaf partitions it
+            # wrote but this retry does not cover cannot survive as
+            # orphans inside the batch partition
+            fs.delete(own, True)
     (
         df.withColumn(BATCH_COL, F.lit(int(batch_id)))
         .write.mode("overwrite")
@@ -221,11 +303,24 @@ def read_appended(
     retention-horizon view a BOUNDED registry probes (ST24b).  Both
     filters are partition predicates: pruned at the file listing, never
     scanned (a legacy flat layout has no batch column, so ``min_batch``
-    is ignored there — a flat seed is the horizon's batch 0)."""
+    is ignored there — a flat seed is the horizon's batch 0).
+
+    Only GENUINELY-EMPTY targets map to None (path absent, or present
+    with no data files).  A read that fails on data that exists — e.g.
+    a mixed-scheme tree ('conflicting directory structures') —
+    RE-RAISES: mapping it to None would let callers report 'no data'
+    while the registry silently rotted."""
+    fs, root, _ = _hadoop(spark, output_path)
+    if not fs.exists(root):
+        return None
     try:
         df = spark.read.parquet(output_path)
-    except Exception:
-        return None
+    except Exception as ex:
+        # an existing-but-fileless tree (crashed first write) is "no
+        # data yet"; anything else is a real, surfaced read failure
+        if "UNABLE_TO_INFER_SCHEMA" in str(ex):
+            return None
+        raise
     if BATCH_COL not in df.columns:
         # legacy flat layout (externally seeded registry)
         return df

@@ -55,7 +55,13 @@ def streaming_event_log_registry(
     Layout: ``_batch_id=<n>/_day=<epoch_day>/`` — the coarse UTC-day
     sub-partition is what lets ``bursts_from_event_log(min_ts_us=...)``
     prune a 100 TB log at the FILE LISTING (PartitionFilters), not by
-    scanning rows (round-8 verdict item 4)."""
+    scanning rows (round-8 verdict item 4).  Pointing this writer at a
+    registry whose earlier batches were written WITHOUT ``_day`` is
+    REFUSED by ``write_batch_partition`` (the mixed tree would be
+    unreadable — 'conflicting directory structures'); migrate such a
+    log by reading it and rewriting its batches under the new scheme.
+    Homogeneous legacy logs (all batches flat) stay readable and fall
+    back to the row-level time filter at readout."""
     from patternly_spark.streaming.exactly_once import write_batch_partition
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:

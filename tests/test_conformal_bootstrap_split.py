@@ -596,6 +596,99 @@ def test_streaming_rank_test_registry_equals_batch(spark, tmp_path):
     ) == tuple(srm_check(df, arm_col="arm", expected_control=0.5).collect()[0])
 
 
+def test_streaming_rank_test_registry_bounded_state(spark, tmp_path):
+    """ST42 (round-9 verdict item 1): on a HIGH-CARDINALITY continuous
+    domain the ST36 grid approaches row count; ``quantize_to`` bounds
+    state to (range/q + 1) * 2 rows regardless of stream length, and
+    every readout of the quantized registry is TUPLE-EXACT against its
+    batch operator over the pre-quantized values (the documented
+    contract: the registry answers exactly for the quantized metric).
+    Negative values pin the floor-aligned bucket arithmetic."""
+    from patternly_spark.operators.drift import (
+        brown_forsythe,
+        ks_two_sample,
+        mann_whitney_u,
+        power_mde,
+        srm_check,
+        tost_equivalence,
+    )
+    from patternly_spark.streaming.drift import (
+        brown_forsythe_from_registry,
+        ks_from_registry,
+        mwu_from_registry,
+        power_mde_from_registry,
+        srm_from_registry,
+        streaming_rank_test_registry,
+        tost_from_registry,
+    )
+    from patternly_spark.streaming.exactly_once import read_registry
+
+    # ~3000 distinct raw values spread over [-50_000, 50_000): the
+    # unbounded grid would hold ~3000 rows/arm and keep growing
+    rows = [
+        (i, "a" if i % 2 == 0 else "b", ((i * 7919) % 100_000) - 50_000)
+        for i in range(3000)
+    ]
+    schema = "id long, arm string, cents long"
+    src = str(tmp_path / "src")
+    for b in [rows[0::3], rows[1::3], rows[2::3]]:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    qz = 1000
+    q = streaming_rank_test_registry(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        str(tmp_path / "reg"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        arm_col="arm",
+        value_cents_col="cents",
+        quantize_to=qz,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    reg_path = str(tmp_path / "reg")
+    # state-size contract: <= (range/q + 1) buckets x 2 arms, NOT ~3000
+    n_state = read_registry(spark, reg_path).count()
+    assert n_state <= (100_000 // qz + 1) * 2, n_state
+    assert n_state < 300  # an order below the raw distinct-value grid
+
+    # the quantized batch twin: bucket midpoint, floor-aligned (Python
+    # % is floor-mod, matching pmod)
+    qrows = [(i, a, v - (v % qz) + qz // 2) for (i, a, v) in rows]
+    qdf = spark.createDataFrame(qrows, schema)
+
+    assert tuple(mwu_from_registry(spark, reg_path).collect()[0]) == tuple(
+        mann_whitney_u(qdf, "cents", arm_col="arm").collect()[0]
+    )
+    assert tuple(ks_from_registry(spark, reg_path).collect()[0]) == tuple(
+        ks_two_sample(qdf, "cents", arm_col="arm").collect()[0]
+    )
+    assert tuple(brown_forsythe_from_registry(spark, reg_path).collect()[0]) == tuple(
+        brown_forsythe(qdf, "cents", arm_col="arm").collect()[0]
+    )
+    assert tuple(
+        tost_from_registry(spark, reg_path, margin_cents=500.0).collect()[0]
+    ) == tuple(
+        tost_equivalence(qdf, "cents", arm_col="arm", margin_cents=500.0).collect()[0]
+    )
+    assert tuple(power_mde_from_registry(spark, reg_path).collect()[0]) == tuple(
+        power_mde(qdf, "cents", arm_col="arm").collect()[0]
+    )
+    assert tuple(
+        srm_from_registry(spark, reg_path, expected_control=0.5).collect()[0]
+    ) == tuple(srm_check(qdf, arm_col="arm", expected_control=0.5).collect()[0])
+
+    with pytest.raises(ValueError, match="quantize_to"):
+        streaming_rank_test_registry(
+            spark.readStream.schema(schema).parquet(src),
+            reg_path,
+            checkpoint_path=str(tmp_path / "ckpt2"),
+            arm_col="arm",
+            value_cents_col="cents",
+            quantize_to=0,
+        )
+
+
 def test_arm_gap_timeline_hand_computed(spark):
     """Per-period clustered gap: hand case incl. a period where one arm
     is absent (NULLs, the one-arm-visibility convention) and a unit

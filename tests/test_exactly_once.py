@@ -98,6 +98,75 @@ def test_batch_partition_refuses_mixed_layout(spark, tmp_path):
         write_batch_partition(spark.createDataFrame([(1,)], "v long"), p, 0)
 
 
+def test_batch_partition_refuses_sub_scheme_mismatch(spark, tmp_path):
+    """ADVICE r9: appending a _day-sub-partitioned batch to a registry
+    whose earlier batches were written WITHOUT _day yields a tree
+    Spark's partition inference rejects ('conflicting directory
+    structures') — refuse at write time, in BOTH directions, instead of
+    silently poisoning the registry."""
+    p = str(tmp_path / "out")
+    write_batch_partition(spark.createDataFrame([(1, 0)], "v long, _day long"), p, 0)
+    with pytest.raises(ValueError, match="sub-partitioned by"):
+        write_batch_partition(
+            spark.createDataFrame([(2, 1)], "v long, _day long"),
+            p, 1, sub_partition_cols=("_day",),
+        )
+    # reverse direction: existing batches HAVE the sub-partition
+    p2 = str(tmp_path / "out2")
+    write_batch_partition(
+        spark.createDataFrame([(1, 0)], "v long, _day long"),
+        p2, 0, sub_partition_cols=("_day",),
+    )
+    with pytest.raises(ValueError, match="sub-partitioned by"):
+        write_batch_partition(
+            spark.createDataFrame([(2, 1)], "v long, _day long"), p2, 1
+        )
+    # matching scheme keeps appending fine and the tree stays readable
+    write_batch_partition(
+        spark.createDataFrame([(2, 1)], "v long, _day long"),
+        p2, 1, sub_partition_cols=("_day",),
+    )
+    assert read_appended(spark, p2).count() == 2
+
+
+def test_read_appended_surfaces_real_read_errors(spark, tmp_path):
+    """ADVICE r9: only genuinely-empty targets map to None; a mixed
+    tree that exists but cannot be read RE-RAISES instead of being
+    reported as 'no data'."""
+    assert read_appended(spark, str(tmp_path / "absent")) is None
+    empty = tmp_path / "emptydir"
+    empty.mkdir()
+    assert read_appended(spark, str(empty)) is None
+    # hand-build the poisoned mixed tree the writer now refuses to make
+    p = str(tmp_path / "mixed")
+    spark.createDataFrame([(1,)], "v long").write.parquet(f"{p}/_batch_id=0")
+    spark.createDataFrame([(2,)], "v long").write.parquet(
+        f"{p}/_batch_id=1/_day=0"
+    )
+    with pytest.raises(Exception, match="(?i)conflicting|partition"):
+        read_appended(spark, p)
+
+
+def test_batch_partition_retry_drops_orphan_leaf_partitions(spark, tmp_path):
+    """ADVICE r9: with sub_partition_cols, a retry whose replayed batch
+    covers FEWER sub-partition values than the failed first attempt
+    must not leave the extra leaf dirs behind — the batch's whole tree
+    is replaced, exactly what the docstring promises."""
+    p = str(tmp_path / "out")
+    write_batch_partition(
+        spark.createDataFrame([(1, 0), (2, 1), (3, 2)], "v long, _day long"),
+        p, 0, sub_partition_cols=("_day",),
+    )
+    # retry of batch 0 covers only _day in {0} — days 1 and 2 from the
+    # first attempt must vanish
+    write_batch_partition(
+        spark.createDataFrame([(9, 0)], "v long, _day long"),
+        p, 0, sub_partition_cols=("_day",),
+    )
+    got = sorted((r["v"], r["_day"]) for r in read_appended(spark, p).collect())
+    assert got == [(9, 0)]
+
+
 def test_batch_partition_retry_overwrites(spark, tmp_path):
     p = str(tmp_path / "out")
     write_batch_partition(spark.createDataFrame([(1,), (2,)], "v long"), p, 0)
