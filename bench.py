@@ -576,11 +576,7 @@ def find_regressions(
     candidates = {n: t for n, t in eligible.items() if _over(t, pins[n])}
     out: dict[str, dict] = {}
     for name, t in candidates.items():
-        best = t
-        confirmed_by_retime = False
-        if retime is not None:
-            best = min(best, retime(name))
-            confirmed_by_retime = _over(best, pins[name])
+        best = t if retime is None else min(t, retime(name))
         if _over(best, pins[name]):
             entry = {
                 "sec": round(best, 3),
@@ -590,7 +586,9 @@ def find_regressions(
             }
             if retime is not None:
                 entry["first_pass_sec"] = round(t, 3)
-                entry["retimed"] = confirmed_by_retime
+                # an emitted entry with a retime callback has BY
+                # CONSTRUCTION survived the stage-2 confirmation
+                entry["retimed"] = True
             out[name] = entry
     return out
 

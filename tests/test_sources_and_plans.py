@@ -554,6 +554,13 @@ def test_bench_guard_retime_clears_transient_window():
     assert out["q005"]["retimed"] is True
     assert out["q005"]["first_pass_sec"] == 8.8
     assert out["q005"]["sec"] == 8.5
+    # artifact schema pin (round-9 verdict item 6): exactly these keys
+    assert set(out["q005"]) == {
+        "sec", "pin", "x_pin", "host_median_x", "first_pass_sec", "retimed"
+    }
+    # without a retime callback the confirmation fields are absent
+    no_retime = bench.find_regressions(timings, pins)
+    assert set(no_retime["q005"]) == {"sec", "pin", "x_pin", "host_median_x"}
 
 
 def test_bench_guard_retime_only_called_for_candidates():
