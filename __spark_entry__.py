@@ -13078,6 +13078,78 @@ def _q272_oracle() -> str:
     """
 
 
+def q273_chi2_independence(spark, sf_dir):
+    """Chi-square independence test (operators/drift.chi2_independence):
+    is event TYPE independent of the user cohort (user_id % 3)?  The
+    full 3 x 5 contingency grid (zero cells included at their expected
+    counts), per-cell contributions floor-quantized 2^-20 before the
+    order-free fold, df = (3-1)(5-1) = 8, and the tail via the
+    closed-form EVEN-df chi2 survival function (quantized exp times the
+    m=4 factorial-literal Horner polynomial).  Engine-exact."""
+    from patternly_spark.operators.drift import chi2_independence
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 3).cast("long").alias("segment"),
+        F.col("event_type"),
+    )
+    return chi2_independence(ev, row_col="segment", col_col="event_type")
+
+
+def _q273_oracle() -> str:
+    # even df = 8 -> m = 4: poly = 1 + h*(1 + h*(1/2 + h*(1/6)))
+    c0, c1, c2, c3 = (_dlit(1.0), _dlit(1.0), _dlit(0.5), _dlit(1.0 / 6.0))
+    return f"""
+    WITH base AS (
+        SELECT CAST(user_id % 3 AS BIGINT) AS row_key,
+               event_type AS col_key
+        FROM events
+    ), per AS (
+        SELECT row_key, col_key, CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY row_key, col_key
+    ), rowt AS (
+        SELECT row_key, CAST(SUM(n) AS BIGINT) AS nr FROM per GROUP BY row_key
+    ), colt AS (
+        SELECT col_key, CAST(SUM(n) AS BIGINT) AS nc FROM per GROUP BY col_key
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM per
+    ), grid AS (
+        SELECT r.row_key, c.col_key, r.nr, c.nc, t.n_total
+        FROM rowt r CROSS JOIN colt c CROSS JOIN tot t
+    ), detail AS (
+        SELECT g.row_key, g.col_key,
+               COALESCE(p.n, 0) AS n,
+               CAST(g.nr AS DOUBLE) * CAST(g.nc AS DOUBLE)
+                 / CAST(g.n_total AS DOUBLE) AS expected_n,
+               floor(
+                 (CAST(COALESCE(p.n, 0) AS DOUBLE)
+                    - CAST(g.nr AS DOUBLE) * CAST(g.nc AS DOUBLE)
+                      / CAST(g.n_total AS DOUBLE))
+                 * (CAST(COALESCE(p.n, 0) AS DOUBLE)
+                    - CAST(g.nr AS DOUBLE) * CAST(g.nc AS DOUBLE)
+                      / CAST(g.n_total AS DOUBLE))
+                 / (CAST(g.nr AS DOUBLE) * CAST(g.nc AS DOUBLE)
+                      / CAST(g.n_total AS DOUBLE))
+                 * 1048576.0) / 1048576.0 AS contrib_q,
+               g.n_total
+        FROM grid g
+        LEFT JOIN per p ON g.row_key = p.row_key AND g.col_key = p.col_key
+    ), folded AS (
+        SELECT SUM(contrib_q) AS chi2 FROM detail
+    ), verdict AS (
+        SELECT chi2, 8 AS df,
+               (floor(exp(-(chi2 / 2.0)) * 1048576.0) / 1048576.0)
+                 * ({c0} + (chi2 / 2.0) * ({c1} + (chi2 / 2.0)
+                    * ({c2} + (chi2 / 2.0) * {c3}))) AS p_value
+        FROM folded
+    )
+    SELECT d.row_key, d.col_key, d.n, d.expected_n, d.contrib_q,
+           d.n_total, v.df, v.chi2, v.p_value,
+           v.p_value < {_dlit(0.05)} AS dependent
+    FROM detail d CROSS JOIN verdict v
+    ORDER BY d.row_key, d.col_key
+    """
+
+
 def _q264_oracle() -> str:
     tau2 = _dlit(1000.0 * 1000.0)
     ln10 = _dlit(2.302585092994046)
@@ -13488,6 +13560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q270_power_mde": q270_power_mde,
         "q271_partition_quality": q271_partition_quality,
         "q272_srm_check_k": q272_srm_check_k,
+        "q273_chi2_independence": q273_chi2_independence,
     }
 
 
@@ -15291,6 +15364,7 @@ def oracle_sql() -> dict[str, str]:
         "q270_power_mde": _q270_oracle(),
         "q271_partition_quality": _Q271_ORACLE,
         "q272_srm_check_k": _q272_oracle(),
+        "q273_chi2_independence": _q273_oracle(),
     }
 
 

@@ -2057,10 +2057,12 @@ def chi2_sf_q(x: F.Column, df: int) -> F.Column:
       plan-time literals, and the normal SF is the shared A&S chain.
 
     The one libm call (exp) is floor-quantized to the 2^-20 grid
-    before use (the engine's ln-quantization convention); the odd-df
-    branch inherits normal_sf_q's ~1.5e-7 A&S error, the even-df
-    branch is exact to the exp grid (~1e-6) — both far inside any
-    alarm threshold and ~3 orders tighter than Wilson-Hilferty.
+    before use (the engine's ln-quantization convention); the closed
+    form's absolute error is the ~1.5e-7 A&S normal-tail error (odd
+    df only) plus the 2^-20 exp-grid quantum amplified by the
+    polynomial factor — ~1e-6 at small df, a few e-5 by df ~ 5-8 —
+    still ~2 orders tighter than Wilson-Hilferty's ~3e-3 and far
+    inside any alarm threshold.
     """
     import math
 
@@ -3222,3 +3224,89 @@ def srm_check_k(
         "arm", "n", "expected_ratio", "expected_n", "contrib_q",
         "n_total", "df", "chi2", "p_value", "p_value_wh", "srm",
     ).orderBy("arm")
+
+
+def chi2_independence(
+    df: DataFrame,
+    *,
+    row_col: str,
+    col_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Chi-square test of independence over an r x c contingency table
+    — the categorical companion of the two-sample panel (does metric
+    CATEGORY depend on segment: event type by user cohort, language by
+    source, conversion bucket by arm).  chi2 = sum (O - E)^2 / E with
+    E = row_total * col_total / n over ALL r*c cells (a zero observed
+    cell contributes its full expected count), df = (r-1)(c-1), and
+    the tail through the ENGINE-EXACT closed-form integer-df survival
+    function (``chi2_sf_q`` — the q272 chain).
+
+    Exactness: cell/row/column counts are INTEGERS; E and each cell's
+    contribution are fixed double chains, floor-quantized to the 2^-20
+    grid per cell before the order-free cross-cell sum (the engine's
+    fold convention); the tail is the quantized-exp closed form —
+    plain SQL replays every double.
+
+    Distributed shape: ONE data-sized groupBy onto the (row, col) cell
+    grid; row totals, column totals, the r x c dense grid (so zero
+    cells exist), and the 1-row fold are all CELL-sized; the only
+    driver-side values are r and c (one cell-sized aggregate action,
+    needed because the closed-form tail is built into the plan for a
+    literal df).  Categories are assumed driver-describable (segments,
+    arms, types — not raw ids); at 100 TB the single exchange is the
+    groupBy onto the cell grid.
+
+    Output: one row per cell, ordered — (row_key, col_key, n,
+    expected_n, contrib_q) with the shared verdict repeated (n_total,
+    df, chi2, p_value, dependent) — the per-cell detail shows WHICH
+    cells drive a firing test.
+    """
+    rk = F.col(row_col).alias("row_key")
+    ck = F.col(col_col).alias("col_key")
+    per = (
+        df.select(rk, ck)
+        .groupBy("row_key", "col_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    shape = per.agg(
+        F.countDistinct("row_key").alias("r"),
+        F.countDistinct("col_key").alias("c"),
+    ).collect()[0]
+    r, c = int(shape["r"]), int(shape["c"])
+    if r < 2 or c < 2:
+        raise ValueError(
+            f"chi2_independence needs >= 2 categories per axis, got {r} x {c}"
+        )
+    dfree = (r - 1) * (c - 1)
+    rowt = per.groupBy("row_key").agg(F.sum("n").cast("long").alias("nr"))
+    colt = per.groupBy("col_key").agg(F.sum("n").cast("long").alias("nc"))
+    tot = per.agg(F.sum("n").cast("long").alias("n_total"))
+    grid = rowt.crossJoin(F.broadcast(colt)).crossJoin(F.broadcast(tot))
+    j = grid.join(per, ["row_key", "col_key"], "left").na.fill({"n": 0})
+    g = F.lit(float(1 << 20))
+    en = (
+        F.col("nr").cast("double")
+        * F.col("nc").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    contrib = (F.col("n").cast("double") - en) * (F.col("n").cast("double") - en) / en
+    detail = j.select(
+        "row_key", "col_key", "n",
+        en.alias("expected_n"),
+        (F.floor(contrib * g) / g).alias("contrib_q"),
+        "n_total",
+    )
+    folded = detail.agg(F.sum("contrib_q").alias("chi2"))
+    p = chi2_sf_q(F.col("chi2"), dfree)
+    verdict = folded.select(
+        "chi2",
+        F.lit(int(dfree)).alias("df"),
+        p.alias("p_value"),
+        (p < F.lit(float(alpha))).alias("dependent"),
+    )
+    return detail.crossJoin(F.broadcast(verdict)).select(
+        "row_key", "col_key", "n", "expected_n", "contrib_q",
+        "n_total", "df", "chi2", "p_value", "dependent",
+    ).orderBy("row_key", "col_key")

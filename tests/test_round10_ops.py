@@ -1,0 +1,137 @@
+"""Round-10 operators: the engine-exact integer-df chi-square survival
+function (drift.chi2_sf_q) and the chi-square independence test
+(drift.chi2_independence)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from patternly_spark.operators.drift import chi2_independence, chi2_sf_q
+
+
+def _chi2_sf_reference(x: float, df: int) -> float:
+    """From-scratch closed-form integer-df chi2 SF (unquantized A&S
+    normal tail for odd df) — an independent implementation path."""
+    h = x / 2.0
+    eq = math.exp(-h)
+    if df % 2 == 0:
+        m = df // 2
+        return eq * sum(h**j / math.factorial(j) for j in range(m))
+    t = 1.0 / (1.0 + 0.2316419 * math.sqrt(x))
+    b = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+    poly = t * (b[0] + t * (b[1] + t * (b[2] + t * (b[3] + t * b[4]))))
+    nsf = math.exp(-x / 2.0) * 0.3989422804014327 * poly
+    base = 2.0 * nsf
+    m = (df - 1) // 2
+    if m == 0:
+        return base
+    return base + eq * math.sqrt(h) * sum(
+        h ** (j - 1) / math.gamma(j + 0.5) for j in range(1, m + 1)
+    )
+
+
+def test_chi2_sf_q_matches_published_critical_values(spark):
+    """The closed form at the textbook critical values: SF(crit_05, df)
+    must be 0.05 within the documented error (A&S ~1.5e-7 plus the
+    2^-20 exp-grid quantum amplified by the polynomial factor — a few
+    e-5 by df ~ 5-8), for even AND odd df; also pins the column
+    expression against the independent Python replication."""
+    crits = {
+        1: 3.841458820694124,
+        2: 5.991464547107979,
+        3: 7.814727903251179,
+        4: 9.487729036781154,
+        5: 11.070497693516351,
+        8: 15.50731305586545,
+    }
+    rows = [(df, x) for df, x in crits.items()]
+    sdf = spark.createDataFrame(rows, "df int, x double")
+    for df, x in crits.items():
+        got = (
+            sdf.filter(F.col("df") == df)
+            .select(chi2_sf_q(F.col("x"), df).alias("p"))
+            .collect()[0]["p"]
+        )
+        assert got == pytest.approx(0.05, abs=5e-5), (df, got)
+        assert got == pytest.approx(_chi2_sf_reference(x, df), abs=5e-5)
+    # grid sanity: SF(0) = 1 for even df; ~1 for odd (through the
+    # normal chain); monotone decreasing in x
+    z = spark.range(1).select(
+        chi2_sf_q(F.lit(0.0), 2).alias("p2"),
+        chi2_sf_q(F.lit(0.0), 3).alias("p3"),
+        chi2_sf_q(F.lit(5.0), 4).alias("lo"),
+        chi2_sf_q(F.lit(1.0), 4).alias("hi"),
+    ).collect()[0]
+    assert z["p2"] == pytest.approx(1.0, abs=2e-6)
+    assert z["p3"] == pytest.approx(1.0, abs=1e-5)
+    assert z["lo"] < z["hi"]
+    with pytest.raises(ValueError, match="df >= 1"):
+        chi2_sf_q(F.lit(1.0), 0)
+
+
+def test_chi2_independence_hand_computed(spark):
+    """Classic 2x2 [[10,20],[30,40]]: chi2 = n(ad-bc)^2/(r1 r2 c1 c2)
+    = 100 * 200^2 / (30*70*40*60) = 0.7936...; df = 1 (the odd-df
+    normal-chain tail), p ~= 0.373 — independent of the category
+    labels' order."""
+    rows = (
+        [("r0", "c0")] * 10 + [("r0", "c1")] * 20
+        + [("r1", "c0")] * 30 + [("r1", "c1")] * 40
+    )
+    df = spark.createDataFrame(rows, "seg string, cat string")
+    out = chi2_independence(df, row_col="seg", col_col="cat").collect()
+    assert len(out) == 4
+    want_chi2 = 100 * (10 * 40 - 20 * 30) ** 2 / (30 * 70 * 40 * 60)
+    r = out[0]
+    assert r["df"] == 1
+    assert r["chi2"] == pytest.approx(want_chi2, abs=1e-5)
+    assert r["p_value"] == pytest.approx(
+        _chi2_sf_reference(want_chi2, 1), abs=1e-5
+    )
+    assert r["dependent"] is False
+    cells = {(x["row_key"], x["col_key"]): x for x in out}
+    assert cells[("r0", "c0")]["n"] == 10
+    assert cells[("r0", "c0")]["expected_n"] == pytest.approx(30 * 40 / 100)
+    # per-cell contribution is the quantized (O-E)^2/E
+    g = float(1 << 20)
+    e00 = 30 * 40 / 100
+    assert cells[("r0", "c0")]["contrib_q"] == math.floor(
+        (10 - e00) ** 2 / e00 * g
+    ) / g
+
+
+def test_chi2_independence_zero_cell_and_guards(spark):
+    """A zero observed cell appears in the dense grid and contributes
+    its full expected count ((0-E)^2/E = E); [[5,0],[5,10]] gives
+    chi2 = 20/3 -> dependent at alpha=0.05.  One category per axis
+    raises."""
+    rows = [("a", "x")] * 5 + [("b", "x")] * 5 + [("b", "y")] * 10
+    df = spark.createDataFrame(rows, "seg string, cat string")
+    out = {(r["row_key"], r["col_key"]): r for r in
+           chi2_independence(df, row_col="seg", col_col="cat").collect()}
+    assert ("a", "y") in out and out[("a", "y")]["n"] == 0
+    assert out[("a", "y")]["expected_n"] == pytest.approx(2.5)
+    r = out[("a", "x")]
+    assert r["chi2"] == pytest.approx(20.0 / 3.0, abs=1e-5)
+    assert r["dependent"] is True and r["p_value"] < 0.01
+
+    with pytest.raises(ValueError, match=">= 2 categories"):
+        chi2_independence(
+            spark.createDataFrame([("a", "x"), ("a", "y")], "seg string, cat string"),
+            row_col="seg", col_col="cat",
+        )
+
+
+def test_chi2_independence_independent_fixture_accepts(spark):
+    """A perfectly proportional table ([[10,20],[20,40]]) has chi2 = 0
+    and p ~= 1 — the test must NOT fire."""
+    rows = (
+        [("r0", "c0")] * 10 + [("r0", "c1")] * 20
+        + [("r1", "c0")] * 20 + [("r1", "c1")] * 40
+    )
+    df = spark.createDataFrame(rows, "seg string, cat string")
+    r = chi2_independence(df, row_col="seg", col_col="cat").collect()[0]
+    assert r["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert r["p_value"] == pytest.approx(1.0, abs=1e-5)
+    assert r["dependent"] is False
