@@ -13134,16 +13134,17 @@ def _q273_oracle() -> str:
         FROM grid g
         LEFT JOIN per p ON g.row_key = p.row_key AND g.col_key = p.col_key
     ), folded AS (
-        SELECT SUM(contrib_q) AS chi2 FROM detail
+        SELECT SUM(contrib_q) AS chi2, MAX(n_total) AS nt FROM detail
     ), verdict AS (
         SELECT chi2, 8 AS df,
                (floor(exp(-(chi2 / 2.0)) * 1048576.0) / 1048576.0)
                  * ({c0} + (chi2 / 2.0) * ({c1} + (chi2 / 2.0)
-                    * ({c2} + (chi2 / 2.0) * {c3}))) AS p_value
+                    * ({c2} + (chi2 / 2.0) * {c3}))) AS p_value,
+               sqrt(chi2 / (CAST(nt AS DOUBLE) * 2.0)) AS cramers_v
         FROM folded
     )
     SELECT d.row_key, d.col_key, d.n, d.expected_n, d.contrib_q,
-           d.n_total, v.df, v.chi2, v.p_value,
+           d.n_total, v.df, v.chi2, v.p_value, v.cramers_v,
            v.p_value < {_dlit(0.05)} AS dependent
     FROM detail d CROSS JOIN verdict v
     ORDER BY d.row_key, d.col_key

@@ -3259,8 +3259,10 @@ def chi2_independence(
 
     Output: one row per cell, ordered — (row_key, col_key, n,
     expected_n, contrib_q) with the shared verdict repeated (n_total,
-    df, chi2, p_value, dependent) — the per-cell detail shows WHICH
-    cells drive a firing test.
+    df, chi2, p_value, cramers_v, dependent) — the per-cell detail
+    shows WHICH cells drive a firing test; ``cramers_v`` =
+    sqrt(chi2 / (n * min(r-1, c-1))) is the effect size the p-value
+    alone hides at large n (sqrt is IEEE-exact, the chain replays).
     """
     rk = F.col(row_col).alias("row_key")
     ck = F.col(col_col).alias("col_key")
@@ -3298,15 +3300,22 @@ def chi2_independence(
         (F.floor(contrib * g) / g).alias("contrib_q"),
         "n_total",
     )
-    folded = detail.agg(F.sum("contrib_q").alias("chi2"))
+    folded = detail.agg(
+        F.sum("contrib_q").alias("chi2"),
+        F.max("n_total").alias("__nt"),
+    )
     p = chi2_sf_q(F.col("chi2"), dfree)
+    vmin = min(r - 1, c - 1)
     verdict = folded.select(
         "chi2",
         F.lit(int(dfree)).alias("df"),
         p.alias("p_value"),
+        F.sqrt(
+            F.col("chi2") / (F.col("__nt").cast("double") * F.lit(float(vmin)))
+        ).alias("cramers_v"),
         (p < F.lit(float(alpha))).alias("dependent"),
     )
     return detail.crossJoin(F.broadcast(verdict)).select(
         "row_key", "col_key", "n", "expected_n", "contrib_q",
-        "n_total", "df", "chi2", "p_value", "dependent",
+        "n_total", "df", "chi2", "p_value", "cramers_v", "dependent",
     ).orderBy("row_key", "col_key")

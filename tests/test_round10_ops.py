@@ -90,6 +90,8 @@ def test_chi2_independence_hand_computed(spark):
         _chi2_sf_reference(want_chi2, 1), abs=1e-5
     )
     assert r["dependent"] is False
+    # Cramer's V effect size: sqrt(chi2 / (n * min(r-1, c-1)))
+    assert r["cramers_v"] == pytest.approx(math.sqrt(want_chi2 / 100), abs=1e-5)
     cells = {(x["row_key"], x["col_key"]): x for x in out}
     assert cells[("r0", "c0")]["n"] == 10
     assert cells[("r0", "c0")]["expected_n"] == pytest.approx(30 * 40 / 100)
