@@ -13151,6 +13151,57 @@ def _q273_oracle() -> str:
     """
 
 
+def q274_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR control (operators/drift.bh_fdr): a
+    20-test panel (one deterministic md5-uniform p-value per document
+    source, cubed so the small-p tail is populated) adjusted to
+    q-values by the step-down m*p/rank running min — the
+    multiple-testing closer over the engine's hypothesis-test surface.
+    No libm anywhere; engine-exact."""
+    from patternly_spark.operators.drift import bh_fdr
+    from patternly_spark.operators.sampling import hash_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    h = hash_fraction(F.col("source"), seed="bhp")
+    panel = docs.select("source").distinct().select(
+        "source", (h * h * h).alias("p_raw")
+    )
+    return bh_fdr(panel, p_col="p_raw", id_cols=["source"], alpha=0.1)
+
+
+def _q274_oracle() -> str:
+    return f"""
+    WITH panel AS (
+        SELECT source,
+               (CAST(('0x' || substr(md5('bhp' || CAST(source AS VARCHAR)), 1, 8)) AS BIGINT)
+                  / 4294967296.0)
+               * (CAST(('0x' || substr(md5('bhp' || CAST(source AS VARCHAR)), 1, 8)) AS BIGINT)
+                  / 4294967296.0)
+               * (CAST(('0x' || substr(md5('bhp' || CAST(source AS VARCHAR)), 1, 8)) AS BIGINT)
+                  / 4294967296.0) AS p_value
+        FROM (SELECT DISTINCT source FROM documents)
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m FROM panel
+    ), ranked AS (
+        SELECT source, p_value, m,
+               CAST(ROW_NUMBER() OVER (ORDER BY p_value, source) AS BIGINT) AS rank
+        FROM panel CROSS JOIN tot
+    ), stepped AS (
+        SELECT source, p_value, rank, m,
+               LEAST(
+                 MIN(p_value * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE))
+                   OVER (ORDER BY rank DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 1.0) AS q_value
+        FROM ranked
+    )
+    SELECT source, p_value, rank, m, q_value,
+           q_value <= {_dlit(0.1)} AS rejected
+    FROM stepped
+    ORDER BY rank
+    """
+
+
 def _q264_oracle() -> str:
     tau2 = _dlit(1000.0 * 1000.0)
     ln10 = _dlit(2.302585092994046)
@@ -13562,6 +13613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q271_partition_quality": q271_partition_quality,
         "q272_srm_check_k": q272_srm_check_k,
         "q273_chi2_independence": q273_chi2_independence,
+        "q274_bh_fdr": q274_bh_fdr,
     }
 
 
@@ -15366,6 +15418,7 @@ def oracle_sql() -> dict[str, str]:
         "q271_partition_quality": _Q271_ORACLE,
         "q272_srm_check_k": _q272_oracle(),
         "q273_chi2_independence": _q273_oracle(),
+        "q274_bh_fdr": _q274_oracle(),
     }
 
 

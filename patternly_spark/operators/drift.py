@@ -3319,3 +3319,65 @@ def chi2_independence(
         "row_key", "col_key", "n", "expected_n", "contrib_q",
         "n_total", "df", "chi2", "p_value", "cramers_v", "dependent",
     ).orderBy("row_key", "col_key")
+
+
+def bh_fdr(
+    df: DataFrame,
+    *,
+    p_col: str,
+    id_cols: list[str],
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control — the multiple-testing closer for
+    the engine's hypothesis-test surface (MWU, KS, BF, TOST, SRM, chi2,
+    logrank, ...): a dashboard running m tests at per-test alpha fires
+    ~alpha*m false alarms; BH adjusts each p to the q-value
+
+        q_(i) = min_{j >= i} ( m * p_(j) / j ),  capped at 1
+
+    over the ascending p ranks, and rejecting q <= alpha controls the
+    expected false-discovery proportion at alpha (Benjamini & Hochberg
+    1995) under independent or positively-dependent tests.
+
+    Exactness: rank is a deterministic row_number over (p, id) — ties
+    broken by id so both engines agree; raw = p * m / rank is a fixed
+    double chain (m and rank exact integers); the step-down min is a
+    running MIN over ranks descending (exact — min of doubles has no
+    rounding); the cap is a LEAST.  No libm anywhere — plain SQL
+    replays every double bit-for-bit.
+
+    Shape: m is the number of HYPOTHESES (metrics x segments on a
+    dashboard), readout-sized by contract — the single-partition rank
+    window over m rows is the kaplan_meier grid convention, not a
+    data-sized sort.  The p-values themselves arrive from data-sized
+    operators upstream.
+
+    Output: one row per test, ordered by rank — (*id_cols, p_value,
+    rank, m, q_value, rejected).
+    """
+    from pyspark.sql import Window
+
+    if not id_cols:
+        raise ValueError("bh_fdr needs id_cols to break p-value ties deterministically")
+    p = F.col(p_col).cast("double")
+    base = df.select(*id_cols, p.alias("p_value"))
+    w_rank = Window.orderBy("p_value", *id_cols)
+    w_min = Window.orderBy(F.desc("rank")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    ranked = base.crossJoin(F.broadcast(tot)).withColumn(
+        "rank", F.row_number().over(w_rank).cast("long")
+    )
+    raw = (
+        F.col("p_value")
+        * F.col("m").cast("double")
+        / F.col("rank").cast("double")
+    )
+    out = ranked.withColumn("__raw", raw).withColumn(
+        "q_value", F.least(F.min("__raw").over(w_min), F.lit(1.0))
+    )
+    return out.select(
+        *id_cols, "p_value", "rank", "m", "q_value",
+        (F.col("q_value") <= F.lit(float(alpha))).alias("rejected"),
+    ).orderBy("rank")
