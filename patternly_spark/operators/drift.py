@@ -3272,6 +3272,17 @@ def chi2_independence(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .localCheckpoint(eager=True)
     )
+    return chi2_from_cells(per, alpha=alpha)
+
+
+def chi2_from_cells(per: DataFrame, *, alpha: float = 0.05) -> DataFrame:
+    """The ONE chi-square-independence finalizer, shared by the batch
+    operator (``chi2_independence``) and the streaming readout
+    (``streaming/drift.chi2_independence_from_registry``): consumes the
+    already-aggregated cell grid (row_key, col_key, n) — which is
+    exactly what a streaming registry folds additively — and produces
+    the identical output, so registry finalize == batch over all
+    history is an identity, not an approximation."""
     shape = per.agg(
         F.countDistinct("row_key").alias("r"),
         F.countDistinct("col_key").alias("c"),

@@ -43,6 +43,8 @@ __all__ = [
     "did_from_registry",
     "streaming_rank_test_registry",
     "mwu_from_registry",
+    "streaming_contingency_registry",
+    "chi2_independence_from_registry",
 ]
 
 
@@ -1128,3 +1130,62 @@ def jackknife_from_registry(spark, registry_path: str, *, z: float = 1.96) -> Da
         "arm", F.col("bucket").alias("__b"), "s_j", "n_j"
     )
     return jackknife_from_buckets(per_bucket, z=z)
+
+
+def streaming_contingency_registry(
+    stream_df: DataFrame,
+    registry_path: str,
+    *,
+    checkpoint_path: str,
+    row_col: str,
+    col_col: str,
+    trigger_once: bool = False,
+):
+    """foreachBatch contingency registry (ST43): fold each microbatch's
+    (row category, column category) CELL COUNTS into the persisted grid
+    by integer addition — cells commute, rows may arrive in any batch
+    and order.  State is CELL-sized (r x c observed category pairs:
+    event types x cohorts, languages x sources), never row-sized — the
+    categorical sibling of the ST36 value grid, naturally bounded
+    because categories are driver-describable by the q273 contract.
+    Finalize any time with ``chi2_independence_from_registry`` —
+    value-identical to ``operators/drift.chi2_independence`` over all
+    history (the ONE shared ``chi2_from_cells`` finalizer; ``alpha`` is
+    a READOUT-time parameter).  Exactly-once via versioned snapshots."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = batch_df.groupBy(
+            F.col(row_col).cast("string").alias("row_key"),
+            F.col(col_col).cast("string").alias("col_key"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        existing, _ = read_latest_snapshot(spark, registry_path, before_batch=batch_id)
+        if existing is not None:
+            part = (
+                part.unionByName(existing)
+                .groupBy("row_key", "col_key")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+        write_snapshot(part.localCheckpoint(eager=True), registry_path, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def chi2_independence_from_registry(
+    spark, registry_path: str, *, alpha: float = 0.05
+) -> DataFrame:
+    """Chi-square independence readout from a
+    ``streaming_contingency_registry`` state — the folded cell grid IS
+    the (row_key, col_key, n) input of the ONE shared
+    ``chi2_from_cells`` finalizer, so finalize == batch
+    ``chi2_independence`` over every row ever folded (identity, not
+    approximation)."""
+    from patternly_spark.operators.drift import chi2_from_cells
+
+    reg = read_registry(spark, registry_path)
+    return chi2_from_cells(reg, alpha=alpha)

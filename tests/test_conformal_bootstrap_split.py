@@ -689,6 +689,46 @@ def test_streaming_rank_test_registry_bounded_state(spark, tmp_path):
         )
 
 
+def test_streaming_contingency_registry_equals_batch(spark, tmp_path):
+    """ST43: additive (row, col) cell counts — finalize after 3 triggers
+    == batch chi2_independence over the union, tuple-exact (cells
+    straddle batches; alpha is a readout-time parameter)."""
+    from patternly_spark.operators.drift import chi2_independence
+    from patternly_spark.streaming.drift import (
+        chi2_independence_from_registry,
+        streaming_contingency_registry,
+    )
+    from patternly_spark.streaming.exactly_once import read_registry
+
+    rows = [("s" + str(i % 3), "c" + str((i * 7) % 5)) for i in range(150)]
+    schema = "seg string, cat string"
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    for b in [rows[0::3], rows[1::3], rows[2::3]]:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_contingency_registry(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        str(tmp_path / "reg"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        row_col="seg",
+        col_col="cat",
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got = chi2_independence_from_registry(spark, str(tmp_path / "reg")).collect()
+    want = chi2_independence(df, row_col="seg", col_col="cat").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # state is cell-sized: <= 3 x 5 observed category pairs
+    assert read_registry(spark, str(tmp_path / "reg")).count() <= 15
+    # alpha is a readout-time parameter
+    strict = chi2_independence_from_registry(
+        spark, str(tmp_path / "reg"), alpha=1e-12
+    ).collect()[0]
+    assert strict["dependent"] is False
+
+
 def test_arm_gap_timeline_hand_computed(spark):
     """Per-period clustered gap: hand case incl. a period where one arm
     is absent (NULLs, the one-arm-visibility convention) and a unit

@@ -275,6 +275,18 @@ def _cases() -> dict[str, Case]:
         ),
         ["reg"],
     )
+    from patternly_spark.streaming.drift import streaming_contingency_registry
+
+    add(
+        "contingency_registry", "seg string, cat string",
+        [("s" + str(i % 3), "c" + str(i % 4)) for i in range(24)],
+        [("s" + str(i % 2), "c" + str((i * 5) % 4)) for i in range(24)],
+        lambda spark, s, d: streaming_contingency_registry(
+            s, f"{d}/reg", checkpoint_path=f"{d}/ckpt", row_col="seg",
+            col_col="cat", trigger_once=True,
+        ),
+        ["reg"],
+    )
     add(
         "jackknife_registry", "arm string, bucket long, cents long",
         [("a" if i % 2 == 0 else "b", i % 4, 100 + 7 * i) for i in range(16)],
