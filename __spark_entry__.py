@@ -13202,6 +13202,104 @@ def _q274_oracle() -> str:
     """
 
 
+def q275_mantel_haenszel(spark, sf_dir):
+    """Mantel-Haenszel stratified 2x2 (operators/drift.mantel_haenszel):
+    does the md5-coin 'treatment' shift purchase propensity, ADJUSTED
+    for the user_id%4 cohort strata — per-stratum integer 2x2 cells,
+    ad/n, bc/n, E and V terms floor-quantized 2^-20 before the
+    order-free cross-stratum folds, 1-df tail via the closed-form
+    chi2 SF (the odd-df normal chain).  Engine-exact."""
+    from patternly_spark.operators.drift import mantel_haenszel
+    from patternly_spark.operators.sampling import hash_fraction
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).cast("long").alias("cohort"),
+        (hash_fraction(F.col("user_id"), seed="mh") < F.lit(0.5))
+        .cast("int")
+        .alias("treat"),
+        (F.col("event_type") == "purchase").cast("int").alias("converted"),
+    )
+    return mantel_haenszel(
+        ev, stratum_col="cohort", treat_col="treat", outcome_col="converted"
+    )
+
+
+def _q275_oracle() -> str:
+    inv = _dlit(0.3989422804014327)
+    t_c = _dlit(0.2316419)
+    b1, b2, b3, b4, b5 = (
+        _dlit(v)
+        for v in (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+    )
+
+    def sf_abs(x):
+        return (
+            f"((floor(exp(-{x} * {x} / 2.0) * 1048576.0) / 1048576.0) * {inv})"
+            f" * ((1.0 / (1.0 + {t_c} * {x}))"
+            f"    * ({b1} + (1.0 / (1.0 + {t_c} * {x}))"
+            f"       * ({b2} + (1.0 / (1.0 + {t_c} * {x}))"
+            f"          * ({b3} + (1.0 / (1.0 + {t_c} * {x}))"
+            f"             * ({b4} + (1.0 / (1.0 + {t_c} * {x})) * {b5})))))"
+        )
+
+    return f"""
+    WITH base AS (
+        SELECT CAST(user_id % 4 AS BIGINT) AS stratum,
+               CASE WHEN CAST(('0x' || substr(md5('mh' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         / 4294967296.0 < {_dlit(0.5)} THEN 1 ELSE 0 END AS t,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ), per AS (
+        SELECT stratum,
+               CAST(SUM(t * y) AS BIGINT) AS a,
+               CAST(SUM(t * (1 - y)) AS BIGINT) AS b,
+               CAST(SUM((1 - t) * y) AS BIGINT) AS c,
+               CAST(SUM((1 - t) * (1 - y)) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY stratum
+    ), terms AS (
+        SELECT stratum, a, b, c, d, n,
+               CASE WHEN b > 0 AND c > 0
+                    THEN (CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                         / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) END AS or_stratum,
+               floor(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+                     * 1048576.0) / 1048576.0 AS adn,
+               floor(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                     * 1048576.0) / 1048576.0 AS bcn,
+               floor((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                     * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                     / CAST(n AS DOUBLE) * 1048576.0) / 1048576.0 AS e,
+               CASE WHEN n > 1 THEN
+                 floor((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                       * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+                       * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                       * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                          * (CAST(n AS DOUBLE) - 1.0)) * 1048576.0) / 1048576.0
+               ELSE 0.0 END AS v
+        FROM per
+    ), folded AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS sa, SUM(adn) AS sadn,
+               SUM(bcn) AS sbcn, SUM(e) AS se, SUM(v) AS sv
+        FROM terms
+    ), verdict AS (
+        SELECT CASE WHEN sbcn > 0 THEN sadn / sbcn END AS or_mh,
+               CASE WHEN sv > 0 THEN
+                 (CAST(sa AS DOUBLE) - se) * (CAST(sa AS DOUBLE) - se) / sv
+               END AS chi2
+        FROM folded
+    ), verdict2 AS (
+        SELECT or_mh, chi2,
+               2.0 * {sf_abs('sqrt(chi2)')} AS p_value
+        FROM verdict
+    )
+    SELECT t.stratum, t.a, t.b, t.c, t.d, t.n, t.or_stratum,
+           v.or_mh, v.chi2, v.p_value, v.p_value < {_dlit(0.05)} AS significant
+    FROM terms t CROSS JOIN verdict2 v
+    ORDER BY t.stratum
+    """
+
+
 def _q264_oracle() -> str:
     tau2 = _dlit(1000.0 * 1000.0)
     ln10 = _dlit(2.302585092994046)
@@ -13614,6 +13712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q272_srm_check_k": q272_srm_check_k,
         "q273_chi2_independence": q273_chi2_independence,
         "q274_bh_fdr": q274_bh_fdr,
+        "q275_mantel_haenszel": q275_mantel_haenszel,
     }
 
 
@@ -15419,6 +15518,7 @@ def oracle_sql() -> dict[str, str]:
         "q272_srm_check_k": _q272_oracle(),
         "q273_chi2_independence": _q273_oracle(),
         "q274_bh_fdr": _q274_oracle(),
+        "q275_mantel_haenszel": _q275_oracle(),
     }
 
 

@@ -3392,3 +3392,99 @@ def bh_fdr(
         *id_cols, "p_value", "rank", "m", "q_value",
         (F.col("q_value") <= F.lit(float(alpha))).alias("rejected"),
     ).orderBy("rank")
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    *,
+    stratum_col: str,
+    treat_col: str,
+    outcome_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Mantel-Haenszel stratified 2x2 readout — the confounder-adjusted
+    binary-outcome gate (conversion lift by arm, ADJUSTED for a
+    stratifying covariate: region, device, cohort).  Pooling strata
+    naively invites Simpson's paradox; MH combines the per-stratum
+    2x2 tables
+
+        OR_MH = sum_k(a_k d_k / n_k) / sum_k(b_k c_k / n_k)
+        chi2  = (sum a_k - sum E_k)^2 / sum V_k   (1 df, no continuity
+                 correction), E_k = r1_k c1_k / n_k,
+                 V_k = r1_k r0_k c1_k c0_k / (n_k^2 (n_k - 1))
+
+    with a_k = treated successes, b_k = treated failures, c_k =
+    control successes, d_k = control failures, r/c the margins — and
+    the tail through the engine-exact ``chi2_sf_q(., 1)``.
+
+    Exactness: the per-stratum cells are INTEGER conditional counts
+    (one groupBy); each stratum's ad/n, bc/n, E and V terms are fixed
+    double chains floor-quantized to the 2^-20 grid BEFORE the
+    order-free cross-stratum sums (the engine's fold convention);
+    OR/chi2/p are scalar chains on the folded sums — plain SQL replays
+    every double.  Single-stratum input degenerates to the plain 2x2
+    test; a stratum with n_k <= 1 contributes NULL-guarded zeros to V
+    (V's (n_k - 1) denominator).
+
+    Shape: ONE data-sized groupBy onto the stratum grid; everything
+    after is stratum-count sized.  Treatment/outcome must be 0/1.
+
+    Output: one row per stratum, ordered — (stratum, a, b, c, d, n,
+    or_stratum) with the shared verdict repeated (or_mh, chi2,
+    p_value, significant); per-stratum odds ratios expose the
+    heterogeneity MH averages over (NULL when b*c = 0).
+    """
+    t = F.col(treat_col).cast("int")
+    y = F.col(outcome_col).cast("int")
+    per = (
+        df.select(F.col(stratum_col).alias("stratum"), t.alias("__t"), y.alias("__y"))
+        .groupBy("stratum")
+        .agg(
+            F.sum(F.col("__t") * F.col("__y")).cast("long").alias("a"),
+            F.sum(F.col("__t") * (1 - F.col("__y"))).cast("long").alias("b"),
+            F.sum((1 - F.col("__t")) * F.col("__y")).cast("long").alias("c"),
+            F.sum((1 - F.col("__t")) * (1 - F.col("__y"))).cast("long").alias("d"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    g = F.lit(float(1 << 20))
+    nd = F.col("n").cast("double")
+    ad, bd, cd, dd = (F.col(x).cast("double") for x in ("a", "b", "c", "d"))
+    r1, r0 = ad + bd, cd + dd
+    c1, c0 = ad + cd, bd + dd
+    q = lambda e: F.floor(e * g) / g  # noqa: E731
+    terms = per.select(
+        "stratum", "a", "b", "c", "d", "n",
+        F.when((F.col("b") > 0) & (F.col("c") > 0), (ad * dd) / (bd * cd))
+        .alias("or_stratum"),
+        q(ad * dd / nd).alias("__adn"),
+        q(bd * cd / nd).alias("__bcn"),
+        q(r1 * c1 / nd).alias("__e"),
+        F.when(
+            F.col("n") > 1,
+            q(r1 * r0 * c1 * c0 / (nd * nd * (nd - F.lit(1.0)))),
+        ).otherwise(F.lit(0.0)).alias("__v"),
+    ).localCheckpoint(eager=True)
+    folded = terms.agg(
+        F.sum("a").cast("long").alias("__sa"),
+        F.sum("__adn").alias("__sadn"),
+        F.sum("__bcn").alias("__sbcn"),
+        F.sum("__e").alias("__se"),
+        F.sum("__v").alias("__sv"),
+    )
+    chi2 = (
+        (F.col("__sa").cast("double") - F.col("__se"))
+        * (F.col("__sa").cast("double") - F.col("__se"))
+        / F.col("__sv")
+    )
+    p = chi2_sf_q(F.col("chi2"), 1)
+    verdict = folded.select(
+        F.when(F.col("__sbcn") > 0, F.col("__sadn") / F.col("__sbcn")).alias("or_mh"),
+        F.when(F.col("__sv") > 0, chi2).alias("chi2"),
+    ).select(
+        "or_mh", "chi2", p.alias("p_value"),
+        (p < F.lit(float(alpha))).alias("significant"),
+    )
+    return terms.select(
+        "stratum", "a", "b", "c", "d", "n", "or_stratum"
+    ).crossJoin(F.broadcast(verdict)).orderBy("stratum")

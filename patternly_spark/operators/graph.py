@@ -509,8 +509,15 @@ def core_numbers(
     label(v) to the H-INDEX of its neighbors' labels (the largest h
     with >= h neighbors labeled >= h).  Labels decrease monotonically
     and the fixpoint is exactly the core number.  Each round is one
-    join + one per-node array fold (neighbor lists are per-node-bounded
-    — the sessionize contract); convergence is a 1-row changed-count.
+    join + one per-node WINDOW rank over neighbor labels; convergence
+    is a 1-row changed-count.  The h-index is deliberately computed as
+    ``max(rank_i where label_i >= rank_i)`` over a row_number window
+    rather than a collect_list array fold: a window sort SPILLS under
+    memory pressure, while a heavy-hitter node's collect_list array is
+    an unspillable per-group buffer — at sf30 the co-purchase graph's
+    hub parts OOMed the round's materialization ~50% of runs (round-10
+    repeat protocol finding); the window form survives with identical
+    values (h-index is rank-order arithmetic, no arrays).
 
     Rounds needed track the graph's core hierarchy depth (typically
     tens); ``max_rounds`` caps pathological chains — on cap the labels
@@ -535,39 +542,38 @@ def core_numbers(
         F.count(F.lit(1)).cast("long").alias("label")
     ).localCheckpoint(eager=True)
 
-    # h-index of a DESC-sorted label array: largest i with arr[i] >= i+1
-    def _h_index(arr):
-        return F.aggregate(
-            F.zip_with(
-                F.reverse(F.array_sort(arr)),
-                F.sequence(F.lit(1), F.size(arr)),
-                lambda lbl, i: (lbl >= i).cast("int"),
-            ),
-            F.lit(0),
-            lambda acc, ok: F.when(ok == 1, acc + 1).otherwise(acc),
-        )
-
     # round-heavy: bytes-sized shuffle partitions per the measured
     # sf30/sf100 policy (plans.round_partitions); values are
     # partition-count invariant, only wall clock changes
     spark = edges.sparkSession
+    # h-index as a spill-safe window: rank neighbor labels descending
+    # per node, take max(rank where label >= rank) — identical to the
+    # sorted-array definition, but the sort is an (external, spilling)
+    # window instead of an unspillable collect_list buffer
+    w_h = Window.partitionBy("a").orderBy(F.desc("nl"), "b")
     with tuned_shuffle(spark, round_partitions_for(spark, und)):
         for _ in range(int(max_rounds)):
-            neigh = (
+            hidx = (
                 both.join(
                     labels.select(F.col("node").alias("b"), F.col("label").alias("nl")),
                     "b",
                 )
+                .withColumn("__i", F.row_number().over(w_h))
                 .groupBy(F.col("a").alias("node"))
-                .agg(F.collect_list("nl").alias("__nls"))
+                .agg(
+                    F.coalesce(
+                        F.max(F.when(F.col("nl") >= F.col("__i"), F.col("__i"))),
+                        F.lit(0),
+                    )
+                    .cast("long")
+                    .alias("__h")
+                )
             )
             new_labels = (
-                neigh.join(labels, "node")
+                hidx.join(labels, "node")
                 .select(
                     "node",
-                    F.least(F.col("label"), _h_index(F.col("__nls")).cast("long")).alias(
-                        "new_label"
-                    ),
+                    F.least(F.col("label"), F.col("__h")).alias("new_label"),
                     "label",
                 )
             ).localCheckpoint(eager=True)

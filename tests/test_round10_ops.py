@@ -195,3 +195,62 @@ def test_bh_fdr_matches_reference_on_random_panel(spark):
     q = np.minimum(q, 1.0)
     got = np.array([r["q_value"] for r in out])
     assert np.array_equal(got, q)
+
+
+def test_mantel_haenszel_hand_computed(spark):
+    """Two hand strata: s1 = [[4,6],[2,8]], s2 = [[10,10],[5,15]] ->
+    OR_MH = (1.6 + 3.75) / (0.6 + 1.25) = 2.8919..., MH chi2 =
+    (14 - 10.5)^2 / (8400/7600 + 150000/62400) = 3.4909..., p ~= .062
+    (not significant at .05 — borderline by construction); per-stratum
+    odds ratios exposed alongside."""
+    from patternly_spark.operators.drift import mantel_haenszel
+
+    def stratum(s, a, b, c, d):
+        return (
+            [(s, 1, 1)] * a + [(s, 1, 0)] * b + [(s, 0, 1)] * c + [(s, 0, 0)] * d
+        )
+
+    rows = stratum(1, 4, 6, 2, 8) + stratum(2, 10, 10, 5, 15)
+    df = spark.createDataFrame(rows, "st long, t int, y int")
+    out = mantel_haenszel(
+        df, stratum_col="st", treat_col="t", outcome_col="y"
+    ).collect()
+    assert len(out) == 2
+    by = {r["stratum"]: r for r in out}
+    assert (by[1]["a"], by[1]["b"], by[1]["c"], by[1]["d"]) == (4, 6, 2, 8)
+    assert by[1]["or_stratum"] == pytest.approx(4 * 8 / (6 * 2))
+    assert by[2]["or_stratum"] == pytest.approx(10 * 15 / (10 * 5))
+    want_or = (1.6 + 3.75) / (0.6 + 1.25)
+    want_chi2 = (14 - 10.5) ** 2 / (8400 / 7600 + 150000 / 62400)
+    r = out[0]
+    assert r["or_mh"] == pytest.approx(want_or, abs=1e-5)
+    assert r["chi2"] == pytest.approx(want_chi2, abs=1e-4)
+    assert r["p_value"] == pytest.approx(
+        _chi2_sf_reference(want_chi2, 1), abs=1e-4
+    )
+    assert r["significant"] is False
+
+    # Simpson guard: strata individually FLAT (OR = 1) but sizes and
+    # base rates arranged so the POOLED table looks positive — MH must
+    # report ~1 (adjusted), not the confounded pooled lift
+    flat = (
+        stratum(1, 8, 2, 8, 2)      # high-rate stratum, mostly treated... OR=1
+        + stratum(2, 2, 8, 2, 8)    # low-rate stratum, OR=1
+    )
+    fdf = spark.createDataFrame(flat, "st long, t int, y int")
+    fr = mantel_haenszel(
+        fdf, stratum_col="st", treat_col="t", outcome_col="y"
+    ).collect()[0]
+    assert fr["or_mh"] == pytest.approx(1.0, abs=1e-9)
+    assert fr["significant"] is False
+
+    # or_stratum NULL when a cross cell is 0; tiny stratum (n = 1)
+    # contributes zero variance instead of dividing by zero
+    edge = stratum(1, 3, 0, 2, 5) + [(2, 1, 1)]
+    er = mantel_haenszel(
+        spark.createDataFrame(edge, "st long, t int, y int"),
+        stratum_col="st", treat_col="t", outcome_col="y",
+    ).collect()
+    eby = {r["stratum"]: r for r in er}
+    assert eby[1]["or_stratum"] is None  # b = 0
+    assert eby[2]["n"] == 1
