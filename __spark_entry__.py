@@ -13300,6 +13300,101 @@ def _q275_oracle() -> str:
     """
 
 
+def q276_poisson_rate(spark, sf_dir):
+    """Two-sample Poisson rate test (operators/drift.poisson_rate_test):
+    purchases per ACTIVE DAY by md5-coin arm — per-user integer event
+    counts and distinct-epoch-day exposures (genuinely unequal across
+    arms), the Poisson score z on the pooled rate, two-sided p through
+    the shared quantized normal SF.  Engine-exact."""
+    from patternly_spark.operators.drift import poisson_rate_test
+    from patternly_spark.operators.sampling import hash_fraction
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("purchases"),
+        F.countDistinct(
+            F.expr("unix_micros(ts) div 86400000000")
+        ).cast("long").alias("active_days"),
+    ).withColumn(
+        "arm",
+        F.when(hash_fraction(F.col("user_id"), seed="pr") < F.lit(0.5), "a")
+        .otherwise("b"),
+    )
+    return poisson_rate_test(
+        per_user, arm_col="arm", events_col="purchases", exposure_col="active_days"
+    )
+
+
+def _q276_oracle() -> str:
+    inv = _dlit(0.3989422804014327)
+    t_c = _dlit(0.2316419)
+    b1, b2, b3, b4, b5 = (
+        _dlit(v)
+        for v in (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+    )
+
+    def sf_abs(x):
+        return (
+            f"((floor(exp(-{x} * {x} / 2.0) * 1048576.0) / 1048576.0) * {inv})"
+            f" * ((1.0 / (1.0 + {t_c} * {x}))"
+            f"    * ({b1} + (1.0 / (1.0 + {t_c} * {x}))"
+            f"       * ({b2} + (1.0 / (1.0 + {t_c} * {x}))"
+            f"          * ({b3} + (1.0 / (1.0 + {t_c} * {x}))"
+            f"             * ({b4} + (1.0 / (1.0 + {t_c} * {x})) * {b5})))))"
+        )
+
+    return f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS purchases,
+               CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+                 AS active_days,
+               CASE WHEN CAST(('0x' || substr(md5('pr' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         / 4294967296.0 < {_dlit(0.5)} THEN 'a' ELSE 'b' END AS arm
+        FROM events GROUP BY user_id
+    ), per AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(purchases) AS BIGINT) AS e,
+               CAST(SUM(active_days) AS BIGINT) AS x
+        FROM per_user GROUP BY arm
+    ), j AS (
+        SELECT c.n AS n_control, t.n AS n_treatment,
+               c.e AS events_control, t.e AS events_treatment,
+               c.x AS exposure_control, t.x AS exposure_treatment
+        FROM (SELECT * FROM per WHERE arm = 'a') c
+        CROSS JOIN (SELECT * FROM per WHERE arm = 'b') t
+    ), stats AS (
+        SELECT *,
+               CAST(events_control AS DOUBLE) / CAST(exposure_control AS DOUBLE)
+                 AS rate_control,
+               CAST(events_treatment AS DOUBLE) / CAST(exposure_treatment AS DOUBLE)
+                 AS rate_treatment,
+               (CAST(events_control AS DOUBLE) + CAST(events_treatment AS DOUBLE))
+                 / (CAST(exposure_control AS DOUBLE) + CAST(exposure_treatment AS DOUBLE))
+                 AS r_pool
+        FROM j
+    ), zed AS (
+        SELECT *,
+               (rate_treatment - rate_control)
+                 / sqrt(r_pool * (1.0 / CAST(exposure_control AS DOUBLE)
+                                  + 1.0 / CAST(exposure_treatment AS DOUBLE))) AS z
+        FROM stats
+    ), fin AS (
+        SELECT *, 2.0 * {sf_abs('abs(z)')} AS p_value FROM zed
+    )
+    SELECT n_control, n_treatment, events_control, events_treatment,
+           exposure_control, exposure_treatment, rate_control,
+           rate_treatment,
+           CASE WHEN rate_control > 0 THEN rate_treatment / rate_control END
+             AS rate_ratio,
+           z, p_value, p_value < {_dlit(0.05)} AS significant
+    FROM fin
+    """
+
+
 def _q264_oracle() -> str:
     tau2 = _dlit(1000.0 * 1000.0)
     ln10 = _dlit(2.302585092994046)
@@ -13713,6 +13808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q273_chi2_independence": q273_chi2_independence,
         "q274_bh_fdr": q274_bh_fdr,
         "q275_mantel_haenszel": q275_mantel_haenszel,
+        "q276_poisson_rate": q276_poisson_rate,
     }
 
 
@@ -15519,6 +15615,7 @@ def oracle_sql() -> dict[str, str]:
         "q273_chi2_independence": _q273_oracle(),
         "q274_bh_fdr": _q274_oracle(),
         "q275_mantel_haenszel": _q275_oracle(),
+        "q276_poisson_rate": _q276_oracle(),
     }
 
 

@@ -3488,3 +3488,86 @@ def mantel_haenszel(
     return terms.select(
         "stratum", "a", "b", "c", "d", "n", "or_stratum"
     ).crossJoin(F.broadcast(verdict)).orderBy("stratum")
+
+
+def poisson_rate_test(
+    df: DataFrame,
+    *,
+    arm_col: str,
+    events_col: str,
+    exposure_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Two-sample Poisson rate test — the COUNT-metric member of the
+    experimentation gate family (errors per machine-hour, purchases
+    per active day, crashes per session): Welch/MWU compare per-unit
+    VALUES, this compares event RATES under unequal integer exposures,
+
+        r_a = sum(events_a) / sum(exposure_a),
+        z   = (r_t - r_c) / sqrt(r_pool * (1/x_c + 1/x_t)),
+        r_pool = (e_c + e_t) / (x_c + x_t)
+
+    — the Poisson score test (equivalently the conditional-binomial
+    normal approximation; two-sided p through the shared quantized
+    normal SF).  Arms follow the engine's two-arm convention: control
+    is the LEXICALLY SMALLER label.
+
+    Exactness: per-arm event and exposure sums are INTEGER folds
+    (``events``/``exposure`` are integer units by contract — the cents
+    convention for denominators); every rate/z is one fixed double
+    chain with IEEE sqrt; the tail is ``normal_sf_q`` — plain SQL
+    replays every double.  Zero pooled exposure or zero pooled events
+    surface NULL z/p (no rate to compare), never NaN.
+
+    Shape: ONE keyed integer aggregation (map-side combine) to 2 rows;
+    scalars after — the q204 z-test shape on a different sufficient
+    statistic.
+
+    Output: ONE row — (n_control, n_treatment, events_control,
+    events_treatment, exposure_control, exposure_treatment,
+    rate_control, rate_treatment, rate_ratio, z, p_value, significant).
+    """
+    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
+    if len(arms) != 2:
+        raise ValueError(f"poisson_rate_test needs exactly 2 arms, got {arms}")
+    ctrl, trt = arms
+    per = df.groupBy(F.col(arm_col).alias("__a")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(events_col).cast("long")).cast("long").alias("e"),
+        F.sum(F.col(exposure_col).cast("long")).cast("long").alias("x"),
+    )
+    c = per.filter(F.col("__a") == ctrl).select(
+        F.col("n").alias("n_control"),
+        F.col("e").alias("events_control"),
+        F.col("x").alias("exposure_control"),
+    )
+    t = per.filter(F.col("__a") == trt).select(
+        F.col("n").alias("n_treatment"),
+        F.col("e").alias("events_treatment"),
+        F.col("x").alias("exposure_treatment"),
+    )
+    j = c.crossJoin(t)
+    ec, et = F.col("events_control").cast("double"), F.col("events_treatment").cast("double")
+    xc, xt = F.col("exposure_control").cast("double"), F.col("exposure_treatment").cast("double")
+    rc = F.when(F.col("exposure_control") > 0, ec / xc)
+    rt = F.when(F.col("exposure_treatment") > 0, et / xt)
+    rp = F.when(
+        (F.col("exposure_control") > 0) & (F.col("exposure_treatment") > 0),
+        (ec + et) / (xc + xt),
+    )
+    se = F.sqrt(rp * (F.lit(1.0) / xc + F.lit(1.0) / xt))
+    z = F.when(
+        (F.col("events_control") + F.col("events_treatment")) > 0, (rt - rc) / se
+    )
+    p = F.lit(2.0) * normal_sf_q(F.abs(z))
+    return j.select(
+        "n_control", "n_treatment",
+        "events_control", "events_treatment",
+        "exposure_control", "exposure_treatment",
+        rc.alias("rate_control"),
+        rt.alias("rate_treatment"),
+        F.when(rc > 0, rt / rc).alias("rate_ratio"),
+        z.alias("z"),
+        p.alias("p_value"),
+        (p < F.lit(float(alpha))).alias("significant"),
+    )

@@ -944,9 +944,16 @@ def neighborhood_function(
     est_pairs, avg_ball) where est_pairs ~= N(round) and avg_ball =
     est_pairs / nodes (average ball size; N(r) flattening out marks
     the effective diameter).
-    """
-    from functools import reduce as _reduce
 
+    Memory shape: each round's 1-row snapshot is collected EAGERLY so
+    the previous round's checkpointed register relation (n x 2^p rows)
+    is released as soon as the next round materializes — a lazy
+    snapshot union used to pin every round's registers in the block
+    store simultaneously, which at sf30 under the documented 8g heap
+    intermittently OOMed the round materialization (round-10 repeat
+    protocol finding); rounds+1 driver-side rows is the only state
+    that accumulates.
+    """
     from patternly_spark.operators.sketches import hll_estimate, hll_registers
 
     u = int(units)
@@ -963,16 +970,19 @@ def neighborhood_function(
         by="node",
     ).localCheckpoint(eager=True)
 
-    def snapshot(r: int, rel: DataFrame) -> DataFrame:
+    def snapshot(r: int, rel: DataFrame) -> tuple:
         est = hll_estimate(rel, p=p, by="node")
-        return est.agg(
-            F.lit(r).cast("int").alias("round"),
+        row = est.agg(
             F.count(F.lit(1)).cast("long").alias("nodes"),
             (F.sum(F.floor(F.col("estimate") * fu).cast("long")).cast("double") / fu).alias(
                 "est_pairs"
             ),
-        ).withColumn(
-            "avg_ball", F.col("est_pairs") / F.col("nodes").cast("double")
+        ).collect()[0]
+        return (
+            int(r),
+            int(row["nodes"]),
+            float(row["est_pairs"]),
+            float(row["est_pairs"]) / float(row["nodes"]),
         )
 
     out = [snapshot(0, regs)]
@@ -992,7 +1002,9 @@ def neighborhood_function(
                 .localCheckpoint(eager=True)
             )
             out.append(snapshot(r, regs))
-    return _reduce(lambda a, b: a.unionByName(b), out)
+    return spark.createDataFrame(
+        out, "round int, nodes long, est_pairs double, avg_ball double"
+    )
 
 
 def degree_assortativity(

@@ -254,3 +254,54 @@ def test_mantel_haenszel_hand_computed(spark):
     eby = {r["stratum"]: r for r in er}
     assert eby[1]["or_stratum"] is None  # b = 0
     assert eby[2]["n"] == 1
+
+
+def test_poisson_rate_test_hand_computed(spark):
+    """Hand case: control 20 events / 1000 exposure units vs treatment
+    40 / 1000 -> pooled rate .03, z = (0.04 - 0.02)/sqrt(.03*(2/1000))
+    = 2.582..., two-sided p ~= .0098 -> significant; rate_ratio = 2.
+    Arm order follows the lexical convention; zero-event input
+    surfaces NULLs, and a one-arm input raises."""
+    import math
+
+    from patternly_spark.operators.drift import poisson_rate_test
+
+    rows = [("a", 2, 100)] * 10 + [("b", 4, 100)] * 10
+    df = spark.createDataFrame(rows, "arm string, ev long, exp long")
+    r = poisson_rate_test(
+        df, arm_col="arm", events_col="ev", exposure_col="exp"
+    ).collect()[0]
+    assert (r["events_control"], r["events_treatment"]) == (20, 40)
+    assert (r["exposure_control"], r["exposure_treatment"]) == (1000, 1000)
+    assert r["rate_control"] == pytest.approx(0.02)
+    assert r["rate_treatment"] == pytest.approx(0.04)
+    assert r["rate_ratio"] == pytest.approx(2.0)
+    want_z = (0.04 - 0.02) / math.sqrt(0.03 * (1 / 1000 + 1 / 1000))
+    assert r["z"] == pytest.approx(want_z, abs=1e-9)
+    assert r["p_value"] == pytest.approx(
+        2 * _chi2_sf_reference(want_z * want_z, 1) / 2, abs=1e-4
+    )  # 2*normal_sf(z) == chi2_sf(z^2, 1)
+    assert r["significant"] is True
+
+    # unequal exposures move the verdict: same event counts, one arm
+    # with 4x the exposure -> rates differ 4x
+    rows2 = [("a", 2, 400)] * 10 + [("b", 2, 100)] * 10
+    r2 = poisson_rate_test(
+        spark.createDataFrame(rows2, "arm string, ev long, exp long"),
+        arm_col="arm", events_col="ev", exposure_col="exp",
+    ).collect()[0]
+    assert r2["rate_ratio"] == pytest.approx(4.0)
+
+    zero = spark.createDataFrame(
+        [("a", 0, 10), ("b", 0, 10)], "arm string, ev long, exp long"
+    )
+    rz = poisson_rate_test(
+        zero, arm_col="arm", events_col="ev", exposure_col="exp"
+    ).collect()[0]
+    assert rz["z"] is None and rz["p_value"] is None
+
+    with pytest.raises(ValueError, match="exactly 2 arms"):
+        poisson_rate_test(
+            spark.createDataFrame([("a", 1, 1)], "arm string, ev long, exp long"),
+            arm_col="arm", events_col="ev", exposure_col="exp",
+        )
