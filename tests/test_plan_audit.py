@@ -607,3 +607,29 @@ def test_cox_ph_per_step_plan_grid_sized(spark, sf_dir):
     a = plan_audit(final)
     assert a["python_evals"] == 0 and a["nested_loop_joins"] == 0
     assert a["exchanges"] <= 5
+
+
+def test_round10_stats_plan_shapes(spark):
+    """q273-q276: zero Python evals, zero sort-merge joins (the only
+    joins are 1-row broadcast verdict crossJoins — nested-loop on
+    bounded sides), and exchange counts pinned.  Only ONE exchange in
+    each is data-sized (the first groupBy onto the cell / stratum /
+    arm / panel grid); everything downstream of the localCheckpoint or
+    first agg is grid-sized."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    bounds = {
+        "q273_chi2_independence": 16,
+        "q274_bh_fdr": 6,
+        "q275_mantel_haenszel": 4,
+        "q276_poisson_rate": 8,
+    }
+    from patternly_spark.plans import plan_audit
+
+    for name, max_ex in bounds.items():
+        df = e.queries()[name](spark, sf)
+        a = plan_audit(df)
+        assert a["python_evals"] == 0, name
+        assert a["sort_merge_joins"] == 0, name
+        assert a["exchanges"] <= max_ex, (name, a["exchanges"])
