@@ -22,6 +22,21 @@ from pyspark.sql import functions as F
 from patternly_spark.plans import round_partitions, round_partitions_for, tuned_shuffle
 
 
+def _pin_disk(df: DataFrame) -> DataFrame:
+    """Eager lineage cut with DISK_ONLY blocks — for round-iterating
+    state whose partitions are large at scale (core_numbers labels,
+    HyperBall registers).  The default MEMORY_AND_DISK(deserialized)
+    localCheckpoint materializes each block as a full object array on
+    the heap BEFORE it can be evicted; at sf30 under the documented 8g
+    driver heap that transient spike OOMed ~1 in 3 runs (round-10
+    repeat protocol).  DISK_ONLY streams blocks out through the
+    serializer (bounded transient heap); re-reads ride the OS page
+    cache, so per-round cost is serialization, not I/O."""
+    from pyspark import StorageLevel
+
+    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+
+
 def _canon(edges: DataFrame) -> DataFrame:
     """(u, v) undirected-unique with u > v, self-loops dropped."""
     return (
@@ -526,21 +541,22 @@ def core_numbers(
 
     Output: (node, core) — isolated nodes never appear (no edges).
     """
-    und = (
+    und = _pin_disk(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
             F.greatest(F.col(src), F.col(dst)).alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     both = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         und.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
-    labels = both.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("label")
-    ).localCheckpoint(eager=True)
+    labels = _pin_disk(
+        both.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("label")
+        )
+    )
 
     # round-heavy: bytes-sized shuffle partitions per the measured
     # sf30/sf100 policy (plans.round_partitions); values are
@@ -569,14 +585,14 @@ def core_numbers(
                     .alias("__h")
                 )
             )
-            new_labels = (
+            new_labels = _pin_disk(
                 hidx.join(labels, "node")
                 .select(
                     "node",
                     F.least(F.col("label"), F.col("__h")).alias("new_label"),
                     "label",
                 )
-            ).localCheckpoint(eager=True)
+            )
             changed = new_labels.filter(F.col("new_label") != F.col("label")).limit(1).count()
             labels = new_labels.select("node", F.col("new_label").alias("label"))
             if changed == 0:
@@ -961,14 +977,16 @@ def neighborhood_function(
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     if not directed:
         e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    e = e.filter(F.col("s") != F.col("d")).distinct().localCheckpoint(eager=True)
+    e = _pin_disk(e.filter(F.col("s") != F.col("d")).distinct())
     nodes = e.select(F.col("s").alias("node")).distinct()
-    regs = hll_registers(
-        nodes.withColumn("__item", F.col("node").cast("string")),
-        "__item",
-        p=p,
-        by="node",
-    ).localCheckpoint(eager=True)
+    regs = _pin_disk(
+        hll_registers(
+            nodes.withColumn("__item", F.col("node").cast("string")),
+            "__item",
+            p=p,
+            by="node",
+        )
+    )
 
     def snapshot(r: int, rel: DataFrame) -> tuple:
         est = hll_estimate(rel, p=p, by="node")
@@ -995,11 +1013,10 @@ def neighborhood_function(
             pulled = e.join(regs, e["d"] == regs["node"]).select(
                 F.col("s").alias("node"), "reg", "rho"
             )
-            regs = (
+            regs = _pin_disk(
                 regs.unionByName(pulled)
                 .groupBy("node", "reg")
                 .agg(F.max("rho").alias("rho"))
-                .localCheckpoint(eager=True)
             )
             out.append(snapshot(r, regs))
     return spark.createDataFrame(

@@ -155,6 +155,29 @@ def assert_plan(
 ROUND_TASK_BYTES = 512 * 1024 * 1024
 
 
+def _heap_task_bytes_cap(spark) -> int:
+    """Upper bound on per-task bytes the EXECUTOR HEAP can actually
+    sort: half the JVM heap per concurrent task slot, floored at
+    64 MiB.  The 512 MiB/task policy target implicitly assumes ~1 GiB+
+    of heap per core (any production executor sizing); a local[32]
+    session on an 8g heap has 256 MiB/core, where a 512 MiB task's
+    sort pointer arrays alone are ~128 MiB humongous allocations — the
+    round-10 sf30 repeat protocol caught q189/q218 OOMing ~1 in 3 runs
+    exactly there.  Capping task bytes by measured heap-per-slot makes
+    the policy deployment-aware: production sizings keep the measured
+    512 MiB optimum, memory-tight local sessions trade a few more
+    partitions for never OOMing.  Local mode reads the driver JVM's
+    Runtime.maxMemory — the same heap the tasks run in; on a real
+    cluster the driver heap is a sizing PROXY for executors (clusters
+    are normally co-sized), and the session ceiling still stands."""
+    try:
+        max_mem = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    except Exception:
+        return ROUND_TASK_BYTES
+    cores = max(1, spark.sparkContext.defaultParallelism)
+    return max(64 * 1024 * 1024, int(max_mem / cores / 2))
+
+
 def shuffle_partitions(spark, default: int = 200) -> int:
     """The session's shuffle-partition setting as an int, robust to
     AQE-managed platforms where ``spark.sql.shuffle.partitions`` is the
@@ -199,7 +222,8 @@ def round_partitions(
     if os.environ.get("SPARK_GRAFT_PARTITION_POLICY", "1") in ("0", "false"):
         return sess
     cores = max(1, spark.sparkContext.defaultParallelism)
-    by_bytes = max(1, math.ceil(int(n_rows) * int(row_bytes) / float(task_bytes)))
+    eff_task_bytes = min(int(task_bytes), _heap_task_bytes_cap(spark))
+    by_bytes = max(1, math.ceil(int(n_rows) * int(row_bytes) / float(eff_task_bytes)))
     return max(1, min(sess, max(by_bytes, min(cores, sess))))
 
 
@@ -255,7 +279,8 @@ def round_partitions_for(
     sz = plan_size_bytes(df)
     if sz is not None:
         cores = max(1, spark.sparkContext.defaultParallelism)
-        by_bytes = max(1, math.ceil(sz * _STATS_INFLATION / float(task_bytes)))
+        eff_task_bytes = min(int(task_bytes), _heap_task_bytes_cap(spark))
+        by_bytes = max(1, math.ceil(sz * _STATS_INFLATION / float(eff_task_bytes)))
         return max(1, min(sess, max(by_bytes, min(cores, sess))))
     return round_partitions(
         spark, df.count(), row_bytes=row_bytes, task_bytes=task_bytes

@@ -32,6 +32,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # accounting, which needs the UI REST API — turn it on before the
 # session is built (session.py defaults it OFF)
 os.environ.setdefault("SPARK_GRAFT_UI", "1")
+# scale rehearsals run sf >= 1 data: the 32-partition session default is
+# sized for the sf0.1 driver bench, and at sf30 it hands every BUILD
+# stage (e.g. q189's lineitem self-join) 512 MB+ sorts on a 256 MB/slot
+# heap — the round-10 repeat protocol measured ~1-in-3 heap OOMs there.
+# 128 is the round-8 best-measured sf30 session ("policy ON, session
+# 128": q189 127 s / q218 95.7 s, BENCH_scale_sf30_policy.json); the
+# per-round partition policy still lowers it for shrunken frontiers.
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "128")
 
 import __spark_entry__ as entrymod
 from patternly_spark.session import get_spark

@@ -40,16 +40,24 @@ def test_round_partitions_policy_shape(spark, monkeypatch):
     """min(session, max(bytes-derived, cores)): small relations land on
     the core floor, huge ones on the session ceiling, and the env kill
     switch returns the session setting untouched."""
-    from patternly_spark.plans import ROUND_TASK_BYTES, round_partitions
+    from patternly_spark.plans import (
+        ROUND_TASK_BYTES,
+        _heap_task_bytes_cap,
+        round_partitions,
+    )
 
     sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cores = spark.sparkContext.defaultParallelism
     floor = min(cores, sess)
+    # round-10: task bytes are heap-aware — the policy sorts what the
+    # heap per task slot can actually hold (sf30 OOM finding)
+    eff = min(ROUND_TASK_BYTES, _heap_task_bytes_cap(spark))
+    assert 64 * 1024 * 1024 <= eff <= ROUND_TASK_BYTES
     # tiny relation: scheduling overhead dominates -> core floor
     assert round_partitions(spark, 1000) == floor
     # bytes-proportional middle: ceil(bytes / task) once above the floor
-    rows_mid = (floor + 1) * ROUND_TASK_BYTES // 48
-    expect = min(sess, max(math.ceil(rows_mid * 48 / ROUND_TASK_BYTES), floor))
+    rows_mid = (floor + 1) * eff // 48
+    expect = min(sess, max(math.ceil(rows_mid * 48 / eff), floor))
     assert round_partitions(spark, rows_mid) == expect
     # huge relation: capped at the session setting (never exceeds it)
     assert round_partitions(spark, 10**15) == sess
@@ -94,6 +102,7 @@ def test_round_partitions_for_uses_plan_stats_not_count(spark):
     from patternly_spark.plans import (
         ROUND_TASK_BYTES,
         _STATS_INFLATION,
+        _heap_task_bytes_cap,
         plan_size_bytes,
         round_partitions_for,
     )
@@ -115,12 +124,13 @@ def test_round_partitions_for_uses_plan_stats_not_count(spark):
     )
     sz = plan_size_bytes(big)
     assert sz is not None and sz >= 400_000 * 8
+    eff = min(ROUND_TASK_BYTES, _heap_task_bytes_cap(spark))
     expect = max(
         1,
         min(
             sess,
             max(
-                _math.ceil(sz * _STATS_INFLATION / float(ROUND_TASK_BYTES)),
+                _math.ceil(sz * _STATS_INFLATION / float(eff)),
                 floor,
             ),
         ),
