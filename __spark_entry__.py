@@ -13151,14 +13151,14 @@ def _q273_oracle() -> str:
     """
 
 
-def q274_bh_fdr(spark, sf_dir):
-    """Benjamini-Hochberg FDR control (operators/drift.bh_fdr): a
-    20-test panel (one deterministic md5-uniform p-value per document
-    source, cubed so the small-p tail is populated) adjusted to
-    q-values by the step-down m*p/rank running min — the
-    multiple-testing closer over the engine's hypothesis-test surface.
-    No libm anywhere; engine-exact."""
-    from patternly_spark.operators.drift import bh_fdr
+def q274_bh_qvalues(spark, sf_dir):
+    """Benjamini-Hochberg step-down q-values (operators/drift.
+    bh_qvalues — the adjusted-p companion of q228's reject-set
+    bh_fdr): a 20-test panel (one deterministic md5-uniform p-value
+    per document source, cubed so the small-p tail is populated)
+    adjusted by the step-down m*p/rank running min.  No libm anywhere;
+    engine-exact."""
+    from patternly_spark.operators.drift import bh_qvalues
     from patternly_spark.operators.sampling import hash_fraction
 
     docs = _t(spark, sf_dir, "documents")
@@ -13166,7 +13166,7 @@ def q274_bh_fdr(spark, sf_dir):
     panel = docs.select("source").distinct().select(
         "source", (h * h * h).alias("p_raw")
     )
-    return bh_fdr(panel, p_col="p_raw", id_cols=["source"], alpha=0.1)
+    return bh_qvalues(panel, p_col="p_raw", id_cols=["source"], alpha=0.1)
 
 
 def _q274_oracle() -> str:
@@ -13806,7 +13806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q271_partition_quality": q271_partition_quality,
         "q272_srm_check_k": q272_srm_check_k,
         "q273_chi2_independence": q273_chi2_independence,
-        "q274_bh_fdr": q274_bh_fdr,
+        "q274_bh_qvalues": q274_bh_qvalues,
         "q275_mantel_haenszel": q275_mantel_haenszel,
         "q276_poisson_rate": q276_poisson_rate,
     }
@@ -15613,7 +15613,7 @@ def oracle_sql() -> dict[str, str]:
         "q271_partition_quality": _Q271_ORACLE,
         "q272_srm_check_k": _q272_oracle(),
         "q273_chi2_independence": _q273_oracle(),
-        "q274_bh_fdr": _q274_oracle(),
+        "q274_bh_qvalues": _q274_oracle(),
         "q275_mantel_haenszel": _q275_oracle(),
         "q276_poisson_rate": _q276_oracle(),
     }

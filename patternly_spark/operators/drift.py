@@ -3332,17 +3332,21 @@ def chi2_from_cells(per: DataFrame, *, alpha: float = 0.05) -> DataFrame:
     ).orderBy("row_key", "col_key")
 
 
-def bh_fdr(
+def bh_qvalues(
     df: DataFrame,
     *,
     p_col: str,
     id_cols: list[str],
     alpha: float = 0.05,
 ) -> DataFrame:
-    """Benjamini-Hochberg FDR control — the multiple-testing closer for
-    the engine's hypothesis-test surface (MWU, KS, BF, TOST, SRM, chi2,
-    logrank, ...): a dashboard running m tests at per-test alpha fires
-    ~alpha*m false alarms; BH adjusts each p to the q-value
+    """Benjamini-Hochberg step-down Q-VALUES — the adjusted-p companion
+    of the engine's per-group reject-set operator (``bh_fdr``, q228):
+    that one answers "which tests survive at THIS q" (threshold-value
+    reject set, per group); this one attaches to every test the
+    SMALLEST q at which it would survive — the number a dashboard
+    sorts, reports, and re-thresholds without re-running the panel.
+    A dashboard running m tests at per-test alpha fires ~alpha*m false
+    alarms; BH adjusts each p to the q-value
 
         q_(i) = min_{j >= i} ( m * p_(j) / j ),  capped at 1
 
@@ -3369,7 +3373,7 @@ def bh_fdr(
     from pyspark.sql import Window
 
     if not id_cols:
-        raise ValueError("bh_fdr needs id_cols to break p-value ties deterministically")
+        raise ValueError("bh_qvalues needs id_cols to break p-value ties deterministically")
     p = F.col(p_col).cast("double")
     base = df.select(*id_cols, p.alias("p_value"))
     w_rank = Window.orderBy("p_value", *id_cols)

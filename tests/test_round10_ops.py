@@ -139,54 +139,54 @@ def test_chi2_independence_independent_fixture_accepts(spark):
     assert r["dependent"] is False
 
 
-def test_bh_fdr_hand_computed(spark):
+def test_bh_qvalues_hand_computed(spark):
     """Textbook step-down: p = [.005, .01, .03, .04], m = 4 -> raw
     m*p/rank = [.02, .02, .04, .04]; the running min from the bottom
     gives q = [.02, .02, .04, .04]; all reject at alpha = .05, only the
     first two at alpha = .03.  The cap clamps q at 1, and ties break by
     id deterministically."""
-    from patternly_spark.operators.drift import bh_fdr
+    from patternly_spark.operators.drift import bh_qvalues
 
     df = spark.createDataFrame(
         [("t1", 0.01), ("t2", 0.04), ("t3", 0.03), ("t4", 0.005)],
         "test string, p double",
     )
-    out = bh_fdr(df, p_col="p", id_cols=["test"], alpha=0.05).collect()
+    out = bh_qvalues(df, p_col="p", id_cols=["test"], alpha=0.05).collect()
     assert [r["test"] for r in out] == ["t4", "t1", "t3", "t2"]
     assert [r["rank"] for r in out] == [1, 2, 3, 4]
     qs = [r["q_value"] for r in out]
     assert qs == pytest.approx([0.02, 0.02, 0.04, 0.04])
     assert all(r["rejected"] for r in out)
-    strict = bh_fdr(df, p_col="p", id_cols=["test"], alpha=0.03).collect()
+    strict = bh_qvalues(df, p_col="p", id_cols=["test"], alpha=0.03).collect()
     assert [r["rejected"] for r in strict] == [True, True, False, False]
 
     # cap at 1 and deterministic tie-break by id
     df2 = spark.createDataFrame(
         [("a", 0.9), ("b", 0.9)], "test string, p double"
     )
-    out2 = bh_fdr(df2, p_col="p", id_cols=["test"]).collect()
+    out2 = bh_qvalues(df2, p_col="p", id_cols=["test"]).collect()
     assert [r["test"] for r in out2] == ["a", "b"]
     assert out2[0]["q_value"] == pytest.approx(0.9)  # min(1.8, 0.9)... step-down
     assert out2[1]["q_value"] == pytest.approx(0.9)
     assert not out2[0]["rejected"]
 
     with pytest.raises(ValueError, match="id_cols"):
-        bh_fdr(df, p_col="p", id_cols=[])
+        bh_qvalues(df, p_col="p", id_cols=[])
 
 
-def test_bh_fdr_matches_reference_on_random_panel(spark):
+def test_bh_qvalues_matches_reference_on_random_panel(spark):
     """200-test random panel: q-values match a from-scratch numpy BH
     step-down exactly (no libm in the chain)."""
     import numpy as np
 
-    from patternly_spark.operators.drift import bh_fdr
+    from patternly_spark.operators.drift import bh_qvalues
 
     rng = np.random.default_rng(10)
     ps = rng.random(200) ** 2
     df = spark.createDataFrame(
         [(f"t{i:03d}", float(ps[i])) for i in range(200)], "test string, p double"
     )
-    out = bh_fdr(df, p_col="p", id_cols=["test"]).collect()
+    out = bh_qvalues(df, p_col="p", id_cols=["test"]).collect()
     order = np.argsort(ps, kind="stable")
     sp = ps[order]
     m = len(sp)
