@@ -290,6 +290,10 @@ BENCH_QUERIES = [
     "q270_power_mde",
     "q271_partition_quality",
     "q272_srm_check_k",
+    "q273_chi2_independence",
+    "q274_bh_qvalues",
+    "q275_mantel_haenszel",
+    "q276_poisson_rate",
 ]
 
 
