@@ -176,6 +176,44 @@ def main() -> None:
         ts_col="ts",
         value_cents_col="cents",
     ).show()
+
+    print("== 12. round-10 gates: chi2 independence, MH stratified 2x2, ==")
+    print("==     Poisson rate, k-arm SRM (exact tail), BH q-values     ==")
+    from patternly_spark.operators.drift import (
+        bh_qvalues,
+        chi2_independence,
+        mantel_haenszel,
+        poisson_rate_test,
+        srm_check_k,
+    )
+
+    chi2_independence(
+        ev.select((F.col("user_id") % 3).alias("cohort"), "event_type"),
+        row_col="cohort", col_col="event_type",
+    ).show(5)
+    mantel_haenszel(
+        armed.select(
+            (F.col("user_id") % 4).alias("stratum"),
+            F.col("arm").alias("t"), F.col("converted").alias("y"),
+        ),
+        stratum_col="stratum", treat_col="t", outcome_col="y",
+    ).show()
+    pr_in = ev.join(armed.select("user_id", "arm"), "user_id").groupBy(
+        "user_id", "arm"
+    ).agg(
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("purchases"),
+        F.countDistinct(F.expr("us div 86400000000")).alias("active_days"),
+    )
+    poisson_rate_test(
+        pr_in.withColumn("arm", F.col("arm").cast("string")),
+        arm_col="arm", events_col="purchases", exposure_col="active_days",
+    ).show()
+    srm_check_k(
+        armed.select(F.col("arm").cast("string").alias("arm")),
+        arm_col="arm", expected={"0": 0.5, "1": 0.5},
+    ).show()
+    # the smallest q at which each segment-level test survives
+    bh_qvalues(tests, p_col="p", id_cols=["segment"], alpha=0.2).show(5)
     print("experimentation demo OK")
 
 
