@@ -621,7 +621,7 @@ def test_round10_stats_plan_shapes(spark):
     sf = "/root/testdata/sf0.001"
     bounds = {
         "q273_chi2_independence": 16,
-        "q274_bh_fdr": 6,
+        "q274_bh_qvalues": 6,
         "q275_mantel_haenszel": 4,
         "q276_poisson_rate": 8,
     }
