@@ -13266,6 +13266,17 @@ def _q275_oracle() -> str:
                      * 1048576.0) / 1048576.0 AS adn,
                floor(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
                      * 1048576.0) / 1048576.0 AS bcn,
+               floor(((CAST(a AS DOUBLE) + CAST(d AS DOUBLE)) / CAST(n AS DOUBLE))
+                     * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / CAST(n AS DOUBLE))
+                     * 1048576.0) / 1048576.0 AS pr,
+               floor((((CAST(a AS DOUBLE) + CAST(d AS DOUBLE)) / CAST(n AS DOUBLE))
+                      * (CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                      + ((CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) / CAST(n AS DOUBLE))
+                      * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / CAST(n AS DOUBLE)))
+                     * 1048576.0) / 1048576.0 AS psqr_raw,
+               floor(((CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) / CAST(n AS DOUBLE))
+                     * (CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                     * 1048576.0) / 1048576.0 AS qs,
                floor((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
                      * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
                      / CAST(n AS DOUBLE) * 1048576.0) / 1048576.0 AS e,
@@ -13280,21 +13291,34 @@ def _q275_oracle() -> str:
         FROM per
     ), folded AS (
         SELECT CAST(SUM(a) AS BIGINT) AS sa, SUM(adn) AS sadn,
-               SUM(bcn) AS sbcn, SUM(e) AS se, SUM(v) AS sv
+               SUM(bcn) AS sbcn, SUM(pr) AS spr, SUM(psqr_raw) AS spsqr,
+               SUM(qs) AS sqs, SUM(e) AS se, SUM(v) AS sv
         FROM terms
     ), verdict AS (
         SELECT CASE WHEN sbcn > 0 THEN sadn / sbcn END AS or_mh,
+               CASE WHEN sadn > 0 AND sbcn > 0 THEN
+                 sqrt(spr / (2.0 * sadn * sadn)
+                      + spsqr / (2.0 * sadn * sbcn)
+                      + sqs / (2.0 * sbcn * sbcn)) END AS se_log_or,
                CASE WHEN sv > 0 THEN
                  (CAST(sa AS DOUBLE) - se) * (CAST(sa AS DOUBLE) - se) / sv
                END AS chi2
         FROM folded
     ), verdict2 AS (
-        SELECT or_mh, chi2,
+        SELECT or_mh, se_log_or,
+               floor(exp(floor(ln(or_mh) * 1048576.0) / 1048576.0
+                         - {_dlit(1.959963984540054)} * se_log_or)
+                     * 1048576.0) / 1048576.0 AS or_mh_lo,
+               floor(exp(floor(ln(or_mh) * 1048576.0) / 1048576.0
+                         + {_dlit(1.959963984540054)} * se_log_or)
+                     * 1048576.0) / 1048576.0 AS or_mh_hi,
+               chi2,
                2.0 * {sf_abs('sqrt(chi2)')} AS p_value
         FROM verdict
     )
     SELECT t.stratum, t.a, t.b, t.c, t.d, t.n, t.or_stratum,
-           v.or_mh, v.chi2, v.p_value, v.p_value < {_dlit(0.05)} AS significant
+           v.or_mh, v.se_log_or, v.or_mh_lo, v.or_mh_hi,
+           v.chi2, v.p_value, v.p_value < {_dlit(0.05)} AS significant
     FROM terms t CROSS JOIN verdict2 v
     ORDER BY t.stratum
     """
@@ -13392,6 +13416,105 @@ def _q276_oracle() -> str:
              AS rate_ratio,
            z, p_value, p_value < {_dlit(0.05)} AS significant
     FROM fin
+    """
+
+
+def q277_spearman(spark, sf_dir):
+    """Spearman rank correlation (operators/drift.spearman_correlation):
+    event value cents vs a deterministically-noised copy (md5 offset in
+    [-1000, 1000)) — doubled midranks from the two value grids (pure
+    BIGINTs, ties averaged), DECIMAL(38) integer folds, rho as one
+    fixed double chain, z = rho*sqrt(n-1) through the shared quantized
+    normal SF.  Engine-exact."""
+    from patternly_spark.operators.drift import spearman_correlation
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        F.col("event_id"),
+    )
+    noise = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(2000)
+        - F.lit(1000)
+    )
+    pairs = ev.select(
+        F.col("cents").alias("x"), (F.col("cents") + noise).alias("y")
+    )
+    return spearman_correlation(pairs, x_col="x", y_col="y")
+
+
+def _q277_oracle() -> str:
+    inv = _dlit(0.3989422804014327)
+    t_c = _dlit(0.2316419)
+    b1, b2, b3, b4, b5 = (
+        _dlit(v)
+        for v in (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+    )
+
+    def sf_abs(x):
+        return (
+            f"((floor(exp(-{x} * {x} / 2.0) * 1048576.0) / 1048576.0) * {inv})"
+            f" * ((1.0 / (1.0 + {t_c} * {x}))"
+            f"    * ({b1} + (1.0 / (1.0 + {t_c} * {x}))"
+            f"       * ({b2} + (1.0 / (1.0 + {t_c} * {x}))"
+            f"          * ({b3} + (1.0 / (1.0 + {t_c} * {x}))"
+            f"             * ({b4} + (1.0 / (1.0 + {t_c} * {x})) * {b5})))))"
+        )
+
+    return f"""
+    WITH pairs AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 + (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 2000 - 1000) AS y
+        FROM events
+    ), gx AS (
+        SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY x
+    ), rx AS (
+        SELECT v,
+               CAST(2 * COALESCE(SUM(c) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + c + 1 AS BIGINT) AS r2
+        FROM gx
+    ), gy AS (
+        SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY y
+    ), ry AS (
+        SELECT v,
+               CAST(2 * COALESCE(SUM(c) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + c + 1 AS BIGINT) AS r2
+        FROM gy
+    ), joined AS (
+        SELECT rx.r2 AS rxx, ry.r2 AS ryy
+        FROM pairs JOIN rx ON pairs.x = rx.v JOIN ry ON pairs.y = ry.v
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rxx) AS BIGINT) AS sx,
+               CAST(SUM(ryy) AS BIGINT) AS sy,
+               SUM(CAST(rxx AS HUGEINT) * CAST(rxx AS HUGEINT)) AS sxx,
+               SUM(CAST(ryy AS HUGEINT) * CAST(ryy AS HUGEINT)) AS syy,
+               SUM(CAST(rxx AS HUGEINT) * CAST(ryy AS HUGEINT)) AS sxy
+        FROM joined
+    ), stats AS (
+        SELECT n,
+               CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+               CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+               CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        FROM agg
+    ), rho_t AS (
+        SELECT n,
+               CASE WHEN vx > 0 AND vy > 0 THEN cov / sqrt(vx * vy) END AS rho
+        FROM stats
+    ), zed AS (
+        SELECT n, rho, rho * sqrt(CAST(n AS DOUBLE) - 1.0) AS z FROM rho_t
+    ), fin AS (
+        SELECT n, rho, z, 2.0 * {sf_abs('abs(z)')} AS p_value FROM zed
+    )
+    SELECT n, rho, z, p_value, p_value < {_dlit(0.05)} AS significant FROM fin
     """
 
 
@@ -13809,6 +13932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q274_bh_qvalues": q274_bh_qvalues,
         "q275_mantel_haenszel": q275_mantel_haenszel,
         "q276_poisson_rate": q276_poisson_rate,
+        "q277_spearman": q277_spearman,
     }
 
 
@@ -15616,6 +15740,7 @@ def oracle_sql() -> dict[str, str]:
         "q274_bh_qvalues": _q274_oracle(),
         "q275_mantel_haenszel": _q275_oracle(),
         "q276_poisson_rate": _q276_oracle(),
+        "q277_spearman": _q277_oracle(),
     }
 
 

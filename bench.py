@@ -294,6 +294,7 @@ BENCH_QUERIES = [
     "q274_bh_qvalues",
     "q275_mantel_haenszel",
     "q276_poisson_rate",
+    "q277_spearman",
 ]
 
 

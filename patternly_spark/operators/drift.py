@@ -3434,9 +3434,12 @@ def mantel_haenszel(
     after is stratum-count sized.  Treatment/outcome must be 0/1.
 
     Output: one row per stratum, ordered — (stratum, a, b, c, d, n,
-    or_stratum) with the shared verdict repeated (or_mh, chi2,
-    p_value, significant); per-stratum odds ratios expose the
-    heterogeneity MH averages over (NULL when b*c = 0).
+    or_stratum) with the shared verdict repeated (or_mh, se_log_or,
+    or_mh_lo, or_mh_hi, chi2, p_value, significant); the 95% CI uses
+    the Robins-Breslow-Greenland (1986) SE of ln(OR_MH) — valid under
+    both sparse-strata and large-strata asymptotics — with ln/exp on
+    the engine's 2^-20 quantized-libm chains; per-stratum odds ratios
+    expose the heterogeneity MH averages over (NULL when b*c = 0).
     """
     t = F.col(treat_col).cast("int")
     y = F.col(outcome_col).cast("int")
@@ -3457,12 +3460,22 @@ def mantel_haenszel(
     r1, r0 = ad + bd, cd + dd
     c1, c0 = ad + cd, bd + dd
     q = lambda e: F.floor(e * g) / g  # noqa: E731
+    # Robins-Breslow-Greenland variance inputs: R = ad/n, S = bc/n,
+    # P = (a+d)/n, Q = (b+c)/n — each stratum's PR, PS+QR, QS terms
+    # quantized before the order-free folds, like R and S themselves
+    rr = ad * dd / nd
+    ss = bd * cd / nd
+    pp = (ad + dd) / nd
+    qq = (bd + cd) / nd
     terms = per.select(
         "stratum", "a", "b", "c", "d", "n",
         F.when((F.col("b") > 0) & (F.col("c") > 0), (ad * dd) / (bd * cd))
         .alias("or_stratum"),
         q(ad * dd / nd).alias("__adn"),
         q(bd * cd / nd).alias("__bcn"),
+        q(pp * rr).alias("__pr"),
+        q(pp * ss + qq * rr).alias("__psqr"),
+        q(qq * ss).alias("__qs"),
         q(r1 * c1 / nd).alias("__e"),
         F.when(
             F.col("n") > 1,
@@ -3473,6 +3486,9 @@ def mantel_haenszel(
         F.sum("a").cast("long").alias("__sa"),
         F.sum("__adn").alias("__sadn"),
         F.sum("__bcn").alias("__sbcn"),
+        F.sum("__pr").alias("__spr"),
+        F.sum("__psqr").alias("__spsqr"),
+        F.sum("__qs").alias("__sqs"),
         F.sum("__e").alias("__se"),
         F.sum("__v").alias("__sv"),
     )
@@ -3482,11 +3498,28 @@ def mantel_haenszel(
         / F.col("__sv")
     )
     p = chi2_sf_q(F.col("chi2"), 1)
+    # RBG (Robins-Breslow-Greenland 1986) SE of ln(OR_MH) and the Wald
+    # CI: ln/exp are the engine's 2^-20 floor-quantized libm chains
+    se2 = (
+        F.col("__spr") / (F.lit(2.0) * F.col("__sadn") * F.col("__sadn"))
+        + F.col("__spsqr") / (F.lit(2.0) * F.col("__sadn") * F.col("__sbcn"))
+        + F.col("__sqs") / (F.lit(2.0) * F.col("__sbcn") * F.col("__sbcn"))
+    )
+    qln_or = F.floor(F.log(F.col("or_mh")) * g) / g
+    half = F.lit(1.959963984540054) * F.col("se_log_or")
     verdict = folded.select(
         F.when(F.col("__sbcn") > 0, F.col("__sadn") / F.col("__sbcn")).alias("or_mh"),
+        F.when(
+            (F.col("__sadn") > 0) & (F.col("__sbcn") > 0), F.sqrt(se2)
+        ).alias("se_log_or"),
         F.when(F.col("__sv") > 0, chi2).alias("chi2"),
     ).select(
-        "or_mh", "chi2", p.alias("p_value"),
+        "or_mh",
+        "se_log_or",
+        (F.floor(F.exp(qln_or - half) * g) / g).alias("or_mh_lo"),
+        (F.floor(F.exp(qln_or + half) * g) / g).alias("or_mh_hi"),
+        "chi2",
+        p.alias("p_value"),
         (p < F.lit(float(alpha))).alias("significant"),
     )
     return terms.select(
@@ -3531,15 +3564,26 @@ def poisson_rate_test(
     events_treatment, exposure_control, exposure_treatment,
     rate_control, rate_treatment, rate_ratio, z, p_value, significant).
     """
-    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
-    if len(arms) != 2:
-        raise ValueError(f"poisson_rate_test needs exactly 2 arms, got {arms}")
-    ctrl, trt = arms
     per = df.groupBy(F.col(arm_col).alias("__a")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col(events_col).cast("long")).cast("long").alias("e"),
         F.sum(F.col(exposure_col).cast("long")).cast("long").alias("x"),
     )
+    return poisson_rate_from_counts(per, alpha=alpha)
+
+
+def poisson_rate_from_counts(per: DataFrame, *, alpha: float = 0.05) -> DataFrame:
+    """The ONE Poisson-rate finalizer, shared by the batch operator
+    (``poisson_rate_test``) and the streaming readout
+    (``streaming/drift.poisson_rate_from_registry``): consumes the
+    already-aggregated per-arm counts (__a, n, e, x) — exactly the
+    additive state a streaming registry folds — and produces the
+    identical output, so registry finalize == batch over all history
+    is an identity."""
+    arms = [r[0] for r in per.select("__a").distinct().orderBy("__a").collect()]
+    if len(arms) != 2:
+        raise ValueError(f"poisson_rate_test needs exactly 2 arms, got {arms}")
+    ctrl, trt = arms
     c = per.filter(F.col("__a") == ctrl).select(
         F.col("n").alias("n_control"),
         F.col("e").alias("events_control"),
@@ -3571,6 +3615,92 @@ def poisson_rate_test(
         rc.alias("rate_control"),
         rt.alias("rate_treatment"),
         F.when(rc > 0, rt / rc).alias("rate_ratio"),
+        z.alias("z"),
+        p.alias("p_value"),
+        (p < F.lit(float(alpha))).alias("significant"),
+    )
+
+
+def spearman_correlation(
+    df: DataFrame,
+    *,
+    x_col: str,
+    y_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Spearman rank correlation — the whale-robust companion of the
+    Pearson family (q134 correlates metric SERIES; this correlates two
+    per-row metrics by RANK, so one mega-order can't manufacture a
+    relationship): rho = Pearson over average ranks, with ties getting
+    the average of their rank run (tau-style midranks).
+
+    Exactness: ranks come from the two VALUE GRIDS (cum count below +
+    (count+1)/2), so every rank is a half-integer; the engine folds
+    DOUBLED ranks — pure BIGINTs — with DECIMAL(38) sums of squares
+    and cross products (the doubling cancels algebraically in rho), so
+    the entire reduction is exact integer arithmetic and rho is ONE
+    fixed double chain on six integers; plain SQL replays it
+    bit-for-bit.  DECIMAL(38) bounds the cross-product fold to
+    n <= ~10^12 rows (4n^3 < 10^38) — document-scale safe.
+    Significance: z = rho * sqrt(n - 1) through the shared quantized
+    normal SF (the standard large-n approximation; IEEE sqrt).
+
+    Shape: two value-grid groupBys + two grid-sized rank windows
+    (single-partition over DISTINCT VALUES — the kaplan_meier grid
+    convention, bounded for cents-quantized metrics), two data-sized
+    rank joins (grid side broadcastable), ONE full-scan integer fold.
+
+    Output: ONE row — (n, rho, z, p_value, significant).
+    """
+    from pyspark.sql import Window
+
+    xv = F.col(x_col).cast("long")
+    yv = F.col(y_col).cast("long")
+    base = df.select(xv.alias("__x"), yv.alias("__y"))
+
+    def rank_map(col: str):
+        grid = base.groupBy(F.col(col).alias("__v")).agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+        w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+        # doubled average rank: 2*(below + (c+1)/2) = 2*below + c + 1
+        return grid.select(
+            "__v",
+            (
+                F.lit(2) * F.coalesce(F.sum("__c").over(w), F.lit(0))
+                + F.col("__c")
+                + F.lit(1)
+            ).cast("long").alias("__r2"),
+        )
+
+    rx = rank_map("__x").select(F.col("__v").alias("__x"), F.col("__r2").alias("__rx"))
+    ry = rank_map("__y").select(F.col("__v").alias("__y"), F.col("__r2").alias("__ry"))
+    j = base.join(rx, "__x").join(ry, "__y")
+    dec = "decimal(38,0)"
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__rx").cast("long").alias("sx"),
+        F.sum("__ry").cast("long").alias("sy"),
+        F.sum(F.col("__rx").cast(dec) * F.col("__rx").cast(dec)).cast(dec).alias("sxx"),
+        F.sum(F.col("__ry").cast(dec) * F.col("__ry").cast(dec)).cast(dec).alias("syy"),
+        F.sum(F.col("__rx").cast(dec) * F.col("__ry").cast(dec)).cast(dec).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    vy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    rho = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    z = rho * F.sqrt(nd - F.lit(1.0))
+    p = F.lit(2.0) * normal_sf_q(F.abs(z))
+    return agg.select(
+        "n",
+        rho.alias("rho"),
         z.alias("z"),
         p.alias("p_value"),
         (p < F.lit(float(alpha))).alias("significant"),

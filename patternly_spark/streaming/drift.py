@@ -45,6 +45,8 @@ __all__ = [
     "mwu_from_registry",
     "streaming_contingency_registry",
     "chi2_independence_from_registry",
+    "streaming_rate_registry",
+    "poisson_rate_from_registry",
 ]
 
 
@@ -1189,3 +1191,67 @@ def chi2_independence_from_registry(
 
     reg = read_registry(spark, registry_path)
     return chi2_from_cells(reg, alpha=alpha)
+
+
+def streaming_rate_registry(
+    stream_df: DataFrame,
+    registry_path: str,
+    *,
+    checkpoint_path: str,
+    arm_col: str,
+    events_col: str,
+    exposure_col: str,
+    trigger_once: bool = False,
+):
+    """foreachBatch Poisson-rate registry (ST44): fold each
+    microbatch's per-arm (units, events, exposure) integer triples by
+    addition — the count-metric gate's sufficient statistic is purely
+    additive, so rows may arrive in any batch and order.  State is
+    ARM-sized (two rows), the smallest registry in the family.
+    Finalize any time with ``poisson_rate_from_registry`` —
+    value-identical to ``operators/drift.poisson_rate_test`` over all
+    history (the ONE shared ``poisson_rate_from_counts`` finalizer;
+    ``alpha`` is a READOUT-time parameter).  Exactly-once via
+    versioned snapshots."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = batch_df.groupBy(
+            F.col(arm_col).cast("string").alias("__a")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(events_col).cast("long")).cast("long").alias("e"),
+            F.sum(F.col(exposure_col).cast("long")).cast("long").alias("x"),
+        )
+        existing, _ = read_latest_snapshot(spark, registry_path, before_batch=batch_id)
+        if existing is not None:
+            part = (
+                part.unionByName(existing)
+                .groupBy("__a")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("e").cast("long").alias("e"),
+                    F.sum("x").cast("long").alias("x"),
+                )
+            )
+        write_snapshot(part.localCheckpoint(eager=True), registry_path, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def poisson_rate_from_registry(
+    spark, registry_path: str, *, alpha: float = 0.05
+) -> DataFrame:
+    """Poisson-rate readout from a ``streaming_rate_registry`` state —
+    the folded (__a, n, e, x) rows ARE the input of the ONE shared
+    ``poisson_rate_from_counts`` finalizer, so finalize == batch
+    ``poisson_rate_test`` over every row ever folded."""
+    from patternly_spark.operators.drift import poisson_rate_from_counts
+
+    reg = read_registry(spark, registry_path)
+    return poisson_rate_from_counts(reg, alpha=alpha)

@@ -729,6 +729,51 @@ def test_streaming_contingency_registry_equals_batch(spark, tmp_path):
     assert strict["dependent"] is False
 
 
+def test_streaming_rate_registry_equals_batch(spark, tmp_path):
+    """ST44: additive per-arm (units, events, exposure) triples —
+    finalize after 3 triggers == batch poisson_rate_test over the
+    union, tuple-exact; alpha is a readout-time parameter; state is
+    arm-sized (2 rows)."""
+    from patternly_spark.operators.drift import poisson_rate_test
+    from patternly_spark.streaming.drift import (
+        poisson_rate_from_registry,
+        streaming_rate_registry,
+    )
+    from patternly_spark.streaming.exactly_once import read_registry
+
+    rows = [
+        ("a" if i % 2 == 0 else "b", (i * 3) % 7, 5 + (i % 11))
+        for i in range(120)
+    ]
+    schema = "arm string, ev long, exp long"
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    for b in [rows[0::3], rows[1::3], rows[2::3]]:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_rate_registry(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        str(tmp_path / "reg"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        arm_col="arm",
+        events_col="ev",
+        exposure_col="exp",
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got = poisson_rate_from_registry(spark, str(tmp_path / "reg")).collect()[0]
+    want = poisson_rate_test(
+        df, arm_col="arm", events_col="ev", exposure_col="exp"
+    ).collect()[0]
+    assert tuple(got) == tuple(want)
+    assert read_registry(spark, str(tmp_path / "reg")).count() == 2
+    strict = poisson_rate_from_registry(
+        spark, str(tmp_path / "reg"), alpha=1e-12
+    ).collect()[0]
+    assert strict["significant"] is False
+
+
 def test_arm_gap_timeline_hand_computed(spark):
     """Per-period clustered gap: hand case incl. a period where one arm
     is absent (NULLs, the one-arm-visibility convention) and a unit

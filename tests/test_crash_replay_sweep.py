@@ -287,6 +287,18 @@ def _cases() -> dict[str, Case]:
         ),
         ["reg"],
     )
+    from patternly_spark.streaming.drift import streaming_rate_registry
+
+    add(
+        "rate_registry", "arm string, ev long, exp long",
+        [("a" if i % 2 == 0 else "b", i % 5, 3 + i % 7) for i in range(16)],
+        [("a" if i % 2 == 0 else "b", (i * 2) % 5, 4 + i % 6) for i in range(16)],
+        lambda spark, s, d: streaming_rate_registry(
+            s, f"{d}/reg", checkpoint_path=f"{d}/ckpt", arm_col="arm",
+            events_col="ev", exposure_col="exp", trigger_once=True,
+        ),
+        ["reg"],
+    )
     add(
         "jackknife_registry", "arm string, bucket long, cents long",
         [("a" if i % 2 == 0 else "b", i % 4, 100 + 7 * i) for i in range(16)],

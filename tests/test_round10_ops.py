@@ -229,6 +229,19 @@ def test_mantel_haenszel_hand_computed(spark):
         _chi2_sf_reference(want_chi2, 1), abs=1e-4
     )
     assert r["significant"] is False
+    # Robins-Breslow-Greenland CI, hand-folded: sum(PR)=3.30375,
+    # sum(PS+QR)=3.1875, sum(QS)=0.70875 over sum(R)=5.35, sum(S)=1.85
+    se2 = (
+        3.30375 / (2 * 5.35**2)
+        + 3.1875 / (2 * 5.35 * 1.85)
+        + 0.70875 / (2 * 1.85**2)
+    )
+    assert r["se_log_or"] == pytest.approx(math.sqrt(se2), abs=1e-6)
+    lo = math.exp(math.log(want_or) - 1.959963984540054 * math.sqrt(se2))
+    hi = math.exp(math.log(want_or) + 1.959963984540054 * math.sqrt(se2))
+    assert r["or_mh_lo"] == pytest.approx(lo, abs=2e-4)
+    assert r["or_mh_hi"] == pytest.approx(hi, abs=2e-4)
+    assert r["or_mh_lo"] < 1.0 < r["or_mh_hi"]  # CI agrees with p > .05
 
     # Simpson guard: strata individually FLAT (OR = 1) but sizes and
     # base rates arranged so the POOLED table looks positive — MH must
@@ -305,3 +318,53 @@ def test_poisson_rate_test_hand_computed(spark):
             spark.createDataFrame([("a", 1, 1)], "arm string, ev long, exp long"),
             arm_col="arm", events_col="ev", exposure_col="exp",
         )
+
+
+def test_spearman_correlation_behaviors(spark):
+    """Perfect monotone (nonlinear!) -> rho = 1; reversed -> -1;
+    constant column -> NULL rho; a tied fixture matches a from-scratch
+    numpy midrank reference exactly (the fold is pure integers)."""
+    import numpy as np
+
+    from patternly_spark.operators.drift import spearman_correlation
+
+    xs = [1, 2, 3, 5, 8, 13, 21]
+    mono = spark.createDataFrame(
+        [(x, x * x * x) for x in xs], "x long, y long"  # monotone, nonlinear
+    )
+    r = spearman_correlation(mono, x_col="x", y_col="y").collect()[0]
+    assert r["rho"] == pytest.approx(1.0, abs=1e-12) and r["n"] == 7
+    rev = spark.createDataFrame([(x, -x) for x in xs], "x long, y long")
+    assert spearman_correlation(rev, x_col="x", y_col="y").collect()[0][
+        "rho"
+    ] == pytest.approx(-1.0, abs=1e-12)
+
+    const = spark.createDataFrame([(x, 7) for x in xs], "x long, y long")
+    rc = spearman_correlation(const, x_col="x", y_col="y").collect()[0]
+    assert rc["rho"] is None and rc["significant"] is None
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 50, size=400)   # heavy ties
+    y = x + rng.integers(0, 30, size=400)
+    df = spark.createDataFrame(
+        [(int(x[i]), int(y[i])) for i in range(400)], "x long, y long"
+    )
+    got = spearman_correlation(df, x_col="x", y_col="y").collect()[0]
+
+    def midranks(a):
+        order = np.argsort(a, kind="stable")
+        ranks = np.empty(len(a), dtype=float)
+        sa = a[order]
+        i = 0
+        while i < len(a):
+            j = i
+            while j + 1 < len(a) and sa[j + 1] == sa[i]:
+                j += 1
+            ranks[order[i:j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        return ranks
+
+    rx, ry = midranks(x.astype(np.int64)), midranks(y.astype(np.int64))
+    ref = np.corrcoef(rx, ry)[0, 1]
+    assert got["rho"] == pytest.approx(ref, abs=1e-12)
+    assert got["significant"] is True and got["p_value"] < 1e-6
