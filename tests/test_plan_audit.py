@@ -610,12 +610,12 @@ def test_cox_ph_per_step_plan_grid_sized(spark, sf_dir):
 
 
 def test_round10_stats_plan_shapes(spark):
-    """q273-q276: zero Python evals, zero sort-merge joins (the only
-    joins are 1-row broadcast verdict crossJoins — nested-loop on
-    bounded sides), and exchange counts pinned.  Only ONE exchange in
-    each is data-sized (the first groupBy onto the cell / stratum /
-    arm / panel grid); everything downstream of the localCheckpoint or
-    first agg is grid-sized."""
+    """q273-q277: zero Python evals, zero sort-merge joins in the
+    stats gates (the only joins are 1-row broadcast verdict crossJoins
+    — nested-loop on bounded sides; q277's two rank joins are grid-
+    broadcast or AQE-planned hash joins), and exchange counts pinned.
+    Only the first groupBy onto the cell / stratum / arm / panel /
+    value grid is data-sized."""
     import __spark_entry__ as e
 
     sf = "/root/testdata/sf0.001"
@@ -624,6 +624,7 @@ def test_round10_stats_plan_shapes(spark):
         "q274_bh_qvalues": 6,
         "q275_mantel_haenszel": 4,
         "q276_poisson_rate": 8,
+        "q277_spearman": 10,
     }
     from patternly_spark.plans import plan_audit
 
