@@ -10724,7 +10724,8 @@ def q239_balance_check(spark, sf_dir):
         "pre_events",
     )
     return balance_check(
-        armed, arm_col="arm", covariate_cents_cols=["pre_spend", "pre_events"]
+        armed, arm_col="arm", covariate_cents_cols=["pre_spend", "pre_events"],
+        arms=(0, 1),
     )
 
 
@@ -11376,7 +11377,7 @@ def q247_bootstrap_lift(spark, sf_dir):
         .otherwise("b"),
     )
     return bootstrap_lift_ci(
-        per_user, "cents", key_col="user_id", arm_col="arm",
+        per_user, "cents", key_col="user_id", arm_col="arm", arms=("a", "b"),
         replicates=64, ci=0.95,
     )
 
@@ -11461,7 +11462,7 @@ def q248_quantile_lift(spark, sf_dir):
         F.when(hash_fraction(F.col("user_id"), seed="arm") < F.lit(0.5), "a")
         .otherwise("b"),
     )
-    return quantile_lift(per_user, "cents", arm_col="arm")
+    return quantile_lift(per_user, "cents", arm_col="arm", arms=("a", "b"))
 
 
 def _q248_oracle() -> str:
@@ -11564,7 +11565,8 @@ def q251_diff_in_diff(spark, sf_dir):
         .alias("arm"),
     )
     return diff_in_diff(
-        ev, "cents", unit_col="user_id", arm_col="arm", is_post_col="is_post"
+        ev, "cents", unit_col="user_id", arm_col="arm", is_post_col="is_post",
+        arms=("a", "b"),
     )
 
 
@@ -11628,7 +11630,7 @@ def q252_mann_whitney(spark, sf_dir):
         F.when(hash_fraction(F.col("user_id"), seed="arm") < F.lit(0.5), "a")
         .otherwise("b"),
     )
-    return mann_whitney_u(per_user, "cents", arm_col="arm")
+    return mann_whitney_u(per_user, "cents", arm_col="arm", arms=("a", "b"))
 
 
 def _q252_oracle() -> str:
@@ -11789,7 +11791,8 @@ def q255_event_study(spark, sf_dir):
         .alias("arm"),
     )
     return arm_gap_timeline(
-        ev, "cents", unit_col="user_id", arm_col="arm", period_col="week"
+        ev, "cents", unit_col="user_id", arm_col="arm", period_col="week",
+        arms=("a", "b"),
     )
 
 
@@ -12137,7 +12140,8 @@ def q260_obf_monitor(spark, sf_dir):
         .alias("look"),
     )
     return obf_sequential_monitor(
-        binned, "cents", arm_col="arm", look_col="look", obf_constant=2.04
+        binned, "cents", arm_col="arm", look_col="look", obf_constant=2.04,
+        arms=(0, 1),
     )
 
 
@@ -12397,7 +12401,8 @@ def q264_msprt_monitor(spark, sf_dir):
         .alias("look"),
     )
     return msprt_monitor(
-        binned, "cents", arm_col="arm", look_col="look", tau_cents=1000.0
+        binned, "cents", arm_col="arm", look_col="look", tau_cents=1000.0,
+        arms=(0, 1),
     )
 
 
@@ -12420,7 +12425,7 @@ def q265_ks_test(spark, sf_dir):
         F.when(hash_fraction(F.col("user_id"), seed="arm") < F.lit(0.5), "a")
         .otherwise("b"),
     )
-    return ks_two_sample(per_user, "cents", arm_col="arm")
+    return ks_two_sample(per_user, "cents", arm_col="arm", arms=("a", "b"))
 
 
 def _q265_oracle() -> str:
@@ -12492,7 +12497,9 @@ def q266_cluster_lift(spark, sf_dir):
         F.when(hash_fraction(F.col("user_id"), seed="arm") < F.lit(0.5), "a")
         .otherwise("b"),
     )
-    return cluster_robust_lift(ev, "cents", arm_col="arm", cluster_col="user_id")
+    return cluster_robust_lift(
+        ev, "cents", arm_col="arm", cluster_col="user_id", arms=("a", "b")
+    )
 
 
 def _q266_oracle() -> str:
@@ -12583,7 +12590,7 @@ def q267_srm_check(spark, sf_dir):
         F.when(hash_fraction(F.col("user_id"), seed="arm") < F.lit(0.47), "a")
         .otherwise("b"),
     )
-    return srm_check(per_user, arm_col="arm", expected_control=0.5)
+    return srm_check(per_user, arm_col="arm", expected_control=0.5, arms=("a", "b"))
 
 
 def _q267_oracle() -> str:
@@ -12660,7 +12667,9 @@ def q268_tost_equivalence(spark, sf_dir):
         F.when(hash_fraction(F.col("user_id"), seed="arm") < F.lit(0.5), "a")
         .otherwise("b"),
     )
-    return tost_equivalence(per_user, "cents", arm_col="arm", margin_cents=500.0)
+    return tost_equivalence(
+        per_user, "cents", arm_col="arm", margin_cents=500.0, arms=("a", "b")
+    )
 
 
 def _q268_oracle() -> str:
@@ -12768,7 +12777,7 @@ def q269_brown_forsythe(spark, sf_dir):
         F.when(hash_fraction(F.col("user_id"), seed="arm") < F.lit(0.5), "a")
         .otherwise("b"),
     )
-    return brown_forsythe(per_user, "cents", arm_col="arm")
+    return brown_forsythe(per_user, "cents", arm_col="arm", arms=("a", "b"))
 
 
 def _q269_oracle() -> str:
@@ -12872,7 +12881,7 @@ def q270_power_mde(spark, sf_dir):
         F.when(hash_fraction(F.col("user_id"), seed="arm") < F.lit(0.5), "a")
         .otherwise("b"),
     )
-    return power_mde(per_user, "cents", arm_col="arm")
+    return power_mde(per_user, "cents", arm_col="arm", arms=("a", "b"))
 
 
 def _q270_oracle() -> str:
@@ -13137,9 +13146,13 @@ def _q273_oracle() -> str:
         SELECT SUM(contrib_q) AS chi2, MAX(n_total) AS nt FROM detail
     ), verdict AS (
         SELECT chi2, 8 AS df,
-               (floor(exp(-(chi2 / 2.0)) * 1048576.0) / 1048576.0)
+               -- round-11 final-p quantization (chi2_sf_q): quantize
+               -- exp*poly, not the raw exp (which amplified the grid
+               -- quantum by ~e^(chi2/2))
+               floor(exp(-(chi2 / 2.0))
                  * ({c0} + (chi2 / 2.0) * ({c1} + (chi2 / 2.0)
-                    * ({c2} + (chi2 / 2.0) * {c3}))) AS p_value,
+                    * ({c2} + (chi2 / 2.0) * {c3})))
+                 * 1048576.0) / 1048576.0 AS p_value,
                sqrt(chi2 / (CAST(nt AS DOUBLE) * 2.0)) AS cramers_v
         FROM folded
     )
@@ -13490,8 +13503,8 @@ def _q277_oracle() -> str:
         FROM pairs JOIN rx ON pairs.x = rx.v JOIN ry ON pairs.y = ry.v
     ), agg AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(rxx) AS BIGINT) AS sx,
-               CAST(SUM(ryy) AS BIGINT) AS sy,
+               SUM(CAST(rxx AS HUGEINT)) AS sx,
+               SUM(CAST(ryy AS HUGEINT)) AS sy,
                SUM(CAST(rxx AS HUGEINT) * CAST(rxx AS HUGEINT)) AS sxx,
                SUM(CAST(ryy AS HUGEINT) * CAST(ryy AS HUGEINT)) AS syy,
                SUM(CAST(rxx AS HUGEINT) * CAST(ryy AS HUGEINT)) AS sxy

@@ -1093,12 +1093,51 @@ def cuped_adjustment(
     )
 
 
+def _two_arms(
+    df: DataFrame, arm_col: str, arms, op: str
+) -> tuple[DataFrame, list]:
+    """Resolve the (control, treatment) arm universe for a two-sample
+    readout WITHOUT a second data-sized scan when the caller supplies
+    the design.
+
+    With ``arms=(control, treatment)`` the DESIGN defines the universe:
+    no discovery scan is issued (the pre-round-11 form re-scanned the
+    raw relation once per readout just to enumerate labels — at 100 TB
+    that doubles every readout's scan cost), the GIVEN order is honored
+    (``arms[0]`` is control — the caller designates direction), and the
+    relation is narrowed with an ``isin`` predicate folded into the
+    operator's own single aggregate pass, so rows carrying OTHER arm
+    labels are excluded rather than misclassified (useful: a 2-arm
+    readout over two arms of a k-arm experiment).
+
+    With ``arms=None`` the observed universe is discovered by a
+    distinct scan, sorted ascending, and must have exactly 2 labels —
+    the back-compatible pre-round-11 behavior.
+
+    Returns ``(possibly-narrowed df, [control, treatment])``.
+    """
+    if arms is not None:
+        labels = list(arms)
+        if len(labels) != 2 or labels[0] == labels[1] or any(
+            a is None for a in labels
+        ):
+            raise ValueError(
+                f"{op} needs exactly 2 distinct non-null arms, got {labels}"
+            )
+        return df.filter(F.col(arm_col).isin(labels)), labels
+    labels = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
+    if len(labels) != 2:
+        raise ValueError(f"{op} needs exactly 2 arms, got {labels}")
+    return df, labels
+
+
 def balance_check(
     df: DataFrame,
     *,
     arm_col: str,
     covariate_cents_cols: list[str],
     threshold: float = 0.1,
+    arms=None,
 ) -> DataFrame:
     """Standardized mean difference (SMD) per covariate between two
     arms — the randomization-sanity gate run BEFORE reading an
@@ -1119,10 +1158,7 @@ def balance_check(
     """
     from functools import reduce
 
-    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
-    if len(arms) != 2:
-        raise ValueError(f"balance_check needs exactly 2 arms, got {arms}")
-    ctrl, trt = arms
+    df, (ctrl, trt) = _two_arms(df, arm_col, arms, "balance_check")
     is_t = (F.col(arm_col) == trt).cast("int")
     aggs = [
         F.sum(F.lit(1) - is_t).cast("long").alias("nc"),
@@ -1300,6 +1336,7 @@ def bootstrap_lift_ci(
     replicates: int = 64,
     ci: float = 0.95,
     seed: str = "",
+    arms=None,
 ) -> DataFrame:
     """Poisson-bootstrap confidence interval for the LIFT between two
     arms — the nonparametric sibling of ``proportion_ztest``/q204 (no
@@ -1328,9 +1365,7 @@ def bootstrap_lift_ci(
         raise ValueError(f"replicates must be >= 4, got {B}")
     if not (0.0 < float(ci) < 1.0):
         raise ValueError(f"ci must be in (0,1), got {ci}")
-    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
-    if len(arms) != 2:
-        raise ValueError(f"bootstrap_lift_ci needs exactly 2 arms, got {arms}")
+    df, arms = _two_arms(df, arm_col, arms, "bootstrap_lift_ci")
     ctrl, trt = arms
     lo_rank = max(1, math.ceil(B * (1.0 - float(ci)) / 2.0))
     hi_rank = min(B, math.ceil(B * (1.0 + float(ci)) / 2.0))
@@ -1399,6 +1434,7 @@ def quantile_lift(
     arm_col: str,
     taus: tuple[float, ...] = (0.25, 0.5, 0.75),
     by: str | None = None,
+    arms=None,
 ) -> DataFrame:
     """Quantile treatment effects — the distributional A/B readout mean
     lift hides: for each tau, the EXACT type-1 (lower) sample quantile
@@ -1426,9 +1462,7 @@ def quantile_lift(
     for t in taus:
         if not (0.0 < float(t) < 1.0):
             raise ValueError(f"taus must be in (0,1), got {t}")
-    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
-    if len(arms) != 2:
-        raise ValueError(f"quantile_lift needs exactly 2 arms, got {arms}")
+    df, arms = _two_arms(df, arm_col, arms, "quantile_lift")
     ctrl, trt = arms
     gcols = [by] if by else []
 
@@ -1495,6 +1529,7 @@ def diff_in_diff(
     arm_col: str,
     is_post_col: str,
     by: str | None = None,
+    arms=None,
 ) -> DataFrame:
     """Difference-in-differences — the quasi-experimental A/B readout
     when assignment is not randomized (a rollout, a policy change, a
@@ -1525,9 +1560,7 @@ def diff_in_diff(
     has no ddof=1 variance (var/se/z NULL) and identical deltas
     everywhere give se = 0 (z NULL) — the fleiss_kappa convention.
     """
-    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
-    if len(arms) != 2:
-        raise ValueError(f"diff_in_diff needs exactly 2 arms, got {arms}")
+    df, arms = _two_arms(df, arm_col, arms, "diff_in_diff")
     ctrl, trt = arms
     gcols = [by] if by else []
     v = F.col(value_cents_col).cast("long")
@@ -1612,6 +1645,7 @@ def mann_whitney_u(
     *,
     arm_col: str,
     by: str | None = None,
+    arms=None,
 ) -> DataFrame:
     """Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
     test the experimentation family needs when cents are heavy-tailed
@@ -1648,9 +1682,7 @@ def mann_whitney_u(
     groups report a true sigma = 0 with z NULL — the fleiss_kappa
     convention.
     """
-    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
-    if len(arms) != 2:
-        raise ValueError(f"mann_whitney_u needs exactly 2 arms, got {arms}")
+    df, arms = _two_arms(df, arm_col, arms, "mann_whitney_u")
     ctrl, trt = arms
     gcols = [by] if by else []
     v = F.col(value_cents_col).cast("long")
@@ -1729,6 +1761,7 @@ def arm_gap_timeline(
     unit_col: str,
     arm_col: str,
     period_col: str,
+    arms=None,
 ) -> DataFrame:
     """Event-study timeline — the PRE-TREND check q251's single DiD
     number assumes away: per period, the gap between arm means of
@@ -1750,9 +1783,7 @@ def arm_gap_timeline(
     mean_treatment_cents, gap_cents), one row per (period, both-arm
     presence).
     """
-    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
-    if len(arms) != 2:
-        raise ValueError(f"arm_gap_timeline needs exactly 2 arms, got {arms}")
+    df, arms = _two_arms(df, arm_col, arms, "arm_gap_timeline")
     ctrl, trt = arms
     v = F.col(value_cents_col).cast("long")
     per_unit = df.groupBy(
@@ -2056,13 +2087,21 @@ def chi2_sf_q(x: F.Column, df: int) -> F.Column:
       correctly-rounded on every engine, the Gamma coefficients are
       plan-time literals, and the normal SF is the shared A&S chain.
 
-    The one libm call (exp) is floor-quantized to the 2^-20 grid
-    before use (the engine's ln-quantization convention); the closed
-    form's absolute error is the ~1.5e-7 A&S normal-tail error (odd
-    df only) plus the 2^-20 exp-grid quantum amplified by the
-    polynomial factor — ~1e-6 at small df, a few e-5 by df ~ 5-8 —
-    still ~2 orders tighter than Wilson-Hilferty's ~3e-3 and far
-    inside any alarm threshold.
+    Quantization happens on the FINAL bounded-in-[0,1] term, not the
+    raw exp factor: the one libm call (exp) carries a 1-ulp cross-libm
+    risk that stays RELATIVE through the deterministic polynomial
+    product (absolute divergence ~ p * 2^-52), so floor-quantizing the
+    product ``exp(-h) * poly`` to the 2^-20 grid both absorbs the libm
+    risk (a 2^-52-scale divergence crosses a 2^-20 boundary with ~2^-32
+    odds — the engine's accepted risk class) and bounds the absolute
+    error at 2^-20 for EVERY df.  Quantizing the raw exp instead (the
+    pre-round-11 form) amplified the grid quantum by the polynomial
+    (~e^(x/2)), collapsing p to 0 for chi2 > ~27.7 at any df — a ~27%
+    null false-alarm rate by df = 20.  For df <= 2 the polynomial is
+    the literal 1.0, so the two forms are bit-identical and every
+    existing df<=2 oracle replays unchanged.  Total absolute error:
+    ~1.5e-7 A&S normal-tail (odd df only) + 2^-20 ~= 1e-6 at any df —
+    ~3 orders tighter than Wilson-Hilferty's ~3e-3.
     """
     import math
 
@@ -2071,14 +2110,13 @@ def chi2_sf_q(x: F.Column, df: int) -> F.Column:
         raise ValueError(f"chi2_sf_q needs integer df >= 1, got {df}")
     grid = F.lit(float(1 << 20))
     h = x / F.lit(2.0)
-    eq = F.floor(F.exp(-h) * grid) / grid
     if dfi % 2 == 0:
         m = dfi // 2
         coef = [1.0 / math.factorial(j) for j in range(m)]
         poly = F.lit(coef[-1])
         for j in range(m - 2, -1, -1):
             poly = F.lit(coef[j]) + h * poly
-        return eq * poly
+        return F.floor(F.exp(-h) * poly * grid) / grid
     m = (dfi - 1) // 2
     base = F.lit(2.0) * normal_sf_q(F.sqrt(x))
     if m == 0:
@@ -2087,7 +2125,7 @@ def chi2_sf_q(x: F.Column, df: int) -> F.Column:
     poly = F.lit(coef[-1])
     for j in range(m - 2, -1, -1):
         poly = F.lit(coef[j]) + h * poly
-    return base + eq * F.sqrt(h) * poly
+    return base + F.floor(F.exp(-h) * F.sqrt(h) * poly * grid) / grid
 
 
 def obf_sequential_monitor(
@@ -2097,6 +2135,7 @@ def obf_sequential_monitor(
     arm_col: str,
     look_col: str,
     obf_constant: float = 2.04,
+    arms=None,
 ) -> DataFrame:
     """O'Brien-Fleming group-sequential monitor — the peeking
     discipline a fixed-horizon z-test (q204) lacks and the SPRT (q233)
@@ -2127,9 +2166,7 @@ def obf_sequential_monitor(
     Output: one row per look — (look, n_control, n_treatment, z,
     info_frac, boundary, crossed, nominal_alpha), ordered by look.
     """
-    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
-    if len(arms) != 2:
-        raise ValueError(f"obf_sequential_monitor needs exactly 2 arms, got {arms}")
+    df, arms = _two_arms(df, arm_col, arms, "obf_sequential_monitor")
     from pyspark.sql import Window
 
     ctrl, trt = arms
@@ -2366,6 +2403,7 @@ def msprt_monitor(
     arm_col: str,
     look_col: str,
     tau_cents: float,
+    arms=None,
 ) -> DataFrame:
     """Mixture sequential probability ratio test (mSPRT, Johari et al.
     2017) — the ALWAYS-VALID inference discipline: unlike q260's
@@ -2402,9 +2440,7 @@ def msprt_monitor(
     """
     from pyspark.sql import Window
 
-    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
-    if len(arms) != 2:
-        raise ValueError(f"msprt_monitor needs exactly 2 arms, got {arms}")
+    df, arms = _two_arms(df, arm_col, arms, "msprt_monitor")
     if not float(tau_cents) > 0:
         raise ValueError(f"tau_cents must be > 0, got {tau_cents}")
     ctrl, trt = arms
@@ -2492,6 +2528,7 @@ def ks_two_sample(
     *,
     arm_col: str,
     by: str | None = None,
+    arms=None,
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov test — the WHOLE-DISTRIBUTION
     drift readout: q252's rank test targets a location shift and q204 a
@@ -2532,9 +2569,7 @@ def ks_two_sample(
     """
     from pyspark.sql import Window
 
-    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
-    if len(arms) != 2:
-        raise ValueError(f"ks_two_sample needs exactly 2 arms, got {arms}")
+    df, arms = _two_arms(df, arm_col, arms, "ks_two_sample")
     _, trt = arms
     gcols = [by] if by else []
     v = F.col(value_cents_col).cast("long")
@@ -2619,6 +2654,7 @@ def cluster_robust_lift(
     *,
     arm_col: str,
     cluster_col: str,
+    arms=None,
 ) -> DataFrame:
     """Cluster-randomized A/B readout — arm means with CLUSTER-ROBUST
     standard errors (Liang–Zeger sandwich for an intercept-only model,
@@ -2649,9 +2685,7 @@ def cluster_robust_lift(
     treatment).  An arm with fewer than 2 clusters surfaces NULL
     se_cluster/z (the variance is undefined), never NaN.
     """
-    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
-    if len(arms) != 2:
-        raise ValueError(f"cluster_robust_lift needs exactly 2 arms, got {arms}")
+    df, arms = _two_arms(df, arm_col, arms, "cluster_robust_lift")
     ctrl, trt = arms
     v = F.col(value_cents_col).cast("long")
     vd = v.cast("decimal(19,0)")
@@ -2736,6 +2770,7 @@ def srm_check(
     arm_col: str,
     expected_control: float = 0.5,
     alpha: float = 0.001,
+    arms=None,
 ) -> DataFrame:
     """Sample-ratio-mismatch check — the FIRST gate every experiment
     readout should pass: if the realized arm split is statistically
@@ -2763,9 +2798,7 @@ def srm_check(
     r = float(expected_control)
     if not 0.0 < r < 1.0:
         raise ValueError(f"expected_control must be in (0,1), got {r}")
-    arms = [x[0] for x in df.select(arm_col).distinct().orderBy(arm_col).collect()]
-    if len(arms) != 2:
-        raise ValueError(f"srm_check needs exactly 2 arms, got {arms}")
+    df, arms = _two_arms(df, arm_col, arms, "srm_check")
     ctrl, _ = arms
     agg = df.groupBy().agg(
         F.sum((F.col(arm_col) == ctrl).cast("int")).cast("long").alias("n_control"),
@@ -2806,6 +2839,7 @@ def tost_equivalence(
     arm_col: str,
     margin_cents: float,
     alpha: float = 0.05,
+    arms=None,
 ) -> DataFrame:
     """TOST equivalence test (Schuirmann 1987) — the readout for "the
     new variant is NOT meaningfully different": failing to reject a
@@ -2831,9 +2865,7 @@ def tost_equivalence(
     m = float(margin_cents)
     if not m > 0:
         raise ValueError(f"margin_cents must be > 0, got {margin_cents}")
-    arms = [x[0] for x in df.select(arm_col).distinct().orderBy(arm_col).collect()]
-    if len(arms) != 2:
-        raise ValueError(f"tost_equivalence needs exactly 2 arms, got {arms}")
+    df, arms = _two_arms(df, arm_col, arms, "tost_equivalence")
     ctrl, trt = arms
     per = _welch_moments(df, value_cents_col, arm_col=arm_col)
     return tost_from_moments(
@@ -2923,6 +2955,7 @@ def brown_forsythe(
     *,
     arm_col: str,
     by: str | None = None,
+    arms=None,
 ) -> DataFrame:
     """Brown-Forsythe variance test — "did the treatment change the
     SPREAD?": the robust Levene variant on absolute deviations from the
@@ -2950,9 +2983,7 @@ def brown_forsythe(
     under 2 rows, or zero deviation variance) surface NULL z/p — the
     fleiss_kappa convention.
     """
-    arms = [r[0] for r in df.select(arm_col).distinct().orderBy(arm_col).collect()]
-    if len(arms) != 2:
-        raise ValueError(f"brown_forsythe needs exactly 2 arms, got {arms}")
+    df, arms = _two_arms(df, arm_col, arms, "brown_forsythe")
     _, trt = arms
     gcols = [by] if by else []
     v = F.col(value_cents_col).cast("long")
@@ -3057,6 +3088,7 @@ def power_mde(
     arm_col: str,
     z_alpha: float = 1.959963984540054,
     z_power: float = 0.8416212335729143,
+    arms=None,
 ) -> DataFrame:
     """Minimum detectable effect at the CURRENT sample — the
     experiment-design readout every "no significant difference" claim
@@ -3080,9 +3112,7 @@ def power_mde(
     mde_cents, mde_rel); mde_rel = mde / |mean_control| (NULL when the
     control mean is 0).  Degenerate arms (n < 2) surface NULLs.
     """
-    arms = [x[0] for x in df.select(arm_col).distinct().orderBy(arm_col).collect()]
-    if len(arms) != 2:
-        raise ValueError(f"power_mde needs exactly 2 arms, got {arms}")
+    df, arms = _two_arms(df, arm_col, arms, "power_mde")
     ctrl, trt = arms
     per = _welch_moments(df, value_cents_col, arm_col=arm_col)
     return power_mde_from_moments(
@@ -3636,14 +3666,20 @@ def spearman_correlation(
 
     Exactness: ranks come from the two VALUE GRIDS (cum count below +
     (count+1)/2), so every rank is a half-integer; the engine folds
-    DOUBLED ranks — pure BIGINTs — with DECIMAL(38) sums of squares
-    and cross products (the doubling cancels algebraically in rho), so
-    the entire reduction is exact integer arithmetic and rho is ONE
-    fixed double chain on six integers; plain SQL replays it
-    bit-for-bit.  DECIMAL(38) bounds the cross-product fold to
-    n <= ~10^12 rows (4n^3 < 10^38) — document-scale safe.
+    DOUBLED ranks — pure BIGINTs — with DECIMAL(38) sums for ALL five
+    folds, the linear sums included (sum of doubled ranks is ~n^2,
+    which would silently wrap a BIGINT fold at n ~ 3e9 under non-ANSI
+    Spark), so the entire reduction is exact integer arithmetic to
+    n <= ~10^12 rows (4n^3 < 10^38) and rho is ONE fixed double chain
+    on six integers; plain SQL replays it bit-for-bit.
     Significance: z = rho * sqrt(n - 1) through the shared quantized
     normal SF (the standard large-n approximation; IEEE sqrt).
+
+    Input contract: both columns must ALREADY be integral (cents-style
+    quantized) — a float/double/fractional-decimal column RAISES
+    instead of being silently truncated by the long cast (the sibling
+    two-sample operators' convention); quantize upstream (e.g.
+    ``(value * 100).cast("long")``) to choose the grid explicitly.
 
     Shape: two value-grid groupBys + two grid-sized rank windows
     (single-partition over DISTINCT VALUES — the kaplan_meier grid
@@ -3653,7 +3689,20 @@ def spearman_correlation(
     Output: ONE row — (n, rho, z, p_value, significant).
     """
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
+    for c in (x_col, y_col):
+        dt = df.schema[c].dataType
+        ok = isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType)
+        ) or (isinstance(dt, T.DecimalType) and dt.scale == 0)
+        if not ok:
+            raise ValueError(
+                f"spearman_correlation needs integral input columns; {c} is "
+                f"{dt.simpleString()} — quantize upstream (e.g. cents via "
+                f"(col * 100).cast('long')) instead of relying on a silent "
+                f"truncating cast"
+            )
     xv = F.col(x_col).cast("long")
     yv = F.col(y_col).cast("long")
     base = df.select(xv.alias("__x"), yv.alias("__y"))
@@ -3679,8 +3728,8 @@ def spearman_correlation(
     dec = "decimal(38,0)"
     agg = j.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("__rx").cast("long").alias("sx"),
-        F.sum("__ry").cast("long").alias("sy"),
+        F.sum(F.col("__rx").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("__ry").cast(dec)).cast(dec).alias("sy"),
         F.sum(F.col("__rx").cast(dec) * F.col("__rx").cast(dec)).cast(dec).alias("sxx"),
         F.sum(F.col("__ry").cast(dec) * F.col("__ry").cast(dec)).cast(dec).alias("syy"),
         F.sum(F.col("__rx").cast(dec) * F.col("__ry").cast(dec)).cast(dec).alias("sxy"),

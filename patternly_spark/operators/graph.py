@@ -996,6 +996,11 @@ def neighborhood_function(
                 "est_pairs"
             ),
         ).collect()[0]
+        # an edge set that is EMPTY after self-loop filtering has zero
+        # nodes: keep the lazy-plan contract (a row with NULL avg_ball)
+        # instead of a driver-side ZeroDivisionError
+        if int(row["nodes"]) == 0:
+            return (int(r), 0, 0.0, None)
         return (
             int(r),
             int(row["nodes"]),

@@ -155,27 +155,65 @@ def assert_plan(
 ROUND_TASK_BYTES = 512 * 1024 * 1024
 
 
+def _parse_mem_bytes(s: str) -> int | None:
+    """Spark memory-conf string -> bytes (``8g``/``512m``/``1t``/
+    ``4096`` — a bare number follows ``spark.executor.memory``'s MiB
+    default unit).  None on anything unparseable."""
+    try:
+        t = str(s).strip().lower().removesuffix("b")
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+        if t and t[-1] in mult:
+            return int(float(t[:-1]) * mult[t[-1]])
+        return int(float(t) * (1 << 20))
+    except (ValueError, TypeError):
+        return None
+
+
 def _heap_task_bytes_cap(spark) -> int:
     """Upper bound on per-task bytes the EXECUTOR HEAP can actually
-    sort: half the JVM heap per concurrent task slot, floored at
-    64 MiB.  The 512 MiB/task policy target implicitly assumes ~1 GiB+
-    of heap per core (any production executor sizing); a local[32]
-    session on an 8g heap has 256 MiB/core, where a 512 MiB task's
-    sort pointer arrays alone are ~128 MiB humongous allocations — the
-    round-10 sf30 repeat protocol caught q189/q218 OOMing ~1 in 3 runs
-    exactly there.  Capping task bytes by measured heap-per-slot makes
-    the policy deployment-aware: production sizings keep the measured
-    512 MiB optimum, memory-tight local sessions trade a few more
-    partitions for never OOMing.  Local mode reads the driver JVM's
-    Runtime.maxMemory — the same heap the tasks run in; on a real
-    cluster the driver heap is a sizing PROXY for executors (clusters
-    are normally co-sized), and the session ceiling still stands."""
+    sort: half the heap per concurrent task slot, floored at 64 MiB.
+    The 512 MiB/task policy target implicitly assumes ~1 GiB+ of heap
+    per core (any production executor sizing); a local[32] session on
+    an 8g heap has 256 MiB/core, where a 512 MiB task's sort pointer
+    arrays alone are ~128 MiB humongous allocations — the round-10
+    sf30 repeat protocol caught q189/q218 OOMing ~1 in 3 runs exactly
+    there.  Capping task bytes by heap-per-slot makes the policy
+    deployment-aware: production sizings keep the measured 512 MiB
+    optimum, memory-tight local sessions trade a few more partitions
+    for never OOMing.
+
+    WHICH heap depends on the deployment: in ``local[*]`` the driver
+    JVM's ``Runtime.maxMemory`` IS the task heap, divided by the local
+    core count.  On a real cluster the driver heap says NOTHING about
+    executors (an 8g driver in front of 400 executor cores is normal),
+    so the cap reads ``spark.executor.memory`` / ``spark.executor.
+    cores`` from the conf instead — and when those are absent
+    (platform-managed sizing) it declines to cap at all, leaving the
+    measured 512 MiB policy target in force."""
     try:
-        max_mem = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+        master = str(spark.conf.get("spark.master", "") or "")
+    except Exception:
+        master = ""
+    if master.startswith("local"):
+        try:
+            max_mem = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+        except Exception:
+            return ROUND_TASK_BYTES
+        cores = max(1, spark.sparkContext.defaultParallelism)
+        return max(64 * 1024 * 1024, int(max_mem / cores / 2))
+    try:
+        em = spark.conf.get("spark.executor.memory", None)
+        ec = spark.conf.get("spark.executor.cores", None)
     except Exception:
         return ROUND_TASK_BYTES
-    cores = max(1, spark.sparkContext.defaultParallelism)
-    return max(64 * 1024 * 1024, int(max_mem / cores / 2))
+    mem_bytes = _parse_mem_bytes(em) if em else None
+    if not mem_bytes:
+        return ROUND_TASK_BYTES
+    try:
+        cores = max(1, int(ec)) if ec else 1
+    except (ValueError, TypeError):
+        cores = 1
+    return max(64 * 1024 * 1024, int(mem_bytes / cores / 2))
 
 
 def shuffle_partitions(spark, default: int = 200) -> int:

@@ -105,13 +105,43 @@ def _process_factory(eps: float, sensitivity: float, seed: int, bootstrap_sims: 
     return process
 
 
+def _tws_runtime_available() -> bool:
+    """Whether the transformWithStateInPandas PYTHON runtime can run
+    here: the TWS state client speaks protobuf to the JVM, so
+    ``google.protobuf`` must be importable (absent in this container —
+    the env-gate ritual re-checks each round)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 class StreamingPFSADetector:
     """Wire a (stream_id, window_id, symbols) streaming DataFrame through
     the stateful processor.  Works identically on batch DataFrames (Spark
-    runs applyInPandasWithState in batch mode too), which is how the
-    batch/stream equivalence test pins the semantics."""
+    runs the same per-window logic in batch mode too), which is how the
+    batch/stream equivalence test pins the semantics.
 
-    def __init__(self, *, eps: float = 0.2, anomaly_sensitivity: float = 3.0, seed: int = 42, bootstrap_sims: int = 100, alphabet_size: int | None = None) -> None:
+    ``state_api`` selects the streaming state backend (round-11 —
+    Spark 4.x's current stateful API as the default path):
+
+    - ``"auto"`` (default): ``transformWithStateInPandas`` when its
+      Python runtime is available (google.protobuf importable), else
+      ``applyInPandasWithState`` — same processor logic either way
+      (``_process_factory`` is shared; the TWS wrapper adapts
+      ValueState to the GroupState duck-type).
+    - ``"tws"``: force transformWithStateInPandas (raises at stream
+      wiring if protobuf is absent — a loud env error, not a silent
+      downgrade).
+    - ``"apws"``: force the applyInPandasWithState path (the
+      pre-round-11 behavior, kept as the documented fallback).
+    """
+
+    def __init__(self, *, eps: float = 0.2, anomaly_sensitivity: float = 3.0, seed: int = 42, bootstrap_sims: int = 100, alphabet_size: int | None = None, state_api: str = "auto") -> None:
+        if state_api not in ("auto", "tws", "apws"):
+            raise ValueError(f"state_api must be auto|tws|apws, got {state_api}")
         self.eps = eps
         self.anomaly_sensitivity = anomaly_sensitivity
         self.seed = seed
@@ -120,10 +150,37 @@ class StreamingPFSADetector:
         # top symbol would otherwise mint an under-sized model that later
         # windows are unscorable under (P3 inf-guard kicks in)
         self.alphabet_size = alphabet_size
+        self.state_api = state_api
+
+    def _use_tws(self) -> bool:
+        if self.state_api == "tws":
+            if not _tws_runtime_available():
+                raise ImportError(
+                    "state_api='tws' needs google.protobuf (the "
+                    "transformWithStateInPandas Python runtime); install "
+                    "protobuf or use state_api='auto'/'apws'"
+                )
+            return True
+        if self.state_api == "apws":
+            return False
+        return _tws_runtime_available()
 
     def apply(self, windows: DataFrame) -> DataFrame:
         proc = _process_factory(self.eps, self.anomaly_sensitivity, self.seed, self.bootstrap_sims, self.alphabet_size)
         if windows.isStreaming:
+            if self._use_tws():
+                return windows.groupBy("stream_id").transformWithStateInPandas(
+                    PFSAStatefulProcessor.build(
+                        eps=self.eps,
+                        anomaly_sensitivity=self.anomaly_sensitivity,
+                        seed=self.seed,
+                        bootstrap_sims=self.bootstrap_sims,
+                        alphabet_size=self.alphabet_size,
+                    ),
+                    outputStructType=OUTPUT_SCHEMA,
+                    outputMode="Append",
+                    timeMode="None",
+                )
             return windows.groupBy("stream_id").applyInPandasWithState(
                 proc,
                 outputStructType=OUTPUT_SCHEMA,

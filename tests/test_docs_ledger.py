@@ -43,6 +43,52 @@ def test_declared_surface_ids_unique():
     assert not dupes, f"SURVEY.md §2 component ids reused: {dupes}"
 
 
+def test_ledger_counts_are_pinned():
+    """The component arithmetic has ONE recomputable source of truth
+    (scripts/ledger_counts.py) — round-10's verdict caught NOTES/README
+    saying '298 (248 extension)' while the ledger had 250 extension
+    rows.  Growing the surface means updating these pins in the same
+    commit that adds the rows; prose derives from the script."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ledger_counts", "/root/repo/scripts/ledger_counts.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    c = mod.counts()
+    assert c == {
+        "core_table_rows": 49,
+        "core_out_of_scope": 1,
+        "udf_components": 2,
+        "core_components": 50,
+        "extension_rows": 250,
+        "total_components": 300,
+    }, c
+
+
+def test_readme_component_counts_match_ledger():
+    """README's headline component numbers must equal the recomputed
+    ledger counts — no hand-maintained arithmetic drift."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ledger_counts", "/root/repo/scripts/ledger_counts.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    c = mod.counts()
+    readme = open("/root/repo/README.md", encoding="utf-8").read()
+    expect = (
+        f"{c['total_components']} components "
+        f"({c['core_components']} core + {c['extension_rows']} extension"
+    )
+    assert expect in readme, (
+        f"README must carry the ledger-derived line {expect!r} "
+        f"(recompute with scripts/ledger_counts.py)"
+    )
+
+
 def test_declared_surface_rows_cite_queries_or_evidence():
     """Every §2.12 extension row should point at a qNN oracle or name
     its test evidence — a row with neither is an unverifiable claim."""
