@@ -2988,7 +2988,8 @@ def q120_pretraining_build(spark, sf_dir):
     q120 oracle chains their SQL replicas, so the gate proves the
     stages COMPOSE (column contracts, null/empty-doc handling, ordering
     determinism), not just work alone."""
-    from patternly_spark.operators.dedup import boilerplate_removal, exact_dedup
+    from patternly_spark.functions.text import fingerprint
+    from patternly_spark.operators.dedup import boilerplate_removal
     from patternly_spark.operators.packing import assign_shards
 
     d = _t(spark, sf_dir, "documents")
@@ -2996,9 +2997,18 @@ def q120_pretraining_build(spark, sf_dir):
     nonempty = cleaned.filter(F.col("n_kept") > 0).select(
         "doc_id", F.col("text_clean").alias("text")
     )
-    dd = exact_dedup(nonempty)
-    kept = nonempty.join(
-        dd.filter(~F.col("is_dup")).select("doc_id"), "doc_id"
+    # keep-canonical inline (same values as exact_dedup + join-back on
+    # doc_id: kept == NOT is_dup == doc_id = min(doc_id) over the
+    # normalized content hash).  The join form made Catalyst evaluate
+    # the whole boilerplate subtree twice — once pruned to (id, hash)
+    # for the dedup side, once full for the text side (r11 plan diff:
+    # two boilerplate passes -> one; the text now crosses one window
+    # shuffle instead of its subtree being recomputed).
+    w_hash = Window.partitionBy(fingerprint("text", 32))
+    kept = (
+        nonempty.withColumn("__canon", F.min("doc_id").over(w_hash))
+        .filter(F.col("doc_id") == F.col("__canon"))
+        .select("doc_id", "text")
     )
     tok_len = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     gated = kept.filter(tok_len >= 8)
@@ -10879,7 +10889,7 @@ def q241_release_gate_v2(spark, sf_dir):
     precedent).  One WITH-chain oracle certifies the whole composition
     value-exactly."""
     from patternly_spark.operators.dedup import remove_duplicate_spans
-    from patternly_spark.operators.validate import pii_redact, pii_scan
+    from patternly_spark.operators.validate import pii_flag, pii_redact
 
     d = _t(spark, sf_dir, "documents")
     planted = d.select(
@@ -10904,10 +10914,14 @@ def q241_release_gate_v2(spark, sf_dir):
     kept = cleaned.withColumn(
         "n_tokens_after", F.col("n_tokens_before") - F.col("n_tokens_removed")
     ).filter(F.col("n_tokens_after") >= 8)
-    rescan = pii_scan(kept.select("doc_id", "text"))
+    # residual-PII rescan as a PROJECTION over kept.text (identical flag
+    # semantics to pii_scan): the previous join-back on doc_id made
+    # Catalyst evaluate the whole redact + 20-gram span subtree twice
+    # (r11 plan diff: 22 -> ~11 exchanges, one Generate pass instead of
+    # two)
     stats = (
-        kept.join(planted.select("doc_id", "source"), "doc_id")
-        .join(rescan.select("doc_id", "has_pii"), "doc_id")
+        kept.withColumn("has_pii", pii_flag(F.col("text")))
+        .join(planted.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("docs_released"),

@@ -1205,43 +1205,58 @@ def pair_set_agreement(
     overlap_jaccard = |A∩B| / |A∪B| (0 when both empty).
 
     Counts are integers and the jaccard is one double division —
-    engine-exact.  Scale shape: pair sets are outputs of the dedup
-    operators (already candidate-sized, not corpus-sized); each matrix
-    cell is one equi-join on (a, b) plus count aggregates."""
-    norm = {
-        name: df.select(
+    engine-exact.  Scale shape (r11 optimization): ONE pass — every
+    method's pair relation is scanned exactly once into a union tagged
+    with a per-method bit, one groupBy (a, b) bit_or collapses
+    duplicates within AND across methods, and a second (tiny) aggregate
+    counts pairs per membership mask.  The <= 2^k mask counts (k =
+    number of methods, a caller-enumerated handful) are a bounded
+    driver readout — the k×k-matrix contract — from which every matrix
+    cell is integer arithmetic.  The previous shape re-evaluated each
+    (possibly expensive: LSH, verification joins) input subtree once
+    per matrix cell it appeared in — O(k) full scans per method and
+    k(k-1)/2 equi-joins; this is one data-sized shuffle total."""
+    names = sorted(methods)
+    if len(names) < 2:
+        return None
+    spark = methods[names[0]].sparkSession
+    tagged = None
+    for idx, name in enumerate(names):
+        t = methods[name].select(
             F.least(F.col(a_col), F.col(b_col)).alias("a"),
             F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
-        ).distinct()
-        for name, df in methods.items()
+            F.lit(1 << idx).alias("m"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    mask_counts = {
+        r["mask"]: r["n"]
+        for r in (
+            tagged.groupBy("a", "b")
+            .agg(F.bit_or("m").alias("mask"))
+            .groupBy("mask")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        )
     }
-    names = sorted(norm)
-    out = None
+
+    def _n(*bits: int) -> int:
+        want = 0
+        for b in bits:
+            want |= 1 << b
+        return sum(n for mask, n in mask_counts.items() if mask & want == want)
+
+    rows = []
     for i in range(len(names)):
         for j in range(i + 1, len(names)):
-            A, B = norm[names[i]], norm[names[j]]
-            na = A.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
-            nb = B.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
-            nc = A.join(B, ["a", "b"]).agg(
-                F.count(F.lit(1)).cast("long").alias("n_common")
-            )
-            denom = (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
-            row = (
-                na.crossJoin(nb)
-                .crossJoin(nc)
-                .select(
-                    F.lit(names[i]).alias("method_a"),
-                    F.lit(names[j]).alias("method_b"),
-                    "n_a",
-                    "n_b",
-                    "n_common",
-                    F.when(denom > 0.0, F.col("n_common").cast("double") / denom)
-                    .otherwise(F.lit(0.0))
-                    .alias("overlap_jaccard"),
-                )
-            )
-            out = row if out is None else out.unionByName(row)
-    return out
+            n_a, n_b, n_common = _n(i), _n(j), _n(i, j)
+            denom = float(n_a + n_b - n_common)
+            jac = (float(n_common) / denom) if denom > 0.0 else 0.0
+            rows.append((names[i], names[j], n_a, n_b, n_common, jac))
+    return spark.createDataFrame(
+        rows,
+        "method_a string, method_b string, n_a long, n_b long, "
+        "n_common long, overlap_jaccard double",
+    )
 
 
 def set_similarity_join(

@@ -92,10 +92,14 @@ def connected_components(
     worst case, so 50 covers any realistic graph).
     """
     def _checksum(df: DataFrame):
-        # one job per round: (count, order-invariant hash-sum).  A round
-        # is only DECLARED converged after an exact exceptAll confirm, so
-        # a (vanishingly unlikely) checksum collision can't end the loop
-        # early — it only costs one extra comparison.
+        # ONE job per round: (count, order-invariant hash-sum) computed
+        # over the LAZILY-checkpointed round relation, so the same pass
+        # that answers convergence also materializes the lineage-cut
+        # blocks (r11: the eager-checkpoint + separate-checksum shape
+        # paid two full passes per round).  A round is only DECLARED
+        # converged after an exact exceptAll confirm, so a (vanishingly
+        # unlikely) checksum collision can't end the loop early — it
+        # only costs one extra comparison.
         row = df.select(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
@@ -104,7 +108,7 @@ def connected_components(
 
     cur = _canon(
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     cur_sum = _checksum(cur)
 
     # round-heavy: O(log n) star rounds want bytes-sized partitions, not
@@ -114,7 +118,7 @@ def connected_components(
     spark = edges.sparkSession
     with tuned_shuffle(spark, round_partitions(spark, cur_sum[0])):
         for _ in range(max_iterations):
-            nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+            nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
             nxt_sum = _checksum(nxt)
             if nxt_sum == cur_sum and nxt.exceptAll(cur).isEmpty():
                 cur = nxt
@@ -667,13 +671,16 @@ def minimum_spanning_forest(
         for _ in range(int(max_rounds)):
             lab_u = labels.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
             lab_v = labels.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
+            # lazy pin + full count: ONE job both materializes the
+            # lineage cut and answers the emptiness probe (the eager
+            # checkpoint + limit(1).count() shape paid two passes — r11)
             crossing = (
                 e.join(lab_u, "u")
                 .join(lab_v, "v")
                 .filter(F.col("cu") != F.col("cv"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            if crossing.limit(1).count() == 0:
+            if crossing.count() == 0:
                 break
             # each component's minimum outgoing edge, totally tie-broken
             pick = F.struct(F.col("w"), F.col("u"), F.col("v"))
@@ -687,7 +694,7 @@ def minimum_spanning_forest(
             )
             forest = forest.unionByName(
                 per_comp.select("u", "v", "w")
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             # merge components: CC over comp-level star edges
             comp_edges = (
                 crossing.join(
@@ -705,7 +712,7 @@ def minimum_spanning_forest(
                     "node",
                     F.coalesce(F.col("component"), F.col("comp")).alias("comp"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
         else:
             if strict:
@@ -1272,23 +1279,33 @@ def partition_quality(
         raise ValueError("partition_quality: empty edge set")
     md = float(m_row)
     # per-community intra edges and cut edges (an inter-community edge
-    # contributes 1 cut to EACH side)
-    intra = (
-        j.filter(F.col("cu") == F.col("cv"))
-        .groupBy(F.col("cu").alias("community"))
-        .agg(F.count(F.lit(1)).cast("long").alias("e_intra"))
+    # contributes 1 cut to EACH side) in ONE pass over j: each edge
+    # explodes to its two endpoint communities with flags, one keyed
+    # aggregate counts intra (lead endpoint only, so each intra edge
+    # counts once) and cut (both endpoints) together.  The previous
+    # shape evaluated j three times — intra, and twice under the cut
+    # union — i.e. three label joins over the edge set where one
+    # suffices (r11: guide §2.3/§2.4, one data-sized shuffle for the
+    # edge-side aggregates).
+    is_intra = (F.col("cu") == F.col("cv")).alias("is_intra")
+    sides = j.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("cu").alias("community"), is_intra, F.lit(True).alias("lead")),
+                F.struct(F.col("cv").alias("community"), is_intra, F.lit(False).alias("lead")),
+            )
+        ).alias("s")
+    ).select("s.*")
+    ic = sides.groupBy("community").agg(
+        F.sum(F.when(F.col("is_intra") & F.col("lead"), 1).otherwise(0))
+        .cast("long")
+        .alias("e_intra"),
+        F.sum(F.when(~F.col("is_intra"), 1).otherwise(0)).cast("long").alias("cut"),
     )
-    inter = j.filter(F.col("cu") != F.col("cv"))
-    cut = (
-        inter.select(F.col("cu").alias("community"))
-        .unionAll(inter.select(F.col("cv").alias("community")))
-        .groupBy("community")
-        .agg(F.count(F.lit(1)).cast("long").alias("cut"))
-    )
-    # degree volume per community: degree counts both endpoints
+    # degree volume per community: degree counts both endpoints (same
+    # explode trick — one scan of the pinned edge set, not two)
     deg = (
-        e.select(F.col("u").alias("n"))
-        .unionAll(e.select(F.col("v").alias("n")))
+        e.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
@@ -1300,11 +1317,7 @@ def partition_quality(
             F.sum("d").cast("long").alias("volume"),
         )
     )
-    out = (
-        vol.join(intra, "community", "left")
-        .join(cut, "community", "left")
-        .na.fill({"e_intra": 0, "cut": 0})
-    )
+    out = vol.join(ic, "community", "left").na.fill({"e_intra": 0, "cut": 0})
     vold = F.col("volume").cast("double")
     denom = F.least(vold, F.lit(2.0 * md) - vold)
     conductance = F.when(denom > 0, F.col("cut").cast("double") / denom)

@@ -180,6 +180,29 @@ def _luhn_valid(c: Column) -> Column:
     return total % 10 == 0
 
 
+def pii_flag(text: Column) -> Column:
+    """``has_pii`` as a pure column expression over ``text`` — exactly
+    ``pii_scan``'s flag (email|phone|ipv4|ssn|Luhn-valid CCN present).
+    Exposed separately so pipeline compositions that only need the flag
+    on an already-derived text column (q241's release rescan) can stay
+    a projection instead of re-evaluating their upstream subtree for a
+    join back on id (r11 optimization: the join form evaluated the
+    redact+span machinery twice)."""
+    counts = {
+        k: F.size(F.regexp_extract_all(text, F.lit(p), 0)).cast("long")
+        for k, p in PII_PATTERNS.items()
+    }
+    cands = F.regexp_extract_all(text, F.lit(CCN_CANDIDATE), 0)
+    n_valid = F.size(F.filter(cands, _luhn_valid)).cast("long")
+    return (
+        (counts["email"] > 0)
+        | (counts["phone"] > 0)
+        | (counts["ipv4"] > 0)
+        | (counts["ssn"] > 0)
+        | (n_valid > 0)
+    )
+
+
 def pii_scan(
     df: DataFrame,
     *,
@@ -212,13 +235,7 @@ def pii_scan(
     cands = F.regexp_extract_all(text, F.lit(CCN_CANDIDATE), 0)
     n_like = F.size(cands).cast("long")
     n_valid = F.size(F.filter(cands, _luhn_valid)).cast("long")
-    has = (
-        (counts["email"] > 0)
-        | (counts["phone"] > 0)
-        | (counts["ipv4"] > 0)
-        | (counts["ssn"] > 0)
-        | (n_valid > 0)
-    )
+    has = pii_flag(text)
     return df.select(
         F.col(id_col),
         counts["email"].alias("n_email"),
