@@ -75,7 +75,54 @@ def _ensure_pkg_on_executors(spark: SparkSession) -> None:
     _PKG_SHIPPED = True
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+#: scan split-count memo (path -> input partitions); the split count of
+#: a fixed file set is a data property, not a session property, so one
+#: probe per table per data dir suffices
+_SCAN_SPLITS: dict[str, int] = {}
+
+
+def _spread_scan(spark: SparkSession, df: DataFrame, path_key: str) -> DataFrame:
+    """Input-parallelism floor for a base-table scan (optimization guide
+    §2.5, "input skew: one huge unsplittable file ... repartition
+    immediately after the read").  The sf test tables are single-file,
+    SINGLE-ROW-GROUP parquet, so every scan is one input split and all
+    per-row kernel work (regex, shingling, hashing, vector math) before
+    the first exchange runs on ONE core of local[32] — measured at
+    ~111 s of <=2-task job time across the 279-entry bench (r11 survey,
+    OPTIMIZATION_r11.md).  When the scan has fewer splits than the
+    cluster's parallelism, one cheap round-robin exchange spreads it;
+    on any real corpus (>= cores splits — certainly at 100 TB) this is
+    a NO-OP, so it is data-adaptive, not a local tuning constant.
+    Values are unaffected: every operator is partition-count invariant
+    (the driver gate replays all oracles on a vanilla 200-partition
+    session), and round-robin repartition is deterministic under
+    Spark's sort-before-repartition default.
+
+    Applied PER CALL SITE (``_t(..., spread=True)``), not blanket: the
+    floor only pays when heavy per-row work sits BEFORE the first
+    natural exchange.  A query whose first operation is a groupBy /
+    window / join re-shuffles immediately anyway — there the extra
+    round-robin exchange is pure overhead (measured +0.1-0.25 s on the
+    cheap window queries in the r11 A/B).  ``SPARK_GRAFT_SCAN_SPREAD=0``
+    disables the floor globally (controlled A/B knob)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SCAN_SPREAD", "1") in ("0", "false"):
+        return df
+    n = spark.sparkContext.defaultParallelism
+    parts = _SCAN_SPLITS.get(path_key)
+    if parts is None:
+        try:
+            parts = df.rdd.getNumPartitions()
+        except Exception:
+            parts = n
+        _SCAN_SPLITS[path_key] = parts
+    return df.repartition(n) if parts < n else df
+
+
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, *, spread: bool = False
+) -> DataFrame:
     _ensure_pkg_on_executors(spark)
     # events.ts is TIMESTAMP(NANOS) in the parquet.  How it arrives depends
     # on the Spark version: <=4.0 vanilla sessions reject it
@@ -107,8 +154,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             except Exception:
                 pass
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _spread_scan(spark, df, f"{sf_dir}/{name}") if spread else df
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _spread_scan(spark, df, f"{sf_dir}/{name}") if spread else df
 
 
 def _read_events_via_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,7 +512,7 @@ def q27_winnow_candidates(spark, sf_dir):
     candidate pairs (SIGMOD'03 document fingerprinting)."""
     from patternly_spark.functions.text import fingerprint_candidate_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return fingerprint_candidate_pairs(d, kgram=5, window=4)
 
 
@@ -608,7 +656,7 @@ def q36_neardup_corpus(spark, sf_dir):
     the identical hash family + banding + recursive reachability."""
     from patternly_spark.operators.dedup import neardup_dedup_corpus
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return neardup_dedup_corpus(
         d, shingle_size=3, num_hashes=8, bands=4, jaccard_threshold=0.7
     )
@@ -794,7 +842,7 @@ def q46_chunk_ann(spark, sf_dir):
     from patternly_spark.functions.vectors import dot, hash_embedding, norm
     from patternly_spark.operators.packing import chunk_documents
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
 
     def embed_chunks(docs):
         return (
@@ -974,7 +1022,7 @@ def q50_containment(spark, sf_dir):
     pairing — the winnow UDF runs once)."""
     from patternly_spark.functions.text import containment_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return containment_pairs(d, kgram=5, window=4)
 
 
@@ -1181,7 +1229,7 @@ def q93_lsh_candidates(spark, sf_dir):
 def q94_embedding_neardup(spark, sf_dir):
     from patternly_spark.operators.dedup import embedding_neardup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     out = embedding_neardup_pairs(emb, threshold=0.3)
     return out.select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
 
@@ -1284,7 +1332,7 @@ def q62_exactsubstr_spans(spark, sf_dir):
     skew-collapsing groupBy on the gram hash + per-doc island windows."""
     from patternly_spark.operators.dedup import exact_substring_spans
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return exact_substring_spans(docs, min_tokens=8)
 
 
@@ -1520,7 +1568,7 @@ def q77_rrf_hybrid(spark, sf_dir):
 
     from patternly_spark.operators.retrieval import bm25_scores, rrf_fuse
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     terms = ["hash", "join", "vector", "stream"]
     toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit(""))
 
@@ -1883,7 +1931,7 @@ def q102_repetition_filter(spark, sf_dir):
     (different shape, same integer-exact arithmetic)."""
     from patternly_spark.functions.text import gopher_repetition_flags
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return gopher_repetition_flags(d.select("doc_id", "text")).drop("text")
 
 
@@ -2992,7 +3040,7 @@ def q120_pretraining_build(spark, sf_dir):
     from patternly_spark.operators.dedup import boilerplate_removal
     from patternly_spark.operators.packing import assign_shards
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     cleaned = boilerplate_removal(d, block_tokens=3, max_doc_freq=3)
     nonempty = cleaned.filter(F.col("n_kept") > 0).select(
         "doc_id", F.col("text_clean").alias("text")
@@ -3296,7 +3344,7 @@ def q126_chunk_dedup_report(spark, sf_dir):
     hash (hot chunks collapse map-side), never a window."""
     from patternly_spark.operators.packing import content_defined_chunks
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     ch = content_defined_chunks(d, kgram=4, boundary_mod=8)
     hashed = ch.select(
         "doc_id", "chunk_idx", "n_tokens", F.md5("chunk_text").alias("h")
@@ -3764,7 +3812,7 @@ def q135_int8_ann(spark, sf_dir):
     4x-smaller representation can carry a full value-hash oracle."""
     from patternly_spark.operators.quantized import int8_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     probes = emb.filter(F.col("vec_id") < 20)
     return int8_topk(emb, probes, k=10)
 
@@ -3855,7 +3903,7 @@ def q137_matryoshka_eval(spark, sf_dir):
     division, engine-exact."""
     from patternly_spark.operators.quantized import matryoshka_recall
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     probes = emb.filter(F.col("vec_id") < 20)
     return matryoshka_recall(emb, probes, dims=[8, 16, 32], k=10)
 
@@ -4297,7 +4345,7 @@ def q143_dedup_agreement(spark, sf_dir):
         pair_set_agreement,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     nd = d.select("doc_id", normalize_text("text").alias("text"))
     ex = exact_dedup(nd).select("doc_id", "content_hash")
     exact_pairs = (
@@ -4397,7 +4445,7 @@ def q144_cross_source_overlap(spark, sf_dir):
     budgets (two dumps of the same sites add redundancy, not data)."""
     from patternly_spark.operators.decontam import cross_source_overlap
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return cross_source_overlap(d, shingle_size=8)
 
 
@@ -4540,7 +4588,7 @@ def q147_contrastive_triplets(spark, sf_dir):
     )
     from patternly_spark.operators.sampling import ring_negatives
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     sigs = minhash_signatures(d, shingle_size=3, num_hashes=8)
     cand = lsh_candidate_pairs(sigs, num_hashes=8, bands=4).select("doc_a", "doc_b")
     pos = (
@@ -5635,7 +5683,7 @@ def q163_novelty_curve(spark, sf_dir):
     marginal novelty flattens, more of the same source buys nothing.
     All integer counts + one division; micro-averaging keeps it
     fold-order-free."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     from patternly_spark.functions.text import with_shingles
 
     sh = with_shingles(d.select("doc_id", "text"), "text", 3, out_col="__sh")
@@ -6578,7 +6626,7 @@ def q178_duplicate_spans(spark, sf_dir):
     the whole table is integer-exact against the SQL replay."""
     from patternly_spark.operators.dedup import duplicate_spans
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return duplicate_spans(d, ngram=20)
 
 
@@ -6635,7 +6683,7 @@ def q179_pmi_collocations(spark, sf_dir):
     floor-quantized ln so PMI is engine-exact."""
     from patternly_spark.operators.lm import pmi_cooccurrence
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return pmi_cooccurrence(d, window=5, min_count=5)
 
 
@@ -6848,7 +6896,7 @@ def q181_embedding_covariance(spark, sf_dir):
     drift monitoring; driver-side 64x64 eigh gives the transform)."""
     from patternly_spark.operators.quantized import embedding_covariance
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     return embedding_covariance(emb)
 
 
@@ -8697,7 +8745,7 @@ def q212_retrieval_eval(spark, sf_dir):
     from patternly_spark.operators.model_eval import ranking_metrics
     from patternly_spark.operators.quantized import int8_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     probes = emb.filter(F.col("vec_id") < 100)
     nn = int8_topk(emb, probes, k=10)
     lab = emb.select("vec_id", "label")
@@ -10891,7 +10939,7 @@ def q241_release_gate_v2(spark, sf_dir):
     from patternly_spark.operators.dedup import remove_duplicate_spans
     from patternly_spark.operators.validate import pii_flag, pii_redact
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     planted = d.select(
         "doc_id",
         "source",
@@ -11289,7 +11337,7 @@ def q246_retrieval_metric_ci(spark, sf_dir):
     from patternly_spark.operators.model_eval import ranking_metric_ci
     from patternly_spark.operators.quantized import int8_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     probes = emb.filter(F.col("vec_id") < 100)
     nn = int8_topk(emb, probes, k=10)
     lab = emb.select("vec_id", "label")
