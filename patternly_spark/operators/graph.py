@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from patternly_spark.plans import round_partitions, round_partitions_for, tuned_shuffle
 
 
-def _pin_disk(df: DataFrame) -> DataFrame:
+def _pin_disk(df: DataFrame, *, eager: bool = True) -> DataFrame:
     """Eager lineage cut with DISK_ONLY blocks — for round-iterating
     state whose partitions are large at scale (core_numbers labels,
     HyperBall registers).  The default MEMORY_AND_DISK(deserialized)
@@ -34,7 +34,7 @@ def _pin_disk(df: DataFrame) -> DataFrame:
     cache, so per-round cost is serialization, not I/O."""
     from pyspark import StorageLevel
 
-    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.DISK_ONLY)
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -48,28 +48,37 @@ def _canon(edges: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
-    """For each node u: connect every strictly-larger neighbor to the
-    minimum of N(u) + {u}."""
-    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+def _star_round(cur: DataFrame) -> DataFrame:
+    """One large-star + small-star round in THREE exchanges (was five).
+
+    large star: for each node u, connect every strictly-larger neighbor
+    to min(N(u) + {u}).  small star: orient u > v, connect u and all its
+    (smaller) neighbors to the minimum neighbor.  min-over-neighbors is
+    duplicate-insensitive, so the two intermediate ``distinct()``s the
+    textbook formulation puts between the stars are dropped: the large-
+    star output flows straight into the small-star orientation, and ONE
+    trailing distinct (whose map-side partial HashAggregate collapses
+    duplicates before the shuffle anyway) restores set semantics.  The
+    produced edge SET is identical to the two-distinct form — same
+    per-row orientation, same per-partition minima, same (v,m)/(u,m)
+    pairs, same final dedup — only the number of full shuffles per
+    round changes (guide §2.4)."""
     w = Window.partitionBy("u")
+    # large star (no trailing distinct)
+    sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
     m = F.least(F.min("v").over(w), F.col("u"))
-    return (
+    ls = (
         sym.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
-
-
-def _small_star(edges: DataFrame) -> DataFrame:
-    """Orient u > v; for each node u: connect u and all its (smaller)
-    neighbors to the minimum neighbor."""
-    oriented = _canon(edges)
-    w = Window.partitionBy("u")
-    m = F.min("v").over(w)  # all neighbors are < u after orientation
-    withm = oriented.withColumn("m", m)
+    # small star on the duplicate-carrying large-star output: orient
+    # without the canon distinct; the window min is unchanged by dups
+    oriented = ls.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    withm = oriented.withColumn("m", F.min("v").over(w))
     out = withm.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
         withm.select("u", F.col("m").alias("v"))
     )
@@ -118,7 +127,7 @@ def connected_components(
     spark = edges.sparkSession
     with tuned_shuffle(spark, round_partitions(spark, cur_sum[0])):
         for _ in range(max_iterations):
-            nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+            nxt = _star_round(cur).localCheckpoint(eager=False)
             nxt_sum = _checksum(nxt)
             if nxt_sum == cur_sum and nxt.exceptAll(cur).isEmpty():
                 cur = nxt
@@ -303,10 +312,9 @@ def label_propagation(
     e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym.cache()
-    nodes = sym.select(F.col("a").alias("node")).distinct()
-    nodes.cache()
-    labels = nodes.withColumn("label", F.col("node"))
-    w = Window.partitionBy("node").orderBy(F.desc("__c"), F.asc("label"))
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
     spark = edges.sparkSession
     with tuned_shuffle(spark, round_partitions_for(spark, sym)):
         for it in range(int(iterations)):
@@ -315,20 +323,26 @@ def label_propagation(
                 .groupBy(F.col("a").alias("node"), "label")
                 .agg(F.count(F.lit(1)).alias("__c"))
             )
-            best = (
-                neigh.withColumn("__r", F.row_number().over(w))
-                .filter(F.col("__r") == 1)
-                .select("node", F.col("label").alias("__new"))
-            )
+            # argmax(count desc, label asc) as a min-of-struct aggregate:
+            # no window sort, and every node in sym has >= 1 neighbor so
+            # this is TOTAL over the node set — the old per-round
+            # nodes |x| labels |x| best coalesce re-join was redundant
+            # (r11, guide §2.4: two joins + a sorting window removed per
+            # round, values identical)
             labels = (
-                nodes.join(labels, "node")
-                .join(best, "node", "left")
-                .select("node", F.coalesce("__new", "label").alias("label"))
+                neigh.groupBy("node")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("__c")).alias("__nc"), F.col("label").alias("l")
+                        )
+                    ).alias("p")
+                )
+                .select("node", F.col("p.l").alias("label"))
             )
             if (it + 1) % int(checkpoint_every) == 0 or it == int(iterations) - 1:
                 labels = labels.localCheckpoint(eager=True)
-    for df_ in (nodes, sym):
-        df_.unpersist(False)
+    sym.unpersist(False)
     return labels
 
 
@@ -473,21 +487,31 @@ def kcore(
     spark = edges.sparkSession
     with tuned_shuffle(spark, round_partitions_for(spark, und)):
         for _ in range(int(max_rounds)):
-            deg = (
+            # bad is lazily pinned so ONE full count() both materializes
+            # it and answers the convergence probe; the two anti-join
+            # branches then read the pinned blocks instead of
+            # re-evaluating the degree aggregate per branch (the old
+            # shape paid three degree-agg evaluations + two jobs per
+            # round: probe, and a duplicated subtree under the eager
+            # peel checkpoint — r11, guide §2.4/§3.3)
+            bad = (
                 und.select(F.col("u").alias("node"))
                 .unionAll(und.select(F.col("v").alias("node")))
                 .groupBy("node")
                 .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+                .filter(F.col("degree") < kk)
+                .select("node")
+                .localCheckpoint(eager=False)
             )
-            bad = deg.filter(F.col("degree") < kk).select("node")
-            if bad.limit(1).count() == 0:
+            if bad.count() == 0:
                 converged = True
                 break
+            # lazy peel pin: the NEXT round's probe job materializes it
             und = (
                 und.join(bad.withColumnRenamed("node", "u"), "u", "left_anti")
                 .join(bad.withColumnRenamed("node", "v"), "v", "left_anti")
                 .select("u", "v")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
     if not converged:
         # the final round may have peeled the last under-k nodes without
@@ -589,15 +613,21 @@ def core_numbers(
                     .alias("__h")
                 )
             )
+            # lazy DISK_ONLY pin + FULL changed-count: one job both
+            # materializes the round's label blocks and answers the
+            # convergence probe (the eager pin + limit(1) probe shape
+            # paid two passes per round — r11, guide §2.4); DISK_ONLY
+            # memory safety (round-10 sf30 finding) is unchanged
             new_labels = _pin_disk(
                 hidx.join(labels, "node")
                 .select(
                     "node",
                     F.least(F.col("label"), F.col("__h")).alias("new_label"),
                     "label",
-                )
+                ),
+                eager=False,
             )
-            changed = new_labels.filter(F.col("new_label") != F.col("label")).limit(1).count()
+            changed = new_labels.filter(F.col("new_label") != F.col("label")).count()
             labels = new_labels.select("node", F.col("new_label").alias("label"))
             if changed == 0:
                 return labels.select("node", F.col("label").alias("core"))
@@ -848,17 +878,21 @@ def bfs_hops(
     spark = edges.sparkSession
     with tuned_shuffle(spark, round_partitions_for(spark, e)):
         for h in range(1, int(max_hops) + 1):
+            # lazy pin + FULL count: one job materializes the frontier
+            # and answers the emptiness probe (eager pin + limit(1) paid
+            # two jobs per hop — r11, guide §2.4); the settled union is
+            # likewise lazy, materialized by the next hop's probe job
             nxt = (
                 frontier.join(e, frontier["node"] == e["u"])
                 .select(F.col("v").alias("node"))
                 .distinct()
                 .join(settled.select("node"), "node", "left_anti")
                 .withColumn("hops", F.lit(h))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            if nxt.limit(1).count() == 0:
+            if nxt.count() == 0:
                 break
-            settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+            settled = settled.unionByName(nxt).localCheckpoint(eager=False)
             frontier = nxt
     return settled.select("node", F.col("hops").cast("int").alias("hops"))
 
@@ -986,13 +1020,20 @@ def neighborhood_function(
         e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
     e = _pin_disk(e.filter(F.col("s") != F.col("d")).distinct())
     nodes = e.select(F.col("s").alias("node")).distinct()
+    # lazy pin: the round's own EAGER 1-row snapshot collect (below)
+    # materializes the register blocks in the same pass, instead of a
+    # separate pin job per round (r11, guide §2.4).  The round-10
+    # memory protocol is unchanged — the snapshot is still collected
+    # eagerly each round, so registers materialize at exactly the same
+    # point in the round as before, just without the duplicate pass.
     regs = _pin_disk(
         hll_registers(
             nodes.withColumn("__item", F.col("node").cast("string")),
             "__item",
             p=p,
             by="node",
-        )
+        ),
+        eager=False,
     )
 
     def snapshot(r: int, rel: DataFrame) -> tuple:
@@ -1028,7 +1069,8 @@ def neighborhood_function(
             regs = _pin_disk(
                 regs.unionByName(pulled)
                 .groupBy("node", "reg")
-                .agg(F.max("rho").alias("rho"))
+                .agg(F.max("rho").alias("rho")),
+                eager=False,
             )
             out.append(snapshot(r, regs))
     return spark.createDataFrame(
