@@ -5312,10 +5312,15 @@ def q157_basket_affinity(spark, sf_dir):
         .filter(F.col("n_ab") >= _Q157_MIN_PAIRS)
     )
     marg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    n_orders = li.select("l_orderkey").distinct().count()
+    # total-order count folded into the plan (1-row broadcast cross join)
+    # instead of a separate driver count(): the distinct-pairs exchange
+    # feeding a/b/marg is then REUSED for this aggregate too (AQE stage
+    # reuse), where the old separate job re-paid scan + distinct shuffle
+    tot = li.agg(F.countDistinct("l_orderkey").cast("long").alias("__n_orders"))
     return (
         pairs.join(marg.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a")), "part_a")
         .join(marg.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b")), "part_b")
+        .crossJoin(F.broadcast(tot))
         .select(
             "part_a",
             "part_b",
@@ -5324,7 +5329,7 @@ def q157_basket_affinity(spark, sf_dir):
             "n_b",
             (
                 F.col("n_ab").cast("double")
-                * F.lit(float(n_orders))
+                * F.col("__n_orders").cast("double")
                 / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
             ).alias("lift"),
         )

@@ -47,26 +47,51 @@ __all__ = [
 ]
 
 
-def _doc_bigrams(docs: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+def _doc_bigrams(
+    docs: DataFrame, *, id_col: str, text_col: str, keep_singles: bool = False
+) -> DataFrame:
     """-> (id, w1, w2, occ): per-document bigram multiset, pre-aggregated.
 
     Docs with <2 tokens emit no rows (no bigram exists).  The explode is
     immediately collapsed by a map-side-combinable count, so the shuffle
     carries distinct (doc, bigram) triples, not the token stream.
+
+    ``keep_singles=True`` additionally emits one (id, token, NULL, 1)
+    sentinel row per single-token document — IN THE SAME SCAN — so a
+    persisted result carries everything ``_vocab_size_from`` needs and
+    the vocabulary job does not re-read the corpus (guide §2.4: remove
+    the second full pass).  Callers filter ``w2 IS NOT NULL`` before
+    using the rows as bigrams.
     """
     toks = docs.select(
         F.col(id_col).alias("__id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
     )
-    return (
-        toks.filter(F.size("t") >= 2)
-        .select(
+    if not keep_singles:
+        exploded = toks.filter(F.size("t") >= 2).select(
             "__id",
             F.explode(
                 F.expr("transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
             ).alias("b"),
         )
-        .select("__id", "b.w1", "b.w2")
+    else:
+        # bigram pairs for >=2-token docs; a single (tok, NULL) sentinel
+        # for 1-token docs; NULL (skipped by explode) otherwise
+        pairs = F.when(
+            F.size("t") >= 2,
+            F.expr("transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS w1, t[i] AS w2))"),
+        ).when(
+            F.size("t") == 1,
+            F.array(
+                F.struct(
+                    F.col("t")[0].alias("w1"),
+                    F.lit(None).cast("string").alias("w2"),
+                )
+            ),
+        )
+        exploded = toks.select("__id", F.explode(pairs).alias("b"))
+    return (
+        exploded.select("__id", "b.w1", "b.w2")
         .groupBy("__id", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("occ"))
     )
@@ -102,6 +127,23 @@ def _vocab_size(docs: DataFrame, text_col: str) -> int:
         .agg(F.countDistinct("tok"))
         .first()[0]
     )
+
+
+def _vocab_size_from(bi_all: DataFrame) -> int:
+    """|V| from a ``keep_singles=True`` bigram table (per-doc or the
+    corpus-level ``groupBy(w1, w2)`` census of one) instead of a second
+    corpus scan: every token of a >=2-token doc appears as some w1 or
+    w2, and single-token docs contribute their (tok, NULL) sentinel's
+    w1 — so distinct(w1 ∪ w2) over the table IS the token vocabulary
+    (countDistinct ignores the sentinel NULLs), and aggregation cannot
+    drop a (w1, w2) pair, so the census carries the same token set.
+    Value-identical to ``_vocab_size`` by that case split; the
+    corpus-token-stream explode + distinct shuffle is replaced by a
+    vocabulary-scale aggregate over an already-pinned relation."""
+    toks = bi_all.select(F.col("w1").alias("tok")).unionAll(
+        bi_all.select(F.col("w2").alias("tok"))
+    )
+    return int(toks.agg(F.countDistinct("tok")).first()[0])
 
 
 def train_bigram_lm(
@@ -151,10 +193,21 @@ def bigram_lm_scores(
     if self_scoring:
         # self-scoring: the count cascade AND the scoring probe both read
         # the per-doc bigram table, so persist it once — without this the
-        # corpus-scale scan+explode+shuffle executes twice
-        doc_bi = _doc_bigrams(docs, id_col=id_col, text_col=text_col).persist()
-        bigram_counts, context_counts = _counts_from(doc_bi)
-        lm = BigramLM(bigram_counts, context_counts, _vocab_size(docs, text_col))
+        # corpus-scale scan+explode+shuffle executes twice.  keep_singles
+        # cascades single-token docs through the corpus-level census, so
+        # the vocabulary readout is a vocabulary-scale aggregate over the
+        # (persisted) census — whose action materializes both pins — and
+        # the whole train+score path scans the corpus exactly ONCE
+        doc_bi_all = _doc_bigrams(
+            docs, id_col=id_col, text_col=text_col, keep_singles=True
+        ).persist()
+        doc_bi = doc_bi_all.filter(F.col("w2").isNotNull())
+        bi_census = (
+            doc_bi_all.groupBy("w1", "w2").agg(F.sum("occ").alias("cb")).persist()
+        )
+        bigram_counts = bi_census.filter(F.col("w2").isNotNull())
+        context_counts = bigram_counts.groupBy("w1").agg(F.sum("cb").alias("cc"))
+        lm = BigramLM(bigram_counts, context_counts, _vocab_size_from(bi_census))
     else:
         doc_bi = _doc_bigrams(docs, id_col=id_col, text_col=text_col)
     logp = _quantized_logp(
@@ -182,7 +235,8 @@ def bigram_lm_scores(
         # per-bigram cache can be released NOW instead of leaking until
         # the caller's action in a long-lived session
         result = result.localCheckpoint(eager=True)
-        doc_bi.unpersist(False)
+        doc_bi_all.unpersist(False)
+        bi_census.unpersist(False)
     return result
 
 
@@ -213,9 +267,20 @@ def dsir_weights(
     per-doc sums are dyadic-exact, so the ratio is bit-reproducible in
     external SQL.
     """
-    doc_bi = _doc_bigrams(docs, id_col=id_col, text_col=text_col).persist()
-    raw_b, raw_c = _counts_from(doc_bi)
-    raw_v = _vocab_size(docs, text_col)
+    # one corpus scan: the persisted keep_singles table feeds the raw-LM
+    # cascade, the scoring probe, AND (via the persisted corpus-level
+    # census) the vocabulary readout, whose action materializes both
+    # pins — see bigram_lm_scores
+    doc_bi_all = _doc_bigrams(
+        docs, id_col=id_col, text_col=text_col, keep_singles=True
+    ).persist()
+    doc_bi = doc_bi_all.filter(F.col("w2").isNotNull())
+    bi_census = (
+        doc_bi_all.groupBy("w1", "w2").agg(F.sum("occ").alias("cb")).persist()
+    )
+    raw_b = bi_census.filter(F.col("w2").isNotNull())
+    raw_c = raw_b.groupBy("w1").agg(F.sum("cb").alias("cc"))
+    raw_v = _vocab_size_from(bi_census)
     lm_t = train_bigram_lm(target, id_col=id_col, text_col=text_col)
 
     q_raw = _quantized_logp(
@@ -254,7 +319,8 @@ def dsir_weights(
         # bigram_lm_scores)
         .localCheckpoint(eager=True)
     )
-    doc_bi.unpersist(False)
+    doc_bi_all.unpersist(False)
+    bi_census.unpersist(False)
     return result
 
 

@@ -333,3 +333,30 @@ def test_textrank_short_and_empty_docs_do_not_crash(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = textrank_keywords(df, top_k=10).collect()
     assert {r["word"] for r in out} == {"alpha", "beta"}
+
+
+def test_vocab_from_census_matches_corpus_scan(spark):
+    """The one-scan vocabulary readout (distinct w1 ∪ w2 over the
+    keep_singles corpus census) must equal the direct token-stream
+    distinct for every doc shape: empty text (split yields [""], a
+    legitimate vocab entry), single-token docs (sentinel rows), and
+    multi-token docs."""
+    from patternly_spark.operators.lm import (
+        _doc_bigrams,
+        _vocab_size,
+        _vocab_size_from,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "z"), (4, ""), (5, "q r")],
+        "doc_id long, text string",
+    )
+    doc_bi_all = _doc_bigrams(docs, id_col="doc_id", text_col="text", keep_singles=True)
+    census = doc_bi_all.groupBy("w1", "w2").agg(F.sum("occ").alias("cb"))
+    expected = _vocab_size(docs, "text")
+    assert _vocab_size_from(doc_bi_all) == expected
+    assert _vocab_size_from(census) == expected
+    # the bigram rows of the keep_singles table equal the plain table
+    plain = _doc_bigrams(docs, id_col="doc_id", text_col="text")
+    kept = doc_bi_all.filter(F.col("w2").isNotNull())
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, kept.collect()))
