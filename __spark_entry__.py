@@ -7660,14 +7660,13 @@ def q195_ranking_agreement(spark, sf_dir):
 
     from patternly_spark.operators.retrieval import rbo_overlap
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", spread=True)
     agg = (
         li.groupBy("l_suppkey", "l_partkey")
         .agg(
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
         )
-        .localCheckpoint(eager=True)
     )
     w_rev = Window.partitionBy("l_suppkey").orderBy(
         F.desc("rev"), F.asc("l_partkey")
@@ -8688,7 +8687,9 @@ def q211_jaccard_links(spark, sf_dir):
     joins; integer counts + one division — engine-exact."""
     from patternly_spark.operators.graph import jaccard_link_prediction
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = _t(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_partkey"
+    )
     a, b = li.alias("a"), li.alias("b")
     und = (
         a.join(
@@ -9358,7 +9359,9 @@ def _q218_oracle() -> str:
 
 def _copurchase_edges(spark, sf_dir):
     """The q180/q218 support>=2 co-purchase edge set (src < dst)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = _t(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_partkey"
+    )
     return (
         li.alias("a")
         .join(li.alias("b"), "l_orderkey")

@@ -807,15 +807,32 @@ def passjoin_fuzzy_key_join(
     lkeys = left.select(F.col(left_key).alias("__lk")).distinct()
     rkeys = right.select(F.col(right_key).alias("__rk")).distinct()
 
+    # The probe explode multiplies per-row work ~(2tau+1)^2(tau+1)x and
+    # the levenshtein verify pipelines in the same stage; AQE coalesces
+    # the tiny distinct by BYTES and would run all of it on 1-2 cores
+    # (guide §2.5) — re-spread compute-aware before the Generate.
+    from patternly_spark.plans import fanout_respread
+
+    probe_fanout = (2 * tau + 1) * (2 * tau + 1) * (tau + 1)
+    lspread = fanout_respread(lkeys, probe_fanout)
+
     r_long = rkeys.filter(F.length("__rk") >= tau + 1)
-    probes = lkeys.select(
+    probes = lspread.select(
         "__lk", F.explode(_passjoin_probe_variants(F.col("__lk"), tau)).alias("__p")
     ).select("__lk", "__p.si", "__p.seg", "__p.lr")
     blocks = r_long.select(
         "__rk",
         F.explode(_passjoin_segment_variants(F.col("__rk"), tau)).alias("__b"),
     ).select("__rk", "__b.si", "__b.seg", "__b.lr")
-    cand_long = probes.join(blocks, ["si", "seg", "lr"]).select("__lk", "__rk")
+    # Build side pinned to the segment blocks (tau+1 variants/key vs
+    # ~(2tau+1)^2(tau+1) probe variants): left alone, AQE sees two
+    # small exchanges and may broadcast the FATTER probe side, which
+    # re-serializes the explode+verify pipeline onto the blocks side's
+    # 1-2 AQE-coalesced partitions — exactly what the respread above
+    # exists to prevent (guide §3.1: pick the build side deliberately).
+    cand_long = probes.join(
+        F.broadcast(blocks), ["si", "seg", "lr"]
+    ).select("__lk", "__rk")
 
     r_short = rkeys.filter(F.length("__rk") <= tau)
     l_short = lkeys.filter(F.length("__lk") <= 2 * tau)

@@ -325,6 +325,50 @@ def round_partitions_for(
     )
 
 
+def fanout_respread(
+    df: DataFrame,
+    fanout: int,
+    *,
+    task_bytes: int = ROUND_TASK_BYTES,
+) -> DataFrame:
+    """Compute-aware parallelism floor for a relation about to be
+    exploded ``fanout``x and probed through a per-row kernel
+    (optimization guide §2.5: AQE coalesces a small post-aggregate
+    relation to ~64 MiB partitions by BYTES, but it cannot see that a
+    downstream Generate multiplies per-partition work ``fanout``x — a
+    tiny distinct-keys relation then runs its whole explode + verify
+    pipeline on 1-2 cores).  One round-robin exchange re-spreads the
+    relation to the round-partition policy sized at
+    ``task_bytes / fanout`` — i.e. the partition count the policy
+    would pick for the post-explode bytes — clamped as always to
+    [core floor, session ceiling].
+
+    Scale-adaptive, not a local constant: at 100 TB the plan-stats
+    size is large, so the policy lands at the session ceiling exactly
+    like every other big shuffle; locally it lands at the core floor.
+    Values are unaffected (round-robin repartition is deterministic
+    under Spark's sort-before-repartition default, and the call sites
+    are explode+join+distinct pipelines that are partition-count
+    invariant).  ``SPARK_GRAFT_PARTITION_POLICY=0`` disables it (same
+    A/B knob as the round policy; the relation passes through
+    untouched)."""
+    if os.environ.get("SPARK_GRAFT_PARTITION_POLICY", "1") in ("0", "false"):
+        return df
+    spark = df.sparkSession
+    sess = shuffle_partitions(spark)
+    cores = max(1, spark.sparkContext.defaultParallelism)
+    eff_task_bytes = min(int(task_bytes), _heap_task_bytes_cap(spark))
+    sz = plan_size_bytes(df)
+    if sz is None:
+        n = min(cores, sess)
+    else:
+        by_bytes = max(
+            1, math.ceil(sz * _STATS_INFLATION * max(1, int(fanout)) / float(eff_task_bytes))
+        )
+        n = max(1, min(sess, max(by_bytes, min(cores, sess))))
+    return df.repartition(n)
+
+
 @contextmanager
 def tuned_shuffle(spark, n_partitions: int):
     """Temporarily pin ``spark.sql.shuffle.partitions`` to

@@ -138,6 +138,68 @@ def test_round_partitions_for_uses_plan_stats_not_count(spark):
     assert round_partitions_for(spark, big) == expect
 
 
+def test_fanout_respread_policy_shape(spark, monkeypatch):
+    """r11: fanout_respread spreads a tiny pre-explode relation to the
+    core floor (AQE would coalesce it to 1-2 partitions by bytes and
+    serialize the downstream Generate), sizes a huge one into the
+    bytes*fanout-proportional regime capped at the session ceiling, and
+    passes the relation through untouched under the policy kill
+    switch."""
+    import math as _math
+
+    from pyspark.sql import functions as F
+
+    from patternly_spark.plans import (
+        ROUND_TASK_BYTES,
+        _STATS_INFLATION,
+        _heap_task_bytes_cap,
+        fanout_respread,
+        plan_size_bytes,
+    )
+
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cores = spark.sparkContext.defaultParallelism
+    floor = min(cores, sess)
+    small = spark.range(100).select(F.col("id").alias("k")).localCheckpoint(eager=True)
+    out = fanout_respread(small, 200)
+    assert f"RoundRobinPartitioning({floor})" in out._jdf.queryExecution().toString()
+    big = spark.range(3_000_000).select(F.col("id").alias("k")).localCheckpoint(eager=True)
+    sz = plan_size_bytes(big)
+    eff = min(ROUND_TASK_BYTES, _heap_task_bytes_cap(spark))
+    expect = max(1, min(sess, max(_math.ceil(sz * _STATS_INFLATION * 200 / float(eff)), floor)))
+    outb = fanout_respread(big, 200)
+    assert f"RoundRobinPartitioning({expect})" in outb._jdf.queryExecution().toString()
+    monkeypatch.setenv("SPARK_GRAFT_PARTITION_POLICY", "0")
+    assert fanout_respread(small, 200) is small
+
+
+def test_passjoin_probe_side_spread_and_build_side_pinned(spark):
+    """r11 q197 fix: the PassJoin probe pipeline (explode ~200x +
+    levenshtein verify) must run above a round-robin respread of the
+    distinct left keys, and the segment-blocks side must be the
+    broadcast BUILD side — without the hint AQE may broadcast the
+    fatter probe side and re-serialize the verify onto the blocks
+    side's 1-2 AQE-coalesced partitions."""
+    from pyspark.sql import functions as F
+
+    from patternly_spark.operators.retrieval import passjoin_fuzzy_key_join
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghiX")], "doc_id long, text string"
+    )
+    out = passjoin_fuzzy_key_join(
+        docs.select(F.col("text").alias("k")),
+        docs.select(F.col("text").alias("k2")),
+        left_key="k", right_key="k2", max_dist=3,
+    )
+    plan = out._jdf.queryExecution().toString()
+    assert "RoundRobinPartitioning" in plan
+    # values unchanged by the respread + pinned build side
+    rows = {(r["k"], r["k2"], r["dist"]) for r in out.collect()}
+    assert ("abcdefghij", "abcdefghiX", 1) in rows
+    assert ("abcdefghij", "abcdefghij", 0) in rows
+
+
 def test_tuned_shuffle_restores_even_on_error(spark):
     from patternly_spark.plans import tuned_shuffle
 
