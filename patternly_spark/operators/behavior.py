@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from patternly_spark.plans import local_rows
+
 MICROS_PER_WEEK = 7 * 86_400 * 1_000_000
 
 
@@ -449,7 +451,8 @@ def markov_attribution(
         out.append((x, base, conv_x, base - conv_x))
     total_removal = sum(max(r[3], 0) for r in out)
     spark = events.sparkSession
-    res = spark.createDataFrame(
+    res = local_rows(
+        spark,
         out,
         "channel string, conv_base_units long, conv_removed_units long,"
         " removal_units long",
@@ -555,7 +558,7 @@ def shapley_attribution(
         out.append((x, phi))
     total = v(full) - v(frozenset())
     spark = events.sparkSession
-    res = spark.createDataFrame(out, "channel string, phi_units long")
+    res = local_rows(spark, out, "channel string, phi_units long")
     share = F.when(
         F.lit(total) > 0,
         F.col("phi_units").cast("double")

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from patternly_spark.plans import local_rows
+
 from patternly_spark.functions.text import fingerprint, shingle_hash, shingles, with_shingles
 
 _MERSENNE = 2147483647  # 2^31 - 1
@@ -1252,7 +1254,8 @@ def pair_set_agreement(
             denom = float(n_a + n_b - n_common)
             jac = (float(n_common) / denom) if denom > 0.0 else 0.0
             rows.append((names[i], names[j], n_a, n_b, n_common, jac))
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         rows,
         "method_a string, method_b string, n_a long, n_b long, "
         "n_common long, overlap_jaccard double",

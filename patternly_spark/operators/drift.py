@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from patternly_spark.plans import local_rows
+
 __all__ = ["categorical_drift", "ks_drift", "linear_trend", "cusum", "pairwise_correlation"]
 
 #: dyadic quantization grid for the summed statistic terms
@@ -1480,7 +1482,7 @@ def quantile_lift(
     )
     ns = ranked.groupBy(*gcols, "__arm").agg(F.max("__r").cast("long").alias("__n"))
     spark = df.sparkSession
-    tau_grid = spark.createDataFrame([(float(t),) for t in taus], "tau double")
+    tau_grid = local_rows(spark, [(float(t),) for t in taus], "tau double")
     grid = ns.crossJoin(F.broadcast(tau_grid)).withColumn(
         "__k",
         F.ceil(F.col("tau") * F.col("__n").cast("double")).cast("long"),
@@ -3210,8 +3212,14 @@ def srm_check_k(
     if any(not 0.0 < float(expected[a]) < 1.0 for a in arms):
         raise ValueError("every expected ratio must be in (0,1)")
     spark = df.sparkSession
+    # one slice (plans.local_rows rationale) with the original
+    # inferred arm type preserved: arm columns are usually strings but
+    # the contract never required it
     ratios = spark.createDataFrame(
-        [(a, float(expected[a])) for a in arms], ["arm", "expected_ratio"]
+        spark.sparkContext.parallelize(
+            [(a, float(expected[a])) for a in arms], 1
+        ),
+        ["arm", "expected_ratio"],
     )
     per = df.groupBy(F.col(arm_col).alias("arm")).agg(
         F.count(F.lit(1)).cast("long").alias("n")

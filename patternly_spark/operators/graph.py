@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from patternly_spark.plans import round_partitions, round_partitions_for, tuned_shuffle
+from patternly_spark.plans import (
+    local_rows,
+    round_partitions,
+    round_partitions_for,
+    tuned_shuffle,
+)
 
 
 def _pin_disk(df: DataFrame, *, eager: bool = True) -> DataFrame:
@@ -1073,8 +1078,8 @@ def neighborhood_function(
                 eager=False,
             )
             out.append(snapshot(r, regs))
-    return spark.createDataFrame(
-        out, "round int, nodes long, est_pairs double, avg_ball double"
+    return local_rows(
+        spark, out, "round int, nodes long, est_pairs double, avg_ball double"
     )
 
 

@@ -34,6 +34,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from patternly_spark.plans import local_rows
+
 __all__ = [
     "BigramLM",
     "train_bigram_lm",
@@ -658,7 +660,7 @@ def fit_hashed_classifier(
         ]
     else:
         w_rows = [(i, float(v)) for i, v in enumerate(coef) if v != 0.0]
-    weights = spark.createDataFrame(w_rows or [(0, 0.0)], "bucket long, weight double")
+    weights = local_rows(spark, w_rows or [(0, 0.0)], "bucket long, weight double")
     return weights, float(model.intercept)
 
 

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from patternly_spark.plans import local_rows
+
 __all__ = ["roc_auc", "calibration_bins", "ranking_metrics", "fleiss_kappa", "logistic_regression"]
 
 
@@ -632,7 +634,7 @@ def conformal_calibration(
     )
     n_cal = ranked.groupBy(*gcols).agg(F.max("__r").cast("long").alias("n_cal"))
     spark = cal.sparkSession
-    alpha_grid = spark.createDataFrame([(float(a),) for a in alphas], "alpha double")
+    alpha_grid = local_rows(spark, [(float(a),) for a in alphas], "alpha double")
     grid = n_cal.crossJoin(F.broadcast(alpha_grid))
     k = F.ceil(
         (F.col("n_cal") + F.lit(1)).cast("double") * (F.lit(1.0) - F.col("alpha"))
@@ -1035,7 +1037,8 @@ def logistic_regression(
         )
         for a in range(k)
     ]
-    return df.sparkSession.createDataFrame(
+    return local_rows(
+        df.sparkSession,
         out,
         "feature string, beta double, se double, z double, "
         "rel_step double, grad_norm double, converged boolean",

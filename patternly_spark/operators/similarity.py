@@ -18,6 +18,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from patternly_spark.plans import local_rows
+
 from patternly_spark.functions.vectors import (
     cosine,
     dot,
@@ -418,8 +420,8 @@ def lsh_index_topk(
         for b in probes:
             probe_rows.append((int(r[id_col]), list(map(float, r[vec_col])), int(b)))
 
-    probed = spark.createDataFrame(
-        probe_rows, f"query_id long, query_vec array<double>, sig int"
+    probed = local_rows(
+        spark, probe_rows, "query_id long, query_vec array<double>, sig int"
     )
     index = spark.read.parquet(path).filter(F.col("sig").isin(sorted(all_buckets)))
     # older indexes predate the persisted norm column
@@ -520,8 +522,8 @@ def ivf_index_topk(
         for c in cells:
             probe_rows.append((int(r[id_col]), list(map(float, r[vec_col])), int(c)))
 
-    probed = spark.createDataFrame(
-        probe_rows, "query_id long, query_vec array<double>, cell int"
+    probed = local_rows(
+        spark, probe_rows, "query_id long, query_vec array<double>, cell int"
     )
     index = spark.read.parquet(path).filter(F.col("cell").isin(sorted(all_cells)))
     corpus_nrm = F.col("nrm") if "nrm" in index.columns else norm(F.col(vec_col))

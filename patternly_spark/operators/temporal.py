@@ -21,6 +21,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from patternly_spark.plans import local_rows
+
 
 def asof_join(
     left: DataFrame,
@@ -1460,7 +1462,8 @@ def cox_ph(
         )
         for j in range(p)
     ]
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         out,
         "covariate string, beta double, hazard_ratio double, se double, z double, "
         "rel_step double, grad_norm double, converged boolean",

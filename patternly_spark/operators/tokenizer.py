@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from patternly_spark.plans import local_rows
+
 __all__ = ["bpe_merges", "bpe_merges_df", "bpe_encode", "word_vocabulary"]
 
 END_OF_WORD = "</w>"
@@ -136,7 +138,8 @@ def bpe_merges_df(
     merges = bpe_merges(
         docs, text_col=text_col, num_merges=num_merges, min_count=min_count
     )
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
         "rank int, left string, right string, pair_count long",
     )

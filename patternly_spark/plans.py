@@ -325,6 +325,24 @@ def round_partitions_for(
     )
 
 
+def local_rows(spark, rows, schema: str) -> DataFrame:
+    """Driver-computed rows as a ONE-partition DataFrame.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the local list
+    over ``defaultParallelism`` slices, so every consumption of an
+    8-row driver readout (a Newton-solver result, an agreement matrix,
+    a weight table) runs one Python-worker task PER CORE — measured
+    0.34 s vs 0.19 s warm per noop save on local[32], and ~1 s/task
+    cold while the workers start (r11 q250 profile: a 35 s save stage
+    for 8 rows).  A driver-sized relation belongs in one slice at any
+    scale: broadcast consumers read it in a single build task and no
+    scheduler rounds are spent on empty slices.  Values and schema are
+    exactly those of the default path."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def fanout_respread(
     df: DataFrame,
     fanout: int,

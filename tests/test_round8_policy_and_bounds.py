@@ -173,6 +173,22 @@ def test_fanout_respread_policy_shape(spark, monkeypatch):
     assert fanout_respread(small, 200) is small
 
 
+def test_local_rows_single_partition_same_values(spark):
+    """r11: a driver-computed readout must land in ONE partition — the
+    default createDataFrame parallelizes a tiny list over
+    defaultParallelism slices, paying one Python-worker task per core
+    every time the relation is consumed (q250 profile: a 35 s save
+    stage for 8 rows, cold)."""
+    from patternly_spark.plans import local_rows
+
+    rows = [("a", 1.0), ("b", 2.0)]
+    df = local_rows(spark, rows, "k string, v double")
+    assert df.rdd.getNumPartitions() == 1
+    assert sorted((r["k"], r["v"]) for r in df.collect()) == rows
+    empty = local_rows(spark, [], "k string, v double")
+    assert empty.count() == 0 and empty.schema.simpleString() == df.schema.simpleString()
+
+
 def test_passjoin_probe_side_spread_and_build_side_pinned(spark):
     """r11 q197 fix: the PassJoin probe pipeline (explode ~200x +
     levenshtein verify) must run above a round-robin respread of the
