@@ -29,6 +29,22 @@ def get_spark(app_name: str = "patternly-spark", *, shuffle_partitions: int | No
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    # GC robustness for large shuffle-sort state (guide §5): sort tasks
+    # double their record-pointer arrays into 100 MiB+ allocations —
+    # humongous objects spanning 32 contiguous regions under G1's 4 MiB
+    # default region size at single-digit-GiB heaps — and when a JNI
+    # critical section (lz4/netty) holds the GCLocker, JDK 17 abandons
+    # the allocation after 2 retries and throws OOM while the heap still
+    # has reclaimable room (observed verbatim in the sf100 rehearsals:
+    # "Retried waiting for GCLocker too often allocating 16777218
+    # words").  Raise the retry budget and the region size so a 128 MiB
+    # array is 4 contiguous regions instead of 32.  Same flags on any
+    # cluster size; override/disable with SPARK_GRAFT_GC_OPTS.
+    gc_opts = os.environ.get(
+        "SPARK_GRAFT_GC_OPTS",
+        "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64"
+        " -XX:G1HeapRegionSize=32m",
+    )
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
     builder = (
@@ -48,6 +64,8 @@ def get_spark(app_name: str = "patternly-spark", *, shuffle_partitions: int | No
         # tables are tiny relative to the fact side at any scale factor
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.extraJavaOptions", gc_opts)
+        .config("spark.executor.extraJavaOptions", gc_opts)
         # UI off by default (test throughput); scripts/bench_scale.py sets
         # SPARK_GRAFT_UI=1 to read shuffle/spill from the REST API
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "0") in ("1", "true") and "true" or "false")

@@ -321,3 +321,20 @@ def test_neighborhood_function_empty_edges(spark):
     assert len(out) == 2
     for r in out:
         assert r["nodes"] == 0 and r["avg_ball"] is None
+
+
+def test_gc_opts_plumbed_to_jvm_conf(spark):
+    """The GCLocker/humongous-allocation mitigation (sf100 rehearsal
+    finding: sort-pointer-array allocations of 2^24 words abandoned
+    after 2 GCLocker retries -> spurious OOM) must reach the JVM launch
+    conf by default, and must stay env-overridable."""
+    import os
+
+    opts = spark.conf.get("spark.driver.extraJavaOptions")
+    assert "GCLockerRetryAllocationCount" in opts
+    assert "G1HeapRegionSize" in opts
+    assert spark.conf.get("spark.executor.extraJavaOptions") == opts
+    # the default comes from the documented env knob
+    assert os.environ.get("SPARK_GRAFT_GC_OPTS") is None or (
+        os.environ["SPARK_GRAFT_GC_OPTS"] == opts
+    )
