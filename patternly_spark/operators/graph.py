@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from patternly_spark.plans import (
+    empty_rows,
     local_rows,
     round_partitions,
     round_partitions_for,
@@ -676,7 +677,28 @@ def minimum_spanning_forest(
     forest after ``max_rounds`` instead — the fixed-round-budget shape
     the bench tracks (every returned edge is still a true MSF edge:
     Boruvka never retracts a selection).
+
+    Round-merge shape (r12, guide §1.2/§2.4/§3.1): the selected-edge
+    relation carries its endpoint COMPONENT labels through the min-by
+    struct (the labels are constant per edge, so the (w, u, v)
+    tie-break is unchanged), which removes the old semi-join back
+    against ``crossing`` to recover the component graph.  The
+    component-merge graph has at most one edge per component and
+    SHRINKS at least geometrically per Boruvka round, so once it is
+    driver-sized (<= SPARK_GRAFT_MSF_LOCAL_MERGE_ROWS selected edges,
+    default 1M ~ tens of MB on the driver) the merge labels are
+    computed as a driver union-find with MIN-ID representatives —
+    bit-identical to the nested ``connected_components`` fixpoint it
+    replaces (both assign every touched component the smallest
+    component id in its merged group) — and re-attached as a
+    broadcast of a one-slice ``local_rows`` relation.  That converts
+    ~6-10 AQE-planned jobs per round (the nested star-CC's checksum/
+    convergence machinery) into ONE collect of a component-sized
+    relation.  Rounds whose component graph is still bigger than the
+    threshold (early rounds of a 100 TB run) keep the distributed CC
+    path, now over a pinned selected-edge relation.
     """
+    import os as _os
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -697,7 +719,10 @@ def minimum_spanning_forest(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)
     )
-    forest = spark.createDataFrame([], "u long, v long, w double")
+    forest = empty_rows(spark, "u long, v long, w double")
+    local_merge_rows = int(
+        _os.environ.get("SPARK_GRAFT_MSF_LOCAL_MERGE_ROWS", str(1_000_000))
+    )
     # round-heavy: bytes-sized shuffle partitions per the measured
     # sf30/sf100 policy (plans.round_partitions); values are
     # partition-count invariant, only wall clock changes
@@ -715,40 +740,104 @@ def minimum_spanning_forest(
                 .filter(F.col("cu") != F.col("cv"))
                 .localCheckpoint(eager=False)
             )
-            if crossing.count() == 0:
+            n_crossing = crossing.count()
+            if n_crossing == 0:
                 break
             # each component's minimum outgoing edge, totally tie-broken
-            pick = F.struct(F.col("w"), F.col("u"), F.col("v"))
+            # on (w, u, v) exactly as before; cu/cv ride along (constant
+            # per (u, v) edge within a round, so they cannot perturb the
+            # min) to give the merge step its component endpoints without
+            # a join back against crossing
+            pick = F.struct(
+                F.col("w"), F.col("u"), F.col("v"), F.col("cu"), F.col("cv")
+            )
             per_comp = (
                 crossing.select(F.col("cu").alias("comp"), pick.alias("p"))
                 .unionAll(crossing.select(F.col("cv").alias("comp"), pick.alias("p")))
                 .groupBy("comp")
                 .agg(F.min("p").alias("p"))
-                .select("p.u", "p.v", "p.w")
+                .select("p.u", "p.v", "p.w", "p.cu", "p.cv")
                 .distinct()
             )
-            forest = forest.unionByName(
-                per_comp.select("u", "v", "w")
-            ).localCheckpoint(eager=False)
-            # merge components: CC over comp-level star edges
-            comp_edges = (
-                crossing.join(
-                    per_comp.select("u", "v"), ["u", "v"], "left_semi"
+            # selected edges <= #components touched <= 2 * n_crossing,
+            # so n_crossing bounds the collect; when over the bound, pin
+            # per_comp and pay one count to check whether the component
+            # graph itself (not the crossing set) is driver-sized
+            sel_rows = None
+            if n_crossing <= local_merge_rows:
+                sel_rows = per_comp.collect()
+            else:
+                per_comp = per_comp.localCheckpoint(eager=False)
+                if per_comp.count() <= local_merge_rows:
+                    sel_rows = per_comp.collect()
+            if sel_rows is not None:
+                # driver union-find over the component-merge graph with
+                # MIN-ID representatives — the same (comp -> smallest
+                # comp id in merged group) map the nested
+                # connected_components fixpoint produced
+                parent: dict = {}
+
+                def _find(x):
+                    r = x
+                    while parent[r] != r:
+                        r = parent[r]
+                    while parent[x] != r:
+                        parent[x], x = r, parent[x]
+                    return r
+
+                for r_ in sel_rows:
+                    a, b = r_["cu"], r_["cv"]
+                    parent.setdefault(a, a)
+                    parent.setdefault(b, b)
+                    ra, rb = _find(a), _find(b)
+                    if ra != rb:
+                        # union by min id so the root IS the group min
+                        if rb < ra:
+                            ra, rb = rb, ra
+                        parent[rb] = ra
+                merged_map = [(c, _find(c)) for c in parent]
+                forest = forest.unionByName(
+                    local_rows(
+                        spark,
+                        [(r_["u"], r_["v"], r_["w"]) for r_ in sel_rows],
+                        "u long, v long, w double",
+                    )
                 )
-                .select(F.col("cu").alias("src"), F.col("cv").alias("dst"))
-                .distinct()
-            )
-            merged = connected_components(comp_edges)
-            labels = (
-                labels.join(
-                    merged.withColumnRenamed("node", "comp"), "comp", "left"
+                labels = (
+                    labels.join(
+                        F.broadcast(
+                            local_rows(
+                                spark, merged_map, "comp long, component long"
+                            )
+                        ),
+                        "comp",
+                        "left",
+                    )
+                    .select(
+                        "node",
+                        F.coalesce(F.col("component"), F.col("comp")).alias("comp"),
+                    )
+                    .localCheckpoint(eager=False)
                 )
-                .select(
-                    "node",
-                    F.coalesce(F.col("component"), F.col("comp")).alias("comp"),
+            else:
+                forest = forest.unionByName(
+                    per_comp.select("u", "v", "w")
+                ).localCheckpoint(eager=False)
+                # merge components: CC over comp-level star edges
+                comp_edges = per_comp.select(
+                    F.col("cu").alias("src"), F.col("cv").alias("dst")
+                ).distinct()
+                merged = connected_components(comp_edges)
+                labels = (
+                    labels.join(
+                        merged.withColumnRenamed("node", "comp"), "comp", "left"
+                    )
+                    .select(
+                        "node",
+                        F.coalesce(F.col("component"), F.col("comp")).alias("comp"),
+                    )
+                    .localCheckpoint(eager=False)
                 )
-                .localCheckpoint(eager=False)
-            )
         else:
             if strict:
                 raise RuntimeError(

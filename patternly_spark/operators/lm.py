@@ -49,6 +49,29 @@ __all__ = [
 ]
 
 
+def _pin_corpus(df: DataFrame) -> DataFrame:
+    """Persist a CORPUS-SIZED relation for reuse within one operator
+    call (guide §5): explicit ``MEMORY_AND_DISK`` SERIALIZED level
+    instead of the default deserialized cache, so at 100 TB the per-doc
+    bigram table overflows to disk gracefully instead of pressuring
+    executor memory the way the round-10 graph pins did before
+    DISK_ONLY.  ``SPARK_GRAFT_LM_PIN=disk`` forces DISK_ONLY (the
+    zero-memory-pressure envelope used by the scale rehearsals);
+    ``=deser`` restores the old default for A/B.  Values are unaffected
+    — storage level changes where cached bytes live, not what they
+    are."""
+    import os
+
+    from pyspark import StorageLevel
+
+    mode = os.environ.get("SPARK_GRAFT_LM_PIN", "ser")
+    level = {
+        "disk": StorageLevel.DISK_ONLY,
+        "deser": StorageLevel.MEMORY_AND_DISK_DESER,
+    }.get(mode, StorageLevel.MEMORY_AND_DISK)
+    return df.persist(level)
+
+
 def _doc_bigrams(
     docs: DataFrame, *, id_col: str, text_col: str, keep_singles: bool = False
 ) -> DataFrame:
@@ -200,12 +223,12 @@ def bigram_lm_scores(
         # the vocabulary readout is a vocabulary-scale aggregate over the
         # (persisted) census — whose action materializes both pins — and
         # the whole train+score path scans the corpus exactly ONCE
-        doc_bi_all = _doc_bigrams(
-            docs, id_col=id_col, text_col=text_col, keep_singles=True
-        ).persist()
+        doc_bi_all = _pin_corpus(
+            _doc_bigrams(docs, id_col=id_col, text_col=text_col, keep_singles=True)
+        )
         doc_bi = doc_bi_all.filter(F.col("w2").isNotNull())
-        bi_census = (
-            doc_bi_all.groupBy("w1", "w2").agg(F.sum("occ").alias("cb")).persist()
+        bi_census = _pin_corpus(
+            doc_bi_all.groupBy("w1", "w2").agg(F.sum("occ").alias("cb"))
         )
         bigram_counts = bi_census.filter(F.col("w2").isNotNull())
         context_counts = bigram_counts.groupBy("w1").agg(F.sum("cb").alias("cc"))
@@ -273,12 +296,12 @@ def dsir_weights(
     # cascade, the scoring probe, AND (via the persisted corpus-level
     # census) the vocabulary readout, whose action materializes both
     # pins — see bigram_lm_scores
-    doc_bi_all = _doc_bigrams(
-        docs, id_col=id_col, text_col=text_col, keep_singles=True
-    ).persist()
+    doc_bi_all = _pin_corpus(
+        _doc_bigrams(docs, id_col=id_col, text_col=text_col, keep_singles=True)
+    )
     doc_bi = doc_bi_all.filter(F.col("w2").isNotNull())
-    bi_census = (
-        doc_bi_all.groupBy("w1", "w2").agg(F.sum("occ").alias("cb")).persist()
+    bi_census = _pin_corpus(
+        doc_bi_all.groupBy("w1", "w2").agg(F.sum("occ").alias("cb"))
     )
     raw_b = bi_census.filter(F.col("w2").isNotNull())
     raw_c = raw_b.groupBy("w1").agg(F.sum("cb").alias("cc"))

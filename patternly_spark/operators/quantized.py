@@ -532,8 +532,11 @@ def mutual_knn(
     # rows, while the numpy form is identical arithmetic
     vec_rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
     if not vec_rows:
-        return df.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, qcosine double, rank_ab int, rank_ba int"
+        from patternly_spark.plans import empty_rows
+
+        return empty_rows(
+            df.sparkSession,
+            "id_a long, id_b long, qcosine double, rank_ab int, rank_ba int",
         )
     ids_all = np.array([r["id"] for r in vec_rows], dtype=np.int64)
     C_all = _np_codes([r["v"] for r in vec_rows])

@@ -256,8 +256,14 @@ class PFSA:
 
 
 def library_to_df(spark: SparkSession, models: list[PFSA]):
-    """Model library as a tiny DataFrame (broadcast side of scoring joins)."""
-    return spark.createDataFrame([m.to_row() for m in models], schema=PFSA_SCHEMA)
+    """Model library as a tiny DataFrame (broadcast side of scoring joins).
+
+    One slice (plans.local_rows): the library is driver-sized and its
+    every consumption is a broadcast build — default slicing ran one
+    Python task per core per consumption (guide §5, r11 q250 profile)."""
+    from patternly_spark.plans import local_rows
+
+    return local_rows(spark, [m.to_row() for m in models], PFSA_SCHEMA)
 
 
 def library_from_df(df) -> list[PFSA]:

@@ -40,6 +40,8 @@ __all__ = [
     "shuffle_partitions",
     "round_partitions",
     "tuned_shuffle",
+    "empty_rows",
+    "local_rows",
 ]
 
 
@@ -325,6 +327,25 @@ def round_partitions_for(
     )
 
 
+def empty_rows(spark, schema) -> DataFrame:
+    """A zero-row DataFrame as a plan-visible EMPTY LocalRelation.
+
+    ``spark.createDataFrame([], schema)`` builds a
+    defaultParallelism-sliced ExistingRDD: every consumption schedules
+    one pickle-RDD task per core, and — worse — Catalyst cannot prove
+    the relation empty, so an empty seed registry drags its whole
+    union/join subtree through planning and execution on EVERY
+    streaming microbatch.  ``.limit(0)`` triggers the optimizer's
+    OptimizeLimitZero rewrite to ``LocalRelation <empty>``, which
+    PropagateEmptyRelation then folds: unions drop the empty side
+    outright and left-joins against it collapse to null projections
+    (measured on the probe session: ``union(empty)`` optimizes to the
+    bare other side).  Values and schema are exactly those of the
+    default path — empty is empty; ``limit(0)`` preserves the schema
+    including nullability."""
+    return spark.createDataFrame([], schema).limit(0)
+
+
 def local_rows(spark, rows, schema: str) -> DataFrame:
     """Driver-computed rows as a ONE-partition DataFrame.
 
@@ -337,9 +358,11 @@ def local_rows(spark, rows, schema: str) -> DataFrame:
     for 8 rows).  A driver-sized relation belongs in one slice at any
     scale: broadcast consumers read it in a single build task and no
     scheduler rounds are spent on empty slices.  Values and schema are
-    exactly those of the default path."""
+    exactly those of the default path.  Empty input returns the
+    plan-visible empty LocalRelation (``empty_rows``) so downstream
+    unions/joins can prune it at plan time."""
     if not rows:
-        return spark.createDataFrame([], schema)
+        return empty_rows(spark, schema)
     return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from patternly_spark.functions.text import fingerprint
+from patternly_spark.plans import empty_rows
 
 
 from patternly_spark.streaming.exactly_once import (
@@ -54,8 +55,8 @@ def empty_band_registry(spark) -> DataFrame:
     registry for ``incremental_neardup_dedup`` before any batch ran."""
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-    return spark.createDataFrame(
-        [],
+    return empty_rows(
+        spark,
         StructType(
             [
                 StructField("band_id", LongType()),
@@ -77,8 +78,8 @@ def empty_semantic_registry(spark, *, vec_col: str = "embedding") -> DataFrame:
         StructType,
     )
 
-    return spark.createDataFrame(
-        [],
+    return empty_rows(
+        spark,
         StructType(
             [
                 StructField("sig", LongType()),
@@ -286,8 +287,8 @@ def incremental_semantic_dedup(
 
         spark = new_vecs.sparkSession
         id_type = new_vecs.schema[id_col].dataType
-        result = spark.createDataFrame(
-            [],
+        result = empty_rows(
+            spark,
             StructType(
                 [
                     StructField(id_col, id_type),
@@ -465,8 +466,8 @@ def empty_similarity_registry(spark):
         StructType,
     )
 
-    sets = spark.createDataFrame(
-        [],
+    sets = empty_rows(
+        spark,
         StructType(
             [
                 StructField("id", LongType()),
@@ -474,8 +475,8 @@ def empty_similarity_registry(spark):
             ]
         ),
     )
-    prefix = spark.createDataFrame(
-        [],
+    prefix = empty_rows(
+        spark,
         StructType(
             [StructField("s", StringType()), StructField("id", LongType())]
         ),

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from patternly_spark.operators.graph import connected_components
+from patternly_spark.plans import empty_rows
 
 __all__ = [
     "empty_cc_registry",
@@ -35,7 +36,7 @@ __all__ = [
 
 def empty_cc_registry(spark) -> DataFrame:
     """Zero-row (node, label) seed registry."""
-    return spark.createDataFrame([], "node long, label long")
+    return empty_rows(spark, "node long, label long")
 
 
 def incremental_connected_components(

@@ -26,6 +26,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from patternly_spark.plans import empty_rows
 from patternly_spark.operators.similarity_allpairs import (
     _cells_base,
     _gemm_verify,
@@ -55,8 +56,8 @@ def empty_cosine_registry(spark, *, block_dims: int = 2) -> DataFrame:
         StructType,
     )
 
-    return spark.createDataFrame(
-        [],
+    return empty_rows(
+        spark,
         StructType(
             [
                 StructField("id", LongType()),
@@ -186,8 +187,8 @@ def streaming_cosine_allpairs(
 def empty_tfidf_registry(spark) -> DataFrame:
     """Zero-row (id, term, w, n2, is_prefix) seed registry for
     ``incremental_tfidf_allpairs``."""
-    return spark.createDataFrame(
-        [], "id long, term string, w long, n2 long, is_prefix boolean"
+    return empty_rows(
+        spark, "id long, term string, w long, n2 long, is_prefix boolean"
     )
 
 

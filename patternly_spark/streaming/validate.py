@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from patternly_spark.operators.validate import _violation_expr
+from patternly_spark.plans import local_rows
 from patternly_spark.streaming.exactly_once import (
     read_latest_snapshot,
     read_registry,
@@ -178,7 +179,12 @@ def quality_report_from_registry(
         rows.append(
             (i, rule["column"], rule["check"], int(n_rows_total), int(v), rate, rate <= thr)
         )
-    return spark.createDataFrame(
+    # one-slice driver readout (plans.local_rows): this is rebuilt and
+    # consumed on EVERY microbatch, so the default defaultParallelism
+    # slicing paid one empty Python task per core per batch (r11 q250
+    # pathology, guide §5)
+    return local_rows(
+        spark,
         rows,
         "rule_idx int, column string, check string, n_rows bigint, "
         "n_violations bigint, violation_rate double, passed boolean",
